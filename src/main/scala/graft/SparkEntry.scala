@@ -1,13 +1,454 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is a named operator from SURVEY.md §2 (or the
+  * LLM-data-pipeline extension tier) expressed over the driver's testdata
+  * tables; [[oracleSql]] carries the equivalent DuckDB SQL. Determinism
+  * contract for the oracle compare: fixed-point sums go through exact
+  * decimal arithmetic (RelationalOps.decSum), every other expression is a
+  * per-row IEEE-double computation written identically on both sides, and
+  * every result has a total ORDER BY.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalOps.pricingSummary(
+      t(spark, "/root/testdata/sf0.001", "lineitem"), "1998-09-02")
+
+  // exact decimal-sum SQL fragments (must mirror RelationalOps.decSum/decAvg/decStddev)
+  private def sqlDecSum(c: String, scale: Int = 2): String =
+    s"CAST(sum(CAST($c AS DECIMAL(27,$scale))) AS DOUBLE)"
+  private def sqlDecAvg(c: String): String =
+    s"${sqlDecSum(c)} / count($c)"
+  private def sqlDecStd(c: String): String = {
+    val s1 = sqlDecSum(c)
+    val s2 = s"CAST(sum(CAST(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE)"
+    val n = s"CAST(count($c) AS DOUBLE)"
+    s"sqrt(($s2 - $s1 * $s1 / $n) / ($n - 1.0))"
+  }
+
+  private val stopSql = TextOps.enStopwords.map(w => s"'$w'").mkString("(", ",", ")")
+  private val toksSql = raw"regexp_split_to_array(trim(text), '\s+')"
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core (SURVEY §2.1-2.7) ----
+    "q01_pricing_summary" -> ((s, d) =>
+      RelationalOps.pricingSummary(t(s, d, "lineitem"), "1998-09-02")),
+
+    "q02_join_revenue_by_priority" -> { (s, d) =>
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      val o = t(s, d, "orders").select(col("o_orderkey").as("l_orderkey"),
+        col("o_orderpriority"))
+      RelationalOps.scoreJoin(o, li, "l_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(RelationalOps.decSum(col("rev"), 6).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    "q03_top_orders" -> ((s, d) =>
+      t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)),
+
+    "q04_distinct_counts" -> ((s, d) =>
+      t(s, d, "lineitem").agg(
+        countDistinct(col("l_returnflag")).as("n_returnflag"),
+        countDistinct(col("l_linestatus")).as("n_linestatus"),
+        countDistinct(col("l_partkey")).as("n_partkey"),
+        countDistinct(col("l_suppkey")).as("n_suppkey"))),
+
+    "q05_crosstab" -> ((s, d) =>
+      RelationalOps.crosstab(t(s, d, "lineitem"), "l_returnflag", "l_linestatus",
+        Seq("F", "O"))),
+
+    "q06_describe" -> ((s, d) =>
+      RelationalOps.describeAggs(t(s, d, "lineitem"),
+        Seq("l_discount", "l_extendedprice", "l_quantity"))),
+
+    "q07_replace_priority" -> ((s, d) =>
+      RelationalOps.naReplace(t(s, d, "orders"), "o_orderpriority",
+          Map("1-URGENT" -> "URGENT", "2-HIGH" -> "HIGH"))
+        .groupBy(col("o_orderpriority")).count()
+        .orderBy(col("o_orderpriority"))),
+
+    "q08_isin_nation" -> { (s, d) =>
+      val nk = t(s, d, "nation")
+        .filter(col("n_name").isin("NATION_1", "NATION_7", "NATION_23"))
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))
+      t(s, d, "customer").join(broadcast(nk), Seq("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          RelationalOps.decAvg(col("c_acctbal")).as("avg_acctbal"))
+        .orderBy(col("n_name"))
+    },
+
+    "q09_threshold_events" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("pred", RelationalOps.threshold(col("value"), 100.0))
+        .groupBy(col("event_type"), col("pred")).count()
+        .orderBy(col("event_type"), col("pred"))),
+
+    "q10_bitwise_vote" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("vote", RelationalOps.bitwiseVote(Seq(
+          col("value") > 100.0,
+          col("event_type") === "error",
+          col("user_id") % 2 === 0)))
+        .groupBy(col("vote")).count()
+        .orderBy(col("vote"))),
+
+    "q11_charge_per_row" -> ((s, d) =>
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax"))).as("charge"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q12_union_branches" -> { (s, d) =>
+      val o = t(s, d, "orders")
+      val branches = Seq("F", "O", "P").map { st =>
+        o.filter(col("o_orderstatus") === st)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            RelationalOps.decSum(col("o_totalprice")).as("total"))
+      }
+      RelationalOps.unionAccumulate(branches).orderBy(col("o_orderstatus"))
+    },
+
+    "q13_zscore_customers" -> ((s, d) =>
+      RelationalOps.zscore(
+          t(s, d, "customer").select(col("c_custkey"), col("c_acctbal")),
+          Seq("c_acctbal"))
+        .select(col("c_custkey"), col("c_acctbal"), col("c_acctbal_z"))
+        .orderBy(col("c_custkey"))),
+
+    "q14_ar_numeric" -> ((s, d) =>
+      RelationalOps.attributeRatioNumeric(t(s, d, "lineitem"), "l_returnflag",
+        Seq("l_quantity", "l_extendedprice"))),
+
+    "q15_ar_binary" -> { (s, d) =>
+      val withBin = t(s, d, "lineitem").select(col("l_returnflag"),
+        when(col("l_discount") > 0.05, 1.0).otherwise(0.0).as("high_discount"),
+        when(col("l_quantity") >= 25, 1.0).otherwise(0.0).as("bulk"))
+      RelationalOps.attributeRatioBinary(withBin, "l_returnflag",
+        Seq("high_discount", "bulk"))
+    },
+
+    "q16_topk_per_segment" -> { (s, d) =>
+      val oc = t(s, d, "orders").join(
+        t(s, d, "customer").select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        Seq("o_custkey"))
+      RelationalOps.topKPerGroup(
+          oc.select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice")),
+          Seq("c_mktsegment"), Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .orderBy(col("c_mktsegment"), col("rn"))
+    },
+
+    // ---- LLM-data-pipeline tier: text ----
+    "q17_text_stats" -> ((s, d) =>
+      TextOps.textStats(t(s, d, "documents")).orderBy(col("doc_id"))),
+
+    "q18_dedup_exact" -> ((s, d) =>
+      DedupOps.exactDedupSummary(t(s, d, "documents")).orderBy(col("keep_id"))),
+
+    "q19_lang_id" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    "q20_quality_score" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    "q21_jaccard_pairs" -> ((s, d) =>
+      DedupOps.jaccardPairs(t(s, d, "documents"), minJaccard = 0.02)
+        .orderBy(col("a"), col("b"))),
+
+    "q22_minhash_candidates" -> ((s, d) =>
+      DedupOps.minHashCandidates(t(s, d, "documents"))
+        .orderBy(col("a"), col("b"))),
+
+    "q23_simhash" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), DedupOps.simHash(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))),
+
+    // ---- LLM-data-pipeline tier: embeddings ----
+    "q24_ann_cosine_topk" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    "q25_neardup_cosine" -> { (s, d) =>
+      val emb = t(s, d, "embeddings").filter(col("vec_id") < 1500)
+      SimilarityOps.cosinePairsExact(emb, 0.4).orderBy(col("a"), col("b"))
+    },
+
+    "q26_lsh_ann_topk" -> ((s, d) =>
+      SimilarityOps.lshTopK(t(s, d, "embeddings"), k = 5)
+        .orderBy(col("query_id"), col("rank"))),
+
+    // ---- LLM-data-pipeline tier: events ----
+    "q27_events_tumbling" -> ((s, d) =>
+      EventOps.tumbling(t(s, d, "events"))
+        .orderBy(col("window_start"), col("event_type"))),
+
+    "q28_events_sliding" -> ((s, d) =>
+      EventOps.sliding(t(s, d, "events"))
+        .orderBy(col("window_start"), col("event_type"))),
+
+    "q29_sessionization" -> ((s, d) =>
+      EventOps.sessionSummary(t(s, d, "events")).orderBy(col("user_id"))))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys (q22, q23, q26) are
+    * hash-function-specific — the driver records a rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  sum(l_quantity) AS sum_qty,
+         |  ${sqlDecSum("l_extendedprice")} AS sum_base_price,
+         |  ${sqlDecSum("l_extendedprice * (1.0 - l_discount)", 6)} AS sum_disc_price,
+         |  ${sqlDecSum("l_quantity")} / count(*) AS avg_qty,
+         |  ${sqlDecAvg("l_extendedprice")} AS avg_price,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_join_revenue_by_priority" ->
+      s"""SELECT o_orderpriority,
+         |  ${sqlDecSum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,
+         |  count(*) AS n_items
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q03_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q04_distinct_counts" ->
+      """SELECT count(DISTINCT l_returnflag) AS n_returnflag,
+        |  count(DISTINCT l_linestatus) AS n_linestatus,
+        |  count(DISTINCT l_partkey) AS n_partkey,
+        |  count(DISTINCT l_suppkey) AS n_suppkey
+        |FROM lineitem""".stripMargin,
+
+    "q05_crosstab" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_linestatus = 'F') AS "F",
+        |  count(*) FILTER (WHERE l_linestatus = 'O') AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q06_describe" -> {
+      def block(c: String) =
+        s"""SELECT '$c' AS "column", count($c) AS "count",
+           |  ${sqlDecAvg(c)} AS mean, ${sqlDecStd(c)} AS stddev,
+           |  min($c) AS "min", max($c) AS "max" FROM lineitem""".stripMargin
+      s"""SELECT * FROM (${block("l_discount")} UNION ALL ${block("l_extendedprice")}
+         |UNION ALL ${block("l_quantity")}) ORDER BY "column"""".stripMargin
+    },
+
+    "q07_replace_priority" ->
+      """SELECT CASE o_orderpriority WHEN '1-URGENT' THEN 'URGENT'
+        |  WHEN '2-HIGH' THEN 'HIGH' ELSE o_orderpriority END AS o_orderpriority,
+        |  count(*) AS "count"
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q08_isin_nation" ->
+      s"""SELECT n_name, count(*) AS n_customers,
+         |  ${sqlDecAvg("c_acctbal")} AS avg_acctbal
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |WHERE n_name IN ('NATION_1','NATION_7','NATION_23')
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q09_threshold_events" ->
+      """SELECT event_type,
+        |  CAST(CASE WHEN value >= 100.0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS pred,
+        |  count(*) AS "count"
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q10_bitwise_vote" ->
+      """SELECT (CASE WHEN value > 100.0 THEN 1 ELSE 0 END
+        |  | CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+        |  | CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS vote,
+        |  count(*) AS "count"
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q11_charge_per_row" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q12_union_branches" -> {
+      def branch(st: String) =
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  ${sqlDecSum("o_totalprice")} AS total
+           |FROM orders WHERE o_orderstatus = '$st' GROUP BY o_orderstatus""".stripMargin
+      s"""SELECT * FROM (${branch("F")} UNION ALL ${branch("O")} UNION ALL ${branch("P")})
+         |ORDER BY o_orderstatus""".stripMargin
+    },
+
+    "q13_zscore_customers" ->
+      s"""SELECT c_custkey, c_acctbal,
+         |  (c_acctbal - m) / sd AS c_acctbal_z
+         |FROM customer CROSS JOIN
+         |  (SELECT ${sqlDecAvg("c_acctbal")} AS m, ${sqlDecStd("c_acctbal")} AS sd
+         |   FROM customer)
+         |ORDER BY c_custkey""".stripMargin,
+
+    "q14_ar_numeric" ->
+      s"""WITH g AS (
+         |  SELECT l_returnflag, ${sqlDecAvg("l_quantity")} AS q,
+         |    ${sqlDecAvg("l_extendedprice")} AS p
+         |  FROM lineitem GROUP BY l_returnflag),
+         |gall AS (
+         |  SELECT ${sqlDecAvg("l_quantity")} AS gq,
+         |    ${sqlDecAvg("l_extendedprice")} AS gp
+         |  FROM lineitem)
+         |SELECT max(g.q / gall.gq) AS l_quantity,
+         |  max(g.p / gall.gp) AS l_extendedprice
+         |FROM g, gall""".stripMargin,
+
+    "q15_ar_binary" ->
+      """WITH b AS (SELECT l_returnflag,
+        |  CAST(CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS hd,
+        |  CAST(CASE WHEN l_quantity >= 25 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS bk
+        |  FROM lineitem),
+        |g AS (SELECT l_returnflag,
+        |  CASE WHEN count(hd) - sum(hd) = 0 THEN 1000.0
+        |    ELSE sum(hd) / (count(hd) - sum(hd)) END AS high_discount,
+        |  CASE WHEN count(bk) - sum(bk) = 0 THEN 1000.0
+        |    ELSE sum(bk) / (count(bk) - sum(bk)) END AS bulk
+        |  FROM b GROUP BY l_returnflag)
+        |SELECT max(high_discount) AS high_discount, max(bulk) AS bulk FROM g""".stripMargin,
+
+    "q16_topk_per_segment" ->
+      """SELECT * FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "q17_text_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS INTEGER) AS n_chars_calc,
+         |  CAST(len($toksSql) AS INTEGER) AS n_tokens,
+         |  CAST(len(list_distinct($toksSql)) AS INTEGER) AS n_distinct_tokens,
+         |  CAST(len(list_filter($toksSql, t -> t IN $stopSql)) AS DOUBLE)
+         |    / len($toksSql) AS stopword_ratio,
+         |  CAST(list_sum(list_transform($toksSql, t -> length(t))) AS DOUBLE)
+         |    / len($toksSql) AS mean_token_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q18_dedup_exact" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,
+        |  count(*) AS copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "q19_lang_id" -> {
+      val scores = TextOps.langVocab.map { case (lang, vocab) =>
+        val vs = vocab.map(w => s"'$w'").mkString("(", ",", ")")
+        s"CAST(len(list_filter($toksSql, t -> t IN $vs)) AS INTEGER) AS s_$lang"
+      }.mkString(",\n  ")
+      val langs = TextOps.langVocab.map(_._1)
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val cases = langs.map(l => s"WHEN s_$l = $best AND s_$l > 0 THEN '$l'")
+        .mkString("\n  ")
+      s"""SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+         |FROM (SELECT doc_id, $scores FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q20_quality_score" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_distinct($toksSql)) AS DOUBLE) / len($toksSql) * 0.4
+         |  + least(CAST(len(list_filter($toksSql, t -> t IN $stopSql)) AS DOUBLE)
+         |      / len($toksSql) * 5.0, 1.0) * 0.3
+         |  + least(CAST(len($toksSql) AS DOUBLE) / 100.0, 1.0) * 0.3 AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q21_jaccard_pairs" -> {
+      val shSql = raw"list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))"
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id, list_distinct($shSql) AS sh
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM documents)),
+         |sized AS (SELECT id, len(sh) AS sz, sh FROM toks WHERE len(sh) > 0),
+         |inv AS (SELECT id, sz, unnest(sh) AS tok FROM sized),
+         |dfc AS (SELECT tok, count(*) AS tok_df FROM inv GROUP BY tok),
+         |capped AS (SELECT inv.id, inv.sz, inv.tok FROM inv
+         |  JOIN dfc USING (tok) WHERE tok_df <= 100000)
+         |SELECT l.id AS a, r.id AS b, count(*) AS inter,
+         |  CAST(count(*) AS DOUBLE) / (l.sz + r.sz - count(*)) AS jaccard
+         |FROM capped l JOIN capped r ON l.tok = r.tok AND l.id < r.id
+         |GROUP BY l.id, r.id, l.sz, r.sz
+         |HAVING CAST(count(*) AS DOUBLE) / (l.sz + r.sz - count(*)) >= 0.02
+         |ORDER BY a, b""".stripMargin
+    },
+
+    "q24_ann_cosine_topk" ->
+      """WITH dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dp,
+        |    sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+        |    sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id),
+        |ranked AS (SELECT query_id, neighbor_id, dp / (na * nb) AS cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dp / (na * nb) DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM dots)
+        |SELECT query_id, neighbor_id, cos, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q25_neardup_cosine" ->
+      """SELECT * FROM (
+        |  SELECT a.vec_id AS a, b.vec_id AS b,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE a.vec_id < 1500 AND b.vec_id < 1500)
+        |WHERE cos >= 0.4 ORDER BY a, b""".stripMargin,
+
+    "q27_events_tumbling" ->
+      s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+         |  event_type, count(*) AS n, ${sqlDecSum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q28_events_sliding" ->
+      s"""SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+         |    - o * INTERVAL '30 minutes' AS window_start,
+         |  event_type, count(*) AS n, ${sqlDecSum("value")} AS sum_value
+         |FROM events, unnest([0, 1]) AS t(o)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q29_sessionization" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) > 600000000
+        |  THEN 1 ELSE 0 END AS is_new FROM e),
+        |s AS (SELECT user_id, sum(is_new) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx FROM f),
+        |g AS (SELECT user_id, session_idx, count(*) AS n_events FROM s GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  CAST(sum(n_events) AS DOUBLE) / count(*) AS avg_session_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

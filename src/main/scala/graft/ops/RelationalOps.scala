@@ -1,0 +1,204 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The reference's relational operator inventory (SURVEY.md §2.1-2.8),
+  * re-expressed as reusable Spark-native operators over arbitrary DataFrames.
+  *
+  * Scale notes baked into every operator:
+  *   - all aggregations are plain `groupBy`/`agg`, so Spark plans
+  *     partial (map-side) + final hash aggregation automatically;
+  *   - no UDFs anywhere — every expression is a Catalyst built-in and stays
+  *     inside whole-stage codegen;
+  *   - joins are declared logically; Catalyst + AQE pick broadcast vs
+  *     sort-merge. Small dimension sides should be wrapped in `broadcast()`
+  *     by the caller when known small.
+  *
+  * Cross-engine determinism: double summation is order-dependent, and Spark's
+  * partial-aggregation order differs from any single-threaded oracle. Money
+  * columns in the testdata carry exactly 2 decimals, so [[decSum]] casts to
+  * `DECIMAL` before summing — decimal addition is exact and associative, so
+  * the result is bit-identical regardless of partitioning (this matters at
+  * 100 TB just as much as in tests: it makes aggregates reproducible across
+  * reruns and cluster sizes).
+  */
+object RelationalOps {
+
+  /** Order-independent exact sum of a fixed-point-valued double column.
+    * Returns double (cast back after the exact decimal sum).
+    */
+  def decSum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(27, scale))).cast("double")
+
+  /** Order-independent mean: exact decimal sum / count, divided as doubles. */
+  def decAvg(c: Column, scale: Int = 2): Column =
+    decSum(c, scale) / count(c)
+
+  /** Order-independent sample stddev via the sum-of-squares identity.
+    * sqrt((Σx² − (Σx)²/n) / (n−1)) with both sums exact decimals.
+    */
+  def decStddev(c: Column, scale: Int = 2): Column = {
+    val n  = count(c).cast("double")
+    val s1 = decSum(c, scale)
+    val s2 = sum((c.cast(DecimalType(18, scale)) * c.cast(DecimalType(18, scale)))
+      .cast(DecimalType(38, 2 * scale))).cast("double")
+    sqrt((s2 - s1 * s1 / n) / (n - lit(1.0)))
+  }
+
+  /** Pricing-summary-style flagship aggregation (reference's groupBy-count /
+    * multi-agg shape, `README.md:296-297,1152-1158`): filter → groupBy →
+    * multi-aggregate → sort. One shuffle on the grouping keys; the date
+    * filter reaches the parquet scan as a pushed predicate.
+    */
+  def pricingSummary(lineitem: DataFrame, cutoffDate: String): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit(cutoffDate).cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("sum_disc_price"),
+        (decSum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        decAvg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Inner equi-join (the reference's only join shape — `README.md:1711-1713`,
+    * 11 call sites). USING-style single key column. At scale: sort-merge with
+    * AQE; callers broadcast known-small right sides.
+    */
+  def scoreJoin(left: DataFrame, right: DataFrame, key: String): DataFrame =
+    left.join(right, Seq(key), "inner")
+
+  /** Contingency table, reference `df.crosstab(a, b)` (`README.md:347-348`).
+    * Expressed as groupBy-pivot-count with zero fill; `values` pins the pivot
+    * column set so the plan needs no extra distinct-collect job (and so the
+    * output schema is stable — required for the oracle compare and good
+    * practice at scale).
+    */
+  def crosstab(df: DataFrame, a: String, b: String, values: Seq[String]): DataFrame =
+    df.groupBy(col(a)).pivot(b, values).count().na.fill(0L).orderBy(col(a))
+
+  /** describe()-equivalent numeric profile (reference `README.md:576,684`),
+    * long format: one row per column. Single pass over the data (all
+    * aggregates in one job), order-independent stats via decimal sums.
+    */
+  def describeAggs(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__count"),
+        decAvg(col(c)).as(s"${c}__mean"),
+        decStddev(col(c)).as(s"${c}__std"),
+        min(col(c)).as(s"${c}__min"),
+        max(col(c)).as(s"${c}__max"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // one row per column, built from the single collected stats row
+    val row = wide.collect()(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    cols.map { c =>
+      (c,
+        row.getAs[Long](s"${c}__count"),
+        row.getAs[Double](s"${c}__mean"),
+        row.getAs[Double](s"${c}__std"),
+        row.getAs[Double](s"${c}__min"),
+        row.getAs[Double](s"${c}__max"))
+    }.toDF("column", "count", "mean", "stddev", "min", "max")
+      .orderBy("column")
+  }
+
+  /** Value replacement, reference `df.na.replace` (`README.md:676-677`). */
+  def naReplace(df: DataFrame, colName: String, repl: Map[String, String]): DataFrame =
+    df.na.replace(colName, repl)
+
+  /** Threshold predicate → 0/1 double (reference `getPrediction`,
+    * `README.md:1450-1451`). Pure codegen expression.
+    */
+  def threshold(c: Column, e: Double): Column =
+    when(c >= lit(e), 1.0).otherwise(0.0)
+
+  /** OR-voting over 0/1 int columns (reference `bitwiseOR` voting,
+    * `README.md:3141-3144`).
+    */
+  def bitwiseVote(cols: Seq[Column]): Column =
+    cols.map(_.cast("int")).reduce(_ bitwiseOR _)
+
+  /** Weighted linear combination of columns (reference `README.md:3266-3270`). */
+  def linearCombo(weighted: Seq[(Column, Double)]): Column = {
+    val total = weighted.map(_._2).sum
+    weighted.map { case (c, w) => c * lit(w) }.reduce(_ + _) / lit(total)
+  }
+
+  /** Union-accumulator (reference `getProbabilities` seed-and-union loop,
+    * `README.md:1667-1687`): union by name over the branches, no empty seed
+    * needed. unionByName is resilient to column order drift.
+    */
+  def unionAccumulate(branches: Seq[DataFrame]): DataFrame =
+    branches.reduce(_ unionByName _)
+
+  /** Z-score standardization (reference's custom standardizer,
+    * `README.md:1323-1340`). Global stats are computed in one aggregate job
+    * and joined back via a broadcast cross join (1 stats row), so the data
+    * pass stays a narrow map — no window-over-everything single-partition
+    * funnel, safe at any scale.
+    */
+  def zscore(df: DataFrame, cols: Seq[String], outSuffix: String = "_z"): DataFrame = {
+    val statAggs = cols.flatMap { c =>
+      Seq(decAvg(col(c)).as(s"${c}__mean"),
+        decStddev(col(c)).as(s"${c}__std"))
+    }
+    val stats = df.agg(statAggs.head, statAggs.tail: _*)
+    val withStats = df.crossJoin(broadcast(stats))
+    val projected = cols.foldLeft(withStats) { (d, c) =>
+      d.withColumn(s"$c$outSuffix",
+        (col(c) - col(s"${c}__mean")) / col(s"${c}__std"))
+    }
+    projected.drop(cols.flatMap(c => Seq(s"${c}__mean", s"${c}__std")): _*)
+  }
+
+  /** Attribute Ratio for numeric features (reference `README.md:1143-1158`):
+    * AR(c) = max over label classes of avg_class(c) / avg_global(c).
+    * Two aggregate jobs (grouped + global), one tiny broadcast join —
+    * identical shape at 100 TB.
+    */
+  def attributeRatioNumeric(df: DataFrame, labelCol: String, cols: Seq[String]): DataFrame = {
+    val grouped = df.groupBy(col(labelCol))
+      .agg(cols.map(c => decAvg(col(c)).as(c)).head,
+        cols.tail.map(c => decAvg(col(c)).as(c)): _*)
+    val globalAggs = cols.map(c => decAvg(col(c)).as(s"${c}__g"))
+    val global = df.agg(globalAggs.head, globalAggs.tail: _*)
+    val ratios = grouped.crossJoin(broadcast(global))
+    val maxAggs = cols.map(c => max(col(c) / col(s"${c}__g")).as(c))
+    ratios.agg(maxAggs.head, maxAggs.tail: _*)
+  }
+
+  /** Attribute Ratio for binary features (reference `README.md:1161-1167`):
+    * per class freq(1)/freq(0) = sum/(count-sum), sentinel 1000.0 on zero
+    * denominator, then max over classes.
+    */
+  def attributeRatioBinary(df: DataFrame, labelCol: String, cols: Seq[String],
+                           sentinel: Double = 1000.0): DataFrame = {
+    val ratioAggs = cols.map { c =>
+      val s = sum(col(c))
+      val n = count(col(c))
+      when(n - s === 0, lit(sentinel)).otherwise(s / (n - s)).as(c)
+    }
+    val grouped = df.groupBy(col(labelCol)).agg(ratioAggs.head, ratioAggs.tail: _*)
+    val maxAggs = cols.map(c => max(col(c)).as(c))
+    grouped.agg(maxAggs.head, maxAggs.tail: _*)
+  }
+
+  /** Top-k per group via ranking window (partitioned — never a global
+    * single-partition sort). Deterministic given a total tiebreak ordering.
+    */
+  def topKPerGroup(df: DataFrame, partCols: Seq[String], orderCols: Seq[Column],
+                   k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+}

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, stats, stopword/quality scoring, heuristic language ID,
+  * and content fingerprinting.
+  *
+  * Everything here is a pure Catalyst expression over the `documents` table
+  * schema (`doc_id, text, lang, source, n_chars`) — per-row, embarrassingly
+  * parallel, no shuffle, no UDFs. At 100 TB these run as a single map stage
+  * fused into whatever scan feeds them.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (runs of whitespace, leading/trailing trimmed). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** A small English stopword list (public, standard). */
+  val enStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on",
+      "for", "with", "as", "at", "by", "be", "this", "that", "are")
+
+  /** Count of tokens that appear in `vocab`. Integer arithmetic — exact. */
+  def vocabHits(toks: Column, vocab: Seq[String]): Column =
+    size(filter(toks, t => array_contains(typedlit(vocab), t)))
+
+  /** Sum of token lengths (for mean-token-length style stats). */
+  def totalTokenLen(toks: Column): Column =
+    aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+
+  /** Per-document stats: char count, token count, distinct tokens,
+    * stopword ratio, mean token length. One narrow projection.
+    */
+  def textStats(documents: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    documents.select(
+      col("doc_id"),
+      length(col(textCol)).as("n_chars_calc"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      (vocabHits(toks, enStopwords).cast("double") / size(toks)).as("stopword_ratio"),
+      (totalTokenLen(toks).cast("double") / size(toks)).as("mean_token_len"))
+  }
+
+  /** Heuristic quality score in [0,1]: rewards lexical diversity, a natural
+    * stopword rate, and reasonable length. Mirrors the length/punct/stopword
+    * ratio scoring used in public web-scale corpus filters (e.g. C4/Gopher
+    * rules), simplified to a linear blend.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+    val stopRatio = vocabHits(toks, enStopwords).cast("double") / nTok
+    val lengthScore = least(nTok / lit(100.0), lit(1.0))
+    distinctRatio * lit(0.4) + least(stopRatio * lit(5.0), lit(1.0)) * lit(0.3) +
+      lengthScore * lit(0.3)
+  }
+
+  /** Tiny per-language function-word vocabularies for heuristic language ID. */
+  val langVocab: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une", "du", "que"),
+    "zh" -> Seq("de", "shi", "le", "zai", "you", "wo", "ta", "zhe", "men", "bu"))
+
+  /** N-gram/function-word language-ID heuristic: argmax of vocabulary hits,
+    * first-listed language wins ties, "und" (undetermined) when nothing hits.
+    * Works on whitespace-tokenized text; a production version would add
+    * character n-gram profiles — the plumbing (pure expression, no shuffle)
+    * is identical.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = langVocab.map { case (lang, vocab) => lang -> vocabHits(toks, vocab) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), els) =>
+      when(s === best && s > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Full-content fingerprint (md5 hex) — the exact-dedup key. */
+  def fingerprintMd5(text: Column): Column = md5(text)
+
+  /** 64-bit content fingerprint via xxhash64 (cheaper than md5; Spark-only
+    * semantics, used by dedup/simhash internals).
+    */
+  def fingerprint64(text: Column): Column = xxhash64(text)
+
+  /** Word k-shingles: sliding windows of k consecutive tokens joined by a
+    * space — the standard unit for near-dup fingerprinting (MinHash/SimHash).
+    * Pure array expression: transform over a 0..n-k index sequence.
+    */
+  def shingles(toks: Column, k: Int): Column = {
+    val n = size(toks)
+    when(n < k, array()).otherwise(
+      transform(sequence(lit(0), n - lit(k)),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** Rolling-hash document fingerprint: min/max/count over shingle hashes —
+    * a compact content signature robust to small edits at the ends.
+    */
+  def rollingFingerprint(text: Column, k: Int = 5): DataFrame => DataFrame = df => {
+    val sh = shingles(tokens(text), k)
+    val hashes = transform(sh, s => xxhash64(s))
+    df.withColumn("fp_min", array_min(hashes))
+      .withColumn("fp_max", array_max(hashes))
+      .withColumn("fp_n", size(hashes))
+  }
+}
