@@ -1,0 +1,106 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.classification.RandomForestClassifier
+import org.apache.spark.ml.feature.{StringIndexer, StringIndexerModel, VectorSlicer}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cluster-then-classify meta-estimator (reference `README.md:1548-1687`,
+  * SURVEY §2.9 M14): KMeans partitions the space; clusters that are big
+  * enough and contain both classes each get their own RandomForest; the
+  * rest are scored by their majority class.
+  *
+  * Spark-native re-expression of the notebook's loop:
+  *   - cluster composition = one groupBy (not a crosstab collect);
+  *   - per-cluster models are fitted from a driver loop (unavoidable —
+  *     model fitting is iterative) over FILTERED views of the cached
+  *     training frame;
+  *   - scoring is a union of per-cluster transforms plus a when-expression
+  *     for hardcoded clusters — evaluated as ONE DataFrame, one pass.
+  *
+  * The probability remap (reference `udf_remap_prob`, `README.md:1679-1680`)
+  * is `vector_to_array(probability)[i]` with i chosen from the per-cluster
+  * StringIndexer's label order — a native expression, not a UDF.
+  */
+class ClusteredClassifier(
+    val k: Int = 8,
+    val featuresCol: String = "features",
+    val labelCol: String = "labels2",
+    val minClusterSize: Long = 25L,
+    val numTrees: Int = 500,
+    val maxDepth: Int = 20,
+    val seed: Long = 4667979835606274383L) {
+
+  def fit(train: DataFrame): ClusteredClassifierModel = {
+    val kmeans = new KMeans().setK(k).setInitSteps(25).setMaxIter(100)
+      .setSeed(seed).setFeaturesCol(featuresCol).setPredictionCol("cluster")
+    val kmModel = kmeans.fit(train)
+    val clustered = kmModel.transform(train).cache()
+
+    // cluster composition: one aggregation, 2k tiny rows to the driver
+    val comp = clustered.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol) === "attack", 1L).otherwise(0L)).as("attack"),
+        sum(when(col(labelCol) =!= "attack", 1L).otherwise(0L)).as("normal"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+    val (trainable, hardcoded) = comp.partition { case (_, (n, a, nm)) =>
+      n > minClusterSize && a > 0 && nm > 0
+    }
+
+    val models = trainable.keys.toSeq.sorted.map { c =>
+      val sub = clustered.filter(col("cluster") === c)
+      val pipeline = new Pipeline().setStages(Array(
+        new StringIndexer().setInputCol(labelCol).setOutputCol("label_idx")
+          .setStringOrderType("frequencyDesc"),
+        new RandomForestClassifier().setLabelCol("label_idx")
+          .setFeaturesCol(featuresCol).setNumTrees(numTrees).setMaxDepth(maxDepth)
+          .setFeatureSubsetStrategy("sqrt").setSeed(seed)))
+      c -> pipeline.fit(sub)
+    }.toMap
+
+    // majority-class prob for clusters too small/pure to train
+    // (reference cluster_mapping, README.md:1603-1615)
+    val mapping = hardcoded.map { case (c, (_, a, nm)) =>
+      c -> (if (a > nm) 1.0 else 0.0)
+    }
+
+    clustered.unpersist()
+    new ClusteredClassifierModel(kmModel, models, mapping, labelCol)
+  }
+}
+
+class ClusteredClassifierModel(
+    val kmModel: org.apache.spark.ml.clustering.KMeansModel,
+    val clusterModels: Map[Int, PipelineModel],
+    val hardcodedProb: Map[Int, Double],
+    val labelCol: String) extends Serializable {
+
+  /** Score: returns the input plus (cluster, prob) where prob = P(attack).
+    * One union of per-cluster branches — Spark evaluates it as a single
+    * plan; each branch's filter pushes into the (cached) scan.
+    */
+  def transform(df: DataFrame): DataFrame = {
+    val clustered = kmModel.transform(df)
+    val branches = clusterModels.toSeq.sortBy(_._1).map { case (c, pm) =>
+      // index of "attack" in this cluster's label order (reference maj_label
+      // check — frequencyDesc can flip the class index per cluster)
+      val labels = pm.stages.head.asInstanceOf[StringIndexerModel].labelsArray.head
+      val attackIdx = labels.indexOf("attack") max 0
+      pm.transform(clustered.filter(col("cluster") === c))
+        .withColumn("prob", vector_to_array(col("probability"))(attackIdx))
+        .drop("label_idx", "rawPrediction", "probability", "prediction")
+    }
+    val hardcodedRows = {
+      val m = typedlit(hardcodedProb)
+      clustered.filter(!col("cluster").isin(clusterModels.keys.toSeq: _*))
+        .withColumn("prob", coalesce(element_at(m, col("cluster")), lit(0.0)))
+    }
+    (branches :+ hardcodedRows).reduce(_ unionByName _)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ml
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification.{LogisticRegression, RandomForestClassifier}
+import org.apache.spark.ml.feature.{VectorAssembler, VectorIndexer}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.RelationalOps
+
+/** Ensemble/stacking operators (reference `README.md:3113-3686`):
+  * probability extraction, threshold predictions, linear/OR voting,
+  * weighted LR over model probabilities, RF over predictions, stack-RF.
+  * All combination logic is native Column arithmetic (F3/F5/U3).
+  */
+object Ensembles {
+
+  /** P(positive) from a model's probability vector — replaces the
+    * reference's `.rdd.map(row → prob[1])` round trips (R1, 8 sites).
+    */
+  def probOf(probabilityCol: Column, positiveIdx: Int = 1): Column =
+    vector_to_array(probabilityCol)(positiveIdx)
+
+  /** Threshold prediction at e (reference `getPrediction`, U3). */
+  def predAt(probCol: Column, e: Double): Column = RelationalOps.threshold(probCol, e)
+
+  /** Mean-of-probabilities combo (reference `README.md:3113-3114`). */
+  def meanCombo(cols: Seq[Column]): Column =
+    cols.reduce(_ + _) / lit(cols.size.toDouble)
+
+  /** Weighted linear vote, e.g. (3·km + gm + dos + probe + r2l)/7
+    * (reference `README.md:3266-3270`).
+    */
+  def weightedVote(weighted: Seq[(Column, Double)]): Column =
+    RelationalOps.linearCombo(weighted)
+
+  /** OR-vote of 0/1 predictions (reference `README.md:3141-3144`). */
+  def orVote(preds: Seq[Column]): Column = RelationalOps.bitwiseVote(preds)
+
+  /** Weighted LogisticRegression over stacked probability columns
+    * (reference `README.md:3374-3386`): standardization off, class weights
+    * from a label→weight map applied as a native expression.
+    */
+  def weightedLrPipeline(probCols: Seq[String], labelIdxCol: String,
+                         maxIter: Int = 100): Pipeline =
+    new Pipeline().setStages(Array(
+      new VectorAssembler().setInputCols(probCols.toArray).setOutputCol("ens_features"),
+      new LogisticRegression().setMaxIter(maxIter).setStandardization(false)
+        .setWeightCol("weights").setLabelCol(labelIdxCol)
+        .setFeaturesCol("ens_features")))
+
+  /** RF over prediction columns (reference `README.md:3432-3446`):
+    * assembler + VectorIndexer(maxCategories=2) + RF(250 trees, depth 5).
+    */
+  def rfEnsemblePipeline(predCols: Seq[String], labelIdxCol: String,
+                         numTrees: Int = 250, maxDepth: Int = 5,
+                         seed: Long = 4667979835606274383L): Pipeline =
+    new Pipeline().setStages(Array(
+      new VectorAssembler().setInputCols(predCols.toArray).setOutputCol("ens_raw"),
+      new VectorIndexer().setInputCol("ens_raw").setOutputCol("ens_features")
+        .setMaxCategories(2),
+      new RandomForestClassifier().setLabelCol(labelIdxCol)
+        .setFeaturesCol("ens_features").setNumTrees(numTrees)
+        .setMaxDepth(maxDepth).setFeatureSubsetStrategy("auto").setSeed(seed)))
+
+  /** Stacking feature join (reference `README.md:3568-3580`): base features
+    * ⋈ per-model prediction columns on id.
+    */
+  def stackFeatures(base: DataFrame, preds: DataFrame, idCol: String = "id"): DataFrame =
+    RelationalOps.scoreJoin(base, preds, idCol)
+}
