@@ -85,6 +85,8 @@ object RelationalOps {
   /** describe()-equivalent numeric profile (reference `README.md:576,684`),
     * long format: one row per column. Single pass over the data (all
     * aggregates in one job), order-independent stats via decimal sums.
+    * Fully lazy: the wide 1-row aggregate is unpivoted with `stack`
+    * (a generator — no collect, no job at plan-build time).
     */
   def describeAggs(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
@@ -92,22 +94,16 @@ object RelationalOps {
         count(col(c)).as(s"${c}__count"),
         decAvg(col(c)).as(s"${c}__mean"),
         decStddev(col(c)).as(s"${c}__std"),
-        min(col(c)).as(s"${c}__min"),
-        max(col(c)).as(s"${c}__max"))
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    // one row per column, built from the single collected stats row
-    val row = wide.collect()(0)
-    val spark = df.sparkSession
-    import spark.implicits._
-    cols.map { c =>
-      (c,
-        row.getAs[Long](s"${c}__count"),
-        row.getAs[Double](s"${c}__mean"),
-        row.getAs[Double](s"${c}__std"),
-        row.getAs[Double](s"${c}__min"),
-        row.getAs[Double](s"${c}__max"))
-    }.toDF("column", "count", "mean", "stddev", "min", "max")
+    val stackArgs = cols.flatMap { c =>
+      Seq(lit(c), col(s"${c}__count"), col(s"${c}__mean"),
+        col(s"${c}__std"), col(s"${c}__min"), col(s"${c}__max"))
+    }
+    wide.select(stack((lit(cols.size) +: stackArgs): _*)
+        .as(Seq("column", "count", "mean", "stddev", "min", "max")))
       .orderBy("column")
   }
 

@@ -7,18 +7,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * One parquet file per table; Spark's vectorized parquet reader + Catalyst
   * column pruning / filter pushdown apply automatically, so every query
   * should show `PushedFilters` / pruned `ReadSchema` in `.explain`.
+  *
+  * Session precondition: `events.ts` is parquet TIMESTAMP(NANOS), which
+  * Spark's reader rejects unless `spark.sql.legacy.parquet.nanosAsLong=true`
+  * is set. Our entry points (Verify/Bench/tests) set it at session build;
+  * [[apply]] only falls back to setting it when a caller-provided session
+  * left it unset (checked once per session, never overwriting a value —
+  * no mutation race under concurrent queries).
   */
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  private val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-      // outright; read it as raw long nanos and truncate to microseconds
-      // (integer division — same semantics as a ns→µs timestamp cast).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      if (!spark.conf.getOption(nanosKey).contains("true"))
+        spark.conf.set(nanosKey, "true")
+      // ts arrives as raw long nanos; truncate to microseconds (integer
+      // division — same semantics as a ns→µs timestamp cast).
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     } else {
