@@ -39,6 +39,50 @@ object SparkEntry {
   private val stopSql = TextOps.enStopwords.map(w => s"'$w'").mkString("(", ",", ")")
   private val toksSql = raw"regexp_split_to_array(trim(text), '\s+')"
 
+  // ---- dedup/similarity oracle fragments (mirror graft.ops.DetHash) ----
+
+  /** CTE producing (id, sz, hs): distinct shingle-hash sets per doc —
+    * mirrors DedupOps.shingleHashes bit-for-bit: each token md5-hashed once
+    * (DetHash.md5Hash60 mod P), 3-shingle identity via the same Horner
+    * combination in integer space.
+    */
+  private val hashedShinglesCte = {
+    val tokHash = s"${ops.DetHash.sqlMd5Hash60("t")} % ${ops.DetHash.P}"
+    s"""toks AS (
+       |  SELECT doc_id AS id,
+       |    list_distinct(${ops.DetHash.sqlShingleHashes("th", 3)}) AS hs
+       |  FROM (SELECT doc_id, list_transform($toksSql, t -> $tokHash) AS th FROM documents)),
+       |sized AS (SELECT id, len(hs) AS sz, hs FROM toks WHERE len(hs) > 0)""".stripMargin
+  }
+
+  /** CTE `fp AS (id, simhash)` — mirrors DedupOps.simHash60: bit i counts
+    * parities of the i-th SimHash permutation over the shingle-hash set,
+    * majority sets the bit.
+    */
+  private val simHashCte = {
+    val cnts = ops.DetHash.simHashPerms.zipWithIndex
+      .map { case ((a, b), i) =>
+        s"len(list_filter(hs, h -> ((${ops.DetHash.sqlPerm("h", a, b)}) & 1) = 1)) AS c$i"
+      }
+      .mkString(",\n    ")
+    val fpBits = (0 until 60)
+      .map(i => s"CASE WHEN 2 * c$i > n THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""$hashedShinglesCte,
+       |bits AS (SELECT id, sz AS n,
+       |    $cnts
+       |  FROM sized),
+       |fp AS (SELECT id, CAST($fpBits AS BIGINT) AS simhash FROM bits)""".stripMargin
+  }
+
+  /** Exact-cosine SQL over two embedding aliases (same expression pattern as
+    * the Spark side's unrolled left-to-right double accumulation).
+    */
+  private def sqlCos(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a.embedding, $b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform($a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |    * sqrt(list_sum(list_transform($b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core (SURVEY §2.1-2.7) ----
@@ -176,13 +220,13 @@ object SparkEntry {
       DedupOps.jaccardPairs(t(s, d, "documents"), minJaccard = 0.02)
         .orderBy(col("a"), col("b"))),
 
-    "q22_minhash_candidates" -> ((s, d) =>
-      DedupOps.minHashCandidates(t(s, d, "documents"))
+    "q22_minhash_neardup" -> ((s, d) =>
+      DedupOps.minHashVerifiedPairs(t(s, d, "documents"), minJaccard = 0.8)
         .orderBy(col("a"), col("b"))),
 
     "q23_simhash" -> ((s, d) =>
-      t(s, d, "documents")
-        .select(col("doc_id"), DedupOps.simHash(col("text")).as("simhash"))
+      DedupOps.simHash60(DedupOps.shingleHashRows(t(s, d, "documents")))
+        .select(col("id").as("doc_id"), col("simhash"))
         .orderBy(col("doc_id"))),
 
     // ---- LLM-data-pipeline tier: embeddings ----
@@ -192,14 +236,28 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     },
 
-    "q25_neardup_cosine" -> { (s, d) =>
-      val emb = t(s, d, "embeddings").filter(col("vec_id") < 1500)
-      SimilarityOps.cosinePairsExact(emb, 0.4).orderBy(col("a"), col("b"))
-    },
+    "q25_neardup_cosine" -> ((s, d) =>
+      SimilarityOps.cosinePairsExact(t(s, d, "embeddings"), 0.4)
+        .orderBy(col("a"), col("b"))),
 
     "q26_lsh_ann_topk" -> ((s, d) =>
       SimilarityOps.lshTopK(t(s, d, "embeddings"), k = 5)
         .orderBy(col("query_id"), col("rank"))),
+
+    "q30_simhash_neardup" -> ((s, d) =>
+      DedupOps.simHashNearDupPairs(
+          DedupOps.simHash60(DedupOps.shingleHashRows(t(s, d, "documents"))))
+        .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+        .orderBy(col("a"), col("b"))),
+
+    "q31_multimodal_meta" -> { (s, d) =>
+      val payload = MultimodalOps.demoPayload(col("doc_id"), col("text"))
+      MultimodalOps.payloadMeta(
+          t(s, d, "documents").select(col("doc_id"), payload.as("payload")),
+          "payload")
+        .select(col("doc_id"), col("n_bytes"), col("format"), col("n_chunks"))
+        .orderBy(col("doc_id"))
+    },
 
     // ---- LLM-data-pipeline tier: events ----
     "q27_events_tumbling" -> ((s, d) =>
@@ -213,9 +271,11 @@ object SparkEntry {
     "q29_sessionization" -> ((s, d) =>
       EventOps.sessionSummary(t(s, d, "events")).orderBy(col("user_id"))))
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted keys (q22, q23, q26) are
-    * hash-function-specific — the driver records a rows-only check.
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables. Every query has an oracle — the hash-based ones
+    * (q22/q23/q26/q30) derive all randomness from md5 (see
+    * [[graft.ops.DetHash]]), so the oracle recomputes identical signatures,
+    * buckets and fingerprints in SQL.
     */
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -384,13 +444,9 @@ object SparkEntry {
          |  + least(CAST(len($toksSql) AS DOUBLE) / 100.0, 1.0) * 0.3 AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "q21_jaccard_pairs" -> {
-      val shSql = raw"list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))"
-      s"""WITH toks AS (
-         |  SELECT doc_id AS id, list_distinct($shSql) AS sh
-         |  FROM (SELECT doc_id, $toksSql AS tk FROM documents)),
-         |sized AS (SELECT id, len(sh) AS sz, sh FROM toks WHERE len(sh) > 0),
-         |inv AS (SELECT id, sz, unnest(sh) AS tok FROM sized),
+    "q21_jaccard_pairs" ->
+      s"""WITH $hashedShinglesCte,
+         |inv AS (SELECT id, sz, unnest(hs) AS tok FROM sized),
          |dfc AS (SELECT tok, count(*) AS tok_df FROM inv GROUP BY tok),
          |capped AS (SELECT inv.id, inv.sz, inv.tok FROM inv
          |  JOIN dfc USING (tok) WHERE tok_df <= 100000)
@@ -399,8 +455,72 @@ object SparkEntry {
          |FROM capped l JOIN capped r ON l.tok = r.tok AND l.id < r.id
          |GROUP BY l.id, r.id, l.sz, r.sz
          |HAVING CAST(count(*) AS DOUBLE) / (l.sz + r.sz - count(*)) >= 0.02
-         |ORDER BY a, b""".stripMargin
-    },
+         |ORDER BY a, b""".stripMargin,
+
+    // Exact brute-force pair set at the same threshold — the LSH pipeline's
+    // banding miss probability at J >= 0.8 is ~1e-7, so the verified-pair
+    // output must equal the exact set.
+    "q22_minhash_neardup" ->
+      s"""WITH $hashedShinglesCte,
+         |inv AS (SELECT id, sz, unnest(hs) AS tok FROM sized)
+         |SELECT l.id AS a, r.id AS b, CAST(count(*) AS BIGINT) AS inter,
+         |  CAST(count(*) AS DOUBLE) / (l.sz + r.sz - count(*)) AS jaccard
+         |FROM inv l JOIN inv r ON l.tok = r.tok AND l.id < r.id
+         |GROUP BY l.id, r.id, l.sz, r.sz
+         |HAVING CAST(count(*) AS DOUBLE) / (l.sz + r.sz - count(*)) >= 0.8
+         |ORDER BY a, b""".stripMargin,
+
+    "q23_simhash" ->
+      s"""WITH $simHashCte
+         |SELECT id AS doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin,
+
+    "q30_simhash_neardup" ->
+      s"""WITH $simHashCte
+         |SELECT l.id AS a, r.id AS b,
+         |  CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+         |FROM fp l JOIN fp r ON l.id < r.id
+         |WHERE bit_count(xor(l.simhash, r.simhash)) <= 5
+         |ORDER BY a, b""".stripMargin,
+
+    "q31_multimodal_meta" ->
+      s"""WITH p AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 4 = 0 THEN from_hex('89504E47') || encode(text)
+         |       WHEN doc_id % 4 = 1 THEN from_hex('FFD8FFE0') || encode(text)
+         |       WHEN doc_id % 4 = 2 THEN from_hex('47494638') || encode(text)
+         |       ELSE encode(text) END AS payload
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(octet_length(payload) AS INTEGER) AS n_bytes,
+         |  CASE WHEN starts_with(substring(upper(hex(payload)),1,8), '89504E47') THEN 'png'
+         |       WHEN starts_with(substring(upper(hex(payload)),1,8), 'FFD8FF') THEN 'jpeg'
+         |       WHEN starts_with(substring(upper(hex(payload)),1,8), '47494638') THEN 'gif'
+         |       WHEN starts_with(substring(upper(hex(payload)),1,8), '52494646') THEN 'riff'
+         |       WHEN starts_with(substring(upper(hex(payload)),1,8), '25504446') THEN 'pdf'
+         |       ELSE 'bin' END AS format,
+         |  CAST(ceil(octet_length(payload) / 256.0) AS INTEGER) AS n_chunks
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q26_lsh_ann_topk" ->
+      s"""WITH planes AS (${ops.DetHash.sqlPlanesCte(48, 64)}),
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |proj AS (SELECT p.p // 12 AS tbl, p.p % 12 AS i, e.vec_id,
+         |    list_sum(list_transform(list_zip(e.embedding, p.cs), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS pr
+         |  FROM e CROSS JOIN planes p),
+         |b AS (SELECT tbl, vec_id,
+         |    sum(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS bucket
+         |  FROM proj GROUP BY tbl, vec_id),
+         |cand AS (SELECT DISTINCT l.vec_id AS query_id, r.vec_id AS neighbor_id
+         |  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
+         |    AND l.vec_id <> r.vec_id),
+         |scored AS (SELECT c.query_id, c.neighbor_id, ${sqlCos("qe", "ne")} AS cos
+         |  FROM cand c JOIN e qe ON qe.vec_id = c.query_id
+         |    JOIN e ne ON ne.vec_id = c.neighbor_id),
+         |ranked AS (SELECT query_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cos, rank FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q24_ann_cosine_topk" ->
       """WITH dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -417,13 +537,10 @@ object SparkEntry {
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q25_neardup_cosine" ->
-      """SELECT * FROM (
-        |  SELECT a.vec_id AS a, b.vec_id AS b,
-        |    list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-        |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |  WHERE a.vec_id < 1500 AND b.vec_id < 1500)
-        |WHERE cos >= 0.4 ORDER BY a, b""".stripMargin,
+      s"""SELECT * FROM (
+         |  SELECT a.vec_id AS a, b.vec_id AS b, ${sqlCos("a", "b")} AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |WHERE cos >= 0.4 ORDER BY a, b""".stripMargin,
 
     "q27_events_tumbling" ->
       s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,

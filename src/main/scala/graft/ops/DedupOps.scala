@@ -4,16 +4,21 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact (hash groupBy),
-  * MinHash+LSH banding, SimHash, and n-gram Jaccard — each designed so the
-  * only shuffle is on a compact key (digest / band signature / token), never
-  * an all-pairs comparison.
+  * MinHash+LSH banding with exact-Jaccard verification, SimHash with banded
+  * Hamming retrieval, and n-gram Jaccard — each designed so the only shuffle
+  * is on a compact integer key (digest / band signature / shingle hash),
+  * never an all-pairs comparison.
+  *
+  * All near-dup machinery builds on [[DetHash.md5Hash60]], so every
+  * signature is bit-reproducible across engines (the DuckDB oracle
+  * recomputes identical values) and across cluster sizes.
   *
   * Scale contract: at 100 TB, exact dedup is one shuffle of a 16-byte digest;
-  * MinHash banding shuffles `bands` small (band, sig) keys per document and
-  * compares only within-bucket candidates (the standard
-  * shingle→minhash→band→bucket-join pipeline); inverted-index Jaccard
-  * shuffles (token, doc) pairs with a document-frequency cap on hot tokens
-  * to bound skew.
+  * MinHash shuffles (id, shingle-hash) ints then `bands` (band, sig) keys per
+  * document and compares only within-bucket candidates; the exact-Jaccard
+  * rerank touches only candidate pairs. Inverted-index Jaccard shuffles
+  * (shingle-hash, doc) ints with a document-frequency cap on hot shingles to
+  * bound skew.
   */
 object DedupOps {
 
@@ -36,50 +41,99 @@ object DedupOps {
     df.join(winners, Seq(idCol), "inner")
   }
 
-  /** k independent MinHash values over word `shingleK`-shingles. Hash family:
-    * xxhash64 seeded by the permutation index, the standard "one hash
-    * function + k seeds" construction. Returns an array<long> signature —
-    * pure map, no shuffle. Empty shingle sets get null signatures (callers
-    * filter).
+  /** (id, h): one row per (document, shingle window), h = the shingle's
+    * 31-bit integer hash. NOT set-deduplicated (see [[shingleHashSets]]).
+    *
+    * Shape chosen deliberately: each TOKEN is md5-hashed once in the `th`
+    * projection, the window index explodes to rows, and the Horner
+    * combination over `th` is a flat scalar expression evaluated inside
+    * whole-stage codegen. Array-valued alternatives (HOF windows over a
+    * projected array) measured 20x slower here: optimizer rules
+    * (InferFiltersFromGenerate + PushDownPredicates) re-inline the whole
+    * hash chain into pushed-down filters, re-evaluating it per element.
+    * This generator's inferred size-filter only touches the md5-free token
+    * count, so nothing expensive is duplicated.
     */
-  def minHashSignature(text: Column, k: Int = 32, shingleK: Int = 3): Column = {
-    val sh = TextOps.shingles(TextOps.tokens(text), shingleK)
-    when(size(sh) > 0,
-      transform(sequence(lit(0), lit(k - 1)),
-        i => array_min(transform(sh, s => xxhash64(i, s)))))
+  /** (id, th): md5 token-hash arrays, CACHED. The cache is load-bearing
+    * twice over: (a) every md5 is computed exactly once even though four
+    * separate queries (jaccard / minhash / simhash x2) start from this
+    * table — Spark's CacheManager dedups by canonicalized plan, so all of
+    * them share one entry; (b) it is an optimizer barrier — without it,
+    * rules (InferFiltersFromGenerate, ColumnPruning's generate reordering)
+    * kept re-inlining the md5 transform below the shingle-window explode,
+    * re-hashing every token once per WINDOW (measured 20x). At corpus scale
+    * this is the persisted token-hash table you'd materialize anyway.
+    */
+  def tokenHashes(df: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val th = transform(TextOps.tokens(col(textCol)),
+      t => DetHash.md5Hash60(t) % lit(DetHash.P))
+    df.select(col(idCol).as("id"), th.as("th")).cache()
   }
 
-  /** Per-document band signatures: the k-wide signature is split into
-    * `bands` contiguous slices and each slice is hashed. Output one row per
-    * (id, band_idx, band_sig) — produced by a pure array expression + one
-    * posexplode, no shuffle.
-    */
-  def minHashBands(df: DataFrame, idCol: String, sigCol: String,
-                   bands: Int): DataFrame = {
-    val rowsPerBand = size(col(sigCol)) / lit(bands)
-    val bandSigs = transform(sequence(lit(0), lit(bands - 1)),
-      b => hash(slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand), b))
-    df.select(col(idCol), posexplode(bandSigs).as(Seq("band_idx", "band_sig")))
+  def shingleHashRows(df: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", shingleK: Int = 3): DataFrame = {
+    // windows derive from size(th) — NOT from a re-tokenization — so the
+    // generator's inferred size-filter touches only the cached array
+    val windows = when(size(col("th")) >= shingleK,
+      sequence(lit(0), size(col("th")) - shingleK)).otherwise(array())
+    val horner = (1 until shingleK).foldLeft(element_at(col("th"), col("i") + 1)) {
+      (acc, j) =>
+        (acc * lit(DetHash.A) + element_at(col("th"), col("i") + j + 1)) % lit(DetHash.P)
+    }
+    tokenHashes(df, textCol, idCol)
+      .select(col("id"), col("th"), explode(windows).as("i"))
+      .select(col("id"), horner.as("h"))
   }
 
-  /** Candidate near-dup pairs via MinHash LSH. ONE shuffle total: group by
-    * (band_idx, band_sig), emit pairs from each bucket with an array
-    * expression (buckets capped at `maxBucket` ids to bound pathological
-    * collisions), then distinct. Collision probability follows the standard
-    * 1-(1-s^r)^b curve.
+  /** (id, hs, sz): per document, the distinct shingle-hash SET as an array +
+    * its size — the exact-Jaccard rerank format. One (id, h) distinct + one
+    * groupBy; both shuffles carry only integers.
     */
-  def minHashCandidates(df: DataFrame, textCol: String = "text",
-                        idCol: String = "doc_id", k: Int = 32, bands: Int = 8,
-                        shingleK: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val sigs = df
-      .select(col(idCol), minHashSignature(col(textCol), k, shingleK).as("sig"))
-      .filter(col("sig").isNotNull)
-    val banded = minHashBands(sigs, idCol, "sig", bands)
+  def shingleHashSets(df: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", shingleK: Int = 3): DataFrame =
+    shingleHashRows(df, textCol, idCol, shingleK).distinct()
+      .groupBy(col("id"))
+      .agg(collect_list(col("h")).as("hs"), count(lit(1)).as("sz"))
+
+  /** k-wide MinHash signatures as k columns `s0..s{k-1}` from (id, h)
+    * shingle rows: codegen'd `min` aggregates of k integer permutations
+    * `(a_i·h + b_i) mod P`. One shuffle on id with full map-side partial
+    * aggregation — the per-row work is k integer ops per shingle, NOT k
+    * shingle re-hashes. Duplicate shingle rows don't affect a min, so the
+    * input needs no distinct pass.
+    */
+  def minHashSigs(rows: DataFrame, k: Int = 32): DataFrame = {
+    val perms = DetHash.minHashPerms(k)
+    val aggs = perms.zipWithIndex.map { case ((a, b), i) =>
+      min(DetHash.perm(col("h"), a, b)).as(s"s$i")
+    }
+    rows.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Candidate pairs via LSH banding of the signature columns: `bands`
+    * bands of r = k/bands rows each; a band's bucket key packs its r
+    * signature values into one long (r=2: s0·P + s1 < 2^62, overflow-free).
+    * ONE shuffle on (band_idx, band_sig); buckets capped at `maxBucket` ids
+    * to bound pathological collisions; pairs emitted per bucket by an array
+    * expression, then distinct. Collision probability follows the standard
+    * 1-(1-s^r)^b curve — with k=32, bands=16 (r=2), a pair at Jaccard 0.8
+    * is missed with probability (1-0.64)^16 ≈ 8e-8.
+    */
+  def minHashCandidates(sigs: DataFrame, k: Int = 32, bands: Int = 16,
+                        maxBucket: Int = 1000): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val r = k / bands
+    require(r <= 2, "band packing supports r <= 2 (values < P = 2^31-1)")
+    val bandSig = (b: Int) =>
+      if (r == 1) col(s"s${b}")
+      else col(s"s${2 * b}") * lit(DetHash.P) + col(s"s${2 * b + 1}")
+    val banded = sigs.select(col("id"),
+      posexplode(array((0 until bands).map(bandSig): _*)).as(Seq("band_idx", "band_sig")))
     val buckets = banded
       .groupBy(col("band_idx"), col("band_sig"))
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
-    // pairs (a < b) from each bucket without a self-join
     val pairs = buckets.select(explode(flatten(
       transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
@@ -87,46 +141,101 @@ object DedupOps {
     pairs.select(col("p.a").as("a"), col("p.b").as("b")).distinct()
   }
 
-  /** 64-bit SimHash over word shingles: per-bit ±1 vote of each shingle's
-    * xxhash64, sign of the vote → bit. Near-dups have small Hamming distance.
-    * Pure array-expression fold (bits unrolled at plan build time) — no
-    * shuffle, no UDF.
+  /** MinHash near-dup pipeline with exact verification: LSH candidates →
+    * exact Jaccard over the shingle-hash sets → keep pairs ≥ `minJaccard`.
+    * The rerank join touches only candidate pairs (broadcast — candidates
+    * are a vanishing fraction of n²), so the output is exactly the
+    * high-Jaccard pair set (up to the ~1e-7 banding miss probability), and
+    * the DuckDB oracle can verify it against a brute-force inverted-index
+    * computation.
     */
-  def simHash(text: Column, shingleK: Int = 3): Column = {
-    val sh = TextOps.shingles(TextOps.tokens(text), shingleK)
-    val votes = aggregate(
-      sh,
-      array_repeat(lit(0), 64),
-      (acc, s) => {
-        val h = xxhash64(s)
-        val bits = array((0 until 64).map { i =>
-          when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1)).otherwise(lit(-1))
-        }: _*)
-        zip_with(acc, bits, (a, b) => a + b)
-      })
-    (0 until 64)
-      .map(i => when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
+  def minHashVerifiedPairs(df: DataFrame, textCol: String = "text",
+                           idCol: String = "doc_id", minJaccard: Double = 0.8,
+                           k: Int = 32, bands: Int = 16, shingleK: Int = 3,
+                           maxBucket: Int = 1000): DataFrame = {
+    // reused by the signature pass and both sides of the rerank join —
+    // materialize once (at scale this is the persisted shingle-hash table)
+    val rows = shingleHashRows(df, textCol, idCol, shingleK).cache()
+    val cand = minHashCandidates(minHashSigs(rows, k), k, bands, maxBucket)
+    val hashed = rows.distinct().groupBy(col("id"))
+      .agg(collect_list(col("h")).as("hs"), count(lit(1)).as("sz"))
+    val a = hashed.select(col("id").as("a"), col("hs").as("hsa"), col("sz").as("sza"))
+    val b = hashed.select(col("id").as("b"), col("hs").as("hsb"), col("sz").as("szb"))
+    broadcast(cand)
+      .join(a, Seq("a")).join(b, Seq("b"))
+      .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= lit(minJaccard))
+      .select(col("a"), col("b"), col("inter"), col("jaccard"))
+  }
+
+  /** 60-bit SimHash fingerprints (id, simhash) from (id, h) shingle rows:
+    * bit i takes a ±1 vote from each DISTINCT shingle hash — the parity of
+    * an independent permutation `(a_i·h + b_i) mod P`
+    * ([[DetHash.simHashPerms]]) — and the majority (strictly positive vote)
+    * sets the bit. 60 codegen'd conditional-sum aggregates + a count, one
+    * shuffle on id, partial aggregation map-side. Near-dups have small
+    * Hamming distance between fingerprints.
+    */
+  def simHash60(rows: DataFrame): DataFrame = {
+    val bitCnt = DetHash.simHashPerms.zipWithIndex.map { case ((a, b), i) =>
+      sum(DetHash.perm(col("h"), a, b).bitwiseAND(lit(1L))).as(s"c$i")
+    }
+    val counted = rows.distinct().groupBy(col("id"))
+      .agg(count(lit(1)).as("n"), bitCnt: _*)
+    val fp = (0 until 60)
+      .map(i => when(col(s"c$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    counted.select(col("id"), fp.as("simhash"))
   }
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup retrieval: all pairs with Hamming distance ≤ `maxDist`
+    * via banded bucketing — the 60-bit fingerprint splits into maxDist+1
+    * bands, and by pigeonhole any pair within `maxDist` collides on at least
+    * one whole band, so recall is EXACT (not probabilistic). Shuffle key =
+    * (band_idx, band_bits); exact bit_count check inside buckets; distinct
+    * over bands. The brute-force O(n²) equivalent exists only in the oracle.
+    */
+  def simHashNearDupPairs(fingerprints: DataFrame, maxDist: Int = 5,
+                          bits: Int = 60, maxBucket: Int = 10000): DataFrame = {
+    val nBands = maxDist + 1
+    val width = bits / nBands // last band takes the remainder
+    val bandOf = (b: Int) => {
+      val lo = b * width
+      val w = if (b == nBands - 1) bits - lo else width
+      shiftright(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1))
+    }
+    val banded = fingerprints.select(col("id"), col("simhash"),
+      posexplode(array((0 until nBands).map(bandOf): _*)).as(Seq("band_idx", "band_bits")))
+    val l = banded.select(col("band_idx"), col("band_bits"),
+      col("id").as("a"), col("simhash").as("fa"))
+    val r = banded.select(col("band_idx"), col("band_bits"),
+      col("id").as("b"), col("simhash").as("fb"))
+    l.join(r, Seq("band_idx", "band_bits"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), hamming64(col("fa"), col("fb")).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
   /** Exact n-gram (shingle) Jaccard similarity pairs above `minJaccard`, via
-    * a shingle inverted index (explode distinct shingles → self-join on
-    * shingle → count intersections). Shuffle key = shingle; shingles are
-    * near-unique so buckets stay tiny, and `maxDf` drops any shingle hotter
-    * than the cap before the join (the standard skew guard — a shingle in N
-    * docs would otherwise emit N² join rows).
+    * an inverted index on 60-bit shingle hashes (explode → self-join on the
+    * hash → count intersections). Shuffle key = integer shingle hash (never
+    * the shingle string); shingles are near-unique so buckets stay tiny, and
+    * `maxDf` drops any shingle hotter than the cap before the join (the
+    * standard skew guard — a shingle in N docs would otherwise emit N² join
+    * rows).
     */
   def jaccardPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                    minJaccard: Double = 0.5, shingleK: Int = 3,
                    maxDf: Long = 100000L): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleK)).as("toks"))
-      .withColumn("sz", size(col("toks")))
-      .filter(col("sz") > 0)
-    val inv = toks.select(col("id"), col("sz"), explode(col("toks")).as("tok"))
+    val rows = shingleHashRows(df, textCol, idCol, shingleK).distinct()
+    val sized = rows.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inv = rows.join(sized, Seq("id")).select(col("id"), col("sz"), col("h").as("tok"))
     val dfCounts = inv.groupBy(col("tok")).agg(count(lit(1)).as("tok_df"))
     val capped = inv
       .join(broadcast(dfCounts.filter(col("tok_df") > maxDf)), Seq("tok"), "left_anti")

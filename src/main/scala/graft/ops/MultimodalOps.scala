@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for training-data pipelines: image/audio/video
+  * payloads ride as opaque `binary` columns with typed metadata derived by
+  * pure expressions (size, format sniff, chunking), plus a partition-wise
+  * decode stub showing the batch shape a real decoder plugs into.
+  *
+  * Design: the *pipeline* (schema, partitioning, per-batch iteration) is
+  * real and tested; the codec itself is a clearly-marked deterministic STUB
+  * (`decodeImageStub`) because no image/audio libraries ship in this
+  * environment. Swapping the stub body for an actual decoder (JNI/javacpp
+  * ffmpeg, TwelveMonkeys ImageIO, ...) changes no plumbing.
+  *
+  * At 100 TB: payload bytes never shuffle — metadata extraction is a narrow
+  * projection fused into the scan; the decode stage is `mapPartitions` over
+  * whatever partitioning the scan produced, with one decoder context per
+  * partition (not per row).
+  */
+object MultimodalOps {
+
+  /** Public file-format magic numbers (hex prefix → format tag). */
+  val magicPrefixes: Seq[(String, String)] = Seq(
+    "89504E47" -> "png",
+    "FFD8FF"   -> "jpeg",
+    "47494638" -> "gif",
+    "52494646" -> "riff", // wav/avi/webp container
+    "25504446" -> "pdf")
+
+  /** Format sniff from the payload's leading bytes — the standard
+    * magic-number dispatch, as one codegen'd CASE over the hex of the first
+    * 4 bytes.
+    */
+  def sniffFormat(bin: Column): Column = {
+    val prefix = upper(hex(substring(bin, 1, 4)))
+    magicPrefixes.foldRight(lit("bin"): Column) { case ((magic, fmt), els) =>
+      when(prefix.startsWith(magic), lit(fmt)).otherwise(els)
+    }
+  }
+
+  /** Payload byte length. */
+  def payloadSize(bin: Column): Column = octet_length(bin)
+
+  /** Fixed-size chunking (frame/sample windows): array of `chunkBytes`-byte
+    * slices. Pure array expression — the unit a decoder or transport layer
+    * consumes.
+    */
+  def chunks(bin: Column, chunkBytes: Int): Column =
+    transform(
+      sequence(lit(0), ceil(octet_length(bin).cast("double") / chunkBytes).cast("int") - 1),
+      i => substring(bin, i * chunkBytes + 1, lit(chunkBytes)))
+
+  /** Number of `chunkBytes`-byte chunks. */
+  def numChunks(bin: Column, chunkBytes: Int): Column =
+    ceil(octet_length(bin).cast("double") / chunkBytes).cast("int")
+
+  /** Typed metadata projection over a binary payload column: size, sniffed
+    * format, chunk count, and a 60-bit content fingerprint. One narrow map —
+    * payload bytes are read once and never shuffled.
+    */
+  def payloadMeta(df: DataFrame, binCol: String, chunkBytes: Int = 256): DataFrame =
+    df.withColumn("n_bytes", payloadSize(col(binCol)))
+      .withColumn("format", sniffFormat(col(binCol)))
+      .withColumn("n_chunks", numChunks(col(binCol), chunkBytes))
+      .withColumn("fingerprint", DetHash.md5Hash60(col(binCol)))
+
+  /** Deterministic demo payload used by the q31 query and its oracle: the
+    * document text as UTF-8 bytes, with a rotating real magic-number header
+    * prepended by doc_id so every [[sniffFormat]] arm is exercised.
+    */
+  def demoPayload(id: Column, text: Column): Column = {
+    val body = encode(text, "UTF-8")
+    when(id % 4 === 0, concat(unhex(lit("89504E47")), body))
+      .when(id % 4 === 1, concat(unhex(lit("FFD8FFE0")), body))
+      .when(id % 4 === 2, concat(unhex(lit("47494638")), body))
+      .otherwise(body)
+  }
+
+  /** Decoded-image record produced by the decode stage. */
+  final case class DecodedImage(id: Long, width: Int, height: Int,
+                                channels: Int, meanPixel: Double)
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("meanPixel", DoubleType, nullable = false)))
+
+  /** STUB decoder: deterministic fake "image decode" — dimensions and mean
+    * pixel derived from the payload bytes, NOT a real codec. The plumbing
+    * around it is the real contract: `mapPartitions` so a production decoder
+    * initializes once per partition and streams rows; input stays
+    * (id, bytes); output is a typed Dataset with a fixed schema.
+    */
+  def decodeImageStub(df: DataFrame, idCol: String, binCol: String): Dataset[DecodedImage] = {
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    input.mapPartitions { rows =>
+      // real impl: val decoder = Codec.open() once here, closed at end
+      rows.map { case (id, bytes) =>
+        val n = bytes.length
+        // STUB: fabricate deterministic dims/stats from the bytes
+        val w = 1 + math.abs(if (n > 0) bytes(0).toInt else 0) % 64
+        val h = 1 + math.abs(if (n > 1) bytes(1).toInt else 0) % 64
+        val mean = if (n == 0) 0.0 else bytes.iterator.map(b => (b & 0xff).toDouble).sum / n
+        DecodedImage(id, w, h, 3, mean)
+      }
+    }(Encoders.product[DecodedImage])
+  }
+}
