@@ -35,20 +35,30 @@ object AttributeRatio {
       val grouped = df.groupBy(col(labelCol)).agg(
         avg(col(numericCols.head)).as(numericCols.head),
         numericCols.tail.map(c => avg(col(c)).as(c)): _*)
-      // max over classes of class-avg / global-avg, then fillna(0.0)
+      // max over classes of class-avg / global-avg, then fillna(0.0).
+      // A zero global average (constant-zero feature) maps to null up front:
+      // the reference relies on non-ANSI null division, Spark 4 ANSI raises.
+      def ratio(c: String) =
+        if (globalAvg(c) == 0.0) lit(null).cast("double")
+        else col(c) / lit(globalAvg(c))
       val maxRow = grouped.agg(
-        max(col(numericCols.head) / lit(globalAvg(numericCols.head))).as(numericCols.head),
-        numericCols.tail.map(c => max(col(c) / lit(globalAvg(c))).as(c)): _*)
+        max(ratio(numericCols.head)).as(numericCols.head),
+        numericCols.tail.map(c => max(ratio(c)).as(c)): _*)
         .na.fill(0.0)
         .first()
       ratios ++= numericCols.map(c => c -> maxRow.getAs[Double](c))
     }
 
     if (binaryCols.nonEmpty) {
-      def ratio(c: String) = (sum(col(c)) / (count(col(c)) - sum(col(c)))).as(c)
+      // freq(1)/freq(0) with an explicit zero-denominator guard (ANSI-safe);
+      // null (guarded) → 1000.0 sentinel BEFORE max (reference README.md:1164)
+      def ratio(c: String) = {
+        val s = sum(col(c)); val n = count(col(c))
+        when(n - s === 0, lit(null).cast("double")).otherwise(s / (n - s)).as(c)
+      }
       val grouped = df.groupBy(col(labelCol))
         .agg(ratio(binaryCols.head), binaryCols.tail.map(ratio): _*)
-        .na.fill(1000.0) // ÷0 sentinel BEFORE max (reference README.md:1164)
+        .na.fill(1000.0)
       val maxRow = grouped.agg(
         max(col(binaryCols.head)).as(binaryCols.head),
         binaryCols.tail.map(c => max(col(c)).as(c)): _*).first()

@@ -1,25 +1,35 @@
 package graft.ml
 
-import org.apache.spark.ml.{Pipeline, PipelineModel}
-import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.{Pipeline, PipelineModel, PipelineStage}
+import org.apache.spark.ml.clustering.{GaussianMixture, KMeans}
 import org.apache.spark.ml.classification.RandomForestClassifier
-import org.apache.spark.ml.feature.{StringIndexer, StringIndexerModel, VectorSlicer}
+import org.apache.spark.ml.feature.{PCA, StringIndexer, StringIndexerModel}
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Cluster-then-classify meta-estimator (reference `README.md:1548-1687`,
-  * SURVEY §2.9 M14): KMeans partitions the space; clusters that are big
-  * enough and contain both classes each get their own RandomForest; the
+  * SURVEY §2.9 M14): a clusterer partitions the space; clusters that are
+  * big enough and contain both classes each get their own RandomForest; the
   * rest are scored by their majority class.
+  *
+  * Two clusterer modes, matching the reference's two variants:
+  *   - `kmeans`: KMeans(k, initSteps=25, maxIter=100) on `featuresCol`
+  *     (reference `README.md:1548`);
+  *   - `gm`: PCA(pcaK) → GaussianMixture(k, maxIter=150) — the reference's
+  *     GM-on-PCA-features variant (`README.md:1489-1494,1831-1844,
+  *     1925-1943`).
   *
   * Spark-native re-expression of the notebook's loop:
   *   - cluster composition = one groupBy (not a crosstab collect);
   *   - per-cluster models are fitted from a driver loop (unavoidable —
   *     model fitting is iterative) over FILTERED views of the cached
   *     training frame;
-  *   - scoring is a union of per-cluster transforms plus a when-expression
-  *     for hardcoded clusters — evaluated as ONE DataFrame, one pass.
+  *   - scoring is a union of per-cluster transforms plus a map-lookup
+  *     expression for hardcoded clusters — evaluated as ONE DataFrame over
+  *     ONE cached clustering pass (the clustered frame is cached so the
+  *     K+1 union branches share a single InMemoryTableScan instead of
+  *     re-scoring the clusterer per branch).
   *
   * The probability remap (reference `udf_remap_prob`, `README.md:1679-1680`)
   * is `vector_to_array(probability)[i]` with i chosen from the per-cluster
@@ -32,15 +42,35 @@ class ClusteredClassifier(
     val minClusterSize: Long = 25L,
     val numTrees: Int = 500,
     val maxDepth: Int = 20,
-    val seed: Long = 4667979835606274383L) {
+    val seed: Long = 4667979835606274383L,
+    val clusterMode: String = "kmeans",
+    val pcaK: Int = 2,
+    val kmeansInitSteps: Int = 25) {
+
+  require(clusterMode == "kmeans" || clusterMode == "gm",
+    s"clusterMode must be kmeans|gm, got $clusterMode")
+
+  /** Columns the clusterer adds besides `cluster` (dropped after scoring). */
+  private val auxCols = Seq("pca_features", "gm_cluster_prob")
+
+  private def clusterStages(): Array[PipelineStage] = clusterMode match {
+    case "kmeans" => Array(
+      new KMeans().setK(k).setInitSteps(kmeansInitSteps).setMaxIter(100)
+        .setSeed(seed).setFeaturesCol(featuresCol).setPredictionCol("cluster"))
+    case "gm" => Array(
+      new PCA().setK(pcaK).setInputCol(featuresCol).setOutputCol("pca_features"),
+      new GaussianMixture().setK(k).setMaxIter(150).setSeed(seed)
+        .setFeaturesCol("pca_features").setPredictionCol("cluster")
+        .setProbabilityCol("gm_cluster_prob"))
+  }
 
   def fit(train: DataFrame): ClusteredClassifierModel = {
-    val kmeans = new KMeans().setK(k).setInitSteps(25).setMaxIter(100)
-      .setSeed(seed).setFeaturesCol(featuresCol).setPredictionCol("cluster")
-    val kmModel = kmeans.fit(train)
-    val clustered = kmModel.transform(train).cache()
+    val clusterModel = new Pipeline().setStages(clusterStages()).fit(train)
+    val clustered = clusterModel.transform(train)
+      .drop(auxCols: _*)
+      .cache()
 
-    // cluster composition: one aggregation, 2k tiny rows to the driver
+    // cluster composition: one aggregation, k tiny rows to the driver
     val comp = clustered.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n"),
         sum(when(col(labelCol) === "attack", 1L).otherwise(0L)).as("attack"),
@@ -71,22 +101,26 @@ class ClusteredClassifier(
     }
 
     clustered.unpersist()
-    new ClusteredClassifierModel(kmModel, models, mapping, labelCol)
+    new ClusteredClassifierModel(clusterModel, models, mapping, labelCol, auxCols)
   }
 }
 
 class ClusteredClassifierModel(
-    val kmModel: org.apache.spark.ml.clustering.KMeansModel,
+    val clusterModel: PipelineModel,
     val clusterModels: Map[Int, PipelineModel],
     val hardcodedProb: Map[Int, Double],
-    val labelCol: String) extends Serializable {
+    val labelCol: String,
+    private val auxCols: Seq[String]) extends Serializable {
 
   /** Score: returns the input plus (cluster, prob) where prob = P(attack).
-    * One union of per-cluster branches — Spark evaluates it as a single
-    * plan; each branch's filter pushes into the (cached) scan.
+    * The clusterer scores the input ONCE into a cached frame; the union's
+    * K+1 branches all read that cache (visible as one InMemoryTableScan
+    * reused per branch in `.explain`). Callers holding the result long-term
+    * should `unpersist()` via [[clearScoringCache]] when done.
     */
   def transform(df: DataFrame): DataFrame = {
-    val clustered = kmModel.transform(df)
+    val clustered = clusterModel.transform(df).drop(auxCols: _*).cache()
+    lastScored = Some(clustered)
     val branches = clusterModels.toSeq.sortBy(_._1).map { case (c, pm) =>
       // index of "attack" in this cluster's label order (reference maj_label
       // check — frequencyDesc can flip the class index per cluster)
@@ -102,5 +136,13 @@ class ClusteredClassifierModel(
         .withColumn("prob", coalesce(element_at(m, col("cluster")), lit(0.0)))
     }
     (branches :+ hardcodedRows).reduce(_ unionByName _)
+  }
+
+  @transient private var lastScored: Option[DataFrame] = None
+
+  /** Release the cached clustering pass from the most recent [[transform]]. */
+  def clearScoringCache(): Unit = {
+    lastScored.foreach(_.unpersist())
+    lastScored = None
   }
 }

@@ -1,0 +1,258 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.sources.Tables
+
+/** Property and golden tests for the relational + LLM-pipeline operator
+  * tiers, over small synthetic frames and the sf0.001 testdata.
+  */
+class OpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def docsDf = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "the quick brown fox leaps over the lazy dog"), // near dup (1 token)
+    (3L, "completely different content with no overlap at all here"),
+    (4L, "tiny"), // < 3 tokens: no shingles
+    (5L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do")
+  ).toDF("doc_id", "text")
+
+  // ---- dedup ----
+
+  test("exact dedup: min-id winner per content group") {
+    val summary = DedupOps.exactDedupSummary(docsDf).collect()
+    assert(summary.length === 5) // 6 docs, one dup pair
+    val dupGroup = summary.find(_.getLong(2) === 2L).get
+    assert(dupGroup.getLong(1) === 0L) // keep_id = min(0, 1)
+    assert(DedupOps.exactDedup(docsDf).count() === 5)
+  }
+
+  test("shingle hashes: deterministic, dup docs get identical sets, <k-token docs drop") {
+    val sets = DedupOps.shingleHashSets(docsDf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(!sets.contains(4L)) // "tiny" has no 3-shingle
+    assert(sets(0L) === sets(1L))
+    assert(sets(0L) !== sets(3L))
+    // near-dup shares most shingles
+    val inter = sets(0L).intersect(sets(2L)).size.toDouble
+    val union = sets(0L).union(sets(2L)).size.toDouble
+    assert(inter / union > 0.3 && inter / union < 1.0)
+    // values are in the permutation field [0, P)
+    assert(sets.values.flatten.forall(h => h >= 0 && h < DetHash.P))
+  }
+
+  test("jaccardPairs: exact jaccard values, threshold respected, symmetric input order") {
+    val pairs = DedupOps.jaccardPairs(docsDf, minJaccard = 0.1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(pairs((0L, 1L)) === 1.0) // exact dup
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(pairs.values.forall(j => j >= 0.1 && j <= 1.0))
+    assert(!pairs.keys.exists { case (a, b) => a >= b }) // a < b ordering
+  }
+
+  test("minhash pipeline: verified pairs equal brute-force high-jaccard pairs") {
+    val verified = DedupOps.minHashVerifiedPairs(docsDf, minJaccard = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = DedupOps.jaccardPairs(docsDf, minJaccard = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified === brute)
+    assert(verified.contains((0L, 1L)))
+  }
+
+  test("minhash signatures: dup docs identical, sig values bounded") {
+    val sigs = DedupOps.minHashSigs(DedupOps.shingleHashRows(docsDf), k = 8).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(i => r.getLong(i)))
+    val byId = sigs.toMap
+    assert(byId(0L) === byId(1L))
+    assert(byId.values.flatten.forall(s => s >= 0 && s < DetHash.P))
+  }
+
+  test("simhash: identical docs → identical fingerprints; near-dups closer than unrelated") {
+    val fps = DedupOps.simHash60(DedupOps.shingleHashRows(docsDf)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) === fps(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(0L), fps(2L)) < ham(fps(0L), fps(3L)))
+    assert(fps.values.forall(f => (f >> 60) === 0L)) // 60-bit domain
+  }
+
+  test("simhash banded near-dup: equals brute force at maxDist (pigeonhole recall)") {
+    val fps = DedupOps.simHash60(DedupOps.shingleHashRows(docsDf)).cache()
+    val banded = DedupOps.simHashNearDupPairs(fps, maxDist = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val local = fps.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, fa) <- local; (b, fb) <- local if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 5
+    } yield (a, b, h)).toSet
+    assert(banded === brute)
+    assert(banded.exists { case (a, b, h) => a == 0L && b == 1L && h == 0 })
+    fps.unpersist()
+  }
+
+  // ---- similarity ----
+
+  private def vecsDf = {
+    val base = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    Seq(
+      (0L, Array(1.0f, 0.01f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.01f, 0.0f)), // ~parallel to 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.01f)), // orthogonal
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.01f)) // anti-parallel
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("dot/norm/cosine: HOF and unrolled forms agree with manual computation") {
+    val df = vecsDf.select(
+      SimilarityOps.dot($"embedding", $"embedding").as("d"),
+      SimilarityOps.dotU($"embedding", $"embedding", 4).as("du"),
+      SimilarityOps.norm($"embedding").as("n"),
+      SimilarityOps.normU($"embedding", 4).as("nu"))
+    df.collect().foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1))
+      assert(r.getDouble(2) === r.getDouble(3))
+    }
+    val c01 = vecsDf.filter($"vec_id" === 0).crossJoin(
+        vecsDf.filter($"vec_id" === 1).select($"embedding".as("e2")))
+      .select(SimilarityOps.cosineU($"embedding", $"e2", 4).as("c")).head.getDouble(0)
+    assert(c01 > 0.99 && c01 <= 1.0)
+  }
+
+  test("cosinePairsExact: finds parallel pair, excludes orthogonal/anti, exact values") {
+    val pairs = SimilarityOps.cosinePairsExact(vecsDf, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.keySet === Set((0L, 1L)))
+    assert(pairs((0L, 1L)) > 0.99)
+  }
+
+  test("bruteForceTopK: correct ranking with deterministic tiebreak") {
+    val top = SimilarityOps.bruteForceTopK(vecsDf, vecsDf.filter($"vec_id" === 0), 3, dim = 4)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(top.length === 3)
+    assert(top.head === ((1L, 1))) // most similar first
+    assert(top.last._1 === 3L) // anti-parallel last
+  }
+
+  test("lshTopK: reported cosines are true cosines; ranks consistent") {
+    val rows = SimilarityOps.lshTopK(vecsDf, k = 2, nPlanes = 4, nTables = 8, dim = 4)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= -1.0 - 1e-12 && r.getDouble(2) <= 1.0 + 1e-12)
+      assert(r.getInt(3) >= 1 && r.getInt(3) <= 2)
+    }
+    // with 8 tables, the near-parallel pair (0,1) must collide in some bucket
+    assert(rows.exists(r => r.getLong(0) === 0L && r.getLong(1) === 1L))
+  }
+
+  test("DetHash: md5Hash60 matches driver-side md5; planeComponent in [-1,1)") {
+    val h = docsDf.select(DetHash.md5Hash60(lit("hello")).as("h")).head.getLong(0)
+    assert(h === java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("hello".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 15), 16))
+    val comps = for (p <- 0 until 4; j <- 0 until 8) yield DetHash.planeComponent(p, j)
+    assert(comps.forall(c => c >= -1.0 && c < 1.0))
+    assert(comps.distinct.size === comps.size) // no accidental collisions
+    assert(DetHash.minHashPerms(4) === DetHash.minHashPerms(4)) // stable
+  }
+
+  // ---- text ----
+
+  test("textStats/langId/quality on synthetic docs") {
+    val stats = TextOps.textStats(docsDf).filter($"doc_id" === 0).head
+    assert(stats.getAs[Int]("n_tokens") === 9)
+    assert(stats.getAs[Int]("n_distinct_tokens") === 8) // "the" twice
+    assert(stats.getAs[Double]("stopword_ratio") > 0.2)
+    val langs = docsDf.select($"doc_id", TextOps.langId($"text").as("l")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs(0L) === "en")
+    assert(langs(5L) === "und") // lorem ipsum hits no vocab
+    val q = docsDf.select(TextOps.qualityScore($"text").as("q")).collect()
+    assert(q.forall(r => r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0))
+  }
+
+  // ---- events / sessionization ----
+
+  test("sessionization: gap splits sessions per user, summary aggregates") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val events = Seq(
+      (1L, ts(0), 7L, "a", 1.0), (2L, ts(5), 7L, "a", 1.0), // session 1
+      (3L, ts(30), 7L, "a", 1.0), // gap > 10 min → session 2
+      (4L, ts(0), 8L, "b", 1.0) // other user
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val sessions = EventOps.sessionize(events).collect()
+    assert(sessions.length === 3)
+    val summary = EventOps.sessionSummary(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(summary(7L) === ((2L, 3L)))
+    assert(summary(8L) === ((1L, 1L)))
+  }
+
+  test("tumbling/sliding windows: sliding emits width/slide copies of each event") {
+    val events = Tables(spark, SparkTestBase.sf001, "events")
+    val n = events.count()
+    val tumbling = EventOps.tumbling(events).agg(sum("n")).head.getLong(0)
+    val sliding = EventOps.sliding(events).agg(sum("n")).head.getLong(0)
+    assert(tumbling === n)
+    assert(sliding === 2 * n) // 1h window / 30min slide
+  }
+
+  // ---- multimodal ----
+
+  test("multimodal: sniff formats via magic bytes, chunking, stub decode") {
+    val payloads = docsDf.select($"doc_id",
+      MultimodalOps.demoPayload($"doc_id", $"text").as("p"))
+    val meta = MultimodalOps.payloadMeta(payloads, "p").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("format"), r.getAs[Int]("n_bytes"), r.getAs[Int]("n_chunks"))))
+      .toMap
+    assert(meta(0L)._1 === "png")
+    assert(meta(1L)._1 === "jpeg")
+    assert(meta(2L)._1 === "gif")
+    assert(meta(3L)._1 === "bin")
+    meta.values.foreach { case (_, bytes, chunks) =>
+      assert(chunks === math.ceil(bytes / 256.0).toInt)
+    }
+    // chunks reassemble to the payload
+    val r0 = payloads.select(MultimodalOps.chunks($"p", 7).as("cs"), $"p").head
+    val joined = r0.getSeq[Array[Byte]](0).toArray.flatten
+    assert(java.util.Arrays.equals(joined, r0.getAs[Array[Byte]](1)))
+    // deterministic decode stub: plumbing produces one typed row per input
+    val decoded = MultimodalOps.decodeImageStub(payloads, "doc_id", "p").collect()
+    assert(decoded.length === 6)
+    assert(decoded.forall(d => d.width > 0 && d.height > 0 && d.meanPixel >= 0))
+  }
+
+  // ---- relational odds and ends not covered by the oracle queries ----
+
+  test("unionAccumulate preserves all rows; linearCombo normalizes weights") {
+    val parts = Seq(Seq(1, 2).toDF("x"), Seq(3).toDF("x"), Seq(4, 5).toDF("x"))
+    assert(RelationalOps.unionAccumulate(parts).count() === 5)
+    val lc = Seq((2.0, 4.0)).toDF("a", "b")
+      .select(RelationalOps.linearCombo(Seq(col("a") -> 3.0, col("b") -> 1.0)).as("v"))
+      .head.getDouble(0)
+    assert(lc === (2.0 * 3.0 + 4.0 * 1.0) / 4.0)
+  }
+
+  test("topKPerGroup: partitioned ranking, no global sort") {
+    val df = Seq(("g1", 3), ("g1", 1), ("g1", 2), ("g2", 9)).toDF("g", "v")
+    val top = RelationalOps.topKPerGroup(df, Seq("g"), Seq(col("v").desc), 2).collect()
+    assert(top.length === 3)
+    assert(!top.exists(r => r.getString(0) == "g1" && r.getInt(1) == 1))
+    val plan = RelationalOps.topKPerGroup(df, Seq("g"), Seq(col("v").desc), 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"), "top-k must not globally sort")
+  }
+
+  test("rollingFingerprint: stable content signature columns") {
+    val fp = TextOps.rollingFingerprint(col("text"))(docsDf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Any]("fp_min"), r.getAs[Any]("fp_max"), r.getAs[Int]("fp_n")))).toMap
+    assert(fp(0L) === fp(1L)) // identical docs
+    assert(fp(0L) !== fp(3L))
+  }
+}
