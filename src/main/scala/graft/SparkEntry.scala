@@ -212,8 +212,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     "q20_quality_score" -> ((s, d) =>
-      t(s, d, "documents")
-        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+      TextOps.withQualityScore(t(s, d, "documents"))
+        .select(col("doc_id"), col("quality"))
+        .orderBy(col("doc_id"))),
+
+    "q32_token_count" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).as("n_ws_tokens"),
+          TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"))
         .orderBy(col("doc_id"))),
 
     "q21_jaccard_pairs" -> ((s, d) =>
@@ -443,6 +449,14 @@ object SparkEntry {
          |      / len($toksSql) * 5.0, 1.0) * 0.3
          |  + least(CAST(len($toksSql) AS DOUBLE) / 100.0, 1.0) * 0.3 AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q32_token_count" -> {
+      val bpeSqlPattern = TextOps.bpeTokenPattern.replace("'", "''")
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS INTEGER) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '$bpeSqlPattern', 0)) AS INTEGER) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "q21_jaccard_pairs" ->
       s"""WITH $hashedShinglesCte,

@@ -48,15 +48,29 @@ object TextOps {
     * stopword rate, and reasonable length. Mirrors the length/punct/stopword
     * ratio scoring used in public web-scale corpus filters (e.g. C4/Gopher
     * rules), simplified to a linear blend.
+    *
+    * `toks` should be a MATERIALIZED token-array column (see
+    * [[withQualityScore]]): the blend references it five times, and
+    * interpreted higher-order functions re-evaluate an inlined tokenizer
+    * per reference.
     */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
+  def qualityScore(toks: Column): Column = {
     val nTok = size(toks).cast("double")
     val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
     val stopRatio = vocabHits(toks, enStopwords).cast("double") / nTok
     val lengthScore = least(nTok / lit(100.0), lit(1.0))
     distinctRatio * lit(0.4) + least(stopRatio * lit(5.0), lit(1.0)) * lit(0.3) +
       lengthScore * lit(0.3)
+  }
+
+  /** Quality score over a text column with the token array materialized in
+    * its own projection first (one tokenizer pass per row).
+    */
+  def withQualityScore(df: DataFrame, textCol: String = "text",
+                       outCol: String = "quality"): DataFrame = {
+    val keep = df.columns.map(col).toSeq
+    df.select((keep :+ tokens(col(textCol)).as("__toks")): _*)
+      .select((keep :+ qualityScore(col("__toks")).as(outCol)): _*)
   }
 
   /** Tiny per-language function-word vocabularies for heuristic language ID. */
@@ -81,6 +95,19 @@ object TextOps {
       when(s === best && s > 0, lit(lang)).otherwise(els)
     }
   }
+
+  /** GPT-2-style pretokenizer pattern, simplified to the subset shared by
+    * Java regex and RE2 (no lookarounds, so SQL engines evaluate it
+    * identically): contractions, space-prefixed letter runs, digit runs,
+    * punctuation runs. Counts "BPE words" — the pretokens a byte-pair
+    * encoder would split further.
+    */
+  val bpeTokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** BPE-ish token count via the shared pretokenizer regex. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
 
   /** Full-content fingerprint (md5 hex) — the exact-dedup key. */
   def fingerprintMd5(text: Column): Column = md5(text)

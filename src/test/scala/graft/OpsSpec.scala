@@ -171,8 +171,12 @@ class OpsSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(langs(0L) === "en")
     assert(langs(5L) === "und") // lorem ipsum hits no vocab
-    val q = docsDf.select(TextOps.qualityScore($"text").as("q")).collect()
+    val q = TextOps.withQualityScore(docsDf).select($"quality").collect()
     assert(q.forall(r => r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0))
+    // BPE-ish pretokenizer: contraction splits off, punctuation separates
+    val bpe = Seq((0L, "it's a test, really")).toDF("doc_id", "text")
+      .select(TextOps.bpeTokenCount($"text").as("n")).head.getInt(0)
+    assert(bpe === 6) // [it]['s][ a][ test][,][ really]
   }
 
   // ---- events / sessionization ----

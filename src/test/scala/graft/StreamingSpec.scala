@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.ops.EventOps
+import graft.streaming.StreamingEvents
+
+/** Runs the Structured Streaming wrappers for real (micro-batches over a
+  * MemoryStream + file source) and asserts stream/batch consistency: the
+  * same windowed aggregation expressions produce the same finalized windows
+  * in both modes (the design contract in [[graft.streaming.StreamingEvents]]).
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+class StreamingSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+
+  private val hour10 = Seq(
+    Ev(1L, ts(10, 5), 1L, "click", 10.0),
+    Ev(2L, ts(10, 20), 1L, "click", 5.0),
+    Ev(3L, ts(10, 40), 2L, "error", 2.5),
+    Ev(4L, ts(10, 55), 2L, "click", 1.0))
+
+  // far enough ahead that the 2h watermark closes every hour-10 window
+  private val hour14 = Seq(Ev(5L, ts(14, 1), 3L, "click", 7.0))
+
+  test("streaming tumbling agg over MemoryStream: finalized windows match batch EventOps") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val query = StreamingEvents.tumbling(mem.toDF())
+      .writeStream.format("memory").queryName("tumbling_out").outputMode("append")
+      .start()
+    try {
+      mem.addData(hour10: _*)
+      query.processAllAvailable()
+      mem.addData(hour14: _*)
+      query.processAllAvailable()
+
+      val streamed = spark.table("tumbling_out")
+        .filter(col("window_start") < ts(11, 0))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+        .toMap
+      val batch = EventOps.tumbling(hour10.toDF())
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+        .toMap
+      assert(streamed === batch)
+      assert(streamed((ts(10, 0), "click")) === ((3L, 16.0)))
+      assert(streamed((ts(10, 0), "error")) === ((1L, 2.5)))
+    } finally query.stop()
+  }
+
+  test("streaming gap sessionization via session_window matches batch session count") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val query = StreamingEvents.sessionized(mem.toDF(), gap = "10 minutes")
+      .writeStream.format("memory").queryName("sessions_out").outputMode("append")
+      .start()
+    try {
+      mem.addData(hour10: _*)
+      mem.addData(hour14: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("sessions_out")
+        .filter(col("session_start") < ts(11, 0))
+        .collect().map(r => (r.getLong(0), r.getLong(3)))
+      // batch equivalent on the same closed interval
+      val batch = EventOps.sessionize(hour10.toDF(), gapMinutes = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      assert(streamed.sorted === batch.sorted)
+      // user 1: events at :05/:20 → two sessions; user 2: :40/:55 → two sessions
+      assert(streamed.length === 4)
+    } finally query.stop()
+  }
+
+  test("file-based readEventStream processes a landing directory incrementally") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-out").toString
+    (hour10 ++ hour14).toDF().write.mode("overwrite").parquet(dir)
+    val stream = StreamingEvents.readEventStream(spark, dir)
+    assert(stream.isStreaming)
+    val query = StreamingEvents.writeParquet(
+      StreamingEvents.tumbling(stream), out, ckpt).start()
+    try query.processAllAvailable() finally query.stop()
+    // append mode: only watermark-closed windows land in the sink
+    val written = spark.read.parquet(out)
+    assert(written.count() >= 2)
+    assert(written.columns === Array("window_start", "event_type", "n", "sum_value"))
+  }
+}
