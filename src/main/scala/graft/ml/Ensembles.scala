@@ -68,4 +68,35 @@ object Ensembles {
     */
   def stackFeatures(base: DataFrame, preds: DataFrame, idCol: String = "id"): DataFrame =
     RelationalOps.scoreJoin(base, preds, idCol)
+
+  /** Per-category training subset: the category's rows vs normal (reference
+    * `README.md:2039,2402,2765` — `labels5 == 'DoS' OR labels5 == 'normal'`;
+    * R2L and U2R are trained together, hence a category *set*).
+    */
+  def categoryTrainingSet(df: DataFrame, categories: Seq[String],
+                          labelCol: String = "labels5"): DataFrame =
+    df.filter(col(labelCol).isin((categories :+ "normal"): _*))
+
+  /** Per-category one-vs-normal RF (reference `README.md:2221-2249` etc.):
+    * binary label = "is this category (vs normal)", RF(numTrees×maxDepth,
+    * sqrt features) on the prepared feature vector. Scored probabilities
+    * come out via [[probOf]] — index 1 because the training set is
+    * majority-normal under frequencyDesc indexing for DoS/Probe; callers
+    * with differently-balanced subsets should check the indexer's labels
+    * (same hazard as SURVEY §7.4-2).
+    */
+  def perCategoryRfPipeline(labelIdxCol: String = "cat_label_idx",
+                            featuresCol: String = "features",
+                            numTrees: Int = 500, maxDepth: Int = 20,
+                            seed: Long = 4667979835606274383L): Pipeline =
+    new Pipeline().setStages(Array(
+      new RandomForestClassifier().setLabelCol(labelIdxCol)
+        .setFeaturesCol(featuresCol).setNumTrees(numTrees).setMaxDepth(maxDepth)
+        .setFeatureSubsetStrategy("sqrt").setSeed(seed)))
+
+  /** Binary 0/1 label for the one-vs-normal task — a native expression
+    * (reference uses labels2_index on the filtered frame).
+    */
+  def categoryLabel(labelCol: Column): Column =
+    when(labelCol === "normal", 0.0).otherwise(1.0)
 }

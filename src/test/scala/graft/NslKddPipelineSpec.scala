@@ -240,6 +240,37 @@ class NslKddPipelineSpec extends SparkTestBase {
     model.clearScoringCache()
   }
 
+  test("per-category RFs: one-vs-normal models + OR-vote combo (README.md:2039-2975,3141)") {
+    val (tr, cv) = Stats.trainCvSplit(prepared, 0.8, seed)
+    val trL = tr.cache()
+    val cvL = cv.cache()
+
+    val catProbs = Seq(Seq("DoS"), Seq("Probe"), Seq("R2L", "U2R")).map { cats =>
+      val sub = Ensembles.categoryTrainingSet(trL, cats, "labels5")
+        .withColumn("cat_label_idx", Ensembles.categoryLabel(col("labels5")))
+      val rf = Ensembles.perCategoryRfPipeline(numTrees = 10, maxDepth = 5, seed = seed)
+        .fit(sub)
+      val name = s"p_${cats.head.toLowerCase}"
+      cats -> rf.transform(cvL)
+        .select(col("id"), Ensembles.probOf(col("probability")).as(name))
+    }
+
+    // J3/J4 score-joins on id accumulate per-model probability columns
+    val all = catProbs.map(_._2).reduce((a, b) => Ensembles.stackFeatures(a, b))
+    assert(all.count() === cvL.count())
+
+    // F5 OR-vote of the three per-category predictions catches most attacks
+    val voted = Ensembles.stackFeatures(cvL.select("id", "labels2_index"), all)
+      .withColumn("vote", Ensembles.orVote(Seq(
+        Ensembles.predAt(col("p_dos"), 0.5),
+        Ensembles.predAt(col("p_probe"), 0.5),
+        Ensembles.predAt(col("p_r2l"), 0.5))).cast("double"))
+    val m = Metrics.binaryMetrics(voted, "labels2_index", "vote")
+    assert(m.detectionRate > 0.8, s"OR-vote DR ${m.detectionRate}")
+    assert(m.far < 0.2, s"OR-vote FAR ${m.far}")
+    trL.unpersist(); cvL.unpersist()
+  }
+
   test("metrics: confusion matrix cells sum to N; report renders") {
     val df = spark.range(100).toDF("i")
       .withColumn("label", (col("i") % 2).cast("double"))

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan audits: lock in the physical-plan properties that make the query set
+  * scale — predicate pushdown into the parquet scan, column pruning,
+  * broadcast joins for small dimensions, partitioned (never global) window
+  * sorts, and the absence of cartesian/nested-loop pair enumeration in the
+  * dedup tier. A regression here won't change small-SF results but would
+  * change the 100-TB cost class, which is why it's asserted, not just
+  * eyeballed.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, SparkTestBase.sf001)
+      .queryExecution.executedPlan.toString
+
+  private def optimized(name: String): String =
+    SparkEntry.queries(name)(spark, SparkTestBase.sf001)
+      .queryExecution.optimizedPlan.toString
+
+  test("q01 pricing summary: date filter reaches the parquet scan, schema pruned") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      "shipdate predicate must be pushed to the scan")
+    // only the 6 referenced columns are read, not all 16 lineitem columns
+    val scan = SparkEntry.queries("q01_pricing_summary")(spark, SparkTestBase.sf001)
+      .queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .get
+    assert(scan.requiredSchema.fieldNames.toSet === Set(
+      "l_quantity", "l_extendedprice", "l_discount",
+      "l_returnflag", "l_linestatus", "l_shipdate"),
+      s"scan must prune to the 6 referenced columns, got ${scan.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("q08 isin nation: small dimension side is broadcast, filter pushed") {
+    val p = plan("q08_isin_nation")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "nation side must broadcast — a shuffle join of a 25-row dim is wrong at any scale")
+    assert(p.contains("PushedFilters: [In(n_name") || p.contains("In(n_name,"),
+      "isin filter must be pushed to the nation scan")
+  }
+
+  test("q16 top-k per segment: window is hash-partitioned, no global sort of the data") {
+    val p = plan("q16_topk_per_segment")
+    assert(p.contains("WindowGroupLimit"),
+      "rank-limit pushdown (WindowGroupLimit) keeps per-partition state at k rows")
+    val windowSort = p.linesIterator.filter(_.contains("Sort ")).toSeq
+    assert(windowSort.exists(_.contains("false, 0")),
+      "the window's sort must be partition-local (global=false)")
+  }
+
+  test("q27 tumbling windows: one hash aggregation with map-side partials") {
+    val p = plan("q27_events_tumbling")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "windowed agg must be partial+final hash aggregation")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dedup tier never enumerates all pairs: no cartesian/nested-loop joins") {
+    Seq("q21_jaccard_pairs", "q22_minhash_neardup", "q30_simhash_neardup").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+    }
+  }
+
+  test("q26 LSH ANN: SRP plane weights are plan literals (no runtime hashing)") {
+    val p = optimized("q26_lsh_ann_topk")
+    assert(!p.contains("md5"), "plane components must be pre-computed literals")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("describe/zscore/AR: single-row stats broadcast back, no window-over-everything") {
+    Seq("q06_describe", "q13_zscore_customers", "q14_ar_numeric").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window ["), s"$q must not use an unpartitioned window")
+    }
+    assert(plan("q13_zscore_customers").contains("BroadcastExchange"),
+      "zscore joins the 1-row stats via broadcast")
+  }
+
+  test("flagship entry smoke: returns rows on sf0.001") {
+    val df: DataFrame = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+  }
+}
