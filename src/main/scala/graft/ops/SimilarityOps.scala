@@ -168,4 +168,49 @@ object SimilarityOps {
         Seq(col("cos").desc, col("neighbor_id").asc), k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn").as("rank"))
   }
+
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every corpus
+    * vector to a cell; each query probes its `nProbe` nearest centroids and
+    * exact-reranks only those cells' members. The cell assignment is the
+    * shuffle/partition key — at corpus scale the index is a bucketed table
+    * and a query touches ~nProbe/nCells of the data. Recall depends on
+    * nProbe and the cluster structure; precision is exact (true cosine
+    * rerank). Returns top-k neighbors per corpus vector (self-ANN, like
+    * [[lshTopK]]).
+    */
+  def ivfTopK(df: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 4,
+              dim: Int = 64, seed: Long = 4667979835606274383L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("fv", array_to_vector(col("v").cast("array<double>")))
+    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+    val model = km.fit(vecs)
+    val centers = model.clusterCenters.map(_.toArray)
+    // nProbe nearest cells per query, from literal centroid coordinates
+    def dist2(c: Array[Double]): Column =
+      (0 until dim).map { j =>
+        val d = element_at(col("v"), j + 1).cast("double") - lit(c(j))
+        d * d
+      }.reduce(_ + _)
+    val cellDists = array(centers.zipWithIndex.map { case (c, i) =>
+      struct(dist2(c).as("d"), lit(i).as("cell"))
+    }: _*)
+    val probed = vecs
+      .withColumn("probe", slice(array_sort(cellDists), 1, nProbe))
+      .select(col("id"), col("v"), explode(col("probe.cell")).as("cell"))
+    val members = model.transform(vecs).select(col("cell"),
+      col("id").as("neighbor_id"), col("v").as("cv"))
+    val scored = probed.select(col("cell"), col("id").as("query_id"), col("v").as("qv"))
+      .join(members, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineU(col("qv"), col("cv"), dim).as("cos"))
+      .groupBy(col("query_id"), col("neighbor_id")).agg(first(col("cos")).as("cos"))
+    RelationalOps.topKPerGroup(scored, Seq("query_id"),
+        Seq(col("cos").desc, col("neighbor_id").asc), k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn").as("rank"))
+  }
 }

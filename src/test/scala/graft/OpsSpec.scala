@@ -148,6 +148,24 @@ class OpsSpec extends SparkTestBase {
     assert(rows.exists(r => r.getLong(0) === 0L && r.getLong(1) === 1L))
   }
 
+  test("ivfTopK: high recall vs brute force on clustered vectors") {
+    // 3 tight clusters of 8 vectors in 4-d: IVF with nProbe=2 must recover
+    // each vector's true top-3 (same-cluster members dominate)
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 24).map { i =>
+      val c = i % 3
+      val base = Array.tabulate(4)(j => if (j == c) 10.0f else 0.0f)
+      (i.toLong, base.map(x => x + rnd.nextFloat() * 0.1f))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val ivf = SimilarityOps.ivfTopK(df, k = 3, nCells = 3, nProbe = 2, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = SimilarityOps.bruteForceTopK(df, df, 3, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall > 0.95, s"IVF recall $recall")
+  }
+
   test("DetHash: md5Hash60 matches driver-side md5; planeComponent in [-1,1)") {
     val h = docsDf.select(DetHash.md5Hash60(lit("hello")).as("h")).head.getLong(0)
     assert(h === java.lang.Long.parseLong(
