@@ -56,6 +56,31 @@ object Metrics {
     df.groupBy(col(labelCol), col(predCol)).agg(count(lit(1)).as("n"))
       .orderBy(col(labelCol), col(predCol))
 
+  /** Threshold-tuning sweep (reference M16: reports at e = 0.5/0.05/0.01/
+    * 0.005 to trade FAR vs DR, `README.md:1767-1783`): ONE distributed
+    * aggregation computes the confusion counts for every threshold — per
+    * row, each threshold contributes conditional sums — then the metric
+    * arithmetic runs on the driver over |thresholds| tiny tuples.
+    */
+  def thresholdSweep(df: DataFrame, labelCol: String, probCol: String,
+                     thresholds: Seq[Double] = Seq(0.5, 0.05, 0.01, 0.005)): Seq[(Double, BinaryMetrics)] = {
+    val aggs = thresholds.zipWithIndex.flatMap { case (e, i) =>
+      val pred = when(col(probCol) >= e, 1.0).otherwise(0.0)
+      val l = col(labelCol)
+      Seq(
+        sum(when(l === 1.0 && pred === 1.0, 1L).otherwise(0L)).as(s"tp$i"),
+        sum(when(l === 0.0 && pred === 1.0, 1L).otherwise(0L)).as(s"fp$i"),
+        sum(when(l === 0.0 && pred === 0.0, 1L).otherwise(0L)).as(s"tn$i"),
+        sum(when(l === 1.0 && pred === 0.0, 1L).otherwise(0L)).as(s"fn$i"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head
+    thresholds.zipWithIndex.map { case (e, i) =>
+      e -> BinaryMetrics(
+        tp = row.getAs[Long](s"tp$i"), fp = row.getAs[Long](s"fp$i"),
+        tn = row.getAs[Long](s"tn$i"), fn = row.getAs[Long](s"fn$i"))
+    }
+  }
+
   /** Report string in the spirit of the reference's printReport. */
   def report(m: BinaryMetrics): String =
     f"""confusion matrix (tn=${m.tn} fp=${m.fp} / fn=${m.fn} tp=${m.tp})

@@ -82,6 +82,15 @@ object RelationalOps {
   def crosstab(df: DataFrame, a: String, b: String, values: Seq[String]): DataFrame =
     df.groupBy(col(a)).pivot(b, values).count().na.fill(0L).orderBy(col(a))
 
+  /** Dynamic-values crosstab — the reference's exact `df.crosstab` shape
+    * (string key column named `a_b`, discovered pivot columns). Costs one
+    * extra distinct-collect job to find the pivot values; prefer [[crosstab]]
+    * with pinned values when the category set is known (stable schema, one
+    * job fewer — the right default at scale).
+    */
+  def crosstabDynamic(df: DataFrame, a: String, b: String): DataFrame =
+    df.stat.crosstab(a, b)
+
   /** describe()-equivalent numeric profile (reference `README.md:576,684`),
     * long format: one row per column. Single pass over the data (all
     * aggregates in one job), order-independent stats via decimal sums.

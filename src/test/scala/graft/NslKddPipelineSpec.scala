@@ -282,4 +282,35 @@ class NslKddPipelineSpec extends SparkTestBase {
     val cmDf = Metrics.confusionMatrixDF(df, "label", "pred")
     assert(cmDf.agg(sum("n")).head.getLong(0) === 100L)
   }
+
+  test("M16 threshold sweep: one aggregation, monotone DR/FAR across thresholds (README.md:1767-1783)") {
+    val df = spark.range(1000).toDF("i")
+      .withColumn("label", (col("i") % 2).cast("double"))
+      .withColumn("p", when(col("label") === 1.0, col("i") % 100 / 100.0)
+        .otherwise(col("i") % 40 / 100.0))
+    val sweep = Metrics.thresholdSweep(df, "label", "p", Seq(0.5, 0.1, 0.01))
+    assert(sweep.map(_._1) === Seq(0.5, 0.1, 0.01))
+    sweep.foreach { case (_, m) => assert(m.total === 1000L) }
+    // lowering the threshold can only increase both DR and FAR
+    val (dr, far) = (sweep.map(_._2.detectionRate), sweep.map(_._2.far))
+    assert(dr === dr.sorted, s"DR not monotone: $dr")
+    assert(far === far.sorted, s"FAR not monotone: $far")
+    // agreement with the single-threshold path
+    val single = Metrics.binaryMetrics(
+      df.withColumn("pred", graft.ops.RelationalOps.threshold(col("p"), 0.5)),
+      "label", "pred")
+    assert(sweep.head._2 === single)
+  }
+
+  test("dynamic crosstab matches the pinned-values pivot form") {
+    val dyn = graft.ops.RelationalOps.crosstabDynamic(labeled, "protocol_type", "labels2")
+    assert(dyn.columns.head === "protocol_type_labels2") // reference naming quirk
+    val dynMap = dyn.collect()
+      .map(r => r.getString(0) -> (r.getLong(dyn.columns.indexOf("normal")),
+        r.getLong(dyn.columns.indexOf("attack")))).toMap
+    val pinned = graft.ops.RelationalOps.crosstab(labeled, "protocol_type", "labels2",
+      Seq("normal", "attack")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(dynMap === pinned)
+  }
 }
