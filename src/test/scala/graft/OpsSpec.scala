@@ -158,7 +158,7 @@ class OpsSpec extends SparkTestBase {
       (i.toLong, base.map(x => x + rnd.nextFloat() * 0.1f))
     }
     val df = data.toDF("vec_id", "embedding")
-    val ivf = SimilarityOps.ivfTopK(df, k = 3, nCells = 3, nProbe = 2, dim = 4)
+    val ivf = SimilarityOps.ivfTopK(df, k = 3, nCells = 3, nProbe = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = SimilarityOps.bruteForceTopK(df, df, 3, dim = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
