@@ -161,7 +161,10 @@ object DedupOps {
       .agg(collect_list(col("h")).as("hs"), count(lit(1)).as("sz"))
     val a = hashed.select(col("id").as("a"), col("hs").as("hsa"), col("sz").as("sza"))
     val b = hashed.select(col("id").as("b"), col("hs").as("hsb"), col("sz").as("szb"))
-    broadcast(cand)
+    // no broadcast hint: AQE broadcasts the candidate side while it is small,
+    // and a duplicate-heavy corpus (candidates ~ dup-cluster²) can exceed
+    // broadcast limits — the id-keyed shuffle join is the safe default
+    cand
       .join(a, Seq("a")).join(b, Seq("b"))
       .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))))
       .withColumn("jaccard",
