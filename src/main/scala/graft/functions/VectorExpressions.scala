@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for the float-vector dot product.
+  *
+  * Why a custom `Expression` (SURVEY §4.2 records that reference parity
+  * needs none — this serves the extension tier): the expression-based
+  * similarity paths otherwise choose between interpreted higher-order
+  * functions (slow per element) or a `dim`-unrolled add-chain (hundreds of
+  * plan nodes per use, which measurably bloats optimization and codegen).
+  * `DotProduct` is ONE plan node whose `doGenCode` emits a tight Java loop
+  * inside whole-stage codegen.
+  *
+  * Numeric contract (the cross-engine determinism rule the oracle relies
+  * on): floats are widened to double and accumulated LEFT TO RIGHT in index
+  * order — bit-identical to [[graft.ops.SimilarityOps.dotU]], the HOF fold,
+  * the mapPartitions kernels, and a sequential SQL `list_sum`.
+  *
+  * Nulls: null input array → null result (BinaryExpression null-safe
+  * contract). Null ELEMENTS are not expected (embedding columns), and the
+  * type check rejects nothing at runtime — elements read as primitive
+  * floats. Mismatched lengths dot the common prefix.
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"dot_f expects (array<float>, array<float>), got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dot_f"
+}
+
+object VectorExpressions {
+  import org.apache.spark.sql.graft.bridge
+  /** Column wrapper for [[DotProduct]]. */
+  def dotF(a: Column, b: Column): Column =
+    bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))
+}

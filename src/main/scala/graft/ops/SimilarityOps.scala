@@ -50,6 +50,16 @@ object SimilarityOps {
   def cosineU(a: Column, b: Column, dim: Int): Column =
     dotU(a, b, dim) / (normU(a, dim) * normU(b, dim))
 
+  /** Cosine via the native [[graft.functions.DotProduct]] expression — one
+    * plan node per dot, a codegen'd loop at runtime, bit-identical
+    * accumulation. The preferred expression form for array<float> columns
+    * (dotU stays for arbitrary element types / parity testing).
+    */
+  def cosineF(a: Column, b: Column): Column = {
+    import graft.functions.VectorExpressions.dotF
+    dotF(a, b) / (sqrt(dotF(a, a)) * sqrt(dotF(b, b)))
+  }
+
   /** Brute-force cosine top-k: score every (query, corpus) pair, rank per
     * query. The query side is broadcast (queries ≪ corpus), so the corpus
     * scan stays a single narrow pass — at 100 TB this is the exact-rerank
@@ -63,7 +73,7 @@ object SimilarityOps {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosineU(col("qv"), col("cv"), dim).as("cos"))
+        cosineF(col("qv"), col("cv")).as("cos"))
     RelationalOps.topKPerGroup(scored, Seq("query_id"),
         Seq(col("cos").desc, col("neighbor_id").asc), k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn").as("rank"))
@@ -163,7 +173,7 @@ object SimilarityOps {
     val n = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = cand.join(q, Seq("query_id")).join(n, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosineU(col("qv"), col("cv"), dim).as("cos"))
+        cosineF(col("qv"), col("cv")).as("cos"))
     RelationalOps.topKPerGroup(scored, Seq("query_id"),
         Seq(col("cos").desc, col("neighbor_id").asc), k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn").as("rank"))

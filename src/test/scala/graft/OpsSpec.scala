@@ -105,16 +105,23 @@ class OpsSpec extends SparkTestBase {
     ).toDF("vec_id", "embedding")
   }
 
-  test("dot/norm/cosine: HOF and unrolled forms agree with manual computation") {
+  test("dot/norm/cosine: HOF, unrolled, and native-expression forms agree bit-for-bit") {
     val df = vecsDf.select(
       SimilarityOps.dot($"embedding", $"embedding").as("d"),
       SimilarityOps.dotU($"embedding", $"embedding", 4).as("du"),
+      graft.functions.VectorExpressions.dotF($"embedding", $"embedding").as("df_"),
       SimilarityOps.norm($"embedding").as("n"),
       SimilarityOps.normU($"embedding", 4).as("nu"))
     df.collect().foreach { r =>
       assert(r.getDouble(0) === r.getDouble(1))
-      assert(r.getDouble(2) === r.getDouble(3))
+      assert(r.getDouble(0) === r.getDouble(2)) // custom Expression parity
+      assert(r.getDouble(3) === r.getDouble(4))
     }
+    // SQL surface via SparkSessionExtensions (spark.sql.extensions=graft.GraftExtensions)
+    val viaSql = spark.sql(
+      "SELECT dot_f(CAST(array(1.0, 2.0) AS array<float>), CAST(array(3.0, 4.0) AS array<float>))")
+      .head.getDouble(0)
+    assert(viaSql === 11.0)
     val c01 = vecsDf.filter($"vec_id" === 0).crossJoin(
         vecsDf.filter($"vec_id" === 1).select($"embedding".as("e2")))
       .select(SimilarityOps.cosineU($"embedding", $"e2", 4).as("c")).head.getDouble(0)
