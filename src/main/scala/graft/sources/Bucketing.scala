@@ -1,0 +1,30 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed-table helpers: the co-located-join strategy for keys that are
+  * joined repeatedly at scale (SURVEY §7 / the 100 TB design notes).
+  *
+  * Writing both fact tables bucketed (and sorted) by the join key lets
+  * every subsequent equi-join on that key run WITHOUT a shuffle on either
+  * side — the exchange that dominates big joins disappears from the plan
+  * (asserted in BucketingSpec). The bucket count is a layout-time choice:
+  * pick it so a bucket of the larger table fits an executor's memory at
+  * the target scale; both sides must use the same count for exchange-free
+  * joins.
+  */
+object Bucketing {
+
+  /** Write `df` as a managed parquet table bucketed and sorted by `key`. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .saveAsTable(table)
+
+  /** Read a bucketed table back (bucket metadata comes from the catalog). */
+  def readTable(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame =
+    spark.table(table)
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{Bucketing, Tables}
+
+/** Co-located joins via bucketed tables: writing both sides bucketed by the
+  * join key removes the shuffle from every subsequent equi-join on it —
+  * asserted on the physical plan, with results identical to the plain join.
+  */
+class BucketingSpec extends SparkTestBase {
+
+  test("bucketed orders ⋈ lineitem joins with NO shuffle exchange, same results") {
+    val orders = Tables(spark, SparkTestBase.sf001, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val lineitem = Tables(spark, SparkTestBase.sf001, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+
+    Bucketing.writeBucketed(orders, "orders_b", "o_orderkey", 4)
+    Bucketing.writeBucketed(lineitem, "lineitem_b", "o_orderkey", 4)
+    try {
+      val joined = Bucketing.readTable(spark, "orders_b")
+        .join(Bucketing.readTable(spark, "lineitem_b"), Seq("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle either side:\n${plan.take(800)}")
+
+      // same answer as the shuffled join of the raw tables
+      val bucketedAgg = joined.agg(count(lit(1)), sum("l_quantity")).head
+      val plainAgg = orders.join(lineitem, Seq("o_orderkey"))
+        .agg(count(lit(1)), sum("l_quantity")).head
+      assert(bucketedAgg === plainAgg)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+}
