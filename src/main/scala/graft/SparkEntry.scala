@@ -265,6 +265,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    "q33_approx_distinct" -> { (s, d) =>
+      val li = t(s, d, "lineitem")
+      val exactP = countDistinct(col("l_partkey"))
+      val exactS = countDistinct(col("l_suppkey"))
+      li.agg(
+        exactP.as("exact_partkey"),
+        exactS.as("exact_suppkey"),
+        when(abs(approx_count_distinct(col("l_partkey"), 0.05) - exactP)
+          <= exactP * lit(0.05), lit("ok")).otherwise(lit("off")).as("partkey_hll_within_5pct"),
+        when(abs(approx_count_distinct(col("l_suppkey"), 0.05) - exactS)
+          <= exactS * lit(0.05), lit("ok")).otherwise(lit("off")).as("suppkey_hll_within_5pct"))
+    },
+
     // ---- LLM-data-pipeline tier: events ----
     "q27_events_tumbling" -> ((s, d) =>
       EventOps.tumbling(t(s, d, "events"))
@@ -555,6 +568,16 @@ object SparkEntry {
          |  SELECT a.vec_id AS a, b.vec_id AS b, ${sqlCos("a", "b")} AS cos
          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          |WHERE cos >= 0.4 ORDER BY a, b""".stripMargin,
+
+    // The HLL sketch itself is engine-specific; the CONTRACT (relative error
+    // within the requested 5% rsd) is the checkable fact — Spark's HLL++ is
+    // deterministic for fixed data, so the flag is stable.
+    "q33_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_partkey,
+        |  count(DISTINCT l_suppkey) AS exact_suppkey,
+        |  'ok' AS partkey_hll_within_5pct,
+        |  'ok' AS suppkey_hll_within_5pct
+        |FROM lineitem""".stripMargin,
 
     "q27_events_tumbling" ->
       s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,

@@ -197,6 +197,24 @@ object RelationalOps {
     grouped.agg(maxAggs.head, maxAggs.tail: _*)
   }
 
+  /** Salted equi-join for skewed keys: the fact side adds a random-free
+    * deterministic salt (hash of a tiebreak column mod `salts`), the
+    * dimension side replicates each row `salts` times, and the join runs on
+    * (key, salt) — a hot key's rows spread over `salts` reducers instead of
+    * one. Result set is identical to the plain join (asserted in tests).
+    * AQE's skew-join handles moderate skew automatically; explicit salting
+    * is for the pathological keys AQE splits can't fix (single giant
+    * build-side partitions) and for deterministic layout control.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int,
+                 factTiebreak: String): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      pmod(hash(col(factTiebreak)), lit(salts)).cast("int"))
+    val dimRep = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(dimRep, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Top-k per group via ranking window (partitioned — never a global
     * single-partition sort). Deterministic given a total tiebreak ordering.
     */

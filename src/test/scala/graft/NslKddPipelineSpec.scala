@@ -22,13 +22,15 @@ class NslKddPipelineSpec extends SparkTestBase {
 
   private lazy val raw = NslKddSource.load(spark, SparkTestBase.kddTrain20Path)
 
-  private lazy val labeled: DataFrame = {
-    // M1-M3: converters + frequency-descending StringIndexers via Pipeline
-    val labelsModel = FeaturePrep.labelsPipeline().fit(raw)
-    NslKddSource.withSequentialId(labelsModel.transform(raw))
+  // M1-M3: converters + frequency-descending StringIndexers, FIT ON TRAIN
+  // and reused on the test set (the reference's PipelineModel reuse)
+  private lazy val labelsModel = FeaturePrep.labelsPipeline().fit(raw)
+
+  private def label(df: DataFrame): DataFrame =
+    NslKddSource.withSequentialId(labelsModel.transform(df))
       .na.replace("su_attempted", Map(2.0 -> 0.0))
-      .cache()
-  }
+
+  private lazy val labeled: DataFrame = label(raw).cache()
 
   private lazy val (oheApply, oheCols) = FeaturePrep.oheFlat(labeled, NslKdd.nominalCols)
 
@@ -41,16 +43,21 @@ class NslKddPipelineSpec extends SparkTestBase {
     AttributeRatio.selectFeaturesByAR(ratios, 0.05)
   }
 
-  private lazy val prepared: DataFrame = {
-    // M4 OHE, M6 standardizer, M7 assembler, M8 indexer, M9 slicer by name
-    val ohe = oheApply(labeled)
-    val standardized = FeaturePrep.standardize(ohe, numericCols)(ohe)
-    val prep = FeaturePrep.prepPipeline(numericCols ++ NslKdd.binaryCols ++ oheCols)
-      .fit(standardized).transform(standardized)
-    FeaturePrep.slicer(featureSelection).transform(prep)
+  // train-fitted prep stages, reusable on any labeled frame
+  private lazy val standardizeFn = FeaturePrep.standardize(oheApply(labeled), numericCols)
+  private lazy val prepModel = FeaturePrep
+    .prepPipeline(numericCols ++ NslKdd.binaryCols ++ oheCols)
+    .fit(standardizeFn(oheApply(labeled)))
+
+  /** M4 OHE (train vocab), M6 standardizer (train stats), M7 assembler,
+    * M8 indexer, M9 slicer by name — all train-fitted, applied to `df`.
+    */
+  private def prepare(df: DataFrame): DataFrame =
+    FeaturePrep.slicer(featureSelection)
+      .transform(prepModel.transform(standardizeFn(oheApply(df))))
       .select("id", "labels2", "labels2_index", "labels5", "features")
-      .cache()
-  }
+
+  private lazy val prepared: DataFrame = prepare(labeled).cache()
 
   test("labels pipeline: frequencyDesc indexing puts normal at 0.0 on train") {
     val idx = labeled.select("labels2", "labels2_index").distinct().collect()
@@ -166,6 +173,36 @@ class NslKddPipelineSpec extends SparkTestBase {
     assert(m.accuracy > 0.8, s"accuracy ${m.accuracy}")
     assert(m.detectionRate > 0.7, s"DR ${m.detectionRate}")
     assert(m.far < 0.25, s"FAR ${m.far}")
+    model.clearScoringCache()
+  }
+
+  test("cross-dataset transfer: train-fitted prep + model score KDDTest+ (unseen categories)") {
+    val testRaw = NslKddSource.load(spark, SparkTestBase.kddTestPath)
+    val testLabeled = label(testRaw)
+    // the test set has service values absent from train (SURVEY §7.4-6);
+    // the train-vocab OHE maps them to all-zero rows instead of failing
+    val trainServices = labeled.select("service").distinct().collect().map(_.getString(0)).toSet
+    val unseen = testLabeled.select("service").distinct().collect().map(_.getString(0))
+      .count(s => !trainServices.contains(s))
+    assert(unseen > 0, "fixture sanity: test set should contain unseen services")
+
+    val testPrepared = prepare(testLabeled)
+    assert(testPrepared.count() === 22544L)
+
+    val cc = new ClusteredClassifier(k = 4, numTrees = 20, maxDepth = 5,
+      seed = seed, kmeansInitSteps = 2)
+    val model = cc.fit(prepared)
+    val scored = model.transform(testPrepared)
+    assertScoring(scored, 22544L)
+    val m = Metrics.binaryMetrics(
+      scored.withColumn("pred", graft.ops.RelationalOps.threshold(col("prob"), 0.5)),
+      "labels2_index", "pred")
+    // cross-dataset is the reference's hard setting (full config: DR ~0.99 /
+    // FAR ~0.15, README.md:1781-1783); a 20-tree config on the 20% sample
+    // must still transfer far above chance
+    assert(m.accuracy > 0.7, s"transfer accuracy ${m.accuracy}")
+    assert(m.detectionRate > 0.55, s"transfer DR ${m.detectionRate}")
+    assert(m.far < 0.2, s"transfer FAR ${m.far}")
     model.clearScoringCache()
   }
 

@@ -277,6 +277,22 @@ class OpsSpec extends SparkTestBase {
     assert(!plan.contains("rangepartitioning"), "top-k must not globally sort")
   }
 
+  test("saltedJoin: identical results to the plain join under a hot key") {
+    // pathological skew: 90% of fact rows share one key
+    val fact = spark.range(1000).toDF("i")
+      .withColumn("k", when(col("i") % 10 === 0, col("i") % 7).otherwise(lit(999L)))
+      .withColumn("v", col("i") * 2)
+    val dim = Seq((999L, "hot"), (0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k")).select("i", "name").collect().toSet
+    val salted = RelationalOps.saltedJoin(fact, dim, "k", salts = 8, factTiebreak = "i")
+      .select("i", "name").collect().toSet
+    assert(salted === plain)
+    // the salted fact side spreads the hot key over multiple salt values
+    val spread = fact.withColumn("__salt", pmod(hash(col("i")), lit(8)))
+      .filter(col("k") === 999L).select("__salt").distinct().count()
+    assert(spread > 1)
+  }
+
   test("rollingFingerprint: stable content signature columns") {
     val fp = TextOps.rollingFingerprint(col("text"))(docsDf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
