@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, Md5Hash60}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions. Enable with
@@ -21,6 +21,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "dot_f takes exactly 2 arguments")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_hash60"),
+      new ExpressionInfo(classOf[Md5Hash60].getName, "md5_hash60",
+        "md5_hash60(x) - first 60 bits of md5(x) as a long " +
+          "(= ('0x'||substring(md5(x),1,15))::BIGINT)"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "md5_hash60 takes exactly 1 argument")
+        Md5Hash60(children.head)
       }))
   }
 }

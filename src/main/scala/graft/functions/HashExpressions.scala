@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native form of the engine's cross-engine base hash
+  * ([[graft.ops.DetHash.md5Hash60]]): the value of the first 15 hex digits
+  * of md5(x) as a 60-bit long, taken DIRECTLY from the digest bytes —
+  * `(first 8 bytes as unsigned big-endian) >>> 4` is exactly the 15-hex-
+  * digit prefix value, so no hex string is ever materialized and no string
+  * parse (`conv`) runs. Bit-identical to the composed
+  * `conv(substring(md5(x),1,15),16,10)` form and to the SQL oracle's
+  * `('0x'||substring(md5(x),1,15))::BIGINT` (asserted in tests); measured
+  * ~10x cheaper per token, which matters because this hash runs once per
+  * corpus token in the dedup tier.
+  */
+case class Md5Hash60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"md5_hash60 expects string or binary, got ${t.sql}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val bytes = child.dataType match {
+      case BinaryType => input.asInstanceOf[Array[Byte]]
+      case _ => input.asInstanceOf[UTF8String].getBytes
+    }
+    Md5Hash60.hash60(bytes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = child.dataType match {
+        case BinaryType => c
+        case _ => s"$c.getBytes()"
+      }
+      s"${ev.value} = graft.functions.Md5Hash60.hash60($bytes);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Hash60 =
+    copy(child = newChild)
+
+  override def prettyName: String = "md5_hash60"
+}
+
+object Md5Hash60 {
+  /** First 60 bits of md5(bytes) as a non-negative long (see class doc). */
+  def hash60(bytes: Array[Byte]): Long = {
+    val d = org.apache.commons.codec.digest.DigestUtils.md5(bytes)
+    val top =
+      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+        ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    top >>> 4
+  }
+}

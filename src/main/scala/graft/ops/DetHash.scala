@@ -30,9 +30,14 @@ object DetHash {
 
   private val hexLen = 15 // 60 bits
 
-  /** Spark: 60-bit deterministic content hash (see object doc). */
-  def md5Hash60(c: Column): Column =
-    conv(substring(md5(c), 1, hexLen), 16, 10).cast("long")
+  /** Spark: 60-bit deterministic content hash (see object doc) — the native
+    * [[graft.functions.Md5Hash60]] expression (digest bytes → long, no hex
+    * round trip; bit-identical to the composed conv/substring/md5 form).
+    */
+  def md5Hash60(c: Column): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.functions.Md5Hash60(bridge.expression(c)))
+  }
 
   /** DuckDB SQL fragment computing the identical 60-bit hash of `expr`. */
   def sqlMd5Hash60(expr: String): String =

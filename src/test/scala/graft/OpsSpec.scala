@@ -174,6 +174,11 @@ class OpsSpec extends SparkTestBase {
   }
 
   test("DetHash: md5Hash60 matches driver-side md5; planeComponent in [-1,1)") {
+    // native expression == composed conv/substring/md5 form, bit for bit
+    val both = docsDf.select(
+      DetHash.md5Hash60(col("text")).as("native"),
+      conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).count() === 0L)
     val h = docsDf.select(DetHash.md5Hash60(lit("hello")).as("h")).head.getLong(0)
     assert(h === java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")
