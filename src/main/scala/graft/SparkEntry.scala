@@ -288,7 +288,17 @@ object SparkEntry {
         .orderBy(col("window_start"), col("event_type"))),
 
     "q29_sessionization" -> ((s, d) =>
-      EventOps.sessionSummary(t(s, d, "events")).orderBy(col("user_id"))))
+      EventOps.sessionSummary(t(s, d, "events")).orderBy(col("user_id"))),
+
+    // semi-structured: JSON payload column → typed field → aggregation
+    "q34_props_json" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          countDistinct(col("k")).as("n_distinct_k"))
+        .orderBy(col("event_type"))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Every query has an oracle — the hash-based ones
@@ -590,6 +600,12 @@ object SparkEntry {
          |  event_type, count(*) AS n, ${sqlDecSum("value")} AS sum_value
          |FROM events, unnest([0, 1]) AS t(o)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q34_props_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q29_sessionization" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

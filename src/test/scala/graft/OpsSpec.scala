@@ -282,6 +282,17 @@ class OpsSpec extends SparkTestBase {
     assert(!plan.contains("rangepartitioning"), "top-k must not globally sort")
   }
 
+  test("JSON props: from_json typed struct agrees with get_json_object path") {
+    import org.apache.spark.sql.types._
+    val events = Tables(spark, SparkTestBase.sf001, "events")
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val both = events.select(
+      from_json(col("props"), schema).getField("k").as("typed"),
+      get_json_object(col("props"), "$.k").cast("long").as("stringly"))
+    assert(both.filter(col("typed") =!= col("stringly")).count() === 0L)
+    assert(both.filter(col("typed").isNull).count() === 0L)
+  }
+
   test("saltedJoin: identical results to the plain join under a hot key") {
     // pathological skew: 90% of fact rows share one key
     val fact = spark.range(1000).toDF("i")
