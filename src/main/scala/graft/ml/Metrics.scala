@@ -73,7 +73,7 @@ object Metrics {
         sum(when(l === 0.0 && pred === 0.0, 1L).otherwise(0L)).as(s"tn$i"),
         sum(when(l === 1.0 && pred === 0.0, 1L).otherwise(0L)).as(s"fn$i"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).head
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
     thresholds.zipWithIndex.map { case (e, i) =>
       e -> BinaryMetrics(
         tp = row.getAs[Long](s"tp$i"), fp = row.getAs[Long](s"fp$i"),

@@ -24,7 +24,7 @@ object Stats {
       .setInputCols(cols.toArray).setOutputCol("__corr_features")
       .transform(df.select(cols.map(df.col): _*))
     Correlation.corr(assembled, "__corr_features", method)
-      .head.getAs[Matrix](0)
+      .head().getAs[Matrix](0)
   }
 
   /** Seeded train/CV split (reference `randomSplit([0.8, 0.2], seed)`,
