@@ -41,19 +41,6 @@ object DedupOps {
     df.join(winners, Seq(idCol), "inner")
   }
 
-  /** (id, h): one row per (document, shingle window), h = the shingle's
-    * 31-bit integer hash. NOT set-deduplicated (see [[shingleHashSets]]).
-    *
-    * Shape chosen deliberately: each TOKEN is md5-hashed once in the `th`
-    * projection, the window index explodes to rows, and the Horner
-    * combination over `th` is a flat scalar expression evaluated inside
-    * whole-stage codegen. Array-valued alternatives (HOF windows over a
-    * projected array) measured 20x slower here: optimizer rules
-    * (InferFiltersFromGenerate + PushDownPredicates) re-inline the whole
-    * hash chain into pushed-down filters, re-evaluating it per element.
-    * This generator's inferred size-filter only touches the md5-free token
-    * count, so nothing expensive is duplicated.
-    */
   /** (id, th): md5 token-hash arrays, CACHED. The cache is load-bearing
     * twice over: (a) every md5 is computed exactly once even though four
     * separate queries (jaccard / minhash / simhash x2) start from this
@@ -71,6 +58,17 @@ object DedupOps {
     df.select(col(idCol).as("id"), th.as("th")).cache()
   }
 
+  /** (id, h): one row per (document, shingle window), h = the shingle's
+    * 31-bit integer hash. NOT set-deduplicated (see [[shingleHashSets]]).
+    *
+    * Shape chosen deliberately: the window index explodes to rows over the
+    * cached token-hash array, and the Horner combination is a flat scalar
+    * expression inside whole-stage codegen. Array-valued alternatives (HOF
+    * windows over a projected array) measured 20x slower: optimizer rules
+    * (InferFiltersFromGenerate + PushDownPredicates + generate reordering)
+    * re-inline the md5 chain into pushed-down filters or below the explode,
+    * re-hashing every token once per WINDOW.
+    */
   def shingleHashRows(df: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id", shingleK: Int = 3): DataFrame = {
     // windows derive from size(th) — NOT from a re-tokenization — so the
