@@ -308,6 +308,19 @@ class NslKddPipelineSpec extends SparkTestBase {
     trL.unpersist(); cvL.unpersist()
   }
 
+  test("NslKddFlow.run: the whole reference flow in one call (small config, train+test)") {
+    val r = NslKddFlow.run(spark, SparkTestBase.kddTrain20Path,
+      Some(SparkTestBase.kddTestPath),
+      NslKddFlow.Config(k = 4, numTrees = 15, maxDepth = 5, kmeansInitSteps = 2))
+    assert(r.selectedFeatures.nonEmpty)
+    assert(r.cvMetrics.accuracy > 0.9, s"flow CV accuracy ${r.cvMetrics.accuracy}")
+    assert(r.cvMetrics.far < 0.1)
+    val t = r.testMetrics.get
+    assert(t.total === 22544L)
+    assert(t.accuracy > 0.7, s"flow transfer accuracy ${t.accuracy}")
+    assert(Metrics.report(t).contains("detection rate"))
+  }
+
   test("metrics: confusion matrix cells sum to N; report renders") {
     val df = spark.range(100).toDF("i")
       .withColumn("label", (col("i") % 2).cast("double"))
