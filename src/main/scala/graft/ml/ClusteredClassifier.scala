@@ -145,4 +145,63 @@ class ClusteredClassifierModel(
     lastScored.foreach(_.unpersist())
     lastScored = None
   }
+
+  /** Persist to `path` (any Hadoop-visible filesystem): the clusterer and
+    * per-cluster pipelines via spark.ml persistence, the driver-side maps as
+    * a small metadata JSON.
+    */
+  def save(path: String): Unit = {
+    clusterModel.write.overwrite().save(s"$path/clusterer")
+    clusterModels.foreach { case (c, pm) =>
+      pm.write.overwrite().save(s"$path/cluster_$c")
+    }
+    val meta = {
+      val hp = hardcodedProb.map { case (c, p) => s""""$c": $p""" }.mkString("{", ", ", "}")
+      val cs = clusterModels.keys.toSeq.sorted.mkString("[", ", ", "]")
+      val aux = auxCols.map(a => s""""$a"""").mkString("[", ", ", "]")
+      s"""{"labelCol": "$labelCol", "clusters": $cs, "hardcodedProb": $hp, "auxCols": $aux}"""
+    }
+    val spark = org.apache.spark.sql.SparkSession.active
+    val p = new org.apache.hadoop.fs.Path(s"$path/metadata.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(meta.getBytes("UTF-8")) finally out.close()
+  }
+}
+
+object ClusteredClassifierModel {
+
+  /** Load a model previously written by [[ClusteredClassifierModel.save]]. */
+  def load(path: String): ClusteredClassifierModel = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val p = new org.apache.hadoop.fs.Path(s"$path/metadata.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val meta = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    // minimal parse of the flat metadata JSON written by save()
+    def field(name: String): String = {
+      val m = (s""""$name":\\s*("[^"]*"|\\{[^}]*\\}|\\[[^\\]]*\\])""").r
+      m.findFirstMatchIn(meta).map(_.group(1)).getOrElse(
+        throw new IllegalArgumentException(s"metadata.json missing $name"))
+    }
+    val labelCol = field("labelCol").stripPrefix("\"").stripSuffix("\"")
+    val clusters = field("clusters").stripPrefix("[").stripSuffix("]").trim match {
+      case "" => Seq.empty[Int]
+      case s => s.split(",").map(_.trim.toInt).toSeq
+    }
+    val hardcoded = field("hardcodedProb").stripPrefix("{").stripSuffix("}").trim match {
+      case "" => Map.empty[Int, Double]
+      case s => s.split(",").map { kv =>
+        val Array(k, v) = kv.split(":").map(_.trim)
+        k.stripPrefix("\"").stripSuffix("\"").toInt -> v.toDouble
+      }.toMap
+    }
+    val aux = field("auxCols").stripPrefix("[").stripSuffix("]").trim match {
+      case "" => Seq.empty[String]
+      case s => s.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+    }
+    val clusterer = PipelineModel.load(s"$path/clusterer")
+    val perCluster = clusters.map(c => c -> PipelineModel.load(s"$path/cluster_$c")).toMap
+    new ClusteredClassifierModel(clusterer, perCluster, hardcoded, labelCol, aux)
+  }
 }

@@ -308,6 +308,25 @@ class NslKddPipelineSpec extends SparkTestBase {
     trL.unpersist(); cvL.unpersist()
   }
 
+  test("ClusteredClassifierModel save/load round-trip produces identical scores") {
+    val (tr, cv) = Stats.trainCvSplit(prepared, 0.8, seed)
+    val model = new ClusteredClassifier(k = 3, numTrees = 5, maxDepth = 3,
+      seed = seed, kmeansInitSteps = 1).fit(tr)
+    val dir = java.nio.file.Files.createTempDirectory("graft-model").toString
+    model.save(dir)
+    val reloaded = ClusteredClassifierModel.load(dir)
+    assert(reloaded.labelCol === model.labelCol)
+    assert(reloaded.hardcodedProb === model.hardcodedProb)
+    assert(reloaded.clusterModels.keySet === model.clusterModels.keySet)
+    val sample = cv.limit(500).cache()
+    val orig = model.transform(sample).select("id", "prob").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val again = reloaded.transform(sample).select("id", "prob").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(orig === again)
+    model.clearScoringCache(); reloaded.clearScoringCache(); sample.unpersist()
+  }
+
   test("NslKddFlow.run: the whole reference flow in one call (small config, train+test)") {
     val r = NslKddFlow.run(spark, SparkTestBase.kddTrain20Path,
       Some(SparkTestBase.kddTestPath),
