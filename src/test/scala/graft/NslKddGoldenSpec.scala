@@ -116,5 +116,15 @@ class NslKddGoldenSpec extends SparkTestBase {
     assert(ratios("num_shells") > 5.0)
     // threshold semantics: every selected feature's score >= threshold
     assert(selected.forall(f => ratios(f) >= 0.01))
+
+    // per-category recomputation on the filtered (DoS vs normal) train —
+    // the reference recomputes AR per category (README.md:2107,2470,2833);
+    // the category view reweights features vs the 5-class ranking
+    val dosRatios = AttributeRatio.attributeRatios(
+      graft.ml.Ensembles.categoryTrainingSet(ohe, Seq("DoS"), "labels5"),
+      "labels5", numeric, binary)
+    assert(dosRatios.nonEmpty && dosRatios.values.forall(v => !v.isNaN))
+    assert(AttributeRatio.selectFeaturesByAR(dosRatios, 0.05).nonEmpty)
+    assert(dosRatios.toSeq != ratios.toSeq) // different class structure, different ranking
   }
 }
