@@ -242,8 +242,10 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // full-table exact pairs go through the distributed block-nested-loop
+    // (no driver collect); cosinePairsExact stays the in-bucket verifier
     "q25_neardup_cosine" -> ((s, d) =>
-      SimilarityOps.cosinePairsExact(t(s, d, "embeddings"), 0.4)
+      SimilarityOps.cosinePairsBlocked(t(s, d, "embeddings"), 0.4)
         .orderBy(col("a"), col("b"))),
 
     "q26_lsh_ann_topk" -> ((s, d) =>
@@ -603,7 +605,7 @@ object SparkEntry {
 
     "q34_props_json" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 

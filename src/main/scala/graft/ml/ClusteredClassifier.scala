@@ -1,7 +1,7 @@
 package graft.ml
 
 import org.apache.spark.ml.{Pipeline, PipelineModel, PipelineStage}
-import org.apache.spark.ml.clustering.{GaussianMixture, KMeans}
+import org.apache.spark.ml.clustering.{GaussianMixture, GaussianMixtureModel, KMeans}
 import org.apache.spark.ml.classification.RandomForestClassifier
 import org.apache.spark.ml.feature.{PCA, StringIndexer, StringIndexerModel}
 import org.apache.spark.ml.functions.vector_to_array
@@ -120,6 +120,7 @@ class ClusteredClassifierModel(
     */
   def transform(df: DataFrame): DataFrame = {
     val clustered = clusterModel.transform(df).drop(auxCols: _*).cache()
+    lastScored.foreach(_.unpersist()) // don't leak the previous scoring cache
     lastScored = Some(clustered)
     val branches = clusterModels.toSeq.sortBy(_._1).map { case (c, pm) =>
       // index of "attack" in this cluster's label order (reference maj_label
@@ -139,6 +140,24 @@ class ClusteredClassifierModel(
   }
 
   @transient private var lastScored: Option[DataFrame] = None
+
+  /** The fitted GaussianMixture inside the clusterer pipeline, if this model
+    * was trained in `gm` mode (None in kmeans mode).
+    */
+  def gaussianMixture: Option[GaussianMixtureModel] =
+    clusterModel.stages.collectFirst { case g: GaussianMixtureModel => g }
+
+  /** GM mixing weights (k values summing to 1) — the introspection the
+    * reference performs right after the GM fit (`README.md:1841-1844`,
+    * `model.weights`). Empty in kmeans mode.
+    */
+  def gmWeights: Array[Double] =
+    gaussianMixture.map(_.weights).getOrElse(Array.empty)
+
+  /** One row per mixture component with its mean vector and covariance
+    * matrix — the reference's `model.gaussiansDF` (`README.md:1841-1844`).
+    */
+  def gmGaussians: Option[DataFrame] = gaussianMixture.map(_.gaussiansDF)
 
   /** Release the cached clustering pass from the most recent [[transform]]. */
   def clearScoringCache(): Unit = {

@@ -69,6 +69,28 @@ object Ensembles {
   def stackFeatures(base: DataFrame, preds: DataFrame, idCol: String = "id"): DataFrame =
     RelationalOps.scoreJoin(base, preds, idCol)
 
+  /** The FULL stack-RF (reference `README.md:3597-3620`): the stacked
+    * feature vector is the per-model prediction columns PLUS the AR≥1.5
+    * slice of the base feature vector — slicer → assembler(preds +
+    * `rf_features`) → VectorIndexer(maxCategories=2) → RF(500×20, "auto").
+    * Train on CV predictions, score the test predictions, like the
+    * reference's `stack_rf` pipeline.
+    */
+  def stackRfPipeline(predCols: Seq[String], slicedFeatureNames: Seq[String],
+                      labelIdxCol: String,
+                      featuresInputCol: String = "indexed_features",
+                      numTrees: Int = 500, maxDepth: Int = 20,
+                      seed: Long = 4667979835606274383L): Pipeline =
+    new Pipeline().setStages(Array(
+      FeaturePrep.slicer(slicedFeatureNames, featuresInputCol, "rf_features"),
+      new VectorAssembler().setInputCols((predCols :+ "rf_features").toArray)
+        .setOutputCol("pred_raw"),
+      new VectorIndexer().setInputCol("pred_raw").setOutputCol("pred_features")
+        .setMaxCategories(2),
+      new RandomForestClassifier().setLabelCol(labelIdxCol)
+        .setFeaturesCol("pred_features").setNumTrees(numTrees)
+        .setMaxDepth(maxDepth).setFeatureSubsetStrategy("auto").setSeed(seed)))
+
   /** Per-category training subset: the category's rows vs normal (reference
     * `README.md:2039,2402,2765` — `labels5 == 'DoS' OR labels5 == 'normal'`;
     * R2L and U2R are trained together, hence a category *set*).

@@ -53,10 +53,14 @@ object FeaturePrep {
     * nominal column); unseen test categories simply produce all-zero rows,
     * matching the reference's use-train-columns-only note
     * (`README.md:1106`). Pure when-expressions → whole-stage codegen.
+    * All vocabularies come from ONE aggregate job (a collect_set per
+    * column), not one distinct-collect job per column.
     */
   def oheFlat(train: DataFrame, nominalCols: Seq[String]): (DataFrame => DataFrame, Seq[String]) = {
+    val setAggs = nominalCols.map(c => collect_set(col(c)).as(c))
+    val row = train.agg(setAggs.head, setAggs.tail: _*).first()
     val vocab: Seq[(String, Seq[String])] = nominalCols.map { c =>
-      c -> train.select(col(c)).distinct().collect().map(_.getString(0)).toSeq.sorted
+      c -> row.getSeq[String](row.fieldIndex(c)).toSeq.sorted
     }
     val outCols = vocab.flatMap { case (c, vs) => vs.map(v => s"${c}_$v") }
     val apply = (df: DataFrame) => {

@@ -22,6 +22,27 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  /** Every DataFrame this object caches, so callers can release them.
+    * Verify/Bench call [[unpersistTokenHashes]] after the dedup query block;
+    * library users running dedup over a large corpus should do the same
+    * (the token-hash cache is O(corpus tokens) of executor memory).
+    */
+  private val cachedFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def registerCache(df: DataFrame): DataFrame = {
+    cachedFrames.synchronized { cachedFrames += df }
+    df.cache()
+  }
+
+  /** Releases every cache this object created ([[tokenHashes]] and the
+    * shingle-row cache inside [[minHashVerifiedPairs]]). Idempotent.
+    */
+  def unpersistTokenHashes(blocking: Boolean = false): Unit =
+    cachedFrames.synchronized {
+      cachedFrames.foreach(f => try f.unpersist(blocking) catch { case _: Throwable => () })
+      cachedFrames.clear()
+    }
+
   /** Exact dedup summary: one row per distinct content digest with the
     * representative (minimum) id and the duplicate count.
     */
@@ -55,7 +76,7 @@ object DedupOps {
                   idCol: String = "doc_id"): DataFrame = {
     val th = transform(TextOps.tokens(col(textCol)),
       t => DetHash.md5Hash60(t) % lit(DetHash.P))
-    df.select(col(idCol).as("id"), th.as("th")).cache()
+    registerCache(df.select(col(idCol).as("id"), th.as("th")))
   }
 
   /** (id, h): one row per (document, shingle window), h = the shingle's
@@ -153,7 +174,7 @@ object DedupOps {
                            maxBucket: Int = 1000): DataFrame = {
     // reused by the signature pass and both sides of the rerank join —
     // materialize once (at scale this is the persisted shingle-hash table)
-    val rows = shingleHashRows(df, textCol, idCol, shingleK).cache()
+    val rows = registerCache(shingleHashRows(df, textCol, idCol, shingleK))
     val cand = minHashCandidates(minHashSigs(rows, k), k, bands, maxBucket)
     val hashed = rows.distinct().groupBy(col("id"))
       .agg(collect_list(col("h")).as("hs"), count(lit(1)).as("sz"))
@@ -197,9 +218,18 @@ object DedupOps {
   /** SimHash near-dup retrieval: all pairs with Hamming distance ≤ `maxDist`
     * via banded bucketing — the 60-bit fingerprint splits into maxDist+1
     * bands, and by pigeonhole any pair within `maxDist` collides on at least
-    * one whole band, so recall is EXACT (not probabilistic). Shuffle key =
-    * (band_idx, band_bits); exact bit_count check inside buckets; distinct
-    * over bands. The brute-force O(n²) equivalent exists only in the oracle.
+    * one whole band. Shuffle key = (band_idx, band_bits); exact bit_count
+    * check inside buckets; distinct over bands. The brute-force O(n²)
+    * equivalent exists only in the oracle.
+    *
+    * Skew guard: a (band_idx, band_bits) bucket with more than `maxBucket`
+    * members is DROPPED before the self-join (it would emit O(bucket²) join
+    * rows — the classic degenerate case is a corpus of mass-duplicated or
+    * near-empty documents all sharing a band value). Recall caveat: recall
+    * is exact by pigeonhole for pairs that share at least one non-dropped
+    * band; a pair whose every shared band is over the cap is missed. On
+    * non-pathological corpora no bucket approaches the cap and the output is
+    * the exact pair set.
     */
   def simHashNearDupPairs(fingerprints: DataFrame, maxDist: Int = 5,
                           bits: Int = 60, maxBucket: Int = 10000): DataFrame = {
@@ -212,9 +242,13 @@ object DedupOps {
     }
     val banded = fingerprints.select(col("id"), col("simhash"),
       posexplode(array((0 until nBands).map(bandOf): _*)).as(Seq("band_idx", "band_bits")))
-    val l = banded.select(col("band_idx"), col("band_bits"),
+    val hot = banded.groupBy(col("band_idx"), col("band_bits"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucket)
+      .select(col("band_idx"), col("band_bits"))
+    val kept = banded.join(broadcast(hot), Seq("band_idx", "band_bits"), "left_anti")
+    val l = kept.select(col("band_idx"), col("band_bits"),
       col("id").as("a"), col("simhash").as("fa"))
-    val r = banded.select(col("band_idx"), col("band_bits"),
+    val r = kept.select(col("band_idx"), col("band_bits"),
       col("id").as("b"), col("simhash").as("fb"))
     l.join(r, Seq("band_idx", "band_bits"))
       .filter(col("a") < col("b"))
@@ -236,16 +270,21 @@ object DedupOps {
                    maxDf: Long = 100000L): DataFrame = {
     val rows = shingleHashRows(df, textCol, idCol, shingleK).distinct()
     val sized = rows.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inv = rows.join(sized, Seq("id")).select(col("id"), col("sz"), col("h").as("tok"))
+    val inv = rows.select(col("id"), col("h").as("tok"))
     val dfCounts = inv.groupBy(col("tok")).agg(count(lit(1)).as("tok_df"))
     val capped = inv
       .join(broadcast(dfCounts.filter(col("tok_df") > maxDf)), Seq("tok"), "left_anti")
-    val l = capped.select(col("tok"), col("id").as("a"), col("sz").as("sza"))
-    val r = capped.select(col("tok"), col("id").as("b"), col("sz").as("szb"))
+    // the self-join carries ONLY (tok, id) int pairs — set sizes rejoin
+    // AFTER the pair aggregation (one row per doc vs one per inverted row;
+    // AQE broadcasts it while small)
+    val l = capped.select(col("tok"), col("id").as("a"))
+    val r = capped.select(col("tok"), col("id").as("b"))
     l.join(r, Seq("tok"))
       .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b"), col("sza"), col("szb"))
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("inter"))
+      .join(sized.select(col("id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sized.select(col("id").as("b"), col("sz").as("szb")), Seq("b"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jaccard") >= lit(minJaccard))

@@ -92,18 +92,19 @@ object SimilarityOps {
     * and this as the in-bucket verifier.
     */
   def cosinePairsExact(df: DataFrame, minCos: Double,
-                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       maxRows: Long = 1L << 20): DataFrame = {
     // Dense all-pairs is linear algebra, not relational algebra: any join
     // formulation evaluates the 64-dim dot as an interpreted per-pair
     // expression (~35 µs/pair measured — both nested-loop conditions and
     // non-codegen'd hash-join conditions). mapPartitions with a broadcast
     // corpus runs the same arithmetic as a tight JVM loop, ~100x faster,
-    // with IDENTICAL results: double accumulation left-to-right in index
-    // order, exactly like the expression form and the SQL oracle.
-    // One corpus copy rides the broadcast (dim·n floats — fine to ~10^6
-    // vectors); each partition scans its rows against it. Quadratic by
-    // nature — at corpus scale this is the in-bucket verifier under
-    // LSH/banded candidate generation, not a full-table tool.
+    // with IDENTICAL results: double accumulation left-to-right in double
+    // precision in index order, exactly like the expression form and the
+    // SQL oracle. One corpus copy rides the broadcast (dim·n floats);
+    // each partition scans its rows against it. Quadratic by nature — at
+    // corpus scale this is the in-bucket verifier under LSH/banded
+    // candidate generation; [[cosinePairsBlocked]] is the full-table form.
     import df.sparkSession.implicits._
     val ds = df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
@@ -112,6 +113,13 @@ object SimilarityOps {
       while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
       math.sqrt(s)
     }
+    // fail fast instead of silently OOMing the driver: this operator's
+    // contract is a driver-collected broadcast corpus (in-bucket verifier)
+    val n = ds.count()
+    require(n <= maxRows,
+      s"cosinePairsExact collects the corpus to the driver and is bounded " +
+        s"to maxRows=$maxRows vectors (got $n); use cosinePairsBlocked for " +
+        s"full-table exact pairs at scale")
     val corpus = ds.collect().sortBy(_._1)
     val bc = df.sparkSession.sparkContext.broadcast(
       corpus.map { case (id, v) => (id, v, l2(v)) })
@@ -127,6 +135,59 @@ object SimilarityOps {
         }
       }
     }.toDF("a", "b", "cos")
+  }
+
+  /** ALL near-duplicate pairs with cosine ≥ `minCos`, exact and FULLY
+    * DISTRIBUTED: block-nested-loop join over `nBlocks` deterministic
+    * id-hash blocks. Each of the nBlocks·(nBlocks+1)/2 block pairs is one
+    * task-sized unit of work: both blocks arrive as grouped vector arrays
+    * and a tight JVM loop scores the cross product — the same
+    * left-to-right double accumulation as [[cosinePairsExact]] and the SQL
+    * oracle, so the output is bit-identical to both.
+    *
+    * Nothing is collected to the driver. Shuffle cost is corpus × nBlocks
+    * (each block participates in nBlocks block-pairs); per-task memory is
+    * two blocks. Pick nBlocks so corpus/nBlocks fits a task comfortably —
+    * work grows O(n²) with corpus size (inherent to exact all-pairs), but
+    * parallelism grows O(nBlocks²) with no driver bottleneck.
+    */
+  def cosinePairsBlocked(df: DataFrame, minCos: Double, nBlocks: Int = 16,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    import df.sparkSession.implicits._
+    def l2(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    val blocks = df
+      .select(pmod(col(idCol).cast("long"), lit(nBlocks)).as("blk"),
+        struct(col(idCol).cast("long").as("_1"),
+          col(vecCol).cast("array<float>").as("_2")).as("m"))
+      .groupBy(col("blk")).agg(collect_list(col("m")).as("ms"))
+    val lb = blocks.select(col("blk").as("bl"), col("ms").as("ml"))
+    val rb = blocks.select(col("blk").as("br"), col("ms").as("mr"))
+    lb.crossJoin(rb).filter(col("bl") <= col("br"))
+      .as[(Long, Array[(Long, Array[Float])], Long, Array[(Long, Array[Float])])]
+      .flatMap { case (bl, ml, br, mr) =>
+        val same = bl == br
+        val rightNorms = mr.map(m => l2(m._2))
+        ml.iterator.flatMap { case (a, av) =>
+          val na = l2(av)
+          mr.indices.iterator.flatMap { j =>
+            val (b, bv) = mr(j)
+            if (same && b <= a) Iterator.empty
+            else {
+              var dp = 0.0; var i = 0
+              while (i < av.length) { dp += av(i).toDouble * bv(i).toDouble; i += 1 }
+              val cos = dp / (na * rightNorms(j))
+              if (cos >= minCos)
+                Iterator.single((math.min(a, b), math.max(a, b), cos))
+              else Iterator.empty
+            }
+          }
+        }
+      }.toDF("a", "b", "cos")
   }
 
   /** Sign-random-projection bucket id for one LSH table: `nPlanes` sign bits
@@ -157,15 +218,25 @@ object SimilarityOps {
     * (table, bucket) and the candidate pair ids — never all pairs; the
     * vectors rejoin the candidates via broadcast-able id lookups. Recall
     * grows with nTables; precision is exact (rerank is true cosine).
+    *
+    * Skew guard: a (table, bucket) with more than `maxBucket` members is
+    * dropped before the candidate self-join (O(bucket²) rows otherwise —
+    * the degenerate case is a corpus of near-identical vectors all landing
+    * in one bucket). ANN is approximate by contract, so the cap only trades
+    * a little recall on pathological corpora for a bounded plan.
     */
   def lshTopK(df: DataFrame, k: Int, nPlanes: Int = 12, nTables: Int = 4,
               dim: Int = 64, idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding", maxBucket: Int = 10000): DataFrame = {
     val banded = df.select(col(idCol).as("id"),
       posexplode(array((0 until nTables).map(t =>
         srpBucket(col(vecCol), nPlanes, t, dim)): _*)).as(Seq("tbl", "bucket")))
-    val cand = banded.select(col("tbl"), col("bucket"), col("id").as("query_id"))
-      .join(banded.select(col("tbl"), col("bucket"), col("id").as("neighbor_id")),
+    val hot = banded.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucket)
+      .select(col("tbl"), col("bucket"))
+    val kept = banded.join(broadcast(hot), Seq("tbl", "bucket"), "left_anti")
+    val cand = kept.select(col("tbl"), col("bucket"), col("id").as("query_id"))
+      .join(kept.select(col("tbl"), col("bucket"), col("id").as("neighbor_id")),
         Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id")).distinct()
@@ -255,5 +326,57 @@ object SimilarityOps {
         top.iterator.zipWithIndex.map { case ((nid, cos), r) => (qid, nid, cos, r + 1) }
       }
     }.toDF("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Fully distributed IVF ANN: same coarse-quantizer semantics as
+    * [[ivfTopK]], but the inverted file NEVER touches the driver — only the
+    * fitted centroids (a model, nCells·dim doubles) are broadcast. Cell
+    * membership stays a DataFrame keyed by `cell`; each query explodes to
+    * its `nProbe` nearest cells and the probe ⋈ member join shuffles on the
+    * cell key, followed by a codegen'd cosine rerank and a partitioned
+    * top-k. This is the shape that holds past 10^6 vectors: the index is a
+    * (bucketed) table, the probe join replaces the broadcast map, and
+    * scoring work is n · nProbe/nCells of the corpus per query.
+    */
+  def ivfTopKDistributed(df: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 4,
+                         seed: Long = 4667979835606274383L,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("v"))
+      .withColumn("fv", array_to_vector(col("v").cast("array<double>")))
+    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+    val model = km.fit(vecs)
+    val centers = model.clusterCenters.map(_.toArray)
+    val members = model.transform(vecs)
+      .select(col("cell"), col("id").as("neighbor_id"), col("v").as("cv"))
+    val bcCenters = df.sparkSession.sparkContext.broadcast(centers)
+    // (query_id, cell) probe list: nProbe nearest centroids per query —
+    // centroid distances are model-sized work, computed executor-side
+    val probes = vecs.select(col("id"), col("v")).as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cents = bcCenters.value
+        rows.flatMap { case (qid, qv) =>
+          val dists = cents.zipWithIndex.map { case (c, ci) =>
+            var s = 0.0; var j = 0
+            while (j < qv.length) { val d = qv(j) - c(j); s += d * d; j += 1 }
+            (s, ci)
+          }
+          dists.sortBy(_._1).take(nProbe).iterator.map { case (_, ci) => (qid, ci) }
+        }
+      }.toDF("query_id", "cell")
+    val q = vecs.select(col("id").as("query_id"), col("v").as("qv"))
+    val scored = probes.join(q, Seq("query_id"))
+      .join(members, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineF(col("qv"), col("cv")).as("cos"))
+    RelationalOps.topKPerGroup(scored, Seq("query_id"),
+        Seq(col("cos").desc, col("neighbor_id").asc), k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn").as("rank"))
   }
 }

@@ -24,7 +24,7 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      if (!spark.conf.getOption(nanosKey).contains("true"))
+      if (spark.conf.getOption(nanosKey).isEmpty)
         spark.conf.set(nanosKey, "true")
       // ts arrives as raw long nanos; truncate to microseconds (integer
       // division — same semantics as a ns→µs timestamp cast).

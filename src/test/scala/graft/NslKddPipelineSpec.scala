@@ -36,12 +36,11 @@ class NslKddPipelineSpec extends SparkTestBase {
 
   private lazy val numericCols = NslKdd.numericCols.filterNot(_ == "num_outbound_cmds")
 
-  private lazy val featureSelection: Seq[String] = {
-    val ohe = oheApply(labeled)
-    val ratios = AttributeRatio.attributeRatios(
-      ohe, "labels5", numericCols, NslKdd.binaryCols ++ oheCols)
-    AttributeRatio.selectFeaturesByAR(ratios, 0.05)
-  }
+  private lazy val arRatios = AttributeRatio.attributeRatios(
+    oheApply(labeled), "labels5", numericCols, NslKdd.binaryCols ++ oheCols)
+
+  private lazy val featureSelection: Seq[String] =
+    AttributeRatio.selectFeaturesByAR(arRatios, 0.05)
 
   // train-fitted prep stages, reusable on any labeled frame
   private lazy val standardizeFn = FeaturePrep.standardize(oheApply(labeled), numericCols)
@@ -173,6 +172,16 @@ class NslKddPipelineSpec extends SparkTestBase {
     assert(m.accuracy > 0.8, s"accuracy ${m.accuracy}")
     assert(m.detectionRate > 0.7, s"DR ${m.detectionRate}")
     assert(m.far < 0.25, s"FAR ${m.far}")
+    // GM introspection, the extraction the reference performs right after the
+    // fit (README.md:1841-1844): k mixing weights summing to 1, and a
+    // gaussiansDF with one (mean, cov) row per component
+    val w = model.gmWeights
+    assert(w.length === 4)
+    assert(math.abs(w.sum - 1.0) < 1e-9, s"weights sum ${w.sum}")
+    assert(w.forall(x => x > 0.0 && x < 1.0))
+    val g = model.gmGaussians.get
+    assert(g.count() === 4L)
+    assert(g.columns.toSeq === Seq("mean", "cov"))
     model.clearScoringCache()
   }
 
@@ -306,6 +315,41 @@ class NslKddPipelineSpec extends SparkTestBase {
     assert(m.detectionRate > 0.8, s"OR-vote DR ${m.detectionRate}")
     assert(m.far < 0.2, s"OR-vote FAR ${m.far}")
     trL.unpersist(); cvL.unpersist()
+  }
+
+  test("full stack-RF: preds + AR>=1.5-sliced features through one RF (README.md:3597-3620)") {
+    val (tr, cv) = Stats.trainCvSplit(prepared, 0.8, seed)
+    val cc = new ClusteredClassifier(k = 3, numTrees = 10, maxDepth = 5,
+      seed = seed, kmeansInitSteps = 2)
+    val model = cc.fit(tr)
+    def preds(df: DataFrame): DataFrame =
+      model.transform(df)
+        .withColumn("pred1", Ensembles.predAt(col("prob"), 0.5))
+        .withColumn("pred2", Ensembles.predAt(col("prob"), 0.05))
+    // the reference's stack slice: AR >= 1.5 features (README.md:3607-3608),
+    // restricted to names present in the prepared vector's attribute metadata
+    val ar15 = AttributeRatio.selectFeaturesByAR(arRatios, 1.5)
+      .filter(featureSelection.contains)
+    assert(ar15.nonEmpty, "AR>=1.5 slice must be non-empty on NSL-KDD")
+    val stack = Ensembles.stackRfPipeline(Seq("pred1", "pred2"), ar15,
+      "labels2_index", featuresInputCol = "features",
+      numTrees = 10, maxDepth = 5, seed = seed)
+    val fitted = stack.fit(preds(tr))
+    val scored = fitted.transform(preds(cv))
+      .withColumn("stack_prob", Ensembles.probOf(col("probability")))
+    // the stacked vector really is preds + sliced features
+    val dim = scored.select("pred_features").head
+      .getAs[org.apache.spark.ml.linalg.Vector](0).size
+    assert(dim === 2 + ar15.length, s"stack vector dim $dim")
+    val m = Metrics.binaryMetrics(
+      scored.withColumn("pred", Ensembles.predAt(col("stack_prob"), 0.5)),
+      "labels2_index", "pred")
+    // reference regime (README.md:3684-3686): stack-RF DR ~0.99 at full
+    // config; a 10-tree config on the in-distribution CV split stays close
+    assert(m.accuracy > 0.9, s"stack accuracy ${m.accuracy}")
+    assert(m.detectionRate > 0.9, s"stack DR ${m.detectionRate}")
+    assert(m.far < 0.1, s"stack FAR ${m.far}")
+    model.clearScoringCache()
   }
 
   test("ClusteredClassifierModel save/load round-trip produces identical scores") {

@@ -93,6 +93,27 @@ class OpsSpec extends SparkTestBase {
     fps.unpersist()
   }
 
+  test("simhash banded near-dup: maxBucket cap bounds a pathological same-band corpus") {
+    // mass-duplicated corpus: every doc identical → one fingerprint → every
+    // band bucket holds all n docs. Uncapped that is n·(n-1)/2 pairs per
+    // band; with the cap the hot buckets are dropped and the plan stays
+    // bounded (documented recall caveat: these pairs are reported only by
+    // the uncapped run).
+    val dup = (0L until 12L).map(i => (i, "the same exact duplicated text again and again"))
+      .toDF("doc_id", "text")
+    val fps = DedupOps.simHash60(DedupOps.shingleHashRows(dup)).cache()
+    val uncapped = DedupOps.simHashNearDupPairs(fps, maxDist = 5, maxBucket = 10000).count()
+    assert(uncapped === 12L * 11L / 2L)
+    val capped = DedupOps.simHashNearDupPairs(fps, maxDist = 5, maxBucket = 5)
+    assert(capped.count() === 0L) // all buckets over the cap → dropped
+    // on a normal corpus the cap never engages: same output either way
+    val normalFps = DedupOps.simHash60(DedupOps.shingleHashRows(docsDf))
+    assert(DedupOps.simHashNearDupPairs(normalFps, maxBucket = 5).collect().toSet
+      === DedupOps.simHashNearDupPairs(normalFps, maxBucket = 10000).collect().toSet)
+    fps.unpersist()
+    DedupOps.unpersistTokenHashes()
+  }
+
   // ---- similarity ----
 
   private def vecsDf = {
@@ -135,6 +156,30 @@ class OpsSpec extends SparkTestBase {
     assert(pairs((0L, 1L)) > 0.99)
   }
 
+  test("cosinePairsExact: fails fast past its driver-collect row bound") {
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.cosinePairsExact(vecsDf, 0.5, maxRows = 2L).collect()
+    }
+    assert(e.getMessage.contains("cosinePairsBlocked"))
+  }
+
+  test("cosinePairsBlocked: bit-identical to the driver-collect exact pairs, no collect") {
+    // a corpus large enough that blocks are non-trivial and pairs span blocks
+    val rnd = new scala.util.Random(11)
+    val data = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(_ => rnd.nextFloat() * 2f - 1f))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    def toSet(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = toSet(SimilarityOps.cosinePairsExact(df, 0.2))
+    val blocked = toSet(SimilarityOps.cosinePairsBlocked(df, 0.2, nBlocks = 7))
+    assert(blocked.keySet === exact.keySet)
+    // bit-identical cosines (same left-to-right double accumulation)
+    exact.foreach { case (k, v) => assert(blocked(k) === v, s"pair $k") }
+    assert(exact.nonEmpty)
+  }
+
   test("bruteForceTopK: correct ranking with deterministic tiebreak") {
     val top = SimilarityOps.bruteForceTopK(vecsDf, vecsDf.filter($"vec_id" === 0), 3, dim = 4)
       .collect().map(r => (r.getLong(1), r.getInt(3)))
@@ -171,6 +216,20 @@ class OpsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = ivf.intersect(brute).size.toDouble / brute.size
     assert(recall > 0.95, s"IVF recall $recall")
+
+    // the distributed variant (index never collected to the driver — only
+    // the centroids travel) must hit the same recall bar
+    val ivfDist = SimilarityOps.ivfTopKDistributed(df, k = 3, nCells = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallDist = ivfDist.intersect(brute).size.toDouble / brute.size
+    assert(recallDist > 0.95, s"distributed IVF recall $recallDist")
+  }
+
+  test("lshTopK: tiny maxBucket drops hot buckets but the plan stays bounded") {
+    // maxBucket=1 drops every bucket with >= 2 members → no candidates
+    val none = SimilarityOps.lshTopK(vecsDf, k = 2, nPlanes = 4, nTables = 8,
+      dim = 4, maxBucket = 1)
+    assert(none.count() === 0L)
   }
 
   test("DetHash: md5Hash60 matches driver-side md5; planeComponent in [-1,1)") {
