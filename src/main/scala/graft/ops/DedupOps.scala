@@ -242,10 +242,14 @@ object DedupOps {
     }
     val banded = fingerprints.select(col("id"), col("simhash"),
       posexplode(array((0 until nBands).map(bandOf): _*)).as(Seq("band_idx", "band_bits")))
-    val hot = banded.groupBy(col("band_idx"), col("band_bits"))
-      .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucket)
-      .select(col("band_idx"), col("band_bits"))
-    val kept = banded.join(broadcast(hot), Seq("band_idx", "band_bits"), "left_anti")
+    // bucket-size guard as an unordered window count: ONE pass (no second
+    // aggregation recomputing the fingerprint subtree), and the window's
+    // (band_idx, band_bits) shuffle doubles as the self-join's partitioning,
+    // so both join sides reuse the same exchange
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_bits"))
+    val kept = banded.withColumn("bn", count(lit(1)).over(w))
+      .filter(col("bn") <= maxBucket).drop("bn")
     val l = kept.select(col("band_idx"), col("band_bits"),
       col("id").as("a"), col("simhash").as("fa"))
     val r = kept.select(col("band_idx"), col("band_bits"),
@@ -268,23 +272,23 @@ object DedupOps {
   def jaccardPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                    minJaccard: Double = 0.5, shingleK: Int = 3,
                    maxDf: Long = 100000L): DataFrame = {
-    val rows = shingleHashRows(df, textCol, idCol, shingleK).distinct()
-    val sized = rows.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inv = rows.select(col("id"), col("h").as("tok"))
+    // ONE groupBy(id) with collect_set does dedup + set-sizing together, and
+    // the explode re-attaches (sz) to every inverted row for free — so the
+    // self-join output needs NO post-aggregation joins (a pair-keyed join
+    // over ~n² candidate rows measured as the dominant cost of this query).
+    val sets = shingleHashRows(df, textCol, idCol, shingleK)
+      .groupBy(col("id")).agg(collect_set(col("h")).as("hs"))
+      .select(col("id"), size(col("hs")).as("sz"), col("hs"))
+    val inv = sets.select(col("id"), col("sz"), explode(col("hs")).as("tok"))
     val dfCounts = inv.groupBy(col("tok")).agg(count(lit(1)).as("tok_df"))
     val capped = inv
       .join(broadcast(dfCounts.filter(col("tok_df") > maxDf)), Seq("tok"), "left_anti")
-    // the self-join carries ONLY (tok, id) int pairs — set sizes rejoin
-    // AFTER the pair aggregation (one row per doc vs one per inverted row;
-    // AQE broadcasts it while small)
-    val l = capped.select(col("tok"), col("id").as("a"))
-    val r = capped.select(col("tok"), col("id").as("b"))
+    val l = capped.select(col("tok"), col("id").as("a"), col("sz").as("sza"))
+    val r = capped.select(col("tok"), col("id").as("b"), col("sz").as("szb"))
     l.join(r, Seq("tok"))
       .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b"))
+      .groupBy(col("a"), col("b"), col("sza"), col("szb"))
       .agg(count(lit(1)).as("inter"))
-      .join(sized.select(col("id").as("a"), col("sz").as("sza")), Seq("a"))
-      .join(sized.select(col("id").as("b"), col("sz").as("szb")), Seq("b"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jaccard") >= lit(minJaccard))

@@ -231,10 +231,12 @@ object SimilarityOps {
     val banded = df.select(col(idCol).as("id"),
       posexplode(array((0 until nTables).map(t =>
         srpBucket(col(vecCol), nPlanes, t, dim)): _*)).as(Seq("tbl", "bucket")))
-    val hot = banded.groupBy(col("tbl"), col("bucket"))
-      .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucket)
-      .select(col("tbl"), col("bucket"))
-    val kept = banded.join(broadcast(hot), Seq("tbl", "bucket"), "left_anti")
+    // one-pass bucket-size guard (see DedupOps.simHashNearDupPairs): the
+    // window's shuffle is also the candidate join's partitioning
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tbl"), col("bucket"))
+    val kept = banded.withColumn("bn", count(lit(1)).over(w))
+      .filter(col("bn") <= maxBucket).drop("bn")
     val cand = kept.select(col("tbl"), col("bucket"), col("id").as("query_id"))
       .join(kept.select(col("tbl"), col("bucket"), col("id").as("neighbor_id")),
         Seq("tbl", "bucket"))
