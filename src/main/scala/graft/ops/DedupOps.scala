@@ -106,14 +106,15 @@ object DedupOps {
   }
 
   /** (id, hs, sz): per document, the distinct shingle-hash SET as an array +
-    * its size — the exact-Jaccard rerank format. One (id, h) distinct + one
-    * groupBy; both shuffles carry only integers.
+    * its size — the exact-Jaccard rerank format. ONE integer-keyed shuffle:
+    * collect_set dedups inside the aggregation (a separate distinct pass
+    * would cost a second exchange).
     */
   def shingleHashSets(df: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id", shingleK: Int = 3): DataFrame =
-    shingleHashRows(df, textCol, idCol, shingleK).distinct()
-      .groupBy(col("id"))
-      .agg(collect_list(col("h")).as("hs"), count(lit(1)).as("sz"))
+    shingleHashRows(df, textCol, idCol, shingleK)
+      .groupBy(col("id")).agg(collect_set(col("h")).as("hs"))
+      .select(col("id"), col("hs"), size(col("hs")).cast("long").as("sz"))
 
   /** k-wide MinHash signatures as k columns `s0..s{k-1}` from (id, h)
     * shingle rows: codegen'd `min` aggregates of k integer permutations
@@ -176,8 +177,9 @@ object DedupOps {
     // materialize once (at scale this is the persisted shingle-hash table)
     val rows = registerCache(shingleHashRows(df, textCol, idCol, shingleK))
     val cand = minHashCandidates(minHashSigs(rows, k), k, bands, maxBucket)
-    val hashed = rows.distinct().groupBy(col("id"))
-      .agg(collect_list(col("h")).as("hs"), count(lit(1)).as("sz"))
+    // collect_set = dedup + grouping in one exchange (see shingleHashSets)
+    val hashed = rows.groupBy(col("id")).agg(collect_set(col("h")).as("hs"))
+      .select(col("id"), col("hs"), size(col("hs")).cast("long").as("sz"))
     val a = hashed.select(col("id").as("a"), col("hs").as("hsa"), col("sz").as("sza"))
     val b = hashed.select(col("id").as("b"), col("hs").as("hsb"), col("sz").as("szb"))
     // no broadcast hint: AQE broadcasts the candidate side while it is small,
@@ -204,7 +206,12 @@ object DedupOps {
     val bitCnt = DetHash.simHashPerms.zipWithIndex.map { case ((a, b), i) =>
       sum(DetHash.perm(col("h"), a, b).bitwiseAND(lit(1L))).as(s"c$i")
     }
-    val counted = rows.distinct().groupBy(col("id"))
+    // dedup via collect_set + re-explode instead of a distinct pass: the
+    // explode preserves the id-hash partitioning, so the parity aggregation
+    // runs exchange-free on top — ONE shuffle total instead of two
+    val distinctRows = rows.groupBy(col("id")).agg(collect_set(col("h")).as("hs"))
+      .select(col("id"), explode(col("hs")).as("h"))
+    val counted = distinctRows.groupBy(col("id"))
       .agg(count(lit(1)).as("n"), bitCnt: _*)
     val fp = (0 until 60)
       .map(i => when(col(s"c$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
