@@ -252,6 +252,13 @@ object SparkEntry {
       SimilarityOps.lshTopK(t(s, d, "embeddings"), k = 5)
         .orderBy(col("query_id"), col("rank"))),
 
+    // the bucketed near-dup scale path: SRP candidates + exact in-bucket
+    // verify (precision exact, recall = the SRP collision curve — both
+    // sides of the oracle compute identical md5-derived buckets)
+    "q35_srp_neardup" -> ((s, d) =>
+      SimilarityOps.srpNearDupPairs(t(s, d, "embeddings"), 0.45)
+        .orderBy(col("a"), col("b"))),
+
     "q30_simhash_neardup" -> ((s, d) =>
       DedupOps.simHashNearDupPairs(
           DedupOps.simHash60(DedupOps.shingleHashRows(t(s, d, "documents"))))
@@ -560,6 +567,23 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, neighbor_id, cos, rank FROM ranked
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q35_srp_neardup" ->
+      s"""WITH planes AS (${ops.DetHash.sqlPlanesCte(48, 64)}),
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |proj AS (SELECT p.p // 8 AS tbl, p.p % 8 AS i, e.vec_id,
+         |    list_sum(list_transform(list_zip(e.embedding, p.cs), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS pr
+         |  FROM e CROSS JOIN planes p),
+         |b AS (SELECT tbl, vec_id,
+         |    sum(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS bucket
+         |  FROM proj GROUP BY tbl, vec_id),
+         |cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+         |  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
+         |    AND l.vec_id < r.vec_id)
+         |SELECT a, b, cos FROM (
+         |  SELECT c.a, c.b, ${sqlCos("ae", "be")} AS cos
+         |  FROM cand c JOIN e ae ON ae.vec_id = c.a JOIN e be ON be.vec_id = c.b)
+         |WHERE cos >= 0.45 ORDER BY a, b""".stripMargin,
 
     "q24_ann_cosine_topk" ->
       """WITH dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

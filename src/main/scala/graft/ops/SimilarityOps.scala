@@ -330,6 +330,39 @@ object SimilarityOps {
     }.toDF("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Embedding near-duplicate pairs at corpus scale: SRP bucket collisions
+    * generate candidates, a codegen'd exact cosine verifies them — the
+    * composed bucketed shape for tight-threshold near-dup where exact
+    * all-pairs ([[cosinePairsBlocked]]) is too expensive. Precision is
+    * EXACT (every reported pair passes the true-cosine test); recall is
+    * 1-(1-(1-θ/π)^nPlanes)^nTables per pair — near 1 for true near-dups
+    * (θ→0) and deliberately low for unrelated vectors. All SRP randomness
+    * is md5-derived, so the SQL oracle reproduces identical buckets.
+    * Same hot-bucket window guard as [[lshTopK]].
+    */
+  def srpNearDupPairs(df: DataFrame, minCos: Double, nPlanes: Int = 8,
+                      nTables: Int = 6, dim: Int = 64,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      maxBucket: Int = 10000): DataFrame = {
+    val banded = df.select(col(idCol).as("id"),
+      posexplode(array((0 until nTables).map(t =>
+        srpBucket(col(vecCol), nPlanes, t, dim)): _*)).as(Seq("tbl", "bucket")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tbl"), col("bucket"))
+    val kept = banded.withColumn("bn", count(lit(1)).over(w))
+      .filter(col("bn") <= maxBucket).drop("bn")
+    val cand = kept.select(col("tbl"), col("bucket"), col("id").as("a"))
+      .join(kept.select(col("tbl"), col("bucket"), col("id").as("b")),
+        Seq("tbl", "bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val va = df.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val vb = df.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    cand.join(va, Seq("a")).join(vb, Seq("b"))
+      .select(col("a"), col("b"), cosineF(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= lit(minCos))
+  }
+
   /** Fully distributed IVF ANN: same coarse-quantizer semantics as
     * [[ivfTopK]], but the inverted file NEVER touches the driver — only the
     * fitted centroids (a model, nCells·dim doubles) are broadcast. Cell

@@ -225,6 +225,27 @@ class OpsSpec extends SparkTestBase {
     assert(recallDist > 0.95, s"distributed IVF recall $recallDist")
   }
 
+  test("srpNearDupPairs: exact precision, high recall on true near-dups") {
+    // 3 tight clusters: in-cluster cosines ~1 (θ→0 ⇒ SRP collision prob →1),
+    // cross-cluster cosines ~0
+    val rnd = new scala.util.Random(13)
+    val data = (0 until 24).map { i =>
+      val c = i % 3
+      val base = Array.tabulate(6)(j => if (j == c) 10.0f else 0.0f)
+      (i.toLong, base.map(x => x + rnd.nextFloat() * 0.05f))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val got = SimilarityOps.srpNearDupPairs(df, 0.9, nPlanes = 8, nTables = 6, dim = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val truth = SimilarityOps.cosinePairsBlocked(df, 0.9, nBlocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // precision EXACT: every reported pair is a true pair with the true cosine
+    got.foreach { case (k, v) => assert(truth(k) === v, s"pair $k") }
+    // recall near 1 for θ→0 pairs
+    val recall = got.size.toDouble / truth.size
+    assert(recall > 0.9, s"SRP near-dup recall $recall")
+  }
+
   test("lshTopK: tiny maxBucket drops hot buckets but the plan stays bounded") {
     // maxBucket=1 drops every bucket with >= 2 members → no candidates
     val none = SimilarityOps.lshTopK(vecsDf, k = 2, nPlanes = 4, nTables = 8,

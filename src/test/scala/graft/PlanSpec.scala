@@ -82,6 +82,40 @@ class PlanSpec extends SparkTestBase {
       "zscore joins the 1-row stats via broadcast")
   }
 
+  test("q25/q35: building the plan runs no Spark job (nothing driver-collected)") {
+    // the round-3 q25 collected the corpus to the driver while BUILDING the
+    // DataFrame; the blocked/bucketed plans must be fully lazy
+    // each spark.read.parquet runs one footer-reading job ("parquet at
+    // Tables.scala") — that's the source layer, not the query. Anything
+    // else (a collect/count in an operator) fails the assert.
+    val offending = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val stages = j.stageInfos.map(_.name).mkString(";")
+        if (!stages.contains("parquet at Tables.scala")) offending.add(stages)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Seq("q25_neardup_cosine", "q35_srp_neardup").foreach { q =>
+        SparkEntry.queries(q)(spark, SparkTestBase.sf001)
+          .queryExecution.executedPlan
+      }
+      Thread.sleep(300) // listener bus drain
+      assert(offending.isEmpty,
+        s"plan construction ran jobs — a driver collect is hiding in the query path: $offending")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("q35 SRP near-dup: plane literals, no cartesian, no nested-loop pair scan") {
+    val p = optimized("q35_srp_neardup")
+    assert(!p.contains("md5"), "plane components must be pre-computed literals")
+    val phys = plan("q35_srp_neardup")
+    assert(!phys.contains("CartesianProduct"))
+    assert(!phys.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("flagship entry smoke: returns rows on sf0.001") {
     val df: DataFrame = SparkEntry.entry(spark)
     assert(df.count() > 0)
