@@ -75,6 +75,21 @@ object StreamingEvents {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** Streaming exact dedup with bounded state: keeps one row per key,
+    * holding each key's state only while a duplicate could still arrive
+    * under the watermark (`dropDuplicatesWithinWatermark`), so state is
+    * O(keys per watermark window), not O(stream length). The streaming
+    * counterpart of [[graft.ops.DedupOps.exactDedup]] — dedup a live
+    * document/event feed by content digest before it lands. The caller
+    * picks the key columns (e.g. a content md5 for documents, event_id
+    * for events).
+    */
+  def dedupedWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                             watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Standard sink wiring: append-mode parquet with a checkpoint. */
   def writeParquet(df: DataFrame, outDir: String,
                    checkpointDir: String): DataStreamWriter[Row] =

@@ -78,6 +78,27 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming dedup within watermark: duplicates across micro-batches collapse") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val query = StreamingEvents.dedupedWithinWatermark(mem.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append")
+      .start()
+    try {
+      mem.addData(hour10: _*)
+      query.processAllAvailable()
+      // re-send two of the same events in a later micro-batch, inside the
+      // watermark — dropDuplicatesWithinWatermark must suppress them
+      mem.addData(hour10.take(2): _*)
+      query.processAllAvailable()
+      mem.addData(hour14: _*)
+      query.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids === Array(1L, 2L, 3L, 4L, 5L), s"got ${ids.mkString(",")}")
+    } finally query.stop()
+  }
+
   test("file-based readEventStream processes a landing directory incrementally") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
