@@ -51,9 +51,17 @@ case class Md5Hash60(child: Expression) extends UnaryExpression {
 }
 
 object Md5Hash60 {
+  // one MessageDigest per thread: getInstance does a provider lookup that
+  // roughly doubles the per-token cost of this hash (it runs once per
+  // corpus token); digest(bytes) leaves the instance reset for reuse
+  private val localMd = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** First 60 bits of md5(bytes) as a non-negative long (see class doc). */
   def hash60(bytes: Array[Byte]): Long = {
-    val d = org.apache.commons.codec.digest.DigestUtils.md5(bytes)
+    val d = localMd.get().digest(bytes)
     val top =
       ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
         ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
