@@ -230,9 +230,9 @@ object DedupOps {
     * equivalent exists only in the oracle.
     *
     * Skew guard: a (band_idx, band_bits) bucket with more than `maxBucket`
-    * members is DROPPED before the self-join (it would emit O(bucket²) join
-    * rows — the classic degenerate case is a corpus of mass-duplicated or
-    * near-empty documents all sharing a band value). Recall caveat: recall
+    * members is DROPPED before pair expansion (it would emit O(bucket²)
+    * pair rows — the classic degenerate case is a corpus of mass-duplicated
+    * or near-empty documents all sharing a band value). Recall caveat: recall
     * is exact by pigeonhole for pairs that share at least one non-dropped
     * band; a pair whose every shared band is over the cap is missed. On
     * non-pathological corpora no bucket approaches the cap and the output is
@@ -249,21 +249,22 @@ object DedupOps {
     }
     val banded = fingerprints.select(col("id"), col("simhash"),
       posexplode(array((0 until nBands).map(bandOf): _*)).as(Seq("band_idx", "band_bits")))
-    // bucket-size guard as an unordered window count: ONE pass (no second
-    // aggregation recomputing the fingerprint subtree), and the window's
-    // (band_idx, band_bits) shuffle doubles as the self-join's partitioning,
-    // so both join sides reuse the same exchange
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band_idx"), col("band_bits"))
-    val kept = banded.withColumn("bn", count(lit(1)).over(w))
-      .filter(col("bn") <= maxBucket).drop("bn")
-    val l = kept.select(col("band_idx"), col("band_bits"),
-      col("id").as("a"), col("simhash").as("fa"))
-    val r = kept.select(col("band_idx"), col("band_bits"),
-      col("id").as("b"), col("simhash").as("fb"))
-    l.join(r, Seq("band_idx", "band_bits"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), hamming64(col("fa"), col("fb")).as("hamming"))
+    // bucket members collect into one sorted array per (band, bits) — the
+    // same grouped-bucket shape as minHashCandidates. ONE consumer of the
+    // fingerprint subtree (a self-join computes it once per side — measured
+    // as the dominant cost), one shuffle, the size filter IS the bucket
+    // cap, and the i<j combination explode emits exactly the within-bucket
+    // pairs with a<b for free (members sort by id).
+    val buckets = banded.groupBy(col("band_idx"), col("band_bits"))
+      .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("ms"))
+      .filter(size(col("ms")).between(2, maxBucket))
+    val pairs = buckets.select(explode(flatten(
+      transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + 2, size(col("ms"))),
+          y => struct(x("id").as("a"), y("id").as("b"),
+            hamming64(x("simhash"), y("simhash")).as("hamming")))))).as("p"))
+    pairs
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.hamming").as("hamming"))
       .filter(col("hamming") <= maxDist)
       .distinct()
   }
