@@ -111,4 +111,69 @@ object MultimodalOps {
       }
     }(Encoders.product[DecodedImage])
   }
+
+  /** Resized-payload record: id, target dims, re-encoded bytes. */
+  final case class ResizedImage(id: Long, width: Int, height: Int, payload: Array[Byte])
+
+  /** STUB resize stage: (id, bytes) → (id, targetW, targetH, bytes'). The
+    * plumbing is the production contract — mapPartitions (one scaler context
+    * per partition), binary in/binary out so stages chain, target dims as
+    * driver-side config baked into the closure. The "resize" itself is a
+    * deterministic byte subsample, NOT a real scaler (no codec libs in this
+    * environment); a real impl replaces only the loop body.
+    */
+  def resizeImageStub(df: DataFrame, idCol: String, binCol: String,
+                      targetW: Int, targetH: Int): Dataset[ResizedImage] = {
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    input.mapPartitions { rows =>
+      // real impl: scaler context opens once here
+      val outLen = targetW * targetH
+      rows.map { case (id, bytes) =>
+        // STUB: deterministic subsample to outLen bytes (stride sampling —
+        // the access pattern a nearest-neighbor downscale would have)
+        val out = new Array[Byte](outLen)
+        if (bytes.nonEmpty) {
+          var i = 0
+          while (i < outLen) { out(i) = bytes((i.toLong * bytes.length / outLen).toInt); i += 1 }
+        }
+        ResizedImage(id, targetW, targetH, out)
+      }
+    }(Encoders.product[ResizedImage])
+  }
+
+  /** STUB feature extraction: decoded/resized payload → a `dim`-wide float
+    * embedding, the stage that feeds [[SimilarityOps]] (ANN, near-dup) from
+    * multimodal data. Embeddings are a deterministic byte-histogram
+    * projection, NOT a real model; the contract — mapPartitions batching,
+    * one model context per partition, `array<float>` output compatible with
+    * every SimilarityOps operator — is real.
+    */
+  def extractFeaturesStub(df: DataFrame, idCol: String, binCol: String,
+                          dim: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    input.mapPartitions { rows =>
+      // real impl: model session loads once here
+      rows.map { case (id, bytes) =>
+        val v = new Array[Float](dim)
+        var i = 0
+        while (i < bytes.length) { v((bytes(i) & 0xff) % dim) += 1.0f; i += 1 }
+        val n = math.max(bytes.length, 1).toFloat
+        var j = 0
+        while (j < dim) { v(j) /= n; j += 1 }
+        (id, v)
+      }
+    }.toDF(idCol, "embedding")
+  }
+
+  /** Frame sampling: every `everyN`-th fixed-size chunk (a video keyframe /
+    * audio window subsample pattern). Pure array expression over
+    * [[chunks]] — no decode needed to thin a payload before shipping it to
+    * an expensive stage.
+    */
+  def sampleFrames(bin: Column, frameBytes: Int, everyN: Int): Column =
+    filter(chunks(bin, frameBytes), (_, i) => i % everyN === 0)
 }

@@ -341,6 +341,32 @@ class OpsSpec extends SparkTestBase {
     assert(decoded.forall(d => d.width > 0 && d.height > 0 && d.meanPixel >= 0))
   }
 
+  test("multimodal: resize/feature-extract/frame-sample stages chain with real plumbing") {
+    val payloads = docsDf.select($"doc_id",
+      MultimodalOps.demoPayload($"doc_id", $"text").as("p"))
+    // resize: every row lands at the target dims, payload = W*H bytes
+    val resized = MultimodalOps.resizeImageStub(payloads, "doc_id", "p", 8, 4).collect()
+    assert(resized.length === 6)
+    assert(resized.forall(r => r.width === 8 && r.height === 4 && r.payload.length === 32))
+    // deterministic: same input → same bytes
+    val again = MultimodalOps.resizeImageStub(payloads, "doc_id", "p", 8, 4).collect()
+    assert(resized.map(_.payload.toSeq).toSeq === again.map(_.payload.toSeq).toSeq)
+    // feature extraction: dim-wide array<float> embeddings that feed
+    // SimilarityOps directly (schema-compatible with the embeddings table)
+    val feats = MultimodalOps.extractFeaturesStub(payloads, "doc_id", "p", dim = 16)
+    assert(feats.columns === Array("doc_id", "embedding"))
+    val top = SimilarityOps.bruteForceTopK(
+      feats.withColumnRenamed("doc_id", "vec_id"),
+      feats.withColumnRenamed("doc_id", "vec_id").filter($"vec_id" === 0), 2, dim = 16)
+    assert(top.count() === 2) // the multimodal→similarity chain composes
+    // frame sampling: every Nth chunk, pure expression
+    val frames = payloads.select(
+      MultimodalOps.sampleFrames($"p", 7, 2).as("f"),
+      MultimodalOps.chunks($"p", 7).as("all")).head
+    assert(frames.getSeq[Array[Byte]](0).length ===
+      (frames.getSeq[Array[Byte]](1).length + 1) / 2)
+  }
+
   // ---- relational odds and ends not covered by the oracle queries ----
 
   test("unionAccumulate preserves all rows; linearCombo normalizes weights") {
