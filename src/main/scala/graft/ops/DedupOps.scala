@@ -269,6 +269,47 @@ object DedupOps {
       .distinct()
   }
 
+  /** Exact Jaccard pairs via PREFIX FILTERING — the high-threshold path.
+    * Each set's tokens sort in a single global order (ascending document
+    * frequency, ties by token value — rarest first) and only the first
+    * |s| − ⌈J·|s|⌉ + 1 tokens are indexed: by the prefix-filtering lemma,
+    * two sets with Jaccard ≥ J must share an indexed token, so recall is
+    * EXACT. Candidates then verify with a true intersection over the full
+    * sets. At J=0.8 the index holds ~20% of the corpus tokens — and the
+    * rarest 20%, so postings lists (and the self-join) shrink on corpora
+    * whose hot shingles dominate join output. Measured caveats
+    * (SCALE_NOTES.md): on a mass-duplicated corpus the prefixes of
+    * duplicates coincide, candidates don't shrink, and this is neutral vs
+    * [[jaccardPairs]]; at loose thresholds the lemma keeps ~(1−J) of every
+    * set — use [[jaccardPairs]] below J ≈ 0.3.
+    */
+  def jaccardPairsPrefix(df: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id", minJaccard: Double = 0.8,
+                         shingleK: Int = 3): DataFrame = {
+    val sets = shingleHashSets(df, textCol, idCol, shingleK)
+    val rows = sets.select(col("id"), col("sz"), explode(col("hs")).as("tok"))
+    val dfc = rows.groupBy(col("tok")).agg(count(lit(1)).as("tok_df"))
+    // per doc: tokens in (tok_df, tok) order, keep the prefix
+    val prefLen = (col("sz") - ceil(lit(minJaccard) * col("sz")) + 1).cast("int")
+    val pref = rows.join(dfc, Seq("tok"))
+      .groupBy(col("id"), col("sz"))
+      .agg(sort_array(collect_list(struct(col("tok_df"), col("tok")))).as("st"))
+      .select(col("id"),
+        explode(slice(transform(col("st"), x => x("tok")), lit(1), prefLen)).as("tok"))
+    val cand = pref.select(col("tok"), col("id").as("a"))
+      .join(pref.select(col("tok"), col("id").as("b")), Seq("tok"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val sa = sets.select(col("id").as("a"), col("hs").as("hsa"), col("sz").as("sza"))
+    val sb = sets.select(col("id").as("b"), col("hs").as("hsb"), col("sz").as("szb"))
+    cand.join(sa, Seq("a")).join(sb, Seq("b"))
+      .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= lit(minJaccard))
+      .select(col("a"), col("b"), col("inter"), col("jaccard"))
+  }
+
   /** Exact n-gram (shingle) Jaccard similarity pairs above `minJaccard`, via
     * an inverted index on 60-bit shingle hashes (explode → self-join on the
     * hash → count intersections). Shuffle key = integer shingle hash (never

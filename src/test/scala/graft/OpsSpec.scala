@@ -53,6 +53,25 @@ class OpsSpec extends SparkTestBase {
     assert(!pairs.keys.exists { case (a, b) => a >= b }) // a < b ordering
   }
 
+  test("jaccardPairsPrefix: equals the full inverted-index result (exact recall lemma)") {
+    // high-threshold path must produce the identical pair set and values
+    Seq(0.5, 0.8).foreach { t =>
+      val full = DedupOps.jaccardPairs(docsDf, minJaccard = t, maxDf = Long.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      val pref = DedupOps.jaccardPairsPrefix(docsDf, minJaccard = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      assert(pref === full, s"prefix-filtered pairs diverge at J=$t")
+    }
+    // and on the sf0.001 documents table
+    val docs = Tables(spark, SparkTestBase.sf001, "documents")
+    val full = DedupOps.jaccardPairs(docs, minJaccard = 0.5, maxDf = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pref = DedupOps.jaccardPairsPrefix(docs, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pref === full)
+    assert(full.nonEmpty) // fixture sanity: duplicates exist at J>=0.5
+  }
+
   test("minhash pipeline: verified pairs equal brute-force high-jaccard pairs") {
     val verified = DedupOps.minHashVerifiedPairs(docsDf, minJaccard = 0.8).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
