@@ -230,6 +230,12 @@ object SparkEntry {
       DedupOps.minHashVerifiedPairs(t(s, d, "documents"), minJaccard = 0.8)
         .orderBy(col("a"), col("b"))),
 
+    // prefix-filtered exact Jaccard — same exact pair set as q22 (the
+    // prefix lemma guarantees recall), reached without MinHash banding
+    "q36_jaccard_prefix" -> ((s, d) =>
+      DedupOps.jaccardPairsPrefix(t(s, d, "documents"), minJaccard = 0.8)
+        .orderBy(col("a"), col("b"))),
+
     "q23_simhash" -> ((s, d) =>
       DedupOps.simHash60(DedupOps.shingleHashRows(t(s, d, "documents")))
         .select(col("id").as("doc_id"), col("simhash"))
@@ -507,6 +513,18 @@ object SparkEntry {
     // banding miss probability at J >= 0.8 is ~1e-7, so the verified-pair
     // output must equal the exact set.
     "q22_minhash_neardup" ->
+      s"""WITH $hashedShinglesCte,
+         |inv AS (SELECT id, sz, unnest(hs) AS tok FROM sized)
+         |SELECT l.id AS a, r.id AS b, CAST(count(*) AS BIGINT) AS inter,
+         |  CAST(count(*) AS DOUBLE) / (l.sz + r.sz - count(*)) AS jaccard
+         |FROM inv l JOIN inv r ON l.tok = r.tok AND l.id < r.id
+         |GROUP BY l.id, r.id, l.sz, r.sz
+         |HAVING CAST(count(*) AS DOUBLE) / (l.sz + r.sz - count(*)) >= 0.8
+         |ORDER BY a, b""".stripMargin,
+
+    // identical brute-force oracle as q22: the prefix-filtered plan must
+    // reproduce the exact J >= 0.8 pair set
+    "q36_jaccard_prefix" ->
       s"""WITH $hashedShinglesCte,
          |inv AS (SELECT id, sz, unnest(hs) AS tok FROM sized)
          |SELECT l.id AS a, r.id AS b, CAST(count(*) AS BIGINT) AS inter,
