@@ -384,6 +384,22 @@ class NslKddPipelineSpec extends SparkTestBase {
     assert(Metrics.report(t).contains("detection rate"))
   }
 
+  test("NslKddFlow.runWithEnsembles: per-category RFs + OR-vote + stack-RF in one call") {
+    val r = NslKddFlow.runWithEnsembles(spark, SparkTestBase.kddTrain20Path,
+      None, NslKddFlow.Config(k = 3, numTrees = 10, maxDepth = 5, kmeansInitSteps = 2))
+    val cc = r.base.cvMetrics
+    assert(cc.accuracy > 0.9, s"cc accuracy ${cc.accuracy}")
+    // OR-voting can only raise recall over the single model (reference's
+    // motivation for it, README.md:3141-3144)
+    assert(r.orVoteMetrics.detectionRate >= cc.detectionRate - 1e-12,
+      s"OR-vote DR ${r.orVoteMetrics.detectionRate} < cc DR ${cc.detectionRate}")
+    assert(r.orVoteMetrics.detectionRate > 0.9)
+    // stack-RF in the reference regime on the in-distribution CV split
+    assert(r.stackMetrics.accuracy > 0.9, s"stack accuracy ${r.stackMetrics.accuracy}")
+    assert(r.stackMetrics.detectionRate > 0.9, s"stack DR ${r.stackMetrics.detectionRate}")
+    assert(r.stackMetrics.far < 0.1, s"stack FAR ${r.stackMetrics.far}")
+  }
+
   test("metrics: confusion matrix cells sum to N; report renders") {
     val df = spark.range(100).toDF("i")
       .withColumn("label", (col("i") % 2).cast("double"))
