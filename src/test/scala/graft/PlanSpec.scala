@@ -60,7 +60,8 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("dedup tier never enumerates all pairs: no cartesian/nested-loop joins") {
-    Seq("q21_jaccard_pairs", "q22_minhash_neardup", "q30_simhash_neardup").foreach { q =>
+    Seq("q21_jaccard_pairs", "q22_minhash_neardup", "q30_simhash_neardup",
+        "q36_jaccard_prefix").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
