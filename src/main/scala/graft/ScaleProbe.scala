@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{DedupOps, SimilarityOps}
+import graft.sources.Tables
+
+/** Reproducible source of the SCALE_NOTES.md numbers: replicates the
+  * documents/embeddings tables `factor`× in memory with shifted ids (a
+  * deliberately duplicate-heavy worst case for near-dup output size) and
+  * times the dedup/similarity tier against the replicated corpus.
+  *
+  * Usage:
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_PROBE_FACTOR=10 \
+  *     sbt "runMain graft.ScaleProbe"
+  *
+  * Prints one JSON line of {operator: seconds}. Timing action is a noop
+  * write (see Bench.scala for why count() is not a valid timing action).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_PROBE_FACTOR", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(df: DataFrame, idCol: String): DataFrame =
+      (0 until factor).map { i =>
+        df.withColumn(idCol, col(idCol) + lit(i * 1000000L))
+      }.reduce(_ unionByName _).cache()
+
+    val docs = replicate(Tables(spark, sfDir, "documents"), "doc_id")
+    val emb = replicate(Tables(spark, sfDir, "embeddings"), "vec_id")
+    println(s"probe corpus: ${docs.count()} documents, ${emb.count()} embeddings ($factor x $sfDir)")
+
+    def run(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+    val results = Seq[(String, () => Unit)](
+      "exactDedup" -> (() => run(DedupOps.exactDedupSummary(docs))),
+      "jaccardPairs_J02" -> (() => run(DedupOps.jaccardPairs(docs, minJaccard = 0.02))),
+      "jaccardPairsPrefix_J08" -> (() => run(DedupOps.jaccardPairsPrefix(docs, minJaccard = 0.8))),
+      "minHashVerifiedPairs" -> (() => run(DedupOps.minHashVerifiedPairs(docs))),
+      "simHashNearDupPairs" -> (() => run(
+        DedupOps.simHashNearDupPairs(DedupOps.simHash60(DedupOps.shingleHashRows(docs))))),
+      "cosinePairsBlocked" -> (() => run(SimilarityOps.cosinePairsBlocked(emb, 0.4, nBlocks = 32))),
+      "srpNearDupPairs" -> (() => run(SimilarityOps.srpNearDupPairs(emb, 0.45))),
+      "lshTopK" -> (() => run(SimilarityOps.lshTopK(emb, k = 5))),
+      "ivfTopKDistributed" -> (() => run(SimilarityOps.ivfTopKDistributed(emb, k = 5, nCells = 32)))
+    ).map { case (name, f) =>
+      val t0 = System.nanoTime()
+      try f() catch { case e: Throwable => System.err.println(s"[probe] $name: $e") }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    DedupOps.unpersistTokenHashes()
+    println(results.map { case (k, v) => s"\"$k\":$v" }
+      .mkString(s"""{"factor":$factor,"sf":"$sfDir",""", ",", "}"))
+    spark.stop()
+  }
+}
