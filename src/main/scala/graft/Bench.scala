@@ -31,6 +31,7 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     graft.ops.DedupOps.unpersistTokenHashes()
+    graft.ops.SimilarityOps.unpersistCaches()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -58,6 +58,7 @@ object ScaleProbe {
       name -> (System.nanoTime() - t0) / 1e9
     }
     DedupOps.unpersistTokenHashes()
+    SimilarityOps.unpersistCaches()
     println(results.map { case (k, v) => s"\"$k\":$v" }
       .mkString(s"""{"factor":$factor,"sf":"$sfDir",""", ",", "}"))
     spark.stop()

@@ -24,8 +24,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // release the dedup tier's token-hash/shingle caches
+    // release the dedup/similarity tiers' operator caches
     graft.ops.DedupOps.unpersistTokenHashes()
+    graft.ops.SimilarityOps.unpersistCaches()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -119,8 +119,12 @@ class ClusteredClassifierModel(
     * should `unpersist()` via [[clearScoringCache]] when done.
     */
   def transform(df: DataFrame): DataFrame = {
+    // release the previous scoring cache BEFORE caching the new frame:
+    // unpersisting after would remove the just-created entry when df is the
+    // same frame as last time (CacheManager dedups by canonicalized plan),
+    // and it would kill a not-yet-materialized prior cache mid-use
+    lastScored.foreach(_.unpersist())
     val clustered = clusterModel.transform(df).drop(auxCols: _*).cache()
-    lastScored.foreach(_.unpersist()) // don't leak the previous scoring cache
     lastScored = Some(clustered)
     val branches = clusterModels.toSeq.sortBy(_._1).map { case (c, pm) =>
       // index of "attack" in this cluster's label order (reference maj_label

@@ -148,6 +148,9 @@ object NslKddFlow {
     val predCols = probCols.map(_.replace("_prob", "_pred"))
 
     val cvPreds = withPreds(allProbs(b.cv)).cache()
+    // materialize THROUGH the cv scoring cache now — the eval-side
+    // transform() below releases it (one scoring cache lives at a time)
+    cvPreds.count()
     val evalPreds = testPath match {
       case Some(p) =>
         withPreds(allProbs(b.prepare(b.label(NslKddSource.load(spark, p))))).cache()

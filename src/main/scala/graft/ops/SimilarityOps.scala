@@ -24,6 +24,25 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
+  /** Caches created by the IVF operators (the quantizer input is consumed
+    * by the fit, the member transform, and the query side — without a cache
+    * each consumer re-scans the source). Released via [[unpersistCaches]],
+    * called by Verify/Bench/ScaleProbe after the similarity block.
+    */
+  private val cachedFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def registerCache(df: DataFrame): DataFrame = {
+    cachedFrames.synchronized { cachedFrames += df }
+    df.cache()
+  }
+
+  /** Releases every cache this object created. Idempotent. */
+  def unpersistCaches(blocking: Boolean = false): Unit =
+    cachedFrames.synchronized {
+      cachedFrames.foreach(f => try f.unpersist(blocking) catch { case _: Throwable => () })
+      cachedFrames.clear()
+    }
+
   /** Dot product of two array<float|double> columns (double accumulation). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -114,11 +133,13 @@ object SimilarityOps {
       math.sqrt(s)
     }
     // fail fast instead of silently OOMing the driver: this operator's
-    // contract is a driver-collected broadcast corpus (in-bucket verifier)
-    val n = ds.count()
-    require(n <= maxRows,
+    // contract is a driver-collected broadcast corpus (in-bucket verifier).
+    // limit(maxRows+1) early-exits the scan instead of counting the full
+    // input (a bare count() would evaluate the whole upstream subtree twice)
+    val bound = math.min(maxRows, Int.MaxValue - 1L).toInt
+    require(ds.limit(bound + 1).count() <= maxRows,
       s"cosinePairsExact collects the corpus to the driver and is bounded " +
-        s"to maxRows=$maxRows vectors (got $n); use cosinePairsBlocked for " +
+        s"to maxRows=$maxRows vectors; use cosinePairsBlocked for " +
         s"full-table exact pairs at scale")
     val corpus = ds.collect().sortBy(_._1)
     val bc = df.sparkSession.sparkContext.broadcast(
@@ -266,9 +287,9 @@ object SimilarityOps {
     import df.sparkSession.implicits._
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val vecs = df.select(col(idCol).cast("long").as("id"),
+    val vecs = registerCache(df.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("v"))
-      .withColumn("fv", array_to_vector(col("v").cast("array<double>")))
+      .withColumn("fv", array_to_vector(col("v").cast("array<double>"))))
     val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20)
       .setFeaturesCol("fv").setPredictionCol("cell")
     val model = km.fit(vecs)
@@ -379,9 +400,9 @@ object SimilarityOps {
     import df.sparkSession.implicits._
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val vecs = df.select(col(idCol).cast("long").as("id"),
+    val vecs = registerCache(df.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("v"))
-      .withColumn("fv", array_to_vector(col("v").cast("array<double>")))
+      .withColumn("fv", array_to_vector(col("v").cast("array<double>"))))
     val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20)
       .setFeaturesCol("fv").setPredictionCol("cell")
     val model = km.fit(vecs)

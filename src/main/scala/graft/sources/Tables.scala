@@ -11,9 +11,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Session precondition: `events.ts` is parquet TIMESTAMP(NANOS), which
   * Spark's reader rejects unless `spark.sql.legacy.parquet.nanosAsLong=true`
   * is set. Our entry points (Verify/Bench/tests) set it at session build;
-  * [[apply]] only falls back to setting it when a caller-provided session
-  * left it unset (checked once per session, never overwriting a value —
-  * no mutation race under concurrent queries).
+  * [[apply]] sets it for caller-provided sessions that haven't enabled it.
+  * Note this overrides even an explicit caller `false`: the nanos-typed
+  * events table cannot be read at all without the conf, so "false" and
+  * "unset" both mean the read would throw — callers wanting strict
+  * rejection of nanos timestamps should read the parquet directly. (The
+  * conf is registered with default "false", so an unset value is
+  * indistinguishable from an explicit one through the public conf API.)
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -24,7 +28,7 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      if (spark.conf.getOption(nanosKey).isEmpty)
+      if (!spark.conf.getOption(nanosKey).contains("true"))
         spark.conf.set(nanosKey, "true")
       // ts arrives as raw long nanos; truncate to microseconds (integer
       // division — same semantics as a ns→µs timestamp cast).

@@ -90,11 +90,13 @@ class PlanSpec extends SparkTestBase {
     // Tables.scala") — that's the source layer, not the query. Anything
     // else (a collect/count in an operator) fails the assert.
     val offending = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var sawMarker = false
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         val stages = j.stageInfos.map(_.name).mkString(";")
-        if (!stages.contains("parquet at Tables.scala")) offending.add(stages)
+        if (stages.contains("count at PlanSpec")) sawMarker = true
+        else if (!stages.contains("parquet at Tables.scala")) offending.add(stages)
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -103,7 +105,13 @@ class PlanSpec extends SparkTestBase {
         SparkEntry.queries(q)(spark, SparkTestBase.sf001)
           .queryExecution.executedPlan
       }
-      Thread.sleep(300) // listener bus drain
+      // the listener bus is FIFO: run a marker job and wait for ITS event,
+      // which guarantees any earlier (offending) event was also delivered —
+      // a fixed sleep would race a slow bus
+      spark.sparkContext.range(0, 1).count()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!sawMarker && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(sawMarker, "listener bus never delivered the marker job event")
       assert(offending.isEmpty,
         s"plan construction ran jobs — a driver collect is hiding in the query path: $offending")
     } finally spark.sparkContext.removeSparkListener(listener)
