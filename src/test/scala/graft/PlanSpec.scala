@@ -125,6 +125,14 @@ class PlanSpec extends SparkTestBase {
     assert(!phys.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("driver contract: every query has an oracle and vice versa") {
+    // a key typo would silently downgrade a query to the driver's weaker
+    // rows-only check — the whole point of the oracle map is that it never
+    // happens
+    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
+    assert(SparkEntry.queries.nonEmpty)
+  }
+
   test("flagship entry smoke: returns rows on sf0.001") {
     val df: DataFrame = SparkEntry.entry(spark)
     assert(df.count() > 0)
