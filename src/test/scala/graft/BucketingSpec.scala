@@ -25,9 +25,9 @@ class BucketingSpec extends SparkTestBase {
         s"bucketed join must not shuffle either side:\n${plan.take(800)}")
 
       // same answer as the shuffled join of the raw tables
-      val bucketedAgg = joined.agg(count(lit(1)), sum("l_quantity")).head
+      val bucketedAgg = joined.agg(count(lit(1)), sum("l_quantity")).head()
       val plainAgg = orders.join(lineitem, Seq("o_orderkey"))
-        .agg(count(lit(1)), sum("l_quantity")).head
+        .agg(count(lit(1)), sum("l_quantity")).head()
       assert(bucketedAgg === plainAgg)
     } finally {
       spark.sql("DROP TABLE IF EXISTS orders_b")

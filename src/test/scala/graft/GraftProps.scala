@@ -23,7 +23,7 @@ object GraftProps extends Properties("graft") {
     forAll(moneyGen, Gen.chooseNum(1, 7)) { (xs, parts) =>
       val expected = xs.map(BigDecimal(_)).sum.toDouble
       val got = xs.toDF("x").repartition(parts)
-        .agg(RelationalOps.decSum(col("x")).as("s")).head.getDouble(0)
+        .agg(RelationalOps.decSum(col("x")).as("s")).head().getDouble(0)
       got == expected
     }
 
@@ -32,7 +32,7 @@ object GraftProps extends Properties("graft") {
       (p1, p2, e) =>
         val r = Seq((p1, p2)).toDF("a", "b").select(
           RelationalOps.threshold(col("a"), e).as("ta"),
-          RelationalOps.threshold(col("b"), e).as("tb")).head
+          RelationalOps.threshold(col("b"), e).as("tb")).head()
         val (ta, tb) = (r.getDouble(0), r.getDouble(1))
         // 0/1 outputs, and ordering of scores never inverts the predictions
         val domainOk = Set(0.0, 1.0).contains(ta) && Set(0.0, 1.0).contains(tb)
@@ -49,7 +49,7 @@ object GraftProps extends Properties("graft") {
   property("minhash permutation stays in [0, P) and never overflows") =
     forAll(permGen) { case (a, b, h) =>
       val v = Seq(h).toDF("h").select(DetHash.perm(col("h"), a, b).as("p"))
-        .head.getLong(0)
+        .head().getLong(0)
       v >= 0L && v < DetHash.P
     }
 

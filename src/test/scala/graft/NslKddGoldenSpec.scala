@@ -83,11 +83,11 @@ class NslKddGoldenSpec extends SparkTestBase {
   test("sequential ids are 0..n-1, distinct, stable across actions") {
     val ids = train.select("id")
     assert(ids.distinct().count() === 25192L)
-    val mm = ids.agg(min("id"), max("id")).head
+    val mm = ids.agg(min("id"), max("id")).head()
     assert(mm.getLong(0) === 0L && mm.getLong(1) === 25191L)
     // stable across a second action
     val again = NslKddSource.loadLabeled(spark, SparkTestBase.kddTrain20Path)
-      .select("id").agg(min("id"), max("id"), count("id")).head
+      .select("id").agg(min("id"), max("id"), count("id")).head()
     assert(again.getLong(0) === 0L && again.getLong(1) === 25191L && again.getLong(2) === 25192L)
   }
 

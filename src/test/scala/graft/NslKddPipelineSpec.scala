@@ -76,7 +76,7 @@ class NslKddPipelineSpec extends SparkTestBase {
   test("built-in OHE pipeline variant produces 66+1-wide service vector") {
     val model = new org.apache.spark.ml.Pipeline()
       .setStages(FeaturePrep.oheStages(Seq("service"))).fit(labeled)
-    val v = model.transform(labeled).select("service_vec").head.getAs[Vector](0)
+    val v = model.transform(labeled).select("service_vec").head().getAs[Vector](0)
     // 66 train categories + 1 handleInvalid="keep" slot for unseen test values
     assert(v.size === 67)
   }
@@ -84,7 +84,7 @@ class NslKddPipelineSpec extends SparkTestBase {
   test("standardizer: z-scored columns have mean~0, stddev~1 (README.md:1323-1340)") {
     val standardized = FeaturePrep.standardize(labeled, Seq("count", "src_bytes"))(labeled)
     val row = standardized.agg(
-      avg("count"), stddev("count"), avg("src_bytes"), stddev("src_bytes")).head
+      avg("count"), stddev("count"), avg("src_bytes"), stddev("src_bytes")).head()
     assert(math.abs(row.getDouble(0)) < 1e-9)
     assert(math.abs(row.getDouble(1) - 1.0) < 1e-9)
     assert(math.abs(row.getDouble(2)) < 1e-9)
@@ -93,7 +93,7 @@ class NslKddPipelineSpec extends SparkTestBase {
 
   test("assemble+index+slice: features vector has |AR-selected| dims") {
     assert(featureSelection.nonEmpty)
-    val v = prepared.select("features").head.getAs[Vector](0)
+    val v = prepared.select("features").head().getAs[Vector](0)
     assert(v.size === featureSelection.length)
   }
 
@@ -338,7 +338,7 @@ class NslKddPipelineSpec extends SparkTestBase {
     val scored = fitted.transform(preds(cv))
       .withColumn("stack_prob", Ensembles.probOf(col("probability")))
     // the stacked vector really is preds + sliced features
-    val dim = scored.select("pred_features").head
+    val dim = scored.select("pred_features").head()
       .getAs[org.apache.spark.ml.linalg.Vector](0).size
     assert(dim === 2 + ar15.length, s"stack vector dim $dim")
     val m = Metrics.binaryMetrics(
@@ -409,7 +409,7 @@ class NslKddPipelineSpec extends SparkTestBase {
     assert(m.confusionMatrix.map(_._3).sum === 100L)
     assert(Metrics.report(m).contains("detection rate"))
     val cmDf = Metrics.confusionMatrixDF(df, "label", "pred")
-    assert(cmDf.agg(sum("n")).head.getLong(0) === 100L)
+    assert(cmDf.agg(sum("n")).head().getLong(0) === 100L)
   }
 
   test("M16 threshold sweep: one aggregation, monotone DR/FAR across thresholds (README.md:1767-1783)") {

@@ -160,11 +160,11 @@ class OpsSpec extends SparkTestBase {
     // SQL surface via SparkSessionExtensions (spark.sql.extensions=graft.GraftExtensions)
     val viaSql = spark.sql(
       "SELECT dot_f(CAST(array(1.0, 2.0) AS array<float>), CAST(array(3.0, 4.0) AS array<float>))")
-      .head.getDouble(0)
+      .head().getDouble(0)
     assert(viaSql === 11.0)
     val c01 = vecsDf.filter($"vec_id" === 0).crossJoin(
         vecsDf.filter($"vec_id" === 1).select($"embedding".as("e2")))
-      .select(SimilarityOps.cosineU($"embedding", $"e2", 4).as("c")).head.getDouble(0)
+      .select(SimilarityOps.cosineU($"embedding", $"e2", 4).as("c")).head().getDouble(0)
     assert(c01 > 0.99 && c01 <= 1.0)
   }
 
@@ -278,7 +278,7 @@ class OpsSpec extends SparkTestBase {
       DetHash.md5Hash60(col("text")).as("native"),
       conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("composed"))
     assert(both.filter(col("native") =!= col("composed")).count() === 0L)
-    val h = docsDf.select(DetHash.md5Hash60(lit("hello")).as("h")).head.getLong(0)
+    val h = docsDf.select(DetHash.md5Hash60(lit("hello")).as("h")).head().getLong(0)
     assert(h === java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")
         .digest("hello".getBytes("UTF-8")).map("%02x".format(_)).mkString
