@@ -68,6 +68,23 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q30 plans zero joins; q21 plans exactly one shuffled self-join") {
+    // round-4 shapes: q30's grouped-bucket pair expansion removed the
+    // banded self-join entirely (the fingerprint subtree has ONE consumer);
+    // q21's only join is the inverted-index tok self-join — reintroducing
+    // pair-keyed joins after the aggregation would show up here
+    val p30 = plan("q30_simhash_neardup")
+    assert(!p30.contains("Join"), "q30 must emit in-bucket pairs without a join")
+    val p21 = plan("q21_jaccard_pairs")
+    val joinLines = p21.linesIterator.filter(_.contains("Join")).toSeq
+    val inner = joinLines.count(_.contains(" Inner"))
+    assert(inner === 1, s"q21 must have exactly the tok self-join, got:\n${joinLines.mkString("\n")}")
+    // every other join is the maxDf left-anti guard (it appears once per
+    // self-join side); pair-keyed post-aggregation joins would be Inner
+    assert(joinLines.filterNot(_.contains(" Inner")).forall(_.contains("LeftAnti")),
+      s"unexpected join shape:\n${joinLines.mkString("\n")}")
+  }
+
   test("q26 LSH ANN: SRP plane weights are plan literals (no runtime hashing)") {
     val p = optimized("q26_lsh_ann_topk")
     assert(!p.contains("md5"), "plane components must be pre-computed literals")
