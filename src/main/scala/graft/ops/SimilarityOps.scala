@@ -87,12 +87,18 @@ object SimilarityOps {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int = 64,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    import graft.functions.VectorExpressions.dotF
+    // norms once per VECTOR, not per pair — sqrt(dotF(v,v)) here is the
+    // exact expression cosineF would evaluate inline, so values are
+    // bit-identical while the per-pair work drops to one dot + one divide
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      sqrt(dotF(col(vecCol), col(vecCol))).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      sqrt(dotF(col(vecCol), col(vecCol))).as("cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosineF(col("qv"), col("cv")).as("cos"))
+        (dotF(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
     RelationalOps.topKPerGroup(scored, Seq("query_id"),
         Seq(col("cos").desc, col("neighbor_id").asc), k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn").as("rank"))
@@ -262,11 +268,15 @@ object SimilarityOps {
         Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id")).distinct()
-    val q = df.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val n = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    import graft.functions.VectorExpressions.dotF
+    // per-vector norms (see bruteForceTopK) — bit-identical to cosineF
+    val q = df.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      sqrt(dotF(col(vecCol), col(vecCol))).as("qn"))
+    val n = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      sqrt(dotF(col(vecCol), col(vecCol))).as("cn"))
     val scored = cand.join(q, Seq("query_id")).join(n, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosineF(col("qv"), col("cv")).as("cos"))
+        (dotF(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
     RelationalOps.topKPerGroup(scored, Seq("query_id"),
         Seq(col("cos").desc, col("neighbor_id").asc), k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn").as("rank"))
@@ -376,10 +386,15 @@ object SimilarityOps {
         Seq("tbl", "bucket"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    val va = df.select(col(idCol).as("a"), col(vecCol).as("va"))
-    val vb = df.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    import graft.functions.VectorExpressions.dotF
+    // per-vector norms (see bruteForceTopK) — bit-identical to cosineF
+    val va = df.select(col(idCol).as("a"), col(vecCol).as("va"),
+      sqrt(dotF(col(vecCol), col(vecCol))).as("na"))
+    val vb = df.select(col(idCol).as("b"), col(vecCol).as("vb"),
+      sqrt(dotF(col(vecCol), col(vecCol))).as("nb"))
     cand.join(va, Seq("a")).join(vb, Seq("b"))
-      .select(col("a"), col("b"), cosineF(col("va"), col("vb")).as("cos"))
+      .select(col("a"), col("b"),
+        (dotF(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= lit(minCos))
   }
 
