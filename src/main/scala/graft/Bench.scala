@@ -33,16 +33,14 @@ object Bench {
       SparkEntry.queries.values.foreach(fn =>
         try run(fn(spark, "/root/testdata/sf0.001"))
         catch { case _: Throwable => () })
-      graft.ops.DedupOps.unpersistTokenHashes()
-      graft.ops.SimilarityOps.unpersistCaches()
+      graft.ops.CacheScope.default.release()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try run(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    graft.ops.DedupOps.unpersistTokenHashes()
-    graft.ops.SimilarityOps.unpersistCaches()
+    graft.ops.CacheScope.default.release()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

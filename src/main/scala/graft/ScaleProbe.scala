@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{DedupOps, SimilarityOps}
+import graft.ops.{CacheScope, DedupOps, SimilarityOps}
 import graft.sources.Tables
 
 /** Reproducible source of the SCALE_NOTES.md numbers: replicates the
@@ -41,24 +41,27 @@ object ScaleProbe {
     println(s"probe corpus: ${docs.count()} documents, ${emb.count()} embeddings ($factor x $sfDir)")
 
     def run(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+    // one scope for the whole probe: the dedup operators deliberately share
+    // the token-hash cache across timings (as a pipeline would), released
+    // once at the end
+    val scope = CacheScope()
     val results = Seq[(String, () => Unit)](
       "exactDedup" -> (() => run(DedupOps.exactDedupSummary(docs))),
-      "jaccardPairs_J02" -> (() => run(DedupOps.jaccardPairs(docs, minJaccard = 0.02))),
-      "jaccardPairsPrefix_J08" -> (() => run(DedupOps.jaccardPairsPrefix(docs, minJaccard = 0.8))),
-      "minHashVerifiedPairs" -> (() => run(DedupOps.minHashVerifiedPairs(docs))),
+      "jaccardPairs_J02" -> (() => run(DedupOps.jaccardPairs(docs, minJaccard = 0.02, scope = scope))),
+      "jaccardPairsPrefix_J08" -> (() => run(DedupOps.jaccardPairsPrefix(docs, minJaccard = 0.8, scope = scope))),
+      "minHashVerifiedPairs" -> (() => run(DedupOps.minHashVerifiedPairs(docs, scope = scope))),
       "simHashNearDupPairs" -> (() => run(
-        DedupOps.simHashNearDupPairs(DedupOps.simHash60(DedupOps.shingleHashRows(docs))))),
+        DedupOps.simHashNearDupPairs(DedupOps.simHash60(DedupOps.shingleHashRows(docs, scope = scope))))),
       "cosinePairsBlocked" -> (() => run(SimilarityOps.cosinePairsBlocked(emb, 0.4, nBlocks = 32))),
       "srpNearDupPairs" -> (() => run(SimilarityOps.srpNearDupPairs(emb, 0.45))),
       "lshTopK" -> (() => run(SimilarityOps.lshTopK(emb, k = 5))),
-      "ivfTopKDistributed" -> (() => run(SimilarityOps.ivfTopKDistributed(emb, k = 5, nCells = 32)))
+      "ivfTopKDistributed" -> (() => run(SimilarityOps.ivfTopKDistributed(emb, k = 5, nCells = 32, scope = scope)))
     ).map { case (name, f) =>
       val t0 = System.nanoTime()
       try f() catch { case e: Throwable => System.err.println(s"[probe] $name: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    DedupOps.unpersistTokenHashes()
-    SimilarityOps.unpersistCaches()
+    scope.release()
     println(results.map { case (k, v) => s"\"$k\":$v" }
       .mkString(s"""{"factor":$factor,"sf":"$sfDir",""", ",", "}"))
     spark.stop()

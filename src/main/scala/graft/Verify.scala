@@ -25,8 +25,7 @@ object Verify {
       }
     }
     // release the dedup/similarity tiers' operator caches
-    graft.ops.DedupOps.unpersistTokenHashes()
-    graft.ops.SimilarityOps.unpersistCaches()
+    graft.ops.CacheScope.default.release()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

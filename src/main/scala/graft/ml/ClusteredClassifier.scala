@@ -117,6 +117,14 @@ class ClusteredClassifierModel(
     * K+1 branches all read that cache (visible as one InMemoryTableScan
     * reused per branch in `.explain`). Callers holding the result long-term
     * should `unpersist()` via [[clearScoringCache]] when done.
+    *
+    * CACHE CONTRACT — one scoring cache at a time: each call releases the
+    * PREVIOUS call's scoring cache before caching the new frame. A
+    * DataFrame returned by an earlier `transform` stays correct but loses
+    * its cache backing, so later actions on it silently re-run the full
+    * clustering+RF scoring pass. Materialize (e.g. `count()`/write) or copy
+    * a result you need before scoring another frame — `NslKddFlow` does
+    * exactly this with its `cvPreds.count()`.
     */
   def transform(df: DataFrame): DataFrame = {
     // release the previous scoring cache BEFORE caching the new frame:

@@ -22,27 +22,6 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  /** Every DataFrame this object caches, so callers can release them.
-    * Verify/Bench call [[unpersistTokenHashes]] after the dedup query block;
-    * library users running dedup over a large corpus should do the same
-    * (the token-hash cache is O(corpus tokens) of executor memory).
-    */
-  private val cachedFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-
-  private def registerCache(df: DataFrame): DataFrame = {
-    cachedFrames.synchronized { cachedFrames += df }
-    df.cache()
-  }
-
-  /** Releases every cache this object created ([[tokenHashes]] and the
-    * shingle-row cache inside [[minHashVerifiedPairs]]). Idempotent.
-    */
-  def unpersistTokenHashes(blocking: Boolean = false): Unit =
-    cachedFrames.synchronized {
-      cachedFrames.foreach(f => try f.unpersist(blocking) catch { case _: Throwable => () })
-      cachedFrames.clear()
-    }
-
   /** Exact dedup summary: one row per distinct content digest with the
     * representative (minimum) id and the duplicate count.
     */
@@ -73,10 +52,11 @@ object DedupOps {
     * this is the persisted token-hash table you'd materialize anyway.
     */
   def tokenHashes(df: DataFrame, textCol: String = "text",
-                  idCol: String = "doc_id"): DataFrame = {
+                  idCol: String = "doc_id",
+                  scope: CacheScope = CacheScope.default): DataFrame = {
     val th = transform(TextOps.tokens(col(textCol)),
       t => DetHash.md5Hash60(t) % lit(DetHash.P))
-    registerCache(df.select(col(idCol).as("id"), th.as("th")))
+    scope.register(df.select(col(idCol).as("id"), th.as("th")))
   }
 
   /** (id, h): one row per (document, shingle window), h = the shingle's
@@ -91,7 +71,8 @@ object DedupOps {
     * re-hashing every token once per WINDOW.
     */
   def shingleHashRows(df: DataFrame, textCol: String = "text",
-                      idCol: String = "doc_id", shingleK: Int = 3): DataFrame = {
+                      idCol: String = "doc_id", shingleK: Int = 3,
+                      scope: CacheScope = CacheScope.default): DataFrame = {
     // windows derive from size(th) — NOT from a re-tokenization — so the
     // generator's inferred size-filter touches only the cached array
     val windows = when(size(col("th")) >= shingleK,
@@ -100,7 +81,7 @@ object DedupOps {
       (acc, j) =>
         (acc * lit(DetHash.A) + element_at(col("th"), col("i") + j + 1)) % lit(DetHash.P)
     }
-    tokenHashes(df, textCol, idCol)
+    tokenHashes(df, textCol, idCol, scope)
       .select(col("id"), col("th"), explode(windows).as("i"))
       .select(col("id"), horner.as("h"))
   }
@@ -108,13 +89,18 @@ object DedupOps {
   /** (id, hs, sz): per document, the distinct shingle-hash SET as an array +
     * its size — the exact-Jaccard rerank format. ONE integer-keyed shuffle:
     * collect_set dedups inside the aggregation (a separate distinct pass
-    * would cost a second exchange).
+    * would cost a second exchange). CACHED in `scope`: every consumer
+    * ([[jaccardPairs]], [[jaccardPairsPrefix]]) reads it 2-3 times (inverted
+    * index + both rerank sides), and at corpus scale this is the persisted
+    * shingle-set table you'd materialize anyway.
     */
   def shingleHashSets(df: DataFrame, textCol: String = "text",
-                      idCol: String = "doc_id", shingleK: Int = 3): DataFrame =
-    shingleHashRows(df, textCol, idCol, shingleK)
-      .groupBy(col("id")).agg(collect_set(col("h")).as("hs"))
-      .select(col("id"), col("hs"), size(col("hs")).cast("long").as("sz"))
+                      idCol: String = "doc_id", shingleK: Int = 3,
+                      scope: CacheScope = CacheScope.default): DataFrame =
+    scope.register(
+      shingleHashRows(df, textCol, idCol, shingleK, scope)
+        .groupBy(col("id")).agg(collect_set(col("h")).as("hs"))
+        .select(col("id"), col("hs"), size(col("hs")).cast("long").as("sz")))
 
   /** k-wide MinHash signatures as k columns `s0..s{k-1}` from (id, h)
     * shingle rows: codegen'd `min` aggregates of k integer permutations
@@ -172,10 +158,11 @@ object DedupOps {
   def minHashVerifiedPairs(df: DataFrame, textCol: String = "text",
                            idCol: String = "doc_id", minJaccard: Double = 0.8,
                            k: Int = 32, bands: Int = 16, shingleK: Int = 3,
-                           maxBucket: Int = 1000): DataFrame = {
+                           maxBucket: Int = 1000,
+                           scope: CacheScope = CacheScope.default): DataFrame = {
     // reused by the signature pass and both sides of the rerank join —
     // materialize once (at scale this is the persisted shingle-hash table)
-    val rows = registerCache(shingleHashRows(df, textCol, idCol, shingleK))
+    val rows = scope.register(shingleHashRows(df, textCol, idCol, shingleK, scope))
     val cand = minHashCandidates(minHashSigs(rows, k), k, bands, maxBucket)
     // collect_set = dedup + grouping in one exchange (see shingleHashSets)
     val hashed = rows.groupBy(col("id")).agg(collect_set(col("h")).as("hs"))
@@ -238,8 +225,11 @@ object DedupOps {
     * non-pathological corpora no bucket approaches the cap and the output is
     * the exact pair set.
     */
-  def simHashNearDupPairs(fingerprints: DataFrame, maxDist: Int = 5,
-                          bits: Int = 60, maxBucket: Int = 10000): DataFrame = {
+  /** (id, simhash, band_idx, band_bits): the pigeonhole banding shared by
+    * [[simHashNearDupPairs]] and [[simHashBucketStats]].
+    */
+  private def simHashBands(fingerprints: DataFrame, maxDist: Int,
+                           bits: Int): DataFrame = {
     val nBands = maxDist + 1
     val width = bits / nBands // last band takes the remainder
     val bandOf = (b: Int) => {
@@ -247,8 +237,26 @@ object DedupOps {
       val w = if (b == nBands - 1) bits - lo else width
       shiftright(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1))
     }
-    val banded = fingerprints.select(col("id"), col("simhash"),
+    fingerprints.select(col("id"), col("simhash"),
       posexplode(array((0 until nBands).map(bandOf): _*)).as(Seq("band_idx", "band_bits")))
+  }
+
+  /** One-row bucket-population summary for [[simHashNearDupPairs]]' banding:
+    * (n_buckets, max_bucket, buckets_over_cap). Run this at a representative
+    * scale to confirm `maxBucket` headroom (buckets_over_cap must be 0 for
+    * the pigeonhole recall guarantee to be unconditional) — the pair query
+    * itself is lazy, so truncation can't be logged from inside its plan.
+    */
+  def simHashBucketStats(fingerprints: DataFrame, maxDist: Int = 5,
+                         bits: Int = 60, maxBucket: Int = 10000): DataFrame =
+    simHashBands(fingerprints, maxDist, bits)
+      .groupBy(col("band_idx"), col("band_bits")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_buckets"), max(col("n")).as("max_bucket"),
+        sum(when(col("n") > maxBucket, 1L).otherwise(0L)).as("buckets_over_cap"))
+
+  def simHashNearDupPairs(fingerprints: DataFrame, maxDist: Int = 5,
+                          bits: Int = 60, maxBucket: Int = 10000): DataFrame = {
+    val banded = simHashBands(fingerprints, maxDist, bits)
     // bucket members collect into one sorted array per (band, bits) — the
     // same grouped-bucket shape as minHashCandidates. ONE consumer of the
     // fingerprint subtree (a self-join computes it once per side — measured
@@ -282,22 +290,38 @@ object DedupOps {
     * duplicates coincide, candidates don't shrink, and this is neutral vs
     * [[jaccardPairs]]; at loose thresholds the lemma keeps ~(1−J) of every
     * set — use [[jaccardPairs]] below J ≈ 0.3.
+    *
+    * Skew guard: a token whose PREFIX posting list exceeds `maxDf` docs is
+    * dropped from the index before the self-join (it would emit O(df²)
+    * candidate rows — on a mass-duplicated corpus every duplicate's prefix
+    * is identical, so posting lists grow with the duplicate count, not the
+    * vocabulary). Recall caveat: a pair whose every shared prefix token is
+    * over the cap is missed, so under the cap recall is exact only for
+    * pairs that share at least one sub-cap prefix token — same trade as
+    * [[jaccardPairs]]' `maxDf` and the banded operators' `maxBucket`.
     */
   def jaccardPairsPrefix(df: DataFrame, textCol: String = "text",
                          idCol: String = "doc_id", minJaccard: Double = 0.8,
-                         shingleK: Int = 3): DataFrame = {
-    val sets = shingleHashSets(df, textCol, idCol, shingleK)
+                         shingleK: Int = 3, maxDf: Long = 100000L,
+                         scope: CacheScope = CacheScope.default): DataFrame = {
+    val sets = shingleHashSets(df, textCol, idCol, shingleK, scope)
     val rows = sets.select(col("id"), col("sz"), explode(col("hs")).as("tok"))
     val dfc = rows.groupBy(col("tok")).agg(count(lit(1)).as("tok_df"))
     // per doc: tokens in (tok_df, tok) order, keep the prefix
     val prefLen = (col("sz") - ceil(lit(minJaccard) * col("sz")) + 1).cast("int")
-    val pref = rows.join(dfc, Seq("tok"))
+    val pref = scope.register(rows.join(dfc, Seq("tok"))
       .groupBy(col("id"), col("sz"))
       .agg(sort_array(collect_list(struct(col("tok_df"), col("tok")))).as("st"))
       .select(col("id"),
-        explode(slice(transform(col("st"), x => x("tok")), lit(1), prefLen)).as("tok"))
-    val cand = pref.select(col("tok"), col("id").as("a"))
-      .join(pref.select(col("tok"), col("id").as("b")), Seq("tok"))
+        explode(slice(transform(col("st"), x => x("tok")), lit(1), prefLen)).as("tok")))
+    // prefix-posting-list size cap (NOT raw document frequency: the prefix
+    // already holds only each doc's rarest tokens, so the guard keys on what
+    // actually reaches the join)
+    val hot = pref.groupBy(col("tok")).agg(count(lit(1)).as("pref_df"))
+      .filter(col("pref_df") > maxDf)
+    val capped = pref.join(broadcast(hot), Seq("tok"), "left_anti")
+    val cand = capped.select(col("tok"), col("id").as("a"))
+      .join(capped.select(col("tok"), col("id").as("b")), Seq("tok"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
     val sa = sets.select(col("id").as("a"), col("hs").as("hsa"), col("sz").as("sza"))
@@ -320,14 +344,15 @@ object DedupOps {
     */
   def jaccardPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                    minJaccard: Double = 0.5, shingleK: Int = 3,
-                   maxDf: Long = 100000L): DataFrame = {
+                   maxDf: Long = 100000L,
+                   scope: CacheScope = CacheScope.default): DataFrame = {
     // ONE groupBy(id) with collect_set does dedup + set-sizing together, and
     // the explode re-attaches (sz) to every inverted row for free — so the
     // self-join output needs NO post-aggregation joins (a pair-keyed join
     // over ~n² candidate rows measured as the dominant cost of this query).
-    val sets = shingleHashRows(df, textCol, idCol, shingleK)
-      .groupBy(col("id")).agg(collect_set(col("h")).as("hs"))
-      .select(col("id"), size(col("hs")).as("sz"), col("hs"))
+    // The cached set table is scanned once per join side + once for the df
+    // counts instead of re-aggregating shingle rows each time.
+    val sets = shingleHashSets(df, textCol, idCol, shingleK, scope)
     val inv = sets.select(col("id"), col("sz"), explode(col("hs")).as("tok"))
     val dfCounts = inv.groupBy(col("tok")).agg(count(lit(1)).as("tok_df"))
     val capped = inv

@@ -24,25 +24,6 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Caches created by the IVF operators (the quantizer input is consumed
-    * by the fit, the member transform, and the query side — without a cache
-    * each consumer re-scans the source). Released via [[unpersistCaches]],
-    * called by Verify/Bench/ScaleProbe after the similarity block.
-    */
-  private val cachedFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-
-  private def registerCache(df: DataFrame): DataFrame = {
-    cachedFrames.synchronized { cachedFrames += df }
-    df.cache()
-  }
-
-  /** Releases every cache this object created. Idempotent. */
-  def unpersistCaches(blocking: Boolean = false): Unit =
-    cachedFrames.synchronized {
-      cachedFrames.foreach(f => try f.unpersist(blocking) catch { case _: Throwable => () })
-      cachedFrames.clear()
-    }
-
   /** Dot product of two array<float|double> columns (double accumulation). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -293,11 +274,14 @@ object SimilarityOps {
     */
   def ivfTopK(df: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 4,
               seed: Long = 4667979835606274383L,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              scope: CacheScope = CacheScope.default): DataFrame = {
     import df.sparkSession.implicits._
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val vecs = registerCache(df.select(col(idCol).cast("long").as("id"),
+    // cached: the quantizer input is consumed by the fit, the member
+    // transform, and the query side — without a cache each re-scans source
+    val vecs = scope.register(df.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("v"))
       .withColumn("fv", array_to_vector(col("v").cast("array<double>"))))
     val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20)
@@ -411,11 +395,12 @@ object SimilarityOps {
   def ivfTopKDistributed(df: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 4,
                          seed: Long = 4667979835606274383L,
                          idCol: String = "vec_id",
-                         vecCol: String = "embedding"): DataFrame = {
+                         vecCol: String = "embedding",
+                         scope: CacheScope = CacheScope.default): DataFrame = {
     import df.sparkSession.implicits._
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val vecs = registerCache(df.select(col(idCol).cast("long").as("id"),
+    val vecs = scope.register(df.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("v"))
       .withColumn("fv", array_to_vector(col("v").cast("array<double>"))))
     val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20)

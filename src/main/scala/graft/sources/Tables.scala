@@ -26,10 +26,17 @@ object Tables {
 
   private val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      if (!spark.conf.getOption(nanosKey).contains("true"))
+      if (!spark.conf.getOption(nanosKey).contains("true")) {
+        // visible trace that a caller's (explicit or default) "false" was
+        // overridden — see the scaladoc for why the flip is unconditional
+        log.warn(s"Tables: setting $nanosKey=true on the session " +
+          "(required to read the nanos-typed events table)")
         spark.conf.set(nanosKey, "true")
+      }
       // ts arrives as raw long nanos; truncate to microseconds (integer
       // division — same semantics as a ns→µs timestamp cast).
       spark.read.parquet(s"$sfDir/$name.parquet")

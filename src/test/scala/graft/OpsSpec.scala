@@ -72,6 +72,47 @@ class OpsSpec extends SparkTestBase {
     assert(full.nonEmpty) // fixture sanity: duplicates exist at J>=0.5
   }
 
+  test("jaccardPairsPrefix: maxDf caps pathological prefix postings, neutral otherwise") {
+    // mass-duplicated corpus: every duplicate's prefix is identical, so one
+    // prefix token's posting list holds all 12 docs — the O(df²) hazard
+    val dup = (0L until 12L).map(i => (i, "the same exact duplicated text again and again"))
+      .toDF("doc_id", "text")
+    val scope = CacheScope()
+    val uncapped = DedupOps.jaccardPairsPrefix(dup, minJaccard = 0.8, scope = scope)
+    assert(uncapped.count() === 12L * 11L / 2L)
+    // cap below the duplicate-cluster size: every shared prefix token is
+    // over the cap → pairs dropped (the documented recall trade)
+    val capped = DedupOps.jaccardPairsPrefix(dup, minJaccard = 0.8, maxDf = 5L, scope = scope)
+    assert(capped.count() === 0L)
+    // on a normal corpus the cap never engages: same pairs either way
+    val loose = DedupOps.jaccardPairsPrefix(docsDf, minJaccard = 0.8, maxDf = 5L, scope = scope)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = DedupOps.jaccardPairsPrefix(docsDf, minJaccard = 0.8, scope = scope)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose === full)
+    scope.release()
+  }
+
+  test("simHashBucketStats: cap headroom on the fixture corpus, truncation visible on a pathological one") {
+    val scope = CacheScope()
+    val docs = Tables(spark, SparkTestBase.sf001, "documents")
+    val fps = DedupOps.simHash60(DedupOps.shingleHashRows(docs, scope = scope))
+    val stats = DedupOps.simHashBucketStats(fps).collect()(0)
+    // verify-scale guarantee for q30: no bucket approaches the default cap,
+    // so the pigeonhole recall claim is unconditional on this corpus
+    assert(stats.getAs[Long]("buckets_over_cap") === 0L)
+    assert(stats.getAs[Long]("max_bucket") < 1000L)
+    assert(stats.getAs[Long]("n_buckets") > 0L)
+    // the pathological corpus from the cap test IS visible in the stats
+    val dup = (0L until 12L).map(i => (i, "the same exact duplicated text again and again"))
+      .toDF("doc_id", "text")
+    val dupFps = DedupOps.simHash60(DedupOps.shingleHashRows(dup, scope = scope))
+    val dupStats = DedupOps.simHashBucketStats(dupFps, maxBucket = 5).collect()(0)
+    assert(dupStats.getAs[Long]("buckets_over_cap") > 0L)
+    assert(dupStats.getAs[Long]("max_bucket") === 12L)
+    scope.release()
+  }
+
   test("minhash pipeline: verified pairs equal brute-force high-jaccard pairs") {
     val verified = DedupOps.minHashVerifiedPairs(docsDf, minJaccard = 0.8).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -130,7 +171,7 @@ class OpsSpec extends SparkTestBase {
     assert(DedupOps.simHashNearDupPairs(normalFps, maxBucket = 5).collect().toSet
       === DedupOps.simHashNearDupPairs(normalFps, maxBucket = 10000).collect().toSet)
     fps.unpersist()
-    DedupOps.unpersistTokenHashes()
+    graft.ops.CacheScope.default.release()
   }
 
   // ---- similarity ----
