@@ -241,6 +241,17 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("simhash"))
         .orderBy(col("doc_id"))),
 
+    // near-dup pairs → transitive clusters (connected components): the step
+    // that makes dedup keep ONE doc per group even across A~B~C chains
+    "q37_neardup_clusters" -> ((s, d) =>
+      DedupOps.nearDupClusters(t(s, d, "documents"), minJaccard = 0.8)
+        .orderBy(col("doc_id"))),
+
+    // the retention report: representative (min id) + member count per cluster
+    "q38_neardedup_summary" -> ((s, d) =>
+      DedupOps.nearDedupSummary(t(s, d, "documents"), minJaccard = 0.8)
+        .orderBy(col("keep_id"))),
+
     // ---- LLM-data-pipeline tier: embeddings ----
     "q24_ann_cosine_topk" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
@@ -537,6 +548,41 @@ object SparkEntry {
     "q23_simhash" ->
       s"""WITH $simHashCte
          |SELECT id AS doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin,
+
+    // exact pair set (same brute force as q22) → symmetric edges → transitive
+    // closure by a recursive CTE: reach holds (vertex, label-candidate) pairs
+    // within a component, min = the component representative. The Spark side
+    // reaches the same fixpoint by min-label propagation.
+    "q37_neardup_clusters" ->
+      s"""WITH RECURSIVE $hashedShinglesCte,
+         |inv AS (SELECT id, sz, unnest(hs) AS tok FROM sized),
+         |pr AS (SELECT l.id AS a, r.id AS b
+         |  FROM inv l JOIN inv r ON l.tok = r.tok AND l.id < r.id
+         |  GROUP BY l.id, r.id, l.sz, r.sz
+         |  HAVING CAST(count(*) AS DOUBLE) / (l.sz + r.sz - count(*)) >= 0.8),
+         |e AS (SELECT a AS x, b AS y FROM pr UNION ALL SELECT b, a FROM pr),
+         |reach AS (
+         |  SELECT doc_id AS x, doc_id AS comp FROM documents
+         |  UNION
+         |  SELECT e.x, r.comp FROM e JOIN reach r ON r.x = e.y)
+         |SELECT x AS doc_id, min(comp) AS comp FROM reach
+         |GROUP BY x ORDER BY doc_id""".stripMargin,
+
+    "q38_neardedup_summary" ->
+      s"""WITH RECURSIVE $hashedShinglesCte,
+         |inv AS (SELECT id, sz, unnest(hs) AS tok FROM sized),
+         |pr AS (SELECT l.id AS a, r.id AS b
+         |  FROM inv l JOIN inv r ON l.tok = r.tok AND l.id < r.id
+         |  GROUP BY l.id, r.id, l.sz, r.sz
+         |  HAVING CAST(count(*) AS DOUBLE) / (l.sz + r.sz - count(*)) >= 0.8),
+         |e AS (SELECT a AS x, b AS y FROM pr UNION ALL SELECT b, a FROM pr),
+         |reach AS (
+         |  SELECT doc_id AS x, doc_id AS comp FROM documents
+         |  UNION
+         |  SELECT e.x, r.comp FROM e JOIN reach r ON r.x = e.y),
+         |cc AS (SELECT x, min(comp) AS comp FROM reach GROUP BY x)
+         |SELECT comp AS keep_id, count(*) AS n_docs FROM cc
+         |GROUP BY comp ORDER BY keep_id""".stripMargin,
 
     "q30_simhash_neardup" ->
       s"""WITH $simHashCte

@@ -277,6 +277,33 @@ object DedupOps {
       .distinct()
   }
 
+  /** Near-duplicate CLUSTERS: (doc_id, comp) for every document, where comp
+    * is the minimum doc id reachable through the verified near-dup pair
+    * graph at `minJaccard` ([[minHashVerifiedPairs]] edges →
+    * [[GraphOps.connectedComponents]]). Transitive closure matters for
+    * dedup: A~B and B~C must land in ONE cluster even when A!~C, or the
+    * pair-wise keep-min rule would retain both A and C. Singleton documents
+    * map to themselves.
+    */
+  def nearDupClusters(df: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", minJaccard: Double = 0.8,
+                      scope: CacheScope = CacheScope.default): DataFrame = {
+    val pairs = minHashVerifiedPairs(df, textCol, idCol, minJaccard, scope = scope)
+    GraphOps.connectedComponents(pairs, df.select(col(idCol)), idCol)
+  }
+
+  /** Near-dedup retention summary: one row per near-dup cluster with the
+    * kept representative (the cluster's min doc id) and the member count —
+    * the "what survives dedup" report. Join `keep_id` back to the corpus to
+    * materialize the deduplicated table itself.
+    */
+  def nearDedupSummary(df: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id", minJaccard: Double = 0.8,
+                       scope: CacheScope = CacheScope.default): DataFrame =
+    nearDupClusters(df, textCol, idCol, minJaccard, scope)
+      .groupBy(col("comp")).agg(count(lit(1)).as("n_docs"))
+      .select(col("comp").as("keep_id"), col("n_docs"))
+
   /** Exact Jaccard pairs via PREFIX FILTERING — the high-threshold path.
     * Each set's tokens sort in a single global order (ascending document
     * frequency, ties by token value — rarest first) and only the first

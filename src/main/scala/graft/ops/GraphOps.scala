@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives for training-data pipelines — currently
+  * connected components, the step that turns a near-duplicate PAIR list into
+  * duplicate CLUSTERS (so dedup can keep exactly one representative per
+  * group even when A~B and B~C but A!~C).
+  */
+object GraphOps {
+
+  /** Connected components over an undirected edge list: (id, comp) for every
+    * vertex, where comp = the minimum vertex id in its component (singletons
+    * map to themselves).
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping — each
+    * round every vertex takes the min label over itself + its neighbors
+    * (one edge join + one min aggregate, both shuffling on vertex id), then
+    * relabels through its representative's own label (`comp(x) :=
+    * comp(comp(x))`, one self-join). Propagation alone needs O(diameter)
+    * rounds; the jumping step doubles how far labels reach per round, giving
+    * O(log n) rounds even on path graphs (the hash-to-min regime of Rastogi
+    * et al., "Finding Connected Components in Map-Reduce in Logarithmic
+    * Rounds"). Near-dup clusters have tiny diameters, so 2-3 rounds is
+    * typical.
+    *
+    * Scale contract: per round the work is two shuffles of (id, label) longs
+    * + one of the edge list — no collect, no per-component state. The label
+    * frame is `localCheckpoint`ed each round to truncate lineage (iterative
+    * plans otherwise grow by one join-tree per round and overwhelm the
+    * optimizer); on a real cluster prefer `checkpoint` with a reliable dir
+    * if executor loss matters mid-computation. The edge list is checkpointed
+    * once up front — it is consumed every round and may itself be an
+    * expensive subtree (e.g. a MinHash pipeline). Convergence is detected
+    * via the fixpoint of sum(comp) (labels are monotone non-increasing, so
+    * an unchanged sum means no label moved): one scalar action per round.
+    *
+    * Every edge endpoint must appear in `vertices` (the label table seeds
+    * from `vertices` alone).
+    */
+  def connectedComponents(edges: DataFrame, vertices: DataFrame,
+                          idCol: String = "id",
+                          aCol: String = "a", bCol: String = "b",
+                          maxIter: Int = 25): DataFrame = {
+    val e = edges.select(col(aCol).cast("long").as("nb"), col(bCol).cast("long").as("x"))
+    val sym = e.select(col("x"), col("nb"))
+      .union(e.select(col("nb").as("x"), col("x").as("nb")))
+      .localCheckpoint()
+    var labels = vertices
+      .select(col(idCol).cast("long").as("x"), col(idCol).cast("long").as("comp"))
+      .localCheckpoint()
+    var prevSum: java.math.BigDecimal = null
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      val fromNbrs = sym
+        .join(labels.select(col("x").as("nb"), col("comp")), Seq("nb"))
+        .select(col("x"), col("comp"))
+      val merged = labels.union(fromNbrs)
+        .groupBy(col("x")).agg(min(col("comp")).as("comp"))
+      // pointer jumping: every label is itself a vertex id, so its current
+      // label exists in `merged` — the inner join is total, coalesce guards
+      // the (impossible by contract) missing-vertex case
+      val jumped = merged
+        .join(merged.select(col("x").as("comp"), col("comp").as("comp2")),
+          Seq("comp"), "left")
+        .select(col("x"), coalesce(col("comp2"), col("comp")).as("comp"))
+      val next = jumped.localCheckpoint()
+      // decimal accumulation: sum of n ids can overflow a long at scale
+      val row = next.agg(sum(col("comp").cast("decimal(38,0)"))).head()
+      val s = if (row.isNullAt(0)) java.math.BigDecimal.ZERO else row.getDecimal(0)
+      done = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+      it += 1
+    }
+    labels.select(col("x").as(idCol), col("comp"))
+  }
+}

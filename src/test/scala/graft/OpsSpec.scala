@@ -113,6 +113,43 @@ class OpsSpec extends SparkTestBase {
     scope.release()
   }
 
+  test("connectedComponents: path graph + isolated pair + singleton, logarithmic rounds") {
+    // a 32-vertex path is the worst case for plain min-propagation (31
+    // rounds); pointer jumping must converge well inside maxIter=25
+    val pathEdges = (0L until 31L).map(i => (i, i + 1))
+    val edges = (pathEdges ++ Seq((40L, 41L))).toDF("a", "b")
+    val verts = ((0L to 31L) ++ Seq(40L, 41L, 50L)).toDF("id")
+    val comp = GraphOps.connectedComponents(edges, verts).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 31L).foreach(v => assert(comp(v) === 0L, s"vertex $v"))
+    assert(comp(40L) === 40L && comp(41L) === 40L)
+    assert(comp(50L) === 50L) // singleton maps to itself
+    assert(comp.size === 35)
+  }
+
+  test("nearDupClusters: transitive A~B~C chain lands in one cluster without an A~C pair") {
+    // 20-token docs differing in 1-2 tokens: J(A,B)=17/19, J(B,C)=16/20,
+    // J(A,C)=15/21 < 0.8 — so the PAIR list has no (A,C) edge and only the
+    // transitive closure puts all three in one cluster
+    val w = (1 to 20).map(i => s"w$i")
+    val a = w.mkString(" ")
+    val b = (w.init :+ "xx").mkString(" ")
+    val c = (Seq("yy", "zz") ++ w.drop(2).init :+ "xx").mkString(" ")
+    val scope = CacheScope()
+    val docs = Seq((0L, a), (1L, b), (2L, c), (3L, "unrelated content entirely different"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.minHashVerifiedPairs(docs, minJaccard = 0.8, scope = scope)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L), (1L, 2L))) // no direct (0,2) edge
+    val comp = DedupOps.nearDupClusters(docs, minJaccard = 0.8, scope = scope)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L))
+    val summary = DedupOps.nearDedupSummary(docs, minJaccard = 0.8, scope = scope)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(summary === Map(0L -> 3L, 3L -> 1L))
+    scope.release()
+  }
+
   test("minhash pipeline: verified pairs equal brute-force high-jaccard pairs") {
     val verified = DedupOps.minHashVerifiedPairs(docsDf, minJaccard = 0.8).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
