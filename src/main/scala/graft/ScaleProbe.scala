@@ -50,6 +50,9 @@ object ScaleProbe {
       "jaccardPairs_J02" -> (() => run(DedupOps.jaccardPairs(docs, minJaccard = 0.02, scope = scope))),
       "jaccardPairsPrefix_J08" -> (() => run(DedupOps.jaccardPairsPrefix(docs, minJaccard = 0.8, scope = scope))),
       "minHashVerifiedPairs" -> (() => run(DedupOps.minHashVerifiedPairs(docs, scope = scope))),
+      // worst case for CC: replication makes every doc a factor-sized dup
+      // cluster, so the pair graph is a union of factor-cliques
+      "nearDupClusters" -> (() => run(DedupOps.nearDupClusters(docs, scope = scope))),
       "simHashNearDupPairs" -> (() => run(
         DedupOps.simHashNearDupPairs(DedupOps.simHash60(DedupOps.shingleHashRows(docs, scope = scope))))),
       "cosinePairsBlocked" -> (() => run(SimilarityOps.cosinePairsBlocked(emb, 0.4, nBlocks = 32))),

@@ -304,6 +304,31 @@ object SparkEntry {
           <= exactS * lit(0.05), lit("ok")).otherwise(lit("off")).as("suppkey_hll_within_5pct"))
     },
 
+    // mergeable-sketch quantiles with a DISTRIBUTED rank-error check: the
+    // sketch (GK, accuracy 10000 → rank error <= 1e-4) returns one value per
+    // percentile; its TRUE rank is then recomputed with plain count-filters
+    // and compared to the target — the checkable contract, like q33's HLL
+    // error bound. No global sort anywhere.
+    "q39_approx_quantiles" -> { (s, d) =>
+      val v = t(s, d, "lineitem").select(col("l_extendedprice").as("v"))
+      val ps = Seq(0.5, 0.9, 0.99)
+      val sk = v.agg(
+        percentile_approx(col("v"), typedlit(ps), lit(10000)).as("q"),
+        count(lit(1)).as("n"))
+      val rankAggs = ps.indices.map(i =>
+        sum(when(col("v") <= element_at(col("q"), i + 1), 1L).otherwise(0L))
+          .as(s"r$i"))
+      val ranks = v.crossJoin(broadcast(sk))
+        .groupBy(col("n"), col("q"))
+        .agg(rankAggs.head, rankAggs.tail: _*)
+      ranks.select(col("n") +: ps.zipWithIndex.map { case (p, i) =>
+        // 0.01 slack over the 1e-4 sketch bound absorbs tie mass at the
+        // returned value (rank jumps by the duplicate count)
+        when(abs(col(s"r$i").cast("double") / col("n") - p) <= 0.01, lit("ok"))
+          .otherwise(lit("off")).as(s"p${(p * 100).toInt}_rank_ok")
+      }: _*)
+    },
+
     // ---- LLM-data-pipeline tier: events ----
     "q27_events_tumbling" -> ((s, d) =>
       EventOps.tumbling(t(s, d, "events"))
@@ -678,6 +703,12 @@ object SparkEntry {
         |  'ok' AS partkey_hll_within_5pct,
         |  'ok' AS suppkey_hll_within_5pct
         |FROM lineitem""".stripMargin,
+
+    // like q33: the sketch values are engine-specific; the rank-error
+    // CONTRACT is the checkable fact (deterministic for fixed data)
+    "q39_approx_quantiles" ->
+      """SELECT count(*) AS n, 'ok' AS p50_rank_ok, 'ok' AS p90_rank_ok,
+        |  'ok' AS p99_rank_ok FROM lineitem""".stripMargin,
 
     "q27_events_tumbling" ->
       s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,

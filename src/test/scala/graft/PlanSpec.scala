@@ -142,6 +142,19 @@ class PlanSpec extends SparkTestBase {
     assert(!phys.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q39 approx quantiles: sketch + rank check plan global-sorts nothing") {
+    // the whole point of the mergeable-sketch quantile is that NO stage
+    // sorts the data: percentile_approx aggregates partial sketches and the
+    // rank check is count-filters — a Sort (or exact `percentile`, which
+    // buffers per group) would put the query in a different cost class
+    val p = plan("q39_approx_quantiles")
+    assert(!p.contains("Sort "), "no sort of the value column at any scale")
+    assert(p.contains("approx_percentile") || p.contains("percentile_approx"),
+      "quantiles must come from the mergeable sketch aggregate")
+    assert(p.contains("BroadcastExchange"),
+      "the 1-row sketch result must broadcast back over the rank check")
+  }
+
   test("driver contract: every query has an oracle and vice versa") {
     // a key typo would silently downgrade a query to the driver's weaker
     // rows-only check — the whole point of the oracle map is that it never
