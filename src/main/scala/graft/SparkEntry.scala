@@ -304,6 +304,29 @@ object SparkEntry {
           <= exactS * lit(0.05), lit("ok")).otherwise(lit("off")).as("suppkey_hll_within_5pct"))
     },
 
+    // tf-idf-style salient terms (ratio idf — IEEE-exact, see TextOps doc)
+    "q40_top_terms" -> ((s, d) =>
+      TextOps.topTerms(t(s, d, "documents"), k = 5)
+        .orderBy(col("doc_id"), col("rank"))),
+
+    // benchmark decontamination: even-id docs as the training corpus,
+    // odd-id docs standing in for the eval set
+    "q41_contamination" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      DedupOps.contaminationReport(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1))
+        .orderBy(col("doc_id"))
+    },
+
+    // deterministic 80/10/10 hash split: per-split counts + id checksum so
+    // the oracle verifies the ASSIGNMENT, not just the sizes
+    "q42_hash_split" -> ((s, d) =>
+      RelationalOps.hashSplit(t(s, d, "documents"), "doc_id", Seq(0.8, 0.1, 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("split"))),
+
     // mergeable-sketch quantiles with a DISTRIBUTED rank-error check: the
     // sketch (GK, accuracy 10000 → rank error <= 1e-4) returns one value per
     // percentile; its TRUE rank is then recomputed with plain count-filters
@@ -703,6 +726,42 @@ object SparkEntry {
         |  'ok' AS partkey_hll_within_5pct,
         |  'ok' AS suppkey_hll_within_5pct
         |FROM lineitem""".stripMargin,
+
+    "q40_top_terms" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+         |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |scored AS (SELECT doc_id, term, tf, df,
+         |    CAST(tf AS DOUBLE) * (CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+         |  FROM tf JOIN dfc USING (term) CROSS JOIN nn),
+         |ranked AS (SELECT doc_id, term, tf, df, score,
+         |    CAST(row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, term) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT doc_id, term, tf, df, score, rank FROM ranked
+         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "q41_contamination" ->
+      s"""WITH $hashedShinglesCte,
+         |corp AS (SELECT id, sz, hs FROM sized WHERE id % 2 = 0),
+         |bench AS (SELECT DISTINCT unnest(hs) AS h FROM sized WHERE id % 2 = 1),
+         |rws AS (SELECT id, unnest(hs) AS h FROM corp),
+         |seen AS (SELECT id, count(*) AS n_seen FROM rws
+         |  WHERE h IN (SELECT h FROM bench) GROUP BY id)
+         |SELECT c.id AS doc_id, c.sz AS n_shingles,
+         |  COALESCE(s.n_seen, 0) AS n_seen,
+         |  CAST(COALESCE(s.n_seen, 0) AS DOUBLE) / c.sz AS contamination
+         |FROM corp c LEFT JOIN seen s ON c.id = s.id ORDER BY doc_id""".stripMargin,
+
+    "q42_hash_split" -> {
+      val bucket =
+        s"${ops.DetHash.sqlMd5Hash60("'split|' || CAST(doc_id AS VARCHAR)")} % 10000"
+      s"""SELECT CASE WHEN $bucket < 8000 THEN 0
+         |  WHEN $bucket < 9000 THEN 1 ELSE 2 END AS split,
+         |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+    },
 
     // like q33: the sketch values are engine-specific; the rank-error
     // CONTRACT is the checkable fact (deterministic for fixed data)

@@ -304,6 +304,37 @@ object DedupOps {
       .groupBy(col("comp")).agg(count(lit(1)).as("n_docs"))
       .select(col("comp").as("keep_id"), col("n_docs"))
 
+  /** Benchmark-decontamination report: for each `corpus` document, how much
+    * of its content appears anywhere in `benchmark` — (doc_id, n_shingles,
+    * n_seen, contamination) where contamination = the fraction of the
+    * document's DISTINCT k-shingles found in the benchmark's shingle
+    * universe. The standard pre-training hygiene check (drop or flag
+    * training documents that overlap an eval set), run entirely on integer
+    * shingle hashes.
+    *
+    * Scale shape: the benchmark side reduces to a distinct hash SET (tiny
+    * vs the corpus — eval sets are small), the corpus explodes to
+    * (doc, hash) rows, and a hash-keyed LEFT SEMI join + per-doc count does
+    * the rest. No strings shuffle; no corpus self-join. Documents with no
+    * k-shingle (< k tokens) are excluded, as everywhere in the dedup tier.
+    */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+                          textCol: String = "text", idCol: String = "doc_id",
+                          shingleK: Int = 3,
+                          scope: CacheScope = CacheScope.default): DataFrame = {
+    val cs = shingleHashSets(corpus, textCol, idCol, shingleK, scope)
+    val benchSet = shingleHashRows(benchmark, textCol, idCol, shingleK, scope)
+      .select(col("h")).distinct()
+    val rows = cs.select(col("id"), explode(col("hs")).as("h"))
+    val seen = rows.join(benchSet, Seq("h"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_seen"))
+    cs.select(col("id"), col("sz").as("n_shingles"))
+      .join(seen, Seq("id"), "left")
+      .na.fill(0L, Seq("n_seen"))
+      .select(col("id").as(idCol), col("n_shingles"), col("n_seen"),
+        (col("n_seen").cast("double") / col("n_shingles")).as("contamination"))
+  }
+
   /** Exact Jaccard pairs via PREFIX FILTERING — the high-threshold path.
     * Each set's tokens sort in a single global order (ascending document
     * frequency, ties by token value — rarest first) and only the first

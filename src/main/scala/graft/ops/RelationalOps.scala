@@ -215,6 +215,33 @@ object RelationalOps {
     salted.join(dimRep, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Deterministic train/val/test split: each row gets a `split` index
+    * (0..weights.size-1) from the md5 of its salted id, bucketed into
+    * 10,000 basis points and cut at the cumulative weight thresholds.
+    * Unlike `randomSplit`, assignment is a pure per-row function of
+    * (salt, id): stable across runs, engines (the DuckDB oracle recomputes
+    * it), cluster sizes, and — critically for training pipelines —
+    * re-ingestions: a document keeps its split when the corpus around it
+    * changes, so eval sets never silently leak into train after a refresh.
+    * Zero shuffle: the split column fuses into whatever scan reads the
+    * table.
+    */
+  def hashSplit(df: DataFrame, idCol: String, weights: Seq[Double],
+                salt: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_ > 0), "weights must be positive")
+    val total = weights.sum
+    val cumBp = weights.scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c / total * 10000).toInt)
+    val bucket = pmod(
+      DetHash.md5Hash60(concat(lit(salt + "|"), col(idCol).cast("string"))),
+      lit(10000L))
+    val split = cumBp.init.zipWithIndex
+      .foldRight(lit(cumBp.size - 1): org.apache.spark.sql.Column) {
+        case ((t, i), acc) => when(bucket < t, lit(i)).otherwise(acc)
+      }
+    df.withColumn("split", split)
+  }
+
   /** Top-k per group via ranking window (partitioned — never a global
     * single-partition sort). Deterministic given a total tiebreak ordering.
     */

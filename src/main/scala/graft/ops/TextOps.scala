@@ -128,6 +128,37 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
 
+  /** Top-k salient terms per document by a tf-idf-STYLE weight,
+    * `score = tf · (n / df)` — a RATIO idf instead of the usual log(n/df).
+    * Deliberate: the score then uses only IEEE-exact operations (counts,
+    * one divide, one multiply), so the DuckDB oracle reproduces it
+    * bit-for-bit; `ln` differs across libm implementations in the last ulp
+    * and would make an exact-compare contract impossible. The ranking it
+    * induces is identical to log-idf's within a document at equal tf (both
+    * are monotone in 1/df); swap in `log` for conventional absolute
+    * weights.
+    *
+    * Scale shape: one (doc, term) count shuffle + one term-keyed df count,
+    * a broadcast 1-row n, and a per-document (never global) top-k window —
+    * the same WindowGroupLimit shape as q16.
+    */
+  def topTerms(documents: DataFrame, k: Int = 5, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    val toks = documents.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfc, Seq("term")).crossJoin(broadcast(n))
+      .select(col("id"), col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") * (col("n").cast("double") / col("df").cast("double")))
+          .as("score"))
+    RelationalOps.topKPerGroup(scored, Seq("id"),
+        Seq(col("score").desc, col("term").asc), k)
+      .select(col("id").as(idCol), col("term"), col("tf"), col("df"),
+        col("score"), col("rn").as("rank"))
+  }
+
   /** Rolling-hash document fingerprint: min/max/count over shingle hashes —
     * a compact content signature robust to small edits at the ends.
     */

@@ -150,6 +150,68 @@ class OpsSpec extends SparkTestBase {
     scope.release()
   }
 
+  test("topTerms: ratio-idf ranks rare terms over common ones, exact score formula") {
+    val docs = Seq(
+      (0L, "apple banana banana shared"),
+      (1L, "cherry shared shared shared"),
+      (2L, "durian shared apple apple")
+    ).toDF("doc_id", "text")
+    val out = TextOps.topTerms(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(5)) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // doc 0: banana tf=2 df=1 → 2*(3/1)=6; apple tf=1 df=2 → 1.5; shared tf=1 df=3 → 1
+    assert(out((0L, 1)) === (("banana", 2L, 1L, 6.0)))
+    assert(out((0L, 2)) === (("apple", 1L, 2L, 1.5)))
+    // doc 1: shared tf=3 df=3 → 3; cherry tf=1 df=1 → 3 — tie broken by term asc
+    assert(out((1L, 1)) === (("cherry", 1L, 1L, 3.0)))
+    assert(out((1L, 2)) === (("shared", 3L, 3L, 3.0)))
+    // doc 2: apple tf=2 df=2 → 3; durian tf=1 df=1 → 3 — term asc again
+    assert(out((2L, 1)) === (("apple", 2L, 2L, 3.0)))
+    assert(out((2L, 2)) === (("durian", 1L, 1L, 3.0)))
+  }
+
+  test("contaminationReport: full, partial, and zero overlap; short docs excluded") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"), // identical to bench 10
+      (2L, "the quick brown fox leaps over the lazy dog"), // partial overlap
+      (4L, "completely different content with no overlap at all here"),
+      (6L, "ab") // < 3 tokens: no shingles, must be absent
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val scope = CacheScope()
+    val rep = DedupOps.contaminationReport(corpus, bench, scope = scope).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    scope.release()
+    assert(rep(0L)._3 === 1.0) // exact duplicate of a benchmark doc
+    assert(rep(2L)._3 > 0.0 && rep(2L)._3 < 1.0) // one-token edit
+    assert(rep(4L) === ((7L, 0L, 0.0))) // disjoint (9 tokens → 7 shingles)
+    assert(!rep.contains(6L)) // no shingles
+    // n_seen counts distinct shingles, never exceeds the doc's set size
+    assert(rep.values.forall { case (sz, seen, _) => seen <= sz })
+  }
+
+  test("hashSplit: deterministic assignment, weights respected, zero shuffle") {
+    val docs = Tables(spark, SparkTestBase.sf001, "documents")
+    val a = RelationalOps.hashSplit(docs, "doc_id", Seq(0.8, 0.1, 0.1))
+    val b = RelationalOps.hashSplit(docs, "doc_id", Seq(0.8, 0.1, 0.1))
+    // pure function of (salt, id): two invocations agree row-for-row
+    assert(a.select("doc_id", "split").collect().toSet
+      === b.select("doc_id", "split").collect().toSet)
+    val counts = a.groupBy("split").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(counts.keySet === Set(0, 1, 2))
+    assert(math.abs(counts(0) / n - 0.8) < 0.1, s"train fraction ${counts(0) / n}")
+    // a different salt reshuffles assignments
+    val salted = RelationalOps.hashSplit(docs, "doc_id", Seq(0.8, 0.1, 0.1), salt = "v2")
+      .select("doc_id", "split").collect().toSet
+    assert(salted !== a.select("doc_id", "split").collect().toSet)
+    // split is a projection: no exchange in the plan
+    assert(!a.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("minhash pipeline: verified pairs equal brute-force high-jaccard pairs") {
     val verified = DedupOps.minHashVerifiedPairs(docsDf, minJaccard = 0.8).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
