@@ -53,6 +53,12 @@ object ScaleProbe {
       // worst case for CC: replication makes every doc a factor-sized dup
       // cluster, so the pair graph is a union of factor-cliques
       "nearDupClusters" -> (() => run(DedupOps.nearDupClusters(docs, scope = scope))),
+      // replication puts every even doc's full shingle set in the odd half:
+      // worst case for the semi-join's probe-side hit rate
+      "contaminationReport" -> (() => run(DedupOps.contaminationReport(
+        docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+        scope = scope))),
+      "topTerms" -> (() => run(graft.ops.TextOps.topTerms(docs))),
       "simHashNearDupPairs" -> (() => run(
         DedupOps.simHashNearDupPairs(DedupOps.simHash60(DedupOps.shingleHashRows(docs, scope = scope))))),
       "cosinePairsBlocked" -> (() => run(SimilarityOps.cosinePairsBlocked(emb, 0.4, nBlocks = 32))),

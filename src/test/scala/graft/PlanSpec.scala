@@ -155,6 +155,22 @@ class PlanSpec extends SparkTestBase {
       "the 1-row sketch result must broadcast back over the rank check")
   }
 
+  test("q40 top terms: per-doc window rank-limited, no cartesian, 1-row n broadcast") {
+    val p = plan("q40_top_terms")
+    assert(p.contains("WindowGroupLimit"),
+      "per-document top-k must push the rank limit into the window")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row document count must broadcast, never shuffle the term table against it")
+  }
+
+  test("q41 contamination: benchmark side joins as LEFT SEMI on the hash key") {
+    val p = plan("q41_contamination")
+    assert(p.contains("LeftSemi"),
+      "membership check must be a semi join — an inner join would duplicate rows per match")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("driver contract: every query has an oracle and vice versa") {
     // a key typo would silently downgrade a query to the driver's weaker
     // rows-only check — the whole point of the oracle map is that it never
