@@ -31,9 +31,13 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // ODD offset: replicas alternate id parity, so parity-based splits (the
+    // contamination probe's even/odd corpus-vs-benchmark cut) see every
+    // document's content on BOTH sides — an even offset would keep replicas
+    // on their original side and quietly skip the worst case
     def replicate(df: DataFrame, idCol: String): DataFrame =
       (0 until factor).map { i =>
-        df.withColumn(idCol, col(idCol) + lit(i * 1000000L))
+        df.withColumn(idCol, col(idCol) + lit(i * 1000001L))
       }.reduce(_ unionByName _).cache()
 
     val docs = replicate(Tables(spark, sfDir, "documents"), "doc_id")

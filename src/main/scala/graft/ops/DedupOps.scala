@@ -209,22 +209,6 @@ object DedupOps {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup retrieval: all pairs with Hamming distance ≤ `maxDist`
-    * via banded bucketing — the 60-bit fingerprint splits into maxDist+1
-    * bands, and by pigeonhole any pair within `maxDist` collides on at least
-    * one whole band. Shuffle key = (band_idx, band_bits); exact bit_count
-    * check inside buckets; distinct over bands. The brute-force O(n²)
-    * equivalent exists only in the oracle.
-    *
-    * Skew guard: a (band_idx, band_bits) bucket with more than `maxBucket`
-    * members is DROPPED before pair expansion (it would emit O(bucket²)
-    * pair rows — the classic degenerate case is a corpus of mass-duplicated
-    * or near-empty documents all sharing a band value). Recall caveat: recall
-    * is exact by pigeonhole for pairs that share at least one non-dropped
-    * band; a pair whose every shared band is over the cap is missed. On
-    * non-pathological corpora no bucket approaches the cap and the output is
-    * the exact pair set.
-    */
   /** (id, simhash, band_idx, band_bits): the pigeonhole banding shared by
     * [[simHashNearDupPairs]] and [[simHashBucketStats]].
     */
@@ -254,6 +238,22 @@ object DedupOps {
       .agg(count(lit(1)).as("n_buckets"), max(col("n")).as("max_bucket"),
         sum(when(col("n") > maxBucket, 1L).otherwise(0L)).as("buckets_over_cap"))
 
+  /** SimHash near-dup retrieval: all pairs with Hamming distance ≤ `maxDist`
+    * via banded bucketing — the 60-bit fingerprint splits into maxDist+1
+    * bands, and by pigeonhole any pair within `maxDist` collides on at least
+    * one whole band. Shuffle key = (band_idx, band_bits); exact bit_count
+    * check inside buckets; distinct over bands. The brute-force O(n²)
+    * equivalent exists only in the oracle.
+    *
+    * Skew guard: a (band_idx, band_bits) bucket with more than `maxBucket`
+    * members is DROPPED before pair expansion (it would emit O(bucket²)
+    * pair rows — the classic degenerate case is a corpus of mass-duplicated
+    * or near-empty documents all sharing a band value). Recall caveat: recall
+    * is exact by pigeonhole for pairs that share at least one non-dropped
+    * band; a pair whose every shared band is over the cap is missed. On
+    * non-pathological corpora no bucket approaches the cap and the output is
+    * the exact pair set — audit headroom with [[simHashBucketStats]].
+    */
   def simHashNearDupPairs(fingerprints: DataFrame, maxDist: Int = 5,
                           bits: Int = 60, maxBucket: Int = 10000): DataFrame = {
     val banded = simHashBands(fingerprints, maxDist, bits)
@@ -323,6 +323,11 @@ object DedupOps {
                           shingleK: Int = 3,
                           scope: CacheScope = CacheScope.default): DataFrame = {
     val cs = shingleHashSets(corpus, textCol, idCol, shingleK, scope)
+    // the benchmark-side token-hash cache has ONE consumer here, but it is
+    // still load-bearing: it's the optimizer barrier that keeps the md5
+    // transform from being re-inlined below the window explode (quadratic
+    // re-hashing — see the tokenHashes doc). Memory cost is bounded by the
+    // operator's contract: the benchmark is an eval set, small vs the corpus
     val benchSet = shingleHashRows(benchmark, textCol, idCol, shingleK, scope)
       .select(col("h")).distinct()
     val rows = cs.select(col("id"), explode(col("hs")).as("h"))

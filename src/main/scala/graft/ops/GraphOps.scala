@@ -43,13 +43,26 @@ object GraphOps {
                           idCol: String = "id",
                           aCol: String = "a", bCol: String = "b",
                           maxIter: Int = 25): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
+    // localCheckpoint persists an RDD invisible to the SQL CacheManager (so
+    // CacheScope can't free it); track each round's newly-persisted RDD ids
+    // and unpersist a round's blocks as soon as the next round supersedes
+    // them. Best-effort by id-set diff — a concurrent persist from another
+    // thread would at worst be left to the ContextCleaner, never freed early
+    // (we only free ids this loop itself created).
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint()
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     val e = edges.select(col(aCol).cast("long").as("nb"), col(bCol).cast("long").as("x"))
-    val sym = e.select(col("x"), col("nb"))
-      .union(e.select(col("nb").as("x"), col("x").as("nb")))
-      .localCheckpoint()
-    var labels = vertices
-      .select(col(idCol).cast("long").as("x"), col(idCol).cast("long").as("comp"))
-      .localCheckpoint()
+    val (sym, symIds) = checkpointTracked(
+      e.select(col("x"), col("nb"))
+        .union(e.select(col("nb").as("x"), col("x").as("nb"))))
+    var (labels, labelIds) = checkpointTracked(
+      vertices.select(col(idCol).cast("long").as("x"), col(idCol).cast("long").as("comp")))
     var prevSum: java.math.BigDecimal = null
     var it = 0
     var done = false
@@ -66,15 +79,20 @@ object GraphOps {
         .join(merged.select(col("x").as("comp"), col("comp").as("comp2")),
           Seq("comp"), "left")
         .select(col("x"), coalesce(col("comp2"), col("comp")).as("comp"))
-      val next = jumped.localCheckpoint()
+      val (next, nextIds) = checkpointTracked(jumped)
       // decimal accumulation: sum of n ids can overflow a long at scale
       val row = next.agg(sum(col("comp").cast("decimal(38,0)"))).head()
       val s = if (row.isNullAt(0)) java.math.BigDecimal.ZERO else row.getDecimal(0)
       done = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s
+      free(labelIds) // superseded round (next is already materialized)
       labels = next
+      labelIds = nextIds
       it += 1
     }
+    // the final round's checkpoint backs the returned frame and is freed by
+    // the ContextCleaner when the caller drops it; the edge list is done now
+    free(symIds)
     labels.select(col("x").as(idCol), col("comp"))
   }
 }

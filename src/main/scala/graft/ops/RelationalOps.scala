@@ -232,6 +232,11 @@ object RelationalOps {
     val total = weights.sum
     val cumBp = weights.scanLeft(0.0)(_ + _).tail
       .map(c => math.round(c / total * 10000).toInt)
+    // fail fast on weights below the 1-bp granularity: colliding thresholds
+    // would make a split silently unreachable (always empty)
+    require((0 +: cumBp).zip(cumBp).forall { case (a, b) => a < b },
+      s"weights $weights collapse below the 1e-4 split granularity " +
+        s"(cumulative basis points: ${cumBp.mkString(",")})")
     val bucket = pmod(
       DetHash.md5Hash60(concat(lit(salt + "|"), col(idCol).cast("string"))),
       lit(10000L))

@@ -210,6 +210,11 @@ class OpsSpec extends SparkTestBase {
     assert(salted !== a.select("doc_id", "split").collect().toSet)
     // split is a projection: no exchange in the plan
     assert(!a.queryExecution.executedPlan.toString.contains("Exchange"))
+    // a weight below the 1-bp granularity would yield a silently empty
+    // split — must fail fast instead
+    assertThrows[IllegalArgumentException] {
+      RelationalOps.hashSplit(docs, "doc_id", Seq(1.0, 1e-5))
+    }
   }
 
   test("minhash pipeline: verified pairs equal brute-force high-jaccard pairs") {
