@@ -327,6 +327,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
         .orderBy(col("split"))),
 
+    // tokenizer-style vocabulary: top-200 terms by corpus frequency with
+    // dense reproducible ids (freq desc, term asc tiebreak)
+    "q43_vocab" -> ((s, d) =>
+      TextOps.buildVocab(t(s, d, "documents"), size = 200)
+        .orderBy(col("term_id"))),
+
+    // corpus encoding against that vocabulary: (doc, pos, term, id), OOV=-1
+    "q44_encode_tokens" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      TextOps.encodeTokens(docs, TextOps.buildVocab(docs, size = 200))
+        .orderBy(col("doc_id"), col("pos"))
+    },
+
     // mergeable-sketch quantiles with a DISTRIBUTED rank-error check: the
     // sketch (GK, accuracy 10000 → rank error <= 1e-4) returns one value per
     // percentile; its TRUE rank is then recomputed with plain count-filters
@@ -762,6 +775,27 @@ object SparkEntry {
          |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
          |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
     },
+
+    "q43_vocab" ->
+      s"""WITH c AS (SELECT term, count(*) AS freq
+         |  FROM (SELECT unnest($toksSql) AS term FROM documents) GROUP BY term)
+         |SELECT term, freq,
+         |  CAST(row_number() OVER (ORDER BY freq DESC, term) - 1 AS INTEGER) AS term_id
+         |FROM c ORDER BY term_id LIMIT 200""".stripMargin,
+
+    "q44_encode_tokens" ->
+      s"""WITH c AS (SELECT term, count(*) AS freq
+         |  FROM (SELECT unnest($toksSql) AS term FROM documents) GROUP BY term),
+         |v AS (SELECT term,
+         |    CAST(row_number() OVER (ORDER BY freq DESC, term) - 1 AS INTEGER) AS term_id
+         |  FROM c ORDER BY term_id LIMIT 200),
+         |tk AS (SELECT doc_id, z[1] AS term, CAST(z[2] - 1 AS INTEGER) AS pos
+         |  FROM (SELECT doc_id,
+         |      unnest(list_zip(toks, generate_series(1, len(toks)))) AS z
+         |    FROM (SELECT doc_id, $toksSql AS toks FROM documents)))
+         |SELECT tk.doc_id, tk.pos, tk.term, COALESCE(v.term_id, -1) AS term_id
+         |FROM tk LEFT JOIN v USING (term)
+         |ORDER BY doc_id, pos""".stripMargin,
 
     // like q33: the sketch values are engine-specific; the rank-error
     // CONTRACT is the checkable fact (deterministic for fixed data)

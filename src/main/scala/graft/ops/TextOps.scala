@@ -159,6 +159,42 @@ object TextOps {
         col("score"), col("rn").as("rank"))
   }
 
+  /** Top-`size` vocabulary by corpus frequency: (term, freq, term_id) with
+    * dense ids 0..size-1 assigned in (freq desc, term asc) order — the total
+    * tiebreak makes the vocabulary reproducible across engines, runs, and
+    * cluster sizes, which is what lets an encoded corpus be regenerated
+    * identically later.
+    *
+    * Scale shape: one (term) count shuffle, then a TakeOrderedAndProject
+    * top-`size` (per-partition heaps, never a global sort of the term
+    * table); the id-assigning window runs over at most `size` rows — a
+    * parameter-bounded, not data-bounded, single partition.
+    */
+  def buildVocab(documents: DataFrame, size: Int = 1000,
+                 textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = documents.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    counts.orderBy(col("freq").desc, col("term").asc).limit(size)
+      .withColumn("term_id",
+        (row_number().over(Window.orderBy(col("freq").desc, col("term").asc)) - 1)
+          .cast("int"))
+  }
+
+  /** Token-id encoding of a corpus against a vocabulary: one row per token
+    * position — (doc_id, pos, term, term_id), out-of-vocabulary terms → -1.
+    * The exploded row form IS the distributed representation (arrays
+    * re-assemble with a per-doc collect_list over pos when a consumer wants
+    * them); the vocab joins as a broadcast (size-bounded, model-like).
+    */
+  def encodeTokens(documents: DataFrame, vocab: DataFrame,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    documents
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+      .join(broadcast(vocab.select(col("term"), col("term_id"))), Seq("term"), "left")
+      .na.fill(-1, Seq("term_id"))
+      .select(col(idCol), col("pos"), col("term"), col("term_id"))
+
   /** Rolling-hash document fingerprint: min/max/count over shingle hashes —
     * a compact content signature robust to small edits at the ends.
     */

@@ -217,6 +217,26 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("buildVocab/encodeTokens: dense reproducible ids, OOV=-1, round-trip") {
+    val docs = Seq(
+      (0L, "b b b a a c"),
+      (1L, "a c c d")
+    ).toDF("doc_id", "text")
+    val vocab = TextOps.buildVocab(docs, size = 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    // freqs: b=3, a=3, c=3, d=1 → top-3 by (freq desc, term asc): a, b, c
+    assert(vocab === Map("a" -> ((3L, 0)), "b" -> ((3L, 1)), "c" -> ((3L, 2))))
+    val enc = TextOps.encodeTokens(docs, TextOps.buildVocab(docs, size = 3))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getInt(3))))
+      .toMap
+    assert(enc((0L, 0)) === (("b", 1)) && enc((0L, 3)) === (("a", 0)))
+    assert(enc((1L, 3)) === (("d", -1))) // OOV
+    assert(enc.size === 10) // every token position encoded exactly once
+    // per-doc sequences reassemble in position order
+    val seq0 = enc.toSeq.filter(_._1._1 == 0L).sortBy(_._1._2).map(_._2._2)
+    assert(seq0 === Seq(1, 1, 1, 0, 0, 2))
+  }
+
   test("minhash pipeline: verified pairs equal brute-force high-jaccard pairs") {
     val verified = DedupOps.minHashVerifiedPairs(docsDf, minJaccard = 0.8).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
