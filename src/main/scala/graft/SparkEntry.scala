@@ -340,6 +340,27 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))
     },
 
+    // Gopher-style repetition filters: top-token share + duplicate-bigram
+    // fraction per document (boilerplate detectors)
+    "q45_repetition" -> ((s, d) =>
+      TextOps.repetitionStats(t(s, d, "documents")).orderBy(col("doc_id"))),
+
+    // concat-and-chunk sequence packing into 512-token blocks; per-block
+    // doc span + token count (= 512 everywhere but the tail)
+    "q46_pack_sequences" -> ((s, d) =>
+      TextOps.packSequences(t(s, d, "documents"), capacity = 512)
+        .orderBy(col("block"))),
+
+    // deterministic per-language sampling rates (the data-mixing op):
+    // en 50%, zh 25%, de 10%, everything else 5% — same md5-bucket
+    // contract as q42, so the sampled SET is oracle-checkable
+    "q48_stratified_sample" -> ((s, d) =>
+      RelationalOps.hashStratifiedSample(t(s, d, "documents"), "doc_id", "lang",
+          Map("en" -> 5000, "zh" -> 2500, "de" -> 1000), defaultBp = 500)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("lang"))),
+
     // mergeable-sketch quantiles with a DISTRIBUTED rank-error check: the
     // sketch (GK, accuracy 10000 → rank error <= 1e-4) returns one value per
     // percentile; its TRUE rank is then recomputed with plain count-filters
@@ -376,6 +397,29 @@ object SparkEntry {
 
     "q29_sessionization" -> ((s, d) =>
       EventOps.sessionSummary(t(s, d, "events")).orderBy(col("user_id"))),
+
+    // as-of join: every error matched to the user's most recent prior click
+    // via union + per-user ordered scan (no range-join expansion); ts
+    // surfaced as unix micros so the compare is integer-exact
+    "q47_asof_join" -> ((s, d) =>
+      EventOps.asofJoin(t(s, d, "events"), "error", "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("prior_id"), col("gap_us"))
+        .orderBy(col("event_id"))),
+
+    // rollup (grouping sets): per (event_type, hour) + per event_type +
+    // grand total in one pass, disambiguated by grouping_id
+    "q49_rollup_events" -> { (s, d) =>
+      val e = t(s, d, "events").select(col("event_type"),
+        date_trunc("hour", col("ts")).as("h"), col("value"))
+      e.rollup(col("event_type"), col("h"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          RelationalOps.decSum(col("value")).as("sum_value"))
+        .select(coalesce(col("event_type"), lit("__all__")).as("event_type"),
+          coalesce(col("h"), lit("1970-01-01 00:00:00").cast("timestamp")).as("h"),
+          col("gid"), col("n"), col("sum_value"))
+        .orderBy(col("gid").desc, col("event_type"), col("h"))
+    },
 
     // semi-structured: JSON payload column → typed field → aggregation
     "q34_props_json" -> ((s, d) =>
@@ -796,6 +840,77 @@ object SparkEntry {
          |SELECT tk.doc_id, tk.pos, tk.term, COALESCE(v.term_id, -1) AS term_id
          |FROM tk LEFT JOIN v USING (term)
          |ORDER BY doc_id, pos""".stripMargin,
+
+    "q45_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |arr AS (SELECT doc_id, len(toks) AS n_tokens,
+         |  list_transform(generate_series(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i + 1]) AS bg FROM t),
+         |a2 AS (SELECT doc_id, n_tokens, len(bg) AS n_bigrams,
+         |  len(list_distinct(bg)) AS n_distinct FROM arr),
+         |tk AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |tc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+         |top AS (SELECT doc_id, tok AS top_tok, c AS top_tok_n FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |     ORDER BY c DESC, tok) AS rn FROM tc) WHERE rn = 1)
+         |SELECT a2.doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+         |  top_tok, top_tok_n,
+         |  CAST(top_tok_n AS DOUBLE) / n_tokens AS top_tok_frac,
+         |  CASE WHEN n_bigrams = 0 THEN 0.0
+         |    ELSE 1.0 - CAST(n_distinct AS DOUBLE) / n_bigrams END AS dup_bigram_frac
+         |FROM a2 JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q46_pack_sequences" ->
+      s"""WITH n AS (SELECT doc_id, len($toksSql) AS nt FROM documents),
+         |o AS (SELECT doc_id, nt,
+         |  CAST(sum(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - nt
+         |    AS BIGINT) AS off FROM n),
+         |x AS (SELECT doc_id, nt, off,
+         |  unnest(generate_series(off // 512, (off + nt - 1) // 512)) AS blk
+         |  FROM o WHERE nt > 0)
+         |SELECT blk AS block, count(*) AS n_docs,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+         |  CAST(sum(least(off + nt, (blk + 1) * 512)
+         |    - greatest(off, blk * 512)) AS BIGINT) AS n_tokens
+         |FROM x GROUP BY blk ORDER BY block""".stripMargin,
+
+    "q48_stratified_sample" -> {
+      val bucket =
+        s"${ops.DetHash.sqlMd5Hash60("'sample|' || CAST(doc_id AS VARCHAR)")} % 10000"
+      s"""SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM documents
+         |WHERE $bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2500
+         |  WHEN 'de' THEN 1000 ELSE 500 END
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    "q47_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+        |    CASE WHEN event_type = 'click' THEN event_id END AS r_id,
+        |    CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END AS r_ts,
+        |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS m
+        |  FROM events WHERE event_type IN ('click', 'error')),
+        |w AS (SELECT *,
+        |    last_value(r_id IGNORE NULLS) OVER win AS prior_id_raw,
+        |    last_value(r_ts IGNORE NULLS) OVER win AS prior_ts_raw
+        |  FROM u WINDOW win AS (PARTITION BY user_id ORDER BY ts, m, event_id
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  COALESCE(prior_id_raw, -1) AS prior_id,
+        |  COALESCE(epoch_us(ts) - epoch_us(prior_ts_raw), -1) AS gap_us
+        |FROM w WHERE event_type = 'error' ORDER BY event_id""".stripMargin,
+
+    "q49_rollup_events" ->
+      s"""SELECT coalesce(event_type, '__all__') AS event_type,
+         |  coalesce(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+         |    TIMESTAMP '1970-01-01') AS h,
+         |  CAST(GROUPING(event_type) * 2
+         |    + GROUPING(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS gid,
+         |  count(*) AS n, ${sqlDecSum("value")} AS sum_value
+         |FROM events
+         |GROUP BY ROLLUP(event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)))
+         |ORDER BY gid DESC, event_type, h""".stripMargin,
 
     // like q33: the sketch values are engine-specific; the rank-error
     // CONTRACT is the checkable fact (deterministic for fixed data)

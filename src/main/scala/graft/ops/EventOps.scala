@@ -70,4 +70,40 @@ object EventOps {
       .agg(count(lit(1)).as("n_sessions"),
         sum(col("n_events")).as("n_events"),
         (sum(col("n_events")).cast("double") / count(lit(1))).as("avg_session_events"))
+
+  /** As-of join within one event stream: for every `leftType` event, the
+    * most recent `rightType` event of the SAME user at or before its
+    * timestamp. Implemented as union-then-scan — both sides interleave in
+    * one per-user ordered window and `last(_, ignoreNulls)` carries the
+    * latest right-side row forward — NOT as a range join: an inequality
+    * join would expand to O(left × right) per user before filtering, while
+    * this is one shuffle on user_id and a linear scan per partition. The
+    * same-timestamp tie goes to the right side (a click at exactly the
+    * error's timestamp counts as "prior"), and `event_id` breaks remaining
+    * ties, so the result is deterministic.
+    *
+    * Output: (event_id, user_id, ts, prior_id, gap_us); left rows with no
+    * prior right event get prior_id = -1, gap_us = -1.
+    *
+    * Scale: partitioned by user — a single pathologically hot user funnels
+    * through one task; salt by time range if that ever binds.
+    */
+  def asofJoin(events: DataFrame, leftType: String = "error",
+               rightType: String = "click"): DataFrame = {
+    val u = events.filter(col("event_type").isin(leftType, rightType))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        when(col("event_type") === rightType, col("event_id")).as("r_id"),
+        when(col("event_type") === rightType, col("ts")).as("r_ts"),
+        when(col("event_type") === rightType, lit(0)).otherwise(lit(1)).as("m"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("m"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("prior_id_raw", last(col("r_id"), ignoreNulls = true).over(w))
+      .withColumn("prior_ts_raw", last(col("r_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === leftType)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        coalesce(col("prior_id_raw"), lit(-1L)).as("prior_id"),
+        coalesce(unix_micros(col("ts")) - unix_micros(col("prior_ts_raw")),
+          lit(-1L)).as("gap_us"))
+  }
 }

@@ -247,6 +247,33 @@ object RelationalOps {
     df.withColumn("split", split)
   }
 
+  /** Deterministic stratified sampling — the data-mixing primitive: keep a
+    * per-stratum fraction of rows (basis points out of 10,000, e.g.
+    * upsample head languages, downsample boilerplate sources), selected by
+    * the md5 of the salted id exactly like [[hashSplit]]. Same contract:
+    * pure per-row function of (salt, id), stable across runs / engines /
+    * cluster sizes / corpus refreshes, zero shuffle, and reproducible in
+    * the SQL oracle. Strata missing from `ratesBp` fall back to
+    * `defaultBp`. Unlike `sampleBy` (M18 — Bernoulli on Spark's RNG, rates
+    * honored only in expectation and not portable), the sampled SET is
+    * itself deterministic.
+    */
+  def hashStratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                           ratesBp: Map[String, Int], defaultBp: Int,
+                           salt: String = "sample"): DataFrame = {
+    require((defaultBp +: ratesBp.values.toSeq).forall(r => r >= 0 && r <= 10000),
+      "rates are basis points in [0, 10000]")
+    val bucket = pmod(
+      DetHash.md5Hash60(concat(lit(salt + "|"), col(idCol).cast("string"))),
+      lit(10000L))
+    // sorted for a deterministic when-chain (Map iteration order isn't)
+    val rate = ratesBp.toSeq.sortBy(_._1)
+      .foldRight(lit(defaultBp): Column) { case ((k, bp), acc) =>
+        when(col(strataCol) === k, lit(bp)).otherwise(acc)
+      }
+    df.filter(bucket < rate)
+  }
+
   /** Top-k per group via ranking window (partitioned — never a global
     * single-partition sort). Deterministic given a total tiebreak ordering.
     */

@@ -205,4 +205,83 @@ object TextOps {
       .withColumn("fp_max", array_max(hashes))
       .withColumn("fp_n", size(hashes))
   }
+
+  /** Gopher-style repetition filters, per document: the most frequent
+    * token's share of all tokens (`top_tok_frac`) and the fraction of
+    * bigram occurrences that are repeats of an earlier bigram
+    * (`dup_bigram_frac` = 1 − distinct/total). High values of either mark
+    * boilerplate / degenerate text (the "repetition" rules of the Gopher
+    * and C4 cleaning pipelines). Ties on the top token break to the
+    * lexicographically smallest, so the output is deterministic.
+    *
+    * Scale shape: the bigram stats are pure array expressions fused into
+    * the scan; the top token needs one (doc, term) count shuffle and a
+    * per-document (never global) rank window — the same WindowGroupLimit
+    * shape as q16/q40. Docs tokenizing to zero tokens would drop out of the
+    * inner join (whitespace tokenization always yields ≥ 1 token, so none
+    * do).
+    */
+  def repetitionStats(documents: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val toksC = tokens(col(textCol))
+    val base = documents
+      .select(col(idCol), size(toksC).as("n_tokens"),
+        shingles(toksC, 2).as("__bg"))
+      .select(col(idCol), col("n_tokens"), size(col("__bg")).as("n_bigrams"),
+        size(array_distinct(col("__bg"))).as("n_distinct_bigrams"))
+    val counts = documents.select(col(idCol), explode(toksC).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+    val top = RelationalOps.topKPerGroup(counts, Seq(idCol),
+        Seq(col("c").desc, col("tok").asc), 1)
+      .select(col(idCol), col("tok").as("top_tok"), col("c").as("top_tok_n"))
+    base.join(top, Seq(idCol))
+      .select(col(idCol), col("n_tokens"), col("top_tok"), col("top_tok_n"),
+        (col("top_tok_n").cast("double") / col("n_tokens")).as("top_tok_frac"),
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(lit(1.0) -
+            col("n_distinct_bigrams").cast("double") / col("n_bigrams"))
+          .as("dup_bigram_frac"))
+  }
+
+  /** Concat-and-chunk sequence packing: lay the corpus out as one token
+    * stream in `idCol` order and cut it into fixed-`capacity` blocks — the
+    * standard way training examples are packed into context windows. Emits
+    * one row per block: how many documents contribute, the first/last doc
+    * id, and the token count (= capacity for every block but the last).
+    *
+    * The global cumulative offset is computed WITHOUT a single-partition
+    * window: docs are grouped into coarse chunks (`idCol` div `chunkSize`),
+    * per-chunk totals (corpus/chunkSize rows — small) are cumsum'd and
+    * broadcast back as chunk base offsets, and the remaining cumsum runs in
+    * a window partitioned by chunk. At extreme scale the chunk-total cumsum
+    * recurses the same way; one level covers ~10^10 docs at chunkSize 2^20.
+    * A document spanning a block boundary contributes to every block it
+    * touches (`sequence` explode — bounded by ⌈nt/capacity⌉+1 rows per doc).
+    */
+  def packSequences(documents: DataFrame, capacity: Int = 512,
+                    chunkSize: Int = 4096, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nt = documents.select(col(idCol).as("id"),
+        size(tokens(col(textCol))).cast("long").as("nt"))
+      .withColumn("chunk", floor(col("id") / chunkSize).cast("long"))
+    val baseW = Window.orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = nt.groupBy(col("chunk")).agg(sum(col("nt")).as("chunk_total"))
+      .withColumn("chunk_base", coalesce(sum(col("chunk_total")).over(baseW), lit(0L)))
+      .select(col("chunk"), col("chunk_base"))
+    val inChunkW = Window.partitionBy(col("chunk")).orderBy(col("id"))
+    val withOff = nt.join(broadcast(bases), Seq("chunk"))
+      .withColumn("off", col("chunk_base") + sum(col("nt")).over(inChunkW) - col("nt"))
+    val cap = lit(capacity.toLong)
+    withOff.filter(col("nt") > 0)
+      .select(col("id"), col("nt"), col("off"),
+        explode(sequence(floor(col("off") / cap).cast("long"),
+          floor((col("off") + col("nt") - 1) / cap).cast("long"))).as("block"))
+      .groupBy(col("block"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("id")).as("first_doc"), max(col("id")).as("last_doc"),
+        sum(least(col("off") + col("nt"), (col("block") + 1) * cap) -
+          greatest(col("off"), col("block") * cap)).as("n_tokens"))
+  }
 }

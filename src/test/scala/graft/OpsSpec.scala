@@ -606,4 +606,89 @@ class OpsSpec extends SparkTestBase {
     assert(fp(0L) === fp(1L)) // identical docs
     assert(fp(0L) !== fp(3L))
   }
+
+  test("repetitionStats: exact top-token and duplicate-bigram fractions, tie to smallest") {
+    val docs = Seq(
+      (0L, "a a a b"), // top a 3/4; bigrams [a a, a a, a b] → 1 - 2/3
+      (1L, "x y x y"), // tie x/y at 2 → x; bigrams [x y, y x, x y] → 1 - 2/3
+      (2L, "solo"), // one token: no bigrams → 0.0
+      (3L, "all distinct words here")
+    ).toDF("doc_id", "text")
+    val r = TextOps.repetitionStats(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("top_tok"), x.getAs[Long]("top_tok_n"),
+          x.getAs[Double]("top_tok_frac"), x.getAs[Double]("dup_bigram_frac")))).toMap
+    assert(r(0L) === (("a", 3L, 0.75, 1.0 - 2.0 / 3)))
+    assert(r(1L) === (("x", 2L, 0.5, 1.0 - 2.0 / 3)))
+    assert(r(2L) === (("solo", 1L, 1.0, 0.0)))
+    assert(r(3L)._4 === 0.0)
+  }
+
+  test("packSequences: blocks partition the token stream; chunkSize-invariant") {
+    val docs = Seq.tabulate(40)(i => (i.toLong, Seq.fill(i % 7 + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val total = docs.select(sum(size(TextOps.tokens(col("text"))))).head.getLong(0)
+    val blocks = TextOps.packSequences(docs, capacity = 10, chunkSize = 8)
+      .orderBy("block").collect()
+    // every block holds exactly `capacity` tokens except possibly the last
+    blocks.init.foreach(b => assert(b.getAs[Long]("n_tokens") === 10L))
+    // block slices are overlap-free and partition the token stream exactly
+    // (a doc spanning a boundary contributes disjoint slices to each block)
+    assert(blocks.map(_.getAs[Long]("n_tokens")).sum === total)
+    assert(blocks.length === ((total + 9) / 10).toInt)
+    // doc spans are contiguous: block N's last_doc == block N+1's first_doc
+    // whenever a doc straddles the boundary, and first/last never decrease
+    blocks.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("last_doc") >= b.getAs[Long]("first_doc") - 1)
+      assert(a.getAs[Long]("first_doc") <= b.getAs[Long]("first_doc"))
+    }
+    // the offset computation is chunking-invariant: any chunkSize gives
+    // the same packing (the two-level cumsum is exact, not approximate)
+    val alt = TextOps.packSequences(docs, capacity = 10, chunkSize = 1000)
+      .orderBy("block").collect()
+    assert(blocks.map(_.toSeq) === alt.map(_.toSeq))
+  }
+
+  test("asofJoin: most recent prior right event per user, ties to right side") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val events = Seq(
+      (1L, ts(0), 7L, "click", 0.0),
+      (2L, ts(5), 7L, "error", 0.0), // → click 1, gap 5 min
+      (3L, ts(6), 7L, "click", 0.0),
+      (4L, ts(6), 7L, "error", 0.0), // same-ts tie → click 3, gap 0
+      (5L, ts(1), 8L, "error", 0.0), // user 8 has no click → -1
+      (6L, ts(2), 9L, "click", 0.0) // click-only user: no output row
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventOps.asofJoin(events, "error", "click").collect()
+      .map(x => x.getAs[Long]("event_id") ->
+        ((x.getAs[Long]("prior_id"), x.getAs[Long]("gap_us")))).toMap
+    assert(r === Map(
+      2L -> ((1L, 5L * 60 * 1000000)),
+      4L -> ((3L, 0L)),
+      5L -> ((-1L, -1L))))
+  }
+
+  test("hashStratifiedSample: deterministic set, rate-0 and rate-10000 strata exact") {
+    val df = Tables(spark, SparkTestBase.sf001, "documents")
+    val rates = Map("en" -> 10000, "zh" -> 0)
+    val s1 = RelationalOps.hashStratifiedSample(df, "doc_id", "lang", rates, 500)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = RelationalOps.hashStratifiedSample(df, "doc_id", "lang", rates, 500)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 === s2) // same set, not just same size
+    val byLang = RelationalOps.hashStratifiedSample(df, "doc_id", "lang", rates, 500)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = df.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") === full("en")) // 100% stratum keeps everything
+    assert(!byLang.contains("zh")) // 0% stratum keeps nothing
+    // default-rate strata land well under their full size (5% of ~60-70)
+    assert(byLang.getOrElse("de", 0L) < full("de"))
+    // different salt → different (deterministic) set
+    val salted = RelationalOps.hashStratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 5000), 500, salt = "other").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val sameRates = RelationalOps.hashStratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 5000), 500).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(salted !== sameRates)
+  }
 }

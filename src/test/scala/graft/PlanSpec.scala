@@ -171,6 +171,50 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q47 as-of join: union+scan shape — no join operator at all") {
+    // the whole point of the union-then-window design is that an as-of
+    // match costs one user_id shuffle, not an inequality join; any Join
+    // node here means the O(left × right) expansion crept back in
+    val p = plan("q47_asof_join")
+    assert(!p.contains("Join"), "as-of must not plan a join")
+    assert(!p.contains("CartesianProduct"))
+    val windows = SparkEntry.queries("q47_asof_join")(spark, SparkTestBase.sf001)
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "the as-of window must be partitioned by user, never global")
+  }
+
+  test("q46 packing: only the chunk-totals table crosses an unpartitioned window") {
+    // the full-table cumsum must run partitioned by chunk; the single
+    // unpartitioned window may only see the aggregated chunk totals
+    // (corpus/chunkSize rows). An unpartitioned window directly over the
+    // documents scan would be the single-partition scan killer.
+    val df = SparkEntry.queries("q46_pack_sequences")(spark, SparkTestBase.sf001)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    val (global, partitioned) = windows.partition(_.partitionSpec.isEmpty)
+    assert(partitioned.nonEmpty, "per-chunk cumsum must be a partitioned window")
+    assert(global.forall(w => w.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }.nonEmpty), "the unpartitioned cumsum may only run over aggregated chunk totals")
+    // and the pair stays a broadcast join back to the full table
+    assert(plan("q46_pack_sequences").contains("BroadcastHashJoin"),
+      "chunk bases must broadcast-join back (they are corpus/chunkSize rows)")
+  }
+
+  test("q45/q48: repetition and stratified sample keep partitioned/pushed shapes") {
+    val p45 = plan("q45_repetition")
+    assert(!p45.contains("CartesianProduct") && !p45.contains("BroadcastNestedLoopJoin"))
+    assert(p45.contains("WindowGroupLimit"),
+      "top-token rank must use the rank-limit pushdown, like q16/q40")
+    // stratified sampling is a pure per-row filter fused into the scan side
+    val p48 = plan("q48_stratified_sample")
+    assert(!p48.contains("Join"), "hash sampling must not join anything")
+  }
+
   test("driver contract: every query has an oracle and vice versa") {
     // a key typo would silently downgrade a query to the driver's weaker
     // rows-only check — the whole point of the oracle map is that it never
