@@ -1,11 +1,20 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.Row
 import graft.ops.RelationalOps
+
+/** One finalized session emitted by [[StreamingEvents.sessionizedCustomState]]. */
+case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                   session_end: java.sql.Timestamp, n_events: Long)
+
+/** Per-user state for the custom sessionizer: the sessions still open under
+  * the watermark, as (startUs, endUs, nEvents) micros intervals.
+  */
+case class OpenSessions(sessions: Seq[(Long, Long, Long)])
 
 /** Structured Streaming wrappers for the event analytics in
   * [[graft.ops.EventOps]]: the same windowed aggregation expressions run
@@ -74,6 +83,65 @@ object StreamingEvents {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
+
+  /** Gap-based sessionization with CUSTOM state — the
+    * `flatMapGroupsWithState` form of [[sessionized]], for session logic
+    * `session_window` can't express (the merge rule here reproduces the gap
+    * semantics exactly, so the two agree; swap the fold to change policy —
+    * e.g. max-duration caps, per-session value aggregates, inactivity
+    * emitted early).
+    *
+    * State per user = only the sessions a not-yet-arrived event could still
+    * extend (interval merge of open sessions + new events, close when the
+    * watermark passes end+gap): O(open sessions per user), never O(stream
+    * length). An event-time timeout re-invokes the function when the
+    * watermark alone (no new events for the user) closes a session, so
+    * every session is emitted exactly once, in append mode, without
+    * requiring further traffic from that user.
+    */
+  def sessionizedCustomState(events: DataFrame, gapMinutes: Int = 10,
+                             watermark: String = "2 hours"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def step(user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+             state: GroupState[OpenSessions]): Iterator[Session] = {
+      val newEvents = rows.map { case (_, t) =>
+        val us = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+        (us, us, 1L)
+      }.toSeq
+      val existing = if (state.exists) state.get.sessions else Seq.empty
+      // interval merge: any two intervals within `gap` of each other fuse —
+      // identical semantics to the batch lag/running-sum construction
+      val merged = (existing ++ newEvents).sortBy(i => (i._1, i._2))
+        .foldLeft(List.empty[(Long, Long, Long)]) {
+          case ((ps, pe, pn) :: tail, (s, e, n)) if s - pe <= gapUs =>
+            (ps, math.max(pe, e), pn + n) :: tail
+          case (acc, iv) => iv :: acc
+        }.reverse
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val (closed, open) = merged.partition(_._2 + gapUs < wmUs)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(OpenSessions(open))
+        // wake this group when the watermark passes the earliest possible
+        // close point, so sessions finalize without new per-user traffic
+        state.setTimeoutTimestamp(open.map(_._2).min / 1000L + gapUs / 1000L + 1L)
+      }
+      closed.iterator.map { case (s, e, n) =>
+        Session(user, new java.sql.Timestamp(s / 1000L),
+          new java.sql.Timestamp(e / 1000L), n)
+      }
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts")).as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(step)
+  }
 
   /** Streaming exact dedup with bounded state: keeps one row per key,
     * holding each key's state only while a duplicate could still arrive

@@ -78,6 +78,43 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("flatMapGroupsWithState sessionization: matches batch, handles out-of-order + timeout close") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val query = StreamingEvents.sessionizedCustomState(mem.toDF(), gapMinutes = 10)
+      .toDF()
+      .writeStream.format("memory").queryName("custom_sessions_out").outputMode("append")
+      .start()
+    try {
+      // out-of-order delivery: user 1's :20 event arrives a micro-batch
+      // BEFORE its :05 event (still inside the 2h watermark) — the interval
+      // merge must fuse them into the same single-gap structure batch sees
+      mem.addData(hour10.filter(_.event_id != 1L): _*)
+      query.processAllAvailable()
+      mem.addData(hour10.filter(_.event_id == 1L): _*)
+      query.processAllAvailable()
+      // watermark jump: closes every hour-10 session purely via the
+      // event-time TIMEOUT path (no further traffic from users 1/2)
+      mem.addData(hour14: _*)
+      query.processAllAvailable()
+
+      val streamed = spark.table("custom_sessions_out")
+        .filter(col("session_start") < ts(11, 0))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .sortBy(r => (r._1, r._2.getTime))
+      val batch = EventOps.sessionize(hour10.toDF(), gapMinutes = 10)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .sortBy(r => (r._1, r._2.getTime))
+      assert(streamed === batch)
+      // and agrees with the session_window wrapper's session COUNT semantics
+      assert(streamed.length === 4) // 2 users × 2 sessions (15 min > 10 min gap)
+    } finally query.stop()
+  }
+
   test("streaming dedup within watermark: duplicates across micro-batches collapse") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
