@@ -429,7 +429,86 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           countDistinct(col("k")).as("n_distinct_k"))
-        .orderBy(col("event_type"))))
+        .orderBy(col("event_type"))),
+
+    // ---- round-5 additions ----
+
+    // PII redaction / term masking: regex scrub + match count, map-only
+    // (the two vocabulary words make the effect visible on synthetic text;
+    // the email/IPv4/card patterns are the real PII shapes)
+    "q50_mask_pii" -> ((s, d) =>
+      TextOps.maskText(t(s, d, "documents"),
+          TextOps.piiPatterns :+ raw"\b(?:spark|table)\b")
+        .orderBy(col("doc_id"))),
+
+    // n-gram LM first step: top-25 corpus bigrams (count desc, bigram asc)
+    "q51_bigrams" -> ((s, d) =>
+      TextOps.bigramCounts(t(s, d, "documents"), k = 25)),
+
+    // inter-event gaps via lag over a per-user window
+    "q52_event_gaps" -> ((s, d) =>
+      EventOps.gapSummary(t(s, d, "events")).orderBy(col("user_id"))),
+
+    // cube (all grouping sets over 2 dims) + grouping flags
+    "q53_cube_events" -> { (s, d) =>
+      val e = t(s, d, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      e.cube(col("event_type"), col("day"))
+        .agg(grouping(col("event_type")).cast("int").as("g_type"),
+          grouping(col("day")).cast("int").as("g_day"),
+          count(lit(1)).as("n"), RelationalOps.decSum(col("value")).as("sum_value"))
+        .select(coalesce(col("event_type"), lit("__all__")).as("event_type"),
+          coalesce(col("day"), lit("1970-01-01").cast("date")).as("day"),
+          col("g_type"), col("g_day"), col("n"), col("sum_value"))
+        .orderBy(col("g_type"), col("g_day"), col("event_type"), col("day"))
+    },
+
+    // set operations: EXCEPT / INTERSECT over per-language vocabularies
+    "q54_token_setops" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      def vocabOf(lang: String) = docs.filter(col("lang") === lang)
+        .select(explode(TextOps.tokens(col("text"))).as("token")).distinct()
+      vocabOf("en").except(vocabOf("de")).withColumn("op", lit("en_minus_de"))
+        .unionByName(
+          vocabOf("en").intersect(vocabOf("zh")).withColumn("op", lit("en_and_zh")))
+        .orderBy(col("op"), col("token"))
+    },
+
+    // quantile quality filter: keep each language's top half by quality
+    // score (percent_rank within the lang partition, deterministic ties)
+    "q55_quality_filter" -> ((s, d) =>
+      TextOps.qualityFilter(t(s, d, "documents"), keepFrac = 0.5)
+        .orderBy(col("doc_id"))),
+
+    // SQL front-end surface: the SAME SQL text runs through spark.sql on
+    // registered views and through DuckDB as the oracle (TPC-H Q5 shape —
+    // 6-table join, selective date/region filters, Catalyst picks
+    // broadcasts + join order)
+    "q56_sql_q5" -> { (s, d) =>
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+        .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+      s.sql(tpchQ5Sql)
+    })
+
+  /** TPC-H Q5 shape in the ANSI subset both Spark SQL and DuckDB parse
+    * identically (shared verbatim by q56's query and oracle). Revenue uses
+    * the decimal-exact sum convention so the double compare is bit-stable.
+    */
+  private val tpchQ5Sql: String =
+    s"""SELECT n_name,
+       |  ${sqlDecSum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,
+       |  count(*) AS n_items
+       |FROM customer
+       |  JOIN orders ON c_custkey = o_custkey
+       |  JOIN lineitem ON l_orderkey = o_orderkey
+       |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Every query has an oracle — the hash-based ones
@@ -949,5 +1028,74 @@ object SparkEntry {
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
         |  CAST(sum(n_events) AS BIGINT) AS n_events,
         |  CAST(sum(n_events) AS DOUBLE) / count(*) AS avg_session_events
-        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // ---- round-5 additions ----
+
+    "q50_mask_pii" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(text, '$maskPatSql', '[MASK]', 'g') AS masked,
+         |  CAST(len(regexp_extract_all(text, '$maskPatSql', 0)) AS INTEGER) AS n_masked
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q51_bigrams" ->
+      s"""WITH toks AS (SELECT $toksSql AS l FROM documents),
+         |bi AS (SELECT unnest(list_transform(range(1, len(l)),
+         |    i -> l[i] || ' ' || l[i+1])) AS bigram FROM toks)
+         |SELECT bigram, count(*) AS cnt FROM bi GROUP BY bigram
+         |ORDER BY cnt DESC, bigram LIMIT 25""".stripMargin,
+
+    "q52_event_gaps" ->
+      """WITH g AS (SELECT user_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |FROM events)
+        |SELECT user_id, count(gap_us) AS n_gaps,
+        |  CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+        |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+        |  CAST(sum(gap_us) AS DOUBLE) / count(gap_us) AS avg_gap_us
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q53_cube_events" ->
+      s"""WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events)
+         |SELECT coalesce(event_type, '__all__') AS event_type,
+         |  coalesce(day, DATE '1970-01-01') AS day,
+         |  CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+         |  CAST(GROUPING(day) AS INTEGER) AS g_day,
+         |  count(*) AS n, ${sqlDecSum("value")} AS sum_value
+         |FROM e GROUP BY CUBE(event_type, day)
+         |ORDER BY g_type, g_day, event_type, day""".stripMargin,
+
+    "q54_token_setops" ->
+      s"""WITH en AS (SELECT DISTINCT unnest($toksSql) AS token FROM documents WHERE lang = 'en'),
+         |de AS (SELECT DISTINCT unnest($toksSql) AS token FROM documents WHERE lang = 'de'),
+         |zh AS (SELECT DISTINCT unnest($toksSql) AS token FROM documents WHERE lang = 'zh')
+         |SELECT token, 'en_minus_de' AS op
+         |  FROM (SELECT token FROM en EXCEPT SELECT token FROM de)
+         |UNION ALL
+         |SELECT token, 'en_and_zh' AS op
+         |  FROM (SELECT token FROM en INTERSECT SELECT token FROM zh)
+         |ORDER BY op, token""".stripMargin,
+
+    "q55_quality_filter" ->
+      s"""WITH q AS (SELECT doc_id, lang, $qualitySqlExpr AS quality FROM documents),
+         |r AS (SELECT doc_id, lang, quality, percent_rank()
+         |    OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC) AS pr FROM q)
+         |SELECT doc_id, lang, quality FROM r WHERE pr <= 0.5
+         |ORDER BY doc_id""".stripMargin,
+
+    "q56_sql_q5" -> tpchQ5Sql)
+
+  /** Combined masking pattern, shared verbatim by q50's Spark side and SQL
+    * oracle (Java-regex ∩ RE2 — see TextOps.piiPatterns).
+    */
+  private val maskPatSql: String =
+    (TextOps.piiPatterns :+ raw"\b(?:spark|table)\b").mkString("(?:", "|", ")")
+
+  /** q20's quality-score expression (shared by q55). */
+  private val qualitySqlExpr: String =
+    s"""CAST(len(list_distinct($toksSql)) AS DOUBLE) / len($toksSql) * 0.4
+       |  + least(CAST(len(list_filter($toksSql, t -> t IN $stopSql)) AS DOUBLE)
+       |      / len($toksSql) * 5.0, 1.0) * 0.3
+       |  + least(CAST(len($toksSql) AS DOUBLE) / 100.0, 1.0) * 0.3""".stripMargin
 }

@@ -71,6 +71,32 @@ object EventOps {
         sum(col("n_events")).as("n_events"),
         (sum(col("n_events")).cast("double") / count(lit(1))).as("avg_session_events"))
 
+  /** Inter-event gaps via `lag`: per-user time (microseconds) between
+    * consecutive events, ordered (ts, event_id) for determinism under
+    * same-timestamp ties. Partitioned window — scales with user
+    * cardinality. Each user's first event has no predecessor (null gap,
+    * excluded from the summary counts).
+    */
+  def interEventGaps(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)))
+  }
+
+  /** Per-user gap summary: count/sum/min/max of inter-event gaps, plus the
+    * mean as an exact-integer-sum ÷ count double (identical IEEE division
+    * in the SQL oracle).
+    */
+  def gapSummary(events: DataFrame): DataFrame =
+    interEventGaps(events)
+      .groupBy(col("user_id"))
+      .agg(count(col("gap_us")).as("n_gaps"),
+        sum(col("gap_us")).as("sum_gap_us"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        (sum(col("gap_us")).cast("double") / count(col("gap_us"))).as("avg_gap_us"))
+
   /** As-of join within one event stream: for every `leftType` event, the
     * most recent `rightType` event of the SAME user at or before its
     * timestamp. Implemented as union-then-scan — both sides interleave in

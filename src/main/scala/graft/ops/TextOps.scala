@@ -109,6 +109,76 @@ object TextOps {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
 
+  /** PII/term-masking patterns, written in the Java-regex ∩ RE2 subset (no
+    * lookarounds, no backreferences) so the SQL oracle evaluates them
+    * identically: email addresses, IPv4 addresses, 13-19-digit card-like
+    * runs. Callers append corpus-specific terms (the q50 query masks two
+    * hot vocabulary words so the operator's effect is visible on the
+    * synthetic corpus, which contains no real PII).
+    */
+  val piiPatterns: Seq[String] = Seq(
+    raw"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", // email
+    raw"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",         // IPv4
+    raw"\b\d{13,19}\b")                                  // card-like digit run
+
+  /** Redaction: replaces every match of any pattern with `replacement` and
+    * counts the matches. Pure projection — the regexes run inside
+    * whole-stage codegen, no shuffle; at 100 TB this is a map-only pass.
+    */
+  def maskText(documents: DataFrame, patterns: Seq[String],
+               replacement: String = "[MASK]",
+               textCol: String = "text"): DataFrame = {
+    val pat = patterns.mkString("(?:", "|", ")")
+    documents.select(
+      col("doc_id"),
+      regexp_replace(col(textCol), pat, replacement).as("masked"),
+      regexp_count(col(textCol), lit(pat)).cast("int").as("n_masked"))
+  }
+
+  /** Corpus bigram counts, top `k` by frequency (bigram-asc tiebreak) — the
+    * first step of an n-gram language model. One (bigram) shuffle with
+    * map-side partial aggregation, then TakeOrderedAndProject for the
+    * top-k: no global sort materializes. At 100 TB the bigram key space is
+    * the scale knob — partial aggs absorb the head, and a count cutoff
+    * (`minCount`) drops the singleton tail before the shuffle's reduce side.
+    */
+  def bigramCounts(documents: DataFrame, k: Int = 25, minCount: Long = 1L,
+                   textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    // zip_with over the two shifted slices: empty when size < 2 (slice
+    // length 0), so single-token docs contribute nothing — no sequence()
+    // sign trap
+    val bigrams = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    documents.select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("bigram").asc)
+      .limit(k)
+  }
+
+  /** Quantile-based quality filter: keeps each language's top `keepFrac`
+    * documents by [[qualityScore]] (percent_rank over (score desc, id asc)
+    * within the language partition — deterministic under ties). The window
+    * is PARTITIONED by language, so it scales with per-language corpus
+    * size, never funneling the corpus through one partition; for a single
+    * dominant language at extreme scale the same op runs per (lang,
+    * hash-bucket) with a per-bucket threshold merge.
+    */
+  def qualityFilter(documents: DataFrame, keepFrac: Double = 0.5,
+                    textCol: String = "text",
+                    langCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    withQualityScore(documents, textCol)
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") <= keepFrac)
+      .select(col("doc_id"), col(langCol), col("quality"))
+  }
+
   /** Full-content fingerprint (md5 hex) — the exact-dedup key. */
   def fingerprintMd5(text: Column): Column = md5(text)
 

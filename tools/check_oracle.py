@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json, runs each SQL in DuckDB with the
+sf tables registered as views, loads the Spark parquet dump for the same
+query, sorts columns by name and rows by all columns, and compares values
+(exact for ints/strings, 1e-9 relative for floats — the driver hashes
+bytes, so floats must effectively be bit-equal; we report near-misses
+separately)."""
+import json, math, sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(r[i] for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+
+def cmp_val(a, b):
+    if a is None or b is None:
+        return a is None and b is None, False
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b), False
+        if fa == fb or (math.isnan(fa) and math.isnan(fb)):
+            return True, False
+        close = abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+        return False, close
+    return str(a) == str(b), False
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    fails = []
+    for name in sorted(oracle):
+        try:
+            cur = con.execute(oracle[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+            cur2 = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            scols = [d[0] for d in cur2.description]
+            srows = cur2.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {e}")
+            fails.append(name)
+            continue
+        if sorted(ocols) != sorted(scols):
+            print(f"FAIL {name}: schema {sorted(scols)} vs oracle {sorted(ocols)}")
+            fails.append(name)
+            continue
+        if len(orows) != len(srows):
+            print(f"FAIL {name}: rows {len(srows)} vs oracle {len(orows)}")
+            fails.append(name)
+            continue
+        _, on = norm(orows, ocols)
+        _, sn = norm(srows, scols)
+        bad = near = 0
+        for ra, rb in zip(sn, on):
+            for va, vb in zip(ra, rb):
+                eq, close = cmp_val(va, vb)
+                if not eq:
+                    if close:
+                        near += 1
+                    else:
+                        bad += 1
+        if bad:
+            print(f"FAIL {name}: {bad} value mismatches ({near} near)")
+            for ra, rb in zip(sn, on):
+                if ra != rb:
+                    print(f"  spark:  {ra}\n  oracle: {rb}")
+                    break
+            fails.append(name)
+        elif near:
+            print(f"NEAR {name}: {near} float near-misses (driver hash may differ)")
+        else:
+            print(f"ok   {name} ({len(srows)} rows)")
+    print(f"\n{len(oracle) - len(fails)}/{len(oracle)} green")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
