@@ -158,6 +158,30 @@ object StreamingEvents {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: every left event matched to right-stream
+    * events of the SAME user whose timestamp falls in
+    * [left.ts − lookback, left.ts] — the streaming enrichment pattern
+    * (e.g. errors joined to the clicks that preceded them). Both sides
+    * carry watermarks AND the join condition is time-bounded, which is
+    * what lets Spark expire join state: each side buffers only
+    * watermark+lookback of history per user, never the whole stream. Inner
+    * join ⇒ rows emit as soon as both sides arrive; results are final once
+    * the watermark passes.
+    */
+  def intervalJoined(left: DataFrame, right: DataFrame,
+                     lookbackMinutes: Int = 30,
+                     watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("event_id").as("l_id"), col("user_id"), col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"))
+    l.join(r, col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $lookbackMinutes MINUTES") &&
+        col("r_ts") <= col("l_ts"))
+      .select(col("l_id"), col("user_id"), col("l_ts"), col("r_id"), col("r_ts"))
+  }
+
   /** Standard sink wiring: append-mode parquet with a checkpoint. */
   def writeParquet(df: DataFrame, outDir: String,
                    checkpointDir: String): DataStreamWriter[Row] =

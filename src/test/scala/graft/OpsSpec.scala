@@ -473,7 +473,74 @@ class OpsSpec extends SparkTestBase {
     assert(bpe === 6) // [it]['s][ a][ test][,][ really]
   }
 
+  // ---- text: masking / bigrams / quality filter ----
+
+  test("maskText: PII patterns redact and count; clean text untouched") {
+    val df = Seq(
+      (0L, "contact bob@example.com or 10.0.0.1 now"),
+      (1L, "card 4111111111111111 compromised"),
+      (2L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val r = TextOps.maskText(df, TextOps.piiPatterns).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getInt(2)))).toMap
+    assert(r(0L) === (("contact [MASK] or [MASK] now", 2)))
+    assert(r(1L) === (("card [MASK] compromised", 1)))
+    assert(r(2L) === (("nothing sensitive here", 0)))
+  }
+
+  test("bigramCounts: exact counts, tiebreak order, single-token docs contribute nothing") {
+    val df = Seq(
+      (0L, "a b a b"), // "a b" x2, "b a" x1
+      (1L, "a b"),
+      (2L, "solo")
+    ).toDF("doc_id", "text")
+    val top = TextOps.bigramCounts(df, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(top === Seq(("a b", 3L), ("b a", 1L)))
+    // minCount drops the tail before the top-k
+    assert(TextOps.bigramCounts(df, k = 10, minCount = 2).collect()
+      .map(_.getString(0)).toSeq === Seq("a b"))
+  }
+
+  test("qualityFilter: keeps top keepFrac per language, deterministic under ties") {
+    val docs = Tables(spark, SparkTestBase.sf001, "documents")
+    val kept = TextOps.qualityFilter(docs, keepFrac = 0.5)
+    val keptByLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalByLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // percent_rank <= 0.5 keeps floor(n/2)+1-ish rows; bounded either side
+    totalByLang.foreach { case (lang, n) =>
+      val k = keptByLang(lang)
+      assert(k >= n / 2 && k <= n / 2 + 1, s"$lang kept $k of $n")
+    }
+    // every kept doc scores >= every dropped doc of the same language
+    val minKept = kept.groupBy("lang").agg(min("quality").as("mn"))
+    val dropped = TextOps.withQualityScore(docs)
+      .join(kept.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val worstKeptVsBestDropped = dropped.groupBy("lang")
+      .agg(max("quality").as("mx")).join(minKept, "lang")
+      .filter(col("mx") > col("mn")).count()
+    assert(worstKeptVsBestDropped === 0)
+  }
+
   // ---- events / sessionization ----
+
+  test("interEventGaps/gapSummary: exact per-user lag gaps") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val events = Seq(
+      (1L, ts(0), 7L, "a", 1.0), (2L, ts(5), 7L, "a", 1.0),
+      (3L, ts(30), 7L, "a", 1.0),
+      (4L, ts(0), 8L, "b", 1.0) // single event → no gaps
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rows = EventOps.gapSummary(events).collect().map(r => r.getLong(0) -> r).toMap
+    val us = 60L * 1000000L
+    val r7 = rows(7L)
+    assert((r7.getLong(1), r7.getLong(2), r7.getLong(4), r7.getDouble(5))
+      === ((2L, 30L * us, 25L * us, 15.0 * us)))
+    // single-event user: zero gaps, null aggregates
+    assert(rows(8L).getLong(1) === 0L && rows(8L).isNullAt(2))
+  }
 
   test("sessionization: gap splits sessions per user, summary aggregates") {
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")

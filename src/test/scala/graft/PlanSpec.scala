@@ -215,6 +215,45 @@ class PlanSpec extends SparkTestBase {
     assert(!p48.contains("Join"), "hash sampling must not join anything")
   }
 
+  test("q50/q51: masking is map-only; bigram top-k avoids a global sort") {
+    // regex masking must stay a pure projection — the only exchange allowed
+    // is the final output-ordering rangepartitioning the oracle compare
+    // requires; a hashpartitioning would mean the op stopped being map-only
+    val exchanges50 = plan("q50_mask_pii").linesIterator
+      .filter(_.contains("Exchange")).toSeq
+    assert(exchanges50.forall(_.contains("rangepartitioning")),
+      s"masking is per-row; saw non-output exchange: ${exchanges50.mkString("; ")}")
+    val p51 = plan("q51_bigrams")
+    assert(p51.contains("TakeOrderedAndProject"),
+      "top-k bigrams must use TakeOrderedAndProject, not a global sort")
+    assert(p51.contains("partial_count") || p51.contains("HashAggregate"),
+      "bigram counting must partial-aggregate map-side")
+  }
+
+  test("q52/q55: gap and quality-filter windows are hash-partitioned, never global") {
+    Seq("q52_event_gaps" -> "user_id", "q55_quality_filter" -> "lang")
+      .foreach { case (q, key) =>
+        val p = plan(q)
+        // the window's own sort is partition-local; only the final
+        // output-ordering sort (above the rangepartitioning) is global
+        val windowSorts = p.linesIterator.filter(_.contains("Sort "))
+          .filter(_.contains("false, 0")).toSeq
+        assert(windowSorts.nonEmpty,
+          s"$q must sort within hash partitions for its window")
+        assert(p.contains(s"hashpartitioning($key"),
+          s"$q must partition its window by $key")
+      }
+  }
+
+  test("q56 SQL front-end: dimension joins broadcast, region filter pushed to scan") {
+    val p = plan("q56_sql_q5")
+    assert(p.contains("BroadcastHashJoin"),
+      "region/nation/supplier sides must broadcast")
+    assert(p.contains("EqualTo(r_name,ASIA)") || p.contains("PushedFilters: [IsNotNull(r_name)"),
+      "r_name = 'ASIA' must reach the region scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("driver contract: every query has an oracle and vice versa") {
     // a key typo would silently downgrade a query to the driver's weaker
     // rows-only check — the whole point of the oracle map is that it never

@@ -136,6 +136,38 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("stream-stream interval join: errors enrich with preceding clicks, matches batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val errs = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val joined = StreamingEvents.intervalJoined(
+      errs.toDF(), clicks.toDF(), lookbackMinutes = 30)
+    val query = joined.writeStream.format("memory").queryName("joined_out")
+      .outputMode("append").start()
+    try {
+      // user 2: click :40 precedes errors :50/:55 within 30 min; click
+      // :05 (user 1) is out of user scope; a click AFTER the error must
+      // not match
+      val clickRows = Seq(Ev(1L, ts(10, 5), 1L, "click", 0.0),
+        Ev(2L, ts(10, 40), 2L, "click", 0.0),
+        Ev(3L, ts(10, 58), 2L, "click", 0.0))
+      val errRows = Seq(Ev(10L, ts(10, 50), 2L, "error", 0.0),
+        Ev(11L, ts(10, 55), 2L, "error", 0.0),
+        Ev(12L, ts(10, 57), 1L, "error", 0.0)) // click :05 is 52 min back → no match
+      clicks.addData(clickRows: _*)
+      errs.addData(errRows: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("joined_out")
+        .collect().map(r => (r.getLong(0), r.getLong(3))).sorted
+      assert(streamed === Array((10L, 2L), (11L, 2L)))
+      // identical pair set from the equivalent batch join
+      val batch = StreamingEvents.intervalJoined(
+        errRows.toDF(), clickRows.toDF(), lookbackMinutes = 30)
+      assert(batch.collect().map(r => (r.getLong(0), r.getLong(3))).sorted
+        === streamed)
+    } finally query.stop()
+  }
+
   test("file-based readEventStream processes a landing directory incrementally") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
