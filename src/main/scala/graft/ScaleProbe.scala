@@ -63,6 +63,12 @@ object ScaleProbe {
         docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
         scope = scope))),
       "topTerms" -> (() => run(graft.ops.TextOps.topTerms(docs))),
+      "maskText" -> (() => run(graft.ops.TextOps.maskText(docs,
+        graft.ops.TextOps.piiPatterns :+ raw"\b(?:spark|table)\b"))),
+      "bigramCounts" -> (() => run(graft.ops.TextOps.bigramCounts(docs, k = 25))),
+      // lang cardinality is fixed (5), so replication grows each window
+      // partition 10× — the honest worst case for the percent_rank filter
+      "qualityFilter" -> (() => run(graft.ops.TextOps.qualityFilter(docs))),
       "simHashNearDupPairs" -> (() => run(
         DedupOps.simHashNearDupPairs(DedupOps.simHash60(DedupOps.shingleHashRows(docs, scope = scope))))),
       "cosinePairsBlocked" -> (() => run(SimilarityOps.cosinePairsBlocked(emb, 0.4, nBlocks = 32))),

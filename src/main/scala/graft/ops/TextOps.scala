@@ -284,32 +284,48 @@ object TextOps {
     * and C4 cleaning pipelines). Ties on the top token break to the
     * lexicographically smallest, so the output is deterministic.
     *
-    * Scale shape: the bigram stats are pure array expressions fused into
-    * the scan; the top token needs one (doc, term) count shuffle and a
-    * per-document (never global) rank window — the same WindowGroupLimit
-    * shape as q16/q40. Docs tokenizing to zero tokens would drop out of the
-    * inner join (whitespace tokenization always yields ≥ 1 token, so none
-    * do).
+    * Scale shape: ENTIRELY map-only — the bigram stats are pure array
+    * expressions, and the top token is a single fold (`aggregate`) over the
+    * SORTED token array: equal tokens are adjacent after `array_sort`, so
+    * the longest run is the max count, and scanning ascending makes strict
+    * `>` updates realize the lexicographic tiebreak for free. No explode,
+    * no shuffle, no window — a per-document count-table shuffle (the
+    * obvious alternative) measured ~4 s at sf0.1 where this runs sub-second,
+    * and at 100 TB the difference is a full extra pass over the corpus.
     */
   def repetitionStats(documents: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id"): DataFrame = {
     val toksC = tokens(col(textCol))
-    val base = documents
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("best_n"), lit("").as("best_tok"))
+    val folded = aggregate(array_sort(toksC), zero, (st, t) => {
+      val run = when(t === st.getField("prev"), st.getField("run") + 1L)
+        .otherwise(lit(1L))
+      struct(t.as("prev"), run.as("run"),
+        when(run > st.getField("best_n"), run)
+          .otherwise(st.getField("best_n")).as("best_n"),
+        when(run > st.getField("best_n"), t)
+          .otherwise(st.getField("best_tok")).as("best_tok"))
+    })
+    // bigrams via zip_with over the two shifted slices (2 array allocs per
+    // row), NOT shingles() (a per-element slice+concat_ws → O(n·k) allocs);
+    // n_bigrams = n_tokens − 1 for free, so the bigram array is evaluated
+    // in exactly ONE expression — HOFs aren't codegen'd, so projection
+    // collapse would otherwise re-evaluate the array per referencing
+    // expression (no CSE outside codegen; measured 2× on this query)
+    val bigrams = zip_with(
+      slice(toksC, lit(1), size(toksC) - 1),
+      slice(toksC, lit(2), size(toksC) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    documents
       .select(col(idCol), size(toksC).as("n_tokens"),
-        shingles(toksC, 2).as("__bg"))
-      .select(col(idCol), col("n_tokens"), size(col("__bg")).as("n_bigrams"),
-        size(array_distinct(col("__bg"))).as("n_distinct_bigrams"))
-    val counts = documents.select(col(idCol), explode(toksC).as("tok"))
-      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
-    val top = RelationalOps.topKPerGroup(counts, Seq(idCol),
-        Seq(col("c").desc, col("tok").asc), 1)
-      .select(col(idCol), col("tok").as("top_tok"), col("c").as("top_tok_n"))
-    base.join(top, Seq(idCol))
-      .select(col(idCol), col("n_tokens"), col("top_tok"), col("top_tok_n"),
-        (col("top_tok_n").cast("double") / col("n_tokens")).as("top_tok_frac"),
-        when(col("n_bigrams") === 0, lit(0.0))
+        size(array_distinct(bigrams)).as("n_distinct_bigrams"), folded.as("__f"))
+      .select(col(idCol), col("n_tokens"),
+        col("__f.best_tok").as("top_tok"), col("__f.best_n").as("top_tok_n"),
+        (col("__f.best_n").cast("double") / col("n_tokens")).as("top_tok_frac"),
+        when(col("n_tokens") <= 1, lit(0.0))
           .otherwise(lit(1.0) -
-            col("n_distinct_bigrams").cast("double") / col("n_bigrams"))
+            col("n_distinct_bigrams").cast("double") / (col("n_tokens") - 1))
           .as("dup_bigram_frac"))
   }
 

@@ -205,11 +205,15 @@ class PlanSpec extends SparkTestBase {
       "chunk bases must broadcast-join back (they are corpus/chunkSize rows)")
   }
 
-  test("q45/q48: repetition and stratified sample keep partitioned/pushed shapes") {
+  test("q45/q48: repetition and stratified sample keep map-only/pushed shapes") {
+    // repetition stats fold over the sorted token array — map-only: the
+    // only exchange allowed is the final output-ordering rangepartitioning
     val p45 = plan("q45_repetition")
-    assert(!p45.contains("CartesianProduct") && !p45.contains("BroadcastNestedLoopJoin"))
-    assert(p45.contains("WindowGroupLimit"),
-      "top-token rank must use the rank-limit pushdown, like q16/q40")
+    assert(!p45.contains("Join") && !p45.contains("Window "),
+      "top-token must come from the array fold, not a count shuffle + rank")
+    val exchanges45 = p45.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges45.forall(_.contains("rangepartitioning")),
+      s"saw non-output exchange: ${exchanges45.mkString("; ")}")
     // stratified sampling is a pure per-row filter fused into the scan side
     val p48 = plan("q48_stratified_sample")
     assert(!p48.contains("Join"), "hash sampling must not join anything")
