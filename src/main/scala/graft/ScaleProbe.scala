@@ -69,6 +69,7 @@ object ScaleProbe {
       // lang cardinality is fixed (5), so replication grows each window
       // partition 10× — the honest worst case for the percent_rank filter
       "qualityFilter" -> (() => run(graft.ops.TextOps.qualityFilter(docs))),
+      "repetitionStats" -> (() => run(graft.ops.TextOps.repetitionStats(docs))),
       "simHashNearDupPairs" -> (() => run(
         DedupOps.simHashNearDupPairs(DedupOps.simHash60(DedupOps.shingleHashRows(docs, scope = scope))))),
       "cosinePairsBlocked" -> (() => run(SimilarityOps.cosinePairsBlocked(emb, 0.4, nBlocks = 32))),

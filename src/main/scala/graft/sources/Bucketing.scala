@@ -27,4 +27,21 @@ object Bucketing {
   /** Read a bucketed table back (bucket metadata comes from the catalog). */
   def readTable(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Write `df` hive-style partitioned by `partitionCols` — the layout that
+    * turns partition-key predicates into directory pruning: a reader's
+    * filter on the partition column eliminates whole directories at
+    * planning time (`PartitionFilters` in the scan, zero data files read
+    * for pruned values). The scale contract for time/tenant-keyed corpora:
+    * scans touch only the partitions the query names. Keep partition
+    * cardinality bounded (directories are metadata, ~10^3-10^5 is healthy);
+    * high-cardinality keys belong in buckets, not partitions.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write
+      .format("parquet")
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .save(path)
 }

@@ -34,4 +34,24 @@ class BucketingSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("partitioned sink: partition-key filter prunes directories at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val events = Tables(spark, SparkTestBase.sf001, "events")
+    Bucketing.writePartitioned(events, dir, Seq("event_type"))
+
+    val back = spark.read.parquet(dir).filter(col("event_type") === "error")
+    val scan = back.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .get
+    // the filter must land in PartitionFilters (directory pruning), not
+    // remain a post-scan data filter over every file
+    assert(scan.partitionFilters.exists(_.toString.contains("event_type")),
+      s"expected event_type in PartitionFilters, got: ${scan.partitionFilters}")
+    assert(scan.selectedPartitions.partitionCount === 1,
+      s"only the error partition may be read, got ${scan.selectedPartitions.partitionCount}")
+    // and the data still round-trips
+    assert(back.count() ===
+      events.filter(col("event_type") === "error").count())
+  }
 }
