@@ -488,7 +488,25 @@ object SparkEntry {
       Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
         .foreach(n => t(s, d, n).createOrReplaceTempView(n))
       s.sql(tpchQ5Sql)
-    })
+    },
+
+    // LEFT OUTER join: per-customer order count INCLUDING the zero-order
+    // customers the reference's inner-join-only surface would drop
+    "q57_left_join_counts" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_custkey"))
+        .join(t(s, d, "orders").select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))),
+
+    // ANTI join: the customers with no orders at all (count + id checksum
+    // so the oracle verifies the SET, not just its size)
+    "q58_never_ordered" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_custkey"))
+        .join(t(s, d, "orders").select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_customers"), sum(col("c_custkey")).as("sum_ids"))))
 
   /** TPC-H Q5 shape in the ANSI subset both Spark SQL and DuckDB parse
     * identically (shared verbatim by q56's query and oracle). Revenue uses
@@ -1084,7 +1102,16 @@ object SparkEntry {
          |SELECT doc_id, lang, quality FROM r WHERE pr <= 0.5
          |ORDER BY doc_id""".stripMargin,
 
-    "q56_sql_q5" -> tpchQ5Sql)
+    "q56_sql_q5" -> tpchQ5Sql,
+
+    "q57_left_join_counts" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q58_never_ordered" ->
+      """SELECT count(*) AS n_customers, sum(c_custkey) AS sum_ids
+        |FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin)
 
   /** Combined masking pattern, shared verbatim by q50's Spark side and SQL
     * oracle (Java-regex ∩ RE2 — see TextOps.piiPatterns).
