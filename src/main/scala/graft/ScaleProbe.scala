@@ -64,7 +64,7 @@ object ScaleProbe {
         scope = scope))),
       "topTerms" -> (() => run(graft.ops.TextOps.topTerms(docs))),
       "maskText" -> (() => run(graft.ops.TextOps.maskText(docs,
-        graft.ops.TextOps.piiPatterns :+ raw"\b(?:spark|table)\b"))),
+        graft.ops.TextOps.defaultMaskPatterns))),
       "bigramCounts" -> (() => run(graft.ops.TextOps.bigramCounts(docs, k = 25))),
       // lang cardinality is fixed (5), so replication grows each window
       // partition 10× — the honest worst case for the percent_rank filter

@@ -437,8 +437,7 @@ object SparkEntry {
     // (the two vocabulary words make the effect visible on synthetic text;
     // the email/IPv4/card patterns are the real PII shapes)
     "q50_mask_pii" -> ((s, d) =>
-      TextOps.maskText(t(s, d, "documents"),
-          TextOps.piiPatterns :+ raw"\b(?:spark|table)\b")
+      TextOps.maskText(t(s, d, "documents"), TextOps.defaultMaskPatterns)
         .orderBy(col("doc_id"))),
 
     // n-gram LM first step: top-25 corpus bigrams (count desc, bigram asc)
@@ -694,11 +693,7 @@ object SparkEntry {
     },
 
     "q20_quality_score" ->
-      s"""SELECT doc_id,
-         |  CAST(len(list_distinct($toksSql)) AS DOUBLE) / len($toksSql) * 0.4
-         |  + least(CAST(len(list_filter($toksSql, t -> t IN $stopSql)) AS DOUBLE)
-         |      / len($toksSql) * 5.0, 1.0) * 0.3
-         |  + least(CAST(len($toksSql) AS DOUBLE) / 100.0, 1.0) * 0.3 AS quality
+      s"""SELECT doc_id, $qualitySqlExpr AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q32_token_count" -> {
@@ -1109,17 +1104,25 @@ object SparkEntry {
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
 
+    // NOT EXISTS, not NOT IN: NOT IN returns zero rows if the subquery ever
+    // contains a NULL, silently diverging from Spark's left_anti; the sum
+    // cast keeps the repo-wide BIGINT-checksum convention (DuckDB sums to
+    // HUGEINT otherwise)
     "q58_never_ordered" ->
-      """SELECT count(*) AS n_customers, sum(c_custkey) AS sum_ids
-        |FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin)
+      """SELECT count(*) AS n_customers, CAST(sum(c_custkey) AS BIGINT) AS sum_ids
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin)
 
   /** Combined masking pattern, shared verbatim by q50's Spark side and SQL
-    * oracle (Java-regex ∩ RE2 — see TextOps.piiPatterns).
+    * oracle (Java-regex ∩ RE2 — the single source is
+    * TextOps.defaultMaskPatterns, joined exactly as maskText joins it).
     */
   private val maskPatSql: String =
-    (TextOps.piiPatterns :+ raw"\b(?:spark|table)\b").mkString("(?:", "|", ")")
+    TextOps.defaultMaskPatterns.mkString("(?:", "|", ")")
 
-  /** q20's quality-score expression (shared by q55). */
+  /** THE quality-score expression — interpolated into both the q20 and q55
+    * oracles, so the two can never drift apart.
+    */
   private val qualitySqlExpr: String =
     s"""CAST(len(list_distinct($toksSql)) AS DOUBLE) / len($toksSql) * 0.4
        |  + least(CAST(len(list_filter($toksSql, t -> t IN $stopSql)) AS DOUBLE)

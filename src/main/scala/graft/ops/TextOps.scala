@@ -121,6 +121,12 @@ object TextOps {
     raw"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",         // IPv4
     raw"\b\d{13,19}\b")                                  // card-like digit run
 
+  /** The q50/ScaleProbe masking pattern set: PII shapes + two hot corpus
+    * terms. ONE definition consumed by the Spark query, the SQL oracle and
+    * the probe — so the two engines can never evaluate different regexes.
+    */
+  val defaultMaskPatterns: Seq[String] = piiPatterns :+ raw"\b(?:spark|table)\b"
+
   /** Redaction: replaces every match of any pattern with `replacement` and
     * counts the matches. Pure projection — the regexes run inside
     * whole-stage codegen, no shuffle; at 100 TB this is a map-only pass.
@@ -138,13 +144,17 @@ object TextOps {
   /** Corpus bigram counts, top `k` by frequency (bigram-asc tiebreak) — the
     * first step of an n-gram language model. One (bigram) shuffle with
     * map-side partial aggregation, then TakeOrderedAndProject for the
-    * top-k: no global sort materializes. At 100 TB the bigram key space is
-    * the scale knob — partial aggs absorb the head, and a count cutoff
-    * (`minCount`) drops the singleton tail before the shuffle's reduce side.
+    * top-k: no global sort materializes. `minCount` trims the tail between
+    * the final aggregate and the top-k (it cannot shrink the shuffle
+    * itself — the count doesn't exist until the reduce side; a map-side
+    * cutoff would have to drop partial counts and sacrifice exactness).
     */
   def bigramCounts(documents: DataFrame, k: Int = 25, minCount: Long = 1L,
                    textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
+    // the token array is materialized in its OWN projection: the split
+    // regex is non-cheap and multiply-referenced, so CollapseProject keeps
+    // the boundary and the tokenizer runs once per row (HOFs get no CSE)
+    val toks = col("__toks")
     // zip_with over the two shifted slices: empty when size < 2 (slice
     // length 0), so single-token docs contribute nothing — no sequence()
     // sign trap
@@ -152,7 +162,8 @@ object TextOps {
       slice(toks, lit(1), size(toks) - 1),
       slice(toks, lit(2), size(toks) - 1),
       (a, b) => concat(a, lit(" "), b))
-    documents.select(explode(bigrams).as("bigram"))
+    documents.select(tokens(col(textCol)).as("__toks"))
+      .select(explode(bigrams).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
       .orderBy(col("cnt").desc, col("bigram").asc)
@@ -295,7 +306,10 @@ object TextOps {
     */
   def repetitionStats(documents: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id"): DataFrame = {
-    val toksC = tokens(col(textCol))
+    // tokenize ONCE into an attribute (same CollapseProject-boundary trick
+    // as bigramCounts — the fold, sort, slices and size would otherwise
+    // each re-run the split regex, since HOFs get no CSE)
+    val toksC = col("__toks")
     val zero = struct(lit("").as("prev"), lit(0L).as("run"),
       lit(0L).as("best_n"), lit("").as("best_tok"))
     val folded = aggregate(array_sort(toksC), zero, (st, t) => {
@@ -318,6 +332,7 @@ object TextOps {
       slice(toksC, lit(2), size(toksC) - 1),
       (a, b) => concat(a, lit(" "), b))
     documents
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), size(toksC).as("n_tokens"),
         size(array_distinct(bigrams)).as("n_distinct_bigrams"), folded.as("__f"))
       .select(col(idCol), col("n_tokens"),

@@ -17,10 +17,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def sort_repr(x):
+    # floats sort by a 6-sig-digit rendering so a last-ULP difference
+    # between engines cannot reorder rows and defeat the near-miss path
+    if isinstance(x, float):
+        return f"{x:.6g}"
+    return str(x)
+
+
 def norm(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(r[i] for i in order) for r in rows]
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    out.sort(key=lambda t: tuple((x is None, sort_repr(x)) for x in t))
     return [cols[i] for i in order], out
 
 
