@@ -49,6 +49,11 @@ object ScaleProbe {
     // the token-hash cache across timings (as a pipeline would), released
     // once at the end
     val scope = CacheScope()
+    // optional comma-separated op filter (SPARK_GRAFT_PROBE_OPS): lets the
+    // linear tier probe at factors where the quadratic-output pair ops
+    // would drown the run in their own (by-definition) output size
+    val only = sys.env.get("SPARK_GRAFT_PROBE_OPS")
+      .map(_.split(",").map(_.trim).toSet)
     val results = Seq[(String, () => Unit)](
       "exactDedup" -> (() => run(DedupOps.exactDedupSummary(docs))),
       "jaccardPairs_J02" -> (() => run(DedupOps.jaccardPairs(docs, minJaccard = 0.02, scope = scope))),
@@ -76,11 +81,12 @@ object ScaleProbe {
       "srpNearDupPairs" -> (() => run(SimilarityOps.srpNearDupPairs(emb, 0.45))),
       "lshTopK" -> (() => run(SimilarityOps.lshTopK(emb, k = 5))),
       "ivfTopKDistributed" -> (() => run(SimilarityOps.ivfTopKDistributed(emb, k = 5, nCells = 32, scope = scope)))
-    ).map { case (name, f) =>
-      val t0 = System.nanoTime()
-      try f() catch { case e: Throwable => System.err.println(s"[probe] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    ).filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, f) =>
+        val t0 = System.nanoTime()
+        try f() catch { case e: Throwable => System.err.println(s"[probe] $name: $e") }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     scope.release()
     println(results.map { case (k, v) => s"\"$k\":$v" }
       .mkString(s"""{"factor":$factor,"sf":"$sfDir",""", ",", "}"))
