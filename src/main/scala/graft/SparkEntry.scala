@@ -505,7 +505,18 @@ object SparkEntry {
       t(s, d, "customer").select(col("c_custkey"))
         .join(t(s, d, "orders").select(col("o_custkey")),
           col("c_custkey") === col("o_custkey"), "left_anti")
-        .agg(count(lit(1)).as("n_customers"), sum(col("c_custkey")).as("sum_ids"))))
+        .agg(count(lit(1)).as("n_customers"), sum(col("c_custkey")).as("sum_ids"))),
+
+    // n-gram LM novelty proxy: fraction of each doc's bigrams that are
+    // corpus hapax legomena (integer-exact — no log-prob ulp hazards)
+    "q59_novelty" -> ((s, d) =>
+      TextOps.hapaxFraction(t(s, d, "documents")).orderBy(col("doc_id"))),
+
+    // rolling anomaly detection: hourly counts vs the trailing 24h mean,
+    // integer cross-multiplied spike test
+    "q60_anomaly" -> ((s, d) =>
+      EventOps.hourlyAnomalies(t(s, d, "events"))
+        .orderBy(col("event_type"), col("h"))))
 
   /** TPC-H Q5 shape in the ANSI subset both Spark SQL and DuckDB parse
     * identically (shared verbatim by q56's query and oracle). Revenue uses
@@ -1111,7 +1122,32 @@ object SparkEntry {
     "q58_never_ordered" ->
       """SELECT count(*) AS n_customers, CAST(sum(c_custkey) AS BIGINT) AS sum_ids
         |FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    "q59_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS l FROM documents),
+         |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+         |    i -> l[i] || ' ' || l[i+1])) AS bigram FROM t),
+         |freq AS (SELECT bigram, count(*) AS freq FROM bi GROUP BY bigram)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(CASE WHEN freq <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+         |  CAST(sum(CASE WHEN freq <= 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
+         |FROM bi JOIN freq USING (bigram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q60_anomaly" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |win AS (SELECT event_type, h, n,
+        |  count(n) OVER (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS n_prev,
+        |  coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS sum_prev
+        |FROM hourly)
+        |SELECT event_type, h, n, n_prev, CAST(sum_prev AS BIGINT) AS sum_prev,
+        |  CAST(CASE WHEN n_prev > 0 AND n * n_prev > 2 * sum_prev
+        |    THEN 1 ELSE 0 END AS INTEGER) AS spike
+        |FROM win ORDER BY event_type, h""".stripMargin)
 
   /** Combined masking pattern, shared verbatim by q50's Spark side and SQL
     * oracle (Java-regex ∩ RE2 — the single source is

@@ -97,6 +97,34 @@ object EventOps {
         max(col("gap_us")).as("max_gap_us"),
         (sum(col("gap_us")).cast("double") / count(col("gap_us"))).as("avg_gap_us"))
 
+  /** Rolling-window anomaly detection: per (event_type, hour) counts
+    * compared against the trailing `lookbackHours` hours of the same type
+    * (ROWS window, so gaps in the hour sequence shorten the baseline
+    * rather than crashing it). The spike test `n · n_prev > factor ·
+    * sum_prev` is the integer cross-multiplied form of
+    * `n > factor · mean(prev)` — all-integer, so the oracle compare is
+    * exact, and rows with an empty baseline are never flagged.
+    *
+    * Scale shape: one (type, hour) hash agg over the raw events, then a
+    * window partitioned by event_type over the HOURLY table — thousands of
+    * rows per type-year, not events; the heavy cardinality never enters
+    * the window.
+    */
+  def hourlyAnomalies(events: DataFrame, lookbackHours: Int = 24,
+                      factor: Long = 2L): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(-lookbackHours, -1)
+    hourly
+      .withColumn("n_prev", count(col("n")).over(w))
+      .withColumn("sum_prev", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("spike",
+        (col("n_prev") > 0 && col("n") * col("n_prev") > lit(factor) * col("sum_prev"))
+          .cast("int"))
+  }
+
   /** As-of join within one event stream: for every `leftType` event, the
     * most recent `rightType` event of the SAME user at or before its
     * timestamp. Implemented as union-then-scan — both sides interleave in

@@ -170,6 +170,39 @@ object TextOps {
       .limit(k)
   }
 
+  /** Novelty scoring against the corpus bigram table — the integer-exact
+    * stand-in for an n-gram LM perplexity score: for each document, the
+    * fraction of its bigram OCCURRENCES whose corpus-wide frequency is at
+    * most `maxFreq` (default 1 = hapax legomena). Common/boilerplate text
+    * scores near 0, novel text near 1. Deliberately counts, not
+    * log-probabilities: `ln` differs in the last ulp across libm
+    * implementations (same reasoning as topTerms' ratio idf), while two
+    * integers and one final division compare exactly against the oracle.
+    *
+    * Scale shape: one (bigram) count shuffle to build the frequency table
+    * (the q51 aggregation), one bigram-keyed join back to the exploded
+    * corpus, one (doc) agg. The frequency table never collects anywhere.
+    */
+  def hapaxFraction(documents: DataFrame, maxFreq: Long = 1L,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val toks = col("__toks")
+    val bigrams = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val exploded = documents
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(bigrams).as("bigram"))
+    val freq = exploded.groupBy(col("bigram")).agg(count(lit(1)).as("freq"))
+    exploded.join(freq, Seq("bigram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("freq") <= maxFreq, 1L).otherwise(0L)).as("n_rare"))
+      .select(col(idCol), col("n_bigrams"), col("n_rare"),
+        (col("n_rare").cast("double") / col("n_bigrams")).as("novelty"))
+  }
+
   /** Quantile-based quality filter: keeps each language's top `keepFrac`
     * documents by [[qualityScore]] (percent_rank over (score desc, id asc)
     * within the language partition — deterministic under ties). The window

@@ -524,7 +524,36 @@ class OpsSpec extends SparkTestBase {
     assert(worstKeptVsBestDropped === 0)
   }
 
+  test("hapaxFraction: shared bigrams score 0, unique text scores 1") {
+    val docs = Seq(
+      (0L, "a b c d"),        // bigrams a-b, b-c, c-d
+      (1L, "a b c d"),        // exact dup → all its bigrams have freq 2
+      (2L, "x y z w")         // unique → all hapax
+    ).toDF("doc_id", "text")
+    val r = TextOps.hapaxFraction(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(0L) === ((3L, 0L, 0.0)))
+    assert(r(1L) === ((3L, 0L, 0.0)))
+    assert(r(2L) === ((3L, 3L, 1.0)))
+  }
+
   // ---- events / sessionization ----
+
+  test("hourlyAnomalies: spike fires only against a trailing baseline") {
+    val ts = (h: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+    // type "a": 3 calm hours of 1 event, then an hour with 5 events
+    val rows = (Seq(10, 11, 12).map(h => (h.toLong, ts(h), 1L, "a", 0.0))
+      ++ Seq.tabulate(5)(i => (100L + i, ts(13), 1L, "a", 0.0)))
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventOps.hourlyAnomalies(events).collect()
+      .map(x => x.getTimestamp(1) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4), x.getInt(5)))).toMap
+    val hr = (h: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    assert(r(hr(10)) === ((1L, 0L, 0L, 0))) // empty baseline never flags
+    assert(r(hr(11)) === ((1L, 1L, 1L, 0)))
+    assert(r(hr(12)) === ((1L, 2L, 2L, 0)))
+    assert(r(hr(13)) === ((5L, 3L, 3L, 1))) // 5·3 > 2·3 → spike
+  }
 
   test("interEventGaps/gapSummary: exact per-user lag gaps") {
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")

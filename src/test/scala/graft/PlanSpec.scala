@@ -258,6 +258,17 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q59/q60: novelty joins on the bigram key; anomaly window partitioned by type") {
+    val p59 = plan("q59_novelty")
+    assert(!p59.contains("CartesianProduct") && !p59.contains("BroadcastNestedLoopJoin"),
+      "hapax scoring must join on the bigram key, never enumerate pairs")
+    val p60 = plan("q60_anomaly")
+    assert(p60.contains("hashpartitioning(event_type"),
+      "the anomaly window must partition by event_type")
+    assert(p60.contains("partial_count") || p60.contains("HashAggregate"),
+      "hourly rollup must partial-aggregate before the window")
+  }
+
   test("driver contract: every query has an oracle and vice versa") {
     // a key typo would silently downgrade a query to the driver's weaker
     // rows-only check — the whole point of the oracle map is that it never
