@@ -516,7 +516,21 @@ object SparkEntry {
     // integer cross-multiplied spike test
     "q60_anomaly" -> ((s, d) =>
       EventOps.hourlyAnomalies(t(s, d, "events"))
-        .orderBy(col("event_type"), col("h"))))
+        .orderBy(col("event_type"), col("h"))),
+
+    // interval join (equi on user + time-range condition): per error, how
+    // many of the SAME user's clicks landed in the preceding 30 minutes —
+    // the batch face of StreamingEvents.intervalJoined (same expressions)
+    "q61_interval_join" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      graft.streaming.StreamingEvents.intervalJoined(
+          ev.filter(col("event_type") === "error"),
+          ev.filter(col("event_type") === "click"), lookbackMinutes = 30)
+        .groupBy(col("l_id"))
+        .agg(count(lit(1)).as("n_clicks"))
+        .select(col("l_id").as("event_id"), col("n_clicks"))
+        .orderBy(col("event_id"))
+    })
 
   /** TPC-H Q5 shape in the ANSI subset both Spark SQL and DuckDB parse
     * identically (shared verbatim by q56's query and oracle). Revenue uses
@@ -1147,7 +1161,15 @@ object SparkEntry {
         |SELECT event_type, h, n, n_prev, CAST(sum_prev AS BIGINT) AS sum_prev,
         |  CAST(CASE WHEN n_prev > 0 AND n * n_prev > 2 * sum_prev
         |    THEN 1 ELSE 0 END AS INTEGER) AS spike
-        |FROM win ORDER BY event_type, h""".stripMargin)
+        |FROM win ORDER BY event_type, h""".stripMargin,
+
+    "q61_interval_join" ->
+      """SELECT e.event_id, count(*) AS n_clicks
+        |FROM events e JOIN events c
+        |  ON e.user_id = c.user_id AND c.event_type = 'click'
+        |  AND c.ts >= e.ts - INTERVAL 30 MINUTES AND c.ts <= e.ts
+        |WHERE e.event_type = 'error'
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin)
 
   /** Combined masking pattern, shared verbatim by q50's Spark side and SQL
     * oracle (Java-regex ∩ RE2 — the single source is

@@ -258,6 +258,14 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q61 interval join: equi hash/merge join on user with range as residual, no BNLJ") {
+    val p = plan("q61_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the time-range condition must ride an equi-join on user_id, not a pair scan")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"))
+  }
+
   test("q59/q60: novelty joins on the bigram key; anomaly window partitioned by type") {
     val p59 = plan("q59_novelty")
     assert(!p59.contains("CartesianProduct") && !p59.contains("BroadcastNestedLoopJoin"),
