@@ -29,11 +29,18 @@ object SparkEntry {
     s"CAST(sum(CAST($c AS DECIMAL(27,$scale))) AS DOUBLE)"
   private def sqlDecAvg(c: String): String =
     s"${sqlDecSum(c)} / count($c)"
+  // mirrors RelationalOps.decStddev: exact integer-cents arithmetic up to a
+  // single divide + sqrt + rescale, so the double result is bit-identical
+  // across engines (the double-identity form differed in the last ulp once
+  // sums passed ~1e10)
   private def sqlDecStd(c: String): String = {
-    val s1 = sqlDecSum(c)
-    val s2 = s"CAST(sum(CAST(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE)"
-    val n = s"CAST(count($c) AS DOUBLE)"
-    s"sqrt(($s2 - $s1 * $s1 / $n) / ($n - 1.0))"
+    val k = s"CAST(CAST($c AS DECIMAL(18,2)) * 100 AS DECIMAL(9,0))"
+    val s1 = s"CAST(sum($k) AS DECIMAL(19,0))"
+    val s2 = s"CAST(sum(CAST($k * $k AS DECIMAL(18,0))) AS DECIMAL(28,0))"
+    val n = s"CAST(count($c) AS DECIMAL(10,0))"
+    val num = s"CAST($n * $s2 - $s1 * $s1 AS DOUBLE)"
+    val den = s"CAST(count($c) * (count($c) - 1) AS DOUBLE)"
+    s"sqrt($num / $den) / 100.0"
   }
 
   private val stopSql = TextOps.enStopwords.map(w => s"'$w'").mkString("(", ",", ")")

@@ -36,15 +36,26 @@ object RelationalOps {
   def decAvg(c: Column, scale: Int = 2): Column =
     decSum(c, scale) / count(c)
 
-  /** Order-independent sample stddev via the sum-of-squares identity.
-    * sqrt((Σx² − (Σx)²/n) / (n−1)) with both sums exact decimals.
+  /** Order-independent sample stddev, deterministic to the LAST BIT across
+    * engines: every step before the final division is EXACT integer
+    * arithmetic — values scale to integer "cents" (k = x·10^scale), and
+    * variance·(n(n−1))·10^2s = n·Σk² − (Σk)² is computed in decimals wide
+    * enough to never round. Only then do exactly three IEEE ops run
+    * (divide, sqrt, rescale), each correctly rounded and identical
+    * everywhere. The earlier sqrt((s2 − s1²/n)/(n−1)) double form left the
+    * two engines room to differ in the last ulp (FMA/rounding order) once
+    * sums grew past ~1e10. Bounds for exactness: |k| < 1e9, n < 1e10,
+    * Σk² < 1e28 — holds at any Verify scale and to ~10^9-row groups.
     */
   def decStddev(c: Column, scale: Int = 2): Column = {
-    val n  = count(c).cast("double")
-    val s1 = decSum(c, scale)
-    val s2 = sum((c.cast(DecimalType(18, scale)) * c.cast(DecimalType(18, scale)))
-      .cast(DecimalType(38, 2 * scale))).cast("double")
-    sqrt((s2 - s1 * s1 / n) / (n - lit(1.0)))
+    val pow = math.pow(10, scale).toLong
+    val k = (c.cast(DecimalType(18, scale)) * lit(pow)).cast(DecimalType(9, 0))
+    val s1 = sum(k).cast(DecimalType(19, 0))
+    val s2 = sum((k * k).cast(DecimalType(18, 0))).cast(DecimalType(28, 0))
+    val n = count(c).cast(DecimalType(10, 0))
+    val num = (n * s2 - s1 * s1).cast("double")
+    val den = (count(c) * (count(c) - lit(1L))).cast("double")
+    sqrt(num / den) / lit(pow.toDouble)
   }
 
   /** Pricing-summary-style flagship aggregation (reference's groupBy-count /
