@@ -537,7 +537,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_clicks"))
         .select(col("l_id").as("event_id"), col("n_clicks"))
         .orderBy(col("event_id"))
-    })
+    },
+
+    // grouped sketch quantiles with the q39 rank-error contract, one sketch
+    // per event_type (mergeable map-side; the ok/off flags are the
+    // oracle-checkable fact, insulating the compare from sketch internals)
+    "q62_grouped_quantiles" -> { (s, d) =>
+      val v = t(s, d, "events").select(col("event_type"), col("value").as("v"))
+      val ps = Seq(0.5, 0.9)
+      val sk = v.groupBy(col("event_type")).agg(
+        percentile_approx(col("v"), typedlit(ps), lit(10000)).as("q"),
+        count(lit(1)).as("n"))
+      val rankAggs = ps.indices.map(i =>
+        sum(when(col("v") <= element_at(col("q"), i + 1), 1L).otherwise(0L))
+          .as(s"r$i"))
+      v.join(broadcast(sk), Seq("event_type"))
+        .groupBy(col("event_type"), col("n"), col("q"))
+        .agg(rankAggs.head, rankAggs.tail: _*)
+        .select(col("event_type") +: col("n") +: ps.zipWithIndex.map { case (p, i) =>
+          when(abs(col(s"r$i").cast("double") / col("n") - p) <= 0.01, lit("ok"))
+            .otherwise(lit("off")).as(s"p${(p * 100).toInt}_rank_ok")
+        }: _*)
+        .orderBy(col("event_type"))
+    },
+
+    // sessionized funnel: per user, sessions where a click precedes a
+    // purchase (conversion) — sessionization + conditional aggs, no joins
+    "q63_funnel" -> ((s, d) =>
+      EventOps.funnelSummary(t(s, d, "events")).orderBy(col("user_id"))))
 
   /** TPC-H Q5 shape in the ANSI subset both Spark SQL and DuckDB parse
     * identically (shared verbatim by q56's query and oracle). Revenue uses
@@ -1176,7 +1203,31 @@ object SparkEntry {
         |  ON e.user_id = c.user_id AND c.event_type = 'click'
         |  AND c.ts >= e.ts - INTERVAL 30 MINUTES AND c.ts <= e.ts
         |WHERE e.event_type = 'error'
-        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin)
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
+
+    // like q39: the flags are the contract — the Spark side recomputes each
+    // sketch value's true rank distributedly and must land within 1%
+    "q62_grouped_quantiles" ->
+      """SELECT event_type, count(*) AS n, 'ok' AS p50_rank_ok, 'ok' AS p90_rank_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q63_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f AS (SELECT user_id, event_id, event_type, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) > 600000000
+        |  THEN 1 ELSE 0 END AS is_new FROM e),
+        |s AS (SELECT user_id, event_type, ts, sum(is_new) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx FROM f),
+        |g AS (SELECT user_id, session_idx,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS first_from,
+        |    max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_to
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN first_from IS NOT NULL AND last_to IS NOT NULL
+        |    AND first_from <= last_to THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)
 
   /** Combined masking pattern, shared verbatim by q50's Spark side and SQL
     * oracle (Java-regex ∩ RE2 — the single source is

@@ -97,6 +97,32 @@ object EventOps {
         max(col("gap_us")).as("max_gap_us"),
         (sum(col("gap_us")).cast("double") / count(col("gap_us"))).as("avg_gap_us"))
 
+  /** Sessionized funnel conversion: per user, how many gap-sessions contain
+    * a `fromType` event followed (at or after its timestamp) by a `toType`
+    * event — the click→purchase product-analytics shape. Reuses
+    * [[sessionize]]'s per-user window cumsum to tag events with a session
+    * index, then two conditional aggs per session; one user-keyed shuffle
+    * total, no joins.
+    */
+  def funnelSummary(events: DataFrame, fromType: String = "click",
+                    toType: String = "purchase",
+                    gapMinutes: Int = 10): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prevTs = lag(col("ts"), 1).over(byUser)
+    val isNew = when(prevTs.isNull ||
+      unix_micros(col("ts")) - unix_micros(prevTs) > gapMinutes * 60L * 1000000L, 1L)
+      .otherwise(0L)
+    events
+      .withColumn("session_idx", sum(isNew).over(byUser))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(when(col("event_type") === fromType, col("ts"))).as("first_from"),
+        max(when(col("event_type") === toType, col("ts"))).as("last_to"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("first_from").isNotNull && col("last_to").isNotNull &&
+          col("first_from") <= col("last_to"), 1L).otherwise(0L)).as("n_converted"))
+  }
+
   /** Rolling-window anomaly detection: per (event_type, hour) counts
     * compared against the trailing `lookbackHours` hours of the same type
     * (ROWS window, so gaps in the hour sequence shorten the baseline

@@ -555,6 +555,21 @@ class OpsSpec extends SparkTestBase {
     assert(r(hr(13)) === ((5L, 3L, 3L, 1))) // 5·3 > 2·3 → spike
   }
 
+  test("funnelSummary: conversion only when click precedes purchase within one session") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val events = Seq(
+      (1L, ts(0), 7L, "click", 0.0), (2L, ts(3), 7L, "purchase", 0.0), // converted
+      (3L, ts(30), 7L, "purchase", 0.0), (4L, ts(33), 7L, "click", 0.0), // wrong order
+      (5L, ts(0), 8L, "click", 0.0), // click only
+      (6L, ts(0), 9L, "purchase", 0.0) // purchase only
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventOps.funnelSummary(events).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(7L) === ((2L, 1L)))
+    assert(r(8L) === ((1L, 0L)))
+    assert(r(9L) === ((1L, 0L)))
+  }
+
   test("interEventGaps/gapSummary: exact per-user lag gaps") {
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
     val events = Seq(
