@@ -288,7 +288,12 @@ object DedupOps {
   def nearDupClusters(df: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id", minJaccard: Double = 0.8,
                       scope: CacheScope = CacheScope.default): DataFrame = {
-    val pairs = minHashVerifiedPairs(df, textCol, idCol, minJaccard, scope = scope)
+    // register the verified pair edges with the scope: a second call over
+    // the same corpus (e.g. clusters then the retention summary) plans an
+    // identical subtree and the CacheManager serves it from this cache
+    // instead of re-running the whole MinHash pipeline
+    val pairs = scope.register(
+      minHashVerifiedPairs(df, textCol, idCol, minJaccard, scope = scope))
     GraphOps.connectedComponents(pairs, df.select(col(idCol)), idCol)
   }
 
