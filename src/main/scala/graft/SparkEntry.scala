@@ -128,6 +128,12 @@ object SparkEntry {
       RelationalOps.describeAggs(t(s, d, "lineitem"),
         Seq("l_discount", "l_extendedprice", "l_quantity"))),
 
+    // ingest-time data-quality profile: row/null/distinct counts + min/max
+    // per column, mixed types unpivoted into one long frame
+    "q66_profile" -> ((s, d) =>
+      RelationalOps.profile(t(s, d, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_linestatus"))),
+
     "q07_replace_priority" -> ((s, d) =>
       RelationalOps.naReplace(t(s, d, "orders"), "o_orderpriority",
           Map("1-URGENT" -> "URGENT", "2-HIGH" -> "HIGH"))
@@ -283,6 +289,13 @@ object SparkEntry {
       SimilarityOps.srpNearDupPairs(t(s, d, "embeddings"), 0.45)
         .orderBy(col("a"), col("b"))),
 
+    // SEMANTIC dedup (SemDeDup-style): SRP near-dup edges over embeddings →
+    // transitive clusters → retention summary — the embedding-space analog
+    // of q37/q38 (keep one representative per meaning, not per surface form)
+    "q64_semantic_dedup" -> ((s, d) =>
+      SimilarityOps.semanticDedupSummary(t(s, d, "embeddings"), 0.4)
+        .orderBy(col("keep_id"))),
+
     "q30_simhash_neardup" -> ((s, d) =>
       DedupOps.simHashNearDupPairs(
           DedupOps.simHash60(DedupOps.shingleHashRows(t(s, d, "documents"))))
@@ -323,6 +336,17 @@ object SparkEntry {
       DedupOps.contaminationReport(
           docs.filter(col("doc_id") % 2 === 0),
           docs.filter(col("doc_id") % 2 === 1))
+        .orderBy(col("doc_id"))
+    },
+
+    // incremental ingestion dedup: every 5th doc plays the NEW BATCH, the
+    // rest the existing corpus — batch bands join CORPUS bands (never
+    // corpus×corpus); novel batch docs are the ones safe to ingest
+    "q65_incremental_dedup" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      DedupOps.incrementalDedupReport(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0))
         .orderBy(col("doc_id"))
     },
 
@@ -639,6 +663,18 @@ object SparkEntry {
          |UNION ALL ${block("l_quantity")}) ORDER BY "column"""".stripMargin
     },
 
+    // min/max render as strings on both sides; all profiled values format
+    // identically (whole-number doubles "1.0"/"50.0", ints, strings)
+    "q66_profile" -> {
+      def block(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
+           |FROM lineitem""".stripMargin
+      Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_linestatus")
+        .map(block).mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
+    },
+
     "q07_replace_priority" ->
       """SELECT CASE o_orderpriority WHEN '1-URGENT' THEN 'URGENT'
         |  WHEN '2-HIGH' THEN 'HIGH' ELSE o_orderpriority END AS o_orderpriority,
@@ -905,6 +941,34 @@ object SparkEntry {
          |  FROM cand c JOIN e ae ON ae.vec_id = c.a JOIN e be ON be.vec_id = c.b)
          |WHERE cos >= 0.45 ORDER BY a, b""".stripMargin,
 
+    // same SRP bucket + exact-cosine pair derivation as q35 (at 0.4), then
+    // the same recursive closure + retention shape as q38 — vertices are
+    // ALL vec_ids, so singletons appear as 1-member clusters
+    "q64_semantic_dedup" ->
+      s"""WITH RECURSIVE planes AS (${ops.DetHash.sqlPlanesCte(48, 64)}),
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |proj AS (SELECT p.p // 8 AS tbl, p.p % 8 AS i, e.vec_id,
+         |    list_sum(list_transform(list_zip(e.embedding, p.cs), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS pr
+         |  FROM e CROSS JOIN planes p),
+         |b AS (SELECT tbl, vec_id,
+         |    sum(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS bucket
+         |  FROM proj GROUP BY tbl, vec_id),
+         |cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+         |  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
+         |    AND l.vec_id < r.vec_id),
+         |pr2 AS (SELECT a, b FROM (
+         |    SELECT c.a, c.b, ${sqlCos("ae", "be")} AS cos
+         |    FROM cand c JOIN e ae ON ae.vec_id = c.a JOIN e be ON be.vec_id = c.b)
+         |  WHERE cos >= 0.4),
+         |ed AS (SELECT a AS x, b AS y FROM pr2 UNION ALL SELECT b, a FROM pr2),
+         |reach AS (
+         |  SELECT vec_id AS x, vec_id AS comp FROM embeddings
+         |  UNION
+         |  SELECT ed.x, r.comp FROM ed JOIN reach r ON r.x = ed.y),
+         |cc AS (SELECT x, min(comp) AS comp FROM reach GROUP BY x)
+         |SELECT comp AS keep_id, count(*) AS n_vecs FROM cc
+         |GROUP BY comp ORDER BY keep_id""".stripMargin,
+
     "q24_ann_cosine_topk" ->
       """WITH dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
         |    list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dp,
@@ -961,6 +1025,22 @@ object SparkEntry {
          |  COALESCE(s.n_seen, 0) AS n_seen,
          |  CAST(COALESCE(s.n_seen, 0) AS DOUBLE) / c.sz AS contamination
          |FROM corp c LEFT JOIN seen s ON c.id = s.id ORDER BY doc_id""".stripMargin,
+
+    // brute-force cross-side near-dup (batch = id%5==0 vs corpus = rest);
+    // batch docs with no k-shingle never enter `inv` but still report novel
+    "q65_incremental_dedup" ->
+      s"""WITH $hashedShinglesCte,
+         |inv AS (SELECT id, sz, unnest(hs) AS tok FROM sized),
+         |pr AS (SELECT l.id AS a, r.id AS b
+         |  FROM inv l JOIN inv r ON l.tok = r.tok
+         |    AND l.id % 5 = 0 AND r.id % 5 <> 0
+         |  GROUP BY l.id, r.id, l.sz, r.sz
+         |  HAVING CAST(count(*) AS DOUBLE) / (l.sz + r.sz - count(*)) >= 0.8),
+         |m AS (SELECT a, count(*) AS n_matches FROM pr GROUP BY a)
+         |SELECT d.doc_id, COALESCE(m.n_matches, 0) AS n_matches,
+         |  COALESCE(m.n_matches, 0) = 0 AS novel
+         |FROM documents d LEFT JOIN m ON m.a = d.doc_id
+         |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin,
 
     "q42_hash_split" -> {
       val bucket =

@@ -126,16 +126,26 @@ object DedupOps {
     * 1-(1-s^r)^b curve — with k=32, bands=16 (r=2), a pair at Jaccard 0.8
     * is missed with probability (1-0.64)^16 ≈ 8e-8.
     */
-  def minHashCandidates(sigs: DataFrame, k: Int = 32, bands: Int = 16,
-                        maxBucket: Int = 1000): DataFrame = {
+  /** (id, band_idx, band_sig) rows from signature columns `s0..s{k-1}`:
+    * `bands` bands of r = k/bands rows, each band's bucket key packing its
+    * r signature values into one long (r=2: s0·P + s1 < 2^62,
+    * overflow-free). Shared by [[minHashCandidates]] (self-join form) and
+    * [[incrementalDedupReport]] (batch ⋈ corpus form).
+    */
+  private def bandedSigs(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val r = k / bands
     require(r <= 2, "band packing supports r <= 2 (values < P = 2^31-1)")
     val bandSig = (b: Int) =>
       if (r == 1) col(s"s${b}")
       else col(s"s${2 * b}") * lit(DetHash.P) + col(s"s${2 * b + 1}")
-    val banded = sigs.select(col("id"),
+    sigs.select(col("id"),
       posexplode(array((0 until bands).map(bandSig): _*)).as(Seq("band_idx", "band_sig")))
+  }
+
+  def minHashCandidates(sigs: DataFrame, k: Int = 32, bands: Int = 16,
+                        maxBucket: Int = 1000): DataFrame = {
+    val banded = bandedSigs(sigs, k, bands)
     val buckets = banded
       .groupBy(col("band_idx"), col("band_sig"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
@@ -179,6 +189,60 @@ object DedupOps {
         col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jaccard") >= lit(minJaccard))
       .select(col("a"), col("b"), col("inter"), col("jaccard"))
+  }
+
+  /** INCREMENTAL dedup: near-dup-match a new `batch` of documents against an
+    * existing `corpus` and report, per batch document, how many corpus
+    * near-duplicates it has (`n_matches`, 0 = `novel` — safe to ingest).
+    * The shape every growing training corpus needs: candidates come from
+    * joining the batch's LSH bands against the CORPUS's bands — never a
+    * corpus×corpus self-join — so the work scales with |batch| · collision
+    * rate, not |corpus|². Exact-Jaccard verification keeps only true
+    * near-dups, exactly as [[minHashVerifiedPairs]].
+    *
+    * Ids must be disjoint across the two frames. At production scale the
+    * corpus-side signatures/bands are a PERSISTED table maintained across
+    * ingests (band_idx, band_sig)-bucketed so each new batch join is
+    * exchange-free on the corpus side; here they're recomputed from text.
+    *
+    * Skew guard: a corpus band bucket with more than `maxBucket` members is
+    * dropped (same recall caveat as [[simHashNearDupPairs]]); batch docs
+    * with fewer than `shingleK` tokens have no shingles and report novel.
+    */
+  def incrementalDedupReport(batch: DataFrame, corpus: DataFrame,
+                             textCol: String = "text", idCol: String = "doc_id",
+                             minJaccard: Double = 0.8, k: Int = 32,
+                             bands: Int = 16, shingleK: Int = 3,
+                             maxBucket: Int = 10000,
+                             scope: CacheScope = CacheScope.default): DataFrame = {
+    // each side's shingle rows feed its signature pass AND its rerank side
+    val rowsB = scope.register(shingleHashRows(batch, textCol, idCol, shingleK, scope))
+    val rowsC = scope.register(shingleHashRows(corpus, textCol, idCol, shingleK, scope))
+    val bandB = bandedSigs(minHashSigs(rowsB, k), k, bands)
+    val bandC = bandedSigs(minHashSigs(rowsC, k), k, bands)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_sig"))
+    val cappedC = bandC.withColumn("bn", count(lit(1)).over(w))
+      .filter(col("bn") <= maxBucket).drop("bn")
+    val cand = bandB.select(col("band_idx"), col("band_sig"), col("id").as("a"))
+      .join(cappedC.select(col("band_idx"), col("band_sig"), col("id").as("b")),
+        Seq("band_idx", "band_sig"))
+      .select(col("a"), col("b")).distinct()
+    def setsOf(rows: DataFrame): DataFrame = rows.groupBy(col("id"))
+      .agg(collect_set(col("h")).as("hs"))
+      .select(col("id"), col("hs"), size(col("hs")).cast("long").as("sz"))
+    val sa = setsOf(rowsB).select(col("id").as("a"), col("hs").as("hsa"), col("sz").as("sza"))
+    val sb = setsOf(rowsC).select(col("id").as("b"), col("hs").as("hsb"), col("sz").as("szb"))
+    val matches = cand.join(sa, Seq("a")).join(sb, Seq("b"))
+      .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= lit(minJaccard))
+      .groupBy(col("a")).agg(count(lit(1)).as("n_matches"))
+    batch.select(col(idCol))
+      .join(matches.select(col("a").as(idCol), col("n_matches")), Seq(idCol), "left")
+      .na.fill(0L, Seq("n_matches"))
+      .select(col(idCol), col("n_matches"), (col("n_matches") === 0).as("novel"))
   }
 
   /** 60-bit SimHash fingerprints (id, simhash) from (id, h) shingle rows:

@@ -127,6 +127,41 @@ object RelationalOps {
       .orderBy("column")
   }
 
+  /** Data-quality COLUMN PROFILE, long format: one row per column with
+    * row/null/distinct counts and min/max (rendered as strings so mixed
+    * column types unpivot into one frame). The ingest-time audit every
+    * pipeline runs before trusting a new shard.
+    *
+    * Scale shape: one job over one scan. The multiple exact
+    * `countDistinct`s plan through Catalyst's Expand (one shuffle, row
+    * expansion factor = #cols, partial aggregation map-side) — for very
+    * wide profiles at extreme scale swap `n_distinct` for
+    * `approx_count_distinct` and the expansion disappears; min/max/counts
+    * stay a plain 1-row aggregate either way. Like [[describeAggs]], the
+    * 1-row wide aggregate unpivots lazily with `stack`.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        countDistinct(col(c)).as(s"${c}__d"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val wide = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val stackArgs = cols.flatMap { c =>
+      Seq(lit(c), col(s"${c}__n"), col(s"${c}__d"),
+        col(s"${c}__min"), col(s"${c}__max"))
+    }
+    wide.select(col("__rows").as("n_rows"),
+        stack((lit(cols.size) +: stackArgs): _*)
+          .as(Seq("col_name", "n_non_null", "n_distinct", "min_s", "max_s")))
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("n_non_null")).as("n_null"),
+        col("n_distinct"), col("min_s"), col("max_s"))
+      .orderBy("col_name")
+  }
+
   /** Value replacement, reference `df.na.replace` (`README.md:676-677`). */
   def naReplace(df: DataFrame, colName: String, repl: Map[String, String]): DataFrame =
     df.na.replace(colName, repl)

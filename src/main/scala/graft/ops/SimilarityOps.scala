@@ -382,6 +382,49 @@ object SimilarityOps {
       .filter(col("cos") >= lit(minCos))
   }
 
+  /** SEMANTIC near-duplicate CLUSTERS over an embedding column: (vec_id,
+    * comp) for every vector, where comp = the minimum vec id reachable
+    * through the verified SRP near-dup pair graph at `minCos`
+    * ([[srpNearDupPairs]] edges → [[GraphOps.connectedComponents]]). The
+    * embedding-space analog of [[DedupOps.nearDupClusters]] — the
+    * SemDeDup-style step that groups semantically-redundant documents so
+    * dedup keeps one representative per MEANING, not just per surface form
+    * (A≈B and B≈C must land in one cluster even when cos(A,C) < minCos).
+    * Singleton vectors map to themselves.
+    *
+    * Scale contract: edges come from the bucketed SRP path (no all-pairs),
+    * and the closure is O(log n) rounds of (id, label) shuffles — nothing
+    * ever collects to the driver. Precision of the edge set is exact;
+    * recall follows the SRP collision curve (see [[srpNearDupPairs]]).
+    */
+  def semanticDupClusters(df: DataFrame, minCos: Double, nPlanes: Int = 8,
+                          nTables: Int = 6, dim: Int = 64,
+                          idCol: String = "vec_id", vecCol: String = "embedding",
+                          maxBucket: Int = 10000,
+                          scope: CacheScope = CacheScope.default): DataFrame = {
+    // register the verified edges: the clusters query and the retention
+    // summary plan identical subtrees, served from this cache instead of
+    // re-running the SRP candidate + verify pipeline
+    val pairs = scope.register(
+      srpNearDupPairs(df, minCos, nPlanes, nTables, dim, idCol, vecCol, maxBucket))
+    GraphOps.connectedComponents(pairs, df.select(col(idCol)), idCol)
+  }
+
+  /** Semantic dedup retention summary: one row per semantic cluster with the
+    * kept representative (min vec id) and the member count — the embedding
+    * analog of [[DedupOps.nearDedupSummary]]. Join `keep_id` back to the
+    * corpus to materialize the semantically-deduplicated table.
+    */
+  def semanticDedupSummary(df: DataFrame, minCos: Double, nPlanes: Int = 8,
+                           nTables: Int = 6, dim: Int = 64,
+                           idCol: String = "vec_id", vecCol: String = "embedding",
+                           maxBucket: Int = 10000,
+                           scope: CacheScope = CacheScope.default): DataFrame =
+    semanticDupClusters(df, minCos, nPlanes, nTables, dim, idCol, vecCol,
+        maxBucket, scope)
+      .groupBy(col("comp")).agg(count(lit(1)).as("n_vecs"))
+      .select(col("comp").as("keep_id"), col("n_vecs"))
+
   /** Fully distributed IVF ANN: same coarse-quantizer semantics as
     * [[ivfTopK]], but the inverted file NEVER touches the driver — only the
     * fitted centroids (a model, nCells·dim doubles) are broadcast. Cell
