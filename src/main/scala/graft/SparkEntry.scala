@@ -364,6 +364,37 @@ object SparkEntry {
       TextOps.buildVocab(t(s, d, "documents"), size = 200)
         .orderBy(col("term_id"))),
 
+    // heavy hitters via the Misra-Gries UDAF: output = EXACT tokens above
+    // support n/64, each flagged 'ok' iff present in the m=255 sketch — the
+    // MG containment theorem (error ≤ n/256 < support) makes the flags
+    // deterministic even though sketch internals vary with merge order
+    // corpus length-distribution audit: the histogram behind min/max-length
+    // filter decisions (what would a 50-token floor drop, and how much)
+    "q68_length_histogram" -> ((s, d) =>
+      TextOps.lengthHistogram(t(s, d, "documents"), bucketWidth = 10)),
+
+    // exact grouped median WITHOUT global sort: value-histogram + cumulative
+    // counts (the exact counterpart of the q39/q62 GK sketches)
+    "q69_exact_median" -> ((s, d) =>
+      RelationalOps.exactMedianByGroup(t(s, d, "lineitem"),
+          "l_returnflag", "l_quantity")
+        .orderBy(col("l_returnflag"))),
+
+    "q67_heavy_hitters" -> { (s, d) =>
+      val toks = t(s, d, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      val sketch = toks.agg(
+        graft.functions.MisraGries.mgSketch(255)(col("tok")).as("sk"))
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      val total = exact.agg(sum(col("freq")).as("n_toks"))
+      exact.join(broadcast(total)).filter(col("freq") * 64 > col("n_toks"))
+        .join(broadcast(sketch))
+        .select(col("tok"), col("freq"),
+          when(map_contains_key(col("sk"), col("tok")), lit("ok"))
+            .otherwise(lit("miss")).as("mg_contains"))
+        .orderBy(col("freq").desc, col("tok"))
+    },
+
     // corpus encoding against that vocabulary: (doc, pos, term, id), OOV=-1
     "q44_encode_tokens" -> { (s, d) =>
       val docs = t(s, d, "documents")
@@ -1057,6 +1088,27 @@ object SparkEntry {
          |SELECT term, freq,
          |  CAST(row_number() OVER (ORDER BY freq DESC, term) - 1 AS INTEGER) AS term_id
          |FROM c ORDER BY term_id LIMIT 200""".stripMargin,
+
+    // the MG sketch itself is engine-specific; the CONTRACT (every token
+    // above support n/64 is contained — error bound n/256) is the checkable
+    // fact, so the oracle emits 'ok' literals exactly like q33's HLL check
+    "q68_length_histogram" ->
+      s"""WITH t AS (SELECT len($toksSql) AS n FROM documents)
+         |SELECT CAST(n // 10 * 10 AS INTEGER) AS bucket_lo,
+         |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens
+         |FROM t GROUP BY 1 ORDER BY bucket_lo""".stripMargin,
+
+    "q69_exact_median" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  median(l_quantity) AS median
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q67_heavy_hitters" ->
+      s"""WITH tk AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |ex AS (SELECT tok, count(*) AS freq FROM tk GROUP BY tok),
+         |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n_toks FROM ex)
+         |SELECT tok, freq, 'ok' AS mg_contains FROM ex, tot
+         |WHERE freq * 64 > n_toks ORDER BY freq DESC, tok""".stripMargin,
 
     "q44_encode_tokens" ->
       s"""WITH c AS (SELECT term, count(*) AS freq

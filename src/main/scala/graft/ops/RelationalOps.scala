@@ -293,6 +293,42 @@ object RelationalOps {
     df.withColumn("split", split)
   }
 
+  /** EXACT grouped median WITHOUT a global sort: reduce each group to its
+    * VALUE HISTOGRAM (one hash aggregation with map-side partials), then
+    * run the cumulative-count window over histogram rows — cardinality =
+    * distinct values per group, not group size. The even-n median is the
+    * mean of the two middle values (`median()` semantics in DuckDB /
+    * Postgres / pandas).
+    *
+    * This is the exact counterpart to the GK sketch (q39/q62): use it when
+    * the value domain is bounded (quantities, ratings, bucketed sizes,
+    * token counts — distinct values ≪ rows, the histogram fits easily);
+    * use the sketch when values are continuous and unbounded. A global
+    * `orderBy().limit()` median would sort 100 TB; this shuffles only
+    * (group, value) pairs.
+    */
+  def exactMedianByGroup(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(groupCol), col(valCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col("v"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col(groupCol))))
+    // 1-based middle positions: odd n → both (n+1)/2; even n → n/2, n/2+1
+    val p1 = ((col("n") + 1) / 2).cast("long")
+    val p2 = ((col("n") + 2) / 2).cast("long")
+    // value at position p = min value whose cumulative count reaches p
+    val lo = cum.filter(col("cum") >= p1)
+      .groupBy(col(groupCol)).agg(min(col("v")).as("v_lo"))
+    val hi = cum.filter(col("cum") >= p2)
+      .groupBy(col(groupCol)).agg(min(col("v")).as("v_hi"))
+    val ns = hist.groupBy(col(groupCol)).agg(sum(col("c")).as("n_rows"))
+    ns.join(lo, Seq(groupCol)).join(hi, Seq(groupCol))
+      .select(col(groupCol), col("n_rows"),
+        ((col("v_lo") + col("v_hi")) / 2).as("median"))
+  }
+
   /** Deterministic stratified sampling — the data-mixing primitive: keep a
     * per-stratum fraction of rows (basis points out of 10,000, e.g.
     * upsample head languages, downsample boilerplate sources), selected by

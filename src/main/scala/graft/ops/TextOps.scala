@@ -30,6 +30,26 @@ object TextOps {
   def totalTokenLen(toks: Column): Column =
     aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
 
+  /** Document LENGTH HISTOGRAM: token counts bucketed to `bucketWidth`-wide
+    * bins — (bucket_lo, n_docs, total_tokens). The length-distribution
+    * audit behind every min/max-length filtering decision (what fraction of
+    * the corpus would a 50-token floor drop, and how many tokens with it).
+    *
+    * Scale shape: a per-row projection reduced by one tiny aggregation
+    * (#buckets ≈ max_len/bucketWidth rows) with full map-side partials —
+    * no sort, no window. Integer arithmetic throughout.
+    */
+  def lengthHistogram(documents: DataFrame, bucketWidth: Int = 10,
+                      textCol: String = "text"): DataFrame = {
+    val n = size(tokens(col(textCol)))
+    documents
+      .select(((n / bucketWidth).cast("int") * bucketWidth).as("bucket_lo"),
+        n.as("n"))
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"))
+      .orderBy(col("bucket_lo"))
+  }
+
   /** Per-document stats: char count, token count, distinct tokens,
     * stopword ratio, mean token length. One narrow projection.
     */
