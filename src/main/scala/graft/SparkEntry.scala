@@ -619,7 +619,58 @@ object SparkEntry {
     // sessionized funnel: per user, sessions where a click precedes a
     // purchase (conversion) — sessionization + conditional aggs, no joins
     "q63_funnel" -> ((s, d) =>
-      EventOps.funnelSummary(t(s, d, "events")).orderBy(col("user_id"))))
+      EventOps.funnelSummary(t(s, d, "events")).orderBy(col("user_id"))),
+
+    // ---- round-6 additions ----
+
+    // dynamic PIVOT with a SUM measure (q05's crosstab pivots counts):
+    // order totals per status × priority; pinned value list → stable
+    // schema, one hash aggregation (no per-value scans)
+    "q70_pivot_totals" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderstatus"),
+          concat(lit("p"), substring(col("o_orderpriority"), 1, 1)).as("prio"),
+          col("o_totalprice"))
+        .groupBy(col("o_orderstatus"))
+        .pivot("prio", Seq("p1", "p2", "p3", "p4", "p5"))
+        .agg(RelationalOps.decSum(col("o_totalprice")))
+        .orderBy(col("o_orderstatus"))),
+
+    // UNPIVOT (melt): three measure columns to (measure, val) rows, then
+    // per-measure stats — wide-to-long is a projection+explode, no shuffle
+    // until the aggregation
+    "q71_unpivot_measures" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"), RelationalOps.decSum(col("val")).as("sum_val"),
+          min(col("val")).as("min_val"), max(col("val")).as("max_val"))
+        .orderBy(col("measure"))),
+
+    // explicit GROUPING SETS (rollup q49 / cube q53 complete the family):
+    // the SAME SQL text runs through spark.sql and the DuckDB oracle
+    "q72_grouping_sets" -> { (s, d) =>
+      t(s, d, "events").createOrReplaceTempView("events")
+      s.sql(groupingSetsSql)
+    },
+
+    // sliding-window document chunking (the other half of q46's packing):
+    // 64-token chunks overlapping by 8, map-only explode+slice
+    "q73_chunk_docs" -> ((s, d) =>
+      TextOps.chunkDocs(t(s, d, "documents"), chunkTokens = 64, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // mixture sampling to exact per-language TARGET COUNTS (q48 samples by
+    // rate): md5-rank per stratum, keep the first N — counts + id checksum
+    // verify the selected SET
+    "q74_mixture_sample" -> ((s, d) =>
+      RelationalOps.hashRankSample(t(s, d, "documents"), "doc_id", "lang",
+          Map("en" -> 120L, "de" -> 40L, "zh" -> 15L))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("lang"))))
 
   /** TPC-H Q5 shape in the ANSI subset both Spark SQL and DuckDB parse
     * identically (shared verbatim by q56's query and oracle). Revenue uses
@@ -640,6 +691,23 @@ object SparkEntry {
        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
        |GROUP BY n_name
        |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Explicit GROUPING SETS in the ANSI subset both engines parse
+    * identically (shared verbatim by q72's query and oracle): per-type,
+    * per-user-mod, and per-(type, user-mod) aggregates in ONE pass over
+    * events — Spark expands the sets with a single Expand node feeding one
+    * hash aggregation, not three scans.
+    */
+  private val groupingSetsSql: String =
+    s"""WITH e AS (SELECT event_type, user_id % 7 AS user_mod, value FROM events)
+       |SELECT coalesce(event_type, '__all__') AS event_type,
+       |  coalesce(user_mod, CAST(-1 AS BIGINT)) AS user_mod,
+       |  CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+       |  CAST(GROUPING(user_mod) AS INTEGER) AS g_mod,
+       |  count(*) AS n, ${sqlDecSum("value")} AS sum_value
+       |FROM e
+       |GROUP BY GROUPING SETS ((event_type), (user_mod), (event_type, user_mod))
+       |ORDER BY g_type, g_mod, event_type, user_mod""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Every query has an oracle — the hash-based ones
@@ -1359,7 +1427,50 @@ object SparkEntry {
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
         |  CAST(sum(CASE WHEN first_from IS NOT NULL AND last_to IS NOT NULL
         |    AND first_from <= last_to THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
-        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // ---- round-6 additions ----
+
+    "q70_pivot_totals" -> {
+      def cell(i: Int) =
+        s"""CAST(sum(CAST(o_totalprice AS DECIMAL(27,2)))
+           |    FILTER (WHERE o_orderpriority LIKE '$i-%') AS DOUBLE) AS p$i""".stripMargin
+      s"""SELECT o_orderstatus, ${(1 to 5).map(cell).mkString(",\n  ")}
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    },
+
+    "q71_unpivot_measures" -> {
+      def leg(c: String) =
+        s"SELECT '$c' AS measure, $c AS val FROM lineitem"
+      s"""WITH u AS (${leg("l_quantity")} UNION ALL ${leg("l_discount")}
+         |  UNION ALL ${leg("l_tax")})
+         |SELECT measure, count(*) AS n, ${sqlDecSum("val")} AS sum_val,
+         |  min(val) AS min_val, max(val) AS max_val
+         |FROM u GROUP BY measure ORDER BY measure""".stripMargin
+    },
+
+    "q72_grouping_sets" -> groupingSetsSql,
+
+    "q73_chunk_docs" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+         |c AS (SELECT doc_id, toks, n,
+         |  unnest(list_filter(range(0, n, 56), x -> x = 0 OR x < n - 8)) AS start FROM s)
+         |SELECT doc_id, CAST(start // 56 AS INTEGER) AS chunk_idx, start,
+         |  least(64, n - start) AS n_tokens,
+         |  array_to_string(toks[CAST(start + 1 AS INTEGER):CAST(start + 64 AS INTEGER)], ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q74_mixture_sample" -> {
+      val h = ops.DetHash.sqlMd5Hash60("'mix|'||CAST(doc_id AS VARCHAR)")
+      s"""WITH r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+         |    ORDER BY $h, doc_id) AS rk FROM documents)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM r
+         |WHERE (lang = 'de' AND rk <= 40) OR (lang = 'en' AND rk <= 120)
+         |  OR (lang = 'zh' AND rk <= 15)
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    })
 
   /** Combined masking pattern, shared verbatim by q50's Spark side and SQL
     * oracle (Java-regex ∩ RE2 — the single source is

@@ -356,6 +356,42 @@ object RelationalOps {
     df.filter(bucket < rate)
   }
 
+  /** Deterministic sampling to per-stratum TARGET COUNTS — the data-mixing
+    * primitive when the recipe is "exactly N docs of each language/source",
+    * not a rate: rank each stratum's rows by the md5 of the salted id
+    * (uniform, engine-independent — same convention as [[hashSplit]]) and
+    * keep the first `targets(stratum)` of them. Unlike
+    * [[hashStratifiedSample]] the output SIZE is exact, and the selected
+    * set is still a pure function of (salt, ids): stable across runs,
+    * engines, partitionings, and corpus ORDER — though not across corpus
+    * membership changes (ranks shift when rows are added), which is the
+    * inherent price of exact counts. Strata absent from `targets` are
+    * dropped.
+    *
+    * Scale shape: one shuffle on the stratum key, then a per-stratum
+    * row_number window — rank, not sort-all: at extreme stratum sizes
+    * replace the window with the two-pass "sample the ~target/n quantile of
+    * h, refine" threshold trick; here the window keeps it exact in one
+    * pass, and skew is bounded by the largest stratum.
+    */
+  def hashRankSample(df: DataFrame, idCol: String, strataCol: String,
+                     targets: Map[String, Long],
+                     salt: String = "mix"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(targets.values.forall(_ >= 0), "targets must be non-negative")
+    val h = DetHash.md5Hash60(concat(lit(salt + "|"), col(idCol).cast("string")))
+    // sorted for a deterministic when-chain (Map iteration order isn't)
+    val target = targets.toSeq.sortBy(_._1)
+      .foldRight(lit(0L): Column) { case ((k, n), acc) =>
+        when(col(strataCol) === k, lit(n)).otherwise(acc)
+      }
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("__h").asc, col(idCol).asc)
+    df.withColumn("__h", h)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= target)
+      .drop("__h", "__rk")
+  }
+
   /** Top-k per group via ranking window (partitioned — never a global
     * single-partition sort). Deterministic given a total tiebreak ordering.
     */

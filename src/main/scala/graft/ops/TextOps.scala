@@ -438,4 +438,37 @@ object TextOps {
         sum(least(col("off") + col("nt"), (col("block") + 1) * cap) -
           greatest(col("off"), col("block") * cap)).as("n_tokens"))
   }
+
+  /** Per-document sliding-window chunking — the other half of training-data
+    * layout (vs [[packSequences]], which concatenates): split each document
+    * into `chunkTokens`-token windows that overlap by `overlap` tokens, so
+    * no context is lost at chunk boundaries. One row per (doc, chunk):
+    * (doc_id, chunk_idx, start, n_tokens, chunk_text).
+    *
+    * Chunks start at multiples of the stride (`chunkTokens - overlap`); a
+    * trailing start whose tokens are all inside the previous chunk (start ≥
+    * n - overlap) is suppressed, so every chunk contributes at least one new
+    * token. Map-only: tokenize → explode the start sequence → slice; no
+    * shuffle, no state — the shape that streams through 100 TB of text at
+    * scan speed.
+    */
+  def chunkDocs(documents: DataFrame, chunkTokens: Int = 64, overlap: Int = 8,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(overlap >= 0 && chunkTokens > overlap,
+      s"need 0 <= overlap ($overlap) < chunkTokens ($chunkTokens)")
+    val stride = (chunkTokens - overlap).toLong
+    val starts = filter(
+      sequence(lit(0L), (size(col("toks")) - 1).cast("long"), lit(stride)),
+      s => (s === 0L) || (s < (size(col("toks")) - overlap).cast("long")))
+    documents
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), col("toks"), explode(starts).as("start"))
+      .select(col(idCol),
+        floor(col("start") / stride).cast("int").as("chunk_idx"),
+        col("start"),
+        least(lit(chunkTokens.toLong),
+          size(col("toks")).cast("long") - col("start")).as("n_tokens"),
+        array_join(slice(col("toks"), (col("start") + 1).cast("int"), lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
 }

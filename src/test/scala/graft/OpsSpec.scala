@@ -802,4 +802,54 @@ class OpsSpec extends SparkTestBase {
       Map("en" -> 5000), 500).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(salted !== sameRates)
   }
+
+  test("chunkDocs: windows cover every token, overlap exactly, no redundant tail") {
+    val doc = (0 until 150).map(i => s"t$i").mkString(" ")
+    val df = Seq((7L, doc), (8L, "a b c"), (9L, "solo")).toDF("doc_id", "text")
+    val chunks = TextOps.chunkDocs(df, chunkTokens = 64, overlap = 8)
+      .orderBy(col("doc_id"), col("chunk_idx")).collect()
+    val byDoc = chunks.groupBy(_.getLong(0))
+    // short docs: one chunk holding the whole text
+    assert(byDoc(8L).length === 1 && byDoc(8L).head.getString(4) === "a b c")
+    assert(byDoc(9L).length === 1 && byDoc(9L).head.getLong(3) === 1L)
+    // 150 tokens, stride 56: starts 0, 56, 112 (112 < 150-8) — 3 chunks
+    val long = byDoc(7L)
+    assert(long.map(_.getLong(2)).toSeq === Seq(0L, 56L, 112L))
+    assert(long.map(_.getLong(3)).toSeq === Seq(64L, 64L, 38L))
+    // consecutive chunks overlap by exactly `overlap` tokens
+    val texts = long.map(_.getString(4).split(" ").toSeq)
+    assert(texts(0).takeRight(8) === texts(1).take(8))
+    // chunks cover the whole doc in order: stitching non-overlap suffixes
+    // reconstructs the original token stream
+    val stitched = texts.head ++ texts.tail.flatMap(_.drop(8))
+    assert(stitched === doc.split(" ").toSeq)
+    // a 60-token doc must NOT emit a start-56 chunk (fully inside chunk 0)
+    val sixty = Seq((1L, (0 until 60).map("w" + _).mkString(" "))).toDF("doc_id", "text")
+    assert(TextOps.chunkDocs(sixty, 64, 8).count() === 1)
+  }
+
+  test("hashRankSample: exact target counts, deterministic nested subsets") {
+    val df = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val langSizes = df.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val targets = Map("en" -> 5L, "de" -> 3L, "zh" -> 1000L)
+    val got = RelationalOps.hashRankSample(df, "doc_id", "lang", targets)
+    val counts = got.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact counts, capped by stratum size; absent strata dropped
+    assert(counts.keySet === targets.keySet.filter(langSizes.contains))
+    counts.foreach { case (l, n) => assert(n === math.min(targets(l), langSizes(l))) }
+    // schema passthrough: sampling only filters, never projects
+    assert(got.columns === df.columns)
+    // determinism + nestedness: the 3-doc 'de' sample is a subset of the
+    // 5-doc one (rank order is a pure function of (salt, id))
+    def deSet(n: Long) = RelationalOps.hashRankSample(df, "doc_id", "lang",
+        Map("de" -> n)).select("doc_id").collect().map(_.getLong(0)).toSet
+    val de3 = deSet(3L); val de5 = deSet(5L)
+    assert(de3.size === 3 && de5.size === 5 && de3.subsetOf(de5))
+    // partitioning-invariant
+    assert(deSet(3L) ===
+      RelationalOps.hashRankSample(df.repartition(13), "doc_id", "lang",
+        Map("de" -> 3L)).select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
 }
