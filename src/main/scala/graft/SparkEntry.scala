@@ -670,7 +670,48 @@ object SparkEntry {
           Map("en" -> 120L, "de" -> 40L, "zh" -> 15L))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
-        .orderBy(col("lang"))))
+        .orderBy(col("lang"))),
+
+    // Z-order (Morton) curve cells over (user, value-bucket): the 2-D
+    // data-skipping layout's curve arithmetic, verified bit-for-bit —
+    // each cell's tight min/max span on BOTH dimensions is what makes
+    // file-level pruning work on either predicate (see ZOrderSpec for the
+    // file-layout assertion)
+    "q75_zorder_cells" -> { (s, d) =>
+      val e = t(s, d, "events").select(
+        pmod(col("user_id"), lit(1024L)).as("u"),
+        floor(col("value")).cast("long").as("vb"))
+      e.select(col("u"), col("vb"),
+          graft.sources.ZOrder.zValue(col("u"), col("vb"), 10).as("z"))
+        .groupBy(shiftright(col("z"), 12).as("cell"))
+        .agg(count(lit(1)).as("n"),
+          min(col("u")).as("min_u"), max(col("u")).as("max_u"),
+          min(col("vb")).as("min_vb"), max(col("vb")).as("max_vb"))
+        .orderBy(col("cell"))
+    },
+
+    // Bloom-pruned join (the runtime-filter pattern, built explicitly):
+    // fact rows miss-test against a broadcast 2KB bloom of the filtered
+    // dim's keys BEFORE the join shuffle; false positives die in the exact
+    // join, so the result is identical to the plain join the oracle runs
+    "q76_bloom_join" -> { (s, d) =>
+      val dim = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val fact = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"))
+      RelationalOps.bloomPrunedJoin(fact, dim, "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          RelationalOps.decSum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // BM25 retrieval scoring against a fixed query (ratio idf — see
+    // TextOps.bm25 doc for the cross-engine bit-stability reasoning)
+    "q77_bm25" -> ((s, d) =>
+      TextOps.bm25(t(s, d, "documents"), Seq("spark", "join", "fast"))
+        .orderBy(col("doc_id"))))
 
   /** TPC-H Q5 shape in the ANSI subset both Spark SQL and DuckDB parse
     * identically (shared verbatim by q56's query and oracle). Revenue uses
@@ -1470,6 +1511,50 @@ object SparkEntry {
          |WHERE (lang = 'de' AND rk <= 40) OR (lang = 'en' AND rk <= 120)
          |  OR (lang = 'zh' AND rk <= 15)
          |GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    "q75_zorder_cells" ->
+      s"""WITH e AS (SELECT CAST(user_id % 1024 AS BIGINT) AS u,
+         |    CAST(floor(value) AS BIGINT) AS vb FROM events),
+         |z AS (SELECT u, vb, ${sources.ZOrder.sqlZValue("u", "vb", 10)} AS z FROM e)
+         |SELECT z >> 12 AS cell, count(*) AS n,
+         |  min(u) AS min_u, max(u) AS max_u,
+         |  min(vb) AS min_vb, max(vb) AS max_vb
+         |FROM z GROUP BY 1 ORDER BY cell""".stripMargin,
+
+    // the bloom prunes; the exact join decides — so the oracle is the
+    // plain join (any bloom false positive surviving to the output would
+    // be a correctness failure here)
+    "q76_bloom_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n_items,
+         |  ${sqlDecSum("l_extendedprice")} AS sum_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q77_bm25" -> {
+      val (k1, b) = (1.2, 0.75)
+      val avgdl = "(CAST(total_toks AS DOUBLE) / n_docs)"
+      def term(word: String, i: Int) = {
+        val tf = s"CAST(len(list_filter(toks, x -> x = '$word')) AS DOUBLE)"
+        s"""((CAST(n_docs AS DOUBLE) - df$i + 0.5) / (df$i + 0.5))
+           |    * ($tf * ${k1 + 1}) / ($tf + $k1 * (${1 - b}
+           |      + $b * CAST(len(toks) AS DOUBLE) / $avgdl))""".stripMargin
+      }
+      val terms = Seq("spark", "join", "fast")
+      val dfCols = terms.zipWithIndex.map { case (w, i) =>
+        s"CAST(sum(CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+      }.mkString(",\n    ")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(toks)) AS BIGINT) AS total_toks FROM t),
+         |dfs AS (SELECT
+         |    $dfCols
+         |  FROM t)
+         |SELECT doc_id, CAST(len(toks) AS INTEGER) AS dl,
+         |  ${terms.zipWithIndex.map { case (w, i) => term(w, i) }.mkString("\n  + ")}
+         |  AS bm25
+         |FROM t, st, dfs ORDER BY doc_id""".stripMargin
     })
 
   /** Combined masking pattern, shared verbatim by q50's Spark side and SQL

@@ -356,6 +356,61 @@ object RelationalOps {
     df.filter(bucket < rate)
   }
 
+  /** Bloom-filter pre-join pruning — the runtime-filter pattern, built
+    * explicitly: fold the dim side's join keys into an `mBits`-bit Bloom
+    * filter (k md5-derived bit positions per key, OR-aggregated into
+    * 64-bit words), broadcast the filter as ONE map-typed row, and drop
+    * fact rows that miss it BEFORE the join's shuffle. False positives
+    * survive the bloom but die in the exact join that follows, so the
+    * result is IDENTICAL to `fact.join(dim, key)` — the bloom only moves
+    * work: at 100 TB a selective dim filter prunes most of the fact scan's
+    * output before it pays the exchange, for a sketch whose size is fixed
+    * by mBits (2 KB at 2^14 bits) no matter how many keys it summarizes.
+    *
+    * Everything is lazy and plan-pure (no driver-side collect): the build
+    * is a tiny word-keyed aggregation, the probe is a broadcast
+    * nested-loop join against the 1-row filter. Bit positions derive from
+    * one md5 per key (20-bit slices), the [[DetHash]] determinism
+    * contract — so the pruned set is reproducible across engines and
+    * partitionings.
+    */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                      mBits: Int = 1 << 14, kHashes: Int = 3): DataFrame =
+    bloomFilteredFact(fact, dim, key, mBits, kHashes).join(dim, Seq(key))
+
+  /** The bloom-survivor side alone (no verifying join): fact rows whose key
+    * hits the dim-side Bloom filter — true matches plus the sketch's false
+    * positives. Exposed so tests can measure the false-positive rate and so
+    * callers can reuse the pruned set across several joins.
+    */
+  def bloomFilteredFact(fact: DataFrame, dim: DataFrame, key: String,
+                        mBits: Int = 1 << 14, kHashes: Int = 3): DataFrame = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0 && mBits <= (1 << 20),
+      s"mBits must be a power of two in [64, 2^20], got $mBits")
+    require(kHashes >= 1 && kHashes <= 3, "kHashes in [1, 3] (20-bit md5 slices)")
+    def hash(c: Column): Column =
+      DetHash.md5Hash60(concat(lit("bloom|"), c.cast("string")))
+    def positions(h: Column): Seq[Column] =
+      (0 until kHashes).map(i => pmod(shiftright(h, 20 * i), lit(mBits.toLong)))
+    val words = dim
+      .select(explode(array(positions(hash(col(key))): _*)).as("pos"))
+      .select((col("pos") / 64).cast("long").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("m"))
+      .groupBy(col("w")).agg(expr("bit_or(m)").as("bits"))
+    val bloomRow = words
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("__bf"))
+    val probeCond = (0 until kHashes).map { i =>
+      s"""(coalesce(element_at(__bf, pmod(shiftright(__h, ${20 * i}), $mBits) div 64),
+         |  CAST(0 AS BIGINT))
+         |  & shiftleft(CAST(1 AS BIGINT),
+         |      CAST(pmod(shiftright(__h, ${20 * i}), $mBits) % 64 AS INT))) != 0""".stripMargin
+    }.mkString("(", ") AND (", ")")
+    fact.withColumn("__h", hash(col(key)))
+      .crossJoin(broadcast(bloomRow))
+      .filter(expr(probeCond))
+      .drop("__h", "__bf")
+  }
+
   /** Deterministic sampling to per-stratum TARGET COUNTS — the data-mixing
     * primitive when the recipe is "exactly N docs of each language/source",
     * not a rate: rank each stratum's rows by the md5 of the salted id

@@ -439,6 +439,45 @@ object TextOps {
           greatest(col("off"), col("block") * cap)).as("n_tokens"))
   }
 
+  /** BM25 relevance of every document to a fixed query-term list — the
+    * retrieval scorer behind corpus search / example selection. Per term:
+    * `idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`, summed over
+    * `queryTerms` IN LIST ORDER (a fixed fold, so the double result is
+    * bit-reproducible — aggregation-order-free). `idf` is the RATIO form
+    * `(N−df+0.5)/(df+0.5)` rather than its log: same ranking (log is
+    * monotone), but exactly representable cross-engine, which keeps the
+    * oracle hash-stable (same reasoning as [[topTerms]]' ratio idf).
+    *
+    * Scale shape: corpus stats (N, total tokens) and per-term dfs are two
+    * one-row/k-row broadcasts; per-document work is `size(filter(toks))`
+    * per term — map-only, no explode, no shuffle. tf=0 terms contribute
+    * exactly 0.
+    */
+  def bm25(documents: DataFrame, queryTerms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75,
+           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = tokens(col(textCol))
+    val stats = documents.agg(count(lit(1)).as("n_docs"),
+      sum(size(toks).cast("long")).as("total_toks"))
+    val dfAggs = queryTerms.zipWithIndex.map { case (term, i) =>
+      sum(when(array_contains(toks, term), 1L).otherwise(0L)).as(s"df$i")
+    }
+    val dfs = documents.agg(dfAggs.head, dfAggs.tail: _*)
+    val dl = size(col("toks")).cast("double")
+    val avgdl = col("total_toks").cast("double") / col("n_docs")
+    val score = queryTerms.zipWithIndex.map { case (term, i) =>
+      val tf = size(filter(col("toks"), x => x === term)).cast("double")
+      val idf = (col("n_docs").cast("double") - col(s"df$i") + lit(0.5)) /
+        (col(s"df$i") + lit(0.5))
+      idf * (tf * lit(k1 + 1)) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * dl / avgdl))
+    }.reduce(_ + _)
+    documents.select(col(idCol), toks.as("toks"))
+      .crossJoin(broadcast(stats)).crossJoin(broadcast(dfs))
+      .select(col(idCol), size(col("toks")).as("dl"), score.as("bm25"))
+  }
+
   /** Per-document sliding-window chunking — the other half of training-data
     * layout (vs [[packSequences]], which concatenates): split each document
     * into `chunkTokens`-token windows that overlap by `overlap` tokens, so

@@ -54,4 +54,62 @@ class BucketingSpec extends SparkTestBase {
     assert(back.count() ===
       events.filter(col("event_type") === "error").count())
   }
+
+  test("zValue: bit interleaving, clamping, curve-locality monotonicity") {
+    import graft.sources.ZOrder
+    import spark.implicits._
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (1023L, 1023L),
+      (-7L, 2000L)).toDF("a", "b")
+    val z = df.select(ZOrder.zValue(col("a"), col("b"), 10).as("z"))
+      .collect().map(_.getLong(0))
+    assert(z(0) === 0L) // (0,0) -> 0
+    assert(z(1) === 1L) // a occupies even bit positions
+    assert(z(2) === 2L) // b occupies odd bit positions
+    // (3,5) = a bits 1,1 -> z bits 0,2; b bits 1,0,1 -> z bits 1,5
+    assert(z(3) === (1L | 2L | 4L | 32L))
+    assert(z(4) === (1L << 20) - 1) // max corner
+    // (-7, 2000) clamps to (0, 1023): all ten odd bit positions set
+    assert(z(5) === (0 until 10).map(i => 1L << (2 * i + 1)).sum)
+  }
+
+  test("writeZOrdered: every file's span is tight on BOTH dimensions") {
+    import graft.sources.ZOrder
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    // both dimensions must fill the 10-bit domain for interleaving to tile
+    // meaningfully (user_id has only ~15 distinct values at sf0.001)
+    val events = Tables(spark, SparkTestBase.sf001, "events")
+      .select(pmod(col("event_id"), lit(1024L)).as("u"),
+        least(greatest(floor(col("value") * 3).cast("long"), lit(0L)), lit(1023L)).as("vb"))
+    ZOrder.writeZOrdered(events, "u", "vb", s"$dir/z", nFiles = 8)
+    // contrast layout: single-dimension sort (tight on u, loose on vb)
+    events.repartitionByRange(8, col("u")).sortWithinPartitions(col("u"))
+      .write.mode("overwrite").parquet(s"$dir/lin")
+
+    def spans(path: String): Array[(Double, Double)] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name()).agg(
+          (max(col("u")) - min(col("u"))).cast("double").as("su"),
+          (max(col("vb")) - min(col("vb"))).cast("double").as("sv"))
+        .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+
+    val zs = spans(s"$dir/z")
+    val ls = spans(s"$dir/lin")
+    assert(zs.length === 8 && ls.length === 8)
+    def avg(xs: Array[Double]) = xs.sum / xs.length
+    val (zu, zv) = (avg(zs.map(_._1)), avg(zs.map(_._2)))
+    val (lu, lv) = (avg(ls.map(_._1)), avg(ls.map(_._2)))
+    // z-order: BOTH dims' average per-file span well under the full domain;
+    // linear sort: u tight but vb spans ~everything
+    val (uDom, vDom) = {
+      val r = events.agg(max(col("u")) - min(col("u")),
+        max(col("vb")) - min(col("vb"))).head()
+      (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    }
+    assert(zu < uDom * 0.6, s"z-order u span $zu vs domain $uDom")
+    assert(zv < vDom * 0.6, s"z-order vb span $zv vs domain $vDom")
+    assert(lv > zv * 1.5 && lv > vDom * 0.6,
+      s"linear layout should be much looser on vb: linear $lv vs z-order $zv (domain $vDom)")
+    // and the z-layout round-trips the data
+    assert(spark.read.parquet(s"$dir/z").count() === events.count())
+  }
 }

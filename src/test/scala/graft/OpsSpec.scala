@@ -852,4 +852,55 @@ class OpsSpec extends SparkTestBase {
       RelationalOps.hashRankSample(df.repartition(13), "doc_id", "lang",
         Map("de" -> 3L)).select("doc_id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("bloomPrunedJoin: identical to plain join; bloom prunes most non-matches") {
+    val orders = Tables(spark, "/root/testdata/sf0.001", "orders")
+    val lineitem = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    val dim = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+
+    val pruned = RelationalOps.bloomPrunedJoin(lineitem, dim, "o_orderkey")
+    val plain = lineitem.join(dim, Seq("o_orderkey"))
+    assert(pruned.count() === plain.count())
+    assert(pruned.agg(sum(col("l_quantity"))).head().getDouble(0) ===
+      plain.agg(sum(col("l_quantity"))).head().getDouble(0))
+
+    // survivor set = true matches + bounded false positives: with
+    // m=2^14 bits, k=3 and ~hundreds of keys, fp-rate is well under 10%
+    val survivors = RelationalOps.bloomFilteredFact(lineitem, dim, "o_orderkey").count()
+    val trueMatches = lineitem.join(dim.select("o_orderkey"), Seq("o_orderkey"),
+      "left_semi").count()
+    val nonMatches = lineitem.count() - trueMatches
+    assert(survivors >= trueMatches)
+    val fpRate = (survivors - trueMatches).toDouble / math.max(nonMatches, 1L)
+    assert(fpRate < 0.10, s"bloom fp rate $fpRate (survivors=$survivors, true=$trueMatches)")
+    // empty dim -> bloom rejects everything
+    assert(RelationalOps.bloomFilteredFact(lineitem,
+      dim.filter(lit(false)), "o_orderkey").count() === 0L)
+  }
+
+  test("bm25: zero-hit docs score 0, tf monotone, rarer term outweighs common one") {
+    val df = Seq(
+      (0L, "spark spark spark runs fast"),
+      (1L, "spark runs here today quickly"),
+      (2L, "nothing relevant at all here"),
+      (3L, "common common common common common"),
+      (4L, "common word list again today")
+    ).toDF("doc_id", "text")
+    // 'spark' appears in 2 docs, 'common' in 2 docs, same df -> same idf;
+    // within one term, higher tf (same dl) scores strictly higher
+    val scores = TextOps.bm25(df, Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(2L) === 0.0 && scores(3L) === 0.0)
+    assert(scores(0L) > scores(1L) && scores(1L) > 0.0)
+    // multi-term score = sum of single-term scores (fixed fold order)
+    val multi = TextOps.bm25(df, Seq("spark", "common"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val common = TextOps.bm25(df, Seq("common"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    df.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      assert(multi(id) === scores(id) + common(id))
+    }
+  }
 }
