@@ -80,7 +80,12 @@ object ScaleProbe {
       "cosinePairsBlocked" -> (() => run(SimilarityOps.cosinePairsBlocked(emb, 0.4, nBlocks = 32))),
       "srpNearDupPairs" -> (() => run(SimilarityOps.srpNearDupPairs(emb, 0.45))),
       "lshTopK" -> (() => run(SimilarityOps.lshTopK(emb, k = 5))),
-      "ivfTopKDistributed" -> (() => run(SimilarityOps.ivfTopKDistributed(emb, k = 5, nCells = 32, scope = scope)))
+      "ivfTopKDistributed" -> (() => run(SimilarityOps.ivfTopKDistributed(emb, k = 5, nCells = 32, scope = scope))),
+      "chunkDocs" -> (() => run(graft.ops.TextOps.chunkDocs(docs))),
+      "bm25" -> (() => run(graft.ops.TextOps.bm25(docs, Seq("spark", "join", "fast")))),
+      // replication multiplies both sides of the stratum windows
+      "hashRankSample" -> (() => run(graft.ops.RelationalOps.hashRankSample(
+        docs, "doc_id", "lang", Map("en" -> 100000L, "de" -> 30000L, "zh" -> 10000L))))
     ).filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, f) =>
         val t0 = System.nanoTime()

@@ -711,7 +711,25 @@ object SparkEntry {
     // TextOps.bm25 doc for the cross-engine bit-stability reasoning)
     "q77_bm25" -> ((s, d) =>
       TextOps.bm25(t(s, d, "documents"), Seq("spark", "join", "fast"))
-        .orderBy(col("doc_id"))))
+        .orderBy(col("doc_id"))),
+
+    // SCD Type-2 merge (the MERGE INTO pattern): one batch of segment
+    // changes against a versioned customer dimension — changed keys close
+    // their open row and append a new version, same-value updates no-op
+    "q78_scd2_merge" -> { (s, d) =>
+      val cust = t(s, d, "customer")
+      val current = cust.select(col("c_custkey"), col("c_mktsegment"),
+        lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+      val changed = cust.filter(col("c_custkey") % 10 === 3)
+        .select(col("c_custkey"),
+          concat(lit("MOVED_"), col("c_mktsegment")).as("c_mktsegment"),
+          lit(100L).as("ts"))
+      val noop = cust.filter(col("c_custkey") % 10 === 7)
+        .select(col("c_custkey"), col("c_mktsegment"), lit(100L).as("ts"))
+      MergeOps.scd2Merge(current, changed.unionByName(noop),
+          "c_custkey", Seq("c_mktsegment"))
+        .orderBy(col("c_custkey"), col("valid_from"))
+    })
 
   /** TPC-H Q5 shape in the ANSI subset both Spark SQL and DuckDB parse
     * identically (shared verbatim by q56's query and oracle). Revenue uses
@@ -1555,7 +1573,28 @@ object SparkEntry {
          |  ${terms.zipWithIndex.map { case (w, i) => term(w, i) }.mkString("\n  + ")}
          |  AS bm25
          |FROM t, st, dfs ORDER BY doc_id""".stripMargin
-    })
+    },
+
+    "q78_scd2_merge" ->
+      """WITH cur AS (SELECT c_custkey, c_mktsegment, CAST(0 AS BIGINT) AS valid_from,
+        |    CAST(NULL AS BIGINT) AS valid_to FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, 'MOVED_' || c_mktsegment AS c_mktsegment,
+        |    CAST(100 AS BIGINT) AS ts
+        |  FROM customer WHERE c_custkey % 10 = 3
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, CAST(100 AS BIGINT) AS ts
+        |  FROM customer WHERE c_custkey % 10 = 7)
+        |SELECT cur.c_custkey, cur.c_mktsegment, cur.valid_from,
+        |  CASE WHEN upd.c_custkey IS NOT NULL AND upd.c_mktsegment <> cur.c_mktsegment
+        |    THEN upd.ts END AS valid_to
+        |FROM cur LEFT JOIN upd ON cur.c_custkey = upd.c_custkey
+        |UNION ALL
+        |SELECT upd.c_custkey, upd.c_mktsegment, upd.ts AS valid_from,
+        |  CAST(NULL AS BIGINT) AS valid_to
+        |FROM upd LEFT JOIN cur ON cur.c_custkey = upd.c_custkey
+        |WHERE cur.c_custkey IS NULL OR upd.c_mktsegment <> cur.c_mktsegment
+        |ORDER BY c_custkey, valid_from""".stripMargin)
 
   /** Combined masking pattern, shared verbatim by q50's Spark side and SQL
     * oracle (Java-regex ∩ RE2 — the single source is

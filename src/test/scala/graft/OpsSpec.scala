@@ -880,6 +880,47 @@ class OpsSpec extends SparkTestBase {
       dim.filter(lit(false)), "o_orderkey").count() === 0L)
   }
 
+  test("scd2Merge: closes changed rows, appends versions, no-ops and re-applies idempotently") {
+    val current = Seq(
+      (1L, "A", 0L, Some(50L)), // closed history
+      (1L, "B", 50L, None),     // open (will change)
+      (2L, "C", 0L, None),      // open (same-value update: no-op)
+      (3L, "D", 0L, None)       // open (no update)
+    ).toDF("k", "v", "valid_from", "valid_to")
+    val updates = Seq(
+      (1L, "B2", 100L), // change
+      (2L, "C", 100L),  // no-op
+      (9L, "NEW", 100L) // new key
+    ).toDF("k", "v", "ts")
+    val merged = MergeOps.scd2Merge(current, updates, "k", Seq("v"))
+    val rows = merged.orderBy(col("k"), col("valid_from")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(rows.toSeq === Seq(
+      (1L, "A", 0L, Some(50L)),   // history untouched
+      (1L, "B", 50L, Some(100L)), // closed by the change
+      (1L, "B2", 100L, None),     // new version
+      (2L, "C", 0L, None),        // no-op survives open
+      (3L, "D", 0L, None),        // untouched
+      (9L, "NEW", 100L, None)))   // brand-new key
+    // idempotent: re-applying the same batch changes nothing
+    val again = MergeOps.scd2Merge(merged, updates, "k", Seq("v"))
+    assert(again.orderBy(col("k"), col("valid_from")).collect().toSeq ===
+      merged.orderBy(col("k"), col("valid_from")).collect().toSeq)
+  }
+
+  test("upsert + latestPerKey: last change per key wins, unmatched base survives") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val cdc = Seq((2L, "b1", 10L), (2L, "b2", 20L), (3L, "c", 5L))
+      .toDF("k", "v", "ts")
+    val latest = MergeOps.latestPerKey(cdc, "k", Seq("v"))
+    assert(latest.orderBy(col("k")).collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq === Seq((2L, "b2"), (3L, "c")))
+    val up = MergeOps.upsert(base, latest.select(col("k"), col("v")), "k")
+    assert(up.orderBy(col("k")).collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq === Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+
   test("bm25: zero-hit docs score 0, tf monotone, rarer term outweighs common one") {
     val df = Seq(
       (0L, "spark spark spark runs fast"),
