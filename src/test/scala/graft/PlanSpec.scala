@@ -134,6 +134,47 @@ class PlanSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("q70 pivot / q72 grouping sets: ONE scan feeding one aggregation") {
+    // pivot must not scan once per pinned value; grouping sets must expand
+    // rows in-plan (Expand), not union per-set scans
+    Seq("q70_pivot_totals" -> false, "q72_grouping_sets" -> true).foreach {
+      case (q, wantsExpand) =>
+        val p = plan(q)
+        val scans = p.linesIterator.count(_.contains("Scan parquet"))
+        assert(scans === 1, s"$q must scan its table once, got $scans")
+        if (wantsExpand) assert(p.contains("Expand"),
+          s"$q should plan GROUPING SETS via a single Expand")
+    }
+  }
+
+  test("chunkDocs operator is map-only: tokenize/explode/slice without any exchange") {
+    val df = graft.ops.TextOps.chunkDocs(
+      graft.sources.Tables(spark, SparkTestBase.sf001, "documents"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n${p.take(600)}")
+    assert(p.contains("Generate explode"), "chunk starts explode in-plan")
+  }
+
+  test("q76 bloom join: 2KB filter broadcasts, fact rows filtered before the exact join") {
+    val p = plan("q76_bloom_join")
+    // the 1-row bloom rides a broadcast nested-loop join (the probe), the
+    // exact join is a hash join — and the probe filter sits on the fact
+    // side BELOW the exact join in the plan tree
+    assert(p.contains("BroadcastNestedLoopJoin"), "bloom row must broadcast to the probe")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "exact join must be a hash-family join")
+    val lines = p.linesIterator.toSeq
+    val exactJoin = lines.indexWhere(l =>
+      l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin"))
+    // the probe condition (shiftleft bit test) fuses INTO the
+    // nested-loop join node, which must sit below the exact join
+    val probe = lines.indexWhere(l =>
+      l.contains("BroadcastNestedLoopJoin") && l.contains("shiftleft"))
+    assert(exactJoin >= 0 && probe > exactJoin,
+      s"bloom probe must run below the exact join (join@$exactJoin, probe@$probe)")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q35 SRP near-dup: plane literals, no cartesian, no nested-loop pair scan") {
     val p = optimized("q35_srp_neardup")
     assert(!p.contains("md5"), "plane components must be pre-computed literals")
