@@ -729,6 +729,41 @@ object SparkEntry {
       MergeOps.scd2Merge(current, changed.unionByName(noop),
           "c_custkey", Seq("c_mktsegment"))
         .orderBy(col("c_custkey"), col("valid_from"))
+    },
+
+    // fixed-point integer PageRank (bit-deterministic — float PageRank has
+    // no defined summation order) over the customer↔supplier trade graph:
+    // top-20 suppliers by centrality after 3 unrolled rounds, reproduced
+    // EXACTLY by the oracle's unrolled SQL iterations
+    "q79_pagerank" -> { (s, d) =>
+      val off = 1000000000L
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      val cs = li.join(o, Seq("l_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + off).as("sv"))
+        .distinct()
+      val edges = cs.select(col("c").as("src"), col("sv").as("dst"))
+        .unionByName(cs.select(col("sv").as("src"), col("c").as("dst")))
+      val verts = cs.select(col("c").as("id"))
+        .unionByName(cs.select(col("sv").as("id"))).distinct()
+      GraphOps.pageRankInt(edges, verts, iterations = 3)
+        .filter(col("id") > off)
+        .orderBy(col("rank").desc, col("id").asc).limit(20)
+        .select((col("id") - off).as("s_suppkey"), col("rank"))
+    },
+
+    // per-language top-10 terms (the per-group vocabulary shape; q43 is the
+    // global one) — rank window partitioned by lang, never a global sort
+    "q80_lang_top_terms" -> { (s, d) =>
+      val toks = t(s, d, "documents").select(col("lang"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+      val counts = toks.groupBy(col("lang"), col("term"))
+        .agg(count(lit(1)).as("cnt"))
+      RelationalOps.topKPerGroup(counts, Seq("lang"),
+          Seq(col("cnt").desc, col("term").asc), 10)
+        .select(col("lang"), col("term"), col("cnt"), col("rn").as("rank"))
+        .orderBy(col("lang"), col("rank"))
     })
 
   /** TPC-H Q5 shape in the ANSI subset both Spark SQL and DuckDB parse
@@ -1594,7 +1629,39 @@ object SparkEntry {
         |  CAST(NULL AS BIGINT) AS valid_to
         |FROM upd LEFT JOIN cur ON cur.c_custkey = upd.c_custkey
         |WHERE cur.c_custkey IS NULL OR upd.c_mktsegment <> cur.c_mktsegment
-        |ORDER BY c_custkey, valid_from""".stripMargin)
+        |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "q79_pagerank" -> {
+      // mirrors GraphOps.pageRankInt exactly: integer floor division (`//`
+      // here, `div` in Spark — identical on non-negative operands), each
+      // round CAST back to BIGINT (DuckDB sums to HUGEINT)
+      val iters = (1 to 3).map { k =>
+        s"""r$k AS (SELECT v.x, CAST(b.base + coalesce(i.inflow, 0) AS BIGINT) AS rank
+           |  FROM v CROSS JOIN basep b LEFT JOIN (
+           |    SELECT e.dst AS x, sum((85 * (r.rank // d.deg)) // 100) AS inflow
+           |    FROM e JOIN r${k - 1} r ON e.src = r.x JOIN deg d ON e.src = d.src
+           |    GROUP BY e.dst) i ON i.x = v.x)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000000 AS sv
+         |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT c AS src, sv AS dst FROM cs UNION ALL SELECT sv, c FROM cs),
+         |v AS (SELECT DISTINCT src AS x FROM e),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |params AS (SELECT count(*) AS n FROM v),
+         |basep AS (SELECT (15 * (1000000000000 // n)) // 100 AS base FROM params),
+         |r0 AS (SELECT x, 1000000000000 // (SELECT n FROM params) AS rank FROM v),
+         |$iters
+         |SELECT x - 1000000000 AS s_suppkey, rank FROM r3 WHERE x > 1000000000
+         |ORDER BY rank DESC, s_suppkey LIMIT 20""".stripMargin
+    },
+
+    "q80_lang_top_terms" ->
+      s"""WITH toks AS (SELECT lang, unnest($toksSql) AS term FROM documents),
+         |c AS (SELECT lang, term, count(*) AS cnt FROM toks GROUP BY lang, term),
+         |r AS (SELECT lang, term, cnt, CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY cnt DESC, term ASC) AS INTEGER) AS rank FROM c)
+         |SELECT lang, term, cnt, rank FROM r WHERE rank <= 10
+         |ORDER BY lang, rank""".stripMargin)
 
   /** Combined masking pattern, shared verbatim by q50's Spark side and SQL
     * oracle (Java-regex ∩ RE2 — the single source is

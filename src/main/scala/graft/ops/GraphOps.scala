@@ -95,4 +95,67 @@ object GraphOps {
     free(symIds)
     labels.select(col("x").as(idCol), col("comp"))
   }
+
+  /** PageRank in FIXED-POINT integer arithmetic — bit-deterministic across
+    * engines, runs, and partitionings, which floating-point PageRank is NOT
+    * (parallel double summation has no defined order). All mass lives in
+    * integer `scale`-units: init `scale div n` per vertex; per round each
+    * vertex sends `(85 · (rank div out_deg)) div 100` to every out-neighbor
+    * and every vertex restarts from `(15 · (scale div n)) div 100`. Long
+    * sums of non-negative contributions are order-free, so the DuckDB
+    * oracle reproduces ranks EXACTLY with the same unrolled iterations.
+    * The `div`-truncation dust (< 1 unit per edge per round) is the price
+    * of determinism; with scale = 10^12 it is ~1e-12 of the mass.
+    *
+    * Scale shape per round: one (src-keyed) edge⋈rank join + one dst-keyed
+    * sum — the same two shuffles any distributed PageRank pays. A FIXED
+    * iteration count (no convergence action) keeps the plan a pure unrolled
+    * dataflow; lineage is truncated per round like [[connectedComponents]].
+    * Dangling mass is dropped (standard simplification), deterministically.
+    *
+    * Edges are directed (src, dst); pass both directions for an undirected
+    * graph. Every endpoint must appear in `vertices`.
+    */
+  def pageRankInt(edges: DataFrame, vertices: DataFrame,
+                  idCol: String = "id", srcCol: String = "src",
+                  dstCol: String = "dst", iterations: Int = 3,
+                  scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 50, "iterations in [1, 50]")
+    val sc = edges.sparkSession.sparkContext
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint()
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    val v = vertices.select(col(idCol).cast("long").as("x"))
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val (deg, degIds) = checkpointTracked(
+      e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val n = v.count()
+    val init = scale / math.max(n, 1L)
+    val base = 15L * init / 100L
+    var (ranks, rankIds) = checkpointTracked(
+      v.select(col("x"), lit(init).as("rank")))
+    (0 until iterations).foreach { _ =>
+      val contribs = e
+        .join(ranks.select(col("x").as("src"), col("rank")), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("x"),
+          expr("(85 * (rank div deg)) div 100").as("c"))
+        .groupBy(col("x")).agg(sum(col("c")).as("inflow"))
+      val (next, nextIds) = checkpointTracked(
+        v.join(contribs, Seq("x"), "left")
+          .select(col("x"),
+            (lit(base) + coalesce(col("inflow"), lit(0L))).as("rank")))
+      next.count() // materialize before freeing the superseded round
+      free(rankIds)
+      ranks = next
+      rankIds = nextIds
+    }
+    free(degIds)
+    ranks.select(col("x").as(idCol), col("rank"))
+  }
 }

@@ -921,6 +921,28 @@ class OpsSpec extends SparkTestBase {
       .toSeq === Seq((1L, "a"), (2L, "b2"), (3L, "c")))
   }
 
+  test("pageRankInt: hub outranks leaves, mass bounded, partitioning-invariant") {
+    // star graph: 0 <-> {1,2,3,4} plus a detached pair 5 <-> 6
+    val undirected = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (5L, 6L))
+    val edges = (undirected ++ undirected.map(_.swap)).toDF("src", "dst")
+    val verts = (0L to 6L).toDF("id")
+    val scale = 1000000000000L
+    def ranksOf(e: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      GraphOps.pageRankInt(e, verts, iterations = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r = ranksOf(edges)
+    // the hub holds more rank than any leaf; leaves are symmetric
+    assert(Seq(1L, 2L, 3L, 4L).forall(l => r(0L) > r(l)))
+    assert(Seq(2L, 3L, 4L).forall(l => r(l) === r(1L)))
+    // the detached pair swaps its own mass: both equal, above the leaves
+    assert(r(5L) === r(6L) && r(5L) > r(1L))
+    // total mass stays <= scale (div truncation only loses dust)
+    val total = r.values.sum
+    assert(total <= scale && total > scale * 95 / 100)
+    // bit-identical under a different input partitioning
+    assert(ranksOf(edges.repartition(7)) === r)
+  }
+
   test("bm25: zero-hit docs score 0, tf monotone, rarer term outweighs common one") {
     val df = Seq(
       (0L, "spark spark spark runs fast"),
