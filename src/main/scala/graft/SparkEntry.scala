@@ -53,14 +53,16 @@ object SparkEntry {
     * (DetHash.md5Hash60 mod P), 3-shingle identity via the same Horner
     * combination in integer space.
     */
-  private val hashedShinglesCte = {
+  private def hashedShinglesCteFrom(table: String) = {
     val tokHash = s"${ops.DetHash.sqlMd5Hash60("t")} % ${ops.DetHash.P}"
     s"""toks AS (
        |  SELECT doc_id AS id,
        |    list_distinct(${ops.DetHash.sqlShingleHashes("th", 3)}) AS hs
-       |  FROM (SELECT doc_id, list_transform($toksSql, t -> $tokHash) AS th FROM documents)),
+       |  FROM (SELECT doc_id, list_transform($toksSql, t -> $tokHash) AS th FROM $table)),
        |sized AS (SELECT id, len(hs) AS sz, hs FROM toks WHERE len(hs) > 0)""".stripMargin
   }
+
+  private val hashedShinglesCte = hashedShinglesCteFrom("documents")
 
   /** CTE `fp AS (id, simhash)` — mirrors DedupOps.simHash60: bit i counts
     * parities of the i-th SimHash permutation over the shingle-hash set,
@@ -764,6 +766,30 @@ object SparkEntry {
           Seq(col("cnt").desc, col("term").asc), 10)
         .select(col("lang"), col("term"), col("cnt"), col("rn").as("rank"))
         .orderBy(col("lang"), col("rank"))
+    },
+
+    // the FLAGSHIP COMPOSITION: the full corpus-preparation pipeline —
+    // per-language quality filter (keep top half) → exact dedup (min-id
+    // winner per content digest) → transitive near-dup dedup (MinHash
+    // verified pairs at J≥0.8 → clusters → keep representatives) → chunk
+    // the survivors into 64-token training windows. One row of per-stage
+    // retention counts; every stage is the already-verified operator
+    "q81_corpus_prep" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val kept = docs.join(
+        TextOps.qualityFilter(docs, keepFrac = 0.5).select(col("doc_id")),
+        Seq("doc_id"))
+      val exact = DedupOps.exactDedup(kept)
+      val clusters = DedupOps.nearDupClusters(exact)
+      val near = exact.join(
+        clusters.filter(col("comp") === col("doc_id")).select(col("doc_id")),
+        Seq("doc_id"))
+      val chunks = TextOps.chunkDocs(near)
+      docs.agg(count(lit(1)).as("n_raw"))
+        .crossJoin(kept.agg(count(lit(1)).as("n_quality")))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(near.agg(count(lit(1)).as("n_neardup")))
+        .crossJoin(chunks.agg(count(lit(1)).as("n_chunks")))
     })
 
   /** TPC-H Q5 shape in the ANSI subset both Spark SQL and DuckDB parse
@@ -1661,7 +1687,39 @@ object SparkEntry {
          |r AS (SELECT lang, term, cnt, CAST(row_number() OVER (PARTITION BY lang
          |    ORDER BY cnt DESC, term ASC) AS INTEGER) AS rank FROM c)
          |SELECT lang, term, cnt, rank FROM r WHERE rank <= 10
-         |ORDER BY lang, rank""".stripMargin)
+         |ORDER BY lang, rank""".stripMargin,
+
+    // the same pipeline as chained CTEs over the shared fragments: quality
+    // percent_rank (q55), md5 exact dedup (q18), brute-force J>=0.8 pairs +
+    // recursive-CTE components over the SURVIVOR set (q37), chunk-start
+    // counting (q73)
+    "q81_corpus_prep" ->
+      s"""WITH RECURSIVE qs AS (SELECT doc_id, lang, $qualitySqlExpr AS quality FROM documents),
+         |qr AS (SELECT doc_id, percent_rank() OVER (PARTITION BY lang
+         |    ORDER BY quality DESC, doc_id ASC) AS pr FROM qs),
+         |kept AS (SELECT d.* FROM documents d JOIN qr USING (doc_id) WHERE qr.pr <= 0.5),
+         |exw AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+         |exd AS (SELECT k.* FROM kept k JOIN exw USING (doc_id)),
+         |${hashedShinglesCteFrom("exd")},
+         |inv AS (SELECT id, sz, unnest(hs) AS tok FROM sized),
+         |pr AS (SELECT l.id AS a, r.id AS b
+         |  FROM inv l JOIN inv r ON l.tok = r.tok AND l.id < r.id
+         |  GROUP BY l.id, r.id, l.sz, r.sz
+         |  HAVING CAST(count(*) AS DOUBLE) / (l.sz + r.sz - count(*)) >= 0.8),
+         |e AS (SELECT a AS x, b AS y FROM pr UNION ALL SELECT b, a FROM pr),
+         |reach AS (
+         |  SELECT doc_id AS x, doc_id AS comp FROM exd
+         |  UNION
+         |  SELECT e.x, r.comp FROM e JOIN reach r ON r.x = e.y),
+         |cc AS (SELECT x, min(comp) AS comp FROM reach GROUP BY x),
+         |near AS (SELECT exd.* FROM exd JOIN cc ON cc.x = exd.doc_id AND cc.comp = exd.doc_id),
+         |ch AS (SELECT doc_id, len(list_filter(range(0, len($toksSql), 56),
+         |    x -> x = 0 OR x < len($toksSql) - 8)) AS n_chunks FROM near)
+         |SELECT (SELECT count(*) FROM documents) AS n_raw,
+         |  (SELECT count(*) FROM kept) AS n_quality,
+         |  (SELECT count(*) FROM exd) AS n_exact,
+         |  (SELECT count(*) FROM near) AS n_neardup,
+         |  (SELECT CAST(sum(n_chunks) AS BIGINT) FROM ch) AS n_chunks""".stripMargin)
 
   /** Combined masking pattern, shared verbatim by q50's Spark side and SQL
     * oracle (Java-regex ∩ RE2 — the single source is
