@@ -190,4 +190,46 @@ object StreamingEvents {
       .format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
+
+  /** CDC-apply sink: `foreachBatch` upserts each micro-batch into a
+    * versioned parquet snapshot (copy-on-write) — the streaming face of
+    * [[graft.ops.MergeOps.upsert]]. Each batch compacts to its latest
+    * change per key ([[graft.ops.MergeOps.latestPerKey]]), merges with the
+    * previous snapshot, and writes `v<epoch>/`; [[latestSnapshot]] resolves
+    * the newest version. Versioned dirs (never overwrite-in-place) keep
+    * readers of the previous snapshot consistent and make replayed batches
+    * idempotent — re-running epoch k rewrites v<k> with identical content.
+    *
+    * Scale contract: state lives in the TABLE, not executor memory — no
+    * mapGroupsWithState, so key cardinality is unbounded; each epoch costs
+    * one key-equi anti-join (AQE broadcasts the batch side) + a rewrite of
+    * the snapshot, which is exactly Delta/Hudi-style copy-on-write. Pair
+    * with partitioned snapshots to rewrite only touched partitions.
+    */
+  def upsertSink(updates: DataFrame, baseDir: String, key: String,
+                 valueCols: Seq[String], tsCol: String = "ts",
+                 checkpointDir: String): DataStreamWriter[Row] =
+    updates.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val spark = batch.sparkSession
+        val latest = graft.ops.MergeOps.latestPerKey(batch, key, valueCols, tsCol)
+          .select((key +: valueCols).map(col): _*)
+        val merged = latestSnapshot(spark, baseDir) match {
+          case Some(cur) => graft.ops.MergeOps.upsert(cur, latest, key)
+          case None => latest
+        }
+        merged.write.mode("overwrite").parquet(s"$baseDir/v$epoch")
+      }
+
+  /** The newest `v<epoch>/` snapshot written by [[upsertSink]], if any. */
+  def latestSnapshot(spark: SparkSession, baseDir: String): Option[DataFrame] = {
+    val dir = new java.io.File(baseDir)
+    Option(dir.listFiles())
+      .map(_.toSeq.filter(f => f.isDirectory && f.getName.startsWith("v")))
+      .filter(_.nonEmpty)
+      .map(_.maxBy(_.getName.drop(1).toLong))
+      .map(f => spark.read.parquet(f.getAbsolutePath))
+  }
 }

@@ -168,6 +168,32 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("upsertSink: micro-batched CDC applies as versioned snapshots, latest value wins") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-ckpt").toString
+    val mem = MemoryStream[(Long, String, Long)]
+    val query = StreamingEvents.upsertSink(
+      mem.toDF().toDF("k", "v", "ts"), base, "k", Seq("v"), "ts", ckpt).start()
+    try {
+      // batch 1: two inserts, one key updated twice inside the batch
+      mem.addData((1L, "a", 1L), (2L, "b", 2L), (2L, "b1", 3L))
+      query.processAllAvailable()
+      val s1 = StreamingEvents.latestSnapshot(spark, base).get
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(s1 === Map(1L -> "a", 2L -> "b1"))
+      // batch 2: update + new key; prior keys survive, latest wins
+      mem.addData((2L, "b2", 10L), (3L, "c", 1L))
+      query.processAllAvailable()
+      val s2 = StreamingEvents.latestSnapshot(spark, base).get
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(s2 === Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+      // snapshots are versioned: batch 1's view is still readable
+      val dirs = new java.io.File(base).listFiles().filter(_.getName.startsWith("v"))
+      assert(dirs.length === 2)
+    } finally query.stop()
+  }
+
   test("file-based readEventStream processes a landing directory incrementally") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
