@@ -776,14 +776,18 @@ object SparkEntry {
     // retention counts; every stage is the already-verified operator
     "q81_corpus_prep" -> { (s, d) =>
       val docs = t(s, d, "documents")
-      val kept = docs.join(
+      // each stage feeds the next AND its own count — register the shared
+      // frames so the five stage-counts read caches instead of re-running
+      // the stage pyramid (kept alone is consumed 4x downstream)
+      val reg = (df: DataFrame) => ops.CacheScope.default.register(df)
+      val kept = reg(docs.join(
         TextOps.qualityFilter(docs, keepFrac = 0.5).select(col("doc_id")),
-        Seq("doc_id"))
-      val exact = DedupOps.exactDedup(kept)
+        Seq("doc_id")))
+      val exact = reg(DedupOps.exactDedup(kept))
       val clusters = DedupOps.nearDupClusters(exact)
-      val near = exact.join(
+      val near = reg(exact.join(
         clusters.filter(col("comp") === col("doc_id")).select(col("doc_id")),
-        Seq("doc_id"))
+        Seq("doc_id")))
       val chunks = TextOps.chunkDocs(near)
       docs.agg(count(lit(1)).as("n_raw"))
         .crossJoin(kept.agg(count(lit(1)).as("n_quality")))

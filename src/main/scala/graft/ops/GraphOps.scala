@@ -129,9 +129,13 @@ object GraphOps {
     }
     def free(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-    val v = vertices.select(col(idCol).cast("long").as("x"))
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
+    // vertices AND edges may be expensive subtrees (joins/distincts) that
+    // would otherwise re-execute once per round — materialize both up front
+    val (v, vIds) = checkpointTracked(
+      vertices.select(col(idCol).cast("long").as("x")))
+    val (e, eIds) = checkpointTracked(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")))
     val (deg, degIds) = checkpointTracked(
       e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     val n = v.count()
@@ -156,6 +160,8 @@ object GraphOps {
       rankIds = nextIds
     }
     free(degIds)
+    free(eIds)
+    free(vIds)
     ranks.select(col("x").as(idCol), col("rank"))
   }
 }
