@@ -194,6 +194,34 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("stateless text ops (chunkDocs, masking, langId) run unchanged on streams") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.TextOps
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    // the SAME operator calls as the batch queries — map-only ops need no
+    // watermarks, no output-mode constraints, no state
+    val chunked = TextOps.chunkDocs(docs, chunkTokens = 4, overlap = 1)
+    val masked = TextOps.maskText(docs, Seq("secret"))
+      .withColumn("lang_guess", TextOps.langId(col("masked")))
+    val q1 = chunked.writeStream.format("memory").queryName("chunks_out")
+      .outputMode("append").start()
+    val q2 = masked.writeStream.format("memory").queryName("masked_out")
+      .outputMode("append").start()
+    try {
+      val rows = Seq((1L, "a b c d e f g h"), (2L, "the secret of the and is"))
+      mem.addData(rows: _*)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      // stream output == batch output, row for row
+      val batchChunks = TextOps.chunkDocs(rows.toDF("doc_id", "text"), 4, 1)
+        .collect().map(_.toSeq).toSet
+      assert(spark.table("chunks_out").collect().map(_.toSeq).toSet === batchChunks)
+      val m = spark.table("masked_out").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+      assert(m(2L)._1 === "the [MASK] of the and is" && m(2L)._2 === 1)
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("file-based readEventStream processes a landing directory incrementally") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
