@@ -150,11 +150,12 @@ object GraphOps {
         .select(col("dst").as("x"),
           expr("(85 * (rank div deg)) div 100").as("c"))
         .groupBy(col("x")).agg(sum(col("c")).as("inflow"))
+      // localCheckpoint() is EAGER by default — next is fully materialized
+      // when checkpointTracked returns, so the superseded round frees safely
       val (next, nextIds) = checkpointTracked(
         v.join(contribs, Seq("x"), "left")
           .select(col("x"),
             (lit(base) + coalesce(col("inflow"), lit(0L))).as("rank")))
-      next.count() // materialize before freeing the superseded round
       free(rankIds)
       ranks = next
       rankIds = nextIds

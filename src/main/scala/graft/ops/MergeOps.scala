@@ -34,11 +34,16 @@ object MergeOps {
                 valueCols: Seq[String], tsCol: String = "ts"): DataFrame = {
     require(valueCols.nonEmpty, "valueCols must be non-empty")
     val history = current.filter(col("valid_to").isNotNull)
+    // explicit presence markers — testing a data column (valid_from /
+    // __u_ts) for null would silently drop open rows whose valid_from is
+    // legitimately NULL (e.g. an initial load with unknown history start)
     val open = current.filter(col("valid_to").isNull)
-    val uCols = valueCols.map(c => col(c).as(s"__u_$c")) :+ col(tsCol).as("__u_ts")
+      .withColumn("__has_open", lit(true))
+    val uCols = valueCols.map(c => col(c).as(s"__u_$c")) ++
+      Seq(col(tsCol).as("__u_ts"), lit(true).as("__has_upd"))
     val j = open.join(updates.select(col(key) +: uCols: _*), Seq(key), "full_outer")
-    val hasOpen = col("valid_from").isNotNull
-    val hasUpd = col("__u_ts").isNotNull
+    val hasOpen = coalesce(col("__has_open"), lit(false))
+    val hasUpd = coalesce(col("__has_upd"), lit(false))
     val changed = valueCols.map(c => !(col(c) <=> col(s"__u_$c"))).reduce(_ || _)
 
     val outCols = (col(key) +: valueCols.map(col)) ++

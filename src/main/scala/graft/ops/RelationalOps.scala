@@ -143,7 +143,8 @@ object RelationalOps {
     * `countDistinct` for `approx_count_distinct` and the legs collapse
     * into one 1-row aggregate.
     */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
     cols.map { c =>
       df.agg(count(lit(1)).as("n_rows"), count(col(c)).as("__nn"),
           countDistinct(col(c)).as("n_distinct"),
@@ -153,6 +154,7 @@ object RelationalOps {
           (col("n_rows") - col("__nn")).as("n_null"),
           col("n_distinct"), col("min_s"), col("max_s"))
     }.reduce(_ unionByName _).orderBy("col_name")
+  }
 
   /** Value replacement, reference `df.na.replace` (`README.md:676-677`). */
   def naReplace(df: DataFrame, colName: String, repl: Map[String, String]): DataFrame =

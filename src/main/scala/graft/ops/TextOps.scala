@@ -444,9 +444,12 @@ object TextOps {
     * `idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`, summed over
     * `queryTerms` IN LIST ORDER (a fixed fold, so the double result is
     * bit-reproducible — aggregation-order-free). `idf` is the RATIO form
-    * `(N−df+0.5)/(df+0.5)` rather than its log: same ranking (log is
-    * monotone), but exactly representable cross-engine, which keeps the
-    * oracle hash-stable (same reasoning as [[topTerms]]' ratio idf).
+    * `(N−df+0.5)/(df+0.5)` rather than its log — exactly representable
+    * cross-engine, which keeps the oracle hash-stable (same reasoning as
+    * [[topTerms]]' ratio idf). Rankings match log-idf BM25 per term
+    * (monotone transform); MULTI-term sums can order differently, since the
+    * ratio form weights rare terms more heavily than the log does — a
+    * deliberate trade for bit-determinism, stated rather than hidden.
     *
     * Scale shape: corpus stats (N, total tokens) and per-term dfs are two
     * one-row/k-row broadcasts; per-document work is `size(filter(toks))`

@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
   * INTERLEAVED bits of two columns keeps both dimensions' ranges compact in
   * every file, so predicates on either column (or both) skip most files.
   *
-  * The curve value is a pure per-row bit expression (codegen'd, no UDF, no
-  * shuffle beyond the final range partition), and deterministic: the same
-  * rows produce the same layout on any cluster size, and the SQL oracle can
-  * recompute cell ids bit-for-bit.
+  * The curve VALUE is a pure per-row bit expression (codegen'd, no UDF, no
+  * shuffle beyond the final range partition) and fully deterministic — the
+  * SQL oracle recomputes cell ids bit-for-bit. The file LAYOUT is
+  * deterministic only up to `repartitionByRange`'s sampled boundaries
+  * (which depend on input partitioning): every layout satisfies the same
+  * tight-span property, but file contents are not bit-identical across
+  * cluster shapes — don't build content-addressed contracts on them.
   *
   * Scale contract: `writeZOrdered` is one `repartitionByRange` (sampled
   * range boundaries — no global sort) + an in-partition sort. At 100 TB the

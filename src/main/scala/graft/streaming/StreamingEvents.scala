@@ -193,12 +193,15 @@ object StreamingEvents {
 
   /** CDC-apply sink: `foreachBatch` upserts each micro-batch into a
     * versioned parquet snapshot (copy-on-write) — the streaming face of
-    * [[graft.ops.MergeOps.upsert]]. Each batch compacts to its latest
-    * change per key ([[graft.ops.MergeOps.latestPerKey]]), merges with the
-    * previous snapshot, and writes `v<epoch>/`; [[latestSnapshot]] resolves
-    * the newest version. Versioned dirs (never overwrite-in-place) keep
-    * readers of the previous snapshot consistent and make replayed batches
-    * idempotent — re-running epoch k rewrites v<k> with identical content.
+    * [[graft.ops.MergeOps.latestPerKey]]. Each batch merges with the newest
+    * EARLIER-epoch snapshot as latest-per-key over (snapshot ∪ batch) — the
+    * snapshot retains `tsCol`, so a late-arriving event older than the
+    * stored version loses even across micro-batches — and writes
+    * `v<epoch>/`; [[latestSnapshot]] resolves the newest committed version.
+    * Versioned dirs (never overwrite-in-place) keep readers of the previous
+    * snapshot consistent and make replayed batches idempotent — re-running
+    * epoch k rebuilds v<k> from v<k-1> and the replayed data, never from
+    * its own partial output.
     *
     * Scale contract: state lives in the TABLE, not executor memory — no
     * mapGroupsWithState, so key cardinality is unbounded; each epoch costs
@@ -215,19 +218,35 @@ object StreamingEvents {
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val spark = batch.sparkSession
         val latest = graft.ops.MergeOps.latestPerKey(batch, key, valueCols, tsCol)
-          .select((key +: valueCols).map(col): _*)
-        val merged = latestSnapshot(spark, baseDir) match {
-          case Some(cur) => graft.ops.MergeOps.upsert(cur, latest, key)
+        // base = newest snapshot from an EARLIER epoch: a replayed epoch
+        // must merge against its predecessor, not against its own partial
+        // output (reading v<epoch> while overwriting it would throw, and
+        // would break the idempotent-replay contract)
+        val merged = latestSnapshot(spark, baseDir, beforeEpoch = Some(epoch)) match {
+          // the snapshot KEEPS tsCol, so ordering holds ACROSS batches: a
+          // late event older than the stored version must lose — latest-
+          // per-key over (snapshot ∪ batch) realizes exactly that
+          case Some(cur) => graft.ops.MergeOps.latestPerKey(
+            cur.unionByName(latest), key, valueCols, tsCol)
           case None => latest
         }
         merged.write.mode("overwrite").parquet(s"$baseDir/v$epoch")
       }
 
-  /** The newest `v<epoch>/` snapshot written by [[upsertSink]], if any. */
-  def latestSnapshot(spark: SparkSession, baseDir: String): Option[DataFrame] = {
+  /** The newest COMMITTED `v<epoch>/` snapshot written by [[upsertSink]]:
+    * only directories with a `_SUCCESS` marker count (a crash mid-write
+    * leaves a partial directory that must never serve as a base), and
+    * `beforeEpoch` restricts to strictly earlier versions (the replay
+    * path).
+    */
+  def latestSnapshot(spark: SparkSession, baseDir: String,
+                     beforeEpoch: Option[Long] = None): Option[DataFrame] = {
     val dir = new java.io.File(baseDir)
     Option(dir.listFiles())
-      .map(_.toSeq.filter(f => f.isDirectory && f.getName.startsWith("v")))
+      .map(_.toSeq.filter(f => f.isDirectory && f.getName.startsWith("v")
+        && f.getName.drop(1).forall(_.isDigit)
+        && beforeEpoch.forall(f.getName.drop(1).toLong < _)
+        && new java.io.File(f, "_SUCCESS").exists()))
       .filter(_.nonEmpty)
       .map(_.maxBy(_.getName.drop(1).toLong))
       .map(f => spark.read.parquet(f.getAbsolutePath))

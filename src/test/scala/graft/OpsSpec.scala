@@ -907,6 +907,21 @@ class OpsSpec extends SparkTestBase {
     val again = MergeOps.scd2Merge(merged, updates, "k", Seq("v"))
     assert(again.orderBy(col("k"), col("valid_from")).collect().toSeq ===
       merged.orderBy(col("k"), col("valid_from")).collect().toSeq)
+    // an open row with NULL valid_from (unknown history start) must survive
+    // untouched and close normally — row presence is tracked by join
+    // markers, not by nullness of a data column
+    val nullFrom = Seq((7L, "Z", Option.empty[Long], Option.empty[Long]))
+      .toDF("k", "v", "valid_from", "valid_to")
+    val kept7 = MergeOps.scd2Merge(nullFrom, updates, "k", Seq("v"))
+      .filter(col("k") === 7L).collect()
+    assert(kept7.length === 1 && kept7.head.getString(1) === "Z"
+      && kept7.head.isNullAt(2) && kept7.head.isNullAt(3))
+    val closed7 = MergeOps.scd2Merge(nullFrom,
+        Seq((7L, "Z2", 99L)).toDF("k", "v", "ts"), "k", Seq("v"))
+      .orderBy(col("valid_from").asc_nulls_first).collect()
+    assert(closed7.length === 2)
+    assert(closed7.head.getString(1) === "Z" && closed7.head.getLong(3) === 99L)
+    assert(closed7.last.getString(1) === "Z2" && closed7.last.isNullAt(3))
   }
 
   test("upsert + latestPerKey: last change per key wins, unmatched base survives") {

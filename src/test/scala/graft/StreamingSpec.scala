@@ -188,9 +188,16 @@ class StreamingSpec extends SparkTestBase {
       val s2 = StreamingEvents.latestSnapshot(spark, base).get
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(s2 === Map(1L -> "a", 2L -> "b2", 3L -> "c"))
-      // snapshots are versioned: batch 1's view is still readable
+      // batch 3: a LATE event older than the stored version must lose —
+      // ordering holds across batches because the snapshot retains ts
+      mem.addData((2L, "stale", 5L))
+      query.processAllAvailable()
+      val s3 = StreamingEvents.latestSnapshot(spark, base).get
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(s3 === Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+      // snapshots are versioned: earlier views remain readable
       val dirs = new java.io.File(base).listFiles().filter(_.getName.startsWith("v"))
-      assert(dirs.length === 2)
+      assert(dirs.length === 3)
     } finally query.stop()
   }
 
