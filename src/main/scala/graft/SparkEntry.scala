@@ -794,7 +794,25 @@ object SparkEntry {
         .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
         .crossJoin(near.agg(count(lit(1)).as("n_neardup")))
         .crossJoin(chunks.agg(count(lit(1)).as("n_chunks")))
-    })
+    },
+
+    // cross-doc boilerplate: fraction of each doc's distinct shingles that
+    // appear in another document (crawl chrome/license detection) — two
+    // integer-keyed aggregations, no pair joins, linear under duplication
+    "q82_boilerplate" -> ((s, d) =>
+      DedupOps.boilerplateReport(t(s, d, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // LEFT SEMI join (existence, no multiplicity): customers holding at
+    // least one urgent order — completes the join family with q57/q58
+    "q83_semi_join" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+        .join(t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("c_custkey")).as("sum_ids"))
+        .orderBy(col("c_mktsegment"))))
 
   /** TPC-H Q5 shape in the ANSI subset both Spark SQL and DuckDB parse
     * identically (shared verbatim by q56's query and oracle). Revenue uses
@@ -1723,7 +1741,27 @@ object SparkEntry {
          |  (SELECT count(*) FROM kept) AS n_quality,
          |  (SELECT count(*) FROM exd) AS n_exact,
          |  (SELECT count(*) FROM near) AS n_neardup,
-         |  (SELECT CAST(sum(n_chunks) AS BIGINT) FROM ch) AS n_chunks""".stripMargin)
+         |  (SELECT CAST(sum(n_chunks) AS BIGINT) FROM ch) AS n_chunks""".stripMargin,
+
+    // sized(id, sz, hs) holds each doc's DISTINCT shingle set, so the
+    // unnested rows are already (id, h)-distinct
+    "q82_boilerplate" ->
+      s"""WITH $hashedShinglesCte,
+         |rows_ AS (SELECT id, unnest(hs) AS h FROM sized),
+         |df_ AS (SELECT h, count(*) AS n_docs FROM rows_ GROUP BY h)
+         |SELECT id AS doc_id, count(*) AS n_windows,
+         |  CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |  CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS shared_frac
+         |FROM rows_ JOIN df_ USING (h)
+         |GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q83_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |  CAST(sum(c_custkey) AS BIGINT) AS sum_ids
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
 
   /** Combined masking pattern, shared verbatim by q50's Spark side and SQL
     * oracle (Java-regex ∩ RE2 — the single source is

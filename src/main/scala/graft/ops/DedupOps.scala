@@ -409,6 +409,36 @@ object DedupOps {
         (col("n_seen").cast("double") / col("n_shingles")).as("contamination"))
   }
 
+  /** Cross-document BOILERPLATE report: per document, the fraction of its
+    * DISTINCT k-shingles that also occur in ANOTHER document —
+    * headers, footers, licenses, navigation chrome that repeat across a
+    * crawl (the cross-doc complement of [[TextOps.repetitionStats]]'
+    * within-doc repetition). (doc_id, n_windows, n_shared, shared_frac);
+    * exact-duplicate documents score 1.0 by construction.
+    *
+    * Scale shape: shingle windows reduce to integer hashes once
+    * ([[shingleHashRows]]), the docs-per-shingle count is one hash-keyed
+    * aggregation, and the per-doc fraction is a second integer-keyed
+    * aggregation — no pair joins anywhere, so cost is linear in corpus
+    * tokens no matter how duplicated the corpus is.
+    */
+  def boilerplateReport(df: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", shingleK: Int = 3,
+                        scope: CacheScope = CacheScope.default): DataFrame = {
+    // distinct (id, h): a shingle repeated WITHIN one doc must count that
+    // doc once toward n_docs, or a self-repeating doc would mark its own
+    // shingles as shared
+    val rows = scope.register(
+      shingleHashRows(df, textCol, idCol, shingleK, scope).distinct())
+    val docFreq = rows.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+    rows.join(docFreq, Seq("h"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("id").as(idCol), col("n_windows"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_windows")).as("shared_frac"))
+  }
+
   /** Exact Jaccard pairs via PREFIX FILTERING — the high-threshold path.
     * Each set's tokens sort in a single global order (ascending document
     * frequency, ties by token value — rarest first) and only the first

@@ -936,6 +936,23 @@ class OpsSpec extends SparkTestBase {
       .toSeq === Seq((1L, "a"), (2L, "b2"), (3L, "c")))
   }
 
+  test("boilerplateReport: dup docs share everything, unique docs nothing, self-repeats don't count") {
+    val df = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta epsilon"),   // exact dup of 0 -> 1.0 both
+      (2L, "one two three four five six seven"), // unique -> 0.0
+      (3L, "x y z x y z x y z")                  // self-repeating but unique corpus-wide
+    ).toDF("doc_id", "text")
+    val r = DedupOps.boilerplateReport(df).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(0L)._3 === 1.0 && r(1L)._3 === 1.0)
+    assert(r(2L)._3 === 0.0)
+    // doc 3's shingles repeat WITHIN it only: must not count as shared
+    assert(r(3L)._3 === 0.0)
+    // distinct-shingle denominator: doc 3 has 7 windows but 3 distinct shingles
+    assert(r(3L)._1 === 3L)
+  }
+
   test("pageRankInt: hub outranks leaves, mass bounded, partitioning-invariant") {
     // star graph: 0 <-> {1,2,3,4} plus a detached pair 5 <-> 6
     val undirected = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (5L, 6L))
