@@ -812,7 +812,13 @@ object SparkEntry {
           col("c_custkey") === col("o_custkey"), "left_semi")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_customers"), sum(col("c_custkey")).as("sum_ids"))
-        .orderBy(col("c_mktsegment"))))
+        .orderBy(col("c_mktsegment"))),
+
+    // int8 embedding quantization (floor semantics — oracle-exact): the
+    // 4x compression step before ANN indexing, audited per vector
+    "q84_quantize_int8" -> ((s, d) =>
+      SimilarityOps.quantizeInt8(t(s, d, "embeddings"))
+        .orderBy(col("vec_id"))))
 
   /** TPC-H Q5 shape in the ANSI subset both Spark SQL and DuckDB parse
     * identically (shared verbatim by q56's query and oracle). Revenue uses
@@ -1761,7 +1767,19 @@ object SparkEntry {
         |FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q84_quantize_int8" ->
+      """WITH a AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings),
+        |b AS (SELECT vec_id, mx, list_transform(v, x -> CAST(floor(x *
+        |    (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END)) AS INTEGER)) AS q
+        |  FROM a)
+        |SELECT vec_id, mx, CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1
+        |FROM b ORDER BY vec_id""".stripMargin)
 
   /** Combined masking pattern, shared verbatim by q50's Spark side and SQL
     * oracle (Java-regex ∩ RE2 — the single source is

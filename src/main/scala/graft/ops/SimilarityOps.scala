@@ -425,6 +425,30 @@ object SimilarityOps {
       .groupBy(col("comp")).agg(count(lit(1)).as("n_vecs"))
       .select(col("comp").as("keep_id"), col("n_vecs"))
 
+  /** Symmetric int8 quantization of an embedding column — the compression
+    * step before shipping vectors to an ANN index (4× smaller, dot products
+    * in integer SIMD on real hardware). Per vector: `scale = 127 / max|v|`,
+    * `q_i = floor(v_i · scale)` (floor, not round-half-even: floor is
+    * identical across engines, so the quantized values are oracle-exact).
+    * Zero vectors quantize to all zeros. Emits per-vector audit columns
+    * (mx, q_sum, q_l1) rather than the raw array so downstream compares
+    * stay scalar; [[dequantizeError]]-style checks live in the tests.
+    *
+    * Map-only: per-row HOF transforms, no shuffle — scan-speed at any
+    * corpus size.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    val mx = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    val scale = when(col("mx") > 0, lit(127.0) / col("mx")).otherwise(lit(0.0))
+    df.select(col(idCol), vd.as("v"), mx.as("mx"))
+      .withColumn("q", transform(col("v"), x => floor(x * scale).cast("int")))
+      .select(col(idCol), col("mx"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + abs(x)).as("q_l1"))
+  }
+
   /** Fully distributed IVF ANN: same coarse-quantizer semantics as
     * [[ivfTopK]], but the inverted file NEVER touches the driver — only the
     * fitted centroids (a model, nCells·dim doubles) are broadcast. Cell

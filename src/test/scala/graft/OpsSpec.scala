@@ -936,6 +936,33 @@ class OpsSpec extends SparkTestBase {
       .toSeq === Seq((1L, "a"), (2L, "b2"), (3L, "c")))
   }
 
+  test("quantizeInt8: exact floor quantization, zero vector safe, cosine preserved") {
+    val df = Seq(
+      (0L, Array(1.0f, -0.5f, 0.25f)),
+      (1L, Array(0.0f, 0.0f, 0.0f)),
+      (2L, Array(-2.0f, 1.0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val r = SimilarityOps.quantizeInt8(df).collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(1), x.getLong(2), x.getLong(3)))).toMap
+    // v0: scale=127 -> q = [127, floor(-63.5) = -64, floor(31.75) = 31]
+    assert(r(0L) === ((1.0, 127L - 64L + 31L, 127L + 64L + 31L)))
+    assert(r(1L) === ((0.0, 0L, 0L))) // zero vector: no div-by-zero, all zeros
+    // v2: mx=2, scale=63.5 -> q = [-127, 63, floor(31.75) = 31]
+    assert(r(2L) === ((2.0, -127L + 63L + 31L, 127L + 63L + 31L)))
+    // information preserved: dequantized cosine vs original stays near 1
+    // on the real embeddings table
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    val vd = transform(col("embedding"), (x: org.apache.spark.sql.Column) => x.cast("double"))
+    val mx = array_max(transform(col("embedding"),
+      (x: org.apache.spark.sql.Column) => abs(x.cast("double"))))
+    val deq = emb.select(col("vec_id"), vd.as("v"), mx.as("mx"))
+      .withColumn("q", transform(col("v"), x => floor(x * (lit(127.0) / col("mx")))))
+      .withColumn("dq", transform(col("q"), x => x * col("mx") / lit(127.0)))
+      .withColumn("cos_vq", SimilarityOps.cosine(col("v"), col("dq")))
+    val worst = deq.agg(min(col("cos_vq"))).head().getDouble(0)
+    assert(worst > 0.99, s"int8 dequantized cosine degraded to $worst")
+  }
+
   test("boilerplateReport: dup docs share everything, unique docs nothing, self-repeats don't count") {
     val df = Seq(
       (0L, "alpha beta gamma delta epsilon"),
