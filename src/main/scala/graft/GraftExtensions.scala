@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProduct, Md5Hash60}
+import graft.functions.{DotProduct, Md5Hash60, SimHash60}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions. Enable with
@@ -30,6 +30,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 1, "md5_hash60 takes exactly 1 argument")
         Md5Hash60(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60",
+        "simhash60(hs) - 60-bit SimHash of an array<bigint> shingle-hash " +
+          "set (majority parity vote per md5-seeded permutation)"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "simhash60 takes exactly 1 argument")
+        SimHash60(children.head)
       }))
   }
 }

@@ -249,17 +249,30 @@ object DedupOps {
     * bit i takes a ±1 vote from each DISTINCT shingle hash — the parity of
     * an independent permutation `(a_i·h + b_i) mod P`
     * ([[DetHash.simHashPerms]]) — and the majority (strictly positive vote)
-    * sets the bit. 60 codegen'd conditional-sum aggregates + a count, one
-    * shuffle on id, partial aggregation map-side. Near-dups have small
-    * Hamming distance between fingerprints.
+    * sets the bit. ONE shuffle (the collect_set), then the native
+    * [[graft.functions.SimHash60]] expression computes the fingerprint in a
+    * single codegen'd loop per document — the previous explode + 60
+    * conditional-sum aggregates form ([[simHash60Agg]], kept for parity
+    * testing) measured ~3x slower from the 60 aggregation buffers alone.
+    * Near-dups have small Hamming distance between fingerprints.
     */
   def simHash60(rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    val fp = bridge.column(
+      graft.functions.SimHash60(bridge.expression(col("hs"))))
+    rows.groupBy(col("id")).agg(collect_set(col("h")).as("hs"))
+      .select(col("id"), fp.as("simhash"))
+  }
+
+  /** The composed aggregate form of [[simHash60]] — identical values by
+    * construction; retained as the cross-implementation parity oracle.
+    */
+  private[graft] def simHash60Agg(rows: DataFrame): DataFrame = {
     val bitCnt = DetHash.simHashPerms.zipWithIndex.map { case ((a, b), i) =>
       sum(DetHash.perm(col("h"), a, b).bitwiseAND(lit(1L))).as(s"c$i")
     }
-    // dedup via collect_set + re-explode instead of a distinct pass: the
-    // explode preserves the id-hash partitioning, so the parity aggregation
-    // runs exchange-free on top — ONE shuffle total instead of two
+    // dedup via collect_set + re-explode: the explode preserves the id-hash
+    // partitioning, so the parity aggregation runs exchange-free on top
     val distinctRows = rows.groupBy(col("id")).agg(collect_set(col("h")).as("hs"))
       .select(col("id"), explode(col("hs")).as("h"))
     val counted = distinctRows.groupBy(col("id"))

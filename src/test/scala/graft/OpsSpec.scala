@@ -936,6 +936,25 @@ class OpsSpec extends SparkTestBase {
       .toSeq === Seq((1L, "a"), (2L, "b2"), (3L, "c")))
   }
 
+  test("native SimHash60 expression: bit-parity with the aggregate form, SQL surface works") {
+    val rows = DedupOps.shingleHashRows(docsDf)
+    val native = DedupOps.simHash60(rows).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = DedupOps.simHash60Agg(rows).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === agg)
+    assert(native.nonEmpty && native.values.exists(_ != 0L))
+    // exact dups carry identical fingerprints; near-dups small Hamming
+    assert(native(0L) === native(1L))
+    assert(java.lang.Long.bitCount(native(0L) ^ native(2L)) <= 10)
+    // SQL function surface (GraftExtensions)
+    rows.groupBy(col("id")).agg(collect_set(col("h")).as("hs"))
+      .createOrReplaceTempView("shingle_sets")
+    val viaSql = spark.sql("SELECT id, simhash60(hs) AS fp FROM shingle_sets")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql === native)
+  }
+
   test("quantizeInt8: exact floor quantization, zero vector safe, cosine preserved") {
     val df = Seq(
       (0L, Array(1.0f, -0.5f, 0.25f)),
