@@ -44,6 +44,84 @@ case class SimHash60(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash60"
 }
 
+/** Native MinHash LSH band signatures of a shingle-hash SET: one codegen'd
+  * loop computes all k permutation minima
+  * (`min_i = min over h of (a_i·(h % P) + b_i) % P`) and packs them into
+  * `bands` band keys (r = k/bands ≤ 2; r=2 packs `min_{2b}·P + min_{2b+1}`,
+  * overflow-free below 2^62) — EXACTLY the values
+  * [[graft.ops.DedupOps.minHashSigs]] + banding compute via k min-aggregates,
+  * but as a map-only projection over the already-aggregated set table: the
+  * separate signature shuffle disappears entirely. Constants are
+  * [[graft.ops.DetHash.minHashPerms]] (public, md5-seeded) — band collisions
+  * are bit-reproducible across engines and cluster sizes.
+  */
+case class MinHashBands(child: Expression, k: Int, bands: Int)
+    extends UnaryExpression {
+  require(k % bands == 0 && k / bands <= 2,
+    s"bands ($bands) must divide k ($k) with r = k/bands <= 2")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_bands expects array<bigint>, got ${t.sql}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    MinHashBands.bandSigs(input.asInstanceOf[ArrayData], k, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashBands.bandSigs($c, $k, $bands);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_bands"
+}
+
+object MinHashBands {
+  import graft.ops.DetHash
+  private val P = DetHash.P
+  // perm constants per k, cached (tiny, deterministic function of k)
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def perms(k: Int): (Array[Long], Array[Long]) =
+    permCache.computeIfAbsent(k, kk => {
+      val ps = DetHash.minHashPerms(kk)
+      (ps.map(_._1).toArray, ps.map(_._2).toArray)
+    })
+
+  /** Band signature array for one shingle-hash set (callers guarantee a
+    * non-empty array — every doc in the shingle table has ≥ 1 shingle).
+    */
+  def bandSigs(arr: ArrayData, k: Int, bands: Int): ArrayData = {
+    val (as, bs) = perms(k)
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val hm = arr.getLong(j) % P
+      var i = 0
+      while (i < k) {
+        val v = (as(i) * hm + bs(i)) % P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    val r = k / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      out(b) = if (r == 1) mins(b) else mins(2 * b) * P + mins(2 * b + 1)
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
 object SimHash60 {
   import graft.ops.DetHash
 

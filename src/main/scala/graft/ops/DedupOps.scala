@@ -143,9 +143,26 @@ object DedupOps {
       posexplode(array((0 until bands).map(bandSig): _*)).as(Seq("band_idx", "band_sig")))
   }
 
-  def minHashCandidates(sigs: DataFrame, k: Int = 32, bands: Int = 16,
-                        maxBucket: Int = 1000): DataFrame = {
-    val banded = bandedSigs(sigs, k, bands)
+  /** Banded rows straight from the SET table via the native
+    * [[graft.functions.MinHashBands]] expression: all k permutation minima
+    * and the band packing happen in ONE codegen'd loop per document, so
+    * banding is a map-only projection — the separate signature shuffle of
+    * the aggregate form ([[minHashSigs]], kept for parity testing)
+    * disappears. posexplode is the array's single consumer (no HOF
+    * re-evaluation).
+    */
+  private[graft] def bandedSigsNative(sets: DataFrame, k: Int, bands: Int): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    val sigArr = bridge.column(
+      graft.functions.MinHashBands(bridge.expression(col("hs")), k, bands))
+    sets.select(col("id"), posexplode(sigArr).as(Seq("band_idx", "band_sig")))
+  }
+
+  /** Within-bucket candidate pairs from (id, band_idx, band_sig) rows —
+    * the grouped-bucket shape shared by both banding implementations.
+    */
+  private def candidatesFromBanded(banded: DataFrame,
+                                   maxBucket: Int): DataFrame = {
     val buckets = banded
       .groupBy(col("band_idx"), col("band_sig"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
@@ -156,6 +173,10 @@ object DedupOps {
           b => struct(a.as("a"), b.as("b")))))).as("p"))
     pairs.select(col("p.a").as("a"), col("p.b").as("b")).distinct()
   }
+
+  def minHashCandidates(sigs: DataFrame, k: Int = 32, bands: Int = 16,
+                        maxBucket: Int = 1000): DataFrame =
+    candidatesFromBanded(bandedSigs(sigs, k, bands), maxBucket)
 
   /** MinHash near-dup pipeline with exact verification: LSH candidates →
     * exact Jaccard over the shingle-hash sets → keep pairs ≥ `minJaccard`.
@@ -170,13 +191,11 @@ object DedupOps {
                            k: Int = 32, bands: Int = 16, shingleK: Int = 3,
                            maxBucket: Int = 1000,
                            scope: CacheScope = CacheScope.default): DataFrame = {
-    // reused by the signature pass and both sides of the rerank join —
-    // materialize once (at scale this is the persisted shingle-hash table)
-    val rows = scope.register(shingleHashRows(df, textCol, idCol, shingleK, scope))
-    val cand = minHashCandidates(minHashSigs(rows, k), k, bands, maxBucket)
-    // collect_set = dedup + grouping in one exchange (see shingleHashSets)
-    val hashed = rows.groupBy(col("id")).agg(collect_set(col("h")).as("hs"))
-      .select(col("id"), col("hs"), size(col("hs")).cast("long").as("sz"))
+    // ONE aggregation feeds everything: the cached set table drives the
+    // native banding (map-only) AND both sides of the rerank join — the
+    // aggregate form's separate signature shuffle is gone
+    val hashed = shingleHashSets(df, textCol, idCol, shingleK, scope)
+    val cand = candidatesFromBanded(bandedSigsNative(hashed, k, bands), maxBucket)
     val a = hashed.select(col("id").as("a"), col("hs").as("hsa"), col("sz").as("sza"))
     val b = hashed.select(col("id").as("b"), col("hs").as("hsb"), col("sz").as("szb"))
     // no broadcast hint: AQE broadcasts the candidate side while it is small,
@@ -215,11 +234,12 @@ object DedupOps {
                              bands: Int = 16, shingleK: Int = 3,
                              maxBucket: Int = 10000,
                              scope: CacheScope = CacheScope.default): DataFrame = {
-    // each side's shingle rows feed its signature pass AND its rerank side
-    val rowsB = scope.register(shingleHashRows(batch, textCol, idCol, shingleK, scope))
-    val rowsC = scope.register(shingleHashRows(corpus, textCol, idCol, shingleK, scope))
-    val bandB = bandedSigs(minHashSigs(rowsB, k), k, bands)
-    val bandC = bandedSigs(minHashSigs(rowsC, k), k, bands)
+    // each side's cached SET table feeds its native banding (map-only) AND
+    // its rerank side — one aggregation per side, no signature shuffle
+    val setsB = shingleHashSets(batch, textCol, idCol, shingleK, scope)
+    val setsC = shingleHashSets(corpus, textCol, idCol, shingleK, scope)
+    val bandB = bandedSigsNative(setsB, k, bands)
+    val bandC = bandedSigsNative(setsC, k, bands)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band_idx"), col("band_sig"))
     val cappedC = bandC.withColumn("bn", count(lit(1)).over(w))
@@ -228,11 +248,8 @@ object DedupOps {
       .join(cappedC.select(col("band_idx"), col("band_sig"), col("id").as("b")),
         Seq("band_idx", "band_sig"))
       .select(col("a"), col("b")).distinct()
-    def setsOf(rows: DataFrame): DataFrame = rows.groupBy(col("id"))
-      .agg(collect_set(col("h")).as("hs"))
-      .select(col("id"), col("hs"), size(col("hs")).cast("long").as("sz"))
-    val sa = setsOf(rowsB).select(col("id").as("a"), col("hs").as("hsa"), col("sz").as("sza"))
-    val sb = setsOf(rowsC).select(col("id").as("b"), col("hs").as("hsb"), col("sz").as("szb"))
+    val sa = setsB.select(col("id").as("a"), col("hs").as("hsa"), col("sz").as("sza"))
+    val sb = setsC.select(col("id").as("b"), col("hs").as("hsb"), col("sz").as("szb"))
     val matches = cand.join(sa, Seq("a")).join(sb, Seq("b"))
       .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))))
       .withColumn("jaccard",

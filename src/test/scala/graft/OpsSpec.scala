@@ -252,6 +252,14 @@ class OpsSpec extends SparkTestBase {
     val byId = sigs.toMap
     assert(byId(0L) === byId(1L))
     assert(byId.values.flatten.forall(s => s >= 0 && s < DetHash.P))
+    // native banded expression: bit-parity with the aggregate signatures
+    // packed the same way (r=2: s_{2b}·P + s_{2b+1})
+    val native = DedupOps.bandedSigsNative(DedupOps.shingleHashSets(docsDf), 8, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val expected = byId.flatMap { case (id, s) =>
+      (0 until 4).map(b => (id, b, s(2 * b) * DetHash.P + s(2 * b + 1)))
+    }.toSet
+    assert(native === expected)
   }
 
   test("simhash: identical docs → identical fingerprints; near-dups closer than unrelated") {
