@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProduct, Md5Hash60, SimHash60}
+import graft.functions.{DotProduct, Md5Hash60, MinHashBands, SimHash60}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions. Enable with
@@ -39,6 +39,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 1, "simhash60 takes exactly 1 argument")
         SimHash60(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands",
+        "minhash_bands(hs, k, bands) - LSH band signatures (array<bigint>) " +
+          "of an array<bigint> shingle-hash set; k and bands must be " +
+          "integer literals"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.IntegerType
+        require(children.length == 3, "minhash_bands takes exactly 3 arguments")
+        (children(1), children(2)) match {
+          case (Literal(k: Int, IntegerType), Literal(b: Int, IntegerType)) =>
+            MinHashBands(children.head, k, b)
+          case _ => throw new IllegalArgumentException(
+            "minhash_bands: k and bands must be integer literals")
+        }
       }))
   }
 }

@@ -260,6 +260,12 @@ class OpsSpec extends SparkTestBase {
       (0 until 4).map(b => (id, b, s(2 * b) * DetHash.P + s(2 * b + 1)))
     }.toSet
     assert(native === expected)
+    // SQL surface (GraftExtensions), including the literal-arg contract
+    DedupOps.shingleHashSets(docsDf).createOrReplaceTempView("mh_sets")
+    val viaSql = spark.sql(
+        "SELECT id, posexplode(minhash_bands(hs, 8, 4)) AS (band_idx, band_sig) FROM mh_sets")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaSql === expected)
   }
 
   test("simhash: identical docs → identical fingerprints; near-dups closer than unrelated") {
