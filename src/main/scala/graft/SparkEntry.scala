@@ -818,7 +818,20 @@ object SparkEntry {
     // 4x compression step before ANN indexing, audited per vector
     "q84_quantize_int8" -> ((s, d) =>
       SimilarityOps.quantizeInt8(t(s, d, "embeddings"))
-        .orderBy(col("vec_id"))))
+        .orderBy(col("vec_id"))),
+
+    // FULL OUTER join (completes the join family with q57/q58/q83):
+    // reconcile per-day click vs purchase volumes — days with only one
+    // side survive with the other side null-coalesced to zero
+    "q85_full_outer" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      def daily(tpe: String, n: String) = ev.filter(col("event_type") === tpe)
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as(n))
+      daily("click", "n_clicks")
+        .join(daily("purchase", "n_purchases"), Seq("day"), "full_outer")
+        .na.fill(0L, Seq("n_clicks", "n_purchases"))
+        .orderBy(col("day"))
+    })
 
   /** TPC-H Q5 shape in the ANSI subset both Spark SQL and DuckDB parse
     * identically (shared verbatim by q56's query and oracle). Revenue uses
@@ -1779,7 +1792,18 @@ object SparkEntry {
         |  FROM a)
         |SELECT vec_id, mx, CAST(list_sum(q) AS BIGINT) AS q_sum,
         |  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1
-        |FROM b ORDER BY vec_id""".stripMargin)
+        |FROM b ORDER BY vec_id""".stripMargin,
+
+    "q85_full_outer" ->
+      """WITH c AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_clicks
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |p AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT coalesce(c.day, p.day) AS day,
+        |  coalesce(n_clicks, 0) AS n_clicks,
+        |  coalesce(n_purchases, 0) AS n_purchases
+        |FROM c FULL OUTER JOIN p ON c.day = p.day
+        |ORDER BY day""".stripMargin)
 
   /** Combined masking pattern, shared verbatim by q50's Spark side and SQL
     * oracle (Java-regex ∩ RE2 — the single source is
