@@ -1790,8 +1790,8 @@ object SparkEntry {
         |b AS (SELECT vec_id, mx, list_transform(v, x -> CAST(floor(x *
         |    (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END)) AS INTEGER)) AS q
         |  FROM a)
-        |SELECT vec_id, mx, CAST(list_sum(q) AS BIGINT) AS q_sum,
-        |  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1
+        |SELECT vec_id, mx, coalesce(CAST(list_sum(q) AS BIGINT), 0) AS q_sum,
+        |  coalesce(CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT), 0) AS q_l1
         |FROM b ORDER BY vec_id""".stripMargin,
 
     "q85_full_outer" ->

@@ -57,10 +57,15 @@ case class SimHash60(child: Expression) extends UnaryExpression {
   */
 case class MinHashBands(child: Expression, k: Int, bands: Int)
     extends UnaryExpression {
-  require(k % bands == 0 && k / bands <= 2,
-    s"bands ($bands) must divide k ($k) with r = k/bands <= 2")
+  require(bands >= 1 && k >= bands && k % bands == 0 && k / bands <= 2,
+    s"need 1 <= bands <= k, bands | k, and r = k/bands <= 2 (got k=$k, bands=$bands)")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // an EMPTY set has no signature: the result is NULL (never a garbage
+  // Long.MaxValue packing) — reachable via the public SQL surface, where
+  // callers may band tables that include shingle-less documents
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -68,12 +73,19 @@ case class MinHashBands(child: Expression, k: Int, bands: Int)
       s"minhash_bands expects array<bigint>, got ${t.sql}")
   }
 
-  protected override def nullSafeEval(input: Any): Any =
-    MinHashBands.bandSigs(input.asInstanceOf[ArrayData], k, bands)
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null
+    else MinHashBands.bandSigs(arr, k, bands)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.MinHashBands.bandSigs($c, $k, $bands);")
+      s"""if ($c.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.MinHashBands.bandSigs($c, $k, $bands);
+         |}""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashBands =
     copy(child = newChild)
@@ -93,8 +105,8 @@ object MinHashBands {
       (ps.map(_._1).toArray, ps.map(_._2).toArray)
     })
 
-  /** Band signature array for one shingle-hash set (callers guarantee a
-    * non-empty array — every doc in the shingle table has ≥ 1 shingle).
+  /** Band signature array for one NON-EMPTY shingle-hash set (the
+    * expression maps empty arrays to NULL before reaching here).
     */
   def bandSigs(arr: ArrayData, k: Int, bands: Int): ArrayData = {
     val (as, bs) = perms(k)

@@ -117,22 +117,14 @@ object DedupOps {
     rows.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Candidate pairs via LSH banding of the signature columns: `bands`
-    * bands of r = k/bands rows each; a band's bucket key packs its r
-    * signature values into one long (r=2: s0·P + s1 < 2^62, overflow-free).
-    * ONE shuffle on (band_idx, band_sig); buckets capped at `maxBucket` ids
-    * to bound pathological collisions; pairs emitted per bucket by an array
-    * expression, then distinct. Collision probability follows the standard
-    * 1-(1-s^r)^b curve — with k=32, bands=16 (r=2), a pair at Jaccard 0.8
-    * is missed with probability (1-0.64)^16 ≈ 8e-8.
-    */
   /** (id, band_idx, band_sig) rows from signature columns `s0..s{k-1}`:
     * `bands` bands of r = k/bands rows, each band's bucket key packing its
     * r signature values into one long (r=2: s0·P + s1 < 2^62,
-    * overflow-free). Shared by [[minHashCandidates]] (self-join form) and
-    * [[incrementalDedupReport]] (batch ⋈ corpus form).
+    * overflow-free) — the aggregate-form counterpart of
+    * [[bandedSigsNative]], kept (with [[minHashSigs]] /
+    * [[minHashCandidates]]) as the parity oracle for the native expression.
     */
-  private def bandedSigs(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+  private[graft] def bandedSigs(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val r = k / bands
     require(r <= 2, "band packing supports r <= 2 (values < P = 2^31-1)")
@@ -174,6 +166,16 @@ object DedupOps {
     pairs.select(col("p.a").as("a"), col("p.b").as("b")).distinct()
   }
 
+  /** Candidate pairs via LSH banding of aggregate-form signature columns:
+    * ONE shuffle on (band_idx, band_sig); buckets capped at `maxBucket` ids
+    * to bound pathological collisions; pairs emitted per bucket by an array
+    * expression, then distinct. Collision probability follows the standard
+    * 1-(1-s^r)^b curve — with k=32, bands=16 (r=2), a pair at Jaccard 0.8
+    * is missed with probability (1-0.64)^16 ≈ 8e-8. The production pipeline
+    * ([[minHashVerifiedPairs]]) uses the native-banding equivalent; this
+    * form stays as its parity oracle and for callers holding signature
+    * tables.
+    */
   def minHashCandidates(sigs: DataFrame, k: Int = 32, bands: Int = 16,
                         maxBucket: Int = 1000): DataFrame =
     candidatesFromBanded(bandedSigs(sigs, k, bands), maxBucket)

@@ -266,6 +266,17 @@ class OpsSpec extends SparkTestBase {
         "SELECT id, posexplode(minhash_bands(hs, 8, 4)) AS (band_idx, band_sig) FROM mh_sets")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(viaSql === expected)
+    // empty set -> NULL signature (not a garbage MaxValue packing)
+    assert(spark.sql("SELECT minhash_bands(CAST(array() AS ARRAY<BIGINT>), 8, 4)")
+      .head().isNullAt(0))
+    // full parity: the aggregate-form candidate pipeline == the native one
+    val aggCand = DedupOps.minHashCandidates(
+        DedupOps.minHashSigs(DedupOps.shingleHashRows(docsDf)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val natCand = DedupOps.minHashVerifiedPairs(docsDf, minJaccard = 0.0)
+      .select(col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(aggCand === natCand)
   }
 
   test("simhash: identical docs → identical fingerprints; near-dups closer than unrelated") {
@@ -988,7 +999,11 @@ class OpsSpec extends SparkTestBase {
     val vd = transform(col("embedding"), (x: org.apache.spark.sql.Column) => x.cast("double"))
     val mx = array_max(transform(col("embedding"),
       (x: org.apache.spark.sql.Column) => abs(x.cast("double"))))
+    // mx > 0 filter: a zero vector would make 127.0/mx infinite and its
+    // NaN cosine would be IGNORED by min() — excluding it keeps the
+    // assertion honest about the rows it covers
     val deq = emb.select(col("vec_id"), vd.as("v"), mx.as("mx"))
+      .filter(col("mx") > 0)
       .withColumn("q", transform(col("v"), x => floor(x * (lit(127.0) / col("mx")))))
       .withColumn("dq", transform(col("q"), x => x * col("mx") / lit(127.0)))
       .withColumn("cos_vq", SimilarityOps.cosine(col("v"), col("dq")))
