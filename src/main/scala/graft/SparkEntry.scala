@@ -820,6 +820,13 @@ object SparkEntry {
       SimilarityOps.quantizeInt8(t(s, d, "embeddings"))
         .orderBy(col("vec_id"))),
 
+    // time-series resampling: the complete hourly grid per event type,
+    // gaps zero-filled — missing hours are zero observations, not absent
+    // rows (what every trailing-window computation needs downstream)
+    "q86_gap_fill" -> ((s, d) =>
+      EventOps.hourlyGapFill(t(s, d, "events"))
+        .orderBy(col("h"), col("event_type"))),
+
     // FULL OUTER join (completes the join family with q57/q58/q83):
     // reconcile per-day click vs purchase volumes — days with only one
     // side survive with the other side null-coalesced to zero
@@ -1793,6 +1800,18 @@ object SparkEntry {
         |SELECT vec_id, mx, coalesce(CAST(list_sum(q) AS BIGINT), 0) AS q_sum,
         |  coalesce(CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT), 0) AS q_l1
         |FROM b ORDER BY vec_id""".stripMargin,
+
+    "q86_gap_fill" ->
+      s"""WITH hourly AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         |    event_type, count(*) AS n, ${sqlDecSum("value")} AS sum_value
+         |  FROM events GROUP BY 1, 2),
+         |b AS (SELECT min(h) AS mn, max(h) AS mx FROM hourly),
+         |spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b),
+         |t AS (SELECT DISTINCT event_type FROM events)
+         |SELECT spine.h, t.event_type, coalesce(n, 0) AS n,
+         |  coalesce(sum_value, 0.0) AS sum_value
+         |FROM spine CROSS JOIN t LEFT JOIN hourly USING (h, event_type)
+         |ORDER BY h, event_type""".stripMargin,
 
     "q85_full_outer" ->
       """WITH c AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_clicks

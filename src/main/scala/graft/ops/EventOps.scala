@@ -151,6 +151,33 @@ object EventOps {
           .cast("int"))
   }
 
+  /** Time-series RESAMPLING with zero-fill: the complete hourly grid per
+    * event type over the table's [min, max] hour range, absent (hour, type)
+    * cells filled with n = 0 / sum_value = 0.0 — the gap-filling step every
+    * downstream window/anomaly computation needs (a missing hour is a ZERO
+    * observation, not an absent row; [[hourlyAnomalies]]' trailing windows
+    * would silently skip gaps otherwise).
+    *
+    * Scale shape: events reduce to the HOURLY table first; the generated
+    * hour spine is time-range-bounded (one `sequence` explode off a 1-row
+    * min/max aggregate), the type list is distinct-small, and the spine ⋈
+    * hourly left join is broadcast-size. Raw event cardinality never enters
+    * the spine build.
+    */
+  def hourlyGapFill(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.ops.RelationalOps.decSum(col("value")).as("sum_value"))
+    val spine = hourly.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+    val types = events.select(col("event_type")).distinct()
+    spine.crossJoin(types)
+      .join(hourly, Seq("h", "event_type"), "left")
+      .na.fill(Map("n" -> 0L, "sum_value" -> 0.0))
+  }
+
   /** As-of join within one event stream: for every `leftType` event, the
     * most recent `rightType` event of the SAME user at or before its
     * timestamp. Implemented as union-then-scan — both sides interleave in

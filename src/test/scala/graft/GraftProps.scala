@@ -83,6 +83,34 @@ object GraftProps extends Properties("graft") {
       kept == groups && kept <= texts.length
     }
 
+  property("chunkDocs covers the stream: stitching non-overlap suffixes rebuilds every doc") =
+    Prop.forAllNoShrink(docGen, Gen.chooseNum(2, 12), Gen.chooseNum(0, 1)) {
+      (texts, chunk, ov) =>
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val chunks = graft.ops.TextOps.chunkDocs(df, chunk, ov)
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getString(4)))
+          .groupBy(_._1)
+        texts.zipWithIndex.forall { case (t, i) =>
+          val parts = chunks(i.toLong).sortBy(_._2).map(_._3.split(" ").toSeq)
+          val stitched = parts.head ++ parts.tail.flatMap(_.drop(ov))
+          stitched == t.split("\\s+").toSeq
+        }
+    }
+
+  property("hashRankSample: exact capped counts and determinism under repartition") =
+    Prop.forAllNoShrink(Gen.chooseNum(1L, 20L), Gen.chooseNum(1, 5)) { (target, parts) =>
+      val df = (0L until 30L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+        .toDF("doc_id", "lang")
+      val take = RelationalOps.hashRankSample(df, "doc_id", "lang", Map("a" -> target))
+      val ids = take.select("doc_id").collect().map(_.getLong(0)).toSet
+      val again = RelationalOps.hashRankSample(df.repartition(parts), "doc_id", "lang",
+        Map("a" -> target)).select("doc_id").collect().map(_.getLong(0)).toSet
+      ids.size == math.min(target, 10L) && ids == again &&
+        ids.forall(_ % 3 == 0)
+    }
+
   // keep Spark-backed properties cheap
   override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
     p.withMinSuccessfulTests(8)
