@@ -827,6 +827,11 @@ object SparkEntry {
       EventOps.hourlyGapFill(t(s, d, "events"))
         .orderBy(col("h"), col("event_type"))),
 
+    // join-key skew profile (rows-per-user distribution): the exact facts
+    // behind a salt/AQE-skew decision, computed over the count HISTOGRAM
+    "q87_skew_profile" -> ((s, d) =>
+      RelationalOps.skewProfile(t(s, d, "events"), "user_id")),
+
     // FULL OUTER join (completes the join family with q57/q58/q83):
     // reconcile per-day click vs purchase volumes — days with only one
     // side survive with the other side null-coalesced to zero
@@ -1800,6 +1805,19 @@ object SparkEntry {
         |SELECT vec_id, mx, coalesce(CAST(list_sum(q) AS BIGINT), 0) AS q_sum,
         |  coalesce(CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT), 0) AS q_l1
         |FROM b ORDER BY vec_id""".stripMargin,
+
+    "q87_skew_profile" ->
+      """WITH counts AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+        |hist AS (SELECT c, count(*) AS k FROM counts GROUP BY c),
+        |cum AS (SELECT c, sum(k) OVER (ORDER BY c) AS cum FROM hist),
+        |tot AS (SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+        |  max(c) AS max_c FROM counts)
+        |SELECT n_keys, n_rows, max_c,
+        |  (SELECT min(c) FROM cum WHERE cum * 100 >= (SELECT n_keys FROM tot) * 50) AS p50_c,
+        |  (SELECT min(c) FROM cum WHERE cum * 100 >= (SELECT n_keys FROM tot) * 90) AS p90_c,
+        |  (SELECT min(c) FROM cum WHERE cum * 100 >= (SELECT n_keys FROM tot) * 99) AS p99_c,
+        |  CAST((max_c * 10000) // n_rows AS BIGINT) AS top1_share_bp
+        |FROM tot""".stripMargin,
 
     "q86_gap_fill" ->
       s"""WITH hourly AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,

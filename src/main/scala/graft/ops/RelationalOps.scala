@@ -441,6 +441,35 @@ object RelationalOps {
       .drop("__h", "__rk")
   }
 
+  /** Join-key SKEW PROFILE — the decision input for [[saltedJoin]] / AQE
+    * skew tuning: one row of exact distribution facts about rows-per-key
+    * (n_keys, n_rows, max, p50/p90/p99 of per-key counts, and the hottest
+    * key's row share in basis points). Percentiles are percentile_disc
+    * (value at position ⌈p·n_keys⌉ in count order), computed over the
+    * COUNT HISTOGRAM — the cumulative window runs over distinct count
+    * VALUES (bounded, tiny), never over keys or rows, so profiling a
+    * 10^9-key join input costs one key-count shuffle plus small-table work
+    * (same cardinality argument as [[exactMedianByGroup]]). All-integer →
+    * oracle-exact.
+    */
+  def skewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+    val hist = counts.groupBy(col("c")).agg(count(lit(1)).as("k"))
+    val cum = hist.withColumn("cum", sum(col("k")).over(Window.orderBy(col("c"))))
+    val tot = counts.agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+      max(col("c")).as("max_c"))
+    def pct(p: Int) = cum.crossJoin(broadcast(tot.select(col("n_keys"))))
+      .filter(col("cum") * 100 >= col("n_keys") * p)
+      .agg(min(col("c")).as(s"p${p}_c"))
+    tot.crossJoin(broadcast(pct(50)))
+      .crossJoin(broadcast(pct(90)))
+      .crossJoin(broadcast(pct(99)))
+      .select(col("n_keys"), col("n_rows"), col("max_c"),
+        col("p50_c"), col("p90_c"), col("p99_c"),
+        expr("(max_c * 10000) div n_rows").as("top1_share_bp"))
+  }
+
   /** Top-k per group via ranking window (partitioned — never a global
     * single-partition sort). Deterministic given a total tiebreak ordering.
     */

@@ -1011,6 +1011,20 @@ class OpsSpec extends SparkTestBase {
     assert(worst > 0.99, s"int8 dequantized cosine degraded to $worst")
   }
 
+  test("skewProfile: exact distribution facts on a known skewed frame") {
+    // 9 singleton keys + one 90-row hot key
+    val df = ((0L until 9L).map(k => (k, "x")) ++
+      (0 until 90).map(_ => (100L, "x"))).toDF("k", "v")
+    val r = RelationalOps.skewProfile(df, "k").head()
+    assert(r.getLong(0) === 10L)   // n_keys
+    assert(r.getLong(1) === 99L)   // n_rows
+    assert(r.getLong(2) === 90L)   // max_c
+    assert(r.getLong(3) === 1L)    // p50: position ceil(5) -> 1
+    assert(r.getLong(4) === 1L)    // p90: position ceil(9) -> 1
+    assert(r.getLong(5) === 90L)   // p99: position ceil(9.9)=10 -> 90
+    assert(r.getLong(6) === 90L * 10000L / 99L) // 9090 bp
+  }
+
   test("boilerplateReport: dup docs share everything, unique docs nothing, self-repeats don't count") {
     val df = Seq(
       (0L, "alpha beta gamma delta epsilon"),
