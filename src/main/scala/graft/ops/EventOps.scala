@@ -172,7 +172,10 @@ object EventOps {
     val spine = hourly.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
       .select(explode(sequence(col("mn"), col("mx"),
         expr("INTERVAL 1 HOUR"))).as("h"))
-    val types = events.select(col("event_type")).distinct()
+    // types from the HOURLY frame, not the raw table: every event lands in
+    // some hourly group, and this reuses the aggregation exchange instead
+    // of a second full scan of events
+    val types = hourly.select(col("event_type")).distinct()
     spine.crossJoin(types)
       .join(hourly, Seq("h", "event_type"), "left")
       .na.fill(Map("n" -> 0L, "sum_value" -> 0.0))

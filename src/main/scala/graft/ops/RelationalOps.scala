@@ -459,12 +459,15 @@ object RelationalOps {
     val cum = hist.withColumn("cum", sum(col("k")).over(Window.orderBy(col("c"))))
     val tot = counts.agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
       max(col("c")).as("max_c"))
-    def pct(p: Int) = cum.crossJoin(broadcast(tot.select(col("n_keys"))))
-      .filter(col("cum") * 100 >= col("n_keys") * p)
-      .agg(min(col("c")).as(s"p${p}_c"))
-    tot.crossJoin(broadcast(pct(50)))
-      .crossJoin(broadcast(pct(90)))
-      .crossJoin(broadcast(pct(99)))
+    // all three percentiles in ONE conditional aggregate over the cum
+    // frame — separate per-percentile subplans would re-run the window
+    // three times and lean on ReuseExchange to dedup
+    val pcts = cum.crossJoin(broadcast(tot.select(col("n_keys"))))
+      .agg(
+        min(when(col("cum") * 100 >= col("n_keys") * 50, col("c"))).as("p50_c"),
+        min(when(col("cum") * 100 >= col("n_keys") * 90, col("c"))).as("p90_c"),
+        min(when(col("cum") * 100 >= col("n_keys") * 99, col("c"))).as("p99_c"))
+    tot.crossJoin(broadcast(pcts))
       .select(col("n_keys"), col("n_rows"), col("max_c"),
         col("p50_c"), col("p90_c"), col("p99_c"),
         expr("(max_c * 10000) div n_rows").as("top1_share_bp"))

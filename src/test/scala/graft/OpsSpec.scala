@@ -1011,6 +1011,24 @@ class OpsSpec extends SparkTestBase {
     assert(worst > 0.99, s"int8 dequantized cosine degraded to $worst")
   }
 
+  test("hourlyGapFill: absent (hour, type) cells appear as zero rows, grid complete") {
+    import java.sql.Timestamp
+    def ts(h: Int) = Timestamp.valueOf(f"2024-03-01 $h%02d:00:00")
+    // clicks at 10 and 13, one error at 11 — hours 11/12 have no clicks,
+    // 10/12/13 no errors
+    val ev = Seq((ts(10), "click", 1.0), (ts(13), "click", 2.0),
+      (ts(11), "error", 4.0)).toDF("ts", "event_type", "value")
+    val filled = EventOps.hourlyGapFill(ev).collect()
+      .map(r => (r.getTimestamp(0).toString.take(13), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // complete 4x2 grid
+    assert(filled.size === 8)
+    assert(filled(("2024-03-01 10", "click")) === ((1L, 1.0)))
+    assert(filled(("2024-03-01 11", "click")) === ((0L, 0.0)))
+    assert(filled(("2024-03-01 12", "error")) === ((0L, 0.0)))
+    assert(filled(("2024-03-01 11", "error")) === ((1L, 4.0)))
+  }
+
   test("skewProfile: exact distribution facts on a known skewed frame") {
     // 9 singleton keys + one 90-row hot key
     val df = ((0L until 9L).map(k => (k, "x")) ++
