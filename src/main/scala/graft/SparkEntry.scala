@@ -832,6 +832,29 @@ object SparkEntry {
     "q87_skew_profile" -> ((s, d) =>
       RelationalOps.skewProfile(t(s, d, "events"), "user_id")),
 
+    // semantic-cluster topic labels: clusters come from the EMBEDDING tier
+    // (q64's SRP near-dup components), labels from the TEXT tier (top-3
+    // terms by count inside each non-singleton cluster) — the cross-tier
+    // composition that names what semantic dedup is about to collapse
+    "q88_cluster_topics" -> { (s, d) =>
+      val clusters = SimilarityOps.semanticDupClusters(t(s, d, "embeddings"), 0.4)
+        .select(col("vec_id").as("doc_id"), col("comp"))
+      val sizes = clusters.groupBy(col("comp")).agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+      val toks = t(s, d, "documents")
+        .join(clusters, Seq("doc_id"))
+        .join(broadcast(sizes), Seq("comp"))
+        .select(col("comp"), col("n_docs"),
+          explode(TextOps.tokens(col("text"))).as("term"))
+      val counts = toks.groupBy(col("comp"), col("n_docs"), col("term"))
+        .agg(count(lit(1)).as("cnt"))
+      RelationalOps.topKPerGroup(counts, Seq("comp"),
+          Seq(col("cnt").desc, col("term").asc), 3)
+        .select(col("comp").as("cluster_id"), col("n_docs"), col("term"),
+          col("cnt"), col("rn").as("rank"))
+        .orderBy(col("cluster_id"), col("rank"))
+    },
+
     // FULL OUTER join (completes the join family with q57/q58/q83):
     // reconcile per-day click vs purchase volumes — days with only one
     // side survive with the other side null-coalesced to zero
@@ -881,6 +904,35 @@ object SparkEntry {
        |FROM e
        |GROUP BY GROUPING SETS ((event_type), (user_mod), (event_type, user_mod))
        |ORDER BY g_type, g_mod, event_type, user_mod""".stripMargin
+
+  /** CTE chain ending in `cc(x, comp)`: SRP-bucketed near-dup edges over
+    * embeddings (cos ≥ 0.4, 6 tables × 8 planes) closed transitively by a
+    * recursive CTE — mirrors `SimilarityOps.semanticDupClusters` with its
+    * default parameters. Shared by the q64 and q88 oracles; callers prepend
+    * `WITH RECURSIVE`.
+    */
+  private val semanticCcCte: String =
+    s"""planes AS (${ops.DetHash.sqlPlanesCte(48, 64)}),
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |proj AS (SELECT p.p // 8 AS tbl, p.p % 8 AS i, e.vec_id,
+       |    list_sum(list_transform(list_zip(e.embedding, p.cs), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS pr
+       |  FROM e CROSS JOIN planes p),
+       |b AS (SELECT tbl, vec_id,
+       |    sum(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS bucket
+       |  FROM proj GROUP BY tbl, vec_id),
+       |cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+       |  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
+       |    AND l.vec_id < r.vec_id),
+       |pr2 AS (SELECT a, b FROM (
+       |    SELECT c.a, c.b, ${sqlCos("ae", "be")} AS cos
+       |    FROM cand c JOIN e ae ON ae.vec_id = c.a JOIN e be ON be.vec_id = c.b)
+       |  WHERE cos >= 0.4),
+       |ed AS (SELECT a AS x, b AS y FROM pr2 UNION ALL SELECT b, a FROM pr2),
+       |reach AS (
+       |  SELECT vec_id AS x, vec_id AS comp FROM embeddings
+       |  UNION
+       |  SELECT ed.x, r.comp FROM ed JOIN reach r ON r.x = ed.y),
+       |cc AS (SELECT x, min(comp) AS comp FROM reach GROUP BY x)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Every query has an oracle — the hash-based ones
@@ -1217,29 +1269,27 @@ object SparkEntry {
     // the same recursive closure + retention shape as q38 — vertices are
     // ALL vec_ids, so singletons appear as 1-member clusters
     "q64_semantic_dedup" ->
-      s"""WITH RECURSIVE planes AS (${ops.DetHash.sqlPlanesCte(48, 64)}),
-         |e AS (SELECT vec_id, embedding FROM embeddings),
-         |proj AS (SELECT p.p // 8 AS tbl, p.p % 8 AS i, e.vec_id,
-         |    list_sum(list_transform(list_zip(e.embedding, p.cs), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS pr
-         |  FROM e CROSS JOIN planes p),
-         |b AS (SELECT tbl, vec_id,
-         |    sum(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS bucket
-         |  FROM proj GROUP BY tbl, vec_id),
-         |cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
-         |  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
-         |    AND l.vec_id < r.vec_id),
-         |pr2 AS (SELECT a, b FROM (
-         |    SELECT c.a, c.b, ${sqlCos("ae", "be")} AS cos
-         |    FROM cand c JOIN e ae ON ae.vec_id = c.a JOIN e be ON be.vec_id = c.b)
-         |  WHERE cos >= 0.4),
-         |ed AS (SELECT a AS x, b AS y FROM pr2 UNION ALL SELECT b, a FROM pr2),
-         |reach AS (
-         |  SELECT vec_id AS x, vec_id AS comp FROM embeddings
-         |  UNION
-         |  SELECT ed.x, r.comp FROM ed JOIN reach r ON r.x = ed.y),
-         |cc AS (SELECT x, min(comp) AS comp FROM reach GROUP BY x)
+      s"""WITH RECURSIVE $semanticCcCte
          |SELECT comp AS keep_id, count(*) AS n_vecs FROM cc
          |GROUP BY comp ORDER BY keep_id""".stripMargin,
+
+    // clusters from EMBEDDINGS, labels from TEXT: the cross-tier
+    // composition — same cc CTE as q64, joined to documents
+    "q88_cluster_topics" ->
+      s"""WITH RECURSIVE $semanticCcCte,
+         |sizes AS (SELECT comp, count(*) AS n_docs FROM cc
+         |  GROUP BY comp HAVING count(*) >= 2),
+         |toks AS (SELECT cc.comp, s.n_docs, unnest($toksSql) AS term
+         |  FROM documents d JOIN cc ON cc.x = d.doc_id
+         |  JOIN sizes s ON s.comp = cc.comp),
+         |cnts AS (SELECT comp, n_docs, term, count(*) AS cnt
+         |  FROM toks GROUP BY 1, 2, 3),
+         |rk AS (SELECT comp, n_docs, term, cnt,
+         |    CAST(row_number() OVER (PARTITION BY comp
+         |      ORDER BY cnt DESC, term ASC) AS INTEGER) AS rank
+         |  FROM cnts)
+         |SELECT comp AS cluster_id, n_docs, term, cnt, rank
+         |FROM rk WHERE rank <= 3 ORDER BY cluster_id, rank""".stripMargin,
 
     "q24_ann_cosine_topk" ->
       """WITH dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
