@@ -352,6 +352,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // the PERSISTED-index face of q65: the corpus's band signatures and
+    // shingle sets are written ONCE as bucketed tables (index-once /
+    // probe-many), then the batch probes them with zero corpus-side
+    // exchange — same report, same oracle semantics as q65
+    "q89_persisted_index_dedup" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      DedupOps.writeBandedIndex(docs.filter(col("doc_id") % 5 =!= 0),
+        "graft_q89_corpus")
+      DedupOps.probeBandedIndex(docs.filter(col("doc_id") % 5 === 0),
+          "graft_q89_corpus")
+        .orderBy(col("doc_id"))
+    },
+
     // deterministic 80/10/10 hash split: per-split counts + id checksum so
     // the oracle verifies the ASSIGNMENT, not just the sizes
     "q42_hash_split" -> ((s, d) =>
@@ -742,9 +755,13 @@ object SparkEntry {
       val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
       val o = t(s, d, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
-      val cs = li.join(o, Seq("l_orderkey"))
-        .select(col("o_custkey").as("c"), (col("l_suppkey") + off).as("sv"))
-        .distinct()
+      // the trade-pair build (join + distinct) feeds BOTH the edge list and
+      // the vertex list — register it so the two unions read one
+      // materialization instead of re-running lineitem⋈orders twice
+      val cs = ops.CacheScope.default.register(
+        li.join(o, Seq("l_orderkey"))
+          .select(col("o_custkey").as("c"), (col("l_suppkey") + off).as("sv"))
+          .distinct())
       val edges = cs.select(col("c").as("src"), col("sv").as("dst"))
         .unionByName(cs.select(col("sv").as("src"), col("c").as("dst")))
       val verts = cs.select(col("c").as("id"))
@@ -789,11 +806,17 @@ object SparkEntry {
         clusters.filter(col("comp") === col("doc_id")).select(col("doc_id")),
         Seq("doc_id")))
       val chunks = TextOps.chunkDocs(near)
-      docs.agg(count(lit(1)).as("n_raw"))
-        .crossJoin(kept.agg(count(lit(1)).as("n_quality")))
-        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
-        .crossJoin(near.agg(count(lit(1)).as("n_neardup")))
-        .crossJoin(chunks.agg(count(lit(1)).as("n_chunks")))
+      // ONE aggregation job for all five stage counts: tag each stage's
+      // rows with its name, union, conditional-count — the cached frames
+      // are each scanned once and the five crossJoined 1-row aggs collapse
+      // into a single action
+      val stages = Seq("n_raw" -> docs, "n_quality" -> kept,
+        "n_exact" -> exact, "n_neardup" -> near, "n_chunks" -> chunks)
+      val tagged = stages.map { case (nm, df) => df.select(lit(nm).as("st")) }
+        .reduce(_ unionByName _)
+      val aggs = stages.map { case (nm, _) =>
+        count(when(col("st") === nm, 1)).as(nm) }
+      tagged.agg(aggs.head, aggs.tail: _*)
     },
 
     // cross-doc boilerplate: fraction of each doc's distinct shingles that
@@ -1351,6 +1374,22 @@ object SparkEntry {
     // brute-force cross-side near-dup (batch = id%5==0 vs corpus = rest);
     // batch docs with no k-shingle never enter `inv` but still report novel
     "q65_incremental_dedup" ->
+      s"""WITH $hashedShinglesCte,
+         |inv AS (SELECT id, sz, unnest(hs) AS tok FROM sized),
+         |pr AS (SELECT l.id AS a, r.id AS b
+         |  FROM inv l JOIN inv r ON l.tok = r.tok
+         |    AND l.id % 5 = 0 AND r.id % 5 <> 0
+         |  GROUP BY l.id, r.id, l.sz, r.sz
+         |  HAVING CAST(count(*) AS DOUBLE) / (l.sz + r.sz - count(*)) >= 0.8),
+         |m AS (SELECT a, count(*) AS n_matches FROM pr GROUP BY a)
+         |SELECT d.doc_id, COALESCE(m.n_matches, 0) AS n_matches,
+         |  COALESCE(m.n_matches, 0) = 0 AS novel
+         |FROM documents d LEFT JOIN m ON m.a = d.doc_id
+         |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin,
+
+    // identical brute-force oracle as q65: the persisted-index probe must
+    // report exactly what the recompute-from-text path reports
+    "q89_persisted_index_dedup" ->
       s"""WITH $hashedShinglesCte,
          |inv AS (SELECT id, sz, unnest(hs) AS tok FROM sized),
          |pr AS (SELECT l.id AS a, r.id AS b

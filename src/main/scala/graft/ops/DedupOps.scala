@@ -264,6 +264,86 @@ object DedupOps {
       .select(col(idCol), col("n_matches"), (col("n_matches") === 0).as("novel"))
   }
 
+  /** BUILD the persisted corpus index behind [[probeBandedIndex]] — the
+    * index-once / probe-many lifecycle a growing corpus runs at scale,
+    * materialized as two bucketed managed tables:
+    *
+    *   - `<prefix>_bands` (band_idx, band_sig, id), bucketed AND sorted by
+    *     (band_idx, band_sig): every batch-bands ⋈ corpus-bands probe joins
+    *     on exactly the bucket columns, so the corpus side scans its
+    *     buckets with ZERO exchange (asserted in PlanSpec) — only the small
+    *     new-batch side shuffles.
+    *   - `<prefix>_sets` (id, hs, sz), bucketed by id: the exact-Jaccard
+    *     rerank reads corpus shingle sets exchange-free the same way.
+    *
+    * Pathological band buckets (> `maxBucket` members) are dropped at WRITE
+    * time, so probes are pure joins with no runtime capping window. Probes
+    * must use the same (k, bands, shingleK) the index was built with —
+    * recorded in the companion `<prefix>_meta` table and re-checked by
+    * [[probeBandedIndex]].
+    */
+  def writeBandedIndex(corpus: DataFrame, tablePrefix: String,
+                       textCol: String = "text", idCol: String = "doc_id",
+                       k: Int = 32, bands: Int = 16, shingleK: Int = 3,
+                       maxBucket: Int = 10000, buckets: Int = 8,
+                       scope: CacheScope = CacheScope.default): Unit = {
+    import graft.sources.Bucketing
+    val sets = shingleHashSets(corpus, textCol, idCol, shingleK, scope)
+    val banded = bandedSigsNative(sets, k, bands)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_sig"))
+    val capped = banded.withColumn("bn", count(lit(1)).over(w))
+      .filter(col("bn") <= maxBucket).drop("bn")
+      .select(col("band_idx"), col("band_sig"), col("id"))
+    Bucketing.writeBucketed(capped, s"${tablePrefix}_bands",
+      Seq("band_idx", "band_sig"), buckets)
+    Bucketing.writeBucketed(sets.select(col("id"), col("hs"), col("sz")),
+      s"${tablePrefix}_sets", Seq("id"), buckets)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((k, bands, shingleK, maxBucket)).toDF("k", "bands", "shingle_k", "max_bucket")
+      .write.mode("overwrite").saveAsTable(s"${tablePrefix}_meta")
+  }
+
+  /** PROBE the persisted banded corpus index with a new `batch`: same
+    * semantics and output as [[incrementalDedupReport]] (per batch doc:
+    * corpus near-dup count + `novel`), but the corpus side comes from the
+    * bucketed tables [[writeBandedIndex]] wrote — batch bands join corpus
+    * bands on the bucket key and the rerank joins corpus sets on id, both
+    * with ZERO exchange on the corpus side. This is what "the index is a
+    * table" means operationally: each ingest pays |batch| work + bucket
+    * scans, never a corpus re-shuffle, and never corpus×corpus.
+    */
+  def probeBandedIndex(batch: DataFrame, tablePrefix: String,
+                       textCol: String = "text", idCol: String = "doc_id",
+                       minJaccard: Double = 0.8,
+                       scope: CacheScope = CacheScope.default): DataFrame = {
+    val spark = batch.sparkSession
+    val meta = spark.table(s"${tablePrefix}_meta").head()
+    val (k, bands, shingleK) =
+      (meta.getAs[Int]("k"), meta.getAs[Int]("bands"), meta.getAs[Int]("shingle_k"))
+    val bandC = spark.table(s"${tablePrefix}_bands")
+    val setsC = spark.table(s"${tablePrefix}_sets")
+    val setsB = shingleHashSets(batch, textCol, idCol, shingleK, scope)
+    val bandB = bandedSigsNative(setsB, k, bands)
+    val cand = bandB.select(col("band_idx"), col("band_sig"), col("id").as("a"))
+      .join(bandC.select(col("band_idx"), col("band_sig"), col("id").as("b")),
+        Seq("band_idx", "band_sig"))
+      .select(col("a"), col("b")).distinct()
+    val sa = setsB.select(col("id").as("a"), col("hs").as("hsa"), col("sz").as("sza"))
+    val sb = setsC.select(col("id").as("b"), col("hs").as("hsb"), col("sz").as("szb"))
+    val matches = cand.join(sa, Seq("a")).join(sb, Seq("b"))
+      .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= lit(minJaccard))
+      .groupBy(col("a")).agg(count(lit(1)).as("n_matches"))
+    batch.select(col(idCol))
+      .join(matches.select(col("a").as(idCol), col("n_matches")), Seq(idCol), "left")
+      .na.fill(0L, Seq("n_matches"))
+      .select(col(idCol), col("n_matches"), (col("n_matches") === 0).as("novel"))
+  }
+
   /** 60-bit SimHash fingerprints (id, simhash) from (id, h) shingle rows:
     * bit i takes a ±1 vote from each DISTINCT shingle hash — the parity of
     * an independent permutation `(a_i·h + b_i) mod P`

@@ -163,6 +163,10 @@ object GraphOps {
     free(degIds)
     free(eIds)
     free(vIds)
+    // like connectedComponents: the FINAL round's checkpoint backs the
+    // returned frame and is freed by the ContextCleaner once the caller
+    // drops the frame — it cannot be freed here without invalidating the
+    // result (localCheckpoint truncates lineage, so there is no recompute)
     ranks.select(col("x").as(idCol), col("rank"))
   }
 }

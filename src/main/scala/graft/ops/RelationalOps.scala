@@ -142,6 +142,11 @@ object RelationalOps {
     * per-partition distinct values. For very wide profiles swap
     * `countDistinct` for `approx_count_distinct` and the legs collapse
     * into one 1-row aggregate.
+    *
+    * The shared-read claim holds for SOURCE tables (k legs share one
+    * parquet scan); a DERIVED/expensive input re-executes its upstream
+    * subtree once per leg — cache/persist such inputs first (e.g. register
+    * them in a [[CacheScope]]) or the 10× win becomes a k× loss.
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
@@ -382,6 +387,10 @@ object RelationalOps {
     require(mBits >= 64 && (mBits & (mBits - 1)) == 0 && mBits <= (1 << 20),
       s"mBits must be a power of two in [64, 2^20], got $mBits")
     require(kHashes >= 1 && kHashes <= 3, "kHashes in [1, 3] (20-bit md5 slices)")
+    // scratch columns are added-then-dropped: a caller's column with one of
+    // these names would be silently overwritten and removed from the output
+    Seq("__h", "__bf").foreach(n => require(!fact.columns.contains(n),
+      s"fact already has a column named '$n' (reserved scratch name)"))
     def hash(c: Column): Column =
       DetHash.md5Hash60(concat(lit("bloom|"), c.cast("string")))
     def positions(h: Column): Seq[Column] =
@@ -428,6 +437,8 @@ object RelationalOps {
                      salt: String = "mix"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(targets.values.forall(_ >= 0), "targets must be non-negative")
+    Seq("__h", "__rk").foreach(n => require(!df.columns.contains(n),
+      s"input already has a column named '$n' (reserved scratch name)"))
     val h = DetHash.md5Hash60(concat(lit(salt + "|"), col(idCol).cast("string")))
     // sorted for a deterministic when-chain (Map iteration order isn't)
     val target = targets.toSeq.sortBy(_._1)

@@ -271,11 +271,18 @@ object SimilarityOps {
     * nProbe and the cluster structure; precision is exact (true cosine
     * rerank). Returns top-k neighbors per corpus vector (self-ANN, like
     * [[lshTopK]]).
+    *
+    * THIS form collects the inverted file to the driver and broadcasts it —
+    * a model-sized corpus only (candidate sets, rerank pools), bounded by
+    * the `maxRows` fail-fast. Past that, use [[ivfTopKDistributed]] (the
+    * index never touches the driver) or [[ivfTopKPersisted]] (the index is
+    * a bucketed table probed exchange-free).
     */
   def ivfTopK(df: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 4,
               seed: Long = 4667979835606274383L,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              scope: CacheScope = CacheScope.default): DataFrame = {
+              scope: CacheScope = CacheScope.default,
+              maxRows: Long = 1L << 20): DataFrame = {
     import df.sparkSession.implicits._
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -301,6 +308,14 @@ object SimilarityOps {
     // vectors — dense kernels belong in tight loops, not per-pair exprs.
     val assigned = model.transform(vecs)
       .select(col("cell"), col("id"), col("v")).as[(Int, Long, Array[Float])]
+    // fail fast instead of silently OOMing the driver (same contract as
+    // cosinePairsExact): limit(maxRows+1) early-exits rather than counting
+    // the full input
+    val bound = math.min(maxRows, Int.MaxValue - 1L).toInt
+    require(vecs.limit(bound + 1).count() <= maxRows,
+      s"ivfTopK collects the inverted file to the driver and is bounded to " +
+        s"maxRows=$maxRows vectors; use ivfTopKDistributed (or " +
+        s"ivfTopKPersisted) at scale")
     val byCell: Map[Int, Array[(Long, Array[Float], Double)]] = assigned.collect()
       .groupBy(_._1).map { case (c, ms) => c -> ms.map(m => (m._2, m._3, l2(m._3))) }
     val sc = df.sparkSession.sparkContext
@@ -492,6 +507,87 @@ object SimilarityOps {
         }
       }.toDF("query_id", "cell")
     val q = vecs.select(col("id").as("query_id"), col("v").as("qv"))
+    val scored = probes.join(q, Seq("query_id"))
+      .join(members, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineF(col("qv"), col("cv")).as("cos"))
+    RelationalOps.topKPerGroup(scored, Seq("query_id"),
+        Seq(col("cos").desc, col("neighbor_id").asc), k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn").as("rank"))
+  }
+
+  /** BUILD the persisted IVF index behind [[ivfTopKPersisted]]: fit the
+    * KMeans coarse quantizer once, then materialize
+    *
+    *   - `<prefix>_cells` (cell, neighbor_id, cv), BUCKETED by `cell` — the
+    *     inverted file as a table; every later probe joins on exactly the
+    *     bucket column, so the corpus side is scanned with ZERO exchange
+    *     (asserted in PlanSpec), and
+    *   - `<prefix>_centroids` (cell, center) — the model, nCells rows.
+    *
+    * This is the index-once / probe-many lifecycle: ingests and query
+    * batches pay probe-side work only; the corpus never re-shuffles.
+    */
+  def writeIvfIndex(df: DataFrame, tablePrefix: String, nCells: Int = 16,
+                    seed: Long = 4667979835606274383L,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    buckets: Int = 8,
+                    scope: CacheScope = CacheScope.default): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = scope.register(df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("v"))
+      .withColumn("fv", array_to_vector(col("v").cast("array<double>"))))
+    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+    val model = km.fit(vecs)
+    val members = model.transform(vecs)
+      .select(col("cell"), col("id").as("neighbor_id"), col("v").as("cv"))
+    graft.sources.Bucketing.writeBucketed(members, s"${tablePrefix}_cells",
+      Seq("cell"), buckets)
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "center")
+      .write.mode("overwrite").saveAsTable(s"${tablePrefix}_centroids")
+  }
+
+  /** ANN top-k for a `queries` frame against the PERSISTED IVF index
+    * [[writeIvfIndex]] built: centroids load driver-side (a model — nCells
+    * rows), each query probes its `nProbe` nearest cells, and the probe ⋈
+    * members join runs on the bucket key with ZERO corpus-side exchange.
+    * Same probe semantics and rerank as [[ivfTopKDistributed]]; queries
+    * need not be corpus members (self-matches are excluded by id).
+    */
+  def ivfTopKPersisted(queries: DataFrame, tablePrefix: String, k: Int,
+                       nProbe: Int = 4, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centers: Array[Array[Double]] = spark.table(s"${tablePrefix}_centroids")
+      .orderBy(col("cell"))
+      .collect().map(_.getAs[scala.collection.Seq[Double]]("center").toArray)
+    val members = spark.table(s"${tablePrefix}_cells")
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    val probes = queries
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("v"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cents = bcCenters.value
+        rows.flatMap { case (qid, qv) =>
+          val dists = cents.zipWithIndex.map { case (c, ci) =>
+            var s = 0.0; var j = 0
+            while (j < qv.length) { val d = qv(j) - c(j); s += d * d; j += 1 }
+            (s, ci)
+          }
+          dists.sortBy(_._1).take(nProbe).iterator.map { case (_, ci) => (qid, ci) }
+        }
+      }.toDF("query_id", "cell")
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<float>").as("qv"))
     val scored = probes.join(q, Seq("query_id"))
       .join(members, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))

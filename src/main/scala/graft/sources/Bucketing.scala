@@ -17,12 +17,21 @@ object Bucketing {
 
   /** Write `df` as a managed parquet table bucketed and sorted by `key`. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    writeBucketed(df, table, Seq(key), buckets)
+
+  /** Multi-key form: bucketed and sorted by `keys` (a join must include ALL
+    * bucket columns among its keys to use the layout exchange-free).
+    */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    buckets: Int): Unit = {
+    require(keys.nonEmpty, "bucketing needs at least one key")
     df.write
       .format("parquet")
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .mode("overwrite")
       .saveAsTable(table)
+  }
 
   /** Read a bucketed table back (bucket metadata comes from the catalog). */
   def readTable(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame =

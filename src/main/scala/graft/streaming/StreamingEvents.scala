@@ -242,7 +242,21 @@ object StreamingEvents {
   def latestSnapshot(spark: SparkSession, baseDir: String,
                      beforeEpoch: Option[Long] = None): Option[DataFrame] = {
     val dir = new java.io.File(baseDir)
-    Option(dir.listFiles())
+    // `None` must mean FRESH START, never "listing failed": listFiles()
+    // returns null both for a missing dir and for an unreadable one (or a
+    // non-local URI like hdfs://), and merging against an empty base on an
+    // IO failure would silently truncate the store at the next commit —
+    // so only a genuinely absent dir maps to None; everything else throws.
+    require(!baseDir.contains("://"),
+      s"upsertSink snapshots use local-file listing; got non-local URI " +
+        s"'$baseDir' (port latestSnapshot to the Hadoop FileSystem API for " +
+        s"hdfs/s3 stores)")
+    if (!dir.exists()) return None
+    require(dir.isDirectory, s"snapshot base '$baseDir' exists but is not a directory")
+    val listed = dir.listFiles()
+    require(listed != null, s"snapshot base '$baseDir' exists but cannot be listed " +
+      "(permissions?) — refusing to treat an IO failure as an empty store")
+    Option(listed)
       .map(_.toSeq.filter(f => f.isDirectory && f.getName.startsWith("v")
         && f.getName.drop(1).forall(_.isDigit)
         && beforeEpoch.forall(f.getName.drop(1).toLong < _)

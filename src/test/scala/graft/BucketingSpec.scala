@@ -35,6 +35,89 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  /** Assert the persisted-index contract: every scan of `marker`'s tables
+    * uses the bucketed layout, and NO shuffle exchange re-partitions a
+    * corpus scan's output before it reaches its join (an exchange above the
+    * join is the probe side's business, not the corpus's). Built (and
+    * planned) with AQE off so the physical tree is directly traversable.
+    */
+  private def assertCorpusExchangeFree(mkDf: => org.apache.spark.sql.DataFrame,
+                                       marker: String): Unit = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = mkDf.queryExecution.executedPlan
+      def isCorpusScan(p: SparkPlan) = p match {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains(marker))
+        case _ => false
+      }
+      val scans = plan.collect { case f: FileSourceScanExec if isCorpusScan(f) => f }
+      assert(scans.nonEmpty, s"no scan of $marker tables found in plan")
+      assert(scans.forall(_.bucketedScan),
+        s"corpus scans must use the bucketed layout: ${scans.map(_.nodeName)}")
+      def reachesScanWithoutJoin(p: SparkPlan): Boolean = p match {
+        case f if isCorpusScan(f) => true
+        case _: BaseJoinExec => false
+        case other => other.children.exists(reachesScanWithoutJoin)
+      }
+      plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+        assert(!reachesScanWithoutJoin(e.child),
+          s"corpus side re-shuffled by:\n${e.treeString.take(800)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
+
+  test("persisted banded dedup index: probe == recompute path, corpus never re-shuffles") {
+    import graft.ops.DedupOps
+    val docs = Tables(spark, SparkTestBase.sf001, "documents")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    DedupOps.writeBandedIndex(corpus, "t_banded_idx", buckets = 4)
+    try {
+      val fromIndex = DedupOps.probeBandedIndex(batch, "t_banded_idx")
+        .orderBy("doc_id").collect().toSeq
+      val recomputed = DedupOps.incrementalDedupReport(batch, corpus)
+        .orderBy("doc_id").collect().toSeq
+      assert(fromIndex === recomputed)
+      assert(fromIndex.nonEmpty)
+      assertCorpusExchangeFree(
+        DedupOps.probeBandedIndex(batch, "t_banded_idx"), "t_banded_idx")
+    } finally Seq("bands", "sets", "meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS t_banded_idx_$s"))
+  }
+
+  test("persisted IVF index: probe == in-session distributed IVF, cells never re-shuffle") {
+    import graft.ops.SimilarityOps
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 24).map { i =>
+      val c = i % 3
+      val base = Array.tabulate(4)(j => if (j == c) 10.0f else 0.0f)
+      (i.toLong, base.map(x => x + rnd.nextFloat() * 0.1f))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    SimilarityOps.writeIvfIndex(df, "t_ivf_idx", nCells = 3, buckets = 4)
+    try {
+      def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getInt(3))
+      // same quantizer (same seed/data) ⇒ identical output to the
+      // in-session distributed form
+      val persisted = SimilarityOps.ivfTopKPersisted(df, "t_ivf_idx", k = 3, nProbe = 2)
+        .collect().map(key).toSet
+      val inSession = SimilarityOps.ivfTopKDistributed(df, k = 3, nCells = 3, nProbe = 2)
+        .collect().map(key).toSet
+      assert(persisted === inSession)
+      assert(persisted.nonEmpty)
+      assertCorpusExchangeFree(
+        SimilarityOps.ivfTopKPersisted(df, "t_ivf_idx", k = 3, nProbe = 2),
+        "t_ivf_idx")
+    } finally Seq("cells", "centroids").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS t_ivf_idx_$s"))
+  }
+
   test("partitioned sink: partition-key filter prunes directories at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     val events = Tables(spark, SparkTestBase.sf001, "events")

@@ -434,6 +434,13 @@ class OpsSpec extends SparkTestBase {
     assert(recallDist > 0.95, s"distributed IVF recall $recallDist")
   }
 
+  test("ivfTopK: fails fast past its driver-collect row bound") {
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.ivfTopK(vecsDf, k = 1, nCells = 2, nProbe = 1, maxRows = 2L)
+    }
+    assert(e.getMessage.contains("ivfTopKDistributed"))
+  }
+
   test("srpNearDupPairs: exact precision, high recall on true near-dups") {
     // 3 tight clusters: in-cluster cosines ~1 (θ→0 ⇒ SRP collision prob →1),
     // cross-cluster cosines ~0

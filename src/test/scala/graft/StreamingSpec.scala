@@ -201,6 +201,22 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("latestSnapshot: fresh start is None; IO-failure shapes throw, never truncate") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    // genuinely absent dir = fresh start
+    assert(StreamingEvents.latestSnapshot(spark, s"$base/never-written").isEmpty)
+    // non-local URI: java.io listing would silently return null → must throw
+    intercept[IllegalArgumentException] {
+      StreamingEvents.latestSnapshot(spark, "hdfs://nn/upserts")
+    }
+    // exists-but-not-a-directory: also a throw, not an empty store
+    val f = java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(base, "afile"))
+    intercept[IllegalArgumentException] {
+      StreamingEvents.latestSnapshot(spark, f.toString)
+    }
+  }
+
   test("stateless text ops (chunkDocs, masking, langId) run unchanged on streams") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.TextOps
