@@ -385,21 +385,68 @@ object DedupOps {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Row-local SimHash fingerprint of a text COLUMN — the same 60-bit value
+    * [[simHash60]] produces from shingle rows (asserted in OpsSpec),
+    * computed entirely map-side: tokenize → md5 token hashes → Horner
+    * shingle windows → distinct → native [[graft.functions.SimHash60]].
+    * Because it is a pure projection it runs anywhere — including
+    * Structured Streaming, where the batch path's collect_set shuffle is
+    * unavailable before a stateful dedup. NULL for docs with fewer than
+    * `shingleK` tokens (no shingles — the batch path's domain too).
+    *
+    * The token-hash array binds ONCE as a lambda variable (single-element-
+    * array trick): HOF lambdas don't CSE, so the `shingleK` element_at
+    * references per window would otherwise re-run the md5 chain per
+    * reference. SimHash voting sums over the distinct set, so the
+    * first-occurrence order of array_distinct vs collect_set's arbitrary
+    * order cannot change a single bit.
+    */
+  def simHashCol(text: Column, shingleK: Int = 3): Column = {
+    import org.apache.spark.sql.graft.bridge
+    val th = transform(TextOps.tokens(text),
+      t => DetHash.md5Hash60(t) % lit(DetHash.P))
+    val hs = flatten(transform(array(th), th0 => {
+      val windows = when(size(th0) >= shingleK,
+        sequence(lit(0), size(th0) - shingleK)).otherwise(
+        array().cast("array<int>"))
+      transform(windows, i =>
+        (1 until shingleK).foldLeft(element_at(th0, i + 1)) { (acc, j) =>
+          (acc * lit(DetHash.A) + element_at(th0, i + j + 1)) % lit(DetHash.P)
+        })
+    }))
+    val fp = bridge.column(graft.functions.SimHash60(
+      bridge.expression(array_distinct(hs))))
+    // the NULL-for-no-shingles contract is explicit: SimHash60 of an EMPTY
+    // set is 0 (no bit has a strictly-positive vote), and 0 is a valid —
+    // if wildly unlikely — real fingerprint, so it cannot double as the
+    // "too short" marker. The guard re-tokenizes (one regex split; the
+    // md5 chain, the expensive part, still runs once).
+    when(size(TextOps.tokens(text)) >= shingleK, fp)
+  }
+
+  /** The maxDist+1 pigeonhole band values of a fingerprint column (the last
+    * band takes the remainder bits) — shared by the batch banding below and
+    * the streaming near-dedup.
+    */
+  private[graft] def simHashBandCols(simhash: Column, maxDist: Int,
+                                     bits: Int): Seq[Column] = {
+    val nBands = maxDist + 1
+    val width = bits / nBands
+    (0 until nBands).map { b =>
+      val lo = b * width
+      val w = if (b == nBands - 1) bits - lo else width
+      shiftright(simhash, lo).bitwiseAND(lit((1L << w) - 1))
+    }
+  }
+
   /** (id, simhash, band_idx, band_bits): the pigeonhole banding shared by
     * [[simHashNearDupPairs]] and [[simHashBucketStats]].
     */
   private def simHashBands(fingerprints: DataFrame, maxDist: Int,
-                           bits: Int): DataFrame = {
-    val nBands = maxDist + 1
-    val width = bits / nBands // last band takes the remainder
-    val bandOf = (b: Int) => {
-      val lo = b * width
-      val w = if (b == nBands - 1) bits - lo else width
-      shiftright(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1))
-    }
+                           bits: Int): DataFrame =
     fingerprints.select(col("id"), col("simhash"),
-      posexplode(array((0 until nBands).map(bandOf): _*)).as(Seq("band_idx", "band_bits")))
-  }
+      posexplode(array(simHashBandCols(col("simhash"), maxDist, bits): _*))
+        .as(Seq("band_idx", "band_bits")))
 
   /** One-row bucket-population summary for [[simHashNearDupPairs]]' banding:
     * (n_buckets, max_bucket, buckets_over_cap). Run this at a representative

@@ -260,6 +260,36 @@ object RelationalOps {
     salted.join(dimRep, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Detect-then-remediate SKEW JOIN: the composition of [[skewProfile]]'s
+    * decision ("this key distribution needs salting") and [[saltedJoin]]'s
+    * fix, applied PER KEY — hot keys (fact-side rows ≥ `hotRowThreshold`)
+    * route through the salted path, everything else through the plain
+    * equi-join, and the union is row-identical to `fact ⋈ dim` (asserted
+    * in OpsSpec, along with the partition spread).
+    *
+    * Why per-key: salting costs `salts`× dim replication, so paying it for
+    * the whole dim is wrong when one tenant/null-surrogate/default key
+    * holds the skew — exactly the case AQE's post-shuffle splits handle
+    * worst (a single giant build partition). The hot-key set is found with
+    * one key-count aggregation (the same shuffle [[skewProfile]] pays) and
+    * broadcast to split both sides semi/anti — by definition of "hot",
+    * that set is small (≤ n_rows / hotRowThreshold keys).
+    */
+  def skewRoutedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                     factTiebreak: String, salts: Int = 16,
+                     hotRowThreshold: Long = 1000000L): DataFrame = {
+    require(salts >= 2, "salts must be >= 2")
+    require(hotRowThreshold >= 1, "hotRowThreshold must be >= 1")
+    val hot = fact.groupBy(col(key)).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= hotRowThreshold).select(col(key))
+    val factHot = fact.join(broadcast(hot), Seq(key), "left_semi")
+    val factCold = fact.join(broadcast(hot), Seq(key), "left_anti")
+    val dimHot = dim.join(broadcast(hot), Seq(key), "left_semi")
+    val dimCold = dim.join(broadcast(hot), Seq(key), "left_anti")
+    saltedJoin(factHot, dimHot, key, salts, factTiebreak)
+      .unionByName(factCold.join(dimCold, Seq(key)))
+  }
+
   /** Deterministic train/val/test split: each row gets a `split` index
     * (0..weights.size-1) from the md5 of its salted id, bucketed into
     * 10,000 basis points and cut at the cumulative weight thresholds.

@@ -158,6 +158,53 @@ object StreamingEvents {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming NEAR-dedup with bounded state: collapses cross-micro-batch
+    * near-duplicates (SimHash Hamming distance ≤ `maxDist`), not just exact
+    * copies. Map-only fingerprinting
+    * ([[graft.ops.DedupOps.simHashCol]] — a pure projection, so it runs on
+    * a stream) → the maxDist+1 pigeonhole bands become rows →
+    * `dropDuplicatesWithinWatermark` claims each (band_idx, band_bits)
+    * bucket for its FIRST document → a windowed per-document count of
+    * claimed buckets. A document is `novel` iff it claimed ALL its bands:
+    * by pigeonhole, any near-duplicate of an earlier in-watermark document
+    * collides on at least one band, so every true near-dup is suppressed
+    * (novel=false, or absent entirely when every band was already claimed
+    * — the exact-copy case). An unrelated band collision can occasionally
+    * mark a novel doc duplicate — the usual LSH-without-rerank precision
+    * tradeoff (the batch path exact-reranks; a stream cannot re-read
+    * earlier documents without a state table).
+    *
+    * Docs with fewer than `shingleK` tokens have no fingerprint; they get
+    * per-document sentinel band keys (negative, never colliding) and
+    * report novel. State is one row per claimed bucket within the
+    * watermark — O(docs · nBands per watermark window), the same bound
+    * class as [[dedupedWithinWatermark]]. Rows finalize when the watermark
+    * passes their window's end.
+    */
+  def nearDedupedWithinWatermark(docs: DataFrame, textCol: String = "text",
+                                 idCol: String = "doc_id",
+                                 maxDist: Int = 5, shingleK: Int = 3,
+                                 watermark: String = "2 hours",
+                                 windowDur: String = "10 minutes"): DataFrame = {
+    import graft.ops.DedupOps
+    val nBands = maxDist + 1
+    val banded = docs
+      .select(col(idCol), col("ts"),
+        DedupOps.simHashCol(col(textCol), shingleK).as("simhash"))
+      .select(col(idCol), col("ts"),
+        posexplode(array(DedupOps.simHashBandCols(col("simhash"), maxDist, 60): _*))
+          .as(Seq("band_idx", "band_bits")))
+      .withColumn("band_bits",
+        coalesce(col("band_bits"), -col(idCol).cast("long") - 1))
+    banded
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("band_idx", "band_bits"))
+      .groupBy(window(col("ts"), windowDur), col(idCol))
+      .agg(count(lit(1)).as("n_claimed"))
+      .select(col(idCol), col("window.start").as("w_start"),
+        col("n_claimed"), (col("n_claimed") === nBands).as("novel"))
+  }
+
   /** Stream-stream interval join: every left event matched to right-stream
     * events of the SAME user whose timestamp falls in
     * [left.ts − lookback, left.ts] — the streaming enrichment pattern

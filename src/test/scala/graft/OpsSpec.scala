@@ -288,6 +288,24 @@ class OpsSpec extends SparkTestBase {
     assert(fps.values.forall(f => (f >> 60) === 0L)) // 60-bit domain
   }
 
+  test("simHashCol: row-local projection form == shuffle-form simHash60, on toy and real docs") {
+    def parity(docs: org.apache.spark.sql.DataFrame): Unit = {
+      val rowLocal = docs.select(col("doc_id").as("id"),
+        DedupOps.simHashCol(col("text")).as("fp_local"))
+      val viaShuffle = DedupOps.simHash60(DedupOps.shingleHashRows(docs))
+      val joined = rowLocal.join(viaShuffle, Seq("id")).collect()
+      assert(joined.nonEmpty)
+      joined.foreach(r => assert(r.getLong(1) === r.getLong(2), s"doc ${r.getLong(0)}"))
+    }
+    parity(docsDf)
+    parity(Tables(spark, SparkTestBase.sf001, "documents"))
+    // <k-token docs: NULL fingerprint (same domain as the shuffle form,
+    // which simply has no row for them)
+    val tiny = docsDf.filter(col("doc_id") === 4L)
+      .select(DedupOps.simHashCol(col("text"))).head()
+    assert(tiny.isNullAt(0))
+  }
+
   test("simhash banded near-dup: equals brute force at maxDist (pigeonhole recall)") {
     val fps = DedupOps.simHash60(DedupOps.shingleHashRows(docsDf)).cache()
     val banded = DedupOps.simHashNearDupPairs(fps, maxDist = 5).collect()
@@ -740,6 +758,39 @@ class OpsSpec extends SparkTestBase {
     val spread = fact.withColumn("__salt", pmod(hash(col("i")), lit(8)))
       .filter(col("k") === 999L).select("__salt").distinct().count()
     assert(spread > 1)
+  }
+
+  test("skewRoutedJoin: detect→salt composition equals plain join, hot key spreads") {
+    // same pathological corpus as above: one key holds 90% of fact rows
+    val fact = spark.range(1000).toDF("i")
+      .withColumn("k", when(col("i") % 10 === 0, col("i") % 7).otherwise(lit(999L)))
+      .withColumn("v", col("i") * 2)
+    val dim = Seq((999L, "hot"), (0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "name")
+    // the profile actually flags this distribution (the "detect" half)
+    val prof = RelationalOps.skewProfile(fact, "k").head()
+    assert(prof.getAs[Long]("top1_share_bp") >= 9000L)
+    val routed = RelationalOps.skewRoutedJoin(fact, dim, "k",
+      factTiebreak = "i", salts = 4, hotRowThreshold = 100L)
+    val plain = fact.join(dim, Seq("k")).select("i", "name").collect().toSet
+    assert(routed.select("i", "name").collect().toSet === plain)
+    // partition-size evidence the hot key spread: with AQE off (so neither
+    // plan gets runtime skew splits), the plain join concentrates ≥90% of
+    // rows in one shuffle partition; the routed join's largest partition
+    // carries far less
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def maxPartShare(df: org.apache.spark.sql.DataFrame): Double = {
+        val sizes = df.toDF().rdd.mapPartitions(it => Iterator.single(it.size)).collect()
+        sizes.max.toDouble / sizes.sum.max(1)
+      }
+      val plainShare = maxPartShare(fact.join(dim, Seq("k"))
+        .repartition(col("k")))
+      val routedShare = maxPartShare(RelationalOps.skewRoutedJoin(fact, dim, "k",
+        factTiebreak = "i", salts = 4, hotRowThreshold = 100L))
+      assert(plainShare >= 0.9, s"baseline should concentrate: $plainShare")
+      assert(routedShare <= 0.5, s"routed join must spread the hot key: $routedShare")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
   }
 
   test("rollingFingerprint: stable content signature columns") {
