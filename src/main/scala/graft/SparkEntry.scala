@@ -355,14 +355,31 @@ object SparkEntry {
     // the PERSISTED-index face of q65: the corpus's band signatures and
     // shingle sets are written ONCE as bucketed tables (index-once /
     // probe-many), then the batch probes them with zero corpus-side
-    // exchange — same report, same oracle semantics as q65
+    // exchange — same report, same oracle semantics as q65. The build is
+    // ensure-style (tagged with the source dir): reruns in the same
+    // warehouse measure the probe, a different corpus forces a rebuild
     "q89_persisted_index_dedup" -> { (s, d) =>
       val docs = t(s, d, "documents")
-      DedupOps.writeBandedIndex(docs.filter(col("doc_id") % 5 =!= 0),
-        "graft_q89_corpus")
+      DedupOps.ensureBandedIndex(docs.filter(col("doc_id") % 5 =!= 0),
+        "graft_q89_corpus", corpusTag = d)
       DedupOps.probeBandedIndex(docs.filter(col("doc_id") % 5 === 0),
           "graft_q89_corpus")
         .orderBy(col("doc_id"))
+    },
+
+    // the PERSISTED-index face of q24: queries probe the IVF cells table
+    // with zero corpus-side exchange. Probing ALL cells (nProbe = nCells)
+    // makes the output the EXACT top-k regardless of what partition the
+    // quantizer learned — which is what lets a SQL oracle verify an
+    // ANN index end-to-end (partial-probe recall is covered in ScalaTest,
+    // where both sides run the same quantizer)
+    "q90_persisted_ivf_topk" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      SimilarityOps.ensureIvfIndex(emb, "graft_q90_ivf", corpusTag = d,
+        nCells = 8)
+      SimilarityOps.ivfTopKPersisted(emb.filter(col("vec_id") < 5),
+          "graft_q90_ivf", k = 10, nProbe = 8)
+        .orderBy(col("query_id"), col("rank"))
     },
 
     // deterministic 80/10/10 hash split: per-split counts + id checksum so
@@ -1402,6 +1419,23 @@ object SparkEntry {
          |  COALESCE(m.n_matches, 0) = 0 AS novel
          |FROM documents d LEFT JOIN m ON m.a = d.doc_id
          |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin,
+
+    // identical brute-force oracle as q24: with nProbe = nCells the IVF
+    // probe is exhaustive, so the persisted-index path must return the
+    // exact cosine top-k whatever partition KMeans learned
+    "q90_persisted_ivf_topk" ->
+      """WITH dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dp,
+        |    sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+        |    sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id),
+        |ranked AS (SELECT query_id, neighbor_id, dp / (na * nb) AS cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dp / (na * nb) DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM dots)
+        |SELECT query_id, neighbor_id, cos, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q42_hash_split" -> {
       val bucket =

@@ -286,6 +286,7 @@ object DedupOps {
                        textCol: String = "text", idCol: String = "doc_id",
                        k: Int = 32, bands: Int = 16, shingleK: Int = 3,
                        maxBucket: Int = 10000, buckets: Int = 8,
+                       corpusTag: String = "",
                        scope: CacheScope = CacheScope.default): Unit = {
     import graft.sources.Bucketing
     val sets = shingleHashSets(corpus, textCol, idCol, shingleK, scope)
@@ -301,8 +302,88 @@ object DedupOps {
       s"${tablePrefix}_sets", Seq("id"), buckets)
     val spark = corpus.sparkSession
     import spark.implicits._
-    Seq((k, bands, shingleK, maxBucket)).toDF("k", "bands", "shingle_k", "max_bucket")
-      .write.mode("overwrite").saveAsTable(s"${tablePrefix}_meta")
+    Bucketing.saveTable(
+      Seq((k, bands, shingleK, maxBucket, corpusTag))
+        .toDF("k", "bands", "shingle_k", "max_bucket", "corpus_tag"),
+      s"${tablePrefix}_meta")
+  }
+
+  /** Build the banded index ONLY IF the persisted one is stale: a no-op
+    * when all three tables exist and the meta row matches both `corpusTag`
+    * (the caller's statement of which corpus the index describes — e.g. the
+    * source directory) and every build parameter. This is what lets a
+    * benchmark or repeated pipeline pay the index build ONCE and measure
+    * probes, while a changed corpus/parameter set still forces a rebuild —
+    * and, with the session-idempotent writes in [[graft.sources.Bucketing]],
+    * the rebuild works in a fresh session over an existing warehouse.
+    */
+  def ensureBandedIndex(corpus: DataFrame, tablePrefix: String,
+                        corpusTag: String,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        k: Int = 32, bands: Int = 16, shingleK: Int = 3,
+                        maxBucket: Int = 10000, buckets: Int = 8,
+                        scope: CacheScope = CacheScope.default): Unit = {
+    val spark = corpus.sparkSession
+    val upToDate = try {
+      Seq("bands", "sets", "meta")
+        .forall(s => spark.catalog.tableExists(s"${tablePrefix}_$s")) && {
+        val m = spark.table(s"${tablePrefix}_meta").head()
+        m.schema.fieldNames.contains("corpus_tag") &&
+          m.getAs[String]("corpus_tag") == corpusTag &&
+          m.getAs[Int]("k") == k && m.getAs[Int]("bands") == bands &&
+          m.getAs[Int]("shingle_k") == shingleK &&
+          m.getAs[Int]("max_bucket") == maxBucket
+      }
+    } catch { case _: Exception => false }
+    if (!upToDate)
+      writeBandedIndex(corpus, tablePrefix, textCol, idCol, k, bands,
+        shingleK, maxBucket, buckets, corpusTag, scope)
+  }
+
+  /** APPEND an ingested batch into the persisted banded index — the
+    * maintenance path of the index-once / probe-many lifecycle: a real
+    * corpus folds each accepted batch in rather than rebuilding. Bands and
+    * shingle sets are computed for the batch only (|batch| work) and
+    * `insertInto` the bucketed tables, which re-buckets JUST the new rows —
+    * the existing corpus files are untouched and later probes stay
+    * exchange-free. The write-time bucket cap is preserved against the
+    * COMBINED size: a batch row whose (band_idx, band_sig) bucket would
+    * exceed `maxBucket` counting the rows already indexed is dropped (the
+    * existing-count lookup is a group-by on the bucketed table — no corpus
+    * shuffle). Already-over-cap buckets therefore never grow. Pass
+    * `newCorpusTag` to restamp the meta row so a later
+    * [[ensureBandedIndex]] with the OLD tag knows the index moved on.
+    */
+  def appendToBandedIndex(batch: DataFrame, tablePrefix: String,
+                          textCol: String = "text", idCol: String = "doc_id",
+                          newCorpusTag: String = "",
+                          scope: CacheScope = CacheScope.default): Unit = {
+    val spark = batch.sparkSession
+    val meta = spark.table(s"${tablePrefix}_meta").head()
+    val (k, bands, shingleK, maxBucket) =
+      (meta.getAs[Int]("k"), meta.getAs[Int]("bands"),
+        meta.getAs[Int]("shingle_k"), meta.getAs[Int]("max_bucket"))
+    val sets = shingleHashSets(batch, textCol, idCol, shingleK, scope)
+    val banded = bandedSigsNative(sets, k, bands)
+    val existing = spark.table(s"${tablePrefix}_bands")
+      .groupBy(col("band_idx"), col("band_sig")).agg(count(lit(1)).as("bn0"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_sig"))
+    val capped = banded.withColumn("bn", count(lit(1)).over(w))
+      .join(existing, Seq("band_idx", "band_sig"), "left")
+      .na.fill(0L, Seq("bn0"))
+      .filter(col("bn") + col("bn0") <= maxBucket)
+      .select(col("band_idx"), col("band_sig"), col("id"))
+    capped.write.insertInto(s"${tablePrefix}_bands")
+    sets.select(col("id"), col("hs"), col("sz"))
+      .write.insertInto(s"${tablePrefix}_sets")
+    if (newCorpusTag.nonEmpty) {
+      import spark.implicits._
+      graft.sources.Bucketing.saveTable(
+        Seq((k, bands, shingleK, maxBucket, newCorpusTag))
+          .toDF("k", "bands", "shingle_k", "max_bucket", "corpus_tag"),
+        s"${tablePrefix}_meta")
+    }
   }
 
   /** PROBE the persisted banded corpus index with a new `batch`: same

@@ -271,21 +271,35 @@ object RelationalOps {
     * the whole dim is wrong when one tenant/null-surrogate/default key
     * holds the skew — exactly the case AQE's post-shuffle splits handle
     * worst (a single giant build partition). The hot-key set is found with
-    * one key-count aggregation (the same shuffle [[skewProfile]] pays) and
-    * broadcast to split both sides semi/anti — by definition of "hot",
-    * that set is small (≤ n_rows / hotRowThreshold keys).
+    * one key-count aggregation (the same shuffle [[skewProfile]] pays),
+    * MATERIALIZED ONCE to the driver — by definition of "hot" it is small
+    * (≤ n_rows / hotRowThreshold keys; fail-fast guarded) — and re-enters
+    * the plan as a literal local relation, so the four semi/anti splits
+    * share one computed set instead of re-running the aggregation per leg
+    * (the k-legs trap [[skewProfile]]'s docs warn about: a derived `fact`
+    * would otherwise pay its whole lineage four more times).
     */
   def skewRoutedJoin(fact: DataFrame, dim: DataFrame, key: String,
                      factTiebreak: String, salts: Int = 16,
                      hotRowThreshold: Long = 1000000L): DataFrame = {
     require(salts >= 2, "salts must be >= 2")
     require(hotRowThreshold >= 1, "hotRowThreshold must be >= 1")
-    val hot = fact.groupBy(col(key)).agg(count(lit(1)).as("__c"))
+    val spark = fact.sparkSession
+    val keyField = fact.select(col(key)).schema
+    val maxHotKeys = 1000000
+    val hotRows = fact.groupBy(col(key)).agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= hotRowThreshold).select(col(key))
-    val factHot = fact.join(broadcast(hot), Seq(key), "left_semi")
-    val factCold = fact.join(broadcast(hot), Seq(key), "left_anti")
-    val dimHot = dim.join(broadcast(hot), Seq(key), "left_semi")
-    val dimCold = dim.join(broadcast(hot), Seq(key), "left_anti")
+      .limit(maxHotKeys + 1).collect()
+    require(hotRows.length <= maxHotKeys,
+      s"skewRoutedJoin found > $maxHotKeys hot keys at threshold " +
+        s"$hotRowThreshold — that is not skew, it is the whole key space; " +
+        s"raise hotRowThreshold or use saltedJoin on everything")
+    val hot = broadcast(
+      spark.createDataFrame(java.util.Arrays.asList(hotRows: _*), keyField))
+    val factHot = fact.join(hot, Seq(key), "left_semi")
+    val factCold = fact.join(hot, Seq(key), "left_anti")
+    val dimHot = dim.join(hot, Seq(key), "left_semi")
+    val dimCold = dim.join(hot, Seq(key), "left_anti")
     saltedJoin(factHot, dimHot, key, salts, factTiebreak)
       .unionByName(factCold.join(dimCold, Seq(key)))
   }

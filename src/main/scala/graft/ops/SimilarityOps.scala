@@ -291,6 +291,16 @@ object SimilarityOps {
     val vecs = scope.register(df.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("v"))
       .withColumn("fv", array_to_vector(col("v").cast("array<double>"))))
+    // fail fast instead of silently OOMing the driver (same contract as
+    // cosinePairsExact): limit(maxRows+1) early-exits rather than counting
+    // the full input — and runs BEFORE the KMeans fit, so an oversized
+    // corpus is rejected before any full-corpus work, not after 20
+    // quantizer iterations
+    val bound = math.min(maxRows, Int.MaxValue - 1L).toInt
+    require(vecs.limit(bound + 1).count() <= maxRows,
+      s"ivfTopK collects the inverted file to the driver and is bounded to " +
+        s"maxRows=$maxRows vectors; use ivfTopKDistributed (or " +
+        s"ivfTopKPersisted) at scale")
     val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20)
       .setFeaturesCol("fv").setPredictionCol("cell")
     val model = km.fit(vecs)
@@ -308,14 +318,6 @@ object SimilarityOps {
     // vectors — dense kernels belong in tight loops, not per-pair exprs.
     val assigned = model.transform(vecs)
       .select(col("cell"), col("id"), col("v")).as[(Int, Long, Array[Float])]
-    // fail fast instead of silently OOMing the driver (same contract as
-    // cosinePairsExact): limit(maxRows+1) early-exits rather than counting
-    // the full input
-    val bound = math.min(maxRows, Int.MaxValue - 1L).toInt
-    require(vecs.limit(bound + 1).count() <= maxRows,
-      s"ivfTopK collects the inverted file to the driver and is bounded to " +
-        s"maxRows=$maxRows vectors; use ivfTopKDistributed (or " +
-        s"ivfTopKPersisted) at scale")
     val byCell: Map[Int, Array[(Long, Array[Float], Double)]] = assigned.collect()
       .groupBy(_._1).map { case (c, ms) => c -> ms.map(m => (m._2, m._3, l2(m._3))) }
     val sc = df.sparkSession.sparkContext
@@ -532,7 +534,7 @@ object SimilarityOps {
   def writeIvfIndex(df: DataFrame, tablePrefix: String, nCells: Int = 16,
                     seed: Long = 4667979835606274383L,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    buckets: Int = 8,
+                    buckets: Int = 8, corpusTag: String = "",
                     scope: CacheScope = CacheScope.default): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -548,10 +550,40 @@ object SimilarityOps {
       .select(col("cell"), col("id").as("neighbor_id"), col("v").as("cv"))
     graft.sources.Bucketing.writeBucketed(members, s"${tablePrefix}_cells",
       Seq("cell"), buckets)
-    model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
-      .toDF("cell", "center")
-      .write.mode("overwrite").saveAsTable(s"${tablePrefix}_centroids")
+    graft.sources.Bucketing.saveTable(
+      model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray) }.toSeq
+        .toDF("cell", "center"),
+      s"${tablePrefix}_centroids")
+    graft.sources.Bucketing.saveTable(
+      Seq((nCells, seed, corpusTag)).toDF("n_cells", "seed", "corpus_tag"),
+      s"${tablePrefix}_meta")
+  }
+
+  /** Build the IVF index ONLY IF the persisted one is stale — the ANN twin
+    * of [[graft.ops.DedupOps.ensureBandedIndex]]: a no-op when the three
+    * tables exist and the meta row matches `corpusTag` (the caller's
+    * statement of corpus identity) and the quantizer parameters; otherwise
+    * a full rebuild, which the session-idempotent writes make safe over any
+    * leftover warehouse state.
+    */
+  def ensureIvfIndex(df: DataFrame, tablePrefix: String, corpusTag: String,
+                     nCells: Int = 16, seed: Long = 4667979835606274383L,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     buckets: Int = 8,
+                     scope: CacheScope = CacheScope.default): Unit = {
+    val spark = df.sparkSession
+    val upToDate = try {
+      Seq("cells", "centroids", "meta")
+        .forall(s => spark.catalog.tableExists(s"${tablePrefix}_$s")) && {
+        val m = spark.table(s"${tablePrefix}_meta").head()
+        m.getAs[String]("corpus_tag") == corpusTag &&
+          m.getAs[Int]("n_cells") == nCells && m.getAs[Long]("seed") == seed
+      }
+    } catch { case _: Exception => false }
+    if (!upToDate)
+      writeIvfIndex(df, tablePrefix, nCells, seed, idCol, vecCol, buckets,
+        corpusTag, scope)
   }
 
   /** ANN top-k for a `queries` frame against the PERSISTED IVF index

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Bucketed-table helpers: the co-located-join strategy for keys that are
   * joined repeatedly at scale (SURVEY §7 / the 100 TB design notes).
@@ -15,6 +15,32 @@ import org.apache.spark.sql.DataFrame
   */
 object Bucketing {
 
+  /** Make `table` writable in THIS session regardless of what previous
+    * sessions left behind: drop the catalog entry (which removes the data of
+    * a managed table this session knows about) AND delete the default
+    * warehouse location if a directory is still there. The second half is
+    * the session-idempotence fix: `mode("overwrite")` only overwrites
+    * tables the *current* catalog knows, so a fresh session over a
+    * warehouse with leftover directories (a prior JVM wrote the index)
+    * fails `LOCATION_ALREADY_EXISTS` without it.
+    */
+  def dropTableAndLocation(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      org.apache.spark.sql.graft.bridge.defaultTablePath(spark, table))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  /** Session-idempotent `saveAsTable` for small unbucketed companion tables
+    * (index metadata, centroids): drop-and-recreate so a rebuild works in a
+    * NEW session over an existing warehouse.
+    */
+  def saveTable(df: DataFrame, table: String): Unit = {
+    dropTableAndLocation(df.sparkSession, table)
+    df.write.mode("overwrite").saveAsTable(table)
+  }
+
   /** Write `df` as a managed parquet table bucketed and sorted by `key`. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
     writeBucketed(df, table, Seq(key), buckets)
@@ -25,6 +51,7 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
                     buckets: Int): Unit = {
     require(keys.nonEmpty, "bucketing needs at least one key")
+    dropTableAndLocation(df.sparkSession, table)
     df.write
       .format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)

@@ -175,27 +175,36 @@ object StreamingEvents {
     * earlier documents without a state table).
     *
     * Docs with fewer than `shingleK` tokens have no fingerprint; they get
-    * per-document sentinel band keys (negative, never colliding) and
-    * report novel. State is one row per claimed bucket within the
+    * per-document sentinel bucket keys — the band INDEX goes negative
+    * (real rows' band_idx is 0..nBands-1) and the bits slot carries the
+    * doc id, so sentinel buckets are unique per (doc, band) and disjoint
+    * from every real bucket for ANY id sign (a negated-id sentinel in the
+    * bits slot would re-enter the real band-bits domain for negative ids)
+    * — and report novel. State is one row per claimed bucket within the
     * watermark — O(docs · nBands per watermark window), the same bound
     * class as [[dedupedWithinWatermark]]. Rows finalize when the watermark
-    * passes their window's end.
+    * passes their window's end. `tsCol` must be the event-time column the
+    * stream's watermark tracks.
     */
   def nearDedupedWithinWatermark(docs: DataFrame, textCol: String = "text",
                                  idCol: String = "doc_id",
                                  maxDist: Int = 5, shingleK: Int = 3,
                                  watermark: String = "2 hours",
-                                 windowDur: String = "10 minutes"): DataFrame = {
+                                 windowDur: String = "10 minutes",
+                                 tsCol: String = "ts"): DataFrame = {
     import graft.ops.DedupOps
     val nBands = maxDist + 1
     val banded = docs
-      .select(col(idCol), col("ts"),
+      .select(col(idCol), col(tsCol).as("ts"),
         DedupOps.simHashCol(col(textCol), shingleK).as("simhash"))
       .select(col(idCol), col("ts"),
         posexplode(array(DedupOps.simHashBandCols(col("simhash"), maxDist, 60): _*))
           .as(Seq("band_idx", "band_bits")))
+      .withColumn("band_idx",
+        when(col("band_bits").isNull, -col("band_idx") - 1)
+          .otherwise(col("band_idx")))
       .withColumn("band_bits",
-        coalesce(col("band_bits"), -col(idCol).cast("long") - 1))
+        coalesce(col("band_bits"), col(idCol).cast("long")))
     banded
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("band_idx", "band_bits"))

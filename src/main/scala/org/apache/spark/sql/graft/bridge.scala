@@ -13,4 +13,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The location the catalog WOULD assign a managed table with this name —
+    * where `saveAsTable` puts its data. Needed to make table writes
+    * session-idempotent: a fresh session's catalog has no entry for the
+    * table, but the warehouse directory from a previous session is still on
+    * disk and `saveAsTable` refuses it (`LOCATION_ALREADY_EXISTS`), so the
+    * writer must delete the orphaned location explicitly.
+    */
+  def defaultTablePath(spark: org.apache.spark.sql.SparkSession,
+                       table: String): java.net.URI =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalog
+      .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table))
 }

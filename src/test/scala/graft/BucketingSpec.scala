@@ -114,8 +114,129 @@ class BucketingSpec extends SparkTestBase {
       assertCorpusExchangeFree(
         SimilarityOps.ivfTopKPersisted(df, "t_ivf_idx", k = 3, nProbe = 2),
         "t_ivf_idx")
-    } finally Seq("cells", "centroids").foreach(s =>
+    } finally Seq("cells", "centroids", "meta").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS t_ivf_idx_$s"))
+  }
+
+  test("index writes are session-idempotent: rebuild succeeds over an orphaned warehouse dir") {
+    import org.apache.spark.sql.graft.bridge
+    val table = "t_orphan_b"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val fs = new org.apache.hadoop.fs.Path(bridge.defaultTablePath(spark, table))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the driver's failure mode: a FRESH session (catalog has no
+    // entry) over a warehouse where a previous JVM left the directory —
+    // saveAsTable alone fails LOCATION_ALREADY_EXISTS on this
+    fs.mkdirs(new org.apache.hadoop.fs.Path(bridge.defaultTablePath(spark, table)))
+    try {
+      val df = spark.range(10).toDF("id").withColumn("v", col("id") * 2)
+      Bucketing.writeBucketed(df, table, "id", 2)
+      assert(spark.table(table).count() === 10)
+      // a repeat write (catalog entry now exists) also succeeds
+      Bucketing.writeBucketed(df.limit(5), table, "id", 2)
+      assert(spark.table(table).count() === 5)
+      // same contract for the unbucketed companion-table writer
+      val meta = "t_orphan_meta"
+      spark.sql(s"DROP TABLE IF EXISTS $meta")
+      fs.mkdirs(new org.apache.hadoop.fs.Path(bridge.defaultTablePath(spark, meta)))
+      try {
+        Bucketing.saveTable(spark.range(3).toDF("id"), meta)
+        assert(spark.table(meta).count() === 3)
+      } finally Bucketing.dropTableAndLocation(spark, meta)
+    } finally Bucketing.dropTableAndLocation(spark, table)
+  }
+
+  /** Parquet part-file names carry a per-job UUID, so an unchanged listing
+    * proves the table was NOT rewritten.
+    */
+  private def tableFiles(table: String): Set[String] = {
+    import org.apache.spark.sql.graft.bridge
+    val loc = new org.apache.hadoop.fs.Path(bridge.defaultTablePath(spark, table))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(loc).map(_.getPath.getName).toSet
+  }
+
+  test("ensureBandedIndex / ensureIvfIndex: matching tag is a no-op, changed tag rebuilds") {
+    import graft.ops.{DedupOps, SimilarityOps}
+    val docs = Tables(spark, SparkTestBase.sf001, "documents")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    try {
+      DedupOps.ensureBandedIndex(corpus, "t_ens_idx", corpusTag = "tagA", buckets = 4)
+      val l1 = tableFiles("t_ens_idx_bands")
+      DedupOps.ensureBandedIndex(corpus, "t_ens_idx", corpusTag = "tagA", buckets = 4)
+      assert(tableFiles("t_ens_idx_bands") === l1, "same tag must not rebuild")
+      DedupOps.ensureBandedIndex(corpus, "t_ens_idx", corpusTag = "tagB", buckets = 4)
+      assert(tableFiles("t_ens_idx_bands") !== l1, "changed tag must rebuild")
+      // changed build parameter also rebuilds
+      val l2 = tableFiles("t_ens_idx_bands")
+      DedupOps.ensureBandedIndex(corpus, "t_ens_idx", corpusTag = "tagB",
+        shingleK = 4, buckets = 4)
+      assert(tableFiles("t_ens_idx_bands") !== l2, "changed params must rebuild")
+    } finally Seq("bands", "sets", "meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS t_ens_idx_$s"))
+
+    val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
+    try {
+      SimilarityOps.ensureIvfIndex(emb, "t_ens_ivf", corpusTag = "tagA",
+        nCells = 4, buckets = 4)
+      val l1 = tableFiles("t_ens_ivf_cells")
+      SimilarityOps.ensureIvfIndex(emb, "t_ens_ivf", corpusTag = "tagA",
+        nCells = 4, buckets = 4)
+      assert(tableFiles("t_ens_ivf_cells") === l1, "same tag must not rebuild")
+      SimilarityOps.ensureIvfIndex(emb, "t_ens_ivf", corpusTag = "tagB",
+        nCells = 4, buckets = 4)
+      assert(tableFiles("t_ens_ivf_cells") !== l1, "changed tag must rebuild")
+    } finally Seq("cells", "centroids", "meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS t_ens_ivf_$s"))
+  }
+
+  test("appendToBandedIndex: probe after append == recompute over corpus ∪ batch") {
+    import graft.ops.DedupOps
+    val docs = Tables(spark, SparkTestBase.sf001, "documents")
+    val corpus0 = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 3 =!= 0)
+    val increment = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 3 === 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    DedupOps.writeBandedIndex(corpus0, "t_app_idx", buckets = 4, corpusTag = "base")
+    try {
+      DedupOps.appendToBandedIndex(increment, "t_app_idx",
+        newCorpusTag = "base+inc1")
+      val fromIndex = DedupOps.probeBandedIndex(batch, "t_app_idx")
+        .orderBy("doc_id").collect().toSeq
+      val recomputed = DedupOps.incrementalDedupReport(
+          batch, corpus0.unionByName(increment))
+        .orderBy("doc_id").collect().toSeq
+      assert(fromIndex === recomputed)
+      assert(fromIndex.nonEmpty)
+      // the appended rows landed IN the bucketed layout: probes stay
+      // corpus-exchange-free over old + new files alike
+      assertCorpusExchangeFree(
+        DedupOps.probeBandedIndex(batch, "t_app_idx"), "t_app_idx")
+      // meta restamped so ensure with the old tag knows the index moved on
+      assert(spark.table("t_app_idx_meta").head()
+        .getAs[String]("corpus_tag") === "base+inc1")
+    } finally Seq("bands", "sets", "meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS t_app_idx_$s"))
+  }
+
+  test("persisted IVF with nProbe = nCells returns the EXACT top-k (q90's oracle lemma)") {
+    import graft.ops.SimilarityOps
+    val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
+    SimilarityOps.ensureIvfIndex(emb, "t_ivf_ex", corpusTag = "sf001",
+      nCells = 4, buckets = 4)
+    try {
+      val queries = emb.filter(col("vec_id") < 5)
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getInt(3))
+      // probing every cell makes the learned partition irrelevant: the
+      // result must equal exact brute force, bit for bit on the rank keys
+      val persisted = SimilarityOps.ivfTopKPersisted(queries, "t_ivf_ex",
+        k = 5, nProbe = 4).collect().map(key).toSet
+      val exact = SimilarityOps.bruteForceTopK(emb, queries, 5)
+        .collect().map(key).toSet
+      assert(persisted === exact)
+      assert(persisted.nonEmpty)
+    } finally Seq("cells", "centroids", "meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS t_ivf_ex_$s"))
   }
 
   test("partitioned sink: partition-key filter prunes directories at planning time") {

@@ -253,6 +253,37 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming near-dedup: sentinel buckets stay disjoint from real bands for ANY id sign") {
+    implicit val sqlCtx = spark.sqlContext
+    val d1 = "the quick brown fox jumps over the lazy dog while rain falls on the quiet village roofs tonight"
+    // adversarial id: a negated-id sentinel IN THE BITS SLOT (the old
+    // scheme) would equal doc 1's band-0 value for this negative id and
+    // falsely cost the short doc a bucket; the band_idx-negating sentinel
+    // cannot collide with any real band row whatever the id's sign
+    val v0 = Seq((1L, d1)).toDF("doc_id", "text")
+      .select(graft.ops.DedupOps.simHashCol(col("text")).as("fp"))
+      .head().getLong(0) & ((1L << 10) - 1)
+    val shortId = -(v0 + 1)
+    val mem = MemoryStream[Doc]
+    val query = StreamingEvents.nearDedupedWithinWatermark(mem.toDF())
+      .writeStream.format("memory").queryName("neardedup_neg")
+      .outputMode("append").start()
+    try {
+      mem.addData(Doc(1L, ts(10, 5), d1))
+      query.processAllAvailable()
+      mem.addData(Doc(shortId, ts(10, 20), "too short"))
+      query.processAllAvailable()
+      mem.addData(Doc(99L, ts(14, 0),
+        "watermark advancing filler document with enough distinct tokens to shingle properly"))
+      query.processAllAvailable()
+      val out = spark.table("neardedup_neg").filter(col("w_start") < ts(11, 0))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+      assert(out(1L) === ((6L, true)))
+      assert(out(shortId) === ((6L, true)),
+        s"short doc with adversarial negative id must keep all its sentinel buckets: $out")
+    } finally query.stop()
+  }
+
   test("latestSnapshot: fresh start is None; IO-failure shapes throw, never truncate") {
     val base = java.nio.file.Files.createTempDirectory("graft-snap").toString
     // genuinely absent dir = fresh start
