@@ -10,10 +10,13 @@ import org.apache.spark.sql.types._
   * decode stub showing the batch shape a real decoder plugs into.
   *
   * Design: the *pipeline* (schema, partitioning, per-batch iteration) is
-  * real and tested; the codec itself is a clearly-marked deterministic STUB
-  * (`decodeImageStub`) because no image/audio libraries ship in this
-  * environment. Swapping the stub body for an actual decoder (JNI/javacpp
-  * ffmpeg, TwelveMonkeys ImageIO, ...) changes no plumbing.
+  * real and tested. Image decode is REAL for the JDK's bundled readers
+  * ([[decodeImage]]: PNG/BMP/GIF/JPEG/WBMP via `javax.imageio`); the
+  * remaining codec stages (resize, feature extraction — which would need
+  * ffmpeg/a model runtime) are clearly-marked deterministic STUBS whose
+  * plumbing is the production contract. Swapping a stub body for an actual
+  * codec (JNI/javacpp ffmpeg, TwelveMonkeys ImageIO, ...) changes no
+  * plumbing.
   *
   * At 100 TB: payload bytes never shuffle — metadata extraction is a narrow
   * projection fused into the scan; the decode stage is `mapPartitions` over
@@ -108,6 +111,52 @@ object MultimodalOps {
         val h = 1 + math.abs(if (n > 1) bytes(1).toInt else 0) % 64
         val mean = if (n == 0) 0.0 else bytes.iterator.map(b => (b & 0xff).toDouble).sum / n
         DecodedImage(id, w, h, 3, mean)
+      }
+    }(Encoders.product[DecodedImage])
+  }
+
+  /** REAL image decode for the formats the JDK ships readers for (PNG, BMP,
+    * GIF, JPEG, WBMP) — `javax.imageio.ImageIO`, zero new dependencies. Same
+    * contract and output schema as [[decodeImageStub]] (which remains the
+    * deterministic fake for formats without a bundled codec): mapPartitions
+    * so reader setup happens once per partition, payload bytes never
+    * shuffle, typed `Dataset[DecodedImage]` out. `channels` is the raster
+    * band count (3 = RGB, 4 = RGBA, 1 = gray), `meanPixel` the mean sample
+    * value over every band of every pixel (0-255 scale).
+    *
+    * Rows whose payload no JDK reader accepts (truncated bytes, formats
+    * like webp/avif, non-images) are DROPPED — decode is a filter+map, the
+    * usual ingest semantics. Run [[payloadMeta]] first when the drop count
+    * needs auditing; the in-memory `ImageIO` cache setting avoids executor
+    * tmp-file churn.
+    */
+  def decodeImage(df: DataFrame, idCol: String, binCol: String): Dataset[DecodedImage] = {
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    input.mapPartitions { rows =>
+      // per-partition decoder setup: in-memory stream cache, no tmp files
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { case (id, bytes) =>
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes)))
+          catch { case _: java.io.IOException => None }
+        img.map { im =>
+          val raster = im.getRaster
+          val (w, h, bands) = (im.getWidth, im.getHeight, raster.getNumBands)
+          var sum = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var b = 0
+              while (b < bands) { sum += raster.getSampleDouble(x, y, b); b += 1 }
+              x += 1
+            }
+            y += 1
+          }
+          DecodedImage(id, w, h, bands, sum / (w.toLong * h * bands))
+        }
       }
     }(Encoders.product[DecodedImage])
   }

@@ -686,6 +686,43 @@ class OpsSpec extends SparkTestBase {
     assert(decoded.forall(d => d.width > 0 && d.height > 0 && d.meanPixel >= 0))
   }
 
+  test("multimodal: REAL javax.imageio decode — PNG and BMP fixtures, undecodable rows dropped") {
+    import java.awt.image.BufferedImage
+    def encode(im: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(im, fmt, bos), s"JDK must ship a $fmt writer")
+      bos.toByteArray
+    }
+    // 1x1 PNG with one known RGB pixel: mean over bands is exact
+    val png1 = new BufferedImage(1, 1, BufferedImage.TYPE_INT_RGB)
+    png1.setRGB(0, 0, (10 << 16) | (20 << 8) | 30)
+    // 2x1 BMP: pixels (0,0,0) and (90,120,150) -> band mean = 60
+    val bmp = new BufferedImage(2, 1, BufferedImage.TYPE_INT_RGB)
+    bmp.setRGB(0, 0, 0)
+    bmp.setRGB(1, 0, (90 << 16) | (120 << 8) | 150)
+    val rows = Seq(
+      (0L, encode(png1, "png")),
+      (1L, encode(bmp, "bmp")),
+      (2L, "definitely not an image".getBytes("UTF-8")))
+    val df = rows.toDF("doc_id", "p")
+    // the payloads really carry the formats they claim (same sniff as q31)
+    val sniffed = MultimodalOps.payloadMeta(df, "p").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("format")).toMap
+    assert(sniffed(0L) === "png")
+    assert(sniffed(2L) === "bin")
+    val out = MultimodalOps.decodeImage(df, "doc_id", "p").collect()
+      .map(d => d.id -> d).toMap
+    assert(out.keySet === Set(0L, 1L), "undecodable row must be dropped")
+    assert(out(0L).width === 1 && out(0L).height === 1 && out(0L).channels === 3)
+    assert(out(0L).meanPixel === 20.0) // (10+20+30)/3
+    assert(out(1L).width === 2 && out(1L).height === 1 && out(1L).channels === 3)
+    assert(out(1L).meanPixel === 60.0) // (0+0+0+90+120+150)/6
+    // round-trip invariance: a decode of the re-encoded decode matches dims
+    val reenc = Seq((7L, encode(png1, "bmp"))).toDF("doc_id", "p")
+    val r = MultimodalOps.decodeImage(reenc, "doc_id", "p").head()
+    assert(r.width === 1 && r.height === 1 && r.meanPixel === 20.0)
+  }
+
   test("multimodal: resize/feature-extract/frame-sample stages chain with real plumbing") {
     val payloads = docsDf.select($"doc_id",
       MultimodalOps.demoPayload($"doc_id", $"text").as("p"))
