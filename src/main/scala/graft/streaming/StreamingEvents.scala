@@ -289,6 +289,56 @@ object StreamingEvents {
         merged.write.mode("overwrite").parquet(s"$baseDir/v$epoch")
       }
 
+  /** STREAMING maintenance of the persisted banded dedup index — the ingest
+    * loop of the index-once / probe-many lifecycle as a sink: each
+    * micro-batch PROBES the index ([[graft.ops.DedupOps.probeBandedIndex]]
+    * — corpus side exchange-free), keeps only the docs with no near-dup in
+    * the corpus, and APPENDS those into the index
+    * ([[graft.ops.DedupOps.appendToBandedIndex]] — `insertInto`, existing
+    * files untouched), so later batches dedup against everything accepted
+    * so far. The index must exist ([[graft.ops.DedupOps.writeBandedIndex]]
+    * / `ensureBandedIndex`) before the stream starts; the meta row is
+    * restamped `stream-epoch-<n>` on each appending batch.
+    *
+    * Semantics and their limits, stated honestly:
+    *   - At-least-once: a replayed epoch may re-append its novel docs.
+    *     Probe RESULTS stay correct — candidate pairs are `distinct`ed, so
+    *     duplicate index rows change storage, never reports — and the
+    *     replayed docs re-probe as duplicates of their first copy, so they
+    *     are not re-appended a third time.
+    *   - Docs are judged against the CORPUS, not against siblings in the
+    *     same micro-batch (the corpus-probe contract q65/q89 share). Two
+    *     near-dups arriving in one batch both land; the next batch's
+    *     near-dups of them are caught. Pre-collapse intra-batch dups with
+    *     [[graft.ops.DedupOps.nearDedupSummary]] on the batch if that gap
+    *     matters.
+    *   - Per-batch work is |batch| + bucket scans; the corpus never
+    *     re-shuffles. Batch-local caches live in a batch-scoped
+    *     [[graft.ops.CacheScope]], released before the epoch commits.
+    */
+  def bandedIndexIngest(docs: DataFrame, tablePrefix: String,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        minJaccard: Double = 0.8,
+                        checkpointDir: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val scope = graft.ops.CacheScope()
+        try {
+          // one pass over the batch feeds both the probe and the append
+          val b = scope.register(batch)
+          if (!b.isEmpty) {
+            val report = graft.ops.DedupOps.probeBandedIndex(
+              b, tablePrefix, textCol, idCol, minJaccard, scope)
+            val novel = b.join(
+              report.filter(col("novel")).select(col(idCol)), Seq(idCol), "left_semi")
+            graft.ops.DedupOps.appendToBandedIndex(novel, tablePrefix,
+              textCol, idCol, newCorpusTag = s"stream-epoch-$epoch", scope = scope)
+          }
+        } finally scope.release()
+      }
+
   /** The newest COMMITTED `v<epoch>/` snapshot written by [[upsertSink]]:
     * only directories with a `_SUCCESS` marker count (a crash mid-write
     * leaves a partial directory that must never serve as a base), and

@@ -318,6 +318,26 @@ class PlanSpec extends SparkTestBase {
       "hourly rollup must partial-aggregate before the window")
   }
 
+  test("q89/q90 persisted-index queries AS SHIPPED: corpus side bucketed, never re-shuffled") {
+    // the lifecycle queries' scale contract, asserted on the exact plans the
+    // driver runs: the index tables are scanned through their bucketed
+    // layout and no exchange re-partitions index data before its join —
+    // only the (small) probe side shuffles
+    try {
+      assertCorpusExchangeFree(
+        SparkEntry.queries("q89_persisted_index_dedup")(spark, SparkTestBase.sf001),
+        "graft_q89_corpus")
+      assertCorpusExchangeFree(
+        SparkEntry.queries("q90_persisted_ivf_topk")(spark, SparkTestBase.sf001),
+        "graft_q90_ivf")
+    } finally {
+      Seq("bands", "sets", "meta").foreach(s =>
+        graft.sources.Bucketing.dropTableAndLocation(spark, s"graft_q89_corpus_$s"))
+      Seq("cells", "centroids", "meta").foreach(s =>
+        graft.sources.Bucketing.dropTableAndLocation(spark, s"graft_q90_ivf_$s"))
+    }
+  }
+
   test("driver contract: every query has an oracle and vice versa") {
     // a key typo would silently downgrade a query to the driver's weaker
     // rows-only check — the whole point of the oracle map is that it never

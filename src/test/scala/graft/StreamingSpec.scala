@@ -284,6 +284,48 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("bandedIndexIngest: stream probes the persisted index, appends only novel docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.DedupOps
+    def words(seed: String, n: Int): String =
+      (0 until n).map(i => s"$seed$i").mkString(" ")
+    val c1 = words("alpha", 40)
+    val c2 = words("beta", 40)
+    val l11 = words("gamma", 40)
+    val l13 = words("delta", 40)
+    val corpus = Seq((1L, c1), (2L, c2)).toDF("doc_id", "text")
+    DedupOps.writeBandedIndex(corpus, "t_stream_idx", buckets = 4,
+      corpusTag = "base")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val mem = MemoryStream[Doc]
+    val query = StreamingEvents.bandedIndexIngest(mem.toDF(), "t_stream_idx",
+      checkpointDir = ckpt).start()
+    try {
+      // epoch 0: an exact dup of corpus doc 1 (rejected) + a novel doc
+      mem.addData(Doc(10L, ts(10, 0), c1), Doc(11L, ts(10, 1), l11))
+      query.processAllAvailable()
+      // epoch 1: a near-dup of the doc epoch 0 JUST appended (rejected —
+      // proof the append is visible to later batches) + another novel doc
+      mem.addData(Doc(12L, ts(10, 10), l11.replace("gamma7", "changed")),
+        Doc(13L, ts(10, 11), l13))
+      query.processAllAvailable()
+      val indexed = spark.table("t_stream_idx_sets")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(indexed === Set(1L, 2L, 11L, 13L),
+        s"only novel docs may be appended: $indexed")
+      assert(spark.table("t_stream_idx_meta").head()
+        .getAs[String]("corpus_tag") === "stream-epoch-1")
+      // and the grown index now rejects a fresh probe of an accepted doc
+      val reprobe = DedupOps.probeBandedIndex(
+        Seq((99L, l13)).toDF("doc_id", "text"), "t_stream_idx")
+      assert(reprobe.head().getAs[Boolean]("novel") === false)
+    } finally {
+      query.stop()
+      Seq("bands", "sets", "meta").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS t_stream_idx_$s"))
+    }
+  }
+
   test("latestSnapshot: fresh start is None; IO-failure shapes throw, never truncate") {
     val base = java.nio.file.Files.createTempDirectory("graft-snap").toString
     // genuinely absent dir = fresh start
