@@ -85,7 +85,23 @@ object ScaleProbe {
       "bm25" -> (() => run(graft.ops.TextOps.bm25(docs, Seq("spark", "join", "fast")))),
       // replication multiplies both sides of the stratum windows
       "hashRankSample" -> (() => run(graft.ops.RelationalOps.hashRankSample(
-        docs, "doc_id", "lang", Map("en" -> 100000L, "de" -> 30000L, "zh" -> 10000L))))
+        docs, "doc_id", "lang", Map("en" -> 100000L, "de" -> 30000L, "zh" -> 10000L)))),
+      // persisted-index lifecycle at the replicated scale: the build pays
+      // the full corpus ONCE; probe and append pay |batch| + bucket scans.
+      // Batch = one more replica (ids beyond every indexed copy), making
+      // every batch doc a near-dup of `factor` corpus copies — worst case
+      // for the rerank join's candidate fan-out
+      "writeBandedIndex_full" -> (() => DedupOps.writeBandedIndex(
+        docs, "probe_banded_idx", buckets = 32, corpusTag = "probe",
+        scope = scope)),
+      "probeBandedIndex_batch" -> (() => run(DedupOps.probeBandedIndex(
+        Tables(spark, sfDir, "documents")
+          .withColumn("doc_id", col("doc_id") + lit(factor * 1000001L)),
+        "probe_banded_idx", scope = scope))),
+      "appendToBandedIndex_batch" -> (() => DedupOps.appendToBandedIndex(
+        Tables(spark, sfDir, "documents")
+          .withColumn("doc_id", col("doc_id") + lit(factor * 1000001L)),
+        "probe_banded_idx", scope = scope))
     ).filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, f) =>
         val t0 = System.nanoTime()
@@ -93,6 +109,9 @@ object ScaleProbe {
         name -> (System.nanoTime() - t0) / 1e9
       }
     scope.release()
+    Seq("bands", "sets", "meta").foreach(s =>
+      try graft.sources.Bucketing.dropTableAndLocation(spark, s"probe_banded_idx_$s")
+      catch { case _: Throwable => () })
     println(results.map { case (k, v) => s"\"$k\":$v" }
       .mkString(s"""{"factor":$factor,"sf":"$sfDir",""", ",", "}"))
     spark.stop()
