@@ -382,6 +382,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // WHERE does the eval set leak: merged token spans of exact 8-gram
+    // collisions against the training half — the surgical complement of
+    // q41's how-much fraction (even ids train, odd ids eval, as in q41)
+    "q91_ngram_spans" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      DedupOps.ngramSpanContamination(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), n = 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+
     // deterministic 80/10/10 hash split: per-split counts + id checksum so
     // the oracle verifies the ASSIGNMENT, not just the sizes
     "q42_hash_split" -> ((s, d) =>
@@ -1436,6 +1447,30 @@ object SparkEntry {
         |  FROM dots)
         |SELECT query_id, neighbor_id, cos, rank FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // same md5+Horner 8-gram hashes (positions = the shingle-list index),
+    // IN-set match against the train half, gaps-and-islands span merge
+    "q91_ngram_spans" -> {
+      val tokHash = s"${ops.DetHash.sqlMd5Hash60("t")} % ${ops.DetHash.P}"
+      val grams8 = ops.DetHash.sqlShingleHashes("th", 8)
+      s"""WITH tok AS (SELECT doc_id, list_transform($toksSql, t -> $tokHash) AS th
+         |  FROM documents),
+         |tg AS (SELECT DISTINCT unnest($grams8) AS h FROM tok WHERE doc_id % 2 = 0),
+         |eg AS (SELECT doc_id AS id, $grams8 AS gl FROM tok WHERE doc_id % 2 = 1),
+         |ep AS (SELECT id, CAST(t.i AS INTEGER) AS pos, gl[t.i] AS h
+         |  FROM eg, UNNEST(range(1, len(gl) + 1)) AS t(i)),
+         |m AS (SELECT id, pos FROM ep WHERE h IN (SELECT h FROM tg)),
+         |isl AS (SELECT id, pos,
+         |    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+         |      THEN 1 ELSE 0 END AS ni
+         |  FROM m WINDOW w AS (PARTITION BY id ORDER BY pos)),
+         |grp AS (SELECT id, pos,
+         |    sum(ni) OVER (PARTITION BY id ORDER BY pos) AS island FROM isl)
+         |SELECT id AS doc_id, min(pos) AS span_start,
+         |  CAST(max(pos) + 7 AS INTEGER) AS span_end,
+         |  CAST(count(*) AS BIGINT) AS n_grams
+         |FROM grp GROUP BY id, island ORDER BY doc_id, span_start""".stripMargin
+    },
 
     "q42_hash_split" -> {
       val bucket =

@@ -649,6 +649,71 @@ object DedupOps {
         (col("n_seen").cast("double") / col("n_shingles")).as("contamination"))
   }
 
+  /** Positioned n-gram hashes (id, pos, h): the Horner n-gram hash starting
+    * at 1-based token position `pos` — the positional twin of
+    * [[shingleHashRows]] (same md5 token hashes, same Horner fold, so the
+    * SQL oracle recomputes identical values with `pos` = the list index of
+    * `DetHash.sqlShingleHashes`). Map-only; docs with < n tokens produce no
+    * rows. The token-hash array binds once as a lambda variable (HOF
+    * lambdas don't CSE — see [[simHashCol]]).
+    */
+  private[graft] def positionedNgramHashes(df: DataFrame, textCol: String,
+                                           idCol: String, n: Int): DataFrame = {
+    require(n >= 2, "n-grams need n >= 2")
+    val th = transform(TextOps.tokens(col(textCol)),
+      t => DetHash.md5Hash60(t) % lit(DetHash.P))
+    val grams = flatten(transform(array(th), th0 => {
+      val windows = when(size(th0) >= n, sequence(lit(0), size(th0) - n))
+        .otherwise(array().cast("array<int>"))
+      transform(windows, i =>
+        (1 until n).foldLeft(element_at(th0, i + 1)) { (acc, j) =>
+          (acc * lit(DetHash.A) + element_at(th0, i + j + 1)) % lit(DetHash.P)
+        })
+    }))
+    df.select(col(idCol).as("id"), posexplode(grams).as(Seq("p0", "h")))
+      .select(col("id"), (col("p0") + 1).as("pos"), col("h"))
+  }
+
+  /** Exact n-gram SPAN decontamination — the published LLM eval-holdout
+    * standard (n-gram collision against the training corpus, n typically
+    * 8-13): for each eval document, the merged token spans
+    * `[span_start, span_end]` (1-based, inclusive) covered by at least one
+    * exact n-gram also present ANYWHERE in `train`, plus the matching
+    * n-gram count per span. [[contaminationReport]] answers "how much of
+    * this doc leaks" (a fraction); this answers "WHERE does it leak" — the
+    * spans are what a surgical decontaminator cuts out, and adjacent or
+    * overlapping hits merge into one span (positions p1, p2 merge when
+    * p2 ≤ p1 + n, i.e. their token ranges touch).
+    *
+    * Scale shape: the train side reduces to one DISTINCT over integer
+    * n-gram hashes (never strings); matched eval positions come from a
+    * hash-keyed LEFT SEMI join; span merging is the classic gaps-and-islands
+    * pass over a per-document window — hash-partitioned by doc, never
+    * global. n-gram identity is the md5+Horner hash mod P: collisions are
+    * possible in principle and shared bit-for-bit with the SQL oracle, the
+    * same compromise as the whole shingle tier.
+    */
+  def ngramSpanContamination(train: DataFrame, eval: DataFrame, n: Int = 8,
+                             textCol: String = "text",
+                             idCol: String = "doc_id"): DataFrame = {
+    val trainGrams = positionedNgramHashes(train, textCol, idCol, n)
+      .select(col("h")).distinct()
+    val matched = positionedNgramHashes(eval, textCol, idCol, n)
+      .join(trainGrams, Seq("h"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    val prev = lag(col("pos"), 1).over(w)
+    matched
+      .withColumn("ni", when(prev.isNull || col("pos") > prev + n, 1).otherwise(0))
+      .withColumn("island", sum(col("ni")).over(w))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + n - 1).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+        col("n_grams"))
+  }
+
   /** Cross-document BOILERPLATE report: per document, the fraction of its
     * DISTINCT k-shingles that also occur in ANOTHER document —
     * headers, footers, licenses, navigation chrome that repeat across a

@@ -830,6 +830,23 @@ class OpsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", old)
   }
 
+  test("ngramSpanContamination: hand-computed spans, overlap merge, exact-dup full span") {
+    val train = Seq((0L, "p q r s")).toDF("doc_id", "text")
+    // matches at 3-gram positions 3 (p q r), 4 (q r s), 9 (p q r):
+    // 3 and 4 merge (touching ranges), 9 starts a new island
+    val eval = Seq(
+      (1L, "a b p q r s c d p q r x"),
+      (3L, "entirely unrelated tokens with no shared trigram at all"),
+      (5L, "p q r s")).toDF("doc_id", "text")
+    val out = DedupOps.ngramSpanContamination(train, eval, n = 3)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 3, 6, 2L), // [3..6]: grams at 3 and 4 merged into one span
+      (1L, 9, 11, 1L), // isolated hit at 9
+      (5L, 1, 4, 2L))) // exact dup: one span covering the whole doc
+  }
+
   test("rollingFingerprint: stable content signature columns") {
     val fp = TextOps.rollingFingerprint(col("text"))(docsDf).collect()
       .map(r => r.getAs[Long]("doc_id") ->

@@ -318,6 +318,16 @@ class PlanSpec extends SparkTestBase {
       "hourly rollup must partial-aggregate before the window")
   }
 
+  test("q91 ngram spans: hash-keyed semi join, per-doc islands window, no global sort of matches") {
+    val p = plan("q91_ngram_spans")
+    assert(p.contains("LeftSemi"), "train-gram match must be a LEFT SEMI join")
+    // the islands window runs hash-partitioned by doc id — a global
+    // (empty-partition) window over match rows would serialize the merge
+    assert(p.contains("hashpartitioning(id"),
+      s"span-merge window must partition by doc id:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
   test("q89/q90 persisted-index queries AS SHIPPED: corpus side bucketed, never re-shuffled") {
     // the lifecycle queries' scale contract, asserted on the exact plans the
     // driver runs: the index tables are scanned through their bucketed
