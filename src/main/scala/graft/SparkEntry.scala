@@ -393,6 +393,13 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("span_start"))
     },
 
+    // intra-doc self-repetition cleanup: repeated trigram occurrences lose
+    // their token spans (first occurrence survives), text rebuilt from the
+    // kept tokens — the oracle verifies the full reconstructed string
+    "q92_remove_repeats" -> ((s, d) =>
+      TextOps.removeRepeatedSpans(t(s, d, "documents"), n = 3)
+        .orderBy(col("doc_id"))),
+
     // deterministic 80/10/10 hash split: per-split counts + id checksum so
     // the oracle verifies the ASSIGNMENT, not just the sizes
     "q42_hash_split" -> ((s, d) =>
@@ -1470,6 +1477,37 @@ object SparkEntry {
          |  CAST(max(pos) + 7 AS INTEGER) AS span_end,
          |  CAST(count(*) AS BIGINT) AS n_grams
          |FROM grp GROUP BY id, island ORDER BY doc_id, span_start""".stripMargin
+    },
+
+    // same positioned trigram hashes; repeats = row_number > 1 per
+    // (doc, hash); token ranges of repeats removed, text string_agg'd back
+    "q92_remove_repeats" -> {
+      val tokHash = s"${ops.DetHash.sqlMd5Hash60("t")} % ${ops.DetHash.P}"
+      val grams3 = ops.DetHash.sqlShingleHashes("th", 3)
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS tk,
+         |    list_transform($toksSql, t -> $tokHash) AS th FROM documents),
+         |g AS (SELECT doc_id, $grams3 AS gl FROM tok),
+         |gp AS (SELECT doc_id, CAST(t.i AS INTEGER) AS pos, gl[t.i] AS h
+         |  FROM g, UNNEST(range(1, len(gl) + 1)) AS t(i)),
+         |rep AS (SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos, row_number() OVER (PARTITION BY doc_id, h
+         |      ORDER BY pos) AS rn FROM gp) WHERE rn > 1),
+         |rem AS (SELECT DISTINCT doc_id, CAST(t.j AS INTEGER) AS tpos
+         |  FROM rep, UNNEST(range(pos, pos + 3)) AS t(j)),
+         |tp AS (SELECT doc_id, CAST(t.i AS INTEGER) AS tpos, tk[t.i] AS tok
+         |  FROM tok, UNNEST(range(1, len(tk) + 1)) AS t(i)),
+         |kept AS (SELECT tp.doc_id, tp.tpos, tp.tok FROM tp
+         |  ANTI JOIN rem ON tp.doc_id = rem.doc_id AND tp.tpos = rem.tpos),
+         |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+         |    count(*) AS n_kept FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id, count(*) AS n_toks FROM tp GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
+         |  CAST(COALESCE(tot.n_toks, 0) - COALESCE(reb.n_kept, 0) AS BIGINT)
+         |    AS n_removed
+         |FROM documents d
+         |LEFT JOIN tot ON tot.doc_id = d.doc_id
+         |LEFT JOIN reb ON reb.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     "q42_hash_split" -> {

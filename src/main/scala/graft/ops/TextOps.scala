@@ -397,6 +397,52 @@ object TextOps {
           .as("dup_bigram_frac"))
   }
 
+  /** Intra-document SELF-REPETITION span removal — the surgical counterpart
+    * of [[repetitionStats]]' flags: every n-gram occurrence whose identical
+    * n-gram appeared EARLIER in the same document marks its token range for
+    * removal (first occurrence always survives); the document is rebuilt
+    * from the kept tokens. The cleanup pass for crawl docs that repeat
+    * navigation chrome, list boilerplate, or degenerate loops inside one
+    * page. Output: (doc_id, clean_text, n_removed) — `clean_text` is
+    * whitespace-NORMALIZED (tokens rejoined with single spaces; both engines
+    * of the oracle pair normalize identically).
+    *
+    * Scale shape: n-gram identity is the md5+Horner hash
+    * ([[graft.ops.DedupOps.positionedNgramHashes]] — map-only), repeats are
+    * a (doc, hash)-partitioned row_number window, and reconstruction is one
+    * per-doc aggregation over the anti-joined kept tokens. Everything keys
+    * on (doc, int) — no strings shuffle except the final rebuilt text, and
+    * no cross-document work at all.
+    */
+  def removeRepeatedSpans(documents: DataFrame, n: Int = 8,
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    val toks = documents.select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("tp0", "tok")))
+      .select(col("id"), (col("tp0") + 1).as("tpos"), col("tok"))
+    val grams = DedupOps.positionedNgramHashes(documents, textCol, idCol, n)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"), col("h")).orderBy(col("pos"))
+    val removed = grams.withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + n - 1)).as("tpos"))
+      .distinct()
+    val kept = toks.join(removed, Seq("id", "tpos"), "left_anti")
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(array_join(
+          transform(array_sort(collect_list(struct(col("tpos"), col("tok")))),
+            s => s.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val totals = toks.groupBy(col("id")).agg(count(lit(1)).as("n_toks"))
+    documents.select(col(idCol).as("id"))
+      .join(totals, Seq("id"), "left")
+      .join(rebuilt, Seq("id"), "left")
+      .na.fill(0L, Seq("n_toks", "n_kept"))
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_toks") - col("n_kept")).as("n_removed"))
+  }
+
   /** Concat-and-chunk sequence packing: lay the corpus out as one token
     * stream in `idCol` order and cut it into fixed-`capacity` blocks — the
     * standard way training examples are packed into context windows. Emits

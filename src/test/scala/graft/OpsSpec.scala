@@ -847,6 +847,24 @@ class OpsSpec extends SparkTestBase {
       (5L, 1, 4, 2L))) // exact dup: one span covering the whole doc
   }
 
+  test("removeRepeatedSpans: first occurrence survives, later spans cut, text rebuilt") {
+    val docs = Seq(
+      // trigram "a b c" repeats at positions 1 and 5: tokens 5-7 removed
+      (1L, "a b c d a b c e"),
+      (2L, "no repeats in this one at all"),
+      // back-to-back identical trigrams: positions 1 and 4 → tokens 4-6 cut
+      (3L, "x y z x y z"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val out = TextOps.removeRepeatedSpans(docs, n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (1L, "a b c d e", 3L),
+      (2L, "no repeats in this one at all", 0L),
+      (3L, "x y z", 3L),
+      (4L, "too short", 0L))) // < n tokens: untouched (normalized)
+  }
+
   test("rollingFingerprint: stable content signature columns") {
     val fp = TextOps.rollingFingerprint(col("text"))(docsDf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
