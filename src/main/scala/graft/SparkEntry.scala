@@ -267,6 +267,12 @@ object SparkEntry {
       DedupOps.nearDedupSummary(t(s, d, "documents"), minJaccard = 0.8)
         .orderBy(col("keep_id"))),
 
+    // quality-aware retention: each near-dup cluster keeps its CLEANEST
+    // member (highest quality score, id tiebreak), not its min id
+    "q93_keep_best_dedup" -> ((s, d) =>
+      DedupOps.keepBestDedupSummary(t(s, d, "documents"), minJaccard = 0.8)
+        .orderBy(col("keep_id"))),
+
     // ---- LLM-data-pipeline tier: embeddings ----
     "q24_ann_cosine_topk" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
@@ -1257,6 +1263,31 @@ object SparkEntry {
          |cc AS (SELECT x, min(comp) AS comp FROM reach GROUP BY x)
          |SELECT comp AS keep_id, count(*) AS n_docs FROM cc
          |GROUP BY comp ORDER BY keep_id""".stripMargin,
+
+    // q38's recursive closure + the shared quality expression; argmax and
+    // member count over the same comp partition
+    "q93_keep_best_dedup" ->
+      s"""WITH RECURSIVE $hashedShinglesCte,
+         |inv AS (SELECT id, sz, unnest(hs) AS tok FROM sized),
+         |pr AS (SELECT l.id AS a, r.id AS b
+         |  FROM inv l JOIN inv r ON l.tok = r.tok AND l.id < r.id
+         |  GROUP BY l.id, r.id, l.sz, r.sz
+         |  HAVING CAST(count(*) AS DOUBLE) / (l.sz + r.sz - count(*)) >= 0.8),
+         |e AS (SELECT a AS x, b AS y FROM pr UNION ALL SELECT b, a FROM pr),
+         |reach AS (
+         |  SELECT doc_id AS x, doc_id AS comp FROM documents
+         |  UNION
+         |  SELECT e.x, r.comp FROM e JOIN reach r ON r.x = e.y),
+         |cc AS (SELECT x, min(comp) AS comp FROM reach GROUP BY x),
+         |q AS (SELECT doc_id, $qualitySqlExpr AS quality FROM documents),
+         |j AS (SELECT cc.x AS doc_id, cc.comp, q.quality
+         |  FROM cc JOIN q ON q.doc_id = cc.x),
+         |r AS (SELECT doc_id, comp, quality,
+         |    row_number() OVER (PARTITION BY comp
+         |      ORDER BY quality DESC, doc_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY comp) AS n_docs FROM j)
+         |SELECT doc_id AS keep_id, CAST(n_docs AS BIGINT) AS n_docs, quality
+         |FROM r WHERE rn = 1 ORDER BY keep_id""".stripMargin,
 
     "q30_simhash_neardup" ->
       s"""WITH $simHashCte

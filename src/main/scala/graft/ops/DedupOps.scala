@@ -613,6 +613,33 @@ object DedupOps {
       .groupBy(col("comp")).agg(count(lit(1)).as("n_docs"))
       .select(col("comp").as("keep_id"), col("n_docs"))
 
+  /** Quality-aware near-dedup retention: one row per near-dup cluster
+    * keeping the member with the HIGHEST [[TextOps.qualityScore]] (ties to
+    * the lowest id) instead of [[nearDedupSummary]]'s min-id convention —
+    * what production dedup actually wants: when a crawl holds five copies
+    * of a page, keep the cleanest one, not the one that happened to get the
+    * smallest id. Output (keep_id, n_docs, quality).
+    *
+    * Scale shape: clusters come from the banded pipeline (no all-pairs),
+    * quality is a map-side projection, and the argmax + member count share
+    * ONE comp-keyed window shuffle.
+    */
+  def keepBestDedupSummary(df: DataFrame, textCol: String = "text",
+                           idCol: String = "doc_id", minJaccard: Double = 0.8,
+                           scope: CacheScope = CacheScope.default): DataFrame = {
+    val clusters = nearDupClusters(df, textCol, idCol, minJaccard, scope)
+    val scored = TextOps.withQualityScore(
+        df.select(col(idCol), col(textCol)), textCol, "quality")
+      .select(col(idCol), col("quality"))
+    val byComp = org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))
+    clusters.join(scored, Seq(idCol))
+      .withColumn("rn", row_number().over(
+        byComp.orderBy(col("quality").desc, col(idCol).asc)))
+      .withColumn("n_docs", count(lit(1)).over(byComp))
+      .filter(col("rn") === 1)
+      .select(col(idCol).as("keep_id"), col("n_docs"), col("quality"))
+  }
+
   /** Benchmark-decontamination report: for each `corpus` document, how much
     * of its content appears anywhere in `benchmark` — (doc_id, n_shingles,
     * n_seen, contamination) where contamination = the fraction of the

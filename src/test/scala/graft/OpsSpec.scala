@@ -830,6 +830,28 @@ class OpsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", old)
   }
 
+  test("keepBestDedupSummary: cluster keeps its highest-quality member, not its min id") {
+    def words(seed: String, n: Int): String =
+      (0 until n).map(i => s"$seed$i").mkString(" ")
+    val base = words("tok", 40)
+    val docs = Seq(
+      (1L, base), // near-dup pair: J ≈ 38/42 ≥ 0.8
+      (2L, base + " the of and is"), // same content + stopwords → higher quality
+      (7L, words("solo", 30))).toDF("doc_id", "text")
+    val quality = TextOps.withQualityScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+    assert(quality(2L) > quality(1L), s"test premise: doc 2 scores higher: $quality")
+    val out = DedupOps.keepBestDedupSummary(docs).orderBy("keep_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(
+      (2L, 2L, quality(2L)), // the BETTER copy survives (min-id would keep 1)
+      (7L, 1L, quality(7L)))) // singleton keeps itself
+    // contrast: the min-id convention keeps doc 1
+    val minId = DedupOps.nearDedupSummary(docs).orderBy("keep_id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(minId === Seq(1L, 7L))
+  }
+
   test("ngramSpanContamination: hand-computed spans, overlap merge, exact-dup full span") {
     val train = Seq((0L, "p q r s")).toDF("doc_id", "text")
     // matches at 3-gram positions 3 (p q r), 4 (q r s), 9 (p q r):
