@@ -406,6 +406,14 @@ object SparkEntry {
       TextOps.removeRepeatedSpans(t(s, d, "documents"), n = 3)
         .orderBy(col("doc_id"))),
 
+    // seeded corpus shuffle: every doc's global position in the
+    // (md5(salt|id), id) total order — computed bucket-parallel, verified
+    // against the oracle's literal global row_number
+    "q94_deterministic_shuffle" -> ((s, d) =>
+      RelationalOps.deterministicShuffle(t(s, d, "documents"), "doc_id")
+        .select(col("doc_id"), col("shuffle_pos"))
+        .orderBy(col("shuffle_pos"))),
+
     // deterministic 80/10/10 hash split: per-split counts + id checksum so
     // the oracle verifies the ASSIGNMENT, not just the sizes
     "q42_hash_split" -> ((s, d) =>
@@ -1539,6 +1547,17 @@ object SparkEntry {
          |LEFT JOIN tot ON tot.doc_id = d.doc_id
          |LEFT JOIN reb ON reb.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // the oracle pays the global sort the operator avoids — same order,
+    // same positions
+    "q94_deterministic_shuffle" -> {
+      val h = ops.DetHash.sqlMd5Hash60("'shuffle|' || CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT)
+         |    AS shuffle_pos
+         |FROM (SELECT doc_id, $h AS h FROM documents)
+         |ORDER BY shuffle_pos""".stripMargin
     },
 
     "q42_hash_split" -> {

@@ -336,6 +336,44 @@ object RelationalOps {
     df.withColumn("split", split)
   }
 
+  /** Deterministic corpus SHUFFLE with global positions — the seeded
+    * permutation a training pipeline applies before sequence packing: every
+    * row gets `shuffle_pos` = its rank in the total order
+    * (md5(salt|id), id), reproducible across runs, engines and cluster
+    * sizes (same [[DetHash.md5Hash60]] convention as [[hashSplit]], so a
+    * corpus re-shuffles identically when re-ingested).
+    *
+    * The rank is computed WITHOUT a global row_number window (which would
+    * sort the planet in one partition): the hash's HIGH BITS form a bucket
+    * — a prefix of the sort key, so ordering by (bucket, hash, id) IS the
+    * total order — within-bucket ranks run as a parallel bucket-partitioned
+    * window, bucket offsets come from one tiny (nBuckets-row) aggregate
+    * windowed on the driver-sized side and broadcast back. 2^10 buckets ≈
+    * uniform 0.1% of the corpus per window partition at any scale.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+                           salt: String = "shuffle",
+                           bucketBits: Int = 10): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 30, "bucketBits in [1,30]")
+    val h = DetHash.md5Hash60(concat(lit(salt + "|"), col(idCol).cast("string")))
+    val hashed = df.withColumn("__h", h)
+      .withColumn("__b", shiftright(col("__h"), 60 - bucketBits))
+    val perBucket = hashed.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+    // offsets: exclusive prefix sum over the ≤2^bucketBits bucket counts —
+    // window over the tiny aggregate, never over the data
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = perBucket
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__h"), col(idCol))
+    hashed.join(broadcast(offsets), Seq("__b"))
+      .withColumn("shuffle_pos", col("__off") + row_number().over(wRank) - 1)
+      .drop("__h", "__b", "__off")
+  }
+
   /** EXACT grouped median WITHOUT a global sort: reduce each group to its
     * VALUE HISTOGRAM (one hash aggregation with map-side partials), then
     * run the cumulative-count window over histogram rows — cardinality =

@@ -830,6 +830,28 @@ class OpsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", old)
   }
 
+  test("deterministicShuffle: exact permutation, equals the global-sort rank, partition-invariant") {
+    val docs = Tables(spark, SparkTestBase.sf001, "documents")
+    val out = RelationalOps.deterministicShuffle(docs, "doc_id")
+      .select($"doc_id", $"shuffle_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    // a permutation: positions are exactly 0..n-1
+    assert(out.values.toSeq.sorted === (0L until n))
+    // equals the rank a literal global sort assigns
+    val expected = docs.select($"doc_id",
+        graft.ops.DetHash.md5Hash60(concat(lit("shuffle|"), $"doc_id".cast("string"))).as("h"))
+      .orderBy($"h", $"doc_id").collect().map(_.getLong(0))
+      .zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    assert(out === expected)
+    // invariant under input partitioning (the distributed-rank composition
+    // cannot depend on where rows physically live)
+    val repart = RelationalOps.deterministicShuffle(docs.repartition(13), "doc_id")
+      .select($"doc_id", $"shuffle_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(repart === out)
+  }
+
   test("keepBestDedupSummary: cluster keeps its highest-quality member, not its min id") {
     def words(seed: String, n: Int): String =
       (0 until n).map(i => s"$seed$i").mkString(" ")

@@ -318,6 +318,17 @@ class PlanSpec extends SparkTestBase {
       "hourly rollup must partial-aggregate before the window")
   }
 
+  test("q94 shuffle: ranks run bucket-partitioned, offsets broadcast — data never single-partitions") {
+    val p = plan("q94_deterministic_shuffle")
+    // the per-row rank window must partition by the hash bucket; a global
+    // row_number over the corpus would be the exact single-partition sort
+    // this operator exists to avoid
+    assert(p.contains("hashpartitioning(__b"),
+      s"rank window must partition by bucket:\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "bucket offsets must join back as a broadcast")
+  }
+
   test("q91 ngram spans: hash-keyed semi join, per-doc islands window, no global sort of matches") {
     val p = plan("q91_ngram_spans")
     assert(p.contains("LeftSemi"), "train-gram match must be a LEFT SEMI join")
