@@ -406,6 +406,30 @@ object SparkEntry {
       TextOps.removeRepeatedSpans(t(s, d, "documents"), n = 3)
         .orderBy(col("doc_id"))),
 
+    // the corpus DATASHEET: doc/dedup/token tallies at every (source, lang)
+    // granularity in ONE cube pass — '<all>' rows via grouping() flags, so
+    // real nulls could never be confused with the rollup totals
+    "q95_corpus_datasheet" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val base = docs.select(col("source"), col("lang"),
+        md5(col("text")).as("digest"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"),
+        col("n_chars"))
+      base.cube(col("source"), col("lang"))
+        .agg(grouping(col("source")).as("gs"), grouping(col("lang")).as("gl"),
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("digest")).as("n_unique"),
+          sum(col("n_toks")).as("n_tokens"),
+          (sum(col("n_toks")).cast("double") / count(lit(1))).as("avg_tokens"),
+          sum(col("n_chars")).as("sum_chars"))
+        .select(
+          when(col("gs") === 1, lit("<all>")).otherwise(col("source")).as("source"),
+          when(col("gl") === 1, lit("<all>")).otherwise(col("lang")).as("lang"),
+          col("n_docs"), col("n_unique"), col("n_tokens"),
+          col("avg_tokens"), col("sum_chars"))
+        .orderBy(col("source"), col("lang"))
+    },
+
     // seeded corpus shuffle: every doc's global position in the
     // (md5(salt|id), id) total order — computed bucket-parallel, verified
     // against the oracle's literal global row_number
@@ -1548,6 +1572,18 @@ object SparkEntry {
          |LEFT JOIN reb ON reb.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    "q95_corpus_datasheet" ->
+      s"""SELECT
+         |  CASE WHEN GROUPING(source) = 1 THEN '<all>' ELSE source END AS source,
+         |  CASE WHEN GROUPING(lang) = 1 THEN '<all>' ELSE lang END AS lang,
+         |  count(*) AS n_docs,
+         |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+         |  CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(len($toksSql)) AS DOUBLE) / count(*) AS avg_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents GROUP BY CUBE(source, lang)
+         |ORDER BY source, lang""".stripMargin,
 
     // the oracle pays the global sort the operator avoids — same order,
     // same positions
