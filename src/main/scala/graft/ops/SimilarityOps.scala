@@ -586,6 +586,50 @@ object SimilarityOps {
         corpusTag, scope)
   }
 
+  /** APPEND a batch of vectors into the persisted IVF index — the ANN twin
+    * of [[graft.ops.DedupOps.appendToBandedIndex]]: new vectors are
+    * assigned to their nearest EXISTING centroid (the quantizer stays
+    * frozen — nCells rows read driver-side, broadcast, compiled
+    * distance loop per batch row) and `insertInto` the bucketed cells
+    * table, so the corpus files never rewrite and later probes scan old and
+    * new members of a cell together, still exchange-free.
+    *
+    * Honest limit: a frozen quantizer degrades as the ingested distribution
+    * drifts from the one the centroids were fit on — cells imbalance and
+    * partial-probe recall drops. Appends keep ingest |batch|-sized;
+    * schedule a rebuild ([[writeIvfIndex]] / [[ensureIvfIndex]] with a new
+    * tag) when drift matters, exactly like a FAISS IVF retrain.
+    */
+  def appendToIvfIndex(batch: DataFrame, tablePrefix: String,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val centers: Array[Array[Double]] = spark.table(s"${tablePrefix}_centroids")
+      .orderBy(col("cell"))
+      .collect().map(_.getAs[scala.collection.Seq[Double]]("center").toArray)
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    val assigned = batch
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).cast("array<float>").as("cv"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cents = bcCenters.value
+        rows.map { case (id, v) =>
+          var best = 0; var bestD = Double.MaxValue; var ci = 0
+          while (ci < cents.length) {
+            val c = cents(ci)
+            var s = 0.0; var j = 0
+            while (j < v.length) { val d = v(j) - c(j); s += d * d; j += 1 }
+            if (s < bestD) { bestD = s; best = ci }
+            ci += 1
+          }
+          (best, id, v)
+        }
+      }.toDF("cell", "neighbor_id", "cv")
+    assigned.write.insertInto(s"${tablePrefix}_cells")
+  }
+
   /** ANN top-k for a `queries` frame against the PERSISTED IVF index
     * [[writeIvfIndex]] built: centroids load driver-side (a model — nCells
     * rows), each query probes its `nProbe` nearest cells, and the probe ⋈

@@ -182,6 +182,34 @@ class BucketingSpec extends SparkTestBase {
       spark.sql(s"DROP TABLE IF EXISTS t_app_idx_$s"))
   }
 
+  test("appendToIvfIndex: probe after append == brute force over corpus ∪ batch, still exchange-free") {
+    import graft.ops.SimilarityOps
+    val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
+    val corpus = emb.filter(col("vec_id") < 150)
+    val batch = emb.filter(col("vec_id") >= 150)
+    SimilarityOps.writeIvfIndex(corpus, "t_ivf_app", nCells = 4, buckets = 4)
+    try {
+      SimilarityOps.appendToIvfIndex(batch, "t_ivf_app")
+      val queries = emb.filter(col("vec_id") < 5)
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getInt(3))
+      // exhaustive probe ⇒ the frozen quantizer cannot matter: appended
+      // members must be fully retrievable, exactly
+      val persisted = SimilarityOps.ivfTopKPersisted(queries, "t_ivf_app",
+        k = 5, nProbe = 4).collect().map(key).toSet
+      val exact = SimilarityOps.bruteForceTopK(emb, queries, 5)
+        .collect().map(key).toSet
+      assert(persisted === exact)
+      // some appended vector actually participates in the results
+      assert(spark.table("t_ivf_app_cells")
+        .filter(col("neighbor_id") >= 150).count() === batch.count())
+      assertCorpusExchangeFree(
+        SimilarityOps.ivfTopKPersisted(queries, "t_ivf_app", k = 5, nProbe = 4),
+        "t_ivf_app")
+    } finally Seq("cells", "centroids", "meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS t_ivf_app_$s"))
+  }
+
   test("persisted IVF with nProbe = nCells returns the EXACT top-k (q90's oracle lemma)") {
     import graft.ops.SimilarityOps
     val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
