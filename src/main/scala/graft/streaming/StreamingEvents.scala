@@ -339,6 +339,42 @@ object StreamingEvents {
         } finally scope.release()
       }
 
+  /** STREAMING maintenance of the persisted IVF ANN index — the embedding
+    * twin of [[bandedIndexIngest]]: each micro-batch of vectors probes the
+    * index ([[graft.ops.SimilarityOps.ivfTopKPersisted]], k=1 — "what is my
+    * nearest accepted vector"), vectors whose best cosine clears `minCos`
+    * are rejected as semantic duplicates, and the rest are APPENDED to the
+    * frozen-quantizer index ([[graft.ops.SimilarityOps.appendToIvfIndex]])
+    * so later batches dedup against them.
+    *
+    * Honest limits: partial-probe recall applies (a near-dup hiding in an
+    * unprobed cell slips through — raise `nProbe` to trade cost for
+    * recall); batch siblings are not compared to each other (corpus-probe
+    * semantics, as in [[bandedIndexIngest]]); and the frozen quantizer
+    * drifts — schedule an `ensureIvfIndex` retrain with a new tag when it
+    * matters. Replays re-probe as duplicates of their first copy, so a
+    * replayed epoch cannot re-append a third copy.
+    */
+  def ivfIndexIngest(vectors: DataFrame, tablePrefix: String,
+                     minCos: Double = 0.95, nProbe: Int = 4,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     checkpointDir: String): DataStreamWriter[Row] =
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val dup = graft.ops.SimilarityOps
+            .ivfTopKPersisted(batch, tablePrefix, k = 1, nProbe, idCol, vecCol)
+            .filter(col("cos") >= minCos)
+            .select(col("query_id"))
+          val novel = batch.join(dup,
+            batch(idCol).cast("long") === dup("query_id"), "left_anti")
+          graft.ops.SimilarityOps.appendToIvfIndex(novel, tablePrefix,
+            idCol, vecCol)
+        }
+      }
+
   /** The newest COMMITTED `v<epoch>/` snapshot written by [[upsertSink]]:
     * only directories with a `_SUCCESS` marker count (a crash mid-write
     * leaves a partial directory that must never serve as a base), and

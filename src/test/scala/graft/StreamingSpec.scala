@@ -16,6 +16,8 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 
 case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
+case class Vec(vec_id: Long, embedding: Array[Float])
+
 class StreamingSpec extends SparkTestBase {
 
   import spark.implicits._
@@ -323,6 +325,37 @@ class StreamingSpec extends SparkTestBase {
       query.stop()
       Seq("bands", "sets", "meta").foreach(s =>
         spark.sql(s"DROP TABLE IF EXISTS t_stream_idx_$s"))
+    }
+  }
+
+  test("ivfIndexIngest: stream rejects semantic dups against the index, appends only novel vectors") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.SimilarityOps
+    def axis(d: Int, scale: Float = 10f): Array[Float] =
+      Array.tabulate(4)(j => if (j == d) scale else 0.1f * (j + 1))
+    val corpus = (0 until 12).map(i => (i.toLong, axis(i % 3))).toDF("vec_id", "embedding")
+    SimilarityOps.writeIvfIndex(corpus, "t_stream_ivf", nCells = 3, buckets = 4)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivf-ingest").toString
+    val mem = MemoryStream[Vec]
+    // nProbe = nCells: recall is exact in-test, so accept/reject is
+    // deterministic
+    val query = StreamingEvents.ivfIndexIngest(mem.toDF(), "t_stream_ivf",
+      minCos = 0.95, nProbe = 3, checkpointDir = ckpt).start()
+    try {
+      // epoch 0: a copy of a corpus direction (dup) + a brand-new direction
+      mem.addData(Vec(100L, axis(0)), Vec(101L, axis(3)))
+      query.processAllAvailable()
+      // epoch 1: a near-copy of the vector epoch 0 just accepted → rejected
+      mem.addData(Vec(102L, axis(3, 9.5f)))
+      query.processAllAvailable()
+      val indexed = spark.table("t_stream_ivf_cells")
+        .select("neighbor_id").collect().map(_.getLong(0)).toSet
+      assert(indexed === (0L until 12L).toSet + 101L,
+        s"only the novel direction may be appended: $indexed")
+    } finally {
+      query.stop()
+      Seq("cells", "centroids", "meta").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS t_stream_ivf_$s"))
     }
   }
 
