@@ -111,6 +111,36 @@ object GraftProps extends Properties("graft") {
         ids.forall(_ % 3 == 0)
     }
 
+  property("deterministicShuffle: permutation of 0..n-1, stable under repartition, any id sign") =
+    Prop.forAllNoShrink(
+      Gen.listOfN(25, Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)).map(_.distinct),
+      Gen.chooseNum(1, 7)) { (ids, parts) =>
+      val df = ids.toDF("doc_id")
+      val pos = RelationalOps.deterministicShuffle(df, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val again = RelationalOps.deterministicShuffle(df.repartition(parts), "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      pos.values.toSeq.sorted == (0L until ids.size.toLong) && pos == again
+    }
+
+  property("ngramSpanContamination: spans ordered, disjoint, inside the doc, each ≥ n tokens") =
+    Prop.forAllNoShrink(Gen.chooseNum(2, 4), Gen.chooseNum(5, 30)) { (n, len) =>
+      // train = a rotating slice of the eval doc, so overlap exists often
+      val evalToks = (0 until len).map(i => s"w${i % 7}")
+      val doc = evalToks.mkString(" ")
+      val train = Seq((0L, evalToks.drop(len / 3).mkString(" "))).toDF("doc_id", "text")
+      val eval = Seq((1L, doc)).toDF("doc_id", "text")
+      val spans = DedupOps.ngramSpanContamination(train, eval, n)
+        .orderBy("span_start").collect()
+        .map(r => (r.getInt(1), r.getInt(2), r.getLong(3)))
+      spans.forall { case (s, e, g) =>
+        s >= 1 && e <= len && e - s + 1 >= n && g >= 1
+      } && spans.sliding(2).forall {
+        case Array((_, e1, _), (s2, _, _)) => s2 > e1 + 1 // disjoint, non-adjacent
+        case _ => true
+      }
+    }
+
   // keep Spark-backed properties cheap
   override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
     p.withMinSuccessfulTests(8)
