@@ -406,6 +406,19 @@ object SparkEntry {
       TextOps.removeRepeatedSpans(t(s, d, "documents"), n = 3)
         .orderBy(col("doc_id"))),
 
+    // the full eval-holdout WORKFLOW in one query: the engine's own
+    // deterministic 80/20 split, then exact 8-gram span decontamination of
+    // the eval half against the train half — the composition a real
+    // pipeline runs before training (q42's split × q91's spans)
+    "q96_split_decontamination" -> { (s, d) =>
+      val split = RelationalOps.hashSplit(t(s, d, "documents"), "doc_id",
+        Seq(0.8, 0.2))
+      DedupOps.ngramSpanContamination(
+          split.filter(col("split") === 0),
+          split.filter(col("split") === 1), n = 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+
     // the corpus DATASHEET: doc/dedup/token tallies at every (source, lang)
     // granularity in ONE cube pass — '<all>' rows via grouping() flags, so
     // real nulls could never be confused with the rollup totals
@@ -1571,6 +1584,32 @@ object SparkEntry {
          |LEFT JOIN tot ON tot.doc_id = d.doc_id
          |LEFT JOIN reb ON reb.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // q42's md5 split bucket decides the sides; q91's span machinery does
+    // the decontamination — one composed oracle
+    "q96_split_decontamination" -> {
+      val tokHash = s"${ops.DetHash.sqlMd5Hash60("t")} % ${ops.DetHash.P}"
+      val grams8 = ops.DetHash.sqlShingleHashes("th", 8)
+      val bucket =
+        s"${ops.DetHash.sqlMd5Hash60("'split|' || CAST(doc_id AS VARCHAR)")} % 10000"
+      s"""WITH tok AS (SELECT doc_id, ($bucket) < 8000 AS is_train,
+         |    list_transform($toksSql, t -> $tokHash) AS th FROM documents),
+         |tg AS (SELECT DISTINCT unnest($grams8) AS h FROM tok WHERE is_train),
+         |eg AS (SELECT doc_id AS id, $grams8 AS gl FROM tok WHERE NOT is_train),
+         |ep AS (SELECT id, CAST(t.i AS INTEGER) AS pos, gl[t.i] AS h
+         |  FROM eg, UNNEST(range(1, len(gl) + 1)) AS t(i)),
+         |m AS (SELECT id, pos FROM ep WHERE h IN (SELECT h FROM tg)),
+         |isl AS (SELECT id, pos,
+         |    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+         |      THEN 1 ELSE 0 END AS ni
+         |  FROM m WINDOW w AS (PARTITION BY id ORDER BY pos)),
+         |grp AS (SELECT id, pos,
+         |    sum(ni) OVER (PARTITION BY id ORDER BY pos) AS island FROM isl)
+         |SELECT id AS doc_id, min(pos) AS span_start,
+         |  CAST(max(pos) + 7 AS INTEGER) AS span_end,
+         |  CAST(count(*) AS BIGINT) AS n_grams
+         |FROM grp GROUP BY id, island ORDER BY doc_id, span_start""".stripMargin
     },
 
     "q95_corpus_datasheet" ->
