@@ -303,10 +303,18 @@ object DedupOps {
     val spark = corpus.sparkSession
     import spark.implicits._
     Bucketing.saveTable(
-      Seq((k, bands, shingleK, maxBucket, corpusTag))
-        .toDF("k", "bands", "shingle_k", "max_bucket", "corpus_tag"),
+      Seq((k, bands, shingleK, maxBucket, corpusTag, bandedIndexFormatVersion))
+        .toDF("k", "bands", "shingle_k", "max_bucket", "corpus_tag", "fmt"),
       s"${tablePrefix}_meta")
   }
+
+  /** Stamped into every banded-index meta row and re-checked by
+    * [[ensureBandedIndex]]: BUMP whenever the signature conventions change
+    * (tokenization, md5 derivation, Horner fold, banding), so an index
+    * built by older code can never be silently reused — the tag says which
+    * CORPUS the index describes, this says which CODE built it.
+    */
+  val bandedIndexFormatVersion: Int = 1
 
   /** Build the banded index ONLY IF the persisted one is stale: a no-op
     * when all three tables exist and the meta row matches both `corpusTag`
@@ -329,6 +337,8 @@ object DedupOps {
         .forall(s => spark.catalog.tableExists(s"${tablePrefix}_$s")) && {
         val m = spark.table(s"${tablePrefix}_meta").head()
         m.schema.fieldNames.contains("corpus_tag") &&
+          m.schema.fieldNames.contains("fmt") &&
+          m.getAs[Int]("fmt") == bandedIndexFormatVersion &&
           m.getAs[String]("corpus_tag") == corpusTag &&
           m.getAs[Int]("k") == k && m.getAs[Int]("bands") == bands &&
           m.getAs[Int]("shingle_k") == shingleK &&
@@ -347,8 +357,8 @@ object DedupOps {
     * `insertInto` the bucketed tables, which re-buckets JUST the new rows —
     * the existing corpus files are untouched and later probes stay
     * exchange-free. The write-time bucket cap is preserved against the
-    * COMBINED size: a batch row whose (band_idx, band_sig) bucket would
-    * exceed `maxBucket` counting the rows already indexed is dropped (the
+    * COMBINED size per row: batch rows fill a (band_idx, band_sig) bucket's
+    * remaining slots in id order and only the overflow is dropped (the
     * existing-count lookup is a group-by on the bucketed table — no corpus
     * shuffle). Already-over-cap buckets therefore never grow. Pass
     * `newCorpusTag` to restamp the meta row so a later
@@ -367,12 +377,16 @@ object DedupOps {
     val banded = bandedSigsNative(sets, k, bands)
     val existing = spark.table(s"${tablePrefix}_bands")
       .groupBy(col("band_idx"), col("band_sig")).agg(count(lit(1)).as("bn0"))
+    // per-ROW cap, not all-or-nothing: rows fill the bucket's remaining
+    // slots in (deterministic) id order; only the overflow drops. An
+    // all-rows-or-none filter would reject a whole batch bucket because
+    // ONE slot was missing
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band_idx"), col("band_sig"))
-    val capped = banded.withColumn("bn", count(lit(1)).over(w))
+      .partitionBy(col("band_idx"), col("band_sig")).orderBy(col("id"))
+    val capped = banded.withColumn("rn", row_number().over(w))
       .join(existing, Seq("band_idx", "band_sig"), "left")
       .na.fill(0L, Seq("bn0"))
-      .filter(col("bn") + col("bn0") <= maxBucket)
+      .filter(col("rn") + col("bn0") <= maxBucket)
       .select(col("band_idx"), col("band_sig"), col("id"))
     capped.write.insertInto(s"${tablePrefix}_bands")
     sets.select(col("id"), col("hs"), col("sz"))
@@ -380,8 +394,9 @@ object DedupOps {
     if (newCorpusTag.nonEmpty) {
       import spark.implicits._
       graft.sources.Bucketing.saveTable(
-        Seq((k, bands, shingleK, maxBucket, newCorpusTag))
-          .toDF("k", "bands", "shingle_k", "max_bucket", "corpus_tag"),
+        Seq((k, bands, shingleK, maxBucket, newCorpusTag,
+            bandedIndexFormatVersion))
+          .toDF("k", "bands", "shingle_k", "max_bucket", "corpus_tag", "fmt"),
         s"${tablePrefix}_meta")
     }
   }

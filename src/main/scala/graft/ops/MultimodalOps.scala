@@ -137,10 +137,14 @@ object MultimodalOps {
       // per-partition decoder setup: in-memory stream cache, no tmp files
       javax.imageio.ImageIO.setUseCache(false)
       rows.flatMap { case (id, bytes) =>
+        // NonFatal, not just IOException: JDK readers throw runtime
+        // exceptions on corrupt-but-recognized payloads (truncated IHDR,
+        // hostile dimensions), and a NULL payload must drop, not NPE a task
         val img =
-          try Option(javax.imageio.ImageIO.read(
+          if (bytes == null) None
+          else try Option(javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes)))
-          catch { case _: java.io.IOException => None }
+          catch { case scala.util.control.NonFatal(_) => None }
         img.map { im =>
           val raster = im.getRaster
           val (w, h, bands) = (im.getWidth, im.getHeight, raster.getNumBands)

@@ -556,9 +556,17 @@ object SimilarityOps {
         .toDF("cell", "center"),
       s"${tablePrefix}_centroids")
     graft.sources.Bucketing.saveTable(
-      Seq((nCells, seed, corpusTag)).toDF("n_cells", "seed", "corpus_tag"),
+      Seq((nCells, seed, corpusTag, ivfIndexFormatVersion))
+        .toDF("n_cells", "seed", "corpus_tag", "fmt"),
       s"${tablePrefix}_meta")
   }
+
+  /** Stamped into the IVF meta row, re-checked by [[ensureIvfIndex]]: bump
+    * when the quantizer/layout conventions change so stale-code indexes
+    * rebuild instead of silently serving (see
+    * [[graft.ops.DedupOps.bandedIndexFormatVersion]]).
+    */
+  val ivfIndexFormatVersion: Int = 1
 
   /** Build the IVF index ONLY IF the persisted one is stale — the ANN twin
     * of [[graft.ops.DedupOps.ensureBandedIndex]]: a no-op when the three
@@ -577,7 +585,9 @@ object SimilarityOps {
       Seq("cells", "centroids", "meta")
         .forall(s => spark.catalog.tableExists(s"${tablePrefix}_$s")) && {
         val m = spark.table(s"${tablePrefix}_meta").head()
-        m.getAs[String]("corpus_tag") == corpusTag &&
+        m.schema.fieldNames.contains("fmt") &&
+          m.getAs[Int]("fmt") == ivfIndexFormatVersion &&
+          m.getAs[String]("corpus_tag") == corpusTag &&
           m.getAs[Int]("n_cells") == nCells && m.getAs[Long]("seed") == seed
       }
     } catch { case _: Exception => false }
@@ -635,11 +645,15 @@ object SimilarityOps {
     * rows), each query probes its `nProbe` nearest cells, and the probe ⋈
     * members join runs on the bucket key with ZERO corpus-side exchange.
     * Same probe semantics and rerank as [[ivfTopKDistributed]]; queries
-    * need not be corpus members (self-matches are excluded by id).
+    * need not be corpus members (self-matches are excluded by id by
+    * default; pass `excludeSelf = false` when an id-match IS the answer —
+    * the ingest dedup probe wants a replayed vector to find its own first
+    * copy).
     */
   def ivfTopKPersisted(queries: DataFrame, tablePrefix: String, k: Int,
                        nProbe: Int = 4, idCol: String = "vec_id",
-                       vecCol: String = "embedding"): DataFrame = {
+                       vecCol: String = "embedding",
+                       excludeSelf: Boolean = true): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val centers: Array[Array[Double]] = spark.table(s"${tablePrefix}_centroids")
@@ -664,9 +678,11 @@ object SimilarityOps {
       }.toDF("query_id", "cell")
     val q = queries.select(col(idCol).cast("long").as("query_id"),
       col(vecCol).cast("array<float>").as("qv"))
-    val scored = probes.join(q, Seq("query_id"))
+    val joined = probes.join(q, Seq("query_id"))
       .join(members, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    val scored = (if (excludeSelf)
+        joined.filter(col("query_id") =!= col("neighbor_id"))
+      else joined)
       .select(col("query_id"), col("neighbor_id"),
         cosineF(col("qv"), col("cv")).as("cos"))
     RelationalOps.topKPerGroup(scored, Seq("query_id"),

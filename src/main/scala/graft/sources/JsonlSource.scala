@@ -49,13 +49,16 @@ object JsonlSource {
 
   /** Documents-shaped JSONL: (good rows without the corrupt column,
     * corrupt raw lines) — the quarantine split a real ingest does first.
+    * The parsed frame is cached through `scope` (Spark requires the
+    * corrupt-record column to be referenced from a cached frame — a filter
+    * on it alone would be pushed into the parser and change which rows
+    * exist); release the scope when both sides are consumed, or a per-shard
+    * ingest loop leaks one pinned scan per call.
     */
-  def readDocuments(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
-    // cache contract for the split: Spark requires the corrupt-record
-    // column to be referenced only from a cached/materialized frame (a
-    // filter on it alone would otherwise be pushed into the parser and
-    // change which rows exist) — small price, one pass
-    val raw = read(spark, path, documentSchema).cache()
+  def readDocuments(spark: SparkSession, path: String,
+                    scope: graft.ops.CacheScope = graft.ops.CacheScope.default
+                   ): (DataFrame, DataFrame) = {
+    val raw = scope.register(read(spark, path, documentSchema))
     val good = raw.filter(col(corruptCol).isNull).drop(corruptCol)
     val bad = raw.filter(col(corruptCol).isNotNull).select(col(corruptCol))
     (good, bad)

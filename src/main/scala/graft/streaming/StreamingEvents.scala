@@ -331,8 +331,15 @@ object StreamingEvents {
           if (!b.isEmpty) {
             val report = graft.ops.DedupOps.probeBandedIndex(
               b, tablePrefix, textCol, idCol, minJaccard, scope)
+            // localCheckpoint (eager) TRUNCATES the lineage before the
+            // append mutates the very tables the probe read: a cache loss
+            // mid-append would otherwise re-evaluate `novel` against the
+            // half-mutated index (every doc would match its own just-
+            // inserted bands → novel collapses to empty → the _sets insert
+            // writes nothing and the index is permanently inconsistent)
             val novel = b.join(
-              report.filter(col("novel")).select(col(idCol)), Seq(idCol), "left_semi")
+                report.filter(col("novel")).select(col(idCol)), Seq(idCol), "left_semi")
+              .localCheckpoint()
             graft.ops.DedupOps.appendToBandedIndex(novel, tablePrefix,
               textCol, idCol, newCorpusTag = s"stream-epoch-$epoch", scope = scope)
           }
@@ -352,8 +359,11 @@ object StreamingEvents {
     * recall); batch siblings are not compared to each other (corpus-probe
     * semantics, as in [[bandedIndexIngest]]); and the frozen quantizer
     * drifts — schedule an `ensureIvfIndex` retrain with a new tag when it
-    * matters. Replays re-probe as duplicates of their first copy, so a
-    * replayed epoch cannot re-append a third copy.
+    * matters. Replays re-probe as duplicates of their first copy — the
+    * probe runs with `excludeSelf = false`, so a replayed vector FINDS its
+    * own indexed copy (same id, cos 1.0) and is rejected; with the default
+    * self-exclusion the first copy would be filtered out and every replay
+    * would re-append (tested).
     */
   def ivfIndexIngest(vectors: DataFrame, tablePrefix: String,
                      minCos: Double = 0.95, nProbe: Int = 4,
@@ -365,11 +375,15 @@ object StreamingEvents {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val dup = graft.ops.SimilarityOps
-            .ivfTopKPersisted(batch, tablePrefix, k = 1, nProbe, idCol, vecCol)
+            .ivfTopKPersisted(batch, tablePrefix, k = 1, nProbe, idCol, vecCol,
+              excludeSelf = false)
             .filter(col("cos") >= minCos)
             .select(col("query_id"))
+          // eager lineage truncation before mutating the probed table —
+          // same recompute hazard as bandedIndexIngest
           val novel = batch.join(dup,
-            batch(idCol).cast("long") === dup("query_id"), "left_anti")
+              batch(idCol).cast("long") === dup("query_id"), "left_anti")
+            .localCheckpoint()
           graft.ops.SimilarityOps.appendToIvfIndex(novel, tablePrefix,
             idCol, vecCol)
         }

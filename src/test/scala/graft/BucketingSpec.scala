@@ -210,6 +210,34 @@ class BucketingSpec extends SparkTestBase {
       spark.sql(s"DROP TABLE IF EXISTS t_ivf_app_$s"))
   }
 
+  test("appendToBandedIndex cap: batch rows fill remaining slots, only overflow drops") {
+    import graft.ops.DedupOps
+    import spark.implicits._
+    val text = (0 until 20).map(i => s"w$i").mkString(" ")
+    // 3 identical corpus docs (every band bucket holds 3), cap = 5
+    val corpus = (0L until 3L).map((_, text)).toDF("doc_id", "text")
+    DedupOps.writeBandedIndex(corpus, "t_cap_idx", maxBucket = 5, buckets = 4,
+      corpusTag = "cap")
+    try {
+      // 4 identical batch docs: 2 fit (3+2 = 5), 2 overflow — the previous
+      // all-or-nothing filter would have dropped all 4
+      val batch = (10L until 14L).map((_, text)).toDF("doc_id", "text")
+      DedupOps.appendToBandedIndex(batch, "t_cap_idx")
+      val perBucket = spark.table("t_cap_idx_bands")
+        .groupBy("band_idx", "band_sig").count()
+        .select("count").collect().map(_.getLong(0))
+      assert(perBucket.nonEmpty)
+      assert(perBucket.forall(_ === 5L),
+        s"every bucket must fill to exactly the cap: ${perBucket.toSeq}")
+      // deterministic admission: the LOWEST batch ids won the slots
+      val admitted = spark.table("t_cap_idx_bands")
+        .filter(col("id") >= 10L).select("id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(admitted === Set(10L, 11L))
+    } finally Seq("bands", "sets", "meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS t_cap_idx_$s"))
+  }
+
   test("persisted IVF with nProbe = nCells returns the EXACT top-k (q90's oracle lemma)") {
     import graft.ops.SimilarityOps
     val emb = Tables(spark, SparkTestBase.sf001, "embeddings")

@@ -700,10 +700,15 @@ class OpsSpec extends SparkTestBase {
     val bmp = new BufferedImage(2, 1, BufferedImage.TYPE_INT_RGB)
     bmp.setRGB(0, 0, 0)
     bmp.setRGB(1, 0, (90 << 16) | (120 << 8) | 150)
+    // hostile rows a crawl WILL contain: non-image bytes, a NULL payload,
+    // and a recognized-magic-but-corrupt PNG — all must DROP, never crash
+    val corruptPng = encode(png1, "png").take(12)
     val rows = Seq(
       (0L, encode(png1, "png")),
       (1L, encode(bmp, "bmp")),
-      (2L, "definitely not an image".getBytes("UTF-8")))
+      (2L, "definitely not an image".getBytes("UTF-8")),
+      (5L, null.asInstanceOf[Array[Byte]]),
+      (6L, corruptPng))
     val df = rows.toDF("doc_id", "p")
     // the payloads really carry the formats they claim (same sniff as q31)
     val sniffed = MultimodalOps.payloadMeta(df, "p").collect()

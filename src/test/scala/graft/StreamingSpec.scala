@@ -348,10 +348,15 @@ class StreamingSpec extends SparkTestBase {
       // epoch 1: a near-copy of the vector epoch 0 just accepted → rejected
       mem.addData(Vec(102L, axis(3, 9.5f)))
       query.processAllAvailable()
+      // epoch 2 = a REPLAY of the accepted vector (same id, same data):
+      // with self-exclusion the probe would discard its own first copy and
+      // re-append forever; the ingest probe must find it and reject
+      mem.addData(Vec(101L, axis(3)))
+      query.processAllAvailable()
       val indexed = spark.table("t_stream_ivf_cells")
-        .select("neighbor_id").collect().map(_.getLong(0)).toSet
-      assert(indexed === (0L until 12L).toSet + 101L,
-        s"only the novel direction may be appended: $indexed")
+        .select("neighbor_id").collect().map(_.getLong(0)).toSeq
+      assert(indexed.sorted === ((0L until 12L) :+ 101L).sorted,
+        s"only the novel direction may be appended, exactly once: $indexed")
     } finally {
       query.stop()
       Seq("cells", "centroids", "meta").foreach(s =>
