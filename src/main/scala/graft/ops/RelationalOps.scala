@@ -348,8 +348,14 @@ object RelationalOps {
     * — a prefix of the sort key, so ordering by (bucket, hash, id) IS the
     * total order — within-bucket ranks run as a parallel bucket-partitioned
     * window, bucket offsets come from one tiny (nBuckets-row) aggregate
-    * windowed on the driver-sized side and broadcast back. 2^10 buckets ≈
-    * uniform 0.1% of the corpus per window partition at any scale.
+    * windowed on the driver-sized side and broadcast back.
+    *
+    * SIZE `bucketBits` to the corpus: each of the 2^bucketBits buckets is
+    * one window partition that must sort in an executor, so pick
+    * bucketBits ≈ log2(corpus_bytes / 256 MB) — the 10 default fits ~256 GB
+    * of key+payload; a 100 TB corpus wants ~18-19 bits (≈ 400 k buckets,
+    * still a trivially-broadcast offsets table). The md5 hash is uniform,
+    * so buckets stay balanced at any setting.
     */
   def deterministicShuffle(df: DataFrame, idCol: String,
                            salt: String = "shuffle",
