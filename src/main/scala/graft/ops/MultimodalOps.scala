@@ -9,14 +9,15 @@ import org.apache.spark.sql.types._
   * pure expressions (size, format sniff, chunking), plus a partition-wise
   * decode stub showing the batch shape a real decoder plugs into.
   *
-  * Design: the *pipeline* (schema, partitioning, per-batch iteration) is
-  * real and tested. Image decode is REAL for the JDK's bundled readers
-  * ([[decodeImage]]: PNG/BMP/GIF/JPEG/WBMP via `javax.imageio`); the
-  * remaining codec stages (resize, feature extraction — which would need
-  * ffmpeg/a model runtime) are clearly-marked deterministic STUBS whose
-  * plumbing is the production contract. Swapping a stub body for an actual
-  * codec (JNI/javacpp ffmpeg, TwelveMonkeys ImageIO, ...) changes no
-  * plumbing.
+  * Design: the image tier is REAL end-to-end for the JDK's bundled formats
+  * (PNG/BMP/GIF/JPEG/WBMP via `javax.imageio`): [[decodeImage]] decodes,
+  * [[resizeImage]] box-filter-scales and PNG-re-encodes, and
+  * [[extractFeatures]] emits DCT perceptual embeddings that feed
+  * [[SimilarityOps]] directly. [[decodeImageStub]] remains as the
+  * deterministic fake for formats with no bundled codec (webp/avif,
+  * audio/video — which would need ffmpeg or a model runtime); its
+  * `mapPartitions` plumbing is identical, so swapping in an actual codec
+  * (JNI/javacpp ffmpeg, TwelveMonkeys ImageIO, ...) changes no plumbing.
   *
   * At 100 TB: payload bytes never shuffle — metadata extraction is a narrow
   * projection fused into the scan; the decode stage is `mapPartitions` over
@@ -168,56 +169,205 @@ object MultimodalOps {
   /** Resized-payload record: id, target dims, re-encoded bytes. */
   final case class ResizedImage(id: Long, width: Int, height: Int, payload: Array[Byte])
 
-  /** STUB resize stage: (id, bytes) → (id, targetW, targetH, bytes'). The
-    * plumbing is the production contract — mapPartitions (one scaler context
-    * per partition), binary in/binary out so stages chain, target dims as
-    * driver-side config baked into the closure. The "resize" itself is a
-    * deterministic byte subsample, NOT a real scaler (no codec libs in this
-    * environment); a real impl replaces only the loop body.
+  /** Decode `bytes` with the JDK's bundled readers, or None for anything a
+    * crawl can throw at us (corrupt, truncated, non-image, NULL).
     */
-  def resizeImageStub(df: DataFrame, idCol: String, binCol: String,
-                      targetW: Int, targetH: Int): Dataset[ResizedImage] = {
+  private def tryDecode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (bytes == null) None
+    else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Box-filter scale of one band: target pixel (x,y) averages the source
+    * block [x*srcW/dstW, max(+1, (x+1)*srcW/dstW)) × [y*srcH/dstH, ...).
+    * Integer-exact block boundaries and half-up integer rounding make the
+    * result bit-identical across JVMs and platforms — the repo's determinism
+    * convention — unlike `AffineTransformOp`/`getScaledInstance`, whose
+    * filtering is JDK-implementation-defined. Downscale = mean of the block
+    * (anti-aliased); upscale degenerates to nearest-neighbor (1-pixel block).
+    */
+  private def boxScaleBand(src: java.awt.image.Raster, band: Int,
+                           srcW: Int, srcH: Int, dstW: Int, dstH: Int): Array[Int] = {
+    val out = new Array[Int](dstW * dstH)
+    var y = 0
+    while (y < dstH) {
+      val y0 = y * srcH / dstH
+      val y1 = math.max(y0 + 1, (y + 1) * srcH / dstH)
+      var x = 0
+      while (x < dstW) {
+        val x0 = x * srcW / dstW
+        val x1 = math.max(x0 + 1, (x + 1) * srcW / dstW)
+        var sum = 0L; var sy = y0
+        while (sy < y1) {
+          var sx = x0
+          while (sx < x1) { sum += src.getSample(sx, sy, band); sx += 1 }
+          sy += 1
+        }
+        val n = (x1 - x0).toLong * (y1 - y0)
+        out(y * dstW + x) = ((sum + n / 2) / n).toInt
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Normalize any decoded raster to 3-band RGB so downstream stages see one
+    * banding. Gray replicates the single band; RGBA drops alpha (the usual
+    * ingest convention); palette/custom types go through `getRGB`.
+    */
+  private def toRgbBands(im: java.awt.image.BufferedImage): (Array[Int], Array[Int], Array[Int]) = {
+    val (w, h) = (im.getWidth, im.getHeight)
+    val (r, g, b) = (new Array[Int](w * h), new Array[Int](w * h), new Array[Int](w * h))
+    val raster = im.getRaster
+    val bands = raster.getNumBands
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y * w + x
+        if (bands >= 3 && im.getColorModel.getColorSpace.getType == java.awt.color.ColorSpace.TYPE_RGB
+          && im.getType != java.awt.image.BufferedImage.TYPE_BYTE_INDEXED) {
+          r(i) = raster.getSample(x, y, 0); g(i) = raster.getSample(x, y, 1); b(i) = raster.getSample(x, y, 2)
+        } else if (bands == 1) {
+          val v = raster.getSample(x, y, 0); r(i) = v; g(i) = v; b(i) = v
+        } else {
+          val rgb = im.getRGB(x, y)
+          r(i) = (rgb >> 16) & 0xff; g(i) = (rgb >> 8) & 0xff; b(i) = rgb & 0xff
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (r, g, b)
+  }
+
+  /** REAL resize stage: decode (JDK readers), deterministic box-filter scale
+    * to `targetW`×`targetH` in RGB, lossless PNG re-encode via
+    * `ImageIO.write` — zero new dependencies. Same contract as the decode
+    * stage: `mapPartitions` (scaler/encoder state per partition, not per
+    * row), binary in / binary out so stages chain, payload bytes never
+    * shuffle, undecodable rows DROP (decode is a filter+map; audit drop
+    * counts with [[payloadMeta]] upstream).
+    *
+    * The scaling kernel is a hand-rolled box filter rather than
+    * `AffineTransformOp` so output bytes are bit-identical across JDK
+    * builds — resized payloads feed content-addressed dedup
+    * ([[DedupOps]] fingerprints), where platform-dependent resampling would
+    * make equal images hash unequal.
+    */
+  def resizeImage(df: DataFrame, idCol: String, binCol: String,
+                  targetW: Int, targetH: Int): Dataset[ResizedImage] = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
     val input = df.select(col(idCol).cast("long"), col(binCol))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
     input.mapPartitions { rows =>
-      // real impl: scaler context opens once here
-      val outLen = targetW * targetH
-      rows.map { case (id, bytes) =>
-        // STUB: deterministic subsample to outLen bytes (stride sampling —
-        // the access pattern a nearest-neighbor downscale would have)
-        val out = new Array[Byte](outLen)
-        if (bytes.nonEmpty) {
+      javax.imageio.ImageIO.setUseCache(false) // in-memory streams, no tmp files
+      rows.flatMap { case (id, bytes) =>
+        tryDecode(bytes).map { im =>
+          val (w, h) = (im.getWidth, im.getHeight)
+          // normalize banding once, then scale each RGB band with the box filter
+          val rgbIm = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val (rB, gB, bB) = toRgbBands(im)
           var i = 0
-          while (i < outLen) { out(i) = bytes((i.toLong * bytes.length / outLen).toInt); i += 1 }
+          while (i < w * h) {
+            rgbIm.setRGB(i % w, i / w, (rB(i) << 16) | (gB(i) << 8) | bB(i)); i += 1
+          }
+          val raster = rgbIm.getRaster
+          val (ro, go, bo) = (boxScaleBand(raster, 0, w, h, targetW, targetH),
+            boxScaleBand(raster, 1, w, h, targetW, targetH),
+            boxScaleBand(raster, 2, w, h, targetW, targetH))
+          val out = new java.awt.image.BufferedImage(targetW, targetH,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var j = 0
+          while (j < targetW * targetH) {
+            out.setRGB(j % targetW, j / targetW, (ro(j) << 16) | (go(j) << 8) | bo(j)); j += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos) // PNG: lossless + deterministic
+          ResizedImage(id, targetW, targetH, bos.toByteArray)
         }
-        ResizedImage(id, targetW, targetH, out)
       }
     }(Encoders.product[ResizedImage])
   }
 
-  /** STUB feature extraction: decoded/resized payload → a `dim`-wide float
-    * embedding, the stage that feeds [[SimilarityOps]] (ANN, near-dup) from
-    * multimodal data. Embeddings are a deterministic byte-histogram
-    * projection, NOT a real model; the contract — mapPartitions batching,
-    * one model context per partition, `array<float>` output compatible with
-    * every SimilarityOps operator — is real.
+  /** Orthonormal 2-D DCT-II of an n×n block (row-major). O(n³) per axis —
+    * n is the feature grid (≤32), so microseconds per image.
     */
-  def extractFeaturesStub(df: DataFrame, idCol: String, binCol: String,
-                          dim: Int = 64): DataFrame = {
+  private def dct2d(block: Array[Double], n: Int): Array[Double] = {
+    val cos = Array.tabulate(n, n)((k, x) => math.cos((2 * x + 1) * k * math.Pi / (2.0 * n)))
+    val scale = Array.tabulate(n)(k => if (k == 0) math.sqrt(1.0 / n) else math.sqrt(2.0 / n))
+    val tmp = new Array[Double](n * n) // rows
+    var y = 0
+    while (y < n) {
+      var k = 0
+      while (k < n) {
+        var s = 0.0; var x = 0
+        while (x < n) { s += block(y * n + x) * cos(k)(x); x += 1 }
+        tmp(y * n + k) = scale(k) * s
+        k += 1
+      }
+      y += 1
+    }
+    val outArr = new Array[Double](n * n) // cols
+    var u = 0
+    while (u < n) {
+      var k = 0
+      while (k < n) {
+        var s = 0.0; var yy = 0
+        while (yy < n) { s += tmp(yy * n + u) * cos(k)(yy); yy += 1 }
+        outArr(k * n + u) = scale(k) * s
+        k += 1
+      }
+      u += 1
+    }
+    outArr
+  }
+
+  /** REAL perceptual feature extraction: decode → Rec.601 luma → box-filter
+    * to a `gridN`×`gridN` intensity grid → orthonormal 2-D DCT-II → the
+    * low-frequency `featN`×`featN` block as a `dim = featN²`-wide
+    * `array<float>` embedding (the classic pHash construction, DC term
+    * included so uniform brightness is representable). Pure JDK math, fully
+    * deterministic; output schema is the `embeddings`-table contract, so the
+    * result feeds every [[SimilarityOps]] operator (brute-force top-k, SRP
+    * dedup, IVF index) unchanged.
+    *
+    * `mapPartitions` keeps the one-context-per-partition shape a learned
+    * encoder would need; swapping DCT for a model session changes no
+    * plumbing. Undecodable rows DROP, as in [[decodeImage]].
+    */
+  def extractFeatures(df: DataFrame, idCol: String, binCol: String,
+                      gridN: Int = 32, featN: Int = 8): DataFrame = {
+    require(featN <= gridN, s"featN=$featN must be <= gridN=$gridN")
     val spark = df.sparkSession
     import spark.implicits._
     val input = df.select(col(idCol).cast("long"), col(binCol))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
     input.mapPartitions { rows =>
-      // real impl: model session loads once here
-      rows.map { case (id, bytes) =>
-        val v = new Array[Float](dim)
-        var i = 0
-        while (i < bytes.length) { v((bytes(i) & 0xff) % dim) += 1.0f; i += 1 }
-        val n = math.max(bytes.length, 1).toFloat
-        var j = 0
-        while (j < dim) { v(j) /= n; j += 1 }
-        (id, v)
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { case (id, bytes) =>
+        tryDecode(bytes).map { im =>
+          val (w, h) = (im.getWidth, im.getHeight)
+          val (rB, gB, bB) = toRgbBands(im)
+          // Rec.601 integer luma — the standard grayscale projection
+          val lumaIm = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val lr = lumaIm.getRaster
+          var i = 0
+          while (i < w * h) {
+            lr.setSample(i % w, i / w, 0, (rB(i) * 299 + gB(i) * 587 + bB(i) * 114) / 1000); i += 1
+          }
+          val grid = boxScaleBand(lumaIm.getRaster, 0, w, h, gridN, gridN)
+          val coeffs = dct2d(grid.map(_.toDouble), gridN)
+          val v = new Array[Float](featN * featN)
+          var fy = 0
+          while (fy < featN) {
+            var fx = 0
+            while (fx < featN) { v(fy * featN + fx) = coeffs(fy * gridN + fx).toFloat; fx += 1 }
+            fy += 1
+          }
+          (id, v)
+        }
       }
     }.toDF(idCol, "embedding")
   }

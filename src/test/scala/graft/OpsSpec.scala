@@ -728,25 +728,107 @@ class OpsSpec extends SparkTestBase {
     assert(r.width === 1 && r.height === 1 && r.meanPixel === 20.0)
   }
 
-  test("multimodal: resize/feature-extract/frame-sample stages chain with real plumbing") {
+  // shared fixture encoder for the real image stages
+  private def encodeImage(im: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(im, fmt, bos), s"JDK must ship a $fmt writer")
+    bos.toByteArray
+  }
+
+  test("multimodal: REAL resize — box-filter golden pixels, PNG round-trip, drops") {
+    import java.awt.image.BufferedImage
+    // 2x2 with known pixels; 1x1 box average is exact: r=70 g=80 b=90
+    val im2 = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    im2.setRGB(0, 0, (10 << 16) | (20 << 8) | 30)
+    im2.setRGB(1, 0, (50 << 16) | (60 << 8) | 70)
+    im2.setRGB(0, 1, (90 << 16) | (100 << 8) | 110)
+    im2.setRGB(1, 1, (130 << 16) | (140 << 8) | 150)
+    // 1x1 for the upscale direction
+    val im1 = new BufferedImage(1, 1, BufferedImage.TYPE_INT_RGB)
+    im1.setRGB(0, 0, (10 << 16) | (20 << 8) | 30)
+    val df = Seq(
+      (0L, encodeImage(im2, "png")),
+      (1L, encodeImage(im1, "bmp")), // cross-format: decode is format-agnostic
+      (2L, "not an image".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "p")
+    val down = MultimodalOps.resizeImage(df.filter($"doc_id" === 0), "doc_id", "p", 1, 1).collect()
+    assert(down.length === 1 && down(0).width === 1 && down(0).height === 1)
+    // re-decode the re-encoded PNG: the single pixel is the exact box mean
+    val reDec = MultimodalOps.decodeImage(
+      Seq((0L, down(0).payload)).toDF("doc_id", "p"), "doc_id", "p").head()
+    assert(reDec.width === 1 && reDec.height === 1)
+    assert(reDec.meanPixel === 80.0) // (70+80+90)/3
+    // upscale: every target pixel replicates the source pixel
+    val up = MultimodalOps.resizeImage(df.filter($"doc_id" === 1), "doc_id", "p", 3, 2).collect()
+    val upDec = MultimodalOps.decodeImage(
+      Seq((1L, up(0).payload)).toDF("doc_id", "p"), "doc_id", "p").head()
+    assert(upDec.width === 3 && upDec.height === 2)
+    assert(upDec.meanPixel === 20.0) // (10+20+30)/3 everywhere
+    // undecodable rows drop; decodable survive; output is valid PNG by sniff
+    val all = MultimodalOps.resizeImage(df, "doc_id", "p", 2, 2)
+    assert(all.collect().map(_.id).toSet === Set(0L, 1L))
+    val sniffed = MultimodalOps.payloadMeta(all.toDF(), "payload").collect()
+    assert(sniffed.forall(_.getAs[String]("format") === "png"))
+    // bit-determinism: same input → identical bytes (content-address safe)
+    val again = MultimodalOps.resizeImage(df, "doc_id", "p", 2, 2).collect()
+    assert(all.collect().sortBy(_.id).map(_.payload.toSeq).toSeq ===
+      again.sortBy(_.id).map(_.payload.toSeq).toSeq)
+  }
+
+  test("multimodal: REAL DCT features — golden DC, AC≈0 on uniform, ANN chain") {
+    import java.awt.image.BufferedImage
+    def gray(w: Int, h: Int, v: Int): BufferedImage = {
+      val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      im
+    }
+    // horizontal gradient and its mirror: same mean luma, opposite AC phase
+    def grad(w: Int, h: Int, flip: Boolean): BufferedImage = {
+      val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ((if (flip) w - 1 - x else x) * 255) / (w - 1)
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      im
+    }
+    // near-dup of the gradient: one corner pixel nudged
+    val nearDup = grad(16, 16, flip = false)
+    nearDup.setRGB(0, 0, (5 << 16) | (5 << 8) | 5)
+    val df = Seq(
+      (0L, encodeImage(gray(5, 7, 100), "png")),
+      (1L, encodeImage(grad(16, 16, flip = false), "png")),
+      (2L, encodeImage(grad(16, 16, flip = true), "png")),
+      (3L, encodeImage(nearDup, "png")),
+      (4L, "junk".getBytes("UTF-8"))).toDF("doc_id", "p")
+    val feats = MultimodalOps.extractFeatures(df, "doc_id", "p", gridN = 32, featN = 8)
+    assert(feats.columns === Array("doc_id", "embedding"))
+    val byId = feats.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Float](1)).toMap
+    assert(byId.keySet === Set(0L, 1L, 2L, 3L), "undecodable row must drop")
+    // uniform gray 100: luma 100 everywhere; orthonormal DC = 100*gridN = 3200
+    val uni = byId(0L)
+    assert(uni.length === 64)
+    assert(math.abs(uni(0) - 3200.0) < 1e-3)
+    assert(uni.drop(1).forall(c => math.abs(c) < 1e-3), "uniform image has zero AC energy")
+    // perceptual ordering: near-dup of the gradient beats the mirrored one
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    assert(cos(byId(1L), byId(3L)) > 0.999)
+    assert(cos(byId(1L), byId(3L)) > cos(byId(1L), byId(2L)))
+    // the chain feeds SimilarityOps unchanged (embeddings-table contract)
+    val corpus = feats.withColumnRenamed("doc_id", "vec_id")
+    val top = SimilarityOps.bruteForceTopK(
+      corpus, corpus.filter($"vec_id" === 3), 2, dim = 64)
+      .orderBy($"rank").collect()
+    assert(top.head.getAs[Long]("neighbor_id") === 1L,
+      "nearest neighbor of the near-dup is its source image")
+  }
+
+  test("multimodal: frame sampling thins payloads without decode") {
     val payloads = docsDf.select($"doc_id",
       MultimodalOps.demoPayload($"doc_id", $"text").as("p"))
-    // resize: every row lands at the target dims, payload = W*H bytes
-    val resized = MultimodalOps.resizeImageStub(payloads, "doc_id", "p", 8, 4).collect()
-    assert(resized.length === 6)
-    assert(resized.forall(r => r.width === 8 && r.height === 4 && r.payload.length === 32))
-    // deterministic: same input → same bytes
-    val again = MultimodalOps.resizeImageStub(payloads, "doc_id", "p", 8, 4).collect()
-    assert(resized.map(_.payload.toSeq).toSeq === again.map(_.payload.toSeq).toSeq)
-    // feature extraction: dim-wide array<float> embeddings that feed
-    // SimilarityOps directly (schema-compatible with the embeddings table)
-    val feats = MultimodalOps.extractFeaturesStub(payloads, "doc_id", "p", dim = 16)
-    assert(feats.columns === Array("doc_id", "embedding"))
-    val top = SimilarityOps.bruteForceTopK(
-      feats.withColumnRenamed("doc_id", "vec_id"),
-      feats.withColumnRenamed("doc_id", "vec_id").filter($"vec_id" === 0), 2, dim = 16)
-    assert(top.count() === 2) // the multimodal→similarity chain composes
-    // frame sampling: every Nth chunk, pure expression
     val frames = payloads.select(
       MultimodalOps.sampleFrames($"p", 7, 2).as("f"),
       MultimodalOps.chunks($"p", 7).as("all")).head
