@@ -419,6 +419,14 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("span_start"))
     },
 
+    // BPE merge-table TRAINING: 6 rounds of distributed pair counting over
+    // the word-frequency table with a total deterministic tiebreak (count
+    // desc, lhs asc, rhs asc); the oracle replays every round verbatim via
+    // the same guarded-delimiter literal replace
+    "q97_bpe_train" -> ((s, d) =>
+      TextOps.trainBpe(t(s, d, "documents"), numMerges = 6)
+        .orderBy(col("merge_rank"))),
+
     // the corpus DATASHEET: doc/dedup/token tallies at every (source, lang)
     // granularity in ONE cube pass — '<all>' rows via grouping() flags, so
     // real nulls could never be confused with the rollup totals
@@ -1610,6 +1618,39 @@ object SparkEntry {
          |  CAST(max(pos) + 7 AS INTEGER) AS span_end,
          |  CAST(count(*) AS BIGINT) AS n_grams
          |FROM grp GROUP BY id, island ORDER BY doc_id, span_start""".stripMargin
+    },
+
+    // each round k: pair-count CTE pK, deterministic-argmax mK, and the
+    // guarded-delimiter literal replace sK — the identical fold the engine
+    // runs (see TextOps.initialSeg for why plain replace IS the BPE merge)
+    "q97_bpe_train" -> {
+      val E = "chr(30)"
+      val SS = s"$E||$E"
+      val rounds = (1 to 6).map { k =>
+        val prev = s"s${k - 1}"
+        s"""p$k AS (
+           |  SELECT pr.l AS lhs, pr.r AS rhs, CAST(sum(freq) AS BIGINT) AS pair_count FROM (
+           |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+           |        i -> struct_pack(l := syms[i], r := syms[i+1]))) AS pr
+           |    FROM (SELECT freq, string_split(trim(seg, $E), $SS) AS syms FROM $prev)
+           |  ) GROUP BY 1, 2),
+           |m$k AS (SELECT lhs, rhs, pair_count FROM p$k
+           |  ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1),
+           |s$k AS (SELECT freq, replace(seg, $E||m.lhs||$SS||m.rhs||$E,
+           |    $E||m.lhs||m.rhs||$E) AS seg FROM $prev CROSS JOIN m$k m)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to 6).map(k =>
+        s"SELECT $k AS merge_rank, lhs, rhs, lhs||rhs AS merged, pair_count FROM m$k")
+        .mkString("\nUNION ALL\n")
+      s"""WITH words AS (
+         |  SELECT w, count(*) AS freq FROM (SELECT unnest($toksSql) AS w FROM documents)
+         |  WHERE len(w) > 0 AND w NOT LIKE '%'||$E||'%' GROUP BY w),
+         |s0 AS (SELECT freq,
+         |  $SS||array_to_string(list_transform(range(1, len(w)+1), i -> w[i]), $SS)||$SS AS seg
+         |  FROM words),
+         |$rounds
+         |$out
+         |ORDER BY merge_rank""".stripMargin
     },
 
     "q95_corpus_datasheet" ->

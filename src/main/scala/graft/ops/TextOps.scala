@@ -559,4 +559,130 @@ object TextOps {
         array_join(slice(col("toks"), (col("start") + 1).cast("int"), lit(chunkTokens)), " ")
           .as("chunk_text"))
   }
+
+  // ---- BPE merge-table training ----
+
+  /** Record separator (U+001E) used as the symbol delimiter in BPE
+    * segmentations — never appears in natural-language tokens; words that do
+    * contain it are excluded from training.
+    */
+  private[graft] val BpeSep = "\u001E"
+  private[graft] val BpeSep2: String = BpeSep + BpeSep
+
+  /** A word's segmentation as a guarded delimited string:
+    * `⟂⟂sym1⟂⟂sym2⟂⟂...⟂⟂` (where `⟂` = [[BpeSep]]). The double-separator
+    * boundary lets a merge of pair (l, r) be applied with a plain literal
+    * `replace(seg, ⟂l⟂⟂r⟂, ⟂lr⟂)`: the pattern keeps one guard separator on
+    * each side un-consumed, so leftmost non-overlapping replacement — the
+    * semantics of both Spark's and every SQL engine's `replace` — is
+    * *exactly* the sequential left-to-right BPE merge fold, including runs
+    * (`[a,a,a,a]` + (a,a) → `[aa,aa]`, never `[aa,a,a]`). The merged symbol
+    * `l+r` is strictly longer than `l`, so it can never seed a second merge
+    * within the same pass, matching the fold there too. This is what makes
+    * the training replayable verbatim by the DuckDB oracle.
+    */
+  private def initialSeg(word: Column): Column =
+    concat(lit(BpeSep2), array_join(split(word, ""), BpeSep2), lit(BpeSep2))
+
+  private def segSymbols(seg: Column): Column =
+    split(trim(seg, BpeSep), BpeSep2)
+
+  private def applyMergeToSeg(seg: Column, l: String, r: String): Column =
+    replace(seg, lit(BpeSep + l + BpeSep2 + r + BpeSep), lit(BpeSep + l + r + BpeSep))
+
+  /** Adjacent symbol pairs of a segmentation, as structs (lhs, rhs); empty
+    * for single-symbol words (guarded — `sequence` would count backwards).
+    */
+  private def segPairs(seg: Column): Column = {
+    val syms = segSymbols(seg)
+    when(size(syms) >= 2,
+      transform(sequence(lit(1), size(syms) - 1), i =>
+        struct(element_at(syms, i).as("lhs"), element_at(syms, i + 1).as("rhs"))))
+      .otherwise(array().cast("array<struct<lhs:string,rhs:string>>"))
+  }
+
+  /** Distributed BPE merge-table training (Sennrich-style, over whitespace
+    * words, character-initial segmentation, no end-of-word marker): for
+    * `numMerges` rounds, count adjacent symbol pairs weighted by word
+    * frequency, pick the most frequent pair with a TOTAL deterministic
+    * tiebreak (count desc, lhs asc, rhs asc), and merge it everywhere.
+    * Returns the merge table — the trained model —
+    * `(merge_rank, lhs, rhs, merged, pair_count)` in training order.
+    *
+    * Scale shape: training runs on the WORD-FREQUENCY table, not the corpus
+    * — one corpus-wide (word → count) shuffle up front, then every round is
+    * a map (pair explode ≤ word length) + a (lhs, rhs) partial-aggregated
+    * count shuffle + a TakeOrdered top-1 (per-partition heaps, no global
+    * sort). At 100 TB the word table is orders of magnitude smaller than
+    * the corpus and stays fully distributed; the per-round driver transfer
+    * is ONE row (the argmax pair — the model-update shape of every
+    * iterative ML trainer here, cf. KMeans centroids), and the returned
+    * merge table is model-sized (`numMerges` rows). Rounds chain map-only
+    * transformations on an eagerly localCheckpoint-ed frame (the q79
+    * PageRank pattern: lineage truncated per round, superseded round's
+    * blocks freed), so round k never re-executes rounds 1..k-1.
+    *
+    * Training stops early if no adjacent pair remains (corpus fully
+    * merged) — with realistic corpora and bounded `numMerges` this does not
+    * trigger, and the oracle replays the fixed unrolled iteration count.
+    */
+  def trainBpe(documents: DataFrame, numMerges: Int = 6,
+               textCol: String = "text"): DataFrame = {
+    require(numMerges >= 1 && numMerges <= 64, "numMerges in [1, 64]")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint()
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+
+    var (segs, segIds) = checkpointTracked(
+      documents.select(explode(tokens(col(textCol))).as("w"))
+        .filter(length(col("w")) > 0 && !col("w").contains(BpeSep))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .select(col("freq"), initialSeg(col("w")).as("seg")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= numMerges && !exhausted) {
+      val top = segs
+        .select(col("freq"), explode(segPairs(col("seg"))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect() // ONE row: the round's argmax — the model update
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((k, l, r, l + r, cnt))
+        val (next, nextIds) = checkpointTracked(
+          segs.withColumn("seg", applyMergeToSeg(col("seg"), l, r)))
+        free(segIds)
+        segs = next
+        segIds = nextIds
+        k += 1
+      }
+    }
+    free(segIds)
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** Apply a trained merge table to a word column: replays the merges in
+    * rank order over the same delimited representation and returns the
+    * symbol array — the subword segmentation q44's id-encoding consumes
+    * (explode + broadcast-join a symbol vocabulary exactly as
+    * [[encodeTokens]] does for whole words). Map-only: the whole merge
+    * chain is one fused projection, no shuffle.
+    */
+  def applyBpeMerges(df: DataFrame, merges: Seq[(String, String)],
+                     wordCol: String = "w"): DataFrame = {
+    val seg = merges.foldLeft(initialSeg(col(wordCol))) { case (s, (l, r)) =>
+      applyMergeToSeg(s, l, r)
+    }
+    df.withColumn("symbols", segSymbols(seg))
+  }
 }

@@ -836,6 +836,52 @@ class OpsSpec extends SparkTestBase {
       (frames.getSeq[Array[Byte]](1).length + 1) / 2)
   }
 
+  // ---- BPE training ----
+
+  test("trainBpe: hand-computed merge table on the classic corpus; round-trip") {
+    // low×5 lower×2 newest×6 widest×3 — the Sennrich worked example.
+    // Hand-computed merges with (count desc, lhs asc, rhs asc) tiebreaks:
+    //   1 (e,s,9)   es/st tie at 9, "e"<"s"
+    //   2 (es,t,9)
+    //   3 (l,o,7)   lo/ow tie at 7, "l"<"o"
+    //   4 (lo,w,7)
+    //   5 (e,w,6)   ew/ne/west tie at 6, "e"<"n"<"w"
+    //   6 (ew,est,6)  ewest/newest-prefix tie at 6, "ew"<"n"
+    val corpus = Seq(
+      (0L, Array.fill(5)("low").mkString(" ") + " " + Array.fill(2)("lower").mkString(" ")),
+      (1L, Array.fill(6)("newest").mkString(" ") + " " + Array.fill(3)("widest").mkString(" ")))
+      .toDF("doc_id", "text")
+    val merges = TextOps.trainBpe(corpus, numMerges = 6).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(merges.toSeq === Seq(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "l", "o", "lo", 7L),
+      (4, "lo", "w", "low", 7L),
+      (5, "e", "w", "ew", 6L),
+      (6, "ew", "est", "ewest", 6L)))
+    // apply: seen and UNSEEN words segment by replaying the merge chain,
+    // and symbols always reassemble to the word (lossless round-trip)
+    val pairs = merges.map(m => (m._2, m._3)).toSeq
+    val segged = TextOps.applyBpeMerges(
+      Seq("newest", "lowest", "low", "widest", "zzz").toDF("w"), pairs)
+    val byWord = segged.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(byWord("newest") === Seq("n", "ewest")) // merges 5 then 6 both fire
+    assert(byWord("lowest") === Seq("low", "est")) // unseen word, learned subwords
+    assert(byWord("low") === Seq("low"))
+    assert(byWord("zzz") === Seq("z", "z", "z"))
+    byWord.foreach { case (w, syms) => assert(syms.mkString("") === w) }
+  }
+
+  test("trainBpe merge fold handles runs leftmost-first (the replace-semantics lemma)") {
+    // [a,a,a,a] + (a,a) must give [aa,aa], and [a,a,a] must give [aa,a]
+    val segged = TextOps.applyBpeMerges(Seq("aaaa", "aaa").toDF("w"), Seq(("a", "a")))
+    val byWord = segged.collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(byWord("aaaa") === Seq("aa", "aa"))
+    assert(byWord("aaa") === Seq("aa", "a"))
+  }
+
   // ---- relational odds and ends not covered by the oracle queries ----
 
   test("unionAccumulate preserves all rows; linearCombo normalizes weights") {
