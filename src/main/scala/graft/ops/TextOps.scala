@@ -409,17 +409,20 @@ object TextOps {
     *
     * Scale shape: n-gram identity is the md5+Horner hash
     * ([[graft.ops.DedupOps.positionedNgramHashes]] — map-only), repeats are
-    * a (doc, hash)-partitioned row_number window, and reconstruction is one
-    * per-doc aggregation over the anti-joined kept tokens. Everything keys
-    * on (doc, int) — no strings shuffle except the final rebuilt text, and
-    * no cross-document work at all.
+    * a (doc, hash)-partitioned row_number window over (id, long, int) rows,
+    * and removed positions aggregate to ONE int array per affected doc —
+    * so only integers cross the exchanges after the span window; token
+    * STRINGS never ship as per-token rows (a ~3-4× payload inflation vs
+    * shipping documents). The rebuild is then map-side: the removed-array
+    * frame (only docs that repeat themselves) joins back to `documents`
+    * (AQE broadcasts it when small) and an indexed HOF filter over the
+    * tokenization drops the removed positions in one fused projection. The
+    * per-token `array_contains` probe is O(|removed|) — bounded by the
+    * pathological doc's own repetition, never by the corpus.
     */
   def removeRepeatedSpans(documents: DataFrame, n: Int = 8,
                           textCol: String = "text",
                           idCol: String = "doc_id"): DataFrame = {
-    val toks = documents.select(col(idCol).as("id"),
-        posexplode(tokens(col(textCol))).as(Seq("tp0", "tok")))
-      .select(col("id"), (col("tp0") + 1).as("tpos"), col("tok"))
     val grams = DedupOps.positionedNgramHashes(documents, textCol, idCol, n)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id"), col("h")).orderBy(col("pos"))
@@ -427,20 +430,17 @@ object TextOps {
       .filter(col("rn") > 1)
       .select(col("id"), explode(sequence(col("pos"), col("pos") + n - 1)).as("tpos"))
       .distinct()
-    val kept = toks.join(removed, Seq("id", "tpos"), "left_anti")
-    val rebuilt = kept.groupBy(col("id"))
-      .agg(array_join(
-          transform(array_sort(collect_list(struct(col("tpos"), col("tok")))),
-            s => s.getField("tok")), " ").as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    val totals = toks.groupBy(col("id")).agg(count(lit(1)).as("n_toks"))
-    documents.select(col(idCol).as("id"))
-      .join(totals, Seq("id"), "left")
-      .join(rebuilt, Seq("id"), "left")
-      .na.fill(0L, Seq("n_toks", "n_kept"))
+      .groupBy(col("id")).agg(collect_list(col("tpos")).as("rm"))
+    val toksC = col("__toks")
+    documents
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .join(removed, Seq("id"), "left")
       .select(col("id").as(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        (col("n_toks") - col("n_kept")).as("n_removed"))
+        when(col("rm").isNull, array_join(toksC, " "))
+          .otherwise(array_join(
+            filter(toksC, (_, i) => !array_contains(col("rm"), i + 1)), " "))
+          .as("clean_text"),
+        coalesce(size(col("rm")), lit(0)).cast("long").as("n_removed"))
   }
 
   /** Concat-and-chunk sequence packing: lay the corpus out as one token

@@ -339,6 +339,29 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
+  test("q92 repeated spans: only ints cross the span exchanges, tokens never ship as rows") {
+    // the removed-position frame aggregates to ONE int array per doc before
+    // anything re-joins the documents; a per-token (id, tpos, tok) shuffle
+    // would inflate the exchange payload ~3-4x vs shipping the documents
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val exchanges = try {
+      graft.ops.TextOps.removeRepeatedSpans(
+          graft.sources.Tables(spark, SparkTestBase.sf001, "documents"), n = 3)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert(exchanges.nonEmpty, "span window needs a doc-keyed exchange")
+    exchanges.foreach { e =>
+      val scalarStrings = e.output.filter(
+        _.dataType == org.apache.spark.sql.types.StringType)
+      assert(scalarStrings.isEmpty,
+        s"no scalar string column may shuffle in the span pipeline, got " +
+          scalarStrings.map(_.name).mkString(","))
+    }
+  }
+
   test("q89/q90 persisted-index queries AS SHIPPED: corpus side bucketed, never re-shuffled") {
     // the lifecycle queries' scale contract, asserted on the exact plans the
     // driver runs: the index tables are scanned through their bucketed
