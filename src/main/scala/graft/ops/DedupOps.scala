@@ -290,31 +290,50 @@ object DedupOps {
                        scope: CacheScope = CacheScope.default): Unit = {
     import graft.sources.Bucketing
     val sets = shingleHashSets(corpus, textCol, idCol, shingleK, scope)
-    val banded = bandedSigsNative(sets, k, bands)
+    val banded = scope.register(bandedSigsNative(sets, k, bands))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band_idx"), col("band_sig"))
     val capped = banded.withColumn("bn", count(lit(1)).over(w))
       .filter(col("bn") <= maxBucket).drop("bn")
       .select(col("band_idx"), col("band_sig"), col("id"))
-    Bucketing.writeBucketed(capped, s"${tablePrefix}_bands",
-      Seq("band_idx", "band_sig"), buckets)
+    // sets BEFORE bands: probes rerank candidates through _sets, so a crash
+    // between the two writes must only ever leave orphan SETS rows (never
+    // band rows whose candidates would silently vanish from the rerank)
     Bucketing.writeBucketed(sets.select(col("id"), col("hs"), col("sz")),
       s"${tablePrefix}_sets", Seq("id"), buckets)
+    Bucketing.writeBucketed(capped, s"${tablePrefix}_bands",
+      Seq("band_idx", "band_sig"), buckets)
+    // tombstones for the buckets the cap DROPPED: a bucket the build deemed
+    // pathological must stay closed — without the tombstone an append sees
+    // count 0 and re-admits batch rows that would then probe against each
+    // other but never against the (absent) corpus members. Bounded small:
+    // one row per >maxBucket bucket
+    Bucketing.saveTable(
+      banded.groupBy(col("band_idx"), col("band_sig"))
+        .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucket)
+        .select(col("band_idx"), col("band_sig")),
+      s"${tablePrefix}_dropped")
     val spark = corpus.sparkSession
     import spark.implicits._
     Bucketing.saveTable(
-      Seq((k, bands, shingleK, maxBucket, corpusTag, bandedIndexFormatVersion))
-        .toDF("k", "bands", "shingle_k", "max_bucket", "corpus_tag", "fmt"),
+      Seq((k, bands, shingleK, maxBucket, buckets, corpusTag,
+          bandedIndexFormatVersion))
+        .toDF("k", "bands", "shingle_k", "max_bucket", "buckets",
+          "corpus_tag", "fmt"),
       s"${tablePrefix}_meta")
   }
+
+  /** The four tables a banded index comprises (suffixes of `tablePrefix`). */
+  val bandedIndexTables: Seq[String] = Seq("bands", "sets", "dropped", "meta")
 
   /** Stamped into every banded-index meta row and re-checked by
     * [[ensureBandedIndex]]: BUMP whenever the signature conventions change
     * (tokenization, md5 derivation, Horner fold, banding), so an index
     * built by older code can never be silently reused — the tag says which
     * CORPUS the index describes, this says which CODE built it.
+    * v2: added the `_dropped` tombstone table and the `buckets` meta column.
     */
-  val bandedIndexFormatVersion: Int = 1
+  val bandedIndexFormatVersion: Int = 2
 
   /** Build the banded index ONLY IF the persisted one is stale: a no-op
     * when all three tables exist and the meta row matches both `corpusTag`
@@ -333,7 +352,7 @@ object DedupOps {
                         scope: CacheScope = CacheScope.default): Unit = {
     val spark = corpus.sparkSession
     val upToDate = try {
-      Seq("bands", "sets", "meta")
+      bandedIndexTables
         .forall(s => spark.catalog.tableExists(s"${tablePrefix}_$s")) && {
         val m = spark.table(s"${tablePrefix}_meta").head()
         m.schema.fieldNames.contains("corpus_tag") &&
@@ -342,7 +361,18 @@ object DedupOps {
           m.getAs[String]("corpus_tag") == corpusTag &&
           m.getAs[Int]("k") == k && m.getAs[Int]("bands") == bands &&
           m.getAs[Int]("shingle_k") == shingleK &&
-          m.getAs[Int]("max_bucket") == maxBucket
+          m.getAs[Int]("max_bucket") == maxBucket &&
+          m.getAs[Int]("buckets") == buckets
+      } && {
+        // integrity invariant: every band row's id has a shingle-set row.
+        // The crash-safe insert order (sets before bands) keeps this true
+        // through torn appends, so a violation means a corrupted index —
+        // rebuild. One int-column anti-join with a limit-1 early exit,
+        // paid once per session per ensure, not per probe.
+        spark.table(s"${tablePrefix}_bands").select(col("id"))
+          .join(spark.table(s"${tablePrefix}_sets").select(col("id")),
+            Seq("id"), "left_anti")
+          .isEmpty
       }
     } catch { case _: Exception => false }
     if (!upToDate)
@@ -358,11 +388,23 @@ object DedupOps {
     * the existing corpus files are untouched and later probes stay
     * exchange-free. The write-time bucket cap is preserved against the
     * COMBINED size per row: batch rows fill a (band_idx, band_sig) bucket's
-    * remaining slots in id order and only the overflow is dropped (the
-    * existing-count lookup is a group-by on the bucketed table — no corpus
-    * shuffle). Already-over-cap buckets therefore never grow. Pass
+    * remaining slots in id order and only the overflow is dropped. The
+    * existing-count lookup is SEMI-JOIN PRUNED to the batch's touched
+    * (band_idx, band_sig) keys before aggregating — the batch's tiny key
+    * set broadcasts, so the corpus-side table is filtered at the scan and
+    * never re-shuffles, and append I/O scales with the batch rather than
+    * the corpus. Buckets the BUILD dropped as pathological stay closed:
+    * their tombstones ([[writeBandedIndex]]'s `_dropped` table) anti-join
+    * the batch rows out, so batch docs can't pile into a bucket whose
+    * corpus members were deliberately left out of the index. Pass
     * `newCorpusTag` to restamp the meta row so a later
     * [[ensureBandedIndex]] with the OLD tag knows the index moved on.
+    *
+    * Crash safety: `_sets` inserts BEFORE `_bands`. A crash between the two
+    * leaves orphan sets rows — harmless, they never produce a candidate —
+    * whereas the reverse order could leave band rows whose rerank lookup
+    * silently fails. [[ensureBandedIndex]] checks the bands⊆sets invariant
+    * as defense in depth.
     */
   def appendToBandedIndex(batch: DataFrame, tablePrefix: String,
                           textCol: String = "text", idCol: String = "doc_id",
@@ -374,8 +416,41 @@ object DedupOps {
       (meta.getAs[Int]("k"), meta.getAs[Int]("bands"),
         meta.getAs[Int]("shingle_k"), meta.getAs[Int]("max_bucket"))
     val sets = shingleHashSets(batch, textCol, idCol, shingleK, scope)
+    val capped = scope.register(
+      plannedBandedAppend(sets, tablePrefix, k, bands, maxBucket))
+    // materialize the capped rows BEFORE any insert: their plan reads
+    // _bands, which the second insert mutates
+    capped.count()
+    sets.select(col("id"), col("hs"), col("sz"))
+      .write.insertInto(s"${tablePrefix}_sets")
+    capped.write.insertInto(s"${tablePrefix}_bands")
+    if (newCorpusTag.nonEmpty) {
+      val buckets = meta.getAs[Int]("buckets")
+      import spark.implicits._
+      graft.sources.Bucketing.saveTable(
+        Seq((k, bands, shingleK, maxBucket, buckets, newCorpusTag,
+            bandedIndexFormatVersion))
+          .toDF("k", "bands", "shingle_k", "max_bucket", "buckets",
+            "corpus_tag", "fmt"),
+        s"${tablePrefix}_meta")
+    }
+  }
+
+  /** The append's capped-rows plan, split out so its scale shape is
+    * assertable (BucketingSpec): batch band rows minus tombstoned buckets,
+    * row-numbered into each bucket's remaining slots against a corpus count
+    * that is semi-join pruned to the touched keys.
+    */
+  private[graft] def plannedBandedAppend(sets: DataFrame, tablePrefix: String,
+                                         k: Int, bands: Int,
+                                         maxBucket: Int): DataFrame = {
+    val spark = sets.sparkSession
     val banded = bandedSigsNative(sets, k, bands)
+      .join(spark.table(s"${tablePrefix}_dropped"),
+        Seq("band_idx", "band_sig"), "left_anti")
+    val touched = banded.select(col("band_idx"), col("band_sig")).distinct()
     val existing = spark.table(s"${tablePrefix}_bands")
+      .join(broadcast(touched), Seq("band_idx", "band_sig"), "left_semi")
       .groupBy(col("band_idx"), col("band_sig")).agg(count(lit(1)).as("bn0"))
     // per-ROW cap, not all-or-nothing: rows fill the bucket's remaining
     // slots in (deterministic) id order; only the overflow drops. An
@@ -383,22 +458,11 @@ object DedupOps {
     // ONE slot was missing
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band_idx"), col("band_sig")).orderBy(col("id"))
-    val capped = banded.withColumn("rn", row_number().over(w))
+    banded.withColumn("rn", row_number().over(w))
       .join(existing, Seq("band_idx", "band_sig"), "left")
       .na.fill(0L, Seq("bn0"))
       .filter(col("rn") + col("bn0") <= maxBucket)
       .select(col("band_idx"), col("band_sig"), col("id"))
-    capped.write.insertInto(s"${tablePrefix}_bands")
-    sets.select(col("id"), col("hs"), col("sz"))
-      .write.insertInto(s"${tablePrefix}_sets")
-    if (newCorpusTag.nonEmpty) {
-      import spark.implicits._
-      graft.sources.Bucketing.saveTable(
-        Seq((k, bands, shingleK, maxBucket, newCorpusTag,
-            bandedIndexFormatVersion))
-          .toDF("k", "bands", "shingle_k", "max_bucket", "corpus_tag", "fmt"),
-        s"${tablePrefix}_meta")
-    }
   }
 
   /** PROBE the persisted banded corpus index with a new `batch`: same

@@ -556,8 +556,8 @@ object SimilarityOps {
         .toDF("cell", "center"),
       s"${tablePrefix}_centroids")
     graft.sources.Bucketing.saveTable(
-      Seq((nCells, seed, corpusTag, ivfIndexFormatVersion))
-        .toDF("n_cells", "seed", "corpus_tag", "fmt"),
+      Seq((nCells, seed, buckets, corpusTag, ivfIndexFormatVersion))
+        .toDF("n_cells", "seed", "buckets", "corpus_tag", "fmt"),
       s"${tablePrefix}_meta")
   }
 
@@ -565,8 +565,9 @@ object SimilarityOps {
     * when the quantizer/layout conventions change so stale-code indexes
     * rebuild instead of silently serving (see
     * [[graft.ops.DedupOps.bandedIndexFormatVersion]]).
+    * v2: added the `buckets` meta column.
     */
-  val ivfIndexFormatVersion: Int = 1
+  val ivfIndexFormatVersion: Int = 2
 
   /** Build the IVF index ONLY IF the persisted one is stale — the ANN twin
     * of [[graft.ops.DedupOps.ensureBandedIndex]]: a no-op when the three
@@ -588,7 +589,8 @@ object SimilarityOps {
         m.schema.fieldNames.contains("fmt") &&
           m.getAs[Int]("fmt") == ivfIndexFormatVersion &&
           m.getAs[String]("corpus_tag") == corpusTag &&
-          m.getAs[Int]("n_cells") == nCells && m.getAs[Long]("seed") == seed
+          m.getAs[Int]("n_cells") == nCells && m.getAs[Long]("seed") == seed &&
+          m.getAs[Int]("buckets") == buckets
       }
     } catch { case _: Exception => false }
     if (!upToDate)

@@ -17,19 +17,37 @@ object Bucketing {
 
   /** Make `table` writable in THIS session regardless of what previous
     * sessions left behind: drop the catalog entry (which removes the data of
-    * a managed table this session knows about) AND delete the default
-    * warehouse location if a directory is still there. The second half is
+    * a managed table this session knows about), delete the table's
+    * REGISTERED location if files survived the drop (an external / custom-
+    * LOCATION table keeps its data through DROP), and delete the default
+    * warehouse location if a directory is still there. The last part is
     * the session-idempotence fix: `mode("overwrite")` only overwrites
     * tables the *current* catalog knows, so a fresh session over a
     * warehouse with leftover directories (a prior JVM wrote the index)
-    * fails `LOCATION_ALREADY_EXISTS` without it.
+    * fails `LOCATION_ALREADY_EXISTS` without it. The registered location
+    * is resolved BEFORE the drop — afterwards the catalog no longer knows
+    * it, and clearing only the default path would both leak the real data
+    * and delete an unrelated directory.
+    *
+    * DESTRUCTIVE-FIRST by design: rebuilds clear the old index before the
+    * replacement write, so a failed rebuild leaves no index rather than the
+    * old one (write-to-temp-then-rename is not available here — bucketed
+    * saveAsTable binds layout metadata to the catalog entry, which a
+    * directory rename would orphan). Callers that need the old index to
+    * survive a failed rebuild should build under a fresh prefix and switch
+    * names afterwards.
     */
   def dropTableAndLocation(spark: SparkSession, table: String): Unit = {
+    import org.apache.spark.sql.graft.bridge
+    val registered = bridge.tableLocation(spark, table)
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new org.apache.hadoop.fs.Path(
-      org.apache.spark.sql.graft.bridge.defaultTablePath(spark, table))
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    (registered.toSeq :+ bridge.defaultTablePath(spark, table))
+      .map(new org.apache.hadoop.fs.Path(_)).distinct
+      .foreach { loc =>
+        val fs = loc.getFileSystem(hconf)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
   }
 
   /** Session-idempotent `saveAsTable` for small unbucketed companion tables

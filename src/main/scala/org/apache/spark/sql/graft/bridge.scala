@@ -26,4 +26,20 @@ object bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.catalog
       .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table))
+
+  /** The ACTUAL location of an existing catalog table, or None when the
+    * catalog has no entry. A table created with a custom LOCATION does not
+    * live at [[defaultTablePath]] — a rebuild that only cleared the default
+    * path would delete an unrelated directory and leave the real data
+    * behind, so destructive rewrites must resolve the registered location
+    * first.
+    */
+  def tableLocation(spark: org.apache.spark.sql.SparkSession,
+                    table: String): Option[java.net.URI] = {
+    val ss = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    if (ss.sessionState.catalog.tableExists(ident))
+      Some(ss.sessionState.catalog.getTableMetadata(ident).location)
+    else None
+  }
 }

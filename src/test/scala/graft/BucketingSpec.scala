@@ -50,7 +50,7 @@ class BucketingSpec extends SparkTestBase {
       assert(fromIndex.nonEmpty)
       assertCorpusExchangeFree(
         DedupOps.probeBandedIndex(batch, "t_banded_idx"), "t_banded_idx")
-    } finally Seq("bands", "sets", "meta").foreach(s =>
+    } finally Seq("bands", "sets", "dropped", "meta").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS t_banded_idx_$s"))
   }
 
@@ -136,7 +136,14 @@ class BucketingSpec extends SparkTestBase {
       DedupOps.ensureBandedIndex(corpus, "t_ens_idx", corpusTag = "tagB",
         shingleK = 4, buckets = 4)
       assert(tableFiles("t_ens_idx_bands") !== l2, "changed params must rebuild")
-    } finally Seq("bands", "sets", "meta").foreach(s =>
+      // a changed BUCKET COUNT rebuilds too — silently reusing the old
+      // layout would break the exchange-free bucketed-join contract the
+      // caller asked for
+      val l3 = tableFiles("t_ens_idx_bands")
+      DedupOps.ensureBandedIndex(corpus, "t_ens_idx", corpusTag = "tagB",
+        shingleK = 4, buckets = 8)
+      assert(tableFiles("t_ens_idx_bands") !== l3, "changed bucket count must rebuild")
+    } finally Seq("bands", "sets", "dropped", "meta").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS t_ens_idx_$s"))
 
     val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
@@ -178,8 +185,88 @@ class BucketingSpec extends SparkTestBase {
       // meta restamped so ensure with the old tag knows the index moved on
       assert(spark.table("t_app_idx_meta").head()
         .getAs[String]("corpus_tag") === "base+inc1")
-    } finally Seq("bands", "sets", "meta").foreach(s =>
+      // the append's existing-count is PRUNED to the batch's touched keys:
+      // the corpus _bands scan feeds a LEFT SEMI against the broadcast
+      // batch key set (append I/O scales with the batch, not the corpus)
+      // and is never re-shuffled before its aggregation
+      val old = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        val appendPlan = DedupOps.plannedBandedAppend(
+            DedupOps.shingleHashSets(batch, "text", "doc_id", 3),
+            "t_app_idx", k = 32, bands = 16, maxBucket = 10000)
+          .queryExecution.executedPlan
+        val ps = appendPlan.toString
+        assert(ps.contains("LeftSemi"),
+          s"existing-count must be semi-join pruned to touched keys:\n${ps.take(1000)}")
+        assert(ps.contains("LeftAnti"), "tombstoned buckets must be anti-joined out")
+        def isBandsScan(p: SparkPlan) = p match {
+          case f: FileSourceScanExec =>
+            f.relation.location.rootPaths.exists(_.toString.contains("t_app_idx_bands"))
+          case _ => false
+        }
+        def reachesScanWithoutJoin(p: SparkPlan): Boolean = p match {
+          case f if isBandsScan(f) => true
+          case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+          case other => other.children.exists(reachesScanWithoutJoin)
+        }
+        appendPlan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+          assert(!reachesScanWithoutJoin(e.child),
+            s"corpus bands re-shuffled in append:\n${e.treeString.take(600)}")
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+    } finally Seq("bands", "sets", "dropped", "meta").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS t_app_idx_$s"))
+  }
+
+  test("build-dropped buckets stay closed: an append cannot reopen a pathological bucket") {
+    import graft.ops.DedupOps
+    import spark.implicits._
+    val text = (0 until 20).map(i => s"w$i").mkString(" ")
+    // 3 identical corpus docs with cap 2: every band bucket is over cap at
+    // BUILD time, dropped entirely, and tombstoned
+    val corpus = (0L until 3L).map((_, text)).toDF("doc_id", "text")
+    DedupOps.writeBandedIndex(corpus, "t_tomb_idx", maxBucket = 2, buckets = 4,
+      corpusTag = "tomb")
+    try {
+      assert(spark.table("t_tomb_idx_bands").count() === 0)
+      assert(spark.table("t_tomb_idx_dropped").count() > 0,
+        "over-cap buckets must leave tombstones")
+      // batch rows landing in a dropped bucket must NOT be admitted: the
+      // existing-count sees 0 there (the corpus members are absent), so
+      // without the tombstone they'd re-enter a bucket the build deemed
+      // pathological and probe only against each other
+      val batch = (10L until 12L).map((_, text)).toDF("doc_id", "text")
+      DedupOps.appendToBandedIndex(batch, "t_tomb_idx")
+      assert(spark.table("t_tomb_idx_bands").count() === 0,
+        "append reopened a build-dropped bucket")
+      // their shingle sets still land — orphan sets rows are harmless
+      assert(spark.table("t_tomb_idx_sets").filter(col("id") >= 10L).count() === 2)
+    } finally Seq("bands", "sets", "dropped", "meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS t_tomb_idx_$s"))
+  }
+
+  test("ensureBandedIndex: torn bands rows (id without a sets row) force a rebuild") {
+    import graft.ops.DedupOps
+    val docs = Tables(spark, SparkTestBase.sf001, "documents")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    try {
+      DedupOps.ensureBandedIndex(corpus, "t_torn_idx", corpusTag = "tagA", buckets = 4)
+      val l1 = tableFiles("t_torn_idx_bands")
+      // simulate a torn append: a band row whose id has no shingle-set row —
+      // its rerank lookup would silently drop the candidate
+      spark.sql("INSERT INTO t_torn_idx_bands " +
+        "SELECT band_idx, band_sig, 999999999 FROM t_torn_idx_bands LIMIT 1")
+      DedupOps.ensureBandedIndex(corpus, "t_torn_idx", corpusTag = "tagA", buckets = 4)
+      assert(tableFiles("t_torn_idx_bands") !== l1,
+        "an index violating bands ⊆ sets must rebuild even under a matching tag")
+      assert(spark.table("t_torn_idx_bands").select("id")
+        .join(spark.table("t_torn_idx_sets").select("id"), Seq("id"), "left_anti")
+        .isEmpty, "rebuild must restore the invariant")
+    } finally Seq("bands", "sets", "dropped", "meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS t_torn_idx_$s"))
   }
 
   test("appendToIvfIndex: probe after append == brute force over corpus ∪ batch, still exchange-free") {
@@ -234,7 +321,7 @@ class BucketingSpec extends SparkTestBase {
         .filter(col("id") >= 10L).select("id").distinct()
         .collect().map(_.getLong(0)).toSet
       assert(admitted === Set(10L, 11L))
-    } finally Seq("bands", "sets", "meta").foreach(s =>
+    } finally Seq("bands", "sets", "dropped", "meta").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS t_cap_idx_$s"))
   }
 
