@@ -642,6 +642,60 @@ object SimilarityOps {
     assigned.write.insertInto(s"${tablePrefix}_cells")
   }
 
+  /** Per-cell DRIFT report for a persisted IVF index — the visibility half
+    * of the frozen-quantizer caveat on [[appendToIvfIndex]]: appends assign
+    * new vectors to centroids fit on an older distribution, so drift shows
+    * up as (a) cell-size skew — drifted vectors funnel into whichever cells
+    * happen to be nearest — and (b) rising cosine residual (1 - cos of a
+    * member against its own centroid). One row per cell: `cell`,
+    * `n_members`, `mean_residual`, `share` (fraction of all members).
+    *
+    * Scale shape: the cells table is scanned through its bucketed layout,
+    * the centroids table (nCells rows) broadcast-joins on, and the per-cell
+    * aggregation runs on the bucket key — no corpus exchange, nothing
+    * driver-side.
+    */
+  def ivfDriftReport(spark: org.apache.spark.sql.SparkSession,
+                     tablePrefix: String): DataFrame = {
+    val cells = spark.table(s"${tablePrefix}_cells")
+    val cents = spark.table(s"${tablePrefix}_centroids")
+      .select(col("cell"), col("center").cast("array<float>").as("ctr"))
+    val total = cells.agg(count(lit(1)).cast("double").as("n_total"))
+    cells.join(broadcast(cents), Seq("cell"))
+      .select(col("cell"), (lit(1.0) - cosineF(col("cv"), col("ctr"))).as("res"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), avg(col("res")).as("mean_residual"))
+      .crossJoin(broadcast(total))
+      .select(col("cell"), col("n_members"), col("mean_residual"),
+        (col("n_members") / col("n_total")).as("share"))
+  }
+
+  /** One-row retrain recommendation from [[ivfDriftReport]]: flags when the
+    * largest cell holds more than `maxShareFactor` times its fair share
+    * (1/nCells) of the corpus, or when the member-weighted mean residual
+    * exceeds `maxMeanResidual`. Both thresholds are documented knobs, not
+    * learned — the report exists so an operator can schedule
+    * [[ensureIvfIndex]] with a new tag (a retrain) on evidence instead of
+    * on a timer, closing the FAISS-style lifecycle loop.
+    */
+  def ivfDriftSummary(spark: org.apache.spark.sql.SparkSession,
+                      tablePrefix: String,
+                      maxShareFactor: Double = 4.0,
+                      maxMeanResidual: Double = 0.5): DataFrame = {
+    val nCells = spark.table(s"${tablePrefix}_meta").head().getAs[Int]("n_cells")
+    ivfDriftReport(spark, tablePrefix)
+      .agg(count(lit(1)).as("n_live_cells"),
+        sum(col("n_members")).as("n_vectors"),
+        max(col("share")).as("max_cell_share"),
+        (sum(col("mean_residual") * col("n_members")) / sum(col("n_members")))
+          .as("mean_residual"))
+      .select(col("n_live_cells"), col("n_vectors"), col("max_cell_share"),
+        col("mean_residual"),
+        (col("max_cell_share") * lit(nCells) > lit(maxShareFactor) ||
+          col("mean_residual") > lit(maxMeanResidual))
+          .as("retrain_recommended"))
+  }
+
   /** ANN top-k for a `queries` frame against the PERSISTED IVF index
     * [[writeIvfIndex]] built: centroids load driver-side (a model — nCells
     * rows), each query probes its `nProbe` nearest cells, and the probe ⋈

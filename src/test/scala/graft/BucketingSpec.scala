@@ -325,6 +325,48 @@ class BucketingSpec extends SparkTestBase {
       spark.sql(s"DROP TABLE IF EXISTS t_cap_idx_$s"))
   }
 
+  test("ivfDriftReport/Summary: balanced build is healthy, drifted appends flip the retrain flag") {
+    import graft.ops.SimilarityOps
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 3 tight clusters on axes 0/1/2 of R^4, 30 vectors each → balanced
+    val base = (0 until 90).map { i =>
+      val c = i % 3
+      (i.toLong, Array.tabulate(4)(j =>
+        (if (j == c) 10f else 0f) + rnd.nextFloat() * 0.1f))
+    }.toDF("vec_id", "embedding")
+    SimilarityOps.writeIvfIndex(base, "t_drift", nCells = 3, buckets = 4)
+    try {
+      val healthy = SimilarityOps.ivfDriftSummary(spark, "t_drift").head()
+      assert(!healthy.getAs[Boolean]("retrain_recommended"),
+        s"balanced fresh index must not recommend retrain: $healthy")
+      assert(healthy.getAs[Double]("mean_residual") < 0.05)
+      // drifted ingest: 200 vectors along a direction NO centroid covers
+      // (axis 3) — wherever the frozen quantizer puts them (they are near-
+      // equidistant to every centroid, so noise decides), their residual is
+      // near-total: exactly the degradation the report exists to surface
+      val drift = (1000 until 1200).map { i =>
+        (i.toLong, Array.tabulate(4)(j =>
+          (if (j == 3) 10f else 0f) + rnd.nextFloat() * 0.1f))
+      }.toDF("vec_id", "embedding")
+      SimilarityOps.appendToIvfIndex(drift, "t_drift")
+      val drifted = SimilarityOps.ivfDriftSummary(spark, "t_drift").head()
+      assert(drifted.getAs[Boolean]("retrain_recommended"),
+        s"drifted index must recommend retrain: $drifted")
+      assert(drifted.getAs[Double]("mean_residual") > 0.5,
+        s"200 of 290 members sit ~orthogonal to their centroid: $drifted")
+      assert(drifted.getAs[Long]("n_vectors") === 290L)
+      // the per-cell report localizes the damage: every over-grown cell's
+      // residual is dominated by appended members
+      val worst = SimilarityOps.ivfDriftReport(spark, "t_drift")
+        .orderBy(desc("n_members")).head()
+      assert(worst.getAs[Long]("n_members") > 30L &&
+        worst.getAs[Double]("mean_residual") > 0.5,
+        s"the biggest cell must show the drift: $worst")
+    } finally Seq("cells", "centroids", "meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS t_drift_$s"))
+  }
+
   test("persisted IVF with nProbe = nCells returns the EXACT top-k (q90's oracle lemma)") {
     import graft.ops.SimilarityOps
     val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
