@@ -5,13 +5,15 @@ object Bench {
 
   /** Per-query min over SUCCESSFUL passes; err only if both passes threw —
     * a query that failed once but ran once still gets a real measurement,
-    * while a consistently-broken query can never surface as a timing.
+    * while a consistently-broken query can never surface as a timing. A key
+    * missing from the second pass (a partial pass that died mid-run) keeps
+    * its first-pass result instead of throwing away the whole artifact.
     */
   private[graft] def mergePasses(
       p1: Map[String, Either[String, Double]],
       p2: Map[String, Either[String, Double]]): Map[String, Either[String, Double]] =
     p1.map { case (k, v1) =>
-      k -> ((v1, p2(k)) match {
+      k -> ((v1, p2.getOrElse(k, v1)) match {
         case (Right(a), Right(b)) => Right(math.min(a, b))
         case (Right(a), Left(_)) => Right(a)
         case (Left(_), Right(b)) => Right(b)

@@ -448,7 +448,11 @@ object SparkEntry {
           when(col("gl") === 1, lit("<all>")).otherwise(col("lang")).as("lang"),
           col("n_docs"), col("n_unique"), col("n_tokens"),
           col("avg_tokens"), col("sum_chars"))
-        .orderBy(col("source"), col("lang"))
+        // explicit null placement on BOTH sides (Spark defaults nulls
+        // first, DuckDB nulls last): a corpus with real NULL source/lang
+        // would otherwise reorder rows and break the hash compare even
+        // though the grouping()-flagged values agree
+        .orderBy(col("source").asc_nulls_last, col("lang").asc_nulls_last)
     },
 
     // seeded corpus shuffle: every doc's global position in the
@@ -1663,7 +1667,7 @@ object SparkEntry {
          |  CAST(sum(len($toksSql)) AS DOUBLE) / count(*) AS avg_tokens,
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM documents GROUP BY CUBE(source, lang)
-         |ORDER BY source, lang""".stripMargin,
+         |ORDER BY source NULLS LAST, lang NULLS LAST""".stripMargin,
 
     // the oracle pays the global sort the operator avoids — same order,
     // same positions

@@ -22,6 +22,17 @@ class BenchReportSpec extends AnyFunSuite {
     assert(m("d") === Left("boom-d")) // both threw: error, no number
   }
 
+  test("mergePasses: a partial second pass keeps first-pass results instead of throwing") {
+    val p1 = Map[String, Either[String, Double]](
+      "a" -> Right(2.0), "b" -> Left("boom"))
+    // pass 2 died after one query: its map is missing b entirely
+    val p2 = Map[String, Either[String, Double]]("a" -> Right(1.0))
+    val m = Bench.mergePasses(p1, p2)
+    assert(m("a") === Right(1.0))
+    assert(m("b") === Left("boom"), "missing pass-2 key must fall back to pass 1")
+    assert(m.size === 2)
+  }
+
   test("renderJson: errored query appears ONLY under errors, total sums successes only") {
     val merged = Map[String, Either[String, Double]](
       "q01" -> Right(1.25), "q02" -> Left("AnalysisException: it broke"))
