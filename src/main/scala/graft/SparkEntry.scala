@@ -427,6 +427,25 @@ object SparkEntry {
       TextOps.trainBpe(t(s, d, "documents"), numMerges = 6)
         .orderBy(col("merge_rank"))),
 
+    // corpus-wide EXACT SUBSTRING dedup (Lee et al. 2022): every 5-gram
+    // span that occurs more than once in the corpus survives only at its
+    // global-first (doc_id, pos) occurrence; the oracle verifies the full
+    // rebuilt text of every document (n=5: on this small-vocab synthetic
+    // corpus 5-grams behave like the paper's 50-token spans)
+    "q98_substring_dedup" -> ((s, d) =>
+      TextOps.exactSubstringDedup(t(s, d, "documents"), n = 5)
+        .orderBy(col("doc_id"))),
+
+    // DSIR importance scores toward the lang='en' slice: hashed
+    // unigram+bigram buckets, add-1 smoothing, per-doc integer sum of
+    // micro-nat-quantized log probability ratios (order-free by design)
+    "q99_dsir_weights" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      TextOps.dsirWeights(docs, docs.filter(col("lang") === "en"),
+          buckets = 1024)
+        .orderBy(col("doc_id"))
+    },
+
     // the corpus DATASHEET: doc/dedup/token tallies at every (source, lang)
     // granularity in ONE cube pass — '<all>' rows via grouping() flags, so
     // real nulls could never be confused with the rollup totals
@@ -1655,6 +1674,75 @@ object SparkEntry {
          |$rounds
          |$out
          |ORDER BY merge_rank""".stripMargin
+    },
+
+    // q92's rebuild machinery with the keeper rule changed from
+    // first-in-doc to first-in-CORPUS: row_number per HASH over the global
+    // (doc_id, pos) order, everything past rank 1 loses its token range
+    "q98_substring_dedup" -> {
+      val tokHash = s"${ops.DetHash.sqlMd5Hash60("t")} % ${ops.DetHash.P}"
+      val grams5 = ops.DetHash.sqlShingleHashes("th", 5)
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS tk,
+         |    list_transform($toksSql, t -> $tokHash) AS th FROM documents),
+         |g AS (SELECT doc_id, $grams5 AS gl FROM tok),
+         |gp AS (SELECT doc_id, CAST(t.i AS INTEGER) AS pos, gl[t.i] AS h
+         |  FROM g, UNNEST(range(1, len(gl) + 1)) AS t(i)),
+         |rep AS (SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos, row_number() OVER (PARTITION BY h
+         |      ORDER BY doc_id, pos) AS rn FROM gp) WHERE rn > 1),
+         |rem AS (SELECT DISTINCT doc_id, CAST(t.j AS INTEGER) AS tpos
+         |  FROM rep, UNNEST(range(pos, pos + 5)) AS t(j)),
+         |tp AS (SELECT doc_id, CAST(t.i AS INTEGER) AS tpos, tk[t.i] AS tok
+         |  FROM tok, UNNEST(range(1, len(tk) + 1)) AS t(i)),
+         |kept AS (SELECT tp.doc_id, tp.tpos, tp.tok FROM tp
+         |  ANTI JOIN rem ON tp.doc_id = rem.doc_id AND tp.tpos = rem.tpos),
+         |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+         |    count(*) AS n_kept FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id, count(*) AS n_toks FROM tp GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
+         |  CAST(COALESCE(tot.n_toks, 0) - COALESCE(reb.n_kept, 0) AS BIGINT)
+         |    AS n_removed
+         |FROM documents d
+         |LEFT JOIN tot ON tot.doc_id = d.doc_id
+         |LEFT JOIN reb ON reb.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // same hashed unigram+bigram buckets, add-1 smoothing with the SAME
+    // double-expression shape as the Scala side (integer operands cast to
+    // double, two products, one quotient — identical IEEE results), ln
+    // quantized to micro-nats BEFORE the per-doc sum so both engines sum
+    // integers
+    "q99_dsir_weights" -> {
+      val tokHash = s"${ops.DetHash.sqlMd5Hash60("t")} % ${ops.DetHash.P}"
+      val bi = ops.DetHash.sqlShingleHashes("th", 2)
+      s"""WITH tok AS (SELECT doc_id, lang,
+         |    list_transform($toksSql, t -> $tokHash) AS th FROM documents),
+         |gb AS (SELECT doc_id, lang, list_concat(
+         |    list_transform(th, h -> CAST(h % 1024 AS INTEGER)),
+         |    list_transform($bi, h -> CAST(h % 1024 AS INTEGER))) AS gs
+         |  FROM tok),
+         |rcnt AS (SELECT g AS b, CAST(count(*) AS BIGINT) AS c
+         |  FROM gb, UNNEST(gs) AS t(g) GROUP BY 1),
+         |tcnt AS (SELECT g AS b, CAST(count(*) AS BIGINT) AS c
+         |  FROM gb, UNNEST(gs) AS t(g) WHERE lang = 'en' GROUP BY 1),
+         |tot AS (SELECT
+         |    (SELECT COALESCE(sum(c), 0) FROM rcnt) AS rtot,
+         |    (SELECT COALESCE(sum(c), 0) FROM tcnt) AS ttot),
+         |lr AS (SELECT CAST(sp.b AS INTEGER) AS b,
+         |    CAST(floor(ln(
+         |      (CAST(COALESCE(tc.c, 0) + 1 AS DOUBLE) * CAST(rtot + 1024 AS DOUBLE))
+         |      / (CAST(COALESCE(rc.c, 0) + 1 AS DOUBLE) * CAST(ttot + 1024 AS DOUBLE))
+         |    ) * 1000000 + 0.5) AS BIGINT) AS lr
+         |  FROM range(0, 1024) sp(b)
+         |  LEFT JOIN rcnt rc ON rc.b = sp.b
+         |  LEFT JOIN tcnt tc ON tc.b = sp.b, tot),
+         |sc AS (SELECT doc_id, CAST(sum(lr.lr) AS BIGINT) AS s
+         |  FROM gb, UNNEST(gs) AS t(g), lr WHERE lr.b = g GROUP BY doc_id)
+         |SELECT gb.doc_id, CAST(len(gs) AS INTEGER) AS n_grams,
+         |  CAST(COALESCE(sc.s, 0) AS BIGINT) AS score_micro
+         |FROM gb LEFT JOIN sc ON sc.doc_id = gb.doc_id
+         |ORDER BY gb.doc_id""".stripMargin
     },
 
     "q95_corpus_datasheet" ->

@@ -329,6 +329,73 @@ object TextOps {
       .na.fill(-1, Seq("term_id"))
       .select(col(idCol), col("pos"), col("term"), col("term_id"))
 
+  /** Hashed unigram+bigram feature buckets of a text column — the DSIR
+    * (Xie et al. 2023, "Data Selection for Language Models via Importance
+    * Resampling") feature map: every token's md5 hash and every adjacent
+    * pair's Horner combination, each reduced mod `buckets`. Map-only; the
+    * token-hash array binds once as a lambda variable (HOFs don't CSE).
+    */
+  private[graft] def gramBuckets(text: Column, buckets: Int): Column =
+    flatten(transform(array(
+      transform(tokens(text), t => DetHash.md5Hash60(t) % lit(DetHash.P))),
+      th => {
+        val unis = transform(th, h => (h % buckets).cast("int"))
+        val windows = when(size(th) >= 2, sequence(lit(0), size(th) - 2))
+          .otherwise(array().cast("array<int>"))
+        val bis = transform(windows, i =>
+          (((element_at(th, i + 1) * lit(DetHash.A) + element_at(th, i + 2))
+            % lit(DetHash.P)) % buckets).cast("int"))
+        concat(unis, bis)
+      }))
+
+  /** DSIR-style importance score of every `raw` document toward a `target`
+    * distribution: hashed unigram+bigram features ([[gramBuckets]]),
+    * add-1-smoothed per-bucket probabilities on each side, and per-document
+    * score = Σ over its grams of the log probability ratio
+    * `ln(p_target[b] / p_raw[b])` — the log importance weight a resampler
+    * feeds to softmax/Gumbel selection. Output: (doc_id, n_grams,
+    * score_micro), score in MICRO-nats as a BIGINT: each bucket's log-ratio
+    * is quantized once to `floor(ln·1e6 + 0.5)` so the per-document sum is
+    * an INTEGER sum — order-free and bit-identical cross-engine (the same
+    * reasoning that keeps the whole oracle tier hash-stable; a raw double
+    * fold over reordered grams would not be). Quantization error is bounded
+    * by n_grams·5e-7 nats — noise against any real selection threshold.
+    *
+    * Scale shape: the two bucket-count aggregations collapse map-side to
+    * ≤ `buckets` rows per task before ONE tiny exchange each; the collected
+    * count vectors are MODEL PARAMETERS (buckets-bounded, like KMeans
+    * centroids), embedded as one array literal. Scoring is then a pure
+    * map-only fold per document — no join, no shuffle, whole-stage codegen
+    * end to end.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, buckets: Int = 1024,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val rawG = raw.select(col(idCol).as("id"),
+      gramBuckets(col(textCol), buckets).as("gs"))
+    def counts(g: DataFrame): Array[Long] = {
+      val arr = Array.fill(buckets)(0L)
+      g.select(explode(col("gs")).as("b")).groupBy(col("b"))
+        .agg(count(lit(1)).as("c")).collect()
+        .foreach(r => arr(r.getInt(0)) = r.getLong(1))
+      arr
+    }
+    val rc = counts(rawG)
+    val tc = counts(target.select(gramBuckets(col(textCol), buckets).as("gs")))
+    val (rTot, tTot) = (rc.sum, tc.sum)
+    val lr: Seq[Long] = Array.tabulate(buckets) { b =>
+      // exact-integer operands, double products/quotient in a FIXED shape
+      // mirrored literally by the oracle SQL — identical IEEE doubles in
+      val ratio = ((tc(b) + 1).toDouble * (rTot + buckets).toDouble) /
+        ((rc(b) + 1).toDouble * (tTot + buckets).toDouble)
+      math.floor(math.log(ratio) * 1e6 + 0.5).toLong
+    }.toSeq
+    val lrLit = typedLit(lr)
+    rawG.select(col("id").as(idCol),
+      size(col("gs")).cast("int").as("n_grams"),
+      aggregate(col("gs"), lit(0L),
+        (acc, g) => acc + element_at(lrLit, g + 1)).as("score_micro"))
+  }
+
   /** Rolling-hash document fingerprint: min/max/count over shingle hashes —
     * a compact content signature robust to small edits at the ends.
     */
@@ -428,6 +495,19 @@ object TextOps {
       .partitionBy(col("id"), col("h")).orderBy(col("pos"))
     val removed = grams.withColumn("rn", row_number().over(w))
       .filter(col("rn") > 1)
+    rebuildWithoutSpans(documents, removed, n, textCol, idCol)
+  }
+
+  /** Shared rebuild tail of the span-removal operators: expand flagged
+    * n-gram starts to token ranges, aggregate to ONE int array per affected
+    * doc, join back and drop the positions with an indexed HOF filter —
+    * only (id, int-array) rows cross the final exchange, token strings never
+    * ship as rows (see [[removeRepeatedSpans]]'s scale note).
+    */
+  private def rebuildWithoutSpans(documents: DataFrame, flagged: DataFrame,
+                                  n: Int, textCol: String,
+                                  idCol: String): DataFrame = {
+    val removed = flagged
       .select(col("id"), explode(sequence(col("pos"), col("pos") + n - 1)).as("tpos"))
       .distinct()
       .groupBy(col("id")).agg(collect_list(col("tpos")).as("rm"))
@@ -441,6 +521,36 @@ object TextOps {
             filter(toksC, (_, i) => !array_contains(col("rm"), i + 1)), " "))
           .as("clean_text"),
         coalesce(size(col("rm")), lit(0)).cast("long").as("n_removed"))
+  }
+
+  /** EXACT SUBSTRING deduplication across the WHOLE corpus, at n-gram
+    * granularity — the Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better") cleanup, where any token span whose exact
+    * n-gram occurs more than once in the corpus survives only at its FIRST
+    * occurrence (global (doc_id, pos) order) and is cut everywhere else.
+    * Subsumes [[removeRepeatedSpans]] (within-doc repeats are later
+    * occurrences of their first) and extends it across documents: shared
+    * boilerplate, licenses, syndicated paragraphs collapse to one copy
+    * corpus-wide. Output: (doc_id, clean_text, n_removed), clean_text
+    * whitespace-normalized exactly like [[removeRepeatedSpans]].
+    *
+    * Scale shape: ONE shuffle of (id, pos, hash) int rows keyed by the
+    * n-gram hash; the global keeper per hash is min(struct(id, pos)) over an
+    * UNORDERED window frame (no per-group sort — the whole-partition frame
+    * aggregates in one pass, the same trick as the LSH bucket caps). A
+    * pathologically hot n-gram (corpus-wide chrome) costs its occurrence
+    * count in ONE partition's aggregation, not a sort. The rebuild tail is
+    * the shared map-side int-array join ([[rebuildWithoutSpans]]).
+    */
+  def exactSubstringDedup(documents: DataFrame, n: Int = 8,
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    val grams = DedupOps.positionedNgramHashes(documents, textCol, idCol, n)
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val later = grams
+      .withColumn("keep", min(struct(col("id"), col("pos"))).over(wh))
+      .filter(struct(col("id"), col("pos")) =!= col("keep"))
+    rebuildWithoutSpans(documents, later, n, textCol, idCol)
   }
 
   /** Concat-and-chunk sequence packing: lay the corpus out as one token

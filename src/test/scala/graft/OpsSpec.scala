@@ -1042,6 +1042,55 @@ class OpsSpec extends SparkTestBase {
       (4L, "too short", 0L))) // < n tokens: untouched (normalized)
   }
 
+  test("exactSubstringDedup: global-first occurrence survives, cross-doc copies cut") {
+    val docs = Seq(
+      (1L, "a b c d a b c e"), // within-doc repeat: tokens 5-7 cut (like q92)
+      (2L, "p q a b c r s"), // cross-doc copy of doc 1's "a b c": tokens 3-5 cut
+      (3L, "fresh words only live here"),
+      (4L, "a b c")).toDF("doc_id", "text") // whole doc = a later copy
+    val out = TextOps.exactSubstringDedup(docs, n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (1L, "a b c d e", 3L),
+      (2L, "p q r s", 3L),
+      (3L, "fresh words only live here", 0L),
+      (4L, "", 3L)))
+  }
+
+  test("exactSubstringDedup: keeper is the corpus-global (doc, pos) minimum, not per-doc") {
+    // same corpus, ids swapped: the keeper moves with the smaller id
+    val docs = Seq((7L, "a b c x"), (2L, "y a b c")).toDF("doc_id", "text")
+    val out = TextOps.exactSubstringDedup(docs, n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq((2L, "y a b c", 0L), (7L, "x", 3L)))
+  }
+
+  test("dsirWeights: target-like docs score higher; gram count exact; partition-invariant") {
+    val raw = Seq(
+      (1L, "alpha beta alpha beta alpha beta", "en"),
+      (2L, "gamma delta gamma delta gamma delta", "de"),
+      (3L, "alpha beta gamma delta alpha beta", "de"),
+      (4L, "alpha", "en")).toDF("doc_id", "text", "lang")
+    val target = raw.filter(col("lang") === "en")
+    val out = TextOps.dsirWeights(raw, target, buckets = 64)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // unigrams + bigrams: 2n-1 grams for n tokens
+    assert(out.map(_._2).toSeq === Seq(11, 11, 11, 1))
+    val score = out.map(t => t._1 -> t._3).toMap
+    // doc 1 is pure target vocabulary, doc 2 pure non-target: strict order,
+    // the mixed doc 3 in between
+    assert(score(1L) > score(3L) && score(3L) > score(2L))
+    // partitioning must not change a single bit of the integer scores
+    val re = TextOps.dsirWeights(raw.repartition(7), target.repartition(3),
+        buckets = 64)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(re.toSeq === out.toSeq)
+  }
+
   test("rollingFingerprint: stable content signature columns") {
     val fp = TextOps.rollingFingerprint(col("text"))(docsDf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
