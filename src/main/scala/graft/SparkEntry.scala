@@ -446,6 +446,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // CCNet-style quality signal: add-1 bigram LM trained on the corpus,
+    // every doc scored by its total bigram log-prob in micro-nats (each
+    // distinct bigram's ln quantized once → per-doc integer sums)
+    "q100_lm_score" -> ((s, d) =>
+      TextOps.bigramLmScore(t(s, d, "documents"))
+        .orderBy(col("doc_id"))),
+
     // the corpus DATASHEET: doc/dedup/token tallies at every (source, lang)
     // granularity in ONE cube pass — '<all>' rows via grouping() flags, so
     // real nulls could never be confused with the rollup totals
@@ -1743,6 +1750,35 @@ object SparkEntry {
          |  CAST(COALESCE(sc.s, 0) AS BIGINT) AS score_micro
          |FROM gb LEFT JOIN sc ON sc.doc_id = gb.doc_id
          |ORDER BY gb.doc_id""".stripMargin
+    },
+
+    // identical md5+Horner bigram identity, identical double-expression
+    // shape inside ln, quantization before every sum — integer totals on
+    // both engines
+    "q100_lm_score" -> {
+      val tokHash = s"${ops.DetHash.sqlMd5Hash60("t")} % ${ops.DetHash.P}"
+      s"""WITH tok AS (SELECT doc_id,
+         |    list_transform($toksSql, t -> $tokHash) AS hs FROM documents),
+         |bg AS (SELECT doc_id, hs[t.i] AS h1,
+         |    (hs[t.i] * ${ops.DetHash.A} + hs[t.i + 1]) % ${ops.DetHash.P} AS hb
+         |  FROM tok, UNNEST(range(1, len(hs))) AS t(i)),
+         |uni AS (SELECT h AS h1, CAST(count(*) AS BIGINT) AS uc
+         |  FROM (SELECT unnest(hs) AS h FROM tok) GROUP BY 1),
+         |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+         |bc AS (SELECT h1, hb, CAST(count(*) AS BIGINT) AS bc
+         |  FROM bg GROUP BY 1, 2),
+         |model AS (SELECT bc.h1, bc.hb,
+         |    CAST(floor(ln(CAST(bc.bc + 1 AS DOUBLE)
+         |      / CAST(uni.uc + vv.v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lp
+         |  FROM bc JOIN uni ON uni.h1 = bc.h1, vv),
+         |dbc AS (SELECT doc_id, h1, hb, CAST(count(*) AS BIGINT) AS n
+         |  FROM bg GROUP BY 1, 2, 3),
+         |sc AS (SELECT doc_id, sum(n) AS nb, sum(n * lp) AS s
+         |  FROM dbc JOIN model USING (h1, hb) GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(COALESCE(sc.s, 0) AS BIGINT) AS lp_micro
+         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     "q95_corpus_datasheet" ->

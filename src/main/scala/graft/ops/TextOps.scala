@@ -396,6 +396,64 @@ object TextOps {
         (acc, g) => acc + element_at(lrLit, g + 1)).as("score_micro"))
   }
 
+  /** Bigram language-model scoring of a corpus against ITSELF — the
+    * CCNet-style perplexity quality signal (Wenzek et al. 2020) with the
+    * KenLM stage re-expressed as a distributed add-1-smoothed bigram model:
+    * `p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)` over token counts, and per
+    * document the sum of its bigrams' log-probabilities. Low (very
+    * negative) average log-prob ≈ high perplexity ≈ gibberish; high ≈
+    * degenerate repetition — the two tails a CCNet filter cuts. Output:
+    * (doc_id, n_bigrams, lp_micro) with lp in MICRO-nats as BIGINT — each
+    * DISTINCT bigram's log-prob quantizes once (`floor(ln·1e6 + 0.5)`), so
+    * per-document totals are integer sums: order-free, bit-identical
+    * cross-engine (same contract as [[dsirWeights]]).
+    *
+    * Scale shape: token identity is the md5 hash, so ONLY ints cross every
+    * exchange (collisions shared bit-for-bit with the oracle — the shingle
+    * tier's stated compromise). The model (unigram counts, bigram counts,
+    * the V scalar as a 1-row broadcast) is corpus-vocabulary-bounded and
+    * map-side-combines; scoring joins per-doc DISTINCT-bigram counts (not
+    * occurrences — repetitive docs collapse before the exchange) to the
+    * model on int keys, then one groupBy(id). No driver-side model collect:
+    * unlike [[dsirWeights]]' fixed buckets, a bigram table scales with the
+    * corpus and stays distributed.
+    */
+  def bigramLmScore(documents: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val hs = transform(tokens(col(textCol)),
+      t => DetHash.md5Hash60(t) % lit(DetHash.P))
+    val toks = documents.select(col(idCol).as("id"), hs.as("hs"))
+    val uni = toks.select(explode(col("hs")).as("h1"))
+      .groupBy(col("h1")).agg(count(lit(1)).as("uc"))
+    val vdf = uni.agg(count(lit(1)).as("v"))
+    val bg = toks.select(col("id"), explode(flatten(transform(array(col("hs")),
+      h0 => transform(
+        when(size(h0) >= 2, sequence(lit(0), size(h0) - 2))
+          .otherwise(array().cast("array<int>")),
+        i => struct(element_at(h0, i + 1).as("h1"),
+          ((element_at(h0, i + 1) * lit(DetHash.A) + element_at(h0, i + 2))
+            % lit(DetHash.P)).as("hb")))))).as("b"))
+      .select(col("id"), col("b.h1"), col("b.hb"))
+    val bc = bg.groupBy(col("h1"), col("hb")).agg(count(lit(1)).as("bc"))
+    val model = bc.join(uni, Seq("h1"))
+      .crossJoin(broadcast(vdf))
+      .select(col("h1"), col("hb"),
+        floor(log((col("bc") + 1).cast("double") /
+          (col("uc") + col("v")).cast("double")) * 1e6 + 0.5)
+          .cast("long").as("lp"))
+    val dbc = bg.groupBy(col("id"), col("h1"), col("hb"))
+      .agg(count(lit(1)).as("n"))
+    val scored = dbc.join(model, Seq("h1", "hb"))
+      .groupBy(col("id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum(col("n") * col("lp")).as("lp_micro"))
+    documents.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lp_micro"), lit(0L)).as("lp_micro"))
+  }
+
   /** Rolling-hash document fingerprint: min/max/count over shingle hashes —
     * a compact content signature robust to small edits at the ends.
     */

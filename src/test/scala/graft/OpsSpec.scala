@@ -1091,6 +1091,22 @@ class OpsSpec extends SparkTestBase {
     assert(re.toSeq === out.toSeq)
   }
 
+  test("bigramLmScore: hand-computed add-1 bigram log-probs in micro-nats") {
+    val docs = Seq(
+      (1L, "a a a"), // bigrams (a,a)x2
+      (2L, "a b"), // bigram (a,b)
+      (3L, "solo")).toDF("doc_id", "text")
+    // counts: a=4, b=1, solo=1 -> V=3; c(a,a)=2, c(a,b)=1
+    // p(a|a) = 3/7, p(b|a) = 2/7
+    def micro(p: Double) = math.floor(math.log(p) * 1e6 + 0.5).toLong
+    val out = TextOps.bigramLmScore(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 2 * micro(3.0 / 7)),
+      (2L, 1L, micro(2.0 / 7)),
+      (3L, 0L, 0L)))
+  }
+
   test("rollingFingerprint: stable content signature columns") {
     val fp = TextOps.rollingFingerprint(col("text"))(docsDf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
