@@ -107,14 +107,24 @@ object TextOps {
     * character n-gram profiles — the plumbing (pure expression, no shuffle)
     * is identical.
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scores = langVocab.map { case (lang, vocab) => lang -> vocabHits(toks, vocab) }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und"): Column) { case ((lang, s), els) =>
-      when(s === best && s > 0, lit(lang)).otherwise(els)
-    }
-  }
+  def langId(text: Column): Column =
+    // two single-element-array lambda binds (HOFs don't CSE): the token
+    // split runs ONCE, the five vocabulary scans run ONCE each, and the
+    // argmax references the bound 5-int score array — the naive form
+    // re-evaluated the split and every scan in `greatest` AND in each
+    // `when` arm (~10× the work; measured 13.9× instead of ~2× under the
+    // 10× scale probe before this bind)
+    element_at(transform(
+      array(element_at(transform(array(tokens(text)),
+        tk => array(langVocab.map { case (_, v) => vocabHits(tk, v) }: _*)), 1)),
+      scores => {
+        val best = array_max(scores)
+        langVocab.map(_._1).zipWithIndex
+          .foldRight(lit("und"): Column) { case ((lang, i), els) =>
+            when(element_at(scores, i + 1) === best && best > 0, lit(lang))
+              .otherwise(els)
+          }
+      }), 1)
 
   /** GPT-2-style pretokenizer pattern, simplified to the subset shared by
     * Java regex and RE2 (no lookarounds, so SQL engines evaluate it
