@@ -362,6 +362,68 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q98 substring dedup: ONE gram-hash exchange, unordered keeper window (no sort), int-only shuffles") {
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qe = graft.ops.TextOps.exactSubstringDedup(
+          graft.sources.Tables(spark, SparkTestBase.sf001, "documents"), n = 5)
+        .queryExecution
+      val exchanges = qe.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // gram stream shuffles once by hash; removed positions once by doc;
+      // token STRINGS never ship as rows (same contract as q92)
+      exchanges.foreach { e =>
+        assert(e.output.forall(
+          _.dataType != org.apache.spark.sql.types.StringType),
+          s"string column in span-pipeline exchange: ${e.output.mkString(",")}")
+      }
+      // the keeper min(struct) runs over the UNORDERED whole-partition
+      // frame: no SortExec may feed the window
+      val winSorted = qe.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec =>
+          w.child.isInstanceOf[org.apache.spark.sql.execution.SortExec]
+      }
+      assert(winSorted.nonEmpty && winSorted.forall(_ == false),
+        "keeper window must not sort its partition")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
+
+  test("q99 DSIR: scoring stage is map-only — bucket model embedded as a literal, no join") {
+    // after the two bounded bucket-count aggregations collect as model
+    // params, the per-doc scoring must be a pure projection over the scan:
+    // no join operator and no exchange anywhere in the scoring plan
+    val docs = graft.sources.Tables(spark, SparkTestBase.sf001, "documents")
+    val qe = graft.ops.TextOps.dsirWeights(docs,
+        docs.filter(org.apache.spark.sql.functions.col("lang") === "en"),
+        buckets = 64)
+      .queryExecution
+    val p = qe.executedPlan.toString
+    assert(!p.contains("Join"), s"scoring plan must not join:\n${p.take(800)}")
+    assert(qe.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, "scoring plan must not shuffle")
+  }
+
+  test("q100 LM score: every model/scoring exchange carries int keys only, no string shuffles") {
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val exchanges = try {
+      graft.ops.TextOps.bigramLmScore(
+          graft.sources.Tables(spark, SparkTestBase.sf001, "documents"))
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      assert(e.output.forall(
+        _.dataType != org.apache.spark.sql.types.StringType),
+        s"token strings must hash before the exchange: ${e.output.mkString(",")}")
+    }
+  }
+
   test("q89/q90 persisted-index queries AS SHIPPED: corpus side bucketed, never re-shuffled") {
     // the lifecycle queries' scale contract, asserted on the exact plans the
     // driver runs: the index tables are scanned through their bucketed
