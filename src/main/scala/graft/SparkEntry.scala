@@ -453,6 +453,13 @@ object SparkEntry {
       TextOps.bigramLmScore(t(s, d, "documents"))
         .orderBy(col("doc_id"))),
 
+    // q97 × q44's apply: train the merge table, segment every distinct
+    // (source, word), report tokens-per-word fertility per source — the
+    // oracle replays all 6 training rounds AND the segmentation verbatim
+    "q101_bpe_fertility" -> ((s, d) =>
+      TextOps.bpeFertility(t(s, d, "documents"), numMerges = 6)
+        .orderBy(col("source"))),
+
     // the corpus DATASHEET: doc/dedup/token tallies at every (source, lang)
     // granularity in ONE cube pass — '<all>' rows via grouping() flags, so
     // real nulls could never be confused with the rollup totals
@@ -1750,6 +1757,44 @@ object SparkEntry {
          |  CAST(COALESCE(sc.s, 0) AS BIGINT) AS score_micro
          |FROM gb LEFT JOIN sc ON sc.doc_id = gb.doc_id
          |ORDER BY gb.doc_id""".stripMargin
+    },
+
+    // q97's round chain with the word identity threaded through every
+    // round's segmentation CTE: s6's segs are exactly what applyBpeMerges
+    // computes, then per-(source, word) counts weight the symbol tallies
+    "q101_bpe_fertility" -> {
+      val E = "chr(30)"
+      val SS = s"$E||$E"
+      val rounds = (1 to 6).map { k =>
+        val prev = s"s${k - 1}"
+        s"""p$k AS (
+           |  SELECT pr.l AS lhs, pr.r AS rhs, CAST(sum(freq) AS BIGINT) AS pair_count FROM (
+           |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+           |        i -> struct_pack(l := syms[i], r := syms[i+1]))) AS pr
+           |    FROM (SELECT freq, string_split(trim(seg, $E), $SS) AS syms FROM $prev)
+           |  ) GROUP BY 1, 2),
+           |m$k AS (SELECT lhs, rhs, pair_count FROM p$k
+           |  ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1),
+           |s$k AS (SELECT w, freq, replace(seg, $E||m.lhs||$SS||m.rhs||$E,
+           |    $E||m.lhs||m.rhs||$E) AS seg FROM $prev CROSS JOIN m$k m)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH words AS (
+         |  SELECT w, count(*) AS freq FROM (SELECT unnest($toksSql) AS w FROM documents)
+         |  WHERE len(w) > 0 AND w NOT LIKE '%'||$E||'%' GROUP BY w),
+         |s0 AS (SELECT w, freq,
+         |  $SS||array_to_string(list_transform(range(1, len(w)+1), i -> w[i]), $SS)||$SS AS seg
+         |  FROM words),
+         |$rounds,
+         |wsrc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT source, unnest($toksSql) AS w FROM documents)
+         |  WHERE len(w) > 0 AND w NOT LIKE '%'||$E||'%' GROUP BY 1, 2),
+         |syms AS (SELECT w,
+         |  CAST(len(string_split(trim(seg, $E), $SS)) AS BIGINT) AS ns FROM s6)
+         |SELECT source, CAST(sum(n) AS BIGINT) AS n_words,
+         |  CAST(sum(n * ns) AS BIGINT) AS n_symbols,
+         |  CAST(sum(n * ns) AS DOUBLE) / sum(n) AS fertility
+         |FROM wsrc JOIN syms USING (w)
+         |GROUP BY source ORDER BY source""".stripMargin
     },
 
     // identical md5+Horner bigram identity, identical double-expression

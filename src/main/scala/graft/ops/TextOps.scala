@@ -863,4 +863,39 @@ object TextOps {
     }
     df.withColumn("symbols", segSymbols(seg))
   }
+
+  /** Tokenizer FERTILITY datasheet: train a BPE merge table on the corpus
+    * ([[trainBpe]]), segment every word with it ([[applyBpeMerges]]), and
+    * report per `groupCol` how many subword symbols the tokenizer spends
+    * per whitespace word — THE metric (tokens/word, "fertility") for
+    * deciding whether a tokenizer fits a corpus slice: high fertility on a
+    * language or source means its text fragments into many subwords and
+    * trains/infers expensively. Output: (group, n_words, n_symbols,
+    * fertility) with exact integer tallies and fertility their single
+    * division (one exact-int quotient — deterministic cross-engine, the
+    * q95 datasheet convention).
+    *
+    * Scale shape: training cost is [[trainBpe]]'s (word-table-bounded); the
+    * merge chain then applies to DISTINCT (group, word) pairs — a
+    * vocabulary-sized frame, not the corpus — and occurrence counts weight
+    * the sums. Two count shuffles (word counts, group rollup), model on the
+    * driver at `numMerges` rows.
+    */
+  def bpeFertility(documents: DataFrame, numMerges: Int = 6,
+                   groupCol: String = "source",
+                   textCol: String = "text"): DataFrame = {
+    val mergeRows = trainBpe(documents, numMerges, textCol)
+      .orderBy(col("merge_rank")).collect()
+    val merges = mergeRows.map(r => (r.getString(1), r.getString(2))).toSeq
+    val wcounts = documents
+      .select(col(groupCol), explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0 && !col("w").contains(BpeSep))
+      .groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("n"))
+    applyBpeMerges(wcounts, merges)
+      .groupBy(col(groupCol))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * size(col("symbols"))).as("n_symbols"))
+      .withColumn("fertility",
+        col("n_symbols").cast("double") / col("n_words"))
+  }
 }

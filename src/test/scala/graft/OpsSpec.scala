@@ -874,6 +874,23 @@ class OpsSpec extends SparkTestBase {
     byWord.foreach { case (w, syms) => assert(syms.mkString("") === w) }
   }
 
+  test("bpeFertility: per-source symbol tallies on the Sennrich corpus") {
+    // same corpus split across two sources; with the 6 hand-known merges,
+    // segmentations: low→[low](1), lower→[low,e,r](3), newest→[n,ewest](2),
+    // widest→[w,id,est]? no — id never merges: widest→[w,i,d,est](4)
+    val corpus = Seq(
+      (0L, "srcA", Array.fill(5)("low").mkString(" ") + " " + Array.fill(2)("lower").mkString(" ")),
+      (1L, "srcB", Array.fill(6)("newest").mkString(" ") + " " + Array.fill(3)("widest").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.bpeFertility(corpus, numMerges = 6).orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // srcA: 5 low×1 + 2 lower×3 = 11 symbols / 7 words
+    // srcB: 6 newest×2 + 3 widest×4 = 24 symbols / 9 words
+    assert(out.toSeq === Seq(
+      ("srcA", 7L, 11L, 11.0 / 7),
+      ("srcB", 9L, 24L, 24.0 / 9)))
+  }
+
   test("trainBpe merge fold handles runs leftmost-first (the replace-semantics lemma)") {
     // [a,a,a,a] + (a,a) must give [aa,aa], and [a,a,a] must give [aa,a]
     val segged = TextOps.applyBpeMerges(Seq("aaaa", "aaa").toDF("w"), Seq(("a", "a")))
