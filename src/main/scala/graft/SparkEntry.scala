@@ -84,6 +84,43 @@ object SparkEntry {
        |fp AS (SELECT id, CAST($fpBits AS BIGINT) AS simhash FROM bits)""".stripMargin
   }
 
+  /** DSIR score CTE chain ending in `dsel (doc_id, n_grams, score_micro)` —
+    * shared by q99 (scores) and q102 (resampling): hashed unigram+bigram
+    * buckets, add-1 smoothing against the lang='en' target, per-bucket ln
+    * quantized to micro-nats BEFORE the per-doc integer sum (mirrors
+    * TextOps.dsirWeights bit-for-bit).
+    */
+  private val dsirSqlCtes: String = {
+    val tokHash = s"${ops.DetHash.sqlMd5Hash60("t")} % ${ops.DetHash.P}"
+    val bi = ops.DetHash.sqlShingleHashes("th", 2)
+    s"""dtok AS (SELECT doc_id, lang,
+       |    list_transform($toksSql, t -> $tokHash) AS th FROM documents),
+       |gb AS (SELECT doc_id, lang, list_concat(
+       |    list_transform(th, h -> CAST(h % 1024 AS INTEGER)),
+       |    list_transform($bi, h -> CAST(h % 1024 AS INTEGER))) AS gs
+       |  FROM dtok),
+       |rcnt AS (SELECT g AS b, CAST(count(*) AS BIGINT) AS c
+       |  FROM gb, UNNEST(gs) AS t(g) GROUP BY 1),
+       |tcnt AS (SELECT g AS b, CAST(count(*) AS BIGINT) AS c
+       |  FROM gb, UNNEST(gs) AS t(g) WHERE lang = 'en' GROUP BY 1),
+       |dtot AS (SELECT
+       |    (SELECT COALESCE(sum(c), 0) FROM rcnt) AS rtot,
+       |    (SELECT COALESCE(sum(c), 0) FROM tcnt) AS ttot),
+       |lr AS (SELECT CAST(sp.b AS INTEGER) AS b,
+       |    CAST(floor(ln(
+       |      (CAST(COALESCE(tc.c, 0) + 1 AS DOUBLE) * CAST(rtot + 1024 AS DOUBLE))
+       |      / (CAST(COALESCE(rc.c, 0) + 1 AS DOUBLE) * CAST(ttot + 1024 AS DOUBLE))
+       |    ) * 1000000 + 0.5) AS BIGINT) AS lr
+       |  FROM range(0, 1024) sp(b)
+       |  LEFT JOIN rcnt rc ON rc.b = sp.b
+       |  LEFT JOIN tcnt tc ON tc.b = sp.b, dtot),
+       |dsc AS (SELECT doc_id, CAST(sum(lr.lr) AS BIGINT) AS s
+       |  FROM gb, UNNEST(gs) AS t(g), lr WHERE lr.b = g GROUP BY doc_id),
+       |dsel AS (SELECT gb.doc_id, CAST(len(gs) AS INTEGER) AS n_grams,
+       |    CAST(COALESCE(dsc.s, 0) AS BIGINT) AS score_micro
+       |  FROM gb LEFT JOIN dsc ON dsc.doc_id = gb.doc_id)""".stripMargin
+  }
+
   /** Exact-cosine SQL over two embedding aliases (same expression pattern as
     * the Spark side's unrolled left-to-right double accumulation).
     */
@@ -459,6 +496,16 @@ object SparkEntry {
     "q101_bpe_fertility" -> ((s, d) =>
       TextOps.bpeFertility(t(s, d, "documents"), numMerges = 6)
         .orderBy(col("source"))),
+
+    // the full DSIR pipeline: q99's scores → seeded Gumbel-top-k selection
+    // (sampling ∝ exp(score), without replacement, md5-derived randomness —
+    // the oracle redraws the identical sample)
+    "q102_importance_resample" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      TextOps.importanceResample(
+        TextOps.dsirWeights(docs, docs.filter(col("lang") === "en"),
+          buckets = 1024), k = 50)
+    },
 
     // the corpus DATASHEET: doc/dedup/token tallies at every (source, lang)
     // granularity in ONE cube pass — '<all>' rows via grouping() flags, so
@@ -1727,36 +1774,24 @@ object SparkEntry {
     // double, two products, one quotient — identical IEEE results), ln
     // quantized to micro-nats BEFORE the per-doc sum so both engines sum
     // integers
-    "q99_dsir_weights" -> {
-      val tokHash = s"${ops.DetHash.sqlMd5Hash60("t")} % ${ops.DetHash.P}"
-      val bi = ops.DetHash.sqlShingleHashes("th", 2)
-      s"""WITH tok AS (SELECT doc_id, lang,
-         |    list_transform($toksSql, t -> $tokHash) AS th FROM documents),
-         |gb AS (SELECT doc_id, lang, list_concat(
-         |    list_transform(th, h -> CAST(h % 1024 AS INTEGER)),
-         |    list_transform($bi, h -> CAST(h % 1024 AS INTEGER))) AS gs
-         |  FROM tok),
-         |rcnt AS (SELECT g AS b, CAST(count(*) AS BIGINT) AS c
-         |  FROM gb, UNNEST(gs) AS t(g) GROUP BY 1),
-         |tcnt AS (SELECT g AS b, CAST(count(*) AS BIGINT) AS c
-         |  FROM gb, UNNEST(gs) AS t(g) WHERE lang = 'en' GROUP BY 1),
-         |tot AS (SELECT
-         |    (SELECT COALESCE(sum(c), 0) FROM rcnt) AS rtot,
-         |    (SELECT COALESCE(sum(c), 0) FROM tcnt) AS ttot),
-         |lr AS (SELECT CAST(sp.b AS INTEGER) AS b,
-         |    CAST(floor(ln(
-         |      (CAST(COALESCE(tc.c, 0) + 1 AS DOUBLE) * CAST(rtot + 1024 AS DOUBLE))
-         |      / (CAST(COALESCE(rc.c, 0) + 1 AS DOUBLE) * CAST(ttot + 1024 AS DOUBLE))
-         |    ) * 1000000 + 0.5) AS BIGINT) AS lr
-         |  FROM range(0, 1024) sp(b)
-         |  LEFT JOIN rcnt rc ON rc.b = sp.b
-         |  LEFT JOIN tcnt tc ON tc.b = sp.b, tot),
-         |sc AS (SELECT doc_id, CAST(sum(lr.lr) AS BIGINT) AS s
-         |  FROM gb, UNNEST(gs) AS t(g), lr WHERE lr.b = g GROUP BY doc_id)
-         |SELECT gb.doc_id, CAST(len(gs) AS INTEGER) AS n_grams,
-         |  CAST(COALESCE(sc.s, 0) AS BIGINT) AS score_micro
-         |FROM gb LEFT JOIN sc ON sc.doc_id = gb.doc_id
-         |ORDER BY gb.doc_id""".stripMargin
+    "q99_dsir_weights" ->
+      s"""WITH $dsirSqlCtes
+         |SELECT doc_id, n_grams, score_micro FROM dsel
+         |ORDER BY doc_id""".stripMargin,
+
+    // q99's score CTEs + the seeded Gumbel key: md5-uniform → −ln(−ln u),
+    // both terms micro-nat-quantized before the integer key sum — the
+    // oracle draws the IDENTICAL without-replacement sample
+    "q102_importance_resample" -> {
+      val h = ops.DetHash.sqlMd5Hash60("'resample|' || CAST(doc_id AS VARCHAR)")
+      s"""WITH $dsirSqlCtes
+         |SELECT doc_id, n_grams, score_micro,
+         |  CAST(floor(CAST(score_micro AS DOUBLE) / 1.0 + 0.5) AS BIGINT)
+         |  + CAST(floor(-ln(-ln(CAST(h + 1 AS DOUBLE)
+         |      / CAST(1152921504606846977 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT)
+         |    AS key_micro
+         |FROM (SELECT dsel.*, $h AS h FROM dsel)
+         |ORDER BY key_micro DESC, doc_id LIMIT 50""".stripMargin
     },
 
     // q97's round chain with the word identity threaded through every

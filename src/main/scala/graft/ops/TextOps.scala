@@ -464,6 +464,37 @@ object TextOps {
         coalesce(col("lp_micro"), lit(0L)).as("lp_micro"))
   }
 
+  /** Seeded IMPORTANCE RESAMPLING over a scored frame — the selection step
+    * DSIR runs after [[dsirWeights]]: Gumbel-top-k (Vieira 2014) draws k
+    * documents without replacement with probability ∝ exp(score/τ), by
+    * ranking `score/τ + Gumbel(md5(salt|id))` and keeping the top k. All
+    * randomness derives from md5 (the engine-wide determinism contract):
+    * `u = (md5Hash60(salt|id) + 1) / (2^60 + 1)` ∈ (0,1),
+    * `g = −ln(−ln u)`, and BOTH terms quantize to micro-nat BIGINTs before
+    * the integer key addition — same salt ⇒ same sample on any engine, any
+    * partitioning, any cluster size; new salt ⇒ fresh draw. Output:
+    * (id, score, key_micro) — the k selected rows in (key desc, id) order.
+    *
+    * Scale shape: key derivation is map-only over the scored frame; the
+    * selection is orderBy+limit = TakeOrderedAndProject (per-partition
+    * top-k heaps merged on the driver — k-bounded, never a global sort).
+    */
+  def importanceResample(scored: DataFrame, k: Int,
+                         salt: String = "resample", tau: Double = 1.0,
+                         idCol: String = "doc_id",
+                         scoreCol: String = "score_micro"): DataFrame = {
+    require(k >= 1 && tau > 0, "need k >= 1 and tau > 0")
+    val h = DetHash.md5Hash60(
+      concat(lit(salt + "|"), col(idCol).cast("string")))
+    val u = (h + 1).cast("double") / lit(1152921504606846977L).cast("double")
+    val gMicro = floor(-log(-log(u)) * 1e6 + 0.5).cast("long")
+    val sMicro = floor(col(scoreCol).cast("double") / tau + 0.5).cast("long")
+    scored
+      .withColumn("key_micro", sMicro + gMicro)
+      .orderBy(col("key_micro").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Rolling-hash document fingerprint: min/max/count over shingle hashes —
     * a compact content signature robust to small edits at the ends.
     */

@@ -1108,6 +1108,22 @@ class OpsSpec extends SparkTestBase {
     assert(re.toSeq === out.toSeq)
   }
 
+  test("importanceResample: seeded-deterministic, salt-sensitive, tau→0 degenerates to top-k") {
+    val scored = (1L to 100L).map(i => (i, i * 37 % 101)).toDF("doc_id", "score_micro")
+    val a = TextOps.importanceResample(scored, 10).collect().map(_.getLong(0)).toSeq
+    val b = TextOps.importanceResample(scored, 10).collect().map(_.getLong(0)).toSeq
+    assert(a === b && a.size === 10)
+    val c = TextOps.importanceResample(scored, 10, salt = "other")
+      .collect().map(_.getLong(0)).toSeq
+    assert(a !== c, "a fresh salt must redraw the sample")
+    // τ→0: the score term dominates every Gumbel draw — pure top-k
+    val greedy = TextOps.importanceResample(scored, 10, tau = 1e-6)
+      .collect().map(_.getLong(0)).toSet
+    val topk = scored.orderBy(col("score_micro").desc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    assert(greedy === topk)
+  }
+
   test("bigramLmScore: hand-computed add-1 bigram log-probs in micro-nats") {
     val docs = Seq(
       (1L, "a a a"), // bigrams (a,a)x2
