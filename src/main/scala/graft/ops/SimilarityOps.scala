@@ -745,4 +745,134 @@ object SimilarityOps {
         Seq(col("cos").desc, col("neighbor_id").asc), k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn").as("rank"))
   }
+
+  // ---- Product Quantization (PQ) — FAISS-style compressed ANN ----
+
+  /** PQ codebook training on the INTEGER lattice: vectors quantize to a
+    * shared int8 grid (`floor(x · 127/max_abs)` — the q84 scale, corpus-wide
+    * so codes are comparable), split into `numSub` subspaces, and each
+    * subspace runs `iters` Lloyd rounds with md5-ordered seeding, strict-<
+    * argmin (lowest cell wins ties) and centroids ROUNDED BACK to the
+    * integer lattice each round (`floor(sum/n + 0.5)`). Integer-lattice
+    * Lloyd trades a little codebook quality for something classic k-means
+    * cannot offer: every distance is an exact integer, so training,
+    * encoding and search are bit-reproducible on any engine, partitioning
+    * or cluster size — and the DuckDB oracle replays ALL of it (the q97
+    * replayable-training pattern, applied to vector compression).
+    *
+    * Scale shape: per round, assignment is a map-only argmin against the
+    * broadcast codebook (numSub·numCentroids literals — model params), and
+    * the centroid update is ONE explode+groupBy whose partial aggregation
+    * collapses to ≤ numSub·numCentroids·subDim rows per task before a
+    * model-sized collect (the per-round driver transfer of every iterative
+    * trainer here, cf. trainBpe's argmax row). Returns (scale, codebook
+    * [sub][cell][dim]).
+    */
+  private[graft] def pqTrainCodebook(
+      df: DataFrame, numSub: Int, numCentroids: Int, iters: Int,
+      idCol: String, vecCol: String): (Double, Array[Array[Array[Int]]]) = {
+    val dim = df.select(size(col(vecCol)).as("d")).head.getInt(0)
+    require(dim % numSub == 0, s"dim $dim not divisible by numSub $numSub")
+    val subDim = dim / numSub
+    val mx = df.agg(max(array_max(transform(col(vecCol),
+      x => abs(x.cast("double")))))).head.getDouble(0)
+    val scale = if (mx > 0) 127.0 / mx else 0.0
+    val qv = pqQuantized(df, scale, idCol, vecCol)
+    val seeds = qv
+      .withColumn("h", DetHash.md5Hash60(concat(lit("pq|"), col("id").cast("string"))))
+      .orderBy(col("h"), col("id")).limit(numCentroids)
+      .select(col("qv")).collect()
+    require(seeds.length == numCentroids,
+      s"corpus smaller than numCentroids=$numCentroids")
+    var codebook: Array[Array[Array[Int]]] =
+      Array.tabulate(numSub, numCentroids) { (m, c) =>
+        seeds(c).getSeq[Int](0).slice(m * subDim, (m + 1) * subDim).toArray
+      }
+    for (_ <- 1 to iters) {
+      val coded = qv.select(col("id") +: col("qv") +:
+        (0 until numSub).map(m => pqCode(col("qv"), codebook, m, subDim).as(s"c$m")): _*)
+      val subRows = coded.select(explode(array((0 until numSub).map { m =>
+        struct(lit(m).as("m"), col(s"c$m").as("cell"),
+          slice(col("qv"), m * subDim + 1, subDim).as("sub"))
+      }: _*)).as("s")).select(col("s.m"), col("s.cell"), col("s.sub"))
+      val sums = subRows
+        .select(col("m"), col("cell"), posexplode(col("sub")).as(Seq("d", "x")))
+        .groupBy(col("m"), col("cell"), col("d"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect() // ≤ numSub·numCentroids·subDim rows — the model update
+      val next = codebook.map(_.map(_.clone()))
+      sums.foreach { r =>
+        val (m, cell, d) = (r.getInt(0), r.getInt(1), r.getInt(2))
+        next(m)(cell)(d) =
+          math.floor(r.getLong(3).toDouble / r.getLong(4) + 0.5).toInt
+      }
+      codebook = next // cells with no members keep their previous centroid
+    }
+    (scale, codebook)
+  }
+
+  /** Shared int-lattice quantization: (id, qv) with qv = floor(x·scale). */
+  private def pqQuantized(df: DataFrame, scale: Double,
+                          idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * lit(scale)).cast("int")).as("qv"))
+
+  /** Exact integer distance from a bound subvector to one centroid. */
+  private def pqDist(qv: Column, cent: Array[Int], off: Int): Column =
+    cent.indices.map { d =>
+      val diff = element_at(qv, off + d + 1) - lit(cent(d))
+      diff * diff
+    }.reduce(_ + _)
+
+  /** 0-based nearest-centroid code for subspace `m` — distances bound ONCE
+    * through a single-element-array lambda (HOFs don't CSE), first-minimum
+    * tiebreak via array_position(min).
+    */
+  private def pqCode(qv: Column, cb: Array[Array[Array[Int]]], m: Int,
+                     subDim: Int): Column =
+    (element_at(transform(array(array(cb(m).indices.map(c =>
+      pqDist(qv, cb(m)(c), m * subDim)): _*)),
+      ds => array_position(ds, array_min(ds)).cast("int")), 1) - 1).as(s"c$m")
+
+  /** PQ-compressed approximate nearest-neighbour search (ADC — asymmetric
+    * distance computation, Jégou et al. 2011): train an integer-lattice
+    * codebook ([[pqTrainCodebook]]), encode the corpus to `numSub` one-byte
+    * codes, build each query's per-subspace lookup table against the
+    * UNCOMPRESSED query subvectors, and rank by the summed table entries.
+    * The memory story is the point at scale: 64-dim float vectors (256 B)
+    * become `numSub` bytes (+id) — a 100 TB embedding store probes from a
+    * ~1.6 TB code table. Output: (query_id, vec_id, adc_dist, rank) — the
+    * k best per query, (adc asc, vec_id) total order, self-match included
+    * (rank 1, distance 0, the FAISS convention).
+    *
+    * Scale shape: encoding and the per-query LUTs are map-only against
+    * codebook literals; scoring joins the code table to the broadcast
+    * query-LUT frame and ranks with [[RelationalOps.topKPerGroup]]
+    * (per-group heaps, no global sort). Every distance is an exact integer
+    * — hash-gate deterministic end to end.
+    */
+  def pqSearch(df: DataFrame, queryPred: Column, k: Int = 10,
+               numSub: Int = 4, numCentroids: Int = 8, iters: Int = 2,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (scale, cb) = pqTrainCodebook(df, numSub, numCentroids, iters, idCol, vecCol)
+    val subDim = cb(0)(0).length
+    val qv = pqQuantized(df, scale, idCol, vecCol)
+    val codes = qv.select(col("id").as("vec_id") +:
+      (0 until numSub).map(m => pqCode(col("qv"), cb, m, subDim)): _*)
+    val luts = pqQuantized(df.filter(queryPred), scale, idCol, vecCol)
+      .select(col("id").as("query_id") +:
+        (0 until numSub).map { m =>
+          array(cb(m).indices.map(c =>
+            pqDist(col("qv"), cb(m)(c), m * subDim).cast("long")): _*).as(s"lut$m")
+        }: _*)
+    val adc = codes.crossJoin(broadcast(luts))
+      .select(col("query_id"), col("vec_id"),
+        (0 until numSub).map(m => element_at(col(s"lut$m"), col(s"c$m") + 1))
+          .reduce(_ + _).as("adc_dist"))
+    RelationalOps.topKPerGroup(adc, Seq("query_id"),
+        Seq(col("adc_dist").asc, col("vec_id").asc), k)
+      .select(col("query_id"), col("vec_id"), col("adc_dist"),
+        col("rn").cast("int").as("rank"))
+  }
 }

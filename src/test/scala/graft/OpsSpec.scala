@@ -1124,6 +1124,46 @@ class OpsSpec extends SparkTestBase {
     assert(greedy === topk)
   }
 
+  test("pqSearch: dense ranks, self ties minimal ADC, partition-invariant, recall beats chance") {
+    val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
+    val out = SimilarityOps.pqSearch(emb, col("vec_id") % 100 === 7, k = 10)
+      .orderBy(col("query_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val queries = out.map(_._1).distinct
+    assert(queries.nonEmpty)
+    // ranks are dense 1..10 and ADC distances non-decreasing; the query's
+    // OWN code minimizes every per-subspace LUT entry, so the rank-1
+    // distance can never exceed the query's own quantization error
+    queries.foreach { q =>
+      val rows = out.filter(_._1 == q).sortBy(_._4)
+      assert(rows.map(_._4).toSeq === (1 to 10))
+      assert(rows.sliding(2).forall(p => p(0)._3 <= p(1)._3))
+      rows.find(_._2 == q).foreach(self =>
+        assert(rows.head._3 <= self._3, "self ties for the minimal ADC sum"))
+    }
+    // bit-identical under a different partitioning (integer lattice end to end)
+    val re = SimilarityOps.pqSearch(emb.repartition(13), col("vec_id") % 100 === 7, k = 10)
+      .orderBy(col("query_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(re.toSeq === out.toSeq)
+    // compressed-domain recall@10 vs exact L2 top-10: PQ at 4×8 codes is
+    // coarse, but must beat random chance by a wide margin
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val n = vecs.size
+    val recalls = queries.map { q =>
+      val qv = vecs(q)
+      val exact = vecs.toSeq.map { case (id, v) =>
+        (id, v.zip(qv).map { case (a, b) => (a - b).toDouble * (a - b) }.sum)
+      }.sortBy(t => (t._2, t._1)).take(10).map(_._1).toSet
+      val got = out.filter(_._1 == q).map(_._2).toSet
+      (exact intersect got).size / 10.0
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall > 3.0 * 10.0 / n,
+      s"mean ADC recall@10 $meanRecall not above 3x chance (n=$n)")
+  }
+
   test("bigramLmScore: hand-computed add-1 bigram log-probs in micro-nats") {
     val docs = Seq(
       (1L, "a a a"), // bigrams (a,a)x2
