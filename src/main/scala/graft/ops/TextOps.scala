@@ -380,8 +380,24 @@ object TextOps {
     */
   def dsirWeights(raw: DataFrame, target: DataFrame, buckets: Int = 1024,
                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val rawG = raw.select(col(idCol).as("id"),
-      gramBuckets(col(textCol), buckets).as("gs"))
+    val lr = dsirModel(raw, target, buckets, textCol)
+    raw.select(col(idCol),
+      gramBuckets(col(textCol), buckets).as("__gs"))
+      .select(col(idCol),
+        size(col("__gs")).cast("int").as("n_grams"),
+        dsirScoreOverBuckets(col("__gs"), lr).as("score_micro"))
+  }
+
+  /** Train the DSIR bucket model alone: the per-bucket micro-nat-quantized
+    * log probability ratios, as a plain `Seq[Long]` of length `buckets` —
+    * frozen MODEL PARAMETERS that [[dsirScoreCol]] turns into a stateless
+    * scoring expression. Train once on a batch corpus, score anywhere:
+    * batch frames, new shards, STREAMING micro-batches (the expression is
+    * map-only, so it runs unchanged under `writeStream` with no state and
+    * no per-batch recomputation).
+    */
+  def dsirModel(raw: DataFrame, target: DataFrame, buckets: Int = 1024,
+                textCol: String = "text"): Seq[Long] = {
     def counts(g: DataFrame): Array[Long] = {
       val arr = Array.fill(buckets)(0L)
       g.select(explode(col("gs")).as("b")).groupBy(col("b"))
@@ -389,21 +405,28 @@ object TextOps {
         .foreach(r => arr(r.getInt(0)) = r.getLong(1))
       arr
     }
-    val rc = counts(rawG)
+    val rc = counts(raw.select(gramBuckets(col(textCol), buckets).as("gs")))
     val tc = counts(target.select(gramBuckets(col(textCol), buckets).as("gs")))
     val (rTot, tTot) = (rc.sum, tc.sum)
-    val lr: Seq[Long] = Array.tabulate(buckets) { b =>
+    Array.tabulate(buckets) { b =>
       // exact-integer operands, double products/quotient in a FIXED shape
       // mirrored literally by the oracle SQL — identical IEEE doubles in
       val ratio = ((tc(b) + 1).toDouble * (rTot + buckets).toDouble) /
         ((rc(b) + 1).toDouble * (tTot + buckets).toDouble)
       math.floor(math.log(ratio) * 1e6 + 0.5).toLong
     }.toSeq
+  }
+
+  /** Stateless DSIR score of a text column under a frozen model — Σ over
+    * the text's hashed grams of the model's micro-nat log-ratios (integer
+    * fold, order-free). `lr.length` is the bucket count.
+    */
+  def dsirScoreCol(text: Column, lr: Seq[Long]): Column =
+    dsirScoreOverBuckets(gramBuckets(text, lr.length), lr)
+
+  private def dsirScoreOverBuckets(gs: Column, lr: Seq[Long]): Column = {
     val lrLit = typedLit(lr)
-    rawG.select(col("id").as(idCol),
-      size(col("gs")).cast("int").as("n_grams"),
-      aggregate(col("gs"), lit(0L),
-        (acc, g) => acc + element_at(lrLit, g + 1)).as("score_micro"))
+    aggregate(gs, lit(0L), (acc, g) => acc + element_at(lrLit, g + 1))
   }
 
   /** Bigram language-model scoring of a corpus against ITSELF — the

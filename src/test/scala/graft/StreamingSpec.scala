@@ -408,6 +408,44 @@ class StreamingSpec extends SparkTestBase {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("frozen DSIR model gates a document stream: target-like pass, off-target drop") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.TextOps
+    // train the bucket model ONCE on a static corpus (alpha/beta = target)
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta alpha beta", "en"),
+      (2L, "gamma delta gamma delta gamma delta", "de"),
+      (3L, "alpha beta gamma delta alpha beta", "de")).toDF("doc_id", "text", "lang")
+    val lr = TextOps.dsirModel(corpus, corpus.filter(col("lang") === "en"),
+      buckets = 64)
+    // calibrate the gate from batch scores (add-1 smoothing centres tiny-
+    // corpus scores below zero, so an absolute 0 threshold is meaningless):
+    // the midpoint separates target-like from off-target
+    val cal = Seq((0L, "alpha beta alpha beta"), (1L, "gamma delta gamma delta"))
+      .toDF("doc_id", "text")
+      .select(TextOps.dsirScoreCol(col("text"), lr)).collect().map(_.getLong(0))
+    assert(cal(0) > cal(1), "target-like text must outscore off-target")
+    val threshold = (cal(0) + cal(1)) / 2
+    // the frozen model is literals → the scoring gate is a stateless
+    // map-only transform that runs unchanged under writeStream
+    val mem = MemoryStream[(Long, String)]
+    val gated = mem.toDF().toDF("doc_id", "text")
+      .withColumn("score_micro", TextOps.dsirScoreCol(col("text"), lr))
+      .filter(col("score_micro") > threshold)
+    val q = gated.writeStream.format("memory").queryName("dsir_gate")
+      .outputMode("append").start()
+    try {
+      mem.addData((10L, "alpha beta alpha beta"), (11L, "gamma delta gamma delta"))
+      q.processAllAvailable()
+      val kept = spark.table("dsir_gate").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(10L), s"gate must pass target-like only, kept $kept")
+      // stream score == batch score for the SAME model (bit-equal integers)
+      val batchScore = Seq((10L, "alpha beta alpha beta")).toDF("doc_id", "text")
+        .select(TextOps.dsirScoreCol(col("text"), lr)).head.getLong(0)
+      assert(spark.table("dsir_gate").head.getLong(2) === batchScore)
+    } finally q.stop()
+  }
+
   test("file-based readEventStream processes a landing directory incrementally") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
