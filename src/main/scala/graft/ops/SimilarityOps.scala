@@ -770,17 +770,38 @@ object SimilarityOps {
     */
   private[graft] def pqTrainCodebook(
       df: DataFrame, numSub: Int, numCentroids: Int, iters: Int,
-      idCol: String, vecCol: String): (Double, Array[Array[Array[Int]]]) = {
+      idCol: String, vecCol: String,
+      scope: CacheScope = CacheScope.default): (Double, Array[Array[Array[Int]]]) = {
+    val (scale, qv, subDim) = pqPrepare(df, numSub, idCol, vecCol, scope)
+    (scale, pqLloyd(qv, numSub, numCentroids, iters, subDim, idCol))
+  }
+
+  /** Scale fit + cached int-lattice quantization — the frame every later PQ
+    * stage (seeding, Lloyd rounds, encoding, query LUTs) reuses: without
+    * the scope-registered cache the lifecycle would re-scan the corpus
+    * ~(iters+3) times.
+    */
+  private def pqPrepare(df: DataFrame, numSub: Int, idCol: String,
+                        vecCol: String,
+                        scope: CacheScope): (Double, DataFrame, Int) = {
     val dim = df.select(size(col(vecCol)).as("d")).head.getInt(0)
     require(dim % numSub == 0, s"dim $dim not divisible by numSub $numSub")
-    val subDim = dim / numSub
     val mx = df.agg(max(array_max(transform(col(vecCol),
       x => abs(x.cast("double")))))).head.getDouble(0)
     val scale = if (mx > 0) 127.0 / mx else 0.0
-    val qv = pqQuantized(df, scale, idCol, vecCol)
+    val qv = scope.register(df.select(col(idCol),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * lit(scale)).cast("int")).as("qv")))
+    (scale, qv, dim / numSub)
+  }
+
+  /** The integer-lattice Lloyd rounds over a prepared (id, qv) frame. */
+  private def pqLloyd(qv: DataFrame, numSub: Int, numCentroids: Int,
+                      iters: Int, subDim: Int,
+                      idCol: String): Array[Array[Array[Int]]] = {
     val seeds = qv
-      .withColumn("h", DetHash.md5Hash60(concat(lit("pq|"), col("id").cast("string"))))
-      .orderBy(col("h"), col("id")).limit(numCentroids)
+      .withColumn("h", DetHash.md5Hash60(concat(lit("pq|"), col(idCol).cast("string"))))
+      .orderBy(col("h"), col(idCol)).limit(numCentroids)
       .select(col("qv")).collect()
     require(seeds.length == numCentroids,
       s"corpus smaller than numCentroids=$numCentroids")
@@ -789,7 +810,7 @@ object SimilarityOps {
         seeds(c).getSeq[Int](0).slice(m * subDim, (m + 1) * subDim).toArray
       }
     for (_ <- 1 to iters) {
-      val coded = qv.select(col("id") +: col("qv") +:
+      val coded = qv.select(col(idCol) +: col("qv") +:
         (0 until numSub).map(m => pqCode(col("qv"), codebook, m, subDim).as(s"c$m")): _*)
       val subRows = coded.select(explode(array((0 until numSub).map { m =>
         struct(lit(m).as("m"), col(s"c$m").as("cell"),
@@ -808,15 +829,8 @@ object SimilarityOps {
       }
       codebook = next // cells with no members keep their previous centroid
     }
-    (scale, codebook)
+    codebook
   }
-
-  /** Shared int-lattice quantization: (id, qv) with qv = floor(x·scale). */
-  private def pqQuantized(df: DataFrame, scale: Double,
-                          idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
-      transform(col(vecCol),
-        x => floor(x.cast("double") * lit(scale)).cast("int")).as("qv"))
 
   /** Exact integer distance from a bound subvector to one centroid. */
   private def pqDist(qv: Column, cent: Array[Int], off: Int): Column =
@@ -843,25 +857,29 @@ object SimilarityOps {
     * The memory story is the point at scale: 64-dim float vectors (256 B)
     * become `numSub` bytes (+id) — a 100 TB embedding store probes from a
     * ~1.6 TB code table. Output: (query_id, vec_id, adc_dist, rank) — the
-    * k best per query, (adc asc, vec_id) total order, self-match included
-    * (rank 1, distance 0, the FAISS convention).
+    * k best per query, (adc asc, vec_id) total order. A query's own code
+    * minimizes every per-subspace LUT entry, so self TIES for the minimal
+    * ADC sum (its own quantization error — not zero).
     *
-    * Scale shape: encoding and the per-query LUTs are map-only against
-    * codebook literals; scoring joins the code table to the broadcast
-    * query-LUT frame and ranks with [[RelationalOps.topKPerGroup]]
-    * (per-group heaps, no global sort). Every distance is an exact integer
-    * — hash-gate deterministic end to end.
+    * Scale shape: one cached quantized frame feeds the whole lifecycle
+    * (seeding, Lloyd, encoding, LUTs — never re-scanning the corpus);
+    * encoding and the per-query LUTs are map-only against codebook
+    * literals; scoring joins the code table to the broadcast query-LUT
+    * frame and ranks with [[RelationalOps.topKPerGroup]] (per-group heaps,
+    * no global sort). Every distance is an exact integer — hash-gate
+    * deterministic end to end. `queryPred` must reference `idCol` only
+    * (it filters the quantized frame).
     */
   def pqSearch(df: DataFrame, queryPred: Column, k: Int = 10,
                numSub: Int = 4, numCentroids: Int = 8, iters: Int = 2,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val (scale, cb) = pqTrainCodebook(df, numSub, numCentroids, iters, idCol, vecCol)
-    val subDim = cb(0)(0).length
-    val qv = pqQuantized(df, scale, idCol, vecCol)
-    val codes = qv.select(col("id").as("vec_id") +:
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               scope: CacheScope = CacheScope.default): DataFrame = {
+    val (_, qv, subDim) = pqPrepare(df, numSub, idCol, vecCol, scope)
+    val cb = pqLloyd(qv, numSub, numCentroids, iters, subDim, idCol)
+    val codes = qv.select(col(idCol).as("vec_id") +:
       (0 until numSub).map(m => pqCode(col("qv"), cb, m, subDim)): _*)
-    val luts = pqQuantized(df.filter(queryPred), scale, idCol, vecCol)
-      .select(col("id").as("query_id") +:
+    val luts = qv.filter(queryPred)
+      .select(col(idCol).as("query_id") +:
         (0 until numSub).map { m =>
           array(cb(m).indices.map(c =>
             pqDist(col("qv"), cb(m)(c), m * subDim).cast("long")): _*).as(s"lut$m")
