@@ -516,6 +516,21 @@ object SparkEntry {
           col("vec_id") % 100 === 7, k = 10)
         .orderBy(col("query_id"), col("rank"))),
 
+    // contrastive hard-negative mining: per query, the 10 nearest vectors
+    // with a DIFFERENT label — q24's exact-cosine kernel, label-filtered
+    // before ranking
+    "q104_hard_negatives" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      SimilarityOps.hardNegatives(emb, emb.filter(col("vec_id") < 5), 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Zipf rank-frequency audit at decade ranks: quantized log-frequency
+    // and per-decade drop (≈ slope · ln 10) — integer output end to end
+    "q105_zipf_decades" -> ((s, d) =>
+      TextOps.zipfDecades(t(s, d, "documents"), maxRank = 1000)
+        .orderBy(col("rank"))),
+
     // the corpus DATASHEET: doc/dedup/token tallies at every (source, lang)
     // granularity in ONE cube pass — '<all>' rows via grouping() flags, so
     // real nulls could never be confused with the rollup totals
@@ -1787,6 +1802,36 @@ object SparkEntry {
       s"""WITH $dsirSqlCtes
          |SELECT doc_id, n_grams, score_micro FROM dsel
          |ORDER BY doc_id""".stripMargin,
+
+    // q24's exact-cosine oracle with the label-inequality predicate and the
+    // negative's label carried through
+    "q104_hard_negatives" ->
+      """WITH dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    b.label AS neg_label,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dp,
+        |    sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+        |    sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < 5 AND b.label <> a.label),
+        |ranked AS (SELECT query_id, neighbor_id, neg_label, dp / (na * nb) AS cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dp / (na * nb) DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM dots)
+        |SELECT query_id, neighbor_id, neg_label, cos, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q105_zipf_decades" ->
+      s"""WITH counts AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest($toksSql) AS t FROM documents) GROUP BY 1),
+         |top AS (SELECT term, freq FROM counts ORDER BY freq DESC, term ASC LIMIT 1000),
+         |ranked AS (SELECT term, freq, CAST(row_number() OVER (
+         |    ORDER BY freq DESC, term ASC) AS BIGINT) AS rank FROM top),
+         |dec AS (SELECT rank, term, freq,
+         |    CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lnf_micro
+         |  FROM ranked WHERE rank IN (1, 10, 100, 1000))
+         |SELECT rank, term, freq, lnf_micro,
+         |  lag(lnf_micro) OVER (ORDER BY rank) - lnf_micro AS drop_micro
+         |FROM dec ORDER BY rank""".stripMargin,
 
     // the whole PQ lifecycle replayed: shared int8 grid, md5-ordered
     // seeding, two unrolled integer-lattice Lloyd rounds (strict-< argmin,

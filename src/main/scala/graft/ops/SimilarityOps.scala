@@ -85,6 +85,35 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn").as("rank"))
   }
 
+  /** HARD-NEGATIVE mining for contrastive training: per query, the k
+    * nearest corpus vectors whose `labelCol` DIFFERS from the query's —
+    * the semantically-closest wrong answers, which is exactly what a
+    * contrastive loss wants as negatives (easy random negatives teach
+    * nothing). Same exact-cosine kernel and broadcast shape as
+    * [[bruteForceTopK]] (this IS the rerank stage you run on an ANN
+    * candidate set at scale); the label inequality filters BEFORE ranking,
+    * so every query gets k true negatives, and self is excluded for free
+    * (same label). Deterministic tiebreak on neighbor id.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    import graft.functions.VectorExpressions.dotF
+    val q = queries.select(col(idCol).as("query_id"), col(labelCol).as("qlab"),
+      col(vecCol).as("qv"), sqrt(dotF(col(vecCol), col(vecCol))).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neg_label"), col(vecCol).as("cv"),
+      sqrt(dotF(col(vecCol), col(vecCol))).as("cn"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neg_label") =!= col("qlab"))
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        (dotF(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    RelationalOps.topKPerGroup(scored, Seq("query_id"),
+        Seq(col("cos").desc, col("neighbor_id").asc), k)
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        col("cos"), col("rn").as("rank"))
+  }
+
   /** ALL near-duplicate pairs with cosine ≥ `minCos`, exact, over the whole
     * table. Norms are computed once per row (same IEEE value the per-pair
     * recompute would give); the pair loop is a nested-loop join evaluating

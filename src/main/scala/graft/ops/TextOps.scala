@@ -518,6 +518,43 @@ object TextOps {
       .limit(k)
   }
 
+  /** ZIPF rank-frequency audit at decade ranks (1, 10, 100, …): the
+    * corpus-health check behind "does this corpus look like natural
+    * language" — natural text drops ≈ ln(10) micro-nats of log-frequency
+    * per rank decade (Zipf slope ≈ −1); flat decades mean template spam,
+    * cliffs mean truncated vocabulary. Output per decade rank: (rank,
+    * term, freq, lnf_micro, drop_micro) where lnf is the quantized ln of
+    * the frequency and drop is the integer difference from the previous
+    * decade (NULL at rank 1) — divide by ln(10)·1e6 ≈ 2302585 for the
+    * slope. All-integer output (the quantize-before-compare contract).
+    *
+    * Scale shape: one (term) count shuffle with map-side partials, then
+    * TakeOrderedAndProject keeps the top `maxRank` terms (per-partition
+    * heaps) — the ranking window runs over a PARAMETER-bounded ≤ maxRank
+    * rows (the buildVocab note), never the vocabulary.
+    */
+  def zipfDecades(documents: DataFrame, maxRank: Int = 1000,
+                  textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = documents.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term").asc).limit(maxRank)
+    val w = Window.orderBy(col("freq").desc, col("term").asc)
+    // exact decade ranks as literals (log10(1000) in doubles is
+    // 2.9999999999999996 — a float-equality decade test would drop it)
+    val decadeRanks = Iterator.iterate(1L)(_ * 10).takeWhile(_ <= maxRank).toSeq
+    val decades = top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank").isin(decadeRanks: _*))
+      .withColumn("lnf_micro",
+        floor(log(col("freq").cast("double")) * 1e6 + 0.5).cast("long"))
+    decades
+      .withColumn("drop_micro",
+        lag(col("lnf_micro"), 1).over(Window.orderBy(col("rank"))) - col("lnf_micro"))
+      .select(col("rank"), col("term"), col("freq"),
+        col("lnf_micro"), col("drop_micro"))
+  }
+
   /** Rolling-hash document fingerprint: min/max/count over shingle hashes —
     * a compact content signature robust to small edits at the ends.
     */

@@ -1164,6 +1164,41 @@ class OpsSpec extends SparkTestBase {
       s"mean ADC recall@10 $meanRecall not above 3x chance (n=$n)")
   }
 
+  test("hardNegatives: every negative has a different label; self never appears") {
+    val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = SimilarityOps.hardNegatives(emb, emb.filter(col("vec_id") < 5), 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (q, n, nlab, _) =>
+      assert(n !== q)
+      assert(nlab === labels(n))
+      assert(nlab !== labels(q), s"negative $n of query $q shares its label")
+    }
+    // ranks dense 1..10 per query
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (1 to 10))
+    }
+  }
+
+  test("zipfDecades: rank-1 term is the corpus max; drops are non-negative and chain") {
+    val docs = Tables(spark, SparkTestBase.sf001, "documents")
+    val out = TextOps.zipfDecades(docs, maxRank = 1000).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(out.head._1 === 1L && out.head._5.isEmpty)
+    assert(out.map(_._1).toSeq === out.map(_._1).toSeq.sorted)
+    // frequencies non-increasing down the decades; drop = lnf diff exactly
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._3 <= a._3)
+        assert(b._5.contains(a._4 - b._4))
+      case _ =>
+    }
+  }
+
   test("bigramLmScore: hand-computed add-1 bigram log-probs in micro-nats") {
     val docs = Seq(
       (1L, "a a a"), // bigrams (a,a)x2
