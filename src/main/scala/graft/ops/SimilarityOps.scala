@@ -797,7 +797,7 @@ object SimilarityOps {
     * trainer here, cf. trainBpe's argmax row). Returns (scale, codebook
     * [sub][cell][dim]).
     */
-  private[graft] def pqTrainCodebook(
+  def pqTrainCodebook(
       df: DataFrame, numSub: Int, numCentroids: Int, iters: Int,
       idCol: String, vecCol: String,
       scope: CacheScope = CacheScope.default): (Double, Array[Array[Array[Int]]]) = {
@@ -874,9 +874,27 @@ object SimilarityOps {
     */
   private def pqCode(qv: Column, cb: Array[Array[Array[Int]]], m: Int,
                      subDim: Int): Column =
-    (element_at(transform(array(array(cb(m).indices.map(c =>
+    element_at(transform(array(array(cb(m).indices.map(c =>
       pqDist(qv, cb(m)(c), m * subDim)): _*)),
-      ds => array_position(ds, array_min(ds)).cast("int")), 1) - 1).as(s"c$m")
+      ds => array_position(ds, array_min(ds)).cast("int")), 1) - 1
+
+  /** Encode vectors under a FROZEN PQ model — the pure-expression stage of
+    * the lifecycle: quantize with the trained scale, assign each subspace
+    * to its nearest centroid. Stateless and map-only, so it runs unchanged
+    * on STREAMING micro-batches (new shards encode against the frozen
+    * codebook exactly like [[graft.ops.TextOps.dsirScoreCol]] scores them;
+    * retrain = new codebook, the X93 drift story). Output: (idCol, c0..c{M-1}).
+    */
+  def pqEncode(df: DataFrame, scale: Double, cb: Array[Array[Array[Int]]],
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val numSub = cb.length
+    val subDim = cb(0)(0).length
+    val qv = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(scale)).cast("int"))
+    df.select(col(idCol) +: (0 until numSub).map(m =>
+      element_at(transform(array(qv), v => pqCode(v, cb, m, subDim)), 1)
+        .as(s"c$m")): _*)
+  }
 
   /** PQ-compressed approximate nearest-neighbour search (ADC — asymmetric
     * distance computation, Jégou et al. 2011): train an integer-lattice
@@ -906,7 +924,7 @@ object SimilarityOps {
     val (_, qv, subDim) = pqPrepare(df, numSub, idCol, vecCol, scope)
     val cb = pqLloyd(qv, numSub, numCentroids, iters, subDim, idCol)
     val codes = qv.select(col(idCol).as("vec_id") +:
-      (0 until numSub).map(m => pqCode(col("qv"), cb, m, subDim)): _*)
+      (0 until numSub).map(m => pqCode(col("qv"), cb, m, subDim).as(s"c$m")): _*)
     val luts = qv.filter(queryPred)
       .select(col(idCol).as("query_id") +:
         (0 until numSub).map { m =>

@@ -446,6 +446,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("frozen PQ codebook encodes a vector stream bit-identically to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.SimilarityOps
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf001, "embeddings")
+    val (scale, cb) = SimilarityOps.pqTrainCodebook(emb, numSub = 4,
+      numCentroids = 8, iters = 2, "vec_id", "embedding")
+    // new shards arrive as a stream; encoding is a stateless expression
+    // against the frozen codebook — no state store, no retrain
+    val rows = emb.filter(col("vec_id") < 20)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val enc = SimilarityOps.pqEncode(
+      mem.toDF().toDF("vec_id", "embedding"), scale, cb)
+    val q = enc.writeStream.format("memory").queryName("pq_codes")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("pq_codes").collect()
+        .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      val batch = SimilarityOps.pqEncode(emb.filter(col("vec_id") < 20), scale, cb)
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+    graft.ops.CacheScope.default.release()
+  }
+
   test("file-based readEventStream processes a landing directory incrementally") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
