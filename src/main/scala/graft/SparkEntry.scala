@@ -531,6 +531,13 @@ object SparkEntry {
       TextOps.zipfDecades(t(s, d, "documents"), maxRank = 1000)
         .orderBy(col("rank"))),
 
+    // LSH tuning datasheet: measured banding recall vs the exact near-dup
+    // pair set per (k, bands) config, alongside the theoretical collision
+    // curve — the how-many-bands-does-this-corpus-need audit (the oracle
+    // replays every config's MinHash banding permutation-for-permutation)
+    "q106_lsh_tuning" -> ((s, d) =>
+      DedupOps.lshTuningSweep(t(s, d, "documents")).orderBy(col("bands"))),
+
     // the corpus DATASHEET: doc/dedup/token tallies at every (source, lang)
     // granularity in ONE cube pass — '<all>' rows via grouping() flags, so
     // real nulls could never be confused with the rollup totals
@@ -1832,6 +1839,55 @@ object SparkEntry {
          |SELECT rank, term, freq, lnf_micro,
          |  lag(lnf_micro) OVER (ORDER BY rank) - lnf_micro AS drop_micro
          |FROM dec ORDER BY rank""".stripMargin,
+
+    // every config's banding replayed permutation-for-permutation: per-doc
+    // minima of (a_i·tok + b_i) mod P, r=2 band packing, the bucket cap,
+    // then exact-Jaccard verification against the brute-force pair set;
+    // the theoretical column is the SAME driver-computed literal the Spark
+    // plan embeds (transcendentals never recomputed cross-engine)
+    "q106_lsh_tuning" -> {
+      val configs = Seq((2, 1), (4, 2), (8, 4), (16, 8), (32, 16))
+      val cfgCtes = configs.map { case (k, bands) =>
+        val minCols = ops.DetHash.minHashPerms(k).zipWithIndex.map {
+          case ((a, b), i) => s"min(${ops.DetHash.sqlPerm("tok", a, b)}) AS s$i"
+        }.mkString(", ")
+        val sigCase = (0 until bands).map(bi =>
+          s"WHEN $bi THEN s${2 * bi} * ${ops.DetHash.P} + s${2 * bi + 1}")
+          .mkString(" ")
+        s"""sg$k AS (SELECT id, $minCols FROM inv GROUP BY id),
+           |bd$k AS (SELECT id, band_idx, CASE band_idx $sigCase END AS band_sig
+           |  FROM sg$k CROSS JOIN range($bands) t(band_idx)),
+           |bk$k AS (SELECT band_idx, band_sig FROM bd$k GROUP BY 1, 2
+           |  HAVING count(*) BETWEEN 2 AND 1000),
+           |cd$k AS (SELECT DISTINCT l.id AS a, r.id AS b
+           |  FROM bd$k l
+           |  JOIN bk$k u ON u.band_idx = l.band_idx AND u.band_sig = l.band_sig
+           |  JOIN bd$k r ON l.band_idx = r.band_idx
+           |    AND l.band_sig = r.band_sig AND l.id < r.id),
+           |f$k AS (SELECT count(*) AS n_found FROM cd$k c
+           |  JOIN pairj p ON p.a = c.a AND p.b = c.b)""".stripMargin
+      }.mkString(",\n")
+      val rows = configs.map { case (k, bands) =>
+        val theo = DedupOps.theoRecallMicro(0.8, k / bands, bands)
+        s"""SELECT $k AS k, $bands AS bands, n_exact, n_found,
+           |  n_exact - n_found AS n_missed,
+           |  CASE WHEN n_exact = 0 THEN NULL
+           |    ELSE (1000000 * n_found) // n_exact END AS recall_micro,
+           |  CAST($theo AS BIGINT) AS theo_recall_micro FROM ex, f$k"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $hashedShinglesCte,
+         |inv AS (SELECT id, unnest(hs) AS tok FROM sized),
+         |pairj AS (SELECT l.id AS a, r.id AS b
+         |  FROM (SELECT id, sz, unnest(hs) AS tok FROM sized) l
+         |  JOIN (SELECT id, sz, unnest(hs) AS tok FROM sized) r
+         |    ON l.tok = r.tok AND l.id < r.id
+         |  GROUP BY l.id, r.id, l.sz, r.sz
+         |  HAVING CAST(count(*) AS DOUBLE) / (l.sz + r.sz - count(*)) >= 0.8),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM pairj),
+         |$cfgCtes
+         |SELECT * FROM ($rows) ORDER BY bands""".stripMargin
+    },
 
     // the whole PQ lifecycle replayed: shared int8 grid, md5-ordered
     // seeding, two unrolled integer-lattice Lloyd rounds (strict-< argmin,

@@ -212,6 +212,63 @@ object DedupOps {
       .select(col("a"), col("b"), col("inter"), col("jaccard"))
   }
 
+  /** Theoretical LSH collision probability 1-(1-J^r)^b at the threshold,
+    * micro-quantized — computed ONCE driver-side and embedded as a literal
+    * in both the Spark plan and the oracle SQL, so the transcendentals never
+    * have to reproduce across engines.
+    */
+  private[graft] def theoRecallMicro(j: Double, r: Int, b: Int): Long =
+    math.floor(1e6 * (1.0 - math.pow(1.0 - math.pow(j, r), b)) + 0.5).toLong
+
+  /** LSH TUNING audit: measured banding recall vs the EXACT near-dup pair
+    * set, per (k, bands) configuration — the datasheet that answers "how
+    * many bands does THIS corpus need?" before committing to a persisted
+    * index layout (X80's k/bands are exactly this knob). One row per
+    * config: the exact pair count at `minJaccard`, the banded pipeline's
+    * verified-pair count under that config, the miss count, measured recall
+    * (micro, exact integer quotient) and the theoretical collision
+    * probability at the threshold — measured < theoretical flags a corpus
+    * whose near-dup pairs sit barely over the threshold (the curve's steep
+    * region), measured > theoretical means the duplicates are far above it.
+    *
+    * [[graft.ops.DetHash.minHashPerms]] draws permutation prefixes from one
+    * seeded stream, so config k uses the FIRST k permutations: candidate
+    * sets nest across the sweep and measured recall is monotone in `bands`.
+    * Found pairs are always a subset of the exact set (banding only
+    * generates candidates; verification is exact), so `n_missed >= 0`.
+    *
+    * Scale shape: every config shares ONE cached shingle-set table (the
+    * CacheManager keys by canonicalized plan); per config the banding is
+    * the map-only native expression + one bucket shuffle, and the result is
+    * a single count row — the sweep costs `configs.size` bounded passes,
+    * never a cross join. Counts compare via integer division (`div` /
+    * DuckDB `//`) under the hash gate.
+    */
+  def lshTuningSweep(df: DataFrame,
+                     configs: Seq[(Int, Int)] =
+                       Seq((2, 1), (4, 2), (8, 4), (16, 8), (32, 16)),
+                     textCol: String = "text", idCol: String = "doc_id",
+                     minJaccard: Double = 0.8, shingleK: Int = 3,
+                     maxBucket: Int = 1000,
+                     scope: CacheScope = CacheScope.default): DataFrame = {
+    val nExact = jaccardPairsPrefix(df, textCol, idCol, minJaccard, shingleK,
+        scope = scope)
+      .agg(count(lit(1)).as("n_exact"))
+    val perConfig = configs.map { case (k, bands) =>
+      minHashVerifiedPairs(df, textCol, idCol, minJaccard, k, bands,
+          shingleK, maxBucket, scope)
+        .agg(count(lit(1)).as("n_found"))
+        .select(lit(k).as("k"), lit(bands).as("bands"), col("n_found"),
+          lit(theoRecallMicro(minJaccard, k / bands, bands))
+            .as("theo_recall_micro"))
+    }.reduce(_ unionByName _)
+    perConfig.crossJoin(nExact).select(
+      col("k"), col("bands"), col("n_exact"), col("n_found"),
+      (col("n_exact") - col("n_found")).as("n_missed"),
+      expr("(1000000 * n_found) div n_exact").as("recall_micro"),
+      col("theo_recall_micro"))
+  }
+
   /** INCREMENTAL dedup: near-dup-match a new `batch` of documents against an
     * existing `corpus` and report, per batch document, how many corpus
     * near-duplicates it has (`n_matches`, 0 = `novel` — safe to ingest).

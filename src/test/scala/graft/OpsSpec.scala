@@ -150,6 +150,32 @@ class OpsSpec extends SparkTestBase {
     scope.release()
   }
 
+  test("lshTuningSweep: found ⊆ exact, recall monotone in bands, full at b=16") {
+    val scope = CacheScope()
+    val docs = Tables(spark, SparkTestBase.sf001, "documents")
+    val rows = DedupOps.lshTuningSweep(docs, scope = scope)
+      .orderBy(col("bands")).collect()
+    assert(rows.length === 5)
+    val nExact = rows.head.getLong(2)
+    assert(nExact > 0)
+    rows.foreach { r =>
+      assert(r.getLong(2) === nExact)          // one shared exact set
+      assert(r.getLong(4) >= 0L)               // found ⊆ exact
+      assert(r.getLong(4) === nExact - r.getLong(3))
+    }
+    // perm prefixes nest across k, so candidate sets (and recall) are
+    // monotone non-decreasing in bands; at b=16 the miss probability is
+    // ~8e-8 — recall must be exactly 1 on this corpus
+    val recalls = rows.map(_.getLong(5))
+    assert(recalls.zip(recalls.tail).forall { case (lo, hi) => lo <= hi })
+    assert(recalls.last === 1000000L)
+    // theoretical curve is monotone too and hits 10^6 at b=16
+    val theo = rows.map(_.getLong(6))
+    assert(theo.zip(theo.tail).forall { case (lo, hi) => lo <= hi })
+    assert(theo.last === 1000000L)
+    scope.release()
+  }
+
   test("topTerms: ratio-idf ranks rare terms over common ones, exact score formula") {
     val docs = Seq(
       (0L, "apple banana banana shared"),
