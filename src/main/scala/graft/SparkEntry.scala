@@ -90,6 +90,65 @@ object SparkEntry {
     * quantized to micro-nats BEFORE the per-doc integer sum (mirrors
     * TextOps.dsirWeights bit-for-bit).
     */
+  /** The PQ lifecycle replayed as CTEs — shared by q103 (top-k) and q107
+    * (recall audit): shared int8 grid, md5-ordered seeding, two unrolled
+    * integer-lattice Lloyd rounds (strict-< argmin, floor(sum/n + 0.5)
+    * centroids, empty cells frozen), encode, per-query LUTs, ADC rank —
+    * all arithmetic exact integers. Ends with `pqtk` = the ranked ADC
+    * result (query_id, vec_id, adc_dist, rank).
+    */
+  private val pqOracleCtes: String = {
+    val h = ops.DetHash.sqlMd5Hash60("'pq|' || CAST(vec_id AS VARCHAR)")
+    def distExpr(cbAlias: String) =
+      s"list_sum(list_transform(range(1, 17), d -> " +
+        s"(q.qv[$cbAlias.m*16 + d] - $cbAlias.c[d]) * (q.qv[$cbAlias.m*16 + d] - $cbAlias.c[d])))"
+    def lloyd(i: Int) = {
+      val prev = s"cb${i - 1}"
+      s"""a$i AS (SELECT q.vec_id, c.m, c.cell, ${distExpr("c")} AS dist
+         |  FROM qv q CROSS JOIN $prev c),
+         |asg$i AS (SELECT vec_id, m, cell FROM (
+         |    SELECT vec_id, m, cell, row_number() OVER (
+         |      PARTITION BY vec_id, m ORDER BY dist, cell) AS rn FROM a$i)
+         |  WHERE rn = 1),
+         |upd$i AS (SELECT m, cell, d,
+         |    CAST(floor(CAST(sum(x) AS DOUBLE) / count(*) + 0.5) AS INTEGER) AS cd
+         |  FROM (SELECT a.m, a.cell, CAST(t.d AS INTEGER) AS d,
+         |      q.qv[a.m*16 + t.d] AS x
+         |    FROM asg$i a JOIN qv q USING (vec_id), UNNEST(range(1, 17)) t(d))
+         |  GROUP BY 1, 2, 3),
+         |cb$i AS (SELECT c.m, c.cell, COALESCE(u.nc, c.c) AS c
+         |  FROM $prev c LEFT JOIN (SELECT m, cell, list(cd ORDER BY d) AS nc
+         |    FROM upd$i GROUP BY 1, 2) u ON u.m = c.m AND u.cell = c.cell)""".stripMargin
+    }
+    s"""mxq AS (SELECT max(list_max(list_transform(embedding,
+       |    x -> abs(CAST(x AS DOUBLE))))) AS mx FROM embeddings),
+       |scl AS (SELECT CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale FROM mxq),
+       |qv AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * scale) AS INTEGER)) AS qv
+       |  FROM embeddings, scl),
+       |seeds AS (SELECT qv, row_number() OVER (ORDER BY h, vec_id) AS rk
+       |  FROM (SELECT vec_id, qv, $h AS h FROM qv)
+       |  ORDER BY h, vec_id LIMIT 8),
+       |cb0 AS (SELECT t.m, CAST(rk - 1 AS INTEGER) AS cell,
+       |    qv[t.m*16 + 1 : t.m*16 + 16] AS c
+       |  FROM seeds, UNNEST(range(0, 4)) t(m)),
+       |${lloyd(1)},
+       |${lloyd(2)},
+       |enc AS (SELECT vec_id, m, cell FROM (
+       |    SELECT q.vec_id, c.m, c.cell, row_number() OVER (
+       |      PARTITION BY q.vec_id, c.m ORDER BY ${distExpr("c")}, c.cell) AS rn
+       |    FROM qv q CROSS JOIN cb2 c) WHERE rn = 1),
+       |lut AS (SELECT q.vec_id AS query_id, c.m, c.cell,
+       |    CAST(${distExpr("c")} AS BIGINT) AS ld
+       |  FROM qv q CROSS JOIN cb2 c WHERE q.vec_id % 100 = 7),
+       |adc AS (SELECT l.query_id, e.vec_id, CAST(sum(l.ld) AS BIGINT) AS adc_dist
+       |  FROM enc e JOIN lut l ON l.m = e.m AND l.cell = e.cell
+       |  GROUP BY 1, 2),
+       |pqtk AS (SELECT query_id, vec_id, adc_dist, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
+       |  FROM adc)""".stripMargin
+  }
+
   private val dsirSqlCtes: String = {
     val tokHash = s"${ops.DetHash.sqlMd5Hash60("t")} % ${ops.DetHash.P}"
     val bi = ops.DetHash.sqlShingleHashes("th", 2)
@@ -537,6 +596,15 @@ object SparkEntry {
     // replays every config's MinHash banding permutation-for-permutation)
     "q106_lsh_tuning" -> ((s, d) =>
       DedupOps.lshTuningSweep(t(s, d, "documents")).orderBy(col("bands"))),
+
+    // PQ recall@k audit: per query, how many of the exact integer-L2 top-10
+    // the ADC search recovers — the compression-quality sibling of q106
+    // (both rankings are total orders over exact integers, so even the
+    // recall number is bit-deterministic and oracle-replayed)
+    "q107_pq_recall" -> ((s, d) =>
+      SimilarityOps.pqRecallAudit(t(s, d, "embeddings"),
+          col("vec_id") % 100 === 7, k = 10)
+        .orderBy(col("query_id"))),
 
     // the corpus DATASHEET: doc/dedup/token tallies at every (source, lang)
     // granularity in ONE cube pass — '<all>' rows via grouping() flags, so
@@ -1893,59 +1961,33 @@ object SparkEntry {
     // seeding, two unrolled integer-lattice Lloyd rounds (strict-< argmin,
     // floor(sum/n + 0.5) centroids, empty cells frozen), encode, per-query
     // LUTs, ADC rank — all arithmetic exact integers
-    "q103_pq_topk" -> {
-      val h = ops.DetHash.sqlMd5Hash60("'pq|' || CAST(vec_id AS VARCHAR)")
-      def distExpr(cbAlias: String) =
-        s"list_sum(list_transform(range(1, 17), d -> " +
-          s"(q.qv[$cbAlias.m*16 + d] - $cbAlias.c[d]) * (q.qv[$cbAlias.m*16 + d] - $cbAlias.c[d])))"
-      def lloyd(i: Int) = {
-        val prev = s"cb${i - 1}"
-        s"""a$i AS (SELECT q.vec_id, c.m, c.cell, ${distExpr("c")} AS dist
-           |  FROM qv q CROSS JOIN $prev c),
-           |asg$i AS (SELECT vec_id, m, cell FROM (
-           |    SELECT vec_id, m, cell, row_number() OVER (
-           |      PARTITION BY vec_id, m ORDER BY dist, cell) AS rn FROM a$i)
-           |  WHERE rn = 1),
-           |upd$i AS (SELECT m, cell, d,
-           |    CAST(floor(CAST(sum(x) AS DOUBLE) / count(*) + 0.5) AS INTEGER) AS cd
-           |  FROM (SELECT a.m, a.cell, CAST(t.d AS INTEGER) AS d,
-           |      q.qv[a.m*16 + t.d] AS x
-           |    FROM asg$i a JOIN qv q USING (vec_id), UNNEST(range(1, 17)) t(d))
-           |  GROUP BY 1, 2, 3),
-           |cb$i AS (SELECT c.m, c.cell, COALESCE(u.nc, c.c) AS c
-           |  FROM $prev c LEFT JOIN (SELECT m, cell, list(cd ORDER BY d) AS nc
-           |    FROM upd$i GROUP BY 1, 2) u ON u.m = c.m AND u.cell = c.cell)""".stripMargin
-      }
-      s"""WITH mxq AS (SELECT max(list_max(list_transform(embedding,
-         |    x -> abs(CAST(x AS DOUBLE))))) AS mx FROM embeddings),
-         |scl AS (SELECT CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale FROM mxq),
-         |qv AS (SELECT vec_id, list_transform(embedding,
-         |    x -> CAST(floor(CAST(x AS DOUBLE) * scale) AS INTEGER)) AS qv
-         |  FROM embeddings, scl),
-         |seeds AS (SELECT qv, row_number() OVER (ORDER BY h, vec_id) AS rk
-         |  FROM (SELECT vec_id, qv, $h AS h FROM qv)
-         |  ORDER BY h, vec_id LIMIT 8),
-         |cb0 AS (SELECT t.m, CAST(rk - 1 AS INTEGER) AS cell,
-         |    qv[t.m*16 + 1 : t.m*16 + 16] AS c
-         |  FROM seeds, UNNEST(range(0, 4)) t(m)),
-         |${lloyd(1)},
-         |${lloyd(2)},
-         |enc AS (SELECT vec_id, m, cell FROM (
-         |    SELECT q.vec_id, c.m, c.cell, row_number() OVER (
-         |      PARTITION BY q.vec_id, c.m ORDER BY ${distExpr("c")}, c.cell) AS rn
-         |    FROM qv q CROSS JOIN cb2 c) WHERE rn = 1),
-         |lut AS (SELECT q.vec_id AS query_id, c.m, c.cell,
-         |    CAST(${distExpr("c")} AS BIGINT) AS ld
-         |  FROM qv q CROSS JOIN cb2 c WHERE q.vec_id % 100 = 7),
-         |adc AS (SELECT l.query_id, e.vec_id, CAST(sum(l.ld) AS BIGINT) AS adc_dist
-         |  FROM enc e JOIN lut l ON l.m = e.m AND l.cell = e.cell
-         |  GROUP BY 1, 2)
-         |SELECT query_id, vec_id, adc_dist, rank FROM (
-         |  SELECT query_id, vec_id, adc_dist, CAST(row_number() OVER (
-         |    PARTITION BY query_id ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
-         |  FROM adc)
-         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
-    },
+    "q103_pq_topk" ->
+      s"""WITH $pqOracleCtes
+         |SELECT query_id, vec_id, adc_dist, rank FROM pqtk
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the q103 lifecycle CTEs + an exact integer-L2 top-10 per query over
+    // the SAME quantized lattice; recall = the exact integer quotient of
+    // the per-query intersection count
+    "q107_pq_recall" ->
+      s"""WITH $pqOracleCtes,
+         |exd AS (SELECT e.query_id, q.vec_id,
+         |    list_sum(list_transform(range(1, 65), d ->
+         |      CAST(q.qv[d] - e.qq[d] AS BIGINT) * (q.qv[d] - e.qq[d]))) AS l2
+         |  FROM qv q CROSS JOIN
+         |    (SELECT vec_id AS query_id, qv AS qq FROM qv WHERE vec_id % 100 = 7) e),
+         |extk AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY l2, vec_id) AS rn FROM exd)
+         |  WHERE rn <= 10),
+         |hits AS (SELECT p.query_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM pqtk p JOIN extk e ON e.query_id = p.query_id AND e.vec_id = p.vec_id
+         |  WHERE p.rank <= 10 GROUP BY 1)
+         |SELECT q.vec_id AS query_id,
+         |  COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+         |  (1000000 * COALESCE(h.n_hits, CAST(0 AS BIGINT))) // 10 AS recall_micro
+         |FROM qv q LEFT JOIN hits h ON h.query_id = q.vec_id
+         |WHERE q.vec_id % 100 = 7 ORDER BY query_id""".stripMargin,
 
     // q99's score CTEs + the seeded Gumbel key: md5-uniform → −ln(−ln u),
     // both terms micro-nat-quantized before the integer key sum — the

@@ -940,4 +940,46 @@ object SimilarityOps {
       .select(col("query_id"), col("vec_id"), col("adc_dist"),
         col("rn").cast("int").as("rank"))
   }
+
+  /** PQ RECALL audit: per query, how many of the EXACT top-k (integer L2
+    * over the same quantized lattice, (l2, id) total order) the compressed
+    * ADC search ([[pqSearch]]) recovers — the measured compression-quality
+    * number that decides numSub/numCentroids before committing a corpus to
+    * codes, the vector-tier sibling of the LSH tuning sweep (X107). Output:
+    * (query_id, n_hits, recall_micro) per query, recall as the exact
+    * integer quotient of 10^6·n_hits by k. Both rankings are total orders
+    * over exact integers, so the audit itself is bit-deterministic — no
+    * "recall is approximately" hedging, the number replays anywhere.
+    *
+    * Scale shape: the exact side reuses the ONE cached quantized frame and
+    * broadcasts the (few) query vectors through the same blocked top-k heap
+    * as the search path — one narrow corpus pass, no pair shuffle; the
+    * audit's join touches 2·k·|queries| rows.
+    */
+  def pqRecallAudit(df: DataFrame, queryPred: Column, k: Int = 10,
+                    numSub: Int = 4, numCentroids: Int = 8, iters: Int = 2,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    scope: CacheScope = CacheScope.default): DataFrame = {
+    val pq = pqSearch(df, queryPred, k, numSub, numCentroids, iters,
+      idCol, vecCol, scope)
+    val (_, qv, _) = pqPrepare(df, numSub, idCol, vecCol, scope)
+    val queries = qv.filter(queryPred)
+      .select(col(idCol).as("query_id"), col("qv").as("qq"))
+    val l2 = qv.select(col(idCol).as("vec_id"), col("qv"))
+      .crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(col("qv"), col("qq"),
+            (a, b) => ((a - b) * (a - b)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("l2"))
+    val exact = RelationalOps.topKPerGroup(l2, Seq("query_id"),
+      Seq(col("l2").asc, col("vec_id").asc), k)
+    val hits = pq
+      .join(exact.select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    queries.select(col("query_id")).join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr(s"(1000000 * coalesce(n_hits, 0)) div $k").as("recall_micro"))
+  }
 }

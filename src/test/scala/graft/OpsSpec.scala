@@ -1190,6 +1190,32 @@ class OpsSpec extends SparkTestBase {
       s"mean ADC recall@10 $meanRecall not above 3x chance (n=$n)")
   }
 
+  test("pqRecallAudit: per-query rows, exact quotient, perfect on a degenerate corpus") {
+    val scope = CacheScope()
+    val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
+    val out = SimilarityOps.pqRecallAudit(emb, col("vec_id") % 100 === 7,
+        k = 10, scope = scope)
+      .orderBy(col("query_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    scope.release()
+    assert(out.nonEmpty)
+    out.foreach { case (_, hits, micro) =>
+      assert(hits >= 1L && hits <= 10L) // self is in both top-10s here
+      assert(micro === hits * 100000L)  // (10^6 · hits) div 10, exactly
+    }
+    // degenerate corpus: every vector identical → ADC and exact L2 both
+    // tie everywhere and fall back to the vec_id order → recall exactly 1
+    val scope2 = CacheScope()
+    val flat = Seq.tabulate(20)(i => (i.toLong, Seq.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val perfect = SimilarityOps.pqRecallAudit(flat, col("vec_id") < 2,
+        k = 10, scope = scope2)
+      .orderBy(col("query_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    scope2.release()
+    assert(perfect.toSeq === Seq((0L, 10L, 1000000L), (1L, 10L, 1000000L)))
+  }
+
   test("hardNegatives: every negative has a different label; self never appears") {
     val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
     val labels = emb.select(col("vec_id"), col("label")).collect()
