@@ -606,6 +606,19 @@ object SparkEntry {
           col("vec_id") % 100 === 7, k = 10)
         .orderBy(col("query_id"))),
 
+    // the PERSISTED IVF-PQ index (FAISS IVFPQ): coarse cells route, PQ
+    // codes score — probed exhaustively (nProbe = nCells) the ranking is
+    // coarse-quantizer-independent and equals q103's replayed-training
+    // oracle bit-for-bit, verifying the whole persisted lifecycle
+    "q108_ivfpq_topk" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      SimilarityOps.ensureIvfPqIndex(emb, "graft_q108_ivfpq", corpusTag = d,
+        nCells = 8)
+      SimilarityOps.ivfPqTopKPersisted(emb.filter(col("vec_id") % 100 === 7),
+          "graft_q108_ivfpq", k = 10, nProbe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // the corpus DATASHEET: doc/dedup/token tallies at every (source, lang)
     // granularity in ONE cube pass — '<all>' rows via grouping() flags, so
     // real nulls could never be confused with the rollup totals
@@ -1962,6 +1975,14 @@ object SparkEntry {
     // floor(sum/n + 0.5) centroids, empty cells frozen), encode, per-query
     // LUTs, ADC rank — all arithmetic exact integers
     "q103_pq_topk" ->
+      s"""WITH $pqOracleCtes
+         |SELECT query_id, vec_id, adc_dist, rank FROM pqtk
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // exhaustive probe of the persisted IVF-PQ index: the coarse quantizer
+    // only routes, ADC depends on the PQ model alone — so the persisted
+    // lifecycle must reproduce q103's independently replayed ranking
+    "q108_ivfpq_topk" ->
       s"""WITH $pqOracleCtes
          |SELECT query_id, vec_id, adc_dist, rank FROM pqtk
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,

@@ -982,4 +982,252 @@ object SimilarityOps {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         expr(s"(1000000 * coalesce(n_hits, 0)) div $k").as("recall_micro"))
   }
+
+  // ---- Persisted IVF-PQ index (coarse cells × PQ codes — FAISS IVFPQ) ----
+
+  /** Per-query LUT columns `lut0..lut{M-1}` from RAW query vectors under a
+    * frozen (scale, codebook): quantize with the trained scale, then each
+    * subspace's exact integer distances to all its centroids. The quantized
+    * vector is bound ONCE per subspace through a single-element-array
+    * lambda (projection collapse would otherwise inline the quantization
+    * into every element_at — the HOF no-CSE trap).
+    */
+  private def pqLuts(queries: DataFrame, scale: Double,
+                     cb: Array[Array[Array[Int]]], idCol: String,
+                     vecCol: String): DataFrame = {
+    val subDim = cb(0)(0).length
+    val qvE = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(scale)).cast("int"))
+    queries.select(col(idCol).cast("long").as("query_id") +:
+      cb.indices.map { m =>
+        element_at(transform(array(qvE), v =>
+          array(cb(m).indices.map(c =>
+            pqDist(v, cb(m)(c), m * subDim).cast("long")): _*)), 1).as(s"lut$m")
+      }: _*)
+  }
+
+  /** Summed-LUT ADC distance over code columns `c0..c{M-1}` joined with
+    * LUT columns `lut0..lut{M-1}`.
+    */
+  private def adcSum(numSub: Int): Column =
+    (0 until numSub).map(m => element_at(col(s"lut$m"), col(s"c$m") + 1))
+      .reduce(_ + _)
+
+  /** ADC top-k of `queries` (raw vectors) against a code table under a
+    * frozen PQ model — the scoring tail shared by the persisted-index probe
+    * and its tests. `codes`: (vec_id, c0..c{M-1}).
+    */
+  private[graft] def pqAdcTopKFromModel(codes: DataFrame, queries: DataFrame,
+                                        scale: Double,
+                                        cb: Array[Array[Array[Int]]], k: Int,
+                                        idCol: String = "vec_id",
+                                        vecCol: String = "embedding"): DataFrame = {
+    val adc = codes.crossJoin(broadcast(pqLuts(queries, scale, cb, idCol, vecCol)))
+      .select(col("query_id"), col("vec_id"), adcSum(cb.length).as("adc_dist"))
+    RelationalOps.topKPerGroup(adc, Seq("query_id"),
+        Seq(col("adc_dist").asc, col("vec_id").asc), k)
+      .select(col("query_id"), col("vec_id"), col("adc_dist"),
+        col("rn").cast("int").as("rank"))
+  }
+
+  /** Stamped into the IVF-PQ meta row, re-checked by [[ensureIvfPqIndex]]
+    * (see [[ivfIndexFormatVersion]] for the convention). */
+  val ivfPqIndexFormatVersion: Int = 1
+
+  /** Build the persisted IVF-PQ index — FAISS's production architecture,
+    * composed from this file's two verified halves: a coarse KMeans
+    * quantizer routes each vector to a cell (X81's layout: cells table
+    * bucketed by `cell`, probes join exchange-free) and the integer-lattice
+    * PQ model ([[pqTrainCodebook]]) compresses each member to `numSub`
+    * one-byte codes — the cells table stores CODES, not vectors, so a
+    * 100 TB embedding store probes from a ~1.6 TB bucketed table. Four
+    * tables: `_cells` (cell, vec_id, c0..c{M-1}), `_centroids`,
+    * `_codebook` (m, cell, cvec), `_meta` (params + trained scale +
+    * corpus tag + fmt). Meta is written LAST, so a torn build fails
+    * [[ensureIvfPqIndex]]'s stamp check and rebuilds (the crash-safe
+    * ordering of the banded index, X84).
+    *
+    * The coarse assignment only routes — ADC distances depend on the PQ
+    * model alone — so an exhaustive probe (nProbe = nCells) reproduces
+    * [[pqSearch]]'s ranking bit-for-bit, which is what lets the SQL oracle
+    * verify the whole persisted lifecycle (the q90 exhaustive-probe
+    * pattern, with q103's replayed-training oracle).
+    */
+  def writeIvfPqIndex(df: DataFrame, tablePrefix: String, nCells: Int = 16,
+                      seed: Long = 4667979835606274383L, numSub: Int = 4,
+                      numCentroids: Int = 8, iters: Int = 2,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      buckets: Int = 8, corpusTag: String = "",
+                      scope: CacheScope = CacheScope.default): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (scale, cb) = pqTrainCodebook(df, numSub, numCentroids, iters,
+      idCol, vecCol, scope)
+    val codes = pqEncode(df, scale, cb, idCol, vecCol)
+      .select(col(idCol).cast("long").as("nid") +:
+        (0 until numSub).map(m => col(s"c$m")): _*)
+    val vecs = scope.register(df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("v"))
+      .withColumn("fv", array_to_vector(col("v").cast("array<double>"))))
+    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+    val model = km.fit(vecs)
+    val members = model.transform(vecs).select(col("cell"), col("id"))
+      .join(codes, col("id") === col("nid"))
+      .select(col("cell") +: col("nid").as("vec_id") +:
+        (0 until numSub).map(m => col(s"c$m")): _*)
+    graft.sources.Bucketing.writeBucketed(members, s"${tablePrefix}_cells",
+      Seq("cell"), buckets)
+    graft.sources.Bucketing.saveTable(
+      model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray) }.toSeq
+        .toDF("cell", "center"),
+      s"${tablePrefix}_centroids")
+    graft.sources.Bucketing.saveTable(
+      (for { m <- cb.indices; c <- cb(m).indices }
+        yield (m, c, cb(m)(c).toSeq)).toDF("m", "cell", "cvec"),
+      s"${tablePrefix}_codebook")
+    graft.sources.Bucketing.saveTable(
+      Seq((nCells, seed, buckets, numSub, numCentroids, iters, scale,
+        corpusTag, ivfPqIndexFormatVersion))
+        .toDF("n_cells", "seed", "buckets", "num_sub", "num_centroids",
+          "iters", "scale", "corpus_tag", "fmt"),
+      s"${tablePrefix}_meta")
+  }
+
+  /** Build the IVF-PQ index ONLY IF the persisted one is stale — every
+    * build parameter is stamped in the meta row and compared (the trained
+    * `scale` is data-derived, stored for probes but not compared).
+    */
+  def ensureIvfPqIndex(df: DataFrame, tablePrefix: String, corpusTag: String,
+                       nCells: Int = 16,
+                       seed: Long = 4667979835606274383L, numSub: Int = 4,
+                       numCentroids: Int = 8, iters: Int = 2,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       buckets: Int = 8,
+                       scope: CacheScope = CacheScope.default): Unit = {
+    val spark = df.sparkSession
+    val upToDate = try {
+      Seq("cells", "centroids", "codebook", "meta")
+        .forall(s => spark.catalog.tableExists(s"${tablePrefix}_$s")) && {
+        val m = spark.table(s"${tablePrefix}_meta").head()
+        m.schema.fieldNames.contains("fmt") &&
+          m.getAs[Int]("fmt") == ivfPqIndexFormatVersion &&
+          m.getAs[String]("corpus_tag") == corpusTag &&
+          m.getAs[Int]("n_cells") == nCells && m.getAs[Long]("seed") == seed &&
+          m.getAs[Int]("buckets") == buckets &&
+          m.getAs[Int]("num_sub") == numSub &&
+          m.getAs[Int]("num_centroids") == numCentroids &&
+          m.getAs[Int]("iters") == iters
+      }
+    } catch { case _: Exception => false }
+    if (!upToDate)
+      writeIvfPqIndex(df, tablePrefix, nCells, seed, numSub, numCentroids,
+        iters, idCol, vecCol, buckets, corpusTag, scope)
+  }
+
+  /** The frozen PQ model of a persisted IVF-PQ index, read back from its
+    * tables (a model-sized collect: numSub·numCentroids codebook rows). */
+  private[graft] def readPqModel(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): (Double, Array[Array[Array[Int]]]) = {
+    val meta = spark.table(s"${tablePrefix}_meta").head()
+    val (numSub, nc) = (meta.getAs[Int]("num_sub"), meta.getAs[Int]("num_centroids"))
+    val cb: Array[Array[Array[Int]]] = Array.ofDim(numSub, nc)
+    spark.table(s"${tablePrefix}_codebook").collect().foreach { r =>
+      cb(r.getAs[Int]("m"))(r.getAs[Int]("cell")) =
+        r.getAs[scala.collection.Seq[Int]]("cvec").toArray
+    }
+    (meta.getAs[Double]("scale"), cb)
+  }
+
+  /** APPEND a batch into the persisted IVF-PQ index: assign to the FROZEN
+    * coarse centroids (broadcast, compiled loop — [[appendToIvfIndex]]'s
+    * shape), encode under the FROZEN PQ model ([[pqEncode]] — X106's
+    * stateless stage), `insertInto` the bucketed cells. Ingest is
+    * |batch|-sized; both quantizers drift as the distribution moves —
+    * retrain = [[ensureIvfPqIndex]] with a new tag, and [[ivfDriftReport]]
+    * on a full-vector twin measures when.
+    */
+  def appendToIvfPqIndex(batch: DataFrame, tablePrefix: String,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val (scale, cb) = readPqModel(spark, tablePrefix)
+    val centers: Array[Array[Double]] = spark.table(s"${tablePrefix}_centroids")
+      .orderBy(col("cell"))
+      .collect().map(_.getAs[scala.collection.Seq[Double]]("center").toArray)
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    val assigned = batch
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("v"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cents = bcCenters.value
+        rows.map { case (id, v) =>
+          var best = 0; var bestD = Double.MaxValue; var ci = 0
+          while (ci < cents.length) {
+            val c = cents(ci)
+            var s = 0.0; var j = 0
+            while (j < v.length) { val d = v(j) - c(j); s += d * d; j += 1 }
+            if (s < bestD) { bestD = s; best = ci }
+            ci += 1
+          }
+          (best, id)
+        }
+      }.toDF("cell", "id")
+    val codes = pqEncode(batch, scale, cb, idCol, vecCol)
+      .select(col(idCol).cast("long").as("nid") +:
+        (0 until cb.length).map(m => col(s"c$m")): _*)
+    assigned.join(codes, col("id") === col("nid"))
+      .select(col("cell") +: col("id").as("vec_id") +:
+        (0 until cb.length).map(m => col(s"c$m")): _*)
+      .write.insertInto(s"${tablePrefix}_cells")
+  }
+
+  /** ADC top-k against the PERSISTED IVF-PQ index: each query probes its
+    * `nProbe` nearest coarse cells (centroids driver-side — a model), the
+    * bucketed cells table serves only the probed cells' code rows, and the
+    * broadcast per-query LUTs rank by summed exact-integer ADC distance —
+    * (adc asc, vec_id) total order, self included (it ties for the minimal
+    * sum, [[pqSearch]]'s lemma). With nProbe = nCells the result equals
+    * [[pqSearch]] bit-for-bit; partial probes trade recall exactly like
+    * [[ivfTopKPersisted]]. Output: (query_id, vec_id, adc_dist, rank).
+    */
+  def ivfPqTopKPersisted(queries: DataFrame, tablePrefix: String, k: Int,
+                         nProbe: Int = 4, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val (scale, cb) = readPqModel(spark, tablePrefix)
+    val centers: Array[Array[Double]] = spark.table(s"${tablePrefix}_centroids")
+      .orderBy(col("cell"))
+      .collect().map(_.getAs[scala.collection.Seq[Double]]("center").toArray)
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    val probes = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<float>").as("v"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cents = bcCenters.value
+        rows.flatMap { case (qid, qv) =>
+          val dists = cents.zipWithIndex.map { case (c, ci) =>
+            var s = 0.0; var j = 0
+            while (j < qv.length) { val d = qv(j) - c(j); s += d * d; j += 1 }
+            (s, ci)
+          }
+          dists.sortBy(_._1).take(nProbe).iterator.map { case (_, ci) => (qid, ci) }
+        }
+      }.toDF("query_id", "cell")
+    val scored = spark.table(s"${tablePrefix}_cells")
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(pqLuts(queries, scale, cb, idCol, vecCol)), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), adcSum(cb.length).as("adc_dist"))
+    RelationalOps.topKPerGroup(scored, Seq("query_id"),
+        Seq(col("adc_dist").asc, col("vec_id").asc), k)
+      .select(col("query_id"), col("vec_id"), col("adc_dist"),
+        col("rn").cast("int").as("rank"))
+  }
 }

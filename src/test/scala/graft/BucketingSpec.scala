@@ -297,6 +297,51 @@ class BucketingSpec extends SparkTestBase {
       spark.sql(s"DROP TABLE IF EXISTS t_ivf_app_$s"))
   }
 
+  test("persisted IVF-PQ index: exhaustive probe == pqSearch; append stays frozen-model-consistent") {
+    import graft.ops.SimilarityOps
+    val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
+    val scope = graft.ops.CacheScope()
+    val corpus = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    SimilarityOps.ensureIvfPqIndex(corpus, "t_ivfpq", corpusTag = "c400",
+      nCells = 4, buckets = 4, scope = scope)
+    try {
+      val queries = emb.filter(col("vec_id") < 3)
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
+      // exhaustive probe: the coarse quantizer only routes, so the ranking
+      // must equal the in-session PQ search over the same corpus bit-for-bit
+      val probe = SimilarityOps.ivfPqTopKPersisted(queries, "t_ivfpq",
+        k = 5, nProbe = 4).collect().map(key).toSet
+      val direct = SimilarityOps.pqSearch(corpus, col("vec_id") < 3, k = 5,
+        scope = scope).collect().map(key).toSet
+      assert(probe === direct)
+      // append under the FROZEN model: a later probe must equal ADC from
+      // the stored (scale, codebook) over the encoded corpus ∪ batch
+      SimilarityOps.appendToIvfPqIndex(batch, "t_ivfpq")
+      val (scale, cb) = SimilarityOps.readPqModel(spark, "t_ivfpq")
+      val expect = SimilarityOps.pqAdcTopKFromModel(
+        SimilarityOps.pqEncode(emb, scale, cb), queries, scale, cb, 5)
+        .collect().map(key).toSet
+      val probe2 = SimilarityOps.ivfPqTopKPersisted(queries, "t_ivfpq",
+        k = 5, nProbe = 4).collect().map(key).toSet
+      assert(probe2 === expect)
+      assert(spark.table("t_ivfpq_cells")
+        .filter(col("vec_id") >= 400).count() === batch.count())
+      assertCorpusExchangeFree(
+        SimilarityOps.ivfPqTopKPersisted(queries, "t_ivfpq", k = 5, nProbe = 4),
+        "t_ivfpq")
+      // same-tag ensure is a no-op — the appended rows survive
+      SimilarityOps.ensureIvfPqIndex(corpus, "t_ivfpq", corpusTag = "c400",
+        nCells = 4, buckets = 4, scope = scope)
+      assert(spark.table("t_ivfpq_cells").count() === emb.count())
+    } finally {
+      Seq("cells", "centroids", "codebook", "meta").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS t_ivfpq_$s"))
+      scope.release()
+    }
+  }
+
   test("appendToBandedIndex cap: batch rows fill remaining slots, only overflow drops") {
     import graft.ops.DedupOps
     import spark.implicits._
