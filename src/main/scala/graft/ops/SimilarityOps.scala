@@ -1152,7 +1152,18 @@ object SimilarityOps {
     */
   def appendToIvfPqIndex(batch: DataFrame, tablePrefix: String,
                          idCol: String = "vec_id",
-                         vecCol: String = "embedding"): Unit = {
+                         vecCol: String = "embedding"): Unit =
+    ivfPqAssignCodes(batch, tablePrefix, idCol, vecCol)
+      .write.insertInto(s"${tablePrefix}_cells")
+
+  /** A batch routed and encoded under a persisted IVF-PQ index's FROZEN
+    * models — the cells-table row shape (cell, vec_id, c0..c{M-1}); the
+    * shared map-only stage of [[appendToIvfPqIndex]] and the streaming
+    * ingest's code-collision gate.
+    */
+  private[graft] def ivfPqAssignCodes(batch: DataFrame, tablePrefix: String,
+                                      idCol: String = "vec_id",
+                                      vecCol: String = "embedding"): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     val (scale, cb) = readPqModel(spark, tablePrefix)
@@ -1184,7 +1195,6 @@ object SimilarityOps {
     assigned.join(codes, col("id") === col("nid"))
       .select(col("cell") +: col("id").as("vec_id") +:
         (0 until cb.length).map(m => col(s"c$m")): _*)
-      .write.insertInto(s"${tablePrefix}_cells")
   }
 
   /** ADC top-k against the PERSISTED IVF-PQ index: each query probes its

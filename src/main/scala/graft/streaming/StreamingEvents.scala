@@ -389,6 +389,54 @@ object StreamingEvents {
         }
       }
 
+  /** STREAMING maintenance of the persisted IVF-PQ index — [[ivfIndexIngest]]
+    * for the COMPRESSED tier, with a parameter-free gate: a batch vector is
+    * a duplicate when it collides at CODEBOOK RESOLUTION — same frozen
+    * coarse cell AND all `numSub` PQ codes equal to an indexed member's.
+    * Everything is deterministic integer arithmetic, so a replayed vector
+    * always collides with its own first copy (replay-safe without any
+    * threshold knob — the code tuple IS the semantic identity the index
+    * stores). Novel vectors append ([[graft.ops.SimilarityOps.appendToIvfPqIndex]])
+    * so later batches dedup against them.
+    *
+    * Honest limits: resolution is the codebook's — vectors the PQ model
+    * cannot distinguish collide (that is the point: dedup at the
+    * granularity the index can actually retrieve), distinct-but-near
+    * vectors in DIFFERENT cells never collide; batch siblings are not
+    * compared to each other (corpus-probe semantics, as in
+    * [[bandedIndexIngest]]); frozen models drift — retrain via
+    * `ensureIvfPqIndex` with a new tag.
+    *
+    * Scale shape: per batch, routing+encoding is map-only against
+    * broadcast models; the collision check joins the BROADCAST batch codes
+    * against the bucketed cells scan — the corpus is read, never
+    * exchanged, and ingest work is |batch|-sized plus one cells scan.
+    */
+  def ivfPqIndexIngest(vectors: DataFrame, tablePrefix: String,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       checkpointDir: String): DataStreamWriter[Row] =
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val bc = graft.ops.SimilarityOps
+            .ivfPqAssignCodes(batch, tablePrefix, idCol, vecCol)
+          val codeCols = bc.columns.filter(_.matches("c\\d+")).toSeq
+          val keys = "cell" +: codeCols
+          val dup = spark.table(s"${tablePrefix}_cells")
+            .join(broadcast(bc.select(keys.map(col) :+
+              col("vec_id").as("bid"): _*)), keys.toSeq)
+            .select(col("bid")).distinct()
+          val novel = batch.join(dup,
+              batch(idCol).cast("long") === dup("bid"), "left_anti")
+            .localCheckpoint() // truncate lineage before mutating the probed table
+          graft.ops.SimilarityOps.appendToIvfPqIndex(novel, tablePrefix,
+            idCol, vecCol)
+        }
+      }
+
   /** The newest COMMITTED `v<epoch>/` snapshot written by [[upsertSink]]:
     * only directories with a `_SUCCESS` marker count (a crash mid-write
     * leaves a partial directory that must never serve as a base), and

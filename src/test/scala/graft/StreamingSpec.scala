@@ -364,6 +364,42 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("ivfPqIndexIngest: code-collision gate rejects replicas, appends novel, replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.SimilarityOps
+    def axis(d: Int, scale: Float = 10f): Array[Float] =
+      Array.tabulate(4)(j => if (j == d) scale else 0.1f * (j + 1))
+    val corpus = (0 until 12).map(i => (i.toLong, axis(i % 3))).toDF("vec_id", "embedding")
+    SimilarityOps.writeIvfPqIndex(corpus, "t_stream_ivfpq", nCells = 3,
+      numSub = 2, numCentroids = 4, buckets = 4)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivfpq-ingest").toString
+    val mem = MemoryStream[Vec]
+    val query = StreamingEvents.ivfPqIndexIngest(mem.toDF(), "t_stream_ivfpq",
+      checkpointDir = ckpt).start()
+    try {
+      // epoch 0: an exact replica of a corpus vector under a NEW id
+      // collides at codebook resolution (same cell, same codes) and is
+      // rejected; a brand-new direction encodes to an unseen code tuple
+      mem.addData(Vec(100L, axis(0)), Vec(101L, axis(3)))
+      query.processAllAvailable()
+      // epoch 1: a replica of the vector epoch 0 just accepted → rejected
+      mem.addData(Vec(102L, axis(3)))
+      query.processAllAvailable()
+      // epoch 2: a REPLAY of the accepted vector (same id, same data) must
+      // collide with its own indexed copy, never re-append
+      mem.addData(Vec(101L, axis(3)))
+      query.processAllAvailable()
+      val indexed = spark.table("t_stream_ivfpq_cells")
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(indexed.sorted === ((0L until 12L) :+ 101L).sorted,
+        s"only the novel direction may be appended, exactly once: $indexed")
+    } finally {
+      query.stop()
+      Seq("cells", "centroids", "codebook", "meta").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS t_stream_ivfpq_$s"))
+    }
+  }
+
   test("latestSnapshot: fresh start is None; IO-failure shapes throw, never truncate") {
     val base = java.nio.file.Files.createTempDirectory("graft-snap").toString
     // genuinely absent dir = fresh start
