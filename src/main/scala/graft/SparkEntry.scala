@@ -619,6 +619,20 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // IVF-PQ with the integer-LATTICE coarse quantizer at a genuinely
+    // PARTIAL probe (2 of 8 cells): cell training, routing, probe
+    // selection and ADC are all exact integers, so the oracle replays the
+    // ENTIRE partial-probe search — the statement float-KMeans routing
+    // can never make
+    "q109_det_ivfpq_partial" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      SimilarityOps.ensureIvfPqIndex(emb, "graft_q109_divfpq", corpusTag = d,
+        nCells = 8, coarse = "lattice")
+      SimilarityOps.ivfPqTopKPersisted(emb.filter(col("vec_id") % 100 === 7),
+          "graft_q109_divfpq", k = 10, nProbe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // the corpus DATASHEET: doc/dedup/token tallies at every (source, lang)
     // granularity in ONE cube pass — '<all>' rows via grouping() flags, so
     // real nulls could never be confused with the rollup totals
@@ -1986,6 +2000,59 @@ object SparkEntry {
       s"""WITH $pqOracleCtes
          |SELECT query_id, vec_id, adc_dist, rank FROM pqtk
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the PARTIAL-probe IVF-PQ replay: the lattice coarse quantizer's
+    // training (2 Lloyd rounds over the FULL 64-dim quantized vector —
+    // same 'pq|' md5 seed order as the PQ codebook, so the `seeds` CTE is
+    // shared), the corpus cell assignment, each query's 2-of-8 probe
+    // selection, and the ADC ranking restricted to probed cells — every
+    // step exact integers
+    "q109_det_ivfpq_partial" -> {
+      def cdist(cbAlias: String) =
+        s"list_sum(list_transform(range(1, 65), d -> " +
+          s"(q.qv[d] - $cbAlias.c[d]) * (q.qv[d] - $cbAlias.c[d])))"
+      def clloyd(i: Int) = {
+        val prev = s"ccb${i - 1}"
+        s"""ca$i AS (SELECT q.vec_id, c.cell, ${cdist("c")} AS dist
+           |  FROM qv q CROSS JOIN $prev c),
+           |casg$i AS (SELECT vec_id, cell FROM (
+           |    SELECT vec_id, cell, row_number() OVER (
+           |      PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM ca$i)
+           |  WHERE rn = 1),
+           |cupd$i AS (SELECT cell, d,
+           |    CAST(floor(CAST(sum(x) AS DOUBLE) / count(*) + 0.5) AS INTEGER) AS cd
+           |  FROM (SELECT a.cell, CAST(t.d AS INTEGER) AS d, q.qv[t.d] AS x
+           |    FROM casg$i a JOIN qv q USING (vec_id), UNNEST(range(1, 65)) t(d))
+           |  GROUP BY 1, 2),
+           |ccb$i AS (SELECT c.cell, COALESCE(u.nc, c.c) AS c
+           |  FROM $prev c LEFT JOIN (SELECT cell, list(cd ORDER BY d) AS nc
+           |    FROM cupd$i GROUP BY 1) u ON u.cell = c.cell)""".stripMargin
+      }
+      s"""WITH $pqOracleCtes,
+         |ccb0 AS (SELECT CAST(rk - 1 AS INTEGER) AS cell, qv AS c FROM seeds),
+         |${clloyd(1)},
+         |${clloyd(2)},
+         |cassign AS (SELECT vec_id, cell FROM (
+         |    SELECT q.vec_id, c.cell, row_number() OVER (
+         |      PARTITION BY q.vec_id ORDER BY ${cdist("c")}, c.cell) AS rn
+         |    FROM qv q CROSS JOIN ccb2 c) WHERE rn = 1),
+         |cprobe AS (SELECT vec_id AS query_id, cell FROM (
+         |    SELECT q.vec_id, c.cell, row_number() OVER (
+         |      PARTITION BY q.vec_id ORDER BY ${cdist("c")}, c.cell) AS rn
+         |    FROM qv q CROSS JOIN ccb2 c WHERE q.vec_id % 100 = 7)
+         |  WHERE rn <= 2),
+         |padc AS (SELECT l.query_id, e.vec_id, CAST(sum(l.ld) AS BIGINT) AS adc_dist
+         |  FROM enc e
+         |  JOIN cassign ca ON ca.vec_id = e.vec_id
+         |  JOIN cprobe p ON p.cell = ca.cell
+         |  JOIN lut l ON l.m = e.m AND l.cell = e.cell AND l.query_id = p.query_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, vec_id, adc_dist, rank FROM (
+         |  SELECT query_id, vec_id, adc_dist, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
+         |  FROM padc)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
 
     // the q103 lifecycle CTEs + an exact integer-L2 top-10 per query over
     // the SAME quantized lattice; recall = the exact integer quotient of

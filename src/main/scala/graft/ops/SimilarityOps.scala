@@ -1031,8 +1031,11 @@ object SimilarityOps {
   }
 
   /** Stamped into the IVF-PQ meta row, re-checked by [[ensureIvfPqIndex]]
-    * (see [[ivfIndexFormatVersion]] for the convention). */
-  val ivfPqIndexFormatVersion: Int = 1
+    * (see [[ivfIndexFormatVersion]] for the convention).
+    * v2: added the `coarse` meta column and the centroids table's
+    * `center_q` integer-lattice column.
+    */
+  val ivfPqIndexFormatVersion: Int = 2
 
   /** Build the persisted IVF-PQ index — FAISS's production architecture,
     * composed from this file's two verified halves: a coarse KMeans
@@ -1052,48 +1055,70 @@ object SimilarityOps {
     * [[pqSearch]]'s ranking bit-for-bit, which is what lets the SQL oracle
     * verify the whole persisted lifecycle (the q90 exhaustive-probe
     * pattern, with q103's replayed-training oracle).
+    *
+    * `coarse` picks the routing quantizer: `"kmeans"` (spark.ml float
+    * KMeans — better cells, routing not oracle-replayable) or `"lattice"`
+    * (integer-lattice Lloyd over the FULL quantized vector — [[pqLloyd]]
+    * with one subspace, sharing the PQ grid's scale). Lattice routing
+    * makes even PARTIAL-probe search bit-deterministic and SQL-replayable
+    * end to end — cell training, assignment, probe selection and ADC all
+    * exact integers (q109's gate) — the trade being float KMeans' slightly
+    * better cell balance.
     */
   def writeIvfPqIndex(df: DataFrame, tablePrefix: String, nCells: Int = 16,
                       seed: Long = 4667979835606274383L, numSub: Int = 4,
                       numCentroids: Int = 8, iters: Int = 2,
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       buckets: Int = 8, corpusTag: String = "",
+                      coarse: String = "kmeans",
                       scope: CacheScope = CacheScope.default): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    require(coarse == "kmeans" || coarse == "lattice",
+      s"coarse must be 'kmeans' or 'lattice', got '$coarse'")
     val spark = df.sparkSession
     import spark.implicits._
-    val (scale, cb) = pqTrainCodebook(df, numSub, numCentroids, iters,
-      idCol, vecCol, scope)
+    val (scale, qv, subDim) = pqPrepare(df, numSub, idCol, vecCol, scope)
+    val cb = pqLloyd(qv, numSub, numCentroids, iters, subDim, idCol)
     val codes = pqEncode(df, scale, cb, idCol, vecCol)
       .select(col(idCol).cast("long").as("nid") +:
         (0 until numSub).map(m => col(s"c$m")): _*)
-    val vecs = scope.register(df.select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<float>").as("v"))
-      .withColumn("fv", array_to_vector(col("v").cast("array<double>"))))
-    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-    val model = km.fit(vecs)
-    val members = model.transform(vecs).select(col("cell"), col("id"))
+    val dim = subDim * numSub
+    val (assigned, centroids) = if (coarse == "lattice") {
+      val ccb: Array[Array[Int]] = pqLloyd(qv, 1, nCells, iters, dim, idCol)(0)
+      val asg = qv.select(col(idCol).cast("long").as("id"),
+        pqCode(col("qv"), Array(ccb), 0, dim).as("cell"))
+      (asg, ccb.zipWithIndex
+        .map { case (c, i) => (i, c.map(_.toDouble).toSeq, Some(c.toSeq)) }.toSeq
+        .toDF("cell", "center", "center_q"))
+    } else {
+      val vecs = scope.register(df.select(col(idCol).cast("long").as("id"),
+          col(vecCol).cast("array<float>").as("v"))
+        .withColumn("fv", array_to_vector(col("v").cast("array<double>"))))
+      val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20)
+        .setFeaturesCol("fv").setPredictionCol("cell")
+      val model = km.fit(vecs)
+      (model.transform(vecs).select(col("cell"), col("id")),
+        model.clusterCenters.zipWithIndex
+          .map { case (c, i) => (i, c.toArray.toSeq, None: Option[Seq[Int]]) }.toSeq
+          .toDF("cell", "center", "center_q"))
+    }
+    val members = assigned
       .join(codes, col("id") === col("nid"))
       .select(col("cell") +: col("nid").as("vec_id") +:
         (0 until numSub).map(m => col(s"c$m")): _*)
     graft.sources.Bucketing.writeBucketed(members, s"${tablePrefix}_cells",
       Seq("cell"), buckets)
-    graft.sources.Bucketing.saveTable(
-      model.clusterCenters.zipWithIndex
-        .map { case (c, i) => (i, c.toArray) }.toSeq
-        .toDF("cell", "center"),
-      s"${tablePrefix}_centroids")
+    graft.sources.Bucketing.saveTable(centroids, s"${tablePrefix}_centroids")
     graft.sources.Bucketing.saveTable(
       (for { m <- cb.indices; c <- cb(m).indices }
         yield (m, c, cb(m)(c).toSeq)).toDF("m", "cell", "cvec"),
       s"${tablePrefix}_codebook")
     graft.sources.Bucketing.saveTable(
       Seq((nCells, seed, buckets, numSub, numCentroids, iters, scale,
-        corpusTag, ivfPqIndexFormatVersion))
+        corpusTag, coarse, ivfPqIndexFormatVersion))
         .toDF("n_cells", "seed", "buckets", "num_sub", "num_centroids",
-          "iters", "scale", "corpus_tag", "fmt"),
+          "iters", "scale", "corpus_tag", "coarse", "fmt"),
       s"${tablePrefix}_meta")
   }
 
@@ -1106,7 +1131,7 @@ object SimilarityOps {
                        seed: Long = 4667979835606274383L, numSub: Int = 4,
                        numCentroids: Int = 8, iters: Int = 2,
                        idCol: String = "vec_id", vecCol: String = "embedding",
-                       buckets: Int = 8,
+                       buckets: Int = 8, coarse: String = "kmeans",
                        scope: CacheScope = CacheScope.default): Unit = {
     val spark = df.sparkSession
     val upToDate = try {
@@ -1120,12 +1145,13 @@ object SimilarityOps {
           m.getAs[Int]("buckets") == buckets &&
           m.getAs[Int]("num_sub") == numSub &&
           m.getAs[Int]("num_centroids") == numCentroids &&
-          m.getAs[Int]("iters") == iters
+          m.getAs[Int]("iters") == iters &&
+          m.getAs[String]("coarse") == coarse
       }
     } catch { case _: Exception => false }
     if (!upToDate)
       writeIvfPqIndex(df, tablePrefix, nCells, seed, numSub, numCentroids,
-        iters, idCol, vecCol, buckets, corpusTag, scope)
+        iters, idCol, vecCol, buckets, corpusTag, coarse, scope)
   }
 
   /** The frozen PQ model of a persisted IVF-PQ index, read back from its
@@ -1165,36 +1191,68 @@ object SimilarityOps {
                                       idCol: String = "vec_id",
                                       vecCol: String = "embedding"): DataFrame = {
     val spark = batch.sparkSession
-    import spark.implicits._
     val (scale, cb) = readPqModel(spark, tablePrefix)
-    val centers: Array[Array[Double]] = spark.table(s"${tablePrefix}_centroids")
-      .orderBy(col("cell"))
-      .collect().map(_.getAs[scala.collection.Seq[Double]]("center").toArray)
-    val bcCenters = spark.sparkContext.broadcast(centers)
-    val assigned = batch
-      .select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<float>").as("v"))
-      .as[(Long, Array[Float])]
-      .mapPartitions { rows =>
-        val cents = bcCenters.value
-        rows.map { case (id, v) =>
-          var best = 0; var bestD = Double.MaxValue; var ci = 0
-          while (ci < cents.length) {
-            val c = cents(ci)
-            var s = 0.0; var j = 0
-            while (j < v.length) { val d = v(j) - c(j); s += d * d; j += 1 }
-            if (s < bestD) { bestD = s; best = ci }
-            ci += 1
-          }
-          (best, id)
-        }
-      }.toDF("cell", "id")
+    val assigned = ivfPqRoute(batch, tablePrefix, idCol, vecCol)
     val codes = pqEncode(batch, scale, cb, idCol, vecCol)
       .select(col(idCol).cast("long").as("nid") +:
         (0 until cb.length).map(m => col(s"c$m")): _*)
     assigned.join(codes, col("id") === col("nid"))
       .select(col("cell") +: col("id").as("vec_id") +:
         (0 until cb.length).map(m => col(s"c$m")): _*)
+  }
+
+  /** (id, cell) routing of raw vectors through a persisted IVF-PQ index's
+    * FROZEN coarse quantizer — float KMeans centers or the integer lattice,
+    * per the meta row; `nearest` > 1 yields each vector's `nearest` closest
+    * cells (the probe set). Ties break to the LOWEST cell in both modes,
+    * matching the build-time assignment expression, so append-time routing
+    * is bit-identical to build-time routing.
+    */
+  private def ivfPqRoute(vectors: DataFrame, tablePrefix: String,
+                         idCol: String, vecCol: String,
+                         nearest: Int = 1): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val meta = spark.table(s"${tablePrefix}_meta").head()
+    val lattice = meta.getAs[String]("coarse") == "lattice"
+    val scale = meta.getAs[Double]("scale")
+    val cents = spark.table(s"${tablePrefix}_centroids").orderBy(col("cell"))
+    val typed = vectors.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("v")).as[(Long, Array[Float])]
+    if (lattice) {
+      val centers: Array[Array[Int]] = cents.collect()
+        .map(_.getAs[scala.collection.Seq[Int]]("center_q").toArray)
+      val bc = spark.sparkContext.broadcast(centers)
+      typed.mapPartitions { rows =>
+        val cs = bc.value
+        rows.flatMap { case (id, v) =>
+          val q = v.map(x => math.floor(x.toDouble * scale).toInt)
+          val dists = cs.zipWithIndex.map { case (c, ci) =>
+            var s = 0L; var j = 0
+            while (j < q.length) { val d = (q(j) - c(j)).toLong; s += d * d; j += 1 }
+            (s, ci)
+          }
+          dists.sortBy(identity).take(nearest).iterator
+            .map { case (_, ci) => (id, ci) }
+        }
+      }.toDF("id", "cell")
+    } else {
+      val centers: Array[Array[Double]] = cents.collect()
+        .map(_.getAs[scala.collection.Seq[Double]]("center").toArray)
+      val bc = spark.sparkContext.broadcast(centers)
+      typed.mapPartitions { rows =>
+        val cs = bc.value
+        rows.flatMap { case (id, v) =>
+          val dists = cs.zipWithIndex.map { case (c, ci) =>
+            var s = 0.0; var j = 0
+            while (j < v.length) { val d = v(j) - c(j); s += d * d; j += 1 }
+            (s, ci)
+          }
+          dists.sortBy(identity).take(nearest).iterator
+            .map { case (_, ci) => (id, ci) }
+        }
+      }.toDF("id", "cell")
+    }
   }
 
   /** ADC top-k against the PERSISTED IVF-PQ index: each query probes its
@@ -1210,27 +1268,9 @@ object SimilarityOps {
                          nProbe: Int = 4, idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {
     val spark = queries.sparkSession
-    import spark.implicits._
     val (scale, cb) = readPqModel(spark, tablePrefix)
-    val centers: Array[Array[Double]] = spark.table(s"${tablePrefix}_centroids")
-      .orderBy(col("cell"))
-      .collect().map(_.getAs[scala.collection.Seq[Double]]("center").toArray)
-    val bcCenters = spark.sparkContext.broadcast(centers)
-    val probes = queries
-      .select(col(idCol).cast("long").as("query_id"),
-        col(vecCol).cast("array<float>").as("v"))
-      .as[(Long, Array[Float])]
-      .mapPartitions { rows =>
-        val cents = bcCenters.value
-        rows.flatMap { case (qid, qv) =>
-          val dists = cents.zipWithIndex.map { case (c, ci) =>
-            var s = 0.0; var j = 0
-            while (j < qv.length) { val d = qv(j) - c(j); s += d * d; j += 1 }
-            (s, ci)
-          }
-          dists.sortBy(_._1).take(nProbe).iterator.map { case (_, ci) => (qid, ci) }
-        }
-      }.toDF("query_id", "cell")
+    val probes = ivfPqRoute(queries, tablePrefix, idCol, vecCol, nProbe)
+      .withColumnRenamed("id", "query_id")
     val scored = spark.table(s"${tablePrefix}_cells")
       .join(broadcast(probes), Seq("cell"))
       .join(broadcast(pqLuts(queries, scale, cb, idCol, vecCol)), Seq("query_id"))

@@ -342,6 +342,52 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("lattice-coarse IVF-PQ: exhaustive == pqSearch, partial ⊆ exhaustive, append routes like build") {
+    import graft.ops.SimilarityOps
+    val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
+    val scope = graft.ops.CacheScope()
+    val corpus = emb.filter(col("vec_id") < 400)
+    SimilarityOps.ensureIvfPqIndex(corpus, "t_divfpq", corpusTag = "c400",
+      nCells = 4, buckets = 4, coarse = "lattice", scope = scope)
+    try {
+      val queries = emb.filter(col("vec_id") < 3)
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
+      // routing-independence lemma holds for the lattice quantizer too
+      val exhaustive = SimilarityOps.ivfPqTopKPersisted(queries, "t_divfpq",
+        k = 5, nProbe = 4).collect().map(key).toSet
+      val direct = SimilarityOps.pqSearch(corpus, col("vec_id") < 3, k = 5,
+        scope = scope).collect().map(key).toSet
+      assert(exhaustive === direct)
+      // a partial probe shrinks COVERAGE, never corrupts scores: every
+      // (query, vec, adc) it returns appears with the identical ADC in the
+      // full exhaustive ranking (top-k of a subset can include vectors the
+      // full top-k beats, so subset-of-top-k would be the wrong assertion)
+      val partial = SimilarityOps.ivfPqTopKPersisted(queries, "t_divfpq",
+          k = 5, nProbe = 1).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(partial.nonEmpty)
+      val fullRanking = SimilarityOps.ivfPqTopKPersisted(queries, "t_divfpq",
+          k = 400, nProbe = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(partial.subsetOf(fullRanking))
+      // append-time routing (Scala integer loop) lands each vector in the
+      // SAME cell build-time assignment (the pqCode expression) would:
+      // re-appending a build vector under a new id must co-locate with it
+      val twin = corpus.filter(col("vec_id") === 7L)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      SimilarityOps.appendToIvfPqIndex(twin, "t_divfpq")
+      val cells = spark.table("t_divfpq_cells")
+        .filter(col("vec_id").isin(7L, 100007L))
+        .select(col("cell")).collect().map(_.getInt(0)).toSet
+      assert(cells.size === 1, s"twin must route to the original's cell: $cells")
+    } finally {
+      Seq("cells", "centroids", "codebook", "meta").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS t_divfpq_$s"))
+      scope.release()
+    }
+  }
+
   test("appendToBandedIndex cap: batch rows fill remaining slots, only overflow drops") {
     import graft.ops.DedupOps
     import spark.implicits._
