@@ -633,6 +633,14 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // per-SOURCE token-distribution drift: chi-square of each source's
+    // hashed-bucket token histogram against the corpus mix, micro-quantized
+    // per bucket BEFORE the per-source integer sum — the data-side sibling
+    // of the IVF drift report, and the retrain/resample trigger for
+    // source-conditioned pipelines
+    "q110_source_drift" -> ((s, d) =>
+      TextOps.sourceTokenDrift(t(s, d, "documents"), nBuckets = 64)),
+
     // the corpus DATASHEET: doc/dedup/token tallies at every (source, lang)
     // granularity in ONE cube pass — '<all>' rows via grouping() flags, so
     // real nulls could never be confused with the rollup totals
@@ -1934,6 +1942,42 @@ object SparkEntry {
          |SELECT rank, term, freq, lnf_micro,
          |  lag(lnf_micro) OVER (ORDER BY rank) - lnf_micro AS drop_micro
          |FROM dec ORDER BY rank""".stripMargin,
+
+    // the same hashed-bucket binning (md5Hash60 mod 64), the same ONE
+    // double expression per chi-square term quantized to micro before the
+    // per-source integer sum; zero-filled grid over the corpus-live buckets
+    "q110_source_drift" -> {
+      val h = ops.DetHash.sqlMd5Hash60("term")
+      s"""WITH tok AS (SELECT source, unnest($toksSql) AS term FROM documents),
+         |cnt AS (SELECT source, ($h) % 64 AS bucket,
+         |    CAST(count(*) AS BIGINT) AS o FROM tok GROUP BY 1, 2),
+         |src AS (SELECT source, CAST(sum(o) AS BIGINT) AS n_src FROM cnt GROUP BY 1),
+         |bkt AS (SELECT bucket, CAST(sum(o) AS BIGINT) AS c_b FROM cnt GROUP BY 1),
+         |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n_total,
+         |    CAST(count(DISTINCT bucket) AS BIGINT) AS n_live FROM cnt),
+         |grid AS (SELECT s.source, s.n_src, b.bucket, b.c_b,
+         |    COALESCE(c.o, CAST(0 AS BIGINT)) AS o
+         |  FROM src s CROSS JOIN bkt b
+         |  LEFT JOIN cnt c ON c.source IS NOT DISTINCT FROM s.source
+         |    AND c.bucket = b.bucket),
+         |terms AS (SELECT source, n_src,
+         |    CAST(floor(((CAST(o AS DOUBLE)
+         |        - (CAST(c_b AS DOUBLE) * CAST(n_src AS DOUBLE)) / CAST(t.n_total AS DOUBLE))
+         |      * (CAST(o AS DOUBLE)
+         |        - (CAST(c_b AS DOUBLE) * CAST(n_src AS DOUBLE)) / CAST(t.n_total AS DOUBLE))
+         |      / ((CAST(c_b AS DOUBLE) * CAST(n_src AS DOUBLE)) / CAST(t.n_total AS DOUBLE)))
+         |      * 1e6 + 0.5) AS BIGINT) AS term_micro,
+         |    t.n_live
+         |  FROM grid CROSS JOIN tot t),
+         |agg AS (SELECT source, max(n_src) AS n_tokens,
+         |    max(n_live) - 1 AS dof, CAST(sum(term_micro) AS BIGINT) AS chi2_micro
+         |  FROM terms GROUP BY source)
+         |SELECT source, n_tokens, dof, chi2_micro,
+         |  chi2_micro // dof AS ratio_micro,
+         |  CASE WHEN chi2_micro // dof > 2000000 THEN CAST(1 AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS drifted
+         |FROM agg ORDER BY source NULLS LAST""".stripMargin
+    },
 
     // every config's banding replayed permutation-for-permutation: per-doc
     // minima of (a_i·tok + b_i) mod P, r=2 band packing, the bucket cap,

@@ -989,4 +989,75 @@ object TextOps {
       .withColumn("fertility",
         col("n_symbols").cast("double") / col("n_words"))
   }
+
+  /** Per-source token-distribution drift: the data-side sibling of
+    * [[graft.ops.SimilarityOps.ivfDriftSummary]]. Each source's token
+    * distribution is histogrammed over `nBuckets` hashed buckets
+    * ([[graft.ops.DetHash.md5Hash60]] mod nBuckets — the cross-engine
+    * hash, so the oracle replays the exact same binning) and compared to
+    * the corpus-wide distribution with a chi-square statistic: with
+    * o = observed bucket count and e = expected (corpus bucket share ×
+    * source total), chi2 = Σ (o−e)²/e over the corpus-live buckets.
+    * A source whose mean per-dof chi-square exceeds
+    * `driftThresholdMicro` (micro-units; default 2.0 — far beyond any
+    * plausible sampling fluctuation at corpus scale) is flagged
+    * `drifted` = 1: its vocabulary mix diverges from the corpus enough
+    * that source-conditioned sampling or a dedicated quality pass is
+    * warranted. Output per source: (source, n_tokens, dof, chi2_micro,
+    * ratio_micro, drifted), all integers.
+    *
+    * Determinism: each bucket's chi-square term is computed in ONE double
+    * expression shape ((o−e)·(o−e)/e with e a product-then-quotient —
+    * identical IEEE results cross-engine), quantized to micro BEFORE the
+    * per-source sum, so both engines sum ≤ nBuckets integers (the
+    * quantize-before-compare contract; integer sums are fold-order-free).
+    *
+    * Scale shape: ONE corpus-scale shuffle — the (source, bucket) count
+    * with map-side partials onto ≤ nSources × nBuckets groups. Everything
+    * downstream (per-source totals, per-bucket corpus totals, the
+    * zero-filled grid) operates on that tiny aggregate; the grid joins are
+    * broadcasts. No window, no driver collect.
+    */
+  def sourceTokenDrift(documents: DataFrame, nBuckets: Int = 64,
+                       driftThresholdMicro: Long = 2000000L,
+                       textCol: String = "text",
+                       srcCol: String = "source"): DataFrame = {
+    require(nBuckets >= 2, "need at least 2 buckets for a distribution")
+    val counts = documents
+      .select(col(srcCol).as("source"), explode(tokens(col(textCol))).as("term"))
+      .withColumn("bucket", DetHash.md5Hash60(col("term")) % lit(nBuckets.toLong))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("o"))
+    val perSource = counts.groupBy(col("source")).agg(sum(col("o")).as("n_src"))
+    val perBucket = counts.groupBy(col("bucket")).agg(sum(col("o")).as("c_b"))
+    val totals = counts.agg(sum(col("o")).as("n_total"),
+      count_distinct(col("bucket")).as("n_live"))
+    // zero-filled grid over the corpus-live buckets: a missing (source,
+    // bucket) cell still contributes (0−e)²/e = e to the statistic
+    val e = (col("c_b").cast("double") * col("n_src").cast("double")) /
+      col("n_total").cast("double")
+    val od = coalesce(col("o"), lit(0L)).cast("double")
+    val termMicro = floor(((od - e) * (od - e) / e) * lit(1e6) + lit(0.5))
+      .cast("long")
+    // null-safe source match (a NULL source is a real group, the q95
+    // lesson); renamed columns dodge the shared-lineage ambiguity
+    val cellCounts = counts.select(col("source").as("c_source"),
+      col("bucket").as("c_bucket"), col("o"))
+    perSource
+      .crossJoin(broadcast(perBucket))
+      .join(cellCounts,
+        col("source") <=> col("c_source") && col("bucket") === col("c_bucket"),
+        "left")
+      .crossJoin(broadcast(totals))
+      .select(col("source"), col("n_src"), col("n_live"),
+        termMicro.as("term_micro"))
+      .groupBy(col("source"))
+      .agg(max(col("n_src")).as("n_tokens"),
+        (max(col("n_live")) - 1L).as("dof"),
+        sum(col("term_micro")).as("chi2_micro"))
+      .withColumn("ratio_micro", expr("chi2_micro div dof"))
+      .withColumn("drifted",
+        when(col("ratio_micro") > driftThresholdMicro, 1L).otherwise(0L))
+      .orderBy(col("source").asc_nulls_last)
+  }
 }

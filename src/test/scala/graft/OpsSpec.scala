@@ -1251,6 +1251,32 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("sourceTokenDrift: skewed source flagged, proportional sources not, null source real") {
+    import spark.implicits._
+    val vocab = (0 until 40).map(i => s"w$i")
+    val balText = vocab.mkString(" ")
+    // 20 identical balanced docs + 1 balanced doc under a NULL source →
+    // every balanced source's bucket histogram is exactly proportional to
+    // the corpus mix (chi2 ≈ spam perturbation only); the 12-token spam
+    // source concentrates all its mass in one bucket
+    val rows = Seq.tabulate(20)(i => (i.toLong, balText, "bal")) ++
+      Seq((100L, Seq.fill(12)("zzz").mkString(" "), "spam"),
+        (200L, balText, null: String))
+    val docs = rows.toDF("doc_id", "text", "source")
+    val out = TextOps.sourceTokenDrift(docs, nBuckets = 16).collect()
+    assert(out.length === 3)
+    val bySrc = out.map(r =>
+      Option(r.getString(0)).getOrElse("<null>") -> r).toMap
+    assert(bySrc("spam").getLong(5) === 1L, "concentrated source must flag")
+    assert(bySrc("bal").getLong(5) === 0L, "proportional source must not")
+    assert(bySrc("<null>").getLong(1) === 40L, "NULL source is its own group")
+    assert(bySrc("bal").getLong(1) === 800L)
+    assert(bySrc("spam").getLong(1) === 12L)
+    // dof is corpus-global: live buckets − 1, identical for every source
+    assert(out.map(_.getLong(2)).distinct.length === 1)
+    assert(bySrc("spam").getLong(4) > bySrc("bal").getLong(4))
+  }
+
   test("bigramLmScore: hand-computed add-1 bigram log-probs in micro-nats") {
     val docs = Seq(
       (1L, "a a a"), // bigrams (a,a)x2
