@@ -97,49 +97,67 @@ object SparkEntry {
     * all arithmetic exact integers. Ends with `pqtk` = the ranked ADC
     * result (query_id, vec_id, adc_dist, rank).
     */
-  private val pqOracleCtes: String = {
+  /** Per-subspace exact-integer distance of `q`-aliased rows (a 64-int
+    * `qv` list) to a codebook row `cbAlias` (m, cell, c: 16-int list).
+    */
+  private def pqSubDistSql(cbAlias: String) =
+    s"list_sum(list_transform(range(1, 17), d -> " +
+      s"(q.qv[$cbAlias.m*16 + d] - $cbAlias.c[d]) * (q.qv[$cbAlias.m*16 + d] - $cbAlias.c[d])))"
+
+  /** One unrolled integer-lattice Lloyd round over the (vec_id, qv) CTE
+    * `src`: strict-< argmin (lowest cell wins ties), floor(sum/n + 0.5)
+    * centroid update, empty cells frozen. Produces `${p}cb$i` from
+    * `${p}cb${i-1}`.
+    */
+  private def pqLloydRoundSql(i: Int, src: String, p: String) = {
+    val prev = s"${p}cb${i - 1}"
+    s"""${p}a$i AS (SELECT q.vec_id, c.m, c.cell, ${pqSubDistSql("c")} AS dist
+       |  FROM $src q CROSS JOIN $prev c),
+       |${p}asg$i AS (SELECT vec_id, m, cell FROM (
+       |    SELECT vec_id, m, cell, row_number() OVER (
+       |      PARTITION BY vec_id, m ORDER BY dist, cell) AS rn FROM ${p}a$i)
+       |  WHERE rn = 1),
+       |${p}upd$i AS (SELECT m, cell, d,
+       |    CAST(floor(CAST(sum(x) AS DOUBLE) / count(*) + 0.5) AS INTEGER) AS cd
+       |  FROM (SELECT a.m, a.cell, CAST(t.d AS INTEGER) AS d,
+       |      q.qv[a.m*16 + t.d] AS x
+       |    FROM ${p}asg$i a JOIN $src q USING (vec_id), UNNEST(range(1, 17)) t(d))
+       |  GROUP BY 1, 2, 3),
+       |${p}cb$i AS (SELECT c.m, c.cell, COALESCE(u.nc, c.c) AS c
+       |  FROM $prev c LEFT JOIN (SELECT m, cell, list(cd ORDER BY d) AS nc
+       |    FROM ${p}upd$i GROUP BY 1, 2) u ON u.m = c.m AND u.cell = c.cell)""".stripMargin
+  }
+
+  /** Base CTEs of every PQ oracle: corpus-wide int8 grid (mxq/scl/qv) and
+    * the md5-ordered 8 seed rows (vec_id kept — the residual oracle joins
+    * seeds back to the residual frame).
+    */
+  private val pqBaseCtes: String = {
     val h = ops.DetHash.sqlMd5Hash60("'pq|' || CAST(vec_id AS VARCHAR)")
-    def distExpr(cbAlias: String) =
-      s"list_sum(list_transform(range(1, 17), d -> " +
-        s"(q.qv[$cbAlias.m*16 + d] - $cbAlias.c[d]) * (q.qv[$cbAlias.m*16 + d] - $cbAlias.c[d])))"
-    def lloyd(i: Int) = {
-      val prev = s"cb${i - 1}"
-      s"""a$i AS (SELECT q.vec_id, c.m, c.cell, ${distExpr("c")} AS dist
-         |  FROM qv q CROSS JOIN $prev c),
-         |asg$i AS (SELECT vec_id, m, cell FROM (
-         |    SELECT vec_id, m, cell, row_number() OVER (
-         |      PARTITION BY vec_id, m ORDER BY dist, cell) AS rn FROM a$i)
-         |  WHERE rn = 1),
-         |upd$i AS (SELECT m, cell, d,
-         |    CAST(floor(CAST(sum(x) AS DOUBLE) / count(*) + 0.5) AS INTEGER) AS cd
-         |  FROM (SELECT a.m, a.cell, CAST(t.d AS INTEGER) AS d,
-         |      q.qv[a.m*16 + t.d] AS x
-         |    FROM asg$i a JOIN qv q USING (vec_id), UNNEST(range(1, 17)) t(d))
-         |  GROUP BY 1, 2, 3),
-         |cb$i AS (SELECT c.m, c.cell, COALESCE(u.nc, c.c) AS c
-         |  FROM $prev c LEFT JOIN (SELECT m, cell, list(cd ORDER BY d) AS nc
-         |    FROM upd$i GROUP BY 1, 2) u ON u.m = c.m AND u.cell = c.cell)""".stripMargin
-    }
     s"""mxq AS (SELECT max(list_max(list_transform(embedding,
        |    x -> abs(CAST(x AS DOUBLE))))) AS mx FROM embeddings),
        |scl AS (SELECT CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale FROM mxq),
        |qv AS (SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * scale) AS INTEGER)) AS qv
        |  FROM embeddings, scl),
-       |seeds AS (SELECT qv, row_number() OVER (ORDER BY h, vec_id) AS rk
+       |seeds AS (SELECT vec_id, qv, row_number() OVER (ORDER BY h, vec_id) AS rk
        |  FROM (SELECT vec_id, qv, $h AS h FROM qv)
-       |  ORDER BY h, vec_id LIMIT 8),
+       |  ORDER BY h, vec_id LIMIT 8)""".stripMargin
+  }
+
+  private val pqOracleCtes: String = {
+    s"""$pqBaseCtes,
        |cb0 AS (SELECT t.m, CAST(rk - 1 AS INTEGER) AS cell,
        |    qv[t.m*16 + 1 : t.m*16 + 16] AS c
        |  FROM seeds, UNNEST(range(0, 4)) t(m)),
-       |${lloyd(1)},
-       |${lloyd(2)},
+       |${pqLloydRoundSql(1, "qv", "")},
+       |${pqLloydRoundSql(2, "qv", "")},
        |enc AS (SELECT vec_id, m, cell FROM (
        |    SELECT q.vec_id, c.m, c.cell, row_number() OVER (
-       |      PARTITION BY q.vec_id, c.m ORDER BY ${distExpr("c")}, c.cell) AS rn
+       |      PARTITION BY q.vec_id, c.m ORDER BY ${pqSubDistSql("c")}, c.cell) AS rn
        |    FROM qv q CROSS JOIN cb2 c) WHERE rn = 1),
        |lut AS (SELECT q.vec_id AS query_id, c.m, c.cell,
-       |    CAST(${distExpr("c")} AS BIGINT) AS ld
+       |    CAST(${pqSubDistSql("c")} AS BIGINT) AS ld
        |  FROM qv q CROSS JOIN cb2 c WHERE q.vec_id % 100 = 7),
        |adc AS (SELECT l.query_id, e.vec_id, CAST(sum(l.ld) AS BIGINT) AS adc_dist
        |  FROM enc e JOIN lut l ON l.m = e.m AND l.cell = e.cell
@@ -147,6 +165,46 @@ object SparkEntry {
        |pqtk AS (SELECT query_id, vec_id, adc_dist, CAST(row_number() OVER (
        |    PARTITION BY query_id ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
        |  FROM adc)""".stripMargin
+  }
+
+  /** Lattice COARSE quantizer chain shared by the q109/q111 oracles:
+    * training (2 Lloyd rounds over the full 64-int vector, same md5 seed
+    * order), corpus assignment `cassign`, and each query's 2-of-8 probe
+    * selection `cprobe` — all exact integers.
+    */
+  private val coarseOracleCtes: String = {
+    def cdist(cbAlias: String) =
+      s"list_sum(list_transform(range(1, 65), d -> " +
+        s"(q.qv[d] - $cbAlias.c[d]) * (q.qv[d] - $cbAlias.c[d])))"
+    def clloyd(i: Int) = {
+      val prev = s"ccb${i - 1}"
+      s"""ca$i AS (SELECT q.vec_id, c.cell, ${cdist("c")} AS dist
+         |  FROM qv q CROSS JOIN $prev c),
+         |casg$i AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM ca$i)
+         |  WHERE rn = 1),
+         |cupd$i AS (SELECT cell, d,
+         |    CAST(floor(CAST(sum(x) AS DOUBLE) / count(*) + 0.5) AS INTEGER) AS cd
+         |  FROM (SELECT a.cell, CAST(t.d AS INTEGER) AS d, q.qv[t.d] AS x
+         |    FROM casg$i a JOIN qv q USING (vec_id), UNNEST(range(1, 65)) t(d))
+         |  GROUP BY 1, 2),
+         |ccb$i AS (SELECT c.cell, COALESCE(u.nc, c.c) AS c
+         |  FROM $prev c LEFT JOIN (SELECT cell, list(cd ORDER BY d) AS nc
+         |    FROM cupd$i GROUP BY 1) u ON u.cell = c.cell)""".stripMargin
+    }
+    s"""ccb0 AS (SELECT CAST(rk - 1 AS INTEGER) AS cell, qv AS c FROM seeds),
+       |${clloyd(1)},
+       |${clloyd(2)},
+       |cassign AS (SELECT vec_id, cell FROM (
+       |    SELECT q.vec_id, c.cell, row_number() OVER (
+       |      PARTITION BY q.vec_id ORDER BY ${cdist("c")}, c.cell) AS rn
+       |    FROM qv q CROSS JOIN ccb2 c) WHERE rn = 1),
+       |cprobe AS (SELECT vec_id AS query_id, cell FROM (
+       |    SELECT q.vec_id, c.cell, row_number() OVER (
+       |      PARTITION BY q.vec_id ORDER BY ${cdist("c")}, c.cell) AS rn
+       |    FROM qv q CROSS JOIN ccb2 c WHERE q.vec_id % 100 = 7)
+       |  WHERE rn <= 2)""".stripMargin
   }
 
   private val dsirSqlCtes: String = {
@@ -630,6 +688,20 @@ object SparkEntry {
         nCells = 8, coarse = "lattice")
       SimilarityOps.ivfPqTopKPersisted(emb.filter(col("vec_id") % 100 === 7),
           "graft_q109_divfpq", k = 10, nProbe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // residual IVFADC (FAISS's IVFADC proper): PQ codes compress the
+    // RESIDUAL against the assigned lattice cell's integer centroid, and
+    // each probe scores against a per-(query, cell) residual LUT —
+    // training, routing, residuals and ADC all exact integers, so even
+    // this 2-of-8 partial probe is oracle-replayed end to end
+    "q111_ivfadc_residual" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      SimilarityOps.ensureIvfPqIndex(emb, "graft_q111_ivfadc", corpusTag = d,
+        nCells = 8, coarse = "lattice", encode = "residual")
+      SimilarityOps.ivfPqTopKPersisted(emb.filter(col("vec_id") % 100 === 7),
+          "graft_q111_ivfadc", k = 10, nProbe = 2)
         .orderBy(col("query_id"), col("rank"))
     },
 
@@ -2052,39 +2124,8 @@ object SparkEntry {
     // selection, and the ADC ranking restricted to probed cells — every
     // step exact integers
     "q109_det_ivfpq_partial" -> {
-      def cdist(cbAlias: String) =
-        s"list_sum(list_transform(range(1, 65), d -> " +
-          s"(q.qv[d] - $cbAlias.c[d]) * (q.qv[d] - $cbAlias.c[d])))"
-      def clloyd(i: Int) = {
-        val prev = s"ccb${i - 1}"
-        s"""ca$i AS (SELECT q.vec_id, c.cell, ${cdist("c")} AS dist
-           |  FROM qv q CROSS JOIN $prev c),
-           |casg$i AS (SELECT vec_id, cell FROM (
-           |    SELECT vec_id, cell, row_number() OVER (
-           |      PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM ca$i)
-           |  WHERE rn = 1),
-           |cupd$i AS (SELECT cell, d,
-           |    CAST(floor(CAST(sum(x) AS DOUBLE) / count(*) + 0.5) AS INTEGER) AS cd
-           |  FROM (SELECT a.cell, CAST(t.d AS INTEGER) AS d, q.qv[t.d] AS x
-           |    FROM casg$i a JOIN qv q USING (vec_id), UNNEST(range(1, 65)) t(d))
-           |  GROUP BY 1, 2),
-           |ccb$i AS (SELECT c.cell, COALESCE(u.nc, c.c) AS c
-           |  FROM $prev c LEFT JOIN (SELECT cell, list(cd ORDER BY d) AS nc
-           |    FROM cupd$i GROUP BY 1) u ON u.cell = c.cell)""".stripMargin
-      }
       s"""WITH $pqOracleCtes,
-         |ccb0 AS (SELECT CAST(rk - 1 AS INTEGER) AS cell, qv AS c FROM seeds),
-         |${clloyd(1)},
-         |${clloyd(2)},
-         |cassign AS (SELECT vec_id, cell FROM (
-         |    SELECT q.vec_id, c.cell, row_number() OVER (
-         |      PARTITION BY q.vec_id ORDER BY ${cdist("c")}, c.cell) AS rn
-         |    FROM qv q CROSS JOIN ccb2 c) WHERE rn = 1),
-         |cprobe AS (SELECT vec_id AS query_id, cell FROM (
-         |    SELECT q.vec_id, c.cell, row_number() OVER (
-         |      PARTITION BY q.vec_id ORDER BY ${cdist("c")}, c.cell) AS rn
-         |    FROM qv q CROSS JOIN ccb2 c WHERE q.vec_id % 100 = 7)
-         |  WHERE rn <= 2),
+         |$coarseOracleCtes,
          |padc AS (SELECT l.query_id, e.vec_id, CAST(sum(l.ld) AS BIGINT) AS adc_dist
          |  FROM enc e
          |  JOIN cassign ca ON ca.vec_id = e.vec_id
@@ -2095,6 +2136,48 @@ object SparkEntry {
          |  SELECT query_id, vec_id, adc_dist, CAST(row_number() OVER (
          |    PARTITION BY query_id ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
          |  FROM padc)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+
+    // residual IVFADC replayed end to end: the lattice coarse chain
+    // (training, assignment, 2-of-8 probe selection) feeds a RESIDUAL
+    // frame (qv − assigned cell's integer centroid), the PQ codebook
+    // trains on those residuals (same md5 seed ids), and ADC scores each
+    // member against the query's PER-PROBED-CELL residual LUT — every
+    // intermediate an exact integer, nothing in the answer unverified
+    "q111_ivfadc_residual" -> {
+      s"""WITH $pqBaseCtes,
+         |$coarseOracleCtes,
+         |rv AS (SELECT q.vec_id, list_transform(range(1, 65),
+         |      d -> q.qv[d] - c.c[d]) AS qv
+         |  FROM qv q JOIN cassign a USING (vec_id)
+         |  JOIN ccb2 c ON c.cell = a.cell),
+         |rcb0 AS (SELECT t.m, CAST(s.rk - 1 AS INTEGER) AS cell,
+         |    r.qv[t.m*16 + 1 : t.m*16 + 16] AS c
+         |  FROM seeds s JOIN rv r ON r.vec_id = s.vec_id,
+         |    UNNEST(range(0, 4)) t(m)),
+         |${pqLloydRoundSql(1, "rv", "r")},
+         |${pqLloydRoundSql(2, "rv", "r")},
+         |renc AS (SELECT vec_id, m, cell FROM (
+         |    SELECT q.vec_id, c.m, c.cell, row_number() OVER (
+         |      PARTITION BY q.vec_id, c.m ORDER BY ${pqSubDistSql("c")}, c.cell) AS rn
+         |    FROM rv q CROSS JOIN rcb2 c) WHERE rn = 1),
+         |qres AS (SELECT p.query_id, p.cell AS pcell,
+         |    list_transform(range(1, 65), d -> q.qv[d] - c.c[d]) AS qv
+         |  FROM cprobe p JOIN qv q ON q.vec_id = p.query_id
+         |  JOIN ccb2 c ON c.cell = p.cell),
+         |rlut AS (SELECT q.query_id, q.pcell, c.m, c.cell,
+         |    CAST(${pqSubDistSql("c")} AS BIGINT) AS ld
+         |  FROM qres q CROSS JOIN rcb2 c),
+         |radc AS (SELECT l.query_id, e.vec_id, CAST(sum(l.ld) AS BIGINT) AS adc_dist
+         |  FROM renc e
+         |  JOIN cassign ca ON ca.vec_id = e.vec_id
+         |  JOIN rlut l ON l.pcell = ca.cell AND l.m = e.m AND l.cell = e.cell
+         |  GROUP BY 1, 2)
+         |SELECT query_id, vec_id, adc_dist, rank FROM (
+         |  SELECT query_id, vec_id, adc_dist, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
+         |  FROM radc)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     },
 

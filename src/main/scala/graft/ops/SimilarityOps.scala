@@ -995,16 +995,39 @@ object SimilarityOps {
   private def pqLuts(queries: DataFrame, scale: Double,
                      cb: Array[Array[Array[Int]]], idCol: String,
                      vecCol: String): DataFrame = {
-    val subDim = cb(0)(0).length
     val qvE = transform(col(vecCol),
       x => floor(x.cast("double") * lit(scale)).cast("int"))
     queries.select(col(idCol).cast("long").as("query_id") +:
-      cb.indices.map { m =>
-        element_at(transform(array(qvE), v =>
-          array(cb(m).indices.map(c =>
-            pqDist(v, cb(m)(c), m * subDim).cast("long")): _*)), 1).as(s"lut$m")
-      }: _*)
+      lutCols(qvE, cb): _*)
   }
+
+  /** LUT columns `lut0..lut{M-1}` from any int-array column expression —
+    * each subspace binds the array ONCE through the single-element-array
+    * lambda (the HOF no-CSE guard pqLuts/pqEncode use).
+    */
+  private def lutCols(vecArr: Column,
+                      cb: Array[Array[Array[Int]]]): Seq[Column] = {
+    val subDim = cb(0)(0).length
+    cb.indices.map { m =>
+      element_at(transform(array(vecArr), v =>
+        array(cb(m).indices.map(c =>
+          pqDist(v, cb(m)(c), m * subDim).cast("long")): _*)), 1).as(s"lut$m")
+    }
+  }
+
+  /** True when a persisted IVF-PQ index stores RESIDUAL codes. */
+  private def ivfPqIsResidual(spark: org.apache.spark.sql.SparkSession,
+                              tablePrefix: String): Boolean = {
+    val m = spark.table(s"${tablePrefix}_meta").head()
+    m.schema.fieldNames.contains("encode") &&
+      m.getAs[String]("encode") == "residual"
+  }
+
+  /** (cell, cq) integer centroids of a persisted lattice-coarse index. */
+  private def ivfPqCentsQ(spark: org.apache.spark.sql.SparkSession,
+                          tablePrefix: String): DataFrame =
+    spark.table(s"${tablePrefix}_centroids")
+      .select(col("cell"), col("center_q").as("cq"))
 
   /** Summed-LUT ADC distance over code columns `c0..c{M-1}` joined with
     * LUT columns `lut0..lut{M-1}`.
@@ -1034,8 +1057,9 @@ object SimilarityOps {
     * (see [[ivfIndexFormatVersion]] for the convention).
     * v2: added the `coarse` meta column and the centroids table's
     * `center_q` integer-lattice column.
+    * v3: added the `encode` meta column (raw vs residual codes).
     */
-  val ivfPqIndexFormatVersion: Int = 2
+  val ivfPqIndexFormatVersion: Int = 3
 
   /** Build the persisted IVF-PQ index — FAISS's production architecture,
     * composed from this file's two verified halves: a coarse KMeans
@@ -1064,25 +1088,38 @@ object SimilarityOps {
     * end to end — cell training, assignment, probe selection and ADC all
     * exact integers (q109's gate) — the trade being float KMeans' slightly
     * better cell balance.
+    *
+    * `encode` picks what the PQ codes compress: `"raw"` (the quantized
+    * vector itself — q103/q108's mode, where an exhaustive probe equals
+    * [[pqSearch]]) or `"residual"` (vector MINUS its coarse cell's
+    * centroid — FAISS's IVFADC: residuals are centred near zero, so the
+    * same `numCentroids` budget spends its resolution on the within-cell
+    * detail the coarse quantizer already removed). Residual mode requires
+    * `coarse = "lattice"`: centroid and vector share the integer grid, so
+    * residuals — and with them training, encoding, per-(query, cell) LUTs
+    * and ADC — stay exact integers, keeping even partial-probe search
+    * SQL-replayable (q111's gate). ADC in residual mode is exact in the
+    * same sense as raw mode: ‖q − (c + pq(r))‖² = ‖(q − c) − pq(r)‖², the
+    * per-probed-cell LUT, with no correction term.
     */
   def writeIvfPqIndex(df: DataFrame, tablePrefix: String, nCells: Int = 16,
                       seed: Long = 4667979835606274383L, numSub: Int = 4,
                       numCentroids: Int = 8, iters: Int = 2,
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       buckets: Int = 8, corpusTag: String = "",
-                      coarse: String = "kmeans",
+                      coarse: String = "kmeans", encode: String = "raw",
                       scope: CacheScope = CacheScope.default): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(coarse == "kmeans" || coarse == "lattice",
       s"coarse must be 'kmeans' or 'lattice', got '$coarse'")
+    require(encode == "raw" || encode == "residual",
+      s"encode must be 'raw' or 'residual', got '$encode'")
+    require(encode == "raw" || coarse == "lattice",
+      "residual encoding requires the integer-lattice coarse quantizer")
     val spark = df.sparkSession
     import spark.implicits._
     val (scale, qv, subDim) = pqPrepare(df, numSub, idCol, vecCol, scope)
-    val cb = pqLloyd(qv, numSub, numCentroids, iters, subDim, idCol)
-    val codes = pqEncode(df, scale, cb, idCol, vecCol)
-      .select(col(idCol).cast("long").as("nid") +:
-        (0 until numSub).map(m => col(s"c$m")): _*)
     val dim = subDim * numSub
     val (assigned, centroids) = if (coarse == "lattice") {
       val ccb: Array[Array[Int]] = pqLloyd(qv, 1, nCells, iters, dim, idCol)(0)
@@ -1103,6 +1140,26 @@ object SimilarityOps {
           .map { case (c, i) => (i, c.toArray.toSeq, None: Option[Seq[Int]]) }.toSeq
           .toDF("cell", "center", "center_q"))
     }
+    val (cb, codes) = if (encode == "residual") {
+      // residual frame: qv − assigned cell's integer centroid — exact ints
+      // on the shared grid; cached because Lloyd + encode rescan it
+      val centsQ = centroids.select(col("cell"), col("center_q").as("cq"))
+      val rframe = scope.register(qv
+        .join(assigned.withColumnRenamed("id", "rid"),
+          col(idCol).cast("long") === col("rid"))
+        .join(broadcast(centsQ), Seq("cell"))
+        .select(col(idCol),
+          zip_with(col("qv"), col("cq"), (a, b) => a - b).as("qv")))
+      val rcb = pqLloyd(rframe, numSub, numCentroids, iters, subDim, idCol)
+      (rcb, rframe.select(col(idCol).cast("long").as("nid") +:
+        (0 until numSub).map(m =>
+          pqCode(col("qv"), rcb, m, subDim).as(s"c$m")): _*))
+    } else {
+      val rcb = pqLloyd(qv, numSub, numCentroids, iters, subDim, idCol)
+      (rcb, pqEncode(df, scale, rcb, idCol, vecCol)
+        .select(col(idCol).cast("long").as("nid") +:
+          (0 until numSub).map(m => col(s"c$m")): _*))
+    }
     val members = assigned
       .join(codes, col("id") === col("nid"))
       .select(col("cell") +: col("nid").as("vec_id") +:
@@ -1116,9 +1173,9 @@ object SimilarityOps {
       s"${tablePrefix}_codebook")
     graft.sources.Bucketing.saveTable(
       Seq((nCells, seed, buckets, numSub, numCentroids, iters, scale,
-        corpusTag, coarse, ivfPqIndexFormatVersion))
+        corpusTag, coarse, encode, ivfPqIndexFormatVersion))
         .toDF("n_cells", "seed", "buckets", "num_sub", "num_centroids",
-          "iters", "scale", "corpus_tag", "coarse", "fmt"),
+          "iters", "scale", "corpus_tag", "coarse", "encode", "fmt"),
       s"${tablePrefix}_meta")
   }
 
@@ -1132,6 +1189,7 @@ object SimilarityOps {
                        numCentroids: Int = 8, iters: Int = 2,
                        idCol: String = "vec_id", vecCol: String = "embedding",
                        buckets: Int = 8, coarse: String = "kmeans",
+                       encode: String = "raw",
                        scope: CacheScope = CacheScope.default): Unit = {
     val spark = df.sparkSession
     val upToDate = try {
@@ -1146,12 +1204,13 @@ object SimilarityOps {
           m.getAs[Int]("num_sub") == numSub &&
           m.getAs[Int]("num_centroids") == numCentroids &&
           m.getAs[Int]("iters") == iters &&
-          m.getAs[String]("coarse") == coarse
+          m.getAs[String]("coarse") == coarse &&
+          m.getAs[String]("encode") == encode
       }
     } catch { case _: Exception => false }
     if (!upToDate)
       writeIvfPqIndex(df, tablePrefix, nCells, seed, numSub, numCentroids,
-        iters, idCol, vecCol, buckets, corpusTag, coarse, scope)
+        iters, idCol, vecCol, buckets, corpusTag, coarse, encode, scope)
   }
 
   /** The frozen PQ model of a persisted IVF-PQ index, read back from its
@@ -1193,12 +1252,29 @@ object SimilarityOps {
     val spark = batch.sparkSession
     val (scale, cb) = readPqModel(spark, tablePrefix)
     val assigned = ivfPqRoute(batch, tablePrefix, idCol, vecCol)
-    val codes = pqEncode(batch, scale, cb, idCol, vecCol)
-      .select(col(idCol).cast("long").as("nid") +:
-        (0 until cb.length).map(m => col(s"c$m")): _*)
-    assigned.join(codes, col("id") === col("nid"))
-      .select(col("cell") +: col("id").as("vec_id") +:
-        (0 until cb.length).map(m => col(s"c$m")): _*)
+    if (ivfPqIsResidual(spark, tablePrefix)) {
+      // residual codes: quantize, subtract the FROZEN assigned centroid,
+      // encode under the frozen residual codebook — still map-only vs
+      // broadcast models (the residual binds once per subspace)
+      val subDim = cb(0)(0).length
+      val qvb = batch.select(col(idCol).cast("long").as("nid"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * lit(scale)).cast("int")).as("qvv"))
+      val rqv = zip_with(col("qvv"), col("cq"), (a, b) => a - b)
+      assigned.join(qvb, col("id") === col("nid"))
+        .join(broadcast(ivfPqCentsQ(spark, tablePrefix)), Seq("cell"))
+        .select(col("cell") +: col("id").as("vec_id") +:
+          (0 until cb.length).map(m =>
+            element_at(transform(array(rqv),
+              v => pqCode(v, cb, m, subDim)), 1).as(s"c$m")): _*)
+    } else {
+      val codes = pqEncode(batch, scale, cb, idCol, vecCol)
+        .select(col(idCol).cast("long").as("nid") +:
+          (0 until cb.length).map(m => col(s"c$m")): _*)
+      assigned.join(codes, col("id") === col("nid"))
+        .select(col("cell") +: col("id").as("vec_id") +:
+          (0 until cb.length).map(m => col(s"c$m")): _*)
+    }
   }
 
   /** (id, cell) routing of raw vectors through a persisted IVF-PQ index's
@@ -1271,10 +1347,28 @@ object SimilarityOps {
     val (scale, cb) = readPqModel(spark, tablePrefix)
     val probes = ivfPqRoute(queries, tablePrefix, idCol, vecCol, nProbe)
       .withColumnRenamed("id", "query_id")
-    val scored = spark.table(s"${tablePrefix}_cells")
-      .join(broadcast(probes), Seq("cell"))
-      .join(broadcast(pqLuts(queries, scale, cb, idCol, vecCol)), Seq("query_id"))
-      .select(col("query_id"), col("vec_id"), adcSum(cb.length).as("adc_dist"))
+    val scored = if (ivfPqIsResidual(spark, tablePrefix)) {
+      // residual ADC: the LUT is per (query, PROBED CELL) — distances of
+      // the query's residual AGAINST THAT CELL to the residual codebook
+      // (‖q − (c + pq(r))‖² = ‖(q − c) − pq(r)‖²). Still a broadcast: the
+      // LUT frame holds |queries|·nProbe rows
+      val qvq = queries.select(col(idCol).cast("long").as("query_id"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * lit(scale)).cast("int")).as("qvv"))
+      val qres = zip_with(col("qvv"), col("cq"), (a, b) => a - b)
+      val luts = probes
+        .join(qvq, Seq("query_id"))
+        .join(broadcast(ivfPqCentsQ(spark, tablePrefix)), Seq("cell"))
+        .select(col("query_id") +: col("cell") +: lutCols(qres, cb): _*)
+      spark.table(s"${tablePrefix}_cells")
+        .join(broadcast(luts), Seq("cell"))
+        .select(col("query_id"), col("vec_id"), adcSum(cb.length).as("adc_dist"))
+    } else {
+      spark.table(s"${tablePrefix}_cells")
+        .join(broadcast(probes), Seq("cell"))
+        .join(broadcast(pqLuts(queries, scale, cb, idCol, vecCol)), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"), adcSum(cb.length).as("adc_dist"))
+    }
     RelationalOps.topKPerGroup(scored, Seq("query_id"),
         Seq(col("adc_dist").asc, col("vec_id").asc), k)
       .select(col("query_id"), col("vec_id"), col("adc_dist"),

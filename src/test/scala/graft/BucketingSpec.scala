@@ -388,6 +388,62 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("residual IVFADC: partial scores uncorrupted, twin code-collides, encode change rebuilds") {
+    import graft.ops.SimilarityOps
+    val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
+    val scope = graft.ops.CacheScope()
+    val corpus = emb.filter(col("vec_id") < 400)
+    SimilarityOps.ensureIvfPqIndex(corpus, "t_rivfpq", corpusTag = "c400",
+      nCells = 4, buckets = 4, coarse = "lattice", encode = "residual",
+      scope = scope)
+    try {
+      val queries = emb.filter(col("vec_id") < 3)
+      // per-probed-cell LUTs never corrupt a score: every (query, vec, adc)
+      // a partial probe returns appears with the identical ADC in the full
+      // exhaustive ranking (the q109 coverage-not-scores lemma)
+      val partial = SimilarityOps.ivfPqTopKPersisted(queries, "t_rivfpq",
+          k = 5, nProbe = 1).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(partial.nonEmpty)
+      val fullRanking = SimilarityOps.ivfPqTopKPersisted(queries, "t_rivfpq",
+          k = 400, nProbe = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(partial.subsetOf(fullRanking))
+      // a corpus member's own residual quantization error is near-minimal:
+      // every query retrieves itself under an exhaustive probe
+      val self = SimilarityOps.ivfPqTopKPersisted(queries, "t_rivfpq",
+          k = 5, nProbe = 4).collect()
+        .filter(r => r.getLong(0) === r.getLong(1)).map(_.getLong(0)).toSet
+      assert(self === Set(0L, 1L, 2L))
+      // marker scoped to _cells: the residual LUT join legitimately scans
+      // the tiny _centroids model table (nCells rows, broadcast side)
+      assertCorpusExchangeFree(
+        SimilarityOps.ivfPqTopKPersisted(queries, "t_rivfpq", k = 5, nProbe = 4),
+        "t_rivfpq_cells")
+      // append under the frozen models: a re-appended build vector lands in
+      // the SAME cell with IDENTICAL residual codes (full code collision —
+      // same residual, same codebook)
+      val twin = corpus.filter(col("vec_id") === 7L)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      SimilarityOps.appendToIvfPqIndex(twin, "t_rivfpq")
+      val rows = spark.table("t_rivfpq_cells")
+        .filter(col("vec_id").isin(7L, 100007L)).collect()
+        .map(r => (r.getInt(0), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))
+      assert(rows.length === 2 && rows.toSet.size === 1,
+        s"twin must collide at codebook resolution: ${rows.toSeq}")
+      // switching encode on the same tag is a REAL meta change → rebuild
+      // (appended rows gone, corpus-only cells back)
+      SimilarityOps.ensureIvfPqIndex(corpus, "t_rivfpq", corpusTag = "c400",
+        nCells = 4, buckets = 4, coarse = "lattice", encode = "raw",
+        scope = scope)
+      assert(spark.table("t_rivfpq_cells").count() === corpus.count())
+    } finally {
+      Seq("cells", "centroids", "codebook", "meta").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS t_rivfpq_$s"))
+      scope.release()
+    }
+  }
+
   test("appendToBandedIndex cap: batch rows fill remaining slots, only overflow drops") {
     import graft.ops.DedupOps
     import spark.implicits._
