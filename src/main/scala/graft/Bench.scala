@@ -106,6 +106,11 @@ object Bench {
       graft.sources.Tables(spark, sfDir, "embeddings"),
       "graft_q109_divfpq", corpusTag = sfDir, nCells = 8, coarse = "lattice")
     catch { case _: Throwable => () }
+    try graft.ops.SimilarityOps.ensureIvfPqIndex(
+      graft.sources.Tables(spark, sfDir, "embeddings"),
+      "graft_q111_ivfadc", corpusTag = sfDir, nCells = 8, coarse = "lattice",
+      encode = "residual")
+    catch { case _: Throwable => () }
     // TWO timed passes, per-query MIN: a single sample records GC pauses /
     // run-position artifacts as if they were the query's cost (a recorded
     // 4.97 s once reran at 1.24 s with zero code change). Min-of-two is

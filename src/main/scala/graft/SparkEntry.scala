@@ -705,6 +705,20 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // PII scrubbing (the C4/RefinedWeb stage): emails / IPv4s / phone
+    // numbers counted on the original text, then redacted to sentinels in
+    // a fixed three-step order — the gate compares the redacted TEXT
+    // itself, so the regex semantics must agree cross-engine exactly
+    "q112_pii_redact" -> ((s, d) =>
+      TextOps.piiRedact(t(s, d, "documents")).orderBy(col("doc_id"))),
+
+    // temperature-sampled source mixture (α = 0.5): √n weights quantized
+    // to micro BEFORE the integer denominator sum; targets/epochs are
+    // one-product-one-quotient double shapes floored to integers
+    "q113_temperature_mix" -> ((s, d) =>
+      TextOps.temperatureMixture(t(s, d, "documents"),
+        budgetTokens = 1000000L)),
+
     // per-SOURCE token-distribution drift: chi-square of each source's
     // hashed-bucket token histogram against the corpus mix, micro-quantized
     // per bucket BEFORE the per-source integer sum — the data-side sibling
@@ -2014,6 +2028,39 @@ object SparkEntry {
          |SELECT rank, term, freq, lnf_micro,
          |  lag(lnf_micro) OVER (ORDER BY rank) - lnf_micro AS drop_micro
          |FROM dec ORDER BY rank""".stripMargin,
+
+    // same regexes (portable Java/RE2 subset), same fixed replace order;
+    // DuckDB needs the explicit 'g' flag to match Spark's replace-all
+    "q112_pii_redact" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${ops.TextOps.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${ops.TextOps.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '${ops.TextOps.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${ops.TextOps.EmailRe}', '<EMAIL>', 'g'),
+         |    '${ops.TextOps.Ipv4Re}', '<IP>', 'g'),
+         |    '${ops.TextOps.PhoneRe}', '<PHONE>', 'g') AS text
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // √n exactly rounded then micro-quantized BEFORE the integer denom
+    // sum; ratios are the same one-product-one-quotient double shapes
+    "q113_temperature_mix" ->
+      s"""WITH ps AS (SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |q AS (SELECT source, n_tokens,
+         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS sqrt_micro
+         |  FROM ps),
+         |d AS (SELECT CAST(sum(sqrt_micro) AS BIGINT) AS denom FROM q),
+         |t AS (SELECT source, n_tokens, sqrt_micro,
+         |    CAST(floor((1e6 * CAST(sqrt_micro AS DOUBLE))
+         |      / CAST(denom AS DOUBLE)) AS BIGINT) AS weight_micro,
+         |    CAST(floor((1000000.0 * CAST(sqrt_micro AS DOUBLE))
+         |      / CAST(denom AS DOUBLE)) AS BIGINT) AS target_tokens
+         |  FROM q CROSS JOIN d)
+         |SELECT source, n_tokens, sqrt_micro, weight_micro, target_tokens,
+         |  CAST(floor((1e6 * CAST(target_tokens AS DOUBLE))
+         |    / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS epochs_micro
+         |FROM t ORDER BY source NULLS LAST""".stripMargin,
 
     // the same hashed-bucket binning (md5Hash60 mod 64), the same ONE
     // double expression per chi-square term quantized to micro before the

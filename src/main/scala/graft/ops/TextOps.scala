@@ -990,6 +990,44 @@ object TextOps {
         col("n_symbols").cast("double") / col("n_words"))
   }
 
+  /** PII regexes shared by engine and oracle — PORTABLE subset only
+    * (char classes, bounded repeats, ASCII \b): Java regex (Spark) and
+    * RE2 (DuckDB) agree on every construct used, so redaction is
+    * bit-identical cross-engine. Public so the oracle SQL embeds the
+    * same literals.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** PII detection + redaction — the C4/RefinedWeb scrubbing stage:
+    * emails, IPv4 addresses and US-style phone numbers are counted on the
+    * ORIGINAL text and replaced by sentinel tokens (`<EMAIL>`, `<IP>`,
+    * `<PHONE>`), applied in that fixed order (emails first — their local
+    * parts can contain digit runs the narrower patterns would otherwise
+    * chew on). Output: (doc_id, n_emails, n_ips, n_phones, text) with
+    * `text` fully redacted. Counts are integers and the replacement chain
+    * is the same three regexp_replace calls in both engines, so the gate
+    * compares the redacted TEXT itself, not just tallies.
+    *
+    * Scale shape: ENTIRELY map-only — three regex counts and a three-step
+    * replace per document, no shuffle, no model. At 100 TB this is the
+    * cheapest stage in the pipeline (one pass, pure codegen'd string ops).
+    */
+  def piiRedact(documents: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    documents.select(col(idCol),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as(textCol))
+  }
+
   /** Per-source token-distribution drift: the data-side sibling of
     * [[graft.ops.SimilarityOps.ivfDriftSummary]]. Each source's token
     * distribution is histogrammed over `nBuckets` hashed buckets
@@ -1058,6 +1096,57 @@ object TextOps {
       .withColumn("ratio_micro", expr("chi2_micro div dof"))
       .withColumn("drifted",
         when(col("ratio_micro") > driftThresholdMicro, 1L).otherwise(0L))
+      .orderBy(col("source").asc_nulls_last)
+  }
+
+  /** TEMPERATURE-SAMPLED source mixture (the Gopher/PaLM α = 0.5 recipe):
+    * a source with n_s tokens gets sampling weight √n_s / Σ√n_t — big
+    * sources are down-weighted, small ones up-weighted, between uniform
+    * (α = 0) and proportional (α = 1). For a token budget `budgetTokens`
+    * the plan emits each source's target token count and the implied
+    * epoch factor (target/available — over 10^6 means the source repeats).
+    *
+    * Determinism: √n is a SINGLE exactly-rounded IEEE operation (identical
+    * cross-engine), quantized to micro BEFORE the denominator sum — the
+    * denominator is then an integer sum (fold-order-free). The downstream
+    * ratios are one-product-one-quotient double expressions (each op
+    * exactly rounded, so bit-identical cross-engine) floored to integers —
+    * NOT `bigint` products, which would overflow at 100 TB token counts
+    * (budget · sqrt_micro ≈ 10^13 · 10^12 ≫ 2^63). No double ever crosses
+    * an aggregation.
+    *
+    * Output per source: (source, n_tokens, sqrt_micro, weight_micro,
+    * target_tokens, epochs_micro), ordered by source NULLS LAST.
+    *
+    * Scale shape: ONE corpus-scale count shuffle (source groups,
+    * map-side partials); the mixture arithmetic runs on the ≤ nSources-row
+    * aggregate with a broadcast total. Compose with hashRankSample /
+    * hashStratifiedSample to materialize the mixture — target_tokens is
+    * exactly the per-stratum budget those samplers take.
+    */
+  def temperatureMixture(documents: DataFrame, budgetTokens: Long,
+                         textCol: String = "text",
+                         srcCol: String = "source"): DataFrame = {
+    require(budgetTokens > 0, "need a positive token budget")
+    val perSource = documents
+      .select(col(srcCol).as("source"), size(tokens(col(textCol))).as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+      .withColumn("sqrt_micro",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long"))
+    val denom = perSource.agg(sum(col("sqrt_micro")).as("denom"))
+    perSource.crossJoin(broadcast(denom))
+      .withColumn("weight_micro",
+        floor((lit(1e6) * col("sqrt_micro").cast("double"))
+          / col("denom").cast("double")).cast("long"))
+      .withColumn("target_tokens",
+        floor((lit(budgetTokens.toDouble) * col("sqrt_micro").cast("double"))
+          / col("denom").cast("double")).cast("long"))
+      .withColumn("epochs_micro",
+        floor((lit(1e6) * col("target_tokens").cast("double"))
+          / col("n_tokens").cast("double")).cast("long"))
+      .select(col("source"), col("n_tokens"), col("sqrt_micro"),
+        col("weight_micro"), col("target_tokens"), col("epochs_micro"))
       .orderBy(col("source").asc_nulls_last)
   }
 }

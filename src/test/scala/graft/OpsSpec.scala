@@ -1251,6 +1251,40 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("piiRedact: exact counts and redacted text per PII type; clean text untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    val docs = Seq(
+      (1L, "contact bob.smith+x@example-site.org or admin@a.co for details"),
+      (2L, "server at 10.0.0.1 and 192.168.255.12; call 555-123-4567 or 555.987.6543"),
+      (3L, "mixed j.doe@x.org from 8.8.8.8 tel 111-222-3333"),
+      (4L, "clean text no pii at all 12345")
+    ).toDF("doc_id", "text")
+    val out = TextOps.piiRedact(docs).orderBy("doc_id").collect()
+    assert(out(0) === Row(1L, 2L, 0L, 0L,
+      "contact <EMAIL> or <EMAIL> for details"))
+    // dotted phone shares no match with the 4-group IP pattern
+    assert(out(1) === Row(2L, 0L, 2L, 2L,
+      "server at <IP> and <IP>; call <PHONE> or <PHONE>"))
+    assert(out(2) === Row(3L, 1L, 1L, 1L, "mixed <EMAIL> from <IP> tel <PHONE>"))
+    assert(out(3) === Row(4L, 0L, 0L, 0L, "clean text no pii at all 12345"))
+  }
+
+  test("temperatureMixture: hand-computed sqrt weights, targets and epoch factors") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    // perfect-square token counts make every intermediate exact: sqrt
+    // micro 10e6/5e6, denom 15e6, weights 2/3 and 1/3, budget 150 → 100+50
+    val docs = Seq(
+      (1L, Seq.fill(100)("w").mkString(" "), "a"),
+      (2L, Seq.fill(25)("w").mkString(" "), "b")
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.temperatureMixture(docs, budgetTokens = 150L).collect()
+    assert(out(0) === Row("a", 100L, 10000000L, 666666L, 100L, 1000000L))
+    // the small source repeats: 50 targeted of 25 available = 2.0 epochs
+    assert(out(1) === Row("b", 25L, 5000000L, 333333L, 50L, 2000000L))
+  }
+
   test("sourceTokenDrift: skewed source flagged, proportional sources not, null source real") {
     import spark.implicits._
     val vocab = (0 until 40).map(i => s"w$i")
