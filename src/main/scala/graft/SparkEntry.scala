@@ -719,6 +719,14 @@ object SparkEntry {
       TextOps.temperatureMixture(t(s, d, "documents"),
         budgetTokens = 1000000L)),
 
+    // the mixture MATERIALIZED: per document, how many complete epochs its
+    // source contributes plus membership in the hash-ordered partial
+    // prefix — the bucketed per-source running token sum never runs as a
+    // global window (q94's lemma), but the oracle replays it as one
+    "q114_mixture_draw" -> ((s, d) =>
+      TextOps.temperatureAssignments(t(s, d, "documents"),
+        budgetTokens = 1000000L)),
+
     // per-SOURCE token-distribution drift: chi-square of each source's
     // hashed-bucket token histogram against the corpus mix, micro-quantized
     // per bucket BEFORE the per-source integer sum — the data-side sibling
@@ -2061,6 +2069,38 @@ object SparkEntry {
          |  CAST(floor((1e6 * CAST(target_tokens AS DOUBLE))
          |    / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS epochs_micro
          |FROM t ORDER BY source NULLS LAST""".stripMargin,
+
+    // q113's mixture CTEs feed a plain per-source cumulative window (the
+    // oracle NEEDS no bucketing — ordering by (md5, id) is the same total
+    // order the engine's bucketed prefix-sum realizes); null-safe source
+    // match throughout
+    "q114_mixture_draw" -> {
+      val h = ops.DetHash.sqlMd5Hash60("'mix|' || CAST(doc_id AS VARCHAR)")
+      s"""WITH ps AS (SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |q AS (SELECT source, n_tokens,
+         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS sqrt_micro
+         |  FROM ps),
+         |d AS (SELECT CAST(sum(sqrt_micro) AS BIGINT) AS denom FROM q),
+         |t AS (SELECT source, n_tokens,
+         |    CAST(floor((1000000.0 * CAST(sqrt_micro AS DOUBLE))
+         |      / CAST(denom AS DOUBLE)) AS BIGINT) AS target_tokens
+         |  FROM q CROSS JOIN d),
+         |dt AS (SELECT doc_id, source,
+         |    CAST(len($toksSql) AS BIGINT) AS n_doc_tokens, $h AS h
+         |  FROM documents),
+         |cum AS (SELECT doc_id, source, n_doc_tokens,
+         |    COALESCE(sum(n_doc_tokens) OVER (PARTITION BY source
+         |      ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+         |  FROM dt)
+         |SELECT c.source, c.doc_id, c.n_doc_tokens,
+         |  t.target_tokens // t.n_tokens AS full_epochs,
+         |  CASE WHEN c.pre < t.target_tokens % t.n_tokens
+         |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS in_partial
+         |FROM cum c JOIN t ON t.source IS NOT DISTINCT FROM c.source
+         |ORDER BY c.source NULLS LAST, c.doc_id""".stripMargin
+    },
 
     // the same hashed-bucket binning (md5Hash60 mod 64), the same ONE
     // double expression per chi-square term quantized to micro before the

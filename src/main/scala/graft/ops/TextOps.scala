@@ -1149,4 +1149,67 @@ object TextOps {
         col("weight_micro"), col("target_tokens"), col("epochs_micro"))
       .orderBy(col("source").asc_nulls_last)
   }
+
+  /** MATERIALIZE the [[temperatureMixture]] plan as a per-document draw:
+    * each source contributes `full_epochs` = target div available complete
+    * passes, plus a PARTIAL epoch — the hash-ordered greedy prefix of
+    * documents whose cumulative token count starts before the remaining
+    * budget (target mod available). The partial prefix is ordered by
+    * (md5(salt|doc_id), doc_id) — reproducible across runs, engines and
+    * cluster sizes, and a different salt redraws the prefix without
+    * touching the weights. Output per document: (source, doc_id,
+    * n_doc_tokens, full_epochs, in_partial 0/1) — the complete sampling
+    * decision for an epoch-aware reader (`full_epochs + in_partial` copies
+    * of each doc).
+    *
+    * Scale shape: the per-source running token sum NEVER runs as one
+    * global window — the hash's high bits bucket each source's docs
+    * ([[graft.ops.RelationalOps.deterministicShuffle]]'s lemma: ordering
+    * by (bucket, hash, id) IS the (hash, id) order), within-bucket cumsums
+    * run partitioned by (source, bucket), and bucket offsets come from a
+    * broadcast ≤ nSources·2^bucketBits aggregate. Size `bucketBits` so a
+    * bucket of ONE source fits an executor (≈ log2(largest_source_bytes /
+    * 256 MB)).
+    */
+  def temperatureAssignments(documents: DataFrame, budgetTokens: Long,
+                             salt: String = "mix", bucketBits: Int = 10,
+                             textCol: String = "text",
+                             srcCol: String = "source",
+                             idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketBits >= 1 && bucketBits <= 30, "bucketBits in [1,30]")
+    val mix = temperatureMixture(documents, budgetTokens, textCol, srcCol)
+      .select(col("source").as("m_source"), col("n_tokens"),
+        col("target_tokens"))
+      .withColumn("full_epochs", expr("target_tokens div n_tokens"))
+      .withColumn("rem_tokens", expr("target_tokens % n_tokens"))
+    val h = DetHash.md5Hash60(
+      concat(lit(salt + "|"), col(idCol).cast("string")))
+    val docs = documents.select(col(srcCol).as("source"), col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_doc_tokens"))
+      .withColumn("__h", h)
+      .withColumn("__b", shiftright(col("__h"), 60 - bucketBits))
+    // per-(source, bucket) token totals → exclusive prefix sums over the
+    // tiny aggregate (window on ≤ nSources·2^bucketBits rows), broadcast
+    val wOff = Window.partitionBy(col("o_source")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy(col("source").as("o_source"), col("__b"))
+      .agg(sum(col("n_doc_tokens")).as("__bn"))
+      .withColumn("__off", coalesce(sum(col("__bn")).over(wOff), lit(0L)))
+      .select(col("o_source"), col("__b").as("o_b"), col("__off"))
+    val wCum = Window.partitionBy(col("source"), col("__b"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .join(broadcast(offsets),
+        col("source") <=> col("o_source") && col("__b") === col("o_b"))
+      .withColumn("__pre",
+        col("__off") + coalesce(sum(col("n_doc_tokens")).over(wCum), lit(0L)))
+      .join(broadcast(mix), col("source") <=> col("m_source"))
+      .select(col("source"), col(idCol), col("n_doc_tokens"),
+        col("full_epochs"),
+        when(col("__pre") < col("rem_tokens"), 1L).otherwise(0L)
+          .as("in_partial"))
+      .orderBy(col("source").asc_nulls_last, col(idCol))
+  }
 }

@@ -1285,6 +1285,35 @@ class OpsSpec extends SparkTestBase {
     assert(out(1) === Row("b", 25L, 5000000L, 333333L, 50L, 2000000L))
   }
 
+  test("temperatureAssignments: greedy hash prefix, epoch overshoot, bucketBits-invariant") {
+    import spark.implicits._
+    // a: 4×25 = 100 tokens, b: 1×25; budget 90 → targets 60/30 (√ weights)
+    // a: 0 full epochs, rem 60 → greedy prefix = first 3 docs in md5 order
+    // (cum pre 0/25/50 < 60; the 3rd overshoots to 75 — by design)
+    // b: 1 full epoch, rem 5 → its one doc ALSO in the partial (pre 0 < 5)
+    val docs = (Seq.tabulate(4)(i =>
+      (i.toLong, Seq.fill(25)("w").mkString(" "), "a")) :+
+      (9L, Seq.fill(25)("w").mkString(" "), "b"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.temperatureAssignments(docs, budgetTokens = 90L)
+      .collect()
+    val aRows = out.filter(_.getString(0) == "a")
+    val bRow = out.filter(_.getString(0) == "b").head
+    assert(aRows.forall(_.getLong(3) === 0L) && bRow.getLong(3) === 1L)
+    assert(bRow.getLong(4) === 1L)
+    val aPartial = aRows.filter(_.getLong(4) == 1L).map(_.getLong(1)).toSet
+    // expected prefix recomputed independently from the same salted hash
+    val expected = docs.filter(col("source") === "a")
+      .select(col("doc_id"), DetHash.md5Hash60(
+        concat(lit("mix|"), col("doc_id").cast("string"))).as("h"))
+      .orderBy(col("h"), col("doc_id")).collect().map(_.getLong(0)).take(3).toSet
+    assert(aPartial === expected)
+    // the bucketed prefix-sum realizes the SAME total order at any width
+    val out1 = TextOps.temperatureAssignments(docs, budgetTokens = 90L,
+      bucketBits = 1).collect().map(_.toSeq).toSet
+    assert(out1 === out.map(_.toSeq).toSet)
+  }
+
   test("sourceTokenDrift: skewed source flagged, proportional sources not, null source real") {
     import spark.implicits._
     val vocab = (0 until 40).map(i => s"w$i")
