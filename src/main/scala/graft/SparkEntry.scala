@@ -727,6 +727,12 @@ object SparkEntry {
       TextOps.temperatureAssignments(t(s, d, "documents"),
         budgetTokens = 1000000L)),
 
+    // the SHARD manifest: global deterministic order + two-level running
+    // token sum → greedy shard intervals (a boundary doc belongs to the
+    // shard it starts in); the oracle pays a literal global window
+    "q115_shard_plan" -> ((s, d) =>
+      TextOps.shardPlan(t(s, d, "documents"), tokensPerShard = 2000L)),
+
     // per-SOURCE token-distribution drift: chi-square of each source's
     // hashed-bucket token histogram against the corpus mix, micro-quantized
     // per bucket BEFORE the per-source integer sum — the data-side sibling
@@ -2100,6 +2106,24 @@ object SparkEntry {
          |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS in_partial
          |FROM cum c JOIN t ON t.source IS NOT DISTINCT FROM c.source
          |ORDER BY c.source NULLS LAST, c.doc_id""".stripMargin
+    },
+
+    // same salted hash, plain global cumulative window (the engine's
+    // bucketed two-level sum realizes the identical total order)
+    "q115_shard_plan" -> {
+      val h = ops.DetHash.sqlMd5Hash60("'shard|' || CAST(doc_id AS VARCHAR)")
+      s"""WITH dt AS (SELECT doc_id,
+         |    CAST(len($toksSql) AS BIGINT) AS n_doc_tokens, $h AS h
+         |  FROM documents),
+         |cum AS (SELECT doc_id, n_doc_tokens,
+         |    COALESCE(sum(n_doc_tokens) OVER (ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+         |  FROM dt)
+         |SELECT pre // 2000 AS shard_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_doc_tokens) AS BIGINT) AS n_tokens,
+         |  min(pre) AS start_tok, max(pre + n_doc_tokens) AS end_tok
+         |FROM cum GROUP BY 1 ORDER BY shard_id""".stripMargin
     },
 
     // the same hashed-bucket binning (md5Hash60 mod 64), the same ONE

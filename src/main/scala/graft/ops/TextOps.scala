@@ -1212,4 +1212,54 @@ object TextOps {
           .as("in_partial"))
       .orderBy(col("source").asc_nulls_last, col(idCol))
   }
+
+  /** SHARD PLAN — the manifest of the "write the training shards" step:
+    * documents take the deterministic global order (md5(salt|id), id) —
+    * [[graft.ops.RelationalOps.deterministicShuffle]]'s permutation — and
+    * a document starting at running-token position p lands in shard
+    * p div tokensPerShard (greedy: a boundary-spanning doc belongs to the
+    * shard it STARTS in, so shards overshoot by at most one document).
+    * Output per shard: (shard_id, n_docs, n_tokens, start_tok, end_tok)
+    * with end_tok exclusive — a reader can fetch any shard knowing its
+    * exact token interval, and the plan replays identically on any engine
+    * or cluster size.
+    *
+    * Scale shape: the global running token sum is two-level — hash-prefix
+    * buckets, one tiny (≤ 2^bucketBits row) broadcast offsets aggregate,
+    * within-bucket windows — never a global window; the manifest rollup
+    * shuffles ≤ one row per shard. Size `bucketBits` as in
+    * [[graft.ops.RelationalOps.deterministicShuffle]].
+    */
+  def shardPlan(documents: DataFrame, tokensPerShard: Long,
+                salt: String = "shard", bucketBits: Int = 10,
+                textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tokensPerShard >= 1, "need a positive shard size")
+    require(bucketBits >= 1 && bucketBits <= 30, "bucketBits in [1,30]")
+    val h = DetHash.md5Hash60(
+      concat(lit(salt + "|"), col(idCol).cast("string")))
+    val docs = documents.select(col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_doc_tokens"))
+      .withColumn("__h", h)
+      .withColumn("__b", shiftright(col("__h"), 60 - bucketBits))
+    val wOff = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy(col("__b"))
+      .agg(sum(col("n_doc_tokens")).as("__bn"))
+      .withColumn("__off", coalesce(sum(col("__bn")).over(wOff), lit(0L)))
+      .select(col("__b").as("o_b"), col("__off"))
+    val wCum = Window.partitionBy(col("__b")).orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.join(broadcast(offsets), col("__b") === col("o_b"))
+      .withColumn("__pre",
+        col("__off") + coalesce(sum(col("n_doc_tokens")).over(wCum), lit(0L)))
+      .withColumn("shard_id", expr(s"__pre div $tokensPerShard"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_doc_tokens")).as("n_tokens"),
+        min(col("__pre")).as("start_tok"),
+        max(col("__pre") + col("n_doc_tokens")).as("end_tok"))
+      .orderBy(col("shard_id"))
+  }
 }

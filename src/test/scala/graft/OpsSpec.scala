@@ -1314,6 +1314,33 @@ class OpsSpec extends SparkTestBase {
     assert(out1 === out.map(_.toSeq).toSet)
   }
 
+  test("shardPlan: shards chain exactly, partition all tokens, bucketBits-invariant") {
+    import spark.implicits._
+    val docs = Seq.tabulate(20)(i =>
+      (i.toLong, Seq.fill(7 + 11 * (i % 5))("w").mkString(" "))) // 7..51 toks
+      .toDF("doc_id", "text")
+    val totalToks = docs.select(sum(size(split(trim(col("text")), "\\s+"))))
+      .head.getLong(0)
+    val out = TextOps.shardPlan(docs, tokensPerShard = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // every token lands in exactly one shard
+    assert(out.map(_._3).sum === totalToks)
+    // a shard's id is its start position's interval; consecutive shards
+    // chain exactly (end_tok exclusive == next start_tok — docs are
+    // consecutive in the one global order)
+    out.foreach { case (id, _, _, start, _) => assert(start / 50 === id) }
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 === b._4)
+      case _ =>
+    }
+    // the two-level bucketed sum realizes the same order at any width
+    val out1 = TextOps.shardPlan(docs, tokensPerShard = 50L, bucketBits = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out1.toSeq === out.toSeq)
+  }
+
   test("sourceTokenDrift: skewed source flagged, proportional sources not, null source real") {
     import spark.implicits._
     val vocab = (0 until 40).map(i => s"w$i")
