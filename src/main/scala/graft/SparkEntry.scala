@@ -727,6 +727,13 @@ object SparkEntry {
       TextOps.temperatureAssignments(t(s, d, "documents"),
         budgetTokens = 1000000L)),
 
+    // MATRYOSHKA truncation audit: recall@10 of first-16/32-dim cosine
+    // rankings vs the full 64-dim ranking — the dimension-axis sibling of
+    // q107's PQ recall, exact total orders end to end
+    "q116_matryoshka" -> ((s, d) =>
+      SimilarityOps.matryoshkaAudit(t(s, d, "embeddings"),
+        col("vec_id") % 100 === 7, dims = Seq(16, 32), k = 10)),
+
     // the SHARD manifest: global deterministic order + two-level running
     // token sum → greedy shard intervals (a boundary doc belongs to the
     // shard it starts in); the oracle pays a literal global window
@@ -2106,6 +2113,39 @@ object SparkEntry {
          |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS in_partial
          |FROM cum c JOIN t ON t.source IS NOT DISTINCT FROM c.source
          |ORDER BY c.source NULLS LAST, c.doc_id""".stripMargin
+    },
+
+    // per width: q104's cosine SQL over list SLICES, both rankings total
+    // orders, hits counted by joining the truncated top-10 to the full one
+    "q116_matryoshka" -> {
+      def cosCtes(name: String, sl: String => String) =
+        s"""d$name AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |    list_sum(list_transform(list_zip(${sl("a.embedding")}, ${sl("b.embedding")}),
+           |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dp,
+           |    sqrt(list_sum(list_transform(${sl("a.embedding")},
+           |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+           |    sqrt(list_sum(list_transform(${sl("b.embedding")},
+           |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+           |  FROM qset a JOIN embeddings b ON b.vec_id <> a.vec_id),
+           |t$name AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY dp / (na * nb) DESC, neighbor_id) AS rn
+           |    FROM d$name) WHERE rn <= 10)""".stripMargin
+      val dims = Seq(16, 32)
+      val dimCtes = dims.map(d =>
+        cosCtes(s"$d", e => s"$e[1:$d]") + s""",
+           |h$d AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+           |  FROM t$d s JOIN tfull f USING (query_id, neighbor_id))""".stripMargin)
+        .mkString(",\n")
+      val rows = dims.map(d =>
+        s"""SELECT CAST($d AS INTEGER) AS dim, n_hits,
+           |  (1000000 * n_hits) // (10 * n_q) AS recall_micro FROM h$d, nq"""
+          .stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH qset AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 7),
+         |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM qset),
+         |${cosCtes("full", identity)},
+         |$dimCtes
+         |SELECT * FROM ($rows) ORDER BY dim""".stripMargin
     },
 
     // same salted hash, plain global cumulative window (the engine's

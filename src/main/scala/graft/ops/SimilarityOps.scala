@@ -114,6 +114,60 @@ object SimilarityOps {
         col("cos"), col("rn").as("rank"))
   }
 
+  /** MATRYOSHKA truncation audit: recall@k of cosine search over the FIRST
+    * `d` embedding dimensions against the full-width ranking — the
+    * measured number that decides how far a matryoshka-style embedding can
+    * be truncated before committing a corpus to the cheaper width (the
+    * dimension-axis sibling of [[pqRecallAudit]]'s code-axis compression).
+    * Output one row per audited width: (dim, n_hits, recall_micro) with
+    * recall the exact integer quotient of 10^6·hits by k·|queries|.
+    * Self-matches are excluded (they'd inflate every width's recall by a
+    * guaranteed hit). Both rankings are (cos desc, id) total orders over
+    * doubles computed in ONE expression shape (dot, two norms, one
+    * quotient — q104's determinism lemma, applied to array slices), so the
+    * audit replays bit-identically cross-engine.
+    *
+    * Scale shape: an AUDIT, not a search — queries are a small predicate
+    * sample riding a broadcast; the corpus side is one narrow pass per
+    * audited width (len(dims)+1 passes total), each a per-group heap
+    * top-k, never a global sort.
+    */
+  def matryoshkaAudit(df: DataFrame, queryPred: Column, dims: Seq[Int],
+                      k: Int = 10, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorExpressions.dotF
+    require(dims.nonEmpty, "need at least one truncation width")
+    val spark = df.sparkSession
+    def topk(d: Option[Int]): DataFrame = {
+      def tr(c: Column) = d.map(n => slice(c, 1, n)).getOrElse(c)
+      // norms once per ROW (per width), not per pair — same IEEE value
+      // either way (identical expression on identical input), the
+      // hardNegatives shape
+      val q = df.filter(queryPred)
+        .select(col(idCol).as("query_id"), tr(col(vecCol)).as("qv"))
+        .withColumn("qn", sqrt(dotF(col("qv"), col("qv"))))
+      val c = df.select(col(idCol).as("neighbor_id"), tr(col(vecCol)).as("cv"))
+        .withColumn("cn", sqrt(dotF(col("cv"), col("cv"))))
+      val scored = c.crossJoin(broadcast(q))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (dotF(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      RelationalOps.topKPerGroup(scored, Seq("query_id"),
+          Seq(col("cos").desc, col("neighbor_id").asc), k)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    val full = topk(None)
+    val nq = df.filter(queryPred).agg(count(lit(1)).as("n_q"))
+    dims.map { d =>
+      topk(Some(d))
+        .join(full, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(nq))
+        .select(lit(d).cast("int").as("dim"), col("n_hits"),
+          expr(s"(1000000 * n_hits) div ($k * n_q)").as("recall_micro"))
+    }.reduce(_ unionByName _).orderBy(col("dim"))
+  }
+
   /** ALL near-duplicate pairs with cosine ≥ `minCos`, exact, over the whole
     * table. Norms are computed once per row (same IEEE value the per-pair
     * recompute would give); the pair loop is a nested-loop join evaluating

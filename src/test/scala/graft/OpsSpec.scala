@@ -1314,6 +1314,22 @@ class OpsSpec extends SparkTestBase {
     assert(out1 === out.map(_.toSeq).toSet)
   }
 
+  test("matryoshkaAudit: zero-tail corpus gives perfect truncated recall") {
+    import spark.implicits._
+    // all signal in the first 16 dims, zero tail → the 16-dim ranking is
+    // the full ranking exactly (identical sums, identical tiebreaks)
+    val emb = Seq.tabulate(30) { i =>
+      (i.toLong, Array.tabulate(64)(j =>
+        if (j < 16) math.sin(i * 17 + j).toFloat else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val out = SimilarityOps.matryoshkaAudit(emb, col("vec_id") < 3,
+      dims = Seq(16), k = 5).collect()
+    assert(out.length === 1)
+    assert(out.head.getInt(0) === 16)
+    assert(out.head.getLong(1) === 15L, "3 queries × 5 hits each")
+    assert(out.head.getLong(2) === 1000000L)
+  }
+
   test("shardPlan: shards chain exactly, partition all tokens, bucketBits-invariant") {
     import spark.implicits._
     val docs = Seq.tabulate(20)(i =>
