@@ -727,6 +727,13 @@ object SparkEntry {
       TextOps.temperatureAssignments(t(s, d, "documents"),
         budgetTokens = 1000000L)),
 
+    // the TRAINING-RUN manifest: mixture draw × epoch expansion × global
+    // interleave × greedy shards — the whole sampling tier round-tripped
+    // in one composed, fully replayed operator
+    "q117_training_shards" -> ((s, d) =>
+      TextOps.trainingShards(t(s, d, "documents"),
+        budgetTokens = 200000L, tokensPerShard = 20000L)),
+
     // MATRYOSHKA truncation audit: recall@10 of first-16/32-dim cosine
     // rankings vs the full 64-dim ranking — the dimension-axis sibling of
     // q107's PQ recall, exact total orders end to end
@@ -2113,6 +2120,52 @@ object SparkEntry {
          |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS in_partial
          |FROM cum c JOIN t ON t.source IS NOT DISTINCT FROM c.source
          |ORDER BY c.source NULLS LAST, c.doc_id""".stripMargin
+    },
+
+    // q114's mixture/draw CTEs (salt 'train-mix'), the epoch expansion as
+    // a range() lateral, the interleave hash over (epoch, doc), one
+    // literal global window — the engine's bucketed sums realize the
+    // identical order
+    "q117_training_shards" -> {
+      val hMix = ops.DetHash.sqlMd5Hash60(
+        "'train-mix|' || CAST(doc_id AS VARCHAR)")
+      val hTrain = ops.DetHash.sqlMd5Hash60(
+        "'train|' || CAST(epoch AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)")
+      s"""WITH ps AS (SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |q AS (SELECT source, n_tokens,
+         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS sqrt_micro
+         |  FROM ps),
+         |d AS (SELECT CAST(sum(sqrt_micro) AS BIGINT) AS denom FROM q),
+         |t AS (SELECT source, n_tokens,
+         |    CAST(floor((200000.0 * CAST(sqrt_micro AS DOUBLE))
+         |      / CAST(denom AS DOUBLE)) AS BIGINT) AS target_tokens
+         |  FROM q CROSS JOIN d),
+         |dt AS (SELECT doc_id, source,
+         |    CAST(len($toksSql) AS BIGINT) AS n_doc_tokens, $hMix AS h
+         |  FROM documents),
+         |cum AS (SELECT doc_id, source, n_doc_tokens,
+         |    COALESCE(sum(n_doc_tokens) OVER (PARTITION BY source
+         |      ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+         |  FROM dt),
+         |drawn AS (SELECT c.doc_id, c.n_doc_tokens,
+         |    t.target_tokens // t.n_tokens
+         |      + CASE WHEN c.pre < t.target_tokens % t.n_tokens
+         |        THEN 1 ELSE 0 END AS nc
+         |  FROM cum c JOIN t ON t.source IS NOT DISTINCT FROM c.source),
+         |copies AS (SELECT doc_id, n_doc_tokens, CAST(e.epoch AS BIGINT) AS epoch
+         |  FROM drawn, UNNEST(range(0, nc)) e(epoch)),
+         |ch AS (SELECT doc_id, n_doc_tokens, epoch, $hTrain AS h FROM copies),
+         |ccum AS (SELECT n_doc_tokens,
+         |    COALESCE(sum(n_doc_tokens) OVER (ORDER BY h, doc_id, epoch
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+         |  FROM ch)
+         |SELECT pre // 20000 AS shard_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_doc_tokens) AS BIGINT) AS n_tokens,
+         |  min(pre) AS start_tok, max(pre + n_doc_tokens) AS end_tok
+         |FROM ccum GROUP BY 1 ORDER BY shard_id""".stripMargin
     },
 
     // per width: q104's cosine SQL over list SLICES, both rankings total

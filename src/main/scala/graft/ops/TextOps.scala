@@ -1234,26 +1234,44 @@ object TextOps {
                 salt: String = "shard", bucketBits: Int = 10,
                 textCol: String = "text",
                 idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(tokensPerShard >= 1, "need a positive shard size")
-    require(bucketBits >= 1 && bucketBits <= 30, "bucketBits in [1,30]")
     val h = DetHash.md5Hash60(
       concat(lit(salt + "|"), col(idCol).cast("string")))
     val docs = documents.select(col(idCol),
         size(tokens(col(textCol))).cast("long").as("n_doc_tokens"))
       .withColumn("__h", h)
-      .withColumn("__b", shiftright(col("__h"), 60 - bucketBits))
+    shardManifest(withGlobalTokenPrefix(docs, Seq(col(idCol)), bucketBits),
+      tokensPerShard)
+  }
+
+  /** Exclusive global running sum of `n_doc_tokens` in the total order
+    * (__h, tieBreak...) — the two-level form every sharding/draw operator
+    * here shares: hash-prefix buckets from __h's high bits, a broadcast
+    * ≤ 2^bucketBits offsets aggregate, within-bucket windows. Adds `__pre`.
+    */
+  private def withGlobalTokenPrefix(df: DataFrame, tieBreak: Seq[Column],
+                                    bucketBits: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketBits >= 1 && bucketBits <= 30, "bucketBits in [1,30]")
+    val withB = df.withColumn("__b", shiftright(col("__h"), 60 - bucketBits))
     val wOff = Window.orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = docs.groupBy(col("__b"))
+    val offsets = withB.groupBy(col("__b"))
       .agg(sum(col("n_doc_tokens")).as("__bn"))
       .withColumn("__off", coalesce(sum(col("__bn")).over(wOff), lit(0L)))
       .select(col("__b").as("o_b"), col("__off"))
-    val wCum = Window.partitionBy(col("__b")).orderBy(col("__h"), col(idCol))
+    val wCum = Window.partitionBy(col("__b"))
+      .orderBy(col("__h") +: tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs.join(broadcast(offsets), col("__b") === col("o_b"))
+    withB.join(broadcast(offsets), col("__b") === col("o_b"))
       .withColumn("__pre",
         col("__off") + coalesce(sum(col("n_doc_tokens")).over(wCum), lit(0L)))
+  }
+
+  /** Greedy manifest rollup over a frame carrying (__pre, n_doc_tokens). */
+  private def shardManifest(positioned: DataFrame,
+                            tokensPerShard: Long): DataFrame =
+    positioned
       .withColumn("shard_id", expr(s"__pre div $tokensPerShard"))
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1261,5 +1279,40 @@ object TextOps {
         min(col("__pre")).as("start_tok"),
         max(col("__pre") + col("n_doc_tokens")).as("end_tok"))
       .orderBy(col("shard_id"))
+
+  /** TRAINING-RUN shards — the round-trip of the whole sampling tier in
+    * one operator: [[temperatureAssignments]] decides how many copies of
+    * each document the run reads (complete epochs + the greedy partial
+    * prefix), every copy gets its own position in a deterministic global
+    * interleave keyed by md5(salt|epoch|doc_id) — epochs MIX rather than
+    * concatenate, the shuffle property epoch-aware readers want — and the
+    * interleaved stream is cut into `tokensPerShard` greedy shards. Output:
+    * the shard manifest (shard_id, n_docs, n_tokens, start_tok, end_tok),
+    * where n_docs counts COPIES. Same budget, salt and engine → the same
+    * bytes in the same shard order, on any cluster size.
+    *
+    * Scale shape: the draw inherits X116's shapes; the epoch expansion is
+    * a map-only `sequence` explode (rows = drawn copies, bounded by
+    * budget/avg-doc-tokens); positions use the same two-level prefix sum —
+    * never a global window.
+    */
+  def trainingShards(documents: DataFrame, budgetTokens: Long,
+                     tokensPerShard: Long, salt: String = "train",
+                     bucketBits: Int = 10, textCol: String = "text",
+                     srcCol: String = "source",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(tokensPerShard >= 1, "need a positive shard size")
+    val draw = temperatureAssignments(documents, budgetTokens,
+      salt + "-mix", bucketBits, textCol, srcCol, idCol)
+    val copies = draw
+      .withColumn("__nc", col("full_epochs") + col("in_partial"))
+      .filter(col("__nc") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__nc") - 1)))
+    val h = DetHash.md5Hash60(concat(lit(salt + "|"),
+      col("epoch").cast("string"), lit("|"), col(idCol).cast("string")))
+    shardManifest(
+      withGlobalTokenPrefix(copies.withColumn("__h", h),
+        Seq(col(idCol), col("epoch")), bucketBits),
+      tokensPerShard)
   }
 }

@@ -1357,6 +1357,33 @@ class OpsSpec extends SparkTestBase {
     assert(out1.toSeq === out.toSeq)
   }
 
+  test("trainingShards: drawn copies shard-partition exactly, epoch double-draw included") {
+    import spark.implicits._
+    // q114's fixture: a = 4×25 tokens, b = 1×25, budget 90 → a draws its
+    // 3-doc partial prefix (75 tokens), b draws 1 full epoch + the 5-token
+    // partial (2 copies, 50 tokens) — 5 copies / 125 tokens in total
+    val docs = (Seq.tabulate(4)(i =>
+      (i.toLong, Seq.fill(25)("w").mkString(" "), "a")) :+
+      (9L, Seq.fill(25)("w").mkString(" "), "b"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.trainingShards(docs, budgetTokens = 90L,
+        tokensPerShard = 60L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.map(_._2).sum === 5L, "five drawn copies")
+    assert(out.map(_._3).sum === 125L, "75 + 2×25 drawn tokens")
+    out.foreach { case (id, _, _, start, _) => assert(start / 60 === id) }
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 === b._4)
+      case _ =>
+    }
+    val out1 = TextOps.trainingShards(docs, budgetTokens = 90L,
+      tokensPerShard = 60L, bucketBits = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out1.toSeq === out.toSeq)
+  }
+
   test("sourceTokenDrift: skewed source flagged, proportional sources not, null source real") {
     import spark.implicits._
     val vocab = (0 until 40).map(i => s"w$i")
