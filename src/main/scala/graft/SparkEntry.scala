@@ -727,6 +727,12 @@ object SparkEntry {
       TextOps.temperatureAssignments(t(s, d, "documents"),
         budgetTokens = 1000000L)),
 
+    // cross-source duplicate LEAKAGE matrix: the verified near-dup pair
+    // set rolled up by unordered source pair (diagonal = within-source
+    // duplication) — the is-X-scraping-Y curation datasheet
+    "q118_dup_leakage" -> ((s, d) =>
+      DedupOps.dupLeakageMatrix(t(s, d, "documents"))),
+
     // the TRAINING-RUN manifest: mixture draw × epoch expansion × global
     // interleave × greedy shards — the whole sampling tier round-tripped
     // in one composed, fully replayed operator
@@ -2121,6 +2127,30 @@ object SparkEntry {
          |FROM cum c JOIN t ON t.source IS NOT DISTINCT FROM c.source
          |ORDER BY c.source NULLS LAST, c.doc_id""".stripMargin
     },
+
+    // q22's brute-force pair set + two source joins + the identical CASE
+    // normalization (NULL-first unordered pair)
+    "q118_dup_leakage" ->
+      s"""WITH $hashedShinglesCte,
+         |inv AS (SELECT id, sz, unnest(hs) AS tok FROM sized),
+         |pr AS (SELECT l.id AS a, r.id AS b
+         |  FROM inv l JOIN inv r ON l.tok = r.tok AND l.id < r.id
+         |  GROUP BY l.id, r.id, l.sz, r.sz
+         |  HAVING CAST(count(*) AS DOUBLE) / (l.sz + r.sz - count(*)) >= 0.8),
+         |ws AS (SELECT da.source AS sa, db.source AS sb FROM pr
+         |  JOIN documents da ON da.doc_id = pr.a
+         |  JOIN documents db ON db.doc_id = pr.b),
+         |nx AS (SELECT
+         |    CASE WHEN sa IS NOT DISTINCT FROM sb THEN sa
+         |      WHEN sa IS NULL THEN NULL WHEN sb IS NULL THEN NULL
+         |      WHEN sa < sb THEN sa ELSE sb END AS source_x,
+         |    CASE WHEN sa IS NOT DISTINCT FROM sb THEN sb
+         |      WHEN sa IS NULL THEN sb WHEN sb IS NULL THEN sa
+         |      WHEN sa < sb THEN sb ELSE sa END AS source_y
+         |  FROM ws)
+         |SELECT source_x, source_y, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM nx GROUP BY 1, 2
+         |ORDER BY source_x NULLS FIRST, source_y NULLS FIRST""".stripMargin,
 
     // q114's mixture/draw CTEs (salt 'train-mix'), the epoch expansion as
     // a range() lateral, the interleave hash over (epoch, doc), one

@@ -998,4 +998,42 @@ object DedupOps {
       .filter(col("jaccard") >= lit(minJaccard))
       .select(col("a"), col("b"), col("inter"), col("jaccard"))
   }
+
+  /** Cross-source duplicate LEAKAGE matrix — "is source X scraping source
+    * Y": the verified near-dup pair set ([[minHashVerifiedPairs]]) rolled
+    * up by unordered source pair. The pair's two sources normalize to
+    * (min, max) by string order with NULL sorting first, so each unordered
+    * pair is one matrix cell; the diagonal (x = y) counts within-source
+    * duplication. High off-diagonal cells mean content flows between
+    * sources — exactly the corpora a mixture planner must not treat as
+    * independent.
+    *
+    * Scale shape: inherits the banded candidate generation (no all-pairs);
+    * the source attachment is two id-keyed joins against a two-column
+    * projection of the corpus, and the rollup shuffles ≤ nSources² cells.
+    */
+  def dupLeakageMatrix(df: DataFrame, minJaccard: Double = 0.8,
+                       textCol: String = "text", idCol: String = "doc_id",
+                       srcCol: String = "source",
+                       scope: CacheScope = CacheScope.default): DataFrame = {
+    val pairs = minHashVerifiedPairs(df, textCol, idCol, minJaccard,
+      scope = scope)
+    val sa = df.select(col(idCol).as("a"), col(srcCol).as("sa"))
+    val sb = df.select(col(idCol).as("b"), col(srcCol).as("sb"))
+    val withSrc = pairs.join(sa, Seq("a")).join(sb, Seq("b"))
+    // unordered normalization, NULL first — least/greatest skip nulls, so
+    // spell the comparison out (identical CASE shape in the oracle)
+    val sx = when(col("sa") <=> col("sb"), col("sa"))
+      .when(col("sa").isNull, lit(null))
+      .when(col("sb").isNull, lit(null))
+      .when(col("sa") < col("sb"), col("sa")).otherwise(col("sb"))
+    val sy = when(col("sa") <=> col("sb"), col("sb"))
+      .when(col("sa").isNull, col("sb"))
+      .when(col("sb").isNull, col("sa"))
+      .when(col("sa") < col("sb"), col("sb")).otherwise(col("sa"))
+    withSrc.select(sx.as("source_x"), sy.as("source_y"))
+      .groupBy(col("source_x"), col("source_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_x").asc_nulls_first, col("source_y").asc_nulls_first)
+  }
 }

@@ -1384,6 +1384,24 @@ class OpsSpec extends SparkTestBase {
     assert(out1.toSeq === out.toSeq)
   }
 
+  test("dupLeakageMatrix: exact cells incl. diagonal and NULL-source row") {
+    import spark.implicits._
+    val T = (0 until 12).map(i => s"tok$i").mkString(" ")
+    val U = (0 until 12).map(i => s"other$i").mkString(" ")
+    val docs = Seq(
+      (1L, T, "A"), (2L, T, "A"),          // within-A duplicate pair
+      (3L, T, "B"), (4L, U, "B"),          // B copies A's text once
+      (5L, T, null: String)                // unattributed copy
+    ).toDF("doc_id", "text", "source")
+    val out = DedupOps.dupLeakageMatrix(docs).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (None, Some("A"), 2L),               // 5↔1, 5↔2
+      (None, Some("B"), 1L),               // 5↔3
+      (Some("A"), Some("A"), 1L),          // 1↔2 (diagonal)
+      (Some("A"), Some("B"), 2L)))         // 3↔1, 3↔2
+  }
+
   test("sourceTokenDrift: skewed source flagged, proportional sources not, null source real") {
     import spark.implicits._
     val vocab = (0 until 40).map(i => s"w$i")
