@@ -329,6 +329,33 @@ class PlanSpec extends SparkTestBase {
       "bucket offsets must join back as a broadcast")
   }
 
+  test("q110 drift: one (source,bucket) corpus aggregation, grid joins broadcast") {
+    val p = plan("q110_source_drift")
+    // the only corpus-scale exchange is the (source, bucket) count; the
+    // zero-filled grid, per-bucket totals and corpus totals all ride
+    // broadcasts back onto the tiny aggregate
+    assert(p.contains("hashpartitioning(source"),
+      s"count shuffle must key on (source, bucket):\n${p.take(1200)}")
+    assert(p.contains("BroadcastExchange"),
+      "grid/totals joins must broadcast")
+    // tiny cross joins (1-row totals, ≤64-row bucket frame) ride broadcast
+    // nested loops BY DESIGN — only a non-broadcast cartesian is forbidden
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q114/q115/q117 sampling tier: running sums bucket-partitioned, offsets broadcast") {
+    // the q94 lemma applied to the token cumsums: every rank/cumsum window
+    // partitions by the hash bucket (with source for the per-source draw) —
+    // a single-partition window over the corpus is the failure mode
+    for ((q, key) <- Seq("q114_mixture_draw" -> "hashpartitioning(source",
+      "q115_shard_plan" -> "hashpartitioning(__b",
+      "q117_training_shards" -> "hashpartitioning(__b")) {
+      val p = plan(q)
+      assert(p.contains(key), s"$q cumsum window must partition by bucket ($key):\n${p.take(1200)}")
+      assert(p.contains("BroadcastExchange"), s"$q offsets must broadcast")
+    }
+  }
+
   test("q91 ngram spans: hash-keyed semi join, per-doc islands window, no global sort of matches") {
     val p = plan("q91_ngram_spans")
     assert(p.contains("LeftSemi"), "train-gram match must be a LEFT SEMI join")
