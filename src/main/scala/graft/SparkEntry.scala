@@ -727,6 +727,12 @@ object SparkEntry {
       TextOps.temperatureAssignments(t(s, d, "documents"),
         budgetTokens = 1000000L)),
 
+    // PQ DISTORTION audit: per-subspace exact mean integer-L2 quantization
+    // error — the MSE half of the compression pair (q107 = ranking half);
+    // the assignment minimum IS the distortion
+    "q119_pq_distortion" -> ((s, d) =>
+      SimilarityOps.pqDistortionAudit(t(s, d, "embeddings"))),
+
     // cross-source duplicate LEAKAGE matrix: the verified near-dup pair
     // set rolled up by unordered source pair (diagonal = within-source
     // duplication) — the is-X-scraping-Y curation datasheet
@@ -2127,6 +2133,21 @@ object SparkEntry {
          |FROM cum c JOIN t ON t.source IS NOT DISTINCT FROM c.source
          |ORDER BY c.source NULLS LAST, c.doc_id""".stripMargin
     },
+
+    // the shared PQ lifecycle CTEs; distortion = the assignment minimum
+    // against the trained cb2, summed per subspace in exact integers
+    "q119_pq_distortion" ->
+      s"""WITH $pqOracleCtes,
+         |dst AS (SELECT q.vec_id, CAST(c.m AS INTEGER) AS m,
+         |    min(${"list_sum(list_transform(range(1, 17), d -> " +
+          "(q.qv[c.m*16 + d] - c.c[d]) * (q.qv[c.m*16 + d] - c.c[d])))"}) AS d
+         |  FROM qv q CROSS JOIN cb2 c GROUP BY 1, 2),
+         |agg AS (SELECT m, CAST(count(*) AS BIGINT) AS n_vectors,
+         |    CAST(sum(d) AS BIGINT) AS sum_dist FROM dst GROUP BY 1)
+         |SELECT m, n_vectors, sum_dist,
+         |  CAST(floor((1e6 * CAST(sum_dist AS DOUBLE))
+         |    / CAST(n_vectors AS DOUBLE)) AS BIGINT) AS mean_dist_micro
+         |FROM agg ORDER BY m""".stripMargin,
 
     // q22's brute-force pair set + two source joins + the identical CASE
     // normalization (NULL-first unordered pair)

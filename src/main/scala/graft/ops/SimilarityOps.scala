@@ -1010,6 +1010,41 @@ object SimilarityOps {
     * as the search path — one narrow corpus pass, no pair shuffle; the
     * audit's join touches 2·k·|queries| rows.
     */
+  /** PQ DISTORTION audit: per subspace, the exact mean integer-L2 error
+    * between each vector's quantized subvector and its assigned codebook
+    * centroid — the MSE half of the compression-quality pair ([[
+    * pqRecallAudit]] measures the ranking half). A subspace whose mean
+    * distortion dwarfs the others is under-resolved (raise numCentroids or
+    * re-split); distortion exactly 0 means the codebook memorized the
+    * corpus (degenerate duplication). Output per subspace: (m, n_vectors,
+    * sum_dist, mean_dist_micro) — every number an exact integer (the
+    * assignment minimum IS the distortion, so nothing new is approximated).
+    *
+    * Scale shape: one pass over the cached quantized frame (shared with
+    * the whole PQ lifecycle), map-only per-subspace minima, one
+    * numSub-group aggregation with map-side partials.
+    */
+  def pqDistortionAudit(df: DataFrame, numSub: Int = 4,
+                        numCentroids: Int = 8, iters: Int = 2,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        scope: CacheScope = CacheScope.default): DataFrame = {
+    val (_, qv, subDim) = pqPrepare(df, numSub, idCol, vecCol, scope)
+    val cb = pqLloyd(qv, numSub, numCentroids, iters, subDim, idCol)
+    val perSub = qv.select(explode(array((0 until numSub).map { m =>
+      struct(lit(m).as("m"),
+        array_min(array(cb(m).indices.map(c =>
+          pqDist(col("qv"), cb(m)(c), m * subDim).cast("long")): _*)).as("d"))
+    }: _*)).as("s")).select(col("s.m"), col("s.d"))
+    perSub.groupBy(col("m"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("d")).as("sum_dist"))
+      // one-product-one-quotient double shape, not a bigint product —
+      // 10^6 · sum_dist overflows long at corpus scale (q113's convention)
+      .withColumn("mean_dist_micro",
+        floor((lit(1e6) * col("sum_dist").cast("double"))
+          / col("n_vectors").cast("double")).cast("long"))
+      .orderBy(col("m"))
+  }
+
   def pqRecallAudit(df: DataFrame, queryPred: Column, k: Int = 10,
                     numSub: Int = 4, numCentroids: Int = 8, iters: Int = 2,
                     idCol: String = "vec_id", vecCol: String = "embedding",

@@ -1314,6 +1314,26 @@ class OpsSpec extends SparkTestBase {
     assert(out1 === out.map(_.toSeq).toSet)
   }
 
+  test("pqDistortionAudit: memorizable corpus has zero distortion; real corpus positive") {
+    import spark.implicits._
+    // ≤ numCentroids distinct vectors → Lloyd memorizes them exactly and
+    // every assignment minimum is 0 in every subspace
+    val emb = Seq.tabulate(40) { i =>
+      (i.toLong, Array.tabulate(64)(j => ((i % 4) * 10 + j % 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val scope = graft.ops.CacheScope()
+    try {
+      val out = SimilarityOps.pqDistortionAudit(emb, scope = scope).collect()
+      assert(out.length === 4)
+      assert(out.forall(_.getLong(1) === 40L))
+      assert(out.forall(_.getLong(2) === 0L), "memorized corpus distorts nothing")
+      assert(out.forall(_.getLong(3) === 0L))
+    } finally scope.release()
+    val real = SimilarityOps.pqDistortionAudit(
+      Tables(spark, SparkTestBase.sf001, "embeddings")).collect()
+    assert(real.forall(_.getLong(2) > 0L), "a real corpus always distorts")
+  }
+
   test("matryoshkaAudit: zero-tail corpus gives perfect truncated recall") {
     import spark.implicits._
     // all signal in the first 16 dims, zero tail → the 16-dim ranking is
