@@ -400,6 +400,37 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("ivfPqIndexIngest on a RESIDUAL index: the collision gate works at residual resolution") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.SimilarityOps
+    def axis(d: Int, scale: Float = 10f): Array[Float] =
+      Array.tabulate(4)(j => if (j == d) scale else 0.1f * (j + 1))
+    val corpus = (0 until 12).map(i => (i.toLong, axis(i % 3))).toDF("vec_id", "embedding")
+    SimilarityOps.writeIvfPqIndex(corpus, "t_stream_rivfpq", nCells = 3,
+      numSub = 2, numCentroids = 4, buckets = 4, coarse = "lattice",
+      encode = "residual")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rivfpq-ingest").toString
+    val mem = MemoryStream[Vec]
+    val query = StreamingEvents.ivfPqIndexIngest(mem.toDF(), "t_stream_rivfpq",
+      checkpointDir = ckpt).start()
+    try {
+      // a replica routes to the same cell and its RESIDUAL encodes to the
+      // same codes → rejected; a new direction appends exactly once
+      mem.addData(Vec(100L, axis(0)), Vec(101L, axis(3)))
+      query.processAllAvailable()
+      mem.addData(Vec(102L, axis(3)))
+      query.processAllAvailable()
+      val indexed = spark.table("t_stream_rivfpq_cells")
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(indexed.sorted === ((0L until 12L) :+ 101L).sorted,
+        s"residual gate must reject replicas, append the novel once: $indexed")
+    } finally {
+      query.stop()
+      Seq("cells", "centroids", "codebook", "meta").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS t_stream_rivfpq_$s"))
+    }
+  }
+
   test("latestSnapshot: fresh start is None; IO-failure shapes throw, never truncate") {
     val base = java.nio.file.Files.createTempDirectory("graft-snap").toString
     // genuinely absent dir = fresh start
