@@ -739,6 +739,14 @@ object SparkEntry {
     "q118_dup_leakage" -> ((s, d) =>
       DedupOps.dupLeakageMatrix(t(s, d, "documents"))),
 
+    // KMV sketch overlap: bottom-k distinct-shingle sketches per source →
+    // estimated distinct / union / intersection / Jaccard for every
+    // unordered source pair at sketch cost — whole-corpus containment
+    // WITHOUT joining the corpora (q118 finds the pairs; this sizes the
+    // overlap from nSources·k retained hashes)
+    "q120_kmv_overlap" -> ((s, d) =>
+      DedupOps.kmvOverlapMatrix(t(s, d, "documents"), k = 64)),
+
     // the TRAINING-RUN manifest: mixture draw × epoch expansion × global
     // interleave × greedy shards — the whole sampling tier round-tripped
     // in one composed, fully replayed operator
@@ -2148,6 +2156,54 @@ object SparkEntry {
          |  CAST(floor((1e6 * CAST(sum_dist AS DOUBLE))
          |    / CAST(n_vectors AS DOUBLE)) AS BIGINT) AS mean_dist_micro
          |FROM agg ORDER BY m""".stripMargin,
+
+    // the whole KMV matrix replayed: 60-bit 3-gram hashes, per-source
+    // bottom-k via a literal window (the engine's two-level prune realizes
+    // the same total order), the (k-1)·2^60/h_(k) estimator with the SAME
+    // exact double numerator literal, union re-rank, inclusion-exclusion
+    "q120_kmv_overlap" -> {
+      val kmvK = 64
+      val numer = (kmvK - 1).toDouble * 1152921504606846976.0
+      val h3 = ops.DetHash.sqlMd5Hash60("array_to_string(ts[i:i+2], ' ')")
+      s"""WITH tok AS (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS ts
+         |  FROM documents),
+         |sh AS (SELECT source, $h3 AS h
+         |  FROM tok, UNNEST(range(1, len(ts) - 1)) t(i)),
+         |d AS (SELECT DISTINCT source, h FROM sh),
+         |rk AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM d),
+         |sk AS (SELECT source, h FROM rk WHERE rn <= $kmvK),
+         |st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sk, max(h) AS kth
+         |  FROM sk GROUP BY 1),
+         |es AS (SELECT source, CASE WHEN n_sk < $kmvK THEN n_sk
+         |    ELSE CAST(floor($numer / CAST(kth AS DOUBLE)) AS BIGINT) END AS est
+         |  FROM st),
+         |pr AS (SELECT a.source AS sx, a.est AS est_x, b.source AS sy, b.est AS est_y
+         |  FROM es a JOIN es b ON (a.source IS NULL AND b.source IS NOT NULL)
+         |    OR (a.source IS NOT NULL AND b.source IS NOT NULL AND a.source < b.source)),
+         |mg AS (SELECT p.sx, p.sy, s.h FROM pr p
+         |    JOIN sk s ON s.source IS NOT DISTINCT FROM p.sx
+         |  UNION
+         |  SELECT p.sx, p.sy, s.h FROM pr p
+         |    JOIN sk s ON s.source IS NOT DISTINCT FROM p.sy),
+         |ur AS (SELECT sx, sy, h,
+         |    row_number() OVER (PARTITION BY sx, sy ORDER BY h) AS rn FROM mg),
+         |us AS (SELECT sx, sy, CAST(count(*) AS BIGINT) AS n_u, max(h) AS kth
+         |  FROM ur WHERE rn <= $kmvK GROUP BY 1, 2),
+         |ue AS (SELECT sx, sy, CASE WHEN n_u < $kmvK THEN n_u
+         |    ELSE CAST(floor($numer / CAST(kth AS DOUBLE)) AS BIGINT) END AS est_union
+         |  FROM us),
+         |fin AS (SELECT p.sx, p.sy, p.est_x, p.est_y, u.est_union,
+         |    GREATEST(CAST(0 AS BIGINT),
+         |      p.est_x + p.est_y - u.est_union) AS est_inter
+         |  FROM pr p JOIN ue u ON u.sx IS NOT DISTINCT FROM p.sx
+         |    AND u.sy IS NOT DISTINCT FROM p.sy)
+         |SELECT sx AS source_x, sy AS source_y, est_x, est_y, est_union, est_inter,
+         |  CAST(floor((1e6 * CAST(est_inter AS DOUBLE))
+         |    / CAST(est_union AS DOUBLE)) AS BIGINT) AS jaccard_micro
+         |FROM fin
+         |ORDER BY source_x NULLS FIRST, source_y NULLS FIRST""".stripMargin
+    },
 
     // q22's brute-force pair set + two source joins + the identical CASE
     // normalization (NULL-first unordered pair)

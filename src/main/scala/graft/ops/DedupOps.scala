@@ -1036,4 +1036,110 @@ object DedupOps {
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("source_x").asc_nulls_first, col("source_y").asc_nulls_first)
   }
+
+  /** KMV (k-minimum-values, Beyer et al. 2007) SKETCH-cost corpus-pair
+    * overlap: estimated distinct-shingle counts per source and estimated
+    * intersection / Jaccard for every unordered source pair — the
+    * "how much does corpus X overlap corpus Y" answer WITHOUT joining the
+    * corpora ([[dupLeakageMatrix]] finds the verified near-dup pairs; this
+    * sizes whole-corpus containment at a k-row-per-source price).
+    *
+    * Sketch: the `k` smallest DISTINCT 60-bit hashes
+    * ([[DetHash.md5Hash60]] over the space-joined `shingleK`-gram — the
+    * 60-bit space, NOT the 31-bit MinHash permutation space, so the
+    * estimator doesn't saturate at 2^31 distinct shingles) per source.
+    * With n_sk = k the distinct estimate is the classic unbiased
+    * (k-1)·2^60 / h_(k); with n_sk < k the sketch IS the distinct set and
+    * the count is exact. A pair's union sketch is the bottom-k of the two
+    * sketches' union (a KMV closure property), and the intersection comes
+    * from inclusion-exclusion clamped at 0. Relative error ~ 1/sqrt(k).
+    *
+    * Determinism (the quantize-before-compare contract): h_(k) is an exact
+    * integer; (k-1)·2^60 is a power-of-two-scaled double literal (exact);
+    * the estimate is ONE exactly-rounded quotient floored to a bigint, and
+    * every downstream combination (inclusion-exclusion, the Jaccard ratio's
+    * one-product-one-quotient shape) runs on those integers — the oracle
+    * replays the whole matrix bit-for-bit.
+    *
+    * Output: (source_x, source_y, est_x, est_y, est_union, est_inter,
+    * jaccard_micro) for unordered pairs x before y (NULL source first —
+    * a real group, the q95 lesson), ordered the same way. A source whose
+    * documents are all shorter than `shingleK` tokens has no shingles and
+    * no row.
+    *
+    * Scale shape: corpus-scale work is ONE map-only shingle-hash pass plus
+    * ONE (source, h) distinct shuffle (map-side partial dedup). Bottom-k
+    * extraction is two-level — row_number within (source, h mod `buckets`)
+    * capped at k, then within source over the <= buckets*k survivors —
+    * never a corpus-wide window (q94's lemma); the result is independent
+    * of `buckets`. The pair stage (self-join, union re-rank, estimates)
+    * runs entirely on the <= nSources*k-row sketch table.
+    */
+  def kmvOverlapMatrix(df: DataFrame, k: Int = 256, shingleK: Int = 3,
+                       buckets: Int = 32, textCol: String = "text",
+                       srcCol: String = "source"): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2 for the (k-1)/h_(k) estimator")
+    require(buckets >= 1, "need at least one prune bucket")
+    val toks = TextOps.tokens(col(textCol))
+    val windows = when(size(col("ts")) >= shingleK,
+      sequence(lit(1), size(col("ts")) - (shingleK - 1))).otherwise(array())
+    val hashes = df
+      .select(col(srcCol).as("source"), toks.as("ts"))
+      .select(col("source"), explode(windows).as("i"), col("ts"))
+      .select(col("source"),
+        DetHash.md5Hash60(array_join(slice(col("ts"), col("i"), lit(shingleK)), " "))
+          .as("h"))
+    val dist = hashes.distinct()
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("bucket")).orderBy(col("h"))
+    val wSource = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"))
+    val sketch = dist
+      .withColumn("bucket", col("h") % lit(buckets.toLong))
+      .withColumn("rb", row_number().over(wBucket)).filter(col("rb") <= k)
+      .withColumn("rn", row_number().over(wSource)).filter(col("rn") <= k)
+      .select(col("source"), col("h"))
+    // exact power-of-two-scaled numerator: (k-1) * 2^60
+    val numer = (k - 1).toDouble * 1152921504606846976.0
+    def estCol(n: Column, kth: Column): Column =
+      when(n < k, n).otherwise(
+        floor(lit(numer) / kth.cast("double")).cast("long"))
+    val perSource = sketch.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sk"), max(col("h")).as("kth"))
+      .select(col("source"), estCol(col("n_sk"), col("kth")).as("est"))
+    val ea = perSource.select(col("source").as("sx"), col("est").as("est_x"))
+    val eb = perSource.select(col("source").as("sy"), col("est").as("est_y"))
+    // unordered pairs, NULL first (same normalization as dupLeakageMatrix)
+    val pairs = ea.join(eb,
+      (col("sx").isNull && col("sy").isNotNull) ||
+        (col("sx").isNotNull && col("sy").isNotNull && col("sx") < col("sy")))
+    // renamed sketch copies dodge the shared-lineage ambiguity (q110 lesson);
+    // the pair frame (<= nSources^2 rows) broadcasts into both merge joins
+    val skx = sketch.select(col("source").as("kx"), col("h"))
+    val sky = sketch.select(col("source").as("ky"), col("h"))
+    val pairKeys = broadcast(pairs.select(col("sx"), col("sy")))
+    val merged = pairKeys.join(skx, col("sx") <=> col("kx"))
+      .select(col("sx"), col("sy"), col("h"))
+      .unionByName(
+        pairKeys.join(sky, col("sy") <=> col("ky"))
+          .select(col("sx"), col("sy"), col("h")))
+      .distinct()
+    val wPair = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sx"), col("sy")).orderBy(col("h"))
+    val unionEst = merged
+      .withColumn("rn", row_number().over(wPair)).filter(col("rn") <= k)
+      .groupBy(col("sx"), col("sy"))
+      .agg(count(lit(1)).as("n_u"), max(col("h")).as("kth"))
+      .select(col("sx").as("ux"), col("sy").as("uy"),
+        estCol(col("n_u"), col("kth")).as("est_union"))
+    val inter = greatest(lit(0L), col("est_x") + col("est_y") - col("est_union"))
+    pairs.join(broadcast(unionEst),
+        col("sx") <=> col("ux") && col("sy") <=> col("uy"))
+      .select(col("sx").as("source_x"), col("sy").as("source_y"),
+        col("est_x"), col("est_y"), col("est_union"), inter.as("est_inter"))
+      .withColumn("jaccard_micro",
+        floor((lit(1e6) * col("est_inter").cast("double"))
+          / col("est_union").cast("double")).cast("long"))
+      .orderBy(col("source_x").asc_nulls_first, col("source_y").asc_nulls_first)
+  }
 }

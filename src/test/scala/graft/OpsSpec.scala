@@ -1422,6 +1422,43 @@ class OpsSpec extends SparkTestBase {
       (Some("A"), Some("B"), 2L)))         // 3↔1, 3↔2
   }
 
+  test("kmvOverlapMatrix: exact small-sketch path, estimator sanity, NULL source, bucket invariance") {
+    import spark.implicits._
+    // A: integer tokens 0..600 → 599 distinct 3-shingles; B: 300..900 →
+    // 599 distinct, 299 shared with A; C: 0..10 → 9 shingles (< k ⇒ the
+    // exact path); the NULL source holds a verbatim copy of C; D's doc is
+    // too short to shingle and must vanish from the matrix entirely
+    val ta = (0 to 600).mkString(" ")
+    val tb = (300 to 900).mkString(" ")
+    val tc = (0 to 10).mkString(" ")
+    val docs = Seq((1L, ta, "A"), (2L, tb, "B"), (3L, tc, "C"),
+      (4L, tc, null: String), (5L, "a b", "D"))
+      .toDF("doc_id", "text", "source")
+    val out = DedupOps.kmvOverlapMatrix(docs, k = 64).collect()
+    assert(out.length === 6, "3 named + NULL sources pair to 6; D absent")
+    def at(x: Option[String], y: Option[String]) = out.find(r =>
+      Option(r.getString(0)) == x && Option(r.getString(1)) == y).get
+    // exact path: identical 9-element sketches ⇒ exact counts throughout
+    val nc = at(None, Some("C"))
+    assert(Seq(2, 3, 4, 5).map(nc.getLong) === Seq(9L, 9L, 9L, 9L))
+    assert(nc.getLong(6) === 1000000L)
+    // estimator path: true distinct 599/599, union 899, intersection 299 —
+    // deterministic md5 sketches, so loose bands can never flake
+    val ab = at(Some("A"), Some("B"))
+    assert(math.abs(ab.getLong(2) - 599L) <= 240, s"est_x=${ab.getLong(2)}")
+    assert(math.abs(ab.getLong(3) - 599L) <= 240, s"est_y=${ab.getLong(3)}")
+    assert(math.abs(ab.getLong(4) - 899L) <= 360, s"est_u=${ab.getLong(4)}")
+    assert(ab.getLong(5) >= 60L && ab.getLong(5) <= 600L,
+      s"est_inter=${ab.getLong(5)}")
+    // C ⊂ A: inclusion-exclusion may wobble near zero but never negative
+    val ac = at(Some("A"), Some("C"))
+    assert(ac.getLong(5) >= 0L && ac.getLong(5) <= 80L)
+    // the two-level prune is an implementation detail: bucket count must
+    // not change a single output value
+    val out1 = DedupOps.kmvOverlapMatrix(docs, k = 64, buckets = 1).collect()
+    assert(out1.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
+
   test("sourceTokenDrift: skewed source flagged, proportional sources not, null source real") {
     import spark.implicits._
     val vocab = (0 until 40).map(i => s"w$i")

@@ -471,6 +471,17 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q120 KMV overlap: no corpus-wide window, pair stage broadcast") {
+    val p = plan("q120_kmv_overlap")
+    val sorts = p.linesIterator.filter(_.contains("Sort ")).toSeq
+    // the bottom-k windows sort within (source[, bucket]) partitions; the
+    // single global sort is the <= nSources^2-row output ordering
+    assert(sorts.count(_.contains("true, 0")) <= 1,
+      "only the final matrix ordering may sort globally")
+    assert(p.contains("BroadcastExchange"),
+      "the sketch-merge joins must broadcast the pair frame")
+  }
+
   test("driver contract: every query has an oracle and vice versa") {
     // a key typo would silently downgrade a query to the driver's weaker
     // rows-only check — the whole point of the oracle map is that it never
