@@ -739,6 +739,12 @@ object SparkEntry {
     "q118_dup_leakage" -> ((s, d) =>
       DedupOps.dupLeakageMatrix(t(s, d, "documents"))),
 
+    // Unicode SCRIPT-MIX audit: per-doc major-script character counts,
+    // alphabetical-first majority, 10%-minority mixed flag — the
+    // homoglyph/keyword-stuffing spam signal, entirely map-only
+    "q121_script_mix" -> ((s, d) =>
+      TextOps.scriptMix(t(s, d, "documents"))),
+
     // KMV sketch overlap: bottom-k distinct-shingle sketches per source →
     // estimated distinct / union / intersection / Jaccard for every
     // unordered source pair at sketch cost — whole-corpus containment
@@ -2156,6 +2162,33 @@ object SparkEntry {
          |  CAST(floor((1e6 * CAST(sum_dist AS DOUBLE))
          |    / CAST(n_vectors AS DOUBLE)) AS BIGINT) AS mean_dist_micro
          |FROM agg ORDER BY m""".stripMargin,
+
+    // same Unicode script property, RE2 spelling; identical greatest/CASE
+    // shapes (alphabetical-first tie, integer mixed-flag arithmetic)
+    "q121_script_mix" ->
+      """WITH c AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\p{Arabic}')) AS BIGINT) AS n_arabic,
+        |  CAST(len(regexp_extract_all(text, '\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
+        |  CAST(len(regexp_extract_all(text, '\p{Greek}')) AS BIGINT) AS n_greek,
+        |  CAST(len(regexp_extract_all(text, '\p{Han}')) AS BIGINT) AS n_han,
+        |  CAST(len(regexp_extract_all(text, '\p{Latin}')) AS BIGINT) AS n_latin,
+        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
+        |  FROM documents),
+        |s AS (SELECT *,
+        |    n_arabic + n_cyrillic + n_greek + n_han + n_latin AS n_script,
+        |    greatest(n_arabic, n_cyrillic, n_greek, n_han, n_latin) AS mx
+        |  FROM c)
+        |SELECT doc_id, n_arabic, n_cyrillic, n_greek, n_han, n_latin,
+        |  n_digit, n_script,
+        |  CASE WHEN n_script = 0 THEN NULL
+        |    WHEN n_arabic = mx THEN 'arabic'
+        |    WHEN n_cyrillic = mx THEN 'cyrillic'
+        |    WHEN n_greek = mx THEN 'greek'
+        |    WHEN n_han = mx THEN 'han'
+        |    ELSE 'latin' END AS majority_script,
+        |  CASE WHEN n_script > 0 AND 10 * (n_script - mx) >= n_script
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS mixed_script
+        |FROM s""".stripMargin,
 
     // the whole KMV matrix replayed: 60-bit 3-gram hashes, per-source
     // bottom-k via a literal window (the engine's two-level prune realizes

@@ -1028,6 +1028,56 @@ object TextOps {
         PhoneRe, "<PHONE>").as(textCol))
   }
 
+  /** Script names and their Java character classes, alphabetical — the
+    * evaluation order of [[scriptMix]]'s majority CASE, so ties resolve
+    * to the alphabetically-first script in both engines. The oracle spells
+    * the same classes in RE2 syntax (`\p{Latin}`); both engines implement
+    * the Unicode script property, verified equal on the test fixtures.
+    */
+  private val Scripts: Seq[(String, String)] = Seq(
+    "arabic" -> "\\p{IsArabic}", "cyrillic" -> "\\p{IsCyrillic}",
+    "greek" -> "\\p{IsGreek}", "han" -> "\\p{IsHan}",
+    "latin" -> "\\p{IsLatin}")
+
+  /** Unicode SCRIPT-MIX audit (the mC4/CCNet script-confusion signal):
+    * per document, character counts for the five major scripts plus
+    * digits, the majority script (alphabetically-first on ties, NULL when
+    * no script character occurs) and a `mixed_script` flag — 1 when
+    * minority-script characters are at least 10% of all script characters
+    * (`10·(n_script − max) ≥ n_script`, integer arithmetic only). Mixed-
+    * script text is a strong spam/obfuscation signal (phishing homoglyphs,
+    * keyword-stuffed pages) and a routing input for script-specific
+    * tokenizers; [[langId]] assumes a script, this says WHICH.
+    *
+    * Scale shape: ENTIRELY map-only — six regexp counts and integer
+    * arithmetic per document, no shuffle, no state; composes with any
+    * per-doc quality gate at zero plan cost (the cheapest 100 TB pass
+    * beside [[piiRedact]]).
+    */
+  def scriptMix(documents: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val counts = Scripts.map { case (n, re) =>
+      regexp_count(col(textCol), lit(re)).cast("long").as(s"n_$n")
+    }
+    val base = documents.select(
+      (col(idCol) +: counts :+
+        regexp_count(col(textCol), lit("[0-9]")).cast("long").as("n_digit")): _*)
+      .withColumn("n_script",
+        Scripts.map(s => col(s"n_${s._1}")).reduce(_ + _))
+    val maxc = greatest(Scripts.map(s => col(s"n_${s._1}")): _*)
+    val majority = Scripts.foldRight(lit(null).cast("string")) {
+      case ((n, _), els) => when(col(s"n_$n") === maxc, lit(n)).otherwise(els)
+    }
+    base
+      .withColumn("majority_script",
+        when(col("n_script") === 0L, lit(null).cast("string"))
+          .otherwise(majority))
+      .withColumn("mixed_script",
+        when(col("n_script") > 0L &&
+          lit(10L) * (col("n_script") - maxc) >= col("n_script"), 1L)
+          .otherwise(0L))
+  }
+
   /** Per-source token-distribution drift: the data-side sibling of
     * [[graft.ops.SimilarityOps.ivfDriftSummary]]. Each source's token
     * distribution is histogrammed over `nBuckets` hashed buckets

@@ -1422,6 +1422,34 @@ class OpsSpec extends SparkTestBase {
       (Some("A"), Some("B"), 2L)))         // 3↔1, 3↔2
   }
 
+  test("scriptMix: per-script counts, alphabetical-first majority, 10% mixed flag") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello world 42"),            // pure latin + digits
+      (2L, "привет мир"),                // pure cyrillic
+      (3L, "hello мир hello мир x"),     // latin 11, cyrillic 6 → mixed
+      (4L, "abcdefghi я"),               // 9 latin, 1 cyrillic → exactly 10%
+      (5L, "42 --- !!"),                 // no script chars at all
+      (6L, "αβ яб")                      // greek 2, cyrillic 2 → tie
+    ).toDF("doc_id", "text")
+    val out = TextOps.scriptMix(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(5) === 10L)   // n_latin
+    assert(out(1L).getLong(6) === 2L)    // n_digit
+    assert(out(1L).getString(8) === "latin")
+    assert(out(1L).getLong(9) === 0L)
+    assert(out(2L).getLong(2) === 9L)    // n_cyrillic ("привет мир")
+    assert(out(2L).getString(8) === "cyrillic")
+    assert(out(3L).getString(8) === "latin")
+    assert(out(3L).getLong(9) === 1L, "30% minority must flag")
+    assert(out(4L).getLong(9) === 1L, "exactly 10% minority flags (>=)")
+    assert(out(5L).isNullAt(8), "no script chars -> NULL majority")
+    assert(out(5L).getLong(9) === 0L)
+    assert(out(6L).getString(8) === "cyrillic",
+      "tie resolves alphabetically-first")
+    assert(out(6L).getLong(9) === 1L)
+  }
+
   test("kmvOverlapMatrix: exact small-sketch path, estimator sanity, NULL source, bucket invariance") {
     import spark.implicits._
     // A: integer tokens 0..600 → 599 distinct 3-shingles; B: 300..900 →

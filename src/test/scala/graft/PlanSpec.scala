@@ -482,6 +482,14 @@ class PlanSpec extends SparkTestBase {
       "the sketch-merge joins must broadcast the pair frame")
   }
 
+  test("q121 script mix: entirely map-only — no exchange anywhere in the plan") {
+    val p = plan("q121_script_mix")
+    assert(!p.contains("Exchange"),
+      "per-doc script audit must never shuffle")
+    assert(p.contains("*(1)"),
+      "regex counts + integer arithmetic should stay inside one codegen stage")
+  }
+
   test("driver contract: every query has an oracle and vice versa") {
     // a key typo would silently downgrade a query to the driver's weaker
     // rows-only check — the whole point of the oracle map is that it never
