@@ -739,6 +739,13 @@ object SparkEntry {
     "q118_dup_leakage" -> ((s, d) =>
       DedupOps.dupLeakageMatrix(t(s, d, "documents"))),
 
+    // tokenizer VOCAB-COVERAGE curve: per (source, candidate vocab size V)
+    // the fraction of token occurrences the global top-V vocabulary
+    // covers — the closed-vocab sizing audit and per-source OOV predictor
+    "q122_vocab_coverage" -> ((s, d) =>
+      TextOps.vocabCoverage(t(s, d, "documents"),
+        vocabSizes = Seq(16, 64, 256))),
+
     // Unicode SCRIPT-MIX audit: per-doc major-script character counts,
     // alphabetical-first majority, 10%-minority mixed flag — the
     // homoglyph/keyword-stuffing spam signal, entirely map-only
@@ -2162,6 +2169,41 @@ object SparkEntry {
          |  CAST(floor((1e6 * CAST(sum_dist AS DOUBLE))
          |    / CAST(n_vectors AS DOUBLE)) AS BIGINT) AS mean_dist_micro
          |FROM agg ORDER BY m""".stripMargin,
+
+    // global (freq desc, term asc) ranking replayed via a literal window
+    // (the engine's TakeOrderedAndProject realizes the same bounded top-V),
+    // per-source conditional sums, the identical ratio shape
+    "q122_vocab_coverage" -> {
+      val sizes = Seq(16, 64, 256)
+      val branches = sizes.map(v =>
+        s"""SELECT source, CAST($v AS BIGINT) AS vocab_size,
+           |    cov_$v AS covered_tokens, total_tokens FROM ps""".stripMargin)
+        .mkString("\n  UNION ALL ")
+      val covAggs = sizes.map(v =>
+        s"CAST(sum(CASE WHEN term_id < $v THEN n ELSE 0 END) AS BIGINT) AS cov_$v")
+        .mkString(",\n    ")
+      s"""WITH tok AS (SELECT source,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |cnt AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n
+         |  FROM tok GROUP BY 1, 2),
+         |gf AS (SELECT term, count(*) AS freq FROM tok GROUP BY 1),
+         |vc AS (SELECT term, rn - 1 AS term_id FROM (
+         |    SELECT term, row_number() OVER (ORDER BY freq DESC, term ASC) AS rn
+         |    FROM gf) WHERE rn <= ${sizes.max}),
+         |j AS (SELECT c.source, c.n, v.term_id
+         |  FROM cnt c LEFT JOIN vc v USING (term)),
+         |ps AS (SELECT source, CAST(sum(n) AS BIGINT) AS total_tokens,
+         |    $covAggs
+         |  FROM j GROUP BY 1),
+         |u AS ($branches)
+         |SELECT source, vocab_size, covered_tokens, total_tokens,
+         |  CAST(floor((1e6 * CAST(covered_tokens AS DOUBLE))
+         |    / CAST(total_tokens AS DOUBLE)) AS BIGINT) AS coverage_micro,
+         |  1000000 - CAST(floor((1e6 * CAST(covered_tokens AS DOUBLE))
+         |    / CAST(total_tokens AS DOUBLE)) AS BIGINT) AS oov_micro
+         |FROM u ORDER BY source NULLS LAST, vocab_size""".stripMargin
+    },
 
     // same Unicode script property, RE2 spelling; identical greatest/CASE
     // shapes (alphabetical-first tie, integer mixed-flag arithmetic)

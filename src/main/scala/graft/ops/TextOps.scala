@@ -325,6 +325,56 @@ object TextOps {
           .cast("int"))
   }
 
+  /** Tokenizer VOCAB-COVERAGE curve: for each source and each candidate
+    * vocabulary size V, the fraction of token OCCURRENCES covered by the
+    * corpus-global top-V vocabulary ([[buildVocab]]'s (freq desc, term asc)
+    * total order) — the how-big-must-the-vocab-be audit that sizes a
+    * tokenizer before committing a corpus to ids, and the per-source OOV
+    * rate that predicts which slices will fragment into fallback bytes
+    * (the fertility datasheet's X100 sibling on the closed-vocab side).
+    *
+    * Output per (source, vocab_size): (covered_tokens, total_tokens,
+    * coverage_micro, oov_micro) — the ratio one product-then-quotient
+    * double floored (quantize-before-compare), oov its exact integer
+    * complement; ordered (source NULLS LAST, vocab_size).
+    *
+    * Scale shape: ONE corpus-scale (source, term) count shuffle with
+    * map-side partials; the global ranking reuses [[buildVocab]]'s
+    * bounded TakeOrderedAndProject + parameter-sized window; the vocab
+    * joins BROADCAST (≤ max(V) rows) onto the per-source aggregate, and
+    * the V-axis explode runs on ≤ nSources rows. No corpus-wide window,
+    * no second corpus pass.
+    */
+  def vocabCoverage(documents: DataFrame,
+                    vocabSizes: Seq[Int] = Seq(16, 64, 256),
+                    textCol: String = "text",
+                    srcCol: String = "source"): DataFrame = {
+    require(vocabSizes.nonEmpty && vocabSizes.forall(_ > 0),
+      "need positive candidate vocab sizes")
+    val sizes = vocabSizes.distinct.sorted
+    val perSrcTerm = documents
+      .select(col(srcCol).as("source"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("n"))
+    val vocab = buildVocab(documents, sizes.max, textCol)
+    val joined = perSrcTerm.join(
+      broadcast(vocab.select(col("term"), col("term_id"))), Seq("term"), "left")
+    val aggs = sum(col("n")).as("total_tokens") +: sizes.map(v =>
+      sum(when(col("term_id") < v, col("n")).otherwise(0L)).as(s"cov_$v"))
+    val perSource = joined.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+    val vAxis = sizes.map(v => struct(
+      lit(v.toLong).as("vocab_size"), col(s"cov_$v").as("covered_tokens")))
+    perSource
+      .select(col("source"), col("total_tokens"),
+        explode(array(vAxis: _*)).as("c"))
+      .select(col("source"), col("c.vocab_size"), col("c.covered_tokens"),
+        col("total_tokens"))
+      .withColumn("coverage_micro",
+        floor((lit(1e6) * col("covered_tokens").cast("double"))
+          / col("total_tokens").cast("double")).cast("long"))
+      .withColumn("oov_micro", lit(1000000L) - col("coverage_micro"))
+      .orderBy(col("source").asc_nulls_last, col("vocab_size"))
+  }
+
   /** Token-id encoding of a corpus against a vocabulary: one row per token
     * position — (doc_id, pos, term, term_id), out-of-vocabulary terms → -1.
     * The exploded row form IS the distributed representation (arrays

@@ -1422,6 +1422,34 @@ class OpsSpec extends SparkTestBase {
       (Some("A"), Some("B"), 2L)))         // 3↔1, 3↔2
   }
 
+  test("vocabCoverage: exact hand-corpus coverage, monotone in V, OOV complement, NULL source") {
+    import spark.implicits._
+    // global freqs: a=7 b=3 then c,d,x,y,z singletons → top-4 = a,b,c,d
+    val docs = Seq(
+      (1L, "a a a a b b c d", "s1"),
+      (2L, "a a b x y z", "s2"),
+      (3L, "a", null: String)
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.vocabCoverage(docs, vocabSizes = Seq(1, 2, 4)).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out.size === 9)
+    assert(out((Some("s1"), 1L)) === ((4L, 8L, 500000L, 500000L)))
+    assert(out((Some("s1"), 2L)) === ((6L, 8L, 750000L, 250000L)))
+    assert(out((Some("s1"), 4L)) === ((8L, 8L, 1000000L, 0L)))
+    assert(out((Some("s2"), 1L)) === ((2L, 6L, 333333L, 666667L)))
+    assert(out((Some("s2"), 2L)) === ((3L, 6L, 500000L, 500000L)))
+    assert(out((Some("s2"), 4L)) === ((3L, 6L, 500000L, 500000L)),
+      "x/y/z rank past V=4 and stay OOV")
+    assert(out((None, 4L)) === ((1L, 1L, 1000000L, 0L)),
+      "NULL source is a real group")
+    // coverage must be monotone in V within every source
+    out.keys.map(_._1).toSeq.distinct.foreach { src =>
+      val cs = Seq(1L, 2L, 4L).map(v => out((src, v))._3)
+      assert(cs === cs.sorted, s"$src coverage not monotone: $cs")
+    }
+  }
+
   test("scriptMix: per-script counts, alphabetical-first majority, 10% mixed flag") {
     import spark.implicits._
     val docs = Seq(

@@ -482,6 +482,14 @@ class PlanSpec extends SparkTestBase {
       "the sketch-merge joins must broadcast the pair frame")
   }
 
+  test("q122 vocab coverage: bounded top-V ranking, vocab joins broadcast") {
+    val p = plan("q122_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      "global ranking must be per-partition heaps, never a full term sort")
+    assert(p.contains("BroadcastHashJoin"),
+      "the <= max(V)-row vocabulary must broadcast onto the per-source counts")
+  }
+
   test("q121 script mix: entirely map-only — no exchange anywhere in the plan") {
     val p = plan("q121_script_mix")
     assert(!p.contains("Exchange"),
