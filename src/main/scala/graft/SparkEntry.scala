@@ -739,6 +739,12 @@ object SparkEntry {
     "q118_dup_leakage" -> ((s, d) =>
       DedupOps.dupLeakageMatrix(t(s, d, "documents"))),
 
+    // BOILERPLATE-PREFIX audit: per source the top-3 most frequent 8-token
+    // document prefixes with doc share — the template-spam detector
+    "q123_boilerplate" -> ((s, d) =>
+      TextOps.boilerplatePrefixes(t(s, d, "documents"),
+        prefixK = 8, topM = 3)),
+
     // tokenizer VOCAB-COVERAGE curve: per (source, candidate vocab size V)
     // the fraction of token occurrences the global top-V vocabulary
     // covers — the closed-vocab sizing audit and per-source OOV predictor
@@ -2169,6 +2175,32 @@ object SparkEntry {
          |  CAST(floor((1e6 * CAST(sum_dist AS DOUBLE))
          |    / CAST(n_vectors AS DOUBLE)) AS BIGINT) AS mean_dist_micro
          |FROM agg ORDER BY m""".stripMargin,
+
+    // the (count desc, prefix asc) rank window replayed literally; the
+    // 8-token prefix via the same slice/join convention
+    "q123_boilerplate" ->
+      raw"""WITH b AS (SELECT source,
+         |    array_to_string(regexp_split_to_array(trim(text), '\s+')[1:8], ' ')
+         |      AS prefix
+         |  FROM documents),
+         |cnt AS (SELECT source, prefix, CAST(count(*) AS BIGINT) AS n_docs_prefix
+         |  FROM b GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs_source
+         |  FROM b GROUP BY 1),
+         |rk AS (SELECT source, prefix, n_docs_prefix,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY n_docs_prefix DESC, prefix ASC) AS rank
+         |  FROM cnt)
+         |SELECT r.source, CAST(r.rank AS INTEGER) AS rank, r.prefix,
+         |  r.n_docs_prefix, t.n_docs_source,
+         |  CAST(floor((1e6 * CAST(r.n_docs_prefix AS DOUBLE))
+         |    / CAST(t.n_docs_source AS DOUBLE)) AS BIGINT) AS share_micro,
+         |  CASE WHEN CAST(floor((1e6 * CAST(r.n_docs_prefix AS DOUBLE))
+         |      / CAST(t.n_docs_source AS DOUBLE)) AS BIGINT) >= 300000
+         |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS flagged
+         |FROM rk r JOIN tot t ON t.source IS NOT DISTINCT FROM r.source
+         |WHERE r.rank <= 3
+         |ORDER BY r.source NULLS LAST, r.rank""".stripMargin,
 
     // global (freq desc, term asc) ranking replayed via a literal window
     // (the engine's TakeOrderedAndProject realizes the same bounded top-V),

@@ -325,6 +325,52 @@ object TextOps {
           .cast("int"))
   }
 
+  /** BOILERPLATE-PREFIX audit (the template-spam / scraped-navigation
+    * detector): per source, the `topM` most frequent `prefixK`-token
+    * document prefixes with their document counts and share — a source
+    * whose docs overwhelmingly open with the same prefix (share ≥
+    * `flagShareMicro`) is serving templated pages (cookie banners, listing
+    * headers, mirror navigation), the slice a curation pass strips or
+    * down-samples before [[removeRepeatedSpans]] does per-doc surgery.
+    * [[graft.ops.DedupOps.boilerplateReport]] scores each DOC's
+    * shared-shingle fraction; this names the per-SOURCE templates.
+    * Docs shorter than `prefixK` tokens contribute their whole text.
+    *
+    * Output per (source, rank 1..topM): (prefix, n_docs_prefix,
+    * n_docs_source, share_micro, flagged), rank ordered by (count desc,
+    * prefix asc) — a total order, so the table is reproducible anywhere.
+    *
+    * Scale shape: ONE corpus-scale (source, prefix) count shuffle with
+    * map-side partials (the prefix is a bounded ≤ prefixK-token string,
+    * not the document); top-M per source via the rank window's group
+    * limit (per-partition heaps, WindowGroupLimit); the per-source doc
+    * totals (≤ nSources rows) join back broadcast.
+    */
+  def boilerplatePrefixes(documents: DataFrame, prefixK: Int = 8,
+                          topM: Int = 3, flagShareMicro: Long = 300000L,
+                          textCol: String = "text",
+                          srcCol: String = "source"): DataFrame = {
+    require(prefixK >= 1 && topM >= 1, "need a positive prefix length and M")
+    val base = documents.select(col(srcCol).as("source"),
+      array_join(slice(tokens(col(textCol)), 1, prefixK), " ").as("prefix"))
+    val counts = base.groupBy(col("source"), col("prefix"))
+      .agg(count(lit(1)).as("n_docs_prefix"))
+    val totals = base.groupBy(col("source")).agg(count(lit(1)).as("n_docs_source"))
+    RelationalOps.topKPerGroup(counts, Seq("source"),
+        Seq(col("n_docs_prefix").desc, col("prefix").asc), topM)
+      .join(broadcast(totals.select(col("source").as("t_source"),
+        col("n_docs_source"))), col("source") <=> col("t_source"))
+      .withColumn("share_micro",
+        floor((lit(1e6) * col("n_docs_prefix").cast("double"))
+          / col("n_docs_source").cast("double")).cast("long"))
+      .withColumn("flagged",
+        when(col("share_micro") >= flagShareMicro, 1L).otherwise(0L))
+      .select(col("source"), col("rn").as("rank"), col("prefix"),
+        col("n_docs_prefix"), col("n_docs_source"), col("share_micro"),
+        col("flagged"))
+      .orderBy(col("source").asc_nulls_last, col("rank"))
+  }
+
   /** Tokenizer VOCAB-COVERAGE curve: for each source and each candidate
     * vocabulary size V, the fraction of token OCCURRENCES covered by the
     * corpus-global top-V vocabulary ([[buildVocab]]'s (freq desc, term asc)

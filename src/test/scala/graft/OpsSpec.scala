@@ -1422,6 +1422,32 @@ class OpsSpec extends SparkTestBase {
       (Some("A"), Some("B"), 2L)))         // 3↔1, 3↔2
   }
 
+  test("boilerplatePrefixes: template source flagged, short docs whole-text, NULL source") {
+    import spark.implicits._
+    val tmpl = "welcome to our site click here to continue now"  // 9 tokens
+    val docs = Seq(
+      (1L, tmpl + " page one unique content", "A"),
+      (2L, tmpl + " page two other content", "A"),
+      (3L, tmpl + " page three more content", "A"),
+      (4L, "an organic document with its own opening line here", "A"),
+      (5L, "tiny doc", "B"),
+      (6L, "tiny doc", null: String)
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.boilerplatePrefixes(docs, prefixK = 8, topM = 2).collect()
+    val a = out.filter(r => r.getString(0) == "A")
+      .map(r => (r.getInt(1), r.getString(2), r.getLong(3), r.getLong(5), r.getLong(6)))
+    assert(a(0) === ((1, "welcome to our site click here to continue",
+      3L, 750000L, 1L)), "3/4 docs share the template prefix -> flagged")
+    assert(a(1)._3 === 1L && a(1)._5 === 0L, "organic prefix unflagged")
+    val b = out.filter(r => r.getString(0) == "B")
+    assert(b.length === 1 && b(0).getString(2) === "tiny doc",
+      "short doc prefixes to its whole text")
+    assert(b(0).getLong(5) === 1000000L && b(0).getLong(6) === 1L)
+    val nul = out.filter(_.isNullAt(0))
+    assert(nul.length === 1 && nul(0).getString(2) === "tiny doc",
+      "NULL source is its own group")
+  }
+
   test("vocabCoverage: exact hand-corpus coverage, monotone in V, OOV complement, NULL source") {
     import spark.implicits._
     // global freqs: a=7 b=3 then c,d,x,y,z singletons → top-4 = a,b,c,d
