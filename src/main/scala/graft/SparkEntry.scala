@@ -739,6 +739,20 @@ object SparkEntry {
     "q118_dup_leakage" -> ((s, d) =>
       DedupOps.dupLeakageMatrix(t(s, d, "documents"))),
 
+    // WINNOWING fingerprints (Schleimer 2003 / MOSS): per-window rightmost
+    // minimum gram hash, the 2/(w+1)-density local sample with the shared-
+    // run guarantee — corpus fingerprinting at a fraction of shingle cost
+    "q124_winnow" -> ((s, d) =>
+      DedupOps.winnowFingerprints(t(s, d, "documents"),
+        shingleK = 3, window = 4)),
+
+    // MOSS matching: doc pairs sharing >= 2 winnowing fingerprints after
+    // the hot-hash df cap — the plagiarism/mirror detector at
+    // fingerprint cost
+    "q125_winnow_pairs" -> ((s, d) =>
+      DedupOps.winnowOverlapPairs(t(s, d, "documents"),
+        shingleK = 3, window = 4, minShared = 2L)),
+
     // BOILERPLATE-PREFIX audit: per source the top-3 most frequent 8-token
     // document prefixes with doc share — the template-spam detector
     "q123_boilerplate" -> ((s, d) =>
@@ -2175,6 +2189,54 @@ object SparkEntry {
          |  CAST(floor((1e6 * CAST(sum_dist AS DOUBLE))
          |    / CAST(n_vectors AS DOUBLE)) AS BIGINT) AS mean_dist_micro
          |FROM agg ORDER BY m""".stripMargin,
+
+    // the packed-key winnowing selection replayed with the same integer
+    // pack (h·2^20 + (2^20−1−pos)) and the same CURRENT ROW .. w-1
+    // FOLLOWING frame; short docs keep their global minimum
+    "q124_winnow" -> {
+      val tokHash = s"${ops.DetHash.sqlMd5Hash60("t")} % ${ops.DetHash.P}"
+      s"""WITH g AS (SELECT doc_id AS id, ${ops.DetHash.sqlShingleHashes("th", 3)} AS gh
+         |  FROM (SELECT doc_id, list_transform($toksSql, t -> $tokHash) AS th
+         |        FROM documents)),
+         |gr AS (SELECT id, CAST(i - 1 AS BIGINT) AS pos, gh[i] AS h
+         |  FROM g, UNNEST(range(1, len(gh) + 1)) t(i)),
+         |ky AS (SELECT id, pos, h * 1048576 + (1048575 - pos) AS key FROM gr),
+         |wn AS (SELECT id, pos,
+         |    min(key) OVER (PARTITION BY id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wk,
+         |    count(*) OVER (PARTITION BY id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt,
+         |    count(*) OVER (PARTITION BY id) AS ng
+         |  FROM ky)
+         |SELECT DISTINCT id AS doc_id, wk // 1048576 AS h,
+         |  1048575 - (wk % 1048576) AS pos
+         |FROM wn WHERE cnt = 4 OR (pos = 0 AND ng < 4)""".stripMargin
+    },
+
+    // q124's selection CTEs + the df cap + the (a < b) fingerprint join
+    "q125_winnow_pairs" -> {
+      val tokHash = s"${ops.DetHash.sqlMd5Hash60("t")} % ${ops.DetHash.P}"
+      s"""WITH g AS (SELECT doc_id AS id, ${ops.DetHash.sqlShingleHashes("th", 3)} AS gh
+         |  FROM (SELECT doc_id, list_transform($toksSql, t -> $tokHash) AS th
+         |        FROM documents)),
+         |gr AS (SELECT id, CAST(i - 1 AS BIGINT) AS pos, gh[i] AS h
+         |  FROM g, UNNEST(range(1, len(gh) + 1)) t(i)),
+         |ky AS (SELECT id, pos, h * 1048576 + (1048575 - pos) AS key FROM gr),
+         |wn AS (SELECT id, pos,
+         |    min(key) OVER (PARTITION BY id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wk,
+         |    count(*) OVER (PARTITION BY id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt,
+         |    count(*) OVER (PARTITION BY id) AS ng
+         |  FROM ky),
+         |sel AS (SELECT DISTINCT id, wk // 1048576 AS h
+         |  FROM wn WHERE cnt = 4 OR (pos = 0 AND ng < 4)),
+         |cap AS (SELECT id, h FROM (SELECT id, h,
+         |    count(*) OVER (PARTITION BY h) AS dfc FROM sel) WHERE dfc <= 1000)
+         |SELECT l.id AS a, r.id AS b, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM cap l JOIN cap r ON l.h = r.h AND l.id < r.id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+    },
 
     // the (count desc, prefix asc) rank window replayed literally; the
     // 8-token prefix via the same slice/join convention

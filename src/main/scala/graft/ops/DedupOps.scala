@@ -1037,6 +1037,92 @@ object DedupOps {
       .orderBy(col("source_x").asc_nulls_first, col("source_y").asc_nulls_first)
   }
 
+  /** WINNOWING fingerprints (Schleimer et al. 2003, the MOSS algorithm):
+    * per document, the selected (pos, gram-hash) pairs — in every window
+    * of `window` consecutive `shingleK`-gram hashes the minimum is chosen
+    * (rightmost position on ties, the paper's rule), then selections
+    * dedupe. Guarantees: any shared run of `window + shingleK - 1` tokens
+    * between two documents yields at least one IDENTICAL fingerprint in
+    * both, at an expected density of only 2/(window+1) fingerprints per
+    * gram — the local-sampling property that makes corpus-scale
+    * plagiarism / mirror detection affordable where full shingle sets
+    * aren't. Documents with fewer than `window` grams keep their single
+    * global minimum; documents with no grams emit nothing.
+    *
+    * Determinism: selection runs on the packed integer key
+    * `h·2^20 + (2^20−1−pos)` — min(key) IS (min h, rightmost pos), one
+    * integer min the oracle replays with the same frame. Positions are
+    * document-bounded (< 2^20 grams — beyond any real document), so the
+    * pack never collides; h < 2^31 keeps the key under 2^51.
+    *
+    * Scale shape: gram hashing is the cached [[tokenHashes]] pass; the
+    * two window functions run in ONE per-document sort (same partition
+    * and order), so cost is one (id)-keyed exchange of integer triples;
+    * the dedup is a map-side-combinable aggregation. No pair work here —
+    * [[winnowOverlapPairs]] does candidate matching downstream.
+    */
+  def winnowFingerprints(df: DataFrame, shingleK: Int = 3, window: Int = 4,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         scope: CacheScope = CacheScope.default): DataFrame = {
+    require(window >= 1, "winnowing needs a positive window")
+    val windows = when(size(col("th")) >= shingleK,
+      sequence(lit(0), size(col("th")) - shingleK)).otherwise(array())
+    val horner = (1 until shingleK).foldLeft(element_at(col("th"), col("i") + 1)) {
+      (acc, j) =>
+        (acc * lit(DetHash.A) + element_at(col("th"), col("i") + j + 1)) % lit(DetHash.P)
+    }
+    val grams = tokenHashes(df, textCol, idCol, scope)
+      .select(col("id"), col("th"), explode(windows).as("i"))
+      .select(col("id"), col("i").cast("long").as("pos"), horner.as("h"))
+    val wFrame = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        window - 1)
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    grams
+      .withColumn("key",
+        col("h") * lit(1048576L) + (lit(1048575L) - col("pos")))
+      .withColumn("wk", min(col("key")).over(wFrame))
+      .withColumn("cnt", count(lit(1)).over(wFrame))
+      .withColumn("ng", count(lit(1)).over(wDoc))
+      .filter(col("cnt") === window ||
+        (col("pos") === 0 && col("ng") < window))
+      .select(col("id").as(idCol),
+        expr("wk div 1048576").as("h"),
+        (lit(1048575L) - expr("wk % 1048576")).as("pos"))
+      .distinct()
+  }
+
+  /** Fingerprint-overlap candidate pairs (MOSS's matching step): documents
+    * sharing at least `minShared` winnowing fingerprints, with the shared
+    * count — the plagiarism / mirror-site detector at fingerprint (not
+    * shingle-set) cost. By the winnowing guarantee every shared
+    * `window+shingleK-1`-token run contributes a shared fingerprint, so
+    * long verbatim overlaps can't hide; a fingerprint hash present in
+    * more than `maxDf` documents is dropped before pairing (universal
+    * boilerplate would otherwise quadratically dominate — same skew guard
+    * as the inverted-index Jaccard).
+    *
+    * Scale shape: ONE (h)-keyed exchange of the fingerprint table (a
+    * 2/(window+1) sample of gram rows), the df cap as a broadcast-free
+    * window count on the same key, pair aggregation on (a, b) int keys.
+    */
+  def winnowOverlapPairs(df: DataFrame, shingleK: Int = 3, window: Int = 4,
+                         minShared: Long = 2L, maxDf: Int = 1000,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         scope: CacheScope = CacheScope.default): DataFrame = {
+    val fp = winnowFingerprints(df, shingleK, window, textCol, idCol, scope)
+      .select(col(idCol).as("id"), col("h")).distinct()
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val capped = fp.withColumn("dfc", count(lit(1)).over(wH))
+      .filter(col("dfc") <= maxDf).drop("dfc")
+    capped.select(col("h"), col("id").as("a"))
+      .join(capped.select(col("h"), col("id").as("b")), Seq("h"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** KMV (k-minimum-values, Beyer et al. 2007) SKETCH-cost corpus-pair
     * overlap: estimated distinct-shingle counts per source and estimated
     * intersection / Jaccard for every unordered source pair — the

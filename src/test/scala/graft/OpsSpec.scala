@@ -1422,6 +1422,59 @@ class OpsSpec extends SparkTestBase {
       (Some("A"), Some("B"), 2L)))         // 3↔1, 3↔2
   }
 
+  test("winnowFingerprints: equals brute-force reference, short-doc global min, gramless absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (0 until 40).map(i => s"w${(i * 7) % 11}").mkString(" ")),
+      (2L, "only three tokens"),      // exactly 1 gram (< window)
+      (3L, "two toks"),               // no grams
+      (4L, (0 until 12).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    // window=1 selects every gram — the engine itself supplies the gram
+    // ground truth the reference winnows
+    val grams = DedupOps.winnowFingerprints(docs, shingleK = 3, window = 1)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.map(r => (r.getLong(2), r.getLong(1))).sortBy(_._1) }
+    def ref(hs: Seq[(Long, Long)], w: Int): Set[(Long, Long)] = {
+      if (hs.isEmpty) Set.empty
+      else if (hs.length < w)
+        Set(hs.minBy { case (p, h) => (h, -p) }.swap)
+      else (0 to hs.length - w).map { i =>
+        val (p, h) = hs.slice(i, i + w).minBy { case (p, h) => (h, -p) }
+        (h, p)
+      }.toSet
+    }
+    val out = DedupOps.winnowFingerprints(docs, shingleK = 3, window = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.map(r => (r.getLong(1), r.getLong(2))).toSet }
+    assert(out.keySet === Set(1L, 2L, 4L), "gramless doc emits nothing")
+    Seq(1L, 2L, 4L).foreach { id =>
+      assert(out(id) === ref(grams(id).toSeq, 4), s"doc $id")
+    }
+    // density: well below the all-grams count, at least the 2/(w+1) order
+    assert(out(1L).size < grams(1L).length &&
+      out(1L).size >= grams(1L).length / 5)
+  }
+
+  test("winnowOverlapPairs: duplicates pair, unrelated don't, hot fingerprints capped") {
+    import spark.implicits._
+    val t1 = "the quick brown fox jumps over the lazy dog again today"
+    val docs = Seq((1L, t1), (2L, t1),
+      (3L, "completely different words in this other document here now"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.winnowOverlapPairs(docs, shingleK = 3, window = 4,
+      minShared = 1L).collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet === Set((1L, 2L)), "only the duplicate pair matches")
+    assert(out((1L, 2L)) >= 2L, "identical docs share every fingerprint")
+    // four copies + maxDf=3: every shared hash is in 4 docs -> all capped
+    val many = Seq((1L, t1), (2L, t1), (4L, t1), (5L, t1)).toDF("doc_id", "text")
+    val capped = DedupOps.winnowOverlapPairs(many, shingleK = 3, window = 4,
+      minShared = 1L, maxDf = 3).collect()
+    assert(capped.isEmpty, "hot fingerprints past the df cap never pair")
+  }
+
   test("boilerplatePrefixes: template source flagged, short docs whole-text, NULL source") {
     import spark.implicits._
     val tmpl = "welcome to our site click here to continue now"  // 9 tokens
