@@ -102,7 +102,17 @@ object ScaleProbe {
       "appendToBandedIndex_batch" -> (() => DedupOps.appendToBandedIndex(
         Tables(spark, sfDir, "documents")
           .withColumn("doc_id", col("doc_id") + lit(factor * 1000001L)),
-        "probe_banded_idx", scope = scope))
+        "probe_banded_idx", scope = scope)),
+      // sketch cost is nSources·k-bounded past the distinct shuffle — the
+      // replication should be visible only in the map-side hash pass
+      "kmvOverlapMatrix" -> (() => run(DedupOps.kmvOverlapMatrix(docs))),
+      // replication turns every doc into a factor-clique of identical
+      // fingerprint sets — worst case for the pair join's fan-out
+      "winnowFingerprints" -> (() => run(DedupOps.winnowFingerprints(docs, scope = scope))),
+      "winnowOverlapPairs" -> (() => run(DedupOps.winnowOverlapPairs(docs, scope = scope))),
+      "vocabCoverage" -> (() => run(graft.ops.TextOps.vocabCoverage(docs))),
+      "boilerplatePrefixes" -> (() => run(graft.ops.TextOps.boilerplatePrefixes(docs))),
+      "scriptMix" -> (() => run(graft.ops.TextOps.scriptMix(docs)))
     ).filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, f) =>
         val t0 = System.nanoTime()

@@ -475,6 +475,36 @@ class StreamingSpec extends SparkTestBase {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("ingest gate stack: piiRedact → scriptMix → mixed filter runs map-only on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.TextOps
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    // the SAME composition a batch curation pass runs: redact, audit the
+    // script mix of the REDACTED text, drop mixed-script spam — three
+    // map-only stages, one lineage, no watermark or state anywhere
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      TextOps.scriptMix(TextOps.piiRedact(df))
+        .filter(col("mixed_script") === 0L)
+    val q = gate(docs).writeStream.format("memory").queryName("gate_out")
+      .outputMode("append").start()
+    try {
+      val rows = Seq(
+        (1L, "contact bob@example.com for the clean latin document"),
+        (2L, "hello мир hello мир spam spam"),     // mixed script → dropped
+        (3L, "обычный русский текст без примесей"))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("gate_out").collect()
+      assert(got.map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L),
+        "mixed-script doc gated out, clean docs of any script pass")
+      import spark.implicits._
+      val batch = gate(rows.toDF("doc_id", "text")).collect()
+      assert(got.map(_.toSeq).toSet === batch.map(_.toSeq).toSet,
+        "stream gate output must bit-equal the batch composition")
+    } finally { q.stop() }
+  }
+
   test("frozen DSIR model gates a document stream: target-like pass, off-target drop") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.TextOps
