@@ -739,6 +739,12 @@ object SparkEntry {
     "q118_dup_leakage" -> ((s, d) =>
       DedupOps.dupLeakageMatrix(t(s, d, "documents"))),
 
+    // EXACT per-source token-length deciles from a (source, length) value
+    // histogram — order statistics without a global sort; truncation
+    // cliffs and padding spikes survive where a sketch smears them
+    "q126_length_deciles" -> ((s, d) =>
+      TextOps.lengthDeciles(t(s, d, "documents"))),
+
     // WINNOWING fingerprints (Schleimer 2003 / MOSS): per-window rightmost
     // minimum gram hash, the 2/(w+1)-density local sample with the shared-
     // run guarantee — corpus fingerprinting at a fraction of shingle cost
@@ -2189,6 +2195,30 @@ object SparkEntry {
          |  CAST(floor((1e6 * CAST(sum_dist AS DOUBLE))
          |    / CAST(n_vectors AS DOUBLE)) AS BIGINT) AS mean_dist_micro
          |FROM agg ORDER BY m""".stripMargin,
+
+    // the value-histogram cumulative window + the identical integer
+    // ceiling; percentile_disc semantics spelled out so the engines can't
+    // diverge on interpolation
+    "q126_length_deciles" ->
+      raw"""WITH h AS (SELECT source,
+         |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM documents GROUP BY 1, 2),
+         |cm AS (SELECT source, n, c,
+         |    sum(c) OVER (PARTITION BY source ORDER BY n
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM h),
+         |tt AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs
+         |  FROM h GROUP BY 1),
+         |ex AS (SELECT cm.source, cm.n, cm.cum, tt.n_docs,
+         |    CAST(d.decile AS BIGINT) AS decile
+         |  FROM cm JOIN tt ON tt.source IS NOT DISTINCT FROM cm.source
+         |  CROSS JOIN (SELECT unnest(range(1, 10)) AS decile) d)
+         |SELECT source, decile, max(n_docs) AS n_docs,
+         |  min(CASE WHEN cum >= (decile * n_docs + 9) // 10 THEN n END)
+         |    AS decile_value
+         |FROM ex GROUP BY 1, 2
+         |ORDER BY source NULLS LAST, decile""".stripMargin,
 
     // the packed-key winnowing selection replayed with the same integer
     // pack (h·2^20 + (2^20−1−pos)) and the same CURRENT ROW .. w-1

@@ -325,6 +325,49 @@ object TextOps {
           .cast("int"))
   }
 
+  /** EXACT per-source token-length DECILES without a global sort — the
+    * length half of the corpus datasheet (q95 counts; this shapes): for
+    * each source and decile d, the `percentile_disc` value (smallest
+    * length whose cumulative doc count reaches ceil(d·n/10)) of the
+    * per-doc token count. Exact order statistics, not approximations —
+    * truncation cliffs and padding spikes show up as collapsed deciles
+    * that an approximate sketch smears away.
+    *
+    * Scale shape: docs reduce to a (source, length) VALUE HISTOGRAM in
+    * one count shuffle (map-side partials); the cumulative window then
+    * runs over DISTINCT LENGTH VALUES per source — bounded by the longest
+    * document, not the corpus (the q94 never-a-corpus-window lemma, value-
+    * histogram variant); per-source totals broadcast back; the decile
+    * explode runs on histogram-sized rows. All arithmetic integer
+    * (`(d·n + 9) div 10` ceilings — no doubles anywhere).
+    */
+  def lengthDeciles(documents: DataFrame,
+                    deciles: Seq[Int] = (1 to 9),
+                    textCol: String = "text",
+                    srcCol: String = "source"): DataFrame = {
+    require(deciles.nonEmpty && deciles.forall(d => d >= 1 && d <= 10),
+      "deciles must fall in 1..10")
+    val hist = documents
+      .select(col(srcCol).as("source"), size(tokens(col(textCol))).cast("long").as("n"))
+      .groupBy(col("source"), col("n")).agg(count(lit(1)).as("c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val totals = hist.groupBy(col("source")).agg(sum(col("c")).as("n_docs"))
+      .select(col("source").as("t_source"), col("n_docs"))
+    val dAxis = array(deciles.distinct.sorted.map(d => lit(d.toLong)): _*)
+    hist.withColumn("cum", sum(col("c")).over(wCum))
+      .join(broadcast(totals), col("source") <=> col("t_source"))
+      .select(col("source"), col("n"), col("cum"), col("n_docs"),
+        explode(dAxis).as("decile"))
+      .withColumn("target", expr("(decile * n_docs + 9) div 10"))
+      .groupBy(col("source"), col("decile"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        min(when(col("cum") >= col("target"), col("n"))).as("decile_value"))
+      .orderBy(col("source").asc_nulls_last, col("decile"))
+  }
+
   /** BOILERPLATE-PREFIX audit (the template-spam / scraped-navigation
     * detector): per source, the `topM` most frequent `prefixK`-token
     * document prefixes with their document counts and share — a source

@@ -1422,6 +1422,32 @@ class OpsSpec extends SparkTestBase {
       (Some("A"), Some("B"), 2L)))         // 3↔1, 3↔2
   }
 
+  test("lengthDeciles: exact percentile_disc on hand histograms, NULL source") {
+    import spark.implicits._
+    def doc(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    val rows =
+      (1 to 10).map(n => (n.toLong, doc(n), "A")) ++
+        Seq((21L, doc(2), "B"), (22L, doc(2), "B"),
+          (23L, doc(7), "B"), (24L, doc(9), "B"),
+          (30L, doc(5), null: String))
+    val out = TextOps.lengthDeciles(rows.toDF("doc_id", "text", "source"))
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size === 27)
+    // A: 10 docs of lengths 1..10 -> decile d IS the d-th smallest
+    (1 to 9).foreach(d =>
+      assert(out((Some("A"), d.toLong)) === ((10L, d.toLong)), s"A d$d"))
+    // B: histogram {2:2, 7:1, 9:1} -> disc values by integer ceiling
+    val bExpect = Map(1 -> 2L, 2 -> 2L, 3 -> 2L, 4 -> 2L, 5 -> 2L,
+      6 -> 7L, 7 -> 7L, 8 -> 9L, 9 -> 9L)
+    bExpect.foreach { case (d, v) =>
+      assert(out((Some("B"), d.toLong)) === ((4L, v)), s"B d$d") }
+    // single-doc NULL source: every decile is that doc's length
+    (1 to 9).foreach(d =>
+      assert(out((None, d.toLong)) === ((1L, 5L)), s"null d$d"))
+  }
+
   test("winnowFingerprints: equals brute-force reference, short-doc global min, gramless absent") {
     import spark.implicits._
     val docs = Seq(
