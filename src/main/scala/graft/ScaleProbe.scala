@@ -112,7 +112,8 @@ object ScaleProbe {
       "winnowOverlapPairs" -> (() => run(DedupOps.winnowOverlapPairs(docs, scope = scope))),
       "vocabCoverage" -> (() => run(graft.ops.TextOps.vocabCoverage(docs))),
       "boilerplatePrefixes" -> (() => run(graft.ops.TextOps.boilerplatePrefixes(docs))),
-      "scriptMix" -> (() => run(graft.ops.TextOps.scriptMix(docs)))
+      "scriptMix" -> (() => run(graft.ops.TextOps.scriptMix(docs))),
+      "lengthDeciles" -> (() => run(graft.ops.TextOps.lengthDeciles(docs)))
     ).filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, f) =>
         val t0 = System.nanoTime()
