@@ -739,6 +739,14 @@ object SparkEntry {
     "q118_dup_leakage" -> ((s, d) =>
       DedupOps.dupLeakageMatrix(t(s, d, "documents"))),
 
+    // SemDeDup (Abbas 2023): cluster-blocked semantic dedup — lattice-
+    // KMeans cells route, within-cell exact cosine + keep-farthest-from-
+    // centroid (integer L2 key) decide; the survivor set is a total-order
+    // fact the oracle replays end to end
+    "q127_semdedup" -> ((s, d) =>
+      SimilarityOps.semDedup(t(s, d, "embeddings"), nCells = 8,
+        minCos = 0.4)),
+
     // EXACT per-source token-length deciles from a (source, length) value
     // histogram — order statistics without a global sort; truncation
     // cliffs and padding spikes survive where a sketch smears them
@@ -2195,6 +2203,32 @@ object SparkEntry {
          |  CAST(floor((1e6 * CAST(sum_dist AS DOUBLE))
          |    / CAST(n_vectors AS DOUBLE)) AS BIGINT) AS mean_dist_micro
          |FROM agg ORDER BY m""".stripMargin,
+
+    // the ENTIRE SemDeDup lifecycle replayed: the shared lattice coarse
+    // chain (seeding, 2 Lloyd rounds, assignment), per-vector integer L2
+    // to the own centroid, the q25 cosine shape for within-cell edges,
+    // the farthest-from-centroid keeper rule as an EXISTS
+    "q127_semdedup" -> {
+      val l2own = "CAST(list_sum(list_transform(range(1, 65), d -> " +
+        "(q.qv[d] - c.c[d]) * (q.qv[d] - c.c[d]))) AS BIGINT)"
+      s"""WITH $pqBaseCtes,
+         |$coarseOracleCtes,
+         |l2c AS (SELECT a.vec_id, a.cell, $l2own AS l2_centroid
+         |  FROM cassign a JOIN qv q ON q.vec_id = a.vec_id
+         |  JOIN ccb2 c ON c.cell = a.cell),
+         |vict AS (SELECT x.vec_id AS a
+         |  FROM l2c x JOIN l2c y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = x.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = y.vec_id
+         |  WHERE ${sqlCos("ea", "eb")} >= 0.4
+         |    AND (y.l2_centroid > x.l2_centroid
+         |      OR (y.l2_centroid = x.l2_centroid AND y.vec_id < x.vec_id))
+         |  GROUP BY 1)
+         |SELECT l.vec_id, CAST(l.cell AS BIGINT) AS cell, l.l2_centroid,
+         |  CASE WHEN v.a IS NULL THEN CAST(1 AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS kept
+         |FROM l2c l LEFT JOIN vict v ON v.a = l.vec_id""".stripMargin
+    },
 
     // the value-histogram cumulative window + the identical integer
     // ceiling; percentile_disc semantics spelled out so the engines can't

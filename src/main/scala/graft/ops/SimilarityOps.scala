@@ -829,6 +829,65 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn").as("rank"))
   }
 
+  /** SemDeDup (Abbas et al. 2023) — cluster-blocked SEMANTIC dedup over
+    * embeddings: vectors route to deterministic integer-lattice KMeans
+    * cells ([[pqTrainCodebook]] with one subspace — the X111 coarse
+    * quantizer, so training and assignment are exact integers the oracle
+    * replays), and near-duplicate comparisons happen ONLY within a cell.
+    * A vector is dropped when some same-cell neighbor exceeds `minCos`
+    * exact cosine and outranks it under the paper's keeper rule — keep
+    * the member FARTHEST from its centroid (lowest centroid similarity =
+    * most informative); the rank key is the exact integer L2 to the own
+    * cell centroid with an id tiebreak, so the survivor set is a total-
+    * order fact, not a traversal artifact. Output per vector: (idCol,
+    * cell, l2_centroid, kept 0/1).
+    *
+    * [[srpNearDupPairs]] buckets by random hyperplanes (recall traded per
+    * band); SemDeDup's cells are the trained data partition itself — the
+    * form that scales by RAISING nCells (cells ~ √corpus keeps cell
+    * populations, and thus the within-cell quadratic term, flat).
+    *
+    * Scale shape: training/assignment are the PQ lifecycle's shapes
+    * (model-sized collects, map-only routing vs broadcast literals); the
+    * only corpus-scale exchange is the (cell) self-join, quadratic ONLY
+    * within cells by construction. The exists-better-neighbor semi-join
+    * collapses to a distinct victim set before the output join.
+    */
+  def semDedup(df: DataFrame, nCells: Int = 8, minCos: Double = 0.95,
+               iters: Int = 2, idCol: String = "vec_id",
+               vecCol: String = "embedding",
+               scope: CacheScope = CacheScope.default): DataFrame = {
+    val (scale, cb) = pqTrainCodebook(df, 1, nCells, iters, idCol, vecCol, scope)
+    val qvE = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(scale)).cast("int"))
+    // the assignment minimum IS the distance to the own centroid (the q119
+    // lemma): one distance array against the codebook literals gives cell
+    // (first-minimum position — lowest cell on ties, pqCode's rule) AND
+    // the keeper key, with no per-cell CASE re-deriving the assignment
+    val base = scope.register(
+      df.select(col(idCol).as("id"), col(vecCol).as("v"), qvE.as("qvv"))
+        .withColumn("ds", array(cb(0).indices.map(c =>
+          pqDist(col("qvv"), cb(0)(c), 0).cast("long")): _*))
+        .select(col("id"), col("v"),
+          (array_position(col("ds"), array_min(col("ds"))).cast("int") - 1)
+            .as("cell"),
+          array_min(col("ds")).as("l2c")))
+    val lhs = base.select(col("cell"), col("id").as("a"),
+      col("v").as("va"), col("l2c").as("la"))
+    val rhs = base.select(col("cell"), col("id").as("b"),
+      col("v").as("vb"), col("l2c").as("lb"))
+    val victims = lhs.join(rhs, Seq("cell"))
+      .filter(col("a") =!= col("b"))
+      .filter(cosineF(col("va"), col("vb")) >= lit(minCos))
+      .filter((col("lb") > col("la")) ||
+        (col("lb") === col("la") && col("b") < col("a")))
+      .select(col("a").as("id")).distinct()
+    base.join(victims.withColumn("victim", lit(1L)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cell").cast("long").as("cell"),
+        col("l2c").as("l2_centroid"),
+        when(col("victim").isNull, 1L).otherwise(0L).as("kept"))
+  }
+
   // ---- Product Quantization (PQ) — FAISS-style compressed ANN ----
 
   /** PQ codebook training on the INTEGER lattice: vectors quantize to a

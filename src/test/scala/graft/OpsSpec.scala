@@ -1422,6 +1422,35 @@ class OpsSpec extends SparkTestBase {
       (Some("A"), Some("B"), 2L)))         // 3↔1, 3↔2
   }
 
+  test("semDedup: exact-copy groups keep one, distant vectors all kept, partition-invariant") {
+    import spark.implicits._
+    // two far-apart directions; ids 1/2/3 are exact copies (cos = 1), ids
+    // 10/11 exact copies of the other direction, 20 isolated in between
+    def v(dir: Int, mag: Float): Array[Float] = {
+      val a = Array.fill(8)(0.0f); a(dir) = mag; a
+    }
+    val rows = Seq(
+      (1L, v(0, 1.0f)), (2L, v(0, 1.0f)), (3L, v(0, 1.0f)),
+      (10L, v(1, 2.0f)), (11L, v(1, 2.0f)),
+      (20L, v(2, 1.5f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = SimilarityOps.semDedup(emb, nCells = 2, minCos = 0.95)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(out.size === 6)
+    // exact copies share a cell and an L2 key -> the id tiebreak keeps the
+    // minimum id of each copy group
+    assert(out(1L)._2 === 1L && out(2L)._2 === 0L && out(3L)._2 === 0L)
+    assert(out(10L)._2 === 1L && out(11L)._2 === 0L)
+    assert(out(20L)._2 === 1L, "orthogonal vector is nobody's duplicate")
+    // copies must agree on their cell
+    assert(out(1L)._1 === out(2L)._1 && out(2L)._1 === out(3L)._1)
+    // the survivor set is a total-order fact: partitioning can't change it
+    val out16 = SimilarityOps.semDedup(emb.repartition(16), nCells = 2,
+      minCos = 0.95).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(out16 === out)
+  }
+
   test("lengthDeciles: exact percentile_disc on hand histograms, NULL source") {
     import spark.implicits._
     def doc(n: Int) = (1 to n).map(_ => "w").mkString(" ")

@@ -490,6 +490,12 @@ class PlanSpec extends SparkTestBase {
       "the <= max(V)-row vocabulary must broadcast onto the per-source counts")
   }
 
+  test("q127 semdedup: cell-blocked pairing, no cartesian anywhere") {
+    val p = plan("q127_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      "pairing must go through the cell equi-join, never all-pairs")
+  }
+
   test("q121 script mix: entirely map-only — no exchange anywhere in the plan") {
     val p = plan("q121_script_mix")
     assert(!p.contains("Exchange"),
