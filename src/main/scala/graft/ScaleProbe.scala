@@ -113,7 +113,11 @@ object ScaleProbe {
       "vocabCoverage" -> (() => run(graft.ops.TextOps.vocabCoverage(docs))),
       "boilerplatePrefixes" -> (() => run(graft.ops.TextOps.boilerplatePrefixes(docs))),
       "scriptMix" -> (() => run(graft.ops.TextOps.scriptMix(docs))),
-      "lengthDeciles" -> (() => run(graft.ops.TextOps.lengthDeciles(docs)))
+      "lengthDeciles" -> (() => run(graft.ops.TextOps.lengthDeciles(docs))),
+      // replication multiplies cell populations 10×: the honest worst case
+      // for the within-cell quadratic term (scale path = raise nCells)
+      "semDedup" -> (() => run(SimilarityOps.semDedup(emb, nCells = 8,
+        minCos = 0.4, scope = scope)))
     ).filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, f) =>
         val t0 = System.nanoTime()
