@@ -739,6 +739,12 @@ object SparkEntry {
     "q118_dup_leakage" -> ((s, d) =>
       DedupOps.dupLeakageMatrix(t(s, d, "documents"))),
 
+    // dedup YIELD waterfall: docs/tokens surviving raw → exact → near-dup
+    // keep-best, one row per stage — the cleaning-cost headline the
+    // mixture planner consumes instead of raw counts
+    "q128_dedup_yield" -> ((s, d) =>
+      DedupOps.dedupYieldWaterfall(t(s, d, "documents"))),
+
     // SemDeDup (Abbas 2023): cluster-blocked semantic dedup — lattice-
     // KMeans cells route, within-cell exact cosine + keep-farthest-from-
     // centroid (integer L2 key) decide; the survivor set is a total-order
@@ -2203,6 +2209,47 @@ object SparkEntry {
          |  CAST(floor((1e6 * CAST(sum_dist AS DOUBLE))
          |    / CAST(n_vectors AS DOUBLE)) AS BIGINT) AS mean_dist_micro
          |FROM agg ORDER BY m""".stripMargin,
+
+    // exact tier as a digest rank window, then q93's whole recursive-CC +
+    // quality machinery replayed OVER THE SURVIVORS, one aggregate row
+    // per stage
+    "q128_dedup_yield" -> {
+      s"""WITH RECURSIVE b AS (SELECT doc_id, text,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n
+         |  FROM documents),
+         |ex AS (SELECT doc_id, text, n FROM (
+         |    SELECT doc_id, text, n, row_number() OVER (
+         |      PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM b)
+         |  WHERE rn = 1),
+         |${hashedShinglesCteFrom("ex")},
+         |inv AS (SELECT id, sz, unnest(hs) AS tok FROM sized),
+         |pr AS (SELECT l.id AS a, r.id AS b
+         |  FROM inv l JOIN inv r ON l.tok = r.tok AND l.id < r.id
+         |  GROUP BY l.id, r.id, l.sz, r.sz
+         |  HAVING CAST(count(*) AS DOUBLE) / (l.sz + r.sz - count(*)) >= 0.8),
+         |e AS (SELECT a AS x, b AS y FROM pr UNION ALL SELECT b, a FROM pr),
+         |reach AS (
+         |  SELECT doc_id AS x, doc_id AS comp FROM ex
+         |  UNION
+         |  SELECT e.x, r.comp FROM e JOIN reach r ON r.x = e.y),
+         |cc AS (SELECT x, min(comp) AS comp FROM reach GROUP BY x),
+         |q AS (SELECT doc_id, $qualitySqlExpr AS quality FROM ex),
+         |j AS (SELECT cc.x AS doc_id, cc.comp, q.quality
+         |  FROM cc JOIN q ON q.doc_id = cc.x),
+         |r AS (SELECT doc_id, comp,
+         |    row_number() OVER (PARTITION BY comp
+         |      ORDER BY quality DESC, doc_id ASC) AS rn FROM j),
+         |kt AS (SELECT ex.doc_id, ex.n FROM ex
+         |  JOIN (SELECT doc_id FROM r WHERE rn = 1) k ON k.doc_id = ex.doc_id)
+         |SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS label,
+         |    CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+         |  FROM b
+         |UNION ALL SELECT CAST(1 AS BIGINT), 'exact',
+         |    CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT) FROM ex
+         |UNION ALL SELECT CAST(2 AS BIGINT), 'neardup_keepbest',
+         |    CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT) FROM kt
+         |ORDER BY stage""".stripMargin
+    },
 
     // the ENTIRE SemDeDup lifecycle replayed: the shared lattice coarse
     // chain (seeding, 2 Lloyd rounds, assignment), per-vector integer L2

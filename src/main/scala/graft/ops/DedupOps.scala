@@ -776,6 +776,46 @@ object DedupOps {
       .select(col(idCol).as("keep_id"), col("n_docs"), col("quality"))
   }
 
+  /** Dedup YIELD waterfall — the what-does-cleaning-cost-in-tokens
+    * headline a training-budget owner asks for: document and token counts
+    * surviving each dedup tier, composed from the tiers themselves:
+    * stage 0 the raw corpus, stage 1 exact dedup (minimum id per content
+    * digest survives), stage 2 near-dup keep-best over the stage-1
+    * survivors ([[keepBestDedupSummary]] — one highest-quality member per
+    * verified-Jaccard cluster). Output (stage, label, n_docs, n_tokens),
+    * one row per stage — the numbers that decide whether a source is
+    * worth its storage before any mixture planning (X115 takes stage-2
+    * token counts, not raw ones).
+    *
+    * Scale shape: one cached (id, digest, token-count) projection feeds
+    * stage 0/1 (the exact tier is ONE 16-byte-digest shuffle with the
+    * survivor's token count carried through a struct-min — no join back);
+    * stage 2 inherits the banded pipeline's shapes on the smaller
+    * survivor corpus; each stage emits ONE aggregate row.
+    */
+  def dedupYieldWaterfall(df: DataFrame, minJaccard: Double = 0.8,
+                          textCol: String = "text", idCol: String = "doc_id",
+                          scope: CacheScope = CacheScope.default): DataFrame = {
+    val base = scope.register(df.select(col(idCol).as("id"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n"),
+      md5(col(textCol)).as("dg")))
+    val exact = base.groupBy(col("dg"))
+      .agg(min(struct(col("id"), col("n"))).as("k"))
+      .select(col("k.id").as("id"), col("k.n").as("n"))
+    val surv = df.join(exact.select(col("id").as(idCol)), Seq(idCol), "left_semi")
+    val kept = keepBestDedupSummary(surv, textCol, idCol, minJaccard, scope)
+      .select(col("keep_id").as("id"))
+      .join(base.select(col("id"), col("n")), Seq("id"))
+    def stageRow(stage: Long, label: String, d: DataFrame) =
+      d.agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+        .select(lit(stage).as("stage"), lit(label).as("label"),
+          col("n_docs"), col("n_tokens"))
+    stageRow(0L, "raw", base)
+      .unionByName(stageRow(1L, "exact", exact))
+      .unionByName(stageRow(2L, "neardup_keepbest", kept))
+      .orderBy(col("stage"))
+  }
+
   /** Benchmark-decontamination report: for each `corpus` document, how much
     * of its content appears anywhere in `benchmark` — (doc_id, n_shingles,
     * n_seen, contamination) where contamination = the fraction of the

@@ -1422,6 +1422,25 @@ class OpsSpec extends SparkTestBase {
       (Some("A"), Some("B"), 2L)))         // 3↔1, 3↔2
   }
 
+  test("dedupYieldWaterfall: exact then near-dup tiers shrink docs/tokens by hand-checkable amounts") {
+    import spark.implicits._
+    val T = (0 until 12).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, T), (2L, T),                       // exact pair → one survives
+      (3L, T + " zzz"),                       // near-dup of 1 (J = 10/11)
+      (4L, "an unrelated eight token doc sits right here"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.dedupYieldWaterfall(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(0L) === (("raw", 4L, 12L + 12L + 13L + 8L)))
+    assert(out(1L) === (("exact", 3L, 12L + 13L + 8L)))
+    val (lbl, nd, nt) = out(2L)
+    assert(lbl === "neardup_keepbest" && nd === 2L,
+      "the {1,3} cluster keeps one member, doc 4 is a singleton")
+    assert(nt === 20L || nt === 21L, s"kept tokens $nt must be 8 + (12|13)")
+  }
+
   test("semDedup: exact-copy groups keep one, distant vectors all kept, partition-invariant") {
     import spark.implicits._
     // two far-apart directions; ids 1/2/3 are exact copies (cos = 1), ids
