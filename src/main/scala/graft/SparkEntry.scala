@@ -745,6 +745,12 @@ object SparkEntry {
     "q128_dedup_yield" -> ((s, d) =>
       DedupOps.dedupYieldWaterfall(t(s, d, "documents"))),
 
+    // the GOPHER rule battery (Rae 2021 App. A): each published filter
+    // rule as its own 0/1 flag plus the conjunction — which rule a slice
+    // fails, not just that it fails; entirely map-only
+    "q129_gopher_rules" -> ((s, d) =>
+      TextOps.gopherRules(t(s, d, "documents"))),
+
     // SemDeDup (Abbas 2023): cluster-blocked semantic dedup — lattice-
     // KMeans cells route, within-cell exact cosine + keep-farthest-from-
     // centroid (integer L2 key) decide; the survivor set is a total-order
@@ -2213,6 +2219,43 @@ object SparkEntry {
     // exact tier as a digest rank window, then q93's whole recursive-CC +
     // quality machinery replayed OVER THE SURVIVORS, one aggregate row
     // per stage
+    // every Gopher rule replayed: the same micro-quantized ratios
+    // (quantize-before-compare), the same RE2-subset regexes, the same
+    // distinct-stopword count — flags are integer facts on both engines
+    "q129_gopher_rules" ->
+      raw"""WITH b AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+         |s AS (SELECT doc_id,
+         |    CAST(len(tk) AS BIGINT) AS n_words,
+         |    CAST(floor(1e6 * CAST(list_sum(list_transform(tk, t -> len(t)))
+         |      AS DOUBLE) / CAST(len(tk) AS DOUBLE)) AS BIGINT) AS mean_len_micro,
+         |    CAST(floor(1e6 * CAST(len(list_filter(tk,
+         |      t -> regexp_matches(t, '#|\.\.\.'))) AS DOUBLE)
+         |      / CAST(len(tk) AS DOUBLE)) AS BIGINT) AS symbol_ratio_micro,
+         |    CAST(floor(1e6 * CAST(len(list_filter(tk,
+         |      t -> regexp_matches(t, '\p{L}'))) AS DOUBLE)
+         |      / CAST(len(tk) AS DOUBLE)) AS BIGINT) AS alpha_frac_micro,
+         |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+         |      w -> list_contains(tk, w))) AS BIGINT) AS n_stop_hits
+         |  FROM b),
+         |f AS (SELECT *,
+         |    CASE WHEN n_words >= 30 AND n_words <= 100000
+         |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS r_wordcount,
+         |    CASE WHEN mean_len_micro >= 3000000 AND mean_len_micro <= 10000000
+         |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS r_meanlen,
+         |    CASE WHEN symbol_ratio_micro <= 100000
+         |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS r_symbol,
+         |    CASE WHEN alpha_frac_micro >= 800000
+         |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS r_alpha,
+         |    CASE WHEN n_stop_hits >= 1
+         |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS r_stop
+         |  FROM s)
+         |SELECT doc_id, n_words, mean_len_micro, symbol_ratio_micro,
+         |  alpha_frac_micro, n_stop_hits, r_wordcount, r_meanlen, r_symbol,
+         |  r_alpha, r_stop,
+         |  r_wordcount * r_meanlen * r_symbol * r_alpha * r_stop AS pass
+         |FROM f ORDER BY doc_id""".stripMargin,
+
     "q128_dedup_yield" -> {
       s"""WITH RECURSIVE b AS (SELECT doc_id, text,
          |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n

@@ -1469,6 +1469,70 @@ object TextOps {
         max(col("__pre") + col("n_doc_tokens")).as("end_tok"))
       .orderBy(col("shard_id"))
 
+  /** The Gopher rule battery's stopword list (Rae et al. 2021, App. A):
+    * a document should contain at least `minStopHits` distinct words from
+    * this set. ONE definition consumed by the Spark query, the SQL oracle
+    * and the tests.
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** GOPHER quality-rule battery (Rae et al. 2021, Appendix A): the
+    * published per-document filter rules as individual 0/1 flags plus the
+    * combined pass — word count within [minWords, maxWords], mean word
+    * length within [3, 10] characters, symbol-to-word ratio (`#`/`...`
+    * tokens) at most 10%, at least 80% of words containing an alphabetic
+    * character, and at least `minStopHits` distinct [[gopherStopwords]].
+    * Returning every rule separately (not just the conjunction) is the
+    * point: a corpus datasheet wants to know WHICH rule a slice fails,
+    * and thresholds get re-tuned per corpus. The line-based rules
+    * (bullet-start / ellipsis-end line ratios) need multi-line documents
+    * and are out of scope for the single-line synthetic corpus.
+    *
+    * Every ratio quantizes to micro (floor of one product-then-quotient
+    * double) BEFORE its integer comparison — quantize-before-compare, so
+    * the flags are bit-identical cross-engine. Defaults adapt the
+    * published 50-word floor to 30 for short-document corpora; the
+    * thresholds are the published ones otherwise.
+    *
+    * Scale shape: ENTIRELY map-only — the token array materializes once
+    * per row (HOFs don't CSE — the [[withQualityScore]] bind), five array
+    * scans and integer arithmetic derive every flag, no shuffle, no state.
+    * With [[piiRedact]] and [[scriptMix]] this is among the cheapest
+    * 100 TB passes in the pipeline.
+    */
+  def gopherRules(documents: DataFrame, minWords: Long = 30L,
+                  maxWords: Long = 100000L, minStopHits: Long = 1L,
+                  textCol: String = "text"): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords, "need 1 <= minWords <= maxWords")
+    val keep = col("doc_id")
+    val base = documents.select(keep, tokens(col(textCol)).as("__toks"))
+    val tk = col("__toks")
+    val micro = (num: Column, den: Column) =>
+      floor(lit(1e6) * num.cast("double") / den.cast("double")).cast("long")
+    val stats = base.select(keep,
+      size(tk).cast("long").as("n_words"),
+      micro(totalTokenLen(tk), size(tk)).as("mean_len_micro"),
+      micro(size(filter(tk, t => t.rlike("#|\\.\\.\\."))), size(tk))
+        .as("symbol_ratio_micro"),
+      micro(size(filter(tk, t => t.rlike("\\p{L}"))), size(tk))
+        .as("alpha_frac_micro"),
+      size(filter(typedlit(gopherStopwords), w => array_contains(tk, w)))
+        .cast("long").as("n_stop_hits"))
+    val flag = (c: Column) => when(c, 1L).otherwise(0L)
+    stats
+      .withColumn("r_wordcount",
+        flag(col("n_words") >= minWords && col("n_words") <= maxWords))
+      .withColumn("r_meanlen", flag(col("mean_len_micro") >= 3000000L &&
+        col("mean_len_micro") <= 10000000L))
+      .withColumn("r_symbol", flag(col("symbol_ratio_micro") <= 100000L))
+      .withColumn("r_alpha", flag(col("alpha_frac_micro") >= 800000L))
+      .withColumn("r_stop", flag(col("n_stop_hits") >= minStopHits))
+      .withColumn("pass", col("r_wordcount") * col("r_meanlen") *
+        col("r_symbol") * col("r_alpha") * col("r_stop"))
+      .orderBy(col("doc_id"))
+  }
+
   /** TRAINING-RUN shards — the round-trip of the whole sampling tier in
     * one operator: [[temperatureAssignments]] decides how many copies of
     * each document the run reads (complete epochs + the greedy partial

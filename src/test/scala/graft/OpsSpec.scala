@@ -1631,6 +1631,35 @@ class OpsSpec extends SparkTestBase {
     assert(out(6L).getLong(9) === 1L)
   }
 
+  test("gopherRules: every rule flags independently on hand fixtures") {
+    import spark.implicits._
+    val good = Seq.fill(4)("the quick brown fox jumps over lazy dogs").mkString(" ")
+    val docs = Seq(
+      (1L, good),                                        // passes every rule
+      (2L, "the cat sat on mat"),                        // short + low mean len
+      (3L, good + " " + Seq.fill(8)("#").mkString(" ")), // symbol-heavy
+      (4L, Seq.fill(32)("7").mkString(" ")),             // numeric: alpha/stop/meanlen fail
+      (5L, Seq.fill(8)("alpha beta gamma delta").mkString(" "))) // no stopword
+      .toDF("doc_id", "text")
+    val out = TextOps.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long) = (6 to 11).map(out(id).getLong)
+    assert(out(1L).getLong(1) === 32L)
+    assert(out(1L).getLong(2) === 4125000L, "mean word length micro")
+    assert(out(1L).getLong(5) === 1L, "'the' is the only Gopher stopword hit")
+    assert(flags(1L) === Seq(1L, 1L, 1L, 1L, 1L, 1L))
+    assert(flags(2L) === Seq(0L, 0L, 1L, 1L, 1L, 0L),
+      "5 words at mean 2.8 chars fail count+meanlen only")
+    assert(out(3L).getLong(3) === 200000L, "8 symbol tokens of 40")
+    assert(out(3L).getLong(4) === 800000L)
+    assert(flags(3L) === Seq(1L, 1L, 0L, 1L, 1L, 0L),
+      "20% symbols fail; exactly 80% alphabetic still passes (>=)")
+    assert(flags(4L) === Seq(1L, 0L, 1L, 0L, 0L, 0L),
+      "digit runs fail meanlen, alpha and stopwords")
+    assert(flags(5L) === Seq(1L, 1L, 1L, 1L, 0L, 0L),
+      "clean prose without a Gopher stopword fails only r_stop")
+  }
+
   test("kmvOverlapMatrix: exact small-sketch path, estimator sanity, NULL source, bucket invariance") {
     import spark.implicits._
     // A: integer tokens 0..600 → 599 distinct 3-shingles; B: 300..900 →
