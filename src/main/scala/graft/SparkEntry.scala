@@ -751,6 +751,14 @@ object SparkEntry {
     "q129_gopher_rules" -> ((s, d) =>
       TextOps.gopherRules(t(s, d, "documents"))),
 
+    // per-SOURCE embedding DIVERSITY: exact mean pairwise dot per source
+    // via the sum identity ||Σv||² − Σ||v||² on the shared int8 lattice —
+    // semantic-collapse detection with NO pair enumeration, one (source)
+    // aggregation over the whole store
+    "q130_source_diversity" -> ((s, d) =>
+      SimilarityOps.sourceDiversity(t(s, d, "embeddings"),
+        t(s, d, "documents"))),
+
     // SemDeDup (Abbas 2023): cluster-blocked semantic dedup — lattice-
     // KMeans cells route, within-cell exact cosine + keep-farthest-from-
     // centroid (integer L2 key) decide; the survivor set is a total-order
@@ -2219,6 +2227,41 @@ object SparkEntry {
     // exact tier as a digest rank window, then q93's whole recursive-CC +
     // quality machinery replayed OVER THE SURVIVORS, one aggregate row
     // per stage
+    // the sum identity replayed on the shared int8 grid: per-dim BIGINT
+    // sums, squared in ascending-dim order as doubles (each square an
+    // exact integer), the same one-quotient micro shapes; single-vector
+    // sources yield NULL pair/diversity on both engines
+    "q130_source_diversity" ->
+      s"""WITH mxq AS (SELECT max(list_max(list_transform(embedding,
+         |    x -> abs(CAST(x AS DOUBLE))))) AS mx FROM embeddings),
+         |scl AS (SELECT CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale
+         |  FROM mxq),
+         |qv AS (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * scale) AS BIGINT)) AS qv
+         |  FROM embeddings, scl),
+         |j AS (SELECT d.source, q.qv,
+         |    list_sum(list_transform(q.qv, x -> x * x)) AS sd
+         |  FROM qv q LEFT JOIN documents d ON d.doc_id = q.vec_id),
+         |ds AS (SELECT source, t.d AS d, CAST(sum(qv[t.d]) AS BIGINT) AS s
+         |  FROM j, UNNEST(range(1, 65)) t(d) GROUP BY 1, 2),
+         |s2 AS (SELECT source, list_sum(list_transform(
+         |    list(CAST(s AS DOUBLE) ORDER BY d), x -> x * x)) AS s2
+         |  FROM ds GROUP BY 1),
+         |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_vecs,
+         |    CAST(sum(sd) AS BIGINT) AS sum_self_dot FROM j GROUP BY 1),
+         |fin AS (SELECT per.source, per.n_vecs, per.sum_self_dot,
+         |    CASE WHEN per.n_vecs > 1 THEN CAST(floor(1e6
+         |      * (s2.s2 - CAST(per.sum_self_dot AS DOUBLE))
+         |      / CAST(per.n_vecs * (per.n_vecs - 1) AS DOUBLE)) AS BIGINT)
+         |    END AS mean_pair_dot_micro,
+         |    CAST(floor(1e6 * CAST(per.sum_self_dot AS DOUBLE)
+         |      / CAST(per.n_vecs AS DOUBLE)) AS BIGINT) AS mean_self_dot_micro
+         |  FROM per JOIN s2 ON s2.source IS NOT DISTINCT FROM per.source)
+         |SELECT source, n_vecs, sum_self_dot, mean_pair_dot_micro,
+         |  mean_self_dot_micro,
+         |  mean_self_dot_micro - mean_pair_dot_micro AS diversity_micro
+         |FROM fin ORDER BY source NULLS LAST""".stripMargin,
+
     // every Gopher rule replayed: the same micro-quantized ratios
     // (quantize-before-compare), the same RE2-subset regexes, the same
     // distinct-stopword count — flags are integer facts on both engines

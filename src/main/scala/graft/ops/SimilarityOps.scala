@@ -1522,4 +1522,61 @@ object SimilarityOps {
       .select(col("query_id"), col("vec_id"), col("adc_dist"),
         col("rn").cast("int").as("rank"))
   }
+
+  /** Per-SOURCE embedding DIVERSITY audit: the EXACT mean pairwise dot
+    * product of each source's vectors WITHOUT enumerating a single pair,
+    * via the sum identity  Σ_{i≠j} vᵢ·vⱼ = ‖Σᵢvᵢ‖² − Σᵢ‖vᵢ‖²  on the
+    * corpus-wide int8 lattice (the PQ grid, so every per-dim sum and every
+    * self-dot is an exact integer). A source whose mean pair dot
+    * approaches its mean self dot is serving near-identical embeddings
+    * (template pages, mirrored content — the semantic collapse SemDeDup
+    * prunes); a diverse source's pair dot sits near zero. Output per
+    * source: (n_vecs, sum_self_dot, mean_pair_dot_micro,
+    * mean_self_dot_micro, diversity_micro = self − pair), single-vector
+    * sources report NULL pair/diversity (no pairs exist).
+    *
+    * Determinism: per-dim sums and self-dot sums are exact BIGINTs;
+    * ‖S‖² sums the 64 squared dim-sums in ascending-dim order as doubles —
+    * each square is an exact integer < 2^53 at any plausible per-source
+    * scale (|s_d| ≤ n·127; exactness holds to n ≈ 7·10^5 per source —
+    * beyond that the squares round but identically on both engines),
+    * so the final micro ratios are one-product-one-quotient double shapes.
+    *
+    * Scale shape: ONE map pass quantizes (the cheapest possible audit on
+    * a 100 TB embedding store), ONE (source) aggregation with full
+    * map-side partials carrying 64 longs + 2 counters per group — no
+    * pair join, no window, no collect; the source attachment is an
+    * id-keyed join on a 2-column projection.
+    */
+  def sourceDiversity(embeddings: DataFrame, documents: DataFrame,
+                      dim: Int = 64, idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      docIdCol: String = "doc_id",
+                      srcCol: String = "source"): DataFrame = {
+    val mx = embeddings.agg(max(array_max(transform(col(vecCol),
+      x => abs(x.cast("double")))))).head.getDouble(0)
+    val scale = if (mx > 0) 127.0 / mx else 0.0
+    val qv = embeddings.select(col(idCol).as("id"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * lit(scale)).cast("long")).as("qv"))
+    val src = documents.select(col(docIdCol).as("id"), col(srcCol).as("source"))
+    val j = qv.join(src, Seq("id"), "left")
+    val aggs = count(lit(1)).as("n_vecs") +:
+      sum(aggregate(col("qv"), lit(0L), (a, x) => a + x * x)).as("sum_self_dot") +:
+      (1 to dim).map(d => sum(element_at(col("qv"), d)).as(s"s$d"))
+    val per = j.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+    val s2 = (1 to dim).map(d =>
+      col(s"s$d").cast("double") * col(s"s$d").cast("double")).reduce(_ + _)
+    per
+      .select(col("source"), col("n_vecs"), col("sum_self_dot"),
+        when(col("n_vecs") > 1,
+          floor(lit(1e6) * (s2 - col("sum_self_dot").cast("double"))
+            / (col("n_vecs") * (col("n_vecs") - 1)).cast("double"))
+            .cast("long")).as("mean_pair_dot_micro"),
+        floor(lit(1e6) * col("sum_self_dot").cast("double")
+          / col("n_vecs").cast("double")).cast("long").as("mean_self_dot_micro"))
+      .withColumn("diversity_micro",
+        col("mean_self_dot_micro") - col("mean_pair_dot_micro"))
+      .orderBy(col("source").asc_nulls_last)
+  }
 }

@@ -1660,6 +1660,35 @@ class OpsSpec extends SparkTestBase {
       "clean prose without a Gopher stopword fails only r_stop")
   }
 
+  test("sourceDiversity: sum identity equals hand-counted pair dots, NULL source, single-vector NULLs") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(1f, 0f, 0f, 0f)), // A: twins
+      (3L, Array(1f, 0f, 0f, 0f)), (4L, Array(0f, 1f, 0f, 0f)), // B: orthogonal
+      (5L, Array(1f, 0f, 0f, 0f)),                              // C: singleton
+      (6L, Array(1f, 0f, 0f, 0f))                               // no doc row
+    ).toDF("vec_id", "embedding")
+    val docs = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"), (5L, "C"))
+      .toDF("doc_id", "source")
+    val out = SimilarityOps.sourceDiversity(e, docs, dim = 4).collect()
+      .map(r => Option(r.getString(0)) -> r).toMap
+    // scale = 127/1 → unit components quantize to exactly 127
+    val self = 127L * 127L * 1000000L
+    val a = out(Some("A"))
+    assert(a.getLong(1) === 2L && a.getLong(2) === 2 * 127 * 127)
+    assert(a.getLong(3) === self, "identical twins: pair dot == self dot")
+    assert(a.getLong(5) === 0L, "zero diversity for a collapsed source")
+    val b = out(Some("B"))
+    assert(b.getLong(3) === 0L, "orthogonal vectors: zero mean pair dot")
+    assert(b.getLong(5) === self)
+    val c = out(Some("C"))
+    assert(c.isNullAt(3) && c.isNullAt(5), "no pairs in a singleton source")
+    assert(c.getLong(4) === self)
+    val n = out(None)
+    assert(n.getLong(1) === 1L && n.isNullAt(3),
+      "vectors without a document row form the NULL-source group")
+  }
+
   test("kmvOverlapMatrix: exact small-sketch path, estimator sanity, NULL source, bucket invariance") {
     import spark.implicits._
     // A: integer tokens 0..600 → 599 distinct 3-shingles; B: 300..900 →
