@@ -751,6 +751,13 @@ object SparkEntry {
     "q129_gopher_rules" -> ((s, d) =>
       TextOps.gopherRules(t(s, d, "documents"))),
 
+    // CCNet perplexity TERCILES (Wenzek 2020): per source, head/middle/
+    // tail thirds by bigram-LM average log-prob — cuts from a centi-nat
+    // VALUE histogram (score-range-bounded window, never a per-source
+    // sort of all docs)
+    "q131_perplexity_buckets" -> ((s, d) =>
+      TextOps.perplexityBuckets(t(s, d, "documents"))),
+
     // per-SOURCE embedding DIVERSITY: exact mean pairwise dot per source
     // via the sum identity ||Σv||² − Σ||v||² on the shared int8 lattice —
     // semantic-collapse detection with NO pair enumeration, one (source)
@@ -2227,6 +2234,62 @@ object SparkEntry {
     // exact tier as a digest rank window, then q93's whole recursive-CC +
     // quality machinery replayed OVER THE SURVIVORS, one aggregate row
     // per stage
+    // q100's LM CTEs + the same centi-nat quantization, the same value-
+    // histogram cumulative window, the same ceil targets and value-
+    // threshold bucketing — the whole tercile assignment is an integer
+    // fact both engines replay
+    "q131_perplexity_buckets" -> {
+      val tokHash = s"${ops.DetHash.sqlMd5Hash60("t")} % ${ops.DetHash.P}"
+      s"""WITH tok AS (SELECT doc_id,
+         |    list_transform($toksSql, t -> $tokHash) AS hs FROM documents),
+         |bg AS (SELECT doc_id, hs[t.i] AS h1,
+         |    (hs[t.i] * ${ops.DetHash.A} + hs[t.i + 1]) % ${ops.DetHash.P} AS hb
+         |  FROM tok, UNNEST(range(1, len(hs))) AS t(i)),
+         |uni AS (SELECT h AS h1, CAST(count(*) AS BIGINT) AS uc
+         |  FROM (SELECT unnest(hs) AS h FROM tok) GROUP BY 1),
+         |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+         |bc AS (SELECT h1, hb, CAST(count(*) AS BIGINT) AS bc
+         |  FROM bg GROUP BY 1, 2),
+         |model AS (SELECT bc.h1, bc.hb,
+         |    CAST(floor(ln(CAST(bc.bc + 1 AS DOUBLE)
+         |      / CAST(uni.uc + vv.v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lp
+         |  FROM bc JOIN uni ON uni.h1 = bc.h1, vv),
+         |dbc AS (SELECT doc_id, h1, hb, CAST(count(*) AS BIGINT) AS n
+         |  FROM bg GROUP BY 1, 2, 3),
+         |sc AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS nb,
+         |    CAST(sum(n * lp) AS BIGINT) AS s
+         |  FROM dbc JOIN model USING (h1, hb) GROUP BY 1),
+         |base AS (SELECT d.doc_id, d.source, sc.nb AS n_bigrams,
+         |    CAST(floor(CAST(sc.s AS DOUBLE)
+         |      / (CAST(sc.nb AS DOUBLE) * 10000.0)) AS BIGINT) AS score_centi
+         |  FROM documents d JOIN sc ON sc.doc_id = d.doc_id WHERE sc.nb > 0),
+         |h AS (SELECT source, score_centi, CAST(count(*) AS BIGINT) AS c
+         |  FROM base GROUP BY 1, 2),
+         |cm AS (SELECT source, score_centi, c,
+         |    sum(c) OVER (PARTITION BY source ORDER BY score_centi
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM h),
+         |tt AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs
+         |  FROM h GROUP BY 1),
+         |ct AS (SELECT cm.source, t.tercile,
+         |    min(CASE WHEN cm.cum >= (t.tercile * tt.n_docs + 2) // 3
+         |      THEN cm.score_centi END) AS cut
+         |  FROM cm JOIN tt ON tt.source IS NOT DISTINCT FROM cm.source
+         |  CROSS JOIN (SELECT unnest([1, 2]) AS tercile) t
+         |  GROUP BY 1, 2),
+         |cw AS (SELECT source,
+         |    max(CASE WHEN tercile = 1 THEN cut END) AS cut1,
+         |    max(CASE WHEN tercile = 2 THEN cut END) AS cut2
+         |  FROM ct GROUP BY 1)
+         |SELECT b.doc_id, b.source, b.n_bigrams, b.score_centi,
+         |  CASE WHEN b.score_centi <= cw.cut1 THEN 'tail'
+         |    WHEN b.score_centi <= cw.cut2 THEN 'middle'
+         |    ELSE 'head' END AS bucket,
+         |  cw.cut1 AS cut1_centi, cw.cut2 AS cut2_centi
+         |FROM base b JOIN cw ON cw.source IS NOT DISTINCT FROM b.source
+         |ORDER BY b.doc_id""".stripMargin
+    },
+
     // the sum identity replayed on the shared int8 grid: per-dim BIGINT
     // sums, squared in ascending-dim order as doubles (each square an
     // exact integer), the same one-quotient micro shapes; single-vector

@@ -626,6 +626,66 @@ object TextOps {
         coalesce(col("lp_micro"), lit(0L)).as("lp_micro"))
   }
 
+  /** CCNet PERPLEXITY TERCILES (Wenzek et al. 2020 §4.3): per source,
+    * documents partitioned into head / middle / tail thirds by their
+    * [[bigramLmScore]] average log-probability — the published recipe
+    * keeps "head" (lowest perplexity) for training and drops or
+    * down-weights "tail". Per-doc score = floor(lp_micro / (n_bigrams ·
+    * 10⁴)) — average log-prob quantized to CENTI-nats in one
+    * product-then-quotient double shape; the coarser grid is the point:
+    * tercile cut values come from a (source, score) VALUE histogram whose
+    * cumulative window is bounded by the SCORE RANGE (a few thousand
+    * distinct centi-nat values), not by corpus size — the q126
+    * value-histogram lemma, so no per-source sort of all documents ever
+    * happens. Cut_t = min score with cum ≥ ceil(t·n/3); bucket by value
+    * threshold (tail ≤ cut1 < middle ≤ cut2 < head), ties landing the
+    * same side on any engine. Documents with zero bigrams (single-token)
+    * are excluded — they have no perplexity.
+    *
+    * Output per doc: (doc_id, source, n_bigrams, score_centi, bucket,
+    * cut1_centi, cut2_centi), ordered by doc_id.
+    *
+    * Scale shape: the LM inherits q100's distributed shapes; the
+    * histogram shuffle is map-side combinable to ≤ nSources·|score range|
+    * rows; totals and cuts (≤ nSources·2 rows) broadcast back onto the
+    * scored frame.
+    */
+  def perplexityBuckets(documents: DataFrame, textCol: String = "text",
+                        srcCol: String = "source",
+                        idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramLmScore(documents, textCol, idCol)
+    val src = documents.select(col(idCol).as("__sid"), col(srcCol).as("source"))
+    val base = scored.filter(col("n_bigrams") > 0)
+      .withColumn("score_centi",
+        floor(col("lp_micro").cast("double")
+          / (col("n_bigrams").cast("double") * lit(10000.0))).cast("long"))
+      .join(src, col(idCol) === col("__sid")).drop("__sid")
+    val hist = base.groupBy(col("source"), col("score_centi"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("score_centi"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = hist.groupBy(col("source")).agg(sum(col("c")).as("n_docs"))
+      .select(col("source").as("t_source"), col("n_docs"))
+    val cuts = hist.withColumn("cum", sum(col("c")).over(wCum))
+      .join(broadcast(totals), col("source") <=> col("t_source"))
+      .select(col("source"), col("score_centi"), col("cum"), col("n_docs"),
+        explode(array(lit(1L), lit(2L))).as("tercile"))
+      .withColumn("target", expr("(tercile * n_docs + 2) div 3"))
+      .groupBy(col("source"), col("tercile"))
+      .agg(min(when(col("cum") >= col("target"), col("score_centi"))).as("cut"))
+    val cw = cuts.groupBy(col("source").as("c_source")).agg(
+      max(when(col("tercile") === 1, col("cut"))).as("cut1_centi"),
+      max(when(col("tercile") === 2, col("cut"))).as("cut2_centi"))
+    base.join(broadcast(cw), col("source") <=> col("c_source"), "left")
+      .select(col(idCol), col("source"), col("n_bigrams"), col("score_centi"),
+        when(col("score_centi") <= col("cut1_centi"), lit("tail"))
+          .when(col("score_centi") <= col("cut2_centi"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"),
+        col("cut1_centi"), col("cut2_centi"))
+      .orderBy(col(idCol))
+  }
+
   /** Seeded IMPORTANCE RESAMPLING over a scored frame — the selection step
     * DSIR runs after [[dsirWeights]]: Gumbel-top-k (Vieira 2014) draws k
     * documents without replacement with probability ∝ exp(score/τ), by

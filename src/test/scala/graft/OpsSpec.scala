@@ -1660,6 +1660,29 @@ class OpsSpec extends SparkTestBase {
       "clean prose without a Gopher stopword fails only r_stop")
   }
 
+  test("perplexityBuckets: per-source thirds by LM score, zero-bigram excluded, NULL source") {
+    import spark.implicits._
+    // three structural groups with strictly ordered avg log-prob:
+    // all-unique tokens (rarest bigrams) < alternating pairs < a single
+    // repeated token (count-9 bigram)
+    val low = (0 until 3).map(i => (10 * i until 10 * i + 10).map(j => s"u$j").mkString(" "))
+    val mid = (0 until 3).map(i => Seq.fill(5)(s"x$i y$i").mkString(" "))
+    val high = (0 until 3).map(i => Seq.fill(10)(s"r$i").mkString(" "))
+    val rows = (low ++ mid ++ high).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "s1") } ++
+      Seq((100L, "z", "s1"), (101L, "n1 n2 n1 n2", null: String))
+    val out = TextOps.perplexityBuckets(rows.toDF("doc_id", "text", "source")).collect()
+    assert(out.length === 10, "the single-token doc has no bigrams and drops")
+    val bucket = out.map(r => r.getLong(0) -> r.getString(4)).toMap
+    (0L to 2L).foreach(i => assert(bucket(i) === "tail", s"unique-token doc $i"))
+    (3L to 5L).foreach(i => assert(bucket(i) === "middle", s"alternating doc $i"))
+    (6L to 8L).foreach(i => assert(bucket(i) === "head",
+      "repeated-token docs carry the highest avg log-prob"))
+    assert(bucket(101L) === "tail",
+      "singleton NULL-source group: its own value is both cuts")
+    out.foreach(r => assert(r.getLong(5) <= r.getLong(6), "cut1 <= cut2"))
+  }
+
   test("sourceDiversity: sum identity equals hand-counted pair dots, NULL source, single-vector NULLs") {
     import spark.implicits._
     val e = Seq(
