@@ -751,6 +751,13 @@ object SparkEntry {
     "q129_gopher_rules" -> ((s, d) =>
       TextOps.gopherRules(t(s, d, "documents"))),
 
+    // CLUSTER-BALANCED budget sampling (DataComp-style): equal per-cell
+    // quotas over the lattice-KMeans partition, quality-ranked within
+    // each cell — topical coverage a quality-only top-k would collapse
+    "q132_cluster_sample" -> ((s, d) =>
+      SimilarityOps.clusterBalancedSample(t(s, d, "embeddings"),
+        t(s, d, "documents"), budget = 200L, nCells = 8)),
+
     // CCNet perplexity TERCILES (Wenzek 2020): per source, head/middle/
     // tail thirds by bigram-LM average log-prob — cuts from a centi-nat
     // VALUE histogram (score-range-bounded window, never a per-source
@@ -2234,6 +2241,21 @@ object SparkEntry {
     // exact tier as a digest rank window, then q93's whole recursive-CC +
     // quality machinery replayed OVER THE SURVIVORS, one aggregate row
     // per stage
+    // the shared lattice coarse chain (seeding, 2 Lloyd rounds,
+    // assignment) + the quality expression + the per-cell rank window —
+    // every kept row is a total-order fact both engines derive
+    "q132_cluster_sample" ->
+      s"""WITH $pqBaseCtes,
+         |$coarseOracleCtes,
+         |q AS (SELECT doc_id, $qualitySqlExpr AS quality FROM documents),
+         |r AS (SELECT a.vec_id AS doc_id, a.cell, q.quality,
+         |    row_number() OVER (PARTITION BY a.cell
+         |      ORDER BY q.quality DESC, a.vec_id) AS rank
+         |  FROM cassign a JOIN q ON q.doc_id = a.vec_id)
+         |SELECT doc_id, CAST(cell AS BIGINT) AS cell, quality,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 25 ORDER BY cell, rank""".stripMargin,
+
     // q100's LM CTEs + the same centi-nat quantization, the same value-
     // histogram cumulative window, the same ceil targets and value-
     // threshold bucketing — the whole tercile assignment is an integer

@@ -888,6 +888,54 @@ object SimilarityOps {
         when(col("victim").isNull, 1L).otherwise(0L).as("kept"))
   }
 
+  /** CLUSTER-BALANCED budget sampling (the DataComp-style cluster-pruning
+    * recipe): route every embedding to its deterministic integer-lattice
+    * KMeans cell (the [[semDedup]] router — [[pqTrainCodebook]] with one
+    * subspace, so training and assignment are exact integers the oracle
+    * replays), rank each cell's documents by quality (desc, id asc — a
+    * total order), and keep the top ceil(budget/nCells) per cell. Equal
+    * per-cell quotas are the point: a quality-only top-`budget` drains
+    * the sample from whichever embedding region scores best and collapses
+    * topical coverage; the cell quota forces the sample to span the
+    * corpus's own semantic partition. Output: the kept rows (doc_id,
+    * cell, quality, rank), rank 1-based within cell.
+    *
+    * Scale shape: training/assignment inherit the PQ lifecycle's shapes
+    * (model-sized collects, map-only routing vs broadcast codebook
+    * literals); quality attaches with one id-keyed join of two narrow
+    * projections; the per-cell ranking is a cell-partitioned
+    * row_number whose `rank <= quota` filter pushes into per-partition
+    * heaps (WindowGroupLimit) — with nCells ~ √corpus, per-cell work
+    * stays flat as the corpus grows.
+    */
+  def clusterBalancedSample(embeddings: DataFrame, documents: DataFrame,
+                            budget: Long, nCells: Int = 8, iters: Int = 2,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            docIdCol: String = "doc_id",
+                            scope: CacheScope = CacheScope.default): DataFrame = {
+    require(budget >= 1 && nCells >= 1, "need a positive budget and cell count")
+    val (scale, cb) = pqTrainCodebook(embeddings, 1, nCells, iters, idCol,
+      vecCol, scope)
+    val qvE = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(scale)).cast("int"))
+    val routed = embeddings
+      .select(col(idCol).as("id"), qvE.as("qvv"))
+      .withColumn("ds", array(cb(0).indices.map(c =>
+        pqDist(col("qvv"), cb(0)(c), 0).cast("long")): _*))
+      .select(col("id"),
+        (array_position(col("ds"), array_min(col("ds"))).cast("int") - 1)
+          .as("cell"))
+    val q = TextOps.withQualityScore(documents)
+      .select(col(docIdCol).as("id"), col("quality"))
+    val perCell = (budget + nCells - 1) / nCells
+    RelationalOps.topKPerGroup(routed.join(q, Seq("id")), Seq("cell"),
+        Seq(col("quality").desc, col("id").asc), perCell.toInt)
+      .select(col("id").as(docIdCol), col("cell").cast("long").as("cell"),
+        col("quality"), col("rn").cast("long").as("rank"))
+      .orderBy(col("cell"), col("rank"))
+  }
+
   // ---- Product Quantization (PQ) — FAISS-style compressed ANN ----
 
   /** PQ codebook training on the INTEGER lattice: vectors quantize to a

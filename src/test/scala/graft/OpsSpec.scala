@@ -1683,6 +1683,42 @@ class OpsSpec extends SparkTestBase {
     out.foreach(r => assert(r.getLong(5) <= r.getLong(6), "cut1 <= cut2"))
   }
 
+  test("clusterBalancedSample: per-cell quotas, quality-ranked, repartition-invariant") {
+    import spark.implicits._
+    def v(x: Float, y: Float) = Array(x, y, 0f, 0f)
+    val e = Seq(
+      (1L, v(1f, 0f)), (2L, v(0.9f, 0.1f)), (3L, v(0.95f, 0.05f)),
+      (4L, v(0f, 1f)), (5L, v(0.1f, 0.9f)), (6L, v(0.05f, 0.95f))
+    ).toDF("vec_id", "embedding")
+    // all-distinct tokens: quality rises strictly with length
+    val docs = (1L to 6L).map(i =>
+      (i, (1 to i.toInt * 5).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = SimilarityOps.clusterBalancedSample(e, docs, budget = 6L,
+      nCells = 2).collect()
+    assert(rows.length === 6, "budget >= corpus keeps everything")
+    rows.groupBy(_.getLong(1)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq === (1L to rs.length).map(_.toLong),
+        "ranks contiguous within each cell")
+      val qs = sorted.map(_.getDouble(2)).toSeq
+      assert(qs === qs.sorted.reverse, "quality non-increasing with rank")
+    }
+    val top = SimilarityOps.clusterBalancedSample(e, docs, budget = 2L,
+      nCells = 2).collect()
+    assert(top.length === 2 && top.map(_.getLong(1)).distinct.length === 2,
+      "quota of one per cell spans both cells")
+    assert(top.forall(_.getLong(3) === 1L))
+    val bestPerCell = rows.groupBy(_.getLong(1))
+      .map { case (c, rs) => c -> rs.maxBy(_.getDouble(2)).getLong(0) }
+    top.foreach(r => assert(r.getLong(0) === bestPerCell(r.getLong(1)),
+      "each cell keeps its max-quality member"))
+    val rep = SimilarityOps.clusterBalancedSample(e.repartition(7),
+      docs.repartition(5), budget = 6L, nCells = 2).collect()
+    assert(rep.map(_.toString).sorted.toSeq === rows.map(_.toString).sorted.toSeq,
+      "partitioning never changes the sample")
+  }
+
   test("sourceDiversity: sum identity equals hand-counted pair dots, NULL source, single-vector NULLs") {
     import spark.implicits._
     val e = Seq(
