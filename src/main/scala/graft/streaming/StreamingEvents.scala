@@ -437,6 +437,59 @@ object StreamingEvents {
         }
       }
 
+  /** STREAMING eval-holdout DECONTAMINATION gate: each micro-batch of
+    * documents is checked for exact n-gram collisions against the frozen
+    * benchmark (the eval set a training corpus must never contain —
+    * [[graft.ops.DedupOps.ngramSpanContamination]]'s collision rule on the
+    * ingest path). The benchmark's distinct n-gram hash frame is computed
+    * ONCE and cached — a STATIC frame joined against every micro-batch
+    * (stream-static joins are stateless: no state store, no watermark, the
+    * X103 frozen-model pattern realized as a table instead of literals, so
+    * the holdout can be far larger than a broadcast literal would allow).
+    * Clean docs land in `outDir/epoch=<n>/`, contaminated docs in
+    * `quarantineDir/epoch=<n>/` WITH their hit counts — an audit trail,
+    * never a silent drop. Per-epoch `overwrite` makes replays idempotent:
+    * a re-run epoch rebuilds its own directories bit-for-bit (the
+    * upsertSink versioned-dir rule), and readers see the union via
+    * parquet partition discovery on `epoch`.
+    *
+    * Scale shape: per batch = one map-only gram explode over the BATCH,
+    * a hash-keyed semi-join against the cached benchmark frame (AQE
+    * broadcasts the smaller side), one |batch|-bounded aggregation.
+    * The benchmark is never re-derived and the corpus never joins itself.
+    * Retrain = restart with a new benchmark frame (the X93 drift story).
+    */
+  def decontaminationGateIngest(docs: DataFrame, benchmark: DataFrame,
+                                outDir: String, quarantineDir: String,
+                                n: Int = 8, textCol: String = "text",
+                                idCol: String = "doc_id",
+                                checkpointDir: String): DataStreamWriter[Row] = {
+    val bench = graft.ops.DedupOps
+      .positionedNgramHashes(benchmark, textCol, idCol, n)
+      .select(col("h")).distinct().cache()
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val scope = graft.ops.CacheScope()
+        try {
+          val b = scope.register(batch)
+          if (!b.isEmpty) {
+            val hits = graft.ops.DedupOps
+              .positionedNgramHashes(b, textCol, idCol, n)
+              .join(bench, Seq("h"), "left_semi")
+              .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+              .withColumnRenamed("id", idCol)
+            val flagged = scope.register(b.join(hits, Seq(idCol), "left"))
+            flagged.filter(col("n_hits").isNull).drop("n_hits")
+              .write.mode("overwrite").parquet(s"$outDir/epoch=$epoch")
+            flagged.filter(col("n_hits").isNotNull)
+              .write.mode("overwrite").parquet(s"$quarantineDir/epoch=$epoch")
+          }
+        } finally scope.release()
+      }
+  }
+
   /** The newest COMMITTED `v<epoch>/` snapshot written by [[upsertSink]]:
     * only directories with a `_SUCCESS` marker count (a crash mid-write
     * leaves a partial directory that must never serve as a base), and

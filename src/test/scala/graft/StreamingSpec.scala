@@ -328,6 +328,38 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("decontaminationGateIngest: eval-colliding docs quarantined with hit counts, clean docs pass") {
+    implicit val sqlCtx = spark.sqlContext
+    def words(seed: String, n: Int): String =
+      (0 until n).map(i => s"$seed$i").mkString(" ")
+    val bench = Seq((1L, words("ev", 20))).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft-decon-out").toString
+    val quar = java.nio.file.Files.createTempDirectory("graft-decon-q").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-decon-ck").toString
+    val mem = MemoryStream[Doc]
+    val query = StreamingEvents.decontaminationGateIngest(mem.toDF(), bench,
+      out, quar, n = 8, checkpointDir = ckpt).start()
+    try {
+      // epoch 0: doc 10 embeds a verbatim 12-token benchmark run
+      // (12-8+1 = 5 colliding 8-grams); doc 11 is clean
+      val leaky = words("pre", 5) + " " +
+        (0 until 12).map(i => s"ev$i").mkString(" ") + " " + words("post", 5)
+      mem.addData(Doc(10L, ts(10, 0), leaky),
+        Doc(11L, ts(10, 1), words("clean", 30)))
+      query.processAllAvailable()
+      // epoch 1: the gate stays frozen — another clean doc passes
+      mem.addData(Doc(12L, ts(10, 2), words("fresh", 25)))
+      query.processAllAvailable()
+      val clean = spark.read.parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(clean === Set(11L, 12L), s"clean docs pass the gate: $clean")
+      val q = spark.read.parquet(quar).collect()
+      assert(q.map(_.getAs[Long]("doc_id")).toSet === Set(10L))
+      assert(q.head.getAs[Long]("n_hits") === 5L,
+        "exactly the 5 benchmark 8-grams of the embedded run collide")
+    } finally query.stop()
+  }
+
   test("ivfIndexIngest: stream rejects semantic dups against the index, appends only novel vectors") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.SimilarityOps
