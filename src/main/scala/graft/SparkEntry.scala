@@ -751,6 +751,13 @@ object SparkEntry {
     "q129_gopher_rules" -> ((s, d) =>
       TextOps.gopherRules(t(s, d, "documents"))),
 
+    // source CENTROID matrix: pairwise L2 between per-source mean
+    // embeddings on the shared lattice — mirror/scrape detection at
+    // embedding level, everything pairwise on a model-sized frame
+    "q133_source_centroids" -> ((s, d) =>
+      SimilarityOps.sourceCentroidMatrix(t(s, d, "embeddings"),
+        t(s, d, "documents"))),
+
     // CLUSTER-BALANCED budget sampling (DataComp-style): equal per-cell
     // quotas over the lattice-KMeans partition, quality-ranked within
     // each cell — topical coverage a quality-only top-k would collapse
@@ -2241,6 +2248,37 @@ object SparkEntry {
     // exact tier as a digest rank window, then q93's whole recursive-CC +
     // quality machinery replayed OVER THE SURVIVORS, one aggregate row
     // per stage
+    // per-dim BIGINT sums → micro-quantized means → exact integer squared
+    // distance + one sqrt; the same NULL-first pair convention as q118
+    "q133_source_centroids" ->
+      s"""WITH mxq AS (SELECT max(list_max(list_transform(embedding,
+         |    x -> abs(CAST(x AS DOUBLE))))) AS mx FROM embeddings),
+         |scl AS (SELECT CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale
+         |  FROM mxq),
+         |qv AS (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * scale) AS BIGINT)) AS qv
+         |  FROM embeddings, scl),
+         |j AS (SELECT d.source, q.qv
+         |  FROM qv q LEFT JOIN documents d ON d.doc_id = q.vec_id),
+         |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |  FROM j GROUP BY 1),
+         |ds AS (SELECT source, t.d AS d, CAST(sum(qv[t.d]) AS BIGINT) AS s
+         |  FROM j, UNNEST(range(1, 65)) t(d) GROUP BY 1, 2),
+         |m AS (SELECT ds.source, ds.d, p.n,
+         |    CAST(floor(1e6 * CAST(ds.s AS DOUBLE) / CAST(p.n AS DOUBLE))
+         |      AS BIGINT) AS mv
+         |  FROM ds JOIN per p ON p.source IS NOT DISTINCT FROM ds.source),
+         |pairs AS (SELECT x.source AS source_x, y.source AS source_y,
+         |    max(x.n) AS n_x, max(y.n) AS n_y,
+         |    CAST(sum((x.mv - y.mv) * (x.mv - y.mv)) AS BIGINT) AS l2_micro2
+         |  FROM m x JOIN m y ON x.d = y.d
+         |    AND ((x.source IS NULL AND y.source IS NOT NULL)
+         |      OR x.source < y.source)
+         |  GROUP BY 1, 2)
+         |SELECT source_x, source_y, n_x, n_y, l2_micro2,
+         |  CAST(floor(sqrt(CAST(l2_micro2 AS DOUBLE))) AS BIGINT) AS dist_micro
+         |FROM pairs ORDER BY source_x NULLS FIRST, source_y""".stripMargin,
+
     // the shared lattice coarse chain (seeding, 2 Lloyd rounds,
     // assignment) + the quality expression + the per-cell rank window —
     // every kept row is a total-order fact both engines derive

@@ -1571,6 +1571,62 @@ object SimilarityOps {
         col("rn").cast("int").as("rank"))
   }
 
+  /** Source CENTROID distance matrix — the BETWEEN-source companion of
+    * [[sourceDiversity]]'s within-source audit: per unordered source pair,
+    * the L2 distance between the sources' mean embeddings on the shared
+    * int8 lattice. Near-zero centroid distance between two nominally
+    * distinct sources says they serve the same content distribution
+    * (mirrors, scrapes — corroborating [[graft.ops.DedupOps.dupLeakageMatrix]]
+    * at embedding level, without any document pairing); a mixture planner
+    * treating them as independent double-counts that distribution.
+    *
+    * Determinism: per-dim sums are exact BIGINTs; each mean component
+    * quantizes to micro (one product-then-quotient double floor), so the
+    * pairwise squared distance is an exact integer sum (|diff| ≤ 254·10⁶,
+    * 64 terms — order-free in BIGINT) and dist_micro = floor(sqrt) is one
+    * IEEE op both engines evaluate identically. NULL-source vectors (no
+    * document row) form a real group, NULL-first in the pair order.
+    *
+    * Scale shape: identical to [[sourceDiversity]] — one map pass, one
+    * (source) aggregation to ≤ nSources rows; everything pairwise runs on
+    * that model-sized frame with a broadcast self-join.
+    */
+  def sourceCentroidMatrix(embeddings: DataFrame, documents: DataFrame,
+                           dim: Int = 64, idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           docIdCol: String = "doc_id",
+                           srcCol: String = "source"): DataFrame = {
+    val mx = embeddings.agg(max(array_max(transform(col(vecCol),
+      x => abs(x.cast("double")))))).head.getDouble(0)
+    val scale = if (mx > 0) 127.0 / mx else 0.0
+    val qv = embeddings.select(col(idCol).as("id"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * lit(scale)).cast("long")).as("qv"))
+    val src = documents.select(col(docIdCol).as("id"), col(srcCol).as("source"))
+    val j = qv.join(src, Seq("id"), "left")
+    val aggs = count(lit(1)).as("n") +:
+      (1 to dim).map(d => sum(element_at(col("qv"), d)).as(s"s$d"))
+    val per = j.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+    val means = per.select(col("source"), col("n"),
+      array((1 to dim).map(d =>
+        floor(lit(1e6) * col(s"s$d").cast("double") / col("n").cast("double"))
+          .cast("long")): _*).as("m"))
+    val xs = means.select(col("source").as("source_x"), col("n").as("n_x"),
+      col("m").as("mx_"))
+    val ys = means.select(col("source").as("source_y"), col("n").as("n_y"),
+      col("m").as("my_"))
+    xs.join(broadcast(ys),
+        (col("source_x").isNull && col("source_y").isNotNull) ||
+          (col("source_x") < col("source_y")))
+      .withColumn("l2_micro2",
+        aggregate(zip_with(col("mx_"), col("my_"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+      .select(col("source_x"), col("source_y"), col("n_x"), col("n_y"),
+        col("l2_micro2"),
+        floor(sqrt(col("l2_micro2").cast("double"))).cast("long").as("dist_micro"))
+      .orderBy(col("source_x").asc_nulls_first, col("source_y"))
+  }
+
   /** Per-SOURCE embedding DIVERSITY audit: the EXACT mean pairwise dot
     * product of each source's vectors WITHOUT enumerating a single pair,
     * via the sum identity  Σ_{i≠j} vᵢ·vⱼ = ‖Σᵢvᵢ‖² − Σᵢ‖vᵢ‖²  on the

@@ -1719,6 +1719,29 @@ class OpsSpec extends SparkTestBase {
       "partitioning never changes the sample")
   }
 
+  test("sourceCentroidMatrix: exact centroid L2, coincident centroids at zero, NULL-first pairs") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(1f, 0f, 0f, 0f)), // A at e1
+      (3L, Array(0f, 1f, 0f, 0f)), (4L, Array(0f, 1f, 0f, 0f)), // B at e2
+      (5L, Array(1f, 0f, 0f, 0f))                               // no doc → NULL
+    ).toDF("vec_id", "embedding")
+    val docs = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"))
+      .toDF("doc_id", "source")
+    val out = SimilarityOps.sourceCentroidMatrix(e, docs, dim = 4).collect()
+    assert(out.length === 3, "3 unordered pairs over {NULL, A, B}")
+    def at(x: Option[String], y: String) = out.find(r =>
+      Option(r.getString(0)) == x && r.getString(1) == y).get
+    val ab = at(Some("A"), "B")
+    // centroids (127e6,0,0,0) vs (0,127e6,0,0): l2 = 2·(127e6)²
+    assert(ab.getLong(4) === 2L * 127000000L * 127000000L)
+    assert(ab.getLong(5) === math.floor(math.sqrt(ab.getLong(4).toDouble)).toLong)
+    val na = at(None, "A")
+    assert(na.getLong(4) === 0L && na.getLong(5) === 0L,
+      "the NULL-source vector shares A's centroid exactly")
+    assert(at(None, "B").getLong(2) === 1L, "NULL group size carried")
+  }
+
   test("sourceDiversity: sum identity equals hand-counted pair dots, NULL source, single-vector NULLs") {
     import spark.implicits._
     val e = Seq(
