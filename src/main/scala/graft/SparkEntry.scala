@@ -751,6 +751,12 @@ object SparkEntry {
     "q129_gopher_rules" -> ((s, d) =>
       TextOps.gopherRules(t(s, d, "documents"))),
 
+    // SPLIT-LEAKAGE audit: near-dup pairs rolled up by unordered
+    // train/val/test split pair — off-diagonal cells are eval leakage
+    // (hash splitting can't stop near-dups landing on both sides)
+    "q134_split_leakage" -> ((s, d) =>
+      DedupOps.splitLeakageAudit(t(s, d, "documents"))),
+
     // source CENTROID matrix: pairwise L2 between per-source mean
     // embeddings on the shared lattice — mirror/scrape detection at
     // embedding level, everything pairwise on a model-sized frame
@@ -2248,6 +2254,28 @@ object SparkEntry {
     // exact tier as a digest rank window, then q93's whole recursive-CC +
     // quality machinery replayed OVER THE SURVIVORS, one aggregate row
     // per stage
+    // q22's brute-force pair set + q42's split CASE per side + the
+    // least/greatest unordered rollup — every cell an integer fact
+    "q134_split_leakage" -> {
+      val bucket =
+        s"${ops.DetHash.sqlMd5Hash60("'split|' || CAST(doc_id AS VARCHAR)")} % 10000"
+      s"""WITH $hashedShinglesCte,
+         |inv AS (SELECT id, sz, unnest(hs) AS tok FROM sized),
+         |pr AS (SELECT l.id AS a, r.id AS b
+         |  FROM inv l JOIN inv r ON l.tok = r.tok AND l.id < r.id
+         |  GROUP BY l.id, r.id, l.sz, r.sz
+         |  HAVING CAST(count(*) AS DOUBLE) / (l.sz + r.sz - count(*)) >= 0.8),
+         |spl AS (SELECT doc_id, CASE WHEN $bucket < 8000 THEN 0
+         |    WHEN $bucket < 9000 THEN 1 ELSE 2 END AS split FROM documents),
+         |px AS (SELECT least(x.split, y.split) AS split_x,
+         |    greatest(x.split, y.split) AS split_y
+         |  FROM pr JOIN spl x ON x.doc_id = pr.a JOIN spl y ON y.doc_id = pr.b)
+         |SELECT split_x, split_y, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CASE WHEN split_x <> split_y THEN CAST(1 AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS crossing
+         |FROM px GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
     // per-dim BIGINT sums → micro-quantized means → exact integer squared
     // distance + one sqrt; the same NULL-first pair convention as q118
     "q133_source_centroids" ->

@@ -1077,6 +1077,44 @@ object DedupOps {
       .orderBy(col("source_x").asc_nulls_first, col("source_y").asc_nulls_first)
   }
 
+  /** SPLIT-LEAKAGE audit: the verified near-dup pair set rolled up by
+    * UNORDERED train/val/test split pair under the deterministic
+    * [[graft.ops.RelationalOps.hashSplit]] assignment — off-diagonal cells
+    * are near-duplicates CROSSING a split boundary, the leakage that
+    * quietly inflates eval scores (Dodge et al. 2021's C4 overlap
+    * finding, Lee et al. 2021 §6). [[dupLeakageMatrix]] asks "which
+    * SOURCES share content"; this asks "does my EVAL share content with
+    * my TRAIN" — the last gate before a split ships. Hash splitting alone
+    * does NOT prevent this: near-duplicates hash independently, so
+    * duplicated content lands on both sides ∝ its duplication rate.
+    * Output per (split_x ≤ split_y): (n_pairs, crossing 0/1 flag).
+    *
+    * Scale shape: inherits the banded candidate generation (no all-pairs);
+    * the split assignment is a zero-shuffle map column; pair attachment is
+    * two id-keyed joins on 2-column projections; the rollup shuffles
+    * ≤ nSplits² cells.
+    */
+  def splitLeakageAudit(df: DataFrame,
+                        weights: Seq[Double] = Seq(0.8, 0.1, 0.1),
+                        minJaccard: Double = 0.8, salt: String = "split",
+                        textCol: String = "text", idCol: String = "doc_id",
+                        scope: CacheScope = CacheScope.default): DataFrame = {
+    val pairs = minHashVerifiedPairs(df, textCol, idCol, minJaccard,
+      scope = scope)
+    val splits = RelationalOps.hashSplit(df.select(col(idCol)), idCol,
+      weights, salt)
+    val sa = splits.select(col(idCol).as("a"), col("split").as("pa"))
+    val sb = splits.select(col(idCol).as("b"), col("split").as("pb"))
+    pairs.join(sa, Seq("a")).join(sb, Seq("b"))
+      .select(least(col("pa"), col("pb")).as("split_x"),
+        greatest(col("pa"), col("pb")).as("split_y"))
+      .groupBy(col("split_x"), col("split_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("crossing",
+        when(col("split_x") =!= col("split_y"), 1L).otherwise(0L))
+      .orderBy(col("split_x"), col("split_y"))
+  }
+
   /** WINNOWING fingerprints (Schleimer et al. 2003, the MOSS algorithm):
     * per document, the selected (pos, gram-hash) pairs — in every window
     * of `window` consecutive `shingleK`-gram hashes the minimum is chosen

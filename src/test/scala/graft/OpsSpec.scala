@@ -1719,6 +1719,34 @@ class OpsSpec extends SparkTestBase {
       "partitioning never changes the sample")
   }
 
+  test("splitLeakageAudit: near-dup pairs roll up by unordered split pair") {
+    import spark.implicits._
+    def words(seed: String, n: Int) = (0 until n).map(i => s"$seed$i").mkString(" ")
+    // 3 clusters of verbatim copies (4, 3, 2 members) + 3 unique docs
+    val texts =
+      (0 until 4).map(i => (i.toLong, words("alpha", 30))) ++
+        (10 until 13).map(i => (i.toLong, words("beta", 30))) ++
+        (20 until 22).map(i => (i.toLong, words("gamma", 30))) ++
+        Seq((30L, words("solo", 30)), (31L, words("uniq", 30)),
+          (32L, words("only", 30)))
+    val docs = texts.toDF("doc_id", "text")
+    val out = DedupOps.splitLeakageAudit(docs).collect()
+    assert(out.map(_.getLong(2)).sum === 6 + 3 + 1,
+      "C(4,2)+C(3,2)+C(2,2) verified pairs")
+    // expected matrix from the deterministic split assignment itself
+    val split = RelationalOps.hashSplit(docs.select($"doc_id"), "doc_id",
+      Seq(0.8, 0.1, 0.1)).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val clusters = Seq((0 until 4).map(_.toLong),
+      (10 until 13).map(_.toLong), (20 until 22).map(_.toLong))
+    val expected = clusters.flatMap(_.combinations(2).map { c =>
+      (split(c(0)) min split(c(1)), split(c(0)) max split(c(1)))
+    }).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = out.map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === expected, s"matrix $got vs expected $expected")
+    out.foreach(r => assert(r.getLong(3) ===
+      (if (r.getInt(0) != r.getInt(1)) 1L else 0L), "crossing flag"))
+  }
+
   test("sourceCentroidMatrix: exact centroid L2, coincident centroids at zero, NULL-first pairs") {
     import spark.implicits._
     val e = Seq(
