@@ -751,6 +751,14 @@ object SparkEntry {
     "q129_gopher_rules" -> ((s, d) =>
       TextOps.gopherRules(t(s, d, "documents"))),
 
+    // COUNT-MIN sketch audit: the d×w grid over token occurrences, exact
+    // top-k counts beside their one-sided CMS estimates — the is-the-
+    // sketch-wide-enough sizing signal, grid size a parameter not a
+    // function of the corpus
+    "q135_cms_audit" -> ((s, d) =>
+      TextOps.cmsHeavyHitterAudit(t(s, d, "documents"),
+        d = 4, w = 256, topK = 20)),
+
     // SPLIT-LEAKAGE audit: near-dup pairs rolled up by unordered
     // train/val/test split pair — off-diagonal cells are eval leakage
     // (hash splitting can't stop near-dups landing on both sides)
@@ -2254,6 +2262,29 @@ object SparkEntry {
     // exact tier as a digest rank window, then q93's whole recursive-CC +
     // quality machinery replayed OVER THE SURVIVORS, one aggregate row
     // per stage
+    // the same md5 row hashes, the same d×w grid, the same min-over-rows
+    // estimate — every counter and every estimate an integer fact
+    "q135_cms_audit" -> {
+      val cell = (r: String) => ops.DetHash.sqlMd5Hash60(
+        s"'cms' || CAST($r AS VARCHAR) || '|' || term") + " % 256"
+      s"""WITH tok AS (SELECT unnest($toksSql) AS term FROM documents),
+         |grid AS (SELECT t.r, ${cell("t.r")} AS c,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM tok, range(0, 4) t(r) GROUP BY 1, 2),
+         |c AS (SELECT term, CAST(count(*) AS BIGINT) AS freq
+         |  FROM tok GROUP BY 1),
+         |cand AS (SELECT term, freq FROM c ORDER BY freq DESC, term LIMIT 20),
+         |cc AS (SELECT v.term, v.freq, t.r, ${cell("t.r")} AS c
+         |  FROM cand v, range(0, 4) t(r)),
+         |est AS (SELECT cc.term, max(cc.freq) AS exact_count,
+         |    CAST(min(g.n) AS BIGINT) AS cms_estimate
+         |  FROM cc JOIN grid g ON g.r = cc.r AND g.c = cc.c
+         |  GROUP BY cc.term)
+         |SELECT term, exact_count, cms_estimate,
+         |  cms_estimate - exact_count AS overcount
+         |FROM est ORDER BY exact_count DESC, term""".stripMargin
+    },
+
     // q22's brute-force pair set + q42's split CASE per side + the
     // least/greatest unordered rollup — every cell an integer fact
     "q134_split_leakage" -> {

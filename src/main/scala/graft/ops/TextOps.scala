@@ -626,6 +626,55 @@ object TextOps {
         coalesce(col("lp_micro"), lit(0L)).as("lp_micro"))
   }
 
+  /** COUNT-MIN sketch heavy-hitter audit (Cormode & Muthukrishnan 2005):
+    * build the d×w counter grid over token occurrences (row i hashes a
+    * term with md5("cms<i>|term") mod w — the engine-wide md5 determinism
+    * contract, so the grid is bit-identical on any engine or
+    * partitioning), then for the exact top-`topK` terms report the CMS
+    * estimate beside the exact count. The estimate is ONE-SIDED
+    * (est ≥ exact always — counters only ever add collisions), and the
+    * overcount column is the measured sizing signal: it answers "is
+    * d×w wide enough for THIS corpus" before a streaming deployment
+    * commits to the sketch — the X107/X108 sizing-audit pattern on the
+    * frequency tier. q67's Misra-Gries gives exact guarantees batch-side;
+    * CMS is the mergeable-per-partition form a `foreachBatch` counter
+    * keeps at fixed memory.
+    *
+    * Output per candidate: (term, exact_count, cms_estimate, overcount),
+    * ordered (exact desc, term) — a total order.
+    *
+    * Scale shape: ONE corpus-scale (r, c) count shuffle collapsing
+    * map-side to ≤ d·w cells (the sketch property: grid size is a
+    * PARAMETER, independent of corpus or vocabulary); candidates come
+    * from [[buildVocab]]'s bounded heaps; estimates join the grid
+    * BROADCAST (d·w rows). No corpus-wide window, no collect.
+    */
+  def cmsHeavyHitterAudit(documents: DataFrame, d: Int = 4, w: Int = 256,
+                          topK: Int = 20,
+                          textCol: String = "text"): DataFrame = {
+    require(d >= 1 && w >= 1 && topK >= 1, "need positive d, w, topK")
+    val toks = documents.select(explode(tokens(col(textCol))).as("term"))
+    def cellCol(i: Int) =
+      (DetHash.md5Hash60(concat(lit(s"cms$i|"), col("term"))) % w).cast("int")
+    val grid = toks
+      .select(explode(array((0 until d).map(i =>
+        struct(lit(i).as("r"), cellCol(i).as("c"))): _*)).as("x"))
+      .select(col("x.r"), col("x.c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("n"))
+    val cand = buildVocab(documents, topK, textCol)
+      .select(col("term"), col("freq"))
+    cand
+      .select(col("term"), col("freq"),
+        explode(array((0 until d).map(i =>
+          struct(lit(i).as("r"), cellCol(i).as("c"))): _*)).as("x"))
+      .select(col("term"), col("freq"), col("x.r"), col("x.c"))
+      .join(broadcast(grid), Seq("r", "c"))
+      .groupBy(col("term"))
+      .agg(max(col("freq")).as("exact_count"), min(col("n")).as("cms_estimate"))
+      .withColumn("overcount", col("cms_estimate") - col("exact_count"))
+      .orderBy(col("exact_count").desc, col("term"))
+  }
+
   /** CCNet PERPLEXITY TERCILES (Wenzek et al. 2020 §4.3): per source,
     * documents partitioned into head / middle / tail thirds by their
     * [[bigramLmScore]] average log-probability — the published recipe

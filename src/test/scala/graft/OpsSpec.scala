@@ -1719,6 +1719,30 @@ class OpsSpec extends SparkTestBase {
       "partitioning never changes the sample")
   }
 
+  test("cmsHeavyHitterAudit: one-sided estimates, w=1 saturates to the total, wide grid exact") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    // w=1: every occurrence lands in the single cell of every row, so
+    // every estimate IS the total occurrence count — the grid semantics
+    // pinned with zero hash dependence
+    val sat = TextOps.cmsHeavyHitterAudit(docs, d = 2, w = 1, topK = 3).collect()
+    assert(sat.length === 3)
+    sat.foreach(r => assert(r.getLong(2) === 6L, s"saturated estimate ${r}"))
+    assert(sat.map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+    // wide grid: 3 terms in 1024 columns × 4 rows — estimates stay
+    // one-sided and (deterministically, for these md5 values) exact
+    val wide = TextOps.cmsHeavyHitterAudit(docs, d = 4, w = 1024, topK = 3).collect()
+    wide.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), "CMS never undercounts")
+      assert(r.getLong(3) === r.getLong(2) - r.getLong(1))
+    }
+    assert(wide.map(_.getLong(3)).sum === 0L,
+      "3 terms in a 4x1024 grid: no colliding row set")
+    assert(wide.map(_.getString(0)).toSeq === Seq("a", "b", "c"),
+      "(exact desc, term) total order")
+  }
+
   test("splitLeakageAudit: near-dup pairs roll up by unordered split pair") {
     import spark.implicits._
     def words(seed: String, n: Int) = (0 until n).map(i => s"$seed$i").mkString(" ")
