@@ -649,18 +649,35 @@ object TextOps {
     * from [[buildVocab]]'s bounded heaps; estimates join the grid
     * BROADCAST (d·w rows). No corpus-wide window, no collect.
     */
+  /** The CMS row-hash cell of `term` for row `i`: md5("cms<i>|term") mod w
+    * — ONE definition consumed by the batch grid, the streaming counter
+    * and the SQL oracle.
+    */
+  private def cmsCellCol(i: Int, w: Int): Column =
+    (DetHash.md5Hash60(concat(lit(s"cms$i|"), col("term"))) % w).cast("int")
+
+  /** The d×w COUNT-MIN grid of a corpus: (r, c, n) counter cells over
+    * token occurrences. Mergeable by construction — grids of disjoint
+    * corpus slices sum cell-wise to the whole-corpus grid, which is what
+    * makes the sketch a per-partition/per-micro-batch counter. One
+    * corpus-scale count shuffle collapsing map-side to ≤ d·w cells.
+    */
+  def cmsGrid(documents: DataFrame, d: Int = 4, w: Int = 256,
+              textCol: String = "text"): DataFrame = {
+    require(d >= 1 && w >= 1, "need positive d and w")
+    documents.select(explode(tokens(col(textCol))).as("term"))
+      .select(explode(array((0 until d).map(i =>
+        struct(lit(i).as("r"), cmsCellCol(i, w).as("c"))): _*)).as("x"))
+      .select(col("x.r"), col("x.c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("n"))
+  }
+
   def cmsHeavyHitterAudit(documents: DataFrame, d: Int = 4, w: Int = 256,
                           topK: Int = 20,
                           textCol: String = "text"): DataFrame = {
     require(d >= 1 && w >= 1 && topK >= 1, "need positive d, w, topK")
-    val toks = documents.select(explode(tokens(col(textCol))).as("term"))
-    def cellCol(i: Int) =
-      (DetHash.md5Hash60(concat(lit(s"cms$i|"), col("term"))) % w).cast("int")
-    val grid = toks
-      .select(explode(array((0 until d).map(i =>
-        struct(lit(i).as("r"), cellCol(i).as("c"))): _*)).as("x"))
-      .select(col("x.r"), col("x.c"))
-      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("n"))
+    def cellCol(i: Int) = cmsCellCol(i, w)
+    val grid = cmsGrid(documents, d, w, textCol)
     val cand = buildVocab(documents, topK, textCol)
       .select(col("term"), col("freq"))
     cand
@@ -673,6 +690,23 @@ object TextOps {
       .agg(max(col("freq")).as("exact_count"), min(col("n")).as("cms_estimate"))
       .withColumn("overcount", col("cms_estimate") - col("exact_count"))
       .orderBy(col("exact_count").desc, col("term"))
+  }
+
+  /** CMS estimates for arbitrary candidate terms against a stored (r, c,
+    * n) grid frame (e.g. the streaming counter's latest snapshot): min
+    * over the term's d row cells, 0 for terms whose cells were never
+    * touched. Map-only vs the BROADCAST grid (d·w rows — model-sized).
+    */
+  def cmsEstimates(grid: DataFrame, terms: DataFrame, d: Int = 4,
+                   w: Int = 256): DataFrame = {
+    require(d >= 1 && w >= 1, "need positive d and w")
+    terms.select(col("term"),
+        explode(array((0 until d).map(i =>
+          struct(lit(i).as("r"), cmsCellCol(i, w).as("c"))): _*)).as("x"))
+      .select(col("term"), col("x.r"), col("x.c"))
+      .join(broadcast(grid), Seq("r", "c"), "left")
+      .groupBy(col("term"))
+      .agg(min(coalesce(col("n"), lit(0L))).as("cms_estimate"))
   }
 
   /** CCNet PERPLEXITY TERCILES (Wenzek et al. 2020 §4.3): per source,

@@ -490,6 +490,41 @@ object StreamingEvents {
       }
   }
 
+  /** STREAMING Count-Min counter: maintains the d×w CMS grid
+    * ([[graft.ops.TextOps.cmsGrid]]) across micro-batches as versioned
+    * parquet snapshots — the sketch's defining property (cell-wise sums
+    * of slice grids ARE the whole-corpus grid) makes the merge one
+    * union + (r, c) re-aggregation of two ≤ d·w frames, so per-epoch
+    * cost is |batch| tokenization plus model-sized merge work, with
+    * counter memory FIXED at d·w cells regardless of vocabulary or
+    * corpus size (the q67 Misra-Gries tracker is exact but per-key; this
+    * is the unbounded-vocabulary form). Snapshots follow the
+    * [[upsertSink]] versioned-dir rule: each epoch merges the newest
+    * EARLIER snapshot and writes `v<epoch>/`, so replays rebuild
+    * bit-identically and [[latestSnapshot]] resolves the current grid —
+    * query it with [[graft.ops.TextOps.cmsEstimates]], size it with
+    * [[graft.ops.TextOps.cmsHeavyHitterAudit]] batch-side.
+    */
+  def cmsCounterIngest(docs: DataFrame, baseDir: String, d: Int = 4,
+                       w: Int = 256, textCol: String = "text",
+                       checkpointDir: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val bg = graft.ops.TextOps.cmsGrid(batch, d, w, textCol)
+          val merged = latestSnapshot(spark, baseDir,
+              beforeEpoch = Some(epoch)) match {
+            case Some(cur) => cur.unionByName(bg)
+              .groupBy(col("r"), col("c")).agg(sum(col("n")).as("n"))
+            case None => bg
+          }
+          merged.write.mode("overwrite").parquet(s"$baseDir/v$epoch")
+        }
+      }
+
   /** The newest COMMITTED `v<epoch>/` snapshot written by [[upsertSink]]:
     * only directories with a `_SUCCESS` marker count (a crash mid-write
     * leaves a partial directory that must never serve as a base), and

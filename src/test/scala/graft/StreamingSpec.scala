@@ -360,6 +360,36 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("cmsCounterIngest: streamed grid bit-equals the batch grid; estimates match exact counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.TextOps
+    val base = java.nio.file.Files.createTempDirectory("graft-cms").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cms-ck").toString
+    val mem = MemoryStream[Doc]
+    val query = StreamingEvents.cmsCounterIngest(mem.toDF(), base,
+      d = 3, w = 64, checkpointDir = ckpt).start()
+    val d1 = Doc(1L, ts(10, 0), "a a a b b c")
+    val d2 = Doc(2L, ts(10, 1), "a b d d d d")
+    try {
+      mem.addData(d1)
+      query.processAllAvailable()
+      mem.addData(d2)
+      query.processAllAvailable()
+    } finally query.stop()
+    val snap = StreamingEvents.latestSnapshot(spark, base).get
+    val batchGrid = TextOps.cmsGrid(Seq((1L, d1.text), (2L, d2.text))
+      .toDF("doc_id", "text"), d = 3, w = 64)
+    assert(snap.collect().map(_.toString).sorted.toSeq ===
+      batchGrid.collect().map(_.toString).sorted.toSeq,
+      "merged stream grid == one-shot batch grid, cell for cell")
+    val est = TextOps.cmsEstimates(snap,
+        Seq("a", "d", "zzz").toDF("term"), d = 3, w = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("a") === 4L && est("d") === 4L,
+      "cross-batch totals survive the merge")
+    assert(est("zzz") === 0L, "never-seen terms estimate zero")
+  }
+
   test("ivfIndexIngest: stream rejects semantic dups against the index, appends only novel vectors") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.SimilarityOps
