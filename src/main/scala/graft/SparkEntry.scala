@@ -759,6 +759,20 @@ object SparkEntry {
       TextOps.cmsHeavyHitterAudit(t(s, d, "documents"),
         d = 4, w = 256, topK = 20)),
 
+    // char-ENTROPY quality signal: compressibility proxy for boilerplate /
+    // degenerate docs — sorted-char run lengths via map-only HOFs, Shannon
+    // entropy in centibits (the cross-engine float contract), no shuffle
+    "q137_char_entropy" -> ((s, d) =>
+      TextOps.charEntropyReport(t(s, d, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // EDIT-DISTANCE near-dups (Ed-Join prefix lemma): character-level
+    // typo-duplicates shingle Jaccard misses — q-gram rarest-prefix
+    // candidates + banded-DP thresholded levenshtein verify, exact recall
+    "q136_edit_distance" -> ((s, d) =>
+      DedupOps.editDistancePairs(t(s, d, "documents"), maxDist = 5)
+        .orderBy(col("a"), col("b"))),
+
     // SPLIT-LEAKAGE audit: near-dup pairs rolled up by unordered
     // train/val/test split pair — off-diagonal cells are eval leakage
     // (hash splitting can't stop near-dups landing on both sides)
@@ -2284,6 +2298,37 @@ object SparkEntry {
          |  cms_estimate - exact_count AS overcount
          |FROM est ORDER BY exact_count DESC, term""".stripMargin
     },
+
+    // per-char group counts replayed relationally (unnest positions →
+    // substr → groupBy), same Σ c·log2 c identity, centibit floor as the
+    // float contract
+    "q137_char_entropy" ->
+      s"""WITH ch AS (
+         |  SELECT doc_id, substr(text, CAST(i AS INT), 1) AS c
+         |  FROM (SELECT doc_id, text,
+         |          unnest(range(1, length(text) + 1)) AS i FROM documents)),
+         |rc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
+         |e AS (SELECT doc_id, CAST(count(*) AS INT) AS distinct_chars,
+         |    CAST(floor(100.0 * (log2(sum(cnt))
+         |      - sum(cnt * log2(cnt)) / sum(cnt))) AS BIGINT) AS ecb
+         |  FROM rc GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(length(d.text) AS INT) AS n_chars,
+         |  COALESCE(e.distinct_chars, 0) AS distinct_chars,
+         |  COALESCE(e.ecb, 0) AS entropy_centibits,
+         |  COALESCE(e.ecb, 0) < 300 AS low_entropy
+         |FROM documents d LEFT JOIN e USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // brute-force levenshtein join under the length filter — the Ed-Join
+    // prefix-filtered plan must reproduce the exact d <= 5 pair set
+    "q136_edit_distance" ->
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+         |    levenshtein(a.text, b.text) AS dist
+         |  FROM d a JOIN d b
+         |    ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= 5)
+         |SELECT a, b, CAST(dist AS INT) AS dist FROM p
+         |WHERE dist <= 5 ORDER BY a, b""".stripMargin,
 
     // q22's brute-force pair set + q42's split CASE per side + the
     // least/greatest unordered rollup — every cell an integer fact

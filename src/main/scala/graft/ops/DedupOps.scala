@@ -1039,6 +1039,112 @@ object DedupOps {
       .select(col("a"), col("b"), col("inter"), col("jaccard"))
   }
 
+  /** EDIT-DISTANCE near-dup pairs — the character-level dedup family: all
+    * (a, b, dist) with a < b and levenshtein(text_a, text_b) <= `maxDist`.
+    * Catches typo-level duplicates (OCR noise, smart-quote swaps, version
+    * bumps) that token-shingle Jaccard treats as distant when the edits
+    * land one-per-shingle, and is the published similarity-join semantics
+    * of Ed-Join (Xiao/Wang/Lin, PVLDB 2008), whose q-gram prefix lemma
+    * drives candidate generation here.
+    *
+    * Candidate generation is EXACT-recall (every qualifying pair survives
+    * to the verify stage) via two legs:
+    *
+    *   - **Prefix leg** (docs with >= q·maxDist+1 distinct char q-grams):
+    *     each edit operation destroys at most `q` q-grams, so two strings
+    *     within `maxDist` edits differ in at most q·maxDist DISTINCT gram
+    *     values per side. Sorting each doc's gram values in one global
+    *     order (ascending gram document-frequency, ties by value — rarest
+    *     first) and indexing only the first q·maxDist+1 makes the two
+    *     prefixes provably intersect: with p_a = a's prefix max in the
+    *     global order and (wlog) p_a <= p_b, a's q·maxDist+1 prefix grams
+    *     all lie <= p_b, at least one of them is in b (else the value
+    *     difference exceeds q·maxDist), and every b-gram <= p_b is in b's
+    *     prefix by construction.
+    *   - **Brute leg** (docs with <= 2·q·maxDist distinct gram values —
+    *     tiny or ultra-repetitive texts, where the lemma has no room):
+    *     all pairs within a length band, generated by emitting each doc
+    *     into buckets floor(len/(maxDist+1)) and +1, so only docs within
+    *     `maxDist` length of each other ever meet. Any qualifying pair
+    *     with a side outside the prefix leg lands here: its partner has
+    *     at most q·maxDist more distinct values, i.e. <= 2·q·maxDist.
+    *
+    * Verification joins texts back and uses the banded-DP thresholded
+    * `levenshtein(l, r, maxDist)` (O(len·maxDist) per pair, -1 over
+    * threshold), after the |len_a - len_b| <= maxDist length filter.
+    *
+    * Scale shape: gram hashing is map-only HOFs over substrings (no
+    * per-char rows); the only corpus-sized shuffles are the (gram, id)
+    * inverted index and the per-id prefix sort; the self-join touches only
+    * prefix postings — the rarest q·maxDist+1 grams per doc — with `maxDf`
+    * dropping postings hotter than the cap (the standard skew guard; a
+    * pair whose every shared prefix gram is over the cap is missed — same
+    * trade as [[jaccardPairsPrefix]]). The brute leg is quadratic only
+    * within a length band OF DEGENERATE DOCS (<= 2·q·maxDist distinct
+    * grams); a corpus of millions of near-empty docs should dedup exactly
+    * first ([[exactDedup]]), which collapses those bands.
+    */
+  def editDistancePairs(df: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", maxDist: Int = 5,
+                        q: Int = 3, maxDf: Long = 100000L,
+                        scope: CacheScope = CacheScope.default): DataFrame = {
+    require(maxDist >= 1, "maxDist >= 1 (use exactDedup for identity)")
+    require(q >= 2, "char q-grams need q >= 2")
+    val prefLen = q * maxDist + 1
+    val text = col(textCol)
+    val gv = array_distinct(
+      when(length(text) >= q,
+        transform(sequence(lit(1), length(text) - q + 1),
+          i => DetHash.md5Hash60(text.substr(i, lit(q)))))
+        .otherwise(array().cast("array<bigint>")))
+    // two projections, not gv + size(gv) side by side: CollapseProject
+    // declines to inline a non-cheap expression into multiple references,
+    // so the md5 gram transform stays single-evaluation per row
+    val base = scope.register(
+      df.select(col(idCol).as("id"), text.as("t"),
+          length(text).as("len"), gv.as("gv"))
+        .select(col("id"), col("t"), col("len"), col("gv"),
+          size(col("gv")).as("ng")))
+
+    // prefix leg: global (df asc, value asc) order over the indexed
+    // population, first q·maxDist+1 values per doc
+    val rows = base.filter(col("ng") >= prefLen)
+      .select(col("id"), explode(col("gv")).as("g"))
+    val dfc = rows.groupBy(col("g")).agg(count(lit(1)).as("g_df"))
+    val pref = scope.register(rows.join(dfc, Seq("g"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("g_df"), col("g")))).as("st"))
+      .select(col("id"),
+        explode(slice(transform(col("st"), x => x("g")), 1, prefLen)).as("g")))
+    val hot = pref.groupBy(col("g")).agg(count(lit(1)).as("pref_df"))
+      .filter(col("pref_df") > maxDf)
+    val capped = pref.join(broadcast(hot), Seq("g"), "left_anti")
+    val candPrefix = capped.select(col("g"), col("id").as("a"))
+      .join(capped.select(col("g"), col("id").as("b")), Seq("g"))
+      .filter(col("a") < col("b")).select(col("a"), col("b"))
+
+    // brute leg: length-banded all-pairs over degenerate docs only
+    val shorts = base.filter(col("ng") <= 2 * q * maxDist)
+      .select(col("id"), col("len"),
+        floor(col("len") / (maxDist + 1)).as("band"))
+    val banded = shorts.select(col("id"), col("len"),
+      explode(array(col("band"), col("band") + 1)).as("bk"))
+    val candShort = banded.select(col("bk"), col("id").as("a"), col("len").as("la"))
+      .join(banded.select(col("bk"), col("id").as("b"), col("len").as("lb")),
+        Seq("bk"))
+      .filter(col("a") < col("b") && abs(col("la") - col("lb")) <= maxDist)
+      .select(col("a"), col("b"))
+
+    val cand = candPrefix.unionByName(candShort).distinct()
+    val ta = base.select(col("id").as("a"), col("t").as("t_a"), col("len").as("len_a"))
+    val tb = base.select(col("id").as("b"), col("t").as("t_b"), col("len").as("len_b"))
+    cand.join(ta, Seq("a")).join(tb, Seq("b"))
+      .filter(abs(col("len_a") - col("len_b")) <= maxDist)
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("a"), col("b"), col("dist"))
+  }
+
   /** Cross-source duplicate LEAKAGE matrix — "is source X scraping source
     * Y": the verified near-dup pair set ([[minHashVerifiedPairs]]) rolled
     * up by unordered source pair. The pair's two sources normalize to

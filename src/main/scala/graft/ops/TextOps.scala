@@ -93,6 +93,63 @@ object TextOps {
       .select((keep :+ qualityScore(col("__toks")).as(outCol)): _*)
   }
 
+  /** Character-ENTROPY quality signal — the compressibility proxy web-scale
+    * filters use to catch boilerplate, padding and degenerate generation
+    * (a document of repeated characters compresses to nothing; natural
+    * language sits around 4 bits/char of unigram entropy): per doc,
+    * (doc_id, n_chars, distinct_chars, entropy_centibits, low_entropy)
+    * where entropy_centibits = floor(100 · H), H the Shannon entropy of
+    * the character distribution in bits, and low_entropy flags docs under
+    * `lowEntropyCentibits`.
+    *
+    * Computed ENTIRELY map-side: no per-character rows ever cross an
+    * exchange. The char array sorts per row (`array_sort`), run boundaries
+    * come from a position filter, run LENGTHS from zipping each boundary
+    * with its successor, and H = log2(n) − (Σ c·log2 c)/n folds over the
+    * run-length array — all codegen HOFs fused into the scan's project.
+    * The centibit floor is the cross-engine contract (the oracle sums the
+    * same c·log2 c multiset in a different order; 1e-2 granularity
+    * swallows the float noise, the q131 centi-nat pattern). Empty texts
+    * report (0, 0, 0, true).
+    *
+    * Scale shape: one map stage, output one row per doc — the shuffle-free
+    * shape every per-doc quality signal here shares ([[textStats]],
+    * [[gopherRules]]).
+    */
+  def charEntropyReport(documents: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id",
+                        lowEntropyCentibits: Long = 300L): DataFrame = {
+    val text = col(textCol)
+    val n = length(text)
+    // every intermediate array binds ONCE as a lambda variable through the
+    // transform(array(x), v => ...) idiom — HOF lambdas don't CSE (see
+    // [[graft.ops.DedupOps.tokenHashes]]), so a naked `sorted` reference
+    // inside the boundary filter would re-sort the whole char array PER
+    // CHARACTER, O(n² log n) per doc (measured: minutes at sf0.01)
+    val sorted0 = array_sort(transform(sequence(lit(1), n), i => text.substr(i, lit(1))))
+    val stats = element_at(transform(array(sorted0), sorted => {
+      val nn = size(sorted)
+      // index clamped (not i - 1): ANSI element_at raises on index 0, and
+      // boolean OR does not short-circuit — at i = 1 the clamped compare
+      // is sorted(1) = sorted(1), false, and the i === 1 arm decides
+      val bounds0 = filter(sequence(lit(1), nn),
+        i => (i === 1) ||
+          (element_at(sorted, i) =!= element_at(sorted, greatest(i - 1, lit(1)))))
+      element_at(transform(array(bounds0), bounds => {
+        val ends = concat(slice(bounds, lit(2), size(bounds) - 1), array(nn + 1))
+        val runs = zip_with(bounds, ends, (s, e) => e - s)
+        val sumCLogC = aggregate(runs, lit(0.0),
+          (acc, c) => acc + c.cast("double") * log2(c))
+        struct(size(bounds).as("dc"),
+          floor(lit(100.0) * (log2(nn) - sumCLogC / nn)).cast("long").as("ecb"))
+      }), 1)
+    }), 1)
+    documents.select(col(idCol).as("doc_id"), n.as("n_chars"),
+        when(n >= 1, stats("dc")).otherwise(lit(0)).as("distinct_chars"),
+        when(n >= 1, stats("ecb")).otherwise(lit(0L)).as("entropy_centibits"))
+      .withColumn("low_entropy", col("entropy_centibits") < lowEntropyCentibits)
+  }
+
   /** Tiny per-language function-word vocabularies for heuristic language ID. */
   val langVocab: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),

@@ -93,6 +93,78 @@ class OpsSpec extends SparkTestBase {
     scope.release()
   }
 
+  test("charEntropyReport: exact centibits on known distributions, map-only") {
+    val docs = Seq(
+      (0L, "aaaaaaaaaa"),              // one symbol: H = 0
+      (1L, "abababababab"),            // two equiprobable: H = 1 bit
+      (2L, "abcdabcdabcdabcd"),        // four equiprobable: H = 2 bits
+      (3L, ""),                        // empty: all-zero row, flagged
+      (4L, "The quick brown fox jumps over the lazy dog repeatedly today.")
+    ).toDF("doc_id", "text")
+    val rows = TextOps.charEntropyReport(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(rows(0L) === ((10, 1, 0L, true)))
+    assert(rows(1L) === ((12, 2, 100L, true)))
+    assert(rows(2L) === ((16, 4, 200L, true)))
+    assert(rows(3L) === ((0, 0, 0L, true)))
+    // natural text: entropy ≈ 4 bits/char, over the 3.0-bit boilerplate bar
+    val text4 = "The quick brown fox jumps over the lazy dog repeatedly today."
+    val (n4, d4, e4, low4) = rows(4L)
+    assert(n4 === text4.length && d4 > 15 && e4 > 300L && !low4)
+    // cross-check the centibit floor against a driver-side exact compute
+    val counts = text4.groupBy(identity).view.mapValues(_.length.toDouble).values
+    val n = text4.length.toDouble
+    val h = (math.log(n) - counts.map(c => c * math.log(c)).sum / n) / math.log(2.0)
+    assert(e4 === math.floor(100.0 * h).toLong)
+    // shuffle-free: the report is a pure projection over the scan
+    val plan = TextOps.charEntropyReport(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  private def editBrute(df: org.apache.spark.sql.DataFrame, d: Int): Map[(Long, Long), Int] = {
+    val t = df.select(col("doc_id").as("id"), col("text").as("t"))
+    t.select(col("id").as("a"), col("t").as("ta"))
+      .join(t.select(col("id").as("b"), col("t").as("tb")), col("a") < col("b"))
+      .select(col("a"), col("b"), levenshtein(col("ta"), col("tb")).as("dist"))
+      .filter(col("dist") <= d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+  }
+
+  test("editDistancePairs: equals brute-force levenshtein join (exact recall lemma)") {
+    // a corpus built to stress every leg: exact dups (dist 0), typo-level
+    // near dups, degenerate repetitive docs (1 distinct gram at any
+    // length), tiny docs below q chars, and unrelated text
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"),   // dist 0 to 0
+      (2L, "the quick brown fox jumps over the lazy dogs"),  // dist 1
+      (3L, "teh quick brown fox jmups over the lazy dog"),   // transposed typos
+      (4L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),                // 1 distinct gram
+      (5L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaabb"),                // near dup of 4
+      (6L, "ab"),                                            // < q chars: no grams
+      (7L, "abc"),                                           // dist 1 to 6
+      (8L, "completely unrelated content lives over here now"),
+      (9L, "the quick brown fox vaults over the lazy dog")   // dist 5 to 0 (jumps->vaults)
+    ).toDF("doc_id", "text")
+    Seq(2, 5).foreach { d =>
+      val scope = CacheScope()
+      val got = DedupOps.editDistancePairs(docs, maxDist = d, scope = scope)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      assert(got === editBrute(docs, d), s"edit-distance pairs diverge at d=$d")
+      scope.release()
+    }
+    // and on the sf0.001 documents table
+    val sf = Tables(spark, SparkTestBase.sf001, "documents")
+    val scope = CacheScope()
+    val got = DedupOps.editDistancePairs(sf, maxDist = 8, scope = scope)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val brute = editBrute(sf, 8)
+    assert(got === brute)
+    assert(brute.nonEmpty) // fixture sanity: near-identical docs exist
+    assert(got.values.forall(v => v >= 0 && v <= 8))
+    scope.release()
+  }
+
   test("simHashBucketStats: cap headroom on the fixture corpus, truncation visible on a pathological one") {
     val scope = CacheScope()
     val docs = Tables(spark, SparkTestBase.sf001, "documents")
