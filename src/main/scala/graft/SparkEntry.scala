@@ -773,6 +773,36 @@ object SparkEntry {
       DedupOps.editDistancePairs(t(s, d, "documents"), maxDist = 5)
         .orderBy(col("a"), col("b"))),
 
+    // corpus SNAPSHOT DIFF (incremental-crawl bookkeeping): two snapshots
+    // derived deterministically from documents (one md5 bucket dropped
+    // per side, one bucket's text revised), per-doc added/removed/
+    // changed/unchanged over a digest-only full-outer join
+    "q140_snapshot_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val b = pmod(DetHash.md5Hash60(
+        concat(lit("snap|"), col("doc_id").cast("string"))), lit(10L))
+      val old = docs.withColumn("b", b).filter(col("b") =!= 0).drop("b")
+      val nw = docs.withColumn("b", b).filter(col("b") =!= 1)
+        .withColumn("text", when(col("b") === 2,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+        .drop("b")
+      RelationalOps.snapshotDiff(old, nw).orderBy(col("doc_id"))
+    }),
+
+    // robust per-source quality OUTLIERS (median/MAD, not mean/stddev —
+    // resistant to the very outliers it hunts): micro-quantize once,
+    // exact histogram medians, flag dev > k·MAD
+    "q139_mad_outliers" -> ((s, d) =>
+      TextOps.madQualityOutliers(t(s, d, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // the retention face of q136: edit-link chains close transitively
+    // (version chains dedup to ONE representative), min-id keeper +
+    // member count per component — q38's convention on the char family
+    "q138_edit_dedup_summary" -> ((s, d) =>
+      DedupOps.editDedupSummary(t(s, d, "documents"), maxDist = 5)
+        .orderBy(col("keep_id"))),
+
     // SPLIT-LEAKAGE audit: near-dup pairs rolled up by unordered
     // train/val/test split pair — off-diagonal cells are eval leakage
     // (hash splitting can't stop near-dups landing on both sides)
@@ -2329,6 +2359,65 @@ object SparkEntry {
          |    ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= 5)
          |SELECT a, b, CAST(dist AS INT) AS dist FROM p
          |WHERE dist <= 5 ORDER BY a, b""".stripMargin,
+
+    // same md5 bucket, same per-side filters and revision, digest compare
+    // through DuckDB's own md5
+    "q140_snapshot_diff" -> {
+      val bucket =
+        s"${ops.DetHash.sqlMd5Hash60("'snap|' || CAST(doc_id AS VARCHAR)")} % 10"
+      s"""WITH b AS (SELECT doc_id, text, $bucket AS b FROM documents),
+         |o AS (SELECT doc_id, md5(text) AS digest_old FROM b WHERE b <> 0),
+         |n AS (SELECT doc_id,
+         |    md5(CASE WHEN b = 2 THEN text || ' [rev2]' ELSE text END)
+         |      AS digest_new
+         |  FROM b WHERE b <> 1)
+         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |       WHEN n.doc_id IS NULL THEN 'removed'
+         |       WHEN o.digest_old = n.digest_new THEN 'unchanged'
+         |       ELSE 'changed' END AS status,
+         |  o.digest_old, n.digest_new
+         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // the shared quality expression micro-floored once, then DuckDB's
+    // median (avg-of-two-middles, same as the histogram median) replays
+    // med/dev/MAD — every step exact IEEE, no second quantize
+    "q139_mad_outliers" ->
+      s"""WITH q AS (SELECT doc_id, source, $qualitySqlExpr AS quality
+         |  FROM documents),
+         |s AS (SELECT doc_id, source,
+         |    CAST(floor(1e6 * quality) AS BIGINT) AS q_micro FROM q),
+         |m AS (SELECT source, CAST(median(q_micro) AS DOUBLE) AS med_micro
+         |  FROM s GROUP BY source),
+         |d AS (SELECT s.doc_id, s.source, s.q_micro, m.med_micro,
+         |    abs(s.q_micro - m.med_micro) AS dev_micro
+         |  FROM s JOIN m ON s.source IS NOT DISTINCT FROM m.source),
+         |md AS (SELECT source, CAST(median(dev_micro) AS DOUBLE) AS mad_micro
+         |  FROM d GROUP BY source)
+         |SELECT d.doc_id, d.source, d.q_micro, d.med_micro, md.mad_micro,
+         |  d.dev_micro, d.dev_micro > 3 * md.mad_micro AS outlier
+         |FROM d JOIN md ON d.source IS NOT DISTINCT FROM md.source
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // q136's brute-force pair set closed transitively by the q38
+    // recursive-CTE shape, min-id representative per component
+    "q138_edit_dedup_summary" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, text, length(text) AS len FROM documents),
+         |pr AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM d a JOIN d b
+         |    ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= 5
+         |  WHERE levenshtein(a.text, b.text) <= 5),
+         |e AS (SELECT a AS x, b AS y FROM pr UNION ALL SELECT b, a FROM pr),
+         |reach AS (
+         |  SELECT doc_id AS x, doc_id AS comp FROM documents
+         |  UNION
+         |  SELECT e.x, r.comp FROM e JOIN reach r ON r.x = e.y),
+         |cc AS (SELECT x, min(comp) AS comp FROM reach GROUP BY x)
+         |SELECT comp AS keep_id, count(*) AS n_docs FROM cc
+         |GROUP BY comp ORDER BY keep_id""".stripMargin,
 
     // q22's brute-force pair set + q42's split CASE per side + the
     // least/greatest unordered rollup — every cell an integer fact

@@ -1073,16 +1073,19 @@ object DedupOps {
     * `levenshtein(l, r, maxDist)` (O(len·maxDist) per pair, -1 over
     * threshold), after the |len_a - len_b| <= maxDist length filter.
     *
-    * Scale shape: gram hashing is map-only HOFs over substrings (no
-    * per-char rows); the only corpus-sized shuffles are the (gram, id)
-    * inverted index and the per-id prefix sort; the self-join touches only
-    * prefix postings — the rarest q·maxDist+1 grams per doc — with `maxDf`
-    * dropping postings hotter than the cap (the standard skew guard; a
-    * pair whose every shared prefix gram is over the cap is missed — same
-    * trade as [[jaccardPairsPrefix]]). The brute leg is quadratic only
-    * within a length band OF DEGENERATE DOCS (<= 2·q·maxDist distinct
-    * grams); a corpus of millions of near-empty docs should dedup exactly
-    * first ([[exactDedup]]), which collapses those bands.
+    * Scale shape: gram hashing is ONE native codegen call per row
+    * ([[graft.functions.CharGramHashes]] — no per-char rows, no
+    * interpreted HOF); the only corpus-sized shuffles are the (gram, id)
+    * inverted index and the per-id prefix sort; the self-join keys on
+    * (gram, length band) — the rarest q·maxDist+1 grams per doc, split by
+    * Ed-Join's length filter so low-diversity corpora can't degenerate to
+    * all-pairs postings — with `maxDf` dropping (gram, band) postings
+    * hotter than the cap (the standard skew guard; a pair whose every
+    * shared prefix gram is over the cap is missed — same trade as
+    * [[jaccardPairsPrefix]]). The brute leg is quadratic only within a
+    * length band OF DEGENERATE DOCS (<= 2·q·maxDist distinct grams); a
+    * corpus of millions of near-empty docs should dedup exactly first
+    * ([[exactDedup]]), which collapses those bands.
     */
   def editDistancePairs(df: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", maxDist: Int = 5,
@@ -1092,14 +1095,18 @@ object DedupOps {
     require(q >= 2, "char q-grams need q >= 2")
     val prefLen = q * maxDist + 1
     val text = col(textCol)
-    val gv = array_distinct(
-      when(length(text) >= q,
-        transform(sequence(lit(1), length(text) - q + 1),
-          i => DetHash.md5Hash60(text.substr(i, lit(q)))))
-        .otherwise(array().cast("array<bigint>")))
+    // distinct gram hashes in ONE native codegen call per row
+    // ([[graft.functions.CharGramHashes]] — an interpreted HOF transform
+    // with a per-window digest was the bench bottleneck); deliberately
+    // outside the md5 determinism layer: the oracle is a brute-force
+    // levenshtein join and never recomputes gram hashes
+    val gv = {
+      import org.apache.spark.sql.graft.bridge
+      bridge.column(graft.functions.CharGramHashes(bridge.expression(text), q))
+    }
     // two projections, not gv + size(gv) side by side: CollapseProject
     // declines to inline a non-cheap expression into multiple references,
-    // so the md5 gram transform stays single-evaluation per row
+    // so the gram extraction stays single-evaluation per row
     val base = scope.register(
       df.select(col(idCol).as("id"), text.as("t"),
           length(text).as("len"), gv.as("gv"))
@@ -1107,21 +1114,37 @@ object DedupOps {
           size(col("gv")).as("ng")))
 
     // prefix leg: global (df asc, value asc) order over the indexed
-    // population, first q·maxDist+1 values per doc
+    // population, first q·maxDist+1 values per doc. The join key is
+    // (gram, LENGTH BAND), not the gram alone — qualifying pairs satisfy
+    // |len_a − len_b| <= maxDist, so Ed-Join's length filter belongs IN
+    // candidate generation: on a low-gram-diversity corpus (the synthetic
+    // fixture has ~400 distinct trigrams) gram-only postings degenerate
+    // toward all-pairs (measured 8.5M candidates at sf0.1; banding cuts
+    // them ~25x). Left emits its own band, right emits band−1/band/band+1:
+    // every in-threshold pair meets on exactly one (gram, band) key.
     val rows = base.filter(col("ng") >= prefLen)
-      .select(col("id"), explode(col("gv")).as("g"))
+      .select(col("id"), col("len"), explode(col("gv")).as("g"))
     val dfc = rows.groupBy(col("g")).agg(count(lit(1)).as("g_df"))
+    val band = floor(col("len") / (maxDist + 1))
+    // rank window, not collect_list+sort_array: the rn <= prefLen filter
+    // becomes a WindowGroupLimit per-partition heap (no full per-doc sort,
+    // no interpreted struct-array sort), and the window is id-partitioned —
+    // never corpus-wide
+    val wid = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("g_df"), col("g"))
     val pref = scope.register(rows.join(dfc, Seq("g"))
-      .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("g_df"), col("g")))).as("st"))
-      .select(col("id"),
-        explode(slice(transform(col("st"), x => x("g")), 1, prefLen)).as("g")))
-    val hot = pref.groupBy(col("g")).agg(count(lit(1)).as("pref_df"))
-      .filter(col("pref_df") > maxDf)
-    val capped = pref.join(broadcast(hot), Seq("g"), "left_anti")
-    val candPrefix = capped.select(col("g"), col("id").as("a"))
-      .join(capped.select(col("g"), col("id").as("b")), Seq("g"))
-      .filter(col("a") < col("b")).select(col("a"), col("b"))
+      .withColumn("rn", row_number().over(wid)).filter(col("rn") <= prefLen)
+      .select(col("id"), col("len"), band.as("band"), col("g")))
+    val hot = pref.groupBy(col("g"), col("band"))
+      .agg(count(lit(1)).as("pref_df")).filter(col("pref_df") > maxDf)
+    val left = pref.join(broadcast(hot), Seq("g", "band"), "left_anti")
+      .select(col("g"), col("band").as("bk"), col("id").as("a"), col("len").as("la"))
+    val right = pref.join(broadcast(hot), Seq("g", "band"), "left_anti")
+      .select(col("g"), col("id").as("b"), col("len").as("lb"),
+        explode(array(col("band") - 1, col("band"), col("band") + 1)).as("bk"))
+    val candPrefix = left.join(right, Seq("g", "bk"))
+      .filter(col("a") < col("b") && abs(col("la") - col("lb")) <= maxDist)
+      .select(col("a"), col("b"))
 
     // brute leg: length-banded all-pairs over degenerate docs only
     val shorts = base.filter(col("ng") <= 2 * q * maxDist)
@@ -1144,6 +1167,35 @@ object DedupOps {
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("a"), col("b"), col("dist"))
   }
+
+  /** Transitive closure of [[editDistancePairs]]: (doc_id, comp) where
+    * comp is the minimum id reachable through chains of <= `maxDist`-edit
+    * links — the character-level twin of [[nearDupClusters]], needed for
+    * the same reason: version chains (v1 ~ v2 ~ v3 each within d edits,
+    * v1 vs v3 beyond d) must still dedup to ONE representative.
+    */
+  def editDistanceClusters(df: DataFrame, textCol: String = "text",
+                           idCol: String = "doc_id", maxDist: Int = 5,
+                           q: Int = 3,
+                           scope: CacheScope = CacheScope.default): DataFrame = {
+    // register the verified pair edges: clusters + a retention summary over
+    // the same corpus plan an identical subtree, served from this cache
+    val pairs = scope.register(
+      editDistancePairs(df, textCol, idCol, maxDist, q, scope = scope))
+    GraphOps.connectedComponents(pairs, df.select(col(idCol)), idCol)
+  }
+
+  /** Edit-distance dedup retention: one row per [[editDistanceClusters]]
+    * component with the representative (minimum) id and the member count —
+    * the [[nearDedupSummary]] convention on the character-level family.
+    */
+  def editDedupSummary(df: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id", maxDist: Int = 5,
+                       q: Int = 3,
+                       scope: CacheScope = CacheScope.default): DataFrame =
+    editDistanceClusters(df, textCol, idCol, maxDist, q, scope)
+      .groupBy(col("comp")).agg(count(lit(1)).as("n_docs"))
+      .select(col("comp").as("keep_id"), col("n_docs"))
 
   /** Cross-source duplicate LEAKAGE matrix — "is source X scraping source
     * Y": the verified near-dup pair set ([[minHashVerifiedPairs]]) rolled

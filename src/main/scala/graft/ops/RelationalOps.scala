@@ -416,6 +416,33 @@ object RelationalOps {
         ((col("v_lo") + col("v_hi")) / 2).as("median"))
   }
 
+  /** Corpus SNAPSHOT DIFF — the incremental-crawl bookkeeping every
+    * recurring ingest needs (what changed between crawl N and crawl N+1,
+    * before any re-processing is scheduled): per doc id, `status` ∈
+    * added (only in `newDf`) / removed (only in `oldDf`) / changed (both,
+    * content digest differs) / unchanged, with both digests carried for
+    * audit. Drives delta processing: only added+changed docs re-enter the
+    * dedup/quality tiers, and removed ids tombstone out of the persisted
+    * indexes.
+    *
+    * Scale shape: each side reduces to (id, 16-byte digest) in a map pass;
+    * ONE id-keyed full-outer join — never the texts. With both snapshots
+    * id-bucketed ([[graft.sources.Bucketing]]) the join is exchange-free.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"), md5(col(textCol)).as("digest_old"))
+    val n = newDf.select(col(idCol).as("id"), md5(col(textCol)).as("digest_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("digest_old").isNull, lit("added"))
+          .when(col("digest_new").isNull, lit("removed"))
+          .when(col("digest_old") === col("digest_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("digest_old"), col("digest_new"))
+  }
+
   /** Deterministic stratified sampling — the data-mixing primitive: keep a
     * per-stratum fraction of rows (basis points out of 10,000, e.g.
     * upsample head languages, downsample boilerplate sources), selected by

