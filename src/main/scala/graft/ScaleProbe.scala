@@ -117,7 +117,21 @@ object ScaleProbe {
       // replication multiplies cell populations 10×: the honest worst case
       // for the within-cell quadratic term (scale path = raise nCells)
       "semDedup" -> (() => run(SimilarityOps.semDedup(emb, nCells = 8,
-        minCos = 0.4, scope = scope)))
+        minCos = 0.4, scope = scope))),
+      // native per-row expression: should scale with the scan alone
+      "charEntropyReport" -> (() => run(graft.ops.TextOps.charEntropyReport(docs))),
+      // replication makes every doc a factor-clique of exact copies —
+      // pair output grows ~factor² per original pair (the q21/q125 class);
+      // candidate gen itself is (gram, band)-bounded
+      "editDistancePairs" -> (() => run(DedupOps.editDistancePairs(docs, scope = scope))),
+      // two histogram-median passes: the (source, micro-value) shuffle is
+      // value-bounded, so replication should show up only in the scan/scoring
+      "madQualityOutliers" -> (() => run(graft.ops.TextOps.madQualityOutliers(docs, scope = scope))),
+      // digest-only full-outer join on id — linear by construction
+      "snapshotDiff" -> (() => run(graft.ops.RelationalOps.snapshotDiff(
+        docs, docs.withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [rev]")))
+            .otherwise(col("text"))))))
     ).filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, f) =>
         val t0 = System.nanoTime()
