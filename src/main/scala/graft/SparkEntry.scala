@@ -803,6 +803,27 @@ object SparkEntry {
       DedupOps.editDedupSummary(t(s, d, "documents"), maxDist = 5)
         .orderBy(col("keep_id"))),
 
+    // sliding-window CHUNKING (the other half of training-data layout vs
+    // q141's concat-and-pack sibling packSequences): overlap-strided
+    // windows per doc, map-only, the shape that streams at scan speed
+    "q141_chunk_docs" -> ((s, d) =>
+      TextOps.chunkDocs(t(s, d, "documents"), chunkTokens = 12, overlap = 3)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // WEIGHTED sampling without replacement (Efraimidis–Spirakis):
+    // exponential race keys from seeded hashes, k smallest win — P(select)
+    // ∝ n_chars, derandomized so the sample is a replayable fact
+    "q142_weighted_sample" -> ((s, d) =>
+      RelationalOps.weightedSample(t(s, d, "documents"),
+        col("n_chars"), k = 100)),
+
+    // FILL-IN-THE-MIDDLE transform (Bavarian 2022): deterministic 50% of
+    // docs rewritten to <PRE> p <SUF> s <MID> m token order — hash-derived
+    // split points make the augmentation a pure per-row function
+    "q143_fim_transform" -> ((s, d) =>
+      TextOps.fimTransform(t(s, d, "documents"))
+        .orderBy(col("doc_id"))),
+
     // SPLIT-LEAKAGE audit: near-dup pairs rolled up by unordered
     // train/val/test split pair — off-diagonal cells are eval leakage
     // (hash splitting can't stop near-dups landing on both sides)
@@ -2418,6 +2439,59 @@ object SparkEntry {
          |cc AS (SELECT x, min(comp) AS comp FROM reach GROUP BY x)
          |SELECT comp AS keep_id, count(*) AS n_docs FROM cc
          |GROUP BY comp ORDER BY keep_id""".stripMargin,
+
+    // overlap-strided windows replayed with range/list-slice; the trailing
+    // start suppression (start = 0 OR start < n - overlap) matches verbatim
+    "q141_chunk_docs" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |st AS (SELECT doc_id, toks, len(toks) AS n,
+         |    unnest(range(0, len(toks), 9)) AS start FROM tk)
+         |SELECT doc_id, CAST(start // 9 AS INT) AS chunk_idx, start,
+         |  least(12, n - start) AS n_tokens,
+         |  array_to_string(
+         |    toks[CAST(start + 1 AS INT):CAST(least(start + 12, n) AS INT)],
+         |    ' ') AS chunk_text
+         |FROM st WHERE start = 0 OR start < n - 3
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // the exponential race key -ln(u)/w from the same seeded hash stream,
+    // nano-floored before the compare; k smallest with id tiebreak
+    "q142_weighted_sample" -> {
+      val hm =
+        s"${ops.DetHash.sqlMd5Hash60("'wsamp|' || CAST(doc_id AS VARCHAR)")} % 2147483647"
+      s"""WITH h AS (SELECT doc_id, n_chars, $hm AS hm
+         |  FROM documents WHERE n_chars > 0)
+         |SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         |  CAST(floor(-ln((hm + 1) / 2147483648.0)
+         |    / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS key_nano
+         |FROM h ORDER BY key_nano, doc_id LIMIT 100""".stripMargin
+    },
+
+    // hash-derived rate draw and split points, PSM reassembly via list
+    // slices — the transform is a pure per-row function both engines share
+    "q143_fim_transform" -> {
+      def hq(tag: String) =
+        ops.DetHash.sqlMd5Hash60(s"'fim$tag|' || CAST(doc_id AS VARCHAR)")
+      // COALESCE around each slice join: DuckDB's array_to_string([]) is
+      // NULL where Spark's array_join([]) is '' — empty prefix/middle/
+      // suffix segments are legitimate (p=0, m=0, or p+m=n draws)
+      s"""WITH tk AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |sp AS (SELECT doc_id, text, toks, len(toks) AS n,
+         |    ${hq("0")} % 100 < 50 AS fim_applied,
+         |    ${hq("1")} % (len(toks) + 1) AS p_len
+         |  FROM tk),
+         |sp2 AS (SELECT *, ${hq("2")} % (n - p_len + 1) AS m_len FROM sp)
+         |SELECT doc_id, n AS n_tokens, fim_applied, p_len, m_len,
+         |  CASE WHEN fim_applied THEN
+         |    '<PRE> ' || COALESCE(
+         |      array_to_string(toks[1:CAST(p_len AS INT)], ' '), '')
+         |    || ' <SUF> ' || COALESCE(array_to_string(
+         |      toks[CAST(p_len + m_len + 1 AS INT):CAST(n AS INT)], ' '), '')
+         |    || ' <MID> ' || COALESCE(array_to_string(
+         |      toks[CAST(p_len + 1 AS INT):CAST(p_len + m_len AS INT)], ' '), '')
+         |  ELSE text END AS fim_text
+         |FROM sp2 ORDER BY doc_id""".stripMargin
+    },
 
     // q22's brute-force pair set + q42's split CASE per side + the
     // least/greatest unordered rollup — every cell an integer fact

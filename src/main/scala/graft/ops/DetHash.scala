@@ -91,6 +91,12 @@ object DetHash {
     s"CASE WHEN len($th) < $k THEN [] ELSE list_transform(range(1, len($th) - ${k - 2}), i -> $horner) END"
   }
 
+  /** Driver-side twin of [[md5Hash60]]/[[sqlMd5Hash60]]: the same 60-bit
+    * hash computed on the JVM, for test replays and driver-side constants.
+    */
+  def jvmMd5Hash60(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s).substring(0, hexLen), 16)
+
   /** Driver-side md5 of a string (same bytes as Spark/DuckDB `md5`). */
   private def md5Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")

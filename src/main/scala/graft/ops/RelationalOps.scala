@@ -599,6 +599,39 @@ object RelationalOps {
         expr("(max_c * 10000) div n_rows").as("top1_share_bp"))
   }
 
+  /** Weighted sampling WITHOUT replacement of exactly `k` rows, one pass,
+    * no replacement bookkeeping: the Efraimidis–Spirakis reservoir scheme
+    * (IPL 2006) with the randomness derandomized through
+    * [[DetHash.md5Hash60]]. Each row draws u ∈ (0, 1] from its seeded id
+    * hash and competes on the exponential race key e = −ln(u)/w — taking
+    * the k SMALLEST keys selects each row with probability proportional to
+    * its weight, exactly as the classical u^(1/w) top-k does (monotone
+    * transform), but with the numerically tame form. The key is floored to
+    * nano units before the comparison (the cross-engine float contract) and
+    * ties break on id, so the sample is a total-order fact any engine
+    * replays bit-identically — a `rand()`-based sampler can't be audited or
+    * resumed; this one is a pure function of (seed, id, weight).
+    *
+    * Scale shape: the key is map-only; the global smallest-k resolves as
+    * TakeOrderedAndProject (a k-heap per partition, k rows per partition to
+    * the driver) — no shuffle of the corpus, no global sort. Rows with
+    * non-positive weight never qualify (P(select) ∝ w → 0).
+    */
+  def weightedSample(df: DataFrame, weightCol: Column, k: Int,
+                     seed: String = "wsamp",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val h = pmod(DetHash.md5Hash60(
+      concat(lit(s"$seed|"), col(idCol).cast("string"))), lit(DetHash.P))
+    val u = (h + 1L).cast("double") / lit((DetHash.P + 1L).toDouble)
+    df.filter(weightCol > 0)
+      .select(col(idCol), weightCol.cast("long").as("weight"),
+        floor(-log(u) / weightCol.cast("double") * 1e9).cast("long")
+          .as("key_nano"))
+      .orderBy(col("key_nano"), col(idCol))
+      .limit(k)
+  }
+
   /** Top-k per group via ranking window (partitioned — never a global
     * single-partition sort). Deterministic given a total tiebreak ordering.
     */

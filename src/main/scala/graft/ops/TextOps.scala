@@ -1197,6 +1197,46 @@ object TextOps {
           .as("chunk_text"))
   }
 
+  /** Fill-in-the-middle transformation (Bavarian 2022, "Efficient Training
+    * of Language Models to Fill in the Middle"): rewrite a deterministic
+    * `ratePct`% of documents into PSM order — `<PRE> prefix <SUF> suffix
+    * <MID> middle` — so the model learns infilling from the same corpus.
+    * Split points are token-level and hash-derived (NOT random): the
+    * doc-rate draw, the prefix length p ∈ [0, n] and the middle length
+    * m ∈ [0, n−p] each come from an independent seeded [[DetHash.md5Hash60]]
+    * stream keyed by doc id, so the transform is a pure per-row function —
+    * replayable verbatim by a SQL oracle and bit-stable across runs (the
+    * property a resumable 100 TB preprocessing job needs; a `rand()`-based
+    * FIM cannot be checkpoint-recovered without persisting its draws).
+    * Untransformed docs pass through with `fim_applied = false`.
+    *
+    * Scale shape: entirely map-only — three hash mods, three array slices,
+    * one conditional concat per row; no shuffle, fuses into the scan.
+    */
+  def fimTransform(documents: DataFrame, ratePct: Int = 50,
+                   seed: String = "fim", textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(ratePct >= 0 && ratePct <= 100, s"ratePct in [0,100], got $ratePct")
+    def h(tag: String) = DetHash.md5Hash60(
+      concat(lit(s"$seed$tag|"), col(idCol).cast("string")))
+    val n = size(col("toks")).cast("long")
+    def joined(start: Column, len: Column) =
+      array_join(slice(col("toks"), (start + 1).cast("int"), len.cast("int")), " ")
+    documents
+      .select(col(idCol), col(textCol), tokens(col(textCol)).as("toks"))
+      .withColumn("fim_applied", pmod(h("0"), lit(100L)) < ratePct)
+      .withColumn("p_len", pmod(h("1"), n + 1L))
+      .withColumn("m_len", pmod(h("2"), n - col("p_len") + 1L))
+      .select(col(idCol), n.as("n_tokens"), col("fim_applied"),
+        col("p_len"), col("m_len"),
+        when(col("fim_applied"),
+          concat(lit("<PRE> "), joined(lit(0L), col("p_len")),
+            lit(" <SUF> "), joined(col("p_len") + col("m_len"),
+              n - col("p_len") - col("m_len")),
+            lit(" <MID> "), joined(col("p_len"), col("m_len"))))
+          .otherwise(col(textCol)).as("fim_text"))
+  }
+
   // ---- BPE merge-table training ----
 
   /** Record separator (U+001E) used as the symbol delimiter in BPE

@@ -2163,6 +2163,63 @@ class OpsSpec extends SparkTestBase {
     assert(TextOps.chunkDocs(sixty, 64, 8).count() === 1)
   }
 
+  test("weightedSample: exactly k, matches driver-side replay, weight-monotone") {
+    val docs = Tables(spark, SparkTestBase.sf001, "documents")
+    val got = RelationalOps.weightedSample(docs, col("n_chars"), k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 20)
+    // driver-side replay of the exponential race over the full table must
+    // produce the identical smallest-k set in the identical order
+    val all = docs.select(col("doc_id"), col("n_chars").cast("long")).collect()
+      .map { r =>
+        val id = r.getLong(0); val w = r.getLong(1)
+        val hm = ops.DetHash.jvmMd5Hash60(s"wsamp|$id") % ops.DetHash.P
+        val u = (hm + 1).toDouble / (ops.DetHash.P + 1).toDouble
+        (id, w, math.floor(-math.log(u) / w.toDouble * 1e9).toLong)
+      }
+    val expect = all.sortBy(t => (t._3, t._1)).take(20).toSeq
+    assert(got.toSeq === expect)
+    // larger weight ⇒ stochastically smaller keys: the sampled docs' mean
+    // weight must exceed the corpus mean (clear margin at these sizes)
+    val corpusMean = all.map(_._2).sum.toDouble / all.length
+    val sampleMean = got.map(_._2).sum.toDouble / got.length
+    assert(sampleMean > corpusMean)
+    // non-positive weights never qualify
+    val withZero = docs.withColumn("w0",
+      when(col("doc_id") < 100, lit(0)).otherwise(col("n_chars")))
+    val z = RelationalOps.weightedSample(withZero, col("w0"), k = 500)
+    assert(z.filter(col("doc_id") < 100).count() === 0)
+  }
+
+  test("fimTransform: PSM reassembly is a permutation; rate draw honored") {
+    val docs = Tables(spark, SparkTestBase.sf001, "documents")
+    val out = TextOps.fimTransform(docs).collect()
+    assert(out.length === docs.count())
+    val applied = out.filter(_.getBoolean(2))
+    assert(applied.nonEmpty && applied.length < out.length)
+    val orig = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val (id, n, app) = (r.getLong(0), r.getLong(1), r.getBoolean(2))
+      val (p, m, txt) = (r.getLong(3), r.getLong(4), r.getString(5))
+      val toks = orig(id).trim.split("\\s+").toSeq
+      assert(n === toks.length && p + m <= n)
+      if (!app) assert(txt === orig(id))
+      else {
+        // <PRE> prefix <SUF> suffix <MID> middle, token-exact
+        val expect = "<PRE> " + toks.take(p.toInt).mkString(" ") +
+          " <SUF> " + toks.drop((p + m).toInt).mkString(" ") +
+          " <MID> " + toks.slice(p.toInt, (p + m).toInt).mkString(" ")
+        assert(txt === expect)
+      }
+    }
+    // rate 0 / 100 are total
+    assert(TextOps.fimTransform(docs, ratePct = 0)
+      .filter(col("fim_applied")).count() === 0)
+    assert(TextOps.fimTransform(docs, ratePct = 100)
+      .filter(!col("fim_applied")).count() === 0)
+  }
+
   test("hashRankSample: exact target counts, deterministic nested subsets") {
     val df = Tables(spark, "/root/testdata/sf0.001", "documents")
     val langSizes = df.groupBy(col("lang")).count().collect()

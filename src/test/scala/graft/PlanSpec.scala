@@ -536,6 +536,21 @@ class PlanSpec extends SparkTestBase {
       s"only the output ORDER BY may sort globally, got: $globalSorts")
   }
 
+  test("q142 weighted sample: per-partition k-heaps, no shuffle, no global sort") {
+    val p = plan("q142_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "smallest-k must resolve as TakeOrderedAndProject (k-heap per partition)")
+    assert(!p.contains("Exchange"),
+      s"the race key is map-only and the heap needs no shuffle:\n${p.take(600)}")
+  }
+
+  test("q143 FIM transform: map-only; only the output ORDER BY exchanges") {
+    val p = plan("q143_fim_transform")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1,
+      s"per-row hash splits must not shuffle (got $exchanges exchanges)")
+  }
+
   test("q140 snapshot diff: digest-only full-outer join, texts never shuffle") {
     val p = plan("q140_snapshot_diff")
     assert(p.contains("FullOuter"), "diff must be one full-outer join on id")
