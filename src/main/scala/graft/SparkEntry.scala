@@ -824,6 +824,19 @@ object SparkEntry {
       TextOps.fimTransform(t(s, d, "documents"))
         .orderBy(col("doc_id"))),
 
+    // HEAPS'-LAW vocab growth: distinct token types seen by each tenth of
+    // the id-ordered token stream — does-vocabulary-saturate, via per-type
+    // first-occurrence positions (two-level prefix sum, one token agg)
+    "q144_vocab_growth" -> ((s, d) =>
+      TextOps.vocabGrowth(t(s, d, "documents"))),
+
+    // T5 SPAN CORRUPTION (Raffel 2020): hash-chosen spans masked, runs
+    // collapse to numbered <Xk> sentinels, input/target built in ONE
+    // map-side fold — the denoising objective as a pure per-row function
+    "q145_span_corrupt" -> ((s, d) =>
+      TextOps.spanCorrupt(t(s, d, "documents"))
+        .orderBy(col("doc_id"))),
+
     // SPLIT-LEAKAGE audit: near-dup pairs rolled up by unordered
     // train/val/test split pair — off-diagonal cells are eval leakage
     // (hash splitting can't stop near-dups landing on both sides)
@@ -2491,6 +2504,60 @@ object SparkEntry {
          |      toks[CAST(p_len + 1 AS INT):CAST(p_len + m_len AS INT)], ' '), '')
          |  ELSE text END AS fim_text
          |FROM sp2 ORDER BY doc_id""".stripMargin
+    },
+
+    // global positions via a literal window cumsum over doc order, per-type
+    // min position, the same ceil checkpoint integer, grid left join
+    "q144_vocab_growth" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |nt AS (SELECT doc_id, toks, len(toks) AS nt FROM tk),
+         |off AS (SELECT doc_id, toks, nt, COALESCE(sum(nt) OVER (
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND 1 PRECEDING), 0) AS off FROM nt),
+         |pos AS (SELECT off, toks, unnest(range(1, nt + 1)) AS i FROM off),
+         |fp AS (SELECT toks[CAST(i AS INT)] AS tok,
+         |    min(off + i - 1) AS first_pos FROM pos GROUP BY 1),
+         |tot AS (SELECT sum(nt) AS total_tokens FROM nt),
+         |nv AS (SELECT CAST((10 * (first_pos + 1) + total_tokens - 1)
+         |      // total_tokens AS INT) AS checkpoint,
+         |    count(*) AS new_types
+         |  FROM fp, tot GROUP BY 1),
+         |grid AS (SELECT CAST(unnest(range(1, 11)) AS INT) AS checkpoint,
+         |    total_tokens FROM tot)
+         |SELECT g.checkpoint,
+         |  (g.total_tokens * g.checkpoint) // 10 AS cutoff_tokens,
+         |  COALESCE(nv.new_types, 0) AS new_types,
+         |  sum(COALESCE(nv.new_types, 0)) OVER (ORDER BY g.checkpoint
+         |    ROWS UNBOUNDED PRECEDING) AS vocab_size
+         |FROM grid g LEFT JOIN nv USING (checkpoint)
+         |ORDER BY g.checkpoint""".stripMargin,
+
+    // per-span mask draw, run starts via lag, sentinel numbers via a
+    // cumulative run count, strings via ordered string_agg of pieces
+    "q145_span_corrupt" -> {
+      val hq = ops.DetHash.sqlMd5Hash60(
+        "'t5|' || CAST(doc_id AS VARCHAR) || '|' || CAST((i - 1) // 3 AS VARCHAR)")
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |pos AS (SELECT doc_id, toks, len(toks) AS n,
+         |    unnest(range(1, len(toks) + 1)) AS i FROM tk),
+         |tok AS (SELECT doc_id, n, i, toks[CAST(i AS INT)] AS tok,
+         |    $hq % 100 < 15 AS m FROM pos),
+         |r AS (SELECT *, m AND NOT COALESCE(lag(m) OVER (
+         |    PARTITION BY doc_id ORDER BY i), false) AS run_start FROM tok),
+         |k AS (SELECT *, sum(CASE WHEN run_start THEN 1 ELSE 0 END) OVER (
+         |    PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) - 1
+         |      AS kidx FROM r)
+         |SELECT doc_id, max(n) AS n_tokens,
+         |  CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+         |  CAST(sum(CASE WHEN run_start THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_spans,
+         |  COALESCE(string_agg(CASE WHEN NOT m THEN tok
+         |      WHEN run_start THEN '<X' || kidx || '>' END,
+         |    ' ' ORDER BY i), '') AS input_text,
+         |  COALESCE(string_agg(CASE WHEN m THEN
+         |      CASE WHEN run_start THEN '<X' || kidx || '> ' || tok
+         |        ELSE tok END END, ' ' ORDER BY i), '') AS target_text
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     // q22's brute-force pair set + q42's split CASE per side + the

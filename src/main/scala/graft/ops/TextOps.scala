@@ -1237,6 +1237,128 @@ object TextOps {
           .otherwise(col(textCol)).as("fim_text"))
   }
 
+  /** Heaps'-law vocabulary growth curve: lay the corpus out as one token
+    * stream in `idCol` order, cut it into `nCheckpoints` equal prefixes,
+    * and report the number of DISTINCT token types seen by each checkpoint
+    * — the does-vocabulary-saturate signal that sizes tokenizers and
+    * detects template corpora (a flat tail = no new types = the corpus is
+    * repeating itself). Per type the curve needs only its FIRST global
+    * occurrence position; the checkpoint a type first lands in is the pure
+    * integer `ceil(n·(first_pos+1)/total)`, so the whole curve is exact and
+    * engine-replayable. Checkpoints with no new types still emit (0).
+    *
+    * Scale shape: global positions via the two-level chunk prefix sum (no
+    * single-partition window over docs); one (token) aggregation for first
+    * positions; the curve itself is ≤ nCheckpoints rows. The per-type
+    * min-position aggregation is the only corpus-sized shuffle.
+    */
+  def vocabGrowth(documents: DataFrame, nCheckpoints: Int = 10,
+                  chunkSize: Int = 4096, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nCheckpoints >= 1, s"need nCheckpoints >= 1, got $nCheckpoints")
+    val nt = documents
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .withColumn("nt", size(col("toks")).cast("long"))
+      .withColumn("chunk", floor(col("id") / chunkSize).cast("long"))
+    val baseW = Window.orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = nt.groupBy(col("chunk")).agg(sum(col("nt")).as("ct"))
+      .withColumn("base", coalesce(sum(col("ct")).over(baseW), lit(0L)))
+      .select(col("chunk"), col("base"))
+    val inW = Window.partitionBy(col("chunk")).orderBy(col("id"))
+    val withOff = nt.join(broadcast(bases), Seq("chunk"))
+      .withColumn("off", col("base") + sum(col("nt")).over(inW) - col("nt"))
+    val firsts = withOff
+      .select(col("off"), posexplode(col("toks")).as(Seq("p", "tok")))
+      .groupBy(col("tok"))
+      .agg(min(col("off") + col("p")).as("first_pos"))
+    val total = nt.agg(sum(col("nt")).as("total_tokens"))
+    val newTypes = firsts.crossJoin(broadcast(total))
+      // smallest d with first_pos < (total*d) div n = ceil(n(fp+1)/total) —
+      // `div` keeps it exact integer arithmetic (no double quotient)
+      .withColumn("checkpoint",
+        expr(s"CAST((${nCheckpoints}L * (first_pos + 1) + total_tokens - 1)" +
+          " div total_tokens AS INT)"))
+      .groupBy(col("checkpoint")).agg(count(lit(1)).as("new_types"))
+    val grid = total.select(
+      explode(sequence(lit(1), lit(nCheckpoints))).as("checkpoint"),
+      col("total_tokens"))
+    val wCum = Window.orderBy(col("checkpoint"))
+      .rowsBetween(Window.unboundedPreceding, 0) // <= nCheckpoints rows
+    grid.join(newTypes, Seq("checkpoint"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .select(col("checkpoint"),
+        expr(s"(total_tokens * checkpoint) div $nCheckpoints")
+          .as("cutoff_tokens"),
+        col("new_types"),
+        sum(col("new_types")).over(wCum).as("vocab_size"))
+      .orderBy(col("checkpoint"))
+  }
+
+  /** T5-style SPAN CORRUPTION (Raffel 2020 §3.1.4): mask hash-chosen
+    * fixed-length token spans, emit the corrupted input (each masked run
+    * collapsed to ONE numbered sentinel `<Xk>`) and the denoising target
+    * (`<Xk>` followed by the span's tokens, per run) — the seq2seq
+    * denoising objective's data prep as a pure per-row function. The
+    * mask draw is per SPAN (`pos div spanLen`) from a seeded
+    * [[DetHash.md5Hash60]] stream, so adjacent masked spans merge into one
+    * run exactly as T5's span sampling does, and the whole transform
+    * replays from (seed, id) alone — resumable and SQL-auditable where a
+    * `rand()` corruption is neither.
+    *
+    * Scale shape: map-only — one md5 per SPAN (not per token) builds a
+    * mask array, then a single `aggregate` fold over token indices builds
+    * both output strings in one pass; no explode, no shuffle, fuses into
+    * the scan.
+    */
+  def spanCorrupt(documents: DataFrame, ratePct: Int = 15, spanLen: Int = 3,
+                  seed: String = "t5", textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    require(ratePct >= 0 && ratePct <= 100, s"ratePct in [0,100], got $ratePct")
+    require(spanLen >= 1, s"spanLen >= 1, got $spanLen")
+    val n = size(col("toks")).cast("long")
+    val nSpans = ((n + spanLen - 1L) / lit(spanLen.toLong)).cast("long")
+    val maskOfSpan = (s: Column) => pmod(DetHash.md5Hash60(
+      concat(lit(s"$seed|"), col(idCol).cast("string"), lit("|"),
+        s.cast("string"))), lit(100L)) < ratePct
+    val fold = aggregate(
+      sequence(lit(0L), n - 1L),
+      struct(lit("").as("inp"), lit("").as("tgt"),
+        lit(0L).as("k"), lit(false).as("prev")),
+      (acc, p) => {
+        val tok = element_at(col("toks"), (p + 1L).cast("int"))
+        val m = element_at(col("masks"),
+          (floor(p.cast("double") / spanLen) + 1L).cast("int"))
+        val runStart = m && !acc.getField("prev")
+        val kStr = acc.getField("k").cast("string")
+        struct(
+          when(!m, concat(acc.getField("inp"), lit(" "), tok))
+            .when(runStart, concat(acc.getField("inp"),
+              lit(" <X"), kStr, lit(">")))
+            .otherwise(acc.getField("inp")).as("inp"),
+          when(runStart, concat(acc.getField("tgt"),
+              lit(" <X"), kStr, lit("> "), tok))
+            .when(m, concat(acc.getField("tgt"), lit(" "), tok))
+            .otherwise(acc.getField("tgt")).as("tgt"),
+          (acc.getField("k") + when(runStart, 1L).otherwise(0L)).as("k"),
+          m.as("prev"))
+      })
+    documents
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("masks",
+        transform(sequence(lit(0L), nSpans - 1L), maskOfSpan))
+      .withColumn("n_masked",
+        size(filter(sequence(lit(0L), n - 1L), p => element_at(col("masks"),
+          (floor(p.cast("double") / spanLen) + 1L).cast("int"))))
+          .cast("long"))
+      .withColumn("__f", fold)
+      .select(col(idCol), n.as("n_tokens"), col("n_masked"),
+        col("__f").getField("k").as("n_spans"),
+        ltrim(col("__f").getField("inp")).as("input_text"),
+        ltrim(col("__f").getField("tgt")).as("target_text"))
+  }
+
   // ---- BPE merge-table training ----
 
   /** Record separator (U+001E) used as the symbol delimiter in BPE

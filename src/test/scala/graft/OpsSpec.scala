@@ -2220,6 +2220,66 @@ class OpsSpec extends SparkTestBase {
       .filter(!col("fim_applied")).count() === 0)
   }
 
+  test("vocabGrowth: exact curve on a hand corpus, chunk-invariant, zero rows kept") {
+    // doc order: [a b c d] [a b e f] [a a a a] — 12 tokens, 6 types
+    // first positions: a=0 b=1 c=2 d=3 e=6 f=7
+    val df = Seq((0L, "a b c d"), (1L, "a b e f"), (2L, "a a a a"))
+      .toDF("doc_id", "text")
+    val curve = TextOps.vocabGrowth(df, nCheckpoints = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // cutoffs 3,6,9,12: types first seen in (0..2]=3 {a,b,c}, (3..5]={d},
+    // (6..8]={e,f}, (9..12]=none
+    assert(curve.toSeq === Seq((1, 3L, 3L, 3L), (2, 6L, 1L, 4L),
+      (3, 9L, 2L, 6L), (4, 12L, 0L, 6L)))
+    // the two-level prefix sum must not depend on the chunking granularity
+    val c1 = TextOps.vocabGrowth(df, nCheckpoints = 4, chunkSize = 1).collect()
+    assert(c1.map(_.toSeq).toSeq === curve.map(t => Seq(t._1, t._2, t._3, t._4)))
+    // real corpus: monotone vocab, final = corpus distinct-type count
+    val docs = Tables(spark, SparkTestBase.sf001, "documents")
+    val real = TextOps.vocabGrowth(docs).collect()
+    val sizes = real.map(_.getLong(3)).toSeq
+    assert(sizes === sizes.sorted)
+    val distinctTypes = docs
+      .select(explode(TextOps.tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t"))).head.getLong(0)
+    assert(sizes.last === distinctTypes)
+  }
+
+  test("spanCorrupt: sentinel splice reconstructs the original; rate edges") {
+    val docs = Tables(spark, SparkTestBase.sf001, "documents")
+    val out = TextOps.spanCorrupt(docs).collect()
+    val orig = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.exists(_.getLong(3) > 0) && out.exists(_.getLong(3) === 0))
+    out.foreach { r =>
+      val (id, n, nMasked, nSpans) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val (inp, tgt) = (r.getString(4), r.getString(5))
+      val toks = orig(id).trim.split("\\s+").toSeq
+      assert(n === toks.length)
+      if (nSpans === 0L) {
+        assert(inp === toks.mkString(" ") && tgt === "" && nMasked === 0L)
+      } else {
+        // target parses as <X0> run0 <X1> run1 ...; splicing runs back into
+        // the input at their sentinels must reproduce the original text
+        val runs = tgt.split("<X\\d+> ").toSeq.drop(1).map(_.trim)
+        assert(runs.length === nSpans)
+        val spliced = runs.zipWithIndex.foldLeft(inp) { case (acc, (run, k)) =>
+          acc.replace(s"<X$k>", run)
+        }
+        assert(spliced === toks.mkString(" "))
+        assert(runs.map(_.split(" ").length).sum === nMasked)
+      }
+    }
+    // rate edges: 0 → untouched passthrough; 100 → one run swallowing all
+    val zero = TextOps.spanCorrupt(docs, ratePct = 0).collect()
+    assert(zero.forall(r => r.getLong(3) === 0L &&
+      r.getString(4) === orig(r.getLong(0)).trim.split("\\s+").mkString(" ")))
+    val full = TextOps.spanCorrupt(docs, ratePct = 100).collect()
+    assert(full.forall(r => r.getLong(3) === 1L &&
+      r.getString(4) === "<X0>" && r.getLong(2) === r.getLong(1)))
+  }
+
   test("hashRankSample: exact target counts, deterministic nested subsets") {
     val df = Tables(spark, "/root/testdata/sf0.001", "documents")
     val langSizes = df.groupBy(col("lang")).count().collect()

@@ -551,6 +551,21 @@ class PlanSpec extends SparkTestBase {
       s"per-row hash splits must not shuffle (got $exchanges exchanges)")
   }
 
+  test("q144 vocab growth: chunk offsets broadcast, one token-keyed aggregation") {
+    val p = plan("q144_vocab_growth")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "chunk base offsets and the totals row must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashAggregate"), "per-type first positions must hash-aggregate")
+  }
+
+  test("q145 span corruption: map-only fold; only the output ORDER BY exchanges") {
+    val p = plan("q145_span_corrupt")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1,
+      s"the corruption fold must not shuffle (got $exchanges exchanges)")
+  }
+
   test("q140 snapshot diff: digest-only full-outer join, texts never shuffle") {
     val p = plan("q140_snapshot_diff")
     assert(p.contains("FullOuter"), "diff must be one full-outer join on id")
