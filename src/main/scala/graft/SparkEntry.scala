@@ -824,6 +824,13 @@ object SparkEntry {
       TextOps.fimTransform(t(s, d, "documents"))
         .orderBy(col("doc_id"))),
 
+    // kNN-DENSITY outliers: cosine to the 5th nearest neighbor as a local
+    // density score, bottom-5%-by-value flagged via an exact micro-value
+    // histogram — isolated/off-distribution vectors, engine-replayable
+    "q146_knn_density" -> ((s, d) =>
+      SimilarityOps.knnDensityOutliers(t(s, d, "embeddings"))
+        .orderBy(col("vec_id"))),
+
     // HEAPS'-LAW vocab growth: distinct token types seen by each tenth of
     // the id-ordered token stream — does-vocabulary-saturate, via per-type
     // first-occurrence positions (two-level prefix sum, one token agg)
@@ -2505,6 +2512,27 @@ object SparkEntry {
          |  ELSE text END AS fim_text
          |FROM sp2 ORDER BY doc_id""".stripMargin
     },
+
+    // brute-force kth-NN per vector (the exact shared cosine kernel), then
+    // the identical micro value-histogram threshold and value-based flag
+    "q146_knn_density" ->
+      s"""WITH p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |    ${sqlCos("a", "b")} AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT qid, cos, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM p),
+         |kn AS (SELECT qid AS vec_id, cos AS knn_cos,
+         |    CAST(floor(cos * 1e6) AS BIGINT) AS knn_micro
+         |  FROM r WHERE rn = 5),
+         |t AS (SELECT count(*) AS n FROM kn),
+         |h AS (SELECT knn_micro, count(*) AS c FROM kn GROUP BY 1),
+         |cm AS (SELECT knn_micro, sum(c) OVER (ORDER BY knn_micro
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+         |thr AS (SELECT min(knn_micro) AS thr FROM cm, t
+         |  WHERE cum * 100 >= n * 5)
+         |SELECT k.vec_id, k.knn_cos, k.knn_micro,
+         |  k.knn_micro <= thr.thr AS low_density
+         |FROM kn k, thr ORDER BY k.vec_id""".stripMargin,
 
     // global positions via a literal window cumsum over doc order, per-type
     // min position, the same ceil checkpoint integer, grid left join

@@ -85,6 +85,44 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn").as("rank"))
   }
 
+  /** kNN-DENSITY outlier scoring: each vector's cosine to its k-th nearest
+    * neighbor (self excluded) as a local-density estimate — isolated
+    * vectors (mislabeled scrapes, encoding failures, off-distribution
+    * content) sit far even from their k-th neighbor, while dense regions
+    * score near 1. The `low_density` flag marks the bottom `bottomPct`% BY
+    * VALUE: the threshold is the smallest micro-quantized score whose
+    * cumulative count reaches ceil(n·pct/100) in an exact value histogram
+    * (ties included — value-based, so the flag set is engine-replayable;
+    * a row_number cut would need a corpus-wide total order instead).
+    *
+    * Scale shape: scoring reuses [[bruteForceTopK]]'s broadcast kernel —
+    * an AUDIT shape (all pairs); at corpus scale feed it an ANN candidate
+    * set (the persisted IVF tier) instead of the full cross. The threshold
+    * is a value histogram whose window is bounded by distinct micro scores
+    * (≤ 2·10^6), never by corpus size, and broadcasts back as one row.
+    */
+  def knnDensityOutliers(emb: DataFrame, k: Int = 5, bottomPct: Int = 5,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bottomPct >= 0 && bottomPct <= 100, s"bottomPct in [0,100]")
+    val knn = bruteForceTopK(emb, emb, k, idCol = idCol, vecCol = vecCol)
+      .filter(col("rank") === k)
+      .select(col("query_id").as(idCol), col("cos").as("knn_cos"),
+        floor(col("cos") * 1e6).cast("long").as("knn_micro"))
+    val tot = knn.agg(count(lit(1)).as("n"))
+    val wc = Window.orderBy(col("knn_micro"))
+      .rowsBetween(Window.unboundedPreceding, 0) // ≤ distinct micro values
+    val thr = knn.groupBy(col("knn_micro")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wc))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") * 100 >= col("n") * bottomPct)
+      .agg(min(col("knn_micro")).as("thr_micro"))
+    knn.crossJoin(broadcast(thr))
+      .select(col(idCol), col("knn_cos"), col("knn_micro"),
+        (col("knn_micro") <= col("thr_micro")).as("low_density"))
+  }
+
   /** HARD-NEGATIVE mining for contrastive training: per query, the k
     * nearest corpus vectors whose `labelCol` DIFFERS from the query's —
     * the semantically-closest wrong answers, which is exactly what a

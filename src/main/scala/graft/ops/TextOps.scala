@@ -1359,6 +1359,46 @@ object TextOps {
         ltrim(col("__f").getField("tgt")).as("target_text"))
   }
 
+  /** COMPRESSION-RATIO quality signal via a REAL codec: per document, the
+    * zlib (java.util.zip.Deflater, fixed level, default strategy) size of
+    * the UTF-8 text relative to its raw size, in integer percent —
+    * `ratio_centi = 100·deflated/raw` (`div`, exact). Degenerate or
+    * templated text deflates far below natural language (the Dolma/
+    * RefinedWeb-style "zlib ratio" filter); [[charEntropyReport]] is this
+    * signal's order-0 analytic proxy, this is the measured order-∞ one
+    * (deflate sees repeated PHRASES, not just character skew). Spec-gated
+    * rather than oracle-gated: the byte-exact deflate stream is a codec
+    * fact, not a relational one (a SQL engine can't replay it), and the
+    * ratio can shift across zlib builds — the tests pin closed-form
+    * extremes and the entropy correlation instead.
+    *
+    * Scale shape: mapPartitions, one Deflater reused per partition (reset
+    * per row), a fixed scratch buffer only COUNTED into — no compressed
+    * payload is materialized, so the pass costs CPU, not memory; map-only,
+    * fuses nothing but needs no shuffle.
+    */
+  def compressionRatio(documents: DataFrame, thresholdCenti: Int = 40,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    import documents.sparkSession.implicits._
+    documents.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val d = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](8192)
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          d.reset(); d.setInput(bytes); d.finish()
+          var total = 0L
+          while (!d.finished()) total += d.deflate(buf)
+          (id, bytes.length.toLong, total,
+            total * 100L / math.max(bytes.length.toLong, 1L))
+        }
+      }
+      .toDF(idCol, "n_bytes", "n_deflate", "ratio_centi")
+      .withColumn("low_complexity", col("ratio_centi") < thresholdCenti)
+  }
+
   // ---- BPE merge-table training ----
 
   /** Record separator (U+001E) used as the symbol delimiter in BPE

@@ -2280,6 +2280,71 @@ class OpsSpec extends SparkTestBase {
       r.getString(4) === "<X0>" && r.getLong(2) === r.getLong(1)))
   }
 
+  test("knnDensityOutliers: isolated vector flagged; threshold covers the target count") {
+    // 9 vectors in a tight cluster around e1, one orthogonal outlier
+    val cluster = (0 until 9).map { i =>
+      val v = Array.fill(4)(0.0f); v(0) = 1.0f; v(1) = 0.01f * i
+      (i.toLong, v)
+    }
+    val outlier = (99L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    val emb = (cluster :+ outlier).toDF("vec_id", "embedding")
+    val out = SimilarityOps.knnDensityOutliers(emb, k = 3, bottomPct = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(3))).toSeq
+    assert(out.length === 10)
+    val flagged = out.filter(_._3)
+    // exactly the orthogonal vector sits below the bottom-10% threshold
+    assert(flagged.map(_._1) === Seq(99L))
+    assert(flagged.head._2 < 0.1 && out.filter(_._1 != 99L).forall(_._2 > 0.9))
+    // value-based threshold reaches at least ceil(n*pct/100) rows on real data
+    val real = SimilarityOps.knnDensityOutliers(
+      Tables(spark, SparkTestBase.sf001, "embeddings")).collect()
+    val n = real.length
+    assert(real.count(_.getBoolean(3)) >= (n * 5 + 99) / 100)
+  }
+
+  test("compressionRatio: degenerate text deflates away, dense text doesn't") {
+    val stutter = ("spam " * 200).trim                      // one repeated token
+    val dense = (0 until 40).map(i =>                       // 40 distinct md5s:
+      ops.DetHash.jvmMd5Hash60(s"dense|$i").toHexString)    // near-incompressible
+      .mkString(" ")
+    val df = Seq((0L, stutter), (1L, dense)).toDF("doc_id", "text")
+    val out = TextOps.compressionRatio(df).orderBy(col("doc_id")).collect()
+    val (st, dn) = (out(0), out(1))
+    assert(st.getLong(1) === stutter.getBytes("UTF-8").length.toLong)
+    assert(st.getLong(3) < 5 && st.getBoolean(4),
+      s"a single repeated token must deflate to almost nothing, got ${st.getLong(3)}%")
+    assert(dn.getLong(3) > 50 && !dn.getBoolean(4),
+      s"high-entropy hex must stay mostly incompressible, got ${dn.getLong(3)}%")
+    // real corpus: ratios are sane percentages and deterministic across runs
+    val docs = Tables(spark, SparkTestBase.sf001, "documents")
+    val r1 = TextOps.compressionRatio(docs).orderBy(col("doc_id")).collect()
+    val r2 = TextOps.compressionRatio(docs).orderBy(col("doc_id")).collect()
+    assert(r1.map(_.getLong(3)).toSeq === r2.map(_.getLong(3)).toSeq)
+    assert(r1.forall(r => r.getLong(3) > 0 && r.getLong(3) <= 120))
+  }
+
+  test("QualityClassifier: learned filter separates corpus text from junk") {
+    val docs = Tables(spark, SparkTestBase.sf001, "documents")
+    // train on even ids, evaluate on odd ids — no leakage
+    val trainPos = docs.filter(col("doc_id") % 2 === 0)
+    val heldPos = docs.filter(col("doc_id") % 2 === 1)
+    val trainNeg = ml.QualityClassifier.syntheticNegatives(trainPos)
+    val heldNeg = ml.QualityClassifier.syntheticNegatives(heldPos)
+    val model = ml.QualityClassifier.train(trainPos, trainNeg)
+    def meanProb(df: org.apache.spark.sql.DataFrame): Double =
+      ml.QualityClassifier.score(model, df)
+        .agg(avg(col("quality_prob"))).head.getDouble(0)
+    val (posP, negP) = (meanProb(heldPos), meanProb(heldNeg))
+    assert(posP > 0.8, s"held-out real text must score high, got $posP")
+    assert(negP < 0.2, s"held-out junk must score low, got $negP")
+    // the three corruption modes are each individually rejected
+    val byMode = ml.QualityClassifier.score(model, heldNeg)
+      .withColumn("mode", pmod(col("doc_id"), lit(3)))
+      .groupBy(col("mode")).agg(avg(col("quality_prob")).as("p"))
+      .collect().map(r => r.getDouble(1))
+    assert(byMode.forall(_ < 0.35), s"every junk mode must score low: ${byMode.toSeq}")
+  }
+
   test("hashRankSample: exact target counts, deterministic nested subsets") {
     val df = Tables(spark, "/root/testdata/sf0.001", "documents")
     val langSizes = df.groupBy(col("lang")).count().collect()
