@@ -139,7 +139,7 @@ object ScaleProbe {
         name -> (System.nanoTime() - t0) / 1e9
       }
     scope.release()
-    Seq("bands", "sets", "dropped", "meta").foreach(s =>
+    graft.ops.DedupOps.bandedIndexTables.foreach(s =>
       try graft.sources.Bucketing.dropTableAndLocation(spark, s"probe_banded_idx_$s")
       catch { case _: Throwable => () })
     println(results.map { case (k, v) => s"\"$k\":$v" }

@@ -372,6 +372,9 @@ object DedupOps {
       s"${tablePrefix}_dropped")
     val spark = corpus.sparkSession
     import spark.implicits._
+    // empty id-tombstone table: [[deleteFromBandedIndex]] fills it,
+    // probes anti-join it, [[compactBandedIndex]] folds it back in
+    Bucketing.saveTable(Seq.empty[Long].toDF("id"), s"${tablePrefix}_deleted")
     Bucketing.saveTable(
       Seq((k, bands, shingleK, maxBucket, buckets, corpusTag,
           bandedIndexFormatVersion))
@@ -380,8 +383,8 @@ object DedupOps {
       s"${tablePrefix}_meta")
   }
 
-  /** The four tables a banded index comprises (suffixes of `tablePrefix`). */
-  val bandedIndexTables: Seq[String] = Seq("bands", "sets", "dropped", "meta")
+  /** The five tables a banded index comprises (suffixes of `tablePrefix`). */
+  val bandedIndexTables: Seq[String] = Seq("bands", "sets", "dropped", "deleted", "meta")
 
   /** Stamped into every banded-index meta row and re-checked by
     * [[ensureBandedIndex]]: BUMP whenever the signature conventions change
@@ -389,8 +392,9 @@ object DedupOps {
     * built by older code can never be silently reused — the tag says which
     * CORPUS the index describes, this says which CODE built it.
     * v2: added the `_dropped` tombstone table and the `buckets` meta column.
+    * v3: added the `_deleted` id-tombstone table (incremental-crawl deletes).
     */
-  val bandedIndexFormatVersion: Int = 2
+  val bandedIndexFormatVersion: Int = 3
 
   /** Build the banded index ONLY IF the persisted one is stale: a no-op
     * when all three tables exist and the meta row matches both `corpusTag`
@@ -472,7 +476,14 @@ object DedupOps {
     val (k, bands, shingleK, maxBucket) =
       (meta.getAs[Int]("k"), meta.getAs[Int]("bands"),
         meta.getAs[Int]("shingle_k"), meta.getAs[Int]("max_bucket"))
+    // a TOMBSTONED id cannot re-append before a compact: the tombstone
+    // suppresses its stale rows at probe time, so new rows under the same
+    // id would vanish with them (and resurface stale ones after a naive
+    // un-tombstone). Skip such rows; [[maintainBandedIndexFromDiff]]
+    // compacts first so changed docs never hit this filter.
     val sets = shingleHashSets(batch, textCol, idCol, shingleK, scope)
+      .join(broadcast(spark.table(s"${tablePrefix}_deleted")),
+        Seq("id"), "left_anti")
     val capped = scope.register(
       plannedBandedAppend(sets, tablePrefix, k, bands, maxBucket))
     // materialize the capped rows BEFORE any insert: their plan reads
@@ -522,6 +533,117 @@ object DedupOps {
       .select(col("band_idx"), col("band_sig"), col("id"))
   }
 
+  /** TOMBSTONE corpus ids out of the persisted banded index — the DELETE
+    * of the incremental-crawl lifecycle (docs that vanished from the
+    * source, takedowns, [[graft.ops.RelationalOps.snapshotDiff]]'s
+    * `removed`/`changed` feed). The index's bucketed tables are immutable
+    * files, so deletion is LOGICAL: ids land in the small `_deleted` table
+    * and [[probeBandedIndex]] anti-joins candidates against it (batch-
+    * scaled work — the tombstone set broadcasts). Physical removal is
+    * [[compactBandedIndex]]'s job, amortized over many deletes.
+    *
+    * The `_deleted` rewrite is read-merge-replace of a CHURN-sized table
+    * (never corpus-sized); the merged frame is materialized (eager local
+    * checkpoint) before the replace because the new table's plan reads the
+    * old one. Idempotent: re-deleting an id is a no-op. A crash mid-replace
+    * loses tombstones — the delete feed must be replayable (re-run the
+    * delta), the same contract as every destructive-first rebuild here.
+    */
+  def deleteFromBandedIndex(ids: DataFrame, tablePrefix: String,
+                            idCol: String = "doc_id"): Unit = {
+    val spark = ids.sparkSession
+    val merged = spark.table(s"${tablePrefix}_deleted")
+      .unionByName(ids.select(col(idCol).cast("long").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    graft.sources.Bucketing.saveTable(merged, s"${tablePrefix}_deleted")
+  }
+
+  /** COMPACT the persisted banded index: physically drop every tombstoned
+    * id's band and set rows and empty `_deleted` — the amortized rewrite
+    * that keeps probe-side anti-joins small and makes tombstoned ids
+    * APPENDABLE again (an un-compacted id cannot be re-appended: its stale
+    * rows would resurface the moment the tombstone lifted, so
+    * [[appendToBandedIndex]] skips such ids until a compact).
+    *
+    * Corpus-sized I/O by design (each surviving row is rewritten once into
+    * the same bucketed layout) — run it when the tombstone set has grown,
+    * not per delete. Crash order: `_bands` rewrites BEFORE `_sets` (a crash
+    * between the two leaves orphan sets rows — harmless — and trips
+    * [[ensureBandedIndex]]'s invariant no further than the bands⊆sets check
+    * it already survives), and `_deleted` clears LAST, so a crash anywhere
+    * leaves tombstones in force and probes stay correct.
+    */
+  def compactBandedIndex(tablePrefix: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val meta = spark.table(s"${tablePrefix}_meta").head()
+    val buckets = meta.getAs[Int]("buckets")
+    val deleted = spark.table(s"${tablePrefix}_deleted")
+    if (!deleted.isEmpty) {
+      // re-select the canonical column order: a USING join puts the join
+      // key first, and later appends insertInto POSITIONALLY
+      val bandsKeep = spark.table(s"${tablePrefix}_bands")
+        .join(broadcast(deleted), Seq("id"), "left_anti")
+        .select(col("band_idx"), col("band_sig"), col("id"))
+        .localCheckpoint(true)
+      val setsKeep = spark.table(s"${tablePrefix}_sets")
+        .join(broadcast(deleted), Seq("id"), "left_anti")
+        .select(col("id"), col("hs"), col("sz"))
+        .localCheckpoint(true)
+      graft.sources.Bucketing.writeBucketed(bandsKeep,
+        s"${tablePrefix}_bands", Seq("band_idx", "band_sig"), buckets)
+      graft.sources.Bucketing.writeBucketed(setsKeep,
+        s"${tablePrefix}_sets", Seq("id"), buckets)
+      import spark.implicits._
+      graft.sources.Bucketing.saveTable(
+        Seq.empty[Long].toDF("id"), s"${tablePrefix}_deleted")
+    }
+  }
+
+  /** Fold a [[graft.ops.RelationalOps.snapshotDiff]] delta into the
+    * persisted banded index — the composed incremental-crawl maintenance
+    * path: `removed` and `changed` ids tombstone out; if anything CHANGED,
+    * the index compacts (a changed id re-appends under the same id, which
+    * needs its stale rows physically gone — pure removals stay logical and
+    * cheap); then `added` + `changed` docs append with their new text. The
+    * result is probe-equivalent to an index rebuilt from the new snapshot
+    * (asserted in BucketingSpec), at delta cost when nothing changed in
+    * place and one amortized rewrite when something did.
+    */
+  def maintainBandedIndexFromDiff(newSnapshot: DataFrame, diff: DataFrame,
+                                  tablePrefix: String,
+                                  textCol: String = "text",
+                                  idCol: String = "doc_id",
+                                  newCorpusTag: String = "",
+                                  scope: CacheScope = CacheScope.default): Unit = {
+    val gone = diff.filter(col("status").isin("removed", "changed"))
+      .select(col(idCol))
+    if (!gone.isEmpty) {
+      deleteFromBandedIndex(gone, tablePrefix, idCol)
+      val changed = diff.filter(col("status") === "changed")
+      if (!changed.isEmpty) compactBandedIndex(tablePrefix)
+    }
+    val fresh = newSnapshot.join(
+      diff.filter(col("status").isin("added", "changed")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+    if (!fresh.isEmpty)
+      appendToBandedIndex(fresh, tablePrefix, textCol, idCol,
+        newCorpusTag, scope)
+    else if (newCorpusTag.nonEmpty) {
+      val spark = newSnapshot.sparkSession
+      val meta = spark.table(s"${tablePrefix}_meta").head()
+      import spark.implicits._
+      graft.sources.Bucketing.saveTable(
+        Seq((meta.getAs[Int]("k"), meta.getAs[Int]("bands"),
+            meta.getAs[Int]("shingle_k"), meta.getAs[Int]("max_bucket"),
+            meta.getAs[Int]("buckets"), newCorpusTag,
+            bandedIndexFormatVersion))
+          .toDF("k", "bands", "shingle_k", "max_bucket", "buckets",
+            "corpus_tag", "fmt"),
+        s"${tablePrefix}_meta")
+    }
+  }
+
   /** PROBE the persisted banded corpus index with a new `batch`: same
     * semantics and output as [[incrementalDedupReport]] (per batch doc:
     * corpus near-dup count + `novel`), but the corpus side comes from the
@@ -547,6 +669,10 @@ object DedupOps {
       .join(bandC.select(col("band_idx"), col("band_sig"), col("id").as("b")),
         Seq("band_idx", "band_sig"))
       .select(col("a"), col("b")).distinct()
+      // logical deletes: tombstoned corpus ids never match (batch-scaled
+      // anti-join against the broadcast churn-sized tombstone set)
+      .join(broadcast(spark.table(s"${tablePrefix}_deleted")
+        .select(col("id").as("b"))), Seq("b"), "left_anti")
     val sa = setsB.select(col("id").as("a"), col("hs").as("hsa"), col("sz").as("sza"))
     val sb = setsC.select(col("id").as("b"), col("hs").as("hsb"), col("sz").as("szb"))
     val matches = cand.join(sa, Seq("a")).join(sb, Seq("b"))

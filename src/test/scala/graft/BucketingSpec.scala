@@ -50,7 +50,7 @@ class BucketingSpec extends SparkTestBase {
       assert(fromIndex.nonEmpty)
       assertCorpusExchangeFree(
         DedupOps.probeBandedIndex(batch, "t_banded_idx"), "t_banded_idx")
-    } finally Seq("bands", "sets", "dropped", "meta").foreach(s =>
+    } finally graft.ops.DedupOps.bandedIndexTables.foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS t_banded_idx_$s"))
   }
 
@@ -143,7 +143,7 @@ class BucketingSpec extends SparkTestBase {
       DedupOps.ensureBandedIndex(corpus, "t_ens_idx", corpusTag = "tagB",
         shingleK = 4, buckets = 8)
       assert(tableFiles("t_ens_idx_bands") !== l3, "changed bucket count must rebuild")
-    } finally Seq("bands", "sets", "dropped", "meta").foreach(s =>
+    } finally graft.ops.DedupOps.bandedIndexTables.foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS t_ens_idx_$s"))
 
     val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
@@ -217,7 +217,7 @@ class BucketingSpec extends SparkTestBase {
             s"corpus bands re-shuffled in append:\n${e.treeString.take(600)}")
         }
       } finally spark.conf.set("spark.sql.adaptive.enabled", old)
-    } finally Seq("bands", "sets", "dropped", "meta").foreach(s =>
+    } finally graft.ops.DedupOps.bandedIndexTables.foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS t_app_idx_$s"))
   }
 
@@ -244,8 +244,94 @@ class BucketingSpec extends SparkTestBase {
         "append reopened a build-dropped bucket")
       // their shingle sets still land — orphan sets rows are harmless
       assert(spark.table("t_tomb_idx_sets").filter(col("id") >= 10L).count() === 2)
-    } finally Seq("bands", "sets", "dropped", "meta").foreach(s =>
+    } finally graft.ops.DedupOps.bandedIndexTables.foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS t_tomb_idx_$s"))
+  }
+
+  test("delete/compact: tombstoned ids stop matching; compact == rebuild-minus-ids") {
+    import graft.ops.DedupOps
+    import spark.implicits._
+    val docs = Tables(spark, SparkTestBase.sf001, "documents")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    DedupOps.writeBandedIndex(corpus, "t_del_idx", buckets = 4, corpusTag = "del")
+    try {
+      val before = DedupOps.probeBandedIndex(batch, "t_del_idx")
+        .orderBy("doc_id").collect().toSeq
+      // tombstone the corpus ids that matched anything — every batch doc
+      // that had matches must now report fewer (here: via removing ALL of
+      // a known match's sources we can't know ids directly, so delete a
+      // deterministic corpus slice and compare against the recompute)
+      val victims = corpus.filter(col("doc_id") % 7 === 1).select(col("doc_id"))
+      DedupOps.deleteFromBandedIndex(victims, "t_del_idx")
+      val logical = DedupOps.probeBandedIndex(batch, "t_del_idx")
+        .orderBy("doc_id").collect().toSeq
+      val expect = DedupOps.incrementalDedupReport(
+          batch, corpus.join(victims, Seq("doc_id"), "left_anti"))
+        .orderBy("doc_id").collect().toSeq
+      assert(logical === expect,
+        "logical delete must be probe-equivalent to the shrunken corpus")
+      assert(logical !== before, "the deleted slice must have affected matches")
+      // idempotent re-delete
+      DedupOps.deleteFromBandedIndex(victims, "t_del_idx")
+      assert(spark.table("t_del_idx_deleted").count() === victims.count())
+      // compact: physical removal, empty tombstones, same probe answers
+      DedupOps.compactBandedIndex("t_del_idx")
+      assert(spark.table("t_del_idx_deleted").count() === 0)
+      assert(spark.table("t_del_idx_sets")
+        .join(victims.withColumnRenamed("doc_id", "id"), Seq("id"), "left_semi")
+        .count() === 0, "compact must drop tombstoned set rows")
+      val compacted = DedupOps.probeBandedIndex(batch, "t_del_idx")
+        .orderBy("doc_id").collect().toSeq
+      assert(compacted === expect)
+      // probes stay corpus-exchange-free after the compaction rewrite
+      assertCorpusExchangeFree(
+        DedupOps.probeBandedIndex(batch, "t_del_idx"), "t_del_idx")
+      // ensure invariant still holds (bands ⊆ sets after the rewrite)
+      DedupOps.ensureBandedIndex(corpus.join(victims, Seq("doc_id"), "left_anti"),
+        "t_del_idx", corpusTag = "del", buckets = 4)
+      assert(spark.table("t_del_idx_meta").head().getAs[String]("corpus_tag") === "del")
+    } finally graft.ops.DedupOps.bandedIndexTables.foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS t_del_idx_$s"))
+  }
+
+  test("maintainBandedIndexFromDiff: delta-maintained index == fresh index of the new snapshot") {
+    import graft.ops.{DedupOps, RelationalOps}
+    import spark.implicits._
+    val docs = Tables(spark, SparkTestBase.sf001, "documents")
+    // old snapshot: ids with md5 bucket != 0; new snapshot: bucket != 1,
+    // bucket-2 texts revised — q140's construction, so the diff has all
+    // four statuses
+    val b = pmod(graft.ops.DetHash.md5Hash60(
+      concat(lit("snap|"), col("doc_id").cast("string"))), lit(10L))
+    val oldSnap = docs.withColumn("b", b).filter(col("b") =!= 0).drop("b")
+    val newSnap = docs.withColumn("b", b).filter(col("b") =!= 1)
+      .withColumn("text", when(col("b") === 2,
+        concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+      .drop("b")
+    val diff = RelationalOps.snapshotDiff(oldSnap, newSnap)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id") + 100000L as "doc_id", col("text"))
+    DedupOps.writeBandedIndex(oldSnap, "t_mnt_idx", buckets = 4, corpusTag = "v1")
+    DedupOps.writeBandedIndex(newSnap, "t_ref_idx", buckets = 4, corpusTag = "v2")
+    try {
+      DedupOps.maintainBandedIndexFromDiff(newSnap, diff, "t_mnt_idx",
+        newCorpusTag = "v2")
+      val maintained = DedupOps.probeBandedIndex(batch, "t_mnt_idx")
+        .orderBy("doc_id").collect().toSeq
+      val fresh = DedupOps.probeBandedIndex(batch, "t_ref_idx")
+        .orderBy("doc_id").collect().toSeq
+      assert(maintained === fresh,
+        "delta maintenance must be probe-equivalent to a fresh build")
+      assert(maintained.nonEmpty)
+      assert(spark.table("t_mnt_idx_meta").head()
+        .getAs[String]("corpus_tag") === "v2")
+      // changed docs forced a compact, so no tombstones linger
+      assert(spark.table("t_mnt_idx_deleted").count() === 0)
+    } finally graft.ops.DedupOps.bandedIndexTables.foreach(s => {
+      spark.sql(s"DROP TABLE IF EXISTS t_mnt_idx_$s")
+      spark.sql(s"DROP TABLE IF EXISTS t_ref_idx_$s")
+    })
   }
 
   test("ensureBandedIndex: torn bands rows (id without a sets row) force a rebuild") {
@@ -265,7 +351,7 @@ class BucketingSpec extends SparkTestBase {
       assert(spark.table("t_torn_idx_bands").select("id")
         .join(spark.table("t_torn_idx_sets").select("id"), Seq("id"), "left_anti")
         .isEmpty, "rebuild must restore the invariant")
-    } finally Seq("bands", "sets", "dropped", "meta").foreach(s =>
+    } finally graft.ops.DedupOps.bandedIndexTables.foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS t_torn_idx_$s"))
   }
 
@@ -468,7 +554,7 @@ class BucketingSpec extends SparkTestBase {
         .filter(col("id") >= 10L).select("id").distinct()
         .collect().map(_.getLong(0)).toSet
       assert(admitted === Set(10L, 11L))
-    } finally Seq("bands", "sets", "dropped", "meta").foreach(s =>
+    } finally graft.ops.DedupOps.bandedIndexTables.foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS t_cap_idx_$s"))
   }
 

@@ -464,7 +464,7 @@ class PlanSpec extends SparkTestBase {
         SparkEntry.queries("q90_persisted_ivf_topk")(spark, SparkTestBase.sf001),
         "graft_q90_ivf")
     } finally {
-      Seq("bands", "sets", "dropped", "meta").foreach(s =>
+      graft.ops.DedupOps.bandedIndexTables.foreach(s =>
         graft.sources.Bucketing.dropTableAndLocation(spark, s"graft_q89_corpus_$s"))
       Seq("cells", "centroids", "meta").foreach(s =>
         graft.sources.Bucketing.dropTableAndLocation(spark, s"graft_q90_ivf_$s"))

@@ -33,7 +33,14 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
       val plan = mkDf.queryExecution.executedPlan
       def isCorpusScan(p: SparkPlan) = p match {
         case f: FileSourceScanExec =>
-          f.relation.location.rootPaths.exists(_.toString.contains(marker))
+          f.relation.location.rootPaths.exists { r =>
+            val s = r.toString
+            // the corpus-sized bucketed tables only — companion tables
+            // (tombstones, centroids, meta) are deliberately small and
+            // unbucketed, broadcast wherever they join
+            s.contains(marker) && !s.contains("_deleted") &&
+              !s.contains("_dropped") && !s.contains("_meta")
+          }
         case _ => false
       }
       val scans = plan.collect { case f: FileSourceScanExec if isCorpusScan(f) => f }

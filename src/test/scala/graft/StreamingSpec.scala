@@ -323,7 +323,7 @@ class StreamingSpec extends SparkTestBase {
       assert(reprobe.head().getAs[Boolean]("novel") === false)
     } finally {
       query.stop()
-      Seq("bands", "sets", "dropped", "meta").foreach(s =>
+      graft.ops.DedupOps.bandedIndexTables.foreach(s =>
         spark.sql(s"DROP TABLE IF EXISTS t_stream_idx_$s"))
     }
   }
