@@ -824,6 +824,12 @@ object SparkEntry {
       TextOps.fimTransform(t(s, d, "documents"))
         .orderBy(col("doc_id"))),
 
+    // PMI COLLOCATIONS: adjacent pairs co-occurring beyond chance — lift
+    // as the pure integer (1e6·c12·N) div (c1·c2), exact cross-engine;
+    // map-only bigram transform, two vocab-sized unigram joins
+    "q147_pmi_collocations" -> ((s, d) =>
+      TextOps.pmiCollocations(t(s, d, "documents"))),
+
     // kNN-DENSITY outliers: cosine to the 5th nearest neighbor as a local
     // density score, bottom-5%-by-value flagged via an exact micro-value
     // histogram — isolated/off-distribution vectors, engine-replayable
@@ -2512,6 +2518,25 @@ object SparkEntry {
          |  ELSE text END AS fim_text
          |FROM sp2 ORDER BY doc_id""".stripMargin
     },
+
+    // bigram/unigram counts and the identical integer lift; DuckDB's //
+    // is the same floored integer division on BIGINTs
+    "q147_pmi_collocations" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |bg AS (SELECT toks[CAST(i AS INT)] AS w1,
+         |    toks[CAST(i + 1 AS INT)] AS w2
+         |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tk)),
+         |big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         |uni AS (SELECT w, count(*) AS c FROM
+         |  (SELECT unnest(toks) AS w FROM tk) GROUP BY 1),
+         |tot AS (SELECT sum(c12) AS n_bigrams FROM big)
+         |SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2, t.n_bigrams,
+         |  (1000000 * b.c12 * t.n_bigrams) // (u1.c * u2.c) AS lift_micro
+         |FROM big b
+         |  JOIN uni u1 ON u1.w = b.w1
+         |  JOIN uni u2 ON u2.w = b.w2, tot t
+         |WHERE b.c12 >= 5
+         |ORDER BY b.w1, b.w2""".stripMargin,
 
     // brute-force kth-NN per vector (the exact shared cosine kernel), then
     // the identical micro value-histogram threshold and value-based flag

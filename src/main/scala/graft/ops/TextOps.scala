@@ -1399,6 +1399,46 @@ object TextOps {
       .withColumn("low_complexity", col("ratio_centi") < thresholdCenti)
   }
 
+  /** PMI COLLOCATIONS (Church & Hanks 1990): adjacent token pairs whose
+    * corpus-wide LIFT `P(w1,w2)/(P(w1)·P(w2))` shows they co-occur far
+    * beyond chance — multi-word expressions, named entities, templates.
+    * Lift is emitted micro-quantized as the PURE INTEGER
+    * `(10^6·c12·N) div (c1·c2)` (PMI = log2 of it, monotone — ranking
+    * identical), so the whole report is exact integer arithmetic with zero
+    * cross-engine float risk. `minCount` prunes the pair tail BEFORE the
+    * unigram joins. Long arithmetic bounds the corpus at ~3·10^6 bigram
+    * positions per 10^6 quantum step — widen to decimal beyond that.
+    *
+    * Scale shape: bigram extraction is a map-only array transform (no
+    * self-join of positions); one (w1,w2) and one (w) aggregation; the
+    * count attachment is two token-keyed joins of the vocab-sized unigram
+    * frame onto the minCount-pruned pair frame.
+    */
+  def pmiCollocations(documents: DataFrame, minCount: Long = 5L,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val pairsArr = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val big = documents.select(explode(pairsArr).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uni = documents.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = big.agg(sum(col("c12")).as("n_bigrams"))
+    big.filter(col("c12") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        col("n_bigrams"),
+        expr("(1000000 * c12 * n_bigrams) div (c1 * c2)").as("lift_micro"))
+      .orderBy(col("w1"), col("w2"))
+  }
+
   // ---- BPE merge-table training ----
 
   /** Record separator (U+001E) used as the symbol delimiter in BPE

@@ -16,6 +16,14 @@ case class Session(user_id: Long, session_start: java.sql.Timestamp,
   */
 case class OpenSessions(sessions: Seq[(Long, Long, Long)])
 
+/** One FULL training block emitted by [[StreamingEvents.packingIngest]]. */
+case class PackedBlock(shard: Int, block: Long, n_docs: Long,
+                       first_doc: Long, last_doc: Long, n_tokens: Long)
+
+/** Per-shard packer state: the partially-filled current block. */
+case class PackState(block: Long, filled: Long, nDocs: Long,
+                     firstDoc: Long, lastDoc: Long)
+
 /** Structured Streaming wrappers for the event analytics in
   * [[graft.ops.EventOps]]: the same windowed aggregation expressions run
   * over a `readStream` source with watermark-bounded state.
@@ -141,6 +149,65 @@ object StreamingEvents {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout())(step)
+  }
+
+  /** STREAMING sequence packing — the live counterpart of
+    * [[graft.ops.TextOps.packSequences]]: documents arriving on a stream
+    * are laid head-to-tail into fixed-`capacity` token blocks per SHARD
+    * (`idCol` hashed into `nShards` independent streams — the parallelism
+    * axis), and every block that FILLS is emitted exactly once with its
+    * doc span. A doc crossing a block boundary counts in every block it
+    * touches, matching the batch layout rule. The trailing partial block
+    * stays in state (append mode emits only finalized facts); a follow-up
+    * batch or stream-stop flushes it.
+    *
+    * State per shard is ONE partially-filled block (five longs) — O(1)
+    * regardless of stream length, the property that lets this run forever.
+    * Within a micro-batch each shard's docs pack in id order (the iterator
+    * is sorted), so replaying the same batches yields byte-identical
+    * blocks; cross-batch order is the stream's arrival order, as with any
+    * streaming fold.
+    */
+  def packingIngest(docs: DataFrame, capacity: Long, nShards: Int = 4,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): Dataset[PackedBlock] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(capacity > 0 && nShards > 0, "need capacity > 0, nShards > 0")
+
+    def step(shard: Int, rows: Iterator[(Int, Long, Long)],
+             state: GroupState[PackState]): Iterator[PackedBlock] = {
+      var st = if (state.exists) state.get else PackState(0L, 0L, 0L, -1L, -1L)
+      val out = Seq.newBuilder[PackedBlock]
+      rows.toSeq.sortBy(_._2).foreach { case (_, id, nt) =>
+        var rem = nt
+        if (rem > 0) {
+          val first = if (st.nDocs == 0) id else st.firstDoc
+          st = st.copy(nDocs = st.nDocs + 1, firstDoc = first, lastDoc = id)
+          while (st.filled + rem >= capacity) {
+            out += PackedBlock(shard, st.block, st.nDocs, st.firstDoc,
+              st.lastDoc, capacity)
+            rem -= capacity - st.filled
+            // the doc spills into the next block only if tokens remain
+            st =
+              if (rem > 0) PackState(st.block + 1, 0L, 1L, id, id)
+              else PackState(st.block + 1, 0L, 0L, -1L, -1L)
+          }
+          st = st.copy(filled = st.filled + rem)
+        }
+      }
+      state.update(st)
+      out.result().iterator
+    }
+
+    docs
+      .select(pmod(col(idCol).cast("long"), lit(nShards)).cast("int").as("shard"),
+        col(idCol).cast("long").as("id"),
+        size(graft.ops.TextOps.tokens(col(textCol))).cast("long").as("nt"))
+      .as[(Int, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(step)
   }
 
   /** Streaming exact dedup with bounded state: keeps one row per key,

@@ -2345,6 +2345,29 @@ class OpsSpec extends SparkTestBase {
     assert(byMode.forall(_ < 0.35), s"every junk mode must score low: ${byMode.toSeq}")
   }
 
+  test("pmiCollocations: exact integer lift on a hand corpus; collocation tops") {
+    // "new york" always adjacent (strong collocation); "the" everywhere
+    val df = Seq(
+      (0L, "new york is big the city the place"),
+      (1L, "new york the new york the hub"),
+      (2L, "the big the city the new york")).toDF("doc_id", "text")
+    val out = TextOps.pmiCollocations(df, minCount = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // driver replay: bigram positions per doc = n-1 → 7+6+6 = 19
+    val ny = out(("new", "york"))
+    assert(ny._1 === 4L && ny._2 === 4L && ny._3 === 4L && ny._4 === 19L)
+    assert(ny._5 === 1000000L * 4 * 19 / (4 * 4))   // lift ≈ 4.75 → 4750000
+    // "the city" occurs 2x but "the" is common → much lower lift
+    val tc = out(("the", "city"))
+    assert(tc._1 === 2L && tc._2 === 7L)
+    assert(tc._5 === 1000000L * 2 * 19 / (7 * 2))
+    assert(ny._5 > tc._5, "the true collocation must out-lift the common-word pair")
+    // pairs under minCount are pruned
+    assert(!out.contains(("is", "big")))
+  }
+
   test("hashRankSample: exact target counts, deterministic nested subsets") {
     val df = Tables(spark, "/root/testdata/sf0.001", "documents")
     val langSizes = df.groupBy(col("lang")).count().collect()

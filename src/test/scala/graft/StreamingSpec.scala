@@ -33,6 +33,42 @@ class StreamingSpec extends SparkTestBase {
   // far enough ahead that the 2h watermark closes every hour-10 window
   private val hour14 = Seq(Ev(5L, ts(14, 1), 3L, "click", 7.0))
 
+  test("packingIngest: streamed full blocks == batch packSequences over the same order") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables(spark, SparkTestBase.sf001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val mem = MemoryStream[(Long, String)]
+    val query = StreamingEvents.packingIngest(
+        mem.toDF().toDF("doc_id", "text"), capacity = 512, nShards = 1)
+      .writeStream.format("memory").queryName("pack_out").outputMode("append")
+      .start()
+    try {
+      // two micro-batches in id order: state must carry the partial block
+      val (b1, b2) = (docs.take(docs.length / 2).toSeq,
+        docs.drop(docs.length / 2).toSeq)
+      mem.addData(b1: _*)
+      query.processAllAvailable()
+      val afterB1 = spark.table("pack_out").count()
+      mem.addData(b2: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("pack_out")
+        .orderBy(col("block")).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      assert(afterB1 > 0 && streamed.length > afterB1,
+        "both batches must close blocks")
+      // batch layout over the same id order: full blocks only
+      val batch = graft.ops.TextOps.packSequences(
+          graft.sources.Tables(spark, SparkTestBase.sf001, "documents"),
+          capacity = 512)
+        .orderBy(col("block")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .filter(_._5 == 512L)
+      assert(streamed.toSeq === batch.toSeq,
+        "streamed full blocks must equal the batch concat-and-chunk layout")
+    } finally query.stop()
+  }
+
   test("streaming tumbling agg over MemoryStream: finalized windows match batch EventOps") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
