@@ -824,6 +824,14 @@ object SparkEntry {
       TextOps.fimTransform(t(s, d, "documents"))
         .orderBy(col("doc_id"))),
 
+    // STRATIFIED weighted sampling: q142's exponential race per source —
+    // per-stratum quotas, weight-proportional within; rank window with
+    // WindowGroupLimit heaps, no global sort
+    "q148_stratified_sample" -> ((s, d) =>
+      RelationalOps.stratifiedWeightedSample(t(s, d, "documents"),
+          "source", col("n_chars"), k = 25)
+        .orderBy(col("source").asc_nulls_last, col("rank"))),
+
     // PMI COLLOCATIONS: adjacent pairs co-occurring beyond chance — lift
     // as the pure integer (1e6·c12·N) div (c1·c2), exact cross-engine;
     // map-only bigram transform, two vocab-sized unigram joins
@@ -2517,6 +2525,20 @@ object SparkEntry {
          |      toks[CAST(p_len + 1 AS INT):CAST(p_len + m_len AS INT)], ' '), '')
          |  ELSE text END AS fim_text
          |FROM sp2 ORDER BY doc_id""".stripMargin
+    },
+
+    // the same race keys, ranked per source with DuckDB's row_number
+    "q148_stratified_sample" -> {
+      val hm =
+        s"${ops.DetHash.sqlMd5Hash60("'wsamp|' || CAST(doc_id AS VARCHAR)")} % 2147483647"
+      s"""WITH h AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight,
+         |    CAST(floor(-ln(($hm + 1) / 2147483648.0)
+         |      / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS key_nano
+         |  FROM documents WHERE n_chars > 0),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY key_nano, doc_id) AS INT) AS rank FROM h)
+         |SELECT source, doc_id, weight, key_nano, rank FROM r
+         |WHERE rank <= 25 ORDER BY source NULLS LAST, rank""".stripMargin
     },
 
     // bigram/unigram counts and the identical integer lift; DuckDB's //

@@ -632,6 +632,38 @@ object RelationalOps {
       .limit(k)
   }
 
+  /** STRATIFIED form of [[weightedSample]]: the same derandomized
+    * exponential race run independently per stratum (source, language,
+    * shard…), k winners each — per-stratum quotas with within-stratum
+    * weight-proportional selection, the two-level sampling a mixture
+    * planner actually wants (a global race would let one giant stratum
+    * swallow the budget). Identical key stream to the global race, so a
+    * row's key is the same number in both — only the competition scope
+    * changes.
+    *
+    * Scale shape: map-only keys + one stratum-partitioned rank window with
+    * WindowGroupLimit pushdown (a k-heap per partition before the shuffle)
+    * — no global sort, no driver involvement.
+    */
+  def stratifiedWeightedSample(df: DataFrame, stratumCol: String,
+                               weightCol: Column, k: Int,
+                               seed: String = "wsamp",
+                               idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val h = pmod(DetHash.md5Hash60(
+      concat(lit(s"$seed|"), col(idCol).cast("string"))), lit(DetHash.P))
+    val u = (h + 1L).cast("double") / lit((DetHash.P + 1L).toDouble)
+    val keyed = df.filter(weightCol > 0)
+      .select(col(stratumCol), col(idCol),
+        weightCol.cast("long").as("weight"),
+        floor(-log(u) / weightCol.cast("double") * 1e9).cast("long")
+          .as("key_nano"))
+    topKPerGroup(keyed, Seq(stratumCol),
+        Seq(col("key_nano").asc, col(idCol).asc), k)
+      .select(col(stratumCol), col(idCol), col("weight"), col("key_nano"),
+        col("rn").cast("int").as("rank"))
+  }
+
   /** Top-k per group via ranking window (partitioned — never a global
     * single-partition sort). Deterministic given a total tiebreak ordering.
     */

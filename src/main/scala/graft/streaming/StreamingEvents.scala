@@ -16,6 +16,17 @@ case class Session(user_id: Long, session_start: java.sql.Timestamp,
   */
 case class OpenSessions(sessions: Seq[(Long, Long, Long)])
 
+/** Current reservoir content for one stratum, as of `version` (the number
+  * of micro-batches that touched the stratum) — emitted whole by
+  * [[StreamingEvents.weightedReservoirIngest]] so a consumer takes the
+  * max-version rows per stratum as the live sample.
+  */
+case class ReservoirRow(stratum: String, version: Long, doc_id: Long,
+                        weight: Long, key_nano: Long)
+
+/** Per-stratum reservoir state: the k best (key, id, weight) so far. */
+case class ReservoirState(version: Long, rows: Seq[(Long, Long, Long)])
+
 /** One FULL training block emitted by [[StreamingEvents.packingIngest]]. */
 case class PackedBlock(shard: Int, block: Long, n_docs: Long,
                        first_doc: Long, last_doc: Long, n_tokens: Long)
@@ -207,6 +218,56 @@ object StreamingEvents {
       .as[(Int, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(step)
+  }
+
+  /** STREAMING weighted reservoir sampling — the live counterpart of
+    * [[graft.ops.RelationalOps.stratifiedWeightedSample]], and the reason
+    * the Efraimidis–Spirakis race was chosen there: its keys make weighted
+    * sampling-without-replacement a pure MIN-K fold, so a stream needs only
+    * "keep the k smallest keys seen" per stratum — O(k) state, one pass,
+    * no replacement bookkeeping. Keys come from the identical seeded hash
+    * stream, so after any prefix of the stream the reservoir equals the
+    * batch sample of exactly the rows seen so far (asserted in
+    * StreamingSpec) — a resumable, auditable sample no `rand()` reservoir
+    * can give. Each micro-batch that touches a stratum re-emits that
+    * stratum's full current sample under a bumped `version`; consumers
+    * keep the max-version rows.
+    */
+  def weightedReservoirIngest(docs: DataFrame, k: Int,
+                              stratumCol: String = "source",
+                              weightCol: String = "n_chars",
+                              seed: String = "wsamp",
+                              idCol: String = "doc_id"): Dataset[ReservoirRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.ops.DetHash
+    require(k > 0, s"k must be positive, got $k")
+    val h = pmod(DetHash.md5Hash60(
+      concat(lit(s"$seed|"), col(idCol).cast("string"))), lit(DetHash.P))
+    val u = (h + 1L).cast("double") / lit((DetHash.P + 1L).toDouble)
+    val keyed = docs.filter(col(weightCol) > 0)
+      .select(coalesce(col(stratumCol).cast("string"), lit("")).as("stratum"),
+        col(idCol).cast("long").as("id"),
+        col(weightCol).cast("long").as("w"),
+        floor(-log(u) / col(weightCol).cast("double") * 1e9).cast("long")
+          .as("key"))
+      .as[(String, Long, Long, Long)]
+
+    def step(stratum: String, rows: Iterator[(String, Long, Long, Long)],
+             state: GroupState[ReservoirState]): Iterator[ReservoirRow] = {
+      val st = state.getOption.getOrElse(ReservoirState(0L, Seq.empty))
+      val merged = (st.rows ++ rows.map(r => (r._4, r._2, r._3)))
+        .distinct.sortBy(t => (t._1, t._2)).take(k)
+      val v = st.version + 1
+      state.update(ReservoirState(v, merged))
+      merged.iterator.map { case (key, id, w) =>
+        ReservoirRow(stratum, v, id, w, key)
+      }
+    }
+
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
         GroupStateTimeout.NoTimeout())(step)
   }
 

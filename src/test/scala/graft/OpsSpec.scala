@@ -2191,6 +2191,33 @@ class OpsSpec extends SparkTestBase {
     assert(z.filter(col("doc_id") < 100).count() === 0)
   }
 
+  test("stratifiedWeightedSample: per-stratum quotas, keys identical to the global race") {
+    val docs = Tables(spark, SparkTestBase.sf001, "documents")
+    val strat = RelationalOps.stratifiedWeightedSample(
+      docs, "source", col("n_chars"), k = 5).collect()
+    val bySource = strat.groupBy(_.getString(0))
+    val sizes = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (s, n) =>
+      assert(bySource(s).length === math.min(5L, n).toInt,
+        s"stratum $s must fill its quota")
+    }
+    // ranks are 1..k in key order within each stratum
+    bySource.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(4))
+      assert(sorted.map(_.getInt(4)).toSeq === (1 to sorted.length))
+      assert(sorted.map(_.getLong(3)).toSeq ===
+        sorted.map(_.getLong(3)).sortBy(identity).toSeq)
+    }
+    // the race key for a given doc is the same number the GLOBAL sample
+    // uses — only the competition scope differs
+    val globalKeys = RelationalOps.weightedSample(docs, col("n_chars"), k = 500)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    strat.foreach { r =>
+      assert(globalKeys(r.getLong(1)) === r.getLong(3))
+    }
+  }
+
   test("fimTransform: PSM reassembly is a permutation; rate draw honored") {
     val docs = Tables(spark, SparkTestBase.sf001, "documents")
     val out = TextOps.fimTransform(docs).collect()

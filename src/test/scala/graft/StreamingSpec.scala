@@ -69,6 +69,43 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("weightedReservoirIngest: reservoir after any prefix == batch sample of rows seen") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables(spark, SparkTestBase.sf001, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._2)
+    val mem = MemoryStream[(String, Long, Long)]
+    val query = StreamingEvents.weightedReservoirIngest(
+        mem.toDF().toDF("source", "doc_id", "n_chars"), k = 10)
+      .writeStream.format("memory").queryName("res_out").outputMode("update")
+      .start()
+    try {
+      val (b1, b2) = (docs.take(docs.length / 2).toSeq,
+        docs.drop(docs.length / 2).toSeq)
+      mem.addData(b1: _*)
+      query.processAllAvailable()
+      mem.addData(b2: _*)
+      query.processAllAvailable()
+      // live sample = max-version rows per stratum
+      val latest = spark.table("res_out")
+        .withColumn("maxv", max(col("version"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("stratum"))))
+        .filter(col("version") === col("maxv"))
+        .select(col("stratum"), col("doc_id"), col("weight"), col("key_nano"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val batch = graft.ops.RelationalOps.stratifiedWeightedSample(
+          graft.sources.Tables(spark, SparkTestBase.sf001, "documents"),
+          "source", col("n_chars"), k = 10)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(latest === batch,
+        "streamed reservoir must equal the batch stratified sample")
+      assert(latest.nonEmpty)
+    } finally query.stop()
+  }
+
   test("streaming tumbling agg over MemoryStream: finalized windows match batch EventOps") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
