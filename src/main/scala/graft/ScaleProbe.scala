@@ -131,7 +131,27 @@ object ScaleProbe {
       "snapshotDiff" -> (() => run(graft.ops.RelationalOps.snapshotDiff(
         docs, docs.withColumn("text",
           when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [rev]")))
-            .otherwise(col("text"))))))
+            .otherwise(col("text")))))),
+      // ---- round-8 late additions ----
+      // map-only folds/slices: should scale with the scan
+      "fimTransform" -> (() => run(graft.ops.TextOps.fimTransform(docs))),
+      "spanCorrupt" -> (() => run(graft.ops.TextOps.spanCorrupt(docs))),
+      // TakeOrderedAndProject: map-side keys + per-partition k-heaps
+      "weightedSample" -> (() => run(graft.ops.RelationalOps.weightedSample(
+        docs, col("n_chars"), k = 100))),
+      "stratifiedWeightedSample" -> (() => run(
+        graft.ops.RelationalOps.stratifiedWeightedSample(
+          docs, "source", col("n_chars"), k = 25))),
+      // one (token) agg + chunked prefix sum; replication multiplies
+      // occurrence rows but not type count
+      "vocabGrowth" -> (() => run(graft.ops.TextOps.vocabGrowth(docs))),
+      // pair/unigram aggs; replication scales counts, not vocab
+      "pmiCollocations" -> (() => run(graft.ops.TextOps.pmiCollocations(docs))),
+      // real deflate per row: pure CPU, map-only
+      "compressionRatio" -> (() => run(graft.ops.TextOps.compressionRatio(docs))),
+      // all-pairs audit shape by design: quadratic in corpus, documented —
+      // at real scale this runs on ANN candidates, not the full cross
+      "knnDensityOutliers" -> (() => run(SimilarityOps.knnDensityOutliers(emb)))
     ).filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, f) =>
         val t0 = System.nanoTime()
