@@ -379,4 +379,94 @@ object MultimodalOps {
     */
   def sampleFrames(bin: Column, frameBytes: Int, everyN: Int): Column =
     filter(chunks(bin, frameBytes), (_, i) => i % everyN === 0)
+
+  /** Decoded-audio record: container facts + signal-level features. */
+  final case class DecodedAudio(id: Long, channels: Int, sampleRateHz: Int,
+                                bitsPerSample: Int, nFrames: Long,
+                                durationMs: Long, rms: Double, peak: Double,
+                                zeroCrossings: Long)
+
+  /** REAL audio decode for the containers the JDK ships readers for (WAV,
+    * AIFF, AU — `javax.sound.sampled.AudioSystem`, zero new dependencies):
+    * parse the container, stream the PCM frames, and emit the quality
+    * features an audio-corpus filter runs on — RMS level and peak (silence
+    * / clipping detection), zero-crossing count of channel 0 (a crude
+    * pitch/noisiness proxy), frame count and duration. Supports 8-bit and
+    * 16-bit integer PCM (both endiannesses, signed/unsigned); payloads the
+    * JDK cannot parse — compressed codecs, truncated bytes, NULLs — are
+    * DROPPED, the same filter+map ingest semantics as [[decodeImage]].
+    *
+    * Scale shape: mapPartitions, frames streamed through a fixed 8 KiB
+    * buffer (an hour-long take never materializes as samples), bytes never
+    * shuffle; output is one short typed row per payload.
+    */
+  def decodeAudio(df: DataFrame, idCol: String, binCol: String): Dataset[DecodedAudio] = {
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    input.mapPartitions { rows =>
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      rows.flatMap { case (id, bytes) =>
+        val parsed =
+          if (bytes == null) None
+          else try {
+            val in = AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val f = in.getFormat
+            val enc = f.getEncoding
+            val ok = (enc == AudioFormat.Encoding.PCM_SIGNED ||
+              enc == AudioFormat.Encoding.PCM_UNSIGNED) &&
+              (f.getSampleSizeInBits == 8 || f.getSampleSizeInBits == 16)
+            if (!ok) { in.close(); None } else Some((in, f))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        parsed.map { case (in, f) =>
+          val (ch, bits) = (f.getChannels, f.getSampleSizeInBits)
+          val (signed, bigEndian) =
+            (f.getEncoding == AudioFormat.Encoding.PCM_SIGNED, f.isBigEndian)
+          val bytesPerSample = bits / 8
+          val frameBytes = f.getFrameSize
+          val buf = new Array[Byte](8192 - 8192 % math.max(frameBytes, 1))
+          var sumSq = 0.0; var peak = 0.0; var zc = 0L; var nFrames = 0L
+          var prevSign = 0
+          var read = in.read(buf)
+          while (read > 0) {
+            var off = 0
+            while (off + frameBytes <= read) {
+              var c = 0
+              while (c < ch) {
+                val base = off + c * bytesPerSample
+                val raw =
+                  if (bits == 8)
+                    if (signed) buf(base).toInt else (buf(base) & 0xff) - 128
+                  else {
+                    val (b0, b1) =
+                      if (bigEndian) (buf(base), buf(base + 1))
+                      else (buf(base + 1), buf(base))
+                    val v = (b0 << 8) | (b1 & 0xff)
+                    if (signed) v else v - 32768
+                  }
+                val s = raw.toDouble / (if (bits == 8) 128.0 else 32768.0)
+                sumSq += s * s
+                if (math.abs(s) > peak) peak = math.abs(s)
+                if (c == 0) {
+                  val sign = java.lang.Integer.signum(raw)
+                  if (sign != 0 && prevSign != 0 && sign != prevSign) zc += 1
+                  if (sign != 0) prevSign = sign
+                }
+                c += 1
+              }
+              off += frameBytes
+              nFrames += 1
+            }
+            read = in.read(buf)
+          }
+          in.close()
+          val rate = math.round(f.getSampleRate).toInt
+          DecodedAudio(id, ch, rate, bits, nFrames,
+            if (rate > 0) nFrames * 1000L / rate else 0L,
+            if (nFrames > 0) math.sqrt(sumSq / (nFrames * ch)) else 0.0,
+            peak, zc)
+        }
+      }
+    }(Encoders.product[DecodedAudio])
+  }
 }

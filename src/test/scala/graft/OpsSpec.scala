@@ -2395,6 +2395,44 @@ class OpsSpec extends SparkTestBase {
     assert(!out.contains(("is", "big")))
   }
 
+  test("decodeAudio: real WAV decode — sine levels, duration, crossings; junk drops") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def sineWav(freqHz: Double, rateHz: Int, n: Int, amp: Double): Array[Byte] = {
+      val pcm = new Array[Byte](n * 2)
+      (0 until n).foreach { i =>
+        val v = math.round(amp * 32767.0 *
+          math.sin(2 * math.Pi * freqHz * i / rateHz)).toShort
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(rateHz.toFloat, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, sineWav(1000.0, 8000, 800, 0.5)),          // 0.1 s half-scale tone
+      (2L, sineWav(440.0, 8000, 8000, 1.0)),          // 1 s full-scale tone
+      (3L, Array[Byte](1, 2, 3, 4)),                  // junk: dropped
+      (4L, null.asInstanceOf[Array[Byte]]))           // NULL: dropped
+    val out = MultimodalOps.decodeAudio(
+        rows.toDF("id", "payload"), "id", "payload")
+      .collect().map(a => a.id -> a).toMap
+    assert(out.keySet === Set(1L, 2L), "undecodable payloads must drop")
+    val tone = out(1L)
+    assert(tone.channels === 1 && tone.sampleRateHz === 8000 &&
+      tone.bitsPerSample === 16 && tone.nFrames === 800L &&
+      tone.durationMs === 100L)
+    // half-scale sine: rms = 0.5/sqrt(2), peak ~0.5, 2 crossings/cycle
+    assert(math.abs(tone.rms - 0.5 / math.sqrt(2.0)) < 0.01)
+    assert(tone.peak > 0.47 && tone.peak < 0.52)
+    assert(tone.zeroCrossings >= 190 && tone.zeroCrossings <= 201)
+    val loud = out(2L)
+    assert(loud.durationMs === 1000L && loud.peak > 0.95)
+  }
+
   test("hashRankSample: exact target counts, deterministic nested subsets") {
     val df = Tables(spark, "/root/testdata/sf0.001", "documents")
     val langSizes = df.groupBy(col("lang")).count().collect()
