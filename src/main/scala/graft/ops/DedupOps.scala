@@ -644,6 +644,60 @@ object DedupOps {
     }
   }
 
+  /** CORPUS-WIDE verified near-dup pairs served FROM the persisted index —
+    * the other direction the index pays for itself: [[probeBandedIndex]]
+    * answers "is this batch new", this answers "dedup the whole corpus"
+    * with NO recompute of signatures. `_bands` self-joins on its own
+    * bucket columns (both sides the same bucketed, sorted table — a
+    * sort-merge join with ZERO exchange, asserted in BucketingSpec), the
+    * candidate pairs rerank through `_sets` exactly like a probe, and
+    * tombstoned ids drop out before the rerank. Semantics match
+    * [[minHashVerifiedPairs]] under the index's build parameters (the
+    * index's `maxBucket` cap replaces the in-session one).
+    */
+  def corpusPairsFromIndex(spark: org.apache.spark.sql.SparkSession,
+                           tablePrefix: String,
+                           minJaccard: Double = 0.8): DataFrame = {
+    val bands = spark.table(s"${tablePrefix}_bands")
+    val deleted = spark.table(s"${tablePrefix}_deleted")
+    val cand = bands.select(col("band_idx"), col("band_sig"), col("id").as("a"))
+      .join(bands.select(col("band_idx"), col("band_sig"), col("id").as("b")),
+        Seq("band_idx", "band_sig"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+      .join(broadcast(deleted.select(col("id").as("a"))), Seq("a"), "left_anti")
+      .join(broadcast(deleted.select(col("id").as("b"))), Seq("b"), "left_anti")
+    val sets = spark.table(s"${tablePrefix}_sets")
+    val sa = sets.select(col("id").as("a"), col("hs").as("hsa"), col("sz").as("sza"))
+    val sb = sets.select(col("id").as("b"), col("hs").as("hsb"), col("sz").as("szb"))
+    cand.join(sa, Seq("a")).join(sb, Seq("b"))
+      .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= lit(minJaccard))
+      .select(col("a"), col("b"), col("inter"), col("jaccard"))
+  }
+
+  /** Corpus-wide near-dup CLUSTERS from the persisted index: the
+    * [[nearDupClusters]] answer (connected components over verified pair
+    * edges, min-label representative) computed entirely from the index
+    * tables — signatures are never recomputed, the vertex set is the
+    * index's live ids (`_sets` minus tombstones). The full-dedup pass a
+    * growing corpus reruns after appends now costs candidate generation
+    * on bucketed files plus the CC rounds, not a corpus re-shingle.
+    */
+  def clustersFromBandedIndex(spark: org.apache.spark.sql.SparkSession,
+                              tablePrefix: String,
+                              minJaccard: Double = 0.8,
+                              idCol: String = "doc_id"): DataFrame = {
+    val vertices = spark.table(s"${tablePrefix}_sets").select(col("id"))
+      .join(broadcast(spark.table(s"${tablePrefix}_deleted")),
+        Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+    GraphOps.connectedComponents(
+      corpusPairsFromIndex(spark, tablePrefix, minJaccard), vertices, idCol)
+  }
+
   /** PROBE the persisted banded corpus index with a new `batch`: same
     * semantics and output as [[incrementalDedupReport]] (per batch doc:
     * corpus near-dup count + `novel`), but the corpus side comes from the

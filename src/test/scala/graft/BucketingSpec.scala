@@ -334,6 +334,50 @@ class BucketingSpec extends SparkTestBase {
     })
   }
 
+  test("corpusPairsFromIndex/clusters: == in-session pipeline, bands self-join exchange-free") {
+    import graft.ops.DedupOps
+    val docs = Tables(spark, SparkTestBase.sf001, "documents")
+    DedupOps.writeBandedIndex(docs, "t_cp_idx", buckets = 4, corpusTag = "cp")
+    try {
+      val fromIndex = DedupOps.corpusPairsFromIndex(spark, "t_cp_idx")
+        .orderBy("a", "b").collect().toSeq
+      val recomputed = DedupOps.minHashVerifiedPairs(docs)
+        .orderBy("a", "b").collect().toSeq
+      assert(fromIndex === recomputed)
+      assert(fromIndex.nonEmpty)
+      val clIdx = DedupOps.clustersFromBandedIndex(spark, "t_cp_idx")
+        .orderBy("doc_id").collect().toSeq
+      val clLive = DedupOps.nearDupClusters(docs)
+        .orderBy("doc_id").collect().toSeq
+      assert(clIdx === clLive)
+      // the bands self-join must not exchange either side (same bucketed,
+      // sorted table on both sides of the bucket-column equi-join)
+      val old = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        val plan = DedupOps.corpusPairsFromIndex(spark, "t_cp_idx")
+          .queryExecution.executedPlan
+        val bandScans = plan.collect {
+          case f: FileSourceScanExec if f.relation.location.rootPaths
+            .exists(_.toString.contains("t_cp_idx_bands")) => f
+        }
+        assert(bandScans.size === 2 && bandScans.forall(_.bucketedScan))
+        def under(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+          case f: FileSourceScanExec =>
+            f.relation.location.rootPaths.exists(_.toString.contains("t_cp_idx_bands"))
+          case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+          case o => o.children.exists(under)
+        }
+        plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+          assert(!under(e.child), "bands self-join side was re-shuffled")
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+    } finally graft.ops.DedupOps.bandedIndexTables.foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS t_cp_idx_$s"))
+  }
+
   test("ensureBandedIndex: torn bands rows (id without a sets row) force a rebuild") {
     import graft.ops.DedupOps
     val docs = Tables(spark, SparkTestBase.sf001, "documents")
