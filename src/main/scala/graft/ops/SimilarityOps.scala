@@ -682,6 +682,46 @@ object SimilarityOps {
       s"${tablePrefix}_meta")
   }
 
+  /** CORPUS-WIDE semantic near-dup pairs served FROM the persisted IVF
+    * index — the embedding twin of
+    * [[graft.ops.DedupOps.corpusPairsFromIndex]]: `_cells` self-joins on
+    * its own bucket column (zero exchange — both sides the same bucketed
+    * table), in-cell pairs verify with the exact shared cosine, done. The
+    * blocking is the index's own cell assignment, so the recall contract
+    * is IVF's: pairs split across cells are missed, exactly the trade the
+    * quantizer already made for probes — [[ivfDriftReport]] is the signal
+    * to retrain when that trade degrades.
+    */
+  def semanticPairsFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                                tablePrefix: String,
+                                minCos: Double = 0.9): DataFrame = {
+    import graft.functions.VectorExpressions.dotF
+    val cells = spark.table(s"${tablePrefix}_cells")
+    val l = cells.select(col("cell"), col("neighbor_id").as("a"), col("cv").as("av"))
+    val r = cells.select(col("cell"), col("neighbor_id").as("b"), col("cv").as("bv"))
+    l.join(r, Seq("cell")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (dotF(col("av"), col("bv")) /
+          (sqrt(dotF(col("av"), col("av"))) * sqrt(dotF(col("bv"), col("bv")))))
+          .as("cos"))
+      .filter(col("cos") >= lit(minCos))
+  }
+
+  /** Semantic near-dup CLUSTERS from the persisted IVF index: connected
+    * components over [[semanticPairsFromIvfIndex]]'s edges with the
+    * index's member ids as vertices — the full semantic-dedup pass of a
+    * growing embedding store without re-clustering or re-shuffling it.
+    */
+  def semanticClustersFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                                   tablePrefix: String,
+                                   minCos: Double = 0.9,
+                                   idCol: String = "vec_id"): DataFrame = {
+    val vertices = spark.table(s"${tablePrefix}_cells")
+      .select(col("neighbor_id").as(idCol))
+    GraphOps.connectedComponents(
+      semanticPairsFromIvfIndex(spark, tablePrefix, minCos), vertices, idCol)
+  }
+
   /** Stamped into the IVF meta row, re-checked by [[ensureIvfIndex]]: bump
     * when the quantizer/layout conventions change so stale-code indexes
     * rebuild instead of silently serving (see

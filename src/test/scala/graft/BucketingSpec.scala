@@ -378,6 +378,61 @@ class BucketingSpec extends SparkTestBase {
       spark.sql(s"DROP TABLE IF EXISTS t_cp_idx_$s"))
   }
 
+  test("semanticPairsFromIvfIndex: == brute pairs within cells, self-join exchange-free") {
+    import graft.ops.SimilarityOps
+    val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
+    SimilarityOps.writeIvfIndex(emb, "t_sp_idx", nCells = 8, buckets = 4,
+      corpusTag = "sp")
+    try {
+      val minCos = 0.4
+      val fromIndex = SimilarityOps.semanticPairsFromIvfIndex(
+          spark, "t_sp_idx", minCos)
+        .select(col("a"), col("b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // expected = exact cosine pairs RESTRICTED to the index's own cells
+      // (the IVF recall contract: cross-cell pairs are out of scope)
+      val cells = spark.table("t_sp_idx_cells")
+        .select(col("cell"), col("neighbor_id"))
+      val sameCell = cells.select(col("cell"), col("neighbor_id").as("a"))
+        .join(cells.select(col("cell"), col("neighbor_id").as("b")), Seq("cell"))
+        .filter(col("a") < col("b")).select(col("a"), col("b"))
+      val expected = SimilarityOps.cosinePairsBlocked(emb, minCos)
+        .select(col("a"), col("b"))
+        .join(sameCell, Seq("a", "b"), "left_semi")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fromIndex === expected)
+      assert(fromIndex.nonEmpty)
+      // clusters run and cover every live id exactly once
+      val cl = SimilarityOps.semanticClustersFromIvfIndex(spark, "t_sp_idx", minCos)
+      assert(cl.count() === emb.count())
+      assert(cl.select(col("vec_id")).distinct().count() === emb.count())
+      // the cells self-join must not exchange either side. Disable the
+      // broadcast fallback: at test scale Spark would broadcast one side
+      // (and rightly skip the bucketed scan); the 100 TB shape under
+      // assertion is the sort-merge join over the shared bucketed layout
+      val old = spark.conf.get("spark.sql.adaptive.enabled")
+      val oldBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        val plan = SimilarityOps.semanticPairsFromIvfIndex(spark, "t_sp_idx", minCos)
+          .queryExecution.executedPlan
+        val scans = plan.collect {
+          case f: FileSourceScanExec if f.relation.location.rootPaths
+            .exists(_.toString.contains("t_sp_idx_cells")) => f
+        }
+        assert(scans.size === 2 && scans.forall(_.bucketedScan))
+        assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          "in-cell pair generation must be exchange-free end to end")
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+      }
+    } finally Seq("cells", "centroids", "meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS t_sp_idx_$s"))
+  }
+
   test("ensureBandedIndex: torn bands rows (id without a sets row) force a rebuild") {
     import graft.ops.DedupOps
     val docs = Tables(spark, SparkTestBase.sf001, "documents")
