@@ -824,6 +824,12 @@ object SparkEntry {
       TextOps.fimTransform(t(s, d, "documents"))
         .orderBy(col("doc_id"))),
 
+    // quality-signal CORRELATION matrix: pairwise Pearson across the
+    // heuristic battery — which signals are redundant; one aggregation
+    // pass (exact integer sums), matrix built from a single row
+    "q149_signal_corr" -> ((s, d) =>
+      TextOps.signalCorrelationMatrix(t(s, d, "documents"))),
+
     // STRATIFIED weighted sampling: q142's exponential race per source —
     // per-stratum quotas, weight-proportional within; rank window with
     // WindowGroupLimit heaps, no global sort
@@ -2525,6 +2531,47 @@ object SparkEntry {
          |      toks[CAST(p_len + 1 AS INT):CAST(p_len + m_len AS INT)], ' '), '')
          |  ELSE text END AS fim_text
          |FROM sp2 ORDER BY doc_id""".stripMargin
+    },
+
+    // the identical integer sums and the identical double Pearson shape,
+    // UNION ALL rows generated from the same (name, expr) list the Spark
+    // side iterates — the two can never drift apart
+    "q149_signal_corr" -> {
+      val sigExprs = Seq(
+        "n_chars" -> "CAST(length(text) AS BIGINT)",
+        "n_distinct" -> s"CAST(len(list_distinct($toksSql)) AS BIGINT)",
+        "n_tokens" -> s"CAST(len($toksSql) AS BIGINT)",
+        "quality_micro" -> s"CAST(floor(1e6 * ($qualitySqlExpr)) AS BIGINT)",
+        "stop_hits" ->
+          s"CAST(len(list_filter($toksSql, t -> t IN $stopSql)) AS BIGINT)")
+      val sel = sigExprs.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+      val sums = (sigExprs.map { case (n, _) => s"sum($n) AS sx_$n" } ++
+        sigExprs.map { case (n, _) => s"sum($n * $n) AS sq_$n" } ++
+        (for {
+          (a, i) <- sigExprs.zipWithIndex; (b, j) <- sigExprs.zipWithIndex
+          if i < j
+        } yield s"sum(${a._1} * ${b._1}) AS sp_${a._1}__${b._1}"))
+        .mkString(", ")
+      def dd(c: String) = s"CAST($c AS DOUBLE)"
+      val rows = (for {
+        (a, i) <- sigExprs.zipWithIndex; (b, j) <- sigExprs.zipWithIndex
+        if i < j
+      } yield {
+        val (an, bn) = (a._1, b._1)
+        val va = s"(${dd("n")} * ${dd(s"sq_$an")} - ${dd(s"sx_$an")} * ${dd(s"sx_$an")})"
+        val vb = s"(${dd("n")} * ${dd(s"sq_$bn")} - ${dd(s"sx_$bn")} * ${dd(s"sx_$bn")})"
+        s"""SELECT '$an' AS sig_a, '$bn' AS sig_b, n,
+           |  CASE WHEN $va > 0 AND $vb > 0 THEN
+           |    (${dd("n")} * ${dd(s"sp_${an}__$bn")}
+           |      - ${dd(s"sx_$an")} * ${dd(s"sx_$bn")})
+           |    / (sqrt($va) * sqrt($vb))
+           |  ELSE NULL END AS pearson_r
+           |FROM a""".stripMargin
+      }).mkString("\nUNION ALL\n")
+      s"""WITH s AS (SELECT $sel FROM documents),
+         |a AS (SELECT count(*) AS n, $sums FROM s)
+         |$rows
+         |ORDER BY sig_a, sig_b""".stripMargin
     },
 
     // the same race keys, ranked per source with DuckDB's row_number

@@ -1439,6 +1439,56 @@ object TextOps {
       .orderBy(col("w1"), col("w2"))
   }
 
+  /** Quality-signal CORRELATION matrix — the redundancy audit over the
+    * heuristic battery: pairwise Pearson r between per-doc signals
+    * (char/token/distinct-token counts, stopword hits, the micro-quantized
+    * quality score). Two signals at r ≈ 1 measure the same thing — drop
+    * one before fitting thresholds or a classifier on them; r ≈ 0 signals
+    * carry independent evidence. All per-doc signals are exact BIGINTs and
+    * every sum/cross-sum accumulates in exact integer arithmetic; only the
+    * final Pearson expression runs in doubles, written identically in the
+    * SQL oracle (sums cast to double first, the one shared shape both
+    * engines round identically).
+    *
+    * Scale shape: ONE aggregation pass computes n + all 5 sums, 5 squares
+    * and 10 cross-products with map-side partials; the matrix is built
+    * from that single row — corpus never shuffles, output ≤ 10 rows.
+    */
+  def signalCorrelationMatrix(documents: DataFrame,
+                              textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val sigs: Seq[(String, Column)] = Seq(
+      "n_chars" -> length(col(textCol)).cast("long"),
+      "n_distinct" -> size(array_distinct(toks)).cast("long"),
+      "n_tokens" -> size(toks).cast("long"),
+      "quality_micro" -> floor(qualityScore(toks) * 1e6).cast("long"),
+      "stop_hits" -> vocabHits(toks, enStopwords).cast("long"))
+    val proj = documents.select(sigs.map { case (n, c) => c.as(n) }: _*)
+    val aggs =
+      sigs.map { case (n, _) => sum(col(n)).as(s"sx_$n") } ++
+      sigs.map { case (n, _) => sum(col(n) * col(n)).as(s"sq_$n") } ++
+      (for {
+        (a, i) <- sigs.zipWithIndex; (b, j) <- sigs.zipWithIndex if i < j
+      } yield sum(col(a._1) * col(b._1)).as(s"sp_${a._1}__${b._1}"))
+    val row = proj.agg(count(lit(1)).as("n"), aggs: _*)
+    def d(c: String) = col(c).cast("double")
+    val nD = d("n")
+    val pairRows = for {
+      (a, i) <- sigs.zipWithIndex; (b, j) <- sigs.zipWithIndex if i < j
+    } yield {
+      val va = nD * d(s"sq_${a._1}") - d(s"sx_${a._1}") * d(s"sx_${a._1}")
+      val vb = nD * d(s"sq_${b._1}") - d(s"sx_${b._1}") * d(s"sx_${b._1}")
+      val num = nD * d(s"sp_${a._1}__${b._1}") - d(s"sx_${a._1}") * d(s"sx_${b._1}")
+      struct(lit(a._1).as("sig_a"), lit(b._1).as("sig_b"),
+        // NULL for a degenerate (constant) signal — r is undefined there
+        when(va > 0 && vb > 0, num / (sqrt(va) * sqrt(vb)))
+          .otherwise(lit(null).cast("double")).as("pearson_r"))
+    }
+    row.select(col("n"), explode(array(pairRows: _*)).as("p"))
+      .select(col("p.sig_a"), col("p.sig_b"), col("n"), col("p.pearson_r"))
+      .orderBy(col("sig_a"), col("sig_b"))
+  }
+
   // ---- BPE merge-table training ----
 
   /** Record separator (U+001E) used as the symbol delimiter in BPE

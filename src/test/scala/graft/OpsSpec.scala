@@ -2433,6 +2433,34 @@ class OpsSpec extends SparkTestBase {
     assert(loud.durationMs === 1000L && loud.peak > 0.95)
   }
 
+  test("signalCorrelationMatrix: hand values, symmetry-free pairs, bounds") {
+    val docs = Tables(spark, SparkTestBase.sf001, "documents")
+    val m = TextOps.signalCorrelationMatrix(docs).collect()
+    assert(m.length === 10) // 5 choose 2, each unordered pair once
+    m.foreach { r =>
+      assert(!r.isNullAt(3), s"no corpus signal is constant: $r")
+      val v = r.getDouble(3)
+      assert(v >= -1.0000001 && v <= 1.0000001, s"r out of range: $r")
+      assert(r.getString(0) < r.getString(1), "pairs must be name-ordered")
+    }
+    // token count and char count of whitespace text are near-perfectly
+    // correlated; quality is NOT a copy of raw length
+    val byPair = m.map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(byPair(("n_chars", "n_tokens")) > 0.95)
+    assert(math.abs(byPair(("n_chars", "quality_micro"))) <
+      byPair(("n_chars", "n_tokens")))
+    // driver-side replay on a tiny frame: exact Pearson for a known pair
+    val tiny = Seq((0L, "a b"), (1L, "a b c d"), (2L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val t = TextOps.signalCorrelationMatrix(tiny).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // n_chars = 3,7,11 and n_tokens = 2,4,6 are affine → r = 1 exactly
+    assert(math.abs(t(("n_chars", "n_tokens")).get - 1.0) < 1e-12)
+    // stop_hits is constant (every doc has exactly "a") → r undefined → NULL
+    assert(t(("n_tokens", "stop_hits")).isEmpty)
+  }
+
   test("hashRankSample: exact target counts, deterministic nested subsets") {
     val df = Tables(spark, "/root/testdata/sf0.001", "documents")
     val langSizes = df.groupBy(col("lang")).count().collect()
