@@ -824,6 +824,13 @@ object SparkEntry {
       TextOps.fimTransform(t(s, d, "documents"))
         .orderBy(col("doc_id"))),
 
+    // per-doc DUPLICATED-n-GRAM fraction vs the corpus: how much of each
+    // doc exists elsewhere — the boilerplate/syndication signal pairwise
+    // dedup misses; df-join shapes, no pairs anywhere
+    "q150_dup_fraction" -> ((s, d) =>
+      DedupOps.dupGramFraction(t(s, d, "documents"))
+        .orderBy(col("doc_id"))),
+
     // quality-signal CORRELATION matrix: pairwise Pearson across the
     // heuristic battery — which signals are redundant; one aggregation
     // pass (exact integer sums), matrix built from a single row
@@ -2531,6 +2538,28 @@ object SparkEntry {
          |      toks[CAST(p_len + 1 AS INT):CAST(p_len + m_len AS INT)], ' '), '')
          |  ELSE text END AS fim_text
          |FROM sp2 ORDER BY doc_id""".stripMargin
+    },
+
+    // same positioned-gram hashes, document frequency via count(DISTINCT
+    // id), identical floored integer micro fraction
+    "q150_dup_fraction" -> {
+      val tokHash = s"${ops.DetHash.sqlMd5Hash60("t")} % ${ops.DetHash.P}"
+      val grams8 = ops.DetHash.sqlShingleHashes("th", 8)
+      s"""WITH tok AS (SELECT doc_id, list_transform($toksSql, t -> $tokHash) AS th
+         |  FROM documents),
+         |eg AS (SELECT doc_id AS id, $grams8 AS gl FROM tok),
+         |ep AS (SELECT id, gl[t.i] AS h
+         |  FROM eg, UNNEST(range(1, len(gl) + 1)) AS t(i)),
+         |d AS (SELECT h, count(DISTINCT id) AS df FROM ep GROUP BY h),
+         |p AS (SELECT ep.id, count(*) AS n_grams,
+         |    sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS n_dup
+         |  FROM ep JOIN d USING (h) GROUP BY ep.id)
+         |SELECT doc_id, COALESCE(n_grams, 0) AS n_grams,
+         |  COALESCE(n_dup, 0) AS n_dup,
+         |  CASE WHEN COALESCE(n_grams, 0) > 0
+         |    THEN (1000000 * n_dup) // n_grams ELSE 0 END AS dup_frac_micro
+         |FROM documents LEFT JOIN p ON p.id = documents.doc_id
+         |ORDER BY doc_id""".stripMargin
     },
 
     // the identical integer sums and the identical double Pearson shape,

@@ -1057,6 +1057,38 @@ object DedupOps {
       .select(col("id"), (col("p0") + 1).as("pos"), col("h"))
   }
 
+  /** Per-doc DUPLICATED-n-GRAM FRACTION vs the corpus (the RefinedWeb-
+    * family signal that is NOT [[graft.ops.TextOps.repetitionStats]]:
+    * that one measures repetition WITHIN a document, this measures how
+    * much of a document exists ELSEWHERE): the share of a doc's n-gram
+    * positions whose exact n-gram also occurs in at least one OTHER
+    * document — boilerplate-laden and syndicated docs score high even
+    * when no single near-dup partner exists, which is exactly the case
+    * pairwise dedup misses. Emits exact integers plus
+    * `dup_frac_micro = (10^6·n_dup) div n_grams`.
+    *
+    * Scale shape: one (id, h)-distinct pass → one h-keyed document-
+    * frequency aggregation → the df frame joins back token-keyed → one
+    * id-keyed aggregation. Linear, no pairs anywhere.
+    */
+  def dupGramFraction(documents: DataFrame, n: Int = 8,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val grams = positionedNgramHashes(documents, textCol, idCol, n)
+    val df2 = grams.select(col("id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val perDoc = grams.join(df2, Seq("h"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    documents.select(col(idCol))
+      .join(perDoc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .na.fill(0L, Seq("n_grams", "n_dup"))
+      .withColumn("dup_frac_micro",
+        when(col("n_grams") > 0, expr("(1000000 * n_dup) div n_grams"))
+          .otherwise(lit(0L)))
+  }
+
   /** Exact n-gram SPAN decontamination — the published LLM eval-holdout
     * standard (n-gram collision against the training corpus, n typically
     * 8-13): for each eval document, the merged token spans

@@ -2461,6 +2461,29 @@ class OpsSpec extends SparkTestBase {
     assert(t(("n_tokens", "stop_hits")).isEmpty)
   }
 
+  test("dupGramFraction: exact shares on a hand corpus; within-doc repeats excluded") {
+    // docs 0/1 share their full text (every 3-gram duplicated), doc 2 is
+    // unique, doc 3 repeats ITS OWN phrase (no other doc has it) — the
+    // within-doc repeat must NOT count as corpus duplication
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (0L, shared), (1L, shared),
+      (2L, "one two three four five six"),
+      (3L, "own phrase here own phrase here own phrase here"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.dupGramFraction(df, n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(0L) === ((4L, 4L, 1000000L)) && out(1L) === ((4L, 4L, 1000000L)))
+    assert(out(2L) === ((4L, 0L, 0L)))
+    // doc 3: 7 trigram positions, all hashes unique to doc 3 → 0 duplicated
+    assert(out(3L)._1 === 7L && out(3L)._2 === 0L && out(3L)._3 === 0L)
+    // real corpus: fractions in range, high-dup docs exist (templated text)
+    val real = DedupOps.dupGramFraction(
+      Tables(spark, SparkTestBase.sf001, "documents")).collect()
+    assert(real.forall(r => r.getLong(3) >= 0L && r.getLong(3) <= 1000000L))
+  }
+
   test("hashRankSample: exact target counts, deterministic nested subsets") {
     val df = Tables(spark, "/root/testdata/sf0.001", "documents")
     val langSizes = df.groupBy(col("lang")).count().collect()
