@@ -441,8 +441,10 @@ object MultimodalOps {
                     val (b0, b1) =
                       if (bigEndian) (buf(base), buf(base + 1))
                       else (buf(base + 1), buf(base))
-                    val v = (b0 << 8) | (b1 & 0xff)
-                    if (signed) v else v - 32768
+                    // signed: sign-extend the high byte; unsigned: both
+                    // bytes are magnitude, then re-center
+                    if (signed) (b0 << 8) | (b1 & 0xff)
+                    else (((b0 & 0xff) << 8) | (b1 & 0xff)) - 32768
                   }
                 val s = raw.toDouble / (if (bits == 8) 128.0 else 32768.0)
                 sumSq += s * s

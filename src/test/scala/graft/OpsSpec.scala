@@ -2431,6 +2431,22 @@ class OpsSpec extends SparkTestBase {
     assert(tone.zeroCrossings >= 190 && tone.zeroCrossings <= 201)
     val loud = out(2L)
     assert(loud.durationMs === 1000L && loud.peak > 0.95)
+    // 8-bit UNSIGNED WAV (the other JDK-writable PCM flavor): bytes are
+    // magnitude + offset, so a half-scale sine must still read ~0.35 rms
+    val pcm8 = (0 until 800).map { i =>
+      (128 + math.round(0.5 * 127.0 *
+        math.sin(2 * math.Pi * 1000 * i / 8000))).toByte
+    }.toArray
+    val bos8 = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm8),
+      new AudioFormat(8000f, 8, 1, false, false), 800L),
+      AudioFileFormat.Type.WAVE, bos8)
+    val u8 = MultimodalOps.decodeAudio(
+        Seq((9L, bos8.toByteArray)).toDF("id", "payload"), "id", "payload")
+      .collect().head
+    assert(u8.bitsPerSample === 8 && u8.nFrames === 800L)
+    assert(math.abs(u8.rms - 0.5 / math.sqrt(2.0)) < 0.02)
   }
 
   test("signalCorrelationMatrix: hand values, symmetry-free pairs, bounds") {
