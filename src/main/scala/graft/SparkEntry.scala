@@ -2508,7 +2508,7 @@ object SparkEntry {
         s"${ops.DetHash.sqlMd5Hash60("'wsamp|' || CAST(doc_id AS VARCHAR)")} % 2147483647"
       s"""WITH h AS (SELECT doc_id, n_chars, $hm AS hm
          |  FROM documents WHERE n_chars > 0)
-         |SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         |SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
          |  CAST(floor(-ln((hm + 1) / 2147483648.0)
          |    / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS key_nano
          |FROM h ORDER BY key_nano, doc_id LIMIT 100""".stripMargin
@@ -2607,7 +2607,7 @@ object SparkEntry {
     "q148_stratified_sample" -> {
       val hm =
         s"${ops.DetHash.sqlMd5Hash60("'wsamp|' || CAST(doc_id AS VARCHAR)")} % 2147483647"
-      s"""WITH h AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight,
+      s"""WITH h AS (SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS weight,
          |    CAST(floor(-ln(($hm + 1) / 2147483648.0)
          |      / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS key_nano
          |  FROM documents WHERE n_chars > 0),

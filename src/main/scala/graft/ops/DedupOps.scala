@@ -616,16 +616,21 @@ object DedupOps {
                                   idCol: String = "doc_id",
                                   newCorpusTag: String = "",
                                   scope: CacheScope = CacheScope.default): Unit = {
+    val spark0 = newSnapshot.sparkSession
     val gone = diff.filter(col("status").isin("removed", "changed"))
       .select(col(idCol))
-    if (!gone.isEmpty) {
-      deleteFromBandedIndex(gone, tablePrefix, idCol)
-      val changed = diff.filter(col("status") === "changed")
-      if (!changed.isEmpty) compactBandedIndex(tablePrefix)
-    }
+    if (!gone.isEmpty) deleteFromBandedIndex(gone, tablePrefix, idCol)
     val fresh = newSnapshot.join(
       diff.filter(col("status").isin("added", "changed")).select(col(idCol)),
       Seq(idCol), "left_semi")
+    // compact whenever an id ABOUT TO APPEND is tombstoned — `changed` ids
+    // from this delta, but ALSO ids re-ADDED after a removals-only earlier
+    // cycle left their tombstone in place: without the compact the append's
+    // anti-join would silently drop them and the index would diverge from
+    // the new snapshot
+    val appendingTombstoned = fresh.select(col(idCol).as("id"))
+      .join(spark0.table(s"${tablePrefix}_deleted"), Seq("id"), "left_semi")
+    if (!appendingTombstoned.isEmpty) compactBandedIndex(tablePrefix)
     if (!fresh.isEmpty)
       appendToBandedIndex(fresh, tablePrefix, textCol, idCol,
         newCorpusTag, scope)

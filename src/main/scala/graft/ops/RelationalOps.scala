@@ -625,7 +625,10 @@ object RelationalOps {
       concat(lit(s"$seed|"), col(idCol).cast("string"))), lit(DetHash.P))
     val u = (h + 1L).cast("double") / lit((DetHash.P + 1L).toDouble)
     df.filter(weightCol > 0)
-      .select(col(idCol), weightCol.cast("long").as("weight"),
+      // weight reported as the DOUBLE the race actually used — a long
+      // cast would silently zero fractional importance weights while the
+      // key still honored them
+      .select(col(idCol), weightCol.cast("double").as("weight"),
         floor(-log(u) / weightCol.cast("double") * 1e9).cast("long")
           .as("key_nano"))
       .orderBy(col("key_nano"), col(idCol))
@@ -655,7 +658,7 @@ object RelationalOps {
     val u = (h + 1L).cast("double") / lit((DetHash.P + 1L).toDouble)
     val keyed = df.filter(weightCol > 0)
       .select(col(stratumCol), col(idCol),
-        weightCol.cast("long").as("weight"),
+        weightCol.cast("double").as("weight"),
         floor(-log(u) / weightCol.cast("double") * 1e9).cast("long")
           .as("key_nano"))
     topKPerGroup(keyed, Seq(stratumCol),

@@ -102,14 +102,18 @@ object SimilarityOps {
     * (≤ 2·10^6), never by corpus size, and broadcasts back as one row.
     */
   def knnDensityOutliers(emb: DataFrame, k: Int = 5, bottomPct: Int = 5,
-                         idCol: String = "vec_id",
-                         vecCol: String = "embedding"): DataFrame = {
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         scope: CacheScope = CacheScope.default): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(bottomPct >= 0 && bottomPct <= 100, s"bottomPct in [0,100]")
-    val knn = bruteForceTopK(emb, emb, k, idCol = idCol, vecCol = vecCol)
-      .filter(col("rank") === k)
-      .select(col("query_id").as(idCol), col("cos").as("knn_cos"),
-        floor(col("cos") * 1e6).cast("long").as("knn_micro"))
+    // CACHE the kth-NN frame: it feeds the count, the histogram threshold
+    // AND the output — uncached, the quadratic all-pairs pass would run
+    // three times (once per consumer)
+    val knn = scope.register(
+      bruteForceTopK(emb, emb, k, idCol = idCol, vecCol = vecCol)
+        .filter(col("rank") === k)
+        .select(col("query_id").as(idCol), col("cos").as("knn_cos"),
+          floor(col("cos") * 1e6).cast("long").as("knn_micro")))
     val tot = knn.agg(count(lit(1)).as("n"))
     val wc = Window.orderBy(col("knn_micro"))
       .rowsBetween(Window.unboundedPreceding, 0) // ≤ distinct micro values
@@ -697,13 +701,16 @@ object SimilarityOps {
                                 minCos: Double = 0.9): DataFrame = {
     import graft.functions.VectorExpressions.dotF
     val cells = spark.table(s"${tablePrefix}_cells")
-    val l = cells.select(col("cell"), col("neighbor_id").as("a"), col("cv").as("av"))
-    val r = cells.select(col("cell"), col("neighbor_id").as("b"), col("cv").as("bv"))
+    // norms once per ROW before the join (bruteForceTopK's lemma: the
+    // same expression evaluated once is bit-identical and drops the
+    // per-pair work to one dot + one divide)
+    val l = cells.select(col("cell"), col("neighbor_id").as("a"),
+      col("cv").as("av"), sqrt(dotF(col("cv"), col("cv"))).as("an"))
+    val r = cells.select(col("cell"), col("neighbor_id").as("b"),
+      col("cv").as("bv"), sqrt(dotF(col("cv"), col("cv"))).as("bn"))
     l.join(r, Seq("cell")).filter(col("a") < col("b"))
       .select(col("a"), col("b"),
-        (dotF(col("av"), col("bv")) /
-          (sqrt(dotF(col("av"), col("av"))) * sqrt(dotF(col("bv"), col("bv")))))
-          .as("cos"))
+        (dotF(col("av"), col("bv")) / (col("an") * col("bn"))).as("cos"))
       .filter(col("cos") >= lit(minCos))
   }
 

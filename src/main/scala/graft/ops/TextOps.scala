@@ -1386,13 +1386,25 @@ object TextOps {
       .mapPartitions { it =>
         val d = new java.util.zip.Deflater(6)
         val buf = new Array[Byte](8192)
-        it.map { case (id, text) =>
+        val mapped = it.map { case (id, text) =>
           val bytes = text.getBytes("UTF-8")
           d.reset(); d.setInput(bytes); d.finish()
           var total = 0L
           while (!d.finished()) total += d.deflate(buf)
           (id, bytes.length.toLong, total,
             total * 100L / math.max(bytes.length.toLong, 1L))
+        }
+        // release the native zlib state deterministically when the
+        // partition drains — GC finalization is too late on long-running
+        // executors processing many partitions
+        new scala.collection.AbstractIterator[(Long, Long, Long, Long)] {
+          private var ended = false
+          override def hasNext: Boolean = {
+            val h = mapped.hasNext
+            if (!h && !ended) { ended = true; d.end() }
+            h
+          }
+          override def next(): (Long, Long, Long, Long) = mapped.next()
         }
       }
       .toDF(idCol, "n_bytes", "n_deflate", "ratio_centi")
@@ -1428,7 +1440,10 @@ object TextOps {
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val uni = documents.select(explode(toks).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val tot = big.agg(sum(col("c12")).as("n_bigrams"))
+    // N = Σ max(n_tokens−1, 0) map-side — same exact integer as
+    // sum(c12), without re-running the corpus bigram explode+shuffle
+    val tot = documents
+      .agg(sum(greatest(size(toks) - 1, lit(0)).cast("long")).as("n_bigrams"))
     big.filter(col("c12") >= minCount)
       .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))

@@ -22,10 +22,10 @@ case class OpenSessions(sessions: Seq[(Long, Long, Long)])
   * max-version rows per stratum as the live sample.
   */
 case class ReservoirRow(stratum: String, version: Long, doc_id: Long,
-                        weight: Long, key_nano: Long)
+                        weight: Double, key_nano: Long)
 
 /** Per-stratum reservoir state: the k best (key, id, weight) so far. */
-case class ReservoirState(version: Long, rows: Seq[(Long, Long, Long)])
+case class ReservoirState(version: Long, rows: Seq[(Long, Long, Double)])
 
 /** One FULL training block emitted by [[StreamingEvents.packingIngest]]. */
 case class PackedBlock(shard: Int, block: Long, n_docs: Long,
@@ -169,8 +169,12 @@ object StreamingEvents {
     * axis), and every block that FILLS is emitted exactly once with its
     * doc span. A doc crossing a block boundary counts in every block it
     * touches, matching the batch layout rule. The trailing partial block
-    * stays in state (append mode emits only finalized facts); a follow-up
-    * batch or stream-stop flushes it.
+    * stays in state and is NEVER emitted (append mode emits only finalized
+    * facts, and there is no timeout to force it out) — by design: the
+    * partial block keeps absorbing docs as they arrive, and a consumer
+    * that must account for every ingested doc at shutdown reads the tail
+    * from the state store checkpoint or pads it with a final sentinel
+    * batch of `capacity` filler tokens per shard.
     *
     * State per shard is ONE partially-filled block (five longs) — O(1)
     * regardless of stream length, the property that lets this run forever.
@@ -247,26 +251,33 @@ object StreamingEvents {
       concat(lit(s"$seed|"), col(idCol).cast("string"))), lit(DetHash.P))
     val u = (h + 1L).cast("double") / lit((DetHash.P + 1L).toDouble)
     val keyed = docs.filter(col(weightCol) > 0)
-      .select(coalesce(col(stratumCol).cast("string"), lit("")).as("stratum"),
+      .select(col(stratumCol).cast("string").as("stratum"),
         col(idCol).cast("long").as("id"),
-        col(weightCol).cast("long").as("w"),
+        col(weightCol).cast("double").as("w"),
         floor(-log(u) / col(weightCol).cast("double") * 1e9).cast("long")
           .as("key"))
-      .as[(String, Long, Long, Long)]
+      .as[(String, Long, Double, Long)]
 
-    def step(stratum: String, rows: Iterator[(String, Long, Long, Long)],
+    def step(groupKey: String, rows: Iterator[(String, Long, Double, Long)],
              state: GroupState[ReservoirState]): Iterator[ReservoirRow] = {
+      val seq = rows.toSeq
       val st = state.getOption.getOrElse(ReservoirState(0L, Seq.empty))
-      val merged = (st.rows ++ rows.map(r => (r._4, r._2, r._3)))
+      val merged = (st.rows ++ seq.map(r => (r._4, r._2, r._3)))
         .distinct.sortBy(t => (t._1, t._2)).take(k)
       val v = st.version + 1
       state.update(ReservoirState(v, merged))
+      // the ORIGINAL stratum value (NULL stays NULL — the batch operator
+      // partitions NULL as its own stratum, so must we); the group key is
+      // a collision-free encoding, never emitted
+      val stratum = seq.head._1
       merged.iterator.map { case (key, id, w) =>
         ReservoirRow(stratum, v, id, w, key)
       }
     }
 
-    keyed.groupByKey(_._1)
+    // prefix real values so a NULL stratum can never collide with a
+    // genuine empty-string (or "null") stratum
+    keyed.groupByKey(t => if (t._1 == null) " " else "v" + t._1)
       .flatMapGroupsWithState(OutputMode.Update(),
         GroupStateTimeout.NoTimeout())(step)
   }

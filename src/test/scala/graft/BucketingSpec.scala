@@ -328,6 +328,23 @@ class BucketingSpec extends SparkTestBase {
         .getAs[String]("corpus_tag") === "v2")
       // changed docs forced a compact, so no tombstones linger
       assert(spark.table("t_mnt_idx_deleted").count() === 0)
+      // REMOVALS-ONLY cycle then RE-ADD: v3 drops a slice (tombstones only,
+      // no compact needed), v4 re-adds it — the maintenance must detect the
+      // tombstoned-and-appending ids and compact first, or the re-added
+      // docs would silently vanish in the append's anti-join
+      val snap3 = newSnap.filter(col("doc_id") % 9 =!= 3)
+      DedupOps.maintainBandedIndexFromDiff(snap3,
+        RelationalOps.snapshotDiff(newSnap, snap3), "t_mnt_idx",
+        newCorpusTag = "v3")
+      assert(spark.table("t_mnt_idx_deleted").count() > 0,
+        "a removals-only delta stays a cheap logical delete")
+      DedupOps.maintainBandedIndexFromDiff(newSnap,
+        RelationalOps.snapshotDiff(snap3, newSnap), "t_mnt_idx",
+        newCorpusTag = "v4")
+      val reAdded = DedupOps.probeBandedIndex(batch, "t_mnt_idx")
+        .orderBy("doc_id").collect().toSeq
+      assert(reAdded === fresh,
+        "re-added docs after a removals-only cycle must re-enter the index")
     } finally graft.ops.DedupOps.bandedIndexTables.foreach(s => {
       spark.sql(s"DROP TABLE IF EXISTS t_mnt_idx_$s")
       spark.sql(s"DROP TABLE IF EXISTS t_ref_idx_$s")

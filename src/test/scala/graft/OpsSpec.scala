@@ -2166,7 +2166,7 @@ class OpsSpec extends SparkTestBase {
   test("weightedSample: exactly k, matches driver-side replay, weight-monotone") {
     val docs = Tables(spark, SparkTestBase.sf001, "documents")
     val got = RelationalOps.weightedSample(docs, col("n_chars"), k = 20)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
     assert(got.length === 20)
     // driver-side replay of the exponential race over the full table must
     // produce the identical smallest-k set in the identical order
@@ -2175,14 +2175,14 @@ class OpsSpec extends SparkTestBase {
         val id = r.getLong(0); val w = r.getLong(1)
         val hm = ops.DetHash.jvmMd5Hash60(s"wsamp|$id") % ops.DetHash.P
         val u = (hm + 1).toDouble / (ops.DetHash.P + 1).toDouble
-        (id, w, math.floor(-math.log(u) / w.toDouble * 1e9).toLong)
+        (id, w.toDouble, math.floor(-math.log(u) / w.toDouble * 1e9).toLong)
       }
     val expect = all.sortBy(t => (t._3, t._1)).take(20).toSeq
     assert(got.toSeq === expect)
     // larger weight ⇒ stochastically smaller keys: the sampled docs' mean
     // weight must exceed the corpus mean (clear margin at these sizes)
-    val corpusMean = all.map(_._2).sum.toDouble / all.length
-    val sampleMean = got.map(_._2).sum.toDouble / got.length
+    val corpusMean = all.map(_._2).sum / all.length
+    val sampleMean = got.map(_._2).sum / got.length
     assert(sampleMean > corpusMean)
     // non-positive weights never qualify
     val withZero = docs.withColumn("w0",
@@ -2195,6 +2195,7 @@ class OpsSpec extends SparkTestBase {
     val docs = Tables(spark, SparkTestBase.sf001, "documents")
     val strat = RelationalOps.stratifiedWeightedSample(
       docs, "source", col("n_chars"), k = 5).collect()
+    assert(strat.forall(r => r.getDouble(2) > 0.0), "true double weights reported")
     val bySource = strat.groupBy(_.getString(0))
     val sizes = docs.groupBy(col("source")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -71,10 +71,16 @@ class StreamingSpec extends SparkTestBase {
 
   test("weightedReservoirIngest: reservoir after any prefix == batch sample of rows seen") {
     implicit val sqlCtx = spark.sqlContext
-    val docs = graft.sources.Tables(spark, SparkTestBase.sf001, "documents")
+    // real corpus rows PLUS a NULL-source stratum: the reservoir must keep
+    // NULL as its own stratum exactly like the batch window partition does
+    val docs = (graft.sources.Tables(spark, SparkTestBase.sf001, "documents")
       .select(col("source"), col("doc_id"), col("n_chars").cast("long"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      ++ Seq((null.asInstanceOf[String], 90001L, 100L),
+        (null.asInstanceOf[String], 90002L, 900L)))
       .sortBy(_._2)
+    val batchDf = docs.toSeq
+      .toDF("source", "doc_id", "n_chars")
     val mem = MemoryStream[(String, Long, Long)]
     val query = StreamingEvents.weightedReservoirIngest(
         mem.toDF().toDF("source", "doc_id", "n_chars"), k = 10)
@@ -93,16 +99,16 @@ class StreamingSpec extends SparkTestBase {
           .over(org.apache.spark.sql.expressions.Window.partitionBy(col("stratum"))))
         .filter(col("version") === col("maxv"))
         .select(col("stratum"), col("doc_id"), col("weight"), col("key_nano"))
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
         .toSet
       val batch = graft.ops.RelationalOps.stratifiedWeightedSample(
-          graft.sources.Tables(spark, SparkTestBase.sf001, "documents"),
-          "source", col("n_chars"), k = 10)
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          batchDf, "source", col("n_chars"), k = 10)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
         .toSet
       assert(latest === batch,
         "streamed reservoir must equal the batch stratified sample")
       assert(latest.nonEmpty)
+      assert(latest.exists(_._1 == null), "NULL stratum sampled as its own group")
     } finally query.stop()
   }
 
