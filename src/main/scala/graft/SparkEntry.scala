@@ -824,6 +824,14 @@ object SparkEntry {
       TextOps.fimTransform(t(s, d, "documents"))
         .orderBy(col("doc_id"))),
 
+    // MULTI-PROBE LSH (Lv'07): each query also probes every Hamming-1
+    // perturbation of its SRP bucket — recall without extra tables; the
+    // corpus is bucketed once, only the probe side fans out
+    "q151_multiprobe_lsh" -> ((s, d) =>
+      SimilarityOps.lshTopKMultiProbe(t(s, d, "embeddings"), k = 5,
+          nPlanes = 12, nTables = 2)
+        .orderBy(col("query_id"), col("rank"))),
+
     // per-doc DUPLICATED-n-GRAM fraction vs the corpus: how much of each
     // doc exists elsewhere — the boilerplate/syndication signal pairwise
     // dedup misses; df-join shapes, no pairs anywhere
@@ -2539,6 +2547,34 @@ object SparkEntry {
          |  ELSE text END AS fim_text
          |FROM sp2 ORDER BY doc_id""".stripMargin
     },
+
+    // q26's bucket replay + a probe expansion CTE (exact bucket ∪ one-bit
+    // xor perturbations), identical rerank and ranking
+    "q151_multiprobe_lsh" ->
+      s"""WITH planes AS (${ops.DetHash.sqlPlanesCte(24, 64)}),
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |proj AS (SELECT p.p // 12 AS tbl, p.p % 12 AS i, e.vec_id,
+         |    list_sum(list_transform(list_zip(e.embedding, p.cs), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS pr
+         |  FROM e CROSS JOIN planes p),
+         |b AS (SELECT tbl, vec_id,
+         |    sum(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS bucket
+         |  FROM proj GROUP BY tbl, vec_id),
+         |pb AS (SELECT tbl, vec_id,
+         |    CASE WHEN t.j = -1 THEN bucket
+         |      ELSE xor(bucket, CAST(1 AS BIGINT) << CAST(t.j AS INT)) END AS bucket
+         |  FROM b, unnest(range(-1, 12)) AS t(j)),
+         |cand AS (SELECT DISTINCT p.vec_id AS query_id, r.vec_id AS neighbor_id
+         |  FROM pb p JOIN b r ON p.tbl = r.tbl AND p.bucket = r.bucket
+         |    AND p.vec_id <> r.vec_id),
+         |scored AS (SELECT c.query_id, c.neighbor_id, ${sqlCos("qe", "ne")} AS cos
+         |  FROM cand c JOIN e qe ON qe.vec_id = c.query_id
+         |    JOIN e ne ON ne.vec_id = c.neighbor_id),
+         |ranked AS (SELECT query_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cos, rank FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // same positioned-gram hashes, document frequency via count(DISTINCT
     // id), identical floored integer micro fraction

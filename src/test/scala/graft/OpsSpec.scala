@@ -2501,6 +2501,33 @@ class OpsSpec extends SparkTestBase {
     assert(real.forall(r => r.getLong(3) >= 0L && r.getLong(3) <= 1000000L))
   }
 
+  test("lshTopKMultiProbe: recall >= single-probe at equal params, exact precision") {
+    val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
+    def recall(ann: org.apache.spark.sql.DataFrame): Double = {
+      val truth = SimilarityOps.bruteForceTopK(emb, emb, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = ann.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val single = recall(SimilarityOps.lshTopK(emb, k = 5, nPlanes = 12, nTables = 2))
+    val multi = recall(SimilarityOps.lshTopKMultiProbe(emb, k = 5,
+      nPlanes = 12, nTables = 2))
+    assert(multi >= single,
+      s"probe 0 is the exact bucket, so candidates are a superset: $multi < $single")
+    // everything is hash-deterministic, so the measured lift is a stable
+    // regression pin (this corpus is near-random — max cos 0.48 — so
+    // ABSOLUTE recall is inherently low; the point is the multiplier)
+    assert(multi >= 1.5 * single,
+      s"perturbed probes must add real recall: $multi vs $single")
+    // precision is exact: every reported cosine equals the brute-force value
+    val brute = SimilarityOps.bruteForceTopK(emb, emb, k = emb.count().toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    SimilarityOps.lshTopKMultiProbe(emb, k = 5, nPlanes = 12, nTables = 2)
+      .collect().foreach { r =>
+        assert(r.getDouble(2) === brute((r.getLong(0), r.getLong(1))))
+      }
+  }
+
   test("hashRankSample: exact target counts, deterministic nested subsets") {
     val df = Tables(spark, "/root/testdata/sf0.001", "documents")
     val langSizes = df.groupBy(col("lang")).count().collect()
