@@ -824,6 +824,18 @@ object SparkEntry {
       TextOps.fimTransform(t(s, d, "documents"))
         .orderBy(col("doc_id"))),
 
+    // MULTI-QUERY BM25 retrieval through a posting-list plan: postings
+    // pruned to query terms before any aggregation, per-(query,doc)
+    // contributions folded in sorted term order (bit-stable doubles)
+    "q152_bm25_retrieve" -> { (s, d) =>
+      import s.implicits._
+      val queries = Seq(
+        (0L, "spark join fast"), (1L, "table scan slow row"),
+        (2L, "hash merge batch window")).toDF("query_id", "query_text")
+      TextOps.bm25Retrieve(t(s, d, "documents"), queries, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // MULTI-PROBE LSH (Lv'07): each query also probes every Hamming-1
     // perturbation of its SRP bucket — recall without extra tables; the
     // corpus is bucketed once, only the probe side fans out
@@ -2547,6 +2559,42 @@ object SparkEntry {
          |  ELSE text END AS fim_text
          |FROM sp2 ORDER BY doc_id""".stripMargin
     },
+
+    // same pruned postings, ratio idf, and a list_reduce left fold seeded
+    // with 0.0 in term order — the exact double fold the Spark side runs
+    "q152_bm25_retrieve" ->
+      s"""WITH q(query_id, query_text) AS (VALUES
+         |    (CAST(0 AS BIGINT), 'spark join fast'),
+         |    (CAST(1 AS BIGINT), 'table scan slow row'),
+         |    (CAST(2 AS BIGINT), 'hash merge batch window')),
+         |tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(toks)) AS BIGINT) AS total_toks FROM tk),
+         |qt AS (SELECT query_id, unnest(list_distinct(
+         |    regexp_split_to_array(trim(query_text), '\\s+'))) AS term FROM q),
+         |po AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf FROM
+         |    (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         |       unnest(toks) AS term FROM tk)
+         |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2, 3),
+         |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM po GROUP BY 1),
+         |sc AS (SELECT qt.query_id, po.doc_id, po.term,
+         |    ((CAST(st.n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |    * (CAST(tf AS DOUBLE) * 2.2)
+         |    / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+         |        * CAST(dl AS DOUBLE)
+         |        / (CAST(st.total_toks AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))
+         |      AS contrib
+         |  FROM qt JOIN po USING (term) JOIN d USING (term), st),
+         |ag AS (SELECT query_id, doc_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(contrib ORDER BY term)), (a, x) -> a + x) AS bm25,
+         |    CAST(count(*) AS BIGINT) AS n_terms_hit
+         |  FROM sc GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, n_terms_hit, bm25,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rank FROM ag)
+         |SELECT query_id, doc_id, n_terms_hit, bm25, rank FROM r
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // q26's bucket replay + a probe expansion CTE (exact bucket ∪ one-bit
     // xor perturbations), identical rerank and ranking

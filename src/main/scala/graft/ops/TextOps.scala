@@ -1164,6 +1164,69 @@ object TextOps {
       .select(col(idCol), size(col("toks")).as("dl"), score.as("bm25"))
   }
 
+  /** MULTI-QUERY BM25 retrieval through a POSTING-LIST plan — the search
+    * shape [[bm25]]'s fixed-term scan generalizes to: a (small) table of
+    * queries, each a whitespace term list, scored against the corpus with
+    * per-query top-k results. The corpus side builds postings ONLY for
+    * terms any query mentions (the filter pushes into the token explode),
+    * so work scales with |postings of query terms|, not |corpus × queries|
+    * — the inverted-index shape a retrieval engine runs, as a join. Same
+    * bit-stable ratio-idf scoring contract as [[bm25]] (idf exactly
+    * representable; per-(query,doc) term contributions are folded in
+    * SORTED TERM ORDER — collect, sort, fold — because a plain double
+    * `sum()` aggregates in partition order, which neither reruns nor the
+    * oracle would reproduce). Only docs matching ≥ 1 term appear (true
+    * posting-list semantics; the full-scan [[bm25]] scores zeros too).
+    *
+    * Scale shape: query terms broadcast (a query table is model-sized);
+    * postings = one corpus explode FILTERED to those terms; dfs are one
+    * term-keyed aggregation of the pruned postings; scoring is one
+    * (query, doc) aggregation; top-k is a rank window with group-limit
+    * heaps.
+    */
+  def bm25Retrieve(documents: DataFrame, queries: DataFrame, k: Int = 5,
+                   k1: Double = 1.2, b: Double = 0.75,
+                   textCol: String = "text", idCol: String = "doc_id",
+                   queryIdCol: String = "query_id",
+                   queryCol: String = "query_text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val stats = documents.agg(count(lit(1)).as("n_docs"),
+      sum(size(toks).cast("long")).as("total_toks"))
+    val qTerms = queries.select(col(queryIdCol),
+        explode(array_distinct(tokens(col(queryCol)))).as("term"))
+    val termSet = qTerms.select(col("term")).distinct()
+    // postings pruned to query terms BEFORE any aggregation
+    val postings = documents
+      .select(col(idCol), size(toks).cast("long").as("dl"),
+        explode(toks).as("term"))
+      .join(broadcast(termSet), Seq("term"))
+      .groupBy(col("term"), col(idCol), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df")) // postings are (term, doc)-distinct
+    val avgdl = col("total_toks").cast("double") / col("n_docs").cast("double")
+    val scored = qTerms
+      .join(postings, Seq("term"))
+      .join(broadcast(dfs), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        ((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) *
+          (col("tf").cast("double") * lit(k1 + 1)) /
+          (col("tf").cast("double") + lit(k1) * (lit(1 - b) +
+            lit(b) * col("dl").cast("double") / avgdl)))
+      .groupBy(col(queryIdCol), col(idCol))
+      // deterministic double accumulation: fold contributions in term order
+      .agg(aggregate(
+          sort_array(collect_list(struct(col("term"), col("contrib")))),
+          lit(0.0), (acc, x) => acc + x.getField("contrib")).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+    RelationalOps.topKPerGroup(scored, Seq(queryIdCol),
+        Seq(col("bm25").desc, col(idCol).asc), k)
+      .select(col(queryIdCol), col(idCol), col("n_terms_hit"),
+        col("bm25"), col("rn").as("rank"))
+  }
+
   /** Per-document sliding-window chunking — the other half of training-data
     * layout (vs [[packSequences]], which concatenates): split each document
     * into `chunkTokens`-token windows that overlap by `overlap` tokens, so

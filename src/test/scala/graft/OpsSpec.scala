@@ -2528,6 +2528,31 @@ class OpsSpec extends SparkTestBase {
       }
   }
 
+  test("bm25Retrieve: agrees with the fixed-term scorer; posting-list semantics") {
+    val docs = Tables(spark, SparkTestBase.sf001, "documents")
+    val queries = Seq((7L, "spark join fast")).toDF("query_id", "query_text")
+    val got = TextOps.bm25Retrieve(docs, queries, k = 10)
+      .orderBy(col("rank")).collect()
+    assert(got.nonEmpty && got.forall(_.getLong(0) === 7L))
+    assert(got.forall(r => r.getLong(2) >= 1L && r.getLong(2) <= 3L))
+    // the full-scan scorer over the same terms must induce the same top-10
+    // (scores can differ by fold order only — sub-1e-9 relative)
+    val scan = TextOps.bm25(docs, Seq("spark", "join", "fast"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    got.foreach { r =>
+      val (id, s) = (r.getLong(1), r.getDouble(3))
+      assert(math.abs(s - scan(id)) <= 1e-9 * math.max(1.0, math.abs(s)),
+        s"doc $id: $s vs full-scan ${scan(id)}")
+    }
+    val gotIds = got.map(_.getLong(1)).toSeq
+    val expectIds = scan.toSeq.filter(_._2 > 0)
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1)
+    assert(gotIds === expectIds, "top-k ordering must match the full scan")
+    // posting-list semantics: only docs hitting >= 1 term are scored at all
+    val all = TextOps.bm25Retrieve(docs, queries, k = Int.MaxValue)
+    assert(all.count() === scan.count(_._2 > 0))
+  }
+
   test("hashRankSample: exact target counts, deterministic nested subsets") {
     val df = Tables(spark, "/root/testdata/sf0.001", "documents")
     val langSizes = df.groupBy(col("lang")).count().collect()
