@@ -151,7 +151,25 @@ object ScaleProbe {
       "compressionRatio" -> (() => run(graft.ops.TextOps.compressionRatio(docs))),
       // all-pairs audit shape by design: quadratic in corpus, documented —
       // at real scale this runs on ANN candidates, not the full cross
-      "knnDensityOutliers" -> (() => run(SimilarityOps.knnDensityOutliers(emb)))
+      "knnDensityOutliers" -> (() => run(SimilarityOps.knnDensityOutliers(emb,
+        scope = scope))),
+      // probe side fans out x13; corpus bucketed once — replication grows
+      // bucket occupancy, candidate counts follow the bucket sizes
+      "lshTopKMultiProbe" -> (() => run(SimilarityOps.lshTopKMultiProbe(
+        emb, k = 5, nPlanes = 12, nTables = 2))),
+      // posting-list retrieval: work ∝ postings of the query terms
+      "bm25Retrieve" -> (() => run {
+        val spark = docs.sparkSession
+        import spark.implicits._
+        graft.ops.TextOps.bm25Retrieve(docs, Seq(
+          (0L, "spark join fast"), (1L, "table scan slow row"),
+          (2L, "hash merge batch window")).toDF("query_id", "query_text"),
+          k = 5)
+      }),
+      // replication makes every doc fully contained in its replicas:
+      // qualifying pairs grow ~100x — linear-in-output like q21
+      "containmentPairs" -> (() => run(DedupOps.containmentPairs(
+        docs, minContain = 0.8, scope = scope)))
     ).filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, f) =>
         val t0 = System.nanoTime()
