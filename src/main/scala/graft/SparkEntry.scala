@@ -824,6 +824,13 @@ object SparkEntry {
       TextOps.fimTransform(t(s, d, "documents"))
         .orderBy(col("doc_id"))),
 
+    // BEHAVIORAL sequences: each (user, session) as its ordered action
+    // string — the event log becomes a token-sequence corpus the text
+    // tier consumes unchanged; one window pass + one session-keyed agg
+    "q154_session_sequences" -> ((s, d) =>
+      EventOps.sessionSequences(t(s, d, "events"))
+        .orderBy(col("user_id"), col("session_idx"))),
+
     // CONTAINMENT pairs: the asymmetric similarity banding can't see —
     // small-doc-inside-big-doc (quotes, snippets, chrome wrappers) at
     // tiny symmetric Jaccard; same inverted-index shape as q21
@@ -2566,6 +2573,25 @@ object SparkEntry {
          |  ELSE text END AS fim_text
          |FROM sp2 ORDER BY doc_id""".stripMargin
     },
+
+    // q29's session construction + an ordered string_agg per session;
+    // integer epoch duration
+    "q154_session_sequences" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f AS (SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) > 600000000
+        |  THEN 1 ELSE 0 END AS is_new FROM e),
+        |s AS (SELECT user_id, ts, event_id, event_type,
+        |  sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx FROM f)
+        |SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+        |  (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s,
+        |  string_agg(event_type, '>' ORDER BY ts, event_id) AS action_seq
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
 
     // brute-force set intersection over the shared shingle CTE, both
     // containment directions, greatest() filter

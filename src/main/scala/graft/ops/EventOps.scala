@@ -61,6 +61,37 @@ object EventOps {
         max(col("ts")).as("session_end"))
   }
 
+  /** BEHAVIORAL SEQUENCES: each (user, session) rendered as its ordered
+    * action string — `click>view>purchase…` — plus event count and exact
+    * integer duration, the training-example prep for sequence models over
+    * user behavior (session2vec / next-action LMs): the event log becomes
+    * a corpus of token sequences the text tier (tokenize, dedup, pack,
+    * split) consumes unchanged. Event order inside a session is the
+    * deterministic (ts, event_id) total order.
+    *
+    * Scale shape: ONE user-keyed window pass assigns sessions (q29's
+    * shape), then one (user, session) aggregation collects each session's
+    * events — sessions are gap-bounded so the per-group array is session-
+    * sized, never stream-sized.
+    */
+  def sessionSequences(events: DataFrame, gapMinutes: Int = 10): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prevTs = lag(col("ts"), 1).over(byUser)
+    val isNew = when(prevTs.isNull ||
+      unix_micros(col("ts")) - unix_micros(prevTs) > gapMinutes * 60L * 1000000L, 1L)
+      .otherwise(0L)
+    events
+      .withColumn("session_idx", sum(isNew).over(byUser))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          / lit(1000000L)).cast("long").as("duration_s"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          e => e.getField("event_type")), ">").as("action_seq"))
+  }
+
   /** Per-user session summary: session count + mean events/session (exact
     * integer arithmetic → deterministic double division).
     */

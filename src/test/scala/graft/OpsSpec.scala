@@ -2579,6 +2579,26 @@ class OpsSpec extends SparkTestBase {
     assert(fromIndex.nonEmpty)
   }
 
+  test("sessionSequences: ordered action strings, session splits, exact durations") {
+    def ev(id: Long, u: Long, m: Int, t: String) =
+      (id, java.sql.Timestamp.valueOf(f"2024-03-01 10:$m%02d:00"), u, t, 1.0)
+    val df = Seq(
+      ev(1, 1L, 0, "view"), ev(2, 1L, 2, "click"), ev(3, 1L, 5, "purchase"),
+      ev(4, 1L, 30, "view"), // > 10 min idle: new session
+      ev(5, 2L, 0, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.sessionSequences(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out((1L, 1L)) === ((3L, 300L, "view>click>purchase")))
+    assert(out((1L, 2L)) === ((1L, 0L, "view")))
+    assert(out((2L, 1L)) === ((1L, 0L, "click")))
+    // same-timestamp events order by event_id (the deterministic tiebreak)
+    val tie = Seq(ev(8, 3L, 0, "b"), ev(7, 3L, 0, "a"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(EventOps.sessionSequences(tie).head.getString(4) === "a>b")
+  }
+
   test("hashRankSample: exact target counts, deterministic nested subsets") {
     val df = Tables(spark, "/root/testdata/sf0.001", "documents")
     val langSizes = df.groupBy(col("lang")).count().collect()
