@@ -396,7 +396,11 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))),
 
     "q22_minhash_neardup" -> ((s, d) =>
+      // inter widened to match the oracle's BIGINT physical type exactly
+      // (int32 vs int64 parquet happens to survive the driver's compare,
+      // but type-identical is the contract check_oracle.py now enforces)
       DedupOps.minHashVerifiedPairs(t(s, d, "documents"), minJaccard = 0.8)
+        .withColumn("inter", col("inter").cast("long"))
         .orderBy(col("a"), col("b"))),
 
     // prefix-filtered exact Jaccard — same exact pair set as q22 (the
@@ -909,7 +913,10 @@ object SparkEntry {
     // train/val/test split pair — off-diagonal cells are eval leakage
     // (hash splitting can't stop near-dups landing on both sides)
     "q134_split_leakage" -> ((s, d) =>
-      DedupOps.splitLeakageAudit(t(s, d, "documents"))),
+      // split ids widened to the oracle's BIGINT (see q22's note)
+      DedupOps.splitLeakageAudit(t(s, d, "documents"))
+        .withColumn("split_x", col("split_x").cast("long"))
+        .withColumn("split_y", col("split_y").cast("long"))),
 
     // source CENTROID matrix: pairwise L2 between per-source mean
     // embeddings on the shared lattice — mirror/scrape detection at
@@ -2587,8 +2594,10 @@ object SparkEntry {
         |s AS (SELECT user_id, ts, event_id, event_type,
         |  sum(is_new) OVER (PARTITION BY user_id
         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx FROM f)
-        |SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
-        |  (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s,
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
+        |    AS duration_s,
         |  string_agg(event_type, '>' ORDER BY ts, event_id) AS action_seq
         |FROM s GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
@@ -2686,10 +2695,11 @@ object SparkEntry {
          |p AS (SELECT ep.id, count(*) AS n_grams,
          |    sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS n_dup
          |  FROM ep JOIN d USING (h) GROUP BY ep.id)
-         |SELECT doc_id, COALESCE(n_grams, 0) AS n_grams,
-         |  COALESCE(n_dup, 0) AS n_dup,
-         |  CASE WHEN COALESCE(n_grams, 0) > 0
-         |    THEN (1000000 * n_dup) // n_grams ELSE 0 END AS dup_frac_micro
+         |SELECT doc_id, CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup,
+         |  CAST(CASE WHEN COALESCE(n_grams, 0) > 0
+         |    THEN (1000000 * n_dup) // n_grams ELSE 0 END AS BIGINT)
+         |    AS dup_frac_micro
          |FROM documents LEFT JOIN p ON p.id = documents.doc_id
          |ORDER BY doc_id""".stripMargin
     },
@@ -2749,8 +2759,10 @@ object SparkEntry {
          |WHERE rank <= 25 ORDER BY source NULLS LAST, rank""".stripMargin
     },
 
-    // bigram/unigram counts and the identical integer lift; DuckDB's //
-    // is the same floored integer division on BIGINTs
+    // bigram/unigram counts and the identical double-shape lift (one
+    // product chain, one quotient, floor — overflow-safe at 100 TB token
+    // counts where the BIGINT product form would exceed 2^63); IEEE ops
+    // are exactly rounded so both engines produce the same bits
     "q147_pmi_collocations" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |bg AS (SELECT toks[CAST(i AS INT)] AS w1,
@@ -2760,8 +2772,12 @@ object SparkEntry {
          |uni AS (SELECT w, count(*) AS c FROM
          |  (SELECT unnest(toks) AS w FROM tk) GROUP BY 1),
          |tot AS (SELECT sum(c12) AS n_bigrams FROM big)
-         |SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2, t.n_bigrams,
-         |  (1000000 * b.c12 * t.n_bigrams) // (u1.c * u2.c) AS lift_micro
+         |SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,
+         |  CAST(t.n_bigrams AS BIGINT) AS n_bigrams,
+         |  CAST(floor((1000000.0 * CAST(b.c12 AS DOUBLE)
+         |      * CAST(t.n_bigrams AS DOUBLE))
+         |    / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))) AS BIGINT)
+         |    AS lift_micro
          |FROM big b
          |  JOIN uni u1 ON u1.w = b.w1
          |  JOIN uni u2 ON u2.w = b.w2, tot t
@@ -2808,10 +2824,11 @@ object SparkEntry {
          |grid AS (SELECT CAST(unnest(range(1, 11)) AS INT) AS checkpoint,
          |    total_tokens FROM tot)
          |SELECT g.checkpoint,
-         |  (g.total_tokens * g.checkpoint) // 10 AS cutoff_tokens,
-         |  COALESCE(nv.new_types, 0) AS new_types,
-         |  sum(COALESCE(nv.new_types, 0)) OVER (ORDER BY g.checkpoint
-         |    ROWS UNBOUNDED PRECEDING) AS vocab_size
+         |  CAST((g.total_tokens * g.checkpoint) // 10 AS BIGINT)
+         |    AS cutoff_tokens,
+         |  CAST(COALESCE(nv.new_types, 0) AS BIGINT) AS new_types,
+         |  CAST(sum(COALESCE(nv.new_types, 0)) OVER (ORDER BY g.checkpoint
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
          |FROM grid g LEFT JOIN nv USING (checkpoint)
          |ORDER BY g.checkpoint""".stripMargin,
 
@@ -3374,10 +3391,11 @@ object SparkEntry {
          |    COALESCE(sum(n_doc_tokens) OVER (ORDER BY h, doc_id, epoch
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
          |  FROM ch)
-         |SELECT pre // 20000 AS shard_id,
+         |SELECT CAST(pre // 20000 AS BIGINT) AS shard_id,
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_doc_tokens) AS BIGINT) AS n_tokens,
-         |  min(pre) AS start_tok, max(pre + n_doc_tokens) AS end_tok
+         |  CAST(min(pre) AS BIGINT) AS start_tok,
+         |  CAST(max(pre + n_doc_tokens) AS BIGINT) AS end_tok
          |FROM ccum GROUP BY 1 ORDER BY shard_id""".stripMargin
     },
 
@@ -3425,10 +3443,11 @@ object SparkEntry {
          |    COALESCE(sum(n_doc_tokens) OVER (ORDER BY h, doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
          |  FROM dt)
-         |SELECT pre // 2000 AS shard_id,
+         |SELECT CAST(pre // 2000 AS BIGINT) AS shard_id,
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_doc_tokens) AS BIGINT) AS n_tokens,
-         |  min(pre) AS start_tok, max(pre + n_doc_tokens) AS end_tok
+         |  CAST(min(pre) AS BIGINT) AS start_tok,
+         |  CAST(max(pre + n_doc_tokens) AS BIGINT) AS end_tok
          |FROM cum GROUP BY 1 ORDER BY shard_id""".stripMargin
     },
 

@@ -95,16 +95,23 @@ object SimilarityOps {
     * (ties included — value-based, so the flag set is engine-replayable;
     * a row_number cut would need a corpus-wide total order instead).
     *
+    * Every input id appears in the report exactly once: vectors that never
+    * reach a k-th neighbor (corpus of n ≤ k rows here; a short ANN
+    * candidate list in [[knnDensityOutliersFromCandidates]]) carry NULL
+    * `knn_cos`/`knn_micro`/`low_density` rather than silently vanishing —
+    * an audit that drops the very rows it cannot score would hide exactly
+    * the isolated content it exists to find.
+    *
     * Scale shape: scoring reuses [[bruteForceTopK]]'s broadcast kernel —
-    * an AUDIT shape (all pairs); at corpus scale feed it an ANN candidate
-    * set (the persisted IVF tier) instead of the full cross. The threshold
-    * is a value histogram whose window is bounded by distinct micro scores
-    * (≤ 2·10^6), never by corpus size, and broadcasts back as one row.
+    * an AUDIT shape (all pairs); at corpus scale use
+    * [[knnDensityOutliersFromCandidates]] fed from the persisted IVF tier
+    * instead of the full cross. The threshold is a value histogram whose
+    * window is bounded by distinct micro scores (≤ 2·10^6), never by
+    * corpus size, and broadcasts back as one row.
     */
   def knnDensityOutliers(emb: DataFrame, k: Int = 5, bottomPct: Int = 5,
                          idCol: String = "vec_id", vecCol: String = "embedding",
                          scope: CacheScope = CacheScope.default): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(bottomPct >= 0 && bottomPct <= 100, s"bottomPct in [0,100]")
     // CACHE the kth-NN frame: it feeds the count, the histogram threshold
     // AND the output — uncached, the quadratic all-pairs pass would run
@@ -114,6 +121,63 @@ object SimilarityOps {
         .filter(col("rank") === k)
         .select(col("query_id").as(idCol), col("cos").as("knn_cos"),
           floor(col("cos") * 1e6).cast("long").as("knn_micro")))
+    densityReport(emb.select(col(idCol)), knn, bottomPct, idCol)
+  }
+
+  /** [[knnDensityOutliers]] fed by a precomputed ANN CANDIDATE frame
+    * instead of the all-pairs cross — the 100 TB path: generate candidates
+    * with [[ivfTopKPersisted]] / [[lshTopK]] (any frame carrying
+    * `query_id`/`neighbor_id`; extra columns and approximate scores are
+    * ignored), then this overload reranks EXACTLY on candidates only,
+    * with the same dot/norm expression shape as [[bruteForceTopK]] so
+    * cosines are bit-identical. With candidates = the full id cross the
+    * report is value-identical to the brute kernel (OpsSpec asserts).
+    * Candidate lists shorter than k (ANN recall shortfall) surface as
+    * NULL-scored rows, never as silently missing ids — raise the
+    * upstream candidate k' or nProbe if they appear in volume.
+    *
+    * Scale shape: two id-keyed equi-joins fetch vectors onto the
+    * candidate pairs (shuffle on id — nothing is broadcast, the corpus
+    * never crosses itself), one per-query window over ≤ k' candidate
+    * rows, then the same bounded value-histogram threshold. No stage is
+    * quadratic in the corpus (BucketingSpec asserts off the persisted
+    * IVF index).
+    */
+  def knnDensityOutliersFromCandidates(emb: DataFrame, candidates: DataFrame,
+      k: Int = 5, bottomPct: Int = 5, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      scope: CacheScope = CacheScope.default): DataFrame = {
+    import graft.functions.VectorExpressions.dotF
+    require(bottomPct >= 0 && bottomPct <= 100, s"bottomPct in [0,100]")
+    // dedup (multi-table LSH emits a pair once per colliding table) and
+    // drop self-pairs (ANN top-k over the corpus itself ranks self first)
+    val cand = candidates.select(col("query_id"), col("neighbor_id"))
+      .filter(col("query_id") =!= col("neighbor_id")).distinct()
+    val q = emb.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      sqrt(dotF(col(vecCol), col(vecCol))).as("qn"))
+    val c = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      sqrt(dotF(col(vecCol), col(vecCol))).as("cn"))
+    val scored = cand.join(q, "query_id").join(c, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dotF(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    val knn = scope.register(
+      RelationalOps.topKPerGroup(scored, Seq("query_id"),
+          Seq(col("cos").desc, col("neighbor_id").asc), k)
+        .filter(col("rn") === k)
+        .select(col("query_id").as(idCol), col("cos").as("knn_cos"),
+          floor(col("cos") * 1e6).cast("long").as("knn_micro")))
+    densityReport(emb.select(col(idCol)), knn, bottomPct, idCol)
+  }
+
+  /** Shared tail of the kNN-density report: exact value-histogram
+    * threshold over the scored frame, LEFT-joined back onto the full id
+    * universe so every vector appears exactly once (NULL scores for ids
+    * that never reached a k-th neighbor; their `low_density` is NULL —
+    * unknown, not false). Threshold window is bounded by distinct micro
+    * values (≤ 2·10^6), never corpus size. */
+  private def densityReport(ids: DataFrame, knn: DataFrame, bottomPct: Int,
+                            idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tot = knn.agg(count(lit(1)).as("n"))
     val wc = Window.orderBy(col("knn_micro"))
       .rowsBetween(Window.unboundedPreceding, 0) // ≤ distinct micro values
@@ -122,7 +186,8 @@ object SimilarityOps {
       .crossJoin(broadcast(tot))
       .filter(col("cum") * 100 >= col("n") * bottomPct)
       .agg(min(col("knn_micro")).as("thr_micro"))
-    knn.crossJoin(broadcast(thr))
+    ids.join(knn, Seq(idCol), "left")
+      .crossJoin(broadcast(thr))
       .select(col(idCol), col("knn_cos"), col("knn_micro"),
         (col("knn_micro") <= col("thr_micro")).as("low_density"))
   }
@@ -147,6 +212,41 @@ object SimilarityOps {
       col(labelCol).as("neg_label"), col(vecCol).as("cv"),
       sqrt(dotF(col(vecCol), col(vecCol))).as("cn"))
     val scored = c.crossJoin(broadcast(q))
+      .filter(col("neg_label") =!= col("qlab"))
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        (dotF(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    RelationalOps.topKPerGroup(scored, Seq("query_id"),
+        Seq(col("cos").desc, col("neighbor_id").asc), k)
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        col("cos"), col("rn").as("rank"))
+  }
+
+  /** [[hardNegatives]] fed by a precomputed ANN CANDIDATE frame
+    * (`query_id`/`neighbor_id`, e.g. [[ivfTopKPersisted]] output with a
+    * generous k') — the corpus-scale path the brute kernel's docstring
+    * promises: the label-inequality filter and the EXACT cosine rerank
+    * run on candidates only, with the identical expression shape as
+    * [[hardNegatives]] so scores are bit-identical; with candidates =
+    * the full query×corpus cross the output matches the brute kernel
+    * row-for-row (OpsSpec asserts). A query whose label-filtered
+    * candidate list holds fewer than k rows yields fewer than k
+    * negatives — the ANN recall tradeoff; mine with candidate k' ≫ k so
+    * same-label near-neighbors can't starve the negative set.
+    *
+    * Scale shape: two id-keyed equi-joins (no broadcast of either side),
+    * one per-query window over ≤ k' rows — no quadratic stage.
+    */
+  def hardNegativesFromCandidates(corpus: DataFrame, queries: DataFrame,
+      candidates: DataFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label"): DataFrame = {
+    import graft.functions.VectorExpressions.dotF
+    val cand = candidates.select(col("query_id"), col("neighbor_id")).distinct()
+    val q = queries.select(col(idCol).as("query_id"), col(labelCol).as("qlab"),
+      col(vecCol).as("qv"), sqrt(dotF(col(vecCol), col(vecCol))).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neg_label"), col(vecCol).as("cv"),
+      sqrt(dotF(col(vecCol), col(vecCol))).as("cn"))
+    val scored = cand.join(q, "query_id").join(c, "neighbor_id")
       .filter(col("neg_label") =!= col("qlab"))
       .select(col("query_id"), col("neighbor_id"), col("neg_label"),
         (dotF(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
@@ -403,6 +503,19 @@ object SimilarityOps {
     * ×(nPlanes+1) — probe rows are (tbl, bucket, id) ints, joined on the
     * bucket key against the capped corpus index. At persisted-index scale
     * the probe list is what you'd send against the bucketed table.
+    *
+    * maxBucket asymmetry (DELIBERATE): the probe side is built from the
+    * UNCAPPED assignment — a query always probes all nPlanes+1 buckets,
+    * even when its home bucket was capped away on the corpus side
+    * (skew lives in the corpus bucket population, not in the one probe
+    * row per (table, query); capping the probe side would silently drop
+    * hot-bucket queries from the report). The corpus side stays capped,
+    * so per-bucket join fan-in is bounded either way, and the candidate
+    * superset-of-lshTopK property holds: probe 0 against the capped
+    * corpus reproduces exactly lshTopK's candidates. The q151 DuckDB
+    * oracle models NO cap on either side — it matches whenever every
+    * bucket is ≤ maxBucket (true for the test corpora; at over-cap skew
+    * the engine deliberately returns fewer candidates than the oracle).
     */
   def lshTopKMultiProbe(df: DataFrame, k: Int, nPlanes: Int = 12,
                         nTables: Int = 4, dim: Int = 64,
@@ -705,6 +818,10 @@ object SimilarityOps {
     *
     * This is the index-once / probe-many lifecycle: ingests and query
     * batches pay probe-side work only; the corpus never re-shuffles.
+    * Also written: `<prefix>_meta` (params + corpus tag + fmt, LAST — a
+    * torn build fails [[ensureIvfIndex]]'s stamp check) and an empty
+    * `<prefix>_deleted` tombstone table ([[deleteFromIvfIndex]] /
+    * [[compactIvfIndex]] / [[maintainIvfIndexFromDiff]]).
     */
   def writeIvfIndex(df: DataFrame, tablePrefix: String, nCells: Int = 16,
                     seed: Long = 4667979835606274383L,
@@ -731,6 +848,8 @@ object SimilarityOps {
         .toDF("cell", "center"),
       s"${tablePrefix}_centroids")
     graft.sources.Bucketing.saveTable(
+      Seq.empty[Long].toDF("id"), s"${tablePrefix}_deleted")
+    graft.sources.Bucketing.saveTable(
       Seq((nCells, seed, buckets, corpusTag, ivfIndexFormatVersion))
         .toDF("n_cells", "seed", "buckets", "corpus_tag", "fmt"),
       s"${tablePrefix}_meta")
@@ -746,11 +865,24 @@ object SimilarityOps {
     * quantizer already made for probes — [[ivfDriftReport]] is the signal
     * to retrain when that trade degrades.
     */
+  /** The LIVE (non-tombstoned) members of a persisted index's cells
+    * table: the bucketed scan anti-joined against the broadcast
+    * churn-sized `_deleted` set. The bucket layout — and with it every
+    * exchange-free probe plan — survives a broadcast anti-join, so
+    * logical deletes cost batch-scaled work on every read path until
+    * [[compactIvfIndex]] amortizes them away physically. */
+  private def liveCells(spark: org.apache.spark.sql.SparkSession,
+                        tablePrefix: String, memberId: String): DataFrame =
+    spark.table(s"${tablePrefix}_cells").join(
+      broadcast(spark.table(s"${tablePrefix}_deleted")
+        .withColumnRenamed("id", memberId)),
+      Seq(memberId), "left_anti")
+
   def semanticPairsFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
                                 tablePrefix: String,
                                 minCos: Double = 0.9): DataFrame = {
     import graft.functions.VectorExpressions.dotF
-    val cells = spark.table(s"${tablePrefix}_cells")
+    val cells = liveCells(spark, tablePrefix, "neighbor_id")
     // norms once per ROW before the join (bruteForceTopK's lemma: the
     // same expression evaluated once is bit-identical and drops the
     // per-pair work to one dot + one divide)
@@ -773,7 +905,7 @@ object SimilarityOps {
                                    tablePrefix: String,
                                    minCos: Double = 0.9,
                                    idCol: String = "vec_id"): DataFrame = {
-    val vertices = spark.table(s"${tablePrefix}_cells")
+    val vertices = liveCells(spark, tablePrefix, "neighbor_id")
       .select(col("neighbor_id").as(idCol))
     GraphOps.connectedComponents(
       semanticPairsFromIvfIndex(spark, tablePrefix, minCos), vertices, idCol)
@@ -784,8 +916,9 @@ object SimilarityOps {
     * rebuild instead of silently serving (see
     * [[graft.ops.DedupOps.bandedIndexFormatVersion]]).
     * v2: added the `buckets` meta column.
+    * v3: added the `_deleted` tombstone table (delete lifecycle).
     */
-  val ivfIndexFormatVersion: Int = 2
+  val ivfIndexFormatVersion: Int = 3
 
   /** Build the IVF index ONLY IF the persisted one is stale — the ANN twin
     * of [[graft.ops.DedupOps.ensureBandedIndex]]: a no-op when the three
@@ -801,7 +934,7 @@ object SimilarityOps {
                      scope: CacheScope = CacheScope.default): Unit = {
     val spark = df.sparkSession
     val upToDate = try {
-      Seq("cells", "centroids", "meta")
+      Seq("cells", "centroids", "meta", "deleted")
         .forall(s => spark.catalog.tableExists(s"${tablePrefix}_$s")) && {
         val m = spark.table(s"${tablePrefix}_meta").head()
         m.schema.fieldNames.contains("fmt") &&
@@ -839,7 +972,13 @@ object SimilarityOps {
       .orderBy(col("cell"))
       .collect().map(_.getAs[scala.collection.Seq[Double]]("center").toArray)
     val bcCenters = spark.sparkContext.broadcast(centers)
-    val assigned = batch
+    // an un-compacted tombstoned id cannot be re-appended: its stale cells
+    // rows would resurface the moment the tombstone lifted — skip such ids
+    // until a [[compactIvfIndex]] (the banded-index append contract)
+    val dels = spark.table(s"${tablePrefix}_deleted")
+    val admissible = batch.join(broadcast(dels),
+      batch(idCol).cast("long") === dels("id"), "left_anti")
+    val assigned = admissible
       .select(col(idCol).cast("long").as("neighbor_id"),
         col(vecCol).cast("array<float>").as("cv"))
       .as[(Long, Array[Float])]
@@ -860,6 +999,116 @@ object SimilarityOps {
     assigned.write.insertInto(s"${tablePrefix}_cells")
   }
 
+  /** LOGICAL delete from a persisted IVF or IVF-PQ index — the embedding
+    * twin of [[graft.ops.DedupOps.deleteFromBandedIndex]] (both index
+    * kinds share the `_deleted` (id) tombstone-table shape, so one entry
+    * point serves both): ids merge into the churn-sized tombstone table;
+    * every probe, report and corpus self-join anti-joins members against
+    * its broadcast — batch-scaled work, the corpus files never rewrite —
+    * and the appends skip tombstoned ids until a compact (their stale
+    * cells rows would resurface the moment the tombstone lifted).
+    * Physical removal is [[compactIvfIndex]]'s amortized job. Idempotent:
+    * re-deleting an id is a no-op. A crash mid-replace loses tombstones —
+    * the delete feed must be replayable (re-run the delta), the banded
+    * index's contract.
+    *
+    * Without this, a crawl delta that REMOVES documents leaves their
+    * embeddings serving: [[semanticPairsFromIvfIndex]] and every probe
+    * would keep matching deleted content.
+    */
+  def deleteFromIvfIndex(ids: DataFrame, tablePrefix: String,
+                         idCol: String = "vec_id"): Unit = {
+    val spark = ids.sparkSession
+    val merged = spark.table(s"${tablePrefix}_deleted")
+      .unionByName(ids.select(col(idCol).cast("long").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    graft.sources.Bucketing.saveTable(merged, s"${tablePrefix}_deleted")
+  }
+
+  /** COMPACT a persisted IVF or IVF-PQ index: physically rewrite `_cells`
+    * minus every tombstoned id in the SAME bucketed-by-cell layout
+    * (exchange-free probes survive — BucketingSpec asserts) and empty
+    * `_deleted` — the amortized corpus-sized rewrite that keeps probe-side
+    * anti-joins small and makes tombstoned ids APPENDABLE again. Handles
+    * both cells schemas (IVF's `neighbor_id` vector rows, IVF-PQ's
+    * `vec_id` code rows). Crash order: `_cells` rewrites FIRST and
+    * `_deleted` clears LAST, so a crash between the two leaves tombstones
+    * in force over already-removed rows (an anti-join that removes
+    * nothing) — probes stay correct at every intermediate state.
+    */
+  def compactIvfIndex(tablePrefix: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val buckets = spark.table(s"${tablePrefix}_meta").head()
+      .getAs[Int]("buckets")
+    val deleted = spark.table(s"${tablePrefix}_deleted")
+    if (!deleted.isEmpty) {
+      val cells = spark.table(s"${tablePrefix}_cells")
+      val memberId =
+        if (cells.columns.contains("neighbor_id")) "neighbor_id" else "vec_id"
+      // canonical column order preserved: anti-join keeps the left side's
+      // columns, and later appends insertInto POSITIONALLY
+      val keep = cells
+        .join(broadcast(deleted.withColumnRenamed("id", memberId)),
+          Seq(memberId), "left_anti")
+        .select(cells.columns.map(col): _*)
+        .localCheckpoint(true)
+      graft.sources.Bucketing.writeBucketed(keep, s"${tablePrefix}_cells",
+        Seq("cell"), buckets)
+      graft.sources.Bucketing.saveTable(
+        Seq.empty[Long].toDF("id"), s"${tablePrefix}_deleted")
+    }
+  }
+
+  /** Restamp the IVF meta row's corpus tag in place (all other fields and
+    * the format stamp carry over) — the maintenance paths' way of
+    * recording "this index now reflects snapshot X" without a rebuild. */
+  private def restampIvfTag(spark: org.apache.spark.sql.SparkSession,
+                            tablePrefix: String, tag: String): Unit = {
+    import spark.implicits._
+    val m = spark.table(s"${tablePrefix}_meta").head()
+    graft.sources.Bucketing.saveTable(
+      Seq((m.getAs[Int]("n_cells"), m.getAs[Long]("seed"),
+          m.getAs[Int]("buckets"), tag, m.getAs[Int]("fmt")))
+        .toDF("n_cells", "seed", "buckets", "corpus_tag", "fmt"),
+      s"${tablePrefix}_meta")
+  }
+
+  /** Fold a [[graft.ops.RelationalOps.snapshotDiff]] delta into a
+    * persisted IVF index — the embedding mirror of
+    * [[graft.ops.DedupOps.maintainBandedIndexFromDiff]], closing the
+    * incremental-crawl loop for the ANN tier: `removed` and `changed` ids
+    * tombstone out; the index COMPACTS whenever an id about to append is
+    * tombstoned (`changed` ids from this delta, but also ids re-ADDED
+    * after an earlier removals-only cycle left their tombstone standing —
+    * without the compact the append's anti-join would silently drop them);
+    * then `added` + `changed` vectors append under the FROZEN quantizer.
+    * With exhaustive probes (nProbe = nCells) the maintained index answers
+    * exactly as one rebuilt from the new snapshot — results are then
+    * centroid-independent — and at partial probe it matches a frozen-
+    * quantizer rebuild (BucketingSpec asserts the composed maintenance
+    * against a fresh build).
+    */
+  def maintainIvfIndexFromDiff(newSnapshot: DataFrame, diff: DataFrame,
+                               tablePrefix: String,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding",
+                               newCorpusTag: String = ""): Unit = {
+    val spark = newSnapshot.sparkSession
+    val gone = diff.filter(col("status").isin("removed", "changed"))
+      .select(col(idCol))
+    if (!gone.isEmpty) deleteFromIvfIndex(gone, tablePrefix, idCol)
+    val fresh = newSnapshot.join(
+      diff.filter(col("status").isin("added", "changed")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+    val appendingTombstoned = fresh.select(col(idCol).cast("long").as("id"))
+      .join(spark.table(s"${tablePrefix}_deleted"), Seq("id"), "left_semi")
+    if (!appendingTombstoned.isEmpty) compactIvfIndex(tablePrefix)
+    if (!fresh.isEmpty) appendToIvfIndex(fresh, tablePrefix, idCol, vecCol)
+    if (newCorpusTag.nonEmpty) restampIvfTag(spark, tablePrefix, newCorpusTag)
+  }
+
   /** Per-cell DRIFT report for a persisted IVF index — the visibility half
     * of the frozen-quantizer caveat on [[appendToIvfIndex]]: appends assign
     * new vectors to centroids fit on an older distribution, so drift shows
@@ -875,7 +1124,7 @@ object SimilarityOps {
     */
   def ivfDriftReport(spark: org.apache.spark.sql.SparkSession,
                      tablePrefix: String): DataFrame = {
-    val cells = spark.table(s"${tablePrefix}_cells")
+    val cells = liveCells(spark, tablePrefix, "neighbor_id")
     val cents = spark.table(s"${tablePrefix}_centroids")
       .select(col("cell"), col("center").cast("array<float>").as("ctr"))
     val total = cells.agg(count(lit(1)).cast("double").as("n_total"))
@@ -933,7 +1182,7 @@ object SimilarityOps {
     val centers: Array[Array[Double]] = spark.table(s"${tablePrefix}_centroids")
       .orderBy(col("cell"))
       .collect().map(_.getAs[scala.collection.Seq[Double]]("center").toArray)
-    val members = spark.table(s"${tablePrefix}_cells")
+    val members = liveCells(spark, tablePrefix, "neighbor_id")
     val bcCenters = spark.sparkContext.broadcast(centers)
     val probes = queries
       .select(col(idCol).cast("long").as("id"),
@@ -1389,8 +1638,9 @@ object SimilarityOps {
     * v2: added the `coarse` meta column and the centroids table's
     * `center_q` integer-lattice column.
     * v3: added the `encode` meta column (raw vs residual codes).
+    * v4: added the `_deleted` tombstone table (delete lifecycle).
     */
-  val ivfPqIndexFormatVersion: Int = 3
+  val ivfPqIndexFormatVersion: Int = 4
 
   /** Build the persisted IVF-PQ index — FAISS's production architecture,
     * composed from this file's two verified halves: a coarse KMeans
@@ -1503,6 +1753,8 @@ object SimilarityOps {
         yield (m, c, cb(m)(c).toSeq)).toDF("m", "cell", "cvec"),
       s"${tablePrefix}_codebook")
     graft.sources.Bucketing.saveTable(
+      Seq.empty[Long].toDF("id"), s"${tablePrefix}_deleted")
+    graft.sources.Bucketing.saveTable(
       Seq((nCells, seed, buckets, numSub, numCentroids, iters, scale,
         corpusTag, coarse, encode, ivfPqIndexFormatVersion))
         .toDF("n_cells", "seed", "buckets", "num_sub", "num_centroids",
@@ -1524,7 +1776,7 @@ object SimilarityOps {
                        scope: CacheScope = CacheScope.default): Unit = {
     val spark = df.sparkSession
     val upToDate = try {
-      Seq("cells", "centroids", "codebook", "meta")
+      Seq("cells", "centroids", "codebook", "meta", "deleted")
         .forall(s => spark.catalog.tableExists(s"${tablePrefix}_$s")) && {
         val m = spark.table(s"${tablePrefix}_meta").head()
         m.schema.fieldNames.contains("fmt") &&
@@ -1568,9 +1820,54 @@ object SimilarityOps {
     */
   def appendToIvfPqIndex(batch: DataFrame, tablePrefix: String,
                          idCol: String = "vec_id",
-                         vecCol: String = "embedding"): Unit =
-    ivfPqAssignCodes(batch, tablePrefix, idCol, vecCol)
+                         vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    // tombstoned ids skip until a compact (see [[appendToIvfIndex]])
+    val dels = spark.table(s"${tablePrefix}_deleted")
+    val admissible = batch.join(broadcast(dels),
+      batch(idCol).cast("long") === dels("id"), "left_anti")
+    ivfPqAssignCodes(admissible, tablePrefix, idCol, vecCol)
       .write.insertInto(s"${tablePrefix}_cells")
+  }
+
+  /** [[maintainIvfIndexFromDiff]] for the IVF-PQ tier: identical
+    * tombstone → conditional-compact → append composition, with codes
+    * assigned under the FROZEN coarse quantizer AND frozen PQ codebook.
+    * Maintained-index probes match a frozen-model rebuild exactly
+    * (BucketingSpec); a fresh [[writeIvfPqIndex]] rebuild retrains both
+    * models, so schedule one on [[ivfDriftSummary]] evidence as usual.
+    */
+  def maintainIvfPqIndexFromDiff(newSnapshot: DataFrame, diff: DataFrame,
+                                 tablePrefix: String,
+                                 idCol: String = "vec_id",
+                                 vecCol: String = "embedding",
+                                 newCorpusTag: String = ""): Unit = {
+    val spark = newSnapshot.sparkSession
+    val gone = diff.filter(col("status").isin("removed", "changed"))
+      .select(col(idCol))
+    if (!gone.isEmpty) deleteFromIvfIndex(gone, tablePrefix, idCol)
+    val fresh = newSnapshot.join(
+      diff.filter(col("status").isin("added", "changed")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+    val appendingTombstoned = fresh.select(col(idCol).cast("long").as("id"))
+      .join(spark.table(s"${tablePrefix}_deleted"), Seq("id"), "left_semi")
+    if (!appendingTombstoned.isEmpty) compactIvfIndex(tablePrefix)
+    if (!fresh.isEmpty) appendToIvfPqIndex(fresh, tablePrefix, idCol, vecCol)
+    if (newCorpusTag.nonEmpty) {
+      import spark.implicits._
+      val m = spark.table(s"${tablePrefix}_meta").head()
+      graft.sources.Bucketing.saveTable(
+        Seq((m.getAs[Int]("n_cells"), m.getAs[Long]("seed"),
+            m.getAs[Int]("buckets"), m.getAs[Int]("num_sub"),
+            m.getAs[Int]("num_centroids"), m.getAs[Int]("iters"),
+            m.getAs[Double]("scale"), newCorpusTag,
+            m.getAs[String]("coarse"), m.getAs[String]("encode"),
+            m.getAs[Int]("fmt")))
+          .toDF("n_cells", "seed", "buckets", "num_sub", "num_centroids",
+            "iters", "scale", "corpus_tag", "coarse", "encode", "fmt"),
+        s"${tablePrefix}_meta")
+    }
+  }
 
   /** A batch routed and encoded under a persisted IVF-PQ index's FROZEN
     * models — the cells-table row shape (cell, vec_id, c0..c{M-1}); the
@@ -1691,11 +1988,11 @@ object SimilarityOps {
         .join(qvq, Seq("query_id"))
         .join(broadcast(ivfPqCentsQ(spark, tablePrefix)), Seq("cell"))
         .select(col("query_id") +: col("cell") +: lutCols(qres, cb): _*)
-      spark.table(s"${tablePrefix}_cells")
+      liveCells(spark, tablePrefix, "vec_id")
         .join(broadcast(luts), Seq("cell"))
         .select(col("query_id"), col("vec_id"), adcSum(cb.length).as("adc_dist"))
     } else {
-      spark.table(s"${tablePrefix}_cells")
+      liveCells(spark, tablePrefix, "vec_id")
         .join(broadcast(probes), Seq("cell"))
         .join(broadcast(pqLuts(queries, scale, cb, idCol, vecCol)), Seq("query_id"))
         .select(col("query_id"), col("vec_id"), adcSum(cb.length).as("adc_dist"))

@@ -1477,12 +1477,15 @@ object TextOps {
   /** PMI COLLOCATIONS (Church & Hanks 1990): adjacent token pairs whose
     * corpus-wide LIFT `P(w1,w2)/(P(w1)·P(w2))` shows they co-occur far
     * beyond chance — multi-word expressions, named entities, templates.
-    * Lift is emitted micro-quantized as the PURE INTEGER
-    * `(10^6·c12·N) div (c1·c2)` (PMI = log2 of it, monotone — ranking
-    * identical), so the whole report is exact integer arithmetic with zero
-    * cross-engine float risk. `minCount` prunes the pair tail BEFORE the
-    * unigram joins. Long arithmetic bounds the corpus at ~3·10^6 bigram
-    * positions per 10^6 quantum step — widen to decimal beyond that.
+    * Lift is emitted micro-quantized as
+    * `floor(10^6·c12·N / (c1·c2))` computed in DOUBLES with a fixed
+    * expression shape (one left-assoc product chain, one quotient, one
+    * floor): each IEEE op is exactly rounded, so the identical shape in
+    * the SQL oracle yields the same bits, while the former BIGINT form
+    * overflowed 2^63 at 100 TB-scale corpora (N ≈ 10^13 bigrams makes
+    * 10^6·c12·N overflow for any pair with c12 ≥ 10^3, and c1·c2 soon
+    * after). PMI = log2 of lift, monotone — ranking identical. `minCount`
+    * prunes the pair tail BEFORE the unigram joins.
     *
     * Scale shape: bigram extraction is a map-only array transform (no
     * self-join of positions); one (w1,w2) and one (w) aggregation; the
@@ -1513,7 +1516,17 @@ object TextOps {
       .crossJoin(broadcast(tot))
       .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
         col("n_bigrams"),
-        expr("(1000000 * c12 * n_bigrams) div (c1 * c2)").as("lift_micro"))
+        // lift in doubles, one product chain / one quotient, floor at the
+        // end: the BIGINT form (1e6*c12*N) div (c1*c2) overflows 2^63 once
+        // corpus bigram count N reaches ~1e13 (100 TB of text) for any pair
+        // with c12 >= 1e3, and c1*c2 overflows soon after. IEEE doubles are
+        // exactly rounded per op, so the identical expression shape in the
+        // DuckDB oracle reproduces the same bits; micro-precision is kept
+        // while c12/c1/c2 stay under 2^53 (always: they are <= N per pair).
+        floor((lit(1e6) * col("c12").cast("double")
+            * col("n_bigrams").cast("double"))
+          / (col("c1").cast("double") * col("c2").cast("double")))
+          .cast("long").as("lift_micro"))
       .orderBy(col("w1"), col("w2"))
   }
 

@@ -262,8 +262,14 @@ object StreamingEvents {
              state: GroupState[ReservoirState]): Iterator[ReservoirRow] = {
       val seq = rows.toSeq
       val st = state.getOption.getOrElse(ReservoirState(0L, Seq.empty))
+      // dedup by ID, not by (key, id, weight) tuple: an at-least-once
+      // replay that re-delivers a doc with a CORRECTED weight changes its
+      // ES key, and tuple-distinct would let both versions occupy two of
+      // the k slots under one id. Keep the min-key entry per id (weight
+      // breaks exact key ties) so the reservoir stays one-row-per-doc.
       val merged = (st.rows ++ seq.map(r => (r._4, r._2, r._3)))
-        .distinct.sortBy(t => (t._1, t._2)).take(k)
+        .groupBy(_._2).valuesIterator.map(_.minBy(t => (t._1, t._3))).toSeq
+        .sortBy(t => (t._1, t._2)).take(k)
       val v = st.version + 1
       state.update(ReservoirState(v, merged))
       // the ORIGINAL stratum value (NULL stays NULL — the batch operator

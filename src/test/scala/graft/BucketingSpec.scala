@@ -841,4 +841,187 @@ class BucketingSpec extends SparkTestBase {
     // and the z-layout round-trips the data
     assert(spark.read.parquet(s"$dir/z").count() === events.count())
   }
+
+  test("IVF delete/compact: tombstoned ids stop matching, compact == logical, frozen re-append restores") {
+    import graft.ops.SimilarityOps
+    import spark.implicits._
+    val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
+    val queries = emb.filter(col("vec_id") % 25 === 3)
+    SimilarityOps.writeIvfIndex(emb, "t_ivf_del", nCells = 4, buckets = 4,
+      corpusTag = "v1")
+    try {
+      // exhaustive probes (nProbe = nCells) — results depend only on the
+      // LIVE member set, not the centroids, so they compare across indexes
+      def probe(prefix: String) =
+        SimilarityOps.ivfTopKPersisted(queries, prefix, k = 5, nProbe = 4)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+          .sortBy(t => (t._1, t._4)).toSeq
+      val before = probe("t_ivf_del")
+      assert(before.nonEmpty)
+      val victims = emb.filter(col("vec_id") % 7 === 1).select(col("vec_id"))
+      val victimIds = victims.collect().map(_.getLong(0)).toSet
+      SimilarityOps.deleteFromIvfIndex(victims, "t_ivf_del")
+      val logical = probe("t_ivf_del")
+      assert(logical !== before, "the deleted slice must have affected matches")
+      assert(logical.forall(r => !victimIds.contains(r._2)),
+        "tombstoned ids must not appear as neighbors")
+      // logical delete == fresh index built on the survivors
+      SimilarityOps.writeIvfIndex(
+        emb.join(victims, Seq("vec_id"), "left_anti"), "t_ivf_dref",
+        nCells = 4, buckets = 4)
+      assert(logical === probe("t_ivf_dref"),
+        "logical delete must be probe-equivalent to the shrunken corpus")
+      // idempotent re-delete; tombstoned ids skip appends until a compact
+      SimilarityOps.deleteFromIvfIndex(victims, "t_ivf_del")
+      assert(spark.table("t_ivf_del_deleted").count() === victims.count())
+      val cellsBefore = spark.table("t_ivf_del_cells").count()
+      SimilarityOps.appendToIvfIndex(emb.join(victims, Seq("vec_id"),
+        "left_semi"), "t_ivf_del")
+      assert(spark.table("t_ivf_del_cells").count() === cellsBefore,
+        "tombstoned ids must not re-append before a compact")
+      // compact: physical removal, empty tombstones, same answers,
+      // probes still exchange-free over the rewritten bucketed layout
+      SimilarityOps.compactIvfIndex("t_ivf_del")
+      assert(spark.table("t_ivf_del_deleted").count() === 0)
+      assert(spark.table("t_ivf_del_cells")
+        .filter(col("neighbor_id").isin(victimIds.toSeq: _*)).count() === 0)
+      assert(probe("t_ivf_del") === logical)
+      assertCorpusExchangeFree(
+        SimilarityOps.ivfTopKPersisted(queries, "t_ivf_del", k = 5, nProbe = 4),
+        "t_ivf_del")
+      // after the compact the ids are admissible again; the FROZEN
+      // quantizer assigns them back to their original cells, so the
+      // restored index answers exactly as before the delete
+      SimilarityOps.appendToIvfIndex(emb.join(victims, Seq("vec_id"),
+        "left_semi"), "t_ivf_del")
+      assert(probe("t_ivf_del") === before)
+    } finally Seq("cells", "centroids", "meta", "deleted").foreach(s => {
+      spark.sql(s"DROP TABLE IF EXISTS t_ivf_del_$s")
+      spark.sql(s"DROP TABLE IF EXISTS t_ivf_dref_$s")
+    })
+  }
+
+  test("maintainIvfIndexFromDiff: delta-maintained == fresh build at exhaustive probe; re-add compacts") {
+    import graft.ops.{RelationalOps, SimilarityOps}
+    import spark.implicits._
+    val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
+    val queries = emb.filter(col("vec_id") % 25 === 7)
+    // old snapshot: md5 bucket != 0; new: bucket != 1, bucket-2 vectors
+    // revised (negated) — the diff carries all four statuses
+    val b = pmod(graft.ops.DetHash.md5Hash60(
+      concat(lit("esnap|"), col("vec_id").cast("string"))), lit(10L))
+    val oldSnap = emb.withColumn("b", b).filter(col("b") =!= 0).drop("b")
+    val newSnap = emb.withColumn("b", b).filter(col("b") =!= 1)
+      .withColumn("embedding", when(col("b") === 2,
+        transform(col("embedding"), x => -x)).otherwise(col("embedding")))
+      .drop("b")
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("sig", col("embedding").cast("string"))
+    SimilarityOps.writeIvfIndex(oldSnap, "t_ivf_mnt", nCells = 4, buckets = 4,
+      corpusTag = "v1")
+    SimilarityOps.writeIvfIndex(newSnap, "t_ivf_mref", nCells = 4, buckets = 4,
+      corpusTag = "v2")
+    try {
+      def probe(prefix: String) =
+        SimilarityOps.ivfTopKPersisted(queries, prefix, k = 5, nProbe = 4)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+          .sortBy(t => (t._1, t._4)).toSeq
+      SimilarityOps.maintainIvfIndexFromDiff(newSnap,
+        RelationalOps.snapshotDiff(sig(oldSnap), sig(newSnap), "vec_id", "sig"),
+        "t_ivf_mnt", newCorpusTag = "v2")
+      assert(probe("t_ivf_mnt") === probe("t_ivf_mref"),
+        "delta maintenance must be probe-equivalent to a fresh build")
+      assert(spark.table("t_ivf_mnt_meta").head()
+        .getAs[String]("corpus_tag") === "v2")
+      // changed vectors forced a compact, so no tombstones linger
+      assert(spark.table("t_ivf_mnt_deleted").count() === 0)
+      // REMOVALS-ONLY cycle then RE-ADD (the banded index's v3/v4 drill):
+      // pure removals stay a cheap logical delete; the re-add must detect
+      // the standing tombstones and compact, or the returning vectors
+      // would vanish in the append's anti-join
+      val snap3 = newSnap.filter(col("vec_id") % 9 =!= 3)
+      SimilarityOps.maintainIvfIndexFromDiff(snap3,
+        RelationalOps.snapshotDiff(sig(newSnap), sig(snap3), "vec_id", "sig"),
+        "t_ivf_mnt", newCorpusTag = "v3")
+      assert(spark.table("t_ivf_mnt_deleted").count() > 0,
+        "a removals-only delta stays a logical delete")
+      SimilarityOps.maintainIvfIndexFromDiff(newSnap,
+        RelationalOps.snapshotDiff(sig(snap3), sig(newSnap), "vec_id", "sig"),
+        "t_ivf_mnt", newCorpusTag = "v4")
+      assert(spark.table("t_ivf_mnt_deleted").count() === 0,
+        "the re-add must have compacted the standing tombstones")
+      assert(probe("t_ivf_mnt") === probe("t_ivf_mref"),
+        "the v3/v4 round trip must restore the v2 answers")
+    } finally Seq("cells", "centroids", "meta", "deleted").foreach(s => {
+      spark.sql(s"DROP TABLE IF EXISTS t_ivf_mnt_$s")
+      spark.sql(s"DROP TABLE IF EXISTS t_ivf_mref_$s")
+    })
+  }
+
+  test("IVF-PQ delete/compact: tombstoned codes vanish, compact == logical, frozen re-append restores") {
+    import graft.ops.SimilarityOps
+    import spark.implicits._
+    val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
+    val queries = emb.filter(col("vec_id") % 25 === 11)
+    SimilarityOps.writeIvfPqIndex(emb, "t_pq_del", nCells = 4, buckets = 4,
+      corpusTag = "v1")
+    try {
+      def probe() =
+        SimilarityOps.ivfPqTopKPersisted(queries, "t_pq_del", k = 5, nProbe = 4)
+          .collect().map(_.toString).sorted.toSeq
+      val before = probe()
+      assert(before.nonEmpty)
+      val victims = emb.filter(col("vec_id") % 7 === 2).select(col("vec_id"))
+      val victimIds = victims.collect().map(_.getLong(0)).toSet
+      SimilarityOps.deleteFromIvfIndex(victims, "t_pq_del")
+      val logical = probe()
+      assert(logical !== before)
+      assert(SimilarityOps.ivfPqTopKPersisted(queries, "t_pq_del", k = 5,
+          nProbe = 4).filter(col("vec_id").isin(victimIds.toSeq: _*))
+        .count() === 0, "tombstoned codes must not match")
+      SimilarityOps.compactIvfIndex("t_pq_del")
+      assert(spark.table("t_pq_del_deleted").count() === 0)
+      assert(spark.table("t_pq_del_cells")
+        .filter(col("vec_id").isin(victimIds.toSeq: _*)).count() === 0)
+      assert(probe() === logical, "compact must not change answers")
+      assertCorpusExchangeFree(
+        SimilarityOps.ivfPqTopKPersisted(queries, "t_pq_del", k = 5,
+          nProbe = 4), "t_pq_del")
+      // frozen coarse + frozen codebook re-encode the victims to their
+      // original rows, so the restored index answers as before the delete
+      SimilarityOps.appendToIvfPqIndex(emb.join(victims, Seq("vec_id"),
+        "left_semi"), "t_pq_del")
+      assert(probe() === before)
+    } finally Seq("cells", "centroids", "codebook", "meta", "deleted")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS t_pq_del_$s"))
+  }
+
+  test("knnDensityOutliersFromCandidates off the persisted IVF index: no quadratic stage, full coverage") {
+    import graft.ops.SimilarityOps
+    val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
+    SimilarityOps.writeIvfIndex(emb, "t_cd_idx", nCells = 4, buckets = 4)
+    try {
+      val cand = SimilarityOps.ivfTopKPersisted(emb, "t_cd_idx", k = 12,
+        nProbe = 4).select(col("query_id"), col("neighbor_id"))
+      val rep = SimilarityOps.knnDensityOutliersFromCandidates(
+        emb, cand, k = 5, bottomPct = 10)
+      // the promised composition has NO corpus-quadratic stage: every join
+      // is id- or cell-keyed (the only nested-loop joins are the one-row
+      // threshold/total broadcasts)
+      val plan = rep.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        "candidate-fed density must not plan a cartesian product")
+      val out = rep.collect()
+      assert(out.length === emb.count().toInt,
+        "every vector must appear in the audit")
+      // exhaustive probes make the ANN candidate set ⊇ the true top-12,
+      // so the k=5 scores match the brute kernel exactly
+      val brute = SimilarityOps.knnDensityOutliers(emb, k = 5, bottomPct = 10)
+        .collect().map(_.toString).sorted.toSeq
+      assert(out.map(_.toString).sorted.toSeq === brute)
+    } finally Seq("cells", "centroids", "meta", "deleted").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS t_cd_idx_$s"))
+  }
 }

@@ -2851,4 +2851,62 @@ class OpsSpec extends SparkTestBase {
       assert(multi(id) === scores(id) + common(id))
     }
   }
+
+  test("knnDensityOutliersFromCandidates: full cross == brute kernel; short lists -> NULL rows") {
+    val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
+    val ids = emb.select(col("vec_id"))
+    val fullCross = ids.select(col("vec_id").as("query_id"))
+      .crossJoin(ids.select(col("vec_id").as("neighbor_id")))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getDouble(1), r.getLong(2), r.getBoolean(3))
+    val brute = SimilarityOps.knnDensityOutliers(emb, k = 5, bottomPct = 10)
+      .collect().map(key).sortBy(_._1).toSeq
+    val viaCand = SimilarityOps.knnDensityOutliersFromCandidates(
+        emb, fullCross, k = 5, bottomPct = 10)
+      .collect().map(key).sortBy(_._1).toSeq
+    assert(viaCand === brute,
+      "candidate rerank over the full cross must equal the brute kernel")
+    // short candidate lists (here: only neighbors with id within 2 — most
+    // vectors get < k candidates) surface as NULL-scored rows covering
+    // EVERY id, never as missing ids
+    val sparse = fullCross.filter(
+      abs(col("query_id") - col("neighbor_id")) <= 2)
+    val out = SimilarityOps.knnDensityOutliersFromCandidates(
+      emb, sparse, k = 5, bottomPct = 10).collect()
+    assert(out.length === emb.count(),
+      "every input id must appear in the report")
+    assert(out.forall(r => r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3)),
+      "ids that never reach a k-th candidate carry NULL score and flag")
+    // and the brute kernel on a corpus of n <= k rows: all-NULL, all ids
+    val tiny = emb.filter(col("vec_id") < 4)
+    val tinyOut = SimilarityOps.knnDensityOutliers(tiny, k = 5).collect()
+    assert(tinyOut.length === 4 && tinyOut.forall(_.isNullAt(1)))
+  }
+
+  test("hardNegativesFromCandidates: full cross == brute kernel; generous ANN candidates recover it") {
+    val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val fullCross = queries.select(col("vec_id").as("query_id"))
+      .crossJoin(emb.select(col("vec_id").as("neighbor_id")))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4))
+    val brute = SimilarityOps.hardNegatives(emb, queries, 10)
+      .collect().map(key).sortBy(r => (r._1, r._5)).toSeq
+    val viaCand = SimilarityOps.hardNegativesFromCandidates(
+        emb, queries, fullCross, 10)
+      .collect().map(key).sortBy(r => (r._1, r._5)).toSeq
+    assert(viaCand === brute,
+      "candidate rerank over the full cross must equal the brute kernel")
+    // the intended composition: ANN candidates with generous k' from the
+    // brute ranking itself (stand-in for lshTopK/ivfTopKPersisted output —
+    // any (query_id, neighbor_id) frame works); with k' large enough to
+    // hold 10 cross-label rows, the mined negatives match exactly
+    val ann = SimilarityOps.bruteForceTopK(emb, queries, k = 200)
+      .select(col("query_id"), col("neighbor_id"))
+    val viaAnn = SimilarityOps.hardNegativesFromCandidates(
+        emb, queries, ann, 10)
+      .collect().map(key).sortBy(r => (r._1, r._5)).toSeq
+    assert(viaAnn === brute,
+      "a generous ANN candidate set must recover the brute negatives")
+  }
 }

@@ -112,6 +112,40 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("weightedReservoirIngest: replay with corrected weight keeps one slot per id") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val query = StreamingEvents.weightedReservoirIngest(
+        mem.toDF().toDF("source", "doc_id", "n_chars"), k = 5)
+      .writeStream.format("memory").queryName("res_replay_out")
+      .outputMode("update")
+      .start()
+    try {
+      // 4 docs (< k, so all live in the reservoir), then an at-least-once
+      // replay re-delivers doc 2 with a CORRECTED weight — its ES key
+      // changes, and a tuple-level dedup would let both versions hold two
+      // of the k slots under one id
+      val first = Seq(("a", 1L, 100L), ("a", 2L, 200L), ("a", 3L, 300L),
+        ("a", 4L, 400L))
+      mem.addData(first: _*)
+      query.processAllAvailable()
+      mem.addData(("a", 2L, 900L))
+      query.processAllAvailable()
+      val latest = spark.table("res_replay_out")
+        .withColumn("maxv", max(col("version"))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("stratum"))))
+        .filter(col("version") === col("maxv"))
+        .collect().map(r => (r.getLong(2), r.getDouble(3)))
+      assert(latest.map(_._1).sorted.toSeq === Seq(1L, 2L, 3L, 4L),
+        s"each id must hold exactly one reservoir slot, got ${latest.toSeq}")
+      // the kept entry per id is the MIN-key one — deterministic across
+      // replay orders, so the reservoir remains an auditable fact
+      val kept2 = latest.find(_._1 == 2L).get._2
+      assert(kept2 == 200.0 || kept2 == 900.0)
+    } finally query.stop()
+  }
+
   test("streaming tumbling agg over MemoryStream: finalized windows match batch EventOps") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]

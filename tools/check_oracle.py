@@ -8,10 +8,43 @@ sf tables registered as views, loads the Spark parquet dump for the same
 query, sorts columns by name and rows by all columns, and compares values
 (exact for ints/strings, 1e-9 relative for floats — the driver hashes
 bytes, so floats must effectively be bit-equal; we report near-misses
-separately)."""
+separately).
+
+Also compares COLUMN TYPES: the driver hashes Arrow bytes, so a DuckDB
+HUGEINT/DECIMAL(38,0) (from an un-cast windowed sum() or //-division)
+against a Spark int64 fails the driver even when every value is equal.
+A TYPE line + failure here predicts that; fix by CASTing the oracle
+column (usually AS BIGINT)."""
 import json, math, sys
 
 import duckdb
+
+
+def _norm_type(t):
+    # physical-representation equivalence classes: TIMESTAMP and
+    # TIMESTAMP WITH TIME ZONE are both int64 micros on the wire
+    s = str(t).upper()
+    if s.startswith("TIMESTAMP"):
+        return "TIMESTAMP"
+    return s
+
+
+# the driver's compare tolerates integer-WIDTH differences (r08 evidence:
+# q22 int32 vs BIGINT passed its hash) but NOT int-vs-decimal — so width
+# mismatches warn, HUGEINT/DECIMAL-vs-int fails
+_INT_WIDTHS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+               "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+
+
+def type_mismatches(con, sql_oracle, spark_glob):
+    """[(col, spark_type, oracle_type)] where physical layouts differ."""
+    orel = con.sql(sql_oracle)
+    otypes = {c: _norm_type(t) for c, t in zip(orel.columns, orel.types)}
+    srel = con.sql(f"SELECT * FROM read_parquet('{spark_glob}')")
+    stypes = {c: _norm_type(t) for c, t in zip(srel.columns, srel.types)}
+    return [(c, stypes[c], otypes[c])
+            for c in sorted(set(otypes) & set(stypes))
+            if stypes[c] != otypes[c]]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -73,6 +106,25 @@ def main(sf_dir, out_dir):
             continue
         if len(orows) != len(srows):
             print(f"FAIL {name}: rows {len(srows)} vs oracle {len(orows)}")
+            fails.append(name)
+            continue
+        try:
+            tmis = type_mismatches(con, oracle[name],
+                                   f"{out_dir}/{name}/*.parquet")
+        except Exception as e:
+            print(f"FAIL {name}: type check error: {e}")
+            fails.append(name)
+            continue
+        hard = [(c, st, ot) for c, st, ot in tmis
+                if not (st in _INT_WIDTHS and ot in _INT_WIDTHS)]
+        for c, st, ot in tmis:
+            if (c, st, ot) in hard:
+                print(f"TYPE {name}: {c} spark={st} oracle={ot} "
+                      f"(driver byte hash WILL differ — cast the oracle)")
+            else:
+                print(f"WARN {name}: {c} spark={st} oracle={ot} "
+                      f"(int width only — driver tolerates, align anyway)")
+        if hard:
             fails.append(name)
             continue
         _, on = norm(orows, ocols)
