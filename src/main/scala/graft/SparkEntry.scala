@@ -896,6 +896,22 @@ object SparkEntry {
       SimilarityOps.knnDensityOutliers(t(s, d, "embeddings"))
         .orderBy(col("vec_id"))),
 
+    // the CORPUS-SCALE density audit: same kth-NN-by-value report as q146
+    // but fed by LSH ANN candidates instead of the all-pairs cross — the
+    // exact rerank touches only bucket-collision pairs, and vectors whose
+    // candidate list never reaches rank k surface as NULL rows (ANN recall
+    // shortfall made visible, not silently dropped)
+    "q155_knn_density_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      // 6 planes/table: 64 buckets per table keeps real collision mass at
+      // this corpus size, so most vectors reach rank k and the NULL tail
+      // stays what it should be — the genuinely isolated vectors
+      val cand = SimilarityOps.lshTopK(emb, k = 12, nPlanes = 6)
+        .select(col("query_id"), col("neighbor_id"))
+      SimilarityOps.knnDensityOutliersFromCandidates(emb, cand, k = 5)
+        .orderBy(col("vec_id"))
+    }),
+
     // HEAPS'-LAW vocab growth: distinct token types seen by each tenth of
     // the id-ordered token stream — does-vocabulary-saturate, via per-type
     // first-occurrence positions (two-level prefix sum, one token agg)
@@ -2804,6 +2820,41 @@ object SparkEntry {
          |SELECT k.vec_id, k.knn_cos, k.knn_micro,
          |  k.knn_micro <= thr.thr AS low_density
          |FROM kn k, thr ORDER BY k.vec_id""".stripMargin,
+
+    // q26's SRP bucket replay feeds the q146 density tail: rank over ALL
+    // LSH candidates and keep rank 5 — identical to reranking the engine's
+    // top-12 candidate lists, since top-12 ⊇ top-5 under the same total
+    // order. The LEFT JOIN realizes the NULL-row coverage contract.
+    "q155_knn_density_lsh" ->
+      s"""WITH planes AS (${ops.DetHash.sqlPlanesCte(24, 64)}),
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |proj AS (SELECT p.p // 6 AS tbl, p.p % 6 AS i, e.vec_id,
+         |    list_sum(list_transform(list_zip(e.embedding, p.cs), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS pr
+         |  FROM e CROSS JOIN planes p),
+         |b AS (SELECT tbl, vec_id,
+         |    sum(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS bucket
+         |  FROM proj GROUP BY tbl, vec_id),
+         |cand AS (SELECT DISTINCT l.vec_id AS qid, r.vec_id AS nid
+         |  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
+         |    AND l.vec_id <> r.vec_id),
+         |scored AS (SELECT c.qid, c.nid, ${sqlCos("qe", "ne")} AS cos
+         |  FROM cand c JOIN e qe ON qe.vec_id = c.qid
+         |    JOIN e ne ON ne.vec_id = c.nid),
+         |r AS (SELECT qid, cos, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM scored),
+         |kn AS (SELECT qid AS vec_id, cos AS knn_cos,
+         |    CAST(floor(cos * 1e6) AS BIGINT) AS knn_micro
+         |  FROM r WHERE rn = 5),
+         |t AS (SELECT count(*) AS n FROM kn),
+         |h AS (SELECT knn_micro, count(*) AS c FROM kn GROUP BY 1),
+         |cm AS (SELECT knn_micro, sum(c) OVER (ORDER BY knn_micro
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+         |thr AS (SELECT min(knn_micro) AS thr FROM cm, t
+         |  WHERE cum * 100 >= n * 5)
+         |SELECT e.vec_id, k.knn_cos, k.knn_micro,
+         |  k.knn_micro <= thr.thr AS low_density
+         |FROM e LEFT JOIN kn k USING (vec_id), thr
+         |ORDER BY e.vec_id""".stripMargin,
 
     // global positions via a literal window cumsum over doc order, per-type
     // min position, the same ceil checkpoint integer, grid left join

@@ -1070,7 +1070,10 @@ object DedupOps {
     * document — boilerplate-laden and syndicated docs score high even
     * when no single near-dup partner exists, which is exactly the case
     * pairwise dedup misses. Emits exact integers plus
-    * `dup_frac_micro = (10^6·n_dup) div n_grams`.
+    * `dup_frac_micro = (10^6·n_dup) div n_grams` — overflow-audited: both
+    * operands are PER-DOCUMENT gram counts (bounded by one doc's length,
+    * ~10^6), so 10^6·n_dup stays ≤ ~10^12 at any corpus scale, unlike the
+    * corpus-wide products that forced pmiCollocations to doubles.
     *
     * Scale shape: one (id, h)-distinct pass → one h-keyed document-
     * frequency aggregation → the df frame joins back token-keyed → one

@@ -1005,6 +1005,61 @@ class OpsSpec extends SparkTestBase {
       (frames.getSeq[Array[Byte]](1).length + 1) / 2)
   }
 
+  test("decodeVideoFrames: real MJPEG-AVI decode — header facts, frame features, sampling; junk drops") {
+    // hand-assembled spec-conformant AVI: RIFF('AVI ' LIST(hdrl avih)
+    // LIST(movi 00dc*)) with 4 JPEG frames — scene cut at frame 2
+    def le32(v: Long): Array[Byte] = Array((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 24) & 0xff).toByte)
+    def chunk(fcc: String, data: Array[Byte]): Array[Byte] = {
+      val pad: Array[Byte] =
+        if (data.length % 2 == 1) Array(0.toByte) else Array.empty
+      fcc.getBytes("US-ASCII") ++ le32(data.length.toLong) ++ data ++ pad
+    }
+    def list(listType: String, payload: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ payload)
+    def gray(v: Int): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8)
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      im
+    }
+    val jpegs = Seq(gray(100), gray(100), gray(200), gray(100))
+      .map(encodeImage(_, "jpg"))
+    // avih fixed offsets: µs/frame@0 (25 fps), totalFrames@16, w@32, h@36
+    val avih = le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(4) ++
+      le32(0) ++ le32(1) ++ le32(0) ++ le32(8) ++ le32(8) ++
+      Array.fill[Byte](16)(0)
+    val movi = list("movi", jpegs.flatMap(chunk("00dc", _)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++
+      list("hdrl", chunk("avih", avih)) ++ movi
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+    val df = Seq((0L, avi), (1L, "not a video".getBytes("UTF-8")),
+      (2L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "p")
+    // the payload sniffs as the RIFF container family (q31's dispatch)
+    assert(df.filter($"doc_id" === 0)
+      .select(MultimodalOps.sniffFormat($"p")).head.getString(0) === "riff")
+    val out = MultimodalOps.decodeVideoFrames(df, "doc_id", "p").collect()
+      .map(r => r.getInt(1) -> r).toMap
+    assert(out.keySet === Set(0, 1, 2, 3), "4 frames; junk payloads drop")
+    out.values.foreach { r =>
+      assert(r.getLong(0) === 0L && r.getLong(2) === 4L &&
+        r.getLong(3) === 40000L && r.getLong(4) === 160L &&
+        r.getInt(5) === 8 && r.getInt(6) === 8)
+    }
+    // DCT DC term tracks frame luma (uniform v → DC ≈ v·gridN, JPEG-lossy)
+    def dc(i: Int) = out(i).getSeq[Float](7).head
+    assert(math.abs(dc(0) - 3200.0) < 100, s"frame 0 DC ${dc(0)}")
+    assert(dc(2) > dc(0) + 2000, "the scene cut must move the feature")
+    // byte-identical frames decode to bit-identical embeddings — the
+    // frame near-dup / scene-change chain is exact
+    assert(out(0).getSeq[Float](7) === out(1).getSeq[Float](7))
+    // everyN thins at true frame boundaries
+    assert(MultimodalOps.decodeVideoFrames(df, "doc_id", "p", everyN = 2)
+      .collect().map(_.getInt(1)).sorted.toSeq === Seq(0, 2))
+  }
+
   // ---- BPE training ----
 
   test("trainBpe: hand-computed merge table on the classic corpus; round-trip") {
@@ -2850,6 +2905,25 @@ class OpsSpec extends SparkTestBase {
     df.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
       assert(multi(id) === scores(id) + common(id))
     }
+  }
+
+  test("pmiCollocations: double-shape lift survives counts that overflow the BIGINT product form") {
+    // 4000 docs of 1000 repeated tokens: c12('a','a') = N = 3,996,000, so
+    // the retired integer form 10^6·c12·N ≈ 1.6e19 exceeds Long.MaxValue —
+    // exactly the 100 TB-scale hazard the double shape exists for
+    val text = ("a " * 1000).trim
+    val docs = (0 until 4000).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    val out = TextOps.pmiCollocations(docs).collect()
+    assert(out.length === 1)
+    val r = out.head
+    val (c12, c1, c2, n) =
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(c12 === 3996000L && n === 3996000L && c1 === 4000000L && c2 === c1)
+    assert(BigInt(1000000) * c12 * n > BigInt(Long.MaxValue),
+      "the fixture must actually overflow the old integer product")
+    val expect = math.floor(
+      1e6 * c12.toDouble * n.toDouble / (c1.toDouble * c2.toDouble)).toLong
+    assert(r.getLong(6) === expect && expect === 998001L)
   }
 
   test("knnDensityOutliersFromCandidates: full cross == brute kernel; short lists -> NULL rows") {
