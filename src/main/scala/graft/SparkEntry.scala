@@ -912,6 +912,36 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // the DELETE lifecycle in the oracle-checked tier: build the persisted
+    // IVF index, tombstone a slice, probe EXHAUSTIVELY (nProbe = nCells, so
+    // answers are centroid-independent and the oracle replays them as
+    // brute-force cosine over the survivors) — deleted vectors stop
+    // matching but remain usable as external queries
+    "q156_ivf_delete_probe" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      SimilarityOps.ensureIvfIndex(emb, "graft_q156_ivf", corpusTag = d,
+        nCells = 8)
+      SimilarityOps.deleteFromIvfIndex(
+        emb.filter(col("vec_id") % 7 === 1).select(col("vec_id")),
+        "graft_q156_ivf")
+      SimilarityOps.ivfTopKPersisted(emb.filter(col("vec_id") < 5),
+          "graft_q156_ivf", k = 10, nProbe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // ANN-candidate-fed hard-negative mining, oracle-checked end to end:
+    // LSH bucket-collision candidates (k = 500 exceeds any per-query
+    // candidate count at oracle scale, so the top-k cap is a no-op and the
+    // oracle can rank the raw collision set), exact label-filtered rerank
+    "q157_hard_negatives_lsh" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val cand = SimilarityOps.lshTopK(emb, k = 500, nPlanes = 6)
+        .select(col("query_id"), col("neighbor_id"))
+      SimilarityOps.hardNegativesFromCandidates(
+          emb, emb.filter(col("vec_id") < 5), cand, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // HEAPS'-LAW vocab growth: distinct token types seen by each tenth of
     // the id-ordered token stream — does-vocabulary-saturate, via per-type
     // first-occurrence positions (two-level prefix sum, one token agg)
@@ -2820,6 +2850,50 @@ object SparkEntry {
          |SELECT k.vec_id, k.knn_cos, k.knn_micro,
          |  k.knn_micro <= thr.thr AS low_density
          |FROM kn k, thr ORDER BY k.vec_id""".stripMargin,
+
+    // exhaustive probe over the tombstone-filtered index == brute-force
+    // cosine top-10 over the survivor set (q90's lemma + the delete filter)
+    "q156_ivf_delete_probe" ->
+      """WITH live AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 7 <> 1),
+        |dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dp,
+        |    sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+        |    sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+        |  FROM embeddings a, live b
+        |  WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id),
+        |ranked AS (SELECT query_id, neighbor_id, dp / (na * nb) AS cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dp / (na * nb) DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM dots)
+        |SELECT query_id, neighbor_id, cos, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the q155 bucket replay with the label-inequality filter and q104's
+    // ranked-negative tail — the raw collision set IS the candidate frame
+    // because the engine's k = 500 cap is a no-op at this corpus size
+    "q157_hard_negatives_lsh" ->
+      s"""WITH planes AS (${ops.DetHash.sqlPlanesCte(24, 64)}),
+         |e AS (SELECT vec_id, embedding, label FROM embeddings),
+         |proj AS (SELECT p.p // 6 AS tbl, p.p % 6 AS i, e.vec_id,
+         |    list_sum(list_transform(list_zip(e.embedding, p.cs), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS pr
+         |  FROM e CROSS JOIN planes p),
+         |b AS (SELECT tbl, vec_id,
+         |    sum(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS bucket
+         |  FROM proj GROUP BY tbl, vec_id),
+         |cand AS (SELECT DISTINCT l.vec_id AS qid, r.vec_id AS nid
+         |  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
+         |    AND l.vec_id <> r.vec_id),
+         |scored AS (SELECT c.qid, c.nid, ne.label AS neg_label,
+         |    ${sqlCos("qe", "ne")} AS cos
+         |  FROM cand c JOIN e qe ON qe.vec_id = c.qid
+         |    JOIN e ne ON ne.vec_id = c.nid
+         |  WHERE c.qid < 5 AND ne.label <> qe.label),
+         |ranked AS (SELECT qid, nid, neg_label, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, nid) AS INTEGER) AS rank FROM scored)
+         |SELECT qid AS query_id, nid AS neighbor_id, neg_label, cos, rank
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // q26's SRP bucket replay feeds the q146 density tail: rank over ALL
     // LSH candidates and keep rank 5 — identical to reranking the engine's
