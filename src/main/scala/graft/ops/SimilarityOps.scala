@@ -871,8 +871,8 @@ object SimilarityOps {
     * exchange-free probe plan — survives a broadcast anti-join, so
     * logical deletes cost batch-scaled work on every read path until
     * [[compactIvfIndex]] amortizes them away physically. */
-  private def liveCells(spark: org.apache.spark.sql.SparkSession,
-                        tablePrefix: String, memberId: String): DataFrame =
+  private[graft] def liveCells(spark: org.apache.spark.sql.SparkSession,
+                               tablePrefix: String, memberId: String): DataFrame =
     spark.table(s"${tablePrefix}_cells").join(
       broadcast(spark.table(s"${tablePrefix}_deleted")
         .withColumnRenamed("id", memberId)),

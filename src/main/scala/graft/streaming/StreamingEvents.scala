@@ -474,6 +474,10 @@ object StreamingEvents {
           // one pass over the batch feeds both the probe and the append
           val b = scope.register(batch)
           if (!b.isEmpty) {
+            // re-resolve the replace-on-delete tombstone table per batch
+            // (see ivfIndexIngest)
+            batch.sparkSession.catalog
+              .refreshTable(s"${tablePrefix}_deleted")
             val report = graft.ops.DedupOps.probeBandedIndex(
               b, tablePrefix, textCol, idCol, minJaccard, scope)
             // localCheckpoint (eager) TRUNCATES the lineage before the
@@ -519,6 +523,10 @@ object StreamingEvents {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          // the tombstone table is REPLACED (not appended) by out-of-band
+          // deletes; the streaming session clone caches its relation, so
+          // re-resolve per batch or a mid-stream delete serves stale files
+          batch.sparkSession.catalog.refreshTable(s"${tablePrefix}_deleted")
           val dup = graft.ops.SimilarityOps
             .ivfTopKPersisted(batch, tablePrefix, k = 1, nProbe, idCol, vecCol,
               excludeSelf = false)
@@ -564,23 +572,37 @@ object StreamingEvents {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val bc = graft.ops.SimilarityOps
-            .ivfPqAssignCodes(batch, tablePrefix, idCol, vecCol)
-          val codeCols = bc.columns.filter(_.matches("c\\d+")).toSeq
-          val keys = "cell" +: codeCols
-          val dup = spark.table(s"${tablePrefix}_cells")
-            .join(broadcast(bc.select(keys.map(col) :+
-              col("vec_id").as("bid"): _*)), keys.toSeq)
-            .select(col("bid")).distinct()
-          val novel = batch.join(dup,
-              batch(idCol).cast("long") === dup("bid"), "left_anti")
-            .localCheckpoint() // truncate lineage before mutating the probed table
-          graft.ops.SimilarityOps.appendToIvfPqIndex(novel, tablePrefix,
-            idCol, vecCol)
-        }
+        ivfPqIngestBatch(batch, tablePrefix, idCol, vecCol)
       }
+
+  /** One [[ivfPqIndexIngest]] micro-batch — package-private so the spec can
+    * drive a batch directly against a mutated index. */
+  private[graft] def ivfPqIngestBatch(batch: DataFrame, tablePrefix: String,
+                                      idCol: String = "vec_id",
+                                      vecCol: String = "embedding"): Unit =
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      // re-resolve the replace-on-delete tombstone table per batch
+      // (see ivfIndexIngest)
+      spark.catalog.refreshTable(s"${tablePrefix}_deleted")
+      val bc = graft.ops.SimilarityOps
+        .ivfPqAssignCodes(batch, tablePrefix, idCol, vecCol)
+      val codeCols = bc.columns.filter(_.matches("c\\d+")).toSeq
+      val keys = "cell" +: codeCols
+      // collision check against LIVE members only: a tombstoned
+      // vector's codes linger in _cells until compact, and deleted
+      // content must not block re-ingest of an identical vector
+      val dup = graft.ops.SimilarityOps
+        .liveCells(spark, tablePrefix, "vec_id")
+        .join(broadcast(bc.select(keys.map(col) :+
+          col("vec_id").as("bid"): _*)), keys.toSeq)
+        .select(col("bid")).distinct()
+      val novel = batch.join(dup,
+          batch(idCol).cast("long") === dup("bid"), "left_anti")
+        .localCheckpoint() // truncate lineage before mutating the probed table
+      graft.ops.SimilarityOps.appendToIvfPqIndex(novel, tablePrefix,
+        idCol, vecCol)
+    }
 
   /** STREAMING eval-holdout DECONTAMINATION gate: each micro-batch of
     * documents is checked for exact n-gram collisions against the frozen

@@ -589,4 +589,23 @@ class PlanSpec extends SparkTestBase {
     val df: DataFrame = SparkEntry.entry(spark)
     assert(df.count() > 0)
   }
+
+  test("candidate-fed ANN tier (q155-q157): no cartesian; nested loops only for one-row broadcasts") {
+    Seq("q155_knn_density_lsh", "q156_ivf_delete_probe",
+        "q157_hard_negatives_lsh").foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"),
+        s"$q plans a cartesian product")
+    }
+    // every join in the probe/rerank chains is key-equi — a nested loop
+    // would mean some candidate or tombstone join degenerated
+    Seq("q156_ivf_delete_probe", "q157_hard_negatives_lsh").foreach { q =>
+      assert(!plan(q).contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested-loop join")
+    }
+    // q155's only nested loops are the two one-row broadcasts the density
+    // threshold needs (total count + histogram cut) — never a pair join
+    val p155 = plan("q155_knn_density_lsh")
+    assert(p155.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 2,
+      "q155 must not add nested-loop joins beyond the one-row broadcasts")
+  }
 }

@@ -568,9 +568,26 @@ class StreamingSpec extends SparkTestBase {
         .select("vec_id").collect().map(_.getLong(0)).toSeq
       assert(indexed.sorted === ((0L until 12L) :+ 101L).sorted,
         s"only the novel direction may be appended, exactly once: $indexed")
+      // epoch 3: DELETE the accepted vector, then ingest identical content
+      // under a NEW id — tombstoned codes must not block re-ingest (the
+      // collision gate reads live members only); the tombstoned id 101
+      // stays physically present but is dead to probes
+      import spark.implicits._
+      SimilarityOps.deleteFromIvfIndex(
+        Seq(101L).toDF("vec_id"), "t_stream_ivfpq")
+      mem.addData(Vec(103L, axis(3)))
+      query.processAllAvailable()
+      // the STREAM's clone did the inserting — re-resolve the cells table
+      // in this session before reading (standard cross-session semantics
+      // for file-based tables)
+      spark.catalog.refreshTable("t_stream_ivfpq_cells")
+      val after = spark.table("t_stream_ivfpq_cells")
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(after.sorted === ((0L until 12L) ++ Seq(101L, 103L)).sorted,
+        s"deleted content must not block re-ingest of an identical vector: $after")
     } finally {
       query.stop()
-      Seq("cells", "centroids", "codebook", "meta").foreach(s =>
+      Seq("cells", "centroids", "codebook", "meta", "deleted").foreach(s =>
         spark.sql(s"DROP TABLE IF EXISTS t_stream_ivfpq_$s"))
     }
   }
