@@ -912,6 +912,18 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // the ANN TUNING measurement: per sampled query, how many of the true
+    // cosine top-10 the LSH index actually surfaced — the number that
+    // decides whether nPlanes/nTables are enough BEFORE committing a
+    // corpus to an approximate index
+    "q158_lsh_recall" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      val ann = SimilarityOps.lshTopK(emb, k = 10, nPlanes = 6)
+      SimilarityOps.annRecallAudit(emb, queries, ann, k = 10)
+        .orderBy(col("query_id"))
+    },
+
     // the DELETE lifecycle in the oracle-checked tier: build the persisted
     // IVF index, tombstone a slice, probe EXHAUSTIVELY (nProbe = nCells, so
     // answers are centroid-independent and the oracle replays them as
@@ -2850,6 +2862,42 @@ object SparkEntry {
          |SELECT k.vec_id, k.knn_cos, k.knn_micro,
          |  k.knn_micro <= thr.thr AS low_density
          |FROM kn k, thr ORDER BY k.vec_id""".stripMargin,
+
+    // both rankings replayed under the one total order: the q155 bucket
+    // CTE gives the LSH top-10, a brute CTE gives the true top-10, hits
+    // are plain id matches, zero-hit queries kept by the LEFT join
+    "q158_lsh_recall" ->
+      s"""WITH planes AS (${ops.DetHash.sqlPlanesCte(24, 64)}),
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |proj AS (SELECT p.p // 6 AS tbl, p.p % 6 AS i, e.vec_id,
+         |    list_sum(list_transform(list_zip(e.embedding, p.cs), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS pr
+         |  FROM e CROSS JOIN planes p),
+         |b AS (SELECT tbl, vec_id,
+         |    sum(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS bucket
+         |  FROM proj GROUP BY tbl, vec_id),
+         |cand AS (SELECT DISTINCT l.vec_id AS qid, r.vec_id AS nid
+         |  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
+         |    AND l.vec_id <> r.vec_id),
+         |ls AS (SELECT qid, nid FROM (SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY ${sqlCos("qe", "ne")} DESC, nid) AS rn
+         |  FROM cand c JOIN e qe ON qe.vec_id = c.qid
+         |    JOIN e ne ON ne.vec_id = c.nid WHERE c.qid < 20)
+         |  WHERE rn <= 10),
+         |tr AS (SELECT qid, nid FROM (SELECT a.vec_id AS qid,
+         |    b.vec_id AS nid,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${sqlCos("a", "b")} DESC, b.vec_id) AS rn
+         |  FROM e a JOIN e b ON b.vec_id <> a.vec_id WHERE a.vec_id < 20)
+         |  WHERE rn <= 10),
+         |h AS (SELECT t.qid, count(*) AS n FROM tr t
+         |  JOIN ls l ON l.qid = t.qid AND l.nid = t.nid GROUP BY 1)
+         |SELECT q.vec_id AS query_id,
+         |  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+         |  CAST((1000000 * COALESCE(h.n, 0)) // 10 AS BIGINT) AS recall_micro
+         |FROM (SELECT vec_id FROM e WHERE vec_id < 20) q
+         |  LEFT JOIN h ON h.qid = q.vec_id
+         |ORDER BY query_id""".stripMargin,
 
     // exhaustive probe over the tombstone-filtered index == brute-force
     // cosine top-10 over the survivor set (q90's lemma + the delete filter)

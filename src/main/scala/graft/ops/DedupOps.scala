@@ -660,6 +660,40 @@ object DedupOps {
     * [[minHashVerifiedPairs]] under the index's build parameters (the
     * index's `maxBucket` cap replaces the in-session one).
     */
+  /** One-row OPERATIONAL stats for a persisted banded index — the
+    * dashboard number behind compaction and retune decisions:
+    * `n_docs` (live set rows), `n_band_rows`, `n_buckets` (distinct
+    * (band_idx, band_sig) cells), `max_bucket` (largest candidate cell —
+    * approaching the build's `max_bucket` cap means collisions are about
+    * to be dropped: re-band or re-shingle), `n_tombstones` (large → time
+    * to [[compactBandedIndex]]), `n_dropped_buckets` (cells the build
+    * discarded as over-cap), and the meta stamp. All aggregations run on
+    * the tables' own bucketed layouts; the report is one row.
+    */
+  def bandedIndexStats(spark: org.apache.spark.sql.SparkSession,
+                       tablePrefix: String): DataFrame = {
+    val meta = spark.table(s"${tablePrefix}_meta")
+      .select(col("corpus_tag"), col("fmt"), col("k"), col("bands"),
+        col("max_bucket"))
+    val deleted = spark.table(s"${tablePrefix}_deleted")
+    val live = spark.table(s"${tablePrefix}_sets")
+      .join(broadcast(deleted), Seq("id"), "left_anti")
+    val bands = spark.table(s"${tablePrefix}_bands")
+      .join(broadcast(deleted), Seq("id"), "left_anti")
+    val bandAgg = bands.agg(count(lit(1)).as("n_band_rows"),
+      count_distinct(col("band_idx"), col("band_sig")).as("n_buckets"))
+    val maxBucket = bands.groupBy(col("band_idx"), col("band_sig"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L)).as("max_bucket_seen"))
+    live.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(bandAgg))
+      .crossJoin(broadcast(maxBucket))
+      .crossJoin(broadcast(deleted.agg(count(lit(1)).as("n_tombstones"))))
+      .crossJoin(broadcast(spark.table(s"${tablePrefix}_dropped")
+        .agg(count(lit(1)).as("n_dropped_buckets"))))
+      .crossJoin(broadcast(meta))
+  }
+
   def corpusPairsFromIndex(spark: org.apache.spark.sql.SparkSession,
                            tablePrefix: String,
                            minJaccard: Double = 0.8): DataFrame = {

@@ -256,6 +256,42 @@ object SimilarityOps {
         col("cos"), col("rn").as("rank"))
   }
 
+  /** ANN RECALL audit — the measurement that tunes every approximate
+    * index: per query, how many of the TRUE top-k neighbors (exact cosine,
+    * (cos desc, id) total order, self excluded) the candidate method's
+    * top-k actually surfaced. `annTopK` is any (query_id, neighbor_id,
+    * rank) frame — [[lshTopK]], [[lshTopKMultiProbe]],
+    * [[ivfTopKPersisted]] — ranked under the SAME total order, so a hit is
+    * a plain id match at rank ≤ k. Output one row per query:
+    * (query_id, n_hits, recall_micro = (10^6·hits) div k) — the per-query
+    * distribution matters (mean recall hides the starved tail the NULL
+    * contract in [[knnDensityOutliersFromCandidates]] surfaces), and the
+    * knob loop is: measured recall too low → raise nPlanes/nTables/nProbe,
+    * re-audit, commit the cheapest setting that clears the target.
+    *
+    * Scale shape: an AUDIT over a query sample — the brute side is one
+    * broadcast-queries corpus pass ([[bruteForceTopK]]'s shape), the join
+    * is (query_id, neighbor_id)-keyed, output |queries| rows. Run it on a
+    * sampled query set, never the full corpus.
+    */
+  def annRecallAudit(corpus: DataFrame, queries: DataFrame,
+                     annTopK: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val truth = bruteForceTopK(corpus, queries, k, idCol = idCol,
+        vecCol = vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = annTopK.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    queries.select(col(idCol).cast("long").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        expr(s"(1000000 * n_hits) div $k").as("recall_micro"))
+  }
+
   /** MATRYOSHKA truncation audit: recall@k of cosine search over the FIRST
     * `d` embedding dimensions against the full-width ranking — the
     * measured number that decides how far a matryoshka-style embedding can

@@ -275,6 +275,15 @@ class BucketingSpec extends SparkTestBase {
       // idempotent re-delete
       DedupOps.deleteFromBandedIndex(victims, "t_del_idx")
       assert(spark.table("t_del_idx_deleted").count() === victims.count())
+      // the operational one-row report sees the logical state: live docs
+      // exclude tombstones, the tombstone count drives the compact call
+      val st = DedupOps.bandedIndexStats(spark, "t_del_idx").head()
+      assert(st.getAs[Long]("n_tombstones") === victims.count())
+      assert(st.getAs[Long]("n_docs") ===
+        corpus.count() - victims.count())
+      assert(st.getAs[Long]("max_bucket_seen") <=
+        st.getAs[Int]("max_bucket").toLong)
+      assert(st.getAs[String]("corpus_tag") === "del")
       // compact: physical removal, empty tombstones, same probe answers
       DedupOps.compactBandedIndex("t_del_idx")
       assert(spark.table("t_del_idx_deleted").count() === 0)
@@ -284,6 +293,9 @@ class BucketingSpec extends SparkTestBase {
       val compacted = DedupOps.probeBandedIndex(batch, "t_del_idx")
         .orderBy("doc_id").collect().toSeq
       assert(compacted === expect)
+      val st2 = DedupOps.bandedIndexStats(spark, "t_del_idx").head()
+      assert(st2.getAs[Long]("n_tombstones") === 0L)
+      assert(st2.getAs[Long]("n_docs") === corpus.count() - victims.count())
       // probes stay corpus-exchange-free after the compaction rewrite
       assertCorpusExchangeFree(
         DedupOps.probeBandedIndex(batch, "t_del_idx"), "t_del_idx")

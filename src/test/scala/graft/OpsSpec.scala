@@ -2926,6 +2926,28 @@ class OpsSpec extends SparkTestBase {
     assert(r.getLong(6) === expect && expect === 998001L)
   }
 
+  test("annRecallAudit: brute vs itself is perfect recall; empty ANN is zero with full coverage; multi-probe >= single") {
+    val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = SimilarityOps.bruteForceTopK(emb, queries, 10)
+    val perfect = SimilarityOps.annRecallAudit(emb, queries, brute, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(perfect.length === 10)
+    assert(perfect.forall { case (_, h, rm) => h === 10L && rm === 1000000L })
+    // an ANN that returns nothing: every query still reported, at zero
+    val none = SimilarityOps.annRecallAudit(emb, queries,
+      brute.filter(lit(false)), 10).collect()
+    assert(none.length === 10 && none.forall(_.getLong(1) === 0L))
+    // the knob loop the audit exists for: multi-probe recall is
+    // monotonically >= single-probe at equal (nPlanes, nTables)
+    def mean(ann: org.apache.spark.sql.DataFrame): Double =
+      SimilarityOps.annRecallAudit(emb, queries, ann, 10)
+        .agg(avg(col("recall_micro"))).head.getDouble(0)
+    val single = mean(SimilarityOps.lshTopK(emb, k = 10, nPlanes = 6))
+    val multi = mean(SimilarityOps.lshTopKMultiProbe(emb, k = 10, nPlanes = 6))
+    assert(multi >= single, s"multi-probe $multi must not lose to $single")
+  }
+
   test("knnDensityOutliersFromCandidates: full cross == brute kernel; short lists -> NULL rows") {
     val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
     val ids = emb.select(col("vec_id"))
