@@ -912,6 +912,13 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // the per-source DATA CARD a mixture planner reads: volume, length,
+    // quality, vocabulary, exact-dup load — one row per source, all exact
+    // arithmetic the per-doc tiers already verify
+    "q159_corpus_card" -> ((s, d) =>
+      TextOps.corpusCard(t(s, d, "documents"))
+        .orderBy(col("source").asc_nulls_last)),
+
     // the ANN TUNING measurement: per sampled query, how many of the true
     // cosine top-10 the LSH index actually surfaced — the number that
     // decides whether nPlanes/nTables are enough BEFORE committing a
@@ -2862,6 +2869,35 @@ object SparkEntry {
          |SELECT k.vec_id, k.knn_cos, k.knn_micro,
          |  k.knn_micro <= thr.thr AS low_density
          |FROM kn k, thr ORDER BY k.vec_id""".stripMargin,
+
+    // the same digest/quality/token primitives as q18/q20/q43, rolled to
+    // one row per source; mean doc tokens mirrors the engine's double
+    // shape, the other ratios are bounded integers
+    "q159_corpus_card" ->
+      s"""WITH pd AS (SELECT source, len($toksSql) AS nt,
+         |    CAST(floor(1e6 * ($qualitySqlExpr)) AS BIGINT) AS q_micro,
+         |    md5(text) AS digest FROM documents),
+         |wd AS (SELECT source, nt, q_micro,
+         |    count(*) OVER (PARTITION BY source, digest) AS grp FROM pd),
+         |b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(nt) AS BIGINT) AS total_tokens,
+         |    CAST(floor((1000000.0 * CAST(sum(nt) AS DOUBLE))
+         |      / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_doc_tokens_micro,
+         |    CAST(sum(q_micro) // count(*) AS BIGINT) AS mean_quality_micro,
+         |    CAST(sum(CASE WHEN grp >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS dup_docs
+         |  FROM wd GROUP BY 1),
+         |v AS (SELECT source, CAST(count(DISTINCT w) AS BIGINT)
+         |      AS n_token_types
+         |  FROM (SELECT source, unnest($toksSql) AS w FROM documents)
+         |  GROUP BY 1)
+         |SELECT b.source, n_docs, total_tokens, mean_doc_tokens_micro,
+         |  mean_quality_micro,
+         |  CAST(COALESCE(v.n_token_types, 0) AS BIGINT) AS n_token_types,
+         |  dup_docs,
+         |  CAST((1000000 * dup_docs) // n_docs AS BIGINT) AS dup_frac_micro
+         |FROM b LEFT JOIN v ON v.source IS NOT DISTINCT FROM b.source
+         |ORDER BY b.source NULLS LAST""".stripMargin,
 
     // both rankings replayed under the one total order: the q155 bucket
     // CTE gives the LSH top-10, a brute CTE gives the true top-10, hits

@@ -2180,4 +2180,54 @@ object TextOps {
         Seq(col(idCol), col("epoch")), bucketBits),
       tokensPerShard)
   }
+
+  /** Per-source CORPUS CARD — the one-table artifact a mixture planner
+    * reads before weighting sources: document and token volume, mean doc
+    * length and mean quality (micro-quantized), exact vocabulary size,
+    * and the exact-duplicate load (docs whose content digest repeats
+    * WITHIN the source, as a micro fraction). Every column is exact
+    * arithmetic over the primitives the per-doc tiers verify (q18 digests,
+    * q20 quality, q43 token types), so the whole card replays in SQL —
+    * mean doc tokens uses the one-product-one-quotient DOUBLE shape
+    * (10^6·Σnt overflows 2^63 at ~10^13 tokens per source; IEEE ops are
+    * exactly rounded, the oracle mirrors the shape bit-for-bit), while the
+    * quality mean and dup fraction stay pure integers (bounded by
+    * 10^6·n_docs).
+    *
+    * Scale shape: one doc-grain pass computes length/quality/digest; the
+    * dup load is a (source, digest) window feeding the same per-source
+    * aggregation; vocabulary is the one token explode with a
+    * (source, token)-distinct aggregate; output = one row per source. At
+    * 100 TB swap the exact distinct for approx_count_distinct and state
+    * the error bound — every other column is a linear pass.
+    */
+  def corpusCard(documents: DataFrame, textCol: String = "text",
+                 srcCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col(textCol))
+    val perDoc = documents.select(col(srcCol).cast("string").as("source"),
+      size(toks).cast("long").as("nt"),
+      floor(qualityScore(toks) * 1e6).cast("long").as("q_micro"),
+      md5(col(textCol)).as("digest"))
+    val withDup = perDoc.withColumn("grp",
+      count(lit(1)).over(Window.partitionBy(col("source"), col("digest"))))
+    val base = withDup.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("nt")).as("total_tokens"),
+      expr("""CAST(floor((1000000.0 * CAST(sum(nt) AS DOUBLE))
+             / CAST(count(1) AS DOUBLE)) AS BIGINT)""")
+        .as("mean_doc_tokens_micro"),
+      expr("sum(q_micro) div count(1)").as("mean_quality_micro"),
+      sum(when(col("grp") >= 2, 1L).otherwise(0L)).as("dup_docs"))
+    val vocab = documents.select(col(srcCol).cast("string").as("source"),
+        explode(toks).as("w"))
+      .groupBy(col("source"))
+      .agg(count_distinct(col("w")).as("n_token_types"))
+    base.join(vocab, base("source") <=> vocab("source"), "left")
+      .select(base("source"), col("n_docs"), col("total_tokens"),
+        col("mean_doc_tokens_micro"), col("mean_quality_micro"),
+        coalesce(col("n_token_types"), lit(0L)).as("n_token_types"),
+        col("dup_docs"),
+        expr("(1000000 * dup_docs) div n_docs").as("dup_frac_micro"))
+  }
 }
