@@ -912,6 +912,13 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // the MISLABEL audit over embeddings: per vector, how many of its 5
+    // exact-cosine nearest neighbors share its label; zero matches flags
+    // the classic nearest-neighbor mislabel suspect
+    "q160_label_purity" -> ((s, d) =>
+      SimilarityOps.labelNeighborhoodPurity(t(s, d, "embeddings"))
+        .orderBy(col("vec_id"))),
+
     // the per-source DATA CARD a mixture planner reads: volume, length,
     // quality, vocabulary, exact-dup load — one row per source, all exact
     // arithmetic the per-doc tiers already verify
@@ -2869,6 +2876,27 @@ object SparkEntry {
          |SELECT k.vec_id, k.knn_cos, k.knn_micro,
          |  k.knn_micro <= thr.thr AS low_density
          |FROM kn k, thr ORDER BY k.vec_id""".stripMargin,
+
+    // q146's brute kth-NN CTEs with a label-match count instead of the
+    // density tail; LEFT JOIN keeps every vector in the report
+    "q160_label_purity" ->
+      s"""WITH p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |    ${sqlCos("a", "b")} AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT qid, nid, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM p),
+         |m AS (SELECT r.qid,
+         |    sum(CASE WHEN qa.label = na.label THEN 1 ELSE 0 END) AS n_match
+         |  FROM r JOIN embeddings qa ON qa.vec_id = r.qid
+         |    JOIN embeddings na ON na.vec_id = r.nid
+         |  WHERE rn <= 5 GROUP BY 1)
+         |SELECT e.vec_id, e.label,
+         |  CAST(COALESCE(m.n_match, 0) AS BIGINT) AS n_match,
+         |  CAST((1000000 * COALESCE(m.n_match, 0)) // 5 AS BIGINT)
+         |    AS purity_micro,
+         |  COALESCE(m.n_match, 0) = 0 AS suspect
+         |FROM embeddings e LEFT JOIN m ON m.qid = e.vec_id
+         |ORDER BY e.vec_id""".stripMargin,
 
     // the same digest/quality/token primitives as q18/q20/q43, rolled to
     // one row per source; mean doc tokens mirrors the engine's double

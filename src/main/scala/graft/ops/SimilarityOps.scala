@@ -256,6 +256,77 @@ object SimilarityOps {
         col("cos"), col("rn").as("rank"))
   }
 
+  /** LABEL-NEIGHBORHOOD PURITY — the mislabel audit over an embedding
+    * column: for each vector, how many of its k nearest neighbors (exact
+    * cosine, self excluded, the shared (cos desc, id) total order) carry
+    * the SAME label. Purity near 1 = the label agrees with the geometry;
+    * `suspect` marks vectors with ZERO same-label neighbors — the
+    * classic nearest-neighbor mislabel signal (a cheap, deterministic
+    * stand-in for Confident-Learning-style audits): route suspects to
+    * relabeling or drop them before training. Output per vector:
+    * (idCol, label, n_match, purity_micro = (10^6·n_match) div k,
+    * suspect).
+    *
+    * Scale shape: the brute kernel is the AUDIT form (broadcast queries ×
+    * corpus pass); at corpus scale feed [[labelPurityFromCandidates]]
+    * from the persisted IVF tier exactly like
+    * [[knnDensityOutliersFromCandidates]].
+    */
+  def labelNeighborhoodPurity(emb: DataFrame, k: Int = 5,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding",
+                              labelCol: String = "label"): DataFrame =
+    purityReport(emb,
+      bruteForceTopK(emb, emb, k, idCol = idCol, vecCol = vecCol),
+      k, idCol, labelCol)
+
+  /** [[labelNeighborhoodPurity]] fed by an ANN candidate frame
+    * (`query_id`/`neighbor_id`) — exact rerank on candidates, then the
+    * same purity tail; vectors whose candidate list never reaches k rows
+    * still appear (their n_match counts only the neighbors that exist,
+    * purity still divides by k — the honest reading under recall
+    * shortfall is "purity is a lower bound").
+    */
+  def labelPurityFromCandidates(emb: DataFrame, candidates: DataFrame,
+                                k: Int = 5, idCol: String = "vec_id",
+                                vecCol: String = "embedding",
+                                labelCol: String = "label"): DataFrame = {
+    import graft.functions.VectorExpressions.dotF
+    val cand = candidates.select(col("query_id"), col("neighbor_id"))
+      .filter(col("query_id") =!= col("neighbor_id")).distinct()
+    val q = emb.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      sqrt(dotF(col(vecCol), col(vecCol))).as("qn"))
+    val c = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      sqrt(dotF(col(vecCol), col(vecCol))).as("cn"))
+    val scored = cand.join(q, "query_id").join(c, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dotF(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    val topk = RelationalOps.topKPerGroup(scored, Seq("query_id"),
+      Seq(col("cos").desc, col("neighbor_id").asc), k)
+    purityReport(emb, topk, k, idCol, labelCol)
+  }
+
+  /** Shared purity tail: join neighbor labels on, count matches per
+    * query, LEFT-join back onto the id universe (no silent drops). */
+  private def purityReport(emb: DataFrame, topk: DataFrame, k: Int,
+                           idCol: String, labelCol: String): DataFrame = {
+    val labels = emb.select(col(idCol), col(labelCol))
+    val matches = topk
+      .join(labels.select(col(idCol).as("query_id"),
+        col(labelCol).as("qlab")), Seq("query_id"))
+      .join(labels.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("nlab")), Seq("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("qlab") === col("nlab"), 1L).otherwise(0L))
+        .as("n_match"))
+    labels.join(matches.withColumnRenamed("query_id", idCol),
+        Seq(idCol), "left")
+      .na.fill(0L, Seq("n_match"))
+      .select(col(idCol), col(labelCol), col("n_match"),
+        expr(s"(1000000 * n_match) div $k").as("purity_micro"),
+        (col("n_match") === 0L).as("suspect"))
+  }
+
   /** ANN RECALL audit — the measurement that tunes every approximate
     * index: per query, how many of the TRUE top-k neighbors (exact cosine,
     * (cos desc, id) total order, self excluded) the candidate method's

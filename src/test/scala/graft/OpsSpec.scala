@@ -2926,6 +2926,37 @@ class OpsSpec extends SparkTestBase {
     assert(r.getLong(6) === expect && expect === 998001L)
   }
 
+  test("labelNeighborhoodPurity: mislabeled vector in a tight cluster is the suspect; candidates == brute") {
+    // 9 co-located vectors labeled 1, one vector AT THE SAME SPOT labeled
+    // 2 (the mislabel), one isolated vector labeled 3 (no same-label
+    // neighbors by geometry)
+    val cluster = (0 until 9).map { i =>
+      val v = Array.fill(4)(0.0f); v(0) = 1.0f; v(1) = 0.001f * i
+      (i.toLong, v, 1)
+    }
+    val mislabeled = (50L, Array(1.0f, 0.0045f, 0.0f, 0.0f), 2)
+    val isolated = (99L, Array(0.0f, 0.0f, 1.0f, 0.0f), 3)
+    val emb = (cluster :+ mislabeled :+ isolated)
+      .toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.labelNeighborhoodPurity(emb, k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4)))
+      .toMap
+    assert(out.size === 11, "every vector reported")
+    assert(out(50L) === ((0L, true)), "the mislabel is the suspect")
+    assert(out(99L)._2, "geometric isolation also reads as zero purity")
+    assert(cluster.forall { case (id, _, _) => out(id)._1 >= 4L },
+      "cluster members keep near-perfect purity despite the intruder")
+    // candidate form over the full cross reproduces the brute kernel
+    val ids = emb.select(col("vec_id"))
+    val fullCross = ids.select(col("vec_id").as("query_id"))
+      .crossJoin(ids.select(col("vec_id").as("neighbor_id")))
+    val viaCand = SimilarityOps.labelPurityFromCandidates(emb, fullCross, 5)
+      .collect().map(_.toString).sorted.toSeq
+    val brute = SimilarityOps.labelNeighborhoodPurity(emb, 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaCand === brute)
+  }
+
   test("annRecallAudit: brute vs itself is perfect recall; empty ANN is zero with full coverage; multi-probe >= single") {
     val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
