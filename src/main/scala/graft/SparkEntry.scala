@@ -919,6 +919,22 @@ object SparkEntry {
       SimilarityOps.labelNeighborhoodPurity(t(s, d, "embeddings"))
         .orderBy(col("vec_id"))),
 
+    // corpus-wide LINE dedup (the C4/RefinedWeb rule: a line occurring ≥ 2
+    // times anywhere in the corpus is boilerplate and is struck from EVERY
+    // document, first occurrence included). The synthetic corpus has no
+    // newlines, so line structure is derived deterministically first:
+    // tokens grouped 8 per line, joined by \n — the oracle replays the
+    // same derivation
+    "q161_line_dedup" -> { (s, d) =>
+      val tk = TextOps.tokens(col("text"))
+      val lineified = t(s, d, "documents").select(col("doc_id"),
+        array_join(transform(
+          sequence(lit(0), ((size(tk) + lit(7)) / lit(8)).cast("int") - 1),
+          i => array_join(slice(tk, i * lit(8) + 1, lit(8)), " ")),
+          "\n").as("text"))
+      DedupOps.dedupLines(lineified, minDf = 2).orderBy(col("doc_id"))
+    },
+
     // the per-source DATA CARD a mixture planner reads: volume, length,
     // quality, vocabulary, exact-dup load — one row per source, all exact
     // arithmetic the per-doc tiers already verify
@@ -2897,6 +2913,29 @@ object SparkEntry {
          |  COALESCE(m.n_match, 0) = 0 AS suspect
          |FROM embeddings e LEFT JOIN m ON m.qid = e.vec_id
          |ORDER BY e.vec_id""".stripMargin,
+
+    // the same 8-token lineification as the Spark side (q98's tp explode +
+    // integer-div grouping), then the C4 rule: 60-bit md5 line-hash counts,
+    // df >= 2 lines struck everywhere, text rebuilt ordered; n_removed and
+    // the string_agg NULL-skip mirror the engine's when()/collect_list
+    "q161_line_dedup" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |tp AS (SELECT doc_id, CAST(t.i AS INTEGER) AS i, tk[t.i] AS tok
+         |  FROM tok, UNNEST(range(1, len(tk) + 1)) AS t(i)),
+         |ln AS (SELECT doc_id, (i - 1) // 8 AS line_no,
+         |    string_agg(tok, ' ' ORDER BY i) AS line
+         |  FROM tp GROUP BY 1, 2),
+         |lh AS (SELECT doc_id, line_no, line,
+         |    ${ops.DetHash.sqlMd5Hash60("line")} AS h FROM ln),
+         |cnt AS (SELECT h, count(*) AS df FROM lh GROUP BY h)
+         |SELECT lh.doc_id,
+         |  COALESCE(string_agg(CASE WHEN cnt.df < 2 THEN lh.line END,
+         |    chr(10) ORDER BY lh.line_no), '') AS clean_text,
+         |  CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(CASE WHEN cnt.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_removed
+         |FROM lh JOIN cnt ON cnt.h = lh.h
+         |GROUP BY lh.doc_id ORDER BY lh.doc_id""".stripMargin,
 
     // the same digest/quality/token primitives as q18/q20/q43, rolled to
     // one row per source; mean doc tokens mirrors the engine's double

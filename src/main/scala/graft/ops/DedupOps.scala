@@ -1759,4 +1759,54 @@ object DedupOps {
           / col("est_union").cast("double")).cast("long"))
       .orderBy(col("source_x").asc_nulls_first, col("source_y").asc_nulls_first)
   }
+
+  /** Corpus-wide duplicate-LINE removal (the C4 / RefinedWeb line-dedup
+    * rule): split every document on `delim`, count each exact line's
+    * occurrences across the WHOLE corpus, and rewrite each document with
+    * the lines occurring ≥ `minDf` times removed. Navigation chrome,
+    * cookie banners, boilerplate headers and licence blocks repeat across
+    * pages verbatim and survive document-level dedup untouched — striking
+    * them at the LINE level is the standard cleaning step between exact-doc
+    * and fuzzy dedup ([[exactDedupSummary]] keeps one copy of a duplicated
+    * DOC; this keeps zero copies of a duplicated LINE, everywhere,
+    * including its first occurrence — the C4 rule). Output one row per
+    * document: (doc_id, clean_text, n_lines, n_removed) — clean_text keeps
+    * the surviving lines in original order joined by `delim` ('' when
+    * every line was boilerplate).
+    *
+    * Counting keys on the 60-bit md5 line hash ([[DetHash.md5Hash60]]),
+    * not the line text, so the corpus-scale count shuffle carries 8-byte
+    * keys (collision odds ~n²/2^61 — negligible below ~10^8 distinct
+    * lines, and a collision only over-removes a line, never corrupts one).
+    *
+    * Scale shape: three corpus-scale shuffles — the (h) line count
+    * (map-side combinable, bounded by DISTINCT lines), the (h) flag join
+    * of lines against the hot-hash set, and the (doc_id) regroup that
+    * rebuilds the text. Per-group state is one document's own line list
+    * (the row-size bound every per-doc op already lives under); no
+    * corpus-wide window, no collect, no pair enumeration.
+    */
+  def dedupLines(documents: DataFrame, minDf: Long = 2,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 delim: String = "\n"): DataFrame = {
+    require(minDf >= 2, s"minDf=$minDf would remove every line")
+    val lines = documents.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(delim))).as(Seq("pos", "line")))
+      .withColumn("h", DetHash.md5Hash60(col("line")))
+    val hot = lines.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select(col("h"), lit(1L).as("dup"))
+    lines.join(hot, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("dup").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        // collect_list skips the nulls when() leaves for removed lines;
+        // array_sort on (pos, line) structs restores original order
+        array_join(transform(
+          array_sort(collect_list(when(col("dup").isNull,
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line")), delim).as("clean_text"))
+      .select(col("doc_id"), col("clean_text"), col("n_lines"),
+        col("n_removed"))
+  }
 }

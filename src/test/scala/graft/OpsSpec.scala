@@ -3036,4 +3036,24 @@ class OpsSpec extends SparkTestBase {
     assert(viaAnn === brute,
       "a generous ANN candidate set must recover the brute negatives")
   }
+
+  test("dedupLines: corpus-wide C4 rule — every occurrence of a df>=2 line struck, order kept, all-boilerplate doc empties") {
+    val docs = Seq(
+      (1L, "a b\nDUP\nc d"),   // middle line is corpus boilerplate
+      (2L, "DUP\nx y"),        // leading occurrence struck too (C4 rule)
+      (3L, "solo line"),       // untouched
+      (4L, "DUP")              // whole doc is boilerplate -> ''
+    ).toDF("doc_id", "text")
+    val out = DedupOps.dedupLines(docs, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("a b\nc d", 3L, 1L)), "survivors keep order")
+    assert(out(2L) === (("x y", 2L, 1L)), "first occurrence removed as well")
+    assert(out(3L) === (("solo line", 1L, 0L)))
+    assert(out(4L) === (("", 1L, 1L)), "all-boilerplate doc becomes empty")
+    // below the df bar nothing moves: unique lines all survive verbatim
+    val calm = DedupOps.dedupLines(docs.filter(col("doc_id") <= 1), minDf = 2)
+      .collect().map(r => r.getString(1)).toSeq
+    assert(calm === Seq("a b\nDUP\nc d"))
+  }
 }
