@@ -14,39 +14,57 @@ object GraphOps {
     * vertex, where comp = the minimum vertex id in its component (singletons
     * map to themselves).
     *
-    * Algorithm: iterative min-label propagation with pointer jumping — each
-    * round every vertex takes the min label over itself + its neighbors
-    * (one edge join + one min aggregate, both shuffling on vertex id), then
-    * relabels through its representative's own label (`comp(x) :=
-    * comp(comp(x))`, one self-join). Propagation alone needs O(diameter)
-    * rounds; the jumping step doubles how far labels reach per round, giving
-    * O(log n) rounds even on path graphs (the hash-to-min regime of Rastogi
-    * et al., "Finding Connected Components in Map-Reduce in Logarithmic
-    * Rounds"). Near-dup clusters have tiny diameters, so 2-3 rounds is
-    * typical.
+    * Algorithm: alternating LARGE-STAR / SMALL-STAR (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14). The EDGE
+    * LIST itself is rewired toward one star per component rooted at the
+    * component minimum:
+    *   - large-star: per vertex u with m = min(Γ(u) ∪ {u}), every STRICTLY
+    *     LARGER neighbor v > u re-links to (v, m);
+    *   - small-star: per vertex u over its ≤-neighbors with minimum m,
+    *     u and every other small neighbor re-link to m.
+    * Both steps preserve connectivity exactly (every re-link goes through
+    * m, a current neighbor) and monotonically shrink the endpoint-sum
+    * potential until the fixpoint L = {(v, root) : v ∈ C, v ≠ root}.
+    * Convergence is O(log² n) ROUNDS REGARDLESS OF GRAPH DIAMETER — the
+    * property min-label propagation lacks: measured on the sf1 SRP
+    * near-dup graph (20k vertices, 103k edges, one 8850-member
+    * high-diameter component) label propagation with per-round pointer
+    * jumping crawled for 44 rounds (reach grows ~one hop per round — the
+    * min id sits mid-component and its knowledge ball needn't extend
+    * toward the frontier, and once the pointer forest is flat, jumping
+    * adds NOTHING: full per-round path compression was measured equally
+    * diameter-bound), silently exceeding the old maxIter=25 and returning
+    * a SPLIT labeling (q64 at sf1: 749 components vs the true 746).
     *
-    * Scale contract: per round the work is two shuffles of (id, label) longs
-    * + one of the edge list — no collect, no per-component state. The label
-    * frame is `localCheckpoint`ed each round to truncate lineage (iterative
-    * plans otherwise grow by one join-tree per round and overwhelm the
-    * optimizer); on a real cluster prefer `checkpoint` with a reliable dir
-    * if executor loss matters mid-computation. The edge list is checkpointed
-    * once up front — it is consumed every round and may itself be an
-    * expensive subtree (e.g. a MinHash pipeline). Convergence is detected
-    * via the fixpoint of sum(comp) (labels are monotone non-increasing, so
-    * an unchanged sum means no label moved): one scalar action per round.
+    * Scale contract: per round the work is two edge-keyed min-aggregations
+    * + two joins + a distinct, all on the CURRENT edge list — which only
+    * shrinks toward one-edge-per-non-root-vertex; no collect, no
+    * per-component state, no corpus-wide window. Each intermediate is
+    * `localCheckpoint`ed to truncate lineage (iterative plans otherwise
+    * grow one join-tree per round and overwhelm the optimizer); on a real
+    * cluster prefer `checkpoint` with a reliable dir if executor loss
+    * matters mid-computation. Convergence detection: a (count,
+    * Σ xxhash64) edge-set fingerprint as the cheap per-round filter, then
+    * an EXACT `except` equality check before declaring the fixpoint — the
+    * fingerprint alone never terminates the loop.
     *
-    * Every edge endpoint must appear in `vertices` (the label table seeds
-    * from `vertices` alone).
+    * A labeling that has NOT converged is silently wrong (components
+    * split), so exhausting `maxIter` THROWS rather than returns — at
+    * 100 TB a loud failure with a knob beats a quietly-truncated dedup.
+    * The default bound is far above anything O(log² n) reaches (the sf1
+    * graph above converges in 8 rounds; see the OpsSpec CC tests).
+    *
+    * Vertices absent from every edge come out as singletons; every edge
+    * endpoint must appear in `vertices` for the output to cover it.
     */
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
                           idCol: String = "id",
                           aCol: String = "a", bCol: String = "b",
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 50): DataFrame = {
     val sc = edges.sparkSession.sparkContext
     // localCheckpoint persists an RDD invisible to the SQL CacheManager (so
-    // CacheScope can't free it); track each round's newly-persisted RDD ids
-    // and unpersist a round's blocks as soon as the next round supersedes
+    // CacheScope can't free it); track each step's newly-persisted RDD ids
+    // and unpersist a step's blocks as soon as the next step supersedes
     // them. Best-effort by id-set diff — a concurrent persist from another
     // thread would at worst be left to the ContextCleaner, never freed early
     // (we only free ids this loop itself created).
@@ -57,43 +75,76 @@ object GraphOps {
     }
     def free(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-    val e = edges.select(col(aCol).cast("long").as("nb"), col(bCol).cast("long").as("x"))
-    val (sym, symIds) = checkpointTracked(
-      e.select(col("x"), col("nb"))
-        .union(e.select(col("nb").as("x"), col("x").as("nb"))))
-    var (labels, labelIds) = checkpointTracked(
-      vertices.select(col(idCol).cast("long").as("x"), col(idCol).cast("long").as("comp")))
-    var prevSum: java.math.BigDecimal = null
+    // normalized undirected edge list: (hi, lo) with hi > lo throughout —
+    // both star steps emit (bigger, smaller) by construction, so the
+    // invariant is free after the initial normalization
+    var (l, lIds) = checkpointTracked(
+      edges.select(
+          greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("hi"),
+          least(col(aCol).cast("long"), col(bCol).cast("long")).as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct())
+    // cheap edge-set fingerprint; decimal accumulation — a sum of n 64-bit
+    // hashes overflows a long at scale
+    def fingerprint(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val row = df.agg(count(lit(1)),
+        sum(xxhash64(col("hi"), col("lo")).cast("decimal(38,0)"))).head()
+      (row.getLong(0),
+        if (row.isNullAt(1)) java.math.BigDecimal.ZERO else row.getDecimal(1))
+    }
+    // large-star: group every edge at its SMALLER endpoint u (via the
+    // symmetrized view), attach m = min(Γ(u) ∪ {u}), re-link each larger
+    // neighbor v to (v, m); v > u >= m keeps the (hi, lo) invariant
+    def largeStar(cur: DataFrame): DataFrame = {
+      val symd = cur.select(col("hi").as("u"), col("lo").as("v"))
+        .union(cur.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = symd.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      symd.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+    }
+    // small-star: group every edge at its LARGER endpoint hi (no
+    // symmetrize needed under the invariant), m = min small neighbor;
+    // re-link hi and each other small neighbor to m
+    def smallStar(cur: DataFrame): DataFrame = {
+      val mins = cur.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      cur.join(mins, Seq("hi"))
+        .select(
+          when(col("lo") === col("m"), col("hi")).otherwise(col("lo")).as("hi"),
+          col("m").as("lo"))
+        .distinct()
+    }
+    var (cnt, chk) = fingerprint(l)
     var it = 0
     var done = false
-    while (!done && it < maxIter) {
-      val fromNbrs = sym
-        .join(labels.select(col("x").as("nb"), col("comp")), Seq("nb"))
-        .select(col("x"), col("comp"))
-      val merged = labels.union(fromNbrs)
-        .groupBy(col("x")).agg(min(col("comp")).as("comp"))
-      // pointer jumping: every label is itself a vertex id, so its current
-      // label exists in `merged` — the inner join is total, coalesce guards
-      // the (impossible by contract) missing-vertex case
-      val jumped = merged
-        .join(merged.select(col("x").as("comp"), col("comp").as("comp2")),
-          Seq("comp"), "left")
-        .select(col("x"), coalesce(col("comp2"), col("comp")).as("comp"))
-      val (next, nextIds) = checkpointTracked(jumped)
-      // decimal accumulation: sum of n ids can overflow a long at scale
-      val row = next.agg(sum(col("comp").cast("decimal(38,0)"))).head()
-      val s = if (row.isNullAt(0)) java.math.BigDecimal.ZERO else row.getDecimal(0)
-      done = prevSum != null && s.compareTo(prevSum) == 0
-      prevSum = s
-      free(labelIds) // superseded round (next is already materialized)
-      labels = next
-      labelIds = nextIds
+    while (!done && it < maxIter && cnt > 0) {
+      val (ls, lsIds) = checkpointTracked(largeStar(l))
+      val (ss, ssIds) = checkpointTracked(smallStar(ls))
+      free(lsIds) // intermediate, superseded by ss (already materialized)
+      val (c2, k2) = fingerprint(ss)
+      // fingerprint equality gates the exact check; `except` confirms the
+      // true fixpoint (runs on two checkpointed frames, and only in the
+      // rare rounds the fingerprints collide or the loop is converging)
+      done = c2 == cnt && k2.compareTo(chk) == 0 &&
+        ss.except(l).head(1).isEmpty
+      free(lIds)
+      l = ss
+      lIds = ssIds
+      cnt = c2
+      chk = k2
       it += 1
     }
-    // the final round's checkpoint backs the returned frame and is freed by
-    // the ContextCleaner when the caller drops it; the edge list is done now
-    free(symIds)
-    labels.select(col("x").as(idCol), col("comp"))
+    if (!done && cnt > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter star rounds — " +
+          "the result would be a silently split labeling; raise maxIter")
+    // at the fixpoint every non-root vertex carries exactly one (v, root)
+    // edge: the label join is row-preserving. The final checkpoint backs
+    // the returned frame and is freed by the ContextCleaner when dropped.
+    vertices.select(col(idCol).cast("long").as("x"))
+      .join(l.select(col("hi").as("x"), col("lo").as("comp")), Seq("x"), "left")
+      .select(col("x").as(idCol), coalesce(col("comp"), col("x")).as("comp"))
   }
 
   /** PageRank in FIXED-POINT integer arithmetic — bit-deterministic across
