@@ -1790,12 +1790,44 @@ object DedupOps {
                  idCol: String = "doc_id", textCol: String = "text",
                  delim: String = "\n"): DataFrame = {
     require(minDf >= 2, s"minDf=$minDf would remove every line")
-    val lines = documents.select(col(idCol).as("doc_id"),
+    val lines = linesOf(documents, idCol, textCol, delim)
+    val hot = lines.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select(col("h"), lit(1L).as("dup"))
+    rewriteLines(lines, hot, delim)
+  }
+
+  /** [[dedupLines]] served from a PERSISTED line-frequency table (h, df)
+    * — the (line-hash → corpus occurrence count) state that
+    * [[graft.streaming.StreamingEvents.lineDfIngest]] maintains across
+    * micro-batches. Strikes every line whose CORPUS-WIDE df (as recorded
+    * in the table, which may cover far more than `documents`) reaches
+    * `minDf` — the production shape: the df table is built once over the
+    * full corpus (or kept live by the streaming counter) and any slice,
+    * delta or later batch is rewritten against it without re-counting.
+    * With `dfTable` = the counts of exactly `documents`, output ==
+    * [[dedupLines]] (StreamingSpec asserts this round-trip).
+    */
+  def dedupLinesFromIndex(documents: DataFrame, dfTable: DataFrame,
+                          minDf: Long = 2, idCol: String = "doc_id",
+                          textCol: String = "text",
+                          delim: String = "\n"): DataFrame = {
+    require(minDf >= 2, s"minDf=$minDf would remove every line")
+    val hot = dfTable.filter(col("df") >= minDf)
+      .select(col("h"), lit(1L).as("dup"))
+    rewriteLines(linesOf(documents, idCol, textCol, delim), hot, delim)
+  }
+
+  /** One row per (doc, line position): the exploded line table with the
+    * 60-bit md5 line hash both [[dedupLines]] paths key on. */
+  private def linesOf(documents: DataFrame, idCol: String, textCol: String,
+                      delim: String): DataFrame =
+    documents.select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol),
           java.util.regex.Pattern.quote(delim))).as(Seq("pos", "line")))
       .withColumn("h", DetHash.md5Hash60(col("line")))
-    val hot = lines.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDf).select(col("h"), lit(1L).as("dup"))
+
+  private def rewriteLines(lines: DataFrame, hot: DataFrame,
+                           delim: String): DataFrame =
     lines.join(hot, Seq("h"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lines"),
@@ -1808,5 +1840,4 @@ object DedupOps {
           s => s.getField("line")), delim).as("clean_text"))
       .select(col("doc_id"), col("clean_text"), col("n_lines"),
         col("n_removed"))
-  }
 }

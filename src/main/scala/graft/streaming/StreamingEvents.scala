@@ -692,6 +692,47 @@ object StreamingEvents {
         }
       }
 
+  /** STREAMING line-frequency counter: maintains the corpus-wide
+    * (line-hash, df) table behind the C4/RefinedWeb line-dedup rule
+    * ([[graft.ops.DedupOps.dedupLines]]) across micro-batches as
+    * versioned parquet snapshots. Counts are EXACT and additive, so the
+    * merge is one union + (h) re-aggregation of the previous snapshot
+    * with the batch's per-line counts — the [[cmsCounterIngest]] shape,
+    * except the state is the exact hash table: it grows with DISTINCT
+    * lines (16 bytes each), lives in parquet (never executor memory),
+    * and each epoch's merge shuffles snapshot+batch rows once on the
+    * 8-byte hash. When the distinct-line population itself is the
+    * problem, the CMS counter is the bounded-memory fallback — but the
+    * dedup rule wants exact dfs (a CMS overcount would strike innocent
+    * lines), which is why this counter exists. Rewrite any batch or
+    * slice against the current snapshot with
+    * [[graft.ops.DedupOps.dedupLinesFromIndex]]; snapshots follow the
+    * [[upsertSink]] versioned-dir rule ([[latestSnapshot]] resolves,
+    * replays rebuild bit-identically).
+    */
+  def lineDfIngest(docs: DataFrame, baseDir: String,
+                   textCol: String = "text", delim: String = "\n",
+                   checkpointDir: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val bg = batch.select(explode(split(col(textCol),
+              java.util.regex.Pattern.quote(delim))).as("line"))
+            .select(graft.ops.DetHash.md5Hash60(col("line")).as("h"))
+            .groupBy(col("h")).agg(count(lit(1)).as("df"))
+          val merged = latestSnapshot(spark, baseDir,
+              beforeEpoch = Some(epoch)) match {
+            case Some(cur) => cur.unionByName(bg)
+              .groupBy(col("h")).agg(sum(col("df")).as("df"))
+            case None => bg
+          }
+          merged.write.mode("overwrite").parquet(s"$baseDir/v$epoch")
+        }
+      }
+
   /** The newest COMMITTED `v<epoch>/` snapshot written by [[upsertSink]]:
     * only directories with a `_SUCCESS` marker count (a crash mid-write
     * leaves a partial directory that must never serve as a base), and

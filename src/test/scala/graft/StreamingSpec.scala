@@ -503,6 +503,48 @@ class StreamingSpec extends SparkTestBase {
     assert(est("zzz") === 0L, "never-seen terms estimate zero")
   }
 
+  test("lineDfIngest: streamed df table equals batch counts; index-served rewrite == one-shot dedupLines") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.DedupOps
+    val base = java.nio.file.Files.createTempDirectory("graft-linedf").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-linedf-ck").toString
+    val mem = MemoryStream[Doc]
+    val query = StreamingEvents.lineDfIngest(mem.toDF(), base,
+      checkpointDir = ckpt).start()
+    val d1 = Doc(1L, ts(10, 0), "a b\nDUP\nc d")
+    val d2 = Doc(2L, ts(10, 1), "DUP\nx y")
+    val d3 = Doc(3L, ts(10, 2), "solo line")
+    try {
+      mem.addData(d1, d2) // DUP crosses DOCS within the epoch
+      query.processAllAvailable()
+      mem.addData(d3)     // and the count survives the epoch merge
+      query.processAllAvailable()
+    } finally query.stop()
+    val corpus = Seq((1L, d1.text), (2L, d2.text), (3L, d3.text))
+      .toDF("doc_id", "text")
+    val snap = StreamingEvents.latestSnapshot(spark, base).get
+    // streamed table == one-shot batch line counts, hash for hash
+    val batchDf = corpus
+      .select(explode(split(col("text"), "\n")).as("line"))
+      .select(graft.ops.DetHash.md5Hash60(col("line")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    assert(snap.collect().map(_.toString).sorted.toSeq ===
+      batchDf.collect().map(_.toString).sorted.toSeq)
+    // rewriting the corpus against the streamed table == dedupLines
+    val viaIndex = DedupOps.dedupLinesFromIndex(corpus, snap)
+      .collect().map(_.toString).sorted.toSeq
+    val oneShot = DedupOps.dedupLines(corpus)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaIndex === oneShot)
+    // the production asymmetry: a LATER delta rewritten against corpus
+    // counts strikes boilerplate the delta alone could never see
+    val delta = Seq((9L, "DUP\nfresh stuff")).toDF("doc_id", "text")
+    val cleaned = DedupOps.dedupLinesFromIndex(delta, snap).collect().head
+    assert(cleaned.getString(1) === "fresh stuff" &&
+      cleaned.getLong(3) === 1L,
+      "corpus-level df strikes the boilerplate line from a 1-doc delta")
+  }
+
   test("ivfIndexIngest: stream rejects semantic dups against the index, appends only novel vectors") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.SimilarityOps
