@@ -44,6 +44,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // optional comma-separated query-name subset, for timing a few queries
+    // at a large SF without paying the full two-pass sweep (SCALE_NOTES
+    // exponent runs); absent → all queries, the driver's path
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -120,7 +125,9 @@ object Bench {
     // THROWS records an error, never a timing: time-to-exception is not a
     // measurement, and a broken query must not look green-and-fast.
     def timedPass(): Map[String, Either[String, Double]] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         val r = try { run(fn(spark, sfDir)); Right((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
