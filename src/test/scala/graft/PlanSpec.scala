@@ -608,4 +608,38 @@ class PlanSpec extends SparkTestBase {
     assert(p155.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 2,
       "q155 must not add nested-loop joins beyond the one-row broadcasts")
   }
+
+  test("audit/card tier (q158-q161): brute passes bounded to the deliberate broadcast, everything else equi-joined") {
+    Seq("q158_lsh_recall", "q159_corpus_card",
+        "q160_label_purity", "q161_line_dedup").foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"),
+        s"$q plans a cartesian product")
+    }
+    // q159 (one doc pass + windows) and q161 (three keyed shuffles) have
+    // no pair-enumeration stage at all — a nested loop anywhere means a
+    // join key was lost
+    Seq("q159_corpus_card", "q161_line_dedup").foreach { q =>
+      assert(!plan(q).contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested-loop join")
+    }
+    // q160 is the DELIBERATE brute audit: exactly one broadcast-queries ×
+    // corpus pass (bruteForceTopK's crossJoin(broadcast(q))); a second
+    // nested loop would mean the purity tail degenerated
+    assert(plan("q160_label_purity").linesIterator
+        .count(_.contains("BroadcastNestedLoopJoin")) == 1,
+      "q160 must have exactly the one deliberate brute pass")
+    // q158's truth side is brute over the fixed query SAMPLE — the one
+    // bounded broadcast pass; the recall join itself is id-equi
+    assert(plan("q158_lsh_recall").linesIterator
+        .count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      "q158 must not nested-loop outside the sampled truth pass")
+    // the per-query windows in both audits must stay partition-local: the
+    // only global sort allowed is the single presentation orderBy at the top
+    Seq("q158_lsh_recall", "q160_label_purity").foreach { q =>
+      val globalSorts = plan(q).linesIterator
+        .count(l => l.contains("Sort ") && l.contains("true, 0"))
+      assert(globalSorts <= 1,
+        s"$q has a global sort inside the audit chain (got $globalSorts)")
+    }
+  }
 }
