@@ -49,6 +49,13 @@ object Bench {
     // exponent runs); absent → all queries, the driver's path
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // a typo'd name must fail loudly, not time zero queries and report an
+    // empty-but-valid-looking JSON
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -152,10 +159,16 @@ object Bench {
     val json = renderJson(merged, sfDir)
     println(json)
     // also persist to a file so the driver's parse never depends on
-    // scraping the sbt log tail
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_last.json")
-    try Files.writeString(Paths.get(out), json + "\n")
-    catch { case _: Throwable => () }
+    // scraping the sbt log tail. A SUBSET run (SPARK_GRAFT_ONLY) never
+    // defaults onto BENCH_last.json — that file is the full-suite record
+    // the driver reads, and a 2-query total silently replacing it would
+    // misreport the engine; subset runs must name their output explicitly.
+    val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (only.isEmpty) Some("BENCH_last.json") else None)
+    out.foreach { o =>
+      try Files.writeString(Paths.get(o), json + "\n")
+      catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 }

@@ -949,7 +949,11 @@ object SparkEntry {
     "q158_lsh_recall" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 20)
-      val ann = SimilarityOps.lshTopK(emb, k = 10, nPlanes = 6)
+      // query-subset form: only the 20 sampled queries pay the rerank and
+      // per-query window — corpus-proportional work would be ~1000x the
+      // audit's need at sf1 (row-identical output for the sampled ids)
+      val ann = SimilarityOps.lshTopKForQueries(emb, queries, k = 10,
+        nPlanes = 6)
       SimilarityOps.annRecallAudit(emb, queries, ann, k = 10)
         .orderBy(col("query_id"))
     },

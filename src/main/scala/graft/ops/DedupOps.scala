@@ -571,8 +571,14 @@ object DedupOps {
     * not per delete. Crash order: `_bands` rewrites BEFORE `_sets` (a crash
     * between the two leaves orphan sets rows — harmless — and trips
     * [[ensureBandedIndex]]'s invariant no further than the bands⊆sets check
-    * it already survives), and `_deleted` clears LAST, so a crash anywhere
-    * leaves tombstones in force and probes stay correct.
+    * it already survives), and `_deleted` clears LAST, so a crash at any
+    * table BOUNDARY leaves tombstones in force and probes stay correct.
+    * Each rewrite itself is NOT crash-atomic:
+    * [[graft.sources.Bucketing.writeBucketed]] is destructive-first (drop,
+    * then write — see its docstring), so a crash mid-rewrite loses that
+    * table and the index is rebuilt from the corpus via
+    * [[ensureBandedIndex]]; compacting under a fresh prefix and repointing
+    * consumers closes even that window.
     */
   def compactBandedIndex(tablePrefix: String): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active

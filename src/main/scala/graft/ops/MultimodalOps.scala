@@ -391,8 +391,7 @@ object MultimodalOps {
 
   /** One parsed AVI container: `avih` header facts plus the ordered video
     * frame payloads found in the `movi` list. */
-  private final case class AviParsed(microsPerFrame: Long, totalFrames: Long,
-                                     width: Int, height: Int,
+  private final case class AviParsed(microsPerFrame: Long, declaredFrames: Long,
                                      frames: Vector[Array[Byte]])
 
   /** Minimal RIFF/AVI walker for the MJPEG class of containers — the one
@@ -413,7 +412,6 @@ object MultimodalOps {
       new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
     if (bytes.length < 12 || fcc(0) != "RIFF" || fcc(8) != "AVI ") return None
     var microsPerFrame = 0L; var totalFrames = 0L
-    var width = 0; var height = 0
     val frames = Vector.newBuilder[Array[Byte]]
     def isFrameChunk(f: String): Boolean =
       f.length == 4 && f(0).isDigit && f(1).isDigit &&
@@ -424,15 +422,22 @@ object MultimodalOps {
         val f = fcc(off)
         val size = u32(off + 4)
         val dataOff = off + 8
-        if (size < 0 || dataOff + size > end) return // malformed tail
-        if (f == "LIST" && size >= 4) {
+        val declaredEnd = dataOff.toLong + size
+        if (f == "LIST" && size >= 4 && dataOff + 4 <= end) {
+          // a LIST cut short by a partial download still yields its
+          // surviving subchunks: recurse into the CLAMPED extent (bailing
+          // here would drop every frame of a movi whose declared size
+          // outruns the truncated payload); nothing follows a truncated
+          // LIST, so stop after it
           val listType = fcc(dataOff)
-          walk(dataOff + 4, dataOff + size.toInt, listType == "movi")
+          walk(dataOff + 4, math.min(declaredEnd, end.toLong).toInt,
+            listType == "movi")
+          if (declaredEnd > end) return
+        } else if (declaredEnd > end) {
+          return // truncated leaf chunk: stop at the last well-formed one
         } else if (f == "avih" && size >= 40) {
           microsPerFrame = u32(dataOff)
           totalFrames = u32(dataOff + 16)
-          width = u32(dataOff + 32).toInt
-          height = u32(dataOff + 36).toInt
         } else if (inMovi && isFrameChunk(f) && size >= 2 &&
             (bytes(dataOff) & 0xff) == 0xff && (bytes(dataOff + 1) & 0xff) == 0xd8) {
           frames += java.util.Arrays.copyOfRange(bytes, dataOff,
@@ -442,8 +447,7 @@ object MultimodalOps {
       }
     }
     walk(12, bytes.length, inMovi = false)
-    Some(AviParsed(microsPerFrame, totalFrames, width, height,
-      frames.result()))
+    Some(AviParsed(microsPerFrame, totalFrames, frames.result()))
   }
 
   /** REAL video decode for MJPEG-in-AVI — the one video container/codec
@@ -458,6 +462,14 @@ object MultimodalOps {
     * reuse). Non-AVI payloads, non-MJPEG codecs (H.264/VP9/AV1 need
     * ffmpeg-class decoders — a REAL boundary this module does not fake)
     * and undecodable frames DROP, the [[decodeImage]] ingest semantics.
+    *
+    * Truncation is DETECTABLE, not silent: `n_frames` counts the frames
+    * that survived the walk (a malformed tail — partial download — stops
+    * at the last well-formed chunk) while `declared_frames` carries the
+    * avih header's count, so `n_frames < declared_frames` flags a
+    * truncated payload; `duration_ms` covers the surviving frames only.
+    * Observed per-frame dims (`width`/`height`) are emitted rather than
+    * the header's claim — the decoded pixels are the fact.
     *
     * Scale shape: `mapPartitions` with one decoder context per partition;
     * payload bytes never shuffle (the per-frame rows carry only metadata
@@ -480,15 +492,16 @@ object MultimodalOps {
             .filter { case (_, i) => i % everyN == 0 }
             .flatMap { case (jpeg, i) =>
               tryDecode(jpeg).map { im =>
-                (id, i, avi.frames.length.toLong, avi.microsPerFrame,
+                (id, i, avi.frames.length.toLong, avi.declaredFrames,
+                  avi.microsPerFrame,
                   avi.microsPerFrame * avi.frames.length / 1000L,
                   im.getWidth, im.getHeight, frameFeature(im, gridN, featN))
               }
             }
         }
       }
-    }.toDF(idCol, "frame_idx", "n_frames", "micros_per_frame",
-      "duration_ms", "width", "height", "embedding")
+    }.toDF(idCol, "frame_idx", "n_frames", "declared_frames",
+      "micros_per_frame", "duration_ms", "width", "height", "embedding")
   }
 
   /** Decoded-audio record: container facts + signal-level features. */

@@ -124,6 +124,37 @@ object SimilarityOps {
     densityReport(emb.select(col(idCol)), knn, bottomPct, idCol)
   }
 
+  /** Shared EXACT rerank of an ANN candidate frame — the one place that
+    * holds the *FromCandidates kernels' load-bearing contract: the
+    * dot/norm expression shape is bit-identical to [[bruteForceTopK]]'s
+    * (norms once per vector, one dot + one divide per pair), so a
+    * candidate-fed report is value-identical to its brute kernel whenever
+    * candidates cover the true neighbors. Dedups the pair frame
+    * (multi-table LSH emits a pair once per colliding table), optionally
+    * drops self-pairs, and carries any requested extra columns from each
+    * side. Returns (query_id, neighbor_id, extras..., cos) plus the
+    * vector/norm working columns — callers select what they need.
+    */
+  private def rerankCandidates(queries: DataFrame, corpus: DataFrame,
+      candidates: DataFrame, idCol: String, vecCol: String,
+      dropSelfPairs: Boolean,
+      qExtra: Seq[(String, String)] = Nil,
+      cExtra: Seq[(String, String)] = Nil): DataFrame = {
+    import graft.functions.VectorExpressions.dotF
+    val pairs = candidates.select(col("query_id"), col("neighbor_id"))
+    val cand = (if (dropSelfPairs)
+        pairs.filter(col("query_id") =!= col("neighbor_id"))
+      else pairs).distinct()
+    val q = queries.select(col(idCol).as("query_id") +: col(vecCol).as("qv") +:
+      sqrt(dotF(col(vecCol), col(vecCol))).as("qn") +:
+      qExtra.map { case (src, as) => col(src).as(as) }: _*)
+    val c = corpus.select(col(idCol).as("neighbor_id") +: col(vecCol).as("cv") +:
+      sqrt(dotF(col(vecCol), col(vecCol))).as("cn") +:
+      cExtra.map { case (src, as) => col(src).as(as) }: _*)
+    cand.join(q, "query_id").join(c, "neighbor_id")
+      .withColumn("cos", dotF(col("qv"), col("cv")) / (col("qn") * col("cn")))
+  }
+
   /** [[knnDensityOutliers]] fed by a precomputed ANN CANDIDATE frame
     * instead of the all-pairs cross — the 100 TB path: generate candidates
     * with [[ivfTopKPersisted]] / [[lshTopK]] (any frame carrying
@@ -147,19 +178,11 @@ object SimilarityOps {
       k: Int = 5, bottomPct: Int = 5, idCol: String = "vec_id",
       vecCol: String = "embedding",
       scope: CacheScope = CacheScope.default): DataFrame = {
-    import graft.functions.VectorExpressions.dotF
     require(bottomPct >= 0 && bottomPct <= 100, s"bottomPct in [0,100]")
-    // dedup (multi-table LSH emits a pair once per colliding table) and
-    // drop self-pairs (ANN top-k over the corpus itself ranks self first)
-    val cand = candidates.select(col("query_id"), col("neighbor_id"))
-      .filter(col("query_id") =!= col("neighbor_id")).distinct()
-    val q = emb.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      sqrt(dotF(col(vecCol), col(vecCol))).as("qn"))
-    val c = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      sqrt(dotF(col(vecCol), col(vecCol))).as("cn"))
-    val scored = cand.join(q, "query_id").join(c, "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"),
-        (dotF(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    // self-pairs drop: ANN top-k over the corpus itself ranks self first
+    val scored = rerankCandidates(emb, emb, candidates, idCol, vecCol,
+        dropSelfPairs = true)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
     val knn = scope.register(
       RelationalOps.topKPerGroup(scored, Seq("query_id"),
           Seq(col("cos").desc, col("neighbor_id").asc), k)
@@ -239,17 +262,15 @@ object SimilarityOps {
   def hardNegativesFromCandidates(corpus: DataFrame, queries: DataFrame,
       candidates: DataFrame, k: Int, idCol: String = "vec_id",
       vecCol: String = "embedding", labelCol: String = "label"): DataFrame = {
-    import graft.functions.VectorExpressions.dotF
-    val cand = candidates.select(col("query_id"), col("neighbor_id")).distinct()
-    val q = queries.select(col(idCol).as("query_id"), col(labelCol).as("qlab"),
-      col(vecCol).as("qv"), sqrt(dotF(col(vecCol), col(vecCol))).as("qn"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(labelCol).as("neg_label"), col(vecCol).as("cv"),
-      sqrt(dotF(col(vecCol), col(vecCol))).as("cn"))
-    val scored = cand.join(q, "query_id").join(c, "neighbor_id")
+    // no self-pair drop needed: self shares its own label, so the
+    // label-inequality filter removes it
+    val scored = rerankCandidates(queries, corpus, candidates, idCol, vecCol,
+        dropSelfPairs = false,
+        qExtra = Seq(labelCol -> "qlab"),
+        cExtra = Seq(labelCol -> "neg_label"))
       .filter(col("neg_label") =!= col("qlab"))
       .select(col("query_id"), col("neighbor_id"), col("neg_label"),
-        (dotF(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+        col("cos"))
     RelationalOps.topKPerGroup(scored, Seq("query_id"),
         Seq(col("cos").desc, col("neighbor_id").asc), k)
       .select(col("query_id"), col("neighbor_id"), col("neg_label"),
@@ -291,16 +312,9 @@ object SimilarityOps {
                                 k: Int = 5, idCol: String = "vec_id",
                                 vecCol: String = "embedding",
                                 labelCol: String = "label"): DataFrame = {
-    import graft.functions.VectorExpressions.dotF
-    val cand = candidates.select(col("query_id"), col("neighbor_id"))
-      .filter(col("query_id") =!= col("neighbor_id")).distinct()
-    val q = emb.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      sqrt(dotF(col(vecCol), col(vecCol))).as("qn"))
-    val c = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      sqrt(dotF(col(vecCol), col(vecCol))).as("cn"))
-    val scored = cand.join(q, "query_id").join(c, "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"),
-        (dotF(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    val scored = rerankCandidates(emb, emb, candidates, idCol, vecCol,
+        dropSelfPairs = true)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
     val topk = RelationalOps.topKPerGroup(scored, Seq("query_id"),
       Seq(col("cos").desc, col("neighbor_id").asc), k)
     purityReport(emb, topk, k, idCol, labelCol)
@@ -566,7 +580,28 @@ object SimilarityOps {
     */
   def lshTopK(df: DataFrame, k: Int, nPlanes: Int = 12, nTables: Int = 4,
               dim: Int = 64, idCol: String = "vec_id",
-              vecCol: String = "embedding", maxBucket: Int = 10000): DataFrame = {
+              vecCol: String = "embedding", maxBucket: Int = 10000): DataFrame =
+    lshTopKImpl(df, None, k, nPlanes, nTables, dim, idCol, vecCol, maxBucket)
+
+  /** [[lshTopK]] restricted to a QUERY subset — the audit/sample shape
+    * (q158's recall measurement probes 20 queries, not the corpus): the
+    * corpus side is banded and capped exactly as in lshTopK, but only the
+    * subset's rows enter the candidate join, exact rerank and per-query
+    * window, so the work is |queries|-proportional instead of
+    * corpus-proportional. For ids in the subset the report is
+    * row-identical to lshTopK's (the per-query chain never sees other
+    * queries).
+    */
+  def lshTopKForQueries(df: DataFrame, queries: DataFrame, k: Int,
+                        nPlanes: Int = 12, nTables: Int = 4, dim: Int = 64,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        maxBucket: Int = 10000): DataFrame =
+    lshTopKImpl(df, Some(queries), k, nPlanes, nTables, dim, idCol, vecCol,
+      maxBucket)
+
+  private def lshTopKImpl(df: DataFrame, queries: Option[DataFrame], k: Int,
+                          nPlanes: Int, nTables: Int, dim: Int, idCol: String,
+                          vecCol: String, maxBucket: Int): DataFrame = {
     val banded = df.select(col(idCol).as("id"),
       posexplode(array((0 until nTables).map(t =>
         srpBucket(col(vecCol), nPlanes, t, dim)): _*)).as(Seq("tbl", "bucket")))
@@ -576,15 +611,21 @@ object SimilarityOps {
       .partitionBy(col("tbl"), col("bucket"))
     val kept = banded.withColumn("bn", count(lit(1)).over(w))
       .filter(col("bn") <= maxBucket).drop("bn")
-    val cand = kept.select(col("tbl"), col("bucket"), col("id").as("query_id"))
+    // a query subset prunes the QUERY side of the candidate join (and the
+    // rerank/window downstream) before any per-pair work; the corpus side
+    // stays the full capped index either way
+    val qSide = queries.fold(kept)(qs =>
+      kept.join(qs.select(col(idCol).as("id")), Seq("id"), "left_semi"))
+    val cand = qSide.select(col("tbl"), col("bucket"), col("id").as("query_id"))
       .join(kept.select(col("tbl"), col("bucket"), col("id").as("neighbor_id")),
         Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id")).distinct()
     import graft.functions.VectorExpressions.dotF
     // per-vector norms (see bruteForceTopK) — bit-identical to cosineF
-    val q = df.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      sqrt(dotF(col(vecCol), col(vecCol))).as("qn"))
+    val q = queries.getOrElse(df)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        sqrt(dotF(col(vecCol), col(vecCol))).as("qn"))
     val n = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       sqrt(dotF(col(vecCol), col(vecCol))).as("cn"))
     val scored = cand.join(q, Seq("query_id")).join(n, Seq("neighbor_id"))
@@ -1140,9 +1181,16 @@ object SimilarityOps {
     * anti-joins small and makes tombstoned ids APPENDABLE again. Handles
     * both cells schemas (IVF's `neighbor_id` vector rows, IVF-PQ's
     * `vec_id` code rows). Crash order: `_cells` rewrites FIRST and
-    * `_deleted` clears LAST, so a crash between the two leaves tombstones
+    * `_deleted` clears LAST, so a crash BETWEEN the two leaves tombstones
     * in force over already-removed rows (an anti-join that removes
-    * nothing) — probes stay correct at every intermediate state.
+    * nothing) — probes stay correct across that window. The rewrite
+    * itself is NOT crash-atomic: [[graft.sources.Bucketing.writeBucketed]]
+    * is destructive-first (drop, then write — see its docstring for why a
+    * rename swap isn't available to bucketed catalog tables), so a crash
+    * mid-rewrite leaves no `_cells` table and the index must be rebuilt
+    * from the corpus via the ensure path. An operation that cannot afford
+    * that window compacts under a FRESH prefix and repoints consumers —
+    * the corpus of record, not the index, is the durable store either way.
     */
   def compactIvfIndex(tablePrefix: String): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -1168,18 +1216,48 @@ object SimilarityOps {
     }
   }
 
-  /** Restamp the IVF meta row's corpus tag in place (all other fields and
-    * the format stamp carry over) — the maintenance paths' way of
-    * recording "this index now reflects snapshot X" without a rebuild. */
+  /** Restamp a meta row's corpus tag in place (every other field and the
+    * format stamp carry over) — the maintenance paths' way of recording
+    * "this index now reflects snapshot X" without a rebuild.
+    * SCHEMA-GENERIC (works for the IVF and IVF-PQ meta shapes alike): the
+    * row is rewritten column-for-column with only `corpus_tag` replaced,
+    * materialized (localCheckpoint) before [[graft.sources.Bucketing.saveTable]]
+    * drops the table it was read from.
+    */
   private def restampIvfTag(spark: org.apache.spark.sql.SparkSession,
                             tablePrefix: String, tag: String): Unit = {
-    import spark.implicits._
-    val m = spark.table(s"${tablePrefix}_meta").head()
-    graft.sources.Bucketing.saveTable(
-      Seq((m.getAs[Int]("n_cells"), m.getAs[Long]("seed"),
-          m.getAs[Int]("buckets"), tag, m.getAs[Int]("fmt")))
-        .toDF("n_cells", "seed", "buckets", "corpus_tag", "fmt"),
-      s"${tablePrefix}_meta")
+    val updated = spark.table(s"${tablePrefix}_meta")
+      .withColumn("corpus_tag", lit(tag))
+      .localCheckpoint(true)
+    graft.sources.Bucketing.saveTable(updated, s"${tablePrefix}_meta")
+  }
+
+  /** The shared tombstone → conditional-compact → append → restamp
+    * composition behind [[maintainIvfIndexFromDiff]] and
+    * [[maintainIvfPqIndexFromDiff]] — ONE body, so a lifecycle change
+    * (the compact trigger, a crash-order fix) cannot silently drift
+    * between the full-vector and compressed tiers; only the append step
+    * differs and is passed in.
+    */
+  private def maintainIvfTierFromDiff(newSnapshot: DataFrame, diff: DataFrame,
+                                      tablePrefix: String, idCol: String,
+                                      append: DataFrame => Unit,
+                                      newCorpusTag: String): Unit = {
+    val spark = newSnapshot.sparkSession
+    val gone = diff.filter(col("status").isin("removed", "changed"))
+      .select(col(idCol))
+    if (!gone.isEmpty) deleteFromIvfIndex(gone, tablePrefix, idCol)
+    val fresh = newSnapshot.join(
+      diff.filter(col("status").isin("added", "changed")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+    // a fresh id with a STANDING tombstone (changed now, or re-added after
+    // a removals-only cycle) forces the compact — the append's anti-join
+    // would otherwise silently drop it
+    val appendingTombstoned = fresh.select(col(idCol).cast("long").as("id"))
+      .join(spark.table(s"${tablePrefix}_deleted"), Seq("id"), "left_semi")
+    if (!appendingTombstoned.isEmpty) compactIvfIndex(tablePrefix)
+    if (!fresh.isEmpty) append(fresh)
+    if (newCorpusTag.nonEmpty) restampIvfTag(spark, tablePrefix, newCorpusTag)
   }
 
   /** Fold a [[graft.ops.RelationalOps.snapshotDiff]] delta into a
@@ -1201,20 +1279,10 @@ object SimilarityOps {
                                tablePrefix: String,
                                idCol: String = "vec_id",
                                vecCol: String = "embedding",
-                               newCorpusTag: String = ""): Unit = {
-    val spark = newSnapshot.sparkSession
-    val gone = diff.filter(col("status").isin("removed", "changed"))
-      .select(col(idCol))
-    if (!gone.isEmpty) deleteFromIvfIndex(gone, tablePrefix, idCol)
-    val fresh = newSnapshot.join(
-      diff.filter(col("status").isin("added", "changed")).select(col(idCol)),
-      Seq(idCol), "left_semi")
-    val appendingTombstoned = fresh.select(col(idCol).cast("long").as("id"))
-      .join(spark.table(s"${tablePrefix}_deleted"), Seq("id"), "left_semi")
-    if (!appendingTombstoned.isEmpty) compactIvfIndex(tablePrefix)
-    if (!fresh.isEmpty) appendToIvfIndex(fresh, tablePrefix, idCol, vecCol)
-    if (newCorpusTag.nonEmpty) restampIvfTag(spark, tablePrefix, newCorpusTag)
-  }
+                               newCorpusTag: String = ""): Unit =
+    maintainIvfTierFromDiff(newSnapshot, diff, tablePrefix, idCol,
+      fresh => appendToIvfIndex(fresh, tablePrefix, idCol, vecCol),
+      newCorpusTag)
 
   /** Per-cell DRIFT report for a persisted IVF index — the visibility half
     * of the frozen-quantizer caveat on [[appendToIvfIndex]]: appends assign
@@ -1948,33 +2016,10 @@ object SimilarityOps {
                                  tablePrefix: String,
                                  idCol: String = "vec_id",
                                  vecCol: String = "embedding",
-                                 newCorpusTag: String = ""): Unit = {
-    val spark = newSnapshot.sparkSession
-    val gone = diff.filter(col("status").isin("removed", "changed"))
-      .select(col(idCol))
-    if (!gone.isEmpty) deleteFromIvfIndex(gone, tablePrefix, idCol)
-    val fresh = newSnapshot.join(
-      diff.filter(col("status").isin("added", "changed")).select(col(idCol)),
-      Seq(idCol), "left_semi")
-    val appendingTombstoned = fresh.select(col(idCol).cast("long").as("id"))
-      .join(spark.table(s"${tablePrefix}_deleted"), Seq("id"), "left_semi")
-    if (!appendingTombstoned.isEmpty) compactIvfIndex(tablePrefix)
-    if (!fresh.isEmpty) appendToIvfPqIndex(fresh, tablePrefix, idCol, vecCol)
-    if (newCorpusTag.nonEmpty) {
-      import spark.implicits._
-      val m = spark.table(s"${tablePrefix}_meta").head()
-      graft.sources.Bucketing.saveTable(
-        Seq((m.getAs[Int]("n_cells"), m.getAs[Long]("seed"),
-            m.getAs[Int]("buckets"), m.getAs[Int]("num_sub"),
-            m.getAs[Int]("num_centroids"), m.getAs[Int]("iters"),
-            m.getAs[Double]("scale"), newCorpusTag,
-            m.getAs[String]("coarse"), m.getAs[String]("encode"),
-            m.getAs[Int]("fmt")))
-          .toDF("n_cells", "seed", "buckets", "num_sub", "num_centroids",
-            "iters", "scale", "corpus_tag", "coarse", "encode", "fmt"),
-        s"${tablePrefix}_meta")
-    }
-  }
+                                 newCorpusTag: String = ""): Unit =
+    maintainIvfTierFromDiff(newSnapshot, diff, tablePrefix, idCol,
+      fresh => appendToIvfPqIndex(fresh, tablePrefix, idCol, vecCol),
+      newCorpusTag)
 
   /** A batch routed and encoded under a persisted IVF-PQ index's FROZEN
     * models — the cells-table row shape (cell, vec_id, c0..c{M-1}); the

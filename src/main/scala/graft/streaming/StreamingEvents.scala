@@ -50,6 +50,22 @@ case class PackState(block: Long, filled: Long, nDocs: Long,
   */
 object StreamingEvents {
 
+  /** Re-resolve every REPLACE-on-write table of a persisted index before a
+    * micro-batch reads it: out-of-band maintenance replaces whole tables
+    * (deletes rewrite `_deleted`; compaction drops-and-rewrites
+    * `_sets`/`_bands`/`_cells`), and the streaming session clone caches
+    * file listings per relation — without the refresh a mid-stream compact
+    * either serves deleted rows no tombstone masks any more or kills the
+    * stream with a FileNotFound on the dropped location. Refreshing a
+    * suffix the index type doesn't have is a harmless no-op (ignored).
+    */
+  private def refreshIndexTables(spark: SparkSession, tablePrefix: String,
+                                 suffixes: Seq[String]): Unit =
+    suffixes.foreach { s =>
+      try spark.catalog.refreshTable(tablePrefix + s)
+      catch { case _: Throwable => () }
+    }
+
   /** Schema of the events stream (`ts` already micros-typed). */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -474,10 +490,10 @@ object StreamingEvents {
           // one pass over the batch feeds both the probe and the append
           val b = scope.register(batch)
           if (!b.isEmpty) {
-            // re-resolve the replace-on-delete tombstone table per batch
-            // (see ivfIndexIngest)
-            batch.sparkSession.catalog
-              .refreshTable(s"${tablePrefix}_deleted")
+            // re-resolve every replace-on-write table per batch: deletes
+            // rewrite _deleted, an out-of-band compact rewrites _sets/_bands
+            refreshIndexTables(batch.sparkSession, tablePrefix,
+              Seq("_deleted", "_sets", "_bands"))
             val report = graft.ops.DedupOps.probeBandedIndex(
               b, tablePrefix, textCol, idCol, minJaccard, scope)
             // localCheckpoint (eager) TRUNCATES the lineage before the
@@ -524,9 +540,11 @@ object StreamingEvents {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           // the tombstone table is REPLACED (not appended) by out-of-band
-          // deletes; the streaming session clone caches its relation, so
-          // re-resolve per batch or a mid-stream delete serves stale files
-          batch.sparkSession.catalog.refreshTable(s"${tablePrefix}_deleted")
+          // deletes, and a compact drops-and-rewrites _cells; the streaming
+          // session clone caches both relations, so re-resolve per batch or
+          // a mid-stream delete/compact serves stale files
+          refreshIndexTables(batch.sparkSession, tablePrefix,
+            Seq("_deleted", "_cells"))
           val dup = graft.ops.SimilarityOps
             .ivfTopKPersisted(batch, tablePrefix, k = 1, nProbe, idCol, vecCol,
               excludeSelf = false)
@@ -582,9 +600,9 @@ object StreamingEvents {
                                       vecCol: String = "embedding"): Unit =
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
-      // re-resolve the replace-on-delete tombstone table per batch
-      // (see ivfIndexIngest)
-      spark.catalog.refreshTable(s"${tablePrefix}_deleted")
+      // re-resolve the replace-on-write tables per batch (see
+      // ivfIndexIngest): _deleted for deletes, _cells for compacts
+      refreshIndexTables(spark, tablePrefix, Seq("_deleted", "_cells"))
       val bc = graft.ops.SimilarityOps
         .ivfPqAssignCodes(batch, tablePrefix, idCol, vecCol)
       val codeCols = bc.columns.filter(_.matches("c\\d+")).toSeq

@@ -649,6 +649,18 @@ class OpsSpec extends SparkTestBase {
     assert(recall > 0.9, s"SRP near-dup recall $recall")
   }
 
+  test("lshTopKForQueries: row-identical to lshTopK filtered to the subset") {
+    val all = SimilarityOps.lshTopK(vecsDf, k = 2, nPlanes = 4,
+        nTables = 8, dim = 4)
+      .filter($"query_id" < 2).collect().toSet
+    val sub = SimilarityOps.lshTopKForQueries(vecsDf,
+        vecsDf.filter($"vec_id" < 2), k = 2, nPlanes = 4, nTables = 8,
+        dim = 4)
+      .collect().toSet
+    assert(sub === all, "query-subset form must reproduce lshTopK's rows")
+    assert(sub.nonEmpty)
+  }
+
   test("lshTopK: tiny maxBucket drops hot buckets but the plan stays bounded") {
     // maxBucket=1 drops every bucket with >= 2 members → no candidates
     val none = SimilarityOps.lshTopK(vecsDf, k = 2, nPlanes = 4, nTables = 8,
@@ -1045,19 +1057,28 @@ class OpsSpec extends SparkTestBase {
     assert(out.keySet === Set(0, 1, 2, 3), "4 frames; junk payloads drop")
     out.values.foreach { r =>
       assert(r.getLong(0) === 0L && r.getLong(2) === 4L &&
-        r.getLong(3) === 40000L && r.getLong(4) === 160L &&
-        r.getInt(5) === 8 && r.getInt(6) === 8)
+        r.getLong(3) === 4L && r.getLong(4) === 40000L &&
+        r.getLong(5) === 160L && r.getInt(6) === 8 && r.getInt(7) === 8)
     }
     // DCT DC term tracks frame luma (uniform v → DC ≈ v·gridN, JPEG-lossy)
-    def dc(i: Int) = out(i).getSeq[Float](7).head
+    def dc(i: Int) = out(i).getSeq[Float](8).head
     assert(math.abs(dc(0) - 3200.0) < 100, s"frame 0 DC ${dc(0)}")
     assert(dc(2) > dc(0) + 2000, "the scene cut must move the feature")
     // byte-identical frames decode to bit-identical embeddings — the
     // frame near-dup / scene-change chain is exact
-    assert(out(0).getSeq[Float](7) === out(1).getSeq[Float](7))
+    assert(out(0).getSeq[Float](8) === out(1).getSeq[Float](8))
     // everyN thins at true frame boundaries
     assert(MultimodalOps.decodeVideoFrames(df, "doc_id", "p", everyN = 2)
       .collect().map(_.getInt(1)).sorted.toSeq === Seq(0, 2))
+    // a TRUNCATED payload (partial download cutting into the last frame
+    // chunk) keeps the surviving frames, and the header's declared_frames
+    // exposes the shortfall: n_frames < declared_frames
+    val cut = avi.dropRight(jpegs.last.length / 2)
+    val tr = MultimodalOps.decodeVideoFrames(
+      Seq((9L, cut)).toDF("doc_id", "p"), "doc_id", "p").collect()
+    assert(tr.nonEmpty && tr.forall(r =>
+        r.getLong(2) < 4L && r.getLong(3) === 4L),
+      "truncated AVI must report fewer surviving frames than declared")
   }
 
   // ---- BPE training ----
