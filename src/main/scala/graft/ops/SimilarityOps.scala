@@ -668,7 +668,29 @@ object SimilarityOps {
   def lshTopKMultiProbe(df: DataFrame, k: Int, nPlanes: Int = 12,
                         nTables: Int = 4, dim: Int = 64,
                         idCol: String = "vec_id", vecCol: String = "embedding",
-                        maxBucket: Int = 10000): DataFrame = {
+                        maxBucket: Int = 10000): DataFrame =
+    lshTopKMultiProbeImpl(df, None, k, nPlanes, nTables, dim, idCol, vecCol,
+      maxBucket)
+
+  /** [[lshTopKMultiProbe]] restricted to a QUERY subset — completes the
+    * family ([[bruteForceTopK]]/[[ivfTopKPersisted]] take query frames,
+    * [[lshTopKForQueries]] covers single-probe): only the subset's rows
+    * fan out probes and pay the rerank/window; the corpus side is banded
+    * and capped exactly as in the full form, so for ids in the subset the
+    * report is row-identical to lshTopKMultiProbe's.
+    */
+  def lshTopKMultiProbeForQueries(df: DataFrame, queries: DataFrame, k: Int,
+                                  nPlanes: Int = 12, nTables: Int = 4,
+                                  dim: Int = 64, idCol: String = "vec_id",
+                                  vecCol: String = "embedding",
+                                  maxBucket: Int = 10000): DataFrame =
+    lshTopKMultiProbeImpl(df, Some(queries), k, nPlanes, nTables, dim, idCol,
+      vecCol, maxBucket)
+
+  private def lshTopKMultiProbeImpl(df: DataFrame, queries: Option[DataFrame],
+                                    k: Int, nPlanes: Int, nTables: Int,
+                                    dim: Int, idCol: String, vecCol: String,
+                                    maxBucket: Int): DataFrame = {
     val banded = df.select(col(idCol).as("id"),
       posexplode(array((0 until nTables).map(t =>
         srpBucket(col(vecCol), nPlanes, t, dim)): _*)).as(Seq("tbl", "bucket")))
@@ -676,10 +698,14 @@ object SimilarityOps {
       .partitionBy(col("tbl"), col("bucket"))
     val kept = banded.withColumn("bn", count(lit(1)).over(w))
       .filter(col("bn") <= maxBucket).drop("bn")
-    // probe 0 = the exact bucket; probes 1..p flip one sign bit each
+    // probe 0 = the exact bucket; probes 1..p flip one sign bit each.
+    // A query subset prunes the probe fan-out at its source (the probe
+    // side stays deliberately UNCAPPED either way — see the docstring)
+    val probeSrc = queries.fold(banded)(qs =>
+      banded.join(qs.select(col(idCol).as("id")), Seq("id"), "left_semi"))
     val probeBuckets = array((col("bucket") +:
       (0 until nPlanes).map(i => col("bucket").bitwiseXOR(lit(1L << i)))): _*)
-    val probes = banded.select(col("tbl"), col("id").as("query_id"),
+    val probes = probeSrc.select(col("tbl"), col("id").as("query_id"),
       explode(probeBuckets).as("bucket"))
     val cand = probes
       .join(kept.select(col("tbl"), col("bucket"), col("id").as("neighbor_id")),
@@ -687,8 +713,9 @@ object SimilarityOps {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id")).distinct()
     import graft.functions.VectorExpressions.dotF
-    val q = df.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      sqrt(dotF(col(vecCol), col(vecCol))).as("qn"))
+    val q = queries.getOrElse(df)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        sqrt(dotF(col(vecCol), col(vecCol))).as("qn"))
     val n = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       sqrt(dotF(col(vecCol), col(vecCol))).as("cn"))
     val scored = cand.join(q, Seq("query_id")).join(n, Seq("neighbor_id"))

@@ -659,6 +659,16 @@ class OpsSpec extends SparkTestBase {
       .collect().toSet
     assert(sub === all, "query-subset form must reproduce lshTopK's rows")
     assert(sub.nonEmpty)
+    val allMp = SimilarityOps.lshTopKMultiProbe(vecsDf, k = 2, nPlanes = 4,
+        nTables = 8, dim = 4)
+      .filter($"query_id" < 2).collect().toSet
+    val subMp = SimilarityOps.lshTopKMultiProbeForQueries(vecsDf,
+        vecsDf.filter($"vec_id" < 2), k = 2, nPlanes = 4, nTables = 8,
+        dim = 4)
+      .collect().toSet
+    assert(subMp === allMp,
+      "multi-probe subset form must reproduce lshTopKMultiProbe's rows")
+    assert(subMp.nonEmpty)
   }
 
   test("lshTopK: tiny maxBucket drops hot buckets but the plan stays bounded") {
