@@ -581,6 +581,52 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("ivfIndexIngest: an out-of-band delete+compact BETWEEN micro-batches is picked up, not served stale") {
+    // the lifecycle contract this locks in: compactIvfIndex
+    // drops-and-rewrites _cells and replaces _deleted mid-stream, and the
+    // NEXT micro-batch must see the compacted state — re-ingesting the
+    // deleted vector, not crashing, not matching removed content. (The
+    // per-batch refreshIndexTables guards the cached-file-listing case;
+    // a single-session test cannot force that cache state
+    // deterministically, so this asserts the end-to-end behavior.)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.SimilarityOps
+    def axis(d: Int, scale: Float = 10f): Array[Float] =
+      Array.tabulate(4)(j => if (j == d) scale else 0.1f * (j + 1))
+    val corpus = (0 until 12).map(i => (i.toLong, axis(i % 3))).toDF("vec_id", "embedding")
+    SimilarityOps.writeIvfIndex(corpus, "t_stream_ivfc", nCells = 3, buckets = 4)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivfc-ingest").toString
+    val mem = MemoryStream[Vec]
+    val query = StreamingEvents.ivfIndexIngest(mem.toDF(), "t_stream_ivfc",
+      minCos = 0.95, nProbe = 3, checkpointDir = ckpt).start()
+    try {
+      // epoch 0: a brand-new direction is accepted into the index
+      mem.addData(Vec(101L, axis(3)))
+      query.processAllAvailable()
+      // OUT-OF-BAND maintenance between micro-batches: tombstone the
+      // just-ingested vector, then physically compact (the _cells table
+      // is dropped and rewritten at a new file listing, _deleted replaced)
+      SimilarityOps.deleteFromIvfIndex(
+        Seq(101L).toDF("vec_id"), "t_stream_ivfc")
+      SimilarityOps.compactIvfIndex("t_stream_ivfc")
+      // epoch 1: re-send the deleted vector — the batch must read the
+      // COMPACTED index (no crash on the old listing, no stale rows
+      // claiming 101 still exists), so the re-send is novel and re-ingests
+      mem.addData(Vec(101L, axis(3)))
+      query.processAllAvailable()
+      val indexed = spark.table("t_stream_ivfc_cells")
+        .select("neighbor_id").collect().map(_.getLong(0)).toSeq
+      assert(indexed.sorted === ((0L until 12L) :+ 101L).sorted,
+        s"post-compact batch must re-ingest the deleted vector exactly once: $indexed")
+      assert(spark.table("t_stream_ivfc_deleted").count() === 0L,
+        "the compact cleared the tombstones the stream must also re-read")
+    } finally {
+      query.stop()
+      Seq("cells", "centroids", "meta", "deleted").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS t_stream_ivfc_$s"))
+    }
+  }
+
   test("ivfPqIndexIngest: code-collision gate rejects replicas, appends novel, replay-safe") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.SimilarityOps
