@@ -884,8 +884,11 @@ object SparkEntry {
         .orderBy(col("source").asc_nulls_last, col("rank"))),
 
     // PMI COLLOCATIONS: adjacent pairs co-occurring beyond chance — lift
-    // as the pure integer (1e6·c12·N) div (c1·c2), exact cross-engine;
-    // map-only bigram transform, two vocab-sized unigram joins
+    // as floor((1e6·c12·N) / (c1·c2)) in DOUBLES (one product chain, one
+    // quotient, floor last: the all-integer form overflows 2^63 at 100 TB
+    // corpus counts; IEEE ops are exactly rounded, so the oracle's
+    // identical expression shape reproduces the bits); map-only bigram
+    // transform, two vocab-sized unigram joins
     "q147_pmi_collocations" -> ((s, d) =>
       TextOps.pmiCollocations(t(s, d, "documents"))),
 
@@ -905,9 +908,11 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       // 6 planes/table: 64 buckets per table keeps real collision mass at
       // this corpus size, so most vectors reach rank k and the NULL tail
-      // stays what it should be — the genuinely isolated vectors
-      val cand = SimilarityOps.lshTopK(emb, k = 12, nPlanes = 6)
-        .select(col("query_id"), col("neighbor_id"))
+      // stays what it should be — the genuinely isolated vectors. RAW
+      // collision pairs, no interposed top-k: the audit kernel applies
+      // its own exact rerank + k, so no truncation knob can silently
+      // drop candidates at a larger corpus
+      val cand = SimilarityOps.lshCandidatePairs(emb, nPlanes = 6)
       SimilarityOps.knnDensityOutliersFromCandidates(emb, cand, k = 5)
         .orderBy(col("vec_id"))
     }),
@@ -918,6 +923,19 @@ object SparkEntry {
     "q160_label_purity" -> ((s, d) =>
       SimilarityOps.labelNeighborhoodPurity(t(s, d, "embeddings"))
         .orderBy(col("vec_id"))),
+
+    // the CORPUS-SCALE mislabel audit — q160's purity report fed by raw
+    // LSH collision candidates instead of the all-pairs cross (the q155
+    // pattern applied to label purity): exact rerank touches only
+    // bucket-collision pairs; vectors with fewer than 5 candidates keep
+    // partial n_match counts (purity reads as a lower bound under recall
+    // shortfall), isolated vectors surface as suspect, never drop
+    "q162_label_purity_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cand = SimilarityOps.lshCandidatePairs(emb, nPlanes = 6)
+      SimilarityOps.labelPurityFromCandidates(emb, cand, k = 5)
+        .orderBy(col("vec_id"))
+    }),
 
     // corpus-wide LINE dedup (the C4/RefinedWeb rule: a line occurring ≥ 2
     // times anywhere in the corpus is boilerplate and is struck from EVERY
@@ -976,13 +994,12 @@ object SparkEntry {
     },
 
     // ANN-candidate-fed hard-negative mining, oracle-checked end to end:
-    // LSH bucket-collision candidates (k = 500 exceeds any per-query
-    // candidate count at oracle scale, so the top-k cap is a no-op and the
-    // oracle can rank the raw collision set), exact label-filtered rerank
+    // the RAW LSH bucket-collision frame feeds the kernel directly (the
+    // oracle ranks the same raw collision set) — no interposed top-k cap
+    // whose adequacy would silently depend on corpus scale
     "q157_hard_negatives_lsh" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
-      val cand = SimilarityOps.lshTopK(emb, k = 500, nPlanes = 6)
-        .select(col("query_id"), col("neighbor_id"))
+      val cand = SimilarityOps.lshCandidatePairs(emb, nPlanes = 6)
       SimilarityOps.hardNegativesFromCandidates(
           emb, emb.filter(col("vec_id") < 5), cand, k = 10)
         .orderBy(col("query_id"), col("rank"))
@@ -3026,7 +3043,7 @@ object SparkEntry {
 
     // the q155 bucket replay with the label-inequality filter and q104's
     // ranked-negative tail — the raw collision set IS the candidate frame
-    // because the engine's k = 500 cap is a no-op at this corpus size
+    // on both sides (the engine feeds lshCandidatePairs, uncapped)
     "q157_hard_negatives_lsh" ->
       s"""WITH planes AS (${ops.DetHash.sqlPlanesCte(24, 64)}),
          |e AS (SELECT vec_id, embedding, label FROM embeddings),
@@ -3050,10 +3067,43 @@ object SparkEntry {
          |SELECT qid AS query_id, nid AS neighbor_id, neg_label, cos, rank
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // q26's SRP bucket replay feeds the q160 purity tail: rank over ALL
+    // LSH collision candidates (exactly the engine's raw candidate
+    // frame), keep rank <= 5, count same-label neighbors; the LEFT JOIN
+    // keeps candidate-less vectors in the report as suspects
+    "q162_label_purity_lsh" ->
+      s"""WITH planes AS (${ops.DetHash.sqlPlanesCte(24, 64)}),
+         |e AS (SELECT vec_id, embedding, label FROM embeddings),
+         |proj AS (SELECT p.p // 6 AS tbl, p.p % 6 AS i, e.vec_id,
+         |    list_sum(list_transform(list_zip(e.embedding, p.cs), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS pr
+         |  FROM e CROSS JOIN planes p),
+         |b AS (SELECT tbl, vec_id,
+         |    sum(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS bucket
+         |  FROM proj GROUP BY tbl, vec_id),
+         |cand AS (SELECT DISTINCT l.vec_id AS qid, r.vec_id AS nid
+         |  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
+         |    AND l.vec_id <> r.vec_id),
+         |r AS (SELECT qid, nid, row_number() OVER (
+         |    PARTITION BY qid ORDER BY ${sqlCos("qe", "ne")} DESC, nid) AS rn
+         |  FROM cand c JOIN e qe ON qe.vec_id = c.qid
+         |    JOIN e ne ON ne.vec_id = c.nid),
+         |m AS (SELECT r.qid,
+         |    sum(CASE WHEN qa.label = na.label THEN 1 ELSE 0 END) AS n_match
+         |  FROM r JOIN e qa ON qa.vec_id = r.qid
+         |    JOIN e na ON na.vec_id = r.nid
+         |  WHERE rn <= 5 GROUP BY 1)
+         |SELECT e.vec_id, e.label,
+         |  CAST(COALESCE(m.n_match, 0) AS BIGINT) AS n_match,
+         |  CAST((1000000 * COALESCE(m.n_match, 0)) // 5 AS BIGINT)
+         |    AS purity_micro,
+         |  COALESCE(m.n_match, 0) = 0 AS suspect
+         |FROM e LEFT JOIN m ON m.qid = e.vec_id
+         |ORDER BY e.vec_id""".stripMargin,
+
     // q26's SRP bucket replay feeds the q146 density tail: rank over ALL
-    // LSH candidates and keep rank 5 — identical to reranking the engine's
-    // top-12 candidate lists, since top-12 ⊇ top-5 under the same total
-    // order. The LEFT JOIN realizes the NULL-row coverage contract.
+    // LSH candidates and keep rank 5 — exactly the raw collision frame
+    // the engine now feeds the kernel (no interposed top-k).
+    // The LEFT JOIN realizes the NULL-row coverage contract.
     "q155_knn_density_lsh" ->
       s"""WITH planes AS (${ops.DetHash.sqlPlanesCte(24, 64)}),
          |e AS (SELECT vec_id, embedding FROM embeddings),

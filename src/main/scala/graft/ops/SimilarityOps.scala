@@ -599,9 +599,32 @@ object SimilarityOps {
     lshTopKImpl(df, Some(queries), k, nPlanes, nTables, dim, idCol, vecCol,
       maxBucket)
 
-  private def lshTopKImpl(df: DataFrame, queries: Option[DataFrame], k: Int,
-                          nPlanes: Int, nTables: Int, dim: Int, idCol: String,
-                          vecCol: String, maxBucket: Int): DataFrame = {
+  /** The RAW SRP bucket-collision pair frame behind [[lshTopK]] —
+    * distinct (query_id, neighbor_id) ids that share any (table, bucket),
+    * before any rerank or top-k truncation. This is the candidate frame
+    * the `...FromCandidates` audit kernels
+    * ([[knnDensityOutliersFromCandidates]], [[labelPurityFromCandidates]],
+    * [[hardNegativesFromCandidates]]) want: feeding them lshTopK's
+    * truncated top-k instead couples the audit's correctness to the
+    * label-agnostic cap (a k that is a no-op at test scale silently
+    * drops candidates once per-bucket collision counts grow past it at a
+    * larger corpus), whereas the raw frame has no cap to outgrow — the
+    * kernels apply their own exact rerank and their own k under the
+    * shared total order. Same shuffle shape as lshTopK's candidate step:
+    * (tbl, bucket)-keyed band join, maxBucket skew cap, pair distinct;
+    * never all pairs.
+    */
+  def lshCandidatePairs(df: DataFrame, nPlanes: Int = 12, nTables: Int = 4,
+                        dim: Int = 64, idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        maxBucket: Int = 10000): DataFrame =
+    lshCandidatePairsImpl(df, None, nPlanes, nTables, dim, idCol, vecCol,
+      maxBucket)
+
+  private def lshCandidatePairsImpl(df: DataFrame, queries: Option[DataFrame],
+                                    nPlanes: Int, nTables: Int, dim: Int,
+                                    idCol: String, vecCol: String,
+                                    maxBucket: Int): DataFrame = {
     val banded = df.select(col(idCol).as("id"),
       posexplode(array((0 until nTables).map(t =>
         srpBucket(col(vecCol), nPlanes, t, dim)): _*)).as(Seq("tbl", "bucket")))
@@ -616,11 +639,18 @@ object SimilarityOps {
     // stays the full capped index either way
     val qSide = queries.fold(kept)(qs =>
       kept.join(qs.select(col(idCol).as("id")), Seq("id"), "left_semi"))
-    val cand = qSide.select(col("tbl"), col("bucket"), col("id").as("query_id"))
+    qSide.select(col("tbl"), col("bucket"), col("id").as("query_id"))
       .join(kept.select(col("tbl"), col("bucket"), col("id").as("neighbor_id")),
         Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id")).distinct()
+  }
+
+  private def lshTopKImpl(df: DataFrame, queries: Option[DataFrame], k: Int,
+                          nPlanes: Int, nTables: Int, dim: Int, idCol: String,
+                          vecCol: String, maxBucket: Int): DataFrame = {
+    val cand = lshCandidatePairsImpl(df, queries, nPlanes, nTables, dim,
+      idCol, vecCol, maxBucket)
     import graft.functions.VectorExpressions.dotF
     // per-vector norms (see bruteForceTopK) — bit-identical to cosineF
     val q = queries.getOrElse(df)
@@ -1265,6 +1295,19 @@ object SimilarityOps {
     * (the compact trigger, a crash-order fix) cannot silently drift
     * between the full-vector and compressed tiers; only the append step
     * differs and is passed in.
+    *
+    * CRASH WINDOW, stated here because this body owns the ordering: a
+    * crash between [[compactIvfIndex]] (which clears the tombstone table)
+    * and `append(fresh)` leaves changed/re-added vectors physically
+    * absent with NO tombstone recording them — the index is then a clean
+    * but STALE snapshot (pre-delta for those ids), indistinguishable
+    * from never having started the maintenance. Recovery rule: RE-RUN
+    * THE SAME DELTA. Every step is idempotent against a partially
+    * applied state (tombstoning absent ids is a no-op, the compact of an
+    * empty tombstone table is a no-op, the append's anti-join skips ids
+    * already present), and the restamp runs LAST — so the corpus tag
+    * only ever advertises a fully folded delta, and an un-restamped
+    * index tells the operator which delta to replay.
     */
   private def maintainIvfTierFromDiff(newSnapshot: DataFrame, diff: DataFrame,
                                       tablePrefix: String, idCol: String,
@@ -1300,7 +1343,8 @@ object SimilarityOps {
     * exactly as one rebuilt from the new snapshot — results are then
     * centroid-independent — and at partial probe it matches a frozen-
     * quantizer rebuild (BucketingSpec asserts the composed maintenance
-    * against a fresh build).
+    * against a fresh build). Crash mid-maintenance: replay the same
+    * delta — see the crash-window note on [[maintainIvfTierFromDiff]].
     */
   def maintainIvfIndexFromDiff(newSnapshot: DataFrame, diff: DataFrame,
                                tablePrefix: String,
@@ -2038,6 +2082,8 @@ object SimilarityOps {
     * Maintained-index probes match a frozen-model rebuild exactly
     * (BucketingSpec); a fresh [[writeIvfPqIndex]] rebuild retrains both
     * models, so schedule one on [[ivfDriftSummary]] evidence as usual.
+    * Crash mid-maintenance: replay the same delta — see the crash-window
+    * note on [[maintainIvfTierFromDiff]].
     */
   def maintainIvfPqIndexFromDiff(newSnapshot: DataFrame, diff: DataFrame,
                                  tablePrefix: String,

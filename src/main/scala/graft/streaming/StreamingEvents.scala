@@ -62,8 +62,10 @@ object StreamingEvents {
   private def refreshIndexTables(spark: SparkSession, tablePrefix: String,
                                  suffixes: Seq[String]): Unit =
     suffixes.foreach { s =>
+      // NonFatal only: the intended miss is AnalysisException (an index
+      // tier without this suffix); OOM/interrupt must still propagate
       try spark.catalog.refreshTable(tablePrefix + s)
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
 
   /** Schema of the events stream (`ts` already micros-typed). */
@@ -727,10 +729,24 @@ object StreamingEvents {
     * [[graft.ops.DedupOps.dedupLinesFromIndex]]; snapshots follow the
     * [[upsertSink]] versioned-dir rule ([[latestSnapshot]] resolves,
     * replays rebuild bit-identically).
+    *
+    * COST, stated plainly: copy-on-write means every epoch rewrites the
+    * whole (h, df) table — O(distinct lines) write per micro-batch — and
+    * superseded `v<epoch>/` dirs otherwise accumulate without bound on a
+    * long-running stream. `keepSnapshots` bounds storage: after each
+    * committed write, committed snapshots beyond the newest N are
+    * deleted ([[pruneSnapshots]]). N ≥ 2 preserves the replay contract
+    * (a replayed epoch merges its PREDECESSOR, which is among the newest
+    * 2 by construction); the retain-all default trades disk for full
+    * history. When per-epoch rewrite cost itself is the problem, the
+    * CMS counter's fixed-size grid is the fallback.
     */
   def lineDfIngest(docs: DataFrame, baseDir: String,
                    textCol: String = "text", delim: String = "\n",
-                   checkpointDir: String): DataStreamWriter[Row] =
+                   keepSnapshots: Int = Int.MaxValue,
+                   checkpointDir: String): DataStreamWriter[Row] = {
+    require(keepSnapshots >= 2,
+      "keepSnapshots >= 2 (a replayed epoch merges its predecessor)")
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -748,8 +764,40 @@ object StreamingEvents {
             case None => bg
           }
           merged.write.mode("overwrite").parquet(s"$baseDir/v$epoch")
+          pruneSnapshots(baseDir, keepSnapshots)
         }
       }
+  }
+
+  /** Delete committed `v<epoch>/` snapshot dirs beyond the newest
+    * `keepLast` — the retention hook for the copy-on-write sinks
+    * ([[upsertSink]], [[cmsCounterIngest]], [[lineDfIngest]]). Only
+    * `_SUCCESS`-committed dirs count toward (or are removed by) the
+    * quota: a partial dir is a crash leftover that [[latestSnapshot]]
+    * never reads, and deleting one could race its in-flight writer —
+    * left alone deliberately. Safe against concurrent readers only in
+    * the single-writer, read-latest lifecycle these sinks document (a
+    * reader pinned to an old snapshot for longer than `keepLast` epochs
+    * needs a larger quota).
+    */
+  def pruneSnapshots(baseDir: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, "keepLast >= 1")
+    val dir = new java.io.File(baseDir)
+    if (!dir.exists()) return
+    val committed = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v")
+        && f.getName.drop(1).nonEmpty && f.getName.drop(1).forall(_.isDigit)
+        && new java.io.File(f, "_SUCCESS").exists())
+      .sortBy(-_.getName.drop(1).toLong)
+    committed.drop(keepLast).foreach { d =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(d)
+    }
+  }
 
   /** The newest COMMITTED `v<epoch>/` snapshot written by [[upsertSink]]:
     * only directories with a `_SUCCESS` marker count (a crash mid-write

@@ -607,6 +607,14 @@ class PlanSpec extends SparkTestBase {
     val p155 = plan("q155_knn_density_lsh")
     assert(p155.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 2,
       "q155 must not add nested-loop joins beyond the one-row broadcasts")
+    // q162 (purity from LSH candidates) is all keyed joins end to end:
+    // collision band join, rerank id-lookups, label joins, LEFT coverage
+    // join — no quadratic stage anywhere (the point of replacing q160's
+    // brute pass at corpus scale)
+    val p162 = plan("q162_label_purity_lsh")
+    assert(!p162.contains("CartesianProduct") &&
+        !p162.contains("BroadcastNestedLoopJoin"),
+      "q162 must stay fully equi-joined (no brute pass)")
   }
 
   test("audit/card tier (q158-q161): brute passes bounded to the deliberate broadcast, everything else equi-joined") {
