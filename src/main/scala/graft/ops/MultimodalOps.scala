@@ -595,4 +595,141 @@ object MultimodalOps {
       }
     }(Encoders.product[DecodedAudio])
   }
+
+  /** Fixed-dimension per-clip AUDIO embedding — the audio mirror of the
+    * image/video [[extractFeatures]] pHash, so clips flow into every
+    * [[SimilarityOps]] operator (brute top-k, SRP near-dup, IVF index)
+    * for clip-reuse and near-dup detection exactly as video frames do.
+    *
+    * Construction (pure JDK math, bit-deterministic per clip and
+    * therefore partition-invariant): decode PCM as in [[decodeAudio]],
+    * mix channels down per frame, split the clip into `gridN` equal time
+    * windows, and in each window run `gridN` Goertzel filters at fixed
+    * NORMALIZED frequencies f_k = (k+1)/(2·gridN) cycles/sample (band
+    * gridN-1 sits at Nyquist) — a coarse time×frequency energy grid, the
+    * deterministic stand-in for a log-mel spectrogram. Each cell is the
+    * band's recovered sine amplitude (2·√power/windowFrames) on the same
+    * 0-255 scale as the image luma grid; the grid then goes through the
+    * shared orthonormal 2-D [[dct2d]] and the low-frequency
+    * `featN`×`featN` block is the `dim = featN²` `array<float>`
+    * embedding (defaults give dim 64 — the embeddings-table contract).
+    * Byte-identical clips produce bit-identical embeddings; distinct
+    * tones land in different bands.
+    *
+    * Same ingest semantics as [[decodeAudio]]: non-PCM, truncated, NULL,
+    * or unknown-length payloads (a frame count must be declared for the
+    * window split — true for every JDK WAV/AIFF/AU byte payload) DROP.
+    * Compressed codecs remain the honest ffmpeg boundary. Scale shape:
+    * mapPartitions, frames streamed through the fixed decode buffer,
+    * gridN² + gridN·3 doubles of state per clip, bytes never shuffle.
+    */
+  def audioClipEmbedding(df: DataFrame, idCol: String, binCol: String,
+                         gridN: Int = 8, featN: Int = 8): DataFrame = {
+    require(featN <= gridN, s"featN=$featN must be <= gridN=$gridN")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    input.mapPartitions { rows =>
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      rows.flatMap { case (id, bytes) =>
+        val parsed =
+          if (bytes == null) None
+          else try {
+            val in = AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val f = in.getFormat
+            val enc = f.getEncoding
+            val ok = (enc == AudioFormat.Encoding.PCM_SIGNED ||
+              enc == AudioFormat.Encoding.PCM_UNSIGNED) &&
+              (f.getSampleSizeInBits == 8 || f.getSampleSizeInBits == 16) &&
+              in.getFrameLength > 0
+            if (!ok) { in.close(); None } else Some((in, f))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        parsed.map { case (in, f) =>
+          val n = in.getFrameLength
+          val (ch, bits) = (f.getChannels, f.getSampleSizeInBits)
+          val (signed, bigEndian) =
+            (f.getEncoding == AudioFormat.Encoding.PCM_SIGNED, f.isBigEndian)
+          val bytesPerSample = bits / 8
+          val frameBytes = f.getFrameSize
+          // Goertzel per band: s = x + 2cos(w)·s1 − s2; power at window
+          // end = s1² + s2² − 2cos(w)·s1·s2. cos table fixed per clip.
+          val cw = Array.tabulate(gridN)(k =>
+            math.cos(2.0 * math.Pi * (k + 1) / (2.0 * gridN)))
+          val s1 = new Array[Double](gridN)
+          val s2 = new Array[Double](gridN)
+          val grid = new Array[Double](gridN * gridN)
+          var winIdx = 0L
+          var winFrames = 0L
+          def flushWindow(): Unit = {
+            if (winFrames > 0) {
+              var k = 0
+              while (k < gridN) {
+                val p = s1(k) * s1(k) + s2(k) * s2(k) -
+                  2.0 * cw(k) * s1(k) * s2(k)
+                val amp = 2.0 * math.sqrt(math.max(p, 0.0)) / winFrames
+                grid(winIdx.toInt * gridN + k) = math.min(255.0, amp * 255.0)
+                s1(k) = 0.0; s2(k) = 0.0
+                k += 1
+              }
+            }
+            winFrames = 0L
+          }
+          val buf = new Array[Byte](8192 - 8192 % math.max(frameBytes, 1))
+          var frameIdx = 0L
+          var read = in.read(buf)
+          while (read > 0) {
+            var off = 0
+            while (off + frameBytes <= read && frameIdx < n) {
+              // equal-split window of this frame; flush on boundary cross
+              val w = frameIdx * gridN / n
+              if (w != winIdx) { flushWindow(); winIdx = w }
+              var sMix = 0.0
+              var c = 0
+              while (c < ch) {
+                val base = off + c * bytesPerSample
+                val raw =
+                  if (bits == 8)
+                    if (signed) buf(base).toInt else (buf(base) & 0xff) - 128
+                  else {
+                    val (b0, b1) =
+                      if (bigEndian) (buf(base), buf(base + 1))
+                      else (buf(base + 1), buf(base))
+                    if (signed) (b0 << 8) | (b1 & 0xff)
+                    else (((b0 & 0xff) << 8) | (b1 & 0xff)) - 32768
+                  }
+                sMix += raw.toDouble / (if (bits == 8) 128.0 else 32768.0)
+                c += 1
+              }
+              sMix /= ch
+              var k = 0
+              while (k < gridN) {
+                val s0 = sMix + 2.0 * cw(k) * s1(k) - s2(k)
+                s2(k) = s1(k); s1(k) = s0
+                k += 1
+              }
+              winFrames += 1
+              off += frameBytes
+              frameIdx += 1
+            }
+            read = in.read(buf)
+          }
+          flushWindow()
+          in.close()
+          val coeffs = dct2d(grid, gridN)
+          val v = new Array[Float](featN * featN)
+          var fy = 0
+          while (fy < featN) {
+            var fx = 0
+            while (fx < featN) {
+              v(fy * featN + fx) = coeffs(fy * gridN + fx).toFloat; fx += 1
+            }
+            fy += 1
+          }
+          (id, v)
+        }
+      }
+    }.toDF(idCol, "embedding")
+  }
 }

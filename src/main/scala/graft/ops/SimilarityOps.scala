@@ -377,6 +377,35 @@ object SimilarityOps {
         expr(s"(1000000 * n_hits) div $k").as("recall_micro"))
   }
 
+  /** [[annRecallAudit]] against a PERSISTED IVF index: the approximate
+    * side is [[ivfTopKPersisted]] at the given partial probe, the truth
+    * side is exact cosine over the index's LIVE members (tombstones
+    * excluded — a deleted vector is not a neighbor the index could owe
+    * anyone), so the reported recall isolates exactly what the coarse
+    * quantizer loses at `nProbe`. This is the number the index operator
+    * watches: run it on a sampled query set per maintenance cycle (or per
+    * micro-batch via
+    * [[graft.streaming.StreamingEvents.annRecallMonitorIngest]]) and
+    * retrain the quantizer when it sags — the measurement closing the
+    * loop that [[ivfDriftSummary]]'s distance-shift heuristic only
+    * approximates.
+    *
+    * Scale shape: the truth side is one broadcast-queries pass over the
+    * live members (the audit contract — run on a SAMPLE, work is
+    * |sample|·|corpus| dots but one corpus scan); the approximate side is
+    * the index's own exchange-free probe path.
+    */
+  def ivfRecallAuditPersisted(queries: DataFrame, tablePrefix: String,
+                              k: Int = 10, nProbe: Int = 4,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val live = liveCells(spark, tablePrefix, "neighbor_id")
+      .select(col("neighbor_id").as(idCol), col("cv").as(vecCol))
+    val ann = ivfTopKPersisted(queries, tablePrefix, k, nProbe, idCol, vecCol)
+    annRecallAudit(live, queries, ann, k, idCol, vecCol)
+  }
+
   /** MATRYOSHKA truncation audit: recall@k of cosine search over the FIRST
     * `d` embedding dimensions against the full-width ranking — the
     * measured number that decides how far a matryoshka-style embedding can

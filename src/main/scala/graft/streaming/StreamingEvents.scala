@@ -624,6 +624,60 @@ object StreamingEvents {
         idCol, vecCol)
     }
 
+  /** STREAMING ANN-RECALL monitor — the operational "is the index
+    * degrading as the corpus drifts" signal, closing the loop the ingest
+    * sinks and [[graft.ops.SimilarityOps.ivfDriftSummary]]'s distance
+    * heuristic leave open: per micro-batch, a DETERMINISTIC hash sample
+    * of the batch (xxhash64(id) mod `sampleMod` == 0 — replayable, no
+    * RNG) is audited against the persisted IVF index with
+    * [[graft.ops.SimilarityOps.ivfRecallAuditPersisted]] (partial-probe
+    * top-k vs exact cosine over the live members), and the per-query
+    * recall rows land in `outDir/epoch=<n>/` — the dashboard table an
+    * operator reads next to [[graft.ops.DedupOps.bandedIndexStats]].
+    * An epoch whose queries are off-distribution for the frozen coarse
+    * quantizer shows its recall sag in that epoch's rows: the signal to
+    * retrain (`ensureIvfIndex` with a new tag) BEFORE more corpus commits
+    * to a degraded index.
+    *
+    * READ-ONLY against the index — safe to run beside [[ivfIndexIngest]]
+    * on its own checkpoint; each epoch's rows reflect the index state at
+    * probe time (index tables re-resolved per batch). Empty-sample epochs
+    * write an empty directory: "no evidence this epoch" stays
+    * distinguishable from "recall 0". Per-epoch `overwrite` keeps replays
+    * idempotent ([[decontaminationGateIngest]]'s rule); readers see the
+    * union via partition discovery on `epoch`, and per-epoch aggregates
+    * (mean/min recall) are one groupBy("epoch") away.
+    *
+    * Scale shape: per epoch = |sample| probes down the index's
+    * exchange-free path + ONE live-members scan for the truth side
+    * (that scan is the audit's honest price — size `sampleMod` so it is
+    * paid on a sliver of the stream, and the work stays
+    * |sample|·|corpus| dots in one pass).
+    */
+  def annRecallMonitorIngest(vectors: DataFrame, tablePrefix: String,
+                             outDir: String, k: Int = 10, nProbe: Int = 4,
+                             sampleMod: Int = 10,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             checkpointDir: String): DataStreamWriter[Row] = {
+    require(sampleMod >= 1, "sampleMod >= 1")
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        if (!batch.isEmpty) {
+          refreshIndexTables(batch.sparkSession, tablePrefix,
+            Seq("_deleted", "_cells", "_centroids"))
+          val sample = batch.filter(
+            pmod(xxhash64(col(idCol).cast("long")), lit(sampleMod)) === 0)
+          graft.ops.SimilarityOps
+            .ivfRecallAuditPersisted(sample, tablePrefix, k, nProbe,
+              idCol, vecCol)
+            .write.mode("overwrite").parquet(s"$outDir/epoch=$epoch")
+        }
+      }
+  }
+
   /** STREAMING eval-holdout DECONTAMINATION gate: each micro-batch of
     * documents is checked for exact n-gram collisions against the frozen
     * benchmark (the eval set a training corpus must never contain —

@@ -2536,6 +2536,58 @@ class OpsSpec extends SparkTestBase {
     assert(math.abs(u8.rms - 0.5 / math.sqrt(2.0)) < 0.02)
   }
 
+  test("audioClipEmbedding: identical clips collide, distinct tones differ, partition-invariant, feeds ANN") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def sineWav(freqHz: Double, rateHz: Int, n: Int, amp: Double): Array[Byte] = {
+      val pcm = new Array[Byte](n * 2)
+      (0 until n).foreach { i =>
+        val v = math.round(amp * 32767.0 *
+          math.sin(2 * math.Pi * freqHz * i / rateHz)).toShort
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(rateHz.toFloat, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // same full-scale amplitude and length — a flat RMS envelope can't
+    // separate these; only the frequency bands can. 500 Hz at 8 kHz sits
+    // in band 0 (f/rate = 1/16), 2000 Hz in band 3 (4/16).
+    val a = sineWav(500.0, 8000, 4000, 1.0)
+    val b = sineWav(2000.0, 8000, 4000, 1.0)
+    val rows = Seq((1L, a), (2L, a.clone()), (3L, b),
+      (4L, Array[Byte](9, 9, 9)), (5L, null.asInstanceOf[Array[Byte]]))
+    val emb = MultimodalOps.audioClipEmbedding(
+      rows.toDF("id", "payload"), "id", "payload")
+    val got = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L), "undecodable payloads must drop")
+    assert(got(1L).length === 64)
+    assert(got(1L) === got(2L), "byte-identical clips must embed bit-identically")
+    def cos(x: Seq[Float], y: Seq[Float]): Double = {
+      val d = x.zip(y).map { case (p, q) => p.toDouble * q }.sum
+      d / (math.sqrt(x.map(p => p.toDouble * p).sum) *
+        math.sqrt(y.map(p => p.toDouble * p).sum))
+    }
+    assert(cos(got(1L), got(3L)) < 0.9,
+      s"distinct tones must separate, cos=${cos(got(1L), got(3L))}")
+    // partition-invariance: per-clip arithmetic only, so the plan's
+    // partitioning must not change a single bit
+    val multi = MultimodalOps.audioClipEmbedding(
+        rows.toDF("id", "payload").repartition(7), "id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(multi === got, "embedding must be partition-invariant")
+    // composition: the embedding frame IS the SimilarityOps contract —
+    // the clip-reuse query (dim 64, cosine top-k) runs unchanged
+    val nn = SimilarityOps.bruteForceTopK(emb, emb.filter(col("id") === 1L),
+        k = 1, idCol = "id").collect()
+    assert(nn.length === 1)
+    assert(nn.head.getLong(1) === 2L, "the byte-identical clip is the top-1")
+    assert(nn.head.getDouble(2) > 0.999999)
+  }
+
   test("signalCorrelationMatrix: hand values, symmetry-free pairs, bounds") {
     val docs = Tables(spark, SparkTestBase.sf001, "documents")
     val m = TextOps.signalCorrelationMatrix(docs).collect()

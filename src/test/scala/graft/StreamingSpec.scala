@@ -627,6 +627,63 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("annRecallMonitorIngest: per-epoch recall rows; off-distribution epoch sags; matches batch audit") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.SimilarityOps
+    // three well-separated clusters of four IDENTICAL copies each; a/b are
+    // mirror-symmetric so the boundary query below ties them in exact FP
+    val a = Array(10f, 1f, 0f, 0f)
+    val b = Array(1f, 10f, 0f, 0f)
+    val c = Array(0f, 0f, 10f, 1f)
+    val ids = Map(0L -> a, 3L -> a, 4L -> a, 7L -> a,
+      1L -> b, 2L -> b, 5L -> b, 6L -> b,
+      8L -> c, 9L -> c, 10L -> c, 11L -> c)
+    val corpus = ids.toSeq.map { case (i, v) => (i, v) }.toDF("vec_id", "embedding")
+    SimilarityOps.writeIvfIndex(corpus, "t_recall_mon", nCells = 3, buckets = 4)
+    val out = java.nio.file.Files.createTempDirectory("graft-recmon").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-recmon-ck").toString
+    val mem = MemoryStream[Vec]
+    // sampleMod=1: audit every query; k=4 true neighbors, nProbe=1 cell
+    val query = StreamingEvents.annRecallMonitorIngest(mem.toDF(),
+      "t_recall_mon", out, k = 4, nProbe = 1, sampleMod = 1,
+      checkpointDir = ckpt).start()
+    val mid = Array(1f, 1f, 0f, 0f)
+    try {
+      // epoch 0 — IN-distribution: exact copies of cluster members. The
+      // probed cell contains all four true top-4 (the identical copies),
+      // so recall is exactly 1 whatever the trained cell layout is.
+      mem.addData(Vec(100L, a.clone()), Vec(101L, b.clone()))
+      query.processAllAvailable()
+      // epoch 1 — OFF-distribution: the a/b boundary query. All eight a/b
+      // members tie in exact FP (mirror symmetry), so the true top-4 under
+      // (cos desc, id asc) is {0,1,2,3} — two from each cluster — while
+      // nProbe=1 reaches only one cluster's cell: recall sags to exactly 1/2.
+      mem.addData(Vec(200L, mid.clone()))
+      query.processAllAvailable()
+      val rows = spark.read.parquet(out)
+        .select(col("epoch").cast("long"), col("query_id"), col("n_hits"),
+          col("recall_micro"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(rows.keySet === Set((0L, 100L), (0L, 101L), (1L, 200L)),
+        s"one recall row per sampled query per epoch: ${rows.keySet}")
+      assert(rows((0L, 100L)) === ((4L, 1000000L)))
+      assert(rows((0L, 101L)) === ((4L, 1000000L)))
+      assert(rows((1L, 200L)) === ((2L, 500000L)),
+        "the off-distribution epoch must show the partial-probe recall sag")
+      // the streamed row IS the batch audit on the same rows + index state
+      val batchAudit = SimilarityOps.ivfRecallAuditPersisted(
+          Seq((200L, mid)).toDF("vec_id", "embedding"), "t_recall_mon",
+          k = 4, nProbe = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(batchAudit.toSeq === Seq((200L, 2L, 500000L)))
+    } finally {
+      query.stop()
+      Seq("cells", "centroids", "meta", "deleted").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS t_recall_mon_$s"))
+    }
+  }
+
   test("ivfPqIndexIngest: code-collision gate rejects replicas, appends novel, replay-safe") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.SimilarityOps
