@@ -14,45 +14,73 @@ object GraphOps {
     * vertex, where comp = the minimum vertex id in its component (singletons
     * map to themselves).
     *
-    * Algorithm: alternating LARGE-STAR / SMALL-STAR (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond", SoCC'14). The EDGE
-    * LIST itself is rewired toward one star per component rooted at the
-    * component minimum:
-    *   - large-star: per vertex u with m = min(Γ(u) ∪ {u}), every STRICTLY
-    *     LARGER neighbor v > u re-links to (v, m);
-    *   - small-star: per vertex u over its ≤-neighbors with minimum m,
-    *     u and every other small neighbor re-link to m.
-    * Both steps preserve connectivity exactly (every re-link goes through
-    * m, a current neighbor) and monotonically shrink the endpoint-sum
-    * potential until the fixpoint L = {(v, root) : v ∈ C, v ≠ root}.
-    * Convergence is O(log² n) ROUNDS REGARDLESS OF GRAPH DIAMETER — the
-    * property min-label propagation lacks: measured on the sf1 SRP
-    * near-dup graph (20k vertices, 103k edges, one 8850-member
-    * high-diameter component) label propagation with per-round pointer
-    * jumping crawled for 44 rounds (reach grows ~one hop per round — the
-    * min id sits mid-component and its knowledge ball needn't extend
-    * toward the frontier, and once the pointer forest is flat, jumping
-    * adds NOTHING: full per-round path compression was measured equally
-    * diameter-bound), silently exceeding the old maxIter=25 and returning
-    * a SPLIT labeling (q64 at sf1: 749 components vs the true 746).
+    * Algorithm: a HYBRID of the two standard distributed CC schemes,
+    * because each wins on the graphs the other loses:
     *
-    * Scale contract: per round the work is two edge-keyed min-aggregations
-    * + two joins + a distinct, all on the CURRENT edge list — which only
-    * shrinks toward one-edge-per-non-root-vertex; no collect, no
-    * per-component state, no corpus-wide window. Each intermediate is
-    * `localCheckpoint`ed to truncate lineage (iterative plans otherwise
-    * grow one join-tree per round and overwhelm the optimizer); on a real
-    * cluster prefer `checkpoint` with a reliable dir if executor loss
-    * matters mid-computation. Convergence detection: a (count,
+    *   1. Up to `propRounds` rounds of min-label PROPAGATION with pointer
+    *      jumping (each round: every vertex takes the min label over
+    *      itself + its neighbors, then relabels through its label's own
+    *      label). Near-dup clusters — the graphs this operator exists
+    *      for — have tiny diameters, so 2-3 rounds typically reach the
+    *      true fixpoint, at two cheap (id, label)-keyed shuffles per
+    *      round. Convergence detection is EXACT: labels are monotone
+    *      non-increasing, so an unchanged Σcomp (decimal, overflow-safe)
+    *      means NO label moved; at that fixpoint labels are constant on
+    *      every component and the minimum vertex keeps itself, i.e. the
+    *      labeling is correct — never a truncation.
+    *   2. If propagation hasn't converged inside the budget (the
+    *      high-diameter regime: propagation reach grows ~one hop per
+    *      round, and pointer jumping was MEASURED equally diameter-bound
+    *      on the sf1 SRP near-dup graph — 20k vertices, 103k edges, one
+    *      8850-member component, 44 rounds needed, which the old
+    *      propagation-only maxIter=25 silently truncated into a SPLIT
+    *      labeling: q64 at sf1 reported 749 components vs the true 746),
+    *      fall back to alternating LARGE-STAR / SMALL-STAR (Kiveris et
+    *      al., "Connected Components in MapReduce and Beyond", SoCC'14)
+    *      on the LABEL-CONTRACTED quotient graph:
+    *        - large-star: per vertex u with m = min(Γ(u) ∪ {u}), every
+    *          STRICTLY LARGER neighbor v > u re-links to (v, m);
+    *        - small-star: per vertex u over its ≤-neighbors with minimum
+    *          m, u and every other small neighbor re-link to m.
+    *      Both steps preserve connectivity exactly (every re-link goes
+    *      through m, a current neighbor) and monotonically shrink the
+    *      endpoint-sum potential to the fixpoint L = {(v, root) : v ∈ C,
+    *      v ≠ root} in O(log² n) ROUNDS REGARDLESS OF DIAMETER. Running
+    *      it on the quotient (edges mapped through phase-1 labels, which
+    *      contracts every ≤propRounds-radius ball to a point) only
+    *      shrinks its input; correctness composes because phase-1 labels
+    *      are in-component vertex ids, so quotient-component minima ARE
+    *      component minima: comp(x) = starRoot(label(x)).
+    *
+    * Phase 1 costs a diameter-bound graph at most `propRounds` wasted
+    * cheap rounds before the star phase; phase 2 is skipped entirely on
+    * the common tiny-diameter graphs — measured at sf0.1 this hybrid
+    * returns the CC-consumer queries (q37/q64/q81/q88/q93/q128) to their
+    * propagation-era cost while keeping the sf1 exactness the star
+    * algorithm bought.
+    *
+    * Scale contract: per propagation round, two (id, label)-keyed
+    * shuffles + one label-keyed self-join; per star round, two edge-keyed
+    * min-aggregations + two joins + a distinct on the CURRENT quotient
+    * edge list — which only shrinks; no collect, no per-component state,
+    * no corpus-wide window. Each intermediate is `localCheckpoint`ed to
+    * truncate lineage (iterative plans otherwise grow one join-tree per
+    * round and overwhelm the optimizer); on a real cluster prefer
+    * `checkpoint` with a reliable dir if executor loss matters
+    * mid-computation. Star-phase convergence detection: a (count,
     * Σ xxhash64) edge-set fingerprint as the cheap per-round filter, then
     * an EXACT `except` equality check before declaring the fixpoint — the
     * fingerprint alone never terminates the loop.
     *
     * A labeling that has NOT converged is silently wrong (components
-    * split), so exhausting `maxIter` THROWS rather than returns — at
-    * 100 TB a loud failure with a knob beats a quietly-truncated dedup.
-    * The default bound is far above anything O(log² n) reaches (the sf1
-    * graph above converges in 8 rounds; see the OpsSpec CC tests).
+    * split), so exhausting `maxIter` star rounds THROWS rather than
+    * returns — at 100 TB a loud failure with a knob beats a
+    * quietly-truncated dedup. The default bound is far above anything
+    * O(log² n) reaches (the sf1 graph above converges in 8 star rounds
+    * from scratch, fewer from the contracted quotient; see the OpsSpec
+    * CC tests). `propRounds` only bounds the opportunistic phase — it
+    * can be 0 (pure star) and never affects correctness, only where the
+    * crossover lands.
     *
     * Vertices absent from every edge come out as singletons; every edge
     * endpoint must appear in `vertices` for the output to cover it.
@@ -60,7 +88,7 @@ object GraphOps {
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
                           idCol: String = "id",
                           aCol: String = "a", bCol: String = "b",
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50, propRounds: Int = 6): DataFrame = {
     val sc = edges.sparkSession.sparkContext
     // localCheckpoint persists an RDD invisible to the SQL CacheManager (so
     // CacheScope can't free it); track each step's newly-persisted RDD ids
@@ -78,73 +106,128 @@ object GraphOps {
     // normalized undirected edge list: (hi, lo) with hi > lo throughout —
     // both star steps emit (bigger, smaller) by construction, so the
     // invariant is free after the initial normalization
-    var (l, lIds) = checkpointTracked(
+    val (e0, e0Ids) = checkpointTracked(
       edges.select(
           greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("hi"),
           least(col(aCol).cast("long"), col(bCol).cast("long")).as("lo"))
         .filter(col("hi") =!= col("lo")).distinct())
-    // cheap edge-set fingerprint; decimal accumulation — a sum of n 64-bit
-    // hashes overflows a long at scale
-    def fingerprint(df: DataFrame): (Long, java.math.BigDecimal) = {
-      val row = df.agg(count(lit(1)),
-        sum(xxhash64(col("hi"), col("lo")).cast("decimal(38,0)"))).head()
-      (row.getLong(0),
-        if (row.isNullAt(1)) java.math.BigDecimal.ZERO else row.getDecimal(1))
+
+    // ---- phase 1: bounded min-label propagation with pointer jumping ----
+    val (sym, symIds) = checkpointTracked(
+      e0.select(col("hi").as("x"), col("lo").as("nb"))
+        .union(e0.select(col("lo").as("x"), col("hi").as("nb"))))
+    var (labels, labelIds) = checkpointTracked(
+      vertices.select(col(idCol).cast("long").as("x"),
+        col(idCol).cast("long").as("comp")))
+    var prevSum: java.math.BigDecimal = null
+    var propDone = false
+    var r = 0
+    while (!propDone && r < propRounds) {
+      val fromNbrs = sym
+        .join(labels.select(col("x").as("nb"), col("comp")), Seq("nb"))
+        .select(col("x"), col("comp"))
+      val merged = labels.union(fromNbrs)
+        .groupBy(col("x")).agg(min(col("comp")).as("comp"))
+      // pointer jumping: every label is itself a vertex id, so its current
+      // label exists in `merged` — the join is total by the vertex-cover
+      // contract, coalesce guards the (contract-violating) missing case
+      val jumped = merged
+        .join(merged.select(col("x").as("comp"), col("comp").as("comp2")),
+          Seq("comp"), "left")
+        .select(col("x"), coalesce(col("comp2"), col("comp")).as("comp"))
+      val (next, nextIds) = checkpointTracked(jumped)
+      // labels are monotone non-increasing, so Σcomp unchanged ⇔ fixpoint;
+      // decimal accumulation — a sum of n ids can overflow a long at scale
+      val row = next.agg(sum(col("comp").cast("decimal(38,0)"))).head()
+      val s = if (row.isNullAt(0)) java.math.BigDecimal.ZERO else row.getDecimal(0)
+      propDone = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
+      free(labelIds) // superseded round (next is already materialized)
+      labels = next
+      labelIds = nextIds
+      r += 1
     }
-    // large-star: group every edge at its SMALLER endpoint u (via the
-    // symmetrized view), attach m = min(Γ(u) ∪ {u}), re-link each larger
-    // neighbor v to (v, m); v > u >= m keeps the (hi, lo) invariant
-    def largeStar(cur: DataFrame): DataFrame = {
-      val symd = cur.select(col("hi").as("u"), col("lo").as("v"))
-        .union(cur.select(col("lo").as("u"), col("hi").as("v")))
-      val mins = symd.groupBy(col("u")).agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      symd.join(mins, Seq("u"))
-        .filter(col("v") > col("u"))
-        .select(col("v").as("hi"), col("m").as("lo"))
-        .distinct()
+    free(symIds)
+    if (propDone) {
+      // true propagation fixpoint — labels already final (constant on each
+      // component, minimum keeps itself); the star phase has nothing to do
+      free(e0Ids)
+      labels.select(col("x").as(idCol), col("comp"))
+    } else {
+      // ---- phase 2: star rounds on the label-contracted quotient graph ----
+      var (l, lIds) = checkpointTracked(
+        e0.join(labels.select(col("x").as("hi"), col("comp").as("ch")), Seq("hi"))
+          .join(labels.select(col("x").as("lo"), col("comp").as("cl")), Seq("lo"))
+          .select(greatest(col("ch"), col("cl")).as("hi"),
+            least(col("ch"), col("cl")).as("lo"))
+          .filter(col("hi") =!= col("lo")).distinct())
+      free(e0Ids)
+      // cheap edge-set fingerprint; decimal accumulation — a sum of n 64-bit
+      // hashes overflows a long at scale
+      def fingerprint(df: DataFrame): (Long, java.math.BigDecimal) = {
+        val row = df.agg(count(lit(1)),
+          sum(xxhash64(col("hi"), col("lo")).cast("decimal(38,0)"))).head()
+        (row.getLong(0),
+          if (row.isNullAt(1)) java.math.BigDecimal.ZERO else row.getDecimal(1))
+      }
+      // large-star: group every edge at its SMALLER endpoint u (via the
+      // symmetrized view), attach m = min(Γ(u) ∪ {u}), re-link each larger
+      // neighbor v to (v, m); v > u >= m keeps the (hi, lo) invariant
+      def largeStar(cur: DataFrame): DataFrame = {
+        val symd = cur.select(col("hi").as("u"), col("lo").as("v"))
+          .union(cur.select(col("lo").as("u"), col("hi").as("v")))
+        val mins = symd.groupBy(col("u")).agg(min(col("v")).as("mn"))
+          .select(col("u"), least(col("u"), col("mn")).as("m"))
+        symd.join(mins, Seq("u"))
+          .filter(col("v") > col("u"))
+          .select(col("v").as("hi"), col("m").as("lo"))
+          .distinct()
+      }
+      // small-star: group every edge at its LARGER endpoint hi (no
+      // symmetrize needed under the invariant), m = min small neighbor;
+      // re-link hi and each other small neighbor to m
+      def smallStar(cur: DataFrame): DataFrame = {
+        val mins = cur.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+        cur.join(mins, Seq("hi"))
+          .select(
+            when(col("lo") === col("m"), col("hi")).otherwise(col("lo")).as("hi"),
+            col("m").as("lo"))
+          .distinct()
+      }
+      var (cnt, chk) = fingerprint(l)
+      var it = 0
+      var done = false
+      while (!done && it < maxIter && cnt > 0) {
+        val (ls, lsIds) = checkpointTracked(largeStar(l))
+        val (ss, ssIds) = checkpointTracked(smallStar(ls))
+        free(lsIds) // intermediate, superseded by ss (already materialized)
+        val (c2, k2) = fingerprint(ss)
+        // fingerprint equality gates the exact check; `except` confirms the
+        // true fixpoint (runs on two checkpointed frames, and only in the
+        // rare rounds the fingerprints collide or the loop is converging)
+        done = c2 == cnt && k2.compareTo(chk) == 0 &&
+          ss.except(l).head(1).isEmpty
+        free(lIds)
+        l = ss
+        lIds = ssIds
+        cnt = c2
+        chk = k2
+        it += 1
+      }
+      if (!done && cnt > 0)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter star rounds — " +
+            "the result would be a silently split labeling; raise maxIter")
+      // at the star fixpoint every non-root quotient vertex carries exactly
+      // one (label, root) edge: comp(x) = starRoot(label(x)), with roots,
+      // quotient singletons, and edge-less vertices coalescing to their own
+      // phase-1 label. The final checkpoints back the returned frame and
+      // are freed by the ContextCleaner when the caller drops it.
+      labels
+        .join(l.select(col("hi").as("comp"), col("lo").as("root")),
+          Seq("comp"), "left")
+        .select(col("x").as(idCol), coalesce(col("root"), col("comp")).as("comp"))
     }
-    // small-star: group every edge at its LARGER endpoint hi (no
-    // symmetrize needed under the invariant), m = min small neighbor;
-    // re-link hi and each other small neighbor to m
-    def smallStar(cur: DataFrame): DataFrame = {
-      val mins = cur.groupBy(col("hi")).agg(min(col("lo")).as("m"))
-      cur.join(mins, Seq("hi"))
-        .select(
-          when(col("lo") === col("m"), col("hi")).otherwise(col("lo")).as("hi"),
-          col("m").as("lo"))
-        .distinct()
-    }
-    var (cnt, chk) = fingerprint(l)
-    var it = 0
-    var done = false
-    while (!done && it < maxIter && cnt > 0) {
-      val (ls, lsIds) = checkpointTracked(largeStar(l))
-      val (ss, ssIds) = checkpointTracked(smallStar(ls))
-      free(lsIds) // intermediate, superseded by ss (already materialized)
-      val (c2, k2) = fingerprint(ss)
-      // fingerprint equality gates the exact check; `except` confirms the
-      // true fixpoint (runs on two checkpointed frames, and only in the
-      // rare rounds the fingerprints collide or the loop is converging)
-      done = c2 == cnt && k2.compareTo(chk) == 0 &&
-        ss.except(l).head(1).isEmpty
-      free(lIds)
-      l = ss
-      lIds = ssIds
-      cnt = c2
-      chk = k2
-      it += 1
-    }
-    if (!done && cnt > 0)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter star rounds — " +
-          "the result would be a silently split labeling; raise maxIter")
-    // at the fixpoint every non-root vertex carries exactly one (v, root)
-    // edge: the label join is row-preserving. The final checkpoint backs
-    // the returned frame and is freed by the ContextCleaner when dropped.
-    vertices.select(col(idCol).cast("long").as("x"))
-      .join(l.select(col("hi").as("x"), col("lo").as("comp")), Seq("x"), "left")
-      .select(col("x").as(idCol), coalesce(col("comp"), col("x")).as("comp"))
   }
 
   /** PageRank in FIXED-POINT integer arithmetic — bit-deterministic across
