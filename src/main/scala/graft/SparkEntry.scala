@@ -241,6 +241,65 @@ object SparkEntry {
   /** Exact-cosine SQL over two embedding aliases (same expression pattern as
     * the Spark side's unrolled left-to-right double accumulation).
     */
+  /** Shared unigram-LM training replay (q163/q164): substring-seed counts,
+    * then `rounds` hard-EM rounds. The E-step is replayed by ENUMERATING
+    * every segmentation of every distinct word over the SEED pieces (a
+    * recursive CTE — bounded because both engines exclude words longer
+    * than 16 chars from training) and taking the engine's exact argmax
+    * (score desc, fewer pieces, lexicographically smallest piece list);
+    * later rounds' shrunken vocabularies fall out of the inner model join
+    * + HAVING (a segmentation touching a pruned piece loses rows and is
+    * discarded). Quantization is the q100 convention — each count's ln
+    * quantized once to micro-nats, every score a plain integer sum.
+    * Emits CTEs `words`..`m$rounds`; the final model is `m$rounds`
+    * (piece, cnt, llq). Callers must open with WITH RECURSIVE.
+    */
+  private def unigramLmCtes(seedSize: Int, maxPieceLen: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { k =>
+      s"""sc$k AS (SELECT px.w, px.pieces, px.nseg, sum(m.llq) AS score
+         |  FROM px JOIN m${k - 1} m ON m.piece = px.piece
+         |  GROUP BY px.w, px.pieces, px.nseg HAVING count(*) = px.nseg),
+         |b$k AS (SELECT w, pieces FROM (SELECT w, pieces, row_number() OVER (
+         |    PARTITION BY w ORDER BY score DESC, nseg ASC, pieces ASC) AS rn
+         |  FROM sc$k) WHERE rn = 1),
+         |c$k AS (SELECT t.piece, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM b$k JOIN words USING (w), UNNEST(b$k.pieces) AS t(piece)
+         |  GROUP BY 1),
+         |m$k AS (SELECT piece, cnt, CAST(floor(ln(CAST(cnt AS DOUBLE)
+         |    / (SELECT CAST(sum(cnt) AS DOUBLE) FROM c$k)) * 1000000 + 0.5)
+         |    AS BIGINT) AS llq FROM c$k)""".stripMargin
+    }.mkString(",\n")
+    s"""words AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest($toksSql) AS w FROM documents)
+       |  WHERE len(w) > 0 AND len(w) <= 16 GROUP BY w),
+       |sub AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT freq, substr(w, CAST(i.i AS INTEGER), CAST(l.l AS INTEGER)) AS piece
+       |    FROM words,
+       |      UNNEST(range(1, len(w) + 1)) AS i(i),
+       |      UNNEST(range(1, least($maxPieceLen, len(w) - i.i + 1) + 1)) AS l(l)
+       |  ) GROUP BY 1),
+       |seed AS (
+       |  SELECT piece, cnt FROM sub WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (SELECT piece, cnt FROM sub
+       |    WHERE len(piece) >= 2 ORDER BY cnt DESC, piece ASC LIMIT $seedSize)),
+       |m0 AS (SELECT piece, cnt, CAST(floor(ln(CAST(cnt AS DOUBLE)
+       |    / (SELECT CAST(sum(cnt) AS DOUBLE) FROM seed)) * 1000000 + 0.5)
+       |    AS BIGINT) AS llq FROM seed),
+       |r(w, pos, pieces) AS (
+       |  SELECT w, CAST(0 AS BIGINT), CAST([] AS VARCHAR[]) FROM words
+       |  UNION ALL
+       |  SELECT r.w, r.pos + len(s.piece), list_append(r.pieces, s.piece)
+       |  FROM r JOIN seed s ON s.piece = substr(r.w,
+       |    CAST(r.pos + 1 AS INTEGER), CAST(len(s.piece) AS INTEGER))),
+       |paths AS (SELECT w, pieces, CAST(len(pieces) AS BIGINT) AS nseg
+       |  FROM r WHERE pos = len(w)),
+       |px AS (SELECT w, pieces, nseg, t.piece
+       |  FROM paths, UNNEST(pieces) AS t(piece)),
+       |$roundCtes""".stripMargin
+  }
+
   private def sqlCos(a: String, b: String): String =
     s"""list_sum(list_transform(list_zip($a.embedding, $b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
        | / (sqrt(list_sum(list_transform($a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
@@ -936,6 +995,28 @@ object SparkEntry {
       SimilarityOps.labelPurityFromCandidates(emb, cand, k = 5)
         .orderBy(col("vec_id"))
     }),
+
+    // UNIGRAM-LM tokenizer TRAINING (Kudo 2018 — the SentencePiece model
+    // family, the other mainstream subword trainer beside q97's BPE):
+    // substring seed (all singles + top-24 longer pieces), two hard-EM
+    // rounds of Viterbi-segment-and-recount in exact micro-nat integer
+    // scores; the oracle enumerates every segmentation of every distinct
+    // word (recursive CTE) and replays the argmax under the identical
+    // total order (score desc, fewer pieces, lexicographic)
+    "q163_unigram_lm" -> ((s, d) =>
+      TextOps.trainUnigramLm(t(s, d, "documents"), seedSize = 24,
+          numRounds = 2)
+        .orderBy(col("piece"))),
+
+    // tokenizer BAKE-OFF: per-source tokens-per-word fertility for q97's
+    // BPE and q163's unigram LM over the identical whitespace words,
+    // stacked with a tokenizer tag — the side-by-side number that picks a
+    // trainer for a corpus slice; the oracle replays BOTH trainings and
+    // both segmentations verbatim
+    "q164_tokenizer_bakeoff" -> ((s, d) =>
+      TextOps.tokenizerFertilityComparison(t(s, d, "documents"),
+          numMerges = 6, seedSize = 24, numRounds = 2)
+        .orderBy(col("tokenizer"), col("source"))),
 
     // corpus-wide LINE dedup (the C4/RefinedWeb rule: a line occurring ≥ 2
     // times anywhere in the corpus is boilerplate and is struck from EVERY
@@ -3099,6 +3180,65 @@ object SparkEntry {
          |  COALESCE(m.n_match, 0) = 0 AS suspect
          |FROM e LEFT JOIN m ON m.qid = e.vec_id
          |ORDER BY e.vec_id""".stripMargin,
+
+    // the unigram training replay: seed + 2 unrolled hard-EM rounds, each
+    // E-step an exhaustive segmentation enumeration + argmax under the
+    // engine's total order; output = the final model table
+    "q163_unigram_lm" ->
+      s"""WITH RECURSIVE
+         |${unigramLmCtes(seedSize = 24, maxPieceLen = 4, rounds = 2)}
+         |SELECT piece, cnt, llq AS llq_micro FROM m2 ORDER BY piece""".stripMargin,
+
+    // q101's six BPE rounds (verbatim) UNION the q163 unigram replay, both
+    // rolled up per (source, word) through the identical fertility tail
+    "q164_tokenizer_bakeoff" -> {
+      val E = "chr(30)"
+      val SS = s"$E||$E"
+      val bpeRounds = (1 to 6).map { k =>
+        val prev = s"s${k - 1}"
+        s"""p$k AS (
+           |  SELECT pr.l AS lhs, pr.r AS rhs, CAST(sum(freq) AS BIGINT) AS pair_count FROM (
+           |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+           |        i -> struct_pack(l := syms[i], r := syms[i+1]))) AS pr
+           |    FROM (SELECT freq, string_split(trim(seg, $E), $SS) AS syms FROM $prev)
+           |  ) GROUP BY 1, 2),
+           |mm$k AS (SELECT lhs, rhs FROM p$k
+           |  ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1),
+           |s$k AS (SELECT w, freq, replace(seg, $E||m.lhs||$SS||m.rhs||$E,
+           |    $E||m.lhs||m.rhs||$E) AS seg FROM $prev CROSS JOIN mm$k m)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE
+         |${unigramLmCtes(seedSize = 24, maxPieceLen = 4, rounds = 2)},
+         |s0 AS (SELECT w, freq,
+         |  $SS||array_to_string(list_transform(range(1, len(w)+1), i -> w[i]), $SS)||$SS AS seg
+         |  FROM (SELECT w, freq FROM words WHERE w NOT LIKE '%'||$E||'%')),
+         |$bpeRounds,
+         |wsrc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT source, unnest($toksSql) AS w FROM documents)
+         |  WHERE len(w) > 0 GROUP BY 1, 2),
+         |bsyms AS (SELECT w,
+         |  CAST(len(string_split(trim(seg, $E), $SS)) AS BIGINT) AS ns FROM s6),
+         |scf AS (SELECT px.w, px.pieces, px.nseg, sum(m.llq) AS score
+         |  FROM px JOIN m2 m ON m.piece = px.piece
+         |  GROUP BY px.w, px.pieces, px.nseg HAVING count(*) = px.nseg),
+         |usyms AS (SELECT w, nseg AS ns FROM (SELECT w, nseg,
+         |    row_number() OVER (PARTITION BY w
+         |      ORDER BY score DESC, nseg ASC, pieces ASC) AS rn
+         |  FROM scf) WHERE rn = 1)
+         |SELECT source, n_words, n_symbols, fertility, tokenizer FROM (
+         |  SELECT 'bpe' AS tokenizer, source,
+         |    CAST(sum(n) AS BIGINT) AS n_words,
+         |    CAST(sum(n * ns) AS BIGINT) AS n_symbols,
+         |    CAST(sum(n * ns) AS DOUBLE) / sum(n) AS fertility
+         |  FROM wsrc JOIN bsyms USING (w) GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'unigram' AS tokenizer, source,
+         |    CAST(sum(n) AS BIGINT) AS n_words,
+         |    CAST(sum(n * ns) AS BIGINT) AS n_symbols,
+         |    CAST(sum(n * ns) AS DOUBLE) / sum(n) AS fertility
+         |  FROM wsrc JOIN usyms USING (w) GROUP BY 1, 2)
+         |ORDER BY tokenizer, source""".stripMargin
+    },
 
     // q26's SRP bucket replay feeds the q146 density tail: rank over ALL
     // LSH candidates and keep rank 5 — exactly the raw collision frame

@@ -1741,6 +1741,223 @@ object TextOps {
         col("n_symbols").cast("double") / col("n_words"))
   }
 
+  /** Per-character log-prob penalty (micro-nats) charged for a character
+    * the unigram-LM vocabulary does not cover — [[applyUnigramLm]]'s UNK
+    * fallback, far below any trained piece's score so a known
+    * segmentation always wins. Public so the oracle can embed the same
+    * constant.
+    */
+  val UnigramUnkLlqMicro: Long = -100000000L
+
+  /** Viterbi segmentation of one word under a unigram LM: maximize the
+    * sum of piece log-probs (micro-nat integers — EXACT Long arithmetic,
+    * so cross-engine replay needs no FP-sum guarantees), total
+    * deterministic tiebreak (higher score, then FEWER pieces, then
+    * lexicographically smallest piece sequence — all three prefix-
+    * decomposable, so per-position DP is exact). Characters outside the
+    * vocabulary fall back to single-char UNK pieces at
+    * [[UnigramUnkLlqMicro]] (training never hits this — seed singles
+    * cover every corpus character and EM can only drop a piece that no
+    * best segmentation uses); `allowUnk = false` asserts that invariant.
+    */
+  private def viterbiSegment(w: String, vocab: scala.collection.Map[String, Long],
+                             maxPieceLen: Int,
+                             allowUnk: Boolean): Seq[String] = {
+    val n = w.length
+    // best(i) = (score, nPieces, pieces) for w[0, i); None = unreachable
+    val best = new Array[(Long, Int, Vector[String])](n + 1)
+    best(0) = (0L, 0, Vector.empty)
+    var i = 1
+    while (i <= n) {
+      var cand: (Long, Int, Vector[String]) = null
+      var l = 1
+      while (l <= math.min(maxPieceLen, i)) {
+        val prev = best(i - l)
+        if (prev != null) {
+          val piece = w.substring(i - l, i)
+          val llq = vocab.get(piece) match {
+            case Some(v) => Some(v)
+            case None if l == 1 && allowUnk => Some(UnigramUnkLlqMicro)
+            case None => None
+          }
+          llq.foreach { s =>
+            val c = (prev._1 + s, prev._2 + 1, prev._3 :+ piece)
+            if (cand == null || c._1 > cand._1 ||
+                (c._1 == cand._1 && (c._2 < cand._2 ||
+                  (c._2 == cand._2 && {
+                    import scala.math.Ordering.Implicits._
+                    c._3 < cand._3
+                  })))) cand = c
+          }
+        }
+        l += 1
+      }
+      best(i) = cand
+      i += 1
+    }
+    require(best(n) != null,
+      s"word '$w' not segmentable under the unigram vocabulary " +
+        "(UNK fallback disabled — a training-side invariant was violated)")
+    best(n)._3
+  }
+
+  /** Shared micro-nat quantization of a piece-count table into a model:
+    * llq = floor(ln(cnt/total)·1e6 + 0.5) — ONE quantization per piece
+    * (the q100 bigram-LM convention), all downstream scoring exact
+    * integer sums.
+    */
+  private def unigramQuantize(counts: Seq[(String, Long)]): Seq[(String, Long, Long)] = {
+    val tot = counts.map(_._2).sum.toDouble
+    counts.map { case (p, c) =>
+      (p, c, math.floor(math.log(c / tot) * 1e6 + 0.5).toLong)
+    }
+  }
+
+  /** Distributed UNIGRAM-LM tokenizer training (Kudo 2018 — the
+    * SentencePiece trainer's model family), the other mainstream subword
+    * trainer beside [[trainBpe]], with every stochastic or FP-fragile
+    * choice replaced by a replayable deterministic rule:
+    *
+    *   - SEED: every substring of length ≤ `maxPieceLen` of the word
+    *     table, position-weighted by word frequency; ALL single
+    *     characters are kept (coverage guarantee) plus the top `seedSize`
+    *     longer pieces under the total order (count desc, piece asc).
+    *   - EM (`numRounds` hard-EM rounds — Viterbi E-step, the documented
+    *     deterministic variant of SentencePiece's forward-backward; the
+    *     soft-count difference only reweights ties at these vocabulary
+    *     scales): E-step segments every distinct word under the current
+    *     micro-nat scores ([[viterbiSegment]] — integer sums, total
+    *     tiebreak), counts piece usage frequency-weighted; M-step
+    *     re-estimates scores from the counts. Pieces NO best segmentation
+    *     uses drop — the EM-native prune that replaces SentencePiece's
+    *     loss-delta shaving (that ranking needs the soft E-step; stated
+    *     honestly as this trainer's simplification).
+    *
+    * Returns the final model `(piece, cnt, llq_micro)` — counts from the
+    * last E-step, scores their M-step quantization.
+    *
+    * Scale shape (the [[trainBpe]] contract): one corpus-wide word-count
+    * shuffle up front; the seed is one substring explode (≤ len·maxPieceLen
+    * rows per DISTINCT word) + a count shuffle + a model-sized top-k;
+    * each round is a map-only Viterbi over the distinct-word table
+    * against the BROADCAST model (model-sized: ≤ seedSize + alphabet) +
+    * one piece-count shuffle; driver transfer per round is the
+    * model-sized count table (the KMeans-centroid shape). Words longer
+    * than `maxWordLen` are excluded from training (SentencePiece's
+    * max-sentencepiece-length analogue, and what bounds the oracle's
+    * segmentation enumeration).
+    */
+  def trainUnigramLm(documents: DataFrame, seedSize: Int = 24,
+                     numRounds: Int = 2, maxPieceLen: Int = 4,
+                     maxWordLen: Int = 16,
+                     textCol: String = "text"): DataFrame = {
+    require(numRounds >= 1 && numRounds <= 16, "numRounds in [1, 16]")
+    require(seedSize >= 1 && maxPieceLen >= 1 && maxWordLen >= 1, "positive knobs")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val words = documents.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0 && length(col("w")) <= maxWordLen)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint() // consumed once per round — truncate + materialize
+    // position-weighted substring counts: one explode per distinct word
+    val subs = words.select(col("freq"), explode(flatten(
+        transform(sequence(lit(1), length(col("w"))), i =>
+          transform(sequence(lit(1),
+              least(lit(maxPieceLen), length(col("w")) - i + lit(1))), l =>
+            col("w").substr(i, l))))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+    val singles = subs.filter(length(col("piece")) === 1)
+    val multi = subs.filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(seedSize)
+    var model = unigramQuantize(
+      singles.unionByName(multi).as[(String, Long)].collect().toSeq
+        .sortBy(_._1))
+    (1 to numRounds).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(
+        model.map(m => m._1 -> m._3).toMap)
+      val counts = words.as[(String, Long)]
+        .flatMap { case (w, f) =>
+          viterbiSegment(w, bc.value, maxPieceLen, allowUnk = false)
+            .map(p => (p, f))
+        }
+        .groupBy(col("_1").as("piece")).agg(sum(col("_2")).as("cnt"))
+        .as[(String, Long)].collect().toSeq.sortBy(_._1) // model-sized
+      model = unigramQuantize(counts)
+      bc.destroy()
+    }
+    model.toDF("piece", "cnt", "llq_micro")
+  }
+
+  /** Segment a word column under a trained unigram-LM model
+    * ([[trainUnigramLm]]'s `(piece, llq_micro)` pairs): adds `symbols`,
+    * the Viterbi piece array — [[applyBpeMerges]]'s contract, so q44-style
+    * id-encoding and the fertility rollup consume either tokenizer
+    * unchanged. Out-of-vocabulary CHARACTERS (unseen in training) fall
+    * back to single-char pieces at [[UnigramUnkLlqMicro]] — total on any
+    * input, never a dropped word. Scale shape: the Viterbi runs on the
+    * DISTINCT words of the frame against the broadcast model, then one
+    * hash join attaches segmentations back — vocabulary-sized work plus a
+    * word-keyed join, regardless of row count.
+    */
+  def applyUnigramLm(df: DataFrame, model: Seq[(String, Long)],
+                     wordCol: String = "w",
+                     maxPieceLen: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model.toMap)
+    val segs = df.select(col(wordCol).cast("string").as("w")).distinct()
+      .as[String]
+      .map(w => (w, viterbiSegment(w, bc.value, maxPieceLen,
+        allowUnk = true).toArray))
+      .toDF(wordCol, "symbols")
+    df.join(segs, wordCol)
+  }
+
+  /** [[bpeFertility]] for the unigram-LM tokenizer: train
+    * ([[trainUnigramLm]]), segment every distinct (group, word)
+    * ([[applyUnigramLm]]), report tokens-per-word per `groupCol` — same
+    * exact-tally datasheet, same scale shape (training word-table-bound,
+    * apply on distinct pairs, two count shuffles).
+    */
+  def unigramFertility(documents: DataFrame, seedSize: Int = 24,
+                       numRounds: Int = 2, maxPieceLen: Int = 4,
+                       groupCol: String = "source",
+                       textCol: String = "text"): DataFrame = {
+    val model = trainUnigramLm(documents, seedSize, numRounds, maxPieceLen,
+        textCol = textCol)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    val wcounts = documents
+      .select(col(groupCol), explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("n"))
+    applyUnigramLm(wcounts, model, maxPieceLen = maxPieceLen)
+      .groupBy(col(groupCol))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * size(col("symbols"))).as("n_symbols"))
+      .withColumn("fertility",
+        col("n_symbols").cast("double") / col("n_words"))
+  }
+
+  /** The tokenizer BAKE-OFF datasheet: [[bpeFertility]] and
+    * [[unigramFertility]] over the same corpus, stacked with a
+    * `tokenizer` tag — the side-by-side tokens-per-word comparison that
+    * decides which trainer fits a corpus slice before committing the
+    * (expensive, corpus-wide) encode. Both tokenizers see identical
+    * whitespace words; rows differ only in how the trained model
+    * fragments them.
+    */
+  def tokenizerFertilityComparison(documents: DataFrame, numMerges: Int = 6,
+                                   seedSize: Int = 24, numRounds: Int = 2,
+                                   maxPieceLen: Int = 4,
+                                   groupCol: String = "source",
+                                   textCol: String = "text"): DataFrame =
+    bpeFertility(documents, numMerges, groupCol, textCol)
+      .withColumn("tokenizer", lit("bpe"))
+      .unionByName(
+        unigramFertility(documents, seedSize, numRounds, maxPieceLen,
+          groupCol, textCol)
+          .withColumn("tokenizer", lit("unigram")))
+
   /** PII regexes shared by engine and oracle — PORTABLE subset only
     * (char classes, bounded repeats, ASCII \b): Java regex (Spark) and
     * RE2 (DuckDB) agree on every construct used, so redaction is

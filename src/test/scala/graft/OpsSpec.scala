@@ -1146,6 +1146,80 @@ class OpsSpec extends SparkTestBase {
       ("srcB", 9L, 24L, 24.0 / 9)))
   }
 
+  test("trainUnigramLm: hand-computed EM on the Sennrich corpus; golden segmentations; tiebreaks; determinism") {
+    // low×5 lower×2 newest×6 widest×3, seedSize=6, maxPieceLen=4, 2 rounds.
+    // Hand-computed: multi-char seed top-6 under (cnt desc, piece asc) is
+    // es(9) est(9) st(9) we(8) lo(7) low(7) — the 7-tie drops "ow";
+    // singles total 79, seed total 128. Round-1 Viterbi under the seed
+    // scores: low→[low], lower→[low,e,r], newest→[n,e,w,est],
+    // widest→[w,i,d,est]; E-step counts drop every unused piece and
+    // round 2 reproduces the same segmentations, so the final model is
+    // the 8-piece table below with total 47.
+    val corpus = Seq(
+      (0L, Array.fill(5)("low").mkString(" ") + " " + Array.fill(2)("lower").mkString(" ")),
+      (1L, Array.fill(6)("newest").mkString(" ") + " " + Array.fill(3)("widest").mkString(" ")))
+      .toDF("doc_id", "text")
+    val model = TextOps.trainUnigramLm(corpus, seedSize = 6, numRounds = 2)
+      .orderBy("piece").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expCounts = Seq("d" -> 3L, "e" -> 8L, "est" -> 9L, "i" -> 3L,
+      "low" -> 7L, "n" -> 6L, "r" -> 2L, "w" -> 9L)
+    def llq(c: Long): Long = math.floor(math.log(c / 47.0) * 1e6 + 0.5).toLong
+    assert(model.toSeq === expCounts.map { case (p, c) => (p, c, llq(c)) })
+    // golden segmentations under the trained model — including the unseen
+    // word "lowest", which the learned pieces cover as [low, est], and an
+    // out-of-alphabet word falling back to UNK single chars
+    val m = model.map(r => (r._1, r._3)).toSeq
+    val segged = TextOps.applyUnigramLm(
+        Seq("newest", "lowest", "low", "widest", "zzz").toDF("w"), m)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(segged("newest") === Seq("n", "e", "w", "est"))
+    assert(segged("lowest") === Seq("low", "est"))
+    assert(segged("low") === Seq("low"))
+    assert(segged("widest") === Seq("w", "i", "d", "est"))
+    assert(segged("zzz") === Seq("z", "z", "z"))
+    segged.foreach { case (w, syms) => assert(syms.mkString("") === w) }
+    // tiebreaks are total: equal score prefers FEWER pieces ([ab] over
+    // [a,b]), then the lexicographically smaller sequence ([a,bc] over
+    // [ab,c] at equal score and count)
+    val tie = TextOps.applyUnigramLm(Seq("ab", "abc").toDF("w"),
+        Seq("a" -> -1000000L, "b" -> -1000000L, "c" -> -1000000L,
+          "ab" -> -2000000L, "bc" -> -2000000L))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(tie("ab") === Seq("ab"), "score tie: fewer pieces wins")
+    assert(tie("abc") === Seq("a", "bc"), "full tie: lexicographic pieces win")
+    // deterministic end to end: retraining yields the identical model
+    val again = TextOps.trainUnigramLm(corpus, seedSize = 6, numRounds = 2)
+      .orderBy("piece").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq === model.toSeq)
+  }
+
+  test("unigramFertility and the bake-off: hand tallies on the Sennrich corpus") {
+    // same trained model as above: low→1, lower→3, newest→4, widest→4
+    // srcA: 5·1 + 2·3 = 11 symbols / 7 words; srcB: 6·4 + 3·4 = 36 / 9
+    val corpus = Seq(
+      (0L, "srcA", Array.fill(5)("low").mkString(" ") + " " + Array.fill(2)("lower").mkString(" ")),
+      (1L, "srcB", Array.fill(6)("newest").mkString(" ") + " " + Array.fill(3)("widest").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val uni = TextOps.unigramFertility(corpus, seedSize = 6, numRounds = 2)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(uni.toSeq === Seq(
+      ("srcA", 7L, 11L, 11.0 / 7),
+      ("srcB", 9L, 36L, 36.0 / 9)))
+    // the bake-off stacks both tokenizers over identical words: BPE's
+    // merge table reaches [n,ewest] where unigram pays [n,e,w,est] — the
+    // per-source fertility gap is the decision number
+    val cmp = TextOps.tokenizerFertilityComparison(corpus, numMerges = 6,
+        seedSize = 6, numRounds = 2)
+      .orderBy("tokenizer", "source").collect()
+      .map(r => (r.getString(4), r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(cmp.toSeq === Seq(
+      ("bpe", "srcA", 7L, 11L), ("bpe", "srcB", 9L, 24L),
+      ("unigram", "srcA", 7L, 11L), ("unigram", "srcB", 9L, 36L)))
+  }
+
   test("trainBpe merge fold handles runs leftmost-first (the replace-semantics lemma)") {
     // [a,a,a,a] + (a,a) must give [aa,aa], and [a,a,a] must give [aa,a]
     val segged = TextOps.applyBpeMerges(Seq("aaaa", "aaa").toDF("w"), Seq(("a", "a")))
