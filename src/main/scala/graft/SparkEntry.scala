@@ -901,6 +901,52 @@ object SparkEntry {
       DedupOps.containmentPairs(t(s, d, "documents"), minContain = 0.5)
         .orderBy(col("a"), col("b"))),
 
+    // the SF-SCALED exactness gate for the Ed-Join tier (q136's operator):
+    // the ENGINE runs the full-corpus pruned candidate pipeline — the
+    // q-gram rarest-prefix lemma exercised at true scale — and only the
+    // REPORT is restricted to pairs with both endpoints in a
+    // deterministic md5 doc sample sized ~1000 docs at every sf, so the
+    // brute oracle pays a constant |sample|-squared levenshtein cost and
+    // the 10x replay can gate the pruning lemmas instead of skipping them
+    // (pair membership is pairwise — the restriction commutes with the
+    // operator, so filtered-full-run == full-run-on-sample)
+    "q165_edit_distance_sampled" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val k = math.max(1L, docs.count() / 1000L)
+      def in(c: org.apache.spark.sql.Column) = pmod(DetHash.md5Hash60(
+        concat(lit("edsub|"), c.cast("string"))), lit(k)) === 0
+      DedupOps.editDistancePairs(docs, maxDist = 5)
+        .filter(in(col("a")) && in(col("b")))
+        .orderBy(col("a"), col("b"))
+    },
+
+    // q153's containment operator under the q165 scale-gate rule:
+    // full-corpus inverted-index run, report restricted to sampled-pair
+    // endpoints (containment is pairwise — the restriction commutes)
+    "q166_containment_sampled" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val k = math.max(1L, docs.count() / 1000L)
+      def in(c: org.apache.spark.sql.Column) = pmod(DetHash.md5Hash60(
+        concat(lit("edsub|"), c.cast("string"))), lit(k)) === 0
+      DedupOps.containmentPairs(docs, minContain = 0.5)
+        .filter(in(col("a")) && in(col("b")))
+        .orderBy(col("a"), col("b"))
+    },
+
+    // q138's edit-link clustering on the sampled SUBSET (components reach
+    // through unsampled docs, so a report filter cannot commute here —
+    // engine and oracle both run on the sample; the pair-generation
+    // pruning scales under q165, component closure under the q64/q37 sf1
+    // gates, and this row pins their composition's exactness)
+    "q167_edit_dedup_sampled" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val k = math.max(1L, docs.count() / 1000L)
+      DedupOps.editDedupSummary(docs.filter(pmod(DetHash.md5Hash60(
+          concat(lit("edsub|"), col("doc_id").cast("string"))), lit(k)) === 0),
+          maxDist = 5)
+        .orderBy(col("keep_id"))
+    },
+
     // MULTI-QUERY BM25 retrieval through a posting-list plan: postings
     // pruned to query terms before any aggregation, per-(query,doc)
     // contributions folded in sorted term order (bit-stable doubles)
@@ -2806,6 +2852,56 @@ object SparkEntry {
          |WHERE greatest(CAST(inter AS DOUBLE) / sza,
          |  CAST(inter AS DOUBLE) / szb) >= 0.5
          |ORDER BY a, b""".stripMargin,
+
+    // q136's brute CTEs over the md5 doc sample only — constant oracle
+    // cost at every sf while the engine side ran the full corpus
+    "q165_edit_distance_sampled" -> {
+      val samp = s"${ops.DetHash.sqlMd5Hash60("'edsub|' || CAST(doc_id AS VARCHAR)")} % (SELECT greatest(1, count(*) // 1000) FROM documents) = 0"
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS len
+         |  FROM documents WHERE $samp),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+         |    levenshtein(a.text, b.text) AS dist
+         |  FROM d a JOIN d b
+         |    ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= 5)
+         |SELECT a, b, CAST(dist AS INT) AS dist FROM p
+         |WHERE dist <= 5 ORDER BY a, b""".stripMargin
+    },
+
+    // q153's brute CTEs over the md5 doc sample
+    "q166_containment_sampled" -> {
+      val samp = s"${ops.DetHash.sqlMd5Hash60("'edsub|' || CAST(doc_id AS VARCHAR)")} % (SELECT greatest(1, count(*) // 1000) FROM documents) = 0"
+      s"""WITH ${hashedShinglesCteFrom(s"(SELECT * FROM documents WHERE $samp) dsub")},
+         |p AS (SELECT l.id AS a, r.id AS b, l.sz AS sza, r.sz AS szb,
+         |    CAST(len(list_intersect(l.hs, r.hs)) AS BIGINT) AS inter
+         |  FROM sized l JOIN sized r ON l.id < r.id)
+         |SELECT a, b, inter,
+         |  CAST(inter AS DOUBLE) / sza AS contain_a,
+         |  CAST(inter AS DOUBLE) / szb AS contain_b
+         |FROM p
+         |WHERE greatest(CAST(inter AS DOUBLE) / sza,
+         |  CAST(inter AS DOUBLE) / szb) >= 0.5
+         |ORDER BY a, b""".stripMargin
+    },
+
+    // q138's brute-pairs + recursive-closure CTEs, both sides the sample
+    "q167_edit_dedup_sampled" -> {
+      val samp = s"${ops.DetHash.sqlMd5Hash60("'edsub|' || CAST(doc_id AS VARCHAR)")} % (SELECT greatest(1, count(*) // 1000) FROM documents) = 0"
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, text, length(text) AS len FROM documents
+         |  WHERE $samp),
+         |pr AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM d a JOIN d b
+         |    ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= 5
+         |  WHERE levenshtein(a.text, b.text) <= 5),
+         |e AS (SELECT a AS x, b AS y FROM pr UNION ALL SELECT b, a FROM pr),
+         |reach AS (
+         |  SELECT doc_id AS x, doc_id AS comp FROM d
+         |  UNION
+         |  SELECT e.x, r.comp FROM e JOIN reach r ON r.x = e.y),
+         |cc AS (SELECT x, min(comp) AS comp FROM reach GROUP BY x)
+         |SELECT comp AS keep_id, count(*) AS n_docs FROM cc
+         |GROUP BY comp ORDER BY keep_id""".stripMargin
+    },
 
     // same pruned postings, ratio idf, and a list_reduce left fold seeded
     // with 0.0 in term order — the exact double fold the Spark side runs
