@@ -2128,7 +2128,8 @@ object SparkEntry {
     // exact pair set (same brute force as q22) → symmetric edges → transitive
     // closure by a recursive CTE: reach holds (vertex, label-candidate) pairs
     // within a component, min = the component representative. The Spark side
-    // reaches the same fixpoint by min-label propagation.
+    // reaches the same fixpoint via the hybrid CC (bounded min-label
+    // propagation, star rounds on the contracted quotient if needed).
     "q37_neardup_clusters" ->
       s"""WITH RECURSIVE $hashedShinglesCte,
          |inv AS (SELECT id, sz, unnest(hs) AS tok FROM sized),

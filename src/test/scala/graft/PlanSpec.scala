@@ -514,6 +514,17 @@ class PlanSpec extends SparkTestBase {
       "the rarest-prefix rank filter must push down to per-partition heaps")
   }
 
+  test("scale-gate tier (q165-q167): the full-corpus operators keep their banded plans under the sample filter") {
+    // q165/q166 run the FULL operator and filter the report — the sample
+    // predicate must not degrade the candidate joins into pair enumeration
+    Seq("q165_edit_distance_sampled", "q166_containment_sampled",
+        "q167_edit_dedup_sampled").foreach { q =>
+      assert(!plan(q).contains("CartesianProduct") &&
+          !plan(q).contains("BroadcastNestedLoop"),
+        s"$q must keep the banded equi-join candidate shape")
+    }
+  }
+
   test("q137 char entropy: map-only native expression — the only exchange is the output sort") {
     val p = plan("q137_char_entropy")
     assert(p.contains("char_entropy_stats"),
