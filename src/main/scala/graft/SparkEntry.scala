@@ -1064,6 +1064,17 @@ object SparkEntry {
           numMerges = 6, seedSize = 24, numRounds = 2)
         .orderBy(col("tokenizer"), col("source"))),
 
+    // WORDPIECE training (Schuster & Nakajima 2012 — the BERT trainer,
+    // completing the third mainstream subword family beside q97's BPE and
+    // q163's unigram LM): BPE's loop with the merge rule swapped for the
+    // likelihood-gain score pair/(lhs·rhs) over the CURRENT symbol counts,
+    // computed as the exact scaled-integer floor quotient
+    // (pair·10^12 div lhs·rhs) so the argmax replays across engines; the
+    // oracle unrolls a symbol-count AND a pair-count table per round
+    "q168_wordpiece_train" -> ((s, d) =>
+      TextOps.trainWordPiece(t(s, d, "documents"), numMerges = 6)
+        .orderBy(col("merge_rank"))),
+
     // corpus-wide LINE dedup (the C4/RefinedWeb rule: a line occurring ≥ 2
     // times anywhere in the corpus is boilerplate and is struck from EVERY
     // document, first occurrence included). The synthetic corpus has no
@@ -3335,6 +3346,46 @@ object SparkEntry {
          |    CAST(sum(n * ns) AS DOUBLE) / sum(n) AS fertility
          |  FROM wsrc JOIN usyms USING (w) GROUP BY 1, 2)
          |ORDER BY tokenizer, source""".stripMargin
+    },
+
+    // the WordPiece replay: q97's unrolled rounds plus, per round, the
+    // CURRENT symbol unigram counts; the argmax ranks by the identical
+    // exact scaled-integer floor quotient (HUGEINT `//` = decimal div)
+    "q168_wordpiece_train" -> {
+      val E = "chr(30)"
+      val SS = s"$E||$E"
+      val rounds = (1 to 6).map { k =>
+        val prev = s"s${k - 1}"
+        s"""u$k AS (
+           |  SELECT sym, CAST(sum(freq) AS HUGEINT) AS cnt FROM (
+           |    SELECT freq, unnest(string_split(trim(seg, $E), $SS)) AS sym FROM $prev)
+           |  GROUP BY 1),
+           |p$k AS (
+           |  SELECT pr.l AS lhs, pr.r AS rhs, CAST(sum(freq) AS BIGINT) AS pair_count FROM (
+           |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+           |        i -> struct_pack(l := syms[i], r := syms[i+1]))) AS pr
+           |    FROM (SELECT freq, string_split(trim(seg, $E), $SS) AS syms FROM $prev)
+           |  ) GROUP BY 1, 2),
+           |m$k AS (SELECT p.lhs, p.rhs, p.pair_count,
+           |    CAST((CAST(p.pair_count AS HUGEINT) * 1000000000000)
+           |      // (ul.cnt * ur.cnt) AS BIGINT) AS score
+           |  FROM p$k p JOIN u$k ul ON ul.sym = p.lhs JOIN u$k ur ON ur.sym = p.rhs
+           |  ORDER BY score DESC, p.pair_count DESC, p.lhs ASC, p.rhs ASC LIMIT 1),
+           |s$k AS (SELECT freq, replace(seg, $E||m.lhs||$SS||m.rhs||$E,
+           |    $E||m.lhs||m.rhs||$E) AS seg FROM $prev CROSS JOIN m$k m)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to 6).map(k =>
+        s"SELECT $k AS merge_rank, lhs, rhs, lhs||rhs AS merged, pair_count, score FROM m$k")
+        .mkString("\nUNION ALL\n")
+      s"""WITH words AS (
+         |  SELECT w, count(*) AS freq FROM (SELECT unnest($toksSql) AS w FROM documents)
+         |  WHERE len(w) > 0 AND w NOT LIKE '%'||$E||'%' GROUP BY w),
+         |s0 AS (SELECT freq,
+         |  $SS||array_to_string(list_transform(range(1, len(w)+1), i -> w[i]), $SS)||$SS AS seg
+         |  FROM words),
+         |$rounds
+         |$out
+         |ORDER BY merge_rank""".stripMargin
     },
 
     // q26's SRP bucket replay feeds the q146 density tail: rank over ALL

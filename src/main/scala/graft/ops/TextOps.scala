@@ -1691,6 +1691,95 @@ object TextOps {
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
   }
 
+  /** Distributed WORDPIECE merge-table training (Schuster & Nakajima 2012;
+    * the BERT tokenizer's trainer) — the third mainstream subword family
+    * beside [[trainBpe]] (frequency rule) and [[trainUnigramLm]]
+    * (likelihood EM). WordPiece is BPE's loop with ONE change, the merge
+    * SELECTION rule: instead of the most frequent adjacent pair it picks
+    * the pair maximizing the likelihood-gain score
+    * `count(lhs,rhs) / (count(lhs) · count(rhs))` over the CURRENT
+    * symbol unigram counts — preferring pairs whose parts rarely occur
+    * apart over pairs that are merely common (the HF-tokenizers training
+    * rule; greedy-longest-prefix INFERENCE with `##` continuations is the
+    * deliberately-untrained half — segmentation here replays merges via
+    * [[applyBpeMerges]], the trainer's own representation, so the
+    * fertility rollups consume all three tokenizers unchanged).
+    *
+    * Determinism: the score is computed as the SCALED INTEGER FLOOR
+    * quotient `(pair_count · 10^12) div (cnt_lhs · cnt_rhs)` in exact
+    * decimal(38,0) arithmetic — no floating ratio whose rounding could
+    * flip an argmax across engines (DuckDB replays it as HUGEINT `//`);
+    * ties break (score desc, pair_count desc, lhs asc, rhs asc) — total.
+    * 10^12 headroom: pair_count ≤ min(cnt_lhs, cnt_rhs) bounds every
+    * score by 10^12, and corpus-scale counts (≤ ~10^12 words at 100 TB)
+    * keep the numerator ≤ 10^24 ≪ 10^38.
+    *
+    * Returns `(merge_rank, lhs, rhs, merged, pair_count, score)` in
+    * training order. Scale shape = [[trainBpe]]'s (word-table-bounded
+    * rounds, one-row driver transfer per round) plus one extra
+    * symbol-count shuffle per round for the denominator counts — still
+    * never corpus-shaped after the initial word count.
+    */
+  def trainWordPiece(documents: DataFrame, numMerges: Int = 6,
+                     textCol: String = "text"): DataFrame = {
+    require(numMerges >= 1 && numMerges <= 64, "numMerges in [1, 64]")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint()
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+
+    var (segs, segIds) = checkpointTracked(
+      documents.select(explode(tokens(col(textCol))).as("w"))
+        .filter(length(col("w")) > 0 && !col("w").contains(BpeSep))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .select(col("freq"), initialSeg(col("w")).as("seg")))
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= numMerges && !exhausted) {
+      val symCnt = segs
+        .select(col("freq"), explode(segSymbols(col("seg"))).as("sym"))
+        .groupBy(col("sym")).agg(sum(col("freq")).as("cnt"))
+      val pairCnt = segs
+        .select(col("freq"), explode(segPairs(col("seg"))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("pair_count"))
+      // both symbol-count joins are model-vocabulary-sized → broadcast;
+      // inner joins are total (a pair's parts are symbols of the same segs)
+      val top = pairCnt
+        .join(broadcast(symCnt.select(col("sym").as("lhs"), col("cnt").as("lcnt"))), Seq("lhs"))
+        .join(broadcast(symCnt.select(col("sym").as("rhs"), col("cnt").as("rcnt"))), Seq("rhs"))
+        .withColumn("score",
+          expr("(CAST(pair_count AS DECIMAL(38,0)) * CAST(1000000000000 AS DECIMAL(38,0)))" +
+            " div (CAST(lcnt AS DECIMAL(38,0)) * CAST(rcnt AS DECIMAL(38,0)))"))
+        .orderBy(col("score").desc, col("pair_count").desc,
+          col("lhs").asc, col("rhs").asc)
+        .limit(1).select("lhs", "rhs", "pair_count", "score")
+        .collect() // ONE row: the round's argmax — the model update
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt, sc2) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2), top(0).getLong(3))
+        merges += ((k, l, r, l + r, cnt, sc2))
+        val (next, nextIds) = checkpointTracked(
+          segs.withColumn("seg", applyMergeToSeg(col("seg"), l, r)))
+        free(segIds)
+        segs = next
+        segIds = nextIds
+        k += 1
+      }
+    }
+    free(segIds)
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count", "score")
+  }
+
   /** Apply a trained merge table to a word column: replays the merges in
     * rank order over the same delimited representation and returns the
     * symbol array — the subword segmentation q44's id-encoding consumes

@@ -1220,6 +1220,43 @@ class OpsSpec extends SparkTestBase {
       ("unigram", "srcA", 7L, 11L), ("unigram", "srcB", 9L, 36L)))
   }
 
+  test("trainWordPiece: hand-computed likelihood argmax diverges from BPE; score exact; deterministic") {
+    // hug×10 pug×5 pun×12 bun×4 hugs×5 — the HF-course WordPiece corpus.
+    // Initial symbol counts: h:15 u:36 g:20 p:17 n:16 b:4 s:5.
+    // Pair counts: hu:15 ug:20 pu:17 un:16 bu:4 gs:5.
+    // Scores (×10^12, floored): every u-pair = 10^12/36 = 27_777_777_777;
+    // gs = 5/(20·5) = 10^12/20 = 50_000_000_000 → round 1 merges (g,s)
+    // even though (u,g):20 is the FREQUENCY argmax (BPE's pick) — the
+    // divergence that distinguishes the two trainers.
+    // Round 2 (g:15, gs:5 now): pairs hu:15 ug:15 pu:17 un:16 bu:4 u·gs:5
+    // ALL score 10^12/36 → the pair_count-desc tiebreak picks (p,u):17.
+    val corpus = Seq(
+      (0L, (Array.fill(10)("hug") ++ Array.fill(5)("pug")).mkString(" ")),
+      (1L, (Array.fill(12)("pun") ++ Array.fill(4)("bun")
+        ++ Array.fill(5)("hugs")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val wp = TextOps.trainWordPiece(corpus, numMerges = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))
+    assert(wp.toSeq === Seq(
+      (1, "g", "s", "gs", 5L, 50000000000L),
+      (2, "p", "u", "pu", 17L, 27777777777L)))
+    // BPE on the identical corpus picks the frequency argmax instead
+    val bpe1 = TextOps.trainBpe(corpus, numMerges = 1).collect()(0)
+    assert((bpe1.getString(1), bpe1.getString(2)) === ("u", "g"))
+    // retrain determinism (argmax + tiebreaks total) and round-trip: the
+    // merge table feeds applyBpeMerges like any other merge chain
+    val wp2 = TextOps.trainWordPiece(corpus, numMerges = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))
+    assert(wp2.toSeq === wp.toSeq)
+    val segged = TextOps.applyBpeMerges(
+      Seq("hugs", "pun").toDF("w"), wp.map(m => (m._2, m._3)).toSeq)
+    val byWord = segged.collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(byWord("hugs") === Seq("h", "u", "gs"))
+    assert(byWord("pun") === Seq("pu", "n"))
+  }
+
   test("trainBpe merge fold handles runs leftmost-first (the replace-semantics lemma)") {
     // [a,a,a,a] + (a,a) must give [aa,aa], and [a,a,a] must give [aa,a]
     val segged = TextOps.applyBpeMerges(Seq("aaaa", "aaa").toDF("w"), Seq(("a", "a")))
