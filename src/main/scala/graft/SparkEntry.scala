@@ -1055,10 +1055,10 @@ object SparkEntry {
         .orderBy(col("piece"))),
 
     // tokenizer BAKE-OFF: per-source tokens-per-word fertility for q97's
-    // BPE and q163's unigram LM over the identical whitespace words,
-    // stacked with a tokenizer tag — the side-by-side number that picks a
-    // trainer for a corpus slice; the oracle replays BOTH trainings and
-    // both segmentations verbatim
+    // BPE, q163's unigram LM and q168's WordPiece over the identical
+    // whitespace words, stacked with a tokenizer tag — the side-by-side
+    // number that picks a trainer for a corpus slice; the oracle replays
+    // ALL THREE trainings and segmentations verbatim
     "q164_tokenizer_bakeoff" -> ((s, d) =>
       TextOps.tokenizerFertilityComparison(t(s, d, "documents"),
           numMerges = 6, seedSize = 24, numRounds = 2)
@@ -3297,8 +3297,9 @@ object SparkEntry {
          |${unigramLmCtes(seedSize = 24, maxPieceLen = 4, rounds = 2)}
          |SELECT piece, cnt, llq AS llq_micro FROM m2 ORDER BY piece""".stripMargin,
 
-    // q101's six BPE rounds (verbatim) UNION the q163 unigram replay, both
-    // rolled up per (source, word) through the identical fertility tail
+    // q101's six BPE rounds (verbatim) UNION the q163 unigram replay UNION
+    // q168's six WordPiece rounds, all rolled up per (source, word)
+    // through the identical fertility tail
     "q164_tokenizer_bakeoff" -> {
       val E = "chr(30)"
       val SS = s"$E||$E"
@@ -3315,17 +3316,40 @@ object SparkEntry {
            |s$k AS (SELECT w, freq, replace(seg, $E||m.lhs||$SS||m.rhs||$E,
            |    $E||m.lhs||m.rhs||$E) AS seg FROM $prev CROSS JOIN mm$k m)""".stripMargin
       }.mkString(",\n")
+      val wpRounds = (1 to 6).map { k =>
+        val prev = if (k == 1) "s0" else s"ws${k - 1}"
+        s"""wu$k AS (
+           |  SELECT sym, CAST(sum(freq) AS HUGEINT) AS cnt FROM (
+           |    SELECT freq, unnest(string_split(trim(seg, $E), $SS)) AS sym FROM $prev)
+           |  GROUP BY 1),
+           |wp$k AS (
+           |  SELECT pr.l AS lhs, pr.r AS rhs, CAST(sum(freq) AS BIGINT) AS pair_count FROM (
+           |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+           |        i -> struct_pack(l := syms[i], r := syms[i+1]))) AS pr
+           |    FROM (SELECT freq, string_split(trim(seg, $E), $SS) AS syms FROM $prev)
+           |  ) GROUP BY 1, 2),
+           |wm$k AS (SELECT p.lhs, p.rhs,
+           |    CAST((CAST(p.pair_count AS HUGEINT) * 1000000000000)
+           |      // (ul.cnt * ur.cnt) AS BIGINT) AS score
+           |  FROM wp$k p JOIN wu$k ul ON ul.sym = p.lhs JOIN wu$k ur ON ur.sym = p.rhs
+           |  ORDER BY score DESC, p.pair_count DESC, p.lhs ASC, p.rhs ASC LIMIT 1),
+           |ws$k AS (SELECT w, freq, replace(seg, $E||m.lhs||$SS||m.rhs||$E,
+           |    $E||m.lhs||m.rhs||$E) AS seg FROM $prev CROSS JOIN wm$k m)""".stripMargin
+      }.mkString(",\n")
       s"""WITH RECURSIVE
          |${unigramLmCtes(seedSize = 24, maxPieceLen = 4, rounds = 2)},
          |s0 AS (SELECT w, freq,
          |  $SS||array_to_string(list_transform(range(1, len(w)+1), i -> w[i]), $SS)||$SS AS seg
          |  FROM (SELECT w, freq FROM words WHERE w NOT LIKE '%'||$E||'%')),
          |$bpeRounds,
+         |$wpRounds,
          |wsrc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS n
          |  FROM (SELECT source, unnest($toksSql) AS w FROM documents)
          |  WHERE len(w) > 0 GROUP BY 1, 2),
          |bsyms AS (SELECT w,
          |  CAST(len(string_split(trim(seg, $E), $SS)) AS BIGINT) AS ns FROM s6),
+         |wpsyms AS (SELECT w,
+         |  CAST(len(string_split(trim(seg, $E), $SS)) AS BIGINT) AS ns FROM ws6),
          |scf AS (SELECT px.w, px.pieces, px.nseg, sum(m.llq) AS score
          |  FROM px JOIN m2 m ON m.piece = px.piece
          |  GROUP BY px.w, px.pieces, px.nseg HAVING count(*) = px.nseg),
@@ -3344,7 +3368,13 @@ object SparkEntry {
          |    CAST(sum(n) AS BIGINT) AS n_words,
          |    CAST(sum(n * ns) AS BIGINT) AS n_symbols,
          |    CAST(sum(n * ns) AS DOUBLE) / sum(n) AS fertility
-         |  FROM wsrc JOIN usyms USING (w) GROUP BY 1, 2)
+         |  FROM wsrc JOIN usyms USING (w) GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'wordpiece' AS tokenizer, source,
+         |    CAST(sum(n) AS BIGINT) AS n_words,
+         |    CAST(sum(n * ns) AS BIGINT) AS n_symbols,
+         |    CAST(sum(n * ns) AS DOUBLE) / sum(n) AS fertility
+         |  FROM wsrc JOIN wpsyms USING (w) GROUP BY 1, 2)
          |ORDER BY tokenizer, source""".stripMargin
     },
 

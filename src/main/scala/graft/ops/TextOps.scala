@@ -1818,6 +1818,33 @@ object TextOps {
     val mergeRows = trainBpe(documents, numMerges, textCol)
       .orderBy(col("merge_rank")).collect()
     val merges = mergeRows.map(r => (r.getString(1), r.getString(2))).toSeq
+    mergeFertilityRollup(documents, merges, groupCol, textCol)
+  }
+
+  /** [[bpeFertility]] for a WordPiece model: train
+    * ([[trainWordPiece]] — the likelihood rule), segment by replaying the
+    * merge chain (the trainer's own representation), roll up per group.
+    * Same output shape, so the bake-off stacks all three trainers.
+    */
+  def wordPieceFertility(documents: DataFrame, numMerges: Int = 6,
+                         groupCol: String = "source",
+                         textCol: String = "text"): DataFrame = {
+    val mergeRows = trainWordPiece(documents, numMerges, textCol)
+      .orderBy(col("merge_rank")).collect()
+    val merges = mergeRows.map(r => (r.getString(1), r.getString(2))).toSeq
+    mergeFertilityRollup(documents, merges, groupCol, textCol)
+  }
+
+  /** Shared fertility tail for the merge-chain tokenizers (BPE,
+    * WordPiece): segment the DISTINCT (group, word) table under the
+    * merge chain, weight by occurrence counts, roll up (n_words,
+    * n_symbols, fertility) per group — vocabulary-sized apply work plus
+    * two count shuffles, never corpus-shaped.
+    */
+  private def mergeFertilityRollup(documents: DataFrame,
+                                   merges: Seq[(String, String)],
+                                   groupCol: String,
+                                   textCol: String): DataFrame = {
     val wcounts = documents
       .select(col(groupCol), explode(tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0 && !col("w").contains(BpeSep))
@@ -2046,6 +2073,9 @@ object TextOps {
         unigramFertility(documents, seedSize, numRounds, maxPieceLen,
           groupCol, textCol)
           .withColumn("tokenizer", lit("unigram")))
+      .unionByName(
+        wordPieceFertility(documents, numMerges, groupCol, textCol)
+          .withColumn("tokenizer", lit("wordpiece")))
 
   /** PII regexes shared by engine and oracle — PORTABLE subset only
     * (char classes, bounded repeats, ASCII \b): Java regex (Spark) and

@@ -1208,16 +1208,20 @@ class OpsSpec extends SparkTestBase {
     assert(uni.toSeq === Seq(
       ("srcA", 7L, 11L, 11.0 / 7),
       ("srcB", 9L, 36L, 36.0 / 9)))
-    // the bake-off stacks both tokenizers over identical words: BPE's
+    // the bake-off stacks all three tokenizers over identical words: BPE's
     // merge table reaches [n,ewest] where unigram pays [n,e,w,est] — the
-    // per-source fertility gap is the decision number
+    // per-source fertility gap is the decision number. WordPiece's
+    // hand-computed likelihood merges on this corpus are
+    // (i,d) (l,o) (s,t) (lo,w) (w,id) (e,st): newest→[n,e,w,est](4),
+    // widest→[wid,est](2) → srcB lands between BPE (24) and unigram (36)
     val cmp = TextOps.tokenizerFertilityComparison(corpus, numMerges = 6,
         seedSize = 6, numRounds = 2)
       .orderBy("tokenizer", "source").collect()
       .map(r => (r.getString(4), r.getString(0), r.getLong(1), r.getLong(2)))
     assert(cmp.toSeq === Seq(
       ("bpe", "srcA", 7L, 11L), ("bpe", "srcB", 9L, 24L),
-      ("unigram", "srcA", 7L, 11L), ("unigram", "srcB", 9L, 36L)))
+      ("unigram", "srcA", 7L, 11L), ("unigram", "srcB", 9L, 36L),
+      ("wordpiece", "srcA", 7L, 11L), ("wordpiece", "srcB", 9L, 30L)))
   }
 
   test("trainWordPiece: hand-computed likelihood argmax diverges from BPE; score exact; deterministic") {
