@@ -46,6 +46,50 @@ object SparkEntry {
   private val stopSql = TextOps.enStopwords.map(w => s"'$w'").mkString("(", ",", ")")
   private val toksSql = raw"regexp_split_to_array(trim(text), '\s+')"
 
+  /** Recursive-CTE replay of [[MultimodalOps.cdcChunks]]'s gear walk over
+    * the documents' (ASCII ⇒ char = byte) text, same knobs as the q169
+    * queries (minLen 32, maskBits 6, maxLen 256), the gear table embedded
+    * as 256 literals. One state row per (doc, position); `cut` rows carry
+    * the emitted chunk's (off, len); the final state emits the tail chunk.
+    * Ends with `chunks(doc_id, chunk_idx, chunk_off, chunk_len)`.
+    */
+  private lazy val cdcWalkCtes: String = {
+    val minLen = 32
+    val mask = (1L << 6) - 1
+    val maxLen = 256
+    val m40 = MultimodalOps.GearStateMask
+    s"""gear(b, g) AS (VALUES ${MultimodalOps.gearSqlValues}),
+       |d AS (SELECT doc_id, text, length(text) AS n FROM documents
+       |  WHERE length(text) > 0),
+       |walk(doc_id, pos, h, cstart, cidx, cut, co, cl) AS (
+       |  SELECT doc_id, 0, CAST(0 AS BIGINT), 0, 0, FALSE,
+       |    CAST(NULL AS INT), CAST(NULL AS INT) FROM d
+       |  UNION ALL
+       |  SELECT doc_id, pos, CASE WHEN cut2 THEN CAST(0 AS BIGINT) ELSE h2 END,
+       |    CASE WHEN cut2 THEN pos ELSE cstart END,
+       |    CASE WHEN cut2 THEN cidx + 1 ELSE cidx END, cut2,
+       |    CASE WHEN cut2 THEN cstart ELSE NULL END,
+       |    CASE WHEN cut2 THEN pos - cstart ELSE NULL END
+       |  FROM (
+       |    SELECT doc_id, pos, h2, cstart, cidx,
+       |      ((pos - cstart >= $minLen AND (h2 & $mask) = 0)
+       |        OR pos - cstart = $maxLen) AS cut2
+       |    FROM (
+       |      SELECT w.doc_id, w.pos + 1 AS pos,
+       |        ((w.h * 2 + g.g) & $m40) AS h2, w.cstart, w.cidx
+       |      FROM walk w JOIN d ON d.doc_id = w.doc_id AND w.pos < d.n
+       |      JOIN gear g ON g.b = ord(substr(d.text, w.pos + 1, 1))
+       |    )
+       |  )
+       |),
+       |chunks AS (
+       |  SELECT doc_id, cidx - 1 AS chunk_idx, co AS chunk_off, cl AS chunk_len
+       |  FROM walk WHERE cut
+       |  UNION ALL
+       |  SELECT w.doc_id, w.cidx, w.cstart, CAST(d.n - w.cstart AS INT)
+       |  FROM walk w JOIN d USING (doc_id) WHERE w.pos = d.n AND w.cstart < d.n)""".stripMargin
+  }
+
   // ---- dedup/similarity oracle fragments (mirror graft.ops.DetHash) ----
 
   /** CTE producing (id, sz, hs): distinct shingle-hash sets per doc —
@@ -1074,6 +1118,35 @@ object SparkEntry {
     "q168_wordpiece_train" -> ((s, d) =>
       TextOps.trainWordPiece(t(s, d, "documents"), numMerges = 6)
         .orderBy(col("merge_rank"))),
+
+    // CONTENT-DEFINED CHUNKING (gear hash, the FastCDC/ddelta family) over
+    // byte payloads — the BINARY mirror of shingle dedup, for the
+    // multimodal tier's blobs: boundaries fall where a rolling fingerprint
+    // hits maskBits low zeros, so edits shift one chunk and boundaries
+    // resynchronize. Driven here over the documents' bytes (the corpus's
+    // only at-scale payload column; ASCII, so the oracle's char walk IS
+    // the byte walk); the oracle replays the exact gear recursion as a
+    // recursive CTE over the same embedded 256-literal gear table
+    "q169_cdc_chunks" -> ((s, d) =>
+      MultimodalOps.cdcChunks(t(s, d, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload")))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // the corpus-level CDC dedup datasheet: how many bytes remain once
+    // shared chunks count once — the storage/transfer planning number
+    "q170_cdc_dedup_stats" -> ((s, d) =>
+      MultimodalOps.cdcDedupStats(
+        MultimodalOps.cdcChunks(t(s, d, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))))),
+
+    // blob near-dup pairs by shared-chunk Jaccard (the jaccardPairs kernel
+    // on CDC chunk hashes): re-encoded/appended copies whose whole-blob
+    // hashes differ but whose chunk sets mostly agree
+    "q171_blob_neardup" -> ((s, d) =>
+      MultimodalOps.blobPairsByChunks(
+        MultimodalOps.cdcChunks(t(s, d, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))))
+        .orderBy(col("a"), col("b"))),
 
     // corpus-wide LINE dedup (the C4/RefinedWeb rule: a line occurring ≥ 2
     // times anywhere in the corpus is boilerplate and is struck from EVERY
@@ -3417,6 +3490,51 @@ object SparkEntry {
          |$out
          |ORDER BY merge_rank""".stripMargin
     },
+
+    // the CDC gear walk replayed as a recursive CTE: one state row per
+    // (doc, byte position) carrying (rolling hash, chunk start, chunk
+    // index); cut rows emit chunks, the final state emits the tail chunk
+    "q169_cdc_chunks" ->
+      s"""WITH RECURSIVE $cdcWalkCtes
+         |SELECT c.doc_id, c.chunk_idx, c.chunk_off, c.chunk_len,
+         |  md5(substr(d2.text, c.chunk_off + 1, c.chunk_len)) AS chunk_hash
+         |FROM chunks c JOIN documents d2 USING (doc_id)
+         |ORDER BY c.doc_id, c.chunk_idx""".stripMargin,
+
+    // same walk, rolled up to the one-row dedup datasheet; the ratio is
+    // the identical HUGEINT floor division
+    "q170_cdc_dedup_stats" ->
+      s"""WITH RECURSIVE $cdcWalkCtes,
+         |ch AS (SELECT c.doc_id, c.chunk_len,
+         |    md5(substr(d2.text, c.chunk_off + 1, c.chunk_len)) AS chunk_hash
+         |  FROM chunks c JOIN documents d2 USING (doc_id)),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS total_chunks,
+         |  CAST(sum(chunk_len) AS BIGINT) AS total_bytes FROM ch),
+         |dst AS (SELECT CAST(count(*) AS BIGINT) AS distinct_chunks,
+         |  CAST(sum(l) AS BIGINT) AS unique_bytes FROM (
+         |    SELECT chunk_hash, min(chunk_len) AS l FROM ch GROUP BY 1))
+         |SELECT total_chunks, distinct_chunks, total_bytes, unique_bytes,
+         |  CAST((CAST(1000000 AS HUGEINT) * unique_bytes) // total_bytes AS BIGINT)
+         |    AS dedup_ratio_micro
+         |FROM tot, dst""".stripMargin,
+
+    // same walk, distinct chunk-hash sets per doc, inverted pair join —
+    // the jaccardPairs oracle shape on CDC chunks
+    "q171_blob_neardup" ->
+      s"""WITH RECURSIVE $cdcWalkCtes,
+         |ch AS (SELECT c.doc_id, c.chunk_len,
+         |    md5(substr(d2.text, c.chunk_off + 1, c.chunk_len)) AS chunk_hash
+         |  FROM chunks c JOIN documents d2 USING (doc_id)),
+         |sets AS (SELECT DISTINCT doc_id AS id, chunk_hash FROM ch),
+         |szs AS (SELECT id, count(*) AS sz FROM sets GROUP BY 1),
+         |pr AS (SELECT l.id AS a, r.id AS b, CAST(count(*) AS BIGINT) AS inter
+         |  FROM sets l JOIN sets r USING (chunk_hash)
+         |  WHERE l.id < r.id GROUP BY 1, 2)
+         |SELECT a, b, inter,
+         |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+         |FROM pr JOIN szs sa ON sa.id = pr.a JOIN szs sb ON sb.id = pr.b
+         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+         |ORDER BY a, b""".stripMargin,
 
     // q26's SRP bucket replay feeds the q146 density tail: rank over ALL
     // LSH candidates and keep rank 5 — exactly the raw collision frame

@@ -732,4 +732,172 @@ object MultimodalOps {
       }
     }.toDF(idCol, "embedding")
   }
+
+  // ---------- Content-defined chunking (CDC) — binary-level dedup ----------
+
+  /** 40-bit rolling-state mask of the gear hash: keeps every engine's
+    * arithmetic inside non-overflowing signed-64 range (`h·2 + gear <
+    * 2^41`), because SQL engines RAISE on BIGINT overflow where Java
+    * wraps — the [[graft.ops.DetHash]] portability rule applied to CDC.
+    */
+  val GearStateMask: Long = (1L << 40) - 1
+
+  private val GearValueMask: Long = (1L << 39) - 1
+  private val GearSeed: Long = 0x67656172636463L // "gearcdc"
+
+  /** splitmix64 finalizer — pure wrapping arithmetic, so the gear table is
+    * derivable in ANY language for a cross-engine oracle (java.util.Random
+    * would tie it to the JVM).
+    */
+  private def splitmix64(v: Long): Long = {
+    var x = v + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** The 256-entry gear table: `splitmix64(seed + byte) & (2^39-1)` —
+    * fixed public constants, embedded as literals in the oracle via
+    * [[gearSqlValues]].
+    */
+  private[graft] val gearTable: Array[Long] =
+    Array.tabulate(256)(i => splitmix64(GearSeed + i) & GearValueMask)
+
+  /** The gear table as a SQL VALUES body `(0,g0),(1,g1),...` for the
+    * oracle's `gear(b, g)` CTE.
+    */
+  def gearSqlValues: String =
+    gearTable.zipWithIndex.map { case (g, i) => s"($i,$g)" }.mkString(",")
+
+  /** CONTENT-DEFINED CHUNKING over binary payloads (gear hash — the
+    * FastCDC/ddelta family): boundaries fall where a per-byte rolling
+    * fingerprint hits `maskBits` low zero bits, so a byte INSERTION shifts
+    * only the chunk it lands in and boundaries RESYNCHRONIZE — the
+    * property that makes chunk-hash dedup robust to edits where fixed-size
+    * blocks lose alignment forever. The binary mirror of the text tier's
+    * shingle dedup, for the payloads [[decodeImage]]/[[decodeAudio]] ride
+    * in: re-encoded containers, re-uploaded files, appended-footer copies
+    * share most chunks even when whole-blob hashes all differ.
+    *
+    * Rule (canonical, replayed verbatim by the oracle's recursive CTE):
+    * per payload, h := 0 at each chunk start; per byte
+    * `h = (h·2 + gear(byte)) & (2^40-1)`; cut AFTER the byte when
+    * `len ≥ minLen && (h & (2^maskBits - 1)) == 0` or `len == maxLen`;
+    * the final partial chunk always emits. Expected chunk length ≈
+    * `minLen + 2^maskBits`. Emits
+    * `(id, chunk_idx, chunk_off, chunk_len, chunk_hash)` with
+    * `chunk_hash` = md5 hex of the chunk bytes (the cross-engine hash).
+    *
+    * Scale shape: ONE pass over payload bytes, map-only (`mapPartitions`
+    * — per-byte imperative state is the documented legitimate case);
+    * payload bytes never shuffle, only model-sized chunk rows leave the
+    * scan. Chunk hashing is per-chunk md5 inside the same pass's
+    * projection. At 100 TB this is scan-bound, embarrassingly parallel.
+    */
+  def cdcChunks(df: DataFrame, payloadCol: String = "payload",
+                idCol: String = "doc_id", minLen: Int = 32,
+                maskBits: Int = 6, maxLen: Int = 256): DataFrame = {
+    require(minLen >= 1 && maxLen >= minLen, "1 <= minLen <= maxLen")
+    require(maskBits >= 1 && maskBits <= 30, "maskBits in [1, 30]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mask = (1L << maskBits) - 1
+    val input = df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+    input.mapPartitions { rows =>
+      val gear = gearTable
+      rows.flatMap { case (id, bytes) =>
+        if (bytes == null || bytes.isEmpty) Iterator.empty
+        else {
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Int, Int, Int, Array[Byte])]
+          var start = 0
+          var h = 0L
+          var i = 0
+          while (i < bytes.length) {
+            h = ((h << 1) + gear(bytes(i) & 0xFF)) & GearStateMask
+            val len = i - start + 1
+            if ((len >= minLen && (h & mask) == 0L) || len == maxLen) {
+              out += ((id, out.length, start, len,
+                java.util.Arrays.copyOfRange(bytes, start, i + 1)))
+              start = i + 1
+              h = 0L
+            }
+            i += 1
+          }
+          if (start < bytes.length)
+            out += ((id, out.length, start, bytes.length - start,
+              java.util.Arrays.copyOfRange(bytes, start, bytes.length)))
+          out.iterator
+        }
+      }
+    }.toDF(idCol, "chunk_idx", "chunk_off", "chunk_len", "chunk_bytes")
+      .withColumn("chunk_hash", md5(col("chunk_bytes")))
+      .drop("chunk_bytes")
+  }
+
+  /** Corpus-level CDC DEDUP datasheet over a [[cdcChunks]] frame — the
+    * number a storage/transfer planner reads: how many bytes the corpus
+    * really contains once shared chunks count once. One row:
+    * `(total_chunks, distinct_chunks, total_bytes, unique_bytes,
+    * dedup_ratio_micro)` with the ratio the exact integer
+    * `(10^6 · unique_bytes) div total_bytes`. A chunk's length is
+    * content-determined (same hash ⇒ same bytes ⇒ same length), so the
+    * distinct rollup carries `min(chunk_len)` = the length.
+    *
+    * Scale shape: one chunk-hash-keyed aggregation + two single-row
+    * rollups joined by broadcast — no corpus-wide sort, no window.
+    */
+  def cdcDedupStats(chunks: DataFrame): DataFrame = {
+    val tot = chunks.agg(
+      count(lit(1)).as("total_chunks"),
+      sum(col("chunk_len")).cast("long").as("total_bytes"))
+    val dst = chunks.groupBy(col("chunk_hash"))
+      .agg(min(col("chunk_len")).as("l"))
+      .agg(count(lit(1)).as("distinct_chunks"),
+        sum(col("l")).cast("long").as("unique_bytes"))
+    tot.join(broadcast(dst))
+      // decimal(38,0): 10^6 · corpus bytes overflows signed-64 at ~9 PB-ish
+      // totals — headroom is free here, the frame is one row
+      .withColumn("dedup_ratio_micro",
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * CAST(unique_bytes AS DECIMAL(38,0)))" +
+          " div CAST(total_bytes AS DECIMAL(38,0))"))
+      .select("total_chunks", "distinct_chunks", "total_bytes",
+        "unique_bytes", "dedup_ratio_micro")
+  }
+
+  /** Blob NEAR-DUP pairs by shared-chunk Jaccard — the binary mirror of
+    * [[DedupOps.jaccardPairs]] (same size-carrying inverted-index kernel,
+    * same `maxDf` hot-token guard and its documented recall trade):
+    * unordered payload pairs whose DISTINCT-chunk-hash sets overlap at
+    * `minJaccard` or more. Catches re-encoded/retouched/appended copies
+    * whose whole-blob hashes differ but whose CDC chunks mostly agree.
+    *
+    * Scale shape: chunk-hash-keyed inverted self-join on candidate-
+    * generating (non-hot) hashes, per-pair counts aggregated with set
+    * sizes carried on the inverted rows — never all-pairs.
+    */
+  def blobPairsByChunks(chunks: DataFrame, idCol: String = "doc_id",
+                        minJaccard: Double = 0.5,
+                        maxDf: Long = 100000L): DataFrame = {
+    val sets = chunks.select(col(idCol).cast("long").as("id"), col("chunk_hash"))
+      .distinct()
+    // id-keyed co-partitioned join (NOT broadcast: one row per blob is
+    // corpus-sized); only the hot-hash exclusion set below is tiny
+    val sized = sets.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inv = sets.join(sized, Seq("id"))
+    val dfCounts = inv.groupBy(col("chunk_hash")).agg(count(lit(1)).as("tok_df"))
+    val capped = inv.join(
+      broadcast(dfCounts.filter(col("tok_df") > maxDf)), Seq("chunk_hash"), "left_anti")
+    val l = capped.select(col("chunk_hash"), col("id").as("a"), col("sz").as("sza"))
+    val r = capped.select(col("chunk_hash"), col("id").as("b"), col("sz").as("szb"))
+    l.join(r, Seq("chunk_hash"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), col("sza"), col("szb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= lit(minJaccard))
+      .select(col("a"), col("b"), col("inter"), col("jaccard"))
+  }
 }

@@ -3254,4 +3254,85 @@ class OpsSpec extends SparkTestBase {
       .collect().map(r => r.getString(1)).toSeq
     assert(calm === Seq("a b\nDUP\nc d"))
   }
+
+  test("cdcChunks: coverage/bounds invariants, identical payloads collide, insertion resyncs, partition-invariant") {
+    // deterministic pseudo-random payload (seeded LCG — not corpus text,
+    // so the mask actually fires at gear-random positions)
+    def randBytes(seed: Long, n: Int): Array[Byte] = {
+      var s = seed
+      Array.fill(n) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        (s >>> 33).toByte
+      }
+    }
+    val a = randBytes(7L, 4000)
+    // b = a with one byte inserted at position 100 — boundaries must
+    // RESYNCHRONIZE (the CDC property fixed-size blocks lack)
+    val b = (a.take(100) :+ 0x5A.toByte) ++ a.drop(100)
+    val payloads = Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "payload")
+    val (minLen, maskBits, maxLen) = (32, 6, 256)
+    val rows = MultimodalOps.cdcChunks(payloads, minLen = minLen,
+        maskBits = maskBits, maxLen = maxLen)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2).toSeq }
+    // coverage: chunks tile the payload exactly, in order
+    for ((id, n) <- Seq(1L -> a.length, 3L -> b.length)) {
+      val cs = rows(id)
+      assert(cs.head._3 === 0 && cs.map(_._2) === cs.indices.map(identity))
+      cs.sliding(2).foreach { case Seq(p, q) => assert(q._3 === p._3 + p._4); case _ => }
+      assert(cs.last._3 + cs.last._4 === n)
+      // bounds: every non-final chunk inside [minLen, maxLen]
+      cs.init.foreach(c => assert(c._4 >= minLen && c._4 <= maxLen))
+      assert(cs.last._4 <= maxLen)
+      assert(cs.size >= 10, "payload long enough to chunk many times")
+    }
+    // identical payloads → identical chunk rows
+    assert(rows(1L).map(c => (c._2, c._3, c._4, c._5)) ===
+      rows(2L).map(c => (c._2, c._3, c._4, c._5)))
+    // insertion resync: all but the edited prefix's chunks share hashes
+    val ha = rows(1L).map(_._5)
+    val hb = rows(3L).map(_._5)
+    val commonSuffix = ha.reverse.zip(hb.reverse).takeWhile { case (x, y) => x == y }.size
+    assert(commonSuffix >= ha.size - 2,
+      s"boundaries must resync after one insertion (shared suffix $commonSuffix of ${ha.size})")
+    assert(ha.head !== hb.head, "the edited chunk itself must differ")
+    // partition invariance
+    val repart = MultimodalOps.cdcChunks(payloads.repartition(7), minLen = minLen,
+        maskBits = maskBits, maxLen = maxLen)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(repart === rows.toSeq.sortBy(_._1).flatMap(_._2))
+  }
+
+  test("cdcDedupStats and blobPairsByChunks: exact duplicate collapses, near-dup pair surfaces at jaccard ~1") {
+    def randBytes(seed: Long, n: Int): Array[Byte] = {
+      var s = seed
+      Array.fill(n) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        (s >>> 33).toByte
+      }
+    }
+    val a = randBytes(11L, 3000)
+    val edited = (a.take(50) :+ 0x00.toByte) ++ a.drop(50)
+    val other = randBytes(99L, 3000)
+    val payloads = Seq((1L, a), (2L, a.clone()), (3L, edited), (4L, other))
+      .toDF("doc_id", "payload")
+    val chunks = MultimodalOps.cdcChunks(payloads)
+    val st = MultimodalOps.cdcDedupStats(chunks).collect()(0)
+    val (totC, dstC, totB, uniB, ratio) =
+      (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3), st.getLong(4))
+    assert(totB === 3000L * 3 + 3001L)
+    assert(dstC < totC, "the exact duplicate must collapse")
+    assert(uniB < totB && ratio === 1000000L * uniB / totB)
+    // pairs: (1,2) exact → jaccard 1.0; (1,3)/(2,3) near-dup high; the
+    // unrelated blob 4 pairs with nobody at 0.5
+    val pairs = MultimodalOps.blobPairsByChunks(chunks)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+      .sortBy(p => (p._1, p._2))
+    assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs.head._3 === 1.0)
+    assert(pairs.tail.forall(_._3 > 0.8), "one edited chunk of many")
+  }
 }

@@ -68,6 +68,19 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("CDC tier: chunking is map-only; blob pairs stay an inverted equi-join") {
+    // q169: one scan, the gear walk fused into it — no join, no shuffle
+    // before the presentation sort
+    val p169 = plan("q169_cdc_chunks")
+    assert(!p169.contains("Join"), "chunking must not join")
+    // q171: candidate pairs come from the chunk-hash-keyed self-join; the
+    // only broadcast allowed is the tiny hot-hash exclusion set
+    val p171 = plan("q171_blob_neardup")
+    assert(!p171.contains("CartesianProduct") &&
+      !p171.contains("BroadcastNestedLoopJoin"),
+      "blob near-dup must never enumerate all pairs")
+  }
+
   test("q30 plans zero joins; q21 plans exactly one shuffled self-join") {
     // round-4 shapes: q30's grouped-bucket pair expansion removed the
     // banded self-join entirely (the fingerprint subtree has ONE consumer);
