@@ -2029,6 +2029,55 @@ object TextOps {
     df.join(segs, wordCol)
   }
 
+  /** GREEDY LONGEST-MATCH-FIRST segmentation — BERT's WordPiece INFERENCE
+    * rule (MaxMatch): at each position take the LONGEST vocabulary piece
+    * matching the remaining prefix; a position no piece covers makes the
+    * whole word `unk` (the BERT behavior, total by construction). This is
+    * the production-inference counterpart of replaying
+    * [[trainWordPiece]]'s merge chain through [[applyBpeMerges]]: the two
+    * AGREE on most words but are NOT the same function (canonical
+    * divergence: vocab {ab, bc, a, b, c} segments "abc" as [ab, c]
+    * greedily but a merge chain could produce [a, bc]) — ship whichever
+    * rule the serving tokenizer uses; this one matches HF/BERT serving.
+    * No `##` continuation forms: [[trainWordPiece]]'s vocabulary is
+    * position-free (documented there as this trainer's simplification).
+    *
+    * `vocab` = the trained pieces (merge table `merged` column + the
+    * corpus's single characters, typically). Adds `symbols` under the
+    * [[applyBpeMerges]] contract. Scale shape: greedy scan on DISTINCT
+    * words against the broadcast vocabulary + one word-keyed join back —
+    * [[applyUnigramLm]]'s exact shape.
+    */
+  def applyWordPieceGreedy(df: DataFrame, vocab: Seq[String],
+                           wordCol: String = "w",
+                           unk: String = "[UNK]"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val maxLen = vocab.foldLeft(1)((m, p) => math.max(m, p.length))
+    val bc = spark.sparkContext.broadcast(vocab.toSet)
+    val segs = df.select(col(wordCol).cast("string").as("w")).distinct()
+      .as[String]
+      .map { w =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var p = 0
+        var stuck = false
+        while (p < w.length && !stuck) {
+          var l = math.min(maxLen, w.length - p)
+          var found: String = null
+          while (l >= 1 && found == null) {
+            val cand = w.substring(p, p + l)
+            if (bc.value.contains(cand)) found = cand
+            l -= 1
+          }
+          if (found == null) stuck = true
+          else { out += found; p += found.length }
+        }
+        (w, if (stuck) Array(unk) else out.toArray)
+      }
+      .toDF(wordCol, "symbols")
+    df.join(segs, wordCol)
+  }
+
   /** [[bpeFertility]] for the unigram-LM tokenizer: train
     * ([[trainUnigramLm]]), segment every distinct (group, word)
     * ([[applyUnigramLm]]), report tokens-per-word per `groupCol` — same

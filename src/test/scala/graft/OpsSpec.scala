@@ -1261,6 +1261,31 @@ class OpsSpec extends SparkTestBase {
     assert(byWord("pun") === Seq("pu", "n"))
   }
 
+  test("applyWordPieceGreedy: MaxMatch semantics, UNK totality, divergence from merge replay pinned") {
+    // trained-vocab shape: singles + the two merges from the test above
+    val vocab = Seq("h", "u", "g", "p", "n", "b", "s", "gs", "pu")
+    val seg = TextOps.applyWordPieceGreedy(
+      Seq("hugs", "pun", "pug", "quiz").toDF("w"), vocab)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(seg("hugs") === Seq("h", "u", "gs"))
+    assert(seg("pun") === Seq("pu", "n"))
+    assert(seg("pug") === Seq("pu", "g"))
+    assert(seg("quiz") === Seq("[UNK]"), "uncovered char -> whole word UNK")
+    // canonical greedy-vs-chain divergence: greedy takes the longest
+    // prefix even when it strands the rest on smaller pieces
+    val div = TextOps.applyWordPieceGreedy(
+      Seq("abc").toDF("w"), Seq("ab", "bc", "a", "b", "c"))
+      .collect()(0).getSeq[String](1)
+    assert(div === Seq("ab", "c"))
+    // greedy = longest FIRST, not fewest pieces overall: "abcd" over
+    // {abc, ab, cd, a, b, c, d} goes [abc, d] not [ab, cd] — same count
+    // here, but the tiebreak is positional, pinned
+    val pos = TextOps.applyWordPieceGreedy(
+      Seq("abcd").toDF("w"), Seq("abc", "ab", "cd", "a", "b", "c", "d"))
+      .collect()(0).getSeq[String](1)
+    assert(pos === Seq("abc", "d"))
+  }
+
   test("trainBpe merge fold handles runs leftmost-first (the replace-semantics lemma)") {
     // [a,a,a,a] + (a,a) must give [aa,aa], and [a,a,a] must give [aa,a]
     val segged = TextOps.applyBpeMerges(Seq("aaaa", "aaa").toDF("w"), Seq(("a", "a")))
