@@ -46,6 +46,46 @@ object SparkEntry {
   private val stopSql = TextOps.enStopwords.map(w => s"'$w'").mkString("(", ",", ")")
   private val toksSql = raw"regexp_split_to_array(trim(text), '\s+')"
 
+  /** Shared BM25 pipeline CTEs for q172/q173 — the EXACT association-order
+    * twin of [[TextOps.bm25ContribMicro]] (ratio idf, k1 = 1.2, b = 0.75,
+    * per-term contributions floored to micro BEFORE the order-free integer
+    * sum), over BIGRAM terms (ngram = 2 — the synthetic corpus's unigram
+    * vocabulary is ~31 words, nearly all stopword-band; bigrams give the
+    * informative df spectrum, see [[TextOps.ngramTerms]]). Ends with
+    * `sc(query_id, id, score_micro, n_terms_hit)` over the parity split
+    * (corpus = doc_id % 29 <> 0, queries = the rest).
+    */
+  private lazy val bm25Ctes: String =
+    s"""corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 29 <> 0),
+       |qrs AS (SELECT doc_id, text FROM documents WHERE doc_id % 29 = 0),
+       |ctok AS (SELECT doc_id, $toksSql AS tk FROM corpus),
+       |post AS (SELECT doc_id AS id, tk[t.i] || '_' || tk[t.i + 1] AS term,
+       |    CAST(count(*) AS BIGINT) AS tf
+       |  FROM ctok, UNNEST(range(1, len(tk))) AS t(i) GROUP BY 1, 2),
+       |pl AS (SELECT id, term, tf,
+       |    CAST(sum(tf) OVER (PARTITION BY id) AS BIGINT) AS dl FROM post),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END)
+       |      AS BIGINT) AS total_len FROM ctok),
+       |dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
+       |dfp AS (SELECT term, df FROM dfc, st
+       |  WHERE 1000000 * df <= 500000 * st.n_docs),
+       |contrib AS (SELECT qt.query_id, pl.id,
+       |    CAST(floor((((CAST(st.n_docs AS DOUBLE) - CAST(dfp.df AS DOUBLE) + 0.5)
+       |        / (CAST(dfp.df AS DOUBLE) + 0.5))
+       |      * ((CAST(pl.tf AS DOUBLE) * 2.2)
+       |        / (CAST(pl.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+       |          * (CAST(pl.dl AS DOUBLE)
+       |            / (CAST(st.total_len AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS c
+       |  FROM (SELECT DISTINCT qtok.doc_id AS query_id,
+       |        tk[t.i] || '_' || tk[t.i + 1] AS term
+       |      FROM (SELECT doc_id, $toksSql AS tk FROM qrs) qtok,
+       |        UNNEST(range(1, len(tk))) AS t(i)) qt
+       |    JOIN dfp USING (term) JOIN pl USING (term), st),
+       |sc AS (SELECT query_id, id, CAST(sum(c) AS BIGINT) AS score_micro,
+       |    CAST(count(*) AS BIGINT) AS n_terms_hit FROM contrib GROUP BY 1, 2)""".stripMargin
+
   /** Recursive-CTE replay of [[MultimodalOps.cdcChunks]]'s gear walk over
     * the documents' (ASCII ⇒ char = byte) text, same knobs as the q169
     * queries (minLen 32, maskBits 6, maxLen 256), the gear table embedded
@@ -1147,6 +1187,36 @@ object SparkEntry {
         MultimodalOps.cdcChunks(t(s, d, "documents")
           .select(col("doc_id"), col("text").cast("binary").as("payload"))))
         .orderBy(col("a"), col("b"))),
+
+    // BM25 lexical retrieval (Okapi k1=1.2 b=0.75, RATIO idf — the
+    // no-libm contract of q51's topTerms), BIGRAM terms (the synthetic
+    // unigram vocab is ~31 words, all stopword-band): every 29th document
+    // queries the rest of the corpus, top-5 by summed per-term
+    // micro-quantized contributions (integer sum — order-free). The
+    // LEXICAL twin of the ANN top-k tier; candidate volume is
+    // query-proportional because the stopword band (df > half the corpus)
+    // is pruned from postings
+    "q172_bm25_topk" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      TextOps.bm25TopK(docs.filter(col("doc_id") % 29 =!= 0),
+          docs.filter(col("doc_id") % 29 === 0), k = 5, ngram = 2)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // lexical DECONTAMINATION off the PERSISTED bucketed inverted index
+    // (the index-once / probe-many production shape): benchmark = every
+    // 29th doc, corpus = the rest; per benchmark doc its best BM25 match
+    // and a flag at 200.0 (2e8 micro) — zero-candidate queries surface as
+    // NULL rows, never silent drops
+    "q173_bm25_decontam" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      TextOps.ensureLexicalIndex(docs.filter(col("doc_id") % 29 =!= 0),
+        "graft_q173_lex", corpusTag = d, ngram = 2)
+      TextOps.lexicalContaminationReport(
+          docs.filter(col("doc_id") % 29 === 0), "graft_q173_lex",
+          thresholdMicro = 200000000L)
+        .orderBy(col("query_id"))
+    },
 
     // corpus-wide LINE dedup (the C4/RefinedWeb rule: a line occurring ≥ 2
     // times anywhere in the corpus is boilerplate and is struck from EVERY
@@ -3535,6 +3605,31 @@ object SparkEntry {
          |FROM pr JOIN szs sa ON sa.id = pr.a JOIN szs sb ON sb.id = pr.b
          |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
          |ORDER BY a, b""".stripMargin,
+
+    // the shared BM25 CTEs + the per-query top-5 heap under the one total
+    // (score desc, doc asc) order
+    "q172_bm25_topk" ->
+      s"""WITH $bm25Ctes,
+         |rk AS (SELECT query_id, id AS doc_id, score_micro, n_terms_hit,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_micro DESC, id) AS INTEGER) AS rank FROM sc)
+         |SELECT query_id, doc_id, score_micro, n_terms_hit, rank
+         |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // same pipeline, top-1 + threshold flag; the LEFT JOIN realizes the
+    // NULL-row coverage contract for zero-candidate queries
+    "q173_bm25_decontam" ->
+      s"""WITH $bm25Ctes,
+         |top1 AS (SELECT query_id, id AS best_doc, score_micro AS best_score_micro,
+         |    n_terms_hit FROM (SELECT query_id, id, score_micro, n_terms_hit,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score_micro DESC, id) AS rn FROM sc)
+         |  WHERE rn = 1)
+         |SELECT q.doc_id AS query_id, t.best_doc, t.best_score_micro,
+         |  CAST(COALESCE(t.n_terms_hit, 0) AS BIGINT) AS n_terms_hit,
+         |  COALESCE(t.best_score_micro >= 200000000, FALSE) AS contaminated
+         |FROM qrs q LEFT JOIN top1 t ON t.query_id = q.doc_id
+         |ORDER BY query_id""".stripMargin,
 
     // q26's SRP bucket replay feeds the q146 density tail: rank over ALL
     // LSH candidates and keep rank 5 — exactly the raw collision frame

@@ -2615,4 +2615,265 @@ object TextOps {
         col("dup_docs"),
         expr("(1000000 * dup_docs) div n_docs").as("dup_frac_micro"))
   }
+
+  // --------------------------------------------------------------------
+  // PERSISTED lexical retrieval — the index-once / probe-many production
+  // shape the in-session scorers ([[bm25]] fixed-term, [[bm25Retrieve]]
+  // posting-list) stop short of, and the LEXICAL twin of the persisted
+  // ANN tier (writeIvfIndex / ensureBandedIndex): candidate retrieval and
+  // decontamination by term overlap, served from a bucketed inverted
+  // index the corpus never re-shuffles. Same Okapi BM25 (k1 = 1.2,
+  // b = 0.75) and RATIO idf `(N - df + 0.5) / (df + 0.5)` no-libm
+  // contract as [[bm25]]; three additions over the in-session pair:
+  //   - N-GRAM terms ([[ngramTerms]]) — the decontamination unit, and
+  //     what keeps the df spectrum informative on unigram-dense corpora;
+  //   - stopword-band DF PRUNING (`maxDfPpm`) — the Lucene stop-filter
+  //     rule, which is also what bounds the worst posting list at 100 TB;
+  //   - per-term contributions MICRO-QUANTIZED to BIGINT before the
+  //     per-document sum (the DSIR trick): integer sums are order-free,
+  //     cheaper than [[bm25Retrieve]]'s sort-and-fold double accumulation
+  //     and equally partition/engine-independent.
+  // --------------------------------------------------------------------
+
+  /** Terms a BM25 pass scores: df-pruned at `maxDfPpm` — a term appearing
+    * in more than `maxDfPpm` ppm of documents is stopword-band (its ratio
+    * idf is ≈ 1, near-zero information) and is dropped from postings
+    * entirely, the Lucene stop-filter behavior. Integer compare; at 100 TB
+    * this is also what keeps the inverted index from being dominated by
+    * stopword postings lists.
+    */
+  private def prunedDf(postings: DataFrame, stats: DataFrame,
+                       maxDfPpm: Long): DataFrame =
+    postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .filter(lit(1000000L) * col("df") <= lit(maxDfPpm) * col("n_docs"))
+      .select(col("term"), col("df"))
+
+  /** The BM25 term unit: whitespace tokens for `n` = 1, else
+    * underscore-joined word `n`-grams — the standard decontamination unit
+    * (overlap of CONSECUTIVE words, not bags of common words; on corpora
+    * whose unigram vocabulary is stopword-band-dense, n ≥ 2 is what keeps
+    * the df spectrum informative). Docs shorter than `n` tokens yield an
+    * empty term list.
+    */
+  def ngramTerms(textCol: Column, n: Int): Column = {
+    require(n >= 1, "ngram must be >= 1")
+    if (n == 1) tokens(textCol)
+    else {
+      val tk = tokens(textCol)
+      when(size(tk) >= lit(n),
+          transform(sequence(lit(1), size(tk) - lit(n - 1)),
+            i => array_join(slice(tk, i, lit(n)), "_")))
+        .otherwise(array().cast("array<string>"))
+    }
+  }
+
+  /** (id, term, tf, dl) postings with the document length denormalized in
+    * (the Lucene norms-in-postings layout: the probe never needs a
+    * doc-keyed join back to the corpus). `dl` counts TERM occurrences
+    * (n-gram count for n > 1), the length the tf normalizer sees.
+    */
+  private def postingsOf(corpus: DataFrame, textCol: String,
+                         idCol: String, ngram: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+    corpus.select(col(idCol).as("id"),
+        explode(ngramTerms(col(textCol), ngram)).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum(col("tf")).over(w))
+  }
+
+  /** The one shared BM25 contribution expression — EXACT same shape as the
+    * oracle SQL (see q172): every subexpression is an IEEE-exactly-rounded
+    * op on identically-derived inputs, so both engines produce the same
+    * bits, then floor to micro. `nDocs`/`totalLen` are the corpus stats —
+    * a column (in-session broadcast row) or a literal (persisted probe
+    * reads the one-row `_stats` table driver-side): same values, same bits.
+    */
+  private def bm25ContribMicro(nDocs: Column, totalLen: Column): Column = {
+    val nD = nDocs.cast("double")
+    val dfD = col("df").cast("double")
+    val tfD = col("tf").cast("double")
+    val dlD = col("dl").cast("double")
+    val avgdl = totalLen.cast("double") / nDocs.cast("double")
+    val idfR = (nD - dfD + lit(0.5)) / (dfD + lit(0.5))
+    val tfn = (tfD * lit(2.2)) /
+      (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * (dlD / avgdl)))
+    floor((idfR * tfn) * lit(1000000.0) + lit(0.5)).cast("long")
+  }
+
+  /** BM25 top-`k` retrieval, in-session form: for every query document the
+    * `k` best corpus documents by summed per-term BM25 (distinct query
+    * terms, qtf collapsed to 1 — the dedup/decontamination convention
+    * where a query IS a document and repeated terms carry no extra
+    * intent). Output (query_id, doc_id, score_micro, n_terms_hit, rank),
+    * rank by (score_micro desc, doc_id asc) — a total order.
+    *
+    * Scale shape: one (id, term) tf shuffle + one df count over the
+    * corpus; the QUERY side broadcasts (this form's contract: a
+    * benchmark/batch-sized query set — corpus-scale query sets go through
+    * [[bm25TopKFromIndex]], where the postings are pre-bucketed by term
+    * and the corpus never re-shuffles). Candidate rows are
+    * query-proportional: Σ_q Σ_{t∈q} df'(t) after stopword-band pruning —
+    * the df cap is what bounds the worst posting list. Per-query top-k is
+    * a WindowGroupLimit heap, never a global sort.
+    */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+               maxDfPpm: Long = 500000L, ngram: Int = 1,
+               textCol: String = "text", idCol: String = "doc_id",
+               queryTextCol: String = "text",
+               queryIdCol: String = "doc_id"): DataFrame = {
+    val post = postingsOf(corpus, textCol, idCol, ngram)
+    val stats = corpus.agg(count(lit(1)).as("n_docs"),
+      sum(size(ngramTerms(col(textCol), ngram))).cast("long").as("total_len"))
+    val dfT = prunedDf(post, stats, maxDfPpm)
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+        explode(ngramTerms(col(queryTextCol), ngram)).as("term")).distinct()
+    val cand = post
+      .join(broadcast(qterms.join(dfT, Seq("term"))), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("id"),
+        bm25ContribMicro(col("n_docs"), col("total_len")).as("c"))
+    val scored = cand.groupBy(col("query_id"), col("id"))
+      .agg(sum(col("c")).as("score_micro"),
+        count(lit(1)).as("n_terms_hit"))
+    RelationalOps.topKPerGroup(scored, Seq("query_id"),
+        Seq(col("score_micro").desc, col("id").asc), k)
+      .select(col("query_id"), col("id").as("doc_id"), col("score_micro"),
+        col("n_terms_hit"), col("rn").cast("int").as("rank"))
+  }
+
+  /** The four tables a lexical index comprises (suffixes of tablePrefix). */
+  val lexicalIndexTables: Seq[String] = Seq("postings", "df", "stats", "meta")
+
+  /** Stamped into every lexical-index meta row and re-checked by
+    * [[ensureLexicalIndex]] — bump on any change to tokenization, pruning
+    * or the postings layout (same contract as the banded index's).
+    */
+  val lexicalIndexFormatVersion: Int = 1
+
+  /** Persist the inverted index — the index-once / probe-many production
+    * shape of [[bm25TopK]]: `_postings` (term, id, tf, dl) BUCKETED BY
+    * term (stopword-band terms pruned at write — they'd dominate 100 TB
+    * postings storage and score ≈ 0), `_df` (term, df — FULL, unpruned:
+    * df is diagnostics + append bookkeeping, pruning membership is
+    * recomputed from `_stats` at probe) bucketed by term with the same
+    * bucket count, `_stats` the one (n_docs, total_len) row, `_meta` the
+    * build parameters. Probes join postings ⋈ df on the shared bucketed
+    * term key — no corpus-side exchange, ever.
+    */
+  def writeLexicalIndex(corpus: DataFrame, tablePrefix: String,
+                        corpusTag: String = "",
+                        textCol: String = "text", idCol: String = "doc_id",
+                        maxDfPpm: Long = 500000L, ngram: Int = 1,
+                        buckets: Int = 8): Unit = {
+    import graft.sources.Bucketing
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val post = postingsOf(corpus, textCol, idCol, ngram)
+    val stats = corpus.agg(count(lit(1)).as("n_docs"),
+      sum(size(ngramTerms(col(textCol), ngram))).cast("long").as("total_len"))
+    val fullDf = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val keep = fullDf.crossJoin(broadcast(stats))
+      .filter(lit(1000000L) * col("df") <= lit(maxDfPpm) * col("n_docs"))
+      .select(col("term"))
+    Bucketing.writeBucketed(post.join(keep, Seq("term")),
+      s"${tablePrefix}_postings", Seq("term"), buckets)
+    Bucketing.writeBucketed(fullDf, s"${tablePrefix}_df", Seq("term"), buckets)
+    Bucketing.saveTable(stats, s"${tablePrefix}_stats")
+    Bucketing.saveTable(
+      Seq((maxDfPpm, ngram, buckets, corpusTag, lexicalIndexFormatVersion))
+        .toDF("max_df_ppm", "ngram", "buckets", "corpus_tag", "fmt"),
+      s"${tablePrefix}_meta")
+  }
+
+  /** Build the lexical index only if the persisted one is stale — the
+    * [[graft.ops.DedupOps.ensureBandedIndex]] contract: tables exist and
+    * the meta row matches tag + every build parameter, else rebuild.
+    */
+  def ensureLexicalIndex(corpus: DataFrame, tablePrefix: String,
+                         corpusTag: String,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         maxDfPpm: Long = 500000L, ngram: Int = 1,
+                         buckets: Int = 8): Unit = {
+    val spark = corpus.sparkSession
+    val upToDate = try {
+      lexicalIndexTables
+        .forall(s => spark.catalog.tableExists(s"${tablePrefix}_$s")) && {
+        val m = spark.table(s"${tablePrefix}_meta").head()
+        m.getAs[Int]("fmt") == lexicalIndexFormatVersion &&
+          m.getAs[String]("corpus_tag") == corpusTag &&
+          m.getAs[Long]("max_df_ppm") == maxDfPpm &&
+          m.getAs[Int]("ngram") == ngram &&
+          m.getAs[Int]("buckets") == buckets
+      }
+    } catch { case _: Exception => false }
+    if (!upToDate)
+      writeLexicalIndex(corpus, tablePrefix, corpusTag, textCol, idCol,
+        maxDfPpm, ngram, buckets)
+  }
+
+  /** BM25 top-`k` against the PERSISTED index — row-identical to
+    * [[bm25TopK]] over the same corpus/parameters (OpsSpec proves parity).
+    *
+    * Scale shape: the query batch's distinct terms broadcast against the
+    * bucketed `_df` scan (no exchange), the hit terms broadcast against
+    * the bucketed `_postings` scan (no exchange) — the corpus-side index
+    * is NEVER re-shuffled; the only shuffles are candidate-proportional
+    * (the (query, doc) score agg and the per-query top-k heap).
+    */
+  def bm25TopKFromIndex(queries: DataFrame, tablePrefix: String, k: Int = 5,
+                        queryTextCol: String = "text",
+                        queryIdCol: String = "doc_id"): DataFrame = {
+    val spark = queries.sparkSession
+    val meta = spark.table(s"${tablePrefix}_meta").head()
+    val maxDfPpm = meta.getAs[Long]("max_df_ppm")
+    val ngram = meta.getAs[Int]("ngram")
+    // the one-row stats table is model-sized: read driver-side and embed
+    // as literals (no scan/broadcast of a companion table in probe plans)
+    val st = spark.table(s"${tablePrefix}_stats").head()
+    val nDocs = st.getAs[Long]("n_docs")
+    val totalLen = st.getAs[Long]("total_len")
+    val post = spark.table(s"${tablePrefix}_postings")
+    val dfT = spark.table(s"${tablePrefix}_df")
+      .filter(lit(1000000L) * col("df") <= lit(maxDfPpm) * lit(nDocs))
+      .select(col("term"), col("df"))
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+        explode(ngramTerms(col(queryTextCol), ngram)).as("term")).distinct()
+    val cand = post
+      .join(broadcast(qterms.join(dfT, Seq("term"))), Seq("term"))
+      .select(col("query_id"), col("id"),
+        bm25ContribMicro(lit(nDocs), lit(totalLen)).as("c"))
+    val scored = cand.groupBy(col("query_id"), col("id"))
+      .agg(sum(col("c")).as("score_micro"),
+        count(lit(1)).as("n_terms_hit"))
+    RelationalOps.topKPerGroup(scored, Seq("query_id"),
+        Seq(col("score_micro").desc, col("id").asc), k)
+      .select(col("query_id"), col("id").as("doc_id"), col("score_micro"),
+        col("n_terms_hit"), col("rn").cast("int").as("rank"))
+  }
+
+  /** Lexical DECONTAMINATION report off the persisted index: per query
+    * (benchmark) document its single best BM25 match and a flag at
+    * `thresholdMicro`. Queries with NO candidate (no term shared with any
+    * corpus doc after stopword-band pruning) surface as NULL best rows
+    * with `contaminated = false` — the NULL-coverage contract: a short
+    * candidate list is a visible row, never a silent drop.
+    */
+  def lexicalContaminationReport(queries: DataFrame, tablePrefix: String,
+                                 thresholdMicro: Long,
+                                 queryTextCol: String = "text",
+                                 queryIdCol: String = "doc_id"): DataFrame = {
+    val top1 = bm25TopKFromIndex(queries, tablePrefix, k = 1,
+        queryTextCol, queryIdCol)
+      .select(col("query_id"), col("doc_id").as("best_doc"),
+        col("score_micro").as("best_score_micro"),
+        col("n_terms_hit"))
+    queries.select(col(queryIdCol).as("query_id"))
+      .join(top1, Seq("query_id"), "left")
+      .select(col("query_id"), col("best_doc"), col("best_score_micro"),
+        coalesce(col("n_terms_hit"), lit(0L)).as("n_terms_hit"),
+        coalesce(col("best_score_micro") >= lit(thresholdMicro), lit(false))
+          .as("contaminated"))
+  }
 }

@@ -54,6 +54,38 @@ class BucketingSpec extends SparkTestBase {
       spark.sql(s"DROP TABLE IF EXISTS t_banded_idx_$s"))
   }
 
+  test("persisted lexical index: BM25 probe == in-session, postings never re-shuffle, NULL coverage") {
+    import graft.ops.TextOps
+    import spark.implicits._
+    val docs = Tables(spark, SparkTestBase.sf001, "documents")
+    val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+    val queries = docs.filter(col("doc_id") % 29 === 0)
+    TextOps.writeLexicalIndex(corpus, "t_lex_idx", ngram = 2, buckets = 4)
+    try {
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))
+      val persisted = TextOps.bm25TopKFromIndex(queries, "t_lex_idx", k = 5)
+        .collect().map(key).toSet
+      val inSession = TextOps.bm25TopK(corpus, queries, k = 5, ngram = 2)
+        .collect().map(key).toSet
+      assert(persisted === inSession)
+      assert(persisted.nonEmpty)
+      assertCorpusExchangeFree(
+        TextOps.bm25TopKFromIndex(queries, "t_lex_idx", k = 5), "t_lex_idx")
+      // NULL-coverage contract: a query sharing no bigram with the corpus
+      // surfaces as a NULL best row, flagged false — never a dropped row
+      val rep = TextOps.lexicalContaminationReport(
+          queries.limit(2).select(col("doc_id"),
+            when(col("doc_id") === 0, lit("zz qq vv ww")).otherwise(col("text"))
+              .as("text")),
+          "t_lex_idx", thresholdMicro = 1L)
+        .collect().map(r => r.getLong(0) -> r).toMap
+      assert(rep(0L).isNullAt(1) && !rep(0L).getBoolean(4))
+      assert(rep.size === 2)
+    } finally TextOps.lexicalIndexTables.foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS t_lex_idx_$s"))
+  }
+
   test("persisted IVF index: probe == in-session distributed IVF, cells never re-shuffle") {
     import graft.ops.SimilarityOps
     import spark.implicits._

@@ -3360,4 +3360,49 @@ class OpsSpec extends SparkTestBase {
     assert(pairs.head._3 === 1.0)
     assert(pairs.tail.forall(_._3 > 0.8), "one edited chunk of many")
   }
+
+  test("ngramTerms: bigram derivation, short-doc empty list") {
+    import spark.implicits._
+    val out = Seq((0L, "a b c d"), (1L, "solo"), (2L, "x y"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.ngramTerms(col("text"), 2).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(0L) === Seq("a_b", "b_c", "c_d"))
+    assert(out(1L) === Seq.empty)
+    assert(out(2L) === Seq("x_y"))
+  }
+
+  test("bm25TopK: exact Okapi arithmetic (ratio idf, k1=1.2 b=0.75), rank order") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "x x y"), // dl=3, tf(x)=2
+      (2L, "x z"),   // dl=2, tf(x)=1
+      (3L, "y y y z")
+    ).toDF("doc_id", "text")
+    val queries = Seq((10L, "x q")).toDF("doc_id", "text")
+    // maxDfPpm=1e6 disables stopword pruning (df(x)=2 of N=3)
+    val out = TextOps.bm25TopK(corpus, queries, k = 5, maxDfPpm = 1000000L)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    // idf(x) = (3-2+0.5)/(2+0.5) = 0.6; avgdl = 9/3 = 3
+    // d1: tfn = 2*2.2/(2+1.2*(0.25+0.75*1)) = 4.4/3.2 = 1.375 → 825000
+    // d2: tfn = 2.2/(1+1.2*(0.25+0.75*(2/3))) = 2.2/1.9 → 694737
+    assert(out === Array((1L, 825000L, 1L, 1), (2L, 694737L, 1L, 2)))
+  }
+
+  test("bm25TopK: stopword-band df pruning; no-overlap query yields no rows") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "common rare"), (2L, "common other"), (3L, "common more"),
+      (4L, "alone word")
+    ).toDF("doc_id", "text")
+    // df(common)=3 of N=4 > 50% → pruned from postings; rare df=1 kept
+    val hit = TextOps.bm25TopK(corpus,
+        Seq((10L, "common rare")).toDF("doc_id", "text"), k = 5).collect()
+    assert(hit.map(r => (r.getLong(1), r.getLong(3))) === Array((1L, 1L)),
+      "only the rare term scores, and only its one doc")
+    val miss = TextOps.bm25TopK(corpus,
+        Seq((11L, "common")).toDF("doc_id", "text"), k = 5).collect()
+    assert(miss.isEmpty, "a stopword-band-only query has no candidates")
+  }
 }
