@@ -1218,6 +1218,27 @@ object SparkEntry {
         .orderBy(col("query_id"))
     },
 
+    // HYPERLOGLOG cardinality sketch — the MERGEABLE distinct-count state
+    // (per-source vocab sizes here, trigram keys): 2^8 max-rank registers
+    // per source, the __ALL__ row built by per-register MAX over the
+    // per-source sketches (never a rescan — the union-of-sets lemma),
+    // estimates audited against exact distinct counts in ppm
+    "q174_hll_cardinality" -> { (s, d) =>
+      val keys = t(s, d, "documents").select(col("source"),
+        explode(TextOps.ngramTerms(col("text"), 3)).as("key"))
+      RelationalOps.hllCardinalityAudit(keys, col("key"), col("source"))
+        .orderBy(col("grp").asc_nulls_last)
+    },
+
+    // the (source × lang) MIXTURE CUBE: detail cells, both rollups and the
+    // grand total from ONE native CUBE aggregation, grouping_id
+    // disambiguating rolled-up NULLs from genuine ones — the datasheet a
+    // mixture planner slices without rescanning the corpus per level
+    "q175_mixture_cube" -> ((s, d) =>
+      TextOps.mixtureCube(t(s, d, "documents"))
+        .orderBy(col("grouping_lvl"), col("source").asc_nulls_last,
+          col("lang").asc_nulls_last)),
+
     // corpus-wide LINE dedup (the C4/RefinedWeb rule: a line occurring ≥ 2
     // times anywhere in the corpus is boilerplate and is struck from EVERY
     // document, first occurrence included). The synthetic corpus has no
@@ -3630,6 +3651,61 @@ object SparkEntry {
          |  COALESCE(t.best_score_micro >= 200000000, FALSE) AS contaminated
          |FROM qrs q LEFT JOIN top1 t ON t.query_id = q.doc_id
          |ORDER BY query_id""".stripMargin,
+
+    // the register derivation replayed bit-for-bit (md5 top-p/remainder
+    // split, bin()-length rho — identical semantics both engines), the
+    // merged row by per-register max, the one estimate expression in the
+    // shared double shape
+    "q174_hll_cardinality" ->
+      s"""WITH tok AS (SELECT source, $toksSql AS tk FROM documents),
+         |k AS (SELECT CAST(source AS VARCHAR) AS grp,
+         |    tk[t.i] || '_' || tk[t.i + 1] || '_' || tk[t.i + 2] AS key
+         |  FROM tok, UNNEST(range(1, len(tk) - 1)) AS t(i)),
+         |hh AS (SELECT grp, ${ops.DetHash.sqlMd5Hash60("'hll|' || key")} AS h
+         |  FROM k),
+         |rr AS (SELECT grp, h // 4503599627370496 AS reg,
+         |    h % 4503599627370496 AS rem FROM hh),
+         |rg AS (SELECT grp, reg, max(CASE WHEN rem = 0 THEN 53
+         |    ELSE 53 - length(bin(rem)) END) AS r FROM rr GROUP BY 1, 2),
+         |al AS (SELECT '__ALL__' AS grp, reg, max(r) AS r FROM rg GROUP BY 2),
+         |u AS (SELECT * FROM rg UNION ALL SELECT * FROM al),
+         |gest AS (SELECT grp, CAST(count(*) AS BIGINT) AS occupied,
+         |    CAST(sum(CAST(1 AS BIGINT) << (53 - r)) AS BIGINT)
+         |      + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS denom_scaled
+         |  FROM u GROUP BY 1),
+         |est AS (SELECT grp, occupied, denom_scaled,
+         |    CAST(floor((((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+         |          + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+         |        * ((CAST(256.0 AS DOUBLE) * CAST(256.0 AS DOUBLE))
+         |          * CAST(9007199254740992.0 AS DOUBLE)))
+         |      / CAST(denom_scaled AS DOUBLE)) * CAST(1000000.0 AS DOUBLE)
+         |      + CAST(0.5 AS DOUBLE)) AS BIGINT)
+         |      AS est_micro FROM gest),
+         |ex AS (SELECT grp, CAST(count(DISTINCT key) AS BIGINT)
+         |      AS exact_distinct FROM k GROUP BY 1
+         |  UNION ALL SELECT '__ALL__', CAST(count(DISTINCT key) AS BIGINT)
+         |    FROM k)
+         |SELECT e.grp, x.exact_distinct, e.occupied, e.denom_scaled,
+         |  e.est_micro,
+         |  CAST((1000000 * abs(e.est_micro - 1000000 * x.exact_distinct))
+         |    // (1000000 * x.exact_distinct) AS BIGINT) AS err_abs_ppm
+         |FROM est e JOIN ex x ON x.grp IS NOT DISTINCT FROM e.grp
+         |ORDER BY e.grp NULLS LAST""".stripMargin,
+
+    // GROUP BY CUBE with the same GROUPING bitmask convention (first dim =
+    // most significant bit in both engines); q159's mean double shape
+    "q175_mixture_cube" ->
+      s"""WITH pd AS (SELECT CAST(source AS VARCHAR) AS source,
+         |    CAST(lang AS VARCHAR) AS lang,
+         |    CAST(len($toksSql) AS BIGINT) AS nt FROM documents)
+         |SELECT CAST(GROUPING(source, lang) AS INTEGER) AS grouping_lvl,
+         |  source, lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+         |  CAST(floor((1000000.0 * CAST(sum(nt) AS DOUBLE))
+         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_doc_tokens_micro
+         |FROM pd GROUP BY CUBE (source, lang)
+         |ORDER BY grouping_lvl, source NULLS LAST, lang NULLS LAST""".stripMargin,
 
     // q26's SRP bucket replay feeds the q146 density tail: rank over ALL
     // LSH candidates and keep rank 5 — exactly the raw collision frame

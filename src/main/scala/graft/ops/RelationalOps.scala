@@ -529,6 +529,101 @@ object RelationalOps {
       .drop("__h", "__bf")
   }
 
+  // --------------------------------------------------------------------
+  // HYPERLOGLOG distinct-count sketch (Flajolet et al., AofA'07) — the
+  // MERGEABLE cardinality state a 100 TB pipeline keeps instead of exact
+  // distinct counts: per group, 2^p integer registers (max leading-zero
+  // rank per register), so per-shard/per-day sketches union by per-register
+  // MAX — associative, idempotent, re-aggregable at any rollup level —
+  // where exact count_distinct must re-shuffle every distinct value on
+  // every re-rollup. Built on [[DetHash.md5Hash60]], so the registers are
+  // BIT-REPRODUCIBLE across engines/partitionings (the oracle recomputes
+  // them in SQL): register = top p bits of the 60-bit hash, rho = rank of
+  // the first 1-bit in the remaining 60-p (via `bin()` string length —
+  // identical semantics in Spark and DuckDB; rho = 60-p+1 for a zero
+  // remainder). The estimate keeps the repo's no-libm contract: the
+  // harmonic denominator Σ 2^(-rho) is scaled by 2^(60-p+1) into an EXACT
+  // BIGINT, and only the final alpha·m²/denom expression runs in doubles,
+  // one shared shape both engines round identically. Deliberately NO
+  // small-range linear-counting branch (it needs `ln`, which differs
+  // across libm in the last ulp — the [[graft.ops.TextOps.topTerms]]
+  // reasoning); callers pick p so expected cardinalities sit in HLL's
+  // raw-estimate range (n ≳ 2.5·2^p) and the audit column shows the error.
+  // --------------------------------------------------------------------
+
+  /** Per-group HLL registers: (grp, reg, r) — the mergeable sketch state.
+    * ≤ 2^p rows per group, whatever the input size; absent registers mean
+    * rho 0 (the estimator counts them as zeros).
+    */
+  def hllRegisters(df: DataFrame, keyCol: Column, grpCol: Column,
+                   p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, "p must be in 4..16")
+    val remBits = 60 - p
+    val h = DetHash.md5Hash60(concat(lit("hll|"), keyCol.cast("string")))
+    df.select(grpCol.as("grp"), shiftright(h, remBits).as("reg"),
+        h.bitwiseAND(lit((1L << remBits) - 1)).as("rem"))
+      .select(col("grp"), col("reg"),
+        when(col("rem") === 0, lit(remBits + 1))
+          .otherwise(lit(remBits + 1) - length(bin(col("rem")))).as("rho"))
+      .groupBy(col("grp"), col("reg")).agg(max(col("rho")).as("r"))
+  }
+
+  /** Merge sketches across groups into ONE sketch (the union-of-sets
+    * lemma: max per register) — relabeled `mergedGrp`. What a rollup does
+    * to per-shard sketches instead of rescanning the shards.
+    */
+  def hllMergeRegisters(regs: DataFrame, mergedGrp: String): DataFrame =
+    regs.groupBy(col("reg")).agg(max(col("r")).as("r"))
+      .select(lit(mergedGrp).as("grp"), col("reg"), col("r"))
+
+  /** Per-group estimate report from a register frame: (grp, occupied,
+    * denom_scaled, est_micro). `denom_scaled` = Σ 2^(S−rho) over occupied
+    * registers + (m − occupied)·2^S with S = 60−p+1 — the harmonic
+    * denominator scaled to an exact BIGINT; `est_micro` the raw HLL
+    * estimate alpha_m·m²/denom in micro units (the one double expression,
+    * shared shape with the oracle).
+    */
+  def hllEstimate(regs: DataFrame, p: Int = 8): DataFrame = {
+    val m = 1 << p
+    val s = 60 - p + 1
+    val mD = m.toDouble
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(mD))
+    val grouped = regs.groupBy(col("grp"))
+      .agg(count(lit(1)).as("occupied"),
+        sum(expr(s"shiftleft(cast(1 as bigint), cast($s - r as int))"))
+          .as("occ_denom"))
+      .select(col("grp"), col("occupied"),
+        (col("occ_denom") + (lit(m.toLong) - col("occupied")) * lit(1L << s))
+          .as("denom_scaled"))
+    grouped.select(col("grp"), col("occupied"), col("denom_scaled"),
+      floor(((alpha * ((lit(mD) * lit(mD)) * lit(math.pow(2.0, s)))) /
+          col("denom_scaled").cast("double")) * lit(1000000.0) + lit(0.5))
+        .cast("long").as("est_micro"))
+  }
+
+  /** The AUDIT composition: per-group sketch estimates PLUS a merged
+    * `__ALL__` row (per-register max across groups — never a rescan),
+    * each joined with the exact distinct count and an absolute-error
+    * column in ppm. The exact leg is the audit's cost (one distinct
+    * shuffle); production keeps only the registers.
+    */
+  def hllCardinalityAudit(df: DataFrame, keyCol: Column, grpCol: Column,
+                          p: Int = 8): DataFrame = {
+    val keyed = df.select(grpCol.cast("string").as("grp"), keyCol.as("key"))
+    val regs = hllRegisters(keyed, col("key"), col("grp"), p)
+    val all = regs.unionByName(hllMergeRegisters(regs, "__ALL__"))
+    val est = hllEstimate(all, p)
+    val exact = keyed.groupBy(col("grp"))
+      .agg(count_distinct(col("key")).as("exact_distinct"))
+      .unionByName(keyed.agg(count_distinct(col("key")).as("exact_distinct"))
+        .select(lit("__ALL__").as("grp"), col("exact_distinct")))
+    est.join(exact, est("grp") <=> exact("grp"))
+      .select(est("grp"), col("exact_distinct"), col("occupied"),
+        col("denom_scaled"), col("est_micro"),
+        expr("(1000000 * abs(est_micro - 1000000 * exact_distinct))" +
+          " div (1000000 * exact_distinct)").as("err_abs_ppm"))
+  }
+
   /** Deterministic sampling to per-stratum TARGET COUNTS — the data-mixing
     * primitive when the recipe is "exactly N docs of each language/source",
     * not a rate: rank each stratum's rows by the md5 of the salted id

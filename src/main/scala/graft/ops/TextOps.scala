@@ -2616,6 +2616,37 @@ object TextOps {
         expr("(1000000 * dup_docs) div n_docs").as("dup_frac_micro"))
   }
 
+  /** MIXTURE CUBE — the (source × lang) GROUPING-SETS datasheet a mixture
+    * planner slices: one CUBE aggregation emits the detail cells, both
+    * one-dimension rollups, and the grand total, each tagged with the
+    * native `grouping_id` bitmask (bit set = dimension rolled up — the
+    * disambiguator that makes a genuinely-NULL dimension value
+    * distinguishable from a rolled-up one). Volume measures per cell:
+    * doc count, token total, and the q159 mean-doc-tokens double shape.
+    *
+    * Scale shape: ONE aggregation pass — Spark expands each input row to
+    * its 4 grouping sets with full map-side partial aggregation, so the
+    * shuffle carries ≤ 4× the distinct-cell count (dimension-bounded, not
+    * corpus-bounded), and the rollups are NOT recomputed per level the
+    * way 4 separate groupBys would rescan the corpus 4 times.
+    */
+  def mixtureCube(documents: DataFrame, textCol: String = "text",
+                  dims: Seq[String] = Seq("source", "lang")): DataFrame = {
+    val base = documents.select(
+      dims.map(c => col(c).cast("string").as(c)) :+
+        size(tokens(col(textCol))).cast("long").as("nt"): _*)
+    base.cube(dims.map(col): _*)
+      .agg(grouping_id().cast("int").as("grouping_lvl"),
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("total_tokens"),
+        floor((lit(1000000.0) * sum(col("nt")).cast("double")) /
+            count(lit(1)).cast("double")).cast("long")
+          .as("mean_doc_tokens_micro"))
+      .select((col("grouping_lvl") +: dims.map(col)) ++
+        Seq(col("n_docs"), col("total_tokens"),
+          col("mean_doc_tokens_micro")): _*)
+  }
+
   // --------------------------------------------------------------------
   // PERSISTED lexical retrieval — the index-once / probe-many production
   // shape the in-session scorers ([[bm25]] fixed-term, [[bm25Retrieve]]

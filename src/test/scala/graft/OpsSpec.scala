@@ -3390,6 +3390,55 @@ class OpsSpec extends SparkTestBase {
     assert(out === Array((1L, 825000L, 1L, 1), (2L, 694737L, 1L, 2)))
   }
 
+  test("mixtureCube: rollups sum detail cells, grouping_lvl disambiguates real NULLs") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b", "en", "s1"), (1L, "c", "en", "s1"),
+      (2L, "d e f", "de", "s1"), (3L, "g", "de", "s2"),
+      (4L, "h i", null, "s2") // genuine NULL lang, distinguishable by lvl
+    ).toDF("doc_id", "text", "lang", "source")
+    val rows = TextOps.mixtureCube(docs).collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)), Option(r.getString(2))) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(rows((0, Some("s1"), Some("en"))) === ((2L, 3L)))
+    assert(rows((0, Some("s2"), None)) === ((1L, 2L)), "genuine NULL at lvl 0")
+    assert(rows((1, Some("s1"), None)) === ((3L, 6L)), "lang rolled up = lvl 1")
+    assert(rows((2, None, Some("de"))) === ((2L, 4L)), "source rolled up = lvl 2")
+    assert(rows((3, None, None)) === ((5L, 9L)), "grand total = lvl 3")
+    // every rollup level's doc count sums to the corpus
+    Seq(0, 1, 2).foreach(l => assert(
+      rows.filter(_._1._1 == l).values.map(_._1).sum === 5L))
+  }
+
+  test("hll: merge lemma (per-register max == direct union sketch), estimate band, audit coverage") {
+    import spark.implicits._
+    val a = (0 until 3000).map(i => ("ga", s"key$i"))
+    val b = (2000 until 5000).map(i => ("gb", s"key$i")) // overlaps a by 1000
+    val df = (a ++ b).toDF("grp", "key")
+    val perGroup = RelationalOps.hllRegisters(df, col("key"), col("grp"))
+    // structural: register ids in [0, 256), ranks in [1, 53]
+    val regs = perGroup.collect()
+    assert(regs.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 256 &&
+      r.getInt(2) >= 1 && r.getInt(2) <= 53))
+    // merge lemma: max-per-register over group sketches == the sketch of
+    // the UNION built directly (what makes shard sketches re-aggregable)
+    val merged = RelationalOps.hllMergeRegisters(perGroup, "u")
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    val direct = RelationalOps.hllRegisters(
+        df.select(lit("u").as("grp"), col("key")), col("key"), col("grp"))
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(merged === direct)
+    // audit: exact counts right; raw estimate within 4 sigma (sigma =
+    // 1.04/sqrt(256) = 6.5%) of exact for in-range cardinalities
+    val audit = RelationalOps.hllCardinalityAudit(df, col("key"), col("grp"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(5)))).toMap
+    assert(audit("ga")._1 === 3000L && audit("gb")._1 === 3000L)
+    assert(audit("__ALL__")._1 === 5000L)
+    assert(audit.values.forall(_._2 < 260000L),
+      s"raw HLL estimate off by > 26%: $audit")
+  }
+
   test("bm25TopK: stopword-band df pruning; no-overlap query yields no rows") {
     import spark.implicits._
     val corpus = Seq(
