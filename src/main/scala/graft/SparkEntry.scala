@@ -1239,6 +1239,29 @@ object SparkEntry {
         .orderBy(col("grouping_lvl"), col("source").asc_nulls_last,
           col("lang").asc_nulls_last)),
 
+    // SCD2 dimension history from the event change stream: per user the
+    // event_type state's validity intervals — versions in (ts, id) order,
+    // consecutive no-op changes suppressed, half-open [from, to),
+    // NULL to = current. The history half of the CDC family (upsert keeps
+    // latest; this keeps every interval)
+    "q176_scd2_history" -> ((s, d) =>
+      EventOps.scd2FromChanges(t(s, d, "events"))
+        .orderBy(col("user_id"), col("version"))),
+
+    // AS-OF facts against that history: every 'view' event joined to the
+    // non-view state valid AT ITS OWN TIMESTAMP (union-then-scan, never a
+    // range join), rolled up per state; views before any state surface in
+    // the NULL row — the coverage contract
+    "q177_scd2_asof" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      val dim = EventOps.scd2FromChanges(ev.filter(col("event_type") =!= "view"))
+      EventOps.scd2AsofJoin(ev.filter(col("event_type") === "view"), dim)
+        .groupBy(col("attr"))
+        .agg(count(lit(1)).as("n_views"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy(col("attr").asc_nulls_last)
+    },
+
     // corpus-wide LINE dedup (the C4/RefinedWeb rule: a line occurring ≥ 2
     // times anywhere in the corpus is boilerplate and is struck from EVERY
     // document, first occurrence included). The synthetic corpus has no
@@ -3691,6 +3714,49 @@ object SparkEntry {
          |    // (1000000 * x.exact_distinct) AS BIGINT) AS err_abs_ppm
          |FROM est e JOIN ex x ON x.grp IS NOT DISTINCT FROM e.grp
          |ORDER BY e.grp NULLS LAST""".stripMargin,
+
+    // the same lag-suppress + version/lead windows under the (ts, id)
+    // total order
+    "q176_scd2_history" ->
+      """WITH c AS (SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev FROM events),
+        |s AS (SELECT user_id, ts, event_id, event_type FROM c
+        |  WHERE prev IS NULL OR event_type <> prev),
+        |v AS (SELECT user_id,
+        |    CAST(row_number() OVER w AS INTEGER) AS version,
+        |    event_type AS attr,
+        |    epoch_us(ts) AS effective_from_us,
+        |    lead(epoch_us(ts)) OVER w AS effective_to_us
+        |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, version, attr, effective_from_us, effective_to_us,
+        |  effective_to_us IS NULL AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
+
+    // the oracle replays the as-of as an interval join (correct, quadratic
+    // — oracle-only); half-open [from, to) makes the empty interval of an
+    // equal-timestamp version pair drop out exactly as the engine's
+    // version-ordered window tie does
+    "q177_scd2_asof" ->
+      """WITH c AS (SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE event_type <> 'view'),
+        |s AS (SELECT user_id, ts, event_id, event_type FROM c
+        |  WHERE prev IS NULL OR event_type <> prev),
+        |v AS (SELECT user_id, event_type AS attr,
+        |    epoch_us(ts) AS effective_from_us,
+        |    lead(epoch_us(ts)) OVER w AS effective_to_us
+        |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |f AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+        |  WHERE event_type = 'view'),
+        |j AS (SELECT f.event_id, f.user_id, v.attr
+        |  FROM f LEFT JOIN v ON v.user_id = f.user_id
+        |    AND v.effective_from_us <= f.t
+        |    AND (v.effective_to_us IS NULL OR f.t < v.effective_to_us))
+        |SELECT attr, CAST(count(*) AS BIGINT) AS n_views,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM j GROUP BY attr ORDER BY attr NULLS LAST""".stripMargin,
 
     // GROUP BY CUBE with the same GROUPING bitmask convention (first dim =
     // most significant bit in both engines); q159's mean double shape

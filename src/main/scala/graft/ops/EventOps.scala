@@ -229,6 +229,82 @@ object EventOps {
     * Scale: partitioned by user — a single pathologically hot user funnels
     * through one task; salt by time range if that ever binds.
     */
+  /** SLOWLY-CHANGING DIMENSION type 2 from a change stream: per key the
+    * attribute's version history — (key, version, attr, effective_from_us,
+    * effective_to_us, is_current), versions numbered in (ts, id) order,
+    * `effective_to_us` the NEXT version's start (NULL while current, the
+    * half-open [from, to) convention), CONSECUTIVE NO-OP CHANGES
+    * SUPPRESSED (a change row restating the current attribute value opens
+    * no new version — the SCD2 build rule; state transitions are exactly
+    * where consecutive raw rows differ, so one `lag` compare suffices).
+    * The BACKFILL half of the SCD2 family:
+    * [[graft.ops.MergeOps.scd2Merge]] applies one keyed batch to an
+    * existing versioned dimension (the continuous path); this builds the
+    * whole history from a change stream in one pass (the initial load /
+    * rebuild), and [[scd2AsofJoin]] is what both exist for — facts joining
+    * the state AS OF their own timestamp instead of today's.
+    *
+    * Scale shape: one shuffle on the key; both windows (lag-suppress,
+    * version/lead) run per key, bounded by per-key change counts — never
+    * a corpus window. Deterministic: (ts, id) is a total order per key.
+    */
+  def scd2FromChanges(changes: DataFrame, keyCol: String = "user_id",
+                      tsCol: String = "ts", attrCol: String = "event_type",
+                      idCol: String = "event_id"): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+    val survivors = changes
+      .select(col(keyCol), col(tsCol), col(idCol), col(attrCol))
+      .withColumn("__prev", lag(col(attrCol), 1).over(byKey))
+      .filter(col("__prev").isNull || col(attrCol) =!= col("__prev"))
+    val byKey2 = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+    survivors
+      .withColumn("version", row_number().over(byKey2).cast("int"))
+      .withColumn("effective_to_us",
+        lead(unix_micros(col(tsCol)), 1).over(byKey2))
+      .select(col(keyCol), col("version"), col(attrCol).as("attr"),
+        unix_micros(col(tsCol)).as("effective_from_us"),
+        col("effective_to_us"),
+        col("effective_to_us").isNull.as("is_current"))
+  }
+
+  /** AS-OF dimension join against an SCD2 history ([[scd2FromChanges]]'s
+    * output): every fact picks the dimension version whose validity
+    * interval contains the fact's timestamp. Union-then-scan, NOT a range
+    * join (the [[asofJoin]] lemma: an inequality join expands to
+    * O(facts × versions) per key before filtering; this is one shuffle on
+    * the key and a linear per-key scan): version rows enter the stream at
+    * their effective_from, `last(_, ignoreNulls)` carries (version, attr)
+    * forward, fact rows read it. A version starting at EXACTLY the fact's
+    * timestamp applies (dim sorts before fact at ties — asofJoin's
+    * same-timestamp convention). Facts before their key's first version
+    * surface with NULL version/attr — the coverage contract.
+    *
+    * Output: the fact's (idCol, keyCol, ts_us) + (version, attr).
+    */
+  def scd2AsofJoin(facts: DataFrame, dim: DataFrame,
+                   keyCol: String = "user_id", tsCol: String = "ts",
+                   idCol: String = "event_id"): DataFrame = {
+    val f = facts.select(col(keyCol).as("k"),
+      unix_micros(col(tsCol)).as("t"), lit(1).as("m"),
+      col(idCol).as("fact_id"), lit(null).cast("int").as("d_version"),
+      lit(null).cast("string").as("d_attr"))
+    val d = dim.select(col(keyCol).as("k"),
+      col("effective_from_us").as("t"), lit(0).as("m"),
+      lit(null).cast(f.schema("fact_id").dataType).as("fact_id"),
+      col("version").as("d_version"), col("attr").as("d_attr"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("m"), col("d_version"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    f.unionByName(d)
+      .withColumn("version", last(col("d_version"), ignoreNulls = true).over(w))
+      .withColumn("attr", last(col("d_attr"), ignoreNulls = true).over(w))
+      .filter(col("m") === 1)
+      .select(col("fact_id").as(idCol), col("k").as(keyCol),
+        col("t").as("ts_us"), col("version"), col("attr"))
+  }
+
   def asofJoin(events: DataFrame, leftType: String = "error",
                rightType: String = "click"): DataFrame = {
     val u = events.filter(col("event_type").isin(leftType, rightType))

@@ -3390,6 +3390,41 @@ class OpsSpec extends SparkTestBase {
     assert(out === Array((1L, 825000L, 1L, 1), (2L, 694737L, 1L, 2)))
   }
 
+  test("scd2: no-op suppression, half-open intervals, as-of boundary and pre-history NULLs") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(us: Long) = new Timestamp(us / 1000) // ms precision is enough here
+    val changes = Seq(
+      (1L, ts(1000000), 7L, "a"),
+      (2L, ts(2000000), 7L, "a"), // no-op restating 'a' → suppressed
+      (3L, ts(3000000), 7L, "b"),
+      (4L, ts(4000000), 7L, "a"), // back to 'a' → a NEW version
+      (5L, ts(5000000), 9L, "x")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val hist = EventOps.scd2FromChanges(changes)
+      .orderBy("user_id", "version").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(2), r.getLong(3), Option(r.get(4)), r.getBoolean(5)))).toMap
+    assert(hist.size === 4, "the no-op change opens no version")
+    assert(hist((7L, 1)) === (("a", 1000000L, Some(3000000L), false)))
+    assert(hist((7L, 2)) === (("b", 3000000L, Some(4000000L), false)))
+    assert(hist((7L, 3)) === (("a", 4000000L, None, true)))
+    assert(hist((9L, 1)) === (("x", 5000000L, None, true)))
+    // as-of: fact BEFORE first version → NULL; fact AT a version start
+    // takes that version; fact between versions takes the earlier one
+    val facts = Seq(
+      (10L, ts(500000), 7L, "f"),  // pre-history
+      (11L, ts(3000000), 7L, "f"), // exactly at v2's start → v2
+      (12L, ts(3500000), 7L, "f")  // inside [v2, v3)
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val dim = EventOps.scd2FromChanges(changes)
+    val j = EventOps.scd2AsofJoin(facts, dim).orderBy("event_id").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(3)), Option(r.getAs[String]("attr"))))).toMap
+    assert(j(10L) === ((None, None)))
+    assert(j(11L) === ((Some(2), Some("b"))))
+    assert(j(12L) === ((Some(2), Some("b"))))
+  }
+
   test("mixtureCube: rollups sum detail cells, grouping_lvl disambiguates real NULLs") {
     import spark.implicits._
     val docs = Seq(
