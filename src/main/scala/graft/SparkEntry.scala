@@ -1239,6 +1239,19 @@ object SparkEntry {
         .orderBy(col("grouping_lvl"), col("source").asc_nulls_last,
           col("lang").asc_nulls_last)),
 
+    // TRIANGLE census of the embedding near-dup graph — the
+    // cluster-topology audit behind transitive-closure dedup: transitivity
+    // ~ 1 means the components are clique-like (keep-one-per-cluster is
+    // safe), low transitivity at high degree means CHAINS, where the
+    // transitive hull merges docs never pairwise similar. Runs at cos ≥
+    // 0.2 — a denser operating point than q64's dedup graph, so the
+    // census actually has wedges and triangles to count at small SF.
+    // Degree-ordered orientation keeps enumeration O(m^1.5)
+    "q178_neardup_triangles" -> ((s, d) =>
+      GraphOps.triangleStats(
+        SimilarityOps.srpNearDupPairs(t(s, d, "embeddings"), 0.2)
+          .select(col("a"), col("b")))),
+
     // SCD2 dimension history from the event change stream: per user the
     // event_type state's validity intervals — versions in (ts, id) order,
     // consecutive no-op changes suppressed, half-open [from, to),
@@ -2063,13 +2076,14 @@ object SparkEntry {
        |GROUP BY GROUPING SETS ((event_type), (user_mod), (event_type, user_mod))
        |ORDER BY g_type, g_mod, event_type, user_mod""".stripMargin
 
-  /** CTE chain ending in `cc(x, comp)`: SRP-bucketed near-dup edges over
-    * embeddings (cos ≥ 0.4, 6 tables × 8 planes) closed transitively by a
-    * recursive CTE — mirrors `SimilarityOps.semanticDupClusters` with its
-    * default parameters. Shared by the q64 and q88 oracles; callers prepend
-    * `WITH RECURSIVE`.
+  /** CTE chain ending in `pr2(a, b)`: SRP-bucketed candidate collisions
+    * over embeddings (6 tables × 8 planes, md5-derived planes) verified by
+    * exact cosine at `minCos` — mirrors `SimilarityOps.srpNearDupPairs`.
+    * The threshold is a parameter so consumers at different operating
+    * points (q64/q88 dedup at 0.4, q178's denser census graph at 0.2)
+    * share one definition.
     */
-  private val semanticCcCte: String =
+  private def srpPairsCte(minCos: Double): String =
     s"""planes AS (${ops.DetHash.sqlPlanesCte(48, 64)}),
        |e AS (SELECT vec_id, embedding FROM embeddings),
        |proj AS (SELECT p.p // 8 AS tbl, p.p % 8 AS i, e.vec_id,
@@ -2084,7 +2098,15 @@ object SparkEntry {
        |pr2 AS (SELECT a, b FROM (
        |    SELECT c.a, c.b, ${sqlCos("ae", "be")} AS cos
        |    FROM cand c JOIN e ae ON ae.vec_id = c.a JOIN e be ON be.vec_id = c.b)
-       |  WHERE cos >= 0.4),
+       |  WHERE cos >= $minCos)""".stripMargin
+
+  /** [[srpPairsCte]] at 0.4 extended to `cc(x, comp)`: the near-dup edges
+    * closed transitively by a recursive CTE — mirrors
+    * `SimilarityOps.semanticDupClusters` with its default parameters.
+    * Shared by the q64 and q88 oracles; callers prepend `WITH RECURSIVE`.
+    */
+  private val semanticCcCte: String =
+    s"""${srpPairsCte(0.4)},
        |ed AS (SELECT a AS x, b AS y FROM pr2 UNION ALL SELECT b, a FROM pr2),
        |reach AS (
        |  SELECT vec_id AS x, vec_id AS comp FROM embeddings
@@ -3714,6 +3736,36 @@ object SparkEntry {
          |    // (1000000 * x.exact_distinct) AS BIGINT) AS err_abs_ppm
          |FROM est e JOIN ex x ON x.grp IS NOT DISTINCT FROM e.grp
          |ORDER BY e.grp NULLS LAST""".stripMargin,
+
+    // the shared SRP pair CTEs (pr2 = verified pairs, a < b distinct) at
+    // the census threshold + the same degree-ordered triangle join
+    "q178_neardup_triangles" ->
+      s"""WITH ${srpPairsCte(0.2)},
+         |und AS (SELECT a, b FROM pr2),
+         |dg AS (SELECT v, CAST(count(*) AS BIGINT) AS dg FROM
+         |    (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+         |  GROUP BY 1),
+         |o AS (SELECT
+         |    CASE WHEN (da.dg < db.dg) OR (da.dg = db.dg AND u.a < u.b)
+         |      THEN u.a ELSE u.b END AS src,
+         |    CASE WHEN (da.dg < db.dg) OR (da.dg = db.dg AND u.a < u.b)
+         |      THEN u.b ELSE u.a END AS dst
+         |  FROM und u JOIN dg da ON da.v = u.a JOIN dg db ON db.v = u.b),
+         |o2 AS (SELECT o.src, o.dst, dg.dg AS dd FROM o
+         |  JOIN dg ON dg.v = o.dst),
+         |tr AS (SELECT CAST(count(*) AS BIGINT) AS t FROM o2 x
+         |  JOIN o2 y ON y.src = x.src
+         |    AND ((x.dd < y.dd) OR (x.dd = y.dd AND x.dst < y.dst))
+         |  JOIN o z ON z.src = x.dst AND z.dst = y.dst),
+         |w AS (SELECT CAST(COALESCE(sum(dg * (dg - 1) // 2), 0) AS BIGINT)
+         |    AS w FROM dg)
+         |SELECT CAST((SELECT count(*) FROM dg) AS BIGINT) AS n_vertices,
+         |  CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+         |  w.w AS n_wedges,
+         |  tr.t AS n_triangles,
+         |  CAST(CASE WHEN w.w > 0 THEN (3000000 * tr.t) // w.w
+         |    ELSE 0 END AS BIGINT) AS global_cc_micro
+         |FROM tr, w""".stripMargin,
 
     // the same lag-suppress + version/lead windows under the (ts, id)
     // total order

@@ -303,4 +303,97 @@ object GraphOps {
     // result (localCheckpoint truncates lineage, so there is no recompute)
     ranks.select(col("x").as(idCol), col("rank"))
   }
+
+  /** Normalize a pair list to a simple undirected edge set: (a < b),
+    * self-loops dropped, duplicates collapsed. */
+  private def normalized(pairs: DataFrame): DataFrame =
+    pairs.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+
+  /** Oriented edge list under the DEGREE order — each undirected edge
+    * points from its (degree, id)-smaller endpoint to the larger, with the
+    * destination's degree carried alongside: (src, dst, dd). The
+    * orientation is what makes triangle enumeration O(m^1.5): every
+    * oriented out-neighborhood has size ≤ √(2m) (a vertex of out-degree k
+    * has k neighbors of degree ≥ its own, so k² ≤ Σdeg = 2m), so the
+    * wedge self-join below never explodes on hub vertices the way a
+    * naive adjacency join would.
+    */
+  private def oriented(und: DataFrame, deg: DataFrame): DataFrame = {
+    val j = und
+      .join(deg.select(col("v").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("dg").as("db")), Seq("b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    j.select(when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dd"))
+  }
+
+  private def degrees(und: DataFrame): DataFrame =
+    und.select(col("a").as("v")).unionByName(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+
+  /** TRIANGLE census per vertex: (v, n_tri) for every edge endpoint
+    * (vertices touching no triangle report 0). The dedup-QA reading: on a
+    * near-dup graph, triangle-rich neighborhoods are clique-like (the
+    * transitive closure a cluster-dedup takes is safe — everything really
+    * is mutually similar), triangle-poor high-degree neighborhoods are
+    * CHAINS, where closing the transitive hull merges documents that were
+    * never pairwise similar — exactly the failure mode a keep-one-per-
+    * cluster pass should be audited for before it deletes.
+    *
+    * Scale shape: degree-ordered orientation ([[oriented]]), one
+    * out-neighborhood self-join on src (bounded by the √(2m) lemma), one
+    * closing-edge semi-join, then an explode-and-count over the three
+    * corners. Two edge-keyed shuffles + the count — never a global sort,
+    * no driver state.
+    */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val und = normalized(pairs)
+    val deg = degrees(und)
+    val o = oriented(und, deg)
+    val x = o.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
+    val y = o.select(col("src"), col("dst").as("w"), col("dd").as("dw"))
+    val tris = x.join(y, Seq("src"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .select(explode(array(col("src"), col("v"), col("w"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
+    deg.select(col("v")).join(tris, Seq("v"), "left")
+      .select(col("v"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
+  /** GLOBAL triangle statistics — one row: (n_vertices, n_edges, n_wedges,
+    * n_triangles, global_cc_micro) with global_cc = 3·T / wedges (the
+    * transitivity ratio, micro-quantized integer), wedges = Σ deg·(deg−1)/2
+    * computed straight from the degree table (no join). A near-dup graph
+    * with transitivity ≈ 1 is a union of cliques (cluster-dedup is exact);
+    * low transitivity at high degree flags chain topology (see
+    * [[triangleCounts]]).
+    */
+  def triangleStats(pairs: DataFrame): DataFrame = {
+    val und = normalized(pairs)
+    val deg = degrees(und)
+    val o = oriented(und, deg)
+    val x = o.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
+    val y = o.select(col("src"), col("dst").as("w"), col("dd").as("dw"))
+    val t = x.join(y, Seq("src"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val parts = deg.agg(count(lit(1)).as("n_vertices"),
+        expr("sum(dg * (dg - 1) div 2)").as("n_wedges"))
+      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(t)
+    parts.select(col("n_vertices"), col("n_edges"),
+      coalesce(col("n_wedges"), lit(0L)).as("n_wedges"),
+      col("n_triangles"),
+      when(col("n_wedges") > 0,
+          expr("(3000000 * n_triangles) div n_wedges"))
+        .otherwise(lit(0L)).as("global_cc_micro"))
+  }
 }

@@ -270,6 +270,32 @@ class OpsSpec extends SparkTestBase {
     assert(comp.size === 35)
   }
 
+  test("triangleCounts/triangleStats: golden census on triangle+chain+K4, noise-normalized") {
+    // one triangle (1,2,3) with a pendant (1,8), a 4-path (4,5,6,7), and a
+    // K4 (10..13); raw pair list carries a reversed duplicate and a
+    // self-loop that normalization must collapse/drop
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), (2L, 1L), (3L, 3L), (1L, 8L),
+      (4L, 5L), (5L, 6L), (6L, 7L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L), (12L, 13L)
+    ).toDF("a", "b")
+    val per = GraphOps.triangleCounts(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // triangle corners count 1; K4 corners sit in 3 triangles each; the
+    // chain, the pendant, and every other vertex report 0 (not absent)
+    assert(per === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 0L,
+      4L -> 0L, 5L -> 0L, 6L -> 0L, 7L -> 0L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L, 13L -> 3L))
+    val g = GraphOps.triangleStats(pairs).collect()(0)
+    assert(g.getAs[Long]("n_vertices") === 12L)
+    assert(g.getAs[Long]("n_edges") === 13L)
+    // wedges = sum d(d-1)/2: triangle part 3+1+1+0, chain 0+1+1+0, K4 4*3
+    assert(g.getAs[Long]("n_wedges") === 19L)
+    assert(g.getAs[Long]("n_triangles") === 5L)
+    // transitivity 3*5/19 micro-quantized with integer division
+    assert(g.getAs[Long]("global_cc_micro") === 3000000L * 5 / 19)
+  }
+
   test("nearDupClusters: transitive A~B~C chain lands in one cluster without an A~C pair") {
     // 20-token docs differing in 1-2 tokens: J(A,B)=17/19, J(B,C)=16/20,
     // J(A,C)=15/21 < 0.8 — so the PAIR list has no (A,C) edge and only the

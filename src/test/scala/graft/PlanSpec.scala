@@ -81,6 +81,21 @@ class PlanSpec extends SparkTestBase {
       "blob near-dup must never enumerate all pairs")
   }
 
+  test("q178 triangle census: degree-ordered wedge joins, never a cartesian") {
+    // the O(m^1.5) guarantee rests on every join in the wedge enumeration
+    // being equi-keyed (src / (v,w)); a cartesian or nested-loop here would
+    // mean the orientation was lost and the plan degraded to all-pairs
+    val p = plan("q178_neardup_triangles")
+    assert(!p.contains("CartesianProduct"), "triangle census plans a cartesian")
+    // the only nested-loop joins allowed are the two one-row stat-frame
+    // combines at the very top (vertex/wedge x edge x triangle counts);
+    // each is a Cross over single-row aggregates — a BNLJ in the wedge
+    // enumeration itself would be Inner and corpus-scale
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.size === 2 && bnlj.forall(_.contains("Cross")),
+      s"unexpected nested-loop shape:\n${bnlj.mkString("\n")}")
+  }
+
   test("q30 plans zero joins; q21 plans exactly one shuffled self-join") {
     // round-4 shapes: q30's grouped-bucket pair expansion removed the
     // banded self-join entirely (the fingerprint subtree has ONE consumer);
