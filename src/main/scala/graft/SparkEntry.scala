@@ -1252,6 +1252,17 @@ object SparkEntry {
         SimilarityOps.srpNearDupPairs(t(s, d, "embeddings"), 0.2)
           .select(col("a"), col("b")))),
 
+    // Per-CLUSTER census of the same graph — the audit table read BEFORE
+    // collapsing near-dup components: per component its size, edge count,
+    // triangles, density and transitivity. density ~ transitivity ~ 1 =
+    // clique (keep-one is safe); a big sparse component = a chain the
+    // closure glued — split it, don't collapse it
+    "q179_cluster_census" -> ((s, d) =>
+      GraphOps.clusterCensus(
+        SimilarityOps.srpNearDupPairs(t(s, d, "embeddings"), 0.2)
+          .select(col("a"), col("b")))
+        .orderBy(col("n_vertices").desc, col("comp"))),
+
     // SCD2 dimension history from the event change stream: per user the
     // event_type state's validity intervals — versions in (ts, id) order,
     // consecutive no-op changes suppressed, half-open [from, to),
@@ -2100,19 +2111,26 @@ object SparkEntry {
        |    FROM cand c JOIN e ae ON ae.vec_id = c.a JOIN e be ON be.vec_id = c.b)
        |  WHERE cos >= $minCos)""".stripMargin
 
-  /** [[srpPairsCte]] at 0.4 extended to `cc(x, comp)`: the near-dup edges
-    * closed transitively by a recursive CTE — mirrors
-    * `SimilarityOps.semanticDupClusters` with its default parameters.
-    * Shared by the q64 and q88 oracles; callers prepend `WITH RECURSIVE`.
+  /** `pr2(a, b)` closed transitively into `cc(x, comp)` by a recursive
+    * CTE (comp = component-minimum vec_id, every embedding seeded so
+    * singletons appear) — appended after [[srpPairsCte]]; callers prepend
+    * `WITH RECURSIVE`.
     */
-  private val semanticCcCte: String =
-    s"""${srpPairsCte(0.4)},
-       |ed AS (SELECT a AS x, b AS y FROM pr2 UNION ALL SELECT b, a FROM pr2),
+  private val ccTailCte: String =
+    s"""ed AS (SELECT a AS x, b AS y FROM pr2 UNION ALL SELECT b, a FROM pr2),
        |reach AS (
        |  SELECT vec_id AS x, vec_id AS comp FROM embeddings
        |  UNION
        |  SELECT ed.x, r.comp FROM ed JOIN reach r ON r.x = ed.y),
        |cc AS (SELECT x, min(comp) AS comp FROM reach GROUP BY x)""".stripMargin
+
+  /** [[srpPairsCte]] at 0.4 + [[ccTailCte]] — mirrors
+    * `SimilarityOps.semanticDupClusters` with its default parameters.
+    * Shared by the q64 and q88 oracles; callers prepend `WITH RECURSIVE`.
+    */
+  private val semanticCcCte: String =
+    s"""${srpPairsCte(0.4)},
+       |$ccTailCte""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Every query has an oracle — the hash-based ones
@@ -3766,6 +3784,49 @@ object SparkEntry {
          |  CAST(CASE WHEN w.w > 0 THEN (3000000 * tr.t) // w.w
          |    ELSE 0 END AS BIGINT) AS global_cc_micro
          |FROM tr, w""".stripMargin,
+
+    // the shared SRP pair CTEs at 0.2 + the recursive closure + the q178
+    // triangle CTEs, rolled up per component; LEFT JOIN keeps 0-triangle
+    // vertices in the per-vertex frame
+    "q179_cluster_census" ->
+      s"""WITH RECURSIVE ${srpPairsCte(0.2)},
+         |$ccTailCte,
+         |und AS (SELECT a, b FROM pr2),
+         |dg AS (SELECT v, CAST(count(*) AS BIGINT) AS dg FROM
+         |    (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+         |  GROUP BY 1),
+         |o AS (SELECT
+         |    CASE WHEN (da.dg < db.dg) OR (da.dg = db.dg AND u.a < u.b)
+         |      THEN u.a ELSE u.b END AS src,
+         |    CASE WHEN (da.dg < db.dg) OR (da.dg = db.dg AND u.a < u.b)
+         |      THEN u.b ELSE u.a END AS dst
+         |  FROM und u JOIN dg da ON da.v = u.a JOIN dg db ON db.v = u.b),
+         |o2 AS (SELECT o.src, o.dst, dg.dg AS dd FROM o
+         |  JOIN dg ON dg.v = o.dst),
+         |tcorn AS (SELECT x.src AS c1, x.dst AS c2, y.dst AS c3 FROM o2 x
+         |  JOIN o2 y ON y.src = x.src
+         |    AND ((x.dd < y.dd) OR (x.dd = y.dd AND x.dst < y.dst))
+         |  JOIN o z ON z.src = x.dst AND z.dst = y.dst),
+         |pt AS (SELECT v, CAST(count(*) AS BIGINT) AS n_tri FROM
+         |    (SELECT c1 AS v FROM tcorn UNION ALL SELECT c2 FROM tcorn
+         |     UNION ALL SELECT c3 FROM tcorn)
+         |  GROUP BY 1),
+         |perv AS (SELECT dg.v, dg.dg, COALESCE(pt.n_tri, 0) AS n_tri, cc.comp
+         |  FROM dg JOIN cc ON cc.x = dg.v LEFT JOIN pt ON pt.v = dg.v),
+         |vagg AS (SELECT comp, CAST(count(*) AS BIGINT) AS n_vertices,
+         |    CAST(COALESCE(sum(dg * (dg - 1) // 2), 0) AS BIGINT) AS n_wedges,
+         |    CAST(sum(n_tri) // 3 AS BIGINT) AS n_triangles
+         |  FROM perv GROUP BY comp),
+         |eagg AS (SELECT cc.comp, CAST(count(*) AS BIGINT) AS n_edges
+         |  FROM und JOIN cc ON cc.x = und.a GROUP BY 1)
+         |SELECT v.comp, v.n_vertices, e.n_edges, v.n_triangles,
+         |  CAST((1000000 * 2 * e.n_edges) //
+         |    (v.n_vertices * (v.n_vertices - 1)) AS BIGINT) AS density_micro,
+         |  CAST(CASE WHEN v.n_wedges > 0
+         |    THEN (3000000 * v.n_triangles) // v.n_wedges
+         |    ELSE 0 END AS BIGINT) AS transitivity_micro
+         |FROM vagg v JOIN eagg e ON e.comp = v.comp
+         |ORDER BY v.n_vertices DESC, v.comp""".stripMargin,
 
     // the same lag-suppress + version/lead windows under the (ts, id)
     // total order

@@ -366,6 +366,54 @@ object GraphOps {
       .select(col("v"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
 
+  /** Per-CLUSTER census — the table a dedup operator reads BEFORE
+    * collapsing components to one representative each: for every connected
+    * component of the pair graph (edge-endpoint vertices only; singletons
+    * have nothing to audit), one row
+    * (comp, n_vertices, n_edges, n_triangles, density_micro,
+    * transitivity_micro) with comp = the component's minimum vertex id
+    * ([[connectedComponents]]' convention), density = 2E/(V(V−1)) and
+    * transitivity = 3T/wedges, both micro-quantized integers (0 when the
+    * wedge count is 0). The reading: density ≈ transitivity ≈ 1 is a
+    * clique — every member really is pairwise similar and keep-one is
+    * safe; a large component with low density/transitivity is a CHAIN the
+    * transitive closure glued together, where collapsing would delete
+    * documents never pairwise similar — split it (raise the threshold,
+    * re-band) instead of collapsing.
+    *
+    * Scale shape: [[triangleCounts]]' bounded wedge enumeration +
+    * [[connectedComponents]]' logarithmic rounds, then everything is
+    * (vertex)- or (comp)-keyed joins and one (comp) aggregation — output
+    * is one row per component; no stage is pair-quadratic.
+    */
+  def clusterCensus(pairs: DataFrame): DataFrame = {
+    val und = normalized(pairs)
+    val deg = degrees(und)
+    val comp = connectedComponents(und, deg.select(col("v").as("id")))
+      .select(col("id").as("v"), col("comp"))
+    val tri = triangleCounts(und)
+    // per-vertex frame: degree (for wedges) + triangle membership count
+    val perV = deg.join(tri, Seq("v")).join(comp, Seq("v"))
+    // edges keyed by component via the a-endpoint (b is in the same comp
+    // by definition of a component)
+    val edgeComp = und.join(comp.withColumnRenamed("v", "a"), Seq("a"))
+    val vAgg = perV.groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_vertices"),
+        expr("sum(dg * (dg - 1) div 2)").as("n_wedges"),
+        // Σ per-vertex counts = 3T (each triangle has three corners);
+        // integer div — the sum is divisible by 3 by construction
+        expr("sum(n_tri) div 3").as("n_triangles"))
+    val eAgg = edgeComp.groupBy(col("comp")).agg(count(lit(1)).as("n_edges"))
+    vAgg.join(eAgg, Seq("comp"))
+      .select(col("comp"), col("n_vertices"), col("n_edges"),
+        col("n_triangles"),
+        expr("(1000000 * 2 * n_edges) div (n_vertices * (n_vertices - 1))")
+          .as("density_micro"),
+        when(col("n_wedges") > 0,
+            expr("(3000000 * n_triangles) div n_wedges"))
+          .otherwise(lit(0L)).as("transitivity_micro"))
+  }
+
   /** GLOBAL triangle statistics — one row: (n_vertices, n_edges, n_wedges,
     * n_triangles, global_cc_micro) with global_cc = 3·T / wedges (the
     * transitivity ratio, micro-quantized integer), wedges = Σ deg·(deg−1)/2

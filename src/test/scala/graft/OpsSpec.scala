@@ -294,6 +294,20 @@ class OpsSpec extends SparkTestBase {
     assert(g.getAs[Long]("n_triangles") === 5L)
     // transitivity 3*5/19 micro-quantized with integer division
     assert(g.getAs[Long]("global_cc_micro") === 3000000L * 5 / 19)
+
+    // per-cluster census over the same graph: three components with
+    // hand-computed V/E/T/density/transitivity each
+    val cen = GraphOps.clusterCensus(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // triangle+pendant {1,2,3,8}: E=4, T=1, wedges=5, density 2*4/12,
+    // transitivity 3*1/5
+    assert(cen(1L) === ((4L, 4L, 1L, 666666L, 600000L)))
+    // chain {4,5,6,7}: E=3, T=0, wedges=2, density 2*3/12
+    assert(cen(4L) === ((4L, 3L, 0L, 500000L, 0L)))
+    // K4 {10..13}: E=6, T=4, wedges=12 — density and transitivity exactly 1
+    assert(cen(10L) === ((4L, 6L, 4L, 1000000L, 1000000L)))
+    assert(cen.size === 3)
   }
 
   test("nearDupClusters: transitive A~B~C chain lands in one cluster without an A~C pair") {
