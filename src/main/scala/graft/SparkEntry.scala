@@ -1263,6 +1263,18 @@ object SparkEntry {
           .select(col("a"), col("b")))
         .orderBy(col("n_vertices").desc, col("comp"))),
 
+    // 3-TRUSS of the same graph — the EDGE-grain repair the census
+    // motivates: iterated support peeling drops every edge sharing no
+    // common neighbor (the bridge a single borderline pair contributes),
+    // so closure over what survives can't chain unrelated groups. Exactly
+    // 4 peel rounds, then a fixpoint assert (throws rather than returning
+    // a non-truss — the CC maxIter contract)
+    "q180_ktruss_edges" -> ((s, d) =>
+      GraphOps.trussEdges(
+        SimilarityOps.srpNearDupPairs(t(s, d, "embeddings"), 0.2)
+          .select(col("a"), col("b")), k = 3, rounds = 4)
+        .orderBy(col("a"), col("b"))),
+
     // SCD2 dimension history from the event change stream: per user the
     // event_type state's validity intervals — versions in (ts, id) order,
     // consecutive no-op changes suppressed, half-open [from, to),
@@ -2123,6 +2135,43 @@ object SparkEntry {
        |  UNION
        |  SELECT ed.x, r.comp FROM ed JOIN reach r ON r.x = ed.y),
        |cc AS (SELECT x, min(comp) AS comp FROM reach GROUP BY x)""".stripMargin
+
+  /** One truss-peel round as CTEs: per-edge triangle support of `e\$i`
+    * (degree orientation — the q178 shape — then each triangle credits its
+    * three edges) and `e\${i+1}` = the edges keeping ≥ `kSup` support
+    * (inner join: a no-triangle edge has no support row and drops). With
+    * `withNext = false` emits only `sup\$i` — the final recount the
+    * output reads.
+    */
+  private def trussRoundCte(i: Int, kSup: Int, withNext: Boolean): String = {
+    val base =
+      s"""dg$i AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS dg FROM
+         |    (SELECT a AS v FROM e$i UNION ALL SELECT b FROM e$i)
+         |  GROUP BY 1),
+         |o$i AS MATERIALIZED (SELECT
+         |    CASE WHEN (da.dg < db.dg) OR (da.dg = db.dg AND u.a < u.b)
+         |      THEN u.a ELSE u.b END AS src,
+         |    CASE WHEN (da.dg < db.dg) OR (da.dg = db.dg AND u.a < u.b)
+         |      THEN u.b ELSE u.a END AS dst
+         |  FROM e$i u JOIN dg$i da ON da.v = u.a JOIN dg$i db ON db.v = u.b),
+         |o2$i AS MATERIALIZED (SELECT o$i.src, o$i.dst, dg$i.dg AS dd FROM o$i
+         |  JOIN dg$i ON dg$i.v = o$i.dst),
+         |tc$i AS MATERIALIZED (SELECT x.src AS s, x.dst AS v, y.dst AS w FROM o2$i x
+         |  JOIN o2$i y ON y.src = x.src
+         |    AND ((x.dd < y.dd) OR (x.dd = y.dd AND x.dst < y.dst))
+         |  JOIN o$i z ON z.src = x.dst AND z.dst = y.dst),
+         |sup$i AS MATERIALIZED (SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM
+         |    (SELECT least(s, v) AS a, greatest(s, v) AS b FROM tc$i
+         |     UNION ALL SELECT least(s, w), greatest(s, w) FROM tc$i
+         |     UNION ALL SELECT least(v, w), greatest(v, w) FROM tc$i)
+         |  GROUP BY 1, 2)""".stripMargin
+    if (!withNext) base
+    else base +
+      s""",
+         |e${i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e$i e
+         |  JOIN sup$i s ON s.a = e.a AND s.b = e.b
+         |  WHERE s.support >= $kSup)""".stripMargin
+  }
 
   /** [[srpPairsCte]] at 0.4 + [[ccTailCte]] — mirrors
     * `SimilarityOps.semanticDupClusters` with its default parameters.
@@ -3827,6 +3876,19 @@ object SparkEntry {
          |    ELSE 0 END AS BIGINT) AS transitivity_micro
          |FROM vagg v JOIN eagg e ON e.comp = v.comp
          |ORDER BY v.n_vertices DESC, v.comp""".stripMargin,
+
+    // the SRP pair CTEs at 0.2, then the engine's 4 peel rounds unrolled
+    // (e0 → e4, one support+filter block each — the q97/q168 unrolled-round
+    // pattern) and a final support recount over e4 for the output columns
+    "q180_ktruss_edges" ->
+      s"""WITH ${srpPairsCte(0.2)},
+         |e0 AS MATERIALIZED (SELECT a, b FROM pr2),
+         |${(0 until 4).map(i => trussRoundCte(i, 1, withNext = true))
+           .mkString(",\n")},
+         |${trussRoundCte(4, 1, withNext = false)}
+         |SELECT e.a, e.b, COALESCE(s.support, 0) AS support
+         |FROM e4 e LEFT JOIN sup4 s ON s.a = e.a AND s.b = e.b
+         |ORDER BY e.a, e.b""".stripMargin,
 
     // the same lag-suppress + version/lead windows under the (ts, id)
     // total order

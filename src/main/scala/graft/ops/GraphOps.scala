@@ -366,6 +366,88 @@ object GraphOps {
       .select(col("v"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
 
+  /** Per-EDGE triangle support over a normalized undirected edge set:
+    * (a, b, support) for EVERY input edge (edges in no triangle report 0).
+    * One [[oriented]] wedge enumeration; each triangle credits its three
+    * edges (normalized back to a < b), one (a, b)-keyed count, one left
+    * join for the zero rows.
+    */
+  private def edgeSupport(und: DataFrame): DataFrame = {
+    val deg = degrees(und)
+    val o = oriented(und, deg)
+    val x = o.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
+    val y = o.select(col("src"), col("dst").as("w"), col("dd").as("dw"))
+    val sup = x.join(y, Seq("src"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .select(explode(array(
+          struct(least(col("src"), col("v")).as("a"),
+            greatest(col("src"), col("v")).as("b")),
+          struct(least(col("src"), col("w")).as("a"),
+            greatest(col("src"), col("w")).as("b")),
+          struct(least(col("v"), col("w")).as("a"),
+            greatest(col("v"), col("w")).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    und.join(sup, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  /** K-TRUSS of the pair graph (Cohen 2008): the maximal subgraph in which
+    * every edge sits in ≥ k−2 triangles WITHIN the subgraph, computed by
+    * iterated support peeling — drop under-supported edges, recount, repeat.
+    * Output: the surviving edges with their final in-truss support.
+    *
+    * The dedup reading: triangle support is the EDGE-level robustness
+    * signal the census ([[clusterCensus]]) reports at cluster grain — a
+    * chain edge (support 0) is one borderline pair gluing two unrelated
+    * groups, and transitive-closure dedup follows it into a bad merge.
+    * Peeling to the 3-truss first (every kept edge shares ≥ 1 common
+    * neighbor) cuts exactly those bridges, so closure over the truss
+    * yields clusters where membership is corroborated by at least one
+    * third document — the standard robust-clustering preamble.
+    *
+    * Determinism/convergence contract: runs exactly `rounds` peels, then
+    * THROWS if the result still has an under-supported edge (the
+    * [[connectedComponents]] exhausted-budget rule — never a silent
+    * truncation); rounds needed grows with the deepest peel cascade,
+    * small in practice (≤ 2 on every test corpus). Each round is one
+    * bounded [[edgeSupport]] wedge pass (O(m^1.5)) + one filter, each
+    * intermediate localCheckpoint-ed so lineage stays flat.
+    */
+  def trussEdges(pairs: DataFrame, k: Int = 3, rounds: Int = 4): DataFrame = {
+    require(k >= 3, "k-truss needs k >= 3")
+    val sc = pairs.sparkSession.sparkContext
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint()
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = false)))
+    var (cur, curIds) = checkpointTracked(normalized(pairs))
+    var r = 0
+    while (r < rounds) {
+      val (next, nextIds) = checkpointTracked(
+        edgeSupport(cur).filter(col("support") >= k - 2)
+          .select(col("a"), col("b")))
+      free(curIds); cur = next; curIds = nextIds
+      r += 1
+    }
+    val fin = edgeSupport(cur)
+    val bad = fin.filter(col("support") < k - 2).limit(1).count()
+    if (bad > 0) {
+      free(curIds)
+      throw new IllegalStateException(
+        s"trussEdges did not converge in $rounds rounds (k=$k) — raise " +
+          "`rounds`; refusing to return a non-truss silently")
+    }
+    fin
+  }
+
   /** Per-CLUSTER census — the table a dedup operator reads BEFORE
     * collapsing components to one representative each: for every connected
     * component of the pair graph (edge-endpoint vertices only; singletons

@@ -310,6 +310,36 @@ class OpsSpec extends SparkTestBase {
     assert(cen.size === 3)
   }
 
+  test("trussEdges: 3-truss drops bridges/chains, k=4 peels the pendant triangle, non-convergence throws") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), (1L, 8L),
+      (4L, 5L), (5L, 6L), (6L, 7L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L), (12L, 13L)
+    ).toDF("a", "b")
+    val t3 = GraphOps.trussEdges(pairs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // triangle edges survive with support 1, K4 edges with 2; the pendant
+    // (1,8) and the whole chain peel away
+    assert(t3 === Map((1L, 2L) -> 1L, (2L, 3L) -> 1L, (1L, 3L) -> 1L,
+      (10L, 11L) -> 2L, (10L, 12L) -> 2L, (10L, 13L) -> 2L,
+      (11L, 12L) -> 2L, (11L, 13L) -> 2L, (12L, 13L) -> 2L))
+
+    // k=4 on K4 + a triangle hanging off vertex 13: the hang-off edges
+    // have support 1 < 2 and peel; (12,13) keeps support 2 inside the K4
+    val hang = pairs.where(col("a") >= 10)
+      .unionByName(Seq((13L, 20L), (13L, 21L), (20L, 21L)).toDF("a", "b"))
+    val t4 = GraphOps.trussEdges(hang, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t4 === Set((10L, 11L), (10L, 12L), (10L, 13L),
+      (11L, 12L), (11L, 13L), (12L, 13L)))
+
+    // zero peel rounds on a graph with weak edges: the fixpoint assert
+    // must throw, never return a non-truss silently
+    intercept[IllegalStateException] {
+      GraphOps.trussEdges(pairs, k = 3, rounds = 0).collect()
+    }
+  }
+
   test("nearDupClusters: transitive A~B~C chain lands in one cluster without an A~C pair") {
     // 20-token docs differing in 1-2 tokens: J(A,B)=17/19, J(B,C)=16/20,
     // J(A,C)=15/21 < 0.8 — so the PAIR list has no (A,C) edge and only the
