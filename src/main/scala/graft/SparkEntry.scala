@@ -1275,6 +1275,24 @@ object SparkEntry {
           .select(col("a"), col("b")), k = 3, rounds = 4)
         .orderBy(col("a"), col("b"))),
 
+    // COHORT-RETENTION matrix: users cohorted by first-event week (fixed
+    // epoch-week grid — no calendar arithmetic), each (cohort, offset)
+    // cell = distinct cohort members active that week, micro fraction of
+    // the cohort. Offset 0 reads exactly 1.0 by definition
+    "q181_cohort_retention" -> ((s, d) =>
+      EventOps.cohortRetention(t(s, d, "events"))
+        .orderBy(col("cohort_week"), col("week_offset"))),
+
+    // the dedup-effect DELTA the truss buys: keep-one-per-cluster strikes
+    // under plain closure vs closure-over-the-3-truss, one row each. The
+    // difference in docs_struck = deletions that rested on one
+    // uncorroborated bridge pair
+    "q182_truss_dedup_effect" -> ((s, d) =>
+      GraphOps.trussDedupEffect(
+        SimilarityOps.srpNearDupPairs(t(s, d, "embeddings"), 0.2)
+          .select(col("a"), col("b")), k = 3, rounds = 4)
+        .orderBy(col("scheme"))),
+
     // SCD2 dimension history from the event change stream: per user the
     // event_type state's validity intervals — versions in (ts, id) order,
     // consecutive no-op changes suppressed, half-open [from, to),
@@ -3889,6 +3907,61 @@ object SparkEntry {
          |SELECT e.a, e.b, COALESCE(s.support, 0) AS support
          |FROM e4 e LEFT JOIN sup4 s ON s.a = e.a AND s.b = e.b
          |ORDER BY e.a, e.b""".stripMargin,
+
+    // the same fixed epoch-week grid (epoch_us floor-div), distinct
+    // (user, week) activity, min-week cohorts, integer micro ratio
+    "q181_cohort_retention" ->
+      """WITH active AS (SELECT DISTINCT user_id AS u,
+        |    epoch_us(ts) // 604800000000 AS week FROM events),
+        |cohort AS (SELECT u, min(week) AS cohort_week FROM active GROUP BY u),
+        |sizes AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
+        |  FROM cohort GROUP BY 1),
+        |cells AS (SELECT c.cohort_week,
+        |    a.week - c.cohort_week AS week_offset,
+        |    CAST(count(*) AS BIGINT) AS n_active
+        |  FROM active a JOIN cohort c ON c.u = a.u GROUP BY 1, 2)
+        |SELECT l.cohort_week, l.week_offset, l.n_active, s.n_cohort,
+        |  CAST((1000000 * l.n_active) // s.n_cohort AS BIGINT)
+        |    AS retention_micro
+        |FROM cells l JOIN sizes s ON s.cohort_week = l.cohort_week
+        |ORDER BY l.cohort_week, l.week_offset""".stripMargin,
+
+    // the q180 truss unroll + TWO recursive closures (raw e0, truss e4)
+    // rolled up to the one-row keep-one summary each
+    "q182_truss_dedup_effect" ->
+      s"""WITH RECURSIVE ${srpPairsCte(0.2)},
+         |e0 AS MATERIALIZED (SELECT a, b FROM pr2),
+         |${(0 until 4).map(i => trussRoundCte(i, 1, withNext = true))
+           .mkString(",\n")},
+         |edc AS (SELECT a AS x, b AS y FROM e0 UNION ALL SELECT b, a FROM e0),
+         |vc AS (SELECT DISTINCT x FROM edc),
+         |reachc AS (SELECT x, x AS comp FROM vc
+         |  UNION SELECT edc.x, r.comp FROM edc JOIN reachc r ON r.x = edc.y),
+         |ccc AS (SELECT x, min(comp) AS comp FROM reachc GROUP BY x),
+         |szc AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz
+         |  FROM ccc GROUP BY 1),
+         |edt AS (SELECT a AS x, b AS y FROM e4 UNION ALL SELECT b, a FROM e4),
+         |vt AS (SELECT DISTINCT x FROM edt),
+         |reacht AS (SELECT x, x AS comp FROM vt
+         |  UNION SELECT edt.x, r.comp FROM edt JOIN reacht r ON r.x = edt.y),
+         |cct AS (SELECT x, min(comp) AS comp FROM reacht GROUP BY x),
+         |szt AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz
+         |  FROM cct GROUP BY 1),
+         |sc AS (SELECT 'closure' AS scheme,
+         |    CAST((SELECT count(*) FROM e0) AS BIGINT) AS n_edges,
+         |    CAST(count(*) AS BIGINT) AS n_clusters,
+         |    CAST(COALESCE(sum(sz), 0) AS BIGINT) AS n_members,
+         |    CAST(COALESCE(max(sz), 0) AS BIGINT) AS largest_cluster,
+         |    CAST(COALESCE(sum(sz), 0) - count(*) AS BIGINT) AS docs_struck
+         |  FROM szc),
+         |st AS (SELECT 'truss3' AS scheme,
+         |    CAST((SELECT count(*) FROM e4) AS BIGINT) AS n_edges,
+         |    CAST(count(*) AS BIGINT) AS n_clusters,
+         |    CAST(COALESCE(sum(sz), 0) AS BIGINT) AS n_members,
+         |    CAST(COALESCE(max(sz), 0) AS BIGINT) AS largest_cluster,
+         |    CAST(COALESCE(sum(sz), 0) - count(*) AS BIGINT) AS docs_struck
+         |  FROM szt)
+         |SELECT * FROM sc UNION ALL SELECT * FROM st ORDER BY scheme""".stripMargin,
 
     // the same lag-suppress + version/lead windows under the (ts, id)
     // total order

@@ -323,4 +323,39 @@ object EventOps {
         coalesce(unix_micros(col("ts")) - unix_micros(col("prior_ts_raw")),
           lit(-1L)).as("gap_us"))
   }
+
+  /** COHORT-RETENTION matrix — the classic product-analytics table: users
+    * are cohorted by the week of their FIRST event (week = epoch-micros
+    * floor-divided by `weekUs` — a fixed UTC grid, no calendar arithmetic
+    * to disagree on across engines), and each (cohort_week, week_offset)
+    * cell counts the distinct cohort members active that many weeks later,
+    * with the fraction of the cohort as a micro-quantized integer. Offset
+    * 0 always reads 1.0 (the cohort is active in its own first week by
+    * definition — a cheap oracle invariant).
+    *
+    * Scale shape: one distinct on (user, week) — map-side combinable, the
+    * only corpus-sized shuffle; the per-user min is user-keyed; cohort
+    * sizes and cells are (cohort[, offset])-keyed aggregations; the join
+    * back to sizes is on cohort_week (≤ weeks rows — broadcast). No
+    * window anywhere.
+    */
+  def cohortRetention(events: DataFrame, userCol: String = "user_id",
+                      tsCol: String = "ts",
+                      weekUs: Long = 7L * 86400L * 1000000L): DataFrame = {
+    val active = events.select(col(userCol).as("u"),
+        expr(s"unix_micros($tsCol) div ${weekUs}L").as("week"))
+      .distinct()
+    val cohort = active.groupBy(col("u"))
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_cohort"))
+    val cells = active.join(cohort, Seq("u"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    cells.join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("n_cohort"),
+        expr("(1000000 * n_active) div n_cohort").as("retention_micro"))
+  }
 }

@@ -448,6 +448,38 @@ object GraphOps {
     fin
   }
 
+  /** Dedup-EFFECT comparison between plain transitive closure and closure
+    * over the k-truss ([[trussEdges]]): one row per scheme —
+    * (scheme, n_edges, n_clusters, n_members, largest_cluster,
+    * docs_struck) where docs_struck = members − clusters, the documents a
+    * keep-one-per-cluster pass deletes. The delta between the rows is the
+    * point: documents the raw closure would strike that the truss keeps,
+    * i.e. deletions that rested on a single uncorroborated bridge pair.
+    *
+    * Scale shape: [[trussEdges]] + two [[connectedComponents]] runs, then
+    * one (comp) count and a one-row rollup per scheme; nothing beyond the
+    * underlying operators' bounded shapes.
+    */
+  def trussDedupEffect(pairs: DataFrame, k: Int = 3,
+                       rounds: Int = 4): DataFrame = {
+    def summarize(und: DataFrame, scheme: String): DataFrame = {
+      val comp = connectedComponents(und,
+        degrees(und).select(col("v").as("id")))
+      comp.groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_clusters"),
+          coalesce(sum(col("sz")), lit(0L)).as("n_members"),
+          coalesce(max(col("sz")), lit(0L)).as("largest_cluster"))
+        .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+        .select(lit(scheme).as("scheme"), col("n_edges"),
+          col("n_clusters"), col("n_members"), col("largest_cluster"),
+          (col("n_members") - col("n_clusters")).as("docs_struck"))
+    }
+    summarize(normalized(pairs), "closure")
+      .unionByName(summarize(
+        trussEdges(pairs, k, rounds).select(col("a"), col("b")),
+        s"truss$k"))
+  }
+
   /** Per-CLUSTER census — the table a dedup operator reads BEFORE
     * collapsing components to one representative each: for every connected
     * component of the pair graph (edge-endpoint vertices only; singletons

@@ -338,6 +338,39 @@ class OpsSpec extends SparkTestBase {
     intercept[IllegalStateException] {
       GraphOps.trussEdges(pairs, k = 3, rounds = 0).collect()
     }
+
+    // the dedup-effect delta on the same graph: plain closure strikes 9
+    // of 12 members (3 clusters), the 3-truss strikes 5 of 7 (the pendant
+    // and the chain — 5 docs — rest on uncorroborated edges and survive)
+    val eff = GraphOps.trussDedupEffect(pairs, k = 3).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(eff("closure") === ((13L, 3L, 12L, 4L, 9L)))
+    assert(eff("truss3") === ((9L, 2L, 7L, 4L, 5L)))
+  }
+
+  test("cohortRetention: fixed epoch-week cohorts, offset-0 identity, micro fractions") {
+    // week grid is 7-day epoch buckets; week w timestamp = w*604800s + eps
+    def ts(week: Long, s: Long) =
+      new java.sql.Timestamp((week * 604800L + s) * 1000L)
+    // users 1,2,3 first appear week 1000 (u3 twice that week — distinct
+    // collapses it); u1 returns weeks 1001+1002, u2 only 1002; user 4 is
+    // a week-1001 cohort of one, back in 1002
+    val events = Seq(
+      (1L, ts(1000, 10)), (2L, ts(1000, 20)), (3L, ts(1000, 30)),
+      (3L, ts(1000, 40)),
+      (1L, ts(1001, 10)), (4L, ts(1001, 50)),
+      (1L, ts(1002, 10)), (2L, ts(1002, 99)), (4L, ts(1002, 7))
+    ).toDF("user_id", "ts")
+    val m = EventOps.cohortRetention(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(m((1000L, 0L)) === ((3L, 3L, 1000000L)))
+    assert(m((1000L, 1L)) === ((1L, 3L, 333333L)))
+    assert(m((1000L, 2L)) === ((2L, 3L, 666666L)))
+    assert(m((1001L, 0L)) === ((1L, 1L, 1000000L)))
+    assert(m((1001L, 1L)) === ((1L, 1L, 1000000L)))
+    assert(m.size === 5)
   }
 
   test("nearDupClusters: transitive A~B~C chain lands in one cluster without an A~C pair") {
