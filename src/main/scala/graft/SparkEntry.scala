@@ -1293,6 +1293,13 @@ object SparkEntry {
           .select(col("a"), col("b")), k = 3, rounds = 4)
         .orderBy(col("scheme"))),
 
+    // first-order MARKOV transitions over per-user event sequences under
+    // the (ts, id) total order: counts + row-normalized micro
+    // probabilities — the next-event-baseline / behavior-shift primitive
+    "q183_event_transitions" -> ((s, d) =>
+      EventOps.transitionMatrix(t(s, d, "events"))
+        .orderBy(col("from_type"), col("to_type"))),
+
     // SCD2 dimension history from the event change stream: per user the
     // event_type state's validity intervals — versions in (ts, id) order,
     // consecutive no-op changes suppressed, half-open [from, to),
@@ -3962,6 +3969,21 @@ object SparkEntry {
          |    CAST(COALESCE(sum(sz), 0) - count(*) AS BIGINT) AS docs_struck
          |  FROM szt)
          |SELECT * FROM sc UNION ALL SELECT * FROM st ORDER BY scheme""".stripMargin,
+
+    // the same per-user lead window and row normalization
+    "q183_event_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |cnt AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |  FROM cnt GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, t.n_from,
+        |  CAST((1000000 * c.n) // t.n_from AS BIGINT) AS p_micro
+        |FROM cnt c JOIN tot t USING (from_type)
+        |ORDER BY c.from_type, c.to_type""".stripMargin,
 
     // the same lag-suppress + version/lead windows under the (ts, id)
     // total order

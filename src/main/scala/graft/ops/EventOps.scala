@@ -339,6 +339,36 @@ object EventOps {
     * back to sizes is on cohort_week (≤ weeks rows — broadcast). No
     * window anywhere.
     */
+  /** First-order MARKOV transition matrix over per-user event sequences:
+    * consecutive events (ordered by (ts, id) within user — the repo's
+    * deterministic event total order) contribute one (from_type, to_type)
+    * transition; output counts plus the row-normalized probability as a
+    * micro-quantized integer. The behavioral-modeling primitive behind
+    * next-event prediction baselines and anomaly scoring (a transition
+    * with tiny p_micro observed often in a window = behavior shift).
+    *
+    * Scale shape: one user-partitioned lead window (state = one row,
+    * bounded by per-user event counts), a (from, to)-keyed count, and a
+    * from-keyed rollup (≤ |types|² rows from the first agg on). No global
+    * window, no join back to the corpus.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String = "user_id",
+                       typeCol: String = "event_type", tsCol: String = "ts",
+                       idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(typeCol).as("from_type"), col(tsCol),
+        col(idCol))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val cnt = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+    cnt.join(tot, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        expr("(1000000 * n) div n_from").as("p_micro"))
+  }
+
   def cohortRetention(events: DataFrame, userCol: String = "user_id",
                       tsCol: String = "ts",
                       weekUs: Long = 7L * 86400L * 1000000L): DataFrame = {

@@ -349,6 +349,25 @@ class OpsSpec extends SparkTestBase {
     assert(eff("truss3") === ((9L, 2L, 7L, 4L, 5L)))
   }
 
+  test("transitionMatrix: per-user consecutive pairs, row-normalized micro probabilities") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // u1: a->b->a->c ; u2: b->a ; u3: singleton (no transitions).
+    // rows: a->b 1, b->a 2, a->c 1 => from a: b 1/2, c 1/2; from b: a 2/2
+    val events = Seq(
+      (1L, "a", ts(10), 1L), (1L, "b", ts(20), 2L), (1L, "a", ts(30), 3L),
+      (1L, "c", ts(40), 4L),
+      (2L, "b", ts(10), 5L), (2L, "a", ts(25), 6L),
+      (3L, "c", ts(99), 7L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val m = EventOps.transitionMatrix(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(m(("a", "b")) === ((1L, 2L, 500000L)))
+    assert(m(("a", "c")) === ((1L, 2L, 500000L)))
+    assert(m(("b", "a")) === ((2L, 2L, 1000000L)))
+    assert(m.size === 3)
+  }
+
   test("cohortRetention: fixed epoch-week cohorts, offset-0 identity, micro fractions") {
     // week grid is 7-day epoch buckets; week w timestamp = w*604800s + eps
     def ts(week: Long, s: Long) =
