@@ -1300,6 +1300,34 @@ object SparkEntry {
       EventOps.transitionMatrix(t(s, d, "events"))
         .orderBy(col("from_type"), col("to_type"))),
 
+    // CLUSTER-SAFE splits: the 80/10/10 hash split computed on the
+    // near-dup COMPONENT id, so leakage is impossible by construction
+    // (q134 audits it after the fact; this prevents it). Per split:
+    // volume, cluster count, largest cluster, and the cross-split pair
+    // count — provably 0, made visible so the oracle checks the invariant
+    "q184_cluster_safe_split" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val pairs = SimilarityOps.srpNearDupPairs(emb, 0.2)
+        .select(col("a"), col("b"))
+      val asg = RelationalOps.clusterSafeSplit(
+        emb.select(col("vec_id")), pairs, Seq(0.8, 0.1, 0.1), idCol = "vec_id")
+      val byId = asg.select(col("vec_id"), col("split"))
+      val leaks = pairs
+        .join(byId.select(col("vec_id").as("a"), col("split").as("sa")), Seq("a"))
+        .join(byId.select(col("vec_id").as("b"), col("split").as("sb")), Seq("b"))
+        .filter(col("sa") =!= col("sb"))
+        .groupBy(col("sa").as("split")).agg(count(lit(1)).as("n_leak_pairs"))
+      asg.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("comp")).as("n_clusters"),
+          max(col("comp")).as("max_comp"))
+        .join(leaks, Seq("split"), "left")
+        .select(col("split"), col("n_docs"), col("n_clusters"),
+          col("max_comp"),
+          coalesce(col("n_leak_pairs"), lit(0L)).as("n_leak_pairs"))
+        .orderBy(col("split"))
+    },
+
     // SCD2 dimension history from the event change stream: per user the
     // event_type state's validity intervals — versions in (ts, id) order,
     // consecutive no-op changes suppressed, half-open [from, to),
@@ -3969,6 +3997,31 @@ object SparkEntry {
          |    CAST(COALESCE(sum(sz), 0) - count(*) AS BIGINT) AS docs_struck
          |  FROM szt)
          |SELECT * FROM sc UNION ALL SELECT * FROM st ORDER BY scheme""".stripMargin,
+
+    // the recursive closure (singletons seeded), the q42 bucket rule on
+    // comp instead of doc_id, the same leak self-join (provably empty)
+    "q184_cluster_safe_split" -> {
+      val bucket =
+        s"${ops.DetHash.sqlMd5Hash60("'split|' || CAST(comp AS VARCHAR)")} % 10000"
+      s"""WITH RECURSIVE ${srpPairsCte(0.2)},
+         |$ccTailCte,
+         |asg AS (SELECT x AS vec_id, comp,
+         |    CASE WHEN $bucket < 8000 THEN 0
+         |      WHEN $bucket < 9000 THEN 1 ELSE 2 END AS split
+         |  FROM cc),
+         |leaks AS (SELECT sa.split, CAST(count(*) AS BIGINT) AS n_leak_pairs
+         |  FROM pr2 p JOIN asg sa ON sa.vec_id = p.a
+         |    JOIN asg sb ON sb.vec_id = p.b
+         |  WHERE sa.split <> sb.split GROUP BY 1)
+         |SELECT g.split, g.n_docs, g.n_clusters, g.max_comp,
+         |  COALESCE(l.n_leak_pairs, 0) AS n_leak_pairs
+         |FROM (SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(count(DISTINCT comp) AS BIGINT) AS n_clusters,
+         |    CAST(max(comp) AS BIGINT) AS max_comp
+         |  FROM asg GROUP BY 1) g
+         |LEFT JOIN leaks l ON l.split = g.split
+         |ORDER BY g.split""".stripMargin
+    },
 
     // the same per-user lead window and row normalization
     "q183_event_transitions" ->

@@ -336,6 +336,29 @@ object RelationalOps {
     df.withColumn("split", split)
   }
 
+  /** CLUSTER-SAFE train/eval split — [[hashSplit]] with the leakage
+    * guarantee built in: every near-dup CLUSTER (connected component of
+    * `pairs`, singletons included) lands wholly in one split, because the
+    * md5 bucket is computed on the component id, not the document id. This
+    * is the CONSTRUCTIVE half of the split-leakage pair: the X137 audit
+    * measures cross-split near-dup pairs after the fact; this makes them
+    * impossible by construction (a pair's endpoints share a component,
+    * hence a bucket, hence a split). Output: `rows` + (comp, split).
+    *
+    * Scale shape: [[graft.ops.GraphOps.connectedComponents]]' logarithmic
+    * rounds + one id-keyed join back to the rows; the split expression
+    * itself fuses into the scan exactly as [[hashSplit]]'s does.
+    */
+  def clusterSafeSplit(rows: DataFrame, pairs: DataFrame,
+                       weights: Seq[Double], idCol: String = "doc_id",
+                       salt: String = "split"): DataFrame = {
+    val comp = GraphOps.connectedComponents(pairs,
+      rows.select(col(idCol).as("id")))
+    val assigned = hashSplit(comp, "comp", weights, salt)
+      .select(col("id").as(idCol), col("comp"), col("split"))
+    rows.join(assigned, Seq(idCol))
+  }
+
   /** Deterministic corpus SHUFFLE with global positions — the seeded
     * permutation a training pipeline applies before sequence packing: every
     * row gets `shuffle_pos` = its rank in the total order

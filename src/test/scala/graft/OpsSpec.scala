@@ -368,6 +368,21 @@ class OpsSpec extends SparkTestBase {
     assert(m.size === 3)
   }
 
+  test("clusterSafeSplit: whole component shares one split; singletons follow their own id") {
+    val rows = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val asg = RelationalOps.clusterSafeSplit(rows, pairs, Seq(0.8, 0.1, 0.1))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(asg.size === 6)
+    // the chained component lands wholly in comp 1's split — even though
+    // (1,3) was never a pair
+    assert(Set(asg(1L), asg(2L), asg(3L)).size === 1)
+    assert(asg(1L)._1 === 1L)
+    // singletons are their own component, split by their own id — same
+    // bucket the plain hashSplit would give them on the comp column
+    Seq(4L, 5L, 6L).foreach(v => assert(asg(v)._1 === v))
+  }
+
   test("cohortRetention: fixed epoch-week cohorts, offset-0 identity, micro fractions") {
     // week grid is 7-day epoch buckets; week w timestamp = w*604800s + eps
     def ts(week: Long, s: Long) =
