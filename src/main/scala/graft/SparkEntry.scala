@@ -1328,6 +1328,23 @@ object SparkEntry {
         .orderBy(col("split"))
     },
 
+    // CANONICAL near-exact dedup: ASCII casefold + punctuation-to-space +
+    // whitespace collapse, then the q18 digest kernel. The corpus has no
+    // case/punct variants, so the fixture INSTRUMENTS it: every doc gains
+    // a perturbed twin (recased or double-spaced+punctuated, id + 1e9)
+    // that raw exact dedup cannot merge and canonical dedup must
+    "q185_canonical_dedup" -> { (s, d) =>
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val pert = docs.select(
+        (col("doc_id") + lit(1000000000L)).as("doc_id"),
+        when(col("doc_id") % 2 === 0, upper(col("text")))
+          .otherwise(concat(regexp_replace(col("text"), " ", "  "),
+            lit(" !!"))).as("text"))
+      DedupOps.canonicalDedupSummary(docs.unionByName(pert))
+        .filter(col("copies") > 1)
+        .orderBy(col("keep_id"))
+    },
+
     // SCD2 dimension history from the event change stream: per user the
     // event_type state's validity intervals — versions in (ts, id) order,
     // consecutive no-op changes suppressed, half-open [from, to),
@@ -3997,6 +4014,24 @@ object SparkEntry {
          |    CAST(COALESCE(sum(sz), 0) - count(*) AS BIGINT) AS docs_struck
          |  FROM szt)
          |SELECT * FROM sc UNION ALL SELECT * FROM st ORDER BY scheme""".stripMargin,
+
+    // the same instrumented twins, the same canonicalization chain (with
+    // DuckDB's explicit 'g' flags), md5 hex digests compared directly
+    "q185_canonical_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |pert AS (SELECT doc_id + 1000000000 AS doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN upper(text)
+        |      ELSE regexp_replace(text, ' ', '  ', 'g') || ' !!' END AS text
+        |  FROM base),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+        |c AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS canon_md5
+        |  FROM u)
+        |SELECT canon_md5, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  count(*) AS copies
+        |FROM c GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY keep_id""".stripMargin,
 
     // the recursive closure (singletons seeded), the q42 bucket rule on
     // comp instead of doc_id, the same leak self-join (provably empty)

@@ -41,6 +41,29 @@ object DedupOps {
     df.join(winners, Seq(idCol), "inner")
   }
 
+  /** ASCII canonical form for near-exact dedup: lowercase (applied to
+    * [A-Z] only — Java and every SQL engine agree on ASCII case, so the
+    * contract deliberately stops short of Unicode case folding, where
+    * libraries drift), every char outside [a-z0-9 ] becomes a space (so
+    * punctuation separates, never concatenates, tokens), whitespace runs
+    * collapse, ends trim. Catches the trivial perturbations exact dedup
+    * misses — recased mirrors, double-spaced reflows, punctuation-only
+    * edits — without any similarity machinery.
+    */
+  def canonicalText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** [[exactDedupSummary]] on the [[canonicalText]] digest: one row per
+    * canonical-content group with the min-id representative and the copy
+    * count. Same 16-bytes-per-row shuffle shape as the raw digest dedup;
+    * the canonicalization fuses into the scan (map-only expressions).
+    */
+  def canonicalDedupSummary(df: DataFrame, textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame =
+    df.groupBy(md5(canonicalText(col(textCol))).as("canon_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+
   /** (id, th): md5 token-hash arrays, CACHED. The cache is load-bearing
     * twice over: (a) every md5 is computed exactly once even though four
     * separate queries (jaccard / minhash / simhash x2) start from this

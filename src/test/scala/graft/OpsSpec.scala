@@ -368,6 +368,23 @@ class OpsSpec extends SparkTestBase {
     assert(m.size === 3)
   }
 
+  test("canonicalDedupSummary: case/space/punct variants collapse, real edits don't") {
+    val docs = Seq(
+      (1L, "The quick brown fox!"),
+      (2L, "the   quick brown fox"),
+      (3L, "THE QUICK, BROWN FOX"),
+      (4L, "the quick brown foxes"), // a real edit — must NOT collapse
+      (5L, "unrelated entirely")
+    ).toDF("doc_id", "text")
+    val g = DedupOps.canonicalDedupSummary(docs).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(g === Map(1L -> 3L, 4L -> 1L, 5L -> 1L))
+    // the canonical form itself: punctuation separates, never concatenates
+    val c = docs.filter(col("doc_id") === 1)
+      .select(DedupOps.canonicalText(col("text"))).head().getString(0)
+    assert(c === "the quick brown fox")
+  }
+
   test("clusterSafeSplit: whole component shares one split; singletons follow their own id") {
     val rows = (1L to 6L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
