@@ -250,7 +250,23 @@ object EventOps {
     */
   def scd2FromChanges(changes: DataFrame, keyCol: String = "user_id",
                       tsCol: String = "ts", attrCol: String = "event_type",
-                      idCol: String = "event_id"): DataFrame = {
+                      idCol: String = "event_id"): DataFrame =
+    scd2FromChangesWithId(changes, keyCol, tsCol, attrCol, idCol)
+      .drop("change_id")
+
+  /** [[scd2FromChanges]] additionally carrying `change_id` — the id of the
+    * change row that OPENED each version. The id makes the history a
+    * lossless compacted change log: replaying (key, effective_from_us,
+    * change_id, attr) through this builder reproduces the history exactly,
+    * which is what lets [[graft.streaming.StreamingEvents.scd2Ingest]]
+    * merge each micro-batch by re-running the builder over
+    * history-as-changes ∪ batch (and thereby splice LATE changes in
+    * exactly, renumbering downstream versions).
+    */
+  def scd2FromChangesWithId(changes: DataFrame, keyCol: String = "user_id",
+                            tsCol: String = "ts",
+                            attrCol: String = "event_type",
+                            idCol: String = "event_id"): DataFrame = {
     val byKey = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col(idCol))
     val survivors = changes
@@ -266,7 +282,8 @@ object EventOps {
       .select(col(keyCol), col("version"), col(attrCol).as("attr"),
         unix_micros(col(tsCol)).as("effective_from_us"),
         col("effective_to_us"),
-        col("effective_to_us").isNull.as("is_current"))
+        col("effective_to_us").isNull.as("is_current"),
+        col(idCol).as("change_id"))
   }
 
   /** AS-OF dimension join against an SCD2 history ([[scd2FromChanges]]'s

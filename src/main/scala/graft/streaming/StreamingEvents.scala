@@ -823,6 +823,91 @@ object StreamingEvents {
       }
   }
 
+  /** STREAMING SCD2 maintenance — the history half of the CDC family's
+    * streaming tier ([[upsertSink]] keeps only the latest state; this
+    * keeps every validity interval). State = the COMPACTED CHANGE LOG
+    * (key, ts_us, id, attr) as versioned parquet snapshots: per epoch the
+    * batch unions into the log (full-row distinct absorbs at-least-once
+    * redelivery), and no-op changes are suppressed ONLY once they fall
+    * behind the lateness horizon `max(ts) − latenessUs` — a suppressed
+    * no-op is information a LATE out-of-order change could still need
+    * (it re-asserts the attr between two transitions), so compaction
+    * waits for the horizon exactly like a watermark finalizes a window.
+    * Within the lateness contract the log is lossless: replaying it
+    * through [[graft.ops.EventOps.scd2FromChangesWithId]]
+    * ([[scd2HistoryFromIngest]]) equals the batch history over ALL raw
+    * changes, late arrivals spliced and downstream versions renumbered.
+    * Disorder beyond `latenessUs` degrades exactly like any watermark
+    * violation (the row still lands; only a no-op already compacted away
+    * in its gap is unrecoverable).
+    *
+    * Lifecycle/cost: the [[lineDfIngest]] copy-on-write shape — per epoch
+    * one union + one per-key lag window over log+batch, state bounded by
+    * history rows + within-horizon no-ops, snapshots pruned to
+    * `keepSnapshots` ([[pruneSnapshots]]; N ≥ 2 for the replay contract).
+    */
+  def scd2Ingest(changes: DataFrame, baseDir: String, checkpointDir: String,
+                 latenessUs: Long = 0L,
+                 keepSnapshots: Int = Int.MaxValue,
+                 keyCol: String = "user_id", tsCol: String = "ts",
+                 attrCol: String = "event_type",
+                 idCol: String = "event_id"): DataStreamWriter[Row] = {
+    require(keepSnapshots >= 2,
+      "keepSnapshots >= 2 (a replayed epoch merges its predecessor)")
+    require(latenessUs >= 0L, "latenessUs must be >= 0")
+    changes.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val b = batch.select(col(keyCol).cast("long").as("k"),
+            unix_micros(col(tsCol)).as("ts_us"),
+            col(idCol).cast("long").as("id"),
+            col(attrCol).cast("string").as("attr"))
+          val merged = (latestSnapshot(spark, baseDir,
+              beforeEpoch = Some(epoch)) match {
+            case Some(cur) => cur.unionByName(b)
+            case None => b
+          }).distinct()
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("k")).orderBy(col("ts_us"), col("id"))
+          val compacted = merged
+            .withColumn("__prev", lag(col("attr"), 1).over(w))
+            .crossJoin(broadcast(merged.agg(
+              (max(col("ts_us")) - latenessUs).as("__hz"))))
+            .filter(col("ts_us") >= col("__hz") ||
+              col("__prev").isNull || col("attr") =!= col("__prev"))
+            .select(col("k"), col("ts_us"), col("id"), col("attr"))
+          compacted.write.mode("overwrite").parquet(s"$baseDir/v$epoch")
+          pruneSnapshots(baseDir, keepSnapshots)
+        }
+      }
+  }
+
+  /** The SCD2 history served from an [[scd2Ingest]] store: the latest
+    * committed log snapshot replayed through the batch builder — columns
+    * and conventions exactly [[graft.ops.EventOps.scd2FromChangesWithId]]
+    * (version numbering, half-open intervals, change_id). Empty history
+    * (no committed snapshot yet) is an error: serving "no versions" for
+    * "store not initialized" would let a mis-pathed reader silently see
+    * an empty dimension.
+    */
+  def scd2HistoryFromIngest(spark: SparkSession, baseDir: String,
+                            keyCol: String = "user_id",
+                            tsCol: String = "ts",
+                            attrCol: String = "event_type",
+                            idCol: String = "event_id"): DataFrame = {
+    val log = latestSnapshot(spark, baseDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed scd2Ingest snapshot under '$baseDir'"))
+    graft.ops.EventOps.scd2FromChangesWithId(
+      log.select(col("k").as(keyCol),
+        timestamp_micros(col("ts_us")).as(tsCol),
+        col("id").as(idCol), col("attr").as(attrCol)),
+      keyCol, tsCol, attrCol, idCol)
+  }
+
   /** Delete committed `v<epoch>/` snapshot dirs beyond the newest
     * `keepLast` — the retention hook for the copy-on-write sinks
     * ([[upsertSink]], [[cmsCounterIngest]], [[lineDfIngest]]). Only

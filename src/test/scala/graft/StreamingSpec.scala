@@ -545,6 +545,52 @@ class StreamingSpec extends SparkTestBase {
       "corpus-level df strikes the boilerplate line from a 1-doc delta")
   }
 
+  test("scd2Ingest: streamed history == batch builder incl. a late splice; no-ops compact only past the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.EventOps
+    val base = java.nio.file.Files.createTempDirectory("graft-scd2").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-scd2-ck").toString
+    val mem = MemoryStream[(Long, Timestamp, String, Long)]
+    val changes = mem.toDF()
+      .toDF("user_id", "ts", "event_type", "event_id")
+    // lateness horizon: 10 minutes of disorder tolerated
+    val query = StreamingEvents.scd2Ingest(changes, base, ckpt,
+      latenessUs = 10L * 60 * 1000000).start()
+    val rows = Seq(
+      // epoch 1 — u1: a, a (no-op), b; u2: x
+      Seq((1L, ts(10, 0), "a", 1L), (1L, ts(10, 2), "a", 2L),
+        (1L, ts(10, 4), "b", 3L), (2L, ts(10, 0), "x", 4L)),
+      // epoch 2 — u1 restates b (no-op); u2 moves to y
+      Seq((1L, ts(10, 6), "b", 5L), (2L, ts(10, 8), "y", 6L)),
+      // epoch 3 — LATE: u1 'c' at 10:03 splices between a and b
+      // (inside the horizon), renumbering downstream versions
+      Seq((1L, ts(10, 3), "c", 7L)),
+      // epoch 4 — far future: pushes the horizon past the early no-ops
+      Seq((2L, ts(11, 0), "z", 8L))
+    )
+    try rows.foreach { epoch =>
+      mem.addData(epoch: _*); query.processAllAvailable()
+    } finally query.stop()
+    // streamed history == the batch builder over ALL raw changes
+    val all = rows.flatten.toDF("user_id", "ts", "event_type", "event_id")
+    val streamed = StreamingEvents.scd2HistoryFromIngest(spark, base)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = EventOps.scd2FromChangesWithId(all)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === batch)
+    // the late 'c' really spliced: u1's versions read a, c, b
+    val u1 = EventOps.scd2FromChangesWithId(all)
+      .filter(col("user_id") === 1L).orderBy(col("version"))
+      .collect().map(_.getString(2)).toSeq
+    assert(u1 === Seq("a", "c", "b"))
+    // compaction happened: the epoch-1 no-op (id 2) is gone from the log
+    // now that the horizon passed it, while in-horizon rows all survive
+    val log = StreamingEvents.latestSnapshot(spark, base).get
+      .collect().map(_.getLong(2)).toSet
+    assert(!log.contains(2L), "past-horizon no-op must compact away")
+    assert(log.contains(7L) && log.contains(8L))
+  }
+
   test("ivfIndexIngest: stream rejects semantic dups against the index, appends only novel vectors") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.SimilarityOps
