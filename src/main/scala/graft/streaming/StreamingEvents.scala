@@ -301,7 +301,7 @@ object StreamingEvents {
 
     // prefix real values so a NULL stratum can never collide with a
     // genuine empty-string (or "null") stratum
-    keyed.groupByKey(t => if (t._1 == null) " " else "v" + t._1)
+    keyed.groupByKey(t => if (t._1 == null) "\u0000" else "v" + t._1)
       .flatMapGroupsWithState(OutputMode.Update(),
         GroupStateTimeout.NoTimeout())(step)
   }
