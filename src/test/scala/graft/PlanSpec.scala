@@ -96,6 +96,25 @@ class PlanSpec extends SparkTestBase {
       s"unexpected nested-loop shape:\n${bnlj.mkString("\n")}")
   }
 
+  test("q181/q183/q185: cohort, transitions and canonical dedup plan no cartesian, windows stay keyed") {
+    Seq("q181_cohort_retention", "q183_event_transitions",
+        "q185_canonical_dedup").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")
+      // every window in these plans is user-keyed; an unpartitioned
+      // window would funnel the corpus through one task
+      assert(!p.contains("Window [") || !p.contains("No Partition"),
+        s"$q has an unpartitioned window")
+    }
+    // q183's lead window is per-user: the Window node must carry a
+    // partition spec
+    val p183 = plan("q183_event_transitions")
+    val winLines = p183.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.forall(_.contains("user_id")),
+      s"q183 window must partition by user_id:\n${winLines.mkString("\n")}")
+  }
+
   test("q30 plans zero joins; q21 plans exactly one shuffled self-join") {
     // round-4 shapes: q30's grouped-bucket pair expansion removed the
     // banded self-join entirely (the fingerprint subtree has ONE consumer);
