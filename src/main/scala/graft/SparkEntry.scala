@@ -229,7 +229,8 @@ object SparkEntry {
        |  ORDER BY h, vec_id LIMIT 8)""".stripMargin
   }
 
-  private val pqOracleCtes: String = {
+  private def pqOracleCtes(
+      sampleSql: String = "q.vec_id % 100 = 7"): String = {
     s"""$pqBaseCtes,
        |cb0 AS (SELECT t.m, CAST(rk - 1 AS INTEGER) AS cell,
        |    qv[t.m*16 + 1 : t.m*16 + 16] AS c
@@ -242,7 +243,7 @@ object SparkEntry {
        |    FROM qv q CROSS JOIN cb2 c) WHERE rn = 1),
        |lut AS (SELECT q.vec_id AS query_id, c.m, c.cell,
        |    CAST(${pqSubDistSql("c")} AS BIGINT) AS ld
-       |  FROM qv q CROSS JOIN cb2 c WHERE q.vec_id % 100 = 7),
+       |  FROM qv q CROSS JOIN cb2 c WHERE $sampleSql),
        |adc AS (SELECT l.query_id, e.vec_id, CAST(sum(l.ld) AS BIGINT) AS adc_dist
        |  FROM enc e JOIN lut l ON l.m = e.m AND l.cell = e.cell
        |  GROUP BY 1, 2),
@@ -256,7 +257,8 @@ object SparkEntry {
     * order), corpus assignment `cassign`, and each query's 2-of-8 probe
     * selection `cprobe` — all exact integers.
     */
-  private val coarseOracleCtes: String = {
+  private def coarseOracleCtes(
+      sampleSql: String = "q.vec_id % 100 = 7"): String = {
     def cdist(cbAlias: String) =
       s"list_sum(list_transform(range(1, 65), d -> " +
         s"(q.qv[d] - $cbAlias.c[d]) * (q.qv[d] - $cbAlias.c[d])))"
@@ -287,7 +289,7 @@ object SparkEntry {
        |cprobe AS (SELECT vec_id AS query_id, cell FROM (
        |    SELECT q.vec_id, c.cell, row_number() OVER (
        |      PARTITION BY q.vec_id ORDER BY ${cdist("c")}, c.cell) AS rn
-       |    FROM qv q CROSS JOIN ccb2 c WHERE q.vec_id % 100 = 7)
+       |    FROM qv q CROSS JOIN ccb2 c WHERE $sampleSql)
        |  WHERE rn <= 2)""".stripMargin
   }
 
@@ -1326,6 +1328,25 @@ object SparkEntry {
           col("max_comp"),
           coalesce(col("n_leak_pairs"), lit(0L)).as("n_leak_pairs"))
         .orderBy(col("split"))
+    },
+
+    // the FIXED-QUERY-BUDGET partial-probe ANN serving shape — what the
+    // 100x probe showed the corpus-proportional audits (q108/q109) are
+    // not: queries = a ~50-doc md5 sample auto-sized at every SF (the
+    // q165 rule), probes 2 of 8 lattice cells from the persisted index,
+    // so cost stays ~|queries| x occupancy x nProbe/nCells — linear in
+    // the corpus, flat in the query set — and the lattice quantizer keeps
+    // even the partial probe oracle-replayable
+    "q186_ivfpq_probe_scaled" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      SimilarityOps.ensureIvfPqIndex(emb, "graft_q186_ivfpq", corpusTag = d,
+        nCells = 8, coarse = "lattice")
+      val k = math.max(1L, emb.count() / 50L)
+      val queries = emb.filter(pmod(DetHash.md5Hash60(
+        concat(lit("annq|"), col("vec_id").cast("string"))), lit(k)) === 0)
+      SimilarityOps.ivfPqTopKPersisted(queries, "graft_q186_ivfpq",
+          k = 10, nProbe = 2)
+        .orderBy(col("query_id"), col("rank"))
     },
 
     // CANONICAL near-exact dedup: ASCII casefold + punctuation-to-space +
@@ -2994,7 +3015,7 @@ object SparkEntry {
     // the shared PQ lifecycle CTEs; distortion = the assignment minimum
     // against the trained cb2, summed per subspace in exact integers
     "q119_pq_distortion" ->
-      s"""WITH $pqOracleCtes,
+      s"""WITH ${pqOracleCtes()},
          |dst AS (SELECT q.vec_id, CAST(c.m AS INTEGER) AS m,
          |    min(${"list_sum(list_transform(range(1, 17), d -> " +
           "(q.qv[c.m*16 + d] - c.c[d]) * (q.qv[c.m*16 + d] - c.c[d])))"}) AS d
@@ -4015,6 +4036,26 @@ object SparkEntry {
          |  FROM szt)
          |SELECT * FROM sc UNION ALL SELECT * FROM st ORDER BY scheme""".stripMargin,
 
+    // q109's padc replay with the md5 auto-sized sample substituted into
+    // both the LUT and probe-selection CTEs — constant |queries| at any sf
+    "q186_ivfpq_probe_scaled" -> {
+      val samp = s"${ops.DetHash.sqlMd5Hash60("'annq|' || CAST(q.vec_id AS VARCHAR)")}" +
+        " % (SELECT greatest(1, count(*) // 50) FROM embeddings) = 0"
+      s"""WITH ${pqOracleCtes(samp)},
+         |${coarseOracleCtes(samp)},
+         |padc AS (SELECT l.query_id, e.vec_id, CAST(sum(l.ld) AS BIGINT) AS adc_dist
+         |  FROM enc e
+         |  JOIN cassign ca ON ca.vec_id = e.vec_id
+         |  JOIN cprobe p ON p.cell = ca.cell
+         |  JOIN lut l ON l.m = e.m AND l.cell = e.cell AND l.query_id = p.query_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, vec_id, adc_dist, rank FROM (
+         |  SELECT query_id, vec_id, adc_dist, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
+         |  FROM padc)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+
     // the same instrumented twins, the same canonicalization chain (with
     // DuckDB's explicit 'g' flags), md5 hex digests compared directly
     "q185_canonical_dedup" ->
@@ -4279,7 +4320,7 @@ object SparkEntry {
     // every kept row is a total-order fact both engines derive
     "q132_cluster_sample" ->
       s"""WITH $pqBaseCtes,
-         |$coarseOracleCtes,
+         |${coarseOracleCtes()},
          |q AS (SELECT doc_id, $qualitySqlExpr AS quality FROM documents),
          |r AS (SELECT a.vec_id AS doc_id, a.cell, q.quality,
          |    row_number() OVER (PARTITION BY a.cell
@@ -4463,7 +4504,7 @@ object SparkEntry {
       val l2own = "CAST(list_sum(list_transform(range(1, 65), d -> " +
         "(q.qv[d] - c.c[d]) * (q.qv[d] - c.c[d]))) AS BIGINT)"
       s"""WITH $pqBaseCtes,
-         |$coarseOracleCtes,
+         |${coarseOracleCtes()},
          |l2c AS (SELECT a.vec_id, a.cell, $l2own AS l2_centroid
          |  FROM cassign a JOIN qv q ON q.vec_id = a.vec_id
          |  JOIN ccb2 c ON c.cell = a.cell),
@@ -4902,7 +4943,7 @@ object SparkEntry {
     // floor(sum/n + 0.5) centroids, empty cells frozen), encode, per-query
     // LUTs, ADC rank — all arithmetic exact integers
     "q103_pq_topk" ->
-      s"""WITH $pqOracleCtes
+      s"""WITH ${pqOracleCtes()}
          |SELECT query_id, vec_id, adc_dist, rank FROM pqtk
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
@@ -4910,7 +4951,7 @@ object SparkEntry {
     // only routes, ADC depends on the PQ model alone — so the persisted
     // lifecycle must reproduce q103's independently replayed ranking
     "q108_ivfpq_topk" ->
-      s"""WITH $pqOracleCtes
+      s"""WITH ${pqOracleCtes()}
          |SELECT query_id, vec_id, adc_dist, rank FROM pqtk
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
@@ -4921,8 +4962,8 @@ object SparkEntry {
     // selection, and the ADC ranking restricted to probed cells — every
     // step exact integers
     "q109_det_ivfpq_partial" -> {
-      s"""WITH $pqOracleCtes,
-         |$coarseOracleCtes,
+      s"""WITH ${pqOracleCtes()},
+         |${coarseOracleCtes()},
          |padc AS (SELECT l.query_id, e.vec_id, CAST(sum(l.ld) AS BIGINT) AS adc_dist
          |  FROM enc e
          |  JOIN cassign ca ON ca.vec_id = e.vec_id
@@ -4944,7 +4985,7 @@ object SparkEntry {
     // intermediate an exact integer, nothing in the answer unverified
     "q111_ivfadc_residual" -> {
       s"""WITH $pqBaseCtes,
-         |$coarseOracleCtes,
+         |${coarseOracleCtes()},
          |rv AS (SELECT q.vec_id, list_transform(range(1, 65),
          |      d -> q.qv[d] - c.c[d]) AS qv
          |  FROM qv q JOIN cassign a USING (vec_id)
@@ -4982,7 +5023,7 @@ object SparkEntry {
     // the SAME quantized lattice; recall = the exact integer quotient of
     // the per-query intersection count
     "q107_pq_recall" ->
-      s"""WITH $pqOracleCtes,
+      s"""WITH ${pqOracleCtes()},
          |exd AS (SELECT e.query_id, q.vec_id,
          |    list_sum(list_transform(range(1, 65), d ->
          |      CAST(q.qv[d] - e.qq[d] AS BIGINT) * (q.qv[d] - e.qq[d]))) AS l2
