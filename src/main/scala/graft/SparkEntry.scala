@@ -1330,6 +1330,17 @@ object SparkEntry {
         .orderBy(col("split"))
     },
 
+    // SORTED-NEIGHBORHOOD near-dup pairs (Hernández-Stolfo SNM): the
+    // third candidate-generation family beside hash banding and embedding
+    // buckets — corpus ordered by the canonical-prefix key, every pair
+    // within w=10 positions verified by exact shingle Jaccard. Global
+    // positions via the two-level bucket construction, never a global
+    // window
+    "q187_snm_pairs" -> ((s, d) =>
+      DedupOps.sortedNeighborhoodPairs(t(s, d, "documents"),
+          w = 10, minJaccard = 0.1)
+        .orderBy(col("a"), col("b"))),
+
     // the FIXED-QUERY-BUDGET partial-probe ANN serving shape — what the
     // 100x probe showed the corpus-proportional audits (q108/q109) are
     // not: queries = a ~50-doc md5 sample auto-sized at every SF (the
@@ -4035,6 +4046,36 @@ object SparkEntry {
          |    CAST(COALESCE(sum(sz), 0) - count(*) AS BIGINT) AS docs_struck
          |  FROM szt)
          |SELECT * FROM sc UNION ALL SELECT * FROM st ORDER BY scheme""".stripMargin,
+
+    // the canonical-prefix 6-bit key, ONE global row_number (fine in the
+    // oracle — the engine's two-level construction is the scale shape),
+    // the w-band position join, the q21 shingle-set verify
+    "q187_snm_pairs" -> {
+      val keySql = (0 until 8).map { i =>
+        s"""CAST(CASE WHEN ascii(substring(canon, ${i + 1}, 1)) BETWEEN 48 AND 57
+           |  THEN ascii(substring(canon, ${i + 1}, 1)) - 47
+           |  WHEN ascii(substring(canon, ${i + 1}, 1)) BETWEEN 97 AND 122
+           |  THEN ascii(substring(canon, ${i + 1}, 1)) - 86
+           |  ELSE 0 END AS BIGINT) * ${1L << (6 * (7 - i))}""".stripMargin
+      }.mkString(" + ")
+      s"""WITH $hashedShinglesCte,
+         |cn AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+         |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS canon
+         |  FROM documents),
+         |kx AS (SELECT doc_id, $keySql AS key FROM cn),
+         |p AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY key, doc_id) - 1 AS pos FROM kx),
+         |cand AS (SELECT a.doc_id AS a, b.doc_id AS b FROM p a JOIN p b
+         |  ON b.pos > a.pos AND b.pos <= a.pos + 10),
+         |inv AS (SELECT id, sz, unnest(hs) AS tok FROM sized)
+         |SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS inter,
+         |  CAST(count(*) AS DOUBLE) / (l.sz + r.sz - count(*)) AS jaccard
+         |FROM cand c JOIN inv l ON l.id = c.a
+         |  JOIN inv r ON r.id = c.b AND r.tok = l.tok
+         |GROUP BY c.a, c.b, l.sz, r.sz
+         |HAVING CAST(count(*) AS DOUBLE) / (l.sz + r.sz - count(*)) >= 0.1
+         |ORDER BY c.a, c.b""".stripMargin
+    },
 
     // q109's padc replay with the md5 auto-sized sample substituted into
     // both the LUT and probe-selection CTEs — constant |queries| at any sf

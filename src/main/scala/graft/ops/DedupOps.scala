@@ -125,6 +125,92 @@ object DedupOps {
         .groupBy(col("id")).agg(collect_set(col("h")).as("hs"))
         .select(col("id"), col("hs"), size(col("hs")).cast("long").as("sz")))
 
+  /** 6-bit-per-char packing of the first `chars` characters of the
+    * [[canonicalText]] form into one sortable BIGINT — the
+    * SORTED-NEIGHBORHOOD blocking key: space/absent → 0, digits → 1..10,
+    * letters → 11..36, so integer order == lexicographic order of the
+    * canonical prefix (shorter strings sort as space-padded). Pure
+    * arithmetic over `ascii(substring(...))`, identical in Spark and SQL.
+    */
+  def snmKey(c: Column, chars: Int = 8): Column = {
+    require(chars >= 1 && chars <= 10, "chars in [1,10] (6 bits each)")
+    val canon = canonicalText(c)
+    (0 until chars).map { i =>
+      val a = ascii(substring(canon, i + 1, 1))
+      val code = when(a.between(48, 57), a - 47)
+        .when(a.between(97, 122), a - 86)
+        .otherwise(lit(0))
+      code.cast("long") * lit(1L << (6 * (chars - 1 - i)))
+    }.reduce(_ + _)
+  }
+
+  /** SORTED-NEIGHBORHOOD near-dup pairs (Hernández & Stolfo's SNM — the
+    * classic sort-based candidate generator, the third family beside
+    * hash banding (MinHash/SimHash) and embedding buckets (SRP/IVF)):
+    * sort the corpus by a content key ([[snmKey]] over the canonical
+    * prefix), take every pair within `w` positions as a candidate, verify
+    * by exact shingle Jaccard. Catches prefix-anchored near-dups (same
+    * title/lede, edited tail) that token-hash banding can miss when the
+    * edit moves many shingles, and costs exactly |corpus|·w candidates —
+    * no collision-distribution assumptions.
+    *
+    * Scale shape: NO global sort/window — global positions come from the
+    * [[graft.ops.RelationalOps.deterministicShuffle]] two-level
+    * construction (bucket = the key's top `bucketBits` bits, so bucket
+    * order == key order; per-bucket rank + broadcast exclusive-prefix
+    * offsets). Candidates are two equi-joins on the position block
+    * `pos div w` (each pair within w spans at most two blocks); verify is
+    * the id-keyed set join every verified-pair operator here uses. One
+    * honesty note vs the md5 shuffle: bucket balance follows the KEY
+    * distribution — a corpus whose canonical prefixes all collide funnels
+    * into few buckets; raise `chars`/`bucketBits` (more prefix entropy in
+    * the top bits) when the key histogram says so.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, w: Int = 10,
+                              minJaccard: Double = 0.1,
+                              textCol: String = "text",
+                              idCol: String = "doc_id",
+                              chars: Int = 8, bucketBits: Int = 10,
+                              shingleK: Int = 3,
+                              scope: CacheScope = CacheScope.default): DataFrame = {
+    require(w >= 1, "window w >= 1")
+    val keyed = df.select(col(idCol).as("id"),
+      snmKey(col(textCol), chars).as("__k"))
+      .withColumn("__b", shiftright(col("__k"), 6 * chars - bucketBits))
+    val perBucket = keyed.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = perBucket
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__k"), col("id"))
+    val positioned = keyed.join(broadcast(offsets), Seq("__b"))
+      .withColumn("pos", col("__off") + row_number().over(wRank) - 1)
+      .select(col("id"), col("pos"), (col("pos") / w).cast("long").as("blk"))
+    val left = positioned
+      .select(col("id").as("a"), col("pos").as("pa"),
+        explode(array(col("blk"), col("blk") + 1)).as("blk"))
+    val cand = left
+      .join(positioned.select(col("id").as("b"), col("pos").as("pb"),
+        col("blk")), Seq("blk"))
+      .filter(col("pb") > col("pa") && col("pb") <= col("pa") + w)
+      .select(col("a"), col("b"))
+    val hashed = shingleHashSets(df, textCol, idCol, shingleK, scope)
+    cand
+      .join(hashed.select(col("id").as("a"), col("hs").as("hsa"),
+        col("sz").as("sza")), Seq("a"))
+      .join(hashed.select(col("id").as("b"), col("hs").as("hsb"),
+        col("sz").as("szb")), Seq("b"))
+      .withColumn("inter",
+        size(array_intersect(col("hsa"), col("hsb"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= lit(minJaccard))
+      .select(col("a"), col("b"), col("inter"), col("jaccard"))
+  }
+
   /** k-wide MinHash signatures as k columns `s0..s{k-1}` from (id, h)
     * shingle rows: codegen'd `min` aggregates of k integer permutations
     * `(a_i·h + b_i) mod P`. One shuffle on id with full map-side partial

@@ -385,6 +385,34 @@ class OpsSpec extends SparkTestBase {
     assert(c === "the quick brown fox")
   }
 
+  test("sortedNeighborhoodPairs: prefix-adjacent near-dup verified, unrelated neighbor rejected") {
+    // canonical sort order: docs 1,2 share the 8-char prefix (tie broken
+    // by id), doc 3 sorts last; w=1 candidates are (1,2) and (2,3)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delt"),
+      (3L, "zzz completely different thing here")
+    ).toDF("doc_id", "text")
+    val scope = CacheScope()
+    val pairs = DedupOps.sortedNeighborhoodPairs(docs, w = 1,
+        minJaccard = 0.1, scope = scope).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // (1,2): shingles {abg,bgd} vs {abg,bg'} share 1 of 3; (2,3) shares 0
+    assert(pairs === Map((1L, 2L) -> 1L))
+    // key order: space(0) < digits < letters, shorter = zero-padded
+    val ks = Seq("a", "a a", "aa", "a1", "zz")
+      .toDF("t").select(DedupOps.snmKey(col("t")))
+      .collect().map(_.getLong(0))
+    assert(ks(0) < ks(1) && ks(1) < ks(3) && ks(3) < ks(2) && ks(2) < ks(4),
+      s"key order broken: ${ks.mkString(",")}")
+    // partition invariance of the two-level position construction
+    val re = DedupOps.sortedNeighborhoodPairs(docs.repartition(7), w = 1,
+        minJaccard = 0.1, scope = scope).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(re === Set((1L, 2L)))
+    scope.release()
+  }
+
   test("clusterSafeSplit: whole component shares one split; singletons follow their own id") {
     val rows = (1L to 6L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
