@@ -47,6 +47,22 @@ object ScaleUp {
 
     def shift(c: String, i: Int) = col(c) + lit(i * Offset)
 
+    // refuse to re-scale an already-scaled directory: input ids >= Offset
+    // mean a prior ScaleUp shifted them, and shifting again makes replica
+    // ids COLLIDE (base + r1*Offset + r2*Offset double-counts every sum),
+    // which silently corrupts id-keyed joins downstream (measured: a
+    // 200k-vector corpus with 38k distinct ids turned an ANN probe
+    // quadratic). Always scale from the ORIGINAL sf directory.
+    Seq("orders" -> "o_orderkey", "documents" -> "doc_id",
+        "embeddings" -> "vec_id", "events" -> "event_id").foreach {
+      case (t, c) =>
+        val mx = read(t).agg(max(col(c))).head().getLong(0)
+        require(mx < Offset,
+          s"$inDir/$t.parquet has $c up to $mx >= $Offset — already " +
+            "ScaleUp output; re-scaling would collide replica ids. " +
+            "Scale from the original sf directory with a larger factor.")
+    }
+
     write(read("region"), "region")
     write(read("nation"), "nation")
     write(rep(read("customer")) { (d, i) => d.withColumn("c_custkey", shift("c_custkey", i)) }, "customer")
