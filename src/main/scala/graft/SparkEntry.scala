@@ -1330,6 +1330,27 @@ object SparkEntry {
         .orderBy(col("split"))
     },
 
+    // the GRAPH tier's sf-scaled exactness gate (the q165/q167 rule): the
+    // full-graph census/truss forms are oracle-gated at sf0.01/sf0.1, but
+    // at sf1 the 0.2 graph has 925k edges / 91M wedges and the DuckDB
+    // replay of five unrolled wedge rounds + a recursive closure is
+    // intractable — so this runs the SAME composition on the INDUCED
+    // subgraph of an md5 vertex sample auto-sized to ~2000 vertices
+    // (sampling an induced subgraph commutes with every graph operator by
+    // definition), keeping the oracle ~constant-cost at every sf. At
+    // sf0.01 the sample is the whole corpus — identical to q182
+    "q188_graph_tier_sampled" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val k = math.max(1L, emb.count() / 2000L)
+      def in(c: org.apache.spark.sql.Column) = pmod(DetHash.md5Hash60(
+        concat(lit("gts|"), c.cast("string"))), lit(k)) === 0
+      GraphOps.trussDedupEffect(
+        SimilarityOps.srpNearDupPairs(emb, 0.2)
+          .filter(in(col("a")) && in(col("b")))
+          .select(col("a"), col("b")), k = 3, rounds = 4)
+        .orderBy(col("scheme"))
+    },
+
     // SORTED-NEIGHBORHOOD near-dup pairs (Hernández-Stolfo SNM): the
     // third candidate-generation family beside hash banding and embedding
     // buckets — corpus ordered by the canonical-prefix key, every pair
@@ -4046,6 +4067,48 @@ object SparkEntry {
          |    CAST(COALESCE(sum(sz), 0) - count(*) AS BIGINT) AS docs_struck
          |  FROM szt)
          |SELECT * FROM sc UNION ALL SELECT * FROM st ORDER BY scheme""".stripMargin,
+
+    // the q182 oracle with the md5 vertex sample applied to pr2 before
+    // everything graph-shaped — constant oracle cost at any sf
+    "q188_graph_tier_sampled" -> {
+      val samp = (side: String) =>
+        s"${ops.DetHash.sqlMd5Hash60(s"'gts|' || CAST($side AS VARCHAR)")}" +
+          " % (SELECT greatest(1, count(*) // 2000) FROM embeddings) = 0"
+      s"""WITH RECURSIVE ${srpPairsCte(0.2)},
+         |e0 AS MATERIALIZED (SELECT a, b FROM pr2
+         |  WHERE ${samp("a")} AND ${samp("b")}),
+         |${(0 until 4).map(i => trussRoundCte(i, 1, withNext = true))
+           .mkString(",\n")},
+         |edc AS (SELECT a AS x, b AS y FROM e0 UNION ALL SELECT b, a FROM e0),
+         |vc AS (SELECT DISTINCT x FROM edc),
+         |reachc AS (SELECT x, x AS comp FROM vc
+         |  UNION SELECT edc.x, r.comp FROM edc JOIN reachc r ON r.x = edc.y),
+         |ccc AS (SELECT x, min(comp) AS comp FROM reachc GROUP BY x),
+         |szc AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz
+         |  FROM ccc GROUP BY 1),
+         |edt AS (SELECT a AS x, b AS y FROM e4 UNION ALL SELECT b, a FROM e4),
+         |vt AS (SELECT DISTINCT x FROM edt),
+         |reacht AS (SELECT x, x AS comp FROM vt
+         |  UNION SELECT edt.x, r.comp FROM edt JOIN reacht r ON r.x = edt.y),
+         |cct AS (SELECT x, min(comp) AS comp FROM reacht GROUP BY x),
+         |szt AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz
+         |  FROM cct GROUP BY 1),
+         |sc AS (SELECT 'closure' AS scheme,
+         |    CAST((SELECT count(*) FROM e0) AS BIGINT) AS n_edges,
+         |    CAST(count(*) AS BIGINT) AS n_clusters,
+         |    CAST(COALESCE(sum(sz), 0) AS BIGINT) AS n_members,
+         |    CAST(COALESCE(max(sz), 0) AS BIGINT) AS largest_cluster,
+         |    CAST(COALESCE(sum(sz), 0) - count(*) AS BIGINT) AS docs_struck
+         |  FROM szc),
+         |st AS (SELECT 'truss3' AS scheme,
+         |    CAST((SELECT count(*) FROM e4) AS BIGINT) AS n_edges,
+         |    CAST(count(*) AS BIGINT) AS n_clusters,
+         |    CAST(COALESCE(sum(sz), 0) AS BIGINT) AS n_members,
+         |    CAST(COALESCE(max(sz), 0) AS BIGINT) AS largest_cluster,
+         |    CAST(COALESCE(sum(sz), 0) - count(*) AS BIGINT) AS docs_struck
+         |  FROM szt)
+         |SELECT * FROM sc UNION ALL SELECT * FROM st ORDER BY scheme""".stripMargin
+    },
 
     // the canonical-prefix 6-bit key, ONE global row_number (fine in the
     // oracle — the engine's two-level construction is the scale shape),
