@@ -1335,13 +1335,13 @@ object SparkEntry {
     // at sf1 the 0.2 graph has 925k edges / 91M wedges and the DuckDB
     // replay of five unrolled wedge rounds + a recursive closure is
     // intractable — so this runs the SAME composition on the INDUCED
-    // subgraph of an md5 vertex sample auto-sized to ~2000 vertices
+    // subgraph of an md5 vertex sample auto-sized to ~500 vertices
     // (sampling an induced subgraph commutes with every graph operator by
     // definition), keeping the oracle ~constant-cost at every sf. At
     // sf0.01 the sample is the whole corpus — identical to q182
     "q188_graph_tier_sampled" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
-      val k = math.max(1L, emb.count() / 2000L)
+      val k = math.max(1L, emb.count() / 500L)
       def in(c: org.apache.spark.sql.Column) = pmod(DetHash.md5Hash60(
         concat(lit("gts|"), c.cast("string"))), lit(k)) === 0
       GraphOps.trussDedupEffect(
@@ -4073,7 +4073,7 @@ object SparkEntry {
     "q188_graph_tier_sampled" -> {
       val samp = (side: String) =>
         s"${ops.DetHash.sqlMd5Hash60(s"'gts|' || CAST($side AS VARCHAR)")}" +
-          " % (SELECT greatest(1, count(*) // 2000) FROM embeddings) = 0"
+          " % (SELECT greatest(1, count(*) // 500) FROM embeddings) = 0"
       s"""WITH RECURSIVE ${srpPairsCte(0.2)},
          |e0 AS MATERIALIZED (SELECT a, b FROM pr2
          |  WHERE ${samp("a")} AND ${samp("b")}),

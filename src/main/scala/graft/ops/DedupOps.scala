@@ -132,9 +132,19 @@ object DedupOps {
     * canonical prefix (shorter strings sort as space-padded). Pure
     * arithmetic over `ascii(substring(...))`, identical in Spark and SQL.
     */
-  def snmKey(c: Column, chars: Int = 8): Column = {
+  def snmKey(c: Column, chars: Int = 8): Column =
+    snmKeyFromCanon(canonicalText(c), chars)
+
+  /** [[snmKey]] when the canonical string is ALREADY a materialized
+    * column. Callers packing inside an operator must project
+    * [[canonicalText]] first and pack from the projected column — the
+    * packing reads `chars` characters, and Catalyst does NOT common out
+    * the canonicalization regex chain across the per-character
+    * extractions (measured: 8 chars recomputed the two-regex chain 8+
+    * times per row, dominating the whole SNM stage).
+    */
+  def snmKeyFromCanon(canon: Column, chars: Int = 8): Column = {
     require(chars >= 1 && chars <= 10, "chars in [1,10] (6 bits each)")
-    val canon = canonicalText(c)
     (0 until chars).map { i =>
       val a = ascii(substring(canon, i + 1, 1))
       val code = when(a.between(48, 57), a - 47)
@@ -174,9 +184,14 @@ object DedupOps {
                               shingleK: Int = 3,
                               scope: CacheScope = CacheScope.default): DataFrame = {
     require(w >= 1, "window w >= 1")
-    val keyed = df.select(col(idCol).as("id"),
-      snmKey(col(textCol), chars).as("__k"))
-      .withColumn("__b", shiftright(col("__k"), 6 * chars - bucketBits))
+    // canonicalize+pack ONCE per row and CACHE: the keyed frame feeds the
+    // bucket-count broadcast subquery, the rank window AND both candidate
+    // join sides — uncached, Catalyst re-evaluates the regex chain + pack
+    // (~1 ms/row measured) once per consumer, quadrupling the stage
+    val keyed = scope.register(df
+      .select(col(idCol).as("id"), canonicalText(col(textCol)).as("__c"))
+      .select(col("id"), snmKeyFromCanon(col("__c"), chars).as("__k"))
+      .withColumn("__b", shiftright(col("__k"), 6 * chars - bucketBits)))
     val perBucket = keyed.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
     val wOff = org.apache.spark.sql.expressions.Window
       .orderBy(col("__b"))
