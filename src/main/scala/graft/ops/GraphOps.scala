@@ -351,7 +351,10 @@ object GraphOps {
     * no driver state.
     */
   def triangleCounts(pairs: DataFrame): DataFrame = {
-    val und = normalized(pairs)
+    // localCheckpoint: deg/oriented/the closing-edge join each consume the
+    // edge set — uncached they would re-run the whole upstream pair
+    // generation (for SRP inputs, the banding + cosine-verify chain)
+    val und = normalized(pairs).localCheckpoint()
     val deg = degrees(und)
     val o = oriented(und, deg)
     val x = o.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
@@ -429,21 +432,33 @@ object GraphOps {
       ids.foreach(id => sc.getPersistentRDDs.get(id)
         .foreach(_.unpersist(blocking = false)))
     var (cur, curIds) = checkpointTracked(normalized(pairs))
+    var prevCount = cur.count()
     var r = 0
-    while (r < rounds) {
+    var converged = false
+    while (r < rounds && !converged) {
       val (next, nextIds) = checkpointTracked(
         edgeSupport(cur).filter(col("support") >= k - 2)
           .select(col("a"), col("b")))
+      // edge counts are monotone decreasing under peeling; an UNCHANGED
+      // count means no edge was dropped, i.e. every edge already had
+      // support >= k-2 within the current subgraph — the fixpoint, proven
+      // without the extra verification pass (counts on checkpointed
+      // frames are cheap)
+      val n = next.count()
       free(curIds); cur = next; curIds = nextIds
+      converged = n == prevCount
+      prevCount = n
       r += 1
     }
     val fin = edgeSupport(cur)
-    val bad = fin.filter(col("support") < k - 2).limit(1).count()
-    if (bad > 0) {
-      free(curIds)
-      throw new IllegalStateException(
-        s"trussEdges did not converge in $rounds rounds (k=$k) — raise " +
-          "`rounds`; refusing to return a non-truss silently")
+    if (!converged) {
+      val bad = fin.filter(col("support") < k - 2).limit(1).count()
+      if (bad > 0) {
+        free(curIds)
+        throw new IllegalStateException(
+          s"trussEdges did not converge in $rounds rounds (k=$k) — raise " +
+            "`rounds`; refusing to return a non-truss silently")
+      }
     }
     fin
   }
@@ -474,9 +489,10 @@ object GraphOps {
           col("n_clusters"), col("n_members"), col("largest_cluster"),
           (col("n_members") - col("n_clusters")).as("docs_struck"))
     }
-    summarize(normalized(pairs), "closure")
+    val und = normalized(pairs).localCheckpoint()
+    summarize(und, "closure")
       .unionByName(summarize(
-        trussEdges(pairs, k, rounds).select(col("a"), col("b")),
+        trussEdges(und, k, rounds).select(col("a"), col("b")),
         s"truss$k"))
   }
 
@@ -501,7 +517,9 @@ object GraphOps {
     * is one row per component; no stage is pair-quadratic.
     */
   def clusterCensus(pairs: DataFrame): DataFrame = {
-    val und = normalized(pairs)
+    // four consumers (degrees, CC, triangles, edge-comp join) — checkpoint
+    // the edge set once; see [[triangleCounts]]
+    val und = normalized(pairs).localCheckpoint()
     val deg = degrees(und)
     val comp = connectedComponents(und, deg.select(col("v").as("id")))
       .select(col("id").as("v"), col("comp"))
@@ -537,7 +555,7 @@ object GraphOps {
     * [[triangleCounts]]).
     */
   def triangleStats(pairs: DataFrame): DataFrame = {
-    val und = normalized(pairs)
+    val und = normalized(pairs).localCheckpoint()
     val deg = degrees(und)
     val o = oriented(und, deg)
     val x = o.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
