@@ -35,6 +35,14 @@ case class PackedBlock(shard: Int, block: Long, n_docs: Long,
 case class PackState(block: Long, filled: Long, nDocs: Long,
                      firstDoc: Long, lastDoc: Long)
 
+/** One observed transition emitted by [[StreamingEvents.transitionStream]]. */
+case class Transition(user_id: Long, from_type: String, to_type: String)
+
+/** Per-user transition state: the (ts-micros, event_id, event_type) of the
+  * LAST event seen — one row per user, whatever the stream length.
+  */
+case class LastEvent(tsUs: Long, id: Long, tpe: String)
+
 /** Structured Streaming wrappers for the event analytics in
   * [[graft.ops.EventOps]]: the same windowed aggregation expressions run
   * over a `readStream` source with watermark-bounded state.
@@ -821,6 +829,52 @@ object StreamingEvents {
           pruneSnapshots(baseDir, keepSnapshots)
         }
       }
+  }
+
+  /** STREAMING first-order transitions — the streaming half of
+    * [[graft.ops.EventOps.transitionMatrix]]: one `Transition` row per
+    * consecutive event pair under the (ts, id) per-user order, INCLUDING
+    * pairs that straddle micro-batch boundaries (the rows a per-batch
+    * window would silently drop) — per user the state is just the last
+    * event seen. Downstream, counts are additive, so any sink can fold
+    * the rows into the (from, to) matrix incrementally.
+    *
+    * Contract: per-user arrival must respect (ts, id) ACROSS batches
+    * (within a batch any order works — rows are sorted per user before
+    * chaining); an event older than the user's recorded last event throws
+    * rather than emitting a transition that never happened (the CC
+    * maxIter rule: loud beats silently-wrong). State = ONE row per user,
+    * bounded by user cardinality, no timeout needed.
+    */
+  def transitionStream(events: DataFrame): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def step(user: Long,
+             rows: Iterator[(Long, Long, Long, String)],
+             state: GroupState[LastEvent]): Iterator[Transition] = {
+      val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+      var last = if (state.exists) Some(state.get) else None
+      val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+      sorted.foreach { case (_, ts, id, tpe) =>
+        last.foreach { l =>
+          require(ts > l.tsUs || (ts == l.tsUs && id > l.id),
+            s"out-of-order event for user $user: ($ts,$id) after " +
+              s"(${l.tsUs},${l.id}) — transitions would be wrong; " +
+              "deliver per-user in (ts, id) order")
+          out += Transition(user, l.tpe, tpe)
+        }
+        last = Some(LastEvent(ts, id, tpe))
+      }
+      last.foreach(state.update)
+      out.iterator
+    }
+    events.select(col("user_id").cast("long"),
+        unix_micros(col("ts")), col("event_id").cast("long"),
+        col("event_type").cast("string"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(step)
   }
 
   /** STREAMING SCD2 maintenance — the history half of the CDC family's

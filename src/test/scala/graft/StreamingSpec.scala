@@ -545,6 +545,42 @@ class StreamingSpec extends SparkTestBase {
       "corpus-level df strikes the boilerplate line from a 1-doc delta")
   }
 
+  test("transitionStream: cross-epoch pairs captured, singleton silent, folded counts == batch matrix") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.EventOps
+    val mem = MemoryStream[(Long, Timestamp, String, Long)]
+    val events = mem.toDF().toDF("user_id", "ts", "event_type", "event_id")
+    val query = StreamingEvents.transitionStream(events)
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode("append").start()
+    try {
+      // epoch 1 — u1: a,b (within-epoch pair); u3: singleton
+      mem.addData((1L, ts(10, 0), "a", 1L), (1L, ts(10, 2), "b", 2L),
+        (3L, ts(10, 5), "c", 9L))
+      query.processAllAvailable()
+      // epoch 2 — u1 continues with a: the b->a pair STRADDLES epochs;
+      // u2 starts fresh (no transition from nothing)
+      mem.addData((1L, ts(10, 6), "a", 3L), (2L, ts(10, 7), "x", 4L))
+      query.processAllAvailable()
+      // epoch 3 — u2's second event: another cross-epoch pair
+      mem.addData((2L, ts(10, 9), "y", 5L))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("trans_out")
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val all = Seq((1L, ts(10, 0), "a", 1L), (1L, ts(10, 2), "b", 2L),
+      (3L, ts(10, 5), "c", 9L), (1L, ts(10, 6), "a", 3L),
+      (2L, ts(10, 7), "x", 4L), (2L, ts(10, 9), "y", 5L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val batch = EventOps.transitionMatrix(all).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+    assert(streamed === Map(("a", "b") -> 1L, ("b", "a") -> 1L,
+      ("x", "y") -> 1L))
+  }
+
   test("scd2Ingest: streamed history == batch builder incl. a late splice; no-ops compact only past the horizon") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.EventOps
