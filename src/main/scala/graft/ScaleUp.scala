@@ -56,11 +56,16 @@ object ScaleUp {
     Seq("orders" -> "o_orderkey", "documents" -> "doc_id",
         "embeddings" -> "vec_id", "events" -> "event_id").foreach {
       case (t, c) =>
-        val mx = read(t).agg(max(col(c))).head().getLong(0)
-        require(mx < Offset,
-          s"$inDir/$t.parquet has $c up to $mx >= $Offset — already " +
-            "ScaleUp output; re-scaling would collide replica ids. " +
-            "Scale from the original sf directory with a larger factor.")
+        // max() over an empty table is NULL — getLong would NPE with an
+        // opaque error; an empty table trivially passes the guard
+        val row = read(t).agg(max(col(c))).head()
+        if (!row.isNullAt(0)) {
+          val mx = row.getLong(0)
+          require(mx < Offset,
+            s"$inDir/$t.parquet has $c up to $mx >= $Offset — already " +
+              "ScaleUp output; re-scaling would collide replica ids. " +
+              "Scale from the original sf directory with a larger factor.")
+        }
     }
 
     write(read("region"), "region")

@@ -1357,6 +1357,71 @@ object SparkEntry {
         .orderBy(col("scheme"))
     },
 
+    // the DEGREE-BOUNDED replacement for the fixed-ε graph the whole
+    // q178-q184 tier consumes: mutual-kNN edge selection (per-vertex top-4
+    // by exact cosine over the SRP candidates, kept only when mutual)
+    // bounds edges to n·k/2 BY CONSTRUCTION — the answer to the measured
+    // 10×-corpus → ~180×-edges densification of cos ≥ 0.2 — then the same
+    // closure-vs-truss dedup-effect audit runs on the bounded graph
+    "q189_knn_graph_effect" -> ((s, d) =>
+      GraphOps.trussDedupEffect(
+        SimilarityOps.knnGraph(t(s, d, "embeddings"), 0.2, kTop = 4)
+          .select(col("a"), col("b")), k = 3, rounds = 4)
+        .orderBy(col("scheme"))),
+
+    // the census → OPERATING-POINT recommender: one SRP candidate pass at
+    // the 0.2 floor, then every threshold in the grid evaluated from the
+    // same pair list (edges, endpoints, max/mean degree) and the smallest
+    // threshold keeping mean degree ≤ 4.0 flagged — the operator form of
+    // the manual "the census says re-tune ε" rule
+    "q190_threshold_sweep" -> ((s, d) =>
+      GraphOps.recommendThreshold(
+        SimilarityOps.srpNearDupPairs(t(s, d, "embeddings"), 0.2),
+        gridMicro = Seq(200000L, 250000L, 300000L, 350000L, 400000L,
+          450000L, 500000L),
+        targetMeanDegreeMicro = 4000000L)
+        .orderBy(col("thr_micro"))),
+
+    // q189's sf-scaled exactness gate (the q188 rule): the same mutual-kNN
+    // + dedup-effect composition on the induced md5 vertex sample
+    // auto-sized to ~500 vertices. Unlike the ε-graph, kNN selection does
+    // NOT commute with sampling (top-k within the sample ≠ top-k of the
+    // corpus restricted) — and doesn't need to: the gate's contract is
+    // engine == oracle on the SAME sampled computation, and both rank over
+    // the sample's candidate set. Banding the sample vs filtering the
+    // corpus's bands is value-identical (per-vector buckets; hot-bucket
+    // cap never binds at tested SFs — the q188 caveat)
+    "q191_knn_graph_sampled" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val k = math.max(1L, emb.count() / 500L)
+      def in(c: org.apache.spark.sql.Column) = pmod(DetHash.md5Hash60(
+        concat(lit("kgs|"), c.cast("string"))), lit(k)) === 0
+      GraphOps.trussDedupEffect(
+        SimilarityOps.knnGraph(emb.filter(in(col("vec_id"))), 0.2, kTop = 4)
+          .select(col("a"), col("b")), k = 3, rounds = 4)
+        .orderBy(col("scheme"))
+    },
+
+    // INCREMENTAL component maintenance, oracle-proved equal to the global
+    // recompute: the corpus (vec_id % 5 ≠ 0) is labeled once, then the
+    // batch's edges fold in through the label-contracted QUOTIENT graph —
+    // CC re-runs only on touched components + the batch, never the corpus.
+    // The oracle is the GLOBAL closure over all pairs at 0.4 (the q64
+    // graph): equality IS the correctness claim
+    "q192_incremental_cc" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val pairs = SimilarityOps.srpNearDupPairs(emb, 0.4)
+        .select(col("a"), col("b")).localCheckpoint()
+      val isOld = (c: org.apache.spark.sql.Column) => c % 5 =!= 0
+      val asg = GraphOps.connectedComponents(
+        pairs.filter(isOld(col("a")) && isOld(col("b"))),
+        emb.filter(isOld(col("vec_id"))).select(col("vec_id")), "vec_id")
+      GraphOps.incrementalComponents(asg,
+          pairs.filter(!isOld(col("a")) || !isOld(col("b"))),
+          emb.filter(!isOld(col("vec_id"))).select(col("vec_id")), "vec_id")
+        .orderBy(col("vec_id"))
+    },
+
     // SORTED-NEIGHBORHOOD near-dup pairs (Hernández-Stolfo SNM): the
     // third candidate-generation family beside hash banding and embedding
     // buckets — corpus ordered by the canonical-prefix key, every pair
@@ -1390,12 +1455,14 @@ object SparkEntry {
     // CANONICAL near-exact dedup: ASCII casefold + punctuation-to-space +
     // whitespace collapse, then the q18 digest kernel. The corpus has no
     // case/punct variants, so the fixture INSTRUMENTS it: every doc gains
-    // a perturbed twin (recased or double-spaced+punctuated, id + 1e9)
+    // a perturbed twin (recased or double-spaced+punctuated, id + 1e12 —
+    // far above any ScaleUp replica id, which reaches factor·1e8, so twin
+    // ids never collide with genuine replica ids at any tested factor)
     // that raw exact dedup cannot merge and canonical dedup must
     "q185_canonical_dedup" -> { (s, d) =>
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       val pert = docs.select(
-        (col("doc_id") + lit(1000000000L)).as("doc_id"),
+        (col("doc_id") + lit(1000000000000L)).as("doc_id"),
         when(col("doc_id") % 2 === 0, upper(col("text")))
           .otherwise(concat(regexp_replace(col("text"), " ", "  "),
             lit(" !!"))).as("text"))
@@ -2247,7 +2314,7 @@ object SparkEntry {
        |cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
        |  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
        |    AND l.vec_id < r.vec_id),
-       |pr2 AS (SELECT a, b FROM (
+       |pr2 AS (SELECT a, b, cos FROM (
        |    SELECT c.a, c.b, ${sqlCos("ae", "be")} AS cos
        |    FROM cand c JOIN e ae ON ae.vec_id = c.a JOIN e be ON be.vec_id = c.b)
        |  WHERE cos >= $minCos)""".stripMargin
@@ -2300,6 +2367,67 @@ object SparkEntry {
          |e${i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e$i e
          |  JOIN sup$i s ON s.a = e.a AND s.b = e.b
          |  WHERE s.support >= $kSup)""".stripMargin
+  }
+
+  /** The dedup-effect TAIL shared by q182/q188/q189/q191: consumes an
+    * `e0(a, b)` edge CTE, unrolls 4 truss peel rounds to `e4`
+    * ([[trussRoundCte]]), closes BOTH edge sets recursively and emits the
+    * one-row-per-scheme keep-one summary (mirrors
+    * `GraphOps.trussDedupEffect`). Callers prepend `WITH RECURSIVE` and
+    * their own `e0` definition.
+    */
+  private val trussEffectTailCte: String =
+    s"""${(0 until 4).map(i => trussRoundCte(i, 1, withNext = true))
+        .mkString(",\n")},
+       |edc AS (SELECT a AS x, b AS y FROM e0 UNION ALL SELECT b, a FROM e0),
+       |vc AS (SELECT DISTINCT x FROM edc),
+       |reachc AS (SELECT x, x AS comp FROM vc
+       |  UNION SELECT edc.x, r.comp FROM edc JOIN reachc r ON r.x = edc.y),
+       |ccc AS (SELECT x, min(comp) AS comp FROM reachc GROUP BY x),
+       |szc AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz
+       |  FROM ccc GROUP BY 1),
+       |edt AS (SELECT a AS x, b AS y FROM e4 UNION ALL SELECT b, a FROM e4),
+       |vt AS (SELECT DISTINCT x FROM edt),
+       |reacht AS (SELECT x, x AS comp FROM vt
+       |  UNION SELECT edt.x, r.comp FROM edt JOIN reacht r ON r.x = edt.y),
+       |cct AS (SELECT x, min(comp) AS comp FROM reacht GROUP BY x),
+       |szt AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz
+       |  FROM cct GROUP BY 1),
+       |sc AS (SELECT 'closure' AS scheme,
+       |    CAST((SELECT count(*) FROM e0) AS BIGINT) AS n_edges,
+       |    CAST(count(*) AS BIGINT) AS n_clusters,
+       |    CAST(COALESCE(sum(sz), 0) AS BIGINT) AS n_members,
+       |    CAST(COALESCE(max(sz), 0) AS BIGINT) AS largest_cluster,
+       |    CAST(COALESCE(sum(sz), 0) - count(*) AS BIGINT) AS docs_struck
+       |  FROM szc),
+       |st AS (SELECT 'truss3' AS scheme,
+       |    CAST((SELECT count(*) FROM e4) AS BIGINT) AS n_edges,
+       |    CAST(count(*) AS BIGINT) AS n_clusters,
+       |    CAST(COALESCE(sum(sz), 0) AS BIGINT) AS n_members,
+       |    CAST(COALESCE(max(sz), 0) AS BIGINT) AS largest_cluster,
+       |    CAST(COALESCE(sum(sz), 0) - count(*) AS BIGINT) AS docs_struck
+       |  FROM szt)
+       |SELECT * FROM sc UNION ALL SELECT * FROM st ORDER BY scheme""".stripMargin
+
+  /** Mutual-kNN edge-selection CTEs ending in `e0(a, b)` — mirrors
+    * `SimilarityOps.knnGraph` over `pr2(a, b, cos)`: symmetrize, rank per
+    * vertex by (cos desc, neighbor id), keep top `kTop`, keep only mutual
+    * edges. `extraFilter` optionally restricts the candidate pairs first
+    * (the sampled-gate form).
+    */
+  private def knnEdgesCte(kTop: Int, extraFilter: Option[String] = None): String = {
+    val src = extraFilter
+      .map(f => s"SELECT a, b, cos FROM pr2 WHERE $f")
+      .getOrElse("SELECT a, b, cos FROM pr2")
+    s"""prs AS ($src),
+       |dirs AS (SELECT a AS v, b AS nb, cos FROM prs
+       |  UNION ALL SELECT b, a, cos FROM prs),
+       |rkd AS (SELECT v, nb, row_number() OVER (PARTITION BY v
+       |    ORDER BY cos DESC, nb) AS rk FROM dirs),
+       |kept AS (SELECT v, nb FROM rkd WHERE rk <= $kTop),
+       |e0 AS MATERIALIZED (SELECT f.v AS a, f.nb AS b FROM kept f
+       |  JOIN kept g ON g.v = f.nb AND g.nb = f.v
+       |  WHERE f.v < f.nb)""".stripMargin
   }
 
   /** [[srpPairsCte]] at 0.4 + [[ccTailCte]] — mirrors
@@ -3928,8 +4056,8 @@ object SparkEntry {
          |    FROM k)
          |SELECT e.grp, x.exact_distinct, e.occupied, e.denom_scaled,
          |  e.est_micro,
-         |  CAST((1000000 * abs(e.est_micro - 1000000 * x.exact_distinct))
-         |    // (1000000 * x.exact_distinct) AS BIGINT) AS err_abs_ppm
+         |  CAST(abs(e.est_micro - 1000000 * x.exact_distinct)
+         |    // x.exact_distinct AS BIGINT) AS err_abs_ppm
          |FROM est e JOIN ex x ON x.grp IS NOT DISTINCT FROM e.grp
          |ORDER BY e.grp NULLS LAST""".stripMargin,
 
@@ -4042,37 +4170,7 @@ object SparkEntry {
     "q182_truss_dedup_effect" ->
       s"""WITH RECURSIVE ${srpPairsCte(0.2)},
          |e0 AS MATERIALIZED (SELECT a, b FROM pr2),
-         |${(0 until 4).map(i => trussRoundCte(i, 1, withNext = true))
-           .mkString(",\n")},
-         |edc AS (SELECT a AS x, b AS y FROM e0 UNION ALL SELECT b, a FROM e0),
-         |vc AS (SELECT DISTINCT x FROM edc),
-         |reachc AS (SELECT x, x AS comp FROM vc
-         |  UNION SELECT edc.x, r.comp FROM edc JOIN reachc r ON r.x = edc.y),
-         |ccc AS (SELECT x, min(comp) AS comp FROM reachc GROUP BY x),
-         |szc AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz
-         |  FROM ccc GROUP BY 1),
-         |edt AS (SELECT a AS x, b AS y FROM e4 UNION ALL SELECT b, a FROM e4),
-         |vt AS (SELECT DISTINCT x FROM edt),
-         |reacht AS (SELECT x, x AS comp FROM vt
-         |  UNION SELECT edt.x, r.comp FROM edt JOIN reacht r ON r.x = edt.y),
-         |cct AS (SELECT x, min(comp) AS comp FROM reacht GROUP BY x),
-         |szt AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz
-         |  FROM cct GROUP BY 1),
-         |sc AS (SELECT 'closure' AS scheme,
-         |    CAST((SELECT count(*) FROM e0) AS BIGINT) AS n_edges,
-         |    CAST(count(*) AS BIGINT) AS n_clusters,
-         |    CAST(COALESCE(sum(sz), 0) AS BIGINT) AS n_members,
-         |    CAST(COALESCE(max(sz), 0) AS BIGINT) AS largest_cluster,
-         |    CAST(COALESCE(sum(sz), 0) - count(*) AS BIGINT) AS docs_struck
-         |  FROM szc),
-         |st AS (SELECT 'truss3' AS scheme,
-         |    CAST((SELECT count(*) FROM e4) AS BIGINT) AS n_edges,
-         |    CAST(count(*) AS BIGINT) AS n_clusters,
-         |    CAST(COALESCE(sum(sz), 0) AS BIGINT) AS n_members,
-         |    CAST(COALESCE(max(sz), 0) AS BIGINT) AS largest_cluster,
-         |    CAST(COALESCE(sum(sz), 0) - count(*) AS BIGINT) AS docs_struck
-         |  FROM szt)
-         |SELECT * FROM sc UNION ALL SELECT * FROM st ORDER BY scheme""".stripMargin,
+         |$trussEffectTailCte""".stripMargin,
 
     // the q182 oracle with the md5 vertex sample applied to pr2 before
     // everything graph-shaped — constant oracle cost at any sf
@@ -4083,38 +4181,67 @@ object SparkEntry {
       s"""WITH RECURSIVE ${srpPairsCte(0.2)},
          |e0 AS MATERIALIZED (SELECT a, b FROM pr2
          |  WHERE ${samp("a")} AND ${samp("b")}),
-         |${(0 until 4).map(i => trussRoundCte(i, 1, withNext = true))
-           .mkString(",\n")},
-         |edc AS (SELECT a AS x, b AS y FROM e0 UNION ALL SELECT b, a FROM e0),
-         |vc AS (SELECT DISTINCT x FROM edc),
-         |reachc AS (SELECT x, x AS comp FROM vc
-         |  UNION SELECT edc.x, r.comp FROM edc JOIN reachc r ON r.x = edc.y),
-         |ccc AS (SELECT x, min(comp) AS comp FROM reachc GROUP BY x),
-         |szc AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz
-         |  FROM ccc GROUP BY 1),
-         |edt AS (SELECT a AS x, b AS y FROM e4 UNION ALL SELECT b, a FROM e4),
-         |vt AS (SELECT DISTINCT x FROM edt),
-         |reacht AS (SELECT x, x AS comp FROM vt
-         |  UNION SELECT edt.x, r.comp FROM edt JOIN reacht r ON r.x = edt.y),
-         |cct AS (SELECT x, min(comp) AS comp FROM reacht GROUP BY x),
-         |szt AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz
-         |  FROM cct GROUP BY 1),
-         |sc AS (SELECT 'closure' AS scheme,
-         |    CAST((SELECT count(*) FROM e0) AS BIGINT) AS n_edges,
-         |    CAST(count(*) AS BIGINT) AS n_clusters,
-         |    CAST(COALESCE(sum(sz), 0) AS BIGINT) AS n_members,
-         |    CAST(COALESCE(max(sz), 0) AS BIGINT) AS largest_cluster,
-         |    CAST(COALESCE(sum(sz), 0) - count(*) AS BIGINT) AS docs_struck
-         |  FROM szc),
-         |st AS (SELECT 'truss3' AS scheme,
-         |    CAST((SELECT count(*) FROM e4) AS BIGINT) AS n_edges,
-         |    CAST(count(*) AS BIGINT) AS n_clusters,
-         |    CAST(COALESCE(sum(sz), 0) AS BIGINT) AS n_members,
-         |    CAST(COALESCE(max(sz), 0) AS BIGINT) AS largest_cluster,
-         |    CAST(COALESCE(sum(sz), 0) - count(*) AS BIGINT) AS docs_struck
-         |  FROM szt)
-         |SELECT * FROM sc UNION ALL SELECT * FROM st ORDER BY scheme""".stripMargin
+         |$trussEffectTailCte""".stripMargin
     },
+
+    // the shared SRP pair CTEs at 0.2 (cos exposed), the mutual-kNN edge
+    // selection replayed rank-for-rank (cosines ride the shared exact
+    // double shape, ties break on neighbor id), then the q182 tail
+    "q189_knn_graph_effect" ->
+      s"""WITH RECURSIVE ${srpPairsCte(0.2)},
+         |${knnEdgesCte(4)},
+         |$trussEffectTailCte""".stripMargin,
+
+    // one candidate pass at the 0.2 floor, the grid swept from the same
+    // pair list, smallest threshold with mean degree <= target flagged
+    "q190_threshold_sweep" ->
+      s"""WITH ${srpPairsCte(0.2)},
+         |grid AS (SELECT CAST(unnest([200000, 250000, 300000, 350000,
+         |    400000, 450000, 500000]) AS BIGINT) AS thr_micro),
+         |eg AS (SELECT g.thr_micro, p.a, p.b FROM pr2 p JOIN grid g
+         |  ON p.cos >= CAST(g.thr_micro AS DOUBLE) / 1000000.0),
+         |deg AS (SELECT thr_micro, v, CAST(count(*) AS BIGINT) AS dg FROM
+         |    (SELECT thr_micro, a AS v FROM eg
+         |     UNION ALL SELECT thr_micro, b FROM eg)
+         |  GROUP BY 1, 2),
+         |st AS (SELECT thr_micro, CAST(count(*) AS BIGINT) AS n_vertices,
+         |    CAST(sum(dg) // 2 AS BIGINT) AS n_edges,
+         |    CAST(max(dg) AS BIGINT) AS max_degree,
+         |    CAST((1000000 * sum(dg)) // count(*) AS BIGINT)
+         |      AS mean_degree_micro
+         |  FROM deg GROUP BY 1),
+         |fullsw AS (SELECT g.thr_micro,
+         |    CAST(COALESCE(st.n_vertices, 0) AS BIGINT) AS n_vertices,
+         |    CAST(COALESCE(st.n_edges, 0) AS BIGINT) AS n_edges,
+         |    CAST(COALESCE(st.max_degree, 0) AS BIGINT) AS max_degree,
+         |    CAST(COALESCE(st.mean_degree_micro, 0) AS BIGINT)
+         |      AS mean_degree_micro
+         |  FROM grid g LEFT JOIN st ON st.thr_micro = g.thr_micro),
+         |best AS (SELECT min(thr_micro) AS bt FROM fullsw
+         |  WHERE mean_degree_micro <= 4000000)
+         |SELECT f.thr_micro, f.n_vertices, f.n_edges, f.max_degree,
+         |  f.mean_degree_micro,
+         |  f.thr_micro IS NOT DISTINCT FROM b.bt AS recommended
+         |FROM fullsw f, best b ORDER BY f.thr_micro""".stripMargin,
+
+    // the q189 oracle with the md5 vertex sample applied to the candidate
+    // pairs BEFORE ranking (the sample's own kNN graph — both engines rank
+    // over the same restricted candidate set)
+    "q191_knn_graph_sampled" -> {
+      val samp = (side: String) =>
+        s"${ops.DetHash.sqlMd5Hash60(s"'kgs|' || CAST($side AS VARCHAR)")}" +
+          " % (SELECT greatest(1, count(*) // 500) FROM embeddings) = 0"
+      s"""WITH RECURSIVE ${srpPairsCte(0.2)},
+         |${knnEdgesCte(4, Some(s"${samp("a")} AND ${samp("b")}"))},
+         |$trussEffectTailCte""".stripMargin
+    },
+
+    // the GLOBAL recursive closure over ALL pairs at 0.4 (the q64 CTEs,
+    // singletons seeded) — the incremental engine path must reproduce it
+    // exactly; equality of the full labelings IS the correctness claim
+    "q192_incremental_cc" ->
+      s"""WITH RECURSIVE $semanticCcCte
+         |SELECT x AS vec_id, comp FROM cc ORDER BY vec_id""".stripMargin,
 
     // the canonical-prefix 6-bit key, ONE global row_number (fine in the
     // oracle — the engine's two-level construction is the scale shape),
@@ -4170,7 +4297,7 @@ object SparkEntry {
     // DuckDB's explicit 'g' flags), md5 hex digests compared directly
     "q185_canonical_dedup" ->
       """WITH base AS (SELECT doc_id, text FROM documents),
-        |pert AS (SELECT doc_id + 1000000000 AS doc_id,
+        |pert AS (SELECT doc_id + 1000000000000 AS doc_id,
         |    CASE WHEN doc_id % 2 = 0 THEN upper(text)
         |      ELSE regexp_replace(text, ' ', '  ', 'g') || ' !!' END AS text
         |  FROM base),

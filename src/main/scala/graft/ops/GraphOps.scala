@@ -230,6 +230,77 @@ object GraphOps {
     }
   }
 
+  /** INCREMENTAL connected-component maintenance — fold a batch of new
+    * edges (and new vertices) into an EXISTING labeling without re-running
+    * global CC: at 100 TB per-ingest global recompute is the bottleneck,
+    * while a batch touches a vanishing fraction of components.
+    *
+    * Equivalence argument (exact, not approximate): each existing
+    * component is a connected set, so CONTRACTING it to a single quotient
+    * vertex — its `comp` label — preserves the component structure of
+    * (old graph ∪ new edges). New edges map through the old labeling
+    * (endpoints absent from `assignments` stay themselves), and CC runs
+    * only on that QUOTIENT graph, whose size is O(batch edges + touched
+    * components), never O(corpus). Because `comp` labels are component-
+    * MINIMUM vertex ids (the [[connectedComponents]] convention) and new
+    * vertices are their own ids, the quotient minimum IS the merged
+    * component's true minimum member — so relabeling old assignments
+    * through the quotient result reproduces the global recompute
+    * bit-for-bit (asserted in OpsSpec on chained batches).
+    *
+    * Output: (id, comp) for every previously-assigned vertex AND every
+    * new vertex in `newVertices` (singletons included); untouched
+    * components keep their assignment without being read by the CC loop.
+    *
+    * Scale shape: two (id)-keyed label-lookup joins on the batch edges,
+    * one [[connectedComponents]] run on the quotient (batch-sized), one
+    * comp-keyed relabel join back over the assignment table. The
+    * assignment table itself is the persisted state — bucket it by `comp`
+    * (or id) and the relabel join co-locates.
+    */
+  def incrementalComponents(assignments: DataFrame, newEdges: DataFrame,
+                            newVertices: DataFrame,
+                            idCol: String = "id",
+                            aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val asg = assignments.select(col(idCol).cast("long").as("x"),
+      col("comp").cast("long").as("comp")).localCheckpoint()
+    val e = newEdges.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"))
+    // ids the batch introduces: declared new vertices plus any edge
+    // endpoint the old labeling doesn't know (so a sloppy caller can't
+    // lose a vertex) — anti-joined against the assignment table
+    val newIds = newVertices.select(col(idCol).cast("long").as("x"))
+      .unionByName(e.select(col("a").as("x")))
+      .unionByName(e.select(col("b").as("x")))
+      .distinct()
+      .join(asg, Seq("x"), "left_anti")
+      .localCheckpoint()
+    // batch endpoints mapped through the old labeling; genuinely-new ids
+    // contract to themselves; intra-component edges become self-loops and
+    // drop
+    val qe = e
+      .join(asg.select(col("x").as("a"), col("comp").as("ca")), Seq("a"), "left")
+      .join(asg.select(col("x").as("b"), col("comp").as("cb")), Seq("b"), "left")
+      .select(coalesce(col("ca"), col("a")).as("a"),
+        coalesce(col("cb"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+    val qv = qe.select(col("a").as("id")).unionByName(qe.select(col("b").as("id")))
+      .unionByName(newIds.select(col("x").as("id")))
+      .distinct()
+    // CC on the quotient only — batch-sized regardless of corpus size
+    val sub = connectedComponents(qe, qv).localCheckpoint()
+    val relabel = sub.select(col("id").as("comp"), col("comp").as("__new"))
+    val keptOld = asg.join(relabel, Seq("comp"), "left")
+      .select(col("x").as(idCol),
+        coalesce(col("__new"), col("comp")).as("comp"))
+    // new ids: quotient label directly (their quotient vertex is
+    // themselves); edge-less new ids come out as singletons
+    val fresh = newIds
+      .join(sub.withColumnRenamed("id", "x"), Seq("x"), "left")
+      .select(col("x").as(idCol), coalesce(col("comp"), col("x")).as("comp"))
+    keptOld.unionByName(fresh)
+  }
+
   /** PageRank in FIXED-POINT integer arithmetic — bit-deterministic across
     * engines, runs, and partitionings, which floating-point PageRank is NOT
     * (parallel double summation has no defined order). All mass lives in
@@ -544,6 +615,64 @@ object GraphOps {
         when(col("n_wedges") > 0,
             expr("(3000000 * n_triangles) div n_wedges"))
           .otherwise(lit(0L)).as("transitivity_micro"))
+  }
+
+  /** THRESHOLD sweep + recommendation — the operator form of the manual
+    * "census says re-tune" rule: given verified candidate pairs WITH their
+    * exact cosine (one [[SimilarityOps.srpNearDupPairs]] pass at the grid's
+    * FLOOR — candidates are generated once, never per threshold), evaluate
+    * every candidate threshold in `gridMicro` (micro-quantized cosines) and
+    * report per threshold the graph it would induce: n_vertices (edge
+    * endpoints), n_edges, max_degree, mean_degree_micro. `recommended`
+    * marks the SMALLEST threshold whose mean degree ≤
+    * `targetMeanDegreeMicro` — the densest operating point that still
+    * keeps the graph in the sparse regime downstream closure/truss
+    * consumers need (all false when even the top of the grid is too
+    * dense: the caller's grid needs to move, loudly visible).
+    *
+    * Everything is integer/shared-double arithmetic: thresholds compare as
+    * `cos >= thr_micro / 1e6` in the one double shape both engines round
+    * identically, so the SQL oracle replays the sweep exactly.
+    *
+    * Scale shape: one broadcast of the (tiny) grid against the candidate
+    * pair list (|pairs| × |grid| rows — grid is O(10)), one
+    * (threshold, vertex)-keyed degree count, one per-threshold rollup (one
+    * row per threshold). No all-pairs stage, no per-threshold rescans of
+    * the corpus; at 100 TB the sweep costs |candidates| × |grid|, and the
+    * candidate floor is the one knob that must be generated generously
+    * (the grid can only RAISE it).
+    */
+  def recommendThreshold(pairsWithCos: DataFrame, gridMicro: Seq[Long],
+                         targetMeanDegreeMicro: Long): DataFrame = {
+    require(gridMicro.nonEmpty, "threshold grid must be non-empty")
+    val thrs = gridMicro.distinct.sorted
+    val grid = pairsWithCos.sparkSession.range(1)
+      .select(explode(array(thrs.map(lit(_)): _*)).as("thr_micro"))
+    val eg = pairsWithCos.select(col("a"), col("b"), col("cos"))
+      .join(broadcast(grid),
+        col("cos") >= col("thr_micro").cast("double") / lit(1000000.0))
+    val deg = eg.select(col("thr_micro"),
+        explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("thr_micro"), col("v")).agg(count(lit(1)).as("dg"))
+    val st = deg.groupBy(col("thr_micro"))
+      .agg(count(lit(1)).as("n_vertices"),
+        expr("sum(dg) div 2").as("n_edges"),
+        max(col("dg")).as("max_degree"),
+        expr("(1000000 * sum(dg)) div count(1)").as("mean_degree_micro"))
+    // thresholds that kill every candidate still get a (zeroed) row — an
+    // empty graph is maximally sparse, and the sweep must show it
+    val full = grid.join(st, Seq("thr_micro"), "left")
+      .select(col("thr_micro"),
+        coalesce(col("n_vertices"), lit(0L)).as("n_vertices"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("max_degree"), lit(0L)).as("max_degree"),
+        coalesce(col("mean_degree_micro"), lit(0L)).as("mean_degree_micro"))
+    val best = full.filter(col("mean_degree_micro") <= targetMeanDegreeMicro)
+      .agg(min(col("thr_micro")).as("__best"))
+    full.crossJoin(broadcast(best))
+      .select(col("thr_micro"), col("n_vertices"), col("n_edges"),
+        col("max_degree"), col("mean_degree_micro"),
+        (col("thr_micro") <=> col("__best")).as("recommended"))
   }
 
   /** GLOBAL triangle statistics — one row: (n_vertices, n_edges, n_wedges,

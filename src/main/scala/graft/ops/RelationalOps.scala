@@ -610,7 +610,16 @@ object RelationalOps {
     val m = 1 << p
     val s = 60 - p + 1
     val mD = m.toDouble
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(mD))
+    // the asymptotic alpha 0.7213/(1+1.079/m) only holds from m=128 up;
+    // Flajolet et al. publish fixed constants for the small register
+    // counts (m=16/32/64), without which estimates at p=4..6 carry a
+    // ~2-7% systematic bias
+    val alpha = p match {
+      case 4 => lit(0.673)
+      case 5 => lit(0.697)
+      case 6 => lit(0.709)
+      case _ => lit(0.7213) / (lit(1.0) + lit(1.079) / lit(mD))
+    }
     val grouped = regs.groupBy(col("grp"))
       .agg(count(lit(1)).as("occupied"),
         sum(expr(s"shiftleft(cast(1 as bigint), cast($s - r as int))"))
@@ -643,8 +652,13 @@ object RelationalOps {
     est.join(exact, est("grp") <=> exact("grp"))
       .select(est("grp"), col("exact_distinct"), col("occupied"),
         col("denom_scaled"), col("est_micro"),
-        expr("(1000000 * abs(est_micro - 1000000 * exact_distinct))" +
-          " div (1000000 * exact_distinct)").as("err_abs_ppm"))
+        // ppm directly: est_micro − 1e6·exact is already 1e6·(est−exact),
+        // so dividing by exact gives ppm without the extra 1e6 factor the
+        // old form multiplied in (which overflowed BIGINT once
+        // distinct · relative-error crossed ~9e6); floor-div identity:
+        // (1e6·D) div (1e6·E) = D div E, so values are unchanged
+        expr("abs(est_micro - 1000000 * exact_distinct)" +
+          " div exact_distinct").as("err_abs_ppm"))
   }
 
   /** Deterministic sampling to per-stratum TARGET COUNTS — the data-mixing

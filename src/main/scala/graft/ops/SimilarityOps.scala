@@ -921,6 +921,57 @@ object SimilarityOps {
       .filter(col("cos") >= lit(minCos))
   }
 
+  /** Degree-BOUNDED near-dup graph — mutual-kNN edge selection over the
+    * SRP candidate pairs: per vertex keep its `kTop` best candidates by
+    * (exact cos desc, neighbor id asc), then keep an edge only when BOTH
+    * endpoints kept each other. Output (a, b, cos) with a < b.
+    *
+    * WHY this exists (the fixed-ε failure mode): a threshold graph at a
+    * fixed cosine densifies superlinearly as the corpus grows — measured
+    * on this corpus, 10× the vectors at cos ≥ 0.2 gave ~180× the edges,
+    * one fused component, and a 3-truss that kept 922k of 925k edges, so
+    * every downstream closure/truss/keep-one consumer breaks at scale.
+    * Mutual-kNN bounds the graph BY CONSTRUCTION: per-vertex degree ≤
+    * kTop, edges ≤ n·kTop/2 at ANY corpus size or density, and the
+    * mutuality requirement cuts the asymmetric hub edges (a generic
+    * vector ranking a hub highly while the hub ranks thousands of closer
+    * vectors above it) that pure directed top-k would keep.
+    *
+    * minCos stays as the candidate FLOOR (pairs below it are never
+    * near-dups at all — and it keeps SRP recall semantics unchanged);
+    * the per-vertex rank replaces the operating-point tuning that a
+    * fixed ε needed re-done every time the corpus grew.
+    *
+    * Scale shape: the [[srpNearDupPairs]] banded candidate join (never
+    * all-pairs), one per-vertex rank window (partition = vertex; the
+    * frame is that vertex's candidate list, bounded by the SRP bucket
+    * cap), one (a, b)-keyed self-join for mutuality. Determinism: cosines
+    * ride the shared exact-double shape, ties break on neighbor id — the
+    * SQL oracle replays the ranks bit-for-bit.
+    */
+  def knnGraph(df: DataFrame, minCos: Double, kTop: Int = 4,
+               nPlanes: Int = 8, nTables: Int = 6, dim: Int = 64,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               maxBucket: Int = 10000): DataFrame = {
+    require(kTop >= 1, "kTop must be >= 1")
+    // consumed in both directions — materialize the verified pairs once
+    // rather than re-running the banding + cosine-verify chain twice
+    val pairs = srpNearDupPairs(df, minCos, nPlanes, nTables, dim,
+      idCol, vecCol, maxBucket).localCheckpoint()
+    val dirs = pairs.select(col("a").as("v"), col("b").as("nb"), col("cos"))
+      .unionByName(pairs.select(col("b").as("v"), col("a").as("nb"), col("cos")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("v")).orderBy(col("cos").desc, col("nb"))
+    val kept = dirs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= kTop)
+    // mutual: the {a, b} edge survives iff a kept b AND b kept a
+    kept.filter(col("v") < col("nb"))
+      .select(col("v").as("a"), col("nb").as("b"), col("cos"))
+      .join(kept.filter(col("v") > col("nb"))
+          .select(col("nb").as("a"), col("v").as("b")),
+        Seq("a", "b"))
+  }
+
   /** SEMANTIC near-duplicate CLUSTERS over an embedding column: (vec_id,
     * comp) for every vector, where comp = the minimum vec id reachable
     * through the verified SRP near-dup pair graph at `minCos`

@@ -856,14 +856,20 @@ object StreamingEvents {
       var last = if (state.exists) Some(state.get) else None
       val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
       sorted.foreach { case (_, ts, id, tpe) =>
-        last.foreach { l =>
-          require(ts > l.tsUs || (ts == l.tsUs && id > l.id),
-            s"out-of-order event for user $user: ($ts,$id) after " +
-              s"(${l.tsUs},${l.id}) — transitions would be wrong; " +
-              "deliver per-user in (ts, id) order")
-          out += Transition(user, l.tpe, tpe)
+        // an exact (ts, id) match with the recorded last event is an
+        // at-least-once REDELIVERY — an idempotent no-op (skip, emit
+        // nothing), matching scd2Ingest's distinct-absorbs-redelivery
+        // semantics; only a genuinely OLDER event still throws
+        if (!last.exists(l => ts == l.tsUs && id == l.id)) {
+          last.foreach { l =>
+            require(ts > l.tsUs || (ts == l.tsUs && id > l.id),
+              s"out-of-order event for user $user: ($ts,$id) after " +
+                s"(${l.tsUs},${l.id}) — transitions would be wrong; " +
+                "deliver per-user in (ts, id) order")
+            out += Transition(user, l.tpe, tpe)
+          }
+          last = Some(LastEvent(ts, id, tpe))
         }
-        last = Some(LastEvent(ts, id, tpe))
       }
       last.foreach(state.update)
       out.iterator

@@ -3671,4 +3671,97 @@ class OpsSpec extends SparkTestBase {
         Seq((11L, "common")).toDF("doc_id", "text"), k = 5).collect()
     assert(miss.isEmpty, "a stopword-band-only query has no candidates")
   }
+
+  test("knnGraph: degree bounded by kTop, edges mutual and a subset of the threshold graph") {
+    val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
+    val kTop = 3
+    val g = SimilarityOps.knnGraph(emb, 0.2, kTop = kTop).localCheckpoint()
+    val thresh = SimilarityOps.srpNearDupPairs(emb, 0.2)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val edges = g.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "the sf0.001 corpus has near-dups at cos >= 0.2")
+    assert(edges.forall(thresh.contains),
+      "kNN edges are a SELECTION from the threshold graph, never new pairs")
+    // the construction's whole point: per-vertex degree <= kTop at ANY
+    // corpus density (the fixed-e graph has no such bound)
+    val maxDeg = g.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).count().agg(max(col("count"))).head().getLong(0)
+    assert(maxDeg <= kTop, s"mutual-kNN degree $maxDeg exceeds kTop=$kTop")
+    // mutuality: recompute directed top-k by brute force and check both
+    // directions hold for every kept edge
+    val pairs = SimilarityOps.srpNearDupPairs(emb, 0.2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byV = (pairs.map(p => (p._1, (p._2, p._3))) ++
+        pairs.map(p => (p._2, (p._1, p._3))))
+      .groupBy(_._1).map { case (v, ns) =>
+        v -> ns.map(_._2).sortBy { case (nb, c) => (-c, nb) }
+          .take(kTop).map(_._1).toSet
+      }
+    assert(edges.forall { case (a, b) =>
+      byV(a).contains(b) && byV(b).contains(a) },
+      "every kept edge is in BOTH endpoints' top-k")
+    // and no mutual pair was dropped
+    val mutual = pairs.collect { case (a, b, _)
+      if byV(a).contains(b) && byV(b).contains(a) => (a, b) }.toSet
+    assert(edges.toSet === mutual)
+  }
+
+  test("incrementalComponents: chained batches equal the global recompute; untouched comps keep labels") {
+    import spark.implicits._
+    val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
+    val pairs = SimilarityOps.srpNearDupPairs(emb, 0.4)
+      .select(col("a"), col("b")).localCheckpoint()
+    val verts = emb.select(col("vec_id"))
+    // three chained ingests: % 3 buckets arrive one at a time
+    def bucket(c: org.apache.spark.sql.Column, i: Int) = pmod(c, lit(3)) === i
+    var asg = GraphOps.connectedComponents(
+      pairs.filter(bucket(col("a"), 0) && bucket(col("b"), 0)),
+      verts.filter(bucket(col("vec_id"), 0)), "vec_id")
+    (1 to 2).foreach { i =>
+      val seen = (c: org.apache.spark.sql.Column) =>
+        (0 to i).map(j => bucket(c, j)).reduce(_ || _)
+      val newE = pairs.filter(seen(col("a")) && seen(col("b")) &&
+        (bucket(col("a"), i) || bucket(col("b"), i)))
+      asg = GraphOps.incrementalComponents(asg, newE,
+        verts.filter(bucket(col("vec_id"), i)), "vec_id").localCheckpoint()
+    }
+    val global = GraphOps.connectedComponents(pairs, verts, "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inc = asg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === global,
+      "incremental maintenance must reproduce global CC bit-for-bit")
+    // quotient locality: a batch with ONE new edge between two fresh ids
+    // relabels nothing outside that pair
+    val fresh = GraphOps.incrementalComponents(asg,
+      Seq((900001L, 900002L)).toDF("a", "b"),
+      Seq(900001L, 900002L).toDF("vec_id"), "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fresh(900001L) === 900001L && fresh(900002L) === 900001L)
+    assert((fresh - 900001L - 900002L) === inc)
+  }
+
+  test("recommendThreshold: sweep stats exact per threshold; smallest sparse-enough threshold flagged") {
+    import spark.implicits._
+    // hand graph: at 0.30 every edge survives (star around 1 → mean deg
+    // 1.6m); at 0.50 only the tight pair survives; at 0.90 nothing
+    val pw = Seq(
+      (1L, 2L, 0.95), (1L, 3L, 0.4), (1L, 4L, 0.4), (1L, 5L, 0.4)
+    ).toDF("a", "b", "cos")
+    val out = GraphOps.recommendThreshold(pw,
+        gridMicro = Seq(300000L, 500000L, 900000L),
+        targetMeanDegreeMicro = 1500000L)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    // 0.30: 4 edges over 5 vertices, hub degree 4, mean 8/5 = 1.6
+    assert(out(300000L) === ((5L, 4L, 4L, 1600000L, false)))
+    // 0.50: 1 edge, 2 vertices, mean degree 1.0 — sparse enough, smallest
+    assert(out(500000L) === ((2L, 1L, 1L, 1000000L, true)))
+    // 0.90: same edge survives (0.95 >= 0.9) but 0.50 already qualified
+    assert(out(900000L) === ((2L, 1L, 1L, 1000000L, false)))
+    // unreachable target: nothing recommended, rows still reported
+    val none = GraphOps.recommendThreshold(pw, Seq(300000L), 100L).collect()
+    assert(none.length === 1 && !none.head.getBoolean(5))
+  }
 }

@@ -562,8 +562,11 @@ class StreamingSpec extends SparkTestBase {
       // u2 starts fresh (no transition from nothing)
       mem.addData((1L, ts(10, 6), "a", 3L), (2L, ts(10, 7), "x", 4L))
       query.processAllAvailable()
-      // epoch 3 — u2's second event: another cross-epoch pair
-      mem.addData((2L, ts(10, 9), "y", 5L))
+      // epoch 3 — u2's second event: another cross-epoch pair; plus an
+      // at-least-once REDELIVERY of u1's already-recorded last event
+      // (identical ts AND id) — must be absorbed as an idempotent no-op,
+      // not throw and not emit a phantom a->a transition
+      mem.addData((2L, ts(10, 9), "y", 5L), (1L, ts(10, 6), "a", 3L))
       query.processAllAvailable()
     } finally query.stop()
     val streamed = spark.table("trans_out")
