@@ -340,7 +340,8 @@ object SparkEntry {
     * Emits CTEs `words`..`m$rounds`; the final model is `m$rounds`
     * (piece, cnt, llq). Callers must open with WITH RECURSIVE.
     */
-  private def unigramLmCtes(seedSize: Int, maxPieceLen: Int, rounds: Int): String = {
+  private def unigramLmCtes(seedSize: Int, maxPieceLen: Int, rounds: Int,
+                            wordFilter: String = "TRUE"): String = {
     val roundCtes = (1 to rounds).map { k =>
       s"""sc$k AS (SELECT px.w, px.pieces, px.nseg, sum(m.llq) AS score
          |  FROM px JOIN m${k - 1} m ON m.piece = px.piece
@@ -355,10 +356,11 @@ object SparkEntry {
          |    / (SELECT CAST(sum(cnt) AS DOUBLE) FROM c$k)) * 1000000 + 0.5)
          |    AS BIGINT) AS llq FROM c$k)""".stripMargin
     }.mkString(",\n")
-    s"""words AS (
+    s"""words0 AS MATERIALIZED (
        |  SELECT w, CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest($toksSql) AS w FROM documents)
        |  WHERE len(w) > 0 AND len(w) <= 16 GROUP BY w),
+       |words AS MATERIALIZED (SELECT w, freq FROM words0 WHERE $wordFilter),
        |sub AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
        |    SELECT freq, substr(w, CAST(i.i AS INTEGER), CAST(l.l AS INTEGER)) AS piece
        |    FROM words,
@@ -1160,6 +1162,23 @@ object SparkEntry {
     "q168_wordpiece_train" -> ((s, d) =>
       TextOps.trainWordPiece(t(s, d, "documents"), numMerges = 6)
         .orderBy(col("merge_rank"))),
+
+    // the TOKENIZER tier's sf-scaled exactness gate (the q188/q191 rule on
+    // the WORD axis): the full q164 bake-off — three trainings + fertility
+    // — on an md5 word sample auto-sized to ~8 words, so the oracle's
+    // unigram segmentation enumeration (its cost grows with distinct
+    // words; ~50 min at sf1 for the full table) shrinks by the sample
+    // factor at any sf. Unlike q188 the sample is ACTIVE at sf0.01 too
+    // (31 words → k=3), so the gate exercises the sampling machinery at
+    // every tested scale; q163/q164/q168 keep their full forms at
+    // sf0.01/sf0.1 and sf1+ exactness rides this query
+    "q193_tokenizer_sampled" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      TextOps.tokenizerFertilityComparison(docs, numMerges = 6,
+          seedSize = 24, numRounds = 2,
+          wordSampleK = TextOps.wordSampleMod(docs, target = 8))
+        .orderBy(col("tokenizer"), col("source"))
+    },
 
     // CONTENT-DEFINED CHUNKING (gear hash, the FastCDC/ddelta family) over
     // byte payloads — the BINARY mirror of shingle dedup, for the
@@ -2437,6 +2456,89 @@ object SparkEntry {
   private val semanticCcCte: String =
     s"""${srpPairsCte(0.4)},
        |$ccTailCte""".stripMargin
+
+  /** q164's full bake-off replay (three trainings + fertility tails),
+    * parameterized by the SQL predicate applied to the shared `words`
+    * CTE (over `words0`, the unfiltered population) — "TRUE" is the
+    * full-table q164 form, q193 passes the md5 word-sample.
+    */
+  private def tokenizerBakeoffSql(wordFilter: String): String = {
+      val E = "chr(30)"
+      val SS = s"$E||$E"
+      val bpeRounds = (1 to 6).map { k =>
+        val prev = s"s${k - 1}"
+        s"""p$k AS (
+           |  SELECT pr.l AS lhs, pr.r AS rhs, CAST(sum(freq) AS BIGINT) AS pair_count FROM (
+           |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+           |        i -> struct_pack(l := syms[i], r := syms[i+1]))) AS pr
+           |    FROM (SELECT freq, string_split(trim(seg, $E), $SS) AS syms FROM $prev)
+           |  ) GROUP BY 1, 2),
+           |mm$k AS (SELECT lhs, rhs FROM p$k
+           |  ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1),
+           |s$k AS (SELECT w, freq, replace(seg, $E||m.lhs||$SS||m.rhs||$E,
+           |    $E||m.lhs||m.rhs||$E) AS seg FROM $prev CROSS JOIN mm$k m)""".stripMargin
+      }.mkString(",\n")
+      val wpRounds = (1 to 6).map { k =>
+        val prev = if (k == 1) "s0" else s"ws${k - 1}"
+        s"""wu$k AS (
+           |  SELECT sym, CAST(sum(freq) AS HUGEINT) AS cnt FROM (
+           |    SELECT freq, unnest(string_split(trim(seg, $E), $SS)) AS sym FROM $prev)
+           |  GROUP BY 1),
+           |wp$k AS (
+           |  SELECT pr.l AS lhs, pr.r AS rhs, CAST(sum(freq) AS BIGINT) AS pair_count FROM (
+           |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+           |        i -> struct_pack(l := syms[i], r := syms[i+1]))) AS pr
+           |    FROM (SELECT freq, string_split(trim(seg, $E), $SS) AS syms FROM $prev)
+           |  ) GROUP BY 1, 2),
+           |wm$k AS (SELECT p.lhs, p.rhs,
+           |    CAST((CAST(p.pair_count AS HUGEINT) * 1000000000000)
+           |      // (ul.cnt * ur.cnt) AS BIGINT) AS score
+           |  FROM wp$k p JOIN wu$k ul ON ul.sym = p.lhs JOIN wu$k ur ON ur.sym = p.rhs
+           |  ORDER BY score DESC, p.pair_count DESC, p.lhs ASC, p.rhs ASC LIMIT 1),
+           |ws$k AS (SELECT w, freq, replace(seg, $E||m.lhs||$SS||m.rhs||$E,
+           |    $E||m.lhs||m.rhs||$E) AS seg FROM $prev CROSS JOIN wm$k m)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE
+         |${unigramLmCtes(seedSize = 24, maxPieceLen = 4, rounds = 2, wordFilter)},
+         |s0 AS (SELECT w, freq,
+         |  $SS||array_to_string(list_transform(range(1, len(w)+1), i -> w[i]), $SS)||$SS AS seg
+         |  FROM (SELECT w, freq FROM words WHERE w NOT LIKE '%'||$E||'%')),
+         |$bpeRounds,
+         |$wpRounds,
+         |wsrc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT source, unnest($toksSql) AS w FROM documents)
+         |  WHERE len(w) > 0 GROUP BY 1, 2),
+         |bsyms AS (SELECT w,
+         |  CAST(len(string_split(trim(seg, $E), $SS)) AS BIGINT) AS ns FROM s6),
+         |wpsyms AS (SELECT w,
+         |  CAST(len(string_split(trim(seg, $E), $SS)) AS BIGINT) AS ns FROM ws6),
+         |scf AS (SELECT px.w, px.pieces, px.nseg, sum(m.llq) AS score
+         |  FROM px JOIN m2 m ON m.piece = px.piece
+         |  GROUP BY px.w, px.pieces, px.nseg HAVING count(*) = px.nseg),
+         |usyms AS (SELECT w, nseg AS ns FROM (SELECT w, nseg,
+         |    row_number() OVER (PARTITION BY w
+         |      ORDER BY score DESC, nseg ASC, pieces ASC) AS rn
+         |  FROM scf) WHERE rn = 1)
+         |SELECT source, n_words, n_symbols, fertility, tokenizer FROM (
+         |  SELECT 'bpe' AS tokenizer, source,
+         |    CAST(sum(n) AS BIGINT) AS n_words,
+         |    CAST(sum(n * ns) AS BIGINT) AS n_symbols,
+         |    CAST(sum(n * ns) AS DOUBLE) / sum(n) AS fertility
+         |  FROM wsrc JOIN bsyms USING (w) GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'unigram' AS tokenizer, source,
+         |    CAST(sum(n) AS BIGINT) AS n_words,
+         |    CAST(sum(n * ns) AS BIGINT) AS n_symbols,
+         |    CAST(sum(n * ns) AS DOUBLE) / sum(n) AS fertility
+         |  FROM wsrc JOIN usyms USING (w) GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'wordpiece' AS tokenizer, source,
+         |    CAST(sum(n) AS BIGINT) AS n_words,
+         |    CAST(sum(n * ns) AS BIGINT) AS n_symbols,
+         |    CAST(sum(n * ns) AS DOUBLE) / sum(n) AS fertility
+         |  FROM wsrc JOIN wpsyms USING (w) GROUP BY 1, 2)
+         |ORDER BY tokenizer, source""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Every query has an oracle — the hash-based ones
@@ -3833,83 +3935,20 @@ object SparkEntry {
     // q101's six BPE rounds (verbatim) UNION the q163 unigram replay UNION
     // q168's six WordPiece rounds, all rolled up per (source, word)
     // through the identical fertility tail
-    "q164_tokenizer_bakeoff" -> {
-      val E = "chr(30)"
-      val SS = s"$E||$E"
-      val bpeRounds = (1 to 6).map { k =>
-        val prev = s"s${k - 1}"
-        s"""p$k AS (
-           |  SELECT pr.l AS lhs, pr.r AS rhs, CAST(sum(freq) AS BIGINT) AS pair_count FROM (
-           |    SELECT freq, unnest(list_transform(range(1, len(syms)),
-           |        i -> struct_pack(l := syms[i], r := syms[i+1]))) AS pr
-           |    FROM (SELECT freq, string_split(trim(seg, $E), $SS) AS syms FROM $prev)
-           |  ) GROUP BY 1, 2),
-           |mm$k AS (SELECT lhs, rhs FROM p$k
-           |  ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1),
-           |s$k AS (SELECT w, freq, replace(seg, $E||m.lhs||$SS||m.rhs||$E,
-           |    $E||m.lhs||m.rhs||$E) AS seg FROM $prev CROSS JOIN mm$k m)""".stripMargin
-      }.mkString(",\n")
-      val wpRounds = (1 to 6).map { k =>
-        val prev = if (k == 1) "s0" else s"ws${k - 1}"
-        s"""wu$k AS (
-           |  SELECT sym, CAST(sum(freq) AS HUGEINT) AS cnt FROM (
-           |    SELECT freq, unnest(string_split(trim(seg, $E), $SS)) AS sym FROM $prev)
-           |  GROUP BY 1),
-           |wp$k AS (
-           |  SELECT pr.l AS lhs, pr.r AS rhs, CAST(sum(freq) AS BIGINT) AS pair_count FROM (
-           |    SELECT freq, unnest(list_transform(range(1, len(syms)),
-           |        i -> struct_pack(l := syms[i], r := syms[i+1]))) AS pr
-           |    FROM (SELECT freq, string_split(trim(seg, $E), $SS) AS syms FROM $prev)
-           |  ) GROUP BY 1, 2),
-           |wm$k AS (SELECT p.lhs, p.rhs,
-           |    CAST((CAST(p.pair_count AS HUGEINT) * 1000000000000)
-           |      // (ul.cnt * ur.cnt) AS BIGINT) AS score
-           |  FROM wp$k p JOIN wu$k ul ON ul.sym = p.lhs JOIN wu$k ur ON ur.sym = p.rhs
-           |  ORDER BY score DESC, p.pair_count DESC, p.lhs ASC, p.rhs ASC LIMIT 1),
-           |ws$k AS (SELECT w, freq, replace(seg, $E||m.lhs||$SS||m.rhs||$E,
-           |    $E||m.lhs||m.rhs||$E) AS seg FROM $prev CROSS JOIN wm$k m)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH RECURSIVE
-         |${unigramLmCtes(seedSize = 24, maxPieceLen = 4, rounds = 2)},
-         |s0 AS (SELECT w, freq,
-         |  $SS||array_to_string(list_transform(range(1, len(w)+1), i -> w[i]), $SS)||$SS AS seg
-         |  FROM (SELECT w, freq FROM words WHERE w NOT LIKE '%'||$E||'%')),
-         |$bpeRounds,
-         |$wpRounds,
-         |wsrc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS n
-         |  FROM (SELECT source, unnest($toksSql) AS w FROM documents)
-         |  WHERE len(w) > 0 GROUP BY 1, 2),
-         |bsyms AS (SELECT w,
-         |  CAST(len(string_split(trim(seg, $E), $SS)) AS BIGINT) AS ns FROM s6),
-         |wpsyms AS (SELECT w,
-         |  CAST(len(string_split(trim(seg, $E), $SS)) AS BIGINT) AS ns FROM ws6),
-         |scf AS (SELECT px.w, px.pieces, px.nseg, sum(m.llq) AS score
-         |  FROM px JOIN m2 m ON m.piece = px.piece
-         |  GROUP BY px.w, px.pieces, px.nseg HAVING count(*) = px.nseg),
-         |usyms AS (SELECT w, nseg AS ns FROM (SELECT w, nseg,
-         |    row_number() OVER (PARTITION BY w
-         |      ORDER BY score DESC, nseg ASC, pieces ASC) AS rn
-         |  FROM scf) WHERE rn = 1)
-         |SELECT source, n_words, n_symbols, fertility, tokenizer FROM (
-         |  SELECT 'bpe' AS tokenizer, source,
-         |    CAST(sum(n) AS BIGINT) AS n_words,
-         |    CAST(sum(n * ns) AS BIGINT) AS n_symbols,
-         |    CAST(sum(n * ns) AS DOUBLE) / sum(n) AS fertility
-         |  FROM wsrc JOIN bsyms USING (w) GROUP BY 1, 2
-         |  UNION ALL
-         |  SELECT 'unigram' AS tokenizer, source,
-         |    CAST(sum(n) AS BIGINT) AS n_words,
-         |    CAST(sum(n * ns) AS BIGINT) AS n_symbols,
-         |    CAST(sum(n * ns) AS DOUBLE) / sum(n) AS fertility
-         |  FROM wsrc JOIN usyms USING (w) GROUP BY 1, 2
-         |  UNION ALL
-         |  SELECT 'wordpiece' AS tokenizer, source,
-         |    CAST(sum(n) AS BIGINT) AS n_words,
-         |    CAST(sum(n * ns) AS BIGINT) AS n_symbols,
-         |    CAST(sum(n * ns) AS DOUBLE) / sum(n) AS fertility
-         |  FROM wsrc JOIN wpsyms USING (w) GROUP BY 1, 2)
-         |ORDER BY tokenizer, source""".stripMargin
-    },
+    "q164_tokenizer_bakeoff" -> tokenizerBakeoffSql("TRUE"),
+
+    "q193_tokenizer_sampled" ->
+      // the q164 replay verbatim with the md5 WORD sample applied to the
+      // shared `words` CTE (the q165/q188 rule on the word axis): all
+      // three trainings AND the fertility rollups restrict to the same
+      // ~8-word sample — the engine's wordSampleK and the scalar
+      // subquery greatest(1, count(*) // 8) agree by construction; at
+      // sf1 the unigram leg's per-word segmentation enumeration (the
+      // 50-minute oracle) shrinks by the sample factor
+      tokenizerBakeoffSql(
+        s"${ops.DetHash.sqlMd5Hash60("'toksub|' || w")}" +
+          " % (SELECT greatest(1, count(*) // 8) FROM words0) = 0"),
+
 
     // the WordPiece replay: q97's unrolled rounds plus, per round, the
     // CURRENT symbol unigram counts; the argmax ranks by the identical

