@@ -393,6 +393,24 @@ object SparkEntry {
        | / (sqrt(list_sum(list_transform($a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
        |    * sqrt(list_sum(list_transform($b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
 
+  /** Multimodal FIXTURES (hex) — hand-built UNCOMPRESSED payloads whose
+    * every byte is structurally addressable, so the SQL oracle parses
+    * pixels/samples straight out of the hex string while the engine
+    * decodes the same bytes through the real JDK readers. BMP: 24-bit,
+    * bottom-up, BGR, pixel array at offset 54, 4-byte row stride; WAV:
+    * canonical 44-byte header, PCM16LE. Dimensions/stride are fixture
+    * facts the oracles embed as literals.
+    */
+  private[graft] val bmpFixtures: Seq[(Long, String, Int, Int, Int)] = Seq(
+    // (img_id, hex, width, height, rowStride)
+    (1L, "424d860000000000000036000000280000000600000004000000010018000000000050000000130b0000130b00000000000000000000099f156aaa3dcbb5652cc08d8dcbb5eed6dd0000066a0e677536c8805e298b868a96aeeba1d6000003350764402fc54b5726567f8761a7e86ccf0000000000610b28c21650232178842ca0e537c80000", 6, 4, 20),
+    (2L, "424d660000000000000036000000280000000500000003000000010018000000000030000000130b0000130b000000000000000000000626920b739f10c0ac150db91a5ac6008313c98860d68dade392faf09747fd00000000054d0d0a9a1a0fe72714343400", 5, 3, 16))
+
+  private[graft] val wavFixtures: Seq[(Long, String, Int, Int, Int)] = Seq(
+    // (clip_id, hex, sampleRateHz, channels, nFrames)
+    (1L, "52494646a400000057415645666d74201000000001000100401f0000803e0000020010006461746180000000d08a2cb688e1e40c40389c6398a4f4cf50fbac260852049360bebce918157440d06bccac28d88403e02e3c5a389b94c6f0f14c1da848047400b55ce0b80b143770626ca3c8ce24fa8025dc50d89134bd90e8ec13483fa46aa0abfcd65802b42d10590c9a68c5c4f0201c7c47d872d4b330df8c0ae835446140a29ccdf8f85424", 8000, 1, 64),
+    (2L, "52494646e400000057415645666d74201000000001000200803e000000fa00000400100064617461c00000001ca800b5dedb50e2a00fa00f6243f03c62c6b0d224fa0000e62d502de6b010c3a8e460f06a18b01d2c4c004b2ccfc0e0ee02100eb036603bb0b920d172ed70fe3421c02bf65480c1f6d7d0eeb80b201c7a3f70497ac230df3cf6800cfe29d039feac90cfc0e0e0fc8214302a4448f0bf44cb40ed06ff901ac832e047c8b5a0dd8ae9f00a4c1d40380e5100ce0ed450fbd007a028923b60be92beb0eb54f200191626504616a910dcd8dc60099a10b0365c4470cc5cc7c0f91efb1027e02ed0bc", 16000, 2, 48))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core (SURVEY §2.1-2.7) ----
@@ -1162,6 +1180,40 @@ object SparkEntry {
     "q168_wordpiece_train" -> ((s, d) =>
       TextOps.trainWordPiece(t(s, d, "documents"), numMerges = 6)
         .orderBy(col("merge_rank"))),
+
+    // the IMAGE tier's first HARD-gated row (decode + resize math under
+    // the hash gate, not just OpsSpec): real JDK BMP decode → Rec.601
+    // integer luma → the integer box-filter grid, on the hex fixtures the
+    // oracle parses byte-by-byte from the same literals. The DCT tail
+    // stays spec-gated (math.cos has no cross-engine bit contract); this
+    // row pins everything UP TO the transform
+    "q194_image_fixture" -> { (s, d) =>
+      import s.implicits._
+      val fx = bmpFixtures.map(f => (f._1, f._2)).toDF("img_id", "hex")
+        .select(col("img_id"), unhex(col("hex")).as("payload"))
+      MultimodalOps.lumaGrid(fx, "img_id", "payload", gridN = 2)
+        .orderBy(col("img_id"), col("idx"))
+    },
+
+    // the AUDIO tier's hard-gated row: real JDK WAV decode (mono + stereo
+    // PCM16LE fixtures) → the INTEGER container/signal facts — frames,
+    // duration, channel-0 zero crossings (sign transitions, zeros
+    // ignored) — replayed by the oracle from the same hex (rms/peak stay
+    // spec-gated: double accumulation order has no cross-engine contract)
+    "q195_audio_fixture" -> { (s, d) =>
+      import s.implicits._
+      val fx = wavFixtures.map(f => (f._1, f._2)).toDF("clip_id", "hex")
+        .select(col("clip_id"), unhex(col("hex")).as("payload"))
+      MultimodalOps.decodeAudio(fx, "clip_id", "payload")
+        .select(col("id").as("clip_id"),
+          col("channels").cast("long").as("channels"),
+          col("sampleRateHz").cast("long").as("sample_rate"),
+          col("bitsPerSample").cast("long").as("bits"),
+          col("nFrames").as("n_frames"),
+          col("durationMs").as("duration_ms"),
+          col("zeroCrossings").as("zero_crossings"))
+        .orderBy(col("clip_id"))
+    },
 
     // the TOKENIZER tier's sf-scaled exactness gate (the q188/q191 rule on
     // the WORD axis): the full q164 bake-off — three trainings + fertility
@@ -2456,6 +2508,13 @@ object SparkEntry {
   private val semanticCcCte: String =
     s"""${srpPairsCte(0.4)},
        |$ccTailCte""".stripMargin
+
+  /** SQL for byte `offExpr` (0-based) of a lowercase hex-string column —
+    * two nibble lookups via strpos; the fixture oracles' byte accessor.
+    */
+  private def hexByteSql(hexCol: String, offExpr: String): String =
+    s"((strpos('0123456789abcdef', substring($hexCol, 2*($offExpr)+1, 1))-1)*16" +
+      s" + strpos('0123456789abcdef', substring($hexCol, 2*($offExpr)+2, 1))-1)"
 
   /** q164's full bake-off replay (three trainings + fertility tails),
     * parameterized by the SQL predicate applied to the shared `words`
@@ -3936,6 +3995,70 @@ object SparkEntry {
     // q168's six WordPiece rounds, all rolled up per (source, word)
     // through the identical fertility tail
     "q164_tokenizer_bakeoff" -> tokenizerBakeoffSql("TRUE"),
+
+    "q194_image_fixture" -> {
+      // the BMP fixtures parsed byte-by-byte from the same hex literals:
+      // pixel offset 54 + (h-1-y)*stride + 3x (bottom-up BGR), the Rec.601
+      // integer luma, the identical box-filter cell bounds and
+      // (sum + n/2) div n rounding
+      val vals = bmpFixtures.map { case (id, hex, w, h, st) =>
+        s"($id, '$hex', $w, $h, $st)"
+      }.mkString(", ")
+      s"""WITH fx AS (SELECT * FROM (VALUES $vals) t(img_id, hex, w, h, stride)),
+         |pix AS (SELECT img_id, hex, w, h, x.x AS x, y.y AS y,
+         |    54 + (h - 1 - y.y) * stride + x.x * 3 AS o
+         |  FROM fx, UNNEST(range(0, w)) x(x), UNNEST(range(0, h)) y(y)),
+         |lum AS (SELECT img_id, x, y,
+         |    (299 * ${hexByteSql("hex", "o+2")}
+         |     + 587 * ${hexByteSql("hex", "o+1")}
+         |     + 114 * ${hexByteSql("hex", "o")}) // 1000 AS luma
+         |  FROM pix),
+         |cells AS (SELECT f.img_id, gy.gy AS gy, gx.gx AS gx,
+         |    gx.gx * f.w // 2 AS x0,
+         |    greatest(gx.gx * f.w // 2 + 1, (gx.gx + 1) * f.w // 2) AS x1,
+         |    gy.gy * f.h // 2 AS y0,
+         |    greatest(gy.gy * f.h // 2 + 1, (gy.gy + 1) * f.h // 2) AS y1
+         |  FROM fx f, UNNEST(range(0, 2)) gy(gy), UNNEST(range(0, 2)) gx(gx))
+         |SELECT CAST(c.img_id AS BIGINT) AS img_id,
+         |  CAST(c.gy * 2 + c.gx AS BIGINT) AS idx,
+         |  CAST((sum(l.luma) + count(*) // 2) // count(*) AS BIGINT) AS luma
+         |FROM cells c JOIN lum l ON l.img_id = c.img_id
+         |  AND l.x >= c.x0 AND l.x < c.x1 AND l.y >= c.y0 AND l.y < c.y1
+         |GROUP BY 1, 2 ORDER BY img_id, idx""".stripMargin
+    },
+
+    "q195_audio_fixture" -> {
+      // the WAV fixtures parsed from hex: PCM16LE channel-0 samples at
+      // 44 + i*ch*2, sign-extended; zero crossings = sign transitions over
+      // the nonzero-sign subsequence (the engine's zeros-ignored rule)
+      val vals = wavFixtures.map { case (id, hex, rate, ch, n) =>
+        s"($id, '$hex', $rate, $ch, $n)"
+      }.mkString(", ")
+      s"""WITH fx AS (SELECT * FROM (VALUES $vals) t(clip_id, hex, rate, ch, n)),
+         |samp AS (SELECT clip_id, i.i AS i,
+         |    ${hexByteSql("hex", "44 + i.i*ch*2 + 1")} * 256
+         |      + ${hexByteSql("hex", "44 + i.i*ch*2")} AS raw
+         |  FROM fx, UNNEST(range(0, n)) i(i)),
+         |vs AS (SELECT clip_id, i,
+         |    CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+         |  FROM samp),
+         |sg AS (SELECT clip_id, i,
+         |    CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS s
+         |  FROM vs),
+         |nz AS (SELECT clip_id, s, lag(s) OVER (
+         |    PARTITION BY clip_id ORDER BY i) AS p FROM sg WHERE s <> 0),
+         |z AS (SELECT clip_id, CAST(count(*) AS BIGINT) AS zc FROM nz
+         |  WHERE p IS NOT NULL AND s <> p GROUP BY 1)
+         |SELECT CAST(f.clip_id AS BIGINT) AS clip_id,
+         |  CAST(f.ch AS BIGINT) AS channels,
+         |  CAST(f.rate AS BIGINT) AS sample_rate,
+         |  CAST(16 AS BIGINT) AS bits,
+         |  CAST(f.n AS BIGINT) AS n_frames,
+         |  CAST(f.n * 1000 // f.rate AS BIGINT) AS duration_ms,
+         |  CAST(COALESCE(z.zc, 0) AS BIGINT) AS zero_crossings
+         |FROM fx f LEFT JOIN z ON z.clip_id = f.clip_id
+         |ORDER BY clip_id""".stripMargin
+    },
 
     "q193_tokenizer_sampled" ->
       // the q164 replay verbatim with the md5 WORD sample applied to the

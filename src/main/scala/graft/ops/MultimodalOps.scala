@@ -381,6 +381,46 @@ object MultimodalOps {
     v
   }
 
+  /** The INTEGER intensity grid feeding [[extractFeatures]]' DCT — decode
+    * (JDK readers) → Rec.601 integer luma `(299r + 587g + 114b) div 1000`
+    * → [[boxScaleBand]]'s integer box filter (sum + n/2) div n — exposed
+    * as its own stage because every number is EXACT INTEGER arithmetic on
+    * the payload bytes: for an uncompressed fixture (BMP) a SQL oracle
+    * can parse the pixels straight out of the hex payload and replay the
+    * grid bit-for-bit, putting the image tier's decode + resize math
+    * under the hash gate (the DCT tail stays spec-gated — `math.cos`
+    * has no cross-engine bit contract). Output one row per grid cell:
+    * (idCol, idx, luma), idx = row-major cell index. Undecodable rows
+    * DROP, as in [[decodeImage]].
+    */
+  def lumaGrid(df: DataFrame, idCol: String, binCol: String,
+               gridN: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    input.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { case (id, bytes) =>
+        tryDecode(bytes).iterator.flatMap { im =>
+          val (w, h) = (im.getWidth, im.getHeight)
+          val (rB, gB, bB) = toRgbBands(im)
+          val lumaIm = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val lr = lumaIm.getRaster
+          var i = 0
+          while (i < w * h) {
+            lr.setSample(i % w, i / w, 0,
+              (rB(i) * 299 + gB(i) * 587 + bB(i) * 114) / 1000); i += 1
+          }
+          boxScaleBand(lumaIm.getRaster, 0, w, h, gridN, gridN)
+            .iterator.zipWithIndex
+            .map { case (v, idx) => (id, idx.toLong, v.toLong) }
+        }
+      }
+    }.toDF(idCol, "idx", "luma")
+  }
+
   /** Frame sampling: every `everyN`-th fixed-size chunk (a video keyframe /
     * audio window subsample pattern). Pure array expression over
     * [[chunks]] — no decode needed to thin a payload before shipping it to

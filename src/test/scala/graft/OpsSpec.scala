@@ -3741,6 +3741,27 @@ class OpsSpec extends SparkTestBase {
     assert((fresh - 900001L - 900002L) === inc)
   }
 
+  test("lumaGrid + decodeAudio: fixture goldens match the hand-computed byte walk") {
+    import spark.implicits._
+    // the q194/q195 BMP/WAV fixtures, expected values computed by hand
+    // from the raw bytes (pixel formula (299r+587g+114b)/1000, box cells
+    // (sum+n/2)/n; PCM16LE channel-0 sign transitions ignoring zeros)
+    val bmp = SparkEntry.bmpFixtures.map(f => (f._1, f._2)).toDF("img_id", "hex")
+      .select(col("img_id"), unhex(col("hex")).as("payload"))
+    val grids = MultimodalOps.lumaGrid(bmp, "img_id", "payload", gridN = 2)
+      .orderBy(col("img_id"), col("idx")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSeq).toMap
+    assert(grids(1L) === Seq(46L, 105L, 113L, 172L))
+    assert(grids(2L) === Seq(25L, 98L, 101L, 150L))
+    val wav = SparkEntry.wavFixtures.map(f => (f._1, f._2)).toDF("clip_id", "hex")
+      .select(col("clip_id"), unhex(col("hex")).as("payload"))
+    val au = MultimodalOps.decodeAudio(wav, "clip_id", "payload").collect()
+      .map(a => a.id -> ((a.channels, a.sampleRateHz, a.nFrames,
+        a.durationMs, a.zeroCrossings))).toMap
+    assert(au(1L) === ((1, 8000, 64L, 8L, 23L)))
+    assert(au(2L) === ((2, 16000, 48L, 3L, 27L)))
+  }
+
   test("recommendThreshold: sweep stats exact per threshold; smallest sparse-enough threshold flagged") {
     import spark.implicits._
     // hand graph: at 0.30 every edge survives (star around 1 → mean deg
