@@ -1181,6 +1181,30 @@ object SparkEntry {
       TextOps.trainWordPiece(t(s, d, "documents"), numMerges = 6)
         .orderBy(col("merge_rank"))),
 
+    // the PERSISTED face of q192 (the banded-index lifecycle convention
+    // applied to cluster state): the corpus labeling is built ONCE into a
+    // comp-bucketed assignment table, the batch folds in through the
+    // quotient step + copy-on-write rewrite, and the read-back must equal
+    // the global recompute — same oracle as q192, now through the
+    // ensure/maintain/read lifecycle a production ingest actually runs
+    "q196_persisted_cluster_maintain" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val pairs = SimilarityOps.srpNearDupPairs(emb, 0.4)
+        .select(col("a"), col("b")).localCheckpoint()
+      val isOld = (c: org.apache.spark.sql.Column) => c % 5 =!= 0
+      GraphOps.ensureClusterAssignments(
+        pairs.filter(isOld(col("a")) && isOld(col("b"))),
+        emb.filter(isOld(col("vec_id"))).select(col("vec_id")),
+        "graft_q196_cc", corpusTag = d + "#base", idCol = "vec_id")
+      GraphOps.maintainClusterAssignments(
+        pairs.filter(!isOld(col("a")) || !isOld(col("b"))),
+        emb.filter(!isOld(col("vec_id"))).select(col("vec_id")),
+        "graft_q196_cc", newCorpusTag = d + "#full", idCol = "vec_id")
+      GraphOps.clusterAssignments(s, "graft_q196_cc")
+        .select(col("id").as("vec_id"), col("comp"))
+        .orderBy(col("vec_id"))
+    },
+
     // the IMAGE tier's first HARD-gated row (decode + resize math under
     // the hash gate, not just OpsSpec): real JDK BMP decode → Rec.601
     // integer luma → the integer box-filter grid, on the hex fixtures the
@@ -2373,9 +2397,11 @@ object SparkEntry {
     * points (q64/q88 dedup at 0.4, q178's denser census graph at 0.2)
     * share one definition.
     */
-  private def srpPairsCte(minCos: Double): String =
+  private def srpPairsCte(minCos: Double,
+                          vertexFilter: String = "TRUE"): String =
     s"""planes AS (${ops.DetHash.sqlPlanesCte(48, 64)}),
-       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |e AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE $vertexFilter),
        |proj AS (SELECT p.p // 8 AS tbl, p.p % 8 AS i, e.vec_id,
        |    list_sum(list_transform(list_zip(e.embedding, p.cs), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS pr
        |  FROM e CROSS JOIN planes p),
@@ -4340,9 +4366,13 @@ object SparkEntry {
       val samp = (side: String) =>
         s"${ops.DetHash.sqlMd5Hash60(s"'gts|' || CAST($side AS VARCHAR)")}" +
           " % (SELECT greatest(1, count(*) // 500) FROM embeddings) = 0"
-      s"""WITH RECURSIVE ${srpPairsCte(0.2)},
-         |e0 AS MATERIALIZED (SELECT a, b FROM pr2
-         |  WHERE ${samp("a")} AND ${samp("b")}),
+      // the sample pushed into the VECTOR scan (value-identical to
+      // filtering pairs afterward — buckets are per-vector and a pair
+      // needs both endpoints sampled — but the oracle's banding scan and
+      // candidate join become sample-sized: at sf10 the pair-level form
+      // spilled DuckDB past the disk, this form replays in seconds)
+      s"""WITH RECURSIVE ${srpPairsCte(0.2, samp("vec_id"))},
+         |e0 AS MATERIALIZED (SELECT a, b FROM pr2),
          |$trussEffectTailCte""".stripMargin
     },
 
@@ -4393,8 +4423,10 @@ object SparkEntry {
       val samp = (side: String) =>
         s"${ops.DetHash.sqlMd5Hash60(s"'kgs|' || CAST($side AS VARCHAR)")}" +
           " % (SELECT greatest(1, count(*) // 500) FROM embeddings) = 0"
-      s"""WITH RECURSIVE ${srpPairsCte(0.2)},
-         |${knnEdgesCte(4, Some(s"${samp("a")} AND ${samp("b")}"))},
+      // sample pushed into the vector scan (the q188 note) — pr2 is
+      // already the sample's candidate set, so ranking needs no filter
+      s"""WITH RECURSIVE ${srpPairsCte(0.2, samp("vec_id"))},
+         |${knnEdgesCte(4)},
          |$trussEffectTailCte""".stripMargin
     },
 
@@ -4402,6 +4434,12 @@ object SparkEntry {
     // singletons seeded) — the incremental engine path must reproduce it
     // exactly; equality of the full labelings IS the correctness claim
     "q192_incremental_cc" ->
+      s"""WITH RECURSIVE $semanticCcCte
+         |SELECT x AS vec_id, comp FROM cc ORDER BY vec_id""".stripMargin,
+
+    // identical global-closure oracle as q192: the persisted lifecycle
+    // must serve exactly what the in-session incremental path computes
+    "q196_persisted_cluster_maintain" ->
       s"""WITH RECURSIVE $semanticCcCte
          |SELECT x AS vec_id, comp FROM cc ORDER BY vec_id""".stripMargin,
 

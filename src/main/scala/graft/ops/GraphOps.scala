@@ -301,6 +301,79 @@ object GraphOps {
     keptOld.unionByName(fresh)
   }
 
+  private val clusterIndexFormatVersion = 1
+
+  /** PERSISTED cluster-assignment lifecycle — the production face of
+    * [[incrementalComponents]] (the banded-index ensure/maintain
+    * convention): the (id, comp) labeling lives as a managed table
+    * bucketed by `comp` (the relabel join's key, so maintenance
+    * co-locates), with a one-row `_meta` carrying the corpus tag. Build
+    * once with global CC; fold each ingest in with the quotient-graph
+    * step — compute O(batch + touched components); the snapshot REWRITE
+    * is the copy-on-write price every versioned-state operator here pays
+    * ([[graft.streaming.StreamingEvents]]' lineDfIngest note), stated
+    * plainly: the write is corpus-sized, the SHUFFLE/compute is not.
+    */
+  def ensureClusterAssignments(pairs: DataFrame, vertices: DataFrame,
+                               tablePrefix: String, corpusTag: String,
+                               idCol: String = "id",
+                               buckets: Int = 8): Unit = {
+    val spark = pairs.sparkSession
+    val upToDate = try {
+      Seq("assign", "meta")
+        .forall(s => spark.catalog.tableExists(s"${tablePrefix}_$s")) && {
+        val m = spark.table(s"${tablePrefix}_meta").head()
+        m.schema.fieldNames.contains("fmt") &&
+          m.getAs[Int]("fmt") == clusterIndexFormatVersion &&
+          m.getAs[String]("corpus_tag") == corpusTag &&
+          m.getAs[Int]("buckets") == buckets
+      }
+    } catch { case _: Exception => false }
+    if (!upToDate) {
+      val asg = connectedComponents(pairs, vertices, idCol)
+        .select(col(idCol).cast("long").as("id"), col("comp"))
+      writeClusterAssignments(spark, asg, tablePrefix, corpusTag, buckets)
+    }
+  }
+
+  /** The persisted labeling, read back: (id, comp). */
+  def clusterAssignments(spark: org.apache.spark.sql.SparkSession,
+                         tablePrefix: String): DataFrame =
+    spark.table(s"${tablePrefix}_assign").select(col("id"), col("comp"))
+
+  /** Fold an ingested batch into the persisted labeling: the
+    * [[incrementalComponents]] quotient step against the CURRENT
+    * assignment table, then the copy-on-write snapshot rewrite + tag
+    * update. Equal to a global rebuild by the quotient argument (OpsSpec
+    * asserts it on chained batches against [[connectedComponents]]).
+    */
+  def maintainClusterAssignments(newEdges: DataFrame, newVertices: DataFrame,
+                                 tablePrefix: String, newCorpusTag: String,
+                                 idCol: String = "id",
+                                 buckets: Int = 8): Unit = {
+    val spark = newEdges.sparkSession
+    val cur = clusterAssignments(spark, tablePrefix)
+    val next = incrementalComponents(cur, newEdges,
+        newVertices.select(col(idCol).cast("long").as("id")), "id")
+      // localCheckpoint BEFORE the overwrite: the plan reads the table
+      // being replaced (saveAsTable overwrite would otherwise read-under-
+      // write its own input)
+      .localCheckpoint()
+    writeClusterAssignments(spark, next, tablePrefix, newCorpusTag, buckets)
+  }
+
+  private def writeClusterAssignments(spark: org.apache.spark.sql.SparkSession,
+                                      asg: DataFrame, tablePrefix: String,
+                                      corpusTag: String, buckets: Int): Unit = {
+    import graft.sources.Bucketing
+    import spark.implicits._
+    Bucketing.writeBucketed(asg, s"${tablePrefix}_assign", Seq("comp"), buckets)
+    Bucketing.saveTable(
+      Seq((clusterIndexFormatVersion, corpusTag, buckets))
+        .toDF("fmt", "corpus_tag", "buckets"),
+      s"${tablePrefix}_meta")
+  }
+
   /** PageRank in FIXED-POINT integer arithmetic — bit-deterministic across
     * engines, runs, and partitionings, which floating-point PageRank is NOT
     * (parallel double summation has no defined order). All mass lives in

@@ -3741,6 +3741,37 @@ class OpsSpec extends SparkTestBase {
     assert((fresh - 900001L - 900002L) === inc)
   }
 
+  test("persisted cluster assignments: ensure + maintain == global CC; ensure is tag-idempotent") {
+    import spark.implicits._
+    val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
+    val pairs = SimilarityOps.srpNearDupPairs(emb, 0.4)
+      .select(col("a"), col("b")).localCheckpoint()
+    val verts = emb.select(col("vec_id"))
+    def bucket(c: org.apache.spark.sql.Column, i: Int) = pmod(c, lit(2)) === i
+    GraphOps.ensureClusterAssignments(
+      pairs.filter(bucket(col("a"), 0) && bucket(col("b"), 0)),
+      verts.filter(bucket(col("vec_id"), 0)), "graft_test_cc",
+      corpusTag = "t#base", idCol = "vec_id")
+    // same tag: ensure must NOT rebuild (the table keeps its snapshot id)
+    val loc1 = spark.table("graft_test_cc_assign").inputFiles.toSet
+    GraphOps.ensureClusterAssignments(
+      pairs.filter(bucket(col("a"), 0) && bucket(col("b"), 0)),
+      verts.filter(bucket(col("vec_id"), 0)), "graft_test_cc",
+      corpusTag = "t#base", idCol = "vec_id")
+    assert(spark.table("graft_test_cc_assign").inputFiles.toSet === loc1,
+      "same-tag ensure must be a no-op")
+    GraphOps.maintainClusterAssignments(
+      pairs.filter(bucket(col("a"), 1) || bucket(col("b"), 1)),
+      verts.filter(bucket(col("vec_id"), 1)), "graft_test_cc",
+      newCorpusTag = "t#full", idCol = "vec_id")
+    val served = GraphOps.clusterAssignments(spark, "graft_test_cc")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val global = GraphOps.connectedComponents(pairs, verts, "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served === global,
+      "persisted maintain must serve the global recompute exactly")
+  }
+
   test("lumaGrid + decodeAudio: fixture goldens match the hand-computed byte walk") {
     import spark.implicits._
     // the q194/q195 BMP/WAV fixtures, expected values computed by hand
