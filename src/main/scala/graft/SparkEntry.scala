@@ -1360,6 +1360,15 @@ object SparkEntry {
           .select(col("a"), col("b")))
         .orderBy(col("n_vertices").desc, col("comp"))),
 
+    // the per-cluster census RE-POINTED at the bounded mutual-kNN graph
+    // (q189's edge set): the same collapse-safety dashboard, now over the
+    // graph whose degree cannot densify as the corpus grows
+    "q197_knn_cluster_census" -> ((s, d) =>
+      GraphOps.clusterCensus(
+        SimilarityOps.knnGraph(t(s, d, "embeddings"), 0.2, kTop = 4)
+          .select(col("a"), col("b")))
+        .orderBy(col("n_vertices").desc, col("comp"))),
+
     // 3-TRUSS of the same graph — the EDGE-grain repair the census
     // motivates: iterated support peeling drops every edge sharing no
     // common neighbor (the bridge a single borderline pair contributes),
@@ -2624,6 +2633,58 @@ object SparkEntry {
          |  FROM wsrc JOIN wpsyms USING (w) GROUP BY 1, 2)
          |ORDER BY tokenizer, source""".stripMargin
   }
+
+  /** Per-cluster census tail over an edge CTE `edges(a, b)`: recursive
+    * closure (singletons seeded from embeddings), degree/orientation/
+    * triangle-corner CTEs, per-component rollup — mirrors
+    * `GraphOps.clusterCensus`. Shared by q179 (edges = pr2, the fixed-e
+    * graph) and q197 (edges = e0, the mutual-kNN graph); callers prepend
+    * `WITH RECURSIVE` and the edge definition.
+    */
+  private def censusTailCte(edges: String): String =
+    s"""ced AS (SELECT a AS x, b AS y FROM $edges
+       |  UNION ALL SELECT b, a FROM $edges),
+       |reach AS (
+       |  SELECT vec_id AS x, vec_id AS comp FROM embeddings
+       |  UNION
+       |  SELECT ced.x, r.comp FROM ced JOIN reach r ON r.x = ced.y),
+       |cc AS (SELECT x, min(comp) AS comp FROM reach GROUP BY x),
+       |und AS (SELECT a, b FROM $edges),
+       |dg AS (SELECT v, CAST(count(*) AS BIGINT) AS dg FROM
+       |    (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+       |  GROUP BY 1),
+       |o AS (SELECT
+       |    CASE WHEN (da.dg < db.dg) OR (da.dg = db.dg AND u.a < u.b)
+       |      THEN u.a ELSE u.b END AS src,
+       |    CASE WHEN (da.dg < db.dg) OR (da.dg = db.dg AND u.a < u.b)
+       |      THEN u.b ELSE u.a END AS dst
+       |  FROM und u JOIN dg da ON da.v = u.a JOIN dg db ON db.v = u.b),
+       |o2 AS (SELECT o.src, o.dst, dg.dg AS dd FROM o
+       |  JOIN dg ON dg.v = o.dst),
+       |tcorn AS (SELECT x.src AS c1, x.dst AS c2, y.dst AS c3 FROM o2 x
+       |  JOIN o2 y ON y.src = x.src
+       |    AND ((x.dd < y.dd) OR (x.dd = y.dd AND x.dst < y.dst))
+       |  JOIN o z ON z.src = x.dst AND z.dst = y.dst),
+       |pt AS (SELECT v, CAST(count(*) AS BIGINT) AS n_tri FROM
+       |    (SELECT c1 AS v FROM tcorn UNION ALL SELECT c2 FROM tcorn
+       |     UNION ALL SELECT c3 FROM tcorn)
+       |  GROUP BY 1),
+       |perv AS (SELECT dg.v, dg.dg, COALESCE(pt.n_tri, 0) AS n_tri, cc.comp
+       |  FROM dg JOIN cc ON cc.x = dg.v LEFT JOIN pt ON pt.v = dg.v),
+       |vagg AS (SELECT comp, CAST(count(*) AS BIGINT) AS n_vertices,
+       |    CAST(COALESCE(sum(dg * (dg - 1) // 2), 0) AS BIGINT) AS n_wedges,
+       |    CAST(sum(n_tri) // 3 AS BIGINT) AS n_triangles
+       |  FROM perv GROUP BY comp),
+       |eagg AS (SELECT cc.comp, CAST(count(*) AS BIGINT) AS n_edges
+       |  FROM und JOIN cc ON cc.x = und.a GROUP BY 1)
+       |SELECT v.comp, v.n_vertices, e.n_edges, v.n_triangles,
+       |  CAST((1000000 * 2 * e.n_edges) //
+       |    (v.n_vertices * (v.n_vertices - 1)) AS BIGINT) AS density_micro,
+       |  CAST(CASE WHEN v.n_wedges > 0
+       |    THEN (3000000 * v.n_triangles) // v.n_wedges
+       |    ELSE 0 END AS BIGINT) AS transitivity_micro
+       |FROM vagg v JOIN eagg e ON e.comp = v.comp
+       |ORDER BY v.n_vertices DESC, v.comp""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Every query has an oracle — the hash-based ones
@@ -4284,43 +4345,16 @@ object SparkEntry {
     // vertices in the per-vertex frame
     "q179_cluster_census" ->
       s"""WITH RECURSIVE ${srpPairsCte(0.2)},
-         |$ccTailCte,
-         |und AS (SELECT a, b FROM pr2),
-         |dg AS (SELECT v, CAST(count(*) AS BIGINT) AS dg FROM
-         |    (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
-         |  GROUP BY 1),
-         |o AS (SELECT
-         |    CASE WHEN (da.dg < db.dg) OR (da.dg = db.dg AND u.a < u.b)
-         |      THEN u.a ELSE u.b END AS src,
-         |    CASE WHEN (da.dg < db.dg) OR (da.dg = db.dg AND u.a < u.b)
-         |      THEN u.b ELSE u.a END AS dst
-         |  FROM und u JOIN dg da ON da.v = u.a JOIN dg db ON db.v = u.b),
-         |o2 AS (SELECT o.src, o.dst, dg.dg AS dd FROM o
-         |  JOIN dg ON dg.v = o.dst),
-         |tcorn AS (SELECT x.src AS c1, x.dst AS c2, y.dst AS c3 FROM o2 x
-         |  JOIN o2 y ON y.src = x.src
-         |    AND ((x.dd < y.dd) OR (x.dd = y.dd AND x.dst < y.dst))
-         |  JOIN o z ON z.src = x.dst AND z.dst = y.dst),
-         |pt AS (SELECT v, CAST(count(*) AS BIGINT) AS n_tri FROM
-         |    (SELECT c1 AS v FROM tcorn UNION ALL SELECT c2 FROM tcorn
-         |     UNION ALL SELECT c3 FROM tcorn)
-         |  GROUP BY 1),
-         |perv AS (SELECT dg.v, dg.dg, COALESCE(pt.n_tri, 0) AS n_tri, cc.comp
-         |  FROM dg JOIN cc ON cc.x = dg.v LEFT JOIN pt ON pt.v = dg.v),
-         |vagg AS (SELECT comp, CAST(count(*) AS BIGINT) AS n_vertices,
-         |    CAST(COALESCE(sum(dg * (dg - 1) // 2), 0) AS BIGINT) AS n_wedges,
-         |    CAST(sum(n_tri) // 3 AS BIGINT) AS n_triangles
-         |  FROM perv GROUP BY comp),
-         |eagg AS (SELECT cc.comp, CAST(count(*) AS BIGINT) AS n_edges
-         |  FROM und JOIN cc ON cc.x = und.a GROUP BY 1)
-         |SELECT v.comp, v.n_vertices, e.n_edges, v.n_triangles,
-         |  CAST((1000000 * 2 * e.n_edges) //
-         |    (v.n_vertices * (v.n_vertices - 1)) AS BIGINT) AS density_micro,
-         |  CAST(CASE WHEN v.n_wedges > 0
-         |    THEN (3000000 * v.n_triangles) // v.n_wedges
-         |    ELSE 0 END AS BIGINT) AS transitivity_micro
-         |FROM vagg v JOIN eagg e ON e.comp = v.comp
-         |ORDER BY v.n_vertices DESC, v.comp""".stripMargin,
+         |${censusTailCte("pr2")}""".stripMargin,
+
+    // the census re-pointed at the BOUNDED graph: mutual-kNN edge
+    // selection first, then the identical per-component rollup — the
+    // dashboard a dedup owner reads once the operating point is
+    // degree-capped rather than threshold-tuned
+    "q197_knn_cluster_census" ->
+      s"""WITH RECURSIVE ${srpPairsCte(0.2)},
+         |${knnEdgesCte(4)},
+         |${censusTailCte("e0")}""".stripMargin,
 
     // the SRP pair CTEs at 0.2, then the engine's 4 peel rounds unrolled
     // (e0 → e4, one support+filter block each — the q97/q168 unrolled-round
