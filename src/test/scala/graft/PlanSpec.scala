@@ -708,4 +708,32 @@ class PlanSpec extends SparkTestBase {
         s"$q has a global sort inside the audit chain (got $globalSorts)")
     }
   }
+
+  test("kNN graph tier: rank window keyed + WindowGroupLimit, mutual join equi-keyed, no cartesian") {
+    // q189/q197's scale claim rests on three plan facts: the per-vertex
+    // rank never global-sorts (partitioned by v, rank<=k pushes into
+    // per-partition WindowGroupLimit heaps), the mutuality check is an
+    // (a,b)-keyed equi-join, and nothing in the SRP candidate chain is a
+    // cartesian — a regression in any of these changes the 100 TB cost
+    // class even though small-SF results stay identical
+    val df = graft.ops.SimilarityOps.knnGraph(
+      graft.sources.Tables(spark, SparkTestBase.sf001, "embeddings"),
+      0.2, kTop = 4)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "kNN graph plans a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "kNN graph plans a nested loop")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k must push into WindowGroupLimit per-partition heaps")
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("v#")),
+      s"rank window must partition by v:\n${winLines.mkString("\n")}")
+    // threshold sweep: the grid joins as a broadcast (tiny) side and the
+    // degree/rollup chain is pure hash aggregation
+    val sw = SparkEntry.queries("q190_threshold_sweep")(
+      spark, SparkTestBase.sf001).queryExecution.executedPlan.toString
+    assert(!sw.contains("CartesianProduct"), "sweep plans a cartesian")
+    assert(sw.contains("BroadcastExchange"),
+      "the O(10)-row grid must broadcast, never shuffle the candidates")
+  }
 }
