@@ -1486,6 +1486,27 @@ object SparkEntry {
         targetMeanDegreeMicro = 4000000L)
         .orderBy(col("thr_micro"))),
 
+    // the sweep's own SCALE PATH (the verdict-7 form: estimate the
+    // operating point on a SAMPLED subgraph): the md5 vertex sample
+    // auto-sized to ~500 vertices, swept at the same grid with the target
+    // scaled by the sample rate — an induced p-sample scales every
+    // vertex's expected degree by p uniformly, so "sampled mean degree ≤
+    // p·target" estimates the full-corpus rule; at 100× the full-floor
+    // sweep's candidate join spills local disk, this stays sample-sized
+    // on BOTH engine and oracle
+    "q198_threshold_sweep_sampled" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val k = math.max(1L, emb.count() / 500L)
+      def in(c: org.apache.spark.sql.Column) = pmod(DetHash.md5Hash60(
+        concat(lit("tss|"), c.cast("string"))), lit(k)) === 0
+      GraphOps.recommendThreshold(
+        SimilarityOps.srpNearDupPairs(emb.filter(in(col("vec_id"))), 0.2),
+        gridMicro = Seq(200000L, 250000L, 300000L, 350000L, 400000L,
+          450000L, 500000L),
+        targetMeanDegreeMicro = 4000000L / k)
+        .orderBy(col("thr_micro"))
+    },
+
     // q189's sf-scaled exactness gate (the q188 rule): the same mutual-kNN
     // + dedup-effect composition on the induced md5 vertex sample
     // auto-sized to ~500 vertices. Unlike the ε-graph, kNN selection does
@@ -4449,6 +4470,44 @@ object SparkEntry {
          |  f.mean_degree_micro,
          |  f.thr_micro IS NOT DISTINCT FROM b.bt AS recommended
          |FROM fullsw f, best b ORDER BY f.thr_micro""".stripMargin,
+
+    // the q190 tail with the vertex sample pushed into the vector scan
+    // and the target divided by the sample modulus (integer, the engine's
+    // driver-side k == the scalar subquery by construction)
+    "q198_threshold_sweep_sampled" -> {
+      val samp =
+        s"${ops.DetHash.sqlMd5Hash60("'tss|' || CAST(vec_id AS VARCHAR)")}" +
+          " % (SELECT greatest(1, count(*) // 500) FROM embeddings) = 0"
+      s"""WITH ${srpPairsCte(0.2, samp)},
+         |grid AS (SELECT CAST(unnest([200000, 250000, 300000, 350000,
+         |    400000, 450000, 500000]) AS BIGINT) AS thr_micro),
+         |eg AS (SELECT g.thr_micro, p.a, p.b FROM pr2 p JOIN grid g
+         |  ON p.cos >= CAST(g.thr_micro AS DOUBLE) / 1000000.0),
+         |deg AS (SELECT thr_micro, v, CAST(count(*) AS BIGINT) AS dg FROM
+         |    (SELECT thr_micro, a AS v FROM eg
+         |     UNION ALL SELECT thr_micro, b FROM eg)
+         |  GROUP BY 1, 2),
+         |st AS (SELECT thr_micro, CAST(count(*) AS BIGINT) AS n_vertices,
+         |    CAST(sum(dg) // 2 AS BIGINT) AS n_edges,
+         |    CAST(max(dg) AS BIGINT) AS max_degree,
+         |    CAST((1000000 * sum(dg)) // count(*) AS BIGINT)
+         |      AS mean_degree_micro
+         |  FROM deg GROUP BY 1),
+         |fullsw AS (SELECT g.thr_micro,
+         |    CAST(COALESCE(st.n_vertices, 0) AS BIGINT) AS n_vertices,
+         |    CAST(COALESCE(st.n_edges, 0) AS BIGINT) AS n_edges,
+         |    CAST(COALESCE(st.max_degree, 0) AS BIGINT) AS max_degree,
+         |    CAST(COALESCE(st.mean_degree_micro, 0) AS BIGINT)
+         |      AS mean_degree_micro
+         |  FROM grid g LEFT JOIN st ON st.thr_micro = g.thr_micro),
+         |best AS (SELECT min(thr_micro) AS bt FROM fullsw
+         |  WHERE mean_degree_micro <= 4000000
+         |    // (SELECT greatest(1, count(*) // 500) FROM embeddings))
+         |SELECT f.thr_micro, f.n_vertices, f.n_edges, f.max_degree,
+         |  f.mean_degree_micro,
+         |  f.thr_micro IS NOT DISTINCT FROM b.bt AS recommended
+         |FROM fullsw f, best b ORDER BY f.thr_micro""".stripMargin
+    },
 
     // the q189 oracle with the md5 vertex sample applied to the candidate
     // pairs BEFORE ranking (the sample's own kNN graph — both engines rank

@@ -1004,6 +1004,42 @@ object StreamingEvents {
     * `beforeEpoch` restricts to strictly earlier versions (the replay
     * path).
     */
+  /** STREAMING incremental clustering — the persisted assignment
+    * lifecycle ([[graft.ops.GraphOps.ensureClusterAssignments]]) driven by
+    * a stream of near-dup EDGES: per micro-batch the quotient step folds
+    * the batch into the assignment table
+    * ([[graft.ops.GraphOps.maintainClusterAssignments]]) — compute
+    * O(batch + touched components) per epoch, never a global re-cluster.
+    * The caller ensures the base table exists first (an EMPTY base is
+    * fine: every vertex then enters through a batch).
+    *
+    * At-least-once REPLAY is a semantic no-op: a replayed edge maps
+    * through the (already-merged) labels to a self-loop and drops, and a
+    * replayed new vertex is already assigned, so the anti-join skips it —
+    * the labeling is a fixpoint of its own batches. Crash WINDOW, stated
+    * plainly: the per-epoch table overwrite (drop + recreate) is not
+    * atomic — a crash between them loses the snapshot; a production store
+    * versions snapshots like [[upsertSink]] and keeps N ≥ 2
+    * ([[pruneSnapshots]]).
+    */
+  def clusterIngest(edges: DataFrame, tablePrefix: String,
+                    checkpointDir: String,
+                    aCol: String = "a",
+                    bCol: String = "b"): DataStreamWriter[Row] =
+    edges.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        if (!batch.isEmpty) {
+          val e = batch.select(col(aCol).cast("long").as("a"),
+            col(bCol).cast("long").as("b")).localCheckpoint()
+          val v = e.select(col("a").as("id"))
+            .unionByName(e.select(col("b").as("id"))).distinct()
+          graft.ops.GraphOps.maintainClusterAssignments(e, v, tablePrefix,
+            newCorpusTag = s"stream-epoch-$epoch", idCol = "id")
+        }
+      }
+
   def latestSnapshot(spark: SparkSession, baseDir: String,
                      beforeEpoch: Option[Long] = None): Option[DataFrame] = {
     val dir = new java.io.File(baseDir)

@@ -584,6 +584,36 @@ class StreamingSpec extends SparkTestBase {
       ("x", "y") -> 1L))
   }
 
+  test("clusterIngest: streamed edge batches fold to the global CC labeling; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.GraphOps
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ci-ck").toString
+    // empty base: every vertex enters through a batch
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    GraphOps.ensureClusterAssignments(empty,
+      Seq.empty[Long].toDF("id"), "graft_test_ci", corpusTag = "ci#0")
+    val mem = MemoryStream[(Long, Long)]
+    val edges = mem.toDF().toDF("a", "b")
+    val query = StreamingEvents.clusterIngest(edges, "graft_test_ci", ckpt).start()
+    val epochs = Seq(
+      Seq((1L, 2L), (3L, 4L)),          // two pairs
+      Seq((5L, 6L)),                    // a third
+      Seq((2L, 3L), (1L, 2L))           // MERGE {1,2}+{3,4}, plus a replayed edge
+    )
+    try epochs.foreach { e => mem.addData(e: _*); query.processAllAvailable() }
+    finally query.stop()
+    val served = GraphOps.clusterAssignments(spark, "graft_test_ci")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = epochs.flatten.toDF("a", "b")
+    val verts = (1L to 6L).toDF("id")
+    val global = GraphOps.connectedComponents(all, verts)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served === global,
+      "streamed incremental labeling must equal global CC over all edges")
+    assert(served(4L) === 1L && served(6L) === 5L,
+      "cross-epoch merge landed; untouched cluster kept its label")
+  }
+
   test("scd2Ingest: streamed history == batch builder incl. a late splice; no-ops compact only past the horizon") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.EventOps
