@@ -19,6 +19,17 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** Catalog-safe table-name fragment derived from the dataset dir, so
+    * same-session runs against DIFFERENT sf dirs keep disjoint persisted
+    * state tables (a fixed global prefix would let two interleaved runs
+    * ensure/maintain each other's snapshots).
+    */
+  private def dirTag(d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]+", "_")
+      .replaceAll("^_+", "").replaceAll("_+$", "")
+    if (tag.isEmpty) "root" else tag
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     RelationalOps.pricingSummary(
@@ -620,11 +631,16 @@ object SparkEntry {
       SimilarityOps.srpNearDupPairs(t(s, d, "embeddings"), 0.45)
         .orderBy(col("a"), col("b"))),
 
-    // SEMANTIC dedup (SemDeDup-style): SRP near-dup edges over embeddings →
+    // SEMANTIC dedup (SemDeDup-style): near-dup edges over embeddings →
     // transitive clusters → retention summary — the embedding-space analog
-    // of q37/q38 (keep one representative per meaning, not per surface form)
+    // of q37/q38 (keep one representative per meaning, not per surface
+    // form). Re-pointed at the SCALE-SAFE graph tier: candidates at the
+    // corpus-sized SRP operating point (occupancy ~flat at any n), edges
+    // bounded by mutual-kNN selection (degree ≤ 4 by construction), so the
+    // closure this dedup takes cannot fuse into one giant component as the
+    // corpus grows — the measured fixed-ε/fixed-plane failure mode
     "q64_semantic_dedup" -> ((s, d) =>
-      SimilarityOps.semanticDedupSummary(t(s, d, "embeddings"), 0.4)
+      SimilarityOps.semanticDedupSummaryBounded(t(s, d, "embeddings"), 0.4)
         .orderBy(col("keep_id"))),
 
     "q30_simhash_neardup" -> ((s, d) =>
@@ -1183,24 +1199,30 @@ object SparkEntry {
 
     // the PERSISTED face of q192 (the banded-index lifecycle convention
     // applied to cluster state): the corpus labeling is built ONCE into a
-    // comp-bucketed assignment table, the batch folds in through the
-    // quotient step + copy-on-write rewrite, and the read-back must equal
-    // the global recompute — same oracle as q192, now through the
-    // ensure/maintain/read lifecycle a production ingest actually runs
+    // comp-bucketed versioned assignment snapshot, the batch folds in
+    // through the quotient step + versioned write + meta-append commit,
+    // and the read-back must equal the global recompute — same oracle as
+    // q192, now through the ensure/maintain/read lifecycle a production
+    // ingest actually runs. Candidates ride the CORPUS-SIZED SRP operating
+    // point (the fixed 8-plane form's candidate join spilled 77 GB of
+    // local disk at 200k vectors — auto planes hold candidate volume
+    // ~linear in n); maintain re-runs are idempotent (replayed edges
+    // contract to self-loops)
     "q196_persisted_cluster_maintain" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
-      val pairs = SimilarityOps.srpNearDupPairs(emb, 0.4)
+      val pairs = SimilarityOps.srpNearDupPairsAuto(emb, 0.4)
         .select(col("a"), col("b")).localCheckpoint()
       val isOld = (c: org.apache.spark.sql.Column) => c % 5 =!= 0
+      val prefix = s"graft_q196_${dirTag(d)}_cc"
       GraphOps.ensureClusterAssignments(
         pairs.filter(isOld(col("a")) && isOld(col("b"))),
         emb.filter(isOld(col("vec_id"))).select(col("vec_id")),
-        "graft_q196_cc", corpusTag = d + "#base", idCol = "vec_id")
+        prefix, corpusTag = d + "#base", idCol = "vec_id")
       GraphOps.maintainClusterAssignments(
         pairs.filter(!isOld(col("a")) || !isOld(col("b"))),
         emb.filter(!isOld(col("vec_id"))).select(col("vec_id")),
-        "graft_q196_cc", newCorpusTag = d + "#full", idCol = "vec_id")
-      GraphOps.clusterAssignments(s, "graft_q196_cc")
+        prefix, newCorpusTag = d + "#full", idCol = "vec_id")
+      GraphOps.clusterAssignments(s, prefix)
         .select(col("id").as("vec_id"), col("comp"))
         .orderBy(col("vec_id"))
     },
@@ -1343,7 +1365,17 @@ object SparkEntry {
     // transitive hull merges docs never pairwise similar. Runs at cos ≥
     // 0.2 — a denser operating point than q64's dedup graph, so the
     // census actually has wedges and triangles to count at small SF.
-    // Degree-ordered orientation keeps enumeration O(m^1.5)
+    // Degree-ordered orientation keeps enumeration O(m^1.5).
+    //
+    // THE q178–q182 TIER IS THE FIXED-ε AUDIT BY DESIGN: these five
+    // queries diagnose what a fixed threshold graph does as the corpus
+    // grows (the measured 10× corpus → ~113× edges densification), so
+    // they deliberately keep the historical fixed-8-plane / fixed-ε
+    // operating point — they are the "before" whose pathology q189/q197
+    // (bounded mutual-kNN) and q190/q198 (operating-point recommender)
+    // exist to fix, and q188 is their sample-sized face at large sf.
+    // Every production consumer (q64/q88/q184/q189–q198) rides the
+    // auto-sized/bounded tier.
     "q178_neardup_triangles" -> ((s, d) =>
       GraphOps.triangleStats(
         SimilarityOps.srpNearDupPairs(t(s, d, "embeddings"), 0.2)
@@ -1365,7 +1397,7 @@ object SparkEntry {
     // graph whose degree cannot densify as the corpus grows
     "q197_knn_cluster_census" -> ((s, d) =>
       GraphOps.clusterCensus(
-        SimilarityOps.knnGraph(t(s, d, "embeddings"), 0.2, kTop = 4)
+        SimilarityOps.knnGraphAuto(t(s, d, "embeddings"), 0.2, kTop = 4)
           .select(col("a"), col("b")))
         .orderBy(col("n_vertices").desc, col("comp"))),
 
@@ -1410,11 +1442,15 @@ object SparkEntry {
     // near-dup COMPONENT id, so leakage is impossible by construction
     // (q134 audits it after the fact; this prevents it). Per split:
     // volume, cluster count, largest cluster, and the cross-split pair
-    // count — provably 0, made visible so the oracle checks the invariant
+    // count — provably 0, made visible so the oracle checks the invariant.
+    // The component graph is the BOUNDED tier (auto-sized candidates,
+    // mutual-kNN edges): at a fixed ε the split's largest cluster fuses
+    // toward the whole corpus as it grows (forcing ~everything into one
+    // split); bounded edges keep components split-assignable at any n
     "q184_cluster_safe_split" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
-      val pairs = SimilarityOps.srpNearDupPairs(emb, 0.2)
-        .select(col("a"), col("b"))
+      val pairs = SimilarityOps.knnGraphAuto(emb, 0.2, kTop = 4)
+        .select(col("a"), col("b")).localCheckpoint()
       val asg = RelationalOps.clusterSafeSplit(
         emb.select(col("vec_id")), pairs, Seq(0.8, 0.1, 0.1), idCol = "vec_id")
       val byId = asg.select(col("vec_id"), col("split"))
@@ -1469,7 +1505,7 @@ object SparkEntry {
     // closure-vs-truss dedup-effect audit runs on the bounded graph
     "q189_knn_graph_effect" -> ((s, d) =>
       GraphOps.trussDedupEffect(
-        SimilarityOps.knnGraph(t(s, d, "embeddings"), 0.2, kTop = 4)
+        SimilarityOps.knnGraphAuto(t(s, d, "embeddings"), 0.2, kTop = 4)
           .select(col("a"), col("b")), k = 3, rounds = 4)
         .orderBy(col("scheme"))),
 
@@ -1480,7 +1516,7 @@ object SparkEntry {
     // the manual "the census says re-tune ε" rule
     "q190_threshold_sweep" -> ((s, d) =>
       GraphOps.recommendThreshold(
-        SimilarityOps.srpNearDupPairs(t(s, d, "embeddings"), 0.2),
+        SimilarityOps.srpNearDupPairsAuto(t(s, d, "embeddings"), 0.2),
         gridMicro = Seq(200000L, 250000L, 300000L, 350000L, 400000L,
           450000L, 500000L),
         targetMeanDegreeMicro = 4000000L)
@@ -1500,7 +1536,7 @@ object SparkEntry {
       def in(c: org.apache.spark.sql.Column) = pmod(DetHash.md5Hash60(
         concat(lit("tss|"), c.cast("string"))), lit(k)) === 0
       GraphOps.recommendThreshold(
-        SimilarityOps.srpNearDupPairs(emb.filter(in(col("vec_id"))), 0.2),
+        SimilarityOps.srpNearDupPairsAuto(emb.filter(in(col("vec_id"))), 0.2),
         gridMicro = Seq(200000L, 250000L, 300000L, 350000L, 400000L,
           450000L, 500000L),
         targetMeanDegreeMicro = 4000000L / k)
@@ -1522,26 +1558,35 @@ object SparkEntry {
       def in(c: org.apache.spark.sql.Column) = pmod(DetHash.md5Hash60(
         concat(lit("kgs|"), c.cast("string"))), lit(k)) === 0
       GraphOps.trussDedupEffect(
-        SimilarityOps.knnGraph(emb.filter(in(col("vec_id"))), 0.2, kTop = 4)
+        SimilarityOps.knnGraphAuto(emb.filter(in(col("vec_id"))), 0.2,
+            kTop = 4)
           .select(col("a"), col("b")), k = 3, rounds = 4)
         .orderBy(col("scheme"))
     },
 
     // INCREMENTAL component maintenance, oracle-proved equal to the global
-    // recompute: the corpus (vec_id % 5 ≠ 0) is labeled once, then the
-    // batch's edges fold in through the label-contracted QUOTIENT graph —
-    // CC re-runs only on touched components + the batch, never the corpus.
-    // The oracle is the GLOBAL closure over all pairs at 0.4 (the q64
-    // graph): equality IS the correctness claim
+    // recompute: the corpus (vec_id % 5 ≠ 0) labeling is PERSISTED state
+    // (ensure builds it once per corpus tag — production amortizes it
+    // across every ingest), then the batch's edges fold in through the
+    // label-contracted QUOTIENT graph — CC re-runs only on touched
+    // components + the batch, never the corpus, and the measured cost of
+    // a warm run is the fold, not the setup. Candidates at the
+    // corpus-sized SRP operating point (the q196 note). The oracle is the
+    // GLOBAL closure over all pairs at 0.4: equality IS the correctness
+    // claim
     "q192_incremental_cc" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
-      val pairs = SimilarityOps.srpNearDupPairs(emb, 0.4)
+      val pairs = SimilarityOps.srpNearDupPairsAuto(emb, 0.4)
         .select(col("a"), col("b")).localCheckpoint()
       val isOld = (c: org.apache.spark.sql.Column) => c % 5 =!= 0
-      val asg = GraphOps.connectedComponents(
+      val prefix = s"graft_q192_${dirTag(d)}_cc"
+      GraphOps.ensureClusterAssignments(
         pairs.filter(isOld(col("a")) && isOld(col("b"))),
-        emb.filter(isOld(col("vec_id"))).select(col("vec_id")), "vec_id")
-      GraphOps.incrementalComponents(asg,
+        emb.filter(isOld(col("vec_id"))).select(col("vec_id")),
+        prefix, corpusTag = d + "#base", idCol = "vec_id")
+      GraphOps.incrementalComponents(
+          GraphOps.clusterAssignments(s, prefix)
+            .select(col("id").as("vec_id"), col("comp")),
           pairs.filter(!isOld(col("a")) || !isOld(col("b"))),
           emb.filter(!isOld(col("vec_id"))).select(col("vec_id")), "vec_id")
         .orderBy(col("vec_id"))
@@ -2348,11 +2393,13 @@ object SparkEntry {
       RelationalOps.skewProfile(t(s, d, "events"), "user_id")),
 
     // semantic-cluster topic labels: clusters come from the EMBEDDING tier
-    // (q64's SRP near-dup components), labels from the TEXT tier (top-3
-    // terms by count inside each non-singleton cluster) — the cross-tier
-    // composition that names what semantic dedup is about to collapse
+    // (q64's bounded mutual-kNN components — the re-pointed scale-safe
+    // graph), labels from the TEXT tier (top-3 terms by count inside each
+    // non-singleton cluster) — the cross-tier composition that names what
+    // semantic dedup is about to collapse
     "q88_cluster_topics" -> { (s, d) =>
-      val clusters = SimilarityOps.semanticDupClusters(t(s, d, "embeddings"), 0.4)
+      val clusters = SimilarityOps
+        .semanticDupClustersBounded(t(s, d, "embeddings"), 0.4)
         .select(col("vec_id").as("doc_id"), col("comp"))
       val sizes = clusters.groupBy(col("comp")).agg(count(lit(1)).as("n_docs"))
         .filter(col("n_docs") >= 2)
@@ -2446,18 +2493,55 @@ object SparkEntry {
        |    FROM cand c JOIN e ae ON ae.vec_id = c.a JOIN e be ON be.vec_id = c.b)
        |  WHERE cos >= $minCos)""".stripMargin
 
-  /** `pr2(a, b)` closed transitively into `cc(x, comp)` by a recursive
-    * CTE (comp = component-minimum vec_id, every embedding seeded so
-    * singletons appear) — appended after [[srpPairsCte]]; callers prepend
-    * `WITH RECURSIVE`.
+  /** [[srpPairsCte]] at the CORPUS-SIZED operating point (mirrors
+    * `SimilarityOps.srpNearDupPairsAuto`): the plane count np is derived
+    * from the (filtered) corpus count by the same integer-shift rule the
+    * engine's `autoPlanes` applies — smallest p in [minP, maxP] with
+    * (n >> p) <= targetOcc — and the STRIDED plane table is masked to
+    * `p % stride < np`, so both engines band with byte-identical planes
+    * at any corpus size. `MATERIALIZED` on e/np: the plane mask and the
+    * count subquery are consumed by every downstream CTE, and DuckDB
+    * re-inlining the count per reference re-scans the corpus.
     */
-  private val ccTailCte: String =
-    s"""ed AS (SELECT a AS x, b AS y FROM pr2 UNION ALL SELECT b, a FROM pr2),
+  private def srpPairsAutoCte(minCos: Double,
+                              vertexFilter: String = "TRUE"): String = {
+    val stride = SimilarityOps.srpPlaneStride
+    s"""planes AS (${ops.DetHash.sqlPlanesStridedCte(6, 24, stride, 64)}),
+       |e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+       |  WHERE $vertexFilter),
+       |np AS MATERIALIZED (SELECT least(24, coalesce(
+       |    (SELECT min(p) FROM range(4, 25) t(p)
+       |     WHERE ((SELECT count(*) FROM e) >> p) <= 16), 24)) AS np),
+       |proj AS (SELECT p.p // $stride AS tbl, p.p % $stride AS i, e.vec_id,
+       |    list_sum(list_transform(list_zip(e.embedding, p.cs), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS pr
+       |  FROM e CROSS JOIN planes p CROSS JOIN np
+       |  WHERE p.p % $stride < np.np),
+       |b AS (SELECT tbl, vec_id,
+       |    sum(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS bucket
+       |  FROM proj GROUP BY tbl, vec_id),
+       |cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+       |  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
+       |    AND l.vec_id < r.vec_id),
+       |pr2 AS (SELECT a, b, cos FROM (
+       |    SELECT c.a, c.b, ${sqlCos("ae", "be")} AS cos
+       |    FROM cand c JOIN e ae ON ae.vec_id = c.a JOIN e be ON be.vec_id = c.b)
+       |  WHERE cos >= $minCos)""".stripMargin
+  }
+
+  /** An edge CTE `src(a, b)` closed transitively into `cc(x, comp)` by a
+    * recursive CTE (comp = component-minimum vec_id, every embedding
+    * seeded so singletons appear) — appended after the edge CTEs; callers
+    * prepend `WITH RECURSIVE`.
+    */
+  private def ccTailCteOver(src: String): String =
+    s"""ed AS (SELECT a AS x, b AS y FROM $src UNION ALL SELECT b, a FROM $src),
        |reach AS (
        |  SELECT vec_id AS x, vec_id AS comp FROM embeddings
        |  UNION
        |  SELECT ed.x, r.comp FROM ed JOIN reach r ON r.x = ed.y),
        |cc AS (SELECT x, min(comp) AS comp FROM reach GROUP BY x)""".stripMargin
+
+  private val ccTailCte: String = ccTailCteOver("pr2")
 
   /** One truss-peel round as CTEs: per-edge triangle support of `e\$i`
     * (degree orientation — the q178 shape — then each triangle credits its
@@ -2557,13 +2641,25 @@ object SparkEntry {
        |  WHERE f.v < f.nb)""".stripMargin
   }
 
-  /** [[srpPairsCte]] at 0.4 + [[ccTailCte]] — mirrors
-    * `SimilarityOps.semanticDupClusters` with its default parameters.
-    * Shared by the q64 and q88 oracles; callers prepend `WITH RECURSIVE`.
+  /** [[srpPairsAutoCte]] at 0.4 + [[ccTailCte]] — mirrors the global
+    * closure over `SimilarityOps.srpNearDupPairsAuto(…, 0.4)` edges.
+    * Shared by the q192 and q196 oracles; callers prepend
+    * `WITH RECURSIVE`.
     */
-  private val semanticCcCte: String =
-    s"""${srpPairsCte(0.4)},
+  private val semanticCcAutoCte: String =
+    s"""${srpPairsAutoCte(0.4)},
        |$ccTailCte""".stripMargin
+
+  /** The BOUNDED semantic-cluster closure — [[srpPairsAutoCte]] at 0.4,
+    * mutual-kNN edge selection ([[knnEdgesCte]]), then the closure over
+    * the bounded edges: mirrors
+    * `SimilarityOps.semanticDupClustersBounded(…, 0.4, kTop = 4)`. Shared
+    * by the q64 and q88 oracles; callers prepend `WITH RECURSIVE`.
+    */
+  private val semanticCcBoundedCte: String =
+    s"""${srpPairsAutoCte(0.4)},
+       |${knnEdgesCte(4)},
+       |${ccTailCteOver("e0")}""".stripMargin
 
   /** SQL for byte `offExpr` (0-based) of a lowercase hex-string column —
     * two nibble lookups via strpos; the fixture oracles' byte accessor.
@@ -3064,18 +3160,19 @@ object SparkEntry {
          |  FROM cand c JOIN e ae ON ae.vec_id = c.a JOIN e be ON be.vec_id = c.b)
          |WHERE cos >= 0.45 ORDER BY a, b""".stripMargin,
 
-    // same SRP bucket + exact-cosine pair derivation as q35 (at 0.4), then
-    // the same recursive closure + retention shape as q38 — vertices are
-    // ALL vec_ids, so singletons appear as 1-member clusters
+    // the AUTO-sized SRP pair derivation at 0.4 (np from the corpus count),
+    // mutual-kNN edge selection, then the same recursive closure +
+    // retention shape as q38 over the BOUNDED edges — vertices are ALL
+    // vec_ids, so singletons appear as 1-member clusters
     "q64_semantic_dedup" ->
-      s"""WITH RECURSIVE $semanticCcCte
+      s"""WITH RECURSIVE $semanticCcBoundedCte
          |SELECT comp AS keep_id, count(*) AS n_vecs FROM cc
          |GROUP BY comp ORDER BY keep_id""".stripMargin,
 
     // clusters from EMBEDDINGS, labels from TEXT: the cross-tier
-    // composition — same cc CTE as q64, joined to documents
+    // composition — same bounded cc CTE as q64, joined to documents
     "q88_cluster_topics" ->
-      s"""WITH RECURSIVE $semanticCcCte,
+      s"""WITH RECURSIVE $semanticCcBoundedCte,
          |sizes AS (SELECT comp, count(*) AS n_docs FROM cc
          |  GROUP BY comp HAVING count(*) >= 2),
          |toks AS (SELECT cc.comp, s.n_docs, unnest($toksSql) AS term
@@ -4373,7 +4470,7 @@ object SparkEntry {
     // dashboard a dedup owner reads once the operating point is
     // degree-capped rather than threshold-tuned
     "q197_knn_cluster_census" ->
-      s"""WITH RECURSIVE ${srpPairsCte(0.2)},
+      s"""WITH RECURSIVE ${srpPairsAutoCte(0.2)},
          |${knnEdgesCte(4)},
          |${censusTailCte("e0")}""".stripMargin,
 
@@ -4431,18 +4528,21 @@ object SparkEntry {
          |$trussEffectTailCte""".stripMargin
     },
 
-    // the shared SRP pair CTEs at 0.2 (cos exposed), the mutual-kNN edge
-    // selection replayed rank-for-rank (cosines ride the shared exact
-    // double shape, ties break on neighbor id), then the q182 tail
+    // the AUTO-sized SRP pair CTEs at 0.2 (np derived from the corpus
+    // count — candidate volume ~linear in n on BOTH engines), the
+    // mutual-kNN edge selection replayed rank-for-rank (cosines ride the
+    // shared exact double shape, ties break on neighbor id), then the
+    // q182 tail
     "q189_knn_graph_effect" ->
-      s"""WITH RECURSIVE ${srpPairsCte(0.2)},
+      s"""WITH RECURSIVE ${srpPairsAutoCte(0.2)},
          |${knnEdgesCte(4)},
          |$trussEffectTailCte""".stripMargin,
 
-    // one candidate pass at the 0.2 floor, the grid swept from the same
-    // pair list, smallest threshold with mean degree <= target flagged
+    // one AUTO-sized candidate pass at the 0.2 floor, the grid swept from
+    // the same pair list, smallest threshold with mean degree <= target
+    // flagged
     "q190_threshold_sweep" ->
-      s"""WITH ${srpPairsCte(0.2)},
+      s"""WITH ${srpPairsAutoCte(0.2)},
          |grid AS (SELECT CAST(unnest([200000, 250000, 300000, 350000,
          |    400000, 450000, 500000]) AS BIGINT) AS thr_micro),
          |eg AS (SELECT g.thr_micro, p.a, p.b FROM pr2 p JOIN grid g
@@ -4478,7 +4578,7 @@ object SparkEntry {
       val samp =
         s"${ops.DetHash.sqlMd5Hash60("'tss|' || CAST(vec_id AS VARCHAR)")}" +
           " % (SELECT greatest(1, count(*) // 500) FROM embeddings) = 0"
-      s"""WITH ${srpPairsCte(0.2, samp)},
+      s"""WITH ${srpPairsAutoCte(0.2, samp)},
          |grid AS (SELECT CAST(unnest([200000, 250000, 300000, 350000,
          |    400000, 450000, 500000]) AS BIGINT) AS thr_micro),
          |eg AS (SELECT g.thr_micro, p.a, p.b FROM pr2 p JOIN grid g
@@ -4517,23 +4617,26 @@ object SparkEntry {
         s"${ops.DetHash.sqlMd5Hash60(s"'kgs|' || CAST($side AS VARCHAR)")}" +
           " % (SELECT greatest(1, count(*) // 500) FROM embeddings) = 0"
       // sample pushed into the vector scan (the q188 note) — pr2 is
-      // already the sample's candidate set, so ranking needs no filter
-      s"""WITH RECURSIVE ${srpPairsCte(0.2, samp("vec_id"))},
+      // already the sample's candidate set, so ranking needs no filter;
+      // np sizes to the SAMPLE's count, exactly as the engine's
+      // knnGraphAuto counts its (filtered) input
+      s"""WITH RECURSIVE ${srpPairsAutoCte(0.2, samp("vec_id"))},
          |${knnEdgesCte(4)},
          |$trussEffectTailCte""".stripMargin
     },
 
-    // the GLOBAL recursive closure over ALL pairs at 0.4 (the q64 CTEs,
-    // singletons seeded) — the incremental engine path must reproduce it
-    // exactly; equality of the full labelings IS the correctness claim
+    // the GLOBAL recursive closure over ALL pairs at 0.4 (auto-sized
+    // planes, singletons seeded) — the incremental engine path must
+    // reproduce it exactly; equality of the full labelings IS the
+    // correctness claim
     "q192_incremental_cc" ->
-      s"""WITH RECURSIVE $semanticCcCte
+      s"""WITH RECURSIVE $semanticCcAutoCte
          |SELECT x AS vec_id, comp FROM cc ORDER BY vec_id""".stripMargin,
 
     // identical global-closure oracle as q192: the persisted lifecycle
     // must serve exactly what the in-session incremental path computes
     "q196_persisted_cluster_maintain" ->
-      s"""WITH RECURSIVE $semanticCcCte
+      s"""WITH RECURSIVE $semanticCcAutoCte
          |SELECT x AS vec_id, comp FROM cc ORDER BY vec_id""".stripMargin,
 
     // the canonical-prefix 6-bit key, ONE global row_number (fine in the
@@ -4609,14 +4712,15 @@ object SparkEntry {
     "q184_cluster_safe_split" -> {
       val bucket =
         s"${ops.DetHash.sqlMd5Hash60("'split|' || CAST(comp AS VARCHAR)")} % 10000"
-      s"""WITH RECURSIVE ${srpPairsCte(0.2)},
-         |$ccTailCte,
+      s"""WITH RECURSIVE ${srpPairsAutoCte(0.2)},
+         |${knnEdgesCte(4)},
+         |${ccTailCteOver("e0")},
          |asg AS (SELECT x AS vec_id, comp,
          |    CASE WHEN $bucket < 8000 THEN 0
          |      WHEN $bucket < 9000 THEN 1 ELSE 2 END AS split
          |  FROM cc),
          |leaks AS (SELECT sa.split, CAST(count(*) AS BIGINT) AS n_leak_pairs
-         |  FROM pr2 p JOIN asg sa ON sa.vec_id = p.a
+         |  FROM e0 p JOIN asg sa ON sa.vec_id = p.a
          |    JOIN asg sb ON sb.vec_id = p.b
          |  WHERE sa.split <> sb.split GROUP BY 1)
          |SELECT g.split, g.n_docs, g.n_clusters, g.max_comp,

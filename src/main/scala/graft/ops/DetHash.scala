@@ -126,4 +126,18 @@ object DetHash {
        |  FROM (SELECT CAST(p AS INTEGER) p, CAST(j AS INTEGER) j
        |        FROM range($nPlanes) t(p) CROSS JOIN range($dim) u(j))
        |  GROUP BY p""".stripMargin
+
+  /** [[sqlPlanesCte]] under the STRIDED plane layout of the auto-sized SRP
+    * family (`SimilarityOps.srpPlaneStride`): plane ids p = t·stride + i
+    * for t ∈ [0, nTables), i ∈ [0, maxPlanes) — consumers mask `p % stride`
+    * to the plane count they derive at query time.
+    */
+  def sqlPlanesStridedCte(nTables: Int, maxPlanes: Int, stride: Int,
+                          dim: Int): String =
+    s"""SELECT p, list(CAST(('0x'||substring(md5(CAST(p AS VARCHAR)||'_'||CAST(j AS VARCHAR)),1,$hexLen)) AS BIGINT)
+       |    / ${twoPow59}.0 - 1.0 ORDER BY j) AS cs
+       |  FROM (SELECT CAST(t * $stride + i AS INTEGER) p, CAST(j AS INTEGER) j
+       |        FROM range($nTables) tt(t) CROSS JOIN range($maxPlanes) ii(i)
+       |        CROSS JOIN range($dim) u(j))
+       |  GROUP BY p""".stripMargin
 }

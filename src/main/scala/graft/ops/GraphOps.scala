@@ -301,51 +301,94 @@ object GraphOps {
     keptOld.unionByName(fresh)
   }
 
-  private val clusterIndexFormatVersion = 1
+  private val clusterIndexFormatVersion = 2
+
+  /** The committed meta pointer of a versioned assignment store: the
+    * max-`version` row of `${prefix}_meta`, or None when the store does
+    * not exist / has no committed row. The meta table is APPEND-ONLY —
+    * commit of snapshot v = appending its pointer row — so a crash at any
+    * point leaves the previous row the maximum, and the previous snapshot
+    * keeps serving (the [[graft.streaming.StreamingEvents.latestSnapshot]]
+    * rule, applied to tables).
+    */
+  private def clusterMetaHead(spark: org.apache.spark.sql.SparkSession,
+                              tablePrefix: String)
+      : Option[org.apache.spark.sql.Row] =
+    if (!spark.catalog.tableExists(s"${tablePrefix}_meta")) None
+    else {
+      val m = spark.table(s"${tablePrefix}_meta")
+      if (!Seq("fmt", "corpus_tag", "buckets", "version")
+          .forall(m.columns.contains)) None
+      else m.orderBy(col("version").desc).limit(1).collect().headOption
+    }
 
   /** PERSISTED cluster-assignment lifecycle — the production face of
     * [[incrementalComponents]] (the banded-index ensure/maintain
-    * convention): the (id, comp) labeling lives as a managed table
-    * bucketed by `comp` (the relabel join's key, so maintenance
-    * co-locates), with a one-row `_meta` carrying the corpus tag. Build
-    * once with global CC; fold each ingest in with the quotient-graph
-    * step — compute O(batch + touched components); the snapshot REWRITE
-    * is the copy-on-write price every versioned-state operator here pays
-    * ([[graft.streaming.StreamingEvents]]' lineDfIngest note), stated
-    * plainly: the write is corpus-sized, the SHUFFLE/compute is not.
+    * convention): the (id, comp) labeling lives as VERSIONED managed
+    * tables `${prefix}_assign_v<N>` bucketed by `comp` (the relabel
+    * join's key, so maintenance co-locates), with an APPEND-ONLY
+    * `${prefix}_meta` whose max-version row is the committed pointer.
+    * Build once with global CC; fold each ingest in with the
+    * quotient-graph step — compute O(batch + touched components); the
+    * snapshot REWRITE is the copy-on-write price every versioned-state
+    * operator here pays ([[graft.streaming.StreamingEvents]]'
+    * lineDfIngest note), stated plainly: the write is corpus-sized, the
+    * SHUFFLE/compute is not.
+    *
+    * Crash safety (the write order IS the contract): (1) snapshot v+1 is
+    * written under a NEW table name — the current snapshot is never
+    * touched; (2) the meta pointer row for v+1 is APPENDED — the commit;
+    * (3) snapshots older than v are dropped. A crash or task retry before
+    * (2) leaves the store serving v (a retried ingest re-folds the batch
+    * against it — the replay no-op); a crash after (2) has already
+    * committed. Only the previous-and-current pair is retained, matching
+    * [[graft.streaming.StreamingEvents.pruneSnapshots]]' N=2 floor.
     */
   def ensureClusterAssignments(pairs: DataFrame, vertices: DataFrame,
                                tablePrefix: String, corpusTag: String,
                                idCol: String = "id",
                                buckets: Int = 8): Unit = {
     val spark = pairs.sparkSession
-    val upToDate = try {
-      Seq("assign", "meta")
-        .forall(s => spark.catalog.tableExists(s"${tablePrefix}_$s")) && {
-        val m = spark.table(s"${tablePrefix}_meta").head()
-        m.schema.fieldNames.contains("fmt") &&
-          m.getAs[Int]("fmt") == clusterIndexFormatVersion &&
-          m.getAs[String]("corpus_tag") == corpusTag &&
-          m.getAs[Int]("buckets") == buckets
-      }
-    } catch { case _: Exception => false }
+    // a genuine read error (corrupt meta, permissions) must surface, not
+    // silently trigger a rebuild — only ABSENCE (no table / no committed
+    // row / a dangling pointer) means stale here, so the probe uses
+    // tableExists + explicit row checks instead of a broad try/catch
+    val upToDate = clusterMetaHead(spark, tablePrefix).exists { m =>
+      m.getAs[Int]("fmt") == clusterIndexFormatVersion &&
+        m.getAs[String]("corpus_tag") == corpusTag &&
+        m.getAs[Int]("buckets") == buckets &&
+        spark.catalog.tableExists(
+          s"${tablePrefix}_assign_v${m.getAs[Long]("version")}")
+    }
     if (!upToDate) {
       val asg = connectedComponents(pairs, vertices, idCol)
         .select(col(idCol).cast("long").as("id"), col("comp"))
-      writeClusterAssignments(spark, asg, tablePrefix, corpusTag, buckets)
+      writeClusterAssignments(spark, asg, tablePrefix, corpusTag, buckets,
+        fresh = true)
     }
   }
 
-  /** The persisted labeling, read back: (id, comp). */
+  /** The persisted labeling, read back: (id, comp) from the snapshot the
+    * committed meta pointer names. Absence throws (serving an empty
+    * labeling for "store not initialized" would let a mis-pathed reader
+    * silently see no clusters).
+    */
   def clusterAssignments(spark: org.apache.spark.sql.SparkSession,
-                         tablePrefix: String): DataFrame =
-    spark.table(s"${tablePrefix}_assign").select(col("id"), col("comp"))
+                         tablePrefix: String): DataFrame = {
+    val m = clusterMetaHead(spark, tablePrefix).getOrElse(
+      throw new IllegalStateException(
+        s"no committed cluster-assignment snapshot under '$tablePrefix' — " +
+          "run ensureClusterAssignments first"))
+    spark.table(s"${tablePrefix}_assign_v${m.getAs[Long]("version")}")
+      .select(col("id"), col("comp"))
+  }
 
   /** Fold an ingested batch into the persisted labeling: the
     * [[incrementalComponents]] quotient step against the CURRENT
-    * assignment table, then the copy-on-write snapshot rewrite + tag
-    * update. Equal to a global rebuild by the quotient argument (OpsSpec
-    * asserts it on chained batches against [[connectedComponents]]).
+    * committed snapshot, then the versioned snapshot write + meta-append
+    * commit (see [[ensureClusterAssignments]] for the crash contract).
+    * Equal to a global rebuild by the quotient argument (OpsSpec asserts
+    * it on chained batches against [[connectedComponents]]).
     */
   def maintainClusterAssignments(newEdges: DataFrame, newVertices: DataFrame,
                                  tablePrefix: String, newCorpusTag: String,
@@ -353,25 +396,46 @@ object GraphOps {
                                  buckets: Int = 8): Unit = {
     val spark = newEdges.sparkSession
     val cur = clusterAssignments(spark, tablePrefix)
+    // the versioned write never replaces its own input table (v+1 is a
+    // new name), so no defensive checkpoint is needed before the write;
+    // incrementalComponents materializes the assignment scan itself
     val next = incrementalComponents(cur, newEdges,
-        newVertices.select(col(idCol).cast("long").as("id")), "id")
-      // localCheckpoint BEFORE the overwrite: the plan reads the table
-      // being replaced (saveAsTable overwrite would otherwise read-under-
-      // write its own input)
-      .localCheckpoint()
-    writeClusterAssignments(spark, next, tablePrefix, newCorpusTag, buckets)
+      newVertices.select(col(idCol).cast("long").as("id")), "id")
+    writeClusterAssignments(spark, next, tablePrefix, newCorpusTag, buckets,
+      fresh = false)
   }
 
   private def writeClusterAssignments(spark: org.apache.spark.sql.SparkSession,
                                       asg: DataFrame, tablePrefix: String,
-                                      corpusTag: String, buckets: Int): Unit = {
+                                      corpusTag: String, buckets: Int,
+                                      fresh: Boolean): Unit = {
     import graft.sources.Bucketing
     import spark.implicits._
-    Bucketing.writeBucketed(asg, s"${tablePrefix}_assign", Seq("comp"), buckets)
-    Bucketing.saveTable(
-      Seq((clusterIndexFormatVersion, corpusTag, buckets))
-        .toDF("fmt", "corpus_tag", "buckets"),
-      s"${tablePrefix}_meta")
+    val curVersion = clusterMetaHead(spark, tablePrefix)
+      .map(_.getAs[Long]("version")).getOrElse(0L)
+    val next = curVersion + 1L
+    // (1) the new snapshot, under a name no reader resolves yet (a crash
+    // leftover of the same version is cleared by writeBucketed's drop)
+    Bucketing.writeBucketed(asg, s"${tablePrefix}_assign_v$next",
+      Seq("comp"), buckets)
+    // (2) the commit: append the pointer row (a fresh ensure RECREATES
+    // the meta table instead — stale pointer rows from a previous corpus
+    // must not outrank the rebuild)
+    val row = Seq((clusterIndexFormatVersion, corpusTag, buckets, next))
+      .toDF("fmt", "corpus_tag", "buckets", "version")
+    if (fresh || !spark.catalog.tableExists(s"${tablePrefix}_meta"))
+      Bucketing.saveTable(row, s"${tablePrefix}_meta")
+    else row.write.mode("append").saveAsTable(s"${tablePrefix}_meta")
+    // (3) retention: keep current + previous only
+    spark.catalog.listTables()
+      .filter(t => t.name.startsWith(s"${tablePrefix}_assign_v"))
+      .collect()
+      .map(_.name.stripPrefix(s"${tablePrefix}_assign_v"))
+      .filter(v => v.nonEmpty && v.forall(_.isDigit))
+      .map(_.toLong)
+      .filter(_ < next - 1L)
+      .foreach(v =>
+        Bucketing.dropTableAndLocation(spark, s"${tablePrefix}_assign_v$v"))
   }
 
   /** PageRank in FIXED-POINT integer arithmetic — bit-deterministic across

@@ -896,10 +896,95 @@ object SimilarityOps {
   def srpNearDupPairs(df: DataFrame, minCos: Double, nPlanes: Int = 8,
                       nTables: Int = 6, dim: Int = 64,
                       idCol: String = "vec_id", vecCol: String = "embedding",
-                      maxBucket: Int = 10000): DataFrame = {
+                      maxBucket: Int = 10000): DataFrame =
+    srpPairsImpl(df, minCos, nTables, maxBucket, idCol, vecCol,
+      t => srpBucket(col(vecCol), nPlanes, t, dim))
+
+  /** Plane-index STRIDE of the auto-sized SRP family: plane i of table t is
+    * DetHash plane `t * srpPlaneStride + i` REGARDLESS of the chosen plane
+    * count — so plane identities are stable as the operating point grows
+    * with the corpus (a p-plane bucket is a prefix-extension of the
+    * (p−1)-plane one), and the SQL oracle generates ONE strided plane
+    * table and masks it to the count it derives from the same corpus
+    * count. The fixed-layout [[srpBucket]] keeps its historical
+    * `t * nPlanes + i` indexing.
+    */
+  val srpPlaneStride: Int = 32
+
+  /** CORPUS-SIZED SRP plane count — the auto operating point that keeps
+    * candidate volume ~linear in n: the smallest p in
+    * [minPlanes, maxPlanes] with `(n >> p) <= targetOccupancy` (integer
+    * shift, so both engines agree exactly — no log2 doubles at bucket
+    * boundaries), i.e. expected bucket occupancy ≤ targetOccupancy.
+    * Candidates per table ≈ buckets · occupancy²/2 = n · occupancy/2, so
+    * a FIXED plane count densifies quadratically as the corpus grows
+    * (measured: 8 planes at 200k vectors → ~780 occupancy → a candidate
+    * join that spilled 77 GB of local disk), while the auto point holds
+    * the per-bucket self-join flat at ANY corpus size. The price is the
+    * standard LSH recall curve: per-pair collision probability
+    * (1 − θ/π)^p falls as p grows, so at large corpora only tight
+    * near-dups (θ → 0) keep high recall at fixed nTables — exactly the
+    * pairs near-dup dedup is after.
+    */
+  def autoPlanes(n: Long, targetOccupancy: Long = 16L,
+                 minPlanes: Int = 4, maxPlanes: Int = 24): Int = {
+    require(targetOccupancy >= 1, "targetOccupancy must be >= 1")
+    require(minPlanes >= 1 && minPlanes <= maxPlanes &&
+      maxPlanes <= srpPlaneStride,
+      s"need 1 <= minPlanes <= maxPlanes <= srpPlaneStride=$srpPlaneStride")
+    var p = minPlanes
+    while (p < maxPlanes && (n >> p) > targetOccupancy) p += 1
+    p
+  }
+
+  /** [[srpBucket]] under the STRIDED plane layout (see [[srpPlaneStride]]).
+    */
+  def srpBucketStrided(vec: Column, nPlanes: Int, table: Int, dim: Int): Column = {
+    import graft.functions.VectorExpressions.dotF
+    (0 until nPlanes).map { i =>
+      val plane = typedlit((0 until dim).map(j =>
+        DetHash.planeComponent(table * srpPlaneStride + i, j)))
+      val proj = dotF(vec, plane)
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** [[srpNearDupPairs]] at an EXPLICIT strided plane count — the frozen-
+    * operating-point form the persisted/incremental consumers replay
+    * (plane count stamped in their meta), and the kernel [[
+    * srpNearDupPairsAuto]] sizes.
+    */
+  def srpNearDupPairsSized(df: DataFrame, minCos: Double, nPlanes: Int,
+                           nTables: Int = 6, dim: Int = 64,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           maxBucket: Int = 10000): DataFrame =
+    srpPairsImpl(df, minCos, nTables, maxBucket, idCol, vecCol,
+      t => srpBucketStrided(col(vecCol), nPlanes, t, dim))
+
+  /** [[srpNearDupPairs]] at the CORPUS-SIZED operating point: one
+    * metadata-cheap `count()` sizes the plane count via [[autoPlanes]],
+    * then the same banded candidate + exact-cosine-verify shape runs at a
+    * bucket occupancy that stays ~targetOccupancy at ANY corpus size —
+    * the scale-safe default every new SRP consumer should take (the fixed
+    * 8-plane form is the historical layout the small-sf audit tier
+    * keeps). The SQL oracle derives the identical plane count from the
+    * same corpus count (integer shift), so results stay bit-replayable.
+    */
+  def srpNearDupPairsAuto(df: DataFrame, minCos: Double, nTables: Int = 6,
+                          dim: Int = 64, idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          maxBucket: Int = 10000,
+                          targetOccupancy: Long = 16L): DataFrame =
+    srpNearDupPairsSized(df, minCos, autoPlanes(df.count(), targetOccupancy),
+      nTables, dim, idCol, vecCol, maxBucket)
+
+  private def srpPairsImpl(df: DataFrame, minCos: Double, nTables: Int,
+                           maxBucket: Int, idCol: String, vecCol: String,
+                           bucketFor: Int => Column): DataFrame = {
     val banded = df.select(col(idCol).as("id"),
-      posexplode(array((0 until nTables).map(t =>
-        srpBucket(col(vecCol), nPlanes, t, dim)): _*)).as(Seq("tbl", "bucket")))
+      posexplode(array((0 until nTables).map(bucketFor): _*))
+        .as(Seq("tbl", "bucket")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("tbl"), col("bucket"))
     val kept = banded.withColumn("bn", count(lit(1)).over(w))
@@ -952,25 +1037,62 @@ object SimilarityOps {
   def knnGraph(df: DataFrame, minCos: Double, kTop: Int = 4,
                nPlanes: Int = 8, nTables: Int = 6, dim: Int = 64,
                idCol: String = "vec_id", vecCol: String = "embedding",
-               maxBucket: Int = 10000): DataFrame = {
-    require(kTop >= 1, "kTop must be >= 1")
+               maxBucket: Int = 10000): DataFrame =
     // consumed in both directions — materialize the verified pairs once
     // rather than re-running the banding + cosine-verify chain twice
-    val pairs = srpNearDupPairs(df, minCos, nPlanes, nTables, dim,
-      idCol, vecCol, maxBucket).localCheckpoint()
+    knnFromPairs(srpNearDupPairs(df, minCos, nPlanes, nTables, dim,
+      idCol, vecCol, maxBucket).localCheckpoint(), kTop)
+
+  /** [[knnGraph]] with its CANDIDATE stage at the corpus-sized operating
+    * point ([[srpNearDupPairsAuto]]): the output graph was already bounded
+    * by construction (degree ≤ kTop), but at a fixed plane count the
+    * candidate join feeding the rank window still densified ~occupancy²;
+    * with auto-sized planes BOTH stages are ~linear in n — the form that
+    * survives a 100× corpus.
+    */
+  def knnGraphAuto(df: DataFrame, minCos: Double, kTop: Int = 4,
+                   nTables: Int = 6, dim: Int = 64,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   maxBucket: Int = 10000,
+                   targetOccupancy: Long = 16L): DataFrame =
+    knnFromPairs(srpNearDupPairsAuto(df, minCos, nTables, dim, idCol,
+      vecCol, maxBucket, targetOccupancy).localCheckpoint(), kTop)
+
+  /** Mutual-kNN edge selection over verified (a, b, cos) pairs — the rank
+    * + mutuality tail [[knnGraph]]/[[knnGraphAuto]] share and the
+    * incremental maintenance path replays over merged kept-lists.
+    */
+  private[graft] def knnFromPairs(pairs: DataFrame, kTop: Int): DataFrame = {
+    require(kTop >= 1, "kTop must be >= 1")
+    mutualEdges(knnKeptLists(pairs, kTop))
+  }
+
+  /** Per-vertex DIRECTED kept list: top `kTop` candidates by (cos desc,
+    * neighbor id asc) from a verified symmetric pair set — (v, nb, cos).
+    * This is the state the incremental kNN lifecycle persists: top-k over
+    * (old top-k ∪ new candidates) equals top-k over all candidates, so a
+    * batch can re-rank ONLY touched vertices (see
+    * [[graft.ops.GraphOps]]'s incremental convention).
+    */
+  private[graft] def knnKeptLists(pairs: DataFrame, kTop: Int): DataFrame = {
     val dirs = pairs.select(col("a").as("v"), col("b").as("nb"), col("cos"))
       .unionByName(pairs.select(col("b").as("v"), col("a").as("nb"), col("cos")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("v")).orderBy(col("cos").desc, col("nb"))
-    val kept = dirs.withColumn("rk", row_number().over(w))
+    dirs.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= kTop)
-    // mutual: the {a, b} edge survives iff a kept b AND b kept a
+      .select(col("v"), col("nb"), col("cos"))
+  }
+
+  /** The mutual edges of a directed kept-list frame: the {a, b} edge
+    * survives iff a kept b AND b kept a. Output (a, b, cos) with a < b.
+    */
+  private[graft] def mutualEdges(kept: DataFrame): DataFrame =
     kept.filter(col("v") < col("nb"))
       .select(col("v").as("a"), col("nb").as("b"), col("cos"))
       .join(kept.filter(col("v") > col("nb"))
           .select(col("nb").as("a"), col("v").as("b")),
         Seq("a", "b"))
-  }
 
   /** SEMANTIC near-duplicate CLUSTERS over an embedding column: (vec_id,
     * comp) for every vector, where comp = the minimum vec id reachable
@@ -1012,6 +1134,40 @@ object SimilarityOps {
                            scope: CacheScope = CacheScope.default): DataFrame =
     semanticDupClusters(df, minCos, nPlanes, nTables, dim, idCol, vecCol,
         maxBucket, scope)
+      .groupBy(col("comp")).agg(count(lit(1)).as("n_vecs"))
+      .select(col("comp").as("keep_id"), col("n_vecs"))
+
+  /** [[semanticDupClusters]] over the DEGREE-BOUNDED graph: closure runs
+    * on [[knnGraphAuto]]'s mutual-kNN edges (candidate stage auto-sized,
+    * per-vertex degree ≤ kTop) instead of the raw ε-graph — the form whose
+    * cluster topology cannot densify into one fused component as the
+    * corpus grows (the measured fixed-ε failure: 10× the vectors at
+    * cos ≥ 0.2 gave ~113× the edges). minCos stays the near-dup FLOOR;
+    * kTop bounds how aggressively the closure can chain. Singletons map
+    * to themselves.
+    */
+  def semanticDupClustersBounded(df: DataFrame, minCos: Double, kTop: Int = 4,
+                                 nTables: Int = 6, dim: Int = 64,
+                                 idCol: String = "vec_id",
+                                 vecCol: String = "embedding",
+                                 maxBucket: Int = 10000,
+                                 targetOccupancy: Long = 16L): DataFrame =
+    GraphOps.connectedComponents(
+      knnGraphAuto(df, minCos, kTop, nTables, dim, idCol, vecCol,
+        maxBucket, targetOccupancy),
+      df.select(col(idCol)), idCol)
+
+  /** [[semanticDedupSummary]] over the bounded graph — one row per
+    * mutual-kNN cluster with the kept representative and member count.
+    */
+  def semanticDedupSummaryBounded(df: DataFrame, minCos: Double,
+                                  kTop: Int = 4, nTables: Int = 6,
+                                  dim: Int = 64, idCol: String = "vec_id",
+                                  vecCol: String = "embedding",
+                                  maxBucket: Int = 10000,
+                                  targetOccupancy: Long = 16L): DataFrame =
+    semanticDupClustersBounded(df, minCos, kTop, nTables, dim, idCol,
+        vecCol, maxBucket, targetOccupancy)
       .groupBy(col("comp")).agg(count(lit(1)).as("n_vecs"))
       .select(col("comp").as("keep_id"), col("n_vecs"))
 
@@ -1696,31 +1852,63 @@ object SimilarityOps {
   }
 
   /** Session memo for trained lattice codebooks, keyed by the CANONICALIZED
-    * logical plan of the training frame + every hyperparameter — the
-    * CacheManager convention for "same computation". Lattice Lloyd is a
-    * PURE function of that key (md5 seeding, integer arithmetic, fixed
-    * rounds — no RNG, no partitioning sensitivity), so reuse is
-    * bit-identical to retraining, and the five bench queries that share
-    * one (corpus, params) model train it ONCE instead of five times.
+    * logical plan of the training frame + a DATA fingerprint + every
+    * hyperparameter — the CacheManager convention for "same computation".
+    * Lattice Lloyd is a PURE function of that key (md5 seeding, integer
+    * arithmetic, fixed rounds — no RNG, no partitioning sensitivity), so
+    * reuse is bit-identical to retraining, and the five bench queries that
+    * share one (corpus, params) model train it ONCE instead of five times.
     * Entries are model-sized (numSub·numCentroids·subDim ints); the
     * retrain story is unchanged — a new corpus (tag/snapshot) is a new
-    * plan, hence a new key.
+    * plan, hence a new key. The fingerprint (input file paths + length +
+    * modification time) closes the in-session rewrite hole: a dataset dir
+    * REGENERATED at the same path (ScaleUp) leaves the canonical plan
+    * unchanged but changes the file metadata, so a stale codebook is never
+    * served. Bounded: past `codebookMemoMax` entries the memo resets —
+    * plans pinned by stale keys are then droppable, and a reset only costs
+    * a retrain.
     */
+  private val codebookMemoMax = 64
   private val codebookMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String,
       Int, Int, Int, Int, String),
     Array[Array[Array[Int]]]]
 
+  /** File-metadata fingerprint of a frame's leaf scans: sorted
+    * (path, length, modificationTime) triples hashed to one hex string —
+    * metadata-only driver work (no data scan). Non-file sources contribute
+    * nothing (their identity lives in the canonical plan).
+    */
+  private def dataFingerprint(df: DataFrame): String = {
+    val files = df.inputFiles.sorted
+    if (files.isEmpty) ""
+    else {
+      val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+      val md = java.security.MessageDigest.getInstance("MD5")
+      files.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = try Some(p.getFileSystem(hconf).getFileStatus(p))
+        catch { case _: java.io.IOException => None }
+        md.update((s"$f|${st.map(_.getLen).getOrElse(-1L)}|" +
+          s"${st.map(_.getModificationTime).getOrElse(-1L)}\n").getBytes("UTF-8"))
+      }
+      md.digest().map("%02x".format(_)).mkString
+    }
+  }
+
   /** The integer-lattice Lloyd rounds over a prepared (id, qv) frame —
-    * memoized per session on (canonical plan, params); see [[codebookMemo]].
+    * memoized per session on (canonical plan, data fingerprint, params);
+    * see [[codebookMemo]].
     */
   private def pqLloyd(qv: DataFrame, numSub: Int, numCentroids: Int,
                       iters: Int, subDim: Int,
-                      idCol: String): Array[Array[Array[Int]]] =
+                      idCol: String): Array[Array[Array[Int]]] = {
+    if (codebookMemo.size() >= codebookMemoMax) codebookMemo.clear()
     codebookMemo.computeIfAbsent(
-      (qv.queryExecution.analyzed.canonicalized, numSub, numCentroids,
-        iters, subDim, idCol),
+      (qv.queryExecution.analyzed.canonicalized, dataFingerprint(qv),
+        numSub, numCentroids, iters, subDim, idCol),
       _ => pqLloydTrain(qv, numSub, numCentroids, iters, subDim, idCol))
+  }
 
   private def pqLloydTrain(qv: DataFrame, numSub: Int, numCentroids: Int,
                            iters: Int, subDim: Int,

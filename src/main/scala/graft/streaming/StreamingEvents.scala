@@ -856,16 +856,23 @@ object StreamingEvents {
       var last = if (state.exists) Some(state.get) else None
       val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
       sorted.foreach { case (_, ts, id, tpe) =>
-        // an exact (ts, id) match with the recorded last event is an
+        // an exact (ts, id, type) match with the recorded last event is an
         // at-least-once REDELIVERY — an idempotent no-op (skip, emit
         // nothing), matching scd2Ingest's distinct-absorbs-redelivery
-        // semantics; only a genuinely OLDER event still throws
-        if (!last.exists(l => ts == l.tsUs && id == l.id)) {
+        // semantics. The equality check includes the TYPE: a same-(ts, id)
+        // event carrying a DIFFERENT type is corrupt input, not a replay,
+        // and must fail loudly below rather than be silently swallowed.
+        // Lookback is ONE event deep (state = the last event only), so a
+        // replayed span of 2+ earlier events still throws — see require.
+        if (!last.exists(l => ts == l.tsUs && id == l.id && tpe == l.tpe)) {
           last.foreach { l =>
             require(ts > l.tsUs || (ts == l.tsUs && id > l.id),
               s"out-of-order event for user $user: ($ts,$id) after " +
                 s"(${l.tsUs},${l.id}) — transitions would be wrong; " +
-                "deliver per-user in (ts, id) order")
+                "deliver per-user in (ts, id) order (redelivery absorption " +
+                "is one event deep: only an exact replay of the most recent " +
+                "(ts, id, type) is absorbed; replayed earlier spans and " +
+                "same-(ts,id) type mismatches both land here)")
             out += Transition(user, l.tpe, tpe)
           }
           last = Some(LastEvent(ts, id, tpe))
@@ -998,12 +1005,6 @@ object StreamingEvents {
     }
   }
 
-  /** The newest COMMITTED `v<epoch>/` snapshot written by [[upsertSink]]:
-    * only directories with a `_SUCCESS` marker count (a crash mid-write
-    * leaves a partial directory that must never serve as a base), and
-    * `beforeEpoch` restricts to strictly earlier versions (the replay
-    * path).
-    */
   /** STREAMING incremental clustering — the persisted assignment
     * lifecycle ([[graft.ops.GraphOps.ensureClusterAssignments]]) driven by
     * a stream of near-dup EDGES: per micro-batch the quotient step folds
@@ -1016,11 +1017,13 @@ object StreamingEvents {
     * At-least-once REPLAY is a semantic no-op: a replayed edge maps
     * through the (already-merged) labels to a self-loop and drops, and a
     * replayed new vertex is already assigned, so the anti-join skips it —
-    * the labeling is a fixpoint of its own batches. Crash WINDOW, stated
-    * plainly: the per-epoch table overwrite (drop + recreate) is not
-    * atomic — a crash between them loses the snapshot; a production store
-    * versions snapshots like [[upsertSink]] and keeps N ≥ 2
-    * ([[pruneSnapshots]]).
+    * the labeling is a fixpoint of its own batches. Crash safety: the
+    * assignment store keeps versioned snapshot tables and commits the new
+    * version by a meta-pointer update AFTER the snapshot is fully written
+    * (the [[upsertSink]] rule applied to tables — see
+    * [[graft.ops.GraphOps.maintainClusterAssignments]]), so a crash or
+    * task retry mid-epoch leaves the previous labeling servable and the
+    * foreachBatch retry re-folds the batch against it.
     */
   def clusterIngest(edges: DataFrame, tablePrefix: String,
                     checkpointDir: String,
@@ -1040,6 +1043,12 @@ object StreamingEvents {
         }
       }
 
+  /** The newest COMMITTED `v<epoch>/` snapshot written by [[upsertSink]]:
+    * only directories with a `_SUCCESS` marker count (a crash mid-write
+    * leaves a partial directory that must never serve as a base), and
+    * `beforeEpoch` restricts to strictly earlier versions (the replay
+    * path).
+    */
   def latestSnapshot(spark: SparkSession, baseDir: String,
                      beforeEpoch: Option[Long] = None): Option[DataFrame] = {
     val dir = new java.io.File(baseDir)

@@ -3707,6 +3707,65 @@ class OpsSpec extends SparkTestBase {
     assert(edges.toSet === mutual)
   }
 
+  test("autoPlanes: integer operating-point rule — smallest p with (n >> p) <= target, clamped") {
+    // the exact rule the SQL oracle replays (integer shift, no log2)
+    assert(SimilarityOps.autoPlanes(0L) === 4)
+    assert(SimilarityOps.autoPlanes(200L) === 4)      // 200 >> 4 = 12 <= 16
+    assert(SimilarityOps.autoPlanes(2000L) === 7)     // 2000 >> 7 = 15
+    assert(SimilarityOps.autoPlanes(20000L) === 11)   // 20000 >> 11 = 9
+    assert(SimilarityOps.autoPlanes(200000L) === 14)  // 200000 >> 14 = 12
+    assert(SimilarityOps.autoPlanes(Long.MaxValue) === 24, "clamped at maxPlanes")
+    // monotone in n; expected occupancy n >> p stays <= target once p < max
+    (1 until 40).foreach { e =>
+      val n = 1L << e
+      val p = SimilarityOps.autoPlanes(n)
+      assert(p >= SimilarityOps.autoPlanes(n - 1))
+      if (p < 24) assert((n >> p) <= 16L,
+        s"occupancy bound violated at n=$n p=$p")
+    }
+  }
+
+  test("srpNearDupPairsAuto / knnGraphAuto: equal to the sized strided form at the derived plane count") {
+    val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
+    val n = emb.count()
+    val p = SimilarityOps.autoPlanes(n)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val auto = SimilarityOps.srpNearDupPairsAuto(emb, 0.2).collect().map(key).toSet
+    val sized = SimilarityOps.srpNearDupPairsSized(emb, 0.2, p)
+      .collect().map(key).toSet
+    assert(auto === sized, "auto = sized at autoPlanes(count)")
+    assert(auto.nonEmpty)
+    // strided plane identities differ from the fixed layout's (plane
+    // t*nPlanes+i) unless the plane count happens to line up — assert the
+    // STRIDED family is self-consistent instead: precision stays exact
+    val verified = SimilarityOps.srpNearDupPairsAuto(emb, 0.2).collect()
+    verified.foreach(r => assert(r.getDouble(2) >= 0.2))
+    // the auto kNN graph keeps the degree bound and the subset property
+    // against ITS candidate set
+    val g = SimilarityOps.knnGraphAuto(emb, 0.2, kTop = 3).localCheckpoint()
+    val edges = g.collect().map(key)
+    assert(edges.nonEmpty && edges.forall(auto.contains))
+    val maxDeg = g.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).count().agg(max(col("count"))).head().getLong(0)
+    assert(maxDeg <= 3)
+  }
+
+  test("semanticDupClustersBounded: CC over the bounded mutual-kNN edges, singletons kept") {
+    val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
+    val got = SimilarityOps.semanticDupClustersBounded(emb, 0.4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val manual = GraphOps.connectedComponents(
+        SimilarityOps.knnGraphAuto(emb, 0.4, kTop = 4),
+        emb.select(col("vec_id")), "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === manual)
+    assert(got.size === emb.count(), "every vector labeled, singletons included")
+    // comp is the component-minimum member id
+    got.groupBy(_._2).foreach { case (comp, members) =>
+      assert(comp === members.keys.min)
+    }
+  }
+
   test("incrementalComponents: chained batches equal the global recompute; untouched comps keep labels") {
     import spark.implicits._
     val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
@@ -3752,13 +3811,15 @@ class OpsSpec extends SparkTestBase {
       pairs.filter(bucket(col("a"), 0) && bucket(col("b"), 0)),
       verts.filter(bucket(col("vec_id"), 0)), "graft_test_cc",
       corpusTag = "t#base", idCol = "vec_id")
-    // same tag: ensure must NOT rebuild (the table keeps its snapshot id)
-    val loc1 = spark.table("graft_test_cc_assign").inputFiles.toSet
+    // same tag: ensure must NOT rebuild (the served snapshot keeps its files)
+    val loc1 = GraphOps.clusterAssignments(spark, "graft_test_cc")
+      .inputFiles.toSet
     GraphOps.ensureClusterAssignments(
       pairs.filter(bucket(col("a"), 0) && bucket(col("b"), 0)),
       verts.filter(bucket(col("vec_id"), 0)), "graft_test_cc",
       corpusTag = "t#base", idCol = "vec_id")
-    assert(spark.table("graft_test_cc_assign").inputFiles.toSet === loc1,
+    assert(GraphOps.clusterAssignments(spark, "graft_test_cc")
+        .inputFiles.toSet === loc1,
       "same-tag ensure must be a no-op")
     GraphOps.maintainClusterAssignments(
       pairs.filter(bucket(col("a"), 1) || bucket(col("b"), 1)),
@@ -3770,6 +3831,40 @@ class OpsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(served === global,
       "persisted maintain must serve the global recompute exactly")
+    // versioned-store retention: only the current + previous snapshots
+    // survive a maintain (the pruneSnapshots N=2 floor, applied to tables)
+    val kept = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_test_cc_assign_v")).sorted
+    assert(kept.length <= 2 && kept.nonEmpty)
+  }
+
+  test("persisted cluster assignments: uncommitted snapshot never serves; crashed epoch re-folds cleanly") {
+    import spark.implicits._
+    val edges0 = Seq((1L, 2L)).toDF("a", "b")
+    val verts0 = Seq(1L, 2L, 3L).toDF("id")
+    GraphOps.ensureClusterAssignments(edges0, verts0, "graft_test_crash",
+      corpusTag = "t#base")
+    val before = GraphOps.clusterAssignments(spark, "graft_test_crash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    // simulate the crash window: the NEXT snapshot table exists on disk
+    // (the epoch's step 1 completed) but its meta pointer row was never
+    // appended (the crash before step 2) — the store must keep serving
+    // the committed labeling, not the orphan
+    Seq((2L, 999L), (3L, 999L)).toDF("id", "comp").write
+      .mode("overwrite").saveAsTable("graft_test_crash_assign_v2")
+    val duringCrash = GraphOps.clusterAssignments(spark, "graft_test_crash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(duringCrash === before,
+      "an uncommitted snapshot must never serve")
+    // the retried epoch re-folds the same batch against the committed
+    // base (overwriting the orphan) and commits — the recovery path
+    GraphOps.maintainClusterAssignments(Seq((2L, 3L)).toDF("a", "b"),
+      Seq(2L, 3L).toDF("id"), "graft_test_crash", newCorpusTag = "t#e1")
+    val after = GraphOps.clusterAssignments(spark, "graft_test_crash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after === Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      "the retried epoch must fold into the committed base exactly")
   }
 
   test("lumaGrid + decodeAudio: fixture goldens match the hand-computed byte walk") {
