@@ -1241,6 +1241,23 @@ object SparkEntry {
         .orderBy(col("img_id"), col("idx"))
     },
 
+    // the image EMBEDDING tail under the hash gate (q194 pinned decode →
+    // luma → grid; this pins grid → DCT → pHash): the DCT runs in FIXED-
+    // POINT integer arithmetic over a driver-computed coefficient table
+    // embedded as the same literals in the Spark closure AND the oracle
+    // SQL (the lattice-quantizer trick applied to the transform), so the
+    // full perceptual-hash construction — coefficients, AC median, bits —
+    // is exact integer math DuckDB replays byte-for-byte from the hex
+    // fixtures. Nothing in the multimodal embedding path remains outside
+    // the gate
+    "q199_image_phash" -> { (s, d) =>
+      import s.implicits._
+      val fx = bmpFixtures.map(f => (f._1, f._2)).toDF("img_id", "hex")
+        .select(col("img_id"), unhex(col("hex")).as("payload"))
+      MultimodalOps.phashBits(fx, "img_id", "payload", gridN = 4)
+        .orderBy(col("img_id"))
+    },
+
     // the AUDIO tier's hard-gated row: real JDK WAV decode (mono + stereo
     // PCM16LE fixtures) → the INTEGER container/signal facts — frames,
     // duration, channel-0 zero crossings (sign transitions, zeros
@@ -4230,6 +4247,61 @@ object SparkEntry {
          |FROM cells c JOIN lum l ON l.img_id = c.img_id
          |  AND l.x >= c.x0 AND l.x < c.x1 AND l.y >= c.y0 AND l.y < c.y1
          |GROUP BY 1, 2 ORDER BY img_id, idx""".stripMargin
+    },
+
+    "q199_image_phash" -> {
+      // the q194 byte walk generalized to the 4×4 grid, then the fixed-
+      // point DCT replayed from the SAME integer coefficient literals the
+      // engine's closure embeds (driver-generated, so equality is by
+      // construction, not by libm agreement): rows pass, cols pass, lower
+      // median of the 15 ACs by order statistic (rn = (15-1)/2 + 1 = 8;
+      // ties don't matter — the median is a VALUE), bit i-1 set iff AC i
+      // exceeds it
+      val vals = bmpFixtures.map { case (id, hex, w, h, st) =>
+        s"($id, '$hex', $w, $h, $st)"
+      }.mkString(", ")
+      val ct = MultimodalOps.dctCoeffTable(4)
+      val ctVals = (for { k <- 0 until 4; x <- 0 until 4 }
+        yield s"($k, $x, CAST(${ct(k)(x)} AS BIGINT))").mkString(", ")
+      s"""WITH fx AS (SELECT * FROM (VALUES $vals) t(img_id, hex, w, h, stride)),
+         |pix AS (SELECT img_id, hex, w, h, x.x AS x, y.y AS y,
+         |    54 + (h - 1 - y.y) * stride + x.x * 3 AS o
+         |  FROM fx, UNNEST(range(0, w)) x(x), UNNEST(range(0, h)) y(y)),
+         |lum AS (SELECT img_id, x, y,
+         |    (299 * ${hexByteSql("hex", "o+2")}
+         |     + 587 * ${hexByteSql("hex", "o+1")}
+         |     + 114 * ${hexByteSql("hex", "o")}) // 1000 AS luma
+         |  FROM pix),
+         |cells AS (SELECT f.img_id, gy.gy AS gy, gx.gx AS gx,
+         |    gx.gx * f.w // 4 AS x0,
+         |    greatest(gx.gx * f.w // 4 + 1, (gx.gx + 1) * f.w // 4) AS x1,
+         |    gy.gy * f.h // 4 AS y0,
+         |    greatest(gy.gy * f.h // 4 + 1, (gy.gy + 1) * f.h // 4) AS y1
+         |  FROM fx f, UNNEST(range(0, 4)) gy(gy), UNNEST(range(0, 4)) gx(gx)),
+         |grid AS (SELECT c.img_id, c.gy, c.gx,
+         |    CAST((sum(l.luma) + count(*) // 2) // count(*) AS BIGINT) AS g
+         |  FROM cells c JOIN lum l ON l.img_id = c.img_id
+         |    AND l.x >= c.x0 AND l.x < c.x1 AND l.y >= c.y0 AND l.y < c.y1
+         |  GROUP BY 1, 2, 3),
+         |ct AS (SELECT * FROM (VALUES $ctVals) t(k, x, c)),
+         |tmp AS (SELECT g.img_id, g.gy AS y, ct.k AS u,
+         |    CAST(sum(g.g * ct.c) AS BIGINT) AS v
+         |  FROM grid g JOIN ct ON ct.x = g.gx GROUP BY 1, 2, 3),
+         |fc AS (SELECT t.img_id, CAST(ct.k * 4 + t.u AS BIGINT) AS idx,
+         |    CAST(sum(t.v * ct.c) AS BIGINT) AS coef
+         |  FROM tmp t JOIN ct ON ct.x = t.y GROUP BY 1, 2),
+         |med AS (SELECT img_id, coef AS median_ac FROM (
+         |    SELECT img_id, coef, row_number() OVER (PARTITION BY img_id
+         |      ORDER BY coef, idx) AS rn
+         |    FROM fc WHERE idx > 0) WHERE rn = 8),
+         |dcv AS (SELECT img_id, coef AS dc FROM fc WHERE idx = 0),
+         |bits AS (SELECT fc.img_id, CAST(sum(CASE WHEN fc.coef > m.median_ac
+         |      THEN (CAST(1 AS BIGINT) << CAST(fc.idx - 1 AS INTEGER))
+         |      ELSE 0 END) AS BIGINT) AS phash
+         |  FROM fc JOIN med m USING (img_id) WHERE fc.idx > 0 GROUP BY 1)
+         |SELECT CAST(d.img_id AS BIGINT) AS img_id, d.dc, m.median_ac, b.phash
+         |FROM dcv d JOIN med m USING (img_id) JOIN bits b USING (img_id)
+         |ORDER BY img_id""".stripMargin
     },
 
     "q195_audio_fixture" -> {

@@ -429,6 +429,105 @@ object MultimodalOps {
   def sampleFrames(bin: Column, frameBytes: Int, everyN: Int): Column =
     filter(chunks(bin, frameBytes), (_, i) => i % everyN === 0)
 
+  /** Quantization scale of the fixed-point DCT table: coefficients live in
+    * units of 2^-14. */
+  val dctScaleBits: Int = 14
+
+  /** The FIXED-POINT DCT-II coefficient table for size `n`:
+    * `Cq(k)(x) = floor(cos((2x+1)·k·π/(2n)) · 2^dctScaleBits + 0.5)` —
+    * computed ONCE on the driver and embedded as integer literals in both
+    * the Spark closure and the generated oracle SQL, so the transform
+    * itself never touches libm at execution time (the lattice-quantizer
+    * trick that made PQ oracle-replayable, applied to the DCT): every
+    * downstream number is exact 64-bit integer arithmetic both engines
+    * perform identically.
+    */
+  def dctCoeffTable(n: Int): Array[Array[Long]] =
+    Array.tabulate(n, n)((k, x) =>
+      math.floor(math.cos((2 * x + 1) * k * math.Pi / (2.0 * n))
+        * (1L << dctScaleBits) + 0.5).toLong)
+
+  /** HARD-GATED perceptual hash: decode → Rec.601 integer luma →
+    * `gridN`×`gridN` integer box grid ([[lumaGrid]]'s stage) → fixed-point
+    * integer 2-D DCT-II ([[dctCoeffTable]] — no scale normalization;
+    * per-coefficient median comparison is scale-free) → pHash bits: AC
+    * coefficient i (row-major, DC excluded) sets bit i−1 iff it exceeds
+    * the LOWER MEDIAN of the AC coefficients (the value at 0-based sorted
+    * index (m−1)/2 of the m = gridN²−1 ACs — an order statistic on exact
+    * integers, so both engines agree even under ties). One row per
+    * decodable image: (id, dc, median_ac, phash) — the [[extractFeatures]]
+    * embedding's integer twin whose every bit the SQL oracle replays from
+    * raw payload bytes. Undecodable rows DROP, as in [[decodeImage]].
+    *
+    * Scale shape: map-only `mapPartitions` over the scan's partitioning
+    * (one decode context per partition); no shuffle, no driver state —
+    * the hash feeds banded Hamming dedup ([[graft.ops.DedupOps]]'
+    * SimHash machinery) downstream.
+    */
+  def phashBits(df: DataFrame, idCol: String, binCol: String,
+                gridN: Int = 4): DataFrame = {
+    require(gridN >= 2 && gridN * gridN <= 65,
+      "gridN in [2, 8]: pHash bits must fit one long")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ct = dctCoeffTable(gridN)
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    input.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { case (id, bytes) =>
+        tryDecode(bytes).map { im =>
+          val (w, h) = (im.getWidth, im.getHeight)
+          val (rB, gB, bB) = toRgbBands(im)
+          val lumaIm = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val lr = lumaIm.getRaster
+          var i = 0
+          while (i < w * h) {
+            lr.setSample(i % w, i / w, 0,
+              (rB(i) * 299 + gB(i) * 587 + bB(i) * 114) / 1000); i += 1
+          }
+          val grid = boxScaleBand(lumaIm.getRaster, 0, w, h, gridN, gridN)
+          // rows pass: tmp(y, u) = Σ_x grid(y, x) · C(u, x)
+          val tmp = Array.ofDim[Long](gridN * gridN)
+          var y = 0
+          while (y < gridN) {
+            var u = 0
+            while (u < gridN) {
+              var s = 0L; var x = 0
+              while (x < gridN) { s += grid(y * gridN + x) * ct(u)(x); x += 1 }
+              tmp(y * gridN + u) = s
+              u += 1
+            }
+            y += 1
+          }
+          // cols pass: F(k, u) = Σ_y tmp(y, u) · C(k, y)
+          val coefs = Array.ofDim[Long](gridN * gridN)
+          var k = 0
+          while (k < gridN) {
+            var u = 0
+            while (u < gridN) {
+              var s = 0L; var yy = 0
+              while (yy < gridN) { s += tmp(yy * gridN + u) * ct(k)(yy); yy += 1 }
+              coefs(k * gridN + u) = s
+              u += 1
+            }
+            k += 1
+          }
+          val acs = coefs.drop(1)
+          val med = acs.sorted.apply((acs.length - 1) / 2)
+          var bits = 0L
+          var j = 0
+          while (j < acs.length) {
+            if (acs(j) > med) bits |= 1L << j
+            j += 1
+          }
+          (id, coefs(0), med, bits)
+        }
+      }
+    }.toDF(idCol, "dc", "median_ac", "phash")
+  }
+
   /** One parsed AVI container: `avih` header facts plus the ordered video
     * frame payloads found in the `movi` list. */
   private final case class AviParsed(microsPerFrame: Long, declaredFrames: Long,

@@ -3888,6 +3888,40 @@ class OpsSpec extends SparkTestBase {
     assert(au(2L) === ((2, 16000, 48L, 3L, 27L)))
   }
 
+  test("phashBits: fixed-point DCT pHash goldens; table symmetric-input sanity") {
+    import spark.implicits._
+    // the DCT coefficient table is pure integers: row 0 is the constant
+    // 2^14 row (cos 0), and every row sums to ~0 for k odd by symmetry
+    val ct = MultimodalOps.dctCoeffTable(4)
+    assert(ct(0).forall(_ === (1L << 14)))
+    assert(math.abs(ct(1).sum) <= 2 && math.abs(ct(3).sum) <= 2)
+    // fixture goldens — oracle-confirmed byte replays (q199): any change
+    // to the decode, grid, table, median rule, or bit order moves these
+    val bmp = SparkEntry.bmpFixtures.map(f => (f._1, f._2)).toDF("img_id", "hex")
+      .select(col("img_id"), unhex(col("hex")).as("payload"))
+    val got = MultimodalOps.phashBits(bmp, "img_id", "payload", gridN = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((437012922368L, 0L, 20560L)))
+    assert(got(2L) === ((408021893120L, -6754823591L, 27940L)))
+    // a constant image has every AC coefficient 0 -> phash 0, dc = 16 * v * 2^28
+    val flat = {
+      val w = 8; val h = 8
+      val im = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w * h).foreach(i => im.setRGB(i % w, i / w, 0x646464))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "bmp", bos)
+      bos.toByteArray
+    }
+    val fr = MultimodalOps.phashBits(
+      Seq((9L, flat)).toDF("img_id", "payload"), "img_id", "payload",
+      gridN = 4).collect().head
+    assert(fr.getLong(3) === 0L, "constant image -> all-zero pHash")
+    assert(fr.getLong(1) === 16L * 100L * (1L << 28),
+      "constant-image DC = n^2 * luma * 2^(2*scaleBits)")
+  }
+
   test("recommendThreshold: sweep stats exact per threshold; smallest sparse-enough threshold flagged") {
     import spark.implicits._
     // hand graph: at 0.30 every edge survives (star around 1 → mean deg
