@@ -1609,6 +1609,25 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     },
 
+    // the PERSISTED mutual-kNN graph lifecycle (the bounded-graph tier's
+    // q196): ensure freezes the SRP operating point on the base corpus
+    // (vec_id % 5 ≠ 0) and builds the per-vertex kept lists; maintain
+    // folds the remaining vectors in with BATCH-SIZED compute (band the
+    // batch at the frozen planes, probe the stored bands, re-rank only
+    // touched vertices); the served mutual edges must equal the batch
+    // knnGraph over the FULL corpus at that frozen point — the top-k
+    // merge property, and equality IS the oracle claim
+    "q200_knn_index_maintain" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val isOld = (c: org.apache.spark.sql.Column) => c % 5 =!= 0
+      val prefix = s"graft_q200_${dirTag(d)}_knn"
+      SimilarityOps.ensureKnnIndex(emb.filter(isOld(col("vec_id"))), prefix,
+        corpusTag = d + "#base", minCos = 0.2, kTop = 4)
+      SimilarityOps.maintainKnnIndex(emb.filter(!isOld(col("vec_id"))),
+        prefix)
+      SimilarityOps.knnIndexEdges(s, prefix).orderBy(col("a"), col("b"))
+    },
+
     // SORTED-NEIGHBORHOOD near-dup pairs (Hernández-Stolfo SNM): the
     // third candidate-generation family beside hash banding and embedding
     // buckets — corpus ordered by the canonical-prefix key, every pair
@@ -2521,14 +2540,19 @@ object SparkEntry {
     * re-inlining the count per reference re-scans the corpus.
     */
   private def srpPairsAutoCte(minCos: Double,
-                              vertexFilter: String = "TRUE"): String = {
+                              vertexFilter: String = "TRUE",
+                              planeCountSql: Option[String] = None): String = {
     val stride = SimilarityOps.srpPlaneStride
+    // the count that SIZES the plane point — by default the banded corpus
+    // itself; the persisted-lifecycle oracles pass the count of the BASE
+    // corpus the engine froze its operating point on (q200)
+    val cnt = planeCountSql.getOrElse("SELECT count(*) FROM e")
     s"""planes AS (${ops.DetHash.sqlPlanesStridedCte(6, 24, stride, 64)}),
        |e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
        |  WHERE $vertexFilter),
        |np AS MATERIALIZED (SELECT least(24, coalesce(
        |    (SELECT min(p) FROM range(4, 25) t(p)
-       |     WHERE ((SELECT count(*) FROM e) >> p) <= 16), 24)) AS np),
+       |     WHERE (($cnt) >> p) <= 16), 24)) AS np),
        |proj AS (SELECT p.p // $stride AS tbl, p.p % $stride AS i, e.vec_id,
        |    list_sum(list_transform(list_zip(e.embedding, p.cs), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS pr
        |  FROM e CROSS JOIN planes p CROSS JOIN np
@@ -2650,10 +2674,11 @@ object SparkEntry {
     s"""prs AS ($src),
        |dirs AS (SELECT a AS v, b AS nb, cos FROM prs
        |  UNION ALL SELECT b, a, cos FROM prs),
-       |rkd AS (SELECT v, nb, row_number() OVER (PARTITION BY v
+       |rkd AS (SELECT v, nb, cos, row_number() OVER (PARTITION BY v
        |    ORDER BY cos DESC, nb) AS rk FROM dirs),
-       |kept AS (SELECT v, nb FROM rkd WHERE rk <= $kTop),
-       |e0 AS MATERIALIZED (SELECT f.v AS a, f.nb AS b FROM kept f
+       |kept AS (SELECT v, nb, cos FROM rkd WHERE rk <= $kTop),
+       |e0 AS MATERIALIZED (SELECT f.v AS a, f.nb AS b, f.cos AS cos
+       |  FROM kept f
        |  JOIN kept g ON g.v = f.nb AND g.nb = f.v
        |  WHERE f.v < f.nb)""".stripMargin
   }
@@ -4710,6 +4735,16 @@ object SparkEntry {
     "q196_persisted_cluster_maintain" ->
       s"""WITH RECURSIVE $semanticCcAutoCte
          |SELECT x AS vec_id, comp FROM cc ORDER BY vec_id""".stripMargin,
+
+    // the batch kNN graph over the FULL corpus at the plane count the
+    // engine FROZE on the base (vec_id % 5 ≠ 0) — the incremental
+    // ensure + maintain path must serve exactly this edge set, cosines
+    // included (the shared exact-double shape)
+    "q200_knn_index_maintain" ->
+      s"""WITH ${srpPairsAutoCte(0.2, planeCountSql =
+             Some("SELECT count(*) FROM e WHERE vec_id % 5 <> 0"))},
+         |${knnEdgesCte(4)}
+         |SELECT a, b, cos FROM e0 ORDER BY a, b""".stripMargin,
 
     // the canonical-prefix 6-bit key, ONE global row_number (fine in the
     // oracle — the engine's two-level construction is the scale shape),

@@ -1171,6 +1171,246 @@ object SimilarityOps {
       .groupBy(col("comp")).agg(count(lit(1)).as("n_vecs"))
       .select(col("comp").as("keep_id"), col("n_vecs"))
 
+  // --------------------------------------------------------------------
+  // Persisted mutual-kNN graph lifecycle (ensure / maintain / read)
+  // --------------------------------------------------------------------
+
+  /** Schema version stamped in the kNN index meta table. */
+  val knnIndexFormatVersion: Int = 1
+
+  private def knnMetaHead(spark: org.apache.spark.sql.SparkSession,
+                          tablePrefix: String)
+      : Option[org.apache.spark.sql.Row] =
+    if (!spark.catalog.tableExists(s"${tablePrefix}_meta")) None
+    else {
+      val m = spark.table(s"${tablePrefix}_meta")
+      if (!Seq("fmt", "corpus_tag", "planes", "ktop", "min_cos", "n_tables",
+          "dim", "buckets", "version").forall(m.columns.contains)) None
+      else m.orderBy(col("version").desc).limit(1).collect().headOption
+    }
+
+  /** Band an `(id, vec)` frame at `nPlanes` STRIDED planes: one
+    * (id, tbl, bucket) row per table — the exact banding
+    * [[srpNearDupPairsSized]] performs, factored out so ensure and
+    * maintain produce byte-identical buckets for the same vector.
+    */
+  private def bandStrided(vecs: DataFrame, nPlanes: Int, nTables: Int,
+                          dim: Int): DataFrame =
+    vecs.select(col("id"),
+      posexplode(array((0 until nTables).map(t =>
+        srpBucketStrided(col("vec"), nPlanes, t, dim)): _*))
+        .as(Seq("tbl", "bucket")))
+
+  /** PERSISTED mutual-kNN graph — the degree-bounded near-dup graph
+    * ([[knnGraphAuto]]) as maintained state, closing the lifecycle the
+    * banded-dedup/IVF/cluster-assignment tiers already have: build once,
+    * fold each vector ingest in with batch-sized compute, serve edges
+    * from the store. Three VERSIONED tables under one append-only meta
+    * pointer (the cluster-assignment crash contract — snapshot v+1 under
+    * new names, meta append is the commit, current+previous retained):
+    *
+    *   - `${prefix}_vecs_v<N>`  (id, vec, nrm) bucketed by id — the
+    *     verify join's key;
+    *   - `${prefix}_bands_v<N>` (id, tbl, bucket) bucketed by bucket —
+    *     a batch's candidate probe co-locates on the corpus side;
+    *   - `${prefix}_kept_v<N>`  (v, nb, cos) bucketed by v — the
+    *     per-vertex DIRECTED top-k lists ([[knnKeptLists]]), the state
+    *     that makes maintenance batch-sized: top-k over (old top-k ∪ new
+    *     candidates) equals top-k over all candidates under append-only
+    *     ingest, so only TOUCHED vertices re-rank.
+    *
+    * The SRP operating point is FROZEN at ensure time ([[autoPlanes]] of
+    * the base corpus, stamped in meta) so every epoch bands with the same
+    * planes — the incremental path replays [[knnGraph]] at that sized
+    * point exactly. A corpus-tag change re-sizes and rebuilds (the ensure
+    * convention); re-ensure when the corpus has outgrown the point
+    * (occupancy tracking is the [[autoPlanes]] rule applied to the count
+    * in meta). The hot-bucket cap is NOT re-applied incrementally — at
+    * the sized point occupancy stays ~target by construction, and a
+    * bucket that outgrows it is the rebuild signal, not a silent drop
+    * (batch-recompute equality would break if later epochs dropped
+    * buckets earlier epochs already folded).
+    */
+  def ensureKnnIndex(df: DataFrame, tablePrefix: String, corpusTag: String,
+                     minCos: Double, kTop: Int = 4, nTables: Int = 6,
+                     dim: Int = 64, idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     targetOccupancy: Long = 16L, buckets: Int = 8,
+                     maxBucket: Int = 10000): Unit = {
+    val spark = df.sparkSession
+    val upToDate = knnMetaHead(spark, tablePrefix).exists { m =>
+      m.getAs[Int]("fmt") == knnIndexFormatVersion &&
+        m.getAs[String]("corpus_tag") == corpusTag &&
+        m.getAs[Int]("ktop") == kTop &&
+        m.getAs[Double]("min_cos") == minCos &&
+        m.getAs[Int]("n_tables") == nTables &&
+        m.getAs[Int]("dim") == dim &&
+        m.getAs[Int]("buckets") == buckets && {
+          val v = m.getAs[Long]("version")
+          Seq("vecs", "bands", "kept").forall(t =>
+            spark.catalog.tableExists(s"${tablePrefix}_${t}_v$v"))
+        }
+    }
+    if (!upToDate) {
+      val base = df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("vec")).dropDuplicates("id")
+      val planes = autoPlanes(base.count(), targetOccupancy)
+      import graft.functions.VectorExpressions.dotF
+      val vecs = base.withColumn("nrm", sqrt(dotF(col("vec"), col("vec"))))
+      val kept = knnKeptLists(
+        srpNearDupPairsSized(
+          base.select(col("id").as(idCol), col("vec").as(vecCol)),
+          minCos, planes, nTables, dim, idCol, vecCol, maxBucket),
+        kTop)
+      writeKnnSnapshot(spark, tablePrefix, vecs,
+        bandStrided(base, planes, nTables, dim), kept,
+        corpusTag, planes, kTop, minCos, nTables, dim, buckets,
+        fresh = true)
+    }
+  }
+
+  /** Fold a batch of NEW vectors into the persisted kNN graph with
+    * batch-sized compute: band the batch at the frozen plane count, probe
+    * the stored bands for candidates (one side batch-sized, the corpus
+    * side co-located on its bucketing), verify candidates with exact
+    * cosine, re-rank ONLY the touched vertices' kept lists, and commit
+    * the next snapshot version. Equal to [[knnGraph]] recomputed over the
+    * full corpus at the frozen operating point (OpsSpec asserts it on
+    * chained batches) by the top-k merge property — a pair is generated
+    * exactly once, at the epoch its LATER endpoint arrives, and an old
+    * candidate pushed out of a kept list can never re-enter (candidates
+    * only accumulate).
+    *
+    * At-least-once REPLAY is a structural no-op: batch ids already in the
+    * store anti-join away, and an all-replayed batch returns without
+    * writing (the served version is unchanged). A task retry mid-write
+    * re-runs against the still-committed previous version.
+    */
+  def maintainKnnIndex(batch: DataFrame, tablePrefix: String,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    val m = knnMetaHead(spark, tablePrefix).getOrElse(
+      throw new IllegalStateException(
+        s"no committed kNN index under '$tablePrefix' — run ensureKnnIndex"))
+    val v = m.getAs[Long]("version")
+    val planes = m.getAs[Int]("planes")
+    val kTop = m.getAs[Int]("ktop")
+    val minCos = m.getAs[Double]("min_cos")
+    val nTables = m.getAs[Int]("n_tables")
+    val dim = m.getAs[Int]("dim")
+    val buckets = m.getAs[Int]("buckets")
+    val vecs = spark.table(s"${tablePrefix}_vecs_v$v")
+    val bands = spark.table(s"${tablePrefix}_bands_v$v")
+    val kept = spark.table(s"${tablePrefix}_kept_v$v")
+    import graft.functions.VectorExpressions.dotF
+    // replayed ids drop structurally; consumed by banding AND verify AND
+    // the snapshot union — materialize the (batch-sized) frame once
+    val fresh = batch
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .dropDuplicates("id")
+      .join(vecs.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("nrm", sqrt(dotF(col("vec"), col("vec"))))
+      .localCheckpoint()
+    if (fresh.isEmpty) return
+    val bandsNew = bandStrided(fresh.select(col("id"), col("vec")),
+      planes, nTables, dim).localCheckpoint()
+    // candidates: batch bands probe (stored ∪ batch) bands — never
+    // corpus × corpus; orientation dedupes the (new, new) double hit
+    val cand = bandsNew.select(col("tbl"), col("bucket"), col("id").as("x"))
+      .join(bands.unionByName(bandsNew)
+          .select(col("tbl"), col("bucket"), col("id").as("y")),
+        Seq("tbl", "bucket"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    val allVecs = vecs.unionByName(fresh)
+    val va = allVecs.select(col("id").as("a"), col("vec").as("va"),
+      col("nrm").as("na"))
+    val vb = allVecs.select(col("id").as("b"), col("vec").as("vb"),
+      col("nrm").as("nb"))
+    val newPairs = cand.join(va, Seq("a")).join(vb, Seq("b"))
+      .select(col("a"), col("b"),
+        (dotF(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= lit(minCos))
+      .localCheckpoint()
+    val dirsNew = newPairs
+      .select(col("a").as("v"), col("b").as("nb"), col("cos"))
+      .unionByName(newPairs
+        .select(col("b").as("v"), col("a").as("nb"), col("cos")))
+    val touched = dirsNew.select(col("v")).distinct()
+    // re-rank touched vertices over (old kept ∪ new candidates); a kept
+    // (v, nb) row can never duplicate a new candidate — nb is new to
+    // this epoch in every new pair
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("v")).orderBy(col("cos").desc, col("nb"))
+    val reRanked = kept.join(touched, Seq("v"))
+      .unionByName(dirsNew)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= kTop)
+      .select(col("v"), col("nb"), col("cos"))
+    val keptNext = kept.join(touched, Seq("v"), "left_anti")
+      .unionByName(reRanked)
+    writeKnnSnapshot(spark, tablePrefix, allVecs, bands.unionByName(bandsNew),
+      keptNext, m.getAs[String]("corpus_tag"), planes, kTop, minCos,
+      nTables, dim, buckets, fresh = false)
+  }
+
+  /** The served graph: mutual edges ([[mutualEdges]]) of the committed
+    * kept lists — an (a, b)-keyed self-join over the O(n·kTop) state
+    * table, co-located on its `v` bucketing. Absence throws (an empty
+    * graph for "store not initialized" would read as "no near-dups").
+    */
+  def knnIndexEdges(spark: org.apache.spark.sql.SparkSession,
+                    tablePrefix: String): DataFrame = {
+    val m = knnMetaHead(spark, tablePrefix).getOrElse(
+      throw new IllegalStateException(
+        s"no committed kNN index under '$tablePrefix' — run ensureKnnIndex"))
+    mutualEdges(spark.table(s"${tablePrefix}_kept_v${m.getAs[Long]("version")}"))
+  }
+
+  private def writeKnnSnapshot(spark: org.apache.spark.sql.SparkSession,
+                               tablePrefix: String, vecs: DataFrame,
+                               bands: DataFrame, kept: DataFrame,
+                               corpusTag: String, planes: Int, kTop: Int,
+                               minCos: Double, nTables: Int, dim: Int,
+                               buckets: Int, fresh: Boolean): Unit = {
+    import graft.sources.Bucketing
+    import spark.implicits._
+    val cur = knnMetaHead(spark, tablePrefix)
+      .map(_.getAs[Long]("version")).getOrElse(0L)
+    val next = cur + 1L
+    // (1) the three snapshot tables under names no reader resolves yet
+    Bucketing.writeBucketed(vecs, s"${tablePrefix}_vecs_v$next",
+      Seq("id"), buckets)
+    Bucketing.writeBucketed(bands, s"${tablePrefix}_bands_v$next",
+      Seq("bucket"), buckets)
+    Bucketing.writeBucketed(kept, s"${tablePrefix}_kept_v$next",
+      Seq("v"), buckets)
+    // (2) the commit: append the pointer row (fresh RECREATES the meta —
+    // stale rows from a previous corpus must not outrank the rebuild)
+    val row = Seq((knnIndexFormatVersion, corpusTag, planes, kTop, minCos,
+      nTables, dim, buckets, next))
+      .toDF("fmt", "corpus_tag", "planes", "ktop", "min_cos", "n_tables",
+        "dim", "buckets", "version")
+    if (fresh || !spark.catalog.tableExists(s"${tablePrefix}_meta"))
+      Bucketing.saveTable(row, s"${tablePrefix}_meta")
+    else row.write.mode("append").saveAsTable(s"${tablePrefix}_meta")
+    // (3) retention: current + previous only
+    Seq("vecs", "bands", "kept").foreach { t =>
+      spark.catalog.listTables()
+        .filter(x => x.name.startsWith(s"${tablePrefix}_${t}_v"))
+        .collect()
+        .map(_.name.stripPrefix(s"${tablePrefix}_${t}_v"))
+        .filter(s => s.nonEmpty && s.forall(_.isDigit))
+        .map(_.toLong)
+        .filter(_ < next - 1L)
+        .foreach(n =>
+          Bucketing.dropTableAndLocation(spark, s"${tablePrefix}_${t}_v$n"))
+    }
+  }
+
   /** Symmetric int8 quantization of an embedding column — the compression
     * step before shipping vectors to an ANN index (4× smaller, dot products
     * in integer SIMD on real hardware). Per vector: `scale = 127 / max|v|`,

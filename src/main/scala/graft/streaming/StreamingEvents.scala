@@ -1043,6 +1043,38 @@ object StreamingEvents {
         }
       }
 
+  /** STREAMING mutual-kNN graph maintenance — [[clusterIngest]]'s sibling
+    * for the degree-bounded graph tier: a stream of VECTORS folds into
+    * the persisted kNN index
+    * ([[graft.ops.SimilarityOps.ensureKnnIndex]] builds the base) with
+    * batch-sized compute per epoch — band the batch at the FROZEN
+    * operating point, probe the stored bands, re-rank only touched
+    * vertices' kept lists ([[graft.ops.SimilarityOps.maintainKnnIndex]]).
+    * The served edge set ([[graft.ops.SimilarityOps.knnIndexEdges]]) is
+    * at every commit exactly the batch [[graft.ops.SimilarityOps.knnGraph]]
+    * over all vectors ingested so far (the top-k merge property —
+    * StreamingSpec asserts it across epochs).
+    *
+    * At-least-once replay is a structural no-op (already-stored ids
+    * anti-join away; an all-replayed batch doesn't even write), and crash
+    * safety rides the versioned-snapshot + meta-pointer-commit contract:
+    * a crash or retry mid-epoch keeps serving the previous graph.
+    * Composes with [[clusterIngest]]: feed the edge DELTAS downstream or
+    * re-derive clusters from the served edges per epoch.
+    */
+  def knnGraphIngest(vectors: DataFrame, tablePrefix: String,
+                     checkpointDir: String,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataStreamWriter[Row] =
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.SimilarityOps.maintainKnnIndex(batch, tablePrefix,
+            idCol, vecCol)
+      }
+
   /** The newest COMMITTED `v<epoch>/` snapshot written by [[upsertSink]]:
     * only directories with a `_SUCCESS` marker count (a crash mid-write
     * leaves a partial directory that must never serve as a base), and

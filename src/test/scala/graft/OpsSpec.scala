@@ -3867,6 +3867,47 @@ class OpsSpec extends SparkTestBase {
       "the retried epoch must fold into the committed base exactly")
   }
 
+  test("persisted kNN index: ensure + chained maintains == batch knnGraph at the frozen point; replay and same-tag ensure are no-ops") {
+    import spark.implicits._
+    val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val batch1 = emb.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 0)
+    val batch2 = emb.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 =!= 0)
+    SimilarityOps.ensureKnnIndex(base, "graft_test_knn", corpusTag = "k#base",
+      minCos = 0.2, kTop = 4)
+    // same tag: no rebuild (served kept snapshot keeps its files)
+    def keptTables() = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_test_knn_kept_v")).sorted.toSeq
+    val v1 = keptTables()
+    SimilarityOps.ensureKnnIndex(base, "graft_test_knn", corpusTag = "k#base",
+      minCos = 0.2, kTop = 4)
+    assert(keptTables() === v1, "same-tag ensure must be a no-op")
+    SimilarityOps.maintainKnnIndex(batch1, "graft_test_knn")
+    SimilarityOps.maintainKnnIndex(batch2, "graft_test_knn")
+    def edgeSet() = SimilarityOps.knnIndexEdges(spark, "graft_test_knn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val served = edgeSet()
+    // batch recompute at the SAME frozen operating point (sized on base)
+    val planes = SimilarityOps.autoPlanes(base.count())
+    val global = SimilarityOps.knnFromPairs(
+      SimilarityOps.srpNearDupPairsSized(emb, 0.2, planes), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served === global,
+      "maintained kNN graph must equal the batch recompute bit-for-bit")
+    assert(served.nonEmpty, "fixture must exercise real edges")
+    // at-least-once replay: an all-replayed batch doesn't even write
+    val vBefore = keptTables()
+    SimilarityOps.maintainKnnIndex(batch1, "graft_test_knn")
+    assert(keptTables() === vBefore && edgeSet() === served,
+      "replayed batch must be a structural no-op")
+    // retention: current + previous only, for all three snapshot tables
+    Seq("vecs", "bands", "kept").foreach { t =>
+      val vs = spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith(s"graft_test_knn_${t}_v"))
+      assert(vs.length <= 2 && vs.nonEmpty, s"$t retention")
+    }
+  }
+
   test("lumaGrid + decodeAudio: fixture goldens match the hand-computed byte walk") {
     import spark.implicits._
     // the q194/q195 BMP/WAV fixtures, expected values computed by hand

@@ -614,6 +614,38 @@ class StreamingSpec extends SparkTestBase {
       "cross-epoch merge landed; untouched cluster kept its label")
   }
 
+  test("knnGraphIngest: streamed vector batches serve the batch knnGraph at the frozen point; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.SimilarityOps
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-knn-ck").toString
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf001, "embeddings")
+      .localCheckpoint()
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    SimilarityOps.ensureKnnIndex(base, "graft_test_sknn",
+      corpusTag = "sk#base", minCos = 0.2, kTop = 4)
+    val rest = emb.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val (ep1, ep2) = rest.partition(_._1 % 2 == 0)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val vecs = mem.toDF().toDF("vec_id", "embedding")
+    val query = StreamingEvents.knnGraphIngest(vecs, "graft_test_sknn", ckpt)
+      .start()
+    // epoch 3 replays epoch 1's vectors — must fold to a no-op
+    val epochs = Seq(ep1, ep2, ep1.take(2))
+    try epochs.foreach { e => mem.addData(e: _*); query.processAllAvailable() }
+    finally query.stop()
+    val served = SimilarityOps.knnIndexEdges(spark, "graft_test_sknn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val planes = SimilarityOps.autoPlanes(base.count())
+    val global = SimilarityOps.knnFromPairs(
+      SimilarityOps.srpNearDupPairsSized(emb, 0.2, planes), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served === global,
+      "streamed kNN maintenance must serve the batch recompute exactly")
+    assert(served.nonEmpty)
+  }
+
   test("scd2Ingest: streamed history == batch builder incl. a late splice; no-ops compact only past the horizon") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.EventOps
