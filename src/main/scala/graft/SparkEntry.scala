@@ -1628,6 +1628,14 @@ object SparkEntry {
       SimilarityOps.knnIndexEdges(s, prefix).orderBy(col("a"), col("b"))
     },
 
+    // the OPERATING-POINT health audit: occupancy distribution + the
+    // exact banded-join candidate volume Σ c·(c−1)/2 at this corpus's
+    // auto point, and the skew flag (uniform-occupancy sizing vs the
+    // measured concentration of correlated embeddings) — the number to
+    // read BEFORE a corpus commits to a banding run
+    "q201_srp_occupancy_audit" -> ((s, d) =>
+      SimilarityOps.srpOccupancyAudit(t(s, d, "embeddings"))),
+
     // SORTED-NEIGHBORHOOD near-dup pairs (Hernández-Stolfo SNM): the
     // third candidate-generation family beside hash banding and embedding
     // buckets — corpus ordered by the canonical-prefix key, every pair
@@ -2539,8 +2547,13 @@ object SparkEntry {
     * count subquery are consumed by every downstream CTE, and DuckDB
     * re-inlining the count per reference re-scans the corpus.
     */
-  private def srpPairsAutoCte(minCos: Double,
-                              vertexFilter: String = "TRUE",
+  /** The AUTO-sized STRIDED banding prefix shared by every auto-point
+    * oracle: `e` (the filtered corpus), `np` (the plane count by the same
+    * integer-shift rule the engine's `autoPlanes` applies), and `b`
+    * (tbl, vec_id, bucket). [[srpPairsAutoCte]] appends the candidate +
+    * verify tail; q201 rolls occupancy straight off `b`.
+    */
+  private def srpBandsAutoCte(vertexFilter: String = "TRUE",
                               planeCountSql: Option[String] = None): String = {
     val stride = SimilarityOps.srpPlaneStride
     // the count that SIZES the plane point — by default the banded corpus
@@ -2559,7 +2572,13 @@ object SparkEntry {
        |  WHERE p.p % $stride < np.np),
        |b AS (SELECT tbl, vec_id,
        |    sum(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS bucket
-       |  FROM proj GROUP BY tbl, vec_id),
+       |  FROM proj GROUP BY tbl, vec_id)""".stripMargin
+  }
+
+  private def srpPairsAutoCte(minCos: Double,
+                              vertexFilter: String = "TRUE",
+                              planeCountSql: Option[String] = None): String =
+    s"""${srpBandsAutoCte(vertexFilter, planeCountSql)},
        |cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
        |  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
        |    AND l.vec_id < r.vec_id),
@@ -2567,7 +2586,6 @@ object SparkEntry {
        |    SELECT c.a, c.b, ${sqlCos("ae", "be")} AS cos
        |    FROM cand c JOIN e ae ON ae.vec_id = c.a JOIN e be ON be.vec_id = c.b)
        |  WHERE cos >= $minCos)""".stripMargin
-  }
 
   /** An edge CTE `src(a, b)` closed transitively into `cc(x, comp)` by a
     * recursive CTE (comp = component-minimum vec_id, every embedding
@@ -4745,6 +4763,23 @@ object SparkEntry {
              Some("SELECT count(*) FROM e WHERE vec_id % 5 <> 0"))},
          |${knnEdgesCte(4)}
          |SELECT a, b, cos FROM e0 ORDER BY a, b""".stripMargin,
+
+    // occupancy rolled straight off the shared banding CTE: every output
+    // is integer (counts, // division, the even-product halving) so the
+    // skew flag itself replays
+    "q201_srp_occupancy_audit" ->
+      s"""WITH ${srpBandsAutoCte()},
+         |occ AS (SELECT tbl, bucket, CAST(count(*) AS BIGINT) AS c
+         |  FROM b GROUP BY 1, 2)
+         |SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_vecs,
+         |  CAST((SELECT np FROM np) AS BIGINT) AS planes,
+         |  CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(max(c) AS BIGINT) AS max_occupancy,
+         |  CAST((1000000 * (SELECT count(*) FROM e) * 6) // count(*)
+         |    AS BIGINT) AS mean_occ_micro,
+         |  CAST(sum(c * (c - 1) // 2) AS BIGINT) AS cand_pairs_bound,
+         |  max(c) > 128 AS skewed
+         |FROM occ""".stripMargin,
 
     // the canonical-prefix 6-bit key, ONE global row_number (fine in the
     // oracle — the engine's two-level construction is the scale shape),

@@ -1411,6 +1411,49 @@ object SimilarityOps {
     }
   }
 
+  /** SRP OPERATING-POINT health audit — the number an operator owner reads
+    * BEFORE committing a corpus to a banding run: at the [[autoPlanes]]
+    * point for this corpus, the real bucket-occupancy distribution and the
+    * EXACT banded-join candidate volume Σ c·(c−1)/2 over occupied
+    * (tbl, bucket) cells (the pre-dedup row count of the candidate
+    * self-join — the quantity the operating point exists to control).
+    * `skewed` flags max occupancy > skewFactor × targetOccupancy: the
+    * expected-occupancy rule assumes ~uniform buckets, and correlated
+    * embeddings concentrate (measured at 100×: mean 37 vs target 16, max
+    * 357 — SCALE_NOTES round-12); a flagged corpus wants a hot-bucket cap
+    * on the audit tier or a plane-count bump before the full run. All
+    * outputs are exact integers (counts, integer division, shifts) — the
+    * SQL oracle replays every number including the flag.
+    *
+    * Scale shape: one banding pass (map-only projections) + one
+    * (tbl, bucket) count shuffle + one scalar rollup — never builds the
+    * candidate pairs it prices.
+    */
+  def srpOccupancyAudit(df: DataFrame, nTables: Int = 6, dim: Int = 64,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        targetOccupancy: Long = 16L,
+                        skewFactor: Long = 8L): DataFrame = {
+    val n = df.count()
+    val planes = autoPlanes(n, targetOccupancy)
+    val bands = bandStrided(
+      df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")),
+      planes, nTables, dim)
+    bands.groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("c")).as("max_occupancy"),
+        // c·(c−1) is even — the shift is the exact integer halving
+        sum(shiftright(col("c") * (col("c") - lit(1)), 1))
+          .as("cand_pairs_bound"))
+      .select(lit(n).as("n_vecs"), lit(planes).as("planes"),
+        col("n_buckets"), col("max_occupancy"),
+        expr(s"CAST(${1000000L * n * nTables} DIV n_buckets AS BIGINT)")
+          .as("mean_occ_micro"),
+        col("cand_pairs_bound"),
+        (col("max_occupancy") > lit(skewFactor * targetOccupancy))
+          .as("skewed"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the compression
     * step before shipping vectors to an ANN index (4× smaller, dot products
     * in integer SIMD on real hardware). Per vector: `scale = 127 / max|v|`,

@@ -3908,6 +3908,29 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("srpOccupancyAudit: identical-vector fixture exact; bound dominates real candidates on the corpus") {
+    import spark.implicits._
+    // 5 identical vectors: every table has exactly ONE occupied bucket
+    val ident = (1L to 5L).map(i => (i, Array.fill(64)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val a = SimilarityOps.srpOccupancyAudit(ident).collect().head
+    assert(a.getLong(0) === 5L)                       // n_vecs
+    assert(a.getInt(1) === SimilarityOps.autoPlanes(5L)) // planes (min)
+    assert(a.getLong(2) === 6L)                       // one bucket per table
+    assert(a.getLong(3) === 5L)                       // max occupancy
+    assert(a.getLong(4) === 5000000L)                 // mean = 5.0 exactly
+    assert(a.getLong(5) === 6L * 10L)                 // 6 · C(5,2)
+    assert(!a.getBoolean(6), "5 <= 8*16 — not skewed")
+    // real corpus: the bound must dominate the DISTINCT verified candidate
+    // set (per-table sums count a pair once per co-bucketed table)
+    val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
+    val r = SimilarityOps.srpOccupancyAudit(emb).collect().head
+    val actual = SimilarityOps.srpNearDupPairsAuto(emb, -1.0).count()
+    assert(r.getLong(5) >= actual,
+      "cand_pairs_bound must bound the distinct candidate pairs")
+    assert(r.getLong(2) > 0L && r.getLong(3) >= 1L)
+  }
+
   test("lumaGrid + decodeAudio: fixture goldens match the hand-computed byte walk") {
     import spark.implicits._
     // the q194/q195 BMP/WAV fixtures, expected values computed by hand
