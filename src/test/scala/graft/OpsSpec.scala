@@ -3850,7 +3850,12 @@ class OpsSpec extends SparkTestBase {
     // simulate the crash window: the NEXT snapshot table exists on disk
     // (the epoch's step 1 completed) but its meta pointer row was never
     // appended (the crash before step 2) — the store must keep serving
-    // the committed labeling, not the orphan
+    // the committed labeling, not the orphan. (Clear any leftover v2
+    // LOCATION from a previous JVM first: this raw saveAsTable lacks the
+    // location-drop the product write path performs, and a dirty
+    // warehouse would fail it with LOCATION_ALREADY_EXISTS.)
+    graft.sources.Bucketing.dropTableAndLocation(spark,
+      "graft_test_crash_assign_v2")
     Seq((2L, 999L), (3L, 999L)).toDF("id", "comp").write
       .mode("overwrite").saveAsTable("graft_test_crash_assign_v2")
     val duringCrash = GraphOps.clusterAssignments(spark, "graft_test_crash")
