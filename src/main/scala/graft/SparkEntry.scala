@@ -2565,7 +2565,7 @@ object SparkEntry {
        |  WHERE $vertexFilter),
        |np AS MATERIALIZED (SELECT least(24, coalesce(
        |    (SELECT min(p) FROM range(4, 25) t(p)
-       |     WHERE (($cnt) >> p) <= 16), 24)) AS np),
+       |     WHERE (($cnt) >> p) <= 8), 24)) AS np),
        |proj AS (SELECT p.p // $stride AS tbl, p.p % $stride AS i, e.vec_id,
        |    list_sum(list_transform(list_zip(e.embedding, p.cs), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS pr
        |  FROM e CROSS JOIN planes p CROSS JOIN np
@@ -4778,7 +4778,7 @@ object SparkEntry {
          |  CAST((1000000 * (SELECT count(*) FROM e) * 6) // count(*)
          |    AS BIGINT) AS mean_occ_micro,
          |  CAST(sum(c * (c - 1) // 2) AS BIGINT) AS cand_pairs_bound,
-         |  max(c) > 128 AS skewed
+         |  max(c) > 64 AS skewed
          |FROM occ""".stripMargin,
 
     // the canonical-prefix 6-bit key, ONE global row_number (fine in the

@@ -926,7 +926,7 @@ object SimilarityOps {
     * near-dups (θ → 0) keep high recall at fixed nTables — exactly the
     * pairs near-dup dedup is after.
     */
-  def autoPlanes(n: Long, targetOccupancy: Long = 16L,
+  def autoPlanes(n: Long, targetOccupancy: Long = 8L,
                  minPlanes: Int = 4, maxPlanes: Int = 24): Int = {
     require(targetOccupancy >= 1, "targetOccupancy must be >= 1")
     require(minPlanes >= 1 && minPlanes <= maxPlanes &&
@@ -975,7 +975,7 @@ object SimilarityOps {
                           dim: Int = 64, idCol: String = "vec_id",
                           vecCol: String = "embedding",
                           maxBucket: Int = 10000,
-                          targetOccupancy: Long = 16L): DataFrame =
+                          targetOccupancy: Long = 8L): DataFrame =
     srpNearDupPairsSized(df, minCos, autoPlanes(df.count(), targetOccupancy),
       nTables, dim, idCol, vecCol, maxBucket)
 
@@ -1054,7 +1054,7 @@ object SimilarityOps {
                    nTables: Int = 6, dim: Int = 64,
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    maxBucket: Int = 10000,
-                   targetOccupancy: Long = 16L): DataFrame =
+                   targetOccupancy: Long = 8L): DataFrame =
     knnFromPairs(srpNearDupPairsAuto(df, minCos, nTables, dim, idCol,
       vecCol, maxBucket, targetOccupancy).localCheckpoint(), kTop)
 
@@ -1151,7 +1151,7 @@ object SimilarityOps {
                                  idCol: String = "vec_id",
                                  vecCol: String = "embedding",
                                  maxBucket: Int = 10000,
-                                 targetOccupancy: Long = 16L): DataFrame =
+                                 targetOccupancy: Long = 8L): DataFrame =
     GraphOps.connectedComponents(
       knnGraphAuto(df, minCos, kTop, nTables, dim, idCol, vecCol,
         maxBucket, targetOccupancy),
@@ -1165,7 +1165,7 @@ object SimilarityOps {
                                   dim: Int = 64, idCol: String = "vec_id",
                                   vecCol: String = "embedding",
                                   maxBucket: Int = 10000,
-                                  targetOccupancy: Long = 16L): DataFrame =
+                                  targetOccupancy: Long = 8L): DataFrame =
     semanticDupClustersBounded(df, minCos, kTop, nTables, dim, idCol,
         vecCol, maxBucket, targetOccupancy)
       .groupBy(col("comp")).agg(count(lit(1)).as("n_vecs"))
@@ -1235,7 +1235,7 @@ object SimilarityOps {
                      minCos: Double, kTop: Int = 4, nTables: Int = 6,
                      dim: Int = 64, idCol: String = "vec_id",
                      vecCol: String = "embedding",
-                     targetOccupancy: Long = 16L, buckets: Int = 8,
+                     targetOccupancy: Long = 8L, buckets: Int = 8,
                      maxBucket: Int = 10000): Unit = {
     val spark = df.sparkSession
     val upToDate = knnMetaHead(spark, tablePrefix).exists { m =>
@@ -1432,7 +1432,7 @@ object SimilarityOps {
   def srpOccupancyAudit(df: DataFrame, nTables: Int = 6, dim: Int = 64,
                         idCol: String = "vec_id",
                         vecCol: String = "embedding",
-                        targetOccupancy: Long = 16L,
+                        targetOccupancy: Long = 8L,
                         skewFactor: Long = 8L): DataFrame = {
     val n = df.count()
     val planes = autoPlanes(n, targetOccupancy)
@@ -1445,7 +1445,7 @@ object SimilarityOps {
         // c·(c−1) is even — the shift is the exact integer halving
         sum(shiftright(col("c") * (col("c") - lit(1)), 1))
           .as("cand_pairs_bound"))
-      .select(lit(n).as("n_vecs"), lit(planes).as("planes"),
+      .select(lit(n).as("n_vecs"), lit(planes.toLong).as("planes"),
         col("n_buckets"), col("max_occupancy"),
         expr(s"CAST(${1000000L * n * nTables} DIV n_buckets AS BIGINT)")
           .as("mean_occ_micro"),

@@ -3920,12 +3920,12 @@ class OpsSpec extends SparkTestBase {
       .toDF("vec_id", "embedding")
     val a = SimilarityOps.srpOccupancyAudit(ident).collect().head
     assert(a.getLong(0) === 5L)                       // n_vecs
-    assert(a.getInt(1) === SimilarityOps.autoPlanes(5L)) // planes (min)
+    assert(a.getLong(1) === SimilarityOps.autoPlanes(5L).toLong) // planes (min)
     assert(a.getLong(2) === 6L)                       // one bucket per table
     assert(a.getLong(3) === 5L)                       // max occupancy
     assert(a.getLong(4) === 5000000L)                 // mean = 5.0 exactly
     assert(a.getLong(5) === 6L * 10L)                 // 6 · C(5,2)
-    assert(!a.getBoolean(6), "5 <= 8*16 — not skewed")
+    assert(!a.getBoolean(6), "5 <= 8*8 — not skewed")
     // real corpus: the bound must dominate the DISTINCT verified candidate
     // set (per-table sums count a pair once per co-bucketed table)
     val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
