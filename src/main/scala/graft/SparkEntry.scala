@@ -1210,8 +1210,9 @@ object SparkEntry {
     // contract to self-loops)
     "q196_persisted_cluster_maintain" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
-      val pairs = SimilarityOps.srpNearDupPairsAuto(emb, 0.4)
-        .select(col("a"), col("b")).localCheckpoint()
+      val pairs = ops.CacheScope.default.register(
+        SimilarityOps.srpNearDupPairsAuto(emb, 0.4))
+        .select(col("a"), col("b"))
       val isOld = (c: org.apache.spark.sql.Column) => c % 5 =!= 0
       val prefix = s"graft_q196_${dirTag(d)}_cc"
       GraphOps.ensureClusterAssignments(
@@ -1533,7 +1534,8 @@ object SparkEntry {
     // the manual "the census says re-tune ε" rule
     "q190_threshold_sweep" -> ((s, d) =>
       GraphOps.recommendThreshold(
-        SimilarityOps.srpNearDupPairsAuto(t(s, d, "embeddings"), 0.2),
+        ops.CacheScope.default.register(
+          SimilarityOps.srpNearDupPairsAuto(t(s, d, "embeddings"), 0.2)),
         gridMicro = Seq(200000L, 250000L, 300000L, 350000L, 400000L,
           450000L, 500000L),
         targetMeanDegreeMicro = 4000000L)
@@ -1593,8 +1595,9 @@ object SparkEntry {
     // claim
     "q192_incremental_cc" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
-      val pairs = SimilarityOps.srpNearDupPairsAuto(emb, 0.4)
-        .select(col("a"), col("b")).localCheckpoint()
+      val pairs = ops.CacheScope.default.register(
+        SimilarityOps.srpNearDupPairsAuto(emb, 0.4))
+        .select(col("a"), col("b"))
       val isOld = (c: org.apache.spark.sql.Column) => c % 5 =!= 0
       val prefix = s"graft_q192_${dirTag(d)}_cc"
       GraphOps.ensureClusterAssignments(

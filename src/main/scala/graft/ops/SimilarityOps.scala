@@ -1037,11 +1037,15 @@ object SimilarityOps {
   def knnGraph(df: DataFrame, minCos: Double, kTop: Int = 4,
                nPlanes: Int = 8, nTables: Int = 6, dim: Int = 64,
                idCol: String = "vec_id", vecCol: String = "embedding",
-               maxBucket: Int = 10000): DataFrame =
-    // consumed in both directions — materialize the verified pairs once
-    // rather than re-running the banding + cosine-verify chain twice
-    knnFromPairs(srpNearDupPairs(df, minCos, nPlanes, nTables, dim,
-      idCol, vecCol, maxBucket).localCheckpoint(), kTop)
+               maxBucket: Int = 10000,
+               scope: CacheScope = CacheScope.default): DataFrame =
+    // consumed in both directions AND by sibling queries — register the
+    // verified pairs so every consumer of the same (corpus, floor,
+    // operating point) serves from ONE banding + cosine-verify pass
+    // (the semanticDupClusters convention; registration is keyed by the
+    // canonicalized plan, so equivalent call sites share)
+    knnFromPairs(scope.register(srpNearDupPairs(df, minCos, nPlanes,
+      nTables, dim, idCol, vecCol, maxBucket)), kTop)
 
   /** [[knnGraph]] with its CANDIDATE stage at the corpus-sized operating
     * point ([[srpNearDupPairsAuto]]): the output graph was already bounded
@@ -1054,9 +1058,10 @@ object SimilarityOps {
                    nTables: Int = 6, dim: Int = 64,
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    maxBucket: Int = 10000,
-                   targetOccupancy: Long = 8L): DataFrame =
-    knnFromPairs(srpNearDupPairsAuto(df, minCos, nTables, dim, idCol,
-      vecCol, maxBucket, targetOccupancy).localCheckpoint(), kTop)
+                   targetOccupancy: Long = 8L,
+                   scope: CacheScope = CacheScope.default): DataFrame =
+    knnFromPairs(scope.register(srpNearDupPairsAuto(df, minCos, nTables,
+      dim, idCol, vecCol, maxBucket, targetOccupancy)), kTop)
 
   /** Mutual-kNN edge selection over verified (a, b, cos) pairs — the rank
     * + mutuality tail [[knnGraph]]/[[knnGraphAuto]] share and the

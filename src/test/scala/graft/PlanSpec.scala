@@ -725,7 +725,13 @@ class PlanSpec extends SparkTestBase {
       "kNN graph plans a nested loop")
     assert(p.contains("WindowGroupLimit"),
       "rank<=k must push into WindowGroupLimit per-partition heaps")
-    val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    // the registered pairs keep full lineage visible (no checkpoint
+    // truncation), so the banding tier's hot-bucket-cap count windows
+    // (partitioned by tbl/bucket) appear too — the claim is about the
+    // RANK windows: every row_number ranks within one vertex's partition
+    val winLines = p.linesIterator
+      .filter(l => l.contains("Window [") && l.contains("row_number()"))
+      .toSeq
     assert(winLines.nonEmpty && winLines.forall(_.contains("v#")),
       s"rank window must partition by v:\n${winLines.mkString("\n")}")
     // threshold sweep: the grid joins as a broadcast (tiny) side and the
