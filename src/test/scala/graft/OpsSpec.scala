@@ -3710,17 +3710,17 @@ class OpsSpec extends SparkTestBase {
   test("autoPlanes: integer operating-point rule — smallest p with (n >> p) <= target, clamped") {
     // the exact rule the SQL oracle replays (integer shift, no log2)
     assert(SimilarityOps.autoPlanes(0L) === 4)
-    assert(SimilarityOps.autoPlanes(200L) === 4)      // 200 >> 4 = 12 <= 16
-    assert(SimilarityOps.autoPlanes(2000L) === 7)     // 2000 >> 7 = 15
-    assert(SimilarityOps.autoPlanes(20000L) === 11)   // 20000 >> 11 = 9
-    assert(SimilarityOps.autoPlanes(200000L) === 14)  // 200000 >> 14 = 12
+    assert(SimilarityOps.autoPlanes(200L) === 5)      // 200 >> 5 = 6 <= 8
+    assert(SimilarityOps.autoPlanes(2000L) === 8)     // 2000 >> 8 = 7
+    assert(SimilarityOps.autoPlanes(20000L) === 12)   // 20000 >> 12 = 4
+    assert(SimilarityOps.autoPlanes(200000L) === 15)  // 200000 >> 15 = 6
     assert(SimilarityOps.autoPlanes(Long.MaxValue) === 24, "clamped at maxPlanes")
     // monotone in n; expected occupancy n >> p stays <= target once p < max
     (1 until 40).foreach { e =>
       val n = 1L << e
       val p = SimilarityOps.autoPlanes(n)
       assert(p >= SimilarityOps.autoPlanes(n - 1))
-      if (p < 24) assert((n >> p) <= 16L,
+      if (p < 24) assert((n >> p) <= 8L,
         s"occupancy bound violated at n=$n p=$p")
     }
   }
