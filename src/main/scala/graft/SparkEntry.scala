@@ -1215,14 +1215,18 @@ object SparkEntry {
         .select(col("a"), col("b"))
       val isOld = (c: org.apache.spark.sql.Column) => c % 5 =!= 0
       val prefix = s"graft_q196_${dirTag(d)}_cc"
+      // tag = path + DATA fingerprint: a regenerated dataset at the same
+      // path (or a stale warehouse from a prior session) misses and
+      // rebuilds instead of serving outdated assignments
+      val fp = SimilarityOps.dataFingerprint(emb)
       GraphOps.ensureClusterAssignments(
         pairs.filter(isOld(col("a")) && isOld(col("b"))),
         emb.filter(isOld(col("vec_id"))).select(col("vec_id")),
-        prefix, corpusTag = d + "#base", idCol = "vec_id")
+        prefix, corpusTag = d + "#base#" + fp, idCol = "vec_id")
       GraphOps.maintainClusterAssignments(
         pairs.filter(!isOld(col("a")) || !isOld(col("b"))),
         emb.filter(!isOld(col("vec_id"))).select(col("vec_id")),
-        prefix, newCorpusTag = d + "#full", idCol = "vec_id")
+        prefix, newCorpusTag = d + "#full#" + fp, idCol = "vec_id")
       GraphOps.clusterAssignments(s, prefix)
         .select(col("id").as("vec_id"), col("comp"))
         .orderBy(col("vec_id"))
@@ -1603,7 +1607,9 @@ object SparkEntry {
       GraphOps.ensureClusterAssignments(
         pairs.filter(isOld(col("a")) && isOld(col("b"))),
         emb.filter(isOld(col("vec_id"))).select(col("vec_id")),
-        prefix, corpusTag = d + "#base", idCol = "vec_id")
+        prefix, idCol = "vec_id",
+        // the q196 tag convention: path + data fingerprint
+        corpusTag = d + "#base#" + SimilarityOps.dataFingerprint(emb))
       GraphOps.incrementalComponents(
           GraphOps.clusterAssignments(s, prefix)
             .select(col("id").as("vec_id"), col("comp")),
@@ -1625,7 +1631,9 @@ object SparkEntry {
       val isOld = (c: org.apache.spark.sql.Column) => c % 5 =!= 0
       val prefix = s"graft_q200_${dirTag(d)}_knn"
       SimilarityOps.ensureKnnIndex(emb.filter(isOld(col("vec_id"))), prefix,
-        corpusTag = d + "#base", minCos = 0.2, kTop = 4)
+        // the q196 tag convention: path + data fingerprint
+        corpusTag = d + "#base#" + SimilarityOps.dataFingerprint(emb),
+        minCos = 0.2, kTop = 4)
       SimilarityOps.maintainKnnIndex(emb.filter(!isOld(col("vec_id"))),
         prefix)
       SimilarityOps.knnIndexEdges(s, prefix).orderBy(col("a"), col("b"))

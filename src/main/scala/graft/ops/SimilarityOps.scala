@@ -1180,8 +1180,11 @@ object SimilarityOps {
   // Persisted mutual-kNN graph lifecycle (ensure / maintain / read)
   // --------------------------------------------------------------------
 
-  /** Schema version stamped in the kNN index meta table. */
-  val knnIndexFormatVersion: Int = 1
+  /** Schema version stamped in the kNN index meta table. Version 2 is the
+    * append-only layout: unversioned epoch-stamped `_vecs`/`_bands`,
+    * versioned `_kept` only, corpus count + target occupancy in meta.
+    */
+  val knnIndexFormatVersion: Int = 2
 
   private def knnMetaHead(spark: org.apache.spark.sql.SparkSession,
                           tablePrefix: String)
@@ -1190,9 +1193,37 @@ object SimilarityOps {
     else {
       val m = spark.table(s"${tablePrefix}_meta")
       if (!Seq("fmt", "corpus_tag", "planes", "ktop", "min_cos", "n_tables",
-          "dim", "buckets", "version").forall(m.columns.contains)) None
+          "dim", "buckets", "version", "epoch", "n_vecs",
+          "target_occupancy").forall(m.columns.contains)) None
       else m.orderBy(col("version").desc).limit(1).collect().headOption
     }
+
+  /** The COMMITTED view of an append-only epoch-stamped table: only rows
+    * whose epoch a meta commit row names are visible — an orphan insert
+    * from a crashed epoch never serves (the meta append IS the commit),
+    * and a retried epoch's duplicate rows are exact copies under the same
+    * content-derived epoch id, absorbed downstream (candidate `distinct`;
+    * `dropDuplicates("id")` on the vector side). The epoch list is
+    * commit-count-sized (one row per ingest), so it broadcasts; the
+    * stream side's bucketing survives the broadcast semi-join.
+    */
+  private def committedRows(spark: org.apache.spark.sql.SparkSession,
+                            tablePrefix: String, table: String): DataFrame =
+    spark.table(s"${tablePrefix}_$table").join(
+      broadcast(spark.table(s"${tablePrefix}_meta")
+        .select(col("epoch")).distinct()),
+      Seq("epoch"), "left_semi")
+
+  /** Content-derived epoch id of a batch: bit-XOR of the id hashes. A
+    * RETRY of the same batch derives the same id, so its re-inserted rows
+    * are byte-duplicates of the crashed attempt's orphans (absorbed by the
+    * committed-view dedups) rather than a second epoch; two DIFFERENT
+    * batches collide only with 2^-64 probability.
+    */
+  private def epochIdOf(fresh: DataFrame): Long = {
+    val r = fresh.agg(expr("bit_xor(xxhash64(id))")).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
 
   /** Band an `(id, vec)` frame at `nPlanes` STRIDED planes: one
     * (id, tbl, bucket) row per table — the exact banding
@@ -1210,31 +1241,45 @@ object SimilarityOps {
     * ([[knnGraphAuto]]) as maintained state, closing the lifecycle the
     * banded-dedup/IVF/cluster-assignment tiers already have: build once,
     * fold each vector ingest in with batch-sized compute, serve edges
-    * from the store. Three VERSIONED tables under one append-only meta
-    * pointer (the cluster-assignment crash contract — snapshot v+1 under
-    * new names, meta append is the commit, current+previous retained):
+    * from the store. The corpus-sized tables are APPEND-ONLY (the
+    * [[graft.ops.DedupOps.appendToBandedIndex]] economics — per-epoch
+    * I/O scales with the batch, never the corpus; a full-corpus rewrite
+    * per micro-batch is the 100 TB scale-killer this layout removes);
+    * only the O(n·kTop) state table snapshots per version:
     *
-    *   - `${prefix}_vecs_v<N>`  (id, vec, nrm) bucketed by id — the
-    *     verify join's key;
-    *   - `${prefix}_bands_v<N>` (id, tbl, bucket) bucketed by bucket —
-    *     a batch's candidate probe co-locates on the corpus side;
-    *   - `${prefix}_kept_v<N>`  (v, nb, cos) bucketed by v — the
-    *     per-vertex DIRECTED top-k lists ([[knnKeptLists]]), the state
-    *     that makes maintenance batch-sized: top-k over (old top-k ∪ new
-    *     candidates) equals top-k over all candidates under append-only
-    *     ingest, so only TOUCHED vertices re-rank.
+    *   - `${prefix}_vecs`  (id, vec, nrm, epoch) bucketed by id —
+    *     append-only; the verify join's key;
+    *   - `${prefix}_bands` (id, tbl, bucket, epoch) bucketed by bucket —
+    *     append-only; a batch's candidate probe co-locates on the corpus
+    *     side and `insertInto` re-buckets JUST the new rows;
+    *   - `${prefix}_kept_v<N>` (v, nb, cos) bucketed by v — VERSIONED
+    *     (written whole each epoch; it is n·kTop rows, not the corpus):
+    *     the per-vertex DIRECTED top-k lists ([[knnKeptLists]]), the
+    *     state that makes maintenance batch-sized: top-k over (old top-k
+    *     ∪ new candidates) equals top-k over all candidates under
+    *     append-only ingest, so only TOUCHED vertices re-rank.
+    *
+    * COMMIT protocol: every `_vecs`/`_bands` row carries the epoch's
+    * content-derived id ([[epochIdOf]]); inserts land first, the next
+    * `_kept` snapshot writes under a name no reader resolves, and the
+    * meta append naming (version, epoch) is the single commit point.
+    * Readers see only committed epochs ([[committedRows]]), so a crash
+    * at ANY step leaves the previous version serving and the retried
+    * epoch re-folds as exact duplicates that dedup away.
     *
     * The SRP operating point is FROZEN at ensure time ([[autoPlanes]] of
     * the base corpus, stamped in meta) so every epoch bands with the same
     * planes — the incremental path replays [[knnGraph]] at that sized
     * point exactly. A corpus-tag change re-sizes and rebuilds (the ensure
-    * convention); re-ensure when the corpus has outgrown the point
-    * (occupancy tracking is the [[autoPlanes]] rule applied to the count
-    * in meta). The hot-bucket cap is NOT re-applied incrementally — at
-    * the sized point occupancy stays ~target by construction, and a
-    * bucket that outgrows it is the rebuild signal, not a silent drop
-    * (batch-recompute equality would break if later epochs dropped
-    * buckets earlier epochs already folded).
+    * convention). OUTGROWTH is checked, not assumed: meta carries the
+    * committed corpus count and target occupancy, and [[maintainKnnIndex]]
+    * fails loudly once `autoPlanes(newCount) − planes > 1` — the corpus
+    * has outgrown the frozen point by more than one boundary and the
+    * candidate join is densifying; re-ensure under a new tag. The
+    * hot-bucket cap is NOT re-applied incrementally — at the sized point
+    * occupancy stays ~target by construction (batch-recompute equality
+    * would break if later epochs dropped buckets earlier epochs already
+    * folded).
     */
   def ensureKnnIndex(df: DataFrame, tablePrefix: String, corpusTag: String,
                      minCos: Double, kTop: Int = 4, nTables: Int = 6,
@@ -1250,16 +1295,17 @@ object SimilarityOps {
         m.getAs[Double]("min_cos") == minCos &&
         m.getAs[Int]("n_tables") == nTables &&
         m.getAs[Int]("dim") == dim &&
-        m.getAs[Int]("buckets") == buckets && {
-          val v = m.getAs[Long]("version")
-          Seq("vecs", "bands", "kept").forall(t =>
-            spark.catalog.tableExists(s"${tablePrefix}_${t}_v$v"))
-        }
+        m.getAs[Int]("buckets") == buckets &&
+        m.getAs[Long]("target_occupancy") == targetOccupancy &&
+        Seq(s"${tablePrefix}_vecs", s"${tablePrefix}_bands",
+          s"${tablePrefix}_kept_v${m.getAs[Long]("version")}")
+          .forall(spark.catalog.tableExists)
     }
     if (!upToDate) {
       val base = df.select(col(idCol).cast("long").as("id"),
         col(vecCol).as("vec")).dropDuplicates("id")
-      val planes = autoPlanes(base.count(), targetOccupancy)
+      val n = base.count()
+      val planes = autoPlanes(n, targetOccupancy)
       import graft.functions.VectorExpressions.dotF
       val vecs = base.withColumn("nrm", sqrt(dotF(col("vec"), col("vec"))))
       val kept = knnKeptLists(
@@ -1267,33 +1313,72 @@ object SimilarityOps {
           base.select(col("id").as(idCol), col("vec").as(vecCol)),
           minCos, planes, nTables, dim, idCol, vecCol, maxBucket),
         kTop)
-      writeKnnSnapshot(spark, tablePrefix, vecs,
-        bandStrided(base, planes, nTables, dim), kept,
-        corpusTag, planes, kTop, minCos, nTables, dim, buckets,
-        fresh = true)
+      val epoch = epochIdOf(base)
+      import graft.sources.Bucketing
+      import spark.implicits._
+      // fresh build: recreate the append-only tables and kept v1; sweep
+      // stale versioned tables (a previous corpus OR the pre-append v1
+      // format) so the warehouse never accumulates unreachable snapshots
+      (Seq("vecs", "bands", "kept").flatMap(t =>
+        spark.catalog.listTables().collect().map(_.name)
+          .filter(_.startsWith(s"${tablePrefix}_${t}_v"))))
+        .foreach(t => Bucketing.dropTableAndLocation(spark, t))
+      Bucketing.writeBucketed(
+        vecs.withColumn("epoch", lit(epoch))
+          .select(col("id"), col("vec"), col("nrm"), col("epoch")),
+        s"${tablePrefix}_vecs", Seq("id"), buckets)
+      Bucketing.writeBucketed(
+        bandStrided(base, planes, nTables, dim)
+          .withColumn("epoch", lit(epoch))
+          .select(col("id"), col("tbl"), col("bucket"), col("epoch")),
+        s"${tablePrefix}_bands", Seq("bucket"), buckets)
+      Bucketing.writeBucketed(kept, s"${tablePrefix}_kept_v1", Seq("v"),
+        buckets)
+      // the commit: meta RECREATES on a fresh build — stale rows from a
+      // previous corpus must not keep orphan epochs visible
+      Bucketing.saveTable(
+        Seq((knnIndexFormatVersion, corpusTag, planes, kTop, minCos,
+          nTables, dim, buckets, 1L, epoch, n, targetOccupancy))
+          .toDF("fmt", "corpus_tag", "planes", "ktop", "min_cos",
+            "n_tables", "dim", "buckets", "version", "epoch", "n_vecs",
+            "target_occupancy"),
+        s"${tablePrefix}_meta")
     }
   }
 
   /** Fold a batch of NEW vectors into the persisted kNN graph with
-    * batch-sized compute: band the batch at the frozen plane count, probe
-    * the stored bands for candidates (one side batch-sized, the corpus
-    * side co-located on its bucketing), verify candidates with exact
-    * cosine, re-rank ONLY the touched vertices' kept lists, and commit
-    * the next snapshot version. Equal to [[knnGraph]] recomputed over the
-    * full corpus at the frozen operating point (OpsSpec asserts it on
-    * chained batches) by the top-k merge property — a pair is generated
-    * exactly once, at the epoch its LATER endpoint arrives, and an old
-    * candidate pushed out of a kept list can never re-enter (candidates
-    * only accumulate).
+    * batch-sized compute AND batch-sized I/O: band the batch at the
+    * frozen plane count, probe the stored bands for candidates (one side
+    * batch-sized, the corpus side co-located on its bucketing), verify
+    * candidates with exact cosine, re-rank ONLY the touched vertices'
+    * kept lists, `insertInto` the batch's `_vecs`/`_bands` rows (the
+    * corpus part-files are untouched — BucketingSpec asserts it), write
+    * the next `_kept` snapshot, and commit with one meta append. Equal to
+    * [[knnGraph]] recomputed over the full corpus at the frozen operating
+    * point (OpsSpec asserts it on chained batches) by the top-k merge
+    * property — a pair is generated exactly once, at the epoch its LATER
+    * endpoint arrives, and an old candidate pushed out of a kept list can
+    * never re-enter (candidates only accumulate).
     *
     * At-least-once REPLAY is a structural no-op: batch ids already in the
-    * store anti-join away, and an all-replayed batch returns without
-    * writing (the served version is unchanged). A task retry mid-write
-    * re-runs against the still-committed previous version.
+    * committed store anti-join away, and an all-replayed batch returns
+    * without writing (the served version is unchanged). A retry of a
+    * CRASHED epoch re-derives the same content epoch id, so its
+    * re-inserts duplicate the orphan rows exactly and the committed view
+    * dedups them ([[committedRows]]).
+    *
+    * OUTGROWTH guard: fails with [[IllegalStateException]] when the
+    * folded corpus would put `autoPlanes(count)` more than
+    * `maxPlaneDrift` planes past the frozen point — candidate volume at
+    * the frozen planes is densifying ~2× per crossed boundary and the
+    * index needs a re-ensure (new tag) at the current corpus size.
+    * `maxPlaneDrift = Int.MaxValue` opts out for callers that accept the
+    * densification.
     */
   def maintainKnnIndex(batch: DataFrame, tablePrefix: String,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): Unit = {
+                       vecCol: String = "embedding",
+                       maxPlaneDrift: Int = 1): Unit = {
     val spark = batch.sparkSession
     val m = knnMetaHead(spark, tablePrefix).getOrElse(
       throw new IllegalStateException(
@@ -1305,12 +1390,14 @@ object SimilarityOps {
     val nTables = m.getAs[Int]("n_tables")
     val dim = m.getAs[Int]("dim")
     val buckets = m.getAs[Int]("buckets")
-    val vecs = spark.table(s"${tablePrefix}_vecs_v$v")
-    val bands = spark.table(s"${tablePrefix}_bands_v$v")
+    val targetOcc = m.getAs[Long]("target_occupancy")
+    val vecs = committedRows(spark, tablePrefix, "vecs")
+      .dropDuplicates("id")
+    val bands = committedRows(spark, tablePrefix, "bands")
     val kept = spark.table(s"${tablePrefix}_kept_v$v")
     import graft.functions.VectorExpressions.dotF
     // replayed ids drop structurally; consumed by banding AND verify AND
-    // the snapshot union — materialize the (batch-sized) frame once
+    // the inserts — materialize the (batch-sized) frame once
     val fresh = batch
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .dropDuplicates("id")
@@ -1318,19 +1405,31 @@ object SimilarityOps {
       .withColumn("nrm", sqrt(dotF(col("vec"), col("vec"))))
       .localCheckpoint()
     if (fresh.isEmpty) return
+    val nNext = m.getAs[Long]("n_vecs") + fresh.count()
+    val drift = autoPlanes(nNext, targetOcc) - planes
+    if (drift > maxPlaneDrift) throw new IllegalStateException(
+      s"kNN index '$tablePrefix' outgrew its frozen SRP operating point: " +
+        s"autoPlanes($nNext) = ${planes + drift} vs frozen planes = " +
+        s"$planes (drift $drift > $maxPlaneDrift). Candidate volume at " +
+        "the frozen point densifies ~2x per crossed boundary — re-run " +
+        "ensureKnnIndex under a new corpusTag to re-size, or raise " +
+        "maxPlaneDrift to accept the densification.")
+    val epoch = epochIdOf(fresh)
     val bandsNew = bandStrided(fresh.select(col("id"), col("vec")),
       planes, nTables, dim).localCheckpoint()
     // candidates: batch bands probe (stored ∪ batch) bands — never
     // corpus × corpus; orientation dedupes the (new, new) double hit
     val cand = bandsNew.select(col("tbl"), col("bucket"), col("id").as("x"))
-      .join(bands.unionByName(bandsNew)
+      .join(bands.select(col("id"), col("tbl"), col("bucket"))
+          .unionByName(bandsNew)
           .select(col("tbl"), col("bucket"), col("id").as("y")),
         Seq("tbl", "bucket"))
       .filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
       .distinct()
-    val allVecs = vecs.unionByName(fresh)
+    val allVecs = vecs.select(col("id"), col("vec"), col("nrm"))
+      .unionByName(fresh)
     val va = allVecs.select(col("id").as("a"), col("vec").as("va"),
       col("nrm").as("na"))
     val vb = allVecs.select(col("id").as("b"), col("vec").as("vb"),
@@ -1357,9 +1456,37 @@ object SimilarityOps {
       .select(col("v"), col("nb"), col("cos"))
     val keptNext = kept.join(touched, Seq("v"), "left_anti")
       .unionByName(reRanked)
-    writeKnnSnapshot(spark, tablePrefix, allVecs, bands.unionByName(bandsNew),
-      keptNext, m.getAs[String]("corpus_tag"), planes, kTop, minCos,
-      nTables, dim, buckets, fresh = false)
+      .localCheckpoint()
+    // batch-sized appends: insertInto re-buckets JUST the new rows (order
+    // is positional — match the table layout). The kept materialization
+    // above runs BEFORE any insert: its plan reads the tables the inserts
+    // mutate. Orphans from a crash anywhere below stay invisible until
+    // the meta append commits this epoch.
+    import graft.sources.Bucketing
+    import spark.implicits._
+    bandsNew.withColumn("epoch", lit(epoch))
+      .select(col("id"), col("tbl"), col("bucket"), col("epoch"))
+      .write.insertInto(s"${tablePrefix}_bands")
+    fresh.withColumn("epoch", lit(epoch))
+      .select(col("id"), col("vec"), col("nrm"), col("epoch"))
+      .write.insertInto(s"${tablePrefix}_vecs")
+    val next = v + 1L
+    Bucketing.writeBucketed(keptNext, s"${tablePrefix}_kept_v$next",
+      Seq("v"), buckets)
+    Seq((knnIndexFormatVersion, m.getAs[String]("corpus_tag"), planes,
+      kTop, minCos, nTables, dim, buckets, next, epoch, nNext, targetOcc))
+      .toDF("fmt", "corpus_tag", "planes", "ktop", "min_cos", "n_tables",
+        "dim", "buckets", "version", "epoch", "n_vecs", "target_occupancy")
+      .write.mode("append").saveAsTable(s"${tablePrefix}_meta")
+    // retention: current + previous kept snapshots only
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(s"${tablePrefix}_kept_v"))
+      .map(_.stripPrefix(s"${tablePrefix}_kept_v"))
+      .filter(s => s.nonEmpty && s.forall(_.isDigit))
+      .map(_.toLong)
+      .filter(_ < next - 1L)
+      .foreach(n =>
+        Bucketing.dropTableAndLocation(spark, s"${tablePrefix}_kept_v$n"))
   }
 
   /** The served graph: mutual edges ([[mutualEdges]]) of the committed
@@ -1375,45 +1502,25 @@ object SimilarityOps {
     mutualEdges(spark.table(s"${tablePrefix}_kept_v${m.getAs[Long]("version")}"))
   }
 
-  private def writeKnnSnapshot(spark: org.apache.spark.sql.SparkSession,
-                               tablePrefix: String, vecs: DataFrame,
-                               bands: DataFrame, kept: DataFrame,
-                               corpusTag: String, planes: Int, kTop: Int,
-                               minCos: Double, nTables: Int, dim: Int,
-                               buckets: Int, fresh: Boolean): Unit = {
-    import graft.sources.Bucketing
+  /** One-row OPERATING-POINT status of a persisted kNN index — the
+    * outgrowth surface an operator dashboards: the committed (version,
+    * corpus count, frozen planes) from meta beside `autoPlanes(count)` at
+    * the stamped target occupancy and their drift. Drift 0–1 is healthy;
+    * [[maintainKnnIndex]] refuses past its `maxPlaneDrift` (default 1),
+    * so a drift-1 reading is the re-ensure-soon signal BEFORE ingest
+    * starts failing. Meta-only — no corpus scan.
+    */
+  def knnIndexStatus(spark: org.apache.spark.sql.SparkSession,
+                     tablePrefix: String): DataFrame = {
+    val m = knnMetaHead(spark, tablePrefix).getOrElse(
+      throw new IllegalStateException(
+        s"no committed kNN index under '$tablePrefix' — run ensureKnnIndex"))
+    val planes = m.getAs[Int]("planes")
+    val n = m.getAs[Long]("n_vecs")
+    val auto = autoPlanes(n, m.getAs[Long]("target_occupancy"))
     import spark.implicits._
-    val cur = knnMetaHead(spark, tablePrefix)
-      .map(_.getAs[Long]("version")).getOrElse(0L)
-    val next = cur + 1L
-    // (1) the three snapshot tables under names no reader resolves yet
-    Bucketing.writeBucketed(vecs, s"${tablePrefix}_vecs_v$next",
-      Seq("id"), buckets)
-    Bucketing.writeBucketed(bands, s"${tablePrefix}_bands_v$next",
-      Seq("bucket"), buckets)
-    Bucketing.writeBucketed(kept, s"${tablePrefix}_kept_v$next",
-      Seq("v"), buckets)
-    // (2) the commit: append the pointer row (fresh RECREATES the meta —
-    // stale rows from a previous corpus must not outrank the rebuild)
-    val row = Seq((knnIndexFormatVersion, corpusTag, planes, kTop, minCos,
-      nTables, dim, buckets, next))
-      .toDF("fmt", "corpus_tag", "planes", "ktop", "min_cos", "n_tables",
-        "dim", "buckets", "version")
-    if (fresh || !spark.catalog.tableExists(s"${tablePrefix}_meta"))
-      Bucketing.saveTable(row, s"${tablePrefix}_meta")
-    else row.write.mode("append").saveAsTable(s"${tablePrefix}_meta")
-    // (3) retention: current + previous only
-    Seq("vecs", "bands", "kept").foreach { t =>
-      spark.catalog.listTables()
-        .filter(x => x.name.startsWith(s"${tablePrefix}_${t}_v"))
-        .collect()
-        .map(_.name.stripPrefix(s"${tablePrefix}_${t}_v"))
-        .filter(s => s.nonEmpty && s.forall(_.isDigit))
-        .map(_.toLong)
-        .filter(_ < next - 1L)
-        .foreach(n =>
-          Bucketing.dropTableAndLocation(spark, s"${tablePrefix}_${t}_v$n"))
-    }
+    Seq((m.getAs[Long]("version"), n, planes, auto, auto - planes))
+      .toDF("version", "n_vecs", "frozen_planes", "auto_planes", "drift")
   }
 
   /** SRP OPERATING-POINT health audit — the number an operator owner reads
@@ -2165,9 +2272,13 @@ object SimilarityOps {
   /** File-metadata fingerprint of a frame's leaf scans: sorted
     * (path, length, modificationTime) triples hashed to one hex string —
     * metadata-only driver work (no data scan). Non-file sources contribute
-    * nothing (their identity lives in the canonical plan).
+    * nothing (their identity lives in the canonical plan). Exposed within
+    * the library so persisted-store corpusTags can fold the DATA identity
+    * in beside the path: a dataset regenerated at the same path (or a
+    * stale warehouse from a prior session) then misses the tag and
+    * rebuilds instead of serving outdated snapshots.
     */
-  private def dataFingerprint(df: DataFrame): String = {
+  private[graft] def dataFingerprint(df: DataFrame): String = {
     val files = df.inputFiles.sorted
     if (files.isEmpty) ""
     else {

@@ -253,6 +253,29 @@ class BucketingSpec extends SparkTestBase {
       spark.sql(s"DROP TABLE IF EXISTS t_app_idx_$s"))
   }
 
+  test("maintainKnnIndex: corpus part-files untouched — epoch appends are batch-sized I/O") {
+    import graft.ops.SimilarityOps
+    val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    val prefix = "t_knn_app"
+    try {
+      SimilarityOps.ensureKnnIndex(base, prefix, corpusTag = "a#base",
+        minCos = 0.2, kTop = 4, buckets = 4)
+      val v0 = tableFiles(s"${prefix}_vecs")
+      val b0 = tableFiles(s"${prefix}_bands")
+      SimilarityOps.maintainKnnIndex(batch, prefix)
+      val v1 = tableFiles(s"${prefix}_vecs")
+      val b1 = tableFiles(s"${prefix}_bands")
+      assert(v0.subsetOf(v1) && b0.subsetOf(b1),
+        "maintain must never rewrite committed corpus part-files")
+      assert((v1 !== v0) && (b1 !== b0),
+        "the batch's rows must land as new part-files")
+    } finally spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(prefix)).foreach(t =>
+        graft.sources.Bucketing.dropTableAndLocation(spark, t))
+  }
+
   test("build-dropped buckets stay closed: an append cannot reopen a pathological bucket") {
     import graft.ops.DedupOps
     import spark.implicits._

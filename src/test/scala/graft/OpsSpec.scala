@@ -3905,12 +3905,51 @@ class OpsSpec extends SparkTestBase {
     SimilarityOps.maintainKnnIndex(batch1, "graft_test_knn")
     assert(keptTables() === vBefore && edgeSet() === served,
       "replayed batch must be a structural no-op")
-    // retention: current + previous only, for all three snapshot tables
-    Seq("vecs", "bands", "kept").foreach { t =>
-      val vs = spark.catalog.listTables().collect().map(_.name)
-        .filter(_.startsWith(s"graft_test_knn_${t}_v"))
-      assert(vs.length <= 2 && vs.nonEmpty, s"$t retention")
-    }
+    // layout: corpus tables are UNVERSIONED append-only; only the n·kTop
+    // kept table snapshots, current + previous retained
+    val names = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_test_knn_")).toSet
+    assert(names.contains("graft_test_knn_vecs") &&
+      names.contains("graft_test_knn_bands"),
+      "corpus tables must be unversioned (append-only)")
+    assert(!names.exists(n => n.startsWith("graft_test_knn_vecs_v") ||
+      n.startsWith("graft_test_knn_bands_v")),
+      "no versioned corpus snapshots may exist")
+    val keptVs = names.filter(_.startsWith("graft_test_knn_kept_v"))
+    assert(keptVs.size <= 2 && keptVs.nonEmpty, "kept retention")
+  }
+
+  test("maintainKnnIndex: outgrowth past maxPlaneDrift fails loudly and commits nothing; drift within it folds") {
+    import spark.implicits._
+    def vecsDf(ids: Seq[Long]) = ids.map { i =>
+      (i, Array.tabulate(64)(j => (((i * 31 + j * 17) % 13) - 6).toFloat))
+    }.toDF("vec_id", "embedding")
+    val prefix = "graft_test_knn_grow"
+    try {
+      SimilarityOps.ensureKnnIndex(vecsDf(1L to 100L), prefix,
+        corpusTag = "g#base", minCos = 0.9, kTop = 2)
+      // 100 vecs freeze planes=4; +60 → autoPlanes(160)=5, drift 1: folds
+      SimilarityOps.maintainKnnIndex(vecsDf(101L to 160L), prefix)
+      val st1 = SimilarityOps.knnIndexStatus(spark, prefix).head()
+      assert(st1.getAs[Long]("n_vecs") === 160L)
+      assert(st1.getAs[Int]("drift") === 1)
+      // chained maintain crosses a second boundary: autoPlanes(560)=6,
+      // drift 2 > 1 — the guard fires BEFORE any write
+      val e = intercept[IllegalStateException] {
+        SimilarityOps.maintainKnnIndex(vecsDf(161L to 560L), prefix)
+      }
+      assert(e.getMessage.contains("outgrew"))
+      assert(SimilarityOps.knnIndexStatus(spark, prefix).head()
+        .getAs[Long]("n_vecs") === 160L, "a refused epoch commits nothing")
+      // the explicit opt-out accepts the densification and folds
+      SimilarityOps.maintainKnnIndex(vecsDf(161L to 560L), prefix,
+        maxPlaneDrift = Int.MaxValue)
+      val st2 = SimilarityOps.knnIndexStatus(spark, prefix).head()
+      assert(st2.getAs[Long]("n_vecs") === 560L)
+      assert(st2.getAs[Int]("drift") === 2)
+    } finally spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(prefix)).foreach(t =>
+        graft.sources.Bucketing.dropTableAndLocation(spark, t))
   }
 
   test("srpOccupancyAudit: identical-vector fixture exact; bound dominates real candidates on the corpus") {
