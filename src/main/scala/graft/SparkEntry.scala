@@ -1647,6 +1647,17 @@ object SparkEntry {
     "q201_srp_occupancy_audit" -> ((s, d) =>
       SimilarityOps.srpOccupancyAudit(t(s, d, "embeddings"))),
 
+    // HOT-DIRECTION remediation under the oracle gate: near-dup pairs at
+    // the auto point with over-occupied cells SPLIT by secondary strided
+    // planes (per-bucket integer-shift rule — the oracle derives the same
+    // split depth from the same counts and the same extension planes).
+    // splitOccupancy = 8 (the target itself) so the verify-scale corpus
+    // genuinely exercises multi-level splits, not just the skew tail
+    "q202_srp_split_pairs" -> ((s, d) =>
+      SimilarityOps.srpNearDupPairsSplitAuto(t(s, d, "embeddings"), 0.2,
+          splitOccupancy = 8)
+        .orderBy(col("a"), col("b"))),
+
     // SORTED-NEIGHBORHOOD near-dup pairs (Hernández-Stolfo SNM): the
     // third candidate-generation family beside hash banding and embedding
     // buckets — corpus ordered by the canonical-prefix key, every pair
@@ -2597,6 +2608,64 @@ object SparkEntry {
        |    SELECT c.a, c.b, ${sqlCos("ae", "be")} AS cos
        |    FROM cand c JOIN e ae ON ae.vec_id = c.a JOIN e be ON be.vec_id = c.b)
        |  WHERE cos >= $minCos)""".stripMargin
+
+  /** [[srpPairsAutoCte]] with the HOT-BUCKET SPLIT (mirrors
+    * `SimilarityOps.srpNearDupPairsSplitAuto`): per (tbl, bucket) cell
+    * with occupancy bn > splitOcc, δ = the smallest d ≤ stride − np with
+    * `(bn >> d) <= splitOcc` (the per-bucket integer-shift rule — same
+    * family as np itself), and the cell's members re-key by the δ
+    * extension-plane sign bits (strided plane ids np..np+δ−1). The plane
+    * table here spans the FULL stride so every possible extension plane
+    * exists; `proj` therefore projects all stride planes per table —
+    * oracle-scale cost, the engine computes extensions only for hot
+    * members.
+    */
+  private def srpPairsSplitAutoCte(minCos: Double, splitOcc: Long,
+                                   vertexFilter: String = "TRUE"): String = {
+    val stride = SimilarityOps.srpPlaneStride
+    s"""planes AS (${ops.DetHash.sqlPlanesStridedCte(6, stride, stride, 64)}),
+       |e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+       |  WHERE $vertexFilter),
+       |np AS MATERIALIZED (SELECT least(24, coalesce(
+       |    (SELECT min(p) FROM range(4, 25) t(p)
+       |     WHERE ((SELECT count(*) FROM e) >> p) <= 8), 24)) AS np),
+       |proj AS MATERIALIZED (SELECT p.p // $stride AS tbl, p.p % $stride AS i, e.vec_id,
+       |    list_sum(list_transform(list_zip(e.embedding, p.cs), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS pr
+       |  FROM e CROSS JOIN planes p),
+       |b AS MATERIALIZED (SELECT tbl, vec_id,
+       |    sum(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS bucket
+       |  FROM proj CROSS JOIN np WHERE i < np.np GROUP BY tbl, vec_id),
+       |bc AS MATERIALIZED (SELECT tbl, bucket, CAST(count(*) AS BIGINT) AS bn
+       |  FROM b GROUP BY 1, 2),
+       |bd AS MATERIALIZED (SELECT bc.tbl, bc.bucket, bc.bn,
+       |    CASE WHEN bc.bn <= $splitOcc THEN 0
+       |      ELSE coalesce((SELECT min(d) FROM range(0, ${stride + 1}) t(d)
+       |        WHERE d <= $stride - np.np AND (bc.bn >> d) <= $splitOcc),
+       |        $stride - np.np) END AS delta
+       |  FROM bc CROSS JOIN np),
+       |hotm AS MATERIALIZED (SELECT b.tbl, b.bucket, b.vec_id, bd.delta
+       |  FROM b JOIN bd ON bd.tbl = b.tbl AND bd.bucket = b.bucket
+       |  WHERE bd.bn > $splitOcc),
+       |ext AS MATERIALIZED (SELECT h.tbl, h.bucket, h.vec_id,
+       |    sum(CASE WHEN p2.pr >= 0 AND p2.i < np.np + h.delta
+       |      THEN (CAST(1 AS BIGINT) << (p2.i - np.np)) ELSE 0 END) AS sub
+       |  FROM hotm h JOIN proj p2 ON p2.vec_id = h.vec_id AND p2.tbl = h.tbl
+       |  CROSS JOIN np WHERE p2.i >= np.np
+       |  GROUP BY h.tbl, h.bucket, h.vec_id),
+       |b2 AS MATERIALIZED (
+       |  SELECT b.tbl, b.bucket, CAST(0 AS BIGINT) AS sub, b.vec_id
+       |  FROM b JOIN bd ON bd.tbl = b.tbl AND bd.bucket = b.bucket
+       |  WHERE bd.bn <= $splitOcc
+       |  UNION ALL
+       |  SELECT tbl, bucket, sub, vec_id FROM ext),
+       |cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+       |  FROM b2 l JOIN b2 r ON l.tbl = r.tbl AND l.bucket = r.bucket
+       |    AND l.sub = r.sub AND l.vec_id < r.vec_id),
+       |pr2 AS (SELECT a, b, cos FROM (
+       |    SELECT c.a, c.b, ${sqlCos("ae", "be")} AS cos
+       |    FROM cand c JOIN e ae ON ae.vec_id = c.a JOIN e be ON be.vec_id = c.b)
+       |  WHERE cos >= $minCos)""".stripMargin
+  }
 
   /** An edge CTE `src(a, b)` closed transitively into `cc(x, comp)` by a
     * recursive CTE (comp = component-minimum vec_id, every embedding
@@ -4791,6 +4860,13 @@ object SparkEntry {
          |  CAST(sum(c * (c - 1) // 2) AS BIGINT) AS cand_pairs_bound,
          |  max(c) > 64 AS skewed
          |FROM occ""".stripMargin,
+
+    // the split-rule replay: same plane family, bucket counts → per-cell
+    // δ by the identical integer-shift rule, extension-bit re-keying,
+    // then the shared candidate + exact-cosine verify tail
+    "q202_srp_split_pairs" ->
+      s"""WITH ${srpPairsSplitAutoCte(0.2, 8)}
+         |SELECT a, b, cos FROM pr2 ORDER BY a, b""".stripMargin,
 
     // the canonical-prefix 6-bit key, ONE global row_number (fine in the
     // oracle — the engine's two-level construction is the scale shape),

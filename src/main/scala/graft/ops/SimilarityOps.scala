@@ -979,6 +979,118 @@ object SimilarityOps {
     srpNearDupPairsSized(df, minCos, autoPlanes(df.count(), targetOccupancy),
       nTables, dim, idCol, vecCol, maxBucket)
 
+  /** HOT-DIRECTION remediation of the strided SRP banding: over-occupied
+    * buckets are SPLIT with secondary strided planes instead of either
+    * densifying the candidate join quadratically or being dropped.
+    *
+    * WHY: the auto operating point sizes planes for ~uniform occupancy,
+    * but correlated embeddings concentrate — one measured hot DIRECTION
+    * held 357 vectors in a single bucket at sf10 (vs target 8), and the
+    * c·(c−1)/2 self-join inside such cells is the residual
+    * super-linearity of the banded tier (79 pairs/vector at sf10 vs 27
+    * at sf1 with no split). Splitting a c-occupancy cell with δ extra
+    * planes cuts its candidate volume ~2^δ× while keeping every other
+    * cell byte-identical.
+    *
+    * RULE (the [[autoPlanes]] integer-shift rule applied per bucket, so
+    * the SQL oracle derives identical split depths from identical
+    * counts): a (tbl, bucket) cell with occupancy bn > `splitOccupancy`
+    * gains δ = the smallest d with `(bn >> d) <= splitOccupancy` extra
+    * planes, clamped to the remaining strided planes
+    * (`srpPlaneStride − nPlanes` — the stride exists to keep every
+    * extension plane's identity `t·stride + nPlanes + i` stable). Its
+    * members re-key to sub-bucket = the δ extension-plane sign bits;
+    * un-split cells keep sub = 0, a key space disjoint from split cells
+    * by bucket value. The `maxBucket` pathology cap applies to the
+    * POST-split occupancy, so a truly unsplittable cell (identical
+    * vectors project identically on every plane — no hyperplane count
+    * separates them) still hits the documented drop guard.
+    *
+    * RECALL: pairs inside a split cell that land in different sub-buckets
+    * lose THAT table's collision (other tables still vote) — the standard
+    * LSH depth trade, now paid only inside the cells that are densifying.
+    * Candidates are a subset of the un-split form's; precision is exact
+    * (the shared cosine verify). Default `splitOccupancy` = the q201
+    * audit's skew line (skewFactor 8 × target 8): splitting starts
+    * exactly where the audit starts flagging.
+    *
+    * Scale shape: one banding pass + (tbl, bucket) count window (shared
+    * with the un-split form), the extension projections computed ONLY for
+    * members of hot cells (a batch-sized id-keyed join back to the
+    * corpus), one (tbl, bucket, sub) recount window over those members,
+    * and the candidate self-join on the split key.
+    */
+  def srpNearDupPairsSplit(df: DataFrame, minCos: Double, nPlanes: Int,
+                           nTables: Int = 6, dim: Int = 64,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           maxBucket: Int = 10000,
+                           splitOccupancy: Long = 64L): DataFrame = {
+    require(splitOccupancy >= 1, "splitOccupancy must be >= 1")
+    val extMax = srpPlaneStride - nPlanes
+    val banded = df.select(col(idCol).as("id"),
+      posexplode(array((0 until nTables).map(t =>
+        srpBucketStrided(col(vecCol), nPlanes, t, dim)): _*))
+        .as(Seq("tbl", "bucket")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tbl"), col("bucket"))
+    val counted = banded.withColumn("bn", count(lit(1)).over(w))
+    val coldKept = counted.filter(col("bn") <= lit(splitOccupancy))
+      .filter(col("bn") <= maxBucket)
+      .select(col("tbl"), col("bucket"), lit(0L).as("sub"), col("id"))
+    // smallest δ with (bn >> δ) <= splitOccupancy — first-true-wins when
+    // chain, exactly the integer rule the oracle replays via min(range)
+    val delta = (0 to extMax).foldRight(lit(extMax): Column) { (d, rest) =>
+      when(shiftright(col("bn"), d) <= lit(splitOccupancy), lit(d))
+        .otherwise(rest)
+    }
+    // extension sign bits for ALL tables once per hot member (tbl is a
+    // row value here, so the per-table literal-plane expressions index
+    // through an array), masked to the cell's δ
+    import graft.functions.VectorExpressions.dotF
+    val extFor = (0 until nTables).map { t =>
+      (0 until extMax).map { i =>
+        val plane = typedlit((0 until dim).map(j =>
+          DetHash.planeComponent(t * srpPlaneStride + nPlanes + i, j)))
+        when(dotF(col("vec"), plane) >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+    }
+    val hot = counted.filter(col("bn") > lit(splitOccupancy))
+      .withColumn("delta", delta)
+      .join(df.select(col(idCol).as("id"), col(vecCol).as("vec")),
+        Seq("id"))
+      .withColumn("extfull", element_at(array(extFor: _*), col("tbl") + 1))
+      .withColumn("sub", col("extfull")
+        .bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), delta) - 1")))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tbl"), col("bucket"), col("sub"))
+    val hotKept = hot.withColumn("bn2", count(lit(1)).over(w2))
+      .filter(col("bn2") <= maxBucket)
+      .select(col("tbl"), col("bucket"), col("sub"), col("id"))
+    val kept = coldKept.unionByName(hotKept)
+    val cand = kept.withColumnRenamed("id", "a")
+      .join(kept.withColumnRenamed("id", "b"),
+        Seq("tbl", "bucket", "sub"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    cosineVerify(df, cand, minCos, idCol, vecCol)
+  }
+
+  /** [[srpNearDupPairsSplit]] at the corpus-sized operating point — the
+    * skew-hardened scale default: [[autoPlanes]] handles uniform growth,
+    * the per-bucket split handles the correlated tail the uniform rule
+    * cannot see.
+    */
+  def srpNearDupPairsSplitAuto(df: DataFrame, minCos: Double,
+                               nTables: Int = 6, dim: Int = 64,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding",
+                               maxBucket: Int = 10000,
+                               targetOccupancy: Long = 8L,
+                               splitOccupancy: Long = 64L): DataFrame =
+    srpNearDupPairsSplit(df, minCos, autoPlanes(df.count(), targetOccupancy),
+      nTables, dim, idCol, vecCol, maxBucket, splitOccupancy)
+
   private def srpPairsImpl(df: DataFrame, minCos: Double, nTables: Int,
                            maxBucket: Int, idCol: String, vecCol: String,
                            bucketFor: Int => Column): DataFrame = {
@@ -994,8 +1106,17 @@ object SimilarityOps {
         Seq("tbl", "bucket"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
+    cosineVerify(df, cand, minCos, idCol, vecCol)
+  }
+
+  /** Exact-cosine verification of a candidate `(a, b)` frame against the
+    * corpus — the shared precision stage of every SRP family member:
+    * per-vector norms computed once per side, (a)- then (b)-keyed
+    * equi-joins, the `cos >= minCos` filter. Bit-identical to cosineF.
+    */
+  private def cosineVerify(df: DataFrame, cand: DataFrame, minCos: Double,
+                           idCol: String, vecCol: String): DataFrame = {
     import graft.functions.VectorExpressions.dotF
-    // per-vector norms (see bruteForceTopK) — bit-identical to cosineF
     val va = df.select(col(idCol).as("a"), col(vecCol).as("va"),
       sqrt(dotF(col(vecCol), col(vecCol))).as("na"))
     val vb = df.select(col(idCol).as("b"), col(vecCol).as("vb"),

@@ -3725,6 +3725,38 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("srpNearDupPairsSplit: subset of the un-split form, exact precision, no-op above max occupancy, identical cells unsplittable") {
+    import spark.implicits._
+    val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
+    val planes = SimilarityOps.autoPlanes(emb.count())
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val unsplit = SimilarityOps.srpNearDupPairsSized(emb, 0.2, planes)
+      .collect().map(key).toSet
+    // aggressive split: candidates only shrink; precision stays exact
+    val split = SimilarityOps.srpNearDupPairsSplit(emb, 0.2, planes,
+      splitOccupancy = 2).collect()
+    val splitKeys = split.map(key).toSet
+    assert(splitKeys.subsetOf(unsplit),
+      "splitting may only REMOVE candidates, never invent them")
+    assert(splitKeys.size < unsplit.size,
+      "splitOccupancy=2 on this corpus must actually split hot cells")
+    assert(splitKeys.nonEmpty, "fixture must keep real pairs")
+    split.foreach(r => assert(r.getDouble(2) >= 0.2, "exact verify"))
+    // threshold above every cell's occupancy: byte-identical to un-split
+    val noop = SimilarityOps.srpNearDupPairsSplit(emb, 0.2, planes,
+      splitOccupancy = 1000000L).collect().map(key).toSet
+    assert(noop === unsplit, "no cell over threshold -> no behavior change")
+    // identical vectors project identically on EVERY plane — no split
+    // depth separates them, and the post-split maxBucket guard is the
+    // documented drop path; under the cap they must all survive
+    val ident = (1L to 40L).map(i => (i, Array.fill(64)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val identPairs = SimilarityOps.srpNearDupPairsSplit(ident, 0.9,
+      nPlanes = 4, splitOccupancy = 2).collect().map(key).toSet
+    assert(identPairs.size === 40 * 39 / 2,
+      "an unsplittable identical-direction cell keeps all its pairs")
+  }
+
   test("srpNearDupPairsAuto / knnGraphAuto: equal to the sized strided form at the derived plane count") {
     val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
     val n = emb.count()

@@ -709,6 +709,49 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("cross-query SRP pass sharing: sibling consumers at one operating point serve from ONE registered pass") {
+    // the graph tier's bench economics assume every consumer of the same
+    // (corpus, floor, operating point) rides ONE banding + cosine-verify
+    // pass via CacheScope registration — the sharing silently dropped once
+    // in round 12 when a consumer re-pointed its pairs plan, re-paying N
+    // full SRP passes. Lock it structurally: after sibling 1 registers
+    // and materializes the pass, sibling 2's physical plan must read the
+    // SAME cache entry (identical CachedRDDBuilder), not re-derive it.
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf001, "embeddings")
+    val scope = new graft.ops.CacheScope
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // sibling 1 (the q192/q196 shape): register the verified pairs and
+      // materialize them
+      val pairs = scope.register(
+        graft.ops.SimilarityOps.srpNearDupPairsAuto(emb, 0.2))
+      pairs.count()
+      val firstBuilders = pairs.queryExecution.executedPlan.collect {
+        case s: InMemoryTableScanExec => s.relation.cacheBuilder
+      }
+      assert(firstBuilders.nonEmpty, "registered pass must be cached")
+      // sibling 2 (the q189/q200 shape): the bounded kNN graph over the
+      // same corpus, floor, and auto operating point
+      val g = graft.ops.SimilarityOps.knnGraphAuto(emb, 0.2, kTop = 3,
+        scope = scope)
+      val secondBuilders = g.queryExecution.executedPlan.collect {
+        case s: InMemoryTableScanExec => s.relation.cacheBuilder
+      }
+      assert(secondBuilders.nonEmpty,
+        "second consumer's SRP/verify stage must be served from the " +
+          "registered frame (no InMemoryTableScan in its plan = it " +
+          "re-pays the full banding + verify pass)")
+      assert(secondBuilders.exists(b => firstBuilders.exists(_ eq b)),
+        "second consumer must read the SAME cache entry as the first " +
+          "(equivalent-plan registration broke — plans diverged)")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", old)
+      scope.release()
+    }
+  }
+
   test("kNN graph tier: rank window keyed + WindowGroupLimit, mutual join equi-keyed, no cartesian") {
     // q189/q197's scale claim rests on three plan facts: the per-vertex
     // rank never global-sorts (partitioned by v, rank<=k pushes into
