@@ -920,11 +920,22 @@ object SimilarityOps {
     * a FIXED plane count densifies quadratically as the corpus grows
     * (measured: 8 planes at 200k vectors → ~780 occupancy → a candidate
     * join that spilled 77 GB of local disk), while the auto point holds
-    * the per-bucket self-join flat at ANY corpus size. The price is the
-    * standard LSH recall curve: per-pair collision probability
-    * (1 − θ/π)^p falls as p grows, so at large corpora only tight
-    * near-dups (θ → 0) keep high recall at fixed nTables — exactly the
-    * pairs near-dup dedup is after.
+    * the per-bucket self-join flat UP TO THE PLANE CEILING: the rule
+    * saturates at `maxPlanes` (default 24), so the flat regime covers
+    * n ≤ targetOccupancy · 2^maxPlanes per table (~134M vectors at
+    * target 8) and PAST it expected occupancy grows linearly again
+    * (n >> 24) — and because autoPlanes is capped, the drift-based
+    * outgrowth guard ([[maintainKnnIndex]]) reads 0 there; past the
+    * ceiling the honest signal is [[srpOccupancyAudit]]'s occupancy
+    * line. Composition past the ceiling: shard the corpus by id range
+    * and union per-shard pairs (near-dup recall within shards only), or
+    * raise maxPlanes toward `srpPlaneStride` — each extra plane halves
+    * occupancy but also consumes a hot-bucket extension plane
+    * ([[srpNearDupPairsSplit]] splits with planes [p, stride)) and
+    * steepens the standard LSH recall curve: per-pair collision
+    * probability (1 − θ/π)^p falls as p grows, so at large corpora only
+    * tight near-dups (θ → 0) keep high recall at fixed nTables —
+    * exactly the pairs near-dup dedup is after.
     */
   def autoPlanes(n: Long, targetOccupancy: Long = 8L,
                  minPlanes: Int = 4, maxPlanes: Int = 24): Int = {
@@ -965,8 +976,10 @@ object SimilarityOps {
   /** [[srpNearDupPairs]] at the CORPUS-SIZED operating point: one
     * metadata-cheap `count()` sizes the plane count via [[autoPlanes]],
     * then the same banded candidate + exact-cosine-verify shape runs at a
-    * bucket occupancy that stays ~targetOccupancy at ANY corpus size —
-    * the scale-safe default every new SRP consumer should take (the fixed
+    * bucket occupancy that stays ~targetOccupancy up to the plane
+    * ceiling (~2^24 · target vectors per table — see [[autoPlanes]] for
+    * the honest bound and the composition story past it) — the
+    * scale-safe default every new SRP consumer should take (the fixed
     * 8-plane form is the historical layout the small-sf audit tier
     * keeps). The SQL oracle derives the identical plane count from the
     * same corpus count (integer shift), so results stay bit-replayable.
@@ -2385,10 +2398,19 @@ object SimilarityOps {
     * a retrain.
     */
   private val codebookMemoMax = 64
-  private val codebookMemo = new java.util.concurrent.ConcurrentHashMap[
+  private type CodebookKey =
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String,
-      Int, Int, Int, Int, String),
-    Array[Array[Array[Int]]]]
+      Int, Int, Int, Int, String)
+  // access-ordered LRU: filling past the cap evicts the stalest entry
+  // only, instead of the old clear-all reset that retrained EVERY live
+  // consumer on the next call
+  private val codebookMemo =
+    new java.util.LinkedHashMap[CodebookKey, Array[Array[Array[Int]]]](
+      codebookMemoMax, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[CodebookKey, Array[Array[Array[Int]]]])
+          : Boolean = size() > codebookMemoMax
+    }
 
   /** File-metadata fingerprint of a frame's leaf scans: sorted
     * (path, length, modificationTime) triples hashed to one hex string —
@@ -2397,10 +2419,15 @@ object SimilarityOps {
     * the library so persisted-store corpusTags can fold the DATA identity
     * in beside the path: a dataset regenerated at the same path (or a
     * stale warehouse from a prior session) then misses the tag and
-    * rebuilds instead of serving outdated snapshots.
+    * rebuilds instead of serving outdated snapshots. Reads the ANALYZED
+    * plan's leaves (`bridge.analyzedInputFiles`) — `Dataset.inputFiles`
+    * walks the optimized plan, which turns into an `InMemoryRelation`
+    * once an equivalent plan is cached, silently emptying the
+    * fingerprint exactly on the cached frames the memo keys.
     */
   private[graft] def dataFingerprint(df: DataFrame): String = {
-    val files = df.inputFiles.sorted
+    val files =
+      org.apache.spark.sql.graft.bridge.analyzedInputFiles(df).sorted
     if (files.isEmpty) ""
     else {
       val hconf = df.sparkSession.sparkContext.hadoopConfiguration
@@ -2423,11 +2450,25 @@ object SimilarityOps {
   private def pqLloyd(qv: DataFrame, numSub: Int, numCentroids: Int,
                       iters: Int, subDim: Int,
                       idCol: String): Array[Array[Array[Int]]] = {
-    if (codebookMemo.size() >= codebookMemoMax) codebookMemo.clear()
-    codebookMemo.computeIfAbsent(
+    val key: CodebookKey =
       (qv.queryExecution.analyzed.canonicalized, dataFingerprint(qv),
-        numSub, numCentroids, iters, subDim, idCol),
-      _ => pqLloydTrain(qv, numSub, numCentroids, iters, subDim, idCol))
+        numSub, numCentroids, iters, subDim, idCol)
+    val cached = codebookMemo.synchronized(Option(codebookMemo.get(key)))
+    // one audit line per lookup (stderr — never the driver's JSON stdout):
+    // the q103-class bench regressions are diagnosable as memo misses or
+    // not without a rebuild
+    System.err.println(s"[graft] codebookMemo ${
+      if (cached.isDefined) "hit" else "miss"}: sub=$numSub c=$numCentroids " +
+      s"fp=${key._2.take(8)} entries=${codebookMemo.synchronized(codebookMemo.size())}")
+    cached.getOrElse {
+      // train OUTSIDE the lock: concurrent different keys must not
+      // serialize on a process-global monitor (a racy duplicate train of
+      // the SAME key is benign — last put wins, results are deterministic)
+      val trained = pqLloydTrain(qv, numSub, numCentroids, iters, subDim,
+        idCol)
+      codebookMemo.synchronized(codebookMemo.put(key, trained))
+      trained
+    }
   }
 
   private def pqLloydTrain(qv: DataFrame, numSub: Int, numCentroids: Int,

@@ -27,6 +27,25 @@ object bridge {
       .sessionState.catalog
       .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table))
 
+  /** Leaf input files of a frame's ANALYZED plan. `Dataset.inputFiles`
+    * walks the OPTIMIZED plan, which the cache manager rewrites to an
+    * `InMemoryRelation` once an equivalent plan is cached — from then on
+    * it returns EMPTY and any file-metadata fingerprint built on it
+    * silently degrades to "no identity". The analyzed plan keeps the
+    * file relations regardless of caching.
+    */
+  def analyzedInputFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case f: org.apache.spark.sql.execution.FileRelation =>
+            f.inputFiles.toSeq
+          case _ => Seq.empty[String]
+        }
+      case r: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+        r.tableMeta.storage.locationUri.map(_.toString).toSeq
+    }.flatten
+
   /** The ACTUAL location of an existing catalog table, or None when the
     * catalog has no entry. A table created with a custom LOCATION does not
     * live at [[defaultTablePath]] — a rebuild that only cleared the default

@@ -3723,6 +3723,20 @@ class OpsSpec extends SparkTestBase {
       if (p < 24) assert((n >> p) <= 8L,
         s"occupancy bound violated at n=$n p=$p")
     }
+    // the HONEST ceiling: the flat regime ends at target·2^maxPlanes per
+    // table; past it the rule saturates and expected occupancy grows
+    // linearly again — and because autoPlanes caps, plane DRIFT reads 0
+    // there (the outgrowth guard goes blind; the occupancy audit is the
+    // signal past the ceiling). Documented in autoPlanes' scaladoc.
+    val ceiling = 8L << 24 // targetOccupancy * 2^maxPlanes
+    assert(SimilarityOps.autoPlanes(ceiling) === 24, "flat regime boundary")
+    assert((ceiling >> 24) === 8L)
+    Seq(ceiling * 2, ceiling * 100, 1L << 50).foreach { n =>
+      assert(SimilarityOps.autoPlanes(n) === 24, s"rule saturates at n=$n")
+      assert((n >> 24) > 8L,
+        "past the ceiling expected occupancy exceeds target — the linear" +
+          " regime is over and composition (sharding) takes over")
+    }
   }
 
   test("srpNearDupPairsSplit: subset of the un-split form, exact precision, no-op above max occupancy, identical cells unsplittable") {
