@@ -417,6 +417,46 @@ object SparkEntry {
     (1L, "424d860000000000000036000000280000000600000004000000010018000000000050000000130b0000130b00000000000000000000099f156aaa3dcbb5652cc08d8dcbb5eed6dd0000066a0e677536c8805e298b868a96aeeba1d6000003350764402fc54b5726567f8761a7e86ccf0000000000610b28c21650232178842ca0e537c80000", 6, 4, 20),
     (2L, "424d660000000000000036000000280000000500000003000000010018000000000030000000130b0000130b000000000000000000000626920b739f10c0ac150db91a5ac6008313c98860d68dade392faf09747fd00000000054d0d0a9a1a0fe72714343400", 5, 3, 16))
 
+  /** RIFF/AVI container hex around BMP frame payloads — built
+    * programmatically so the layout is honest RIFF grammar (fourcc +
+    * u32-LE size + even-padded data; LIST carries a list type), while the
+    * ORACLE never sees these offsets: it re-derives every chunk boundary
+    * with its own recursive walk over the hex (q203).
+    */
+  private def aviHex(framesHex: Seq[String], microsPerFrame: Long,
+                     declaredFrames: Long): String = {
+    def u32(v: Long): String =
+      f"${v & 0xff}%02x${(v >> 8) & 0xff}%02x" +
+        f"${(v >> 16) & 0xff}%02x${(v >> 24) & 0xff}%02x"
+    def fcc(s: String): String =
+      s.getBytes("US-ASCII").map("%02x".format(_)).mkString
+    // 56-byte avih: µs-per-frame at +0, total frames at +16 (the two the
+    // walker reads), zeros elsewhere
+    val avihPayload = u32(microsPerFrame) + u32(0) * 3 +
+      u32(declaredFrames) + u32(0) * 9
+    val avih = fcc("avih") + u32(avihPayload.length / 2) + avihPayload
+    val hdrlBody = fcc("hdrl") + avih
+    val hdrl = fcc("LIST") + u32(hdrlBody.length / 2) + hdrlBody
+    val frameChunks = framesHex.map { f =>
+      val sz = f.length / 2
+      fcc("00db") + u32(sz) + f + (if (sz % 2 == 1) "00" else "")
+    }.mkString
+    val moviBody = fcc("movi") + frameChunks
+    val movi = fcc("LIST") + u32(moviBody.length / 2) + moviBody
+    val riffBody = fcc("AVI ") + hdrl + movi
+    fcc("RIFF") + u32(riffBody.length / 2) + riffBody
+  }
+
+  /** (vid_id, hex): vid 1 = both BMP fixtures as frames; vid 2 = one
+    * frame but avih DECLARES 5 — the truncation fact (n_frames <
+    * declared_frames) under the gate.
+    */
+  private[graft] val aviFixtures: Seq[(Long, String)] = Seq(
+    (1L, aviHex(bmpFixtures.map(_._2), microsPerFrame = 40000L,
+      declaredFrames = 2L)),
+    (2L, aviHex(Seq(bmpFixtures(1)._2), microsPerFrame = 33367L,
+      declaredFrames = 5L)))
+
   private[graft] val wavFixtures: Seq[(Long, String, Int, Int, Int)] = Seq(
     // (clip_id, hex, sampleRateHz, channels, nFrames)
     (1L, "52494646a400000057415645666d74201000000001000100401f0000803e0000020010006461746180000000d08a2cb688e1e40c40389c6398a4f4cf50fbac260852049360bebce918157440d06bccac28d88403e02e3c5a389b94c6f0f14c1da848047400b55ce0b80b143770626ca3c8ce24fa8025dc50d89134bd90e8ec13483fa46aa0abfcd65802b42d10590c9a68c5c4f0201c7c47d872d4b330df8c0ae835446140a29ccdf8f85424", 8000, 1, 64),
@@ -1658,6 +1698,29 @@ object SparkEntry {
           splitOccupancy = 8)
         .orderBy(col("a"), col("b"))),
 
+    // the VIDEO tier under the hash gate (closing the q194→q199 chain's
+    // last spec-only stage): RIFF/AVI container walk → per-frame BMP
+    // payloads → the q199 integer-DCT pHash per frame, with container
+    // facts (frame counts incl. the declared-vs-survived truncation
+    // signal, µs-per-frame) on every row. The oracle re-derives every
+    // chunk boundary with its OWN recursive walk over the hex and parses
+    // each frame's dimensions from the frame's BMP header — nothing about
+    // the layout is fed to it
+    "q203_video_fixture" -> { (s, d) =>
+      import s.implicits._
+      val fx = aviFixtures.toDF("vid_id", "hex")
+        .select(col("vid_id"), unhex(col("hex")).as("payload"))
+      val frames = MultimodalOps.videoFrames(fx, "vid_id", "payload")
+        .withColumn("fid", col("vid_id") * 100 + col("frame_idx"))
+      val ph = MultimodalOps.phashBits(
+        frames.select(col("fid"), col("frame")), "fid", "frame", gridN = 4)
+      frames.join(ph, frames("fid") === ph("fid"))
+        .select(col("vid_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("n_frames"), col("declared_frames"), col("micros_per_frame"),
+          col("dc"), col("median_ac"), col("phash"))
+        .orderBy(col("vid_id"), col("frame_idx"))
+    },
+
     // SORTED-NEIGHBORHOOD near-dup pairs (Hernández-Stolfo SNM): the
     // third candidate-generation family beside hash banding and embedding
     // buckets — corpus ordered by the canonical-prefix key, every pair
@@ -2804,6 +2867,15 @@ object SparkEntry {
   /** SQL for byte `offExpr` (0-based) of a lowercase hex-string column —
     * two nibble lookups via strpos; the fixture oracles' byte accessor.
     */
+  /** Little-endian u32 read at byte offset `off` of a hex-string column —
+    * the RIFF/BMP size-field reader of the q203 oracle's container walk.
+    */
+  private def u32leSql(hexCol: String, off: String): String =
+    s"(${hexByteSql(hexCol, s"($off)")}" +
+      s" + 256 * ${hexByteSql(hexCol, s"($off)+1")}" +
+      s" + 65536 * ${hexByteSql(hexCol, s"($off)+2")}" +
+      s" + 16777216 * ${hexByteSql(hexCol, s"($off)+3")})"
+
   private def hexByteSql(hexCol: String, offExpr: String): String =
     s"((strpos('0123456789abcdef', substring($hexCol, 2*($offExpr)+1, 1))-1)*16" +
       s" + strpos('0123456789abcdef', substring($hexCol, 2*($offExpr)+2, 1))-1)"
@@ -4867,6 +4939,114 @@ object SparkEntry {
     "q202_srp_split_pairs" ->
       s"""WITH ${srpPairsSplitAutoCte(0.2, 8)}
          |SELECT a, b, cos FROM pr2 ORDER BY a, b""".stripMargin,
+
+    // the VIDEO replay: the oracle walks the RIFF chunk grammar itself
+    // (recursive CTE — fourcc + u32-LE size + even pad, descending into
+    // LIST bodies), finds avih/movi structurally, takes '00db'/'00dc'
+    // chunks whose payload magic is BMP/JPEG as frames, reads each
+    // frame's OWN BMP header for dimensions, and runs the q199 luma →
+    // grid → fixed-point-DCT → median → bits tail per frame. No offset,
+    // size, or dimension is fed to it
+    "q203_video_fixture" -> {
+      val vals = aviFixtures.map { case (id, hex) => s"($id, '$hex')" }
+        .mkString(", ")
+      val ct = MultimodalOps.dctCoeffTable(4)
+      val ctVals = (for { k <- 0 until 4; x <- 0 until 4 }
+        yield s"($k, $x, CAST(${ct(k)(x)} AS BIGINT))").mkString(", ")
+      def sz(o: String) = u32leSql("f.hex", o)
+      s"""WITH RECURSIVE
+         |fx AS (SELECT * FROM (VALUES $vals) t(vid_id, hex)),
+         |walk AS (
+         |  SELECT vid_id, 12 AS o FROM fx
+         |  UNION ALL
+         |  SELECT w.vid_id,
+         |    CASE WHEN substring(f.hex, w.o * 2 + 1, 8) = '4c495354'
+         |      THEN w.o + 12
+         |      ELSE w.o + 8 + ${sz("w.o+4")} + (${sz("w.o+4")} % 2) END
+         |  FROM walk w JOIN fx f ON f.vid_id = w.vid_id
+         |  WHERE w.o + 8 <= length(f.hex) // 2),
+         |ch AS (SELECT w.vid_id, w.o,
+         |    substring(f.hex, w.o * 2 + 1, 8) AS fcc, ${sz("w.o+4")} AS sz,
+         |    substring(f.hex, (w.o + 8) * 2 + 1, 8) AS ltype
+         |  FROM walk w JOIN fx f ON f.vid_id = w.vid_id
+         |  WHERE w.o + 8 <= length(f.hex) // 2),
+         |avih AS (SELECT c.vid_id, ${u32leSql("f.hex", "c.o+8")} AS mpf,
+         |    ${u32leSql("f.hex", "c.o+24")} AS declared
+         |  FROM ch c JOIN fx f ON f.vid_id = c.vid_id
+         |  WHERE c.fcc = '61766968'),
+         |mv AS (SELECT vid_id, o + 12 AS mstart, o + 8 + sz AS mend
+         |  FROM ch WHERE fcc = '4c495354' AND ltype = '6d6f7669'),
+         |fr AS (SELECT c.vid_id, c.o + 8 AS base, c.sz,
+         |    row_number() OVER (PARTITION BY c.vid_id ORDER BY c.o) - 1
+         |      AS frame_idx
+         |  FROM ch c JOIN mv ON mv.vid_id = c.vid_id
+         |    AND c.o >= mv.mstart AND c.o < mv.mend
+         |  JOIN fx f ON f.vid_id = c.vid_id
+         |  WHERE substring(c.fcc, 1, 2) BETWEEN '30' AND '39'
+         |    AND substring(c.fcc, 3, 2) BETWEEN '30' AND '39'
+         |    AND substring(c.fcc, 5, 4) IN ('6462', '6463')
+         |    AND c.sz >= 2
+         |    AND substring(f.hex, (c.o + 8) * 2 + 1, 4) IN ('424d', 'ffd8')),
+         |nf AS (SELECT vid_id, CAST(count(*) AS BIGINT) AS n_frames
+         |  FROM fr GROUP BY 1),
+         |fw AS (SELECT r.vid_id, r.frame_idx, r.base,
+         |    ${u32leSql("f.hex", "r.base+18")} AS w,
+         |    ${u32leSql("f.hex", "r.base+22")} AS h,
+         |    ((${u32leSql("f.hex", "r.base+18")} * 3 + 3) // 4) * 4 AS stride
+         |  FROM fr r JOIN fx f ON f.vid_id = r.vid_id),
+         |pix AS (SELECT d.vid_id, d.frame_idx, d.w, d.h, x.x AS x, y.y AS y,
+         |    d.base + 54 + (d.h - 1 - y.y) * d.stride + x.x * 3 AS o
+         |  FROM fw d, UNNEST(range(0, d.w)) x(x), UNNEST(range(0, d.h)) y(y)),
+         |lum AS (SELECT p.vid_id, p.frame_idx, p.x, p.y,
+         |    (299 * ${hexByteSql("f.hex", "p.o+2")}
+         |     + 587 * ${hexByteSql("f.hex", "p.o+1")}
+         |     + 114 * ${hexByteSql("f.hex", "p.o")}) // 1000 AS luma
+         |  FROM pix p JOIN fx f ON f.vid_id = p.vid_id),
+         |cells AS (SELECT d.vid_id, d.frame_idx, gy.gy AS gy, gx.gx AS gx,
+         |    gx.gx * d.w // 4 AS x0,
+         |    greatest(gx.gx * d.w // 4 + 1, (gx.gx + 1) * d.w // 4) AS x1,
+         |    gy.gy * d.h // 4 AS y0,
+         |    greatest(gy.gy * d.h // 4 + 1, (gy.gy + 1) * d.h // 4) AS y1
+         |  FROM fw d, UNNEST(range(0, 4)) gy(gy), UNNEST(range(0, 4)) gx(gx)),
+         |grid AS (SELECT c.vid_id, c.frame_idx, c.gy, c.gx,
+         |    CAST((sum(l.luma) + count(*) // 2) // count(*) AS BIGINT) AS g
+         |  FROM cells c JOIN lum l ON l.vid_id = c.vid_id
+         |    AND l.frame_idx = c.frame_idx
+         |    AND l.x >= c.x0 AND l.x < c.x1 AND l.y >= c.y0 AND l.y < c.y1
+         |  GROUP BY 1, 2, 3, 4),
+         |ct AS (SELECT * FROM (VALUES $ctVals) t(k, x, c)),
+         |tmp AS (SELECT g.vid_id, g.frame_idx, g.gy AS y, ct.k AS u,
+         |    CAST(sum(g.g * ct.c) AS BIGINT) AS v
+         |  FROM grid g JOIN ct ON ct.x = g.gx GROUP BY 1, 2, 3, 4),
+         |fc AS (SELECT t.vid_id, t.frame_idx,
+         |    CAST(ct.k * 4 + t.u AS BIGINT) AS idx,
+         |    CAST(sum(t.v * ct.c) AS BIGINT) AS coef
+         |  FROM tmp t JOIN ct ON ct.x = t.y GROUP BY 1, 2, 3),
+         |med AS (SELECT vid_id, frame_idx, coef AS median_ac FROM (
+         |    SELECT vid_id, frame_idx, coef, row_number() OVER (
+         |      PARTITION BY vid_id, frame_idx ORDER BY coef, idx) AS rn
+         |    FROM fc WHERE idx > 0) WHERE rn = 8),
+         |dcv AS (SELECT vid_id, frame_idx, coef AS dc FROM fc WHERE idx = 0),
+         |bits AS (SELECT fc.vid_id, fc.frame_idx,
+         |    CAST(sum(CASE WHEN fc.coef > m.median_ac
+         |      THEN (CAST(1 AS BIGINT) << CAST(fc.idx - 1 AS INTEGER))
+         |      ELSE 0 END) AS BIGINT) AS phash
+         |  FROM fc JOIN med m ON m.vid_id = fc.vid_id
+         |    AND m.frame_idx = fc.frame_idx
+         |  WHERE fc.idx > 0 GROUP BY 1, 2)
+         |SELECT CAST(r.vid_id AS BIGINT) AS vid_id,
+         |  CAST(r.frame_idx AS BIGINT) AS frame_idx, nf.n_frames,
+         |  CAST(a.declared AS BIGINT) AS declared_frames,
+         |  CAST(a.mpf AS BIGINT) AS micros_per_frame,
+         |  d.dc, m.median_ac, b.phash
+         |FROM fr r
+         |  JOIN nf ON nf.vid_id = r.vid_id
+         |  JOIN avih a ON a.vid_id = r.vid_id
+         |  JOIN dcv d ON d.vid_id = r.vid_id AND d.frame_idx = r.frame_idx
+         |  JOIN med m ON m.vid_id = r.vid_id AND m.frame_idx = r.frame_idx
+         |  JOIN bits b ON b.vid_id = r.vid_id AND b.frame_idx = r.frame_idx
+         |ORDER BY vid_id, frame_idx""".stripMargin
+    },
 
     // the canonical-prefix 6-bit key, ONE global row_number (fine in the
     // oracle — the engine's two-level construction is the scale shape),

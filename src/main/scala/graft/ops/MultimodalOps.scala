@@ -577,8 +577,15 @@ object MultimodalOps {
         } else if (f == "avih" && size >= 40) {
           microsPerFrame = u32(dataOff)
           totalFrames = u32(dataOff + 16)
-        } else if (inMovi && isFrameChunk(f) && size >= 2 &&
-            (bytes(dataOff) & 0xff) == 0xff && (bytes(dataOff + 1) & 0xff) == 0xd8) {
+        } else if (inMovi && isFrameChunk(f) && size >= 2 && {
+            // JPEG SOI (the MJPEG class) or a full BMP file ('BM' — the
+            // fixture-grade uncompressed class: every frame byte is
+            // structurally addressable, so the SQL oracle can decode the
+            // SAME frames; real uncompressed AVI carries raw DIBs, which
+            // lack the file header ImageIO needs)
+            val b0 = bytes(dataOff) & 0xff; val b1 = bytes(dataOff + 1) & 0xff
+            (b0 == 0xff && b1 == 0xd8) || (b0 == 'B'.toInt && b1 == 'M'.toInt)
+          }) {
           frames += java.util.Arrays.copyOfRange(bytes, dataOff,
             dataOff + size.toInt)
         }
@@ -615,6 +622,36 @@ object MultimodalOps {
     * + featN² floats); a video fans out to ≤ nFrames/everyN rows, so size
     * the partitioning on expected frame counts, not payload counts.
     */
+  /** The container WALK alone — one row per sampled frame with the
+    * frame's raw payload still attached: (id, frame_idx, n_frames,
+    * declared_frames, micros_per_frame, frame). The composition point for
+    * putting any still-image tail under a video corpus ([[phashBits]]
+    * over the frame column is the q203 shape — container facts AND the
+    * per-frame integer pHash under one oracle gate); [[decodeVideoFrames]]
+    * stays the decode-fused form whose frames never leave the partition.
+    * Same drop semantics: non-AVI payloads vanish, truncation is
+    * detectable as n_frames < declared_frames.
+    */
+  def videoFrames(df: DataFrame, idCol: String, binCol: String,
+                  everyN: Int = 1): DataFrame = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    input.flatMap { case (id, bytes) =>
+      Option(bytes).flatMap(parseAvi).iterator.flatMap { avi =>
+        avi.frames.iterator.zipWithIndex
+          .filter { case (_, i) => i % everyN == 0 }
+          .map { case (frame, i) =>
+            (id, i, avi.frames.length.toLong, avi.declaredFrames,
+              avi.microsPerFrame, frame)
+          }
+      }
+    }.toDF(idCol, "frame_idx", "n_frames", "declared_frames",
+      "micros_per_frame", "frame")
+  }
+
   def decodeVideoFrames(df: DataFrame, idCol: String, binCol: String,
                         everyN: Int = 1, gridN: Int = 32,
                         featN: Int = 8): DataFrame = {

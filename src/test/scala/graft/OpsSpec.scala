@@ -1273,6 +1273,44 @@ class OpsSpec extends SparkTestBase {
       "truncated AVI must report fewer surviving frames than declared")
   }
 
+  test("videoFrames: payload-bearing walk — BMP frames accepted, facts match, pHash composes") {
+    // the q203 shape: container walk emits raw frame payloads so any
+    // still-image tail (here the integer pHash) runs under a video corpus
+    val fx = SparkEntry.aviFixtures.toDF("vid_id", "hex")
+      .select(col("vid_id"), unhex(col("hex")).as("payload"))
+    val frames = MultimodalOps.videoFrames(fx, "vid_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+    assert(frames.keySet === Set((1L, 0), (1L, 1), (2L, 0)))
+    // vid 1: both frames survive and match declared; vid 2 declares 5
+    // but carries 1 — the truncation signal
+    assert(frames((1L, 0)).getLong(2) === 2L &&
+      frames((1L, 0)).getLong(3) === 2L)
+    assert(frames((2L, 0)).getLong(2) === 1L &&
+      frames((2L, 0)).getLong(3) === 5L)
+    assert(frames((1L, 0)).getLong(4) === 40000L)
+    // the extracted frame payloads ARE the BMP fixtures byte-for-byte
+    def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+    assert(hex(frames((1L, 0)).getAs[Array[Byte]]("frame")) ===
+      SparkEntry.bmpFixtures(0)._2)
+    assert(hex(frames((2L, 0)).getAs[Array[Byte]]("frame")) ===
+      SparkEntry.bmpFixtures(1)._2)
+    // composing phashBits over the frames equals phashBits over the
+    // stills — the walk adds nothing to the image math
+    val viaVideo = MultimodalOps.phashBits(
+        MultimodalOps.videoFrames(fx, "vid_id", "payload")
+          .filter(col("vid_id") === 1)
+          .select(col("frame_idx").cast("long").as("img_id"), col("frame")),
+        "img_id", "frame", gridN = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val viaStills = MultimodalOps.phashBits(
+        SparkEntry.bmpFixtures.zipWithIndex
+          .map { case (f, i) => (i.toLong, f._2) }.toDF("img_id", "hex")
+          .select(col("img_id"), unhex(col("hex")).as("p")),
+        "img_id", "p", gridN = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(viaVideo === viaStills)
+  }
+
   // ---- BPE training ----
 
   test("trainBpe: hand-computed merge table on the classic corpus; round-trip") {
