@@ -102,26 +102,33 @@ object Bench {
     // source dir, so the queries' ensure step becomes a no-op): q89/q90
     // then time what they claim to — the probe of an existing index, not
     // an index build, which a real pipeline pays once per corpus
+    // tags include the DATA fingerprint (SparkEntry.corpusTagOf) so the
+    // queries' ensure stays a no-op during timing AND a regenerated
+    // dataset can never serve a stale prebuilt index
+    val docsTag = graft.SparkEntry.corpusTagOf(
+      graft.sources.Tables(spark, sfDir, "documents"), sfDir)
+    val embTag = graft.SparkEntry.corpusTagOf(
+      graft.sources.Tables(spark, sfDir, "embeddings"), sfDir)
     try graft.ops.DedupOps.ensureBandedIndex(
       graft.sources.Tables(spark, sfDir, "documents")
         .filter(org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0),
-      "graft_q89_corpus", corpusTag = sfDir)
+      "graft_q89_corpus", corpusTag = docsTag)
     catch { case _: Throwable => () }
     try graft.ops.SimilarityOps.ensureIvfIndex(
       graft.sources.Tables(spark, sfDir, "embeddings"),
-      "graft_q90_ivf", corpusTag = sfDir, nCells = 8)
+      "graft_q90_ivf", corpusTag = embTag, nCells = 8)
     catch { case _: Throwable => () }
     try graft.ops.SimilarityOps.ensureIvfPqIndex(
       graft.sources.Tables(spark, sfDir, "embeddings"),
-      "graft_q108_ivfpq", corpusTag = sfDir, nCells = 8)
+      "graft_q108_ivfpq", corpusTag = embTag, nCells = 8)
     catch { case _: Throwable => () }
     try graft.ops.SimilarityOps.ensureIvfPqIndex(
       graft.sources.Tables(spark, sfDir, "embeddings"),
-      "graft_q109_divfpq", corpusTag = sfDir, nCells = 8, coarse = "lattice")
+      "graft_q109_divfpq", corpusTag = embTag, nCells = 8, coarse = "lattice")
     catch { case _: Throwable => () }
     try graft.ops.SimilarityOps.ensureIvfPqIndex(
       graft.sources.Tables(spark, sfDir, "embeddings"),
-      "graft_q111_ivfadc", corpusTag = sfDir, nCells = 8, coarse = "lattice",
+      "graft_q111_ivfadc", corpusTag = embTag, nCells = 8, coarse = "lattice",
       encode = "residual")
     catch { case _: Throwable => () }
     // TWO timed passes, per-query MIN: a single sample records GC pauses /

@@ -19,6 +19,15 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** Persisted-store corpus tag: dataset dir + DATA fingerprint, so a
+    * dataset regenerated at the same path (or a stale warehouse from a
+    * prior session) misses the tag and rebuilds instead of serving
+    * outdated index state. Bench's index prebuilds derive the SAME tag so
+    * the queries' ensure step stays a no-op during timing.
+    */
+  private[graft] def corpusTagOf(df: DataFrame, d: String): String =
+    d + "#" + SimilarityOps.dataFingerprint(df)
+
   /** Catalog-safe table-name fragment derived from the dataset dir, so
     * same-session runs against DIFFERENT sf dirs keep disjoint persisted
     * state tables (a fixed global prefix would let two interleaved runs
@@ -746,7 +755,7 @@ object SparkEntry {
     "q89_persisted_index_dedup" -> { (s, d) =>
       val docs = t(s, d, "documents")
       DedupOps.ensureBandedIndex(docs.filter(col("doc_id") % 5 =!= 0),
-        "graft_q89_corpus", corpusTag = d)
+        "graft_q89_corpus", corpusTag = corpusTagOf(docs, d))
       DedupOps.probeBandedIndex(docs.filter(col("doc_id") % 5 === 0),
           "graft_q89_corpus")
         .orderBy(col("doc_id"))
@@ -760,7 +769,8 @@ object SparkEntry {
     // where both sides run the same quantizer)
     "q90_persisted_ivf_topk" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
-      SimilarityOps.ensureIvfIndex(emb, "graft_q90_ivf", corpusTag = d,
+      SimilarityOps.ensureIvfIndex(emb, "graft_q90_ivf",
+        corpusTag = corpusTagOf(emb, d),
         nCells = 8)
       SimilarityOps.ivfTopKPersisted(emb.filter(col("vec_id") < 5),
           "graft_q90_ivf", k = 10, nProbe = 8)
@@ -895,7 +905,8 @@ object SparkEntry {
     // oracle bit-for-bit, verifying the whole persisted lifecycle
     "q108_ivfpq_topk" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
-      SimilarityOps.ensureIvfPqIndex(emb, "graft_q108_ivfpq", corpusTag = d,
+      SimilarityOps.ensureIvfPqIndex(emb, "graft_q108_ivfpq",
+        corpusTag = corpusTagOf(emb, d),
         nCells = 8)
       SimilarityOps.ivfPqTopKPersisted(emb.filter(col("vec_id") % 100 === 7),
           "graft_q108_ivfpq", k = 10, nProbe = 8)
@@ -909,7 +920,8 @@ object SparkEntry {
     // can never make
     "q109_det_ivfpq_partial" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
-      SimilarityOps.ensureIvfPqIndex(emb, "graft_q109_divfpq", corpusTag = d,
+      SimilarityOps.ensureIvfPqIndex(emb, "graft_q109_divfpq",
+        corpusTag = corpusTagOf(emb, d),
         nCells = 8, coarse = "lattice")
       SimilarityOps.ivfPqTopKPersisted(emb.filter(col("vec_id") % 100 === 7),
           "graft_q109_divfpq", k = 10, nProbe = 2)
@@ -923,7 +935,8 @@ object SparkEntry {
     // this 2-of-8 partial probe is oracle-replayed end to end
     "q111_ivfadc_residual" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
-      SimilarityOps.ensureIvfPqIndex(emb, "graft_q111_ivfadc", corpusTag = d,
+      SimilarityOps.ensureIvfPqIndex(emb, "graft_q111_ivfadc",
+        corpusTag = corpusTagOf(emb, d),
         nCells = 8, coarse = "lattice", encode = "residual")
       SimilarityOps.ivfPqTopKPersisted(emb.filter(col("vec_id") % 100 === 7),
           "graft_q111_ivfadc", k = 10, nProbe = 2)
@@ -1392,7 +1405,8 @@ object SparkEntry {
     "q173_bm25_decontam" -> { (s, d) =>
       val docs = t(s, d, "documents")
       TextOps.ensureLexicalIndex(docs.filter(col("doc_id") % 29 =!= 0),
-        "graft_q173_lex", corpusTag = d, ngram = 2)
+        "graft_q173_lex", corpusTag = corpusTagOf(t(s, d, "documents"), d),
+        ngram = 2)
       TextOps.lexicalContaminationReport(
           docs.filter(col("doc_id") % 29 === 0), "graft_q173_lex",
           thresholdMicro = 200000000L)
@@ -1741,7 +1755,8 @@ object SparkEntry {
     // even the partial probe oracle-replayable
     "q186_ivfpq_probe_scaled" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
-      SimilarityOps.ensureIvfPqIndex(emb, "graft_q186_ivfpq", corpusTag = d,
+      SimilarityOps.ensureIvfPqIndex(emb, "graft_q186_ivfpq",
+        corpusTag = corpusTagOf(emb, d),
         nCells = 8, coarse = "lattice")
       val k = math.max(1L, emb.count() / 50L)
       val queries = emb.filter(pmod(DetHash.md5Hash60(
@@ -1839,7 +1854,8 @@ object SparkEntry {
     // matching but remain usable as external queries
     "q156_ivf_delete_probe" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
-      SimilarityOps.ensureIvfIndex(emb, "graft_q156_ivf", corpusTag = d,
+      SimilarityOps.ensureIvfIndex(emb, "graft_q156_ivf",
+        corpusTag = corpusTagOf(emb, d),
         nCells = 8)
       SimilarityOps.deleteFromIvfIndex(
         emb.filter(col("vec_id") % 7 === 1).select(col("vec_id")),
