@@ -1693,6 +1693,23 @@ object SparkEntry {
       SimilarityOps.knnIndexEdges(s, prefix).orderBy(col("a"), col("b"))
     },
 
+    // DELETE on the persisted kNN graph (the lifecycle's missing verb,
+    // and the one place delete must REPAIR state, not just filter: a
+    // dead neighbor occupied top-k slots, so touched vertices re-rank
+    // against the live store). The oracle is the batch mutual-kNN over
+    // the LIVE corpus at the plane count frozen on the FULL ensure corpus
+    // — equality IS the claim, crowded-out edges restored included
+    "q204_knn_index_delete" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val prefix = s"graft_q204_${dirTag(d)}_knn"
+      SimilarityOps.ensureKnnIndex(emb, prefix,
+        corpusTag = d + "#full#" + SimilarityOps.dataFingerprint(emb),
+        minCos = 0.2, kTop = 4)
+      SimilarityOps.deleteFromKnnIndex(
+        emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")), prefix)
+      SimilarityOps.knnIndexEdges(s, prefix).orderBy(col("a"), col("b"))
+    },
+
     // the OPERATING-POINT health audit: occupancy distribution + the
     // exact banded-join candidate volume Σ c·(c−1)/2 at this corpus's
     // auto point, and the skew flag (uniform-occupancy sizing vs the
@@ -4929,6 +4946,15 @@ object SparkEntry {
     "q200_knn_index_maintain" ->
       s"""WITH ${srpPairsAutoCte(0.2, planeCountSql =
              Some("SELECT count(*) FROM e WHERE vec_id % 5 <> 0"))},
+         |${knnEdgesCte(4)}
+         |SELECT a, b, cos FROM e0 ORDER BY a, b""".stripMargin,
+
+    // delete replay: the live corpus banded at the plane count the FULL
+    // ensure corpus froze, then the identical mutual-top-k tail — the
+    // engine's tombstone + touched-vertex re-rank must land exactly here
+    "q204_knn_index_delete" ->
+      s"""WITH ${srpPairsAutoCte(0.2, vertexFilter = "vec_id % 7 <> 3",
+             planeCountSql = Some("SELECT count(*) FROM embeddings"))},
          |${knnEdgesCte(4)}
          |SELECT a, b, cos FROM e0 ORDER BY a, b""".stripMargin,
 

@@ -1353,6 +1353,17 @@ object SimilarityOps {
         .select(col("epoch")).distinct()),
       Seq("epoch"), "left_semi")
 
+  /** [[committedRows]] minus the logical tombstones — the LIVE corpus
+    * view every kNN-index read and fold runs against. The `_deleted`
+    * table is churn-sized and broadcasts; physical removal is
+    * [[compactKnnIndex]]'s job.
+    */
+  private def liveRows(spark: org.apache.spark.sql.SparkSession,
+                       tablePrefix: String, table: String): DataFrame =
+    committedRows(spark, tablePrefix, table).join(
+      broadcast(spark.table(s"${tablePrefix}_deleted")),
+      Seq("id"), "left_anti")
+
   /** Content-derived epoch id of a batch: bit-XOR of the id hashes. A
     * RETRY of the same batch derives the same id, so its re-inserted rows
     * are byte-duplicates of the crashed attempt's orphans (absorbed by the
@@ -1437,6 +1448,7 @@ object SimilarityOps {
         m.getAs[Int]("buckets") == buckets &&
         m.getAs[Long]("target_occupancy") == targetOccupancy &&
         Seq(s"${tablePrefix}_vecs", s"${tablePrefix}_bands",
+          s"${tablePrefix}_deleted",
           s"${tablePrefix}_kept_v${m.getAs[Long]("version")}")
           .forall(spark.catalog.tableExists)
     }
@@ -1473,6 +1485,8 @@ object SimilarityOps {
         s"${tablePrefix}_bands", Seq("bucket"), buckets)
       Bucketing.writeBucketed(kept, s"${tablePrefix}_kept_v1", Seq("v"),
         buckets)
+      Bucketing.saveTable(
+        spark.emptyDataset[Long].toDF("id"), s"${tablePrefix}_deleted")
       // the commit: meta RECREATES on a fresh build — stale rows from a
       // previous corpus must not keep orphan epochs visible
       Bucketing.saveTable(
@@ -1530,17 +1544,23 @@ object SimilarityOps {
     val dim = m.getAs[Int]("dim")
     val buckets = m.getAs[Int]("buckets")
     val targetOcc = m.getAs[Long]("target_occupancy")
-    val vecs = committedRows(spark, tablePrefix, "vecs")
+    val vecs = liveRows(spark, tablePrefix, "vecs")
       .dropDuplicates("id")
-    val bands = committedRows(spark, tablePrefix, "bands")
+    val bands = liveRows(spark, tablePrefix, "bands")
     val kept = spark.table(s"${tablePrefix}_kept_v$v")
     import graft.functions.VectorExpressions.dotF
     // replayed ids drop structurally; consumed by banding AND verify AND
-    // the inserts — materialize the (batch-sized) frame once
+    // the inserts — materialize the (batch-sized) frame once. A
+    // TOMBSTONED id cannot re-enter before a compact (the banded-index
+    // X85 rule: the tombstone suppresses its stale committed rows, so a
+    // re-insert under the same id would vanish with them on read and
+    // resurface BOTH after a naive un-tombstone)
     val fresh = batch
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .dropDuplicates("id")
       .join(vecs.select(col("id")), Seq("id"), "left_anti")
+      .join(broadcast(spark.table(s"${tablePrefix}_deleted")),
+        Seq("id"), "left_anti")
       .withColumn("nrm", sqrt(dotF(col("vec"), col("vec"))))
       .localCheckpoint()
     if (fresh.isEmpty) return
@@ -1630,15 +1650,176 @@ object SimilarityOps {
 
   /** The served graph: mutual edges ([[mutualEdges]]) of the committed
     * kept lists — an (a, b)-keyed self-join over the O(n·kTop) state
-    * table, co-located on its `v` bucketing. Absence throws (an empty
-    * graph for "store not initialized" would read as "no near-dups").
+    * table, co-located on its `v` bucketing. Tombstoned endpoints are
+    * filtered at serve time (a churn-sized broadcast anti-join), so even
+    * the crash window between a delete's tombstone write and its kept
+    * re-rank commit serves NO deleted edge — conservatively: an edge a
+    * deleted node was crowding out reappears only once the re-rank
+    * commits. Absence throws (an empty graph for "store not initialized"
+    * would read as "no near-dups").
     */
   def knnIndexEdges(spark: org.apache.spark.sql.SparkSession,
                     tablePrefix: String): DataFrame = {
     val m = knnMetaHead(spark, tablePrefix).getOrElse(
       throw new IllegalStateException(
         s"no committed kNN index under '$tablePrefix' — run ensureKnnIndex"))
-    mutualEdges(spark.table(s"${tablePrefix}_kept_v${m.getAs[Long]("version")}"))
+    val del = spark.table(s"${tablePrefix}_deleted")
+    mutualEdges(
+      spark.table(s"${tablePrefix}_kept_v${m.getAs[Long]("version")}")
+        .join(broadcast(del.select(col("id").as("v"))), Seq("v"), "left_anti")
+        .join(broadcast(del.select(col("id").as("nb"))), Seq("nb"),
+          "left_anti"))
+  }
+
+  /** TOMBSTONE vectors out of the persisted kNN graph — and, unlike the
+    * probe-time indexes, REPAIR the affected state: a deleted neighbor
+    * occupied top-k SLOTS, so merely filtering it at serve time would
+    * leave every vertex that ranked it with a permanently shorter list
+    * (the pair it crowded out can never re-enter from the kept state
+    * alone). Deletion therefore re-ranks exactly the TOUCHED vertices —
+    * live vertices whose kept list names a tombstoned id — by re-probing
+    * THEIR band rows against the live store (|touched|-sized compute, the
+    * maintain economics in reverse), so the committed graph stays equal
+    * to the batch recompute over the live corpus at the frozen operating
+    * point (OpsSpec asserts it).
+    *
+    * Protocol: `_deleted` merges first (read-merge-replace of a
+    * churn-sized table, the [[deleteFromIvfIndex]] shape), then the
+    * repaired `_kept` snapshot, then the meta append commits. A crash
+    * after the tombstone write serves no deleted edge ([[knnIndexEdges]]
+    * filters endpoints) and the retry re-derives the same touched set
+    * from the still-committed kept lists. Re-deleting is a structural
+    * no-op. Tombstoned ids cannot re-enter via [[maintainKnnIndex]]
+    * before a [[compactKnnIndex]] (the banded-index rule).
+    */
+  def deleteFromKnnIndex(ids: DataFrame, tablePrefix: String,
+                         idCol: String = "vec_id"): Unit = {
+    val spark = ids.sparkSession
+    val m = knnMetaHead(spark, tablePrefix).getOrElse(
+      throw new IllegalStateException(
+        s"no committed kNN index under '$tablePrefix' — run ensureKnnIndex"))
+    val v = m.getAs[Long]("version")
+    val planes = m.getAs[Int]("planes")
+    val kTop = m.getAs[Int]("ktop")
+    val minCos = m.getAs[Double]("min_cos")
+    val buckets = m.getAs[Int]("buckets")
+    val merged = spark.table(s"${tablePrefix}_deleted")
+      .unionByName(ids.select(col(idCol).cast("long").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    import graft.sources.Bucketing
+    Bucketing.saveTable(merged, s"${tablePrefix}_deleted")
+    val del = spark.table(s"${tablePrefix}_deleted")
+    val kept = spark.table(s"${tablePrefix}_kept_v$v")
+    // touched = LIVE vertices whose kept list names ANY tombstoned id —
+    // the full set, not just this call's: a crashed prior delete left
+    // its vertices un-repaired and this pass self-heals them
+    val touched = kept
+      .join(broadcast(del.select(col("id").as("nb"))), Seq("nb"),
+        "left_semi")
+      .select(col("v"))
+      .join(broadcast(del.select(col("id").as("v"))), Seq("v"), "left_anti")
+      .distinct()
+      .localCheckpoint(true)
+    val hasDeadV = !kept
+      .join(broadcast(del.select(col("id").as("v"))), Seq("v"), "left_semi")
+      .isEmpty
+    if (touched.isEmpty && !hasDeadV) return // pure replay: nothing to do
+    // re-probe the touched vertices' bands against the live store —
+    // their FULL candidate set at the frozen point (top-k needs what the
+    // dead neighbor crowded out, which the kept state no longer holds)
+    val bandsLive = liveRows(spark, tablePrefix, "bands")
+    val vecsLive = liveRows(spark, tablePrefix, "vecs").dropDuplicates("id")
+    val tb = bandsLive.join(touched.withColumnRenamed("v", "id"), Seq("id"))
+    val cand = tb.select(col("tbl"), col("bucket"), col("id").as("v"))
+      .join(bandsLive.select(col("tbl"), col("bucket"), col("id").as("nb")),
+        Seq("tbl", "bucket"))
+      .filter(col("v") =!= col("nb"))
+      .select(col("v"), col("nb")).distinct()
+    import graft.functions.VectorExpressions.dotF
+    val va = vecsLive.select(col("id").as("v"), col("vec").as("va"),
+      col("nrm").as("na"))
+    val vb = vecsLive.select(col("id").as("nb"), col("vec").as("vb"),
+      col("nrm").as("nb_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("v")).orderBy(col("cos").desc, col("nb"))
+    val reRanked = cand.join(va, Seq("v")).join(vb, Seq("nb"))
+      .select(col("v"), col("nb"),
+        (dotF(col("va"), col("vb")) / (col("na") * col("nb_n"))).as("cos"))
+      .filter(col("cos") >= lit(minCos))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= kTop)
+      .select(col("v"), col("nb"), col("cos"))
+    val keptNext = kept
+      .join(broadcast(del.select(col("id").as("v"))), Seq("v"), "left_anti")
+      .join(touched, Seq("v"), "left_anti")
+      .unionByName(reRanked)
+      .localCheckpoint(true)
+    val next = v + 1L
+    Bucketing.writeBucketed(keptNext, s"${tablePrefix}_kept_v$next",
+      Seq("v"), buckets)
+    // the live count is RE-DERIVED, not decremented: a partially-replayed
+    // delete batch would double-decrement ids already subtracted by the
+    // crashed attempt's committed meta row
+    val nLive = vecsLive.count()
+    // a delete epoch's id is salted so it can never alias a data epoch of
+    // the same id set; no _vecs/_bands row carries it, so the committed
+    // view's semi-join simply never matches it
+    val delEpoch = epochIdOf(
+      del.select(concat(lit("del|"), col("id").cast("string")).as("id")))
+    import spark.implicits._
+    Seq((knnIndexFormatVersion, m.getAs[String]("corpus_tag"), planes,
+      kTop, minCos, m.getAs[Int]("n_tables"), m.getAs[Int]("dim"), buckets,
+      next, delEpoch,
+      nLive, m.getAs[Long]("target_occupancy")))
+      .toDF("fmt", "corpus_tag", "planes", "ktop", "min_cos", "n_tables",
+        "dim", "buckets", "version", "epoch", "n_vecs", "target_occupancy")
+      .write.mode("append").saveAsTable(s"${tablePrefix}_meta")
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(s"${tablePrefix}_kept_v"))
+      .map(_.stripPrefix(s"${tablePrefix}_kept_v"))
+      .filter(s => s.nonEmpty && s.forall(_.isDigit))
+      .map(_.toLong)
+      .filter(_ < next - 1L)
+      .foreach(n =>
+        Bucketing.dropTableAndLocation(spark, s"${tablePrefix}_kept_v$n"))
+  }
+
+  /** COMPACT the persisted kNN index: physically rewrite `_vecs`/`_bands`
+    * minus every tombstoned id (epoch stamps preserved — committed-epoch
+    * visibility survives the rewrite) and empty `_deleted`, making
+    * tombstoned ids APPENDABLE again. Corpus-sized I/O by design — run it
+    * when the tombstone set has grown, not per delete. Crash order:
+    * `_vecs` then `_bands` rewrite, `_deleted` clears LAST, so a crash at
+    * any table boundary leaves tombstones in force and reads stay
+    * correct; each rewrite itself is destructive-first (the
+    * [[compactBandedIndex]] contract — a crash mid-rewrite means rebuild
+    * via ensure under a new tag).
+    */
+  def compactKnnIndex(tablePrefix: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val m = knnMetaHead(spark, tablePrefix).getOrElse(
+      throw new IllegalStateException(
+        s"no committed kNN index under '$tablePrefix' — run ensureKnnIndex"))
+    val buckets = m.getAs[Int]("buckets")
+    val deleted = spark.table(s"${tablePrefix}_deleted")
+    if (deleted.isEmpty) return
+    import graft.sources.Bucketing
+    val vecsKeep = spark.table(s"${tablePrefix}_vecs")
+      .join(broadcast(deleted), Seq("id"), "left_anti")
+      .select(col("id"), col("vec"), col("nrm"), col("epoch"))
+      .localCheckpoint(true)
+    val bandsKeep = spark.table(s"${tablePrefix}_bands")
+      .join(broadcast(deleted), Seq("id"), "left_anti")
+      .select(col("id"), col("tbl"), col("bucket"), col("epoch"))
+      .localCheckpoint(true)
+    Bucketing.writeBucketed(vecsKeep, s"${tablePrefix}_vecs", Seq("id"),
+      buckets)
+    Bucketing.writeBucketed(bandsKeep, s"${tablePrefix}_bands",
+      Seq("bucket"), buckets)
+    import spark.implicits._
+    Bucketing.saveTable(
+      spark.emptyDataset[Long].toDF("id"), s"${tablePrefix}_deleted")
   }
 
   /** One-row OPERATING-POINT status of a persisted kNN index — the

@@ -4003,6 +4003,62 @@ class OpsSpec extends SparkTestBase {
     assert(keptVs.size <= 2 && keptVs.nonEmpty, "kept retention")
   }
 
+  test("deleteFromKnnIndex: tombstone + touched re-rank == live recompute; compact re-admits") {
+    import spark.implicits._
+    val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
+    val pfx = "graft_test_knn_del"
+    def edges() = SimilarityOps.knnIndexEdges(spark, pfx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def global(df: org.apache.spark.sql.DataFrame, planes: Int) =
+      SimilarityOps.knnFromPairs(
+          SimilarityOps.srpNearDupPairsSized(df, 0.2, planes), 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    try {
+      SimilarityOps.ensureKnnIndex(emb, pfx, corpusTag = "d#1",
+        minCos = 0.2, kTop = 4)
+      val planes = SimilarityOps.autoPlanes(emb.count())
+      val isDel = col("vec_id") % 7 === 3
+      // the fixture must exercise the REPAIR path: some live vertex must
+      // currently rank a to-be-deleted neighbor (else the test would pass
+      // on a filter-only implementation)
+      val keptHasDead = spark.table(pfx + "_kept_v1")
+        .join(emb.filter(isDel).select(col("vec_id").as("nb")), Seq("nb"),
+          "left_semi")
+      assert(!keptHasDead.isEmpty, "fixture exercises slot repair")
+      SimilarityOps.deleteFromKnnIndex(
+        emb.filter(isDel).select(col("vec_id")), pfx)
+      val served = edges()
+      assert(served === global(emb.filter(!isDel), planes),
+        "delete must equal the batch recompute over the LIVE corpus at " +
+          "the frozen point — slots a dead neighbor crowded out included")
+      assert(served.nonEmpty)
+      // re-delete: structural no-op (no new kept version)
+      def keptTables() = spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith(pfx + "_kept_v")).sorted.toSeq
+      val kv = keptTables()
+      SimilarityOps.deleteFromKnnIndex(
+        emb.filter(isDel).select(col("vec_id")), pfx)
+      assert(keptTables() === kv && edges() === served)
+      // a tombstoned id cannot re-enter before a compact
+      SimilarityOps.maintainKnnIndex(emb.filter(isDel), pfx)
+      assert(edges() === served,
+        "tombstoned ids must not re-enter before a compact")
+      // compact: physical removal, served graph unchanged, re-add folds
+      SimilarityOps.compactKnnIndex(pfx)
+      assert(spark.table(pfx + "_deleted").isEmpty)
+      assert(spark.table(pfx + "_vecs")
+        .join(emb.filter(isDel).select(col("vec_id").as("id")), Seq("id"),
+          "left_semi").isEmpty, "compact removes rows physically")
+      assert(edges() === served)
+      SimilarityOps.maintainKnnIndex(emb.filter(isDel), pfx)
+      assert(edges() === global(emb, planes),
+        "re-adding after compact folds back to the full recompute")
+    } finally spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(pfx)).foreach(t =>
+        graft.sources.Bucketing.dropTableAndLocation(spark, t))
+  }
+
   test("maintainKnnIndex: outgrowth past maxPlaneDrift fails loudly and commits nothing; drift within it folds") {
     import spark.implicits._
     def vecsDf(ids: Seq[Long]) = ids.map { i =>
