@@ -539,7 +539,7 @@ object DedupOps {
     val upToDate = try {
       bandedIndexTables
         .forall(s => spark.catalog.tableExists(s"${tablePrefix}_$s")) && {
-        val m = spark.table(s"${tablePrefix}_meta").head()
+        val m = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_meta").head()
         m.schema.fieldNames.contains("corpus_tag") &&
           m.schema.fieldNames.contains("fmt") &&
           m.getAs[Int]("fmt") == bandedIndexFormatVersion &&
@@ -554,8 +554,8 @@ object DedupOps {
         // through torn appends, so a violation means a corrupted index —
         // rebuild. One int-column anti-join with a limit-1 early exit,
         // paid once per session per ensure, not per probe.
-        spark.table(s"${tablePrefix}_bands").select(col("id"))
-          .join(spark.table(s"${tablePrefix}_sets").select(col("id")),
+        graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_bands").select(col("id"))
+          .join(graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_sets").select(col("id")),
             Seq("id"), "left_anti")
           .isEmpty
       }
@@ -596,7 +596,7 @@ object DedupOps {
                           newCorpusTag: String = "",
                           scope: CacheScope = CacheScope.default): Unit = {
     val spark = batch.sparkSession
-    val meta = spark.table(s"${tablePrefix}_meta").head()
+    val meta = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_meta").head()
     val (k, bands, shingleK, maxBucket) =
       (meta.getAs[Int]("k"), meta.getAs[Int]("bands"),
         meta.getAs[Int]("shingle_k"), meta.getAs[Int]("max_bucket"))
@@ -606,7 +606,7 @@ object DedupOps {
     // un-tombstone). Skip such rows; [[maintainBandedIndexFromDiff]]
     // compacts first so changed docs never hit this filter.
     val sets = shingleHashSets(batch, textCol, idCol, shingleK, scope)
-      .join(broadcast(spark.table(s"${tablePrefix}_deleted")),
+      .join(broadcast(graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_deleted")),
         Seq("id"), "left_anti")
     val capped = scope.register(
       plannedBandedAppend(sets, tablePrefix, k, bands, maxBucket))
@@ -638,10 +638,10 @@ object DedupOps {
                                          maxBucket: Int): DataFrame = {
     val spark = sets.sparkSession
     val banded = bandedSigsNative(sets, k, bands)
-      .join(spark.table(s"${tablePrefix}_dropped"),
+      .join(graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_dropped"),
         Seq("band_idx", "band_sig"), "left_anti")
     val touched = banded.select(col("band_idx"), col("band_sig")).distinct()
-    val existing = spark.table(s"${tablePrefix}_bands")
+    val existing = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_bands")
       .join(broadcast(touched), Seq("band_idx", "band_sig"), "left_semi")
       .groupBy(col("band_idx"), col("band_sig")).agg(count(lit(1)).as("bn0"))
     // per-ROW cap, not all-or-nothing: rows fill the bucket's remaining
@@ -676,7 +676,7 @@ object DedupOps {
   def deleteFromBandedIndex(ids: DataFrame, tablePrefix: String,
                             idCol: String = "doc_id"): Unit = {
     val spark = ids.sparkSession
-    val merged = spark.table(s"${tablePrefix}_deleted")
+    val merged = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_deleted")
       .unionByName(ids.select(col(idCol).cast("long").as("id")))
       .distinct()
       .localCheckpoint(true)
@@ -706,17 +706,17 @@ object DedupOps {
     */
   def compactBandedIndex(tablePrefix: String): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val meta = spark.table(s"${tablePrefix}_meta").head()
+    val meta = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_meta").head()
     val buckets = meta.getAs[Int]("buckets")
-    val deleted = spark.table(s"${tablePrefix}_deleted")
+    val deleted = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_deleted")
     if (!deleted.isEmpty) {
       // re-select the canonical column order: a USING join puts the join
       // key first, and later appends insertInto POSITIONALLY
-      val bandsKeep = spark.table(s"${tablePrefix}_bands")
+      val bandsKeep = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_bands")
         .join(broadcast(deleted), Seq("id"), "left_anti")
         .select(col("band_idx"), col("band_sig"), col("id"))
         .localCheckpoint(true)
-      val setsKeep = spark.table(s"${tablePrefix}_sets")
+      val setsKeep = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_sets")
         .join(broadcast(deleted), Seq("id"), "left_anti")
         .select(col("id"), col("hs"), col("sz"))
         .localCheckpoint(true)
@@ -759,14 +759,14 @@ object DedupOps {
     // anti-join would silently drop them and the index would diverge from
     // the new snapshot
     val appendingTombstoned = fresh.select(col(idCol).as("id"))
-      .join(spark0.table(s"${tablePrefix}_deleted"), Seq("id"), "left_semi")
+      .join(graft.sources.Bucketing.freshTable(spark0, s"${tablePrefix}_deleted"), Seq("id"), "left_semi")
     if (!appendingTombstoned.isEmpty) compactBandedIndex(tablePrefix)
     if (!fresh.isEmpty)
       appendToBandedIndex(fresh, tablePrefix, textCol, idCol,
         newCorpusTag, scope)
     else if (newCorpusTag.nonEmpty) {
       val spark = newSnapshot.sparkSession
-      val meta = spark.table(s"${tablePrefix}_meta").head()
+      val meta = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_meta").head()
       import spark.implicits._
       graft.sources.Bucketing.saveTable(
         Seq((meta.getAs[Int]("k"), meta.getAs[Int]("bands"),
@@ -802,13 +802,13 @@ object DedupOps {
     */
   def bandedIndexStats(spark: org.apache.spark.sql.SparkSession,
                        tablePrefix: String): DataFrame = {
-    val meta = spark.table(s"${tablePrefix}_meta")
+    val meta = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_meta")
       .select(col("corpus_tag"), col("fmt"), col("k"), col("bands"),
         col("max_bucket"))
-    val deleted = spark.table(s"${tablePrefix}_deleted")
-    val live = spark.table(s"${tablePrefix}_sets")
+    val deleted = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_deleted")
+    val live = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_sets")
       .join(broadcast(deleted), Seq("id"), "left_anti")
-    val bands = spark.table(s"${tablePrefix}_bands")
+    val bands = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_bands")
       .join(broadcast(deleted), Seq("id"), "left_anti")
     val bandAgg = bands.agg(count(lit(1)).as("n_band_rows"),
       count_distinct(col("band_idx"), col("band_sig")).as("n_buckets"))
@@ -819,7 +819,7 @@ object DedupOps {
       .crossJoin(broadcast(bandAgg))
       .crossJoin(broadcast(maxBucket))
       .crossJoin(broadcast(deleted.agg(count(lit(1)).as("n_tombstones"))))
-      .crossJoin(broadcast(spark.table(s"${tablePrefix}_dropped")
+      .crossJoin(broadcast(graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_dropped")
         .agg(count(lit(1)).as("n_dropped_buckets"))))
       .crossJoin(broadcast(meta))
   }
@@ -827,8 +827,8 @@ object DedupOps {
   def corpusPairsFromIndex(spark: org.apache.spark.sql.SparkSession,
                            tablePrefix: String,
                            minJaccard: Double = 0.8): DataFrame = {
-    val bands = spark.table(s"${tablePrefix}_bands")
-    val deleted = spark.table(s"${tablePrefix}_deleted")
+    val bands = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_bands")
+    val deleted = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_deleted")
     val cand = bands.select(col("band_idx"), col("band_sig"), col("id").as("a"))
       .join(bands.select(col("band_idx"), col("band_sig"), col("id").as("b")),
         Seq("band_idx", "band_sig"))
@@ -836,7 +836,7 @@ object DedupOps {
       .select(col("a"), col("b")).distinct()
       .join(broadcast(deleted.select(col("id").as("a"))), Seq("a"), "left_anti")
       .join(broadcast(deleted.select(col("id").as("b"))), Seq("b"), "left_anti")
-    val sets = spark.table(s"${tablePrefix}_sets")
+    val sets = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_sets")
     val sa = sets.select(col("id").as("a"), col("hs").as("hsa"), col("sz").as("sza"))
     val sb = sets.select(col("id").as("b"), col("hs").as("hsb"), col("sz").as("szb"))
     cand.join(sa, Seq("a")).join(sb, Seq("b"))
@@ -859,8 +859,8 @@ object DedupOps {
                               tablePrefix: String,
                               minJaccard: Double = 0.8,
                               idCol: String = "doc_id"): DataFrame = {
-    val vertices = spark.table(s"${tablePrefix}_sets").select(col("id"))
-      .join(broadcast(spark.table(s"${tablePrefix}_deleted")),
+    val vertices = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_sets").select(col("id"))
+      .join(broadcast(graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_deleted")),
         Seq("id"), "left_anti")
       .select(col("id").as(idCol))
     GraphOps.connectedComponents(
@@ -881,11 +881,11 @@ object DedupOps {
                        minJaccard: Double = 0.8,
                        scope: CacheScope = CacheScope.default): DataFrame = {
     val spark = batch.sparkSession
-    val meta = spark.table(s"${tablePrefix}_meta").head()
+    val meta = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_meta").head()
     val (k, bands, shingleK) =
       (meta.getAs[Int]("k"), meta.getAs[Int]("bands"), meta.getAs[Int]("shingle_k"))
-    val bandC = spark.table(s"${tablePrefix}_bands")
-    val setsC = spark.table(s"${tablePrefix}_sets")
+    val bandC = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_bands")
+    val setsC = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_sets")
     val setsB = shingleHashSets(batch, textCol, idCol, shingleK, scope)
     val bandB = bandedSigsNative(setsB, k, bands)
     val cand = bandB.select(col("band_idx"), col("band_sig"), col("id").as("a"))
@@ -894,7 +894,7 @@ object DedupOps {
       .select(col("a"), col("b")).distinct()
       // logical deletes: tombstoned corpus ids never match (batch-scaled
       // anti-join against the broadcast churn-sized tombstone set)
-      .join(broadcast(spark.table(s"${tablePrefix}_deleted")
+      .join(broadcast(graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_deleted")
         .select(col("id").as("b"))), Seq("b"), "left_anti")
     val sa = setsB.select(col("id").as("a"), col("hs").as("hsa"), col("sz").as("sza"))
     val sb = setsC.select(col("id").as("b"), col("hs").as("hsb"), col("sz").as("szb"))

@@ -316,7 +316,7 @@ object GraphOps {
       : Option[org.apache.spark.sql.Row] =
     if (!spark.catalog.tableExists(s"${tablePrefix}_meta")) None
     else {
-      val m = spark.table(s"${tablePrefix}_meta")
+      val m = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_meta")
       if (!Seq("fmt", "corpus_tag", "buckets", "version")
           .forall(m.columns.contains)) None
       else m.orderBy(col("version").desc).limit(1).collect().headOption

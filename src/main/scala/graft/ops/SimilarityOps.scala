@@ -1330,7 +1330,7 @@ object SimilarityOps {
       : Option[org.apache.spark.sql.Row] =
     if (!spark.catalog.tableExists(s"${tablePrefix}_meta")) None
     else {
-      val m = spark.table(s"${tablePrefix}_meta")
+      val m = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_meta")
       if (!Seq("fmt", "corpus_tag", "planes", "ktop", "min_cos", "n_tables",
           "dim", "buckets", "version", "epoch", "n_vecs",
           "target_occupancy").forall(m.columns.contains)) None
@@ -1348,8 +1348,9 @@ object SimilarityOps {
     */
   private def committedRows(spark: org.apache.spark.sql.SparkSession,
                             tablePrefix: String, table: String): DataFrame =
-    spark.table(s"${tablePrefix}_$table").join(
-      broadcast(spark.table(s"${tablePrefix}_meta")
+    graft.sources.Bucketing.freshTable(spark,
+        s"${tablePrefix}_$table").join(
+      broadcast(graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_meta")
         .select(col("epoch")).distinct()),
       Seq("epoch"), "left_semi")
 
@@ -1361,7 +1362,7 @@ object SimilarityOps {
   private def liveRows(spark: org.apache.spark.sql.SparkSession,
                        tablePrefix: String, table: String): DataFrame =
     committedRows(spark, tablePrefix, table).join(
-      broadcast(spark.table(s"${tablePrefix}_deleted")),
+      broadcast(graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_deleted")),
       Seq("id"), "left_anti")
 
   /** Content-derived epoch id of a batch: bit-XOR of the id hashes. A
@@ -1559,7 +1560,7 @@ object SimilarityOps {
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .dropDuplicates("id")
       .join(vecs.select(col("id")), Seq("id"), "left_anti")
-      .join(broadcast(spark.table(s"${tablePrefix}_deleted")),
+      .join(broadcast(graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_deleted")),
         Seq("id"), "left_anti")
       .withColumn("nrm", sqrt(dotF(col("vec"), col("vec"))))
       .localCheckpoint()
@@ -1663,7 +1664,7 @@ object SimilarityOps {
     val m = knnMetaHead(spark, tablePrefix).getOrElse(
       throw new IllegalStateException(
         s"no committed kNN index under '$tablePrefix' — run ensureKnnIndex"))
-    val del = spark.table(s"${tablePrefix}_deleted")
+    val del = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_deleted")
     mutualEdges(
       spark.table(s"${tablePrefix}_kept_v${m.getAs[Long]("version")}")
         .join(broadcast(del.select(col("id").as("v"))), Seq("v"), "left_anti")
@@ -1703,13 +1704,17 @@ object SimilarityOps {
     val kTop = m.getAs[Int]("ktop")
     val minCos = m.getAs[Double]("min_cos")
     val buckets = m.getAs[Int]("buckets")
-    val merged = spark.table(s"${tablePrefix}_deleted")
+    val merged = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_deleted")
       .unionByName(ids.select(col(idCol).cast("long").as("id")))
       .distinct()
       .localCheckpoint(true)
     import graft.sources.Bucketing
     Bucketing.saveTable(merged, s"${tablePrefix}_deleted")
-    val del = spark.table(s"${tablePrefix}_deleted")
+    // everything below uses the MATERIALIZED tombstone frame, never a
+    // re-read of the table this call just replaced — a cloned session's
+    // relation cache (streaming foreachBatch) can otherwise serve the
+    // pre-replace file listing mid-call
+    val del = merged
     val kept = spark.table(s"${tablePrefix}_kept_v$v")
     // touched = LIVE vertices whose kept list names ANY tombstoned id —
     // the full set, not just this call's: a crashed prior delete left
@@ -1802,14 +1807,14 @@ object SimilarityOps {
       throw new IllegalStateException(
         s"no committed kNN index under '$tablePrefix' — run ensureKnnIndex"))
     val buckets = m.getAs[Int]("buckets")
-    val deleted = spark.table(s"${tablePrefix}_deleted")
+    val deleted = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_deleted")
     if (deleted.isEmpty) return
     import graft.sources.Bucketing
-    val vecsKeep = spark.table(s"${tablePrefix}_vecs")
+    val vecsKeep = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_vecs")
       .join(broadcast(deleted), Seq("id"), "left_anti")
       .select(col("id"), col("vec"), col("nrm"), col("epoch"))
       .localCheckpoint(true)
-    val bandsKeep = spark.table(s"${tablePrefix}_bands")
+    val bandsKeep = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_bands")
       .join(broadcast(deleted), Seq("id"), "left_anti")
       .select(col("id"), col("tbl"), col("bucket"), col("epoch"))
       .localCheckpoint(true)
@@ -2029,8 +2034,8 @@ object SimilarityOps {
     * [[compactIvfIndex]] amortizes them away physically. */
   private[graft] def liveCells(spark: org.apache.spark.sql.SparkSession,
                                tablePrefix: String, memberId: String): DataFrame =
-    spark.table(s"${tablePrefix}_cells").join(
-      broadcast(spark.table(s"${tablePrefix}_deleted")
+    graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_cells").join(
+      broadcast(graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_deleted")
         .withColumnRenamed("id", memberId)),
       Seq(memberId), "left_anti")
 
@@ -2092,7 +2097,7 @@ object SimilarityOps {
     val upToDate = try {
       Seq("cells", "centroids", "meta", "deleted")
         .forall(s => spark.catalog.tableExists(s"${tablePrefix}_$s")) && {
-        val m = spark.table(s"${tablePrefix}_meta").head()
+        val m = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_meta").head()
         m.schema.fieldNames.contains("fmt") &&
           m.getAs[Int]("fmt") == ivfIndexFormatVersion &&
           m.getAs[String]("corpus_tag") == corpusTag &&
@@ -2124,14 +2129,14 @@ object SimilarityOps {
                        vecCol: String = "embedding"): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val centers: Array[Array[Double]] = spark.table(s"${tablePrefix}_centroids")
+    val centers: Array[Array[Double]] = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_centroids")
       .orderBy(col("cell"))
       .collect().map(_.getAs[scala.collection.Seq[Double]]("center").toArray)
     val bcCenters = spark.sparkContext.broadcast(centers)
     // an un-compacted tombstoned id cannot be re-appended: its stale cells
     // rows would resurface the moment the tombstone lifted — skip such ids
     // until a [[compactIvfIndex]] (the banded-index append contract)
-    val dels = spark.table(s"${tablePrefix}_deleted")
+    val dels = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_deleted")
     val admissible = batch.join(broadcast(dels),
       batch(idCol).cast("long") === dels("id"), "left_anti")
     val assigned = admissible
@@ -2175,7 +2180,7 @@ object SimilarityOps {
   def deleteFromIvfIndex(ids: DataFrame, tablePrefix: String,
                          idCol: String = "vec_id"): Unit = {
     val spark = ids.sparkSession
-    val merged = spark.table(s"${tablePrefix}_deleted")
+    val merged = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_deleted")
       .unionByName(ids.select(col(idCol).cast("long").as("id")))
       .distinct()
       .localCheckpoint(true)
@@ -2203,11 +2208,11 @@ object SimilarityOps {
   def compactIvfIndex(tablePrefix: String): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
-    val buckets = spark.table(s"${tablePrefix}_meta").head()
+    val buckets = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_meta").head()
       .getAs[Int]("buckets")
-    val deleted = spark.table(s"${tablePrefix}_deleted")
+    val deleted = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_deleted")
     if (!deleted.isEmpty) {
-      val cells = spark.table(s"${tablePrefix}_cells")
+      val cells = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_cells")
       val memberId =
         if (cells.columns.contains("neighbor_id")) "neighbor_id" else "vec_id"
       // canonical column order preserved: anti-join keeps the left side's
@@ -2234,7 +2239,7 @@ object SimilarityOps {
     */
   private def restampIvfTag(spark: org.apache.spark.sql.SparkSession,
                             tablePrefix: String, tag: String): Unit = {
-    val updated = spark.table(s"${tablePrefix}_meta")
+    val updated = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_meta")
       .withColumn("corpus_tag", lit(tag))
       .localCheckpoint(true)
     graft.sources.Bucketing.saveTable(updated, s"${tablePrefix}_meta")
@@ -2275,7 +2280,7 @@ object SimilarityOps {
     // a removals-only cycle) forces the compact — the append's anti-join
     // would otherwise silently drop it
     val appendingTombstoned = fresh.select(col(idCol).cast("long").as("id"))
-      .join(spark.table(s"${tablePrefix}_deleted"), Seq("id"), "left_semi")
+      .join(graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_deleted"), Seq("id"), "left_semi")
     if (!appendingTombstoned.isEmpty) compactIvfIndex(tablePrefix)
     if (!fresh.isEmpty) append(fresh)
     if (newCorpusTag.nonEmpty) restampIvfTag(spark, tablePrefix, newCorpusTag)
@@ -2322,7 +2327,7 @@ object SimilarityOps {
   def ivfDriftReport(spark: org.apache.spark.sql.SparkSession,
                      tablePrefix: String): DataFrame = {
     val cells = liveCells(spark, tablePrefix, "neighbor_id")
-    val cents = spark.table(s"${tablePrefix}_centroids")
+    val cents = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_centroids")
       .select(col("cell"), col("center").cast("array<float>").as("ctr"))
     val total = cells.agg(count(lit(1)).cast("double").as("n_total"))
     cells.join(broadcast(cents), Seq("cell"))
@@ -2346,7 +2351,7 @@ object SimilarityOps {
                       tablePrefix: String,
                       maxShareFactor: Double = 4.0,
                       maxMeanResidual: Double = 0.5): DataFrame = {
-    val nCells = spark.table(s"${tablePrefix}_meta").head().getAs[Int]("n_cells")
+    val nCells = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_meta").head().getAs[Int]("n_cells")
     ivfDriftReport(spark, tablePrefix)
       .agg(count(lit(1)).as("n_live_cells"),
         sum(col("n_members")).as("n_vectors"),
@@ -2376,7 +2381,7 @@ object SimilarityOps {
                        excludeSelf: Boolean = true): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val centers: Array[Array[Double]] = spark.table(s"${tablePrefix}_centroids")
+    val centers: Array[Array[Double]] = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_centroids")
       .orderBy(col("cell"))
       .collect().map(_.getAs[scala.collection.Seq[Double]]("center").toArray)
     val members = liveCells(spark, tablePrefix, "neighbor_id")
@@ -2885,7 +2890,7 @@ object SimilarityOps {
   /** True when a persisted IVF-PQ index stores RESIDUAL codes. */
   private def ivfPqIsResidual(spark: org.apache.spark.sql.SparkSession,
                               tablePrefix: String): Boolean = {
-    val m = spark.table(s"${tablePrefix}_meta").head()
+    val m = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_meta").head()
     m.schema.fieldNames.contains("encode") &&
       m.getAs[String]("encode") == "residual"
   }
@@ -2893,7 +2898,7 @@ object SimilarityOps {
   /** (cell, cq) integer centroids of a persisted lattice-coarse index. */
   private def ivfPqCentsQ(spark: org.apache.spark.sql.SparkSession,
                           tablePrefix: String): DataFrame =
-    spark.table(s"${tablePrefix}_centroids")
+    graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_centroids")
       .select(col("cell"), col("center_q").as("cq"))
 
   /** Summed-LUT ADC distance over code columns `c0..c{M-1}` joined with
@@ -3065,7 +3070,7 @@ object SimilarityOps {
     val upToDate = try {
       Seq("cells", "centroids", "codebook", "meta", "deleted")
         .forall(s => spark.catalog.tableExists(s"${tablePrefix}_$s")) && {
-        val m = spark.table(s"${tablePrefix}_meta").head()
+        val m = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_meta").head()
         m.schema.fieldNames.contains("fmt") &&
           m.getAs[Int]("fmt") == ivfPqIndexFormatVersion &&
           m.getAs[String]("corpus_tag") == corpusTag &&
@@ -3087,10 +3092,10 @@ object SimilarityOps {
     * tables (a model-sized collect: numSub·numCentroids codebook rows). */
   private[graft] def readPqModel(spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String): (Double, Array[Array[Array[Int]]]) = {
-    val meta = spark.table(s"${tablePrefix}_meta").head()
+    val meta = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_meta").head()
     val (numSub, nc) = (meta.getAs[Int]("num_sub"), meta.getAs[Int]("num_centroids"))
     val cb: Array[Array[Array[Int]]] = Array.ofDim(numSub, nc)
-    spark.table(s"${tablePrefix}_codebook").collect().foreach { r =>
+    graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_codebook").collect().foreach { r =>
       cb(r.getAs[Int]("m"))(r.getAs[Int]("cell")) =
         r.getAs[scala.collection.Seq[Int]]("cvec").toArray
     }
@@ -3110,7 +3115,7 @@ object SimilarityOps {
                          vecCol: String = "embedding"): Unit = {
     val spark = batch.sparkSession
     // tombstoned ids skip until a compact (see [[appendToIvfIndex]])
-    val dels = spark.table(s"${tablePrefix}_deleted")
+    val dels = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_deleted")
     val admissible = batch.join(broadcast(dels),
       batch(idCol).cast("long") === dels("id"), "left_anti")
     ivfPqAssignCodes(admissible, tablePrefix, idCol, vecCol)
@@ -3183,10 +3188,10 @@ object SimilarityOps {
                          nearest: Int = 1): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val meta = spark.table(s"${tablePrefix}_meta").head()
+    val meta = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_meta").head()
     val lattice = meta.getAs[String]("coarse") == "lattice"
     val scale = meta.getAs[Double]("scale")
-    val cents = spark.table(s"${tablePrefix}_centroids").orderBy(col("cell"))
+    val cents = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_centroids").orderBy(col("cell"))
     val typed = vectors.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<float>").as("v")).as[(Long, Array[Float])]
     if (lattice) {

@@ -57,6 +57,12 @@ object Bucketing {
   def saveTable(df: DataFrame, table: String): Unit = {
     dropTableAndLocation(df.sparkSession, table)
     df.write.mode("overwrite").saveAsTable(table)
+    // a cloned session (foreachBatch runs micro-batches in one) can hold
+    // the PRE-replace file listing in its relation cache — a later read
+    // through it dies with FAILED_READ_FILE on the deleted part files.
+    // Refresh through the writing session so every cache drops the stale
+    // listing (observed live under streaming retraction, hive catalog)
+    df.sparkSession.catalog.refreshTable(table)
   }
 
   /** Write `df` as a managed parquet table bucketed and sorted by `key`. */
@@ -76,11 +82,31 @@ object Bucketing {
       .sortBy(keys.head, keys.tail: _*)
       .mode("overwrite")
       .saveAsTable(table)
+    // drop any stale pre-replace file listing (see saveTable)
+    df.sparkSession.catalog.refreshTable(table)
   }
 
   /** Read a bucketed table back (bucket metadata comes from the catalog). */
   def readTable(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Read a MUTABLE store table (tombstones, meta pointers, appended
+    * corpus tables) with the reader session's relation cache dropped
+    * first. Spark caches a resolved table's FILE LISTING per session; a
+    * replace (drop + recreate) or append performed by ANOTHER session —
+    * a streaming foreachBatch clone, a second pipeline — leaves this
+    * session's cached listing pointing at deleted files (FAILED_READ_FILE
+    * crash, observed live) or missing the appended ones (silent stale
+    * read). Writer-side refreshes cannot fix readers: the cache is
+    * per-SessionCatalog. Immutable tables (versioned snapshots — a new
+    * name per version) don't need this.
+    */
+  def freshTable(spark: org.apache.spark.sql.SparkSession,
+                 table: String): DataFrame = {
+    try spark.catalog.refreshTable(table)
+    catch { case scala.util.control.NonFatal(_) => () }
+    spark.table(table)
+  }
 
   /** Write `df` hive-style partitioned by `partitionCols` — the layout that
     * turns partition-key predicates into directory pruning: a reader's

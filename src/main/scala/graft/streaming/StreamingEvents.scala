@@ -1075,6 +1075,27 @@ object StreamingEvents {
             idCol, vecCol)
       }
 
+  /** The DELETE feed of the kNN lifecycle — [[knnGraphIngest]]'s
+    * retraction sibling: a stream of vector IDS (takedowns, crawl
+    * removals, [[graft.ops.RelationalOps.snapshotDiff]]'s `removed` side)
+    * tombstones out of the persisted graph with the touched-vertex
+    * repair ([[graft.ops.SimilarityOps.deleteFromKnnIndex]]), so the
+    * served edges stay equal to the recompute over the live corpus at
+    * every commit. Replayed ids are structural no-ops; the serve-time
+    * endpoint filter covers the tombstone-to-commit crash window.
+    */
+  def knnGraphRetract(ids: DataFrame, tablePrefix: String,
+                      checkpointDir: String,
+                      idCol: String = "vec_id"): DataStreamWriter[Row] =
+    ids.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.SimilarityOps.deleteFromKnnIndex(batch, tablePrefix,
+            idCol)
+      }
+
   /** The newest COMMITTED `v<epoch>/` snapshot written by [[upsertSink]]:
     * only directories with a `_SUCCESS` marker count (a crash mid-write
     * leaves a partial directory that must never serve as a base), and

@@ -646,6 +646,36 @@ class StreamingSpec extends SparkTestBase {
     assert(served.nonEmpty)
   }
 
+  test("knnGraphRetract: streamed id deletions serve the live recompute at every commit; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.SimilarityOps
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-knnr-ck").toString
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf001, "embeddings")
+      .localCheckpoint()
+    SimilarityOps.ensureKnnIndex(emb, "graft_test_rknn",
+      corpusTag = "rk#full", minCos = 0.2, kTop = 4)
+    val planes = SimilarityOps.autoPlanes(emb.count())
+    val dels = emb.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id")).as[Long].collect().toSeq
+    val (ep1, ep2) = dels.partition(_ % 2 == 0)
+    val mem = MemoryStream[Long]
+    val query = StreamingEvents.knnGraphRetract(
+      mem.toDF().toDF("vec_id"), "graft_test_rknn", ckpt).start()
+    // epoch 3 replays epoch 1's ids — must fold to a no-op
+    val epochs = Seq(ep1, ep2, ep1.take(3))
+    try epochs.foreach { e => mem.addData(e: _*); query.processAllAvailable() }
+    finally query.stop()
+    val served = SimilarityOps.knnIndexEdges(spark, "graft_test_rknn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val global = SimilarityOps.knnFromPairs(
+      SimilarityOps.srpNearDupPairsSized(
+        emb.filter(col("vec_id") % 7 =!= 3), 0.2, planes), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served === global,
+      "streamed retractions must serve the live-corpus recompute exactly")
+    assert(served.nonEmpty)
+  }
+
   test("scd2Ingest: streamed history == batch builder incl. a late splice; no-ops compact only past the horizon") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.EventOps
