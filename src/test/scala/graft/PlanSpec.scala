@@ -752,6 +752,29 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("knnIndexEdges serve plan: tombstone filters broadcast, mutual join equi-keyed, no cartesian") {
+    // the serve path runs per read — its cost class must stay: two
+    // churn-sized BROADCAST anti-joins for the tombstones (a shuffled
+    // anti-join would re-partition the n·k kept table per read) and the
+    // (a,b)-keyed mutual self-join; nothing corpus-cartesian
+    import graft.ops.SimilarityOps
+    val emb = graft.sources.Tables(spark, SparkTestBase.sf001, "embeddings")
+    val pfx = "plan_knn_serve"
+    try {
+      SimilarityOps.ensureKnnIndex(emb, pfx, corpusTag = "p#1",
+        minCos = 0.2, kTop = 4)
+      val p = SimilarityOps.knnIndexEdges(spark, pfx)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), "serve plans a cartesian")
+      val anti = p.linesIterator.filter(_.contains("LeftAnti")).toSeq
+      assert(anti.size >= 2, s"both endpoint tombstone filters expected:\n${anti.mkString("\n")}")
+      assert(anti.forall(_.contains("Broadcast")),
+        s"tombstone anti-joins must broadcast, never shuffle the kept table:\n${anti.mkString("\n")}")
+    } finally spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(pfx)).foreach(t =>
+        graft.sources.Bucketing.dropTableAndLocation(spark, t))
+  }
+
   test("kNN graph tier: rank window keyed + WindowGroupLimit, mutual join equi-keyed, no cartesian") {
     // q189/q197's scale claim rests on three plan facts: the per-vertex
     // rank never global-sorts (partitioned by v, rank<=k pushes into
