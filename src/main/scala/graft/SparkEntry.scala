@@ -1674,12 +1674,15 @@ object SparkEntry {
 
     // the PERSISTED mutual-kNN graph lifecycle (the bounded-graph tier's
     // q196): ensure freezes the SRP operating point on the base corpus
-    // (vec_id % 5 ≠ 0) and builds the per-vertex kept lists; maintain
-    // folds the remaining vectors in with BATCH-SIZED compute (band the
-    // batch at the frozen planes, probe the stored bands, re-rank only
-    // touched vertices); the served mutual edges must equal the batch
-    // knnGraph over the FULL corpus at that frozen point — the top-k
-    // merge property, and equality IS the oracle claim
+    // (vec_id % 5 ≠ 0) — plane count AND the hot-cell split layout
+    // (splitOccupancy = 8 so verify-scale genuinely exercises split
+    // cells, the q202 convention) — and builds the per-vertex kept
+    // lists; maintain folds the remaining vectors in with BATCH-SIZED
+    // compute (band the batch at the frozen layout, probe the stored
+    // bands on (tbl, bucket, sub), re-rank only touched vertices, append
+    // only the touched kept delta); the served mutual edges must equal
+    // the batch knnGraph over the FULL corpus at that frozen layout —
+    // the top-k merge property, and equality IS the oracle claim
     "q200_knn_index_maintain" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
       val isOld = (c: org.apache.spark.sql.Column) => c % 5 =!= 0
@@ -1687,7 +1690,7 @@ object SparkEntry {
       SimilarityOps.ensureKnnIndex(emb.filter(isOld(col("vec_id"))), prefix,
         // the q196 tag convention: path + data fingerprint
         corpusTag = d + "#base#" + SimilarityOps.dataFingerprint(emb),
-        minCos = 0.2, kTop = 4)
+        minCos = 0.2, kTop = 4, splitOccupancy = 8)
       SimilarityOps.maintainKnnIndex(emb.filter(!isOld(col("vec_id"))),
         prefix)
       SimilarityOps.knnIndexEdges(s, prefix).orderBy(col("a"), col("b"))
@@ -1696,15 +1699,16 @@ object SparkEntry {
     // DELETE on the persisted kNN graph (the lifecycle's missing verb,
     // and the one place delete must REPAIR state, not just filter: a
     // dead neighbor occupied top-k slots, so touched vertices re-rank
-    // against the live store). The oracle is the batch mutual-kNN over
-    // the LIVE corpus at the plane count frozen on the FULL ensure corpus
-    // — equality IS the claim, crowded-out edges restored included
+    // against the live store on the frozen (tbl, bucket, sub) layout).
+    // The oracle is the batch mutual-kNN over the LIVE corpus at the
+    // layout frozen on the FULL ensure corpus — plane count and split
+    // cells — equality IS the claim, crowded-out edges restored included
     "q204_knn_index_delete" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
       val prefix = s"graft_q204_${dirTag(d)}_knn"
       SimilarityOps.ensureKnnIndex(emb, prefix,
         corpusTag = d + "#full#" + SimilarityOps.dataFingerprint(emb),
-        minCos = 0.2, kTop = 4)
+        minCos = 0.2, kTop = 4, splitOccupancy = 8)
       SimilarityOps.deleteFromKnnIndex(
         emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")), prefix)
       SimilarityOps.knnIndexEdges(s, prefix).orderBy(col("a"), col("b"))
@@ -2714,10 +2718,14 @@ object SparkEntry {
     * table here spans the FULL stride so every possible extension plane
     * exists; `proj` therefore projects all stride planes per table —
     * oracle-scale cost, the engine computes extensions only for hot
-    * members.
+    * members. The `maxBucket` pathology cap is mirrored at the engine's
+    * POST-split semantics: cold cells drop past it, split cells drop per
+    * over-cap SUB-cell (a cell the cap would have dropped un-split is
+    * deliberately rescued when its sub-cells land under it).
     */
   private def srpPairsSplitAutoCte(minCos: Double, splitOcc: Long,
-                                   vertexFilter: String = "TRUE"): String = {
+                                   vertexFilter: String = "TRUE",
+                                   maxBucket: Long = 10000L): String = {
     val stride = SimilarityOps.srpPlaneStride
     s"""planes AS (${ops.DetHash.sqlPlanesStridedCte(6, stride, stride, 64)}),
        |e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
@@ -2748,10 +2756,80 @@ object SparkEntry {
        |  FROM hotm h JOIN proj p2 ON p2.vec_id = h.vec_id AND p2.tbl = h.tbl
        |  CROSS JOIN np WHERE p2.i >= np.np
        |  GROUP BY h.tbl, h.bucket, h.vec_id),
+       |extc AS MATERIALIZED (SELECT tbl, bucket, sub,
+       |    CAST(count(*) AS BIGINT) AS bn2
+       |  FROM ext GROUP BY 1, 2, 3),
        |b2 AS MATERIALIZED (
        |  SELECT b.tbl, b.bucket, CAST(0 AS BIGINT) AS sub, b.vec_id
        |  FROM b JOIN bd ON bd.tbl = b.tbl AND bd.bucket = b.bucket
-       |  WHERE bd.bn <= $splitOcc
+       |  WHERE bd.bn <= $splitOcc AND bd.bn <= $maxBucket
+       |  UNION ALL
+       |  SELECT x.tbl, x.bucket, x.sub, x.vec_id FROM ext x
+       |  JOIN extc c ON c.tbl = x.tbl AND c.bucket = x.bucket
+       |    AND c.sub = x.sub
+       |  WHERE c.bn2 <= $maxBucket),
+       |cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+       |  FROM b2 l JOIN b2 r ON l.tbl = r.tbl AND l.bucket = r.bucket
+       |    AND l.sub = r.sub AND l.vec_id < r.vec_id),
+       |pr2 AS (SELECT a, b, cos FROM (
+       |    SELECT c.a, c.b, ${sqlCos("ae", "be")} AS cos
+       |    FROM cand c JOIN e ae ON ae.vec_id = c.a JOIN e be ON be.vec_id = c.b)
+       |  WHERE cos >= $minCos)""".stripMargin
+  }
+
+  /** The FROZEN-LAYOUT split pair CTE — mirrors the persisted kNN
+    * lifecycle's banding ([[graft.ops.SimilarityOps.knnGraphFrozen]]):
+    * plane count from `planeCountSql` (the ensure corpus's count), split
+    * cells (per-bucket δ by the identical integer-shift rule) frozen on
+    * the `freezeFilter` subset's occupancy, and EVERY `memberFilter` row
+    * — including vectors folded in epochs later or surviving a delete —
+    * re-keyed by that frozen layout before the shared candidate + verify
+    * tail. No occupancy drop cap: the lifecycle applies none
+    * (batch-recompute equality across epochs forbids dropping cells).
+    */
+  private def srpPairsSplitFrozenCte(minCos: Double, splitOcc: Long,
+                                     memberFilter: String = "TRUE",
+                                     freezeFilter: String = "TRUE",
+                                     planeCountSql: Option[String] = None)
+      : String = {
+    val stride = SimilarityOps.srpPlaneStride
+    val cnt = planeCountSql.getOrElse("SELECT count(*) FROM ef")
+    s"""planes AS (${ops.DetHash.sqlPlanesStridedCte(6, stride, stride, 64)}),
+       |e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+       |  WHERE $memberFilter),
+       |ef AS MATERIALIZED (SELECT vec_id FROM embeddings
+       |  WHERE $freezeFilter),
+       |np AS MATERIALIZED (SELECT least(24, coalesce(
+       |    (SELECT min(p) FROM range(4, 25) t(p)
+       |     WHERE (($cnt) >> p) <= 8), 24)) AS np),
+       |proj AS MATERIALIZED (SELECT p.p // $stride AS tbl, p.p % $stride AS i, a.vec_id,
+       |    list_sum(list_transform(list_zip(a.embedding, p.cs), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS pr
+       |  FROM embeddings a CROSS JOIN planes p),
+       |b AS MATERIALIZED (SELECT tbl, vec_id,
+       |    sum(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS bucket
+       |  FROM proj CROSS JOIN np WHERE i < np.np GROUP BY tbl, vec_id),
+       |bc AS MATERIALIZED (SELECT b.tbl, b.bucket,
+       |    CAST(count(*) AS BIGINT) AS bn
+       |  FROM b JOIN ef ON ef.vec_id = b.vec_id GROUP BY 1, 2),
+       |bd AS MATERIALIZED (SELECT bc.tbl, bc.bucket,
+       |    coalesce((SELECT min(d) FROM range(0, ${stride + 1}) t(d)
+       |      WHERE d <= $stride - np.np AND (bc.bn >> d) <= $splitOcc),
+       |      $stride - np.np) AS delta
+       |  FROM bc CROSS JOIN np WHERE bc.bn > $splitOcc),
+       |bm AS MATERIALIZED (SELECT b.tbl, b.bucket, b.vec_id
+       |  FROM b JOIN e ON e.vec_id = b.vec_id),
+       |hotm AS MATERIALIZED (SELECT bm.tbl, bm.bucket, bm.vec_id, bd.delta
+       |  FROM bm JOIN bd ON bd.tbl = bm.tbl AND bd.bucket = bm.bucket),
+       |ext AS MATERIALIZED (SELECT h.tbl, h.bucket, h.vec_id,
+       |    sum(CASE WHEN p2.pr >= 0 AND p2.i < np.np + h.delta
+       |      THEN (CAST(1 AS BIGINT) << (p2.i - np.np)) ELSE 0 END) AS sub
+       |  FROM hotm h JOIN proj p2 ON p2.vec_id = h.vec_id AND p2.tbl = h.tbl
+       |  CROSS JOIN np WHERE p2.i >= np.np
+       |  GROUP BY h.tbl, h.bucket, h.vec_id),
+       |b2 AS MATERIALIZED (
+       |  SELECT bm.tbl, bm.bucket, CAST(0 AS BIGINT) AS sub, bm.vec_id
+       |  FROM bm LEFT JOIN bd ON bd.tbl = bm.tbl AND bd.bucket = bm.bucket
+       |  WHERE bd.tbl IS NULL
        |  UNION ALL
        |  SELECT tbl, bucket, sub, vec_id FROM ext),
        |cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
@@ -4939,22 +5017,25 @@ object SparkEntry {
       s"""WITH RECURSIVE $semanticCcAutoCte
          |SELECT x AS vec_id, comp FROM cc ORDER BY vec_id""".stripMargin,
 
-    // the batch kNN graph over the FULL corpus at the plane count the
-    // engine FROZE on the base (vec_id % 5 ≠ 0) — the incremental
-    // ensure + maintain path must serve exactly this edge set, cosines
-    // included (the shared exact-double shape)
+    // the batch kNN graph over the FULL corpus at the layout the engine
+    // FROZE on the base (vec_id % 5 ≠ 0): plane count AND hot-cell split
+    // depths both re-derived from the base subset's counts by the same
+    // integer rules, every later-epoch vector re-keyed by them — the
+    // incremental ensure + maintain path must serve exactly this edge
+    // set, cosines included (the shared exact-double shape)
     "q200_knn_index_maintain" ->
-      s"""WITH ${srpPairsAutoCte(0.2, planeCountSql =
-             Some("SELECT count(*) FROM e WHERE vec_id % 5 <> 0"))},
+      s"""WITH ${srpPairsSplitFrozenCte(0.2, 8,
+             freezeFilter = "vec_id % 5 <> 0")},
          |${knnEdgesCte(4)}
          |SELECT a, b, cos FROM e0 ORDER BY a, b""".stripMargin,
 
-    // delete replay: the live corpus banded at the plane count the FULL
-    // ensure corpus froze, then the identical mutual-top-k tail — the
-    // engine's tombstone + touched-vertex re-rank must land exactly here
+    // delete replay: the live corpus re-keyed at the layout the FULL
+    // ensure corpus froze (planes + split cells), then the identical
+    // mutual-top-k tail — the engine's tombstone + touched-vertex
+    // re-rank must land exactly here
     "q204_knn_index_delete" ->
-      s"""WITH ${srpPairsAutoCte(0.2, vertexFilter = "vec_id % 7 <> 3",
-             planeCountSql = Some("SELECT count(*) FROM embeddings"))},
+      s"""WITH ${srpPairsSplitFrozenCte(0.2, 8,
+             memberFilter = "vec_id % 7 <> 3")},
          |${knnEdgesCte(4)}
          |SELECT a, b, cos FROM e0 ORDER BY a, b""".stripMargin,
 

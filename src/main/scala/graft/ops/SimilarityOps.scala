@@ -1022,9 +1022,15 @@ object SimilarityOps {
     * RECALL: pairs inside a split cell that land in different sub-buckets
     * lose THAT table's collision (other tables still vote) — the standard
     * LSH depth trade, now paid only inside the cells that are densifying.
-    * Candidates are a subset of the un-split form's; precision is exact
-    * (the shared cosine verify). Default `splitOccupancy` = the q201
-    * audit's skew line (skewFactor 8 × target 8): splitting starts
+    * Per surviving cell, candidates are a subset of the un-split form's;
+    * the one DELIBERATE exception to global subset-ness is the cap
+    * interaction: a cell whose PRE-split occupancy exceeds `maxBucket`
+    * but whose sub-cells land under it is RESCUED by the split (the
+    * un-split form drops it whole) — the cap exists to guard the c²/2
+    * blow-up, and a split cell no longer has one. Precision is exact
+    * (the shared cosine verify), and the q202 oracle replays the
+    * post-split cap rule cell by cell. Default `splitOccupancy` = the
+    * q201 audit's skew line (skewFactor 8 × target 8): splitting starts
     * exactly where the audit starts flagging.
     *
     * Scale shape: one banding pass + (tbl, bucket) count window (shared
@@ -1057,27 +1063,14 @@ object SimilarityOps {
       when(shiftright(col("bn"), d) <= lit(splitOccupancy), lit(d))
         .otherwise(rest)
     }
-    // extension sign bits of the hot member's OWN table, masked to the
-    // cell's δ. tbl is a row value while the plane components are
-    // per-table literals, so branch on tbl with a CASE chain — codegen
-    // evaluates only the matching branch (building an array of all
-    // nTables extensions cost 6× the dot products, measured 3× the probe
-    // wall-clock at sf10)
-    import graft.functions.VectorExpressions.dotF
-    def extBits(t: Int): Column =
-      (0 until extMax).map { i =>
-        val plane = typedlit((0 until dim).map(j =>
-          DetHash.planeComponent(t * srpPlaneStride + nPlanes + i, j)))
-        when(dotF(col("vec"), plane) >= 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ bitwiseOR _)
-    val extOwn = (0 until nTables).foldRight(lit(0L): Column) { (t, rest) =>
-      when(col("tbl") === t, extBits(t)).otherwise(rest)
-    }
+    // extension sign bits of the hot member's OWN table ([[extOwnBits]] —
+    // a CASE chain on tbl so codegen evaluates only the matching table's
+    // dot products), masked to the cell's δ
     val hot = counted.filter(col("bn") > lit(splitOccupancy))
       .withColumn("delta", delta)
       .join(df.select(col(idCol).as("id"), col(vecCol).as("vec")),
         Seq("id"))
-      .withColumn("extfull", extOwn)
+      .withColumn("extfull", extOwnBits(nPlanes, nTables, dim))
       .withColumn("sub", col("extfull")
         .bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), delta) - 1")))
     val w2 = org.apache.spark.sql.expressions.Window
@@ -1319,11 +1312,20 @@ object SimilarityOps {
   // Persisted mutual-kNN graph lifecycle (ensure / maintain / read)
   // --------------------------------------------------------------------
 
-  /** Schema version stamped in the kNN index meta table. Version 2 is the
-    * append-only layout: unversioned epoch-stamped `_vecs`/`_bands`,
-    * versioned `_kept` only, corpus count + target occupancy in meta.
+  /** Schema version stamped in the kNN index meta table. Version 3 is the
+    * SPLIT-LAYOUT delta-kept format: unversioned epoch-stamped `_vecs` and
+    * `_bands` (the bands carrying the hot-cell `sub` key — the X216
+    * per-bucket split applied to the PERSISTED lifecycle), the frozen
+    * split-cell table `_cells`, and ONE append-only `_kept` table whose
+    * rows carry a version stamp (`kver`) — maintenance appends only the
+    * touched vertices' re-ranked lists and readers serve the
+    * latest-version row set per vertex.
     */
-  val knnIndexFormatVersion: Int = 2
+  val knnIndexFormatVersion: Int = 3
+
+  private val knnMetaCols = Seq("fmt", "corpus_tag", "planes", "ktop",
+    "min_cos", "n_tables", "dim", "buckets", "version", "epoch", "n_vecs",
+    "target_occupancy", "split_occupancy")
 
   private def knnMetaHead(spark: org.apache.spark.sql.SparkSession,
                           tablePrefix: String)
@@ -1331,11 +1333,23 @@ object SimilarityOps {
     if (!spark.catalog.tableExists(s"${tablePrefix}_meta")) None
     else {
       val m = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_meta")
-      if (!Seq("fmt", "corpus_tag", "planes", "ktop", "min_cos", "n_tables",
-          "dim", "buckets", "version", "epoch", "n_vecs",
-          "target_occupancy").forall(m.columns.contains)) None
+      if (!knnMetaCols.forall(m.columns.contains)) None
       else m.orderBy(col("version").desc).limit(1).collect().headOption
     }
+
+  /** Refresh token of a committed kNN-index state: every commit (ensure
+    * rebuild, maintain, delete, compact) moves at least one component, so
+    * [[graft.sources.Bucketing.freshTableGated]] reads of the CORPUS-SIZED
+    * tables (`_vecs`/`_bands`/`_cells`/`_kept`) re-list part-files exactly
+    * once per observed commit instead of once per read — at 100 TB an
+    * ungated refresh re-listed millions of part-files per serve. The meta
+    * head itself (1 row per commit) and the churn-sized `_deleted` stay
+    * ALWAYS-fresh: tombstones land BEFORE the meta commit by protocol, so
+    * gating them would reopen the X220 crash window.
+    */
+  private def knnToken(m: org.apache.spark.sql.Row): String =
+    s"${m.getAs[Long]("version")}|${m.getAs[Long]("epoch")}|" +
+      m.getAs[String]("corpus_tag")
 
   /** The COMMITTED view of an append-only epoch-stamped table: only rows
     * whose epoch a meta commit row names are visible — an orphan insert
@@ -1347,9 +1361,10 @@ object SimilarityOps {
     * stream side's bucketing survives the broadcast semi-join.
     */
   private def committedRows(spark: org.apache.spark.sql.SparkSession,
-                            tablePrefix: String, table: String): DataFrame =
-    graft.sources.Bucketing.freshTable(spark,
-        s"${tablePrefix}_$table").join(
+                            tablePrefix: String, table: String,
+                            token: String): DataFrame =
+    graft.sources.Bucketing.freshTableGated(spark,
+        s"${tablePrefix}_$table", token).join(
       broadcast(graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_meta")
         .select(col("epoch")).distinct()),
       Seq("epoch"), "left_semi")
@@ -1360,10 +1375,36 @@ object SimilarityOps {
     * [[compactKnnIndex]]'s job.
     */
   private def liveRows(spark: org.apache.spark.sql.SparkSession,
-                       tablePrefix: String, table: String): DataFrame =
-    committedRows(spark, tablePrefix, table).join(
+                       tablePrefix: String, table: String,
+                       token: String): DataFrame =
+    committedRows(spark, tablePrefix, table, token).join(
       broadcast(graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_deleted")),
       Seq("id"), "left_anti")
+
+  /** The COMMITTED kept-list view over the delta-versioned `_kept` table:
+    * rows stamped past the committed version are orphans from a crashed
+    * epoch (invisible — the meta append IS the commit; a retry re-appends
+    * exact duplicates the `dropDuplicates` absorbs), the LATEST stamped
+    * row set per vertex wins (maintenance appends only touched vertices'
+    * re-ranked lists — the merge-on-read that makes kept-state I/O
+    * per-epoch touched-sized instead of an O(n·kTop) rewrite), and
+    * empty-list MARKER rows (`nb == v`, written when a delete's repair
+    * leaves a vertex with no live neighbor above the floor) drop after
+    * version selection. The table is bucketed by `v`, so the version
+    * window, the dedup, and the mutual self-join all run exchange-free.
+    */
+  private def committedKept(spark: org.apache.spark.sql.SparkSession,
+                            tablePrefix: String, version: Long,
+                            token: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("v"))
+    graft.sources.Bucketing.freshTableGated(spark, s"${tablePrefix}_kept", token)
+      .filter(col("kver") <= lit(version))
+      .withColumn("mxv", max(col("kver")).over(w))
+      .filter(col("kver") === col("mxv"))
+      .filter(col("nb") =!= col("v"))
+      .dropDuplicates("v", "nb")
+      .select(col("v"), col("nb"), col("cos"))
+  }
 
   /** Content-derived epoch id of a batch: bit-XOR of the id hashes. A
     * RETRY of the same batch derives the same id, so its re-inserted rows
@@ -1388,6 +1429,117 @@ object SimilarityOps {
         srpBucketStrided(col("vec"), nPlanes, t, dim)): _*))
         .as(Seq("tbl", "bucket")))
 
+  /** FULL extension-bit word of a row's OWN table — the hot-cell split's
+    * secondary projections (strided plane ids `t·stride + nPlanes + i`,
+    * i < stride − nPlanes), branched on the row's `tbl` with a CASE chain
+    * so codegen evaluates only the matching table's dot products (an
+    * array of all nTables extensions measured 3× the probe wall-clock at
+    * sf10). Expects columns `vec` and `tbl`; callers mask the word to the
+    * cell's split depth δ.
+    */
+  private def extOwnBits(nPlanes: Int, nTables: Int, dim: Int): Column = {
+    import graft.functions.VectorExpressions.dotF
+    val extMax = srpPlaneStride - nPlanes
+    def extBits(t: Int): Column =
+      (0 until extMax).map { i =>
+        val plane = typedlit((0 until dim).map(j =>
+          DetHash.planeComponent(t * srpPlaneStride + nPlanes + i, j)))
+        when(dotF(col("vec"), plane) >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+    (0 until nTables).foldRight(lit(0L): Column) { (t, rest) =>
+      when(col("tbl") === t, extBits(t)).otherwise(rest)
+    }
+  }
+
+  /** The SPLIT-CELL table of a banded frame: every (tbl, bucket) cell with
+    * occupancy bn > `splitOccupancy` and its split depth δ = the smallest
+    * d with `(bn >> d) <= splitOccupancy` (the [[autoPlanes]] integer-shift
+    * rule applied per bucket, clamped to the remaining strided planes
+    * `extMax`). Skew-tail-sized by construction — it broadcasts.
+    */
+  private[graft] def splitCellsOf(banded: DataFrame, splitOccupancy: Long,
+                                  extMax: Int): DataFrame = {
+    require(splitOccupancy >= 1, "splitOccupancy must be >= 1")
+    val delta = (0 to extMax).foldRight(lit(extMax): Column) { (d, rest) =>
+      when(shiftright(col("bn"), d) <= lit(splitOccupancy), lit(d))
+        .otherwise(rest)
+    }
+    banded.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > lit(splitOccupancy))
+      .select(col("tbl"), col("bucket"), delta.as("delta"))
+  }
+
+  /** Band an `(id, vec)` frame at the FROZEN split layout: primary
+    * (tbl, bucket) from `banded` (the [[bandStrided]] rows of the same
+    * frame), then members landing in a frozen split cell re-key to
+    * sub-bucket = their δ extension-plane sign bits while every other
+    * member keeps sub = 0. `cells` is the skew-tail-sized frozen layout
+    * ([[splitCellsOf]] of the ENSURE corpus, persisted as `_cells`), so
+    * ensure, every maintain batch, and the SQL oracle derive identical
+    * (tbl, bucket, sub) keys for the same vector at any later epoch —
+    * the property the batch-recompute equality claim rests on. Extension
+    * projections run ONLY for hot-cell members (broadcast join against
+    * the cells, id-keyed join back for the vector).
+    */
+  private[graft] def bandSplitFrozen(vecs: DataFrame, banded: DataFrame,
+                                     nPlanes: Int, nTables: Int, dim: Int,
+                                     cells: DataFrame): DataFrame = {
+    val cold = banded
+      .join(broadcast(cells.select(col("tbl"), col("bucket"))),
+        Seq("tbl", "bucket"), "left_anti")
+      .select(col("id"), col("tbl"), col("bucket"), lit(0L).as("sub"))
+    val hot = banded.join(broadcast(cells), Seq("tbl", "bucket"))
+      .join(vecs.select(col("id"), col("vec")), Seq("id"))
+      .withColumn("sub", extOwnBits(nPlanes, nTables, dim)
+        .bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), delta) - 1")))
+      .select(col("id"), col("tbl"), col("bucket"), col("sub"))
+    cold.unionByName(hot)
+  }
+
+  /** Candidate self-join on the SPLIT key (tbl, bucket, sub) over an
+    * `(id, tbl, bucket, sub)` band frame, verified by the shared
+    * exact-cosine stage — the pair tail the persisted lifecycle's build
+    * and its batch-recompute oracle share.
+    */
+  private def pairsFromSplitBands(bands: DataFrame, df: DataFrame,
+                                  minCos: Double, idCol: String,
+                                  vecCol: String): DataFrame = {
+    val cand = bands
+      .select(col("tbl"), col("bucket"), col("sub"), col("id").as("a"))
+      .join(bands
+          .select(col("tbl"), col("bucket"), col("sub"), col("id").as("b")),
+        Seq("tbl", "bucket", "sub"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    cosineVerify(df, cand, minCos, idCol, vecCol)
+  }
+
+  /** The BATCH RECOMPUTE the persisted kNN lifecycle must serve at any
+    * commit: the mutual-kNN graph over `df` at the operating point FROZEN
+    * on `freezeDf` — plane count = [[autoPlanes]] of the freeze corpus,
+    * split cells = [[splitCellsOf]] of the freeze corpus's banding, every
+    * `df` member re-keyed by that frozen layout. Equality against this is
+    * the lifecycle's correctness claim (OpsSpec/StreamingSpec assert it;
+    * the q200/q204 oracles replay it in SQL).
+    */
+  private[graft] def knnGraphFrozen(df: DataFrame, freezeDf: DataFrame,
+                                    minCos: Double, kTop: Int,
+                                    nTables: Int = 6, dim: Int = 64,
+                                    idCol: String = "vec_id",
+                                    vecCol: String = "embedding",
+                                    targetOccupancy: Long = 8L,
+                                    splitOccupancy: Long = 64L): DataFrame = {
+    val all = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val freeze = freezeDf.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val planes = autoPlanes(freeze.count(), targetOccupancy)
+    val cells = splitCellsOf(bandStrided(freeze, planes, nTables, dim),
+      splitOccupancy, srpPlaneStride - planes)
+    val bands = bandSplitFrozen(all, bandStrided(all, planes, nTables, dim),
+      planes, nTables, dim, cells)
+    knnFromPairs(pairsFromSplitBands(bands, all, minCos, "id", "vec"), kTop)
+  }
+
   /** PERSISTED mutual-kNN graph — the degree-bounded near-dup graph
     * ([[knnGraphAuto]]) as maintained state, closing the lifecycle the
     * banded-dedup/IVF/cluster-assignment tiers already have: build once,
@@ -1400,44 +1552,58 @@ object SimilarityOps {
     *
     *   - `${prefix}_vecs`  (id, vec, nrm, epoch) bucketed by id —
     *     append-only; the verify join's key;
-    *   - `${prefix}_bands` (id, tbl, bucket, epoch) bucketed by bucket —
-    *     append-only; a batch's candidate probe co-locates on the corpus
-    *     side and `insertInto` re-buckets JUST the new rows;
-    *   - `${prefix}_kept_v<N>` (v, nb, cos) bucketed by v — VERSIONED
-    *     (written whole each epoch; it is n·kTop rows, not the corpus):
-    *     the per-vertex DIRECTED top-k lists ([[knnKeptLists]]), the
-    *     state that makes maintenance batch-sized: top-k over (old top-k
-    *     ∪ new candidates) equals top-k over all candidates under
-    *     append-only ingest, so only TOUCHED vertices re-rank.
+    *   - `${prefix}_bands` (id, tbl, bucket, sub, epoch) bucketed by
+    *     bucket — append-only; a batch's candidate probe co-locates on
+    *     the corpus side and `insertInto` re-buckets JUST the new rows.
+    *     `sub` is the X216 hot-cell split key (see `_cells`);
+    *   - `${prefix}_cells` (tbl, bucket, delta) — the FROZEN split
+    *     layout: the ensure corpus's over-occupied cells and their split
+    *     depths ([[splitCellsOf]] at the stamped `split_occupancy`).
+    *     Skew-tail-sized; broadcast at every band/probe so ensure, each
+    *     maintain batch, and the SQL oracle key identically;
+    *   - `${prefix}_kept` (v, nb, cos, kver) bucketed by v — DELTA-
+    *     VERSIONED, append-only: the per-vertex DIRECTED top-k lists
+    *     ([[knnKeptLists]]). Each epoch appends ONLY the touched
+    *     vertices' re-ranked lists stamped with the next version;
+    *     readers serve the latest committed row set per vertex
+    *     ([[committedKept]]) — top-k over (old top-k ∪ new candidates)
+    *     equals top-k over all candidates under append-only ingest, so
+    *     maintenance is touched-sized in BOTH compute and I/O (the
+    *     round-13 layout rewrote the full O(n·kTop) snapshot per epoch).
     *
     * COMMIT protocol: every `_vecs`/`_bands` row carries the epoch's
-    * content-derived id ([[epochIdOf]]); inserts land first, the next
-    * `_kept` snapshot writes under a name no reader resolves, and the
-    * meta append naming (version, epoch) is the single commit point.
-    * Readers see only committed epochs ([[committedRows]]), so a crash
-    * at ANY step leaves the previous version serving and the retried
-    * epoch re-folds as exact duplicates that dedup away.
+    * content-derived id ([[epochIdOf]]) and every `_kept` row the next
+    * version stamp; inserts land first and the meta append naming
+    * (version, epoch) is the single commit point. Readers see only
+    * committed epochs ([[committedRows]]) and committed kept versions
+    * ([[committedKept]]), so a crash at ANY step leaves the previous
+    * version serving and the retried epoch re-folds as exact duplicates
+    * that dedup away.
     *
     * The SRP operating point is FROZEN at ensure time ([[autoPlanes]] of
-    * the base corpus, stamped in meta) so every epoch bands with the same
-    * planes — the incremental path replays [[knnGraph]] at that sized
-    * point exactly. A corpus-tag change re-sizes and rebuilds (the ensure
+    * the base corpus AND the base corpus's hot-cell split layout, both
+    * stamped) so every epoch bands with the same planes and the same
+    * sub-bucket rule — the incremental path replays [[knnGraphFrozen]]
+    * exactly. A corpus-tag change re-sizes and rebuilds (the ensure
     * convention). OUTGROWTH is checked, not assumed: meta carries the
     * committed corpus count and target occupancy, and [[maintainKnnIndex]]
     * fails loudly once `autoPlanes(newCount) − planes > 1` — the corpus
     * has outgrown the frozen point by more than one boundary and the
-    * candidate join is densifying; re-ensure under a new tag. The
-    * hot-bucket cap is NOT re-applied incrementally — at the sized point
-    * occupancy stays ~target by construction (batch-recompute equality
-    * would break if later epochs dropped buckets earlier epochs already
-    * folded).
+    * candidate join is densifying; re-ensure under a new tag. NO
+    * hot-bucket drop cap applies inside the lifecycle (batch-recompute
+    * equality would break if later epochs dropped cells earlier epochs
+    * already folded): the split layout is the skew control — a separable
+    * hot direction's cells split down to ~splitOccupancy, and the one
+    * shape it cannot separate (identical directions project identically
+    * on every plane) is what [[srpOccupancyAudit]] flags before a corpus
+    * commits to the lifecycle at all.
     */
   def ensureKnnIndex(df: DataFrame, tablePrefix: String, corpusTag: String,
                      minCos: Double, kTop: Int = 4, nTables: Int = 6,
                      dim: Int = 64, idCol: String = "vec_id",
                      vecCol: String = "embedding",
                      targetOccupancy: Long = 8L, buckets: Int = 8,
-                     maxBucket: Int = 10000): Unit = {
+                     splitOccupancy: Long = 64L): Unit = {
     val spark = df.sparkSession
     val upToDate = knnMetaHead(spark, tablePrefix).exists { m =>
       m.getAs[Int]("fmt") == knnIndexFormatVersion &&
@@ -1448,9 +1614,10 @@ object SimilarityOps {
         m.getAs[Int]("dim") == dim &&
         m.getAs[Int]("buckets") == buckets &&
         m.getAs[Long]("target_occupancy") == targetOccupancy &&
+        m.getAs[Long]("split_occupancy") == splitOccupancy &&
         Seq(s"${tablePrefix}_vecs", s"${tablePrefix}_bands",
-          s"${tablePrefix}_deleted",
-          s"${tablePrefix}_kept_v${m.getAs[Long]("version")}")
+          s"${tablePrefix}_deleted", s"${tablePrefix}_cells",
+          s"${tablePrefix}_kept")
           .forall(spark.catalog.tableExists)
     }
     if (!upToDate) {
@@ -1460,17 +1627,17 @@ object SimilarityOps {
       val planes = autoPlanes(n, targetOccupancy)
       import graft.functions.VectorExpressions.dotF
       val vecs = base.withColumn("nrm", sqrt(dotF(col("vec"), col("vec"))))
-      val kept = knnKeptLists(
-        srpNearDupPairsSized(
-          base.select(col("id").as(idCol), col("vec").as(vecCol)),
-          minCos, planes, nTables, dim, idCol, vecCol, maxBucket),
-        kTop)
+      // freeze the split layout on the base corpus's occupancy (one
+      // banding pass; the cells frame is skew-tail-sized)
+      val banded = bandStrided(base, planes, nTables, dim)
+      val cells = splitCellsOf(banded, splitOccupancy,
+        srpPlaneStride - planes).localCheckpoint(true)
       val epoch = epochIdOf(base)
       import graft.sources.Bucketing
       import spark.implicits._
-      // fresh build: recreate the append-only tables and kept v1; sweep
-      // stale versioned tables (a previous corpus OR the pre-append v1
-      // format) so the warehouse never accumulates unreachable snapshots
+      // fresh build: recreate the append-only tables; sweep stale
+      // versioned tables (a previous corpus OR the pre-delta formats) so
+      // the warehouse never accumulates unreachable snapshots
       (Seq("vecs", "bands", "kept").flatMap(t =>
         spark.catalog.listTables().collect().map(_.name)
           .filter(_.startsWith(s"${tablePrefix}_${t}_v"))))
@@ -1480,39 +1647,51 @@ object SimilarityOps {
           .select(col("id"), col("vec"), col("nrm"), col("epoch")),
         s"${tablePrefix}_vecs", Seq("id"), buckets)
       Bucketing.writeBucketed(
-        bandStrided(base, planes, nTables, dim)
+        bandSplitFrozen(base, banded, planes, nTables, dim, cells)
           .withColumn("epoch", lit(epoch))
-          .select(col("id"), col("tbl"), col("bucket"), col("epoch")),
+          .select(col("id"), col("tbl"), col("bucket"), col("sub"),
+            col("epoch")),
         s"${tablePrefix}_bands", Seq("bucket"), buckets)
-      Bucketing.writeBucketed(kept, s"${tablePrefix}_kept_v1", Seq("v"),
-        buckets)
+      Bucketing.saveTable(cells, s"${tablePrefix}_cells")
+      // the base kept lists are computed FROM the just-written tables:
+      // the candidate self-join co-locates on the bands bucketing and the
+      // verify reads the persisted vectors — the corpus never re-bands
+      val bandsT = spark.table(s"${tablePrefix}_bands")
+        .select(col("id"), col("tbl"), col("bucket"), col("sub"))
+      val vecsT = spark.table(s"${tablePrefix}_vecs")
+        .select(col("id"), col("vec"))
+      val kept = knnKeptLists(
+        pairsFromSplitBands(bandsT, vecsT, minCos, "id", "vec"), kTop)
+      Bucketing.writeBucketed(kept.withColumn("kver", lit(1L)),
+        s"${tablePrefix}_kept", Seq("v"), buckets)
       Bucketing.saveTable(
         spark.emptyDataset[Long].toDF("id"), s"${tablePrefix}_deleted")
       // the commit: meta RECREATES on a fresh build — stale rows from a
       // previous corpus must not keep orphan epochs visible
       Bucketing.saveTable(
         Seq((knnIndexFormatVersion, corpusTag, planes, kTop, minCos,
-          nTables, dim, buckets, 1L, epoch, n, targetOccupancy))
-          .toDF("fmt", "corpus_tag", "planes", "ktop", "min_cos",
-            "n_tables", "dim", "buckets", "version", "epoch", "n_vecs",
-            "target_occupancy"),
+          nTables, dim, buckets, 1L, epoch, n, targetOccupancy,
+          splitOccupancy))
+          .toDF(knnMetaCols: _*),
         s"${tablePrefix}_meta")
     }
   }
 
   /** Fold a batch of NEW vectors into the persisted kNN graph with
     * batch-sized compute AND batch-sized I/O: band the batch at the
-    * frozen plane count, probe the stored bands for candidates (one side
-    * batch-sized, the corpus side co-located on its bucketing), verify
-    * candidates with exact cosine, re-rank ONLY the touched vertices'
-    * kept lists, `insertInto` the batch's `_vecs`/`_bands` rows (the
-    * corpus part-files are untouched — BucketingSpec asserts it), write
-    * the next `_kept` snapshot, and commit with one meta append. Equal to
-    * [[knnGraph]] recomputed over the full corpus at the frozen operating
-    * point (OpsSpec asserts it on chained batches) by the top-k merge
-    * property — a pair is generated exactly once, at the epoch its LATER
-    * endpoint arrives, and an old candidate pushed out of a kept list can
-    * never re-enter (candidates only accumulate).
+    * frozen layout (stamped planes + the ensure-frozen split cells),
+    * probe the stored bands for candidates on (tbl, bucket, sub) — one
+    * side batch-sized, the corpus side co-located on its bucketing —
+    * verify candidates with exact cosine, re-rank ONLY the touched
+    * vertices' kept lists, `insertInto` the batch's `_vecs`/`_bands` rows
+    * AND the touched vertices' kept delta (every committed part-file is
+    * untouched — BucketingSpec asserts it), and commit with one meta
+    * append. Equal to [[knnGraphFrozen]] recomputed over the full corpus
+    * at the frozen operating point (OpsSpec asserts it on chained
+    * batches) by the top-k merge property — a pair is generated exactly
+    * once, at the epoch its LATER endpoint arrives, and an old candidate
+    * pushed out of a kept list can never re-enter (candidates only
+    * accumulate).
     *
     * At-least-once REPLAY is a structural no-op: batch ids already in the
     * committed store anti-join away, and an all-replayed batch returns
@@ -1537,18 +1716,21 @@ object SimilarityOps {
     val m = knnMetaHead(spark, tablePrefix).getOrElse(
       throw new IllegalStateException(
         s"no committed kNN index under '$tablePrefix' — run ensureKnnIndex"))
+    val token = knnToken(m)
     val v = m.getAs[Long]("version")
     val planes = m.getAs[Int]("planes")
     val kTop = m.getAs[Int]("ktop")
     val minCos = m.getAs[Double]("min_cos")
     val nTables = m.getAs[Int]("n_tables")
     val dim = m.getAs[Int]("dim")
-    val buckets = m.getAs[Int]("buckets")
+    val splitOcc = m.getAs[Long]("split_occupancy")
     val targetOcc = m.getAs[Long]("target_occupancy")
-    val vecs = liveRows(spark, tablePrefix, "vecs")
+    val vecs = liveRows(spark, tablePrefix, "vecs", token)
       .dropDuplicates("id")
-    val bands = liveRows(spark, tablePrefix, "bands")
-    val kept = spark.table(s"${tablePrefix}_kept_v$v")
+    val bands = liveRows(spark, tablePrefix, "bands", token)
+    val kept = committedKept(spark, tablePrefix, v, token)
+    val cells = graft.sources.Bucketing.freshTableGated(spark,
+      s"${tablePrefix}_cells", token)
     import graft.functions.VectorExpressions.dotF
     // replayed ids drop structurally; consumed by banding AND verify AND
     // the inserts — materialize the (batch-sized) frame once. A
@@ -1575,15 +1757,21 @@ object SimilarityOps {
         "ensureKnnIndex under a new corpusTag to re-size, or raise " +
         "maxPlaneDrift to accept the densification.")
     val epoch = epochIdOf(fresh)
-    val bandsNew = bandStrided(fresh.select(col("id"), col("vec")),
-      planes, nTables, dim).localCheckpoint()
+    // band the batch at the FROZEN layout: stamped planes AND the
+    // ensure-frozen split cells, so a batch member landing in a hot cell
+    // probes at the same sub key the corpus rows were written under
+    val bandsNew = bandSplitFrozen(fresh.select(col("id"), col("vec")),
+      bandStrided(fresh.select(col("id"), col("vec")), planes, nTables,
+        dim),
+      planes, nTables, dim, cells).localCheckpoint()
     // candidates: batch bands probe (stored ∪ batch) bands — never
     // corpus × corpus; orientation dedupes the (new, new) double hit
-    val cand = bandsNew.select(col("tbl"), col("bucket"), col("id").as("x"))
-      .join(bands.select(col("id"), col("tbl"), col("bucket"))
+    val cand = bandsNew
+      .select(col("tbl"), col("bucket"), col("sub"), col("id").as("x"))
+      .join(bands.select(col("id"), col("tbl"), col("bucket"), col("sub"))
           .unionByName(bandsNew)
-          .select(col("tbl"), col("bucket"), col("id").as("y")),
-        Seq("tbl", "bucket"))
+          .select(col("tbl"), col("bucket"), col("sub"), col("id").as("y")),
+        Seq("tbl", "bucket", "sub"))
       .filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
@@ -1606,47 +1794,40 @@ object SimilarityOps {
     val touched = dirsNew.select(col("v")).distinct()
     // re-rank touched vertices over (old kept ∪ new candidates); a kept
     // (v, nb) row can never duplicate a new candidate — nb is new to
-    // this epoch in every new pair
+    // this epoch in every new pair. Touched vertices always re-rank
+    // non-empty (each has at least its new direction row), so no
+    // empty-list markers arise here. Materialized BEFORE any insert: the
+    // plan reads the tables the inserts mutate
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("v")).orderBy(col("cos").desc, col("nb"))
-    val reRanked = kept.join(touched, Seq("v"))
+    val next = v + 1L
+    val keptAppend = kept.join(touched, Seq("v"))
       .unionByName(dirsNew)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= kTop)
       .select(col("v"), col("nb"), col("cos"))
-    val keptNext = kept.join(touched, Seq("v"), "left_anti")
-      .unionByName(reRanked)
+      .withColumn("kver", lit(next))
       .localCheckpoint()
-    // batch-sized appends: insertInto re-buckets JUST the new rows (order
-    // is positional — match the table layout). The kept materialization
-    // above runs BEFORE any insert: its plan reads the tables the inserts
-    // mutate. Orphans from a crash anywhere below stay invisible until
-    // the meta append commits this epoch.
+    // TOUCHED-SIZED appends everywhere: insertInto re-buckets just the
+    // new rows (order is positional — match each table's layout); the
+    // kept delta replaces the round-13 full O(n·kTop) snapshot rewrite.
+    // Orphans from a crash anywhere below stay invisible until the meta
+    // append commits this epoch (bands/vecs by epoch id, kept by kver).
     import graft.sources.Bucketing
     import spark.implicits._
     bandsNew.withColumn("epoch", lit(epoch))
-      .select(col("id"), col("tbl"), col("bucket"), col("epoch"))
+      .select(col("id"), col("tbl"), col("bucket"), col("sub"), col("epoch"))
       .write.insertInto(s"${tablePrefix}_bands")
     fresh.withColumn("epoch", lit(epoch))
       .select(col("id"), col("vec"), col("nrm"), col("epoch"))
       .write.insertInto(s"${tablePrefix}_vecs")
-    val next = v + 1L
-    Bucketing.writeBucketed(keptNext, s"${tablePrefix}_kept_v$next",
-      Seq("v"), buckets)
+    keptAppend.select(col("v"), col("nb"), col("cos"), col("kver"))
+      .write.insertInto(s"${tablePrefix}_kept")
     Seq((knnIndexFormatVersion, m.getAs[String]("corpus_tag"), planes,
-      kTop, minCos, nTables, dim, buckets, next, epoch, nNext, targetOcc))
-      .toDF("fmt", "corpus_tag", "planes", "ktop", "min_cos", "n_tables",
-        "dim", "buckets", "version", "epoch", "n_vecs", "target_occupancy")
+      kTop, minCos, nTables, dim, m.getAs[Int]("buckets"), next, epoch,
+      nNext, targetOcc, splitOcc))
+      .toDF(knnMetaCols: _*)
       .write.mode("append").saveAsTable(s"${tablePrefix}_meta")
-    // retention: current + previous kept snapshots only
-    spark.catalog.listTables().collect().map(_.name)
-      .filter(_.startsWith(s"${tablePrefix}_kept_v"))
-      .map(_.stripPrefix(s"${tablePrefix}_kept_v"))
-      .filter(s => s.nonEmpty && s.forall(_.isDigit))
-      .map(_.toLong)
-      .filter(_ < next - 1L)
-      .foreach(n =>
-        Bucketing.dropTableAndLocation(spark, s"${tablePrefix}_kept_v$n"))
   }
 
   /** The served graph: mutual edges ([[mutualEdges]]) of the committed
@@ -1666,7 +1847,8 @@ object SimilarityOps {
         s"no committed kNN index under '$tablePrefix' — run ensureKnnIndex"))
     val del = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_deleted")
     mutualEdges(
-      spark.table(s"${tablePrefix}_kept_v${m.getAs[Long]("version")}")
+      committedKept(spark, tablePrefix, m.getAs[Long]("version"),
+        knnToken(m))
         .join(broadcast(del.select(col("id").as("v"))), Seq("v"), "left_anti")
         .join(broadcast(del.select(col("id").as("nb"))), Seq("nb"),
           "left_anti"))
@@ -1686,12 +1868,17 @@ object SimilarityOps {
     *
     * Protocol: `_deleted` merges first (read-merge-replace of a
     * churn-sized table, the [[deleteFromIvfIndex]] shape), then the
-    * repaired `_kept` snapshot, then the meta append commits. A crash
-    * after the tombstone write serves no deleted edge ([[knnIndexEdges]]
-    * filters endpoints) and the retry re-derives the same touched set
-    * from the still-committed kept lists. Re-deleting is a structural
-    * no-op. Tombstoned ids cannot re-enter via [[maintainKnnIndex]]
-    * before a [[compactKnnIndex]] (the banded-index rule).
+    * repaired lists append to `_kept` as a touched-sized delta under the
+    * next version stamp (a vertex repaired down to NO live neighbor gets
+    * an empty-list marker so its stale rows stop serving), then the meta
+    * append commits — and the meta commit also lands when the tombstone
+    * set merely GREW with nothing to repair, so `n_vecs` (the drift
+    * guard's input) never goes stale. A crash after the tombstone write
+    * serves no deleted edge ([[knnIndexEdges]] filters endpoints) and the
+    * retry re-derives the same touched set from the still-committed kept
+    * lists. Re-deleting is a structural no-op. Tombstoned ids cannot
+    * re-enter via [[maintainKnnIndex]] before a [[compactKnnIndex]] (the
+    * banded-index rule).
     */
   def deleteFromKnnIndex(ids: DataFrame, tablePrefix: String,
                          idCol: String = "vec_id"): Unit = {
@@ -1699,15 +1886,21 @@ object SimilarityOps {
     val m = knnMetaHead(spark, tablePrefix).getOrElse(
       throw new IllegalStateException(
         s"no committed kNN index under '$tablePrefix' — run ensureKnnIndex"))
+    val token = knnToken(m)
     val v = m.getAs[Long]("version")
     val planes = m.getAs[Int]("planes")
     val kTop = m.getAs[Int]("ktop")
     val minCos = m.getAs[Double]("min_cos")
-    val buckets = m.getAs[Int]("buckets")
-    val merged = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_deleted")
+    val before = graft.sources.Bucketing.freshTable(spark,
+      s"${tablePrefix}_deleted")
+    val merged = before
       .unionByName(ids.select(col(idCol).cast("long").as("id")))
       .distinct()
       .localCheckpoint(true)
+    // grew = this call tombstoned at least one NEW id — even with no kept
+    // list to repair, the meta commit below must land so n_vecs (and the
+    // status/drift-guard arithmetic on it) tracks the live corpus
+    val grew = merged.count() > before.count()
     import graft.sources.Bucketing
     Bucketing.saveTable(merged, s"${tablePrefix}_deleted")
     // everything below uses the MATERIALIZED tombstone frame, never a
@@ -1715,7 +1908,7 @@ object SimilarityOps {
     // relation cache (streaming foreachBatch) can otherwise serve the
     // pre-replace file listing mid-call
     val del = merged
-    val kept = spark.table(s"${tablePrefix}_kept_v$v")
+    val kept = committedKept(spark, tablePrefix, v, token)
     // touched = LIVE vertices whose kept list names ANY tombstoned id —
     // the full set, not just this call's: a crashed prior delete left
     // its vertices un-repaired and this pass self-heals them
@@ -1726,19 +1919,28 @@ object SimilarityOps {
       .join(broadcast(del.select(col("id").as("v"))), Seq("v"), "left_anti")
       .distinct()
       .localCheckpoint(true)
-    val hasDeadV = !kept
-      .join(broadcast(del.select(col("id").as("v"))), Seq("v"), "left_semi")
-      .isEmpty
-    if (touched.isEmpty && !hasDeadV) return // pure replay: nothing to do
+    val vecsLive = liveRows(spark, tablePrefix, "vecs", token)
+      .dropDuplicates("id")
+    // the live count is RE-DERIVED, not decremented: a partially-replayed
+    // delete batch would double-decrement ids already subtracted by the
+    // crashed attempt's committed meta row
+    val nLive = vecsLive.count()
+    // pure replay — every id already tombstoned, every repair committed,
+    // and the committed count already right (the last clause closes the
+    // crash window where a prior attempt wrote tombstones that needed no
+    // repair but died before its meta commit)
+    if (!grew && touched.isEmpty && nLive == m.getAs[Long]("n_vecs")) return
     // re-probe the touched vertices' bands against the live store —
-    // their FULL candidate set at the frozen point (top-k needs what the
-    // dead neighbor crowded out, which the kept state no longer holds)
-    val bandsLive = liveRows(spark, tablePrefix, "bands")
-    val vecsLive = liveRows(spark, tablePrefix, "vecs").dropDuplicates("id")
+    // their FULL candidate set at the frozen (tbl, bucket, sub) layout
+    // (top-k needs what the dead neighbor crowded out, which the kept
+    // state no longer holds)
+    val bandsLive = liveRows(spark, tablePrefix, "bands", token)
     val tb = bandsLive.join(touched.withColumnRenamed("v", "id"), Seq("id"))
-    val cand = tb.select(col("tbl"), col("bucket"), col("id").as("v"))
-      .join(bandsLive.select(col("tbl"), col("bucket"), col("id").as("nb")),
-        Seq("tbl", "bucket"))
+    val cand = tb
+      .select(col("tbl"), col("bucket"), col("sub"), col("id").as("v"))
+      .join(bandsLive.select(col("tbl"), col("bucket"), col("sub"),
+          col("id").as("nb")),
+        Seq("tbl", "bucket", "sub"))
       .filter(col("v") =!= col("nb"))
       .select(col("v"), col("nb")).distinct()
     import graft.functions.VectorExpressions.dotF
@@ -1748,6 +1950,7 @@ object SimilarityOps {
       col("nrm").as("nb_n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("v")).orderBy(col("cos").desc, col("nb"))
+    val next = v + 1L
     val reRanked = cand.join(va, Seq("v")).join(vb, Seq("nb"))
       .select(col("v"), col("nb"),
         (dotF(col("va"), col("vb")) / (col("na") * col("nb_n"))).as("cos"))
@@ -1755,18 +1958,22 @@ object SimilarityOps {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= kTop)
       .select(col("v"), col("nb"), col("cos"))
-    val keptNext = kept
-      .join(broadcast(del.select(col("id").as("v"))), Seq("v"), "left_anti")
-      .join(touched, Seq("v"), "left_anti")
-      .unionByName(reRanked)
+    // a touched vertex whose every candidate died gets an EMPTY-LIST
+    // MARKER (nb = v — a value no real list can hold): under the
+    // delta-versioned layout its stale rows stay on disk, and without a
+    // newer version stamp they would keep serving
+    val markers = touched.join(reRanked.select(col("v")), Seq("v"),
+        "left_anti")
+      .select(col("v"), col("v").as("nb"),
+        lit(0.0).cast("double").as("cos"))
+    // TOUCHED-SIZED kept delta (dead vertices' stale rows stay — the
+    // serve-time endpoint anti-joins hide them and compact removes them
+    // physically), materialized before the self-referential insert
+    val keptAppend = reRanked.unionByName(markers)
+      .withColumn("kver", lit(next))
       .localCheckpoint(true)
-    val next = v + 1L
-    Bucketing.writeBucketed(keptNext, s"${tablePrefix}_kept_v$next",
-      Seq("v"), buckets)
-    // the live count is RE-DERIVED, not decremented: a partially-replayed
-    // delete batch would double-decrement ids already subtracted by the
-    // crashed attempt's committed meta row
-    val nLive = vecsLive.count()
+    keptAppend.select(col("v"), col("nb"), col("cos"), col("kver"))
+      .write.insertInto(s"${tablePrefix}_kept")
     // a delete epoch's id is salted so it can never alias a data epoch of
     // the same id set; no _vecs/_bands row carries it, so the committed
     // view's semi-join simply never matches it
@@ -1774,30 +1981,26 @@ object SimilarityOps {
       del.select(concat(lit("del|"), col("id").cast("string")).as("id")))
     import spark.implicits._
     Seq((knnIndexFormatVersion, m.getAs[String]("corpus_tag"), planes,
-      kTop, minCos, m.getAs[Int]("n_tables"), m.getAs[Int]("dim"), buckets,
-      next, delEpoch,
-      nLive, m.getAs[Long]("target_occupancy")))
-      .toDF("fmt", "corpus_tag", "planes", "ktop", "min_cos", "n_tables",
-        "dim", "buckets", "version", "epoch", "n_vecs", "target_occupancy")
+      kTop, minCos, m.getAs[Int]("n_tables"), m.getAs[Int]("dim"),
+      m.getAs[Int]("buckets"), next, delEpoch, nLive,
+      m.getAs[Long]("target_occupancy"), m.getAs[Long]("split_occupancy")))
+      .toDF(knnMetaCols: _*)
       .write.mode("append").saveAsTable(s"${tablePrefix}_meta")
-    spark.catalog.listTables().collect().map(_.name)
-      .filter(_.startsWith(s"${tablePrefix}_kept_v"))
-      .map(_.stripPrefix(s"${tablePrefix}_kept_v"))
-      .filter(s => s.nonEmpty && s.forall(_.isDigit))
-      .map(_.toLong)
-      .filter(_ < next - 1L)
-      .foreach(n =>
-        Bucketing.dropTableAndLocation(spark, s"${tablePrefix}_kept_v$n"))
   }
 
   /** COMPACT the persisted kNN index: physically rewrite `_vecs`/`_bands`
     * minus every tombstoned id (epoch stamps preserved — committed-epoch
-    * visibility survives the rewrite) and empty `_deleted`, making
-    * tombstoned ids APPENDABLE again. Corpus-sized I/O by design — run it
-    * when the tombstone set has grown, not per delete. Crash order:
-    * `_vecs` then `_bands` rewrite, `_deleted` clears LAST, so a crash at
-    * any table boundary leaves tombstones in force and reads stay
-    * correct; each rewrite itself is destructive-first (the
+    * visibility survives the rewrite), collapse `_kept` to the committed
+    * live view (stale delta versions, empty-list markers, and dead
+    * vertices' rows all drop — the X219 cadence is where the
+    * delta-versioned layout pays its accumulated rent), and empty
+    * `_deleted`, making tombstoned ids APPENDABLE again. Corpus-sized I/O
+    * by design — run it when the tombstone set has grown, not per delete.
+    * Crash order: `_vecs`/`_bands`/`_kept` rewrites, `_deleted` clears,
+    * and the meta append lands LAST (its version bump is what tells a
+    * GATED cross-session reader the part-files moved), so a crash at any
+    * table boundary leaves tombstones in force and same-session reads
+    * stay correct; each rewrite itself is destructive-first (the
     * [[compactBandedIndex]] contract — a crash mid-rewrite means rebuild
     * via ensure under a new tag).
     */
@@ -1806,6 +2009,8 @@ object SimilarityOps {
     val m = knnMetaHead(spark, tablePrefix).getOrElse(
       throw new IllegalStateException(
         s"no committed kNN index under '$tablePrefix' — run ensureKnnIndex"))
+    val token = knnToken(m)
+    val v = m.getAs[Long]("version")
     val buckets = m.getAs[Int]("buckets")
     val deleted = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_deleted")
     if (deleted.isEmpty) return
@@ -1816,15 +2021,40 @@ object SimilarityOps {
       .localCheckpoint(true)
     val bandsKeep = graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_bands")
       .join(broadcast(deleted), Seq("id"), "left_anti")
-      .select(col("id"), col("tbl"), col("bucket"), col("epoch"))
+      .select(col("id"), col("tbl"), col("bucket"), col("sub"), col("epoch"))
+      .localCheckpoint(true)
+    // the committed live kept view collapsed to one physical version (the
+    // delete protocol already repaired every live list naming a dead id,
+    // so dropping dead-v rows is the only filter left)
+    val keptKeep = committedKept(spark, tablePrefix, v, token)
+      .join(broadcast(deleted.select(col("id").as("v"))), Seq("v"),
+        "left_anti")
+      .withColumn("kver", lit(v))
+      .select(col("v"), col("nb"), col("cos"), col("kver"))
       .localCheckpoint(true)
     Bucketing.writeBucketed(vecsKeep, s"${tablePrefix}_vecs", Seq("id"),
       buckets)
     Bucketing.writeBucketed(bandsKeep, s"${tablePrefix}_bands",
       Seq("bucket"), buckets)
+    Bucketing.writeBucketed(keptKeep, s"${tablePrefix}_kept", Seq("v"),
+      buckets)
     import spark.implicits._
     Bucketing.saveTable(
       spark.emptyDataset[Long].toDF("id"), s"${tablePrefix}_deleted")
+    // commit: the version bump is the signal that moves every gated
+    // reader's token past its cached (pre-rewrite) file listings. The
+    // salted epoch matches no data row, so committed-epoch visibility of
+    // the preserved stamps is unchanged
+    val compactEpoch = epochIdOf(
+      Seq(s"compact|$v").toDF("id"))
+    Seq((knnIndexFormatVersion, m.getAs[String]("corpus_tag"),
+      m.getAs[Int]("planes"), m.getAs[Int]("ktop"),
+      m.getAs[Double]("min_cos"), m.getAs[Int]("n_tables"),
+      m.getAs[Int]("dim"), buckets, v + 1L, compactEpoch,
+      m.getAs[Long]("n_vecs"), m.getAs[Long]("target_occupancy"),
+      m.getAs[Long]("split_occupancy")))
+      .toDF(knnMetaCols: _*)
+      .write.mode("append").saveAsTable(s"${tablePrefix}_meta")
   }
 
   /** One-row OPERATING-POINT status of a persisted kNN index — the
@@ -1833,7 +2063,9 @@ object SimilarityOps {
     * the stamped target occupancy and their drift. Drift 0–1 is healthy;
     * [[maintainKnnIndex]] refuses past its `maxPlaneDrift` (default 1),
     * so a drift-1 reading is the re-ensure-soon signal BEFORE ingest
-    * starts failing. Meta-only — no corpus scan.
+    * starts failing. `split_cells` surfaces how much of the corpus's
+    * skew tail the frozen layout is splitting. Meta- and cells-sized
+    * reads only — no corpus scan.
     */
   def knnIndexStatus(spark: org.apache.spark.sql.SparkSession,
                      tablePrefix: String): DataFrame = {
@@ -1843,9 +2075,13 @@ object SimilarityOps {
     val planes = m.getAs[Int]("planes")
     val n = m.getAs[Long]("n_vecs")
     val auto = autoPlanes(n, m.getAs[Long]("target_occupancy"))
+    val splitCells = graft.sources.Bucketing.freshTableGated(spark,
+      s"${tablePrefix}_cells", knnToken(m)).count()
     import spark.implicits._
-    Seq((m.getAs[Long]("version"), n, planes, auto, auto - planes))
-      .toDF("version", "n_vecs", "frozen_planes", "auto_planes", "drift")
+    Seq((m.getAs[Long]("version"), n, planes, auto, auto - planes,
+      splitCells))
+      .toDF("version", "n_vecs", "frozen_planes", "auto_planes", "drift",
+        "split_cells")
   }
 
   /** SRP OPERATING-POINT health audit — the number an operator owner reads

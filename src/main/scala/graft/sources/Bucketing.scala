@@ -103,8 +103,58 @@ object Bucketing {
     */
   def freshTable(spark: org.apache.spark.sql.SparkSession,
                  table: String): DataFrame = {
-    try spark.catalog.refreshTable(table)
-    catch { case scala.util.control.NonFatal(_) => () }
+    refresh(spark, table)
+    spark.table(table)
+  }
+
+  /** Perform the actual catalog refresh, counting it for the plan specs.
+    * Only the table-not-found class is swallowed (the read below throws
+    * the same, more specific error); any OTHER refresh failure propagates
+    * — silently falling back to the stale cached listing would be the
+    * exact stale-read class this helper exists to prevent.
+    */
+  private def refresh(spark: SparkSession, table: String): Unit = {
+    try {
+      spark.catalog.refreshTable(table)
+      refreshCounts.merge(table.toLowerCase, 1L, (a, b) => a + b)
+    } catch {
+      case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException =>
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "TABLE_OR_VIEW_NOT_FOUND" =>
+    }
+  }
+
+  /** Test-visible count of ACTUAL catalog refreshes (file re-listings)
+    * per table name — the observable the version-gating specs assert on.
+    */
+  private[graft] val refreshCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private[graft] def refreshCount(table: String): Long =
+    refreshCounts.getOrDefault(table.toLowerCase, 0L)
+
+  // last refresh token per (session, table): freshTableGated re-lists only
+  // when the caller-supplied token moved
+  private val refreshTokens =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** VERSION-GATED [[freshTable]] for corpus-sized mutable-store tables:
+    * refresh (re-list part-files) only when `token` differs from the last
+    * token THIS session refreshed `table` at. The caller derives the token
+    * from the store's 1-row meta head (version | epoch | tag — every
+    * committed mutation moves it), which it reads through the always-fresh
+    * [[freshTable]]; gating the big tables on it keeps X220 cross-session
+    * correctness (a foreign commit bumps the meta version, the next read
+    * observes it and re-lists) while a REPEATED serve against an unchanged
+    * store re-lists nothing — at 100 TB an ungated refresh re-listed
+    * millions of `_vecs`/`_bands` part-files per probe.
+    */
+  def freshTableGated(spark: org.apache.spark.sql.SparkSession,
+                      table: String, token: String): DataFrame = {
+    val key = s"${System.identityHashCode(spark)}|${table.toLowerCase}"
+    if (refreshTokens.get(key) != token) {
+      refresh(spark, table)
+      refreshTokens.put(key, token)
+    }
     spark.table(table)
   }
 

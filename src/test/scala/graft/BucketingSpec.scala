@@ -264,12 +264,18 @@ class BucketingSpec extends SparkTestBase {
         minCos = 0.2, kTop = 4, buckets = 4)
       val v0 = tableFiles(s"${prefix}_vecs")
       val b0 = tableFiles(s"${prefix}_bands")
+      val k0 = tableFiles(s"${prefix}_kept")
       SimilarityOps.maintainKnnIndex(batch, prefix)
       val v1 = tableFiles(s"${prefix}_vecs")
       val b1 = tableFiles(s"${prefix}_bands")
+      val k1 = tableFiles(s"${prefix}_kept")
       assert(v0.subsetOf(v1) && b0.subsetOf(b1),
         "maintain must never rewrite committed corpus part-files")
-      assert((v1 !== v0) && (b1 !== b0),
+      assert(k0.subsetOf(k1),
+        "the kept state must take a touched-sized DELTA append — the " +
+          "full O(n*kTop) snapshot rewrite is the 100 TB write bill " +
+          "this layout removes")
+      assert((v1 !== v0) && (b1 !== b0) && (k1 !== k0),
         "the batch's rows must land as new part-files")
     } finally spark.catalog.listTables().collect().map(_.name)
       .filter(_.startsWith(prefix)).foreach(t =>

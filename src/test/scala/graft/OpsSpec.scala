@@ -3964,43 +3964,51 @@ class OpsSpec extends SparkTestBase {
     val batch2 = emb.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 =!= 0)
     SimilarityOps.ensureKnnIndex(base, "graft_test_knn", corpusTag = "k#base",
       minCos = 0.2, kTop = 4)
-    // same tag: no rebuild (served kept snapshot keeps its files)
-    def keptTables() = spark.catalog.listTables().collect().map(_.name)
-      .filter(_.startsWith("graft_test_knn_kept_v")).sorted.toSeq
-    val v1 = keptTables()
+    // same tag: no rebuild (the kept table keeps its physical files)
+    def keptFiles() = spark.table("graft_test_knn_kept").inputFiles.toSet
+    def metaVersion() = SimilarityOps.knnIndexStatus(spark, "graft_test_knn")
+      .head().getAs[Long]("version")
+    val v1 = keptFiles()
     SimilarityOps.ensureKnnIndex(base, "graft_test_knn", corpusTag = "k#base",
       minCos = 0.2, kTop = 4)
-    assert(keptTables() === v1, "same-tag ensure must be a no-op")
+    assert(keptFiles() === v1, "same-tag ensure must be a no-op")
     SimilarityOps.maintainKnnIndex(batch1, "graft_test_knn")
     SimilarityOps.maintainKnnIndex(batch2, "graft_test_knn")
     def edgeSet() = SimilarityOps.knnIndexEdges(spark, "graft_test_knn")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val served = edgeSet()
-    // batch recompute at the SAME frozen operating point (sized on base)
-    val planes = SimilarityOps.autoPlanes(base.count())
-    val global = SimilarityOps.knnFromPairs(
-      SimilarityOps.srpNearDupPairsSized(emb, 0.2, planes), 4)
+    // batch recompute at the SAME frozen layout (planes + split cells
+    // sized on base)
+    val global = SimilarityOps.knnGraphFrozen(emb, base, 0.2, 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(served === global,
       "maintained kNN graph must equal the batch recompute bit-for-bit")
     assert(served.nonEmpty, "fixture must exercise real edges")
     // at-least-once replay: an all-replayed batch doesn't even write
-    val vBefore = keptTables()
+    val vBefore = metaVersion()
+    val fBefore = keptFiles()
     SimilarityOps.maintainKnnIndex(batch1, "graft_test_knn")
-    assert(keptTables() === vBefore && edgeSet() === served,
+    assert(metaVersion() === vBefore && keptFiles() === fBefore &&
+      edgeSet() === served,
       "replayed batch must be a structural no-op")
-    // layout: corpus tables are UNVERSIONED append-only; only the n·kTop
-    // kept table snapshots, current + previous retained
+    // layout: ALL state tables are append-only under the delta-kept
+    // format — no versioned snapshot tables at all
     val names = spark.catalog.listTables().collect().map(_.name)
       .filter(_.startsWith("graft_test_knn_")).toSet
     assert(names.contains("graft_test_knn_vecs") &&
-      names.contains("graft_test_knn_bands"),
-      "corpus tables must be unversioned (append-only)")
+      names.contains("graft_test_knn_bands") &&
+      names.contains("graft_test_knn_kept") &&
+      names.contains("graft_test_knn_cells"),
+      "state tables must be unversioned (append-only)")
     assert(!names.exists(n => n.startsWith("graft_test_knn_vecs_v") ||
-      n.startsWith("graft_test_knn_bands_v")),
-      "no versioned corpus snapshots may exist")
-    val keptVs = names.filter(_.startsWith("graft_test_knn_kept_v"))
-    assert(keptVs.size <= 2 && keptVs.nonEmpty, "kept retention")
+      n.startsWith("graft_test_knn_bands_v") ||
+      n.startsWith("graft_test_knn_kept_v")),
+      "no versioned snapshots may exist")
+    // the kept deltas carry the commit stamps: versions 1 (ensure) plus
+    // one per non-empty maintain, nothing past the committed head
+    val kvers = spark.table("graft_test_knn_kept")
+      .select(col("kver")).distinct().collect().map(_.getLong(0)).toSet
+    assert(kvers === Set(1L, 2L, 3L), s"kept delta stamps: $kvers")
   }
 
   test("deleteFromKnnIndex: tombstone + touched re-rank == live recompute; compact re-admits") {
@@ -4009,51 +4017,148 @@ class OpsSpec extends SparkTestBase {
     val pfx = "graft_test_knn_del"
     def edges() = SimilarityOps.knnIndexEdges(spark, pfx).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    def global(df: org.apache.spark.sql.DataFrame, planes: Int) =
-      SimilarityOps.knnFromPairs(
-          SimilarityOps.srpNearDupPairsSized(df, 0.2, planes), 4)
+    // the frozen layout (planes + split cells) sizes on the FULL ensure
+    // corpus; only the members vary across the delete/re-add states
+    def global(df: org.apache.spark.sql.DataFrame) =
+      SimilarityOps.knnGraphFrozen(df, emb, 0.2, 4)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .toSet
     try {
       SimilarityOps.ensureKnnIndex(emb, pfx, corpusTag = "d#1",
         minCos = 0.2, kTop = 4)
-      val planes = SimilarityOps.autoPlanes(emb.count())
       val isDel = col("vec_id") % 7 === 3
       // the fixture must exercise the REPAIR path: some live vertex must
       // currently rank a to-be-deleted neighbor (else the test would pass
       // on a filter-only implementation)
-      val keptHasDead = spark.table(pfx + "_kept_v1")
+      val keptHasDead = spark.table(pfx + "_kept")
         .join(emb.filter(isDel).select(col("vec_id").as("nb")), Seq("nb"),
           "left_semi")
       assert(!keptHasDead.isEmpty, "fixture exercises slot repair")
       SimilarityOps.deleteFromKnnIndex(
         emb.filter(isDel).select(col("vec_id")), pfx)
       val served = edges()
-      assert(served === global(emb.filter(!isDel), planes),
+      assert(served === global(emb.filter(!isDel)),
         "delete must equal the batch recompute over the LIVE corpus at " +
           "the frozen point — slots a dead neighbor crowded out included")
       assert(served.nonEmpty)
-      // re-delete: structural no-op (no new kept version)
-      def keptTables() = spark.catalog.listTables().collect().map(_.name)
-        .filter(_.startsWith(pfx + "_kept_v")).sorted.toSeq
-      val kv = keptTables()
+      // re-delete: structural no-op (no new committed version, no writes)
+      def metaVersion() = SimilarityOps.knnIndexStatus(spark, pfx)
+        .head().getAs[Long]("version")
+      def keptFiles() = spark.table(pfx + "_kept").inputFiles.toSet
+      val kv = (metaVersion(), keptFiles())
       SimilarityOps.deleteFromKnnIndex(
         emb.filter(isDel).select(col("vec_id")), pfx)
-      assert(keptTables() === kv && edges() === served)
+      assert((metaVersion(), keptFiles()) === kv && edges() === served)
       // a tombstoned id cannot re-enter before a compact
       SimilarityOps.maintainKnnIndex(emb.filter(isDel), pfx)
       assert(edges() === served,
         "tombstoned ids must not re-enter before a compact")
-      // compact: physical removal, served graph unchanged, re-add folds
+      // compact: physical removal (vecs rows AND stale kept deltas),
+      // served graph unchanged, re-add folds
       SimilarityOps.compactKnnIndex(pfx)
       assert(spark.table(pfx + "_deleted").isEmpty)
       assert(spark.table(pfx + "_vecs")
         .join(emb.filter(isDel).select(col("vec_id").as("id")), Seq("id"),
           "left_semi").isEmpty, "compact removes rows physically")
+      assert(spark.table(pfx + "_kept")
+        .join(emb.filter(isDel).select(col("vec_id").as("v")), Seq("v"),
+          "left_semi").isEmpty,
+        "compact must drop dead vertices' stale kept deltas")
+      assert(spark.table(pfx + "_kept").select(col("kver"))
+        .distinct().count() === 1L,
+        "compact must collapse the kept deltas to one physical version")
       assert(edges() === served)
       SimilarityOps.maintainKnnIndex(emb.filter(isDel), pfx)
-      assert(edges() === global(emb, planes),
+      assert(edges() === global(emb),
         "re-adding after compact folds back to the full recompute")
+    } finally spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(pfx)).foreach(t =>
+        graft.sources.Bucketing.dropTableAndLocation(spark, t))
+  }
+
+  test("persisted kNN index at splitOccupancy=2: hot cells freeze, re-key, and the lifecycle still equals the frozen recompute") {
+    val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    val pfx = "graft_test_knn_split"
+    try {
+      SimilarityOps.ensureKnnIndex(base, pfx, corpusTag = "s#base",
+        minCos = 0.2, kTop = 4, splitOccupancy = 2)
+      // the fixture must actually exercise the split: frozen cells exist
+      // and at least one cell's members re-keyed to DIFFERENT sub-buckets
+      assert(spark.table(pfx + "_cells").count() > 0,
+        "splitOccupancy=2 must freeze hot cells on this corpus")
+      val multiSub = spark.table(pfx + "_bands")
+        .groupBy(col("tbl"), col("bucket"))
+        .agg(countDistinct(col("sub")).as("ns"))
+        .filter(col("ns") > 1)
+      assert(!multiSub.isEmpty,
+        "some hot cell must re-key members into distinct sub-buckets")
+      SimilarityOps.maintainKnnIndex(batch, pfx)
+      val served = SimilarityOps.knnIndexEdges(spark, pfx).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val global = SimilarityOps.knnGraphFrozen(emb, base, 0.2, 4,
+          splitOccupancy = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(served === global,
+        "split-layout lifecycle must equal the frozen-layout recompute")
+      assert(served.nonEmpty)
+    } finally spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(pfx)).foreach(t =>
+        graft.sources.Bucketing.dropTableAndLocation(spark, t))
+  }
+
+  test("deleteFromKnnIndex: a vertex repaired to an empty list gets a marker; a no-repair delete still commits the live count") {
+    import spark.implicits._
+    // A-B are mutual near-dups along e1, C-D along e3, X isolated along
+    // e5; minCos = 0.9 admits only the within-pair cosines (~0.923)
+    def vec(i: Int, j: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(i) = 1.0f; a(j) = eps; a
+    }
+    val emb = Seq(
+      1L -> vec(0, 1, 0.2f), 2L -> vec(0, 1, -0.2f),
+      3L -> vec(2, 3, 0.2f), 4L -> vec(2, 3, -0.2f),
+      5L -> vec(4, 5, 0.2f)).toDF("vec_id", "embedding")
+    val pfx = "graft_test_knn_mark"
+    def edges() = SimilarityOps.knnIndexEdges(spark, pfx).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      SimilarityOps.ensureKnnIndex(emb, pfx, corpusTag = "m#1",
+        minCos = 0.9, kTop = 2)
+      assert(edges() === Set((1L, 2L), (3L, 4L)))
+      // delete 2: vertex 1's only neighbor dies and nothing live clears
+      // the floor — its repair is EMPTY, so without a marker its stale
+      // kver=1 rows would keep serving the (1,2) edge after a compact
+      SimilarityOps.deleteFromKnnIndex(Seq(2L).toDF("vec_id"), pfx)
+      assert(edges() === Set((3L, 4L)))
+      val markers = spark.table(pfx + "_kept")
+        .filter(col("v") === col("nb")).select(col("v"))
+        .collect().map(_.getLong(0)).toSeq
+      assert(markers === Seq(1L), s"vertex 1 needs an empty-list marker")
+      // the stale rows the marker outranks really are still on disk
+      assert(spark.table(pfx + "_kept")
+        .filter(col("v") === 1L && col("nb") === 2L).count() > 0)
+      // delete X (id 5): in _vecs but in NO kept list — nothing to
+      // repair, but the commit must land so n_vecs tracks the live
+      // corpus (the round-13 early return left it stale)
+      val v0 = SimilarityOps.knnIndexStatus(spark, pfx).head()
+      SimilarityOps.deleteFromKnnIndex(Seq(5L).toDF("vec_id"), pfx)
+      val st = SimilarityOps.knnIndexStatus(spark, pfx).head()
+      assert(st.getAs[Long]("version") === v0.getAs[Long]("version") + 1L)
+      assert(st.getAs[Long]("n_vecs") === 3L,
+        "a no-repair delete must still commit the re-derived live count")
+      assert(edges() === Set((3L, 4L)))
+      // compact drops the marker and the dead/stale rows physically;
+      // the served graph is unchanged
+      SimilarityOps.compactKnnIndex(pfx)
+      assert(spark.table(pfx + "_kept")
+        .filter(col("v") === col("nb")).isEmpty,
+        "compact must drop empty-list markers")
+      assert(spark.table(pfx + "_kept")
+        .filter(col("v") === 1L || col("nb") === 1L).isEmpty,
+        "an empty-listed vertex serves no rows after compact")
+      assert(edges() === Set((3L, 4L)))
     } finally spark.catalog.listTables().collect().map(_.name)
       .filter(_.startsWith(pfx)).foreach(t =>
         graft.sources.Bucketing.dropTableAndLocation(spark, t))

@@ -637,9 +637,7 @@ class StreamingSpec extends SparkTestBase {
     finally query.stop()
     val served = SimilarityOps.knnIndexEdges(spark, "graft_test_sknn")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val planes = SimilarityOps.autoPlanes(base.count())
-    val global = SimilarityOps.knnFromPairs(
-      SimilarityOps.srpNearDupPairsSized(emb, 0.2, planes), 4)
+    val global = SimilarityOps.knnGraphFrozen(emb, base, 0.2, 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(served === global,
       "streamed kNN maintenance must serve the batch recompute exactly")
@@ -654,7 +652,6 @@ class StreamingSpec extends SparkTestBase {
       .localCheckpoint()
     SimilarityOps.ensureKnnIndex(emb, "graft_test_rknn",
       corpusTag = "rk#full", minCos = 0.2, kTop = 4)
-    val planes = SimilarityOps.autoPlanes(emb.count())
     val dels = emb.filter(col("vec_id") % 7 === 3)
       .select(col("vec_id")).as[Long].collect().toSeq
     val (ep1, ep2) = dels.partition(_ % 2 == 0)
@@ -667,9 +664,8 @@ class StreamingSpec extends SparkTestBase {
     finally query.stop()
     val served = SimilarityOps.knnIndexEdges(spark, "graft_test_rknn")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val global = SimilarityOps.knnFromPairs(
-      SimilarityOps.srpNearDupPairsSized(
-        emb.filter(col("vec_id") % 7 =!= 3), 0.2, planes), 4)
+    val global = SimilarityOps.knnGraphFrozen(
+      emb.filter(col("vec_id") % 7 =!= 3), emb, 0.2, 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(served === global,
       "streamed retractions must serve the live-corpus recompute exactly")
