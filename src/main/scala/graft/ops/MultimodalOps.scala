@@ -623,14 +623,22 @@ object MultimodalOps {
     * the partitioning on expected frame counts, not payload counts.
     */
   /** The container WALK alone — one row per sampled frame with the
-    * frame's raw payload still attached: (id, frame_idx, n_frames,
-    * declared_frames, micros_per_frame, frame). The composition point for
-    * putting any still-image tail under a video corpus ([[phashBits]]
-    * over the frame column is the q203 shape — container facts AND the
-    * per-frame integer pHash under one oracle gate); [[decodeVideoFrames]]
-    * stays the decode-fused form whose frames never leave the partition.
-    * Same drop semantics: non-AVI payloads vanish, truncation is
-    * detectable as n_frames < declared_frames.
+    * frame's raw payload still attached: (id, frame_idx, sample_ord,
+    * n_frames, declared_frames, micros_per_frame, frame). The composition
+    * point for putting any still-image tail under a video corpus
+    * ([[phashBits]] over the frame column is the q203 shape — container
+    * facts AND the per-frame integer pHash under one oracle gate);
+    * [[decodeVideoFrames]] stays the decode-fused form whose frames
+    * never leave the partition. Same drop semantics: non-AVI payloads
+    * vanish, truncation is detectable as n_frames < declared_frames.
+    *
+    * INDEX SEMANTICS: `frame_idx` is the frame's CONTAINER-ORDER index —
+    * at `everyN > 1` it is deliberately sparse (0, everyN, 2·everyN, …),
+    * preserving temporal position (frame_idx · micros_per_frame = the
+    * frame's timestamp). Consumers that need a DENSE per-video ordinal —
+    * composing collision-free ids like `vid_id · k + ordinal`, or pairing
+    * "consecutive sampled frames" — should use `sample_ord` (0, 1, 2, …
+    * over the sampled rows), not frame_idx.
     */
   def videoFrames(df: DataFrame, idCol: String, binCol: String,
                   everyN: Int = 1): DataFrame = {
@@ -643,12 +651,13 @@ object MultimodalOps {
       Option(bytes).flatMap(parseAvi).iterator.flatMap { avi =>
         avi.frames.iterator.zipWithIndex
           .filter { case (_, i) => i % everyN == 0 }
-          .map { case (frame, i) =>
-            (id, i, avi.frames.length.toLong, avi.declaredFrames,
-              avi.microsPerFrame, frame)
+          .zipWithIndex
+          .map { case ((frame, i), ord) =>
+            (id, i, ord.toLong, avi.frames.length.toLong,
+              avi.declaredFrames, avi.microsPerFrame, frame)
           }
       }
-    }.toDF(idCol, "frame_idx", "n_frames", "declared_frames",
+    }.toDF(idCol, "frame_idx", "sample_ord", "n_frames", "declared_frames",
       "micros_per_frame", "frame")
   }
 

@@ -2858,13 +2858,29 @@ object SimilarityOps {
     if (files.isEmpty) ""
     else {
       val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+      // ONE listStatus RPC per parent DIRECTORY, not one getFileStatus
+      // per file: at millions of part-files the per-file loop serializes
+      // the ensure/memo path on driver-side metadata round-trips (a table
+      // has few directories, each holding many files). A missing file —
+      // or a whole missing directory — contributes the same (-1, -1)
+      // sentinel the per-file form recorded, so fingerprints are
+      // byte-identical to the previous implementation
+      val byParent = files.groupBy(f =>
+        new org.apache.hadoop.fs.Path(f).getParent)
+      val statusOf = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+      byParent.keysIterator.foreach { parent =>
+        try {
+          parent.getFileSystem(hconf).listStatus(parent).foreach { st =>
+            statusOf(st.getPath.toString) =
+              (st.getLen, st.getModificationTime)
+          }
+        } catch { case _: java.io.IOException => () }
+      }
       val md = java.security.MessageDigest.getInstance("MD5")
       files.foreach { f =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        val st = try Some(p.getFileSystem(hconf).getFileStatus(p))
-        catch { case _: java.io.IOException => None }
-        md.update((s"$f|${st.map(_.getLen).getOrElse(-1L)}|" +
-          s"${st.map(_.getModificationTime).getOrElse(-1L)}\n").getBytes("UTF-8"))
+        val key = new org.apache.hadoop.fs.Path(f).toString
+        val (len, mtime) = statusOf.getOrElse(key, (-1L, -1L))
+        md.update(s"$f|$len|$mtime\n".getBytes("UTF-8"))
       }
       md.digest().map("%02x".format(_)).mkString
     }

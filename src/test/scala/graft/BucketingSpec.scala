@@ -282,6 +282,72 @@ class BucketingSpec extends SparkTestBase {
         graft.sources.Bucketing.dropTableAndLocation(spark, t))
   }
 
+  test("freshTable: a replace by ANOTHER session is observed; the raw read is the stale-listing class it guards") {
+    // the X220 regression locked as a spec: spark.newSession() gives two
+    // SessionCatalogs in one JVM — session A resolves (and caches the
+    // file listing of) a table, session B drops + recreates it, and A's
+    // next RAW read runs against the pre-replace listing (stale rows or
+    // FAILED_READ_FILE on the deleted part-files, both observed live).
+    // freshTable must observe the replacement from A regardless
+    import spark.implicits._
+    val sA = spark
+    val sB = spark.newSession()
+    val t = "t_x220_spec"
+    try {
+      Bucketing.saveTable(Seq((1L, "one")).toDF("id", "v"), t)
+      assert(Bucketing.freshTable(sA, t).collect().map(_.getString(1))
+        .toSeq === Seq("one"))
+      // B replaces (drop + recreate — new part-files, same name)
+      locally {
+        import sB.implicits._
+        Bucketing.saveTable(
+          Seq((1L, "two"), (2L, "two")).toDF("id", "v"), s"$t")
+      }
+      val raw = scala.util.Try(sA.table(t).collect().map(_.getString(1)))
+      val rawSawReplace = raw.toOption.exists(_.toSeq.sorted ==
+        Seq("two", "two"))
+      assert(!rawSawReplace,
+        "the raw spark.table read observed a cross-session replace — " +
+          "the stale-listing class no longer reproduces; re-evaluate " +
+          "whether freshTable is still needed")
+      assert(Bucketing.freshTable(sA, t).collect().map(_.getString(1))
+        .toSeq.sorted === Seq("two", "two"),
+        "freshTable must observe the cross-session replacement")
+    } finally Bucketing.dropTableAndLocation(spark, t)
+  }
+
+  test("knnIndexEdges: a repeated serve against an unchanged store re-lists nothing corpus-sized") {
+    import graft.ops.SimilarityOps
+    val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
+    val pfx = "t_knn_gate"
+    try {
+      SimilarityOps.ensureKnnIndex(emb, pfx, corpusTag = "g#1",
+        minCos = 0.2, kTop = 4, buckets = 4)
+      val e0 = SimilarityOps.knnIndexEdges(spark, pfx).count()
+      def listings() = Bucketing.refreshCount(s"${pfx}_kept")
+      val c1 = listings()
+      // repeated serves: the store is unchanged, so the version-gated
+      // read must NOT re-list the n·kTop kept table again (at 100 TB an
+      // ungated refresh re-listed millions of part-files per probe)
+      assert(SimilarityOps.knnIndexEdges(spark, pfx).count() === e0)
+      assert(SimilarityOps.knnIndexEdges(spark, pfx).count() === e0)
+      assert(listings() === c1,
+        "a repeated serve re-listed the kept table despite no commit")
+      // a commit moves the token: exactly the next serve re-lists
+      import spark.implicits._
+      SimilarityOps.deleteFromKnnIndex(
+        emb.limit(1).select(col("vec_id")), pfx)
+      val e1 = SimilarityOps.knnIndexEdges(spark, pfx).count()
+      assert(listings() > c1,
+        "a committed mutation must make the next serve re-list")
+      val c2 = listings()
+      assert(SimilarityOps.knnIndexEdges(spark, pfx).count() === e1)
+      assert(listings() === c2, "and the serve after it must not")
+    } finally spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(pfx)).foreach(t =>
+        graft.sources.Bucketing.dropTableAndLocation(spark, t))
+  }
+
   test("build-dropped buckets stay closed: an append cannot reopen a pathological bucket") {
     import graft.ops.DedupOps
     import spark.implicits._

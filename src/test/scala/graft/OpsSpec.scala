@@ -1283,11 +1283,23 @@ class OpsSpec extends SparkTestBase {
     assert(frames.keySet === Set((1L, 0), (1L, 1), (2L, 0)))
     // vid 1: both frames survive and match declared; vid 2 declares 5
     // but carries 1 — the truncation signal
-    assert(frames((1L, 0)).getLong(2) === 2L &&
-      frames((1L, 0)).getLong(3) === 2L)
-    assert(frames((2L, 0)).getLong(2) === 1L &&
-      frames((2L, 0)).getLong(3) === 5L)
-    assert(frames((1L, 0)).getLong(4) === 40000L)
+    assert(frames((1L, 0)).getAs[Long]("n_frames") === 2L &&
+      frames((1L, 0)).getAs[Long]("declared_frames") === 2L)
+    assert(frames((2L, 0)).getAs[Long]("n_frames") === 1L &&
+      frames((2L, 0)).getAs[Long]("declared_frames") === 5L)
+    assert(frames((1L, 0)).getAs[Long]("micros_per_frame") === 40000L)
+    // frame_idx is the CONTAINER-ORDER index (sparse under everyN > 1,
+    // preserving timestamps); sample_ord is the dense per-video ordinal
+    assert(frames.values.forall(r =>
+      r.getAs[Long]("sample_ord") === r.getInt(1).toLong),
+      "at everyN = 1 the two indexes coincide")
+    val thinned = MultimodalOps.videoFrames(fx, "vid_id", "payload",
+        everyN = 2)
+      .filter(col("vid_id") === 1)
+      .select(col("frame_idx"), col("sample_ord"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(thinned === Set((0, 0L)),
+      "everyN=2 keeps container index 0 as dense ordinal 0")
     // the extracted frame payloads ARE the BMP fixtures byte-for-byte
     def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
     assert(hex(frames((1L, 0)).getAs[Array[Byte]]("frame")) ===
