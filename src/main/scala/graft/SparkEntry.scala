@@ -39,6 +39,26 @@ object SparkEntry {
     if (tag.isEmpty) "root" else tag
   }
 
+  /** The SERVED bounded near-dup graph at the (0.2 floor, kTop 4) point
+    * every full-corpus graph consumer shares (q184/q189/q197): mutual
+    * edges from ONE per-corpus persisted kNN index (X214 lifecycle,
+    * split-hardened at the default skew line) instead of each query
+    * re-paying the banding + verify + rank passes — the X84 economics:
+    * a real pipeline maintains this index across ingests, so the
+    * steady-state cost of a graph read IS the serve, not a rebuild. The
+    * first caller per (session, corpus) pays the ensure; Bench prebuilds
+    * it so bench rows price probes. Equality with the in-session
+    * `knnGraphAuto` composition is the q200-family oracle claim (the
+    * frozen layout here freezes on the SAME corpus it serves).
+    */
+  private[graft] def servedKnnEdges(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val prefix = s"graft_knn02_${dirTag(d)}"
+    SimilarityOps.ensureKnnIndex(emb, prefix,
+      corpusTag = corpusTagOf(emb, d), minCos = 0.2, kTop = 4)
+    SimilarityOps.knnIndexEdges(s, prefix)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     RelationalOps.pricingSummary(
@@ -1473,8 +1493,7 @@ object SparkEntry {
     // graph whose degree cannot densify as the corpus grows
     "q197_knn_cluster_census" -> ((s, d) =>
       GraphOps.clusterCensus(
-        SimilarityOps.knnGraphAuto(t(s, d, "embeddings"), 0.2, kTop = 4)
-          .select(col("a"), col("b")))
+        servedKnnEdges(s, d).select(col("a"), col("b")))
         .orderBy(col("n_vertices").desc, col("comp"))),
 
     // 3-TRUSS of the same graph — the EDGE-grain repair the census
@@ -1525,7 +1544,7 @@ object SparkEntry {
     // split); bounded edges keep components split-assignable at any n
     "q184_cluster_safe_split" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
-      val pairs = SimilarityOps.knnGraphAuto(emb, 0.2, kTop = 4)
+      val pairs = servedKnnEdges(s, d)
         .select(col("a"), col("b")).localCheckpoint()
       val asg = RelationalOps.clusterSafeSplit(
         emb.select(col("vec_id")), pairs, Seq(0.8, 0.1, 0.1), idCol = "vec_id")
@@ -1581,8 +1600,7 @@ object SparkEntry {
     // closure-vs-truss dedup-effect audit runs on the bounded graph
     "q189_knn_graph_effect" -> ((s, d) =>
       GraphOps.trussDedupEffect(
-        SimilarityOps.knnGraphAuto(t(s, d, "embeddings"), 0.2, kTop = 4)
-          .select(col("a"), col("b")), k = 3, rounds = 4)
+        servedKnnEdges(s, d).select(col("a"), col("b")), k = 3, rounds = 4)
         .orderBy(col("scheme"))),
 
     // the census → OPERATING-POINT recommender: one SRP candidate pass at
@@ -4846,9 +4864,11 @@ object SparkEntry {
     // the census re-pointed at the BOUNDED graph: mutual-kNN edge
     // selection first, then the identical per-component rollup — the
     // dashboard a dedup owner reads once the operating point is
-    // degree-capped rather than threshold-tuned
+    // degree-capped rather than threshold-tuned. Served from the shared
+    // persisted index, so the candidate stage replays the FROZEN split
+    // layout (freeze corpus == the corpus itself, skew line 64)
     "q197_knn_cluster_census" ->
-      s"""WITH RECURSIVE ${srpPairsAutoCte(0.2)},
+      s"""WITH RECURSIVE ${srpPairsSplitFrozenCte(0.2, 64)},
          |${knnEdgesCte(4)},
          |${censusTailCte("e0")}""".stripMargin,
 
@@ -4906,13 +4926,13 @@ object SparkEntry {
          |$trussEffectTailCte""".stripMargin
     },
 
-    // the AUTO-sized SRP pair CTEs at 0.2 (np derived from the corpus
-    // count — candidate volume ~linear in n on BOTH engines), the
+    // the FROZEN-layout SRP pair CTEs at 0.2 (np + split cells derived
+    // from the corpus's counts — the persisted index's banding), the
     // mutual-kNN edge selection replayed rank-for-rank (cosines ride the
     // shared exact double shape, ties break on neighbor id), then the
     // q182 tail
     "q189_knn_graph_effect" ->
-      s"""WITH RECURSIVE ${srpPairsAutoCte(0.2)},
+      s"""WITH RECURSIVE ${srpPairsSplitFrozenCte(0.2, 64)},
          |${knnEdgesCte(4)},
          |$trussEffectTailCte""".stripMargin,
 
@@ -5244,7 +5264,7 @@ object SparkEntry {
     "q184_cluster_safe_split" -> {
       val bucket =
         s"${ops.DetHash.sqlMd5Hash60("'split|' || CAST(comp AS VARCHAR)")} % 10000"
-      s"""WITH RECURSIVE ${srpPairsAutoCte(0.2)},
+      s"""WITH RECURSIVE ${srpPairsSplitFrozenCte(0.2, 64)},
          |${knnEdgesCte(4)},
          |${ccTailCteOver("e0")},
          |asg AS (SELECT x AS vec_id, comp,

@@ -48,4 +48,39 @@ class BenchReportSpec extends AnyFunSuite {
     val line = Bench.renderJson(hostile, "/d")
     assert(!line.split("\n")(0).isEmpty && line.split("\n").length === 1)
   }
+
+  test("worstMovers: ratio AND absolute gates, worst first, capped at n; missing ref rows skip") {
+    val ref = Map("q1" -> 1.0, "q2" -> 2.0, "q3" -> 0.1, "q4" -> 4.0)
+    val now = Map(
+      "q1" -> 1.8, // 1.8x and +0.8 s: a mover
+      "q2" -> 2.4, // 1.2x: ratio gate drops it (session spread)
+      "q3" -> 0.35, // 3.5x but +0.25 s: absolute gate drops noise jumps
+      "q4" -> 14.0, // 3.5x and +10 s: the worst mover
+      "q9" -> 50.0) // no reference row (new query): nothing to compare
+    assert(Bench.worstMovers(now, ref, n = 8) === Seq("q4", "q1"))
+    assert(Bench.worstMovers(now, ref, n = 1) === Seq("q4"))
+    assert(Bench.worstMovers(now, ref, n = 0) === Seq.empty)
+    assert(Bench.worstMovers(now, Map.empty, n = 8) === Seq.empty,
+      "first run (no artifact) re-times nothing")
+  }
+
+  test("refTimes: parses query keys out of a previous artifact, skips error strings; absent file is empty") {
+    val f = java.nio.file.Files.createTempFile("bench-ref", ".json")
+    java.nio.file.Files.writeString(f,
+      """{"metric":"total","value":3.5,"unit":"sec",""" +
+        """"queries":{"q01_agg":1.25,"q106_lsh_tuning":2.25},""" +
+        """"errors":{"q02_join":"boom: 1.5 things"},"sf":"/d"}""")
+    val r = Bench.refTimes(f.toString)
+    assert(r === Map("q01_agg" -> 1.25, "q106_lsh_tuning" -> 2.25),
+      s"error strings and non-query keys must not parse as timings: $r")
+    assert(Bench.refTimes("/nonexistent/bench.json") === Map.empty)
+  }
+
+  test("renderJson: retimed floors ride beside the sweep numbers") {
+    val merged = Map[String, Either[String, Double]]("q01_x" -> Right(4.0))
+    val json = Bench.renderJson(merged, "/d", Map("q01_x" -> 1.5))
+    assert(json.contains("\"q01_x\":4.0") &&
+      json.contains("\"retimed\":{\"q01_x\":1.5}"),
+      s"both the sweep number and the floor must ship: $json")
+  }
 }
