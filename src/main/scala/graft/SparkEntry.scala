@@ -486,6 +486,31 @@ object SparkEntry {
     (2L, aviHex(Seq(bmpFixtures(1)._2), microsPerFrame = 33367L,
       declaredFrames = 5L)))
 
+  /** Baseline JPEG fixtures — `javax.imageio` encoder output over
+    * deterministic pixel ramps, embedded as hex: (width, height, hex).
+    * The ORACLE never reads these width/height fields: it parses each
+    * frame's dimensions from the JPEG's OWN SOF marker segment (the
+    * q194 hex-replay convention).
+    */
+  private[graft] val jpegFixtures: Seq[(Int, Int, String)] = Seq(
+    (8, 6, "ffd8ffe000104a46494600010200000100010000ffdb004300080606070605080707070909080a0c140d0c0b0b0c1912130f141d1a1f1e1d1a1c1c20242e2720222c231c1c2837292c30313434341f27393d38323c2e333432ffdb0043010909090c0b0c180d0d1832211c213232323232323232323232323232323232323232323232323232323232323232323232323232323232323232323232323232ffc00011080006000803012200021101031101ffc4001f0000010501010101010100000000000000000102030405060708090a0bffc400b5100002010303020403050504040000017d01020300041105122131410613516107227114328191a1082342b1c11552d1f02433627282090a161718191a25262728292a3435363738393a434445464748494a535455565758595a636465666768696a737475767778797a838485868788898a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6b7b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae1e2e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8f9faffc4001f0100030101010101010101010000000000000102030405060708090a0bffc400b51100020102040403040705040400010277000102031104052131061241510761711322328108144291a1b1c109233352f0156272d10a162434e125f11718191a262728292a35363738393a434445464748494a535455565758595a636465666768696a737475767778797a82838485868788898a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6b7b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae2e3e4e5e6e7e8e9eaf2f3f4f5f6f7f8f9faffda000c03010002110311003f00aba758e936ba3cadfd8713623db81744641e3fe79ffb5fa514515a623135b0b392a326b57e7b5adbdce2cc30f097b28bbd9457da7d5bf3f23fffd9"),
+    (5, 7, "ffd8ffe000104a46494600010200000100010000ffdb004300080606070605080707070909080a0c140d0c0b0b0c1912130f141d1a1f1e1d1a1c1c20242e2720222c231c1c2837292c30313434341f27393d38323c2e333432ffdb0043010909090c0b0c180d0d1832211c213232323232323232323232323232323232323232323232323232323232323232323232323232323232323232323232323232ffc00011080007000503012200021101031101ffc4001f0000010501010101010100000000000000000102030405060708090a0bffc400b5100002010303020403050504040000017d01020300041105122131410613516107227114328191a1082342b1c11552d1f02433627282090a161718191a25262728292a3435363738393a434445464748494a535455565758595a636465666768696a737475767778797a838485868788898a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6b7b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae1e2e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8f9faffc4001f0100030101010101010101010000000000000102030405060708090a0bffc400b51100020102040403040705040400010277000102031104052131061241510761711322328108144291a1b1c109233352f0156272d10a162434e125f11718191a262728292a35363738393a434445464748494a535455565758595a636465666768696a737475767778797a82838485868788898a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6b7b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae2e3e4e5e6e7e8e9eaf2f3f4f5f6f7f8f9faffda000c03010002110311003f009b44f0dd9c76237787a3238518bb1dbaff0007bd14515e062b3dc4d1aae104ada77eaafdce9c14ef8783f2ef2ff33fffd9"),
+    (6, 4, "ffd8ffe000104a46494600010200000100010000ffdb004300080606070605080707070909080a0c140d0c0b0b0c1912130f141d1a1f1e1d1a1c1c20242e2720222c231c1c2837292c30313434341f27393d38323c2e333432ffdb0043010909090c0b0c180d0d1832211c213232323232323232323232323232323232323232323232323232323232323232323232323232323232323232323232323232ffc00011080004000603012200021101031101ffc4001f0000010501010101010100000000000000000102030405060708090a0bffc400b5100002010303020403050504040000017d01020300041105122131410613516107227114328191a1082342b1c11552d1f02433627282090a161718191a25262728292a3435363738393a434445464748494a535455565758595a636465666768696a737475767778797a838485868788898a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6b7b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae1e2e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8f9faffc4001f0100030101010101010101010000000000000102030405060708090a0bffc400b51100020102040403040705040400010277000102031104052131061241510761711322328108144291a1b1c109233352f0156272d10a162434e125f11718191a262728292a35363738393a434445464748494a535455565758595a636465666768696a737475767778797a82838485868788898a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6b7b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae2e3e4e5e6e7e8e9eaf2f3f4f5f6f7f8f9faffda000c03010002110311003f00dfd03c11a10b2f96d4ae028c838ed9a28a2be4b35c5e22388b466d69dd979657abf5587bcfef67ffd9"))
+
+  /** MJPEG-in-AVI fixtures (vid_id, hex): vid 3 = two JPEG frames of
+    * different dimensions; vid 4 = one JPEG frame with avih DECLARING 3
+    * (the truncation fact under the gate); vid 5 = a MIXED-codec movi
+    * (JPEG, BMP, JPEG) — frame ordering and per-frame dimensions must
+    * hold across codecs in one stream.
+    */
+  private[graft] val mjpegAviFixtures: Seq[(Long, String)] = Seq(
+    (3L, aviHex(Seq(jpegFixtures(0)._3, jpegFixtures(1)._3),
+      microsPerFrame = 40000L, declaredFrames = 2L)),
+    (4L, aviHex(Seq(jpegFixtures(2)._3), microsPerFrame = 33367L,
+      declaredFrames = 3L)),
+    (5L, aviHex(Seq(jpegFixtures(1)._3, bmpFixtures(0)._2,
+      jpegFixtures(2)._3), microsPerFrame = 20000L, declaredFrames = 3L)))
+
   private[graft] val wavFixtures: Seq[(Long, String, Int, Int, Int)] = Seq(
     // (clip_id, hex, sampleRateHz, channels, nFrames)
     (1L, "52494646a400000057415645666d74201000000001000100401f0000803e0000020010006461746180000000d08a2cb688e1e40c40389c6398a4f4cf50fbac260852049360bebce918157440d06bccac28d88403e02e3c5a389b94c6f0f14c1da848047400b55ce0b80b143770626ca3c8ce24fa8025dc50d89134bd90e8ec13483fa46aa0abfcd65802b42d10590c9a68c5c4f0201c7c47d872d4b330df8c0ae835446140a29ccdf8f85424", 8000, 1, 64),
@@ -1751,6 +1776,18 @@ object SparkEntry {
           splitOccupancy = 8)
         .orderBy(col("a"), col("b"))),
 
+    // COMPOSITION PAST THE PLANE CEILING under the oracle gate: the
+    // corpus sharded into equal-width id ranges (integer rule — the
+    // oracle re-derives membership from the same min/max), each shard
+    // banded at its OWN auto operating point, per-shard verified pairs
+    // unioned. Recall is within-shard by design (the documented
+    // boundary trade); 4 shards so every shard sizes a genuinely
+    // smaller point than the global corpus would
+    "q205_srp_sharded_pairs" -> ((s, d) =>
+      SimilarityOps.srpNearDupPairsSharded(t(s, d, "embeddings"), 0.2,
+          nShards = 4)
+        .orderBy(col("a"), col("b"))),
+
     // the VIDEO tier under the hash gate (closing the q194→q199 chain's
     // last spec-only stage): RIFF/AVI container walk → per-frame BMP
     // payloads → the q199 integer-DCT pHash per frame, with container
@@ -1771,6 +1808,25 @@ object SparkEntry {
         .select(col("vid_id"), col("frame_idx").cast("long").as("frame_idx"),
           col("n_frames"), col("declared_frames"), col("micros_per_frame"),
           col("dc"), col("median_ac"), col("phash"))
+        .orderBy(col("vid_id"), col("frame_idx"))
+    },
+
+    // MJPEG frames under the gate (the q203 fixture's frames are BMP;
+    // this one's are real baseline JPEGs, plus one mixed JPEG/BMP
+    // stream): the engine DECODES each frame (`javax.imageio`) and
+    // reports the decoded dimensions, while the oracle walks the RIFF
+    // grammar itself and parses each JPEG frame's dimensions from its
+    // OWN SOF marker segment (BMP frames from their BMP header) — no
+    // offset, size, or dimension is fed to either side
+    "q206_mjpeg_fixture" -> { (s, d) =>
+      import s.implicits._
+      val fx = mjpegAviFixtures.toDF("vid_id", "hex")
+        .select(col("vid_id"), unhex(col("hex")).as("payload"))
+      MultimodalOps.decodeVideoFrames(fx, "vid_id", "payload")
+        .select(col("vid_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("n_frames"), col("declared_frames"), col("micros_per_frame"),
+          col("duration_ms"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
         .orderBy(col("vid_id"), col("frame_idx"))
     },
 
@@ -2789,6 +2845,53 @@ object SparkEntry {
        |cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
        |  FROM b2 l JOIN b2 r ON l.tbl = r.tbl AND l.bucket = r.bucket
        |    AND l.sub = r.sub AND l.vec_id < r.vec_id),
+       |pr2 AS (SELECT a, b, cos FROM (
+       |    SELECT c.a, c.b, ${sqlCos("ae", "be")} AS cos
+       |    FROM cand c JOIN e ae ON ae.vec_id = c.a JOIN e be ON be.vec_id = c.b)
+       |  WHERE cos >= $minCos)""".stripMargin
+  }
+
+  /** The SHARD-AND-UNION composition CTE (mirrors
+    * `SimilarityOps.srpNearDupPairsSharded`): equal-width id-range shards
+    * by the same integer rule ((id − min) · k div span), each shard's
+    * plane count derived from ITS row count by the autoPlanes
+    * integer-shift rule, buckets masked per shard off the shared strided
+    * plane family, candidates keyed by (shard, tbl, bucket) — so a pair
+    * collides only within its shard, exactly the engine's recall
+    * statement — then the shared exact-cosine verify tail into
+    * `pr2(a, b, cos)`.
+    */
+  private def srpPairsShardedCte(minCos: Double, k: Int,
+                                 maxBucket: Long = 10000L): String = {
+    val stride = SimilarityOps.srpPlaneStride
+    s"""planes AS (${ops.DetHash.sqlPlanesStridedCte(6, 24, stride, 64)}),
+       |e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+       |bounds AS MATERIALIZED (SELECT min(vec_id) AS mn,
+       |    max(vec_id) - min(vec_id) + 1 AS span FROM e),
+       |sh AS MATERIALIZED (SELECT e.vec_id, e.embedding,
+       |    ((e.vec_id - bo.mn) * $k) // bo.span AS shard
+       |  FROM e CROSS JOIN bounds bo),
+       |np AS MATERIALIZED (SELECT shard, least(24, coalesce(
+       |    (SELECT min(p) FROM range(4, 25) t(p) WHERE (n >> p) <= 8),
+       |    24)) AS np
+       |  FROM (SELECT shard, count(*) AS n FROM sh GROUP BY 1) sc),
+       |proj AS (SELECT p.p // $stride AS tbl, p.p % $stride AS i,
+       |    s.vec_id, s.shard,
+       |    list_sum(list_transform(list_zip(s.embedding, p.cs), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS pr
+       |  FROM sh s CROSS JOIN planes p JOIN np ON np.shard = s.shard
+       |  WHERE p.p % $stride < np.np),
+       |b AS (SELECT shard, tbl, vec_id,
+       |    sum(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS bucket
+       |  FROM proj GROUP BY 1, 2, 3),
+       |bn AS (SELECT shard, tbl, bucket, CAST(count(*) AS BIGINT) AS c
+       |  FROM b GROUP BY 1, 2, 3),
+       |bk AS (SELECT b.shard, b.tbl, b.bucket, b.vec_id
+       |  FROM b JOIN bn ON bn.shard = b.shard AND bn.tbl = b.tbl
+       |    AND bn.bucket = b.bucket
+       |  WHERE bn.c <= $maxBucket),
+       |cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+       |  FROM bk l JOIN bk r ON l.shard = r.shard AND l.tbl = r.tbl
+       |    AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
        |pr2 AS (SELECT a, b, cos FROM (
        |    SELECT c.a, c.b, ${sqlCos("ae", "be")} AS cos
        |    FROM cand c JOIN e ae ON ae.vec_id = c.a JOIN e be ON be.vec_id = c.b)
@@ -5083,6 +5186,14 @@ object SparkEntry {
       s"""WITH ${srpPairsSplitAutoCte(0.2, 8)}
          |SELECT a, b, cos FROM pr2 ORDER BY a, b""".stripMargin,
 
+    // the shard-and-union replay: same id-range rule, same per-shard
+    // integer-shift plane sizing, candidates confined to (shard, tbl,
+    // bucket) — within-shard recall IS the semantics, so the oracle and
+    // the engine must agree on exactly which cross-shard pairs vanish
+    "q205_srp_sharded_pairs" ->
+      s"""WITH ${srpPairsShardedCte(0.2, 4)}
+         |SELECT a, b, cos FROM pr2 ORDER BY a, b""".stripMargin,
+
     // the VIDEO replay: the oracle walks the RIFF chunk grammar itself
     // (recursive CTE — fourcc + u32-LE size + even pad, descending into
     // LIST bodies), finds avih/movi structurally, takes '00db'/'00dc'
@@ -5188,6 +5299,92 @@ object SparkEntry {
          |  JOIN dcv d ON d.vid_id = r.vid_id AND d.frame_idx = r.frame_idx
          |  JOIN med m ON m.vid_id = r.vid_id AND m.frame_idx = r.frame_idx
          |  JOIN bits b ON b.vid_id = r.vid_id AND b.frame_idx = r.frame_idx
+         |ORDER BY vid_id, frame_idx""".stripMargin
+    },
+
+    // the MJPEG replay: the same self-derived RIFF walk, then for each
+    // JPEG frame a SEGMENT walk over the frame's own marker stream
+    // (FF xx + u16-BE length) until an SOF marker, whose height/width
+    // fields at +5/+7 are the dimensions — the engine reports what
+    // ImageIO DECODED, the oracle what the container DECLARES, and the
+    // gate is that they agree byte-for-byte (BMP frames in the mixed
+    // stream read their BMP header instead)
+    "q206_mjpeg_fixture" -> {
+      val vals = mjpegAviFixtures.map { case (id, hex) => s"($id, '$hex')" }
+        .mkString(", ")
+      def sz(o: String) = u32leSql("f.hex", o)
+      def jb(o: String) = hexByteSql("f.hex", o)
+      // every SOF marker code: C0-C3, C5-C7, C9-CB, CD-CF (C4/C8/CC are
+      // DHT/JPG/DAC); the baseline encoder emits C0
+      val sofSet = "(192,193,194,195,197,198,199,201,202,203,205,206,207)"
+      s"""WITH RECURSIVE
+         |fx AS (SELECT * FROM (VALUES $vals) t(vid_id, hex)),
+         |walk AS (
+         |  SELECT vid_id, 12 AS o FROM fx
+         |  UNION ALL
+         |  SELECT w.vid_id,
+         |    CASE WHEN substring(f.hex, w.o * 2 + 1, 8) = '4c495354'
+         |      THEN w.o + 12
+         |      ELSE w.o + 8 + ${sz("w.o+4")} + (${sz("w.o+4")} % 2) END
+         |  FROM walk w JOIN fx f ON f.vid_id = w.vid_id
+         |  WHERE w.o + 8 <= length(f.hex) // 2),
+         |ch AS (SELECT w.vid_id, w.o,
+         |    substring(f.hex, w.o * 2 + 1, 8) AS fcc, ${sz("w.o+4")} AS sz,
+         |    substring(f.hex, (w.o + 8) * 2 + 1, 8) AS ltype
+         |  FROM walk w JOIN fx f ON f.vid_id = w.vid_id
+         |  WHERE w.o + 8 <= length(f.hex) // 2),
+         |avih AS (SELECT c.vid_id, ${u32leSql("f.hex", "c.o+8")} AS mpf,
+         |    ${u32leSql("f.hex", "c.o+24")} AS declared
+         |  FROM ch c JOIN fx f ON f.vid_id = c.vid_id
+         |  WHERE c.fcc = '61766968'),
+         |mv AS (SELECT vid_id, o + 12 AS mstart, o + 8 + sz AS mend
+         |  FROM ch WHERE fcc = '4c495354' AND ltype = '6d6f7669'),
+         |fr AS (SELECT c.vid_id, c.o + 8 AS base, c.sz,
+         |    substring(f.hex, (c.o + 8) * 2 + 1, 4) AS magic,
+         |    row_number() OVER (PARTITION BY c.vid_id ORDER BY c.o) - 1
+         |      AS frame_idx
+         |  FROM ch c JOIN mv ON mv.vid_id = c.vid_id
+         |    AND c.o >= mv.mstart AND c.o < mv.mend
+         |  JOIN fx f ON f.vid_id = c.vid_id
+         |  WHERE substring(c.fcc, 1, 2) BETWEEN '30' AND '39'
+         |    AND substring(c.fcc, 3, 2) BETWEEN '30' AND '39'
+         |    AND substring(c.fcc, 5, 4) IN ('6462', '6463')
+         |    AND c.sz >= 2
+         |    AND substring(f.hex, (c.o + 8) * 2 + 1, 4) IN ('424d', 'ffd8')),
+         |nf AS (SELECT vid_id, CAST(count(*) AS BIGINT) AS n_frames
+         |  FROM fr GROUP BY 1),
+         |jw AS (
+         |  SELECT vid_id, frame_idx, base, base + 2 AS o
+         |  FROM fr WHERE magic = 'ffd8'
+         |  UNION ALL
+         |  SELECT j.vid_id, j.frame_idx, j.base,
+         |    j.o + 2 + 256 * ${jb("j.o+2")} + ${jb("j.o+3")}
+         |  FROM jw j JOIN fx f ON f.vid_id = j.vid_id
+         |  WHERE ${jb("j.o+1")} NOT IN $sofSet
+         |    AND j.o + 9 <= length(f.hex) // 2),
+         |sof AS (SELECT j.vid_id, j.frame_idx,
+         |    256 * ${jb("j.o+7")} + ${jb("j.o+8")} AS w,
+         |    256 * ${jb("j.o+5")} + ${jb("j.o+6")} AS h
+         |  FROM jw j JOIN fx f ON f.vid_id = j.vid_id
+         |  WHERE ${jb("j.o+1")} IN $sofSet),
+         |dims AS (
+         |  SELECT vid_id, frame_idx, w, h FROM sof
+         |  UNION ALL
+         |  SELECT r.vid_id, r.frame_idx,
+         |    ${u32leSql("f.hex", "r.base+18")} AS w,
+         |    ${u32leSql("f.hex", "r.base+22")} AS h
+         |  FROM fr r JOIN fx f ON f.vid_id = r.vid_id
+         |  WHERE r.magic = '424d')
+         |SELECT CAST(r.vid_id AS BIGINT) AS vid_id,
+         |  CAST(r.frame_idx AS BIGINT) AS frame_idx, nf.n_frames,
+         |  CAST(a.declared AS BIGINT) AS declared_frames,
+         |  CAST(a.mpf AS BIGINT) AS micros_per_frame,
+         |  CAST((a.mpf * nf.n_frames) // 1000 AS BIGINT) AS duration_ms,
+         |  CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height
+         |FROM fr r
+         |  JOIN nf ON nf.vid_id = r.vid_id
+         |  JOIN avih a ON a.vid_id = r.vid_id
+         |  JOIN dims d ON d.vid_id = r.vid_id AND d.frame_idx = r.frame_idx
          |ORDER BY vid_id, frame_idx""".stripMargin
     },
 

@@ -1102,6 +1102,87 @@ object SimilarityOps {
     srpNearDupPairsSplit(df, minCos, autoPlanes(df.count(), targetOccupancy),
       nTables, dim, idCol, vecCol, maxBucket, splitOccupancy)
 
+  /** COMPOSITION PAST THE PLANE CEILING — the shard-and-union story of
+    * [[autoPlanes]] as an operator. The auto rule's flat-occupancy regime
+    * covers n ≤ targetOccupancy · 2^maxPlanes vectors per table; past it
+    * occupancy (and the per-cell self-join) grows linearly again. This
+    * form shards the corpus into `nShards` EQUAL-WIDTH ID RANGES
+    * (shard = ((id − min) · nShards) div (max − min + 1) — pure integer
+    * arithmetic, so the SQL oracle re-derives membership exactly), sizes
+    * each shard at its OWN operating point (autoPlanes of the shard's
+    * count), and unions per-shard verified pairs — every shard's banding
+    * runs in its flat regime as long as the SHARD stays under the
+    * ceiling, so capacity scales to nShards · targetOccupancy · 2^maxPlanes.
+    *
+    * RECALL STATEMENT (the honest shard-boundary trade): candidates are
+    * generated WITHIN shards only — a near-dup pair straddling a shard
+    * boundary is never seen, so per-pair recall is the standard SRP curve
+    * for intra-shard pairs and ZERO for cross-shard ones. Range sharding
+    * (not hash) is deliberate: corpus ids are typically ingest-ordered,
+    * so re-crawls / versions / near-in-time duplicates — the mass of true
+    * near-dup pairs in a growing corpus — stay id-local and land in one
+    * shard, while hash-mod sharding would spread every duplicate cluster
+    * uniformly and cut recall to 1/nShards. For exact global recall past
+    * the ceiling the alternative remains raising maxPlanes toward
+    * [[srpPlaneStride]] (the documented LSH-curve trade).
+    *
+    * Precision is exact (the shared cosine verify); the `maxBucket`
+    * pathology cap applies per (shard, tbl, bucket) cell. Scale shape:
+    * one min/max aggregate + one nShards-row count collect (both
+    * metadata-cheap), one banding pass at the WIDEST shard's plane count
+    * masked per shard (strided plane identities are prefix-stable, so a
+    * p-bit mask of the widest word IS the p-plane bucket), one count
+    * window and the candidate self-join keyed by (shard, tbl, bucket) —
+    * shards never exchange rows with each other.
+    */
+  def srpNearDupPairsSharded(df: DataFrame, minCos: Double, nShards: Int,
+                             nTables: Int = 6, dim: Int = 64,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             maxBucket: Int = 10000,
+                             targetOccupancy: Long = 8L,
+                             minPlanes: Int = 4,
+                             maxPlanes: Int = 24): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("vec"))
+    val bounds = base.agg(min(col("id")), max(col("id"))).head()
+    if (bounds.isNullAt(0))
+      return base.sparkSession.range(0).select(col("id").as("a"),
+        col("id").as("b"), col("id").cast("double").as("cos"))
+    val mn = bounds.getLong(0)
+    val span = bounds.getLong(1) - mn + 1
+    val shardExpr = expr(s"(id - $mn) * $nShards DIV $span")
+    // nShards rows — the per-shard operating points, driver-sized like
+    // srpNearDupPairsAuto's single count()
+    val planesOf: Map[Long, Int] = base.select(shardExpr.as("shard"))
+      .groupBy(col("shard")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) ->
+        autoPlanes(r.getLong(1), targetOccupancy, minPlanes, maxPlanes))
+      .toMap
+    val pmax = planesOf.values.max
+    val banded = base
+      .withColumn("shard", shardExpr)
+      .withColumn("np", element_at(typedlit(planesOf), col("shard")))
+      .select(col("id"), col("shard"), col("np"),
+        posexplode(array((0 until nTables).map(t =>
+          srpBucketStrided(col("vec"), pmax, t, dim)): _*))
+          .as(Seq("tbl", "word")))
+      .select(col("id"), col("shard"), col("tbl"),
+        col("word").bitwiseAND(
+          expr("shiftleft(CAST(1 AS BIGINT), np) - 1")).as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"), col("tbl"), col("bucket"))
+    val kept = banded.withColumn("bn", count(lit(1)).over(w))
+      .filter(col("bn") <= maxBucket).drop("bn")
+    val cand = kept.withColumnRenamed("id", "a")
+      .join(kept.withColumnRenamed("id", "b"),
+        Seq("shard", "tbl", "bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    cosineVerify(base, cand, minCos, "id", "vec")
+  }
+
   private def srpPairsImpl(df: DataFrame, minCos: Double, nTables: Int,
                            maxBucket: Int, idCol: String, vecCol: String,
                            bucketFor: Int => Column): DataFrame = {

@@ -1323,6 +1323,27 @@ class OpsSpec extends SparkTestBase {
     assert(viaVideo === viaStills)
   }
 
+  test("decodeVideoFrames: MJPEG fixtures — JPEG frames decode at their SOF dims, mixed-codec stream holds order") {
+    val fx = SparkEntry.mjpegAviFixtures.toDF("vid_id", "hex")
+      .select(col("vid_id"), unhex(col("hex")).as("payload"))
+    val out = MultimodalOps.decodeVideoFrames(fx, "vid_id", "payload")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(6), r.getInt(7))).toMap
+    // vid 3: two JPEG frames at the fixtures' encoded dims; vid 4: one
+    // frame vs 3 declared; vid 5: JPEG, BMP, JPEG in one movi — indexes
+    // stay container-ordered across the codec change
+    assert(out === Map(
+      (3L, 0) -> (8, 6), (3L, 1) -> (5, 7),
+      (4L, 0) -> (6, 4),
+      (5L, 0) -> (5, 7), (5L, 1) -> (6, 4), (5L, 2) -> (6, 4)))
+    val facts = MultimodalOps.decodeVideoFrames(fx, "vid_id", "payload")
+      .filter(col("vid_id") === 4).head()
+    assert(facts.getAs[Long]("n_frames") === 1L &&
+      facts.getAs[Long]("declared_frames") === 3L,
+      "truncation fact survives the JPEG path")
+  }
+
   // ---- BPE training ----
 
   test("trainBpe: hand-computed merge table on the classic corpus; round-trip") {
@@ -3844,6 +3865,54 @@ class OpsSpec extends SparkTestBase {
     val maxDeg = g.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v")).count().agg(max(col("count"))).head().getLong(0)
     assert(maxDeg <= 3)
+  }
+
+  test("srpNearDupPairsSharded: per-shard union composition past the plane ceiling, within-shard recall only") {
+    val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    // a TINY ceiling so this corpus is genuinely PAST the flat regime:
+    // targetOccupancy 1, maxPlanes 6 -> capacity 2^6 = 64 per table,
+    // while the corpus holds ~200 vectors
+    val n = emb.count()
+    val ceiling = 1L << 6
+    assert(n > ceiling, "fixture must exceed the tiny ceiling")
+    val k = 4
+    val sharded = SimilarityOps.srpNearDupPairsSharded(emb, 0.2, k,
+      targetOccupancy = 1L, maxPlanes = 6).collect()
+    sharded.foreach(r => assert(r.getDouble(2) >= 0.2, "exact verify"))
+    val shardedKeys = sharded.map(key).toSet
+    assert(shardedKeys.nonEmpty, "fixture must keep real pairs")
+    // COMPOSITION: the sharded operator IS the union of the auto-point
+    // run over each id-range shard — same integer boundaries, each shard
+    // sized on its own count (autoPlanes at the same tiny point)
+    val ids = emb.select(min(col("vec_id")), max(col("vec_id"))).head()
+    val (mn, mx) = (ids.getLong(0), ids.getLong(1))
+    val span = mx - mn + 1
+    val perShard = (0 until k).flatMap { s =>
+      val sub = emb.filter(expr(s"(vec_id - $mn) * $k DIV $span") === s)
+      val p = SimilarityOps.autoPlanes(sub.count(), 1L, maxPlanes = 6)
+      SimilarityOps.srpNearDupPairsSized(sub, 0.2, p).collect().map(key)
+    }.toSet
+    assert(shardedKeys === perShard,
+      "sharded = union of per-shard auto-point runs")
+    // the RECALL statement: every returned pair is intra-shard, and a
+    // cross-shard near-dup the GLOBAL auto point finds is absent
+    def shardOf(id: Long) = (id - mn) * k / span
+    shardedKeys.foreach { case (a, b) =>
+      assert(shardOf(a) === shardOf(b), "pairs never straddle a shard")
+    }
+    val global = SimilarityOps.srpNearDupPairsAuto(emb, 0.2)
+      .collect().map(key)
+    val crossShard = global.filter { case (a, b) => shardOf(a) != shardOf(b) }
+    assert(crossShard.nonEmpty,
+      "fixture must have cross-shard near-dups for the recall claim")
+    crossShard.foreach(p => assert(!shardedKeys.contains(p),
+      "cross-shard pairs are invisible by design"))
+    // nShards = 1 degenerates to the plain auto point at the same
+    // operating parameters
+    val one = SimilarityOps.srpNearDupPairsSharded(emb, 0.2, 1).collect()
+      .map(key).toSet
+    assert(one === global.toSet, "one shard = the global auto point")
   }
 
   test("semanticDupClustersBounded: CC over the bounded mutual-kNN edges, singletons kept") {
