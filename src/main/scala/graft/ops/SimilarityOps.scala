@@ -1476,10 +1476,20 @@ object SimilarityOps {
     */
   private def committedKept(spark: org.apache.spark.sql.SparkSession,
                             tablePrefix: String, version: Long,
-                            token: String): DataFrame = {
+                            token: String,
+                            restrictTo: Option[DataFrame] = None)
+      : DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("v"))
-    graft.sources.Bucketing.freshTableGated(spark, s"${tablePrefix}_kept", token)
+    val raw = graft.sources.Bucketing
+      .freshTableGated(spark, s"${tablePrefix}_kept", token)
       .filter(col("kver") <= lit(version))
+    // maintenance verbs need only a batch-sized vertex subset's lists:
+    // restricting BEFORE the version window (whole vertices, so the
+    // per-vertex max is unchanged) keeps the per-epoch sort touched-sized
+    // instead of O(n·kTop) — serving passes None and pays the full view
+    val scoped = restrictTo.fold(raw)(r =>
+      raw.join(broadcast(r.select(col("v"))), Seq("v"), "left_semi"))
+    scoped
       .withColumn("mxv", max(col("kver")).over(w))
       .filter(col("kver") === col("mxv"))
       .filter(col("nb") =!= col("v"))
@@ -1809,7 +1819,6 @@ object SimilarityOps {
     val vecs = liveRows(spark, tablePrefix, "vecs", token)
       .dropDuplicates("id")
     val bands = liveRows(spark, tablePrefix, "bands", token)
-    val kept = committedKept(spark, tablePrefix, v, token)
     val cells = graft.sources.Bucketing.freshTableGated(spark,
       s"${tablePrefix}_cells", token)
     import graft.functions.VectorExpressions.dotF
@@ -1827,8 +1836,9 @@ object SimilarityOps {
         Seq("id"), "left_anti")
       .withColumn("nrm", sqrt(dotF(col("vec"), col("vec"))))
       .localCheckpoint()
-    if (fresh.isEmpty) return
-    val nNext = m.getAs[Long]("n_vecs") + fresh.count()
+    val nFresh = fresh.count()
+    if (nFresh == 0) return
+    val nNext = m.getAs[Long]("n_vecs") + nFresh
     val drift = autoPlanes(nNext, targetOcc) - planes
     if (drift > maxPlaneDrift) throw new IllegalStateException(
       s"kNN index '$tablePrefix' outgrew its frozen SRP operating point: " +
@@ -1872,17 +1882,20 @@ object SimilarityOps {
       .select(col("a").as("v"), col("b").as("nb"), col("cos"))
       .unionByName(newPairs
         .select(col("b").as("v"), col("a").as("nb"), col("cos")))
-    val touched = dirsNew.select(col("v")).distinct()
+    val touched = dirsNew.select(col("v")).distinct().localCheckpoint()
     // re-rank touched vertices over (old kept ∪ new candidates); a kept
     // (v, nb) row can never duplicate a new candidate — nb is new to
     // this epoch in every new pair. Touched vertices always re-rank
     // non-empty (each has at least its new direction row), so no
     // empty-list markers arise here. Materialized BEFORE any insert: the
-    // plan reads the tables the inserts mutate
+    // plan reads the tables the inserts mutate. The kept read is SCOPED
+    // to the touched vertices (batch-candidate-sized), so the version
+    // window never sorts the O(n·kTop) state table inside an epoch
+    val kept = committedKept(spark, tablePrefix, v, token, Some(touched))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("v")).orderBy(col("cos").desc, col("nb"))
     val next = v + 1L
-    val keptAppend = kept.join(touched, Seq("v"))
+    val keptAppend = kept
       .unionByName(dirsNew)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= kTop)
@@ -1989,10 +2002,19 @@ object SimilarityOps {
     // relation cache (streaming foreachBatch) can otherwise serve the
     // pre-replace file listing mid-call
     val del = merged
-    val kept = committedKept(spark, tablePrefix, v, token)
-    // touched = LIVE vertices whose kept list names ANY tombstoned id —
-    // the full set, not just this call's: a crashed prior delete left
-    // its vertices un-repaired and this pass self-heals them
+    // candidate vertices: any row of ANY version naming a tombstone — a
+    // window-free superset that scopes the version window below to the
+    // churn neighborhood instead of sorting the full O(n·kTop) state
+    val namedSuper = graft.sources.Bucketing
+      .freshTableGated(spark, s"${tablePrefix}_kept", token)
+      .filter(col("kver") <= lit(v))
+      .join(broadcast(del.select(col("id").as("nb"))), Seq("nb"),
+        "left_semi")
+      .select(col("v")).distinct()
+    val kept = committedKept(spark, tablePrefix, v, token, Some(namedSuper))
+    // touched = LIVE vertices whose LATEST kept list names ANY tombstoned
+    // id — the full set, not just this call's: a crashed prior delete
+    // left its vertices un-repaired and this pass self-heals them
     val touched = kept
       .join(broadcast(del.select(col("id").as("nb"))), Seq("nb"),
         "left_semi")
