@@ -679,6 +679,20 @@ object SparkEntry {
       DedupOps.jaccardPairsPrefix(t(s, d, "documents"), minJaccard = 0.8)
         .orderBy(col("a"), col("b"))),
 
+    // HOT-BUCKET split for the MinHash banded tier (the q202 remediation
+    // applied to the (band_idx, band_sig) key space): over-occupied band
+    // buckets re-key by a PER-BAND extension minhash (permutation
+    // k + band_idx of the same sequential md5-seeded family), identical
+    // docs unsplittable by construction, post-split maxBucket rescue.
+    // splitOccupancy = 2 so verify-scale duplicate clusters genuinely
+    // split. The oracle replays the banding itself (not the brute-force
+    // q22 set — the split deliberately changes recall, so the exact
+    // surviving pair set IS the claim)
+    "q207_minhash_split_pairs" -> ((s, d) =>
+      DedupOps.minHashVerifiedPairsSplit(t(s, d, "documents"),
+          minJaccard = 0.8, splitOccupancy = 2)
+        .orderBy(col("a"), col("b"))),
+
     "q23_simhash" -> ((s, d) =>
       DedupOps.simHash60(DedupOps.shingleHashRows(t(s, d, "documents")))
         .select(col("id").as("doc_id"), col("simhash"))
@@ -3461,6 +3475,64 @@ object SparkEntry {
          |GROUP BY l.id, r.id, l.sz, r.sz
          |HAVING CAST(count(*) AS DOUBLE) / (l.sz + r.sz - count(*)) >= 0.8
          |ORDER BY a, b""".stripMargin,
+
+    // the banded-tier split replay: the oracle computes all 48 minhash
+    // minima per doc (the same sequential perm family, constants inlined),
+    // packs the 16 band signatures, counts buckets, re-keys hot-bucket
+    // members by their own band's extension minimum (perm 32 + band_idx),
+    // applies the post-split cap, and verifies candidates by exact
+    // Jaccard — the exact surviving pair set is the claim
+    "q207_minhash_split_pairs" -> {
+      val perms = ops.DetHash.minHashPerms(48)
+      val permVals = perms.zipWithIndex
+        .map { case ((a, b), p) => s"($p, CAST($a AS BIGINT), CAST($b AS BIGINT))" }
+        .mkString(", ")
+      val P = ops.DetHash.P
+      val (so, mb) = (2L, 1000L)
+      s"""WITH $hashedShinglesCte,
+         |perms AS (SELECT * FROM (VALUES $permVals) t(p, pa, pb)),
+         |inv AS (SELECT id, unnest(hs) AS tok FROM sized),
+         |mins AS (SELECT i.id, pr.p,
+         |    min((pr.pa * (i.tok % $P) + pr.pb) % $P) AS mn
+         |  FROM inv i CROSS JOIN perms pr GROUP BY 1, 2),
+         |bsig AS (SELECT e.id, e.p // 2 AS band_idx,
+         |    e.mn * $P + o.mn AS band_sig
+         |  FROM mins e JOIN mins o ON o.id = e.id AND o.p = e.p + 1
+         |  WHERE e.p % 2 = 0 AND e.p < 32),
+         |ext AS (SELECT id, p - 32 AS band_idx, mn AS sub FROM mins
+         |  WHERE p >= 32),
+         |bc AS (SELECT band_idx, band_sig, CAST(count(*) AS BIGINT) AS bn
+         |  FROM bsig GROUP BY 1, 2),
+         |hot AS (SELECT s.id, s.band_idx, s.band_sig, x.sub
+         |  FROM bsig s JOIN bc ON bc.band_idx = s.band_idx
+         |    AND bc.band_sig = s.band_sig
+         |  JOIN ext x ON x.id = s.id AND x.band_idx = s.band_idx
+         |  WHERE bc.bn > $so),
+         |hc AS (SELECT band_idx, band_sig, sub,
+         |    CAST(count(*) AS BIGINT) AS bn2
+         |  FROM hot GROUP BY 1, 2, 3),
+         |b2 AS (
+         |  SELECT s.band_idx, s.band_sig, CAST(0 AS BIGINT) AS sub, s.id
+         |  FROM bsig s JOIN bc ON bc.band_idx = s.band_idx
+         |    AND bc.band_sig = s.band_sig
+         |  WHERE bc.bn <= $so AND bc.bn <= $mb
+         |  UNION ALL
+         |  SELECT h.band_idx, h.band_sig, h.sub, h.id FROM hot h
+         |  JOIN hc ON hc.band_idx = h.band_idx AND hc.band_sig = h.band_sig
+         |    AND hc.sub = h.sub
+         |  WHERE hc.bn2 <= $mb),
+         |cand AS (SELECT DISTINCT l.id AS a, r.id AS b
+         |  FROM b2 l JOIN b2 r ON l.band_idx = r.band_idx
+         |    AND l.band_sig = r.band_sig AND l.sub = r.sub AND l.id < r.id)
+         |SELECT c.a, c.b,
+         |  CAST(len(list_intersect(sa.hs, sb.hs)) AS BIGINT) AS inter,
+         |  CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+         |    / (sa.sz + sb.sz - len(list_intersect(sa.hs, sb.hs))) AS jaccard
+         |FROM cand c JOIN sized sa ON sa.id = c.a JOIN sized sb ON sb.id = c.b
+         |WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+         |    / (sa.sz + sb.sz - len(list_intersect(sa.hs, sb.hs))) >= 0.8
+         |ORDER BY a, b""".stripMargin
+    },
 
     // identical brute-force oracle as q22: the prefix-filtered plan must
     // reproduce the exact J >= 0.8 pair set

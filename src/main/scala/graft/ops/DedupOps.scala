@@ -336,6 +336,96 @@ object DedupOps {
       .select(col("a"), col("b"), col("inter"), col("jaccard"))
   }
 
+  /** HOT-BUCKET split for the MinHash banded tier — the SRP hot-direction
+    * remediation ([[graft.ops.SimilarityOps.srpNearDupPairsSplit]])
+    * applied to the (band_idx, band_sig) key space. A duplicate-heavy
+    * corpus concentrates whole clusters into single band buckets, and the
+    * c·(c−1)/2 self-join inside them is the banded tier's residual
+    * super-linearity; the `maxBucket` cap's only remedy today is DROPPING
+    * such buckets whole.
+    *
+    * RULE: a (band_idx, band_sig) cell with occupancy bn > `splitOccupancy`
+    * re-keys its members by ONE EXTENSION MINHASH — permutation index
+    * `k + band_idx` of the SAME md5-seeded family
+    * ([[graft.ops.DetHash.minHashPerms]] draws sequentially, so
+    * perms(k + bands) prefix-extends perms(k) the way the strided plane
+    * family extends SRP buckets). Per-band extension functions keep band
+    * votes INDEPENDENT: one shared extension hash would knock out every
+    * hot band of a disagreeing pair at once. Un-split cells are
+    * byte-identical; sub = 0 there, a key space disjoint from split cells
+    * by (band_idx, band_sig). The `maxBucket` cap applies to the
+    * POST-split occupancy (a pre-split over-cap cell whose sub-cells land
+    * under it is RESCUED — the SRP split's cap semantics).
+    *
+    * RECALL: a pair inside a split cell keeps that band's vote iff its
+    * extension minima agree — probability = its Jaccard, so a J ≥ 0.8
+    * pair keeps ≥ 80% of each split band's vote and an IDENTICAL pair
+    * (the mass of every pathological bucket) keeps 100%: identical sets
+    * minhash identically at every index, so exact-duplicate clusters are
+    * unsplittable by construction and survive via the post-split cap
+    * rescue or not at all — exactly the [[srpNearDupPairsSplit]]
+    * identical-direction story. Precision stays exact (the shared
+    * Jaccard verify).
+    *
+    * Scale shape: one banding pass + one (band_idx, band_sig) count
+    * window (shared with the un-split form), extension minima computed
+    * in ONE codegen'd loop per HOT DOCUMENT (an id-keyed join back to
+    * the set table; the hot set is the skew tail), one recount window
+    * over hot members, the candidate self-join on the split key, and
+    * the id-keyed exact-Jaccard rerank.
+    */
+  def minHashVerifiedPairsSplit(df: DataFrame, textCol: String = "text",
+                                idCol: String = "doc_id",
+                                minJaccard: Double = 0.8,
+                                k: Int = 32, bands: Int = 16,
+                                shingleK: Int = 3, maxBucket: Int = 1000,
+                                splitOccupancy: Long = 64L,
+                                scope: CacheScope = CacheScope.default)
+      : DataFrame = {
+    require(splitOccupancy >= 1, "splitOccupancy must be >= 1")
+    val hashed = shingleHashSets(df, textCol, idCol, shingleK, scope)
+    val banded = bandedSigsNative(hashed, k, bands)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_sig"))
+    val counted = banded.withColumn("bn", count(lit(1)).over(w))
+    val coldKept = counted.filter(col("bn") <= splitOccupancy)
+      .filter(col("bn") <= maxBucket)
+      .select(col("band_idx"), col("band_sig"), lit(0L).as("sub"), col("id"))
+    // extension minima for hot docs only: the k+bands family at r = 1
+    // (each element one permutation's minimum), the row's own band
+    // selecting element k + band_idx
+    import org.apache.spark.sql.graft.bridge
+    val extArr = bridge.column(graft.functions.MinHashBands(
+      bridge.expression(col("hs")), k + bands, k + bands))
+    val hotDocs = counted.filter(col("bn") > splitOccupancy)
+      .select(col("id")).distinct()
+      .join(hashed.select(col("id"), col("hs")), Seq("id"))
+      .select(col("id"), extArr.as("exts"))
+    val hot = counted.filter(col("bn") > splitOccupancy)
+      .join(hotDocs, Seq("id"))
+      .withColumn("sub", element_at(col("exts"), col("band_idx") + lit(k + 1)))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_sig"), col("sub"))
+    val hotKept = hot.withColumn("bn2", count(lit(1)).over(w2))
+      .filter(col("bn2") <= maxBucket)
+      .select(col("band_idx"), col("band_sig"), col("sub"), col("id"))
+    val kept = coldKept.unionByName(hotKept)
+    val cand = kept.withColumnRenamed("id", "a")
+      .join(kept.withColumnRenamed("id", "b"),
+        Seq("band_idx", "band_sig", "sub"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val a = hashed.select(col("id").as("a"), col("hs").as("hsa"), col("sz").as("sza"))
+    val b = hashed.select(col("id").as("b"), col("hs").as("hsb"), col("sz").as("szb"))
+    cand.join(a, Seq("a")).join(b, Seq("b"))
+      .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= lit(minJaccard))
+      .select(col("a"), col("b"), col("inter").cast("long").as("inter"),
+        col("jaccard"))
+  }
+
   /** Theoretical LSH collision probability 1-(1-J^r)^b at the threshold,
     * micro-quantized — computed ONCE driver-side and embedded as a literal
     * in both the Spark plan and the oracle SQL, so the transcendentals never

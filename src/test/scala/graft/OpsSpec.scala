@@ -452,6 +452,37 @@ class OpsSpec extends SparkTestBase {
     assert(m.size === 5)
   }
 
+  test("minHashVerifiedPairsSplit: subset of the un-split form, identical docs unsplittable, no-op above max occupancy") {
+    val docs = Tables(spark, SparkTestBase.sf001, "documents")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val scope = CacheScope()
+    val unsplit = DedupOps.minHashVerifiedPairs(docs, minJaccard = 0.8,
+      scope = scope).collect().map(key).toSet
+    // aggressive split: candidates (and so verified pairs) only shrink
+    val split = DedupOps.minHashVerifiedPairsSplit(docs, minJaccard = 0.8,
+      splitOccupancy = 1, scope = scope).collect()
+    val splitKeys = split.map(key).toSet
+    assert(splitKeys.subsetOf(unsplit),
+      "splitting may only REMOVE pairs, never invent them")
+    assert(splitKeys.nonEmpty, "fixture must keep real pairs")
+    split.foreach(r => assert(r.getDouble(3) >= 0.8, "exact verify"))
+    // threshold above every bucket's occupancy: identical to un-split
+    val noop = DedupOps.minHashVerifiedPairsSplit(docs, minJaccard = 0.8,
+      splitOccupancy = 1000000L, scope = scope).collect().map(key).toSet
+    assert(noop === unsplit, "no bucket over threshold -> no change")
+    // IDENTICAL docs minhash identically at every permutation index —
+    // no extension function separates them, and under the post-split cap
+    // they all survive (the rescue semantics)
+    val ident = (1L to 30L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val identPairs = DedupOps.minHashVerifiedPairsSplit(ident,
+      minJaccard = 0.8, splitOccupancy = 2, scope = scope)
+      .collect().map(key).toSet
+    assert(identPairs.size === 30 * 29 / 2,
+      "an unsplittable identical-doc bucket keeps all its pairs")
+    scope.release()
+  }
+
   test("nearDupClusters: transitive A~B~C chain lands in one cluster without an A~C pair") {
     // 20-token docs differing in 1-2 tokens: J(A,B)=17/19, J(B,C)=16/20,
     // J(A,C)=15/21 < 0.8 — so the PAIR list has no (A,C) edge and only the
