@@ -154,6 +154,11 @@ object Bench {
         .filter(org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0),
       "graft_q89_corpus", corpusTag = docsTag)
     catch { case _: Throwable => () }
+    try graft.ops.DedupOps.ensureBandedIndexSplit(
+      graft.sources.Tables(spark, sfDir, "documents")
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0),
+      "graft_q208_split", corpusTag = docsTag, splitOccupancy = 2)
+    catch { case _: Throwable => () }
     try graft.ops.SimilarityOps.ensureIvfIndex(
       graft.sources.Tables(spark, sfDir, "embeddings"),
       "graft_q90_ivf", corpusTag = embTag, nCells = 8)

@@ -820,6 +820,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // the SPLIT-LAYOUT persisted banded index (q89 with the q207
+    // hot-bucket remediation FROZEN into the store, format v4): the build
+    // freezes the over-occupied band cells in a `_split` table and writes
+    // `_bands` with the per-band extension-minhash sub key; the probe
+    // re-keys the batch at the SAME frozen cells and joins on all three
+    // keys, corpus side exchange-free on its bucketing. splitOccupancy 2
+    // so verify-scale duplicate clusters genuinely split. The oracle
+    // replays the whole layout (frozen cells from the BASE corpus's
+    // counts, batch re-keyed by them) — the split changes recall by
+    // design, so the exact surviving match counts are the claim
+    "q208_persisted_split_probe" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      DedupOps.ensureBandedIndexSplit(docs.filter(col("doc_id") % 5 =!= 0),
+        "graft_q208_split", corpusTag = corpusTagOf(docs, d),
+        splitOccupancy = 2)
+      DedupOps.probeBandedIndexSplit(docs.filter(col("doc_id") % 5 === 0),
+          "graft_q208_split")
+        .orderBy(col("doc_id"))
+    },
+
     // the PERSISTED-index face of q24: queries probe the IVF cells table
     // with zero corpus-side exchange. Probing ALL cells (nProbe = nCells)
     // makes the output the EXACT top-k regardless of what partition the
@@ -3775,6 +3795,67 @@ object SparkEntry {
          |  COALESCE(m.n_matches, 0) = 0 AS novel
          |FROM documents d LEFT JOIN m ON m.a = d.doc_id
          |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin,
+
+    // the split-layout probe replay: frozen split cells derived from the
+    // BASE corpus's band-bucket counts (doc_id % 5 <> 0 — the corpus the
+    // ENGINE froze its layout on), base AND batch members re-keyed by
+    // their own band's extension minimum inside those cells, post-split
+    // cap on the corpus side only (the write-time drop), candidates on
+    // (band_idx, band_sig, sub), exact-Jaccard verify, novelty counts
+    "q208_persisted_split_probe" -> {
+      val perms = ops.DetHash.minHashPerms(48)
+      val permVals = perms.zipWithIndex
+        .map { case ((a, b), p) => s"($p, CAST($a AS BIGINT), CAST($b AS BIGINT))" }
+        .mkString(", ")
+      val P = ops.DetHash.P
+      val (so, mb) = (2L, 10000L)
+      s"""WITH $hashedShinglesCte,
+         |perms AS (SELECT * FROM (VALUES $permVals) t(p, pa, pb)),
+         |inv AS (SELECT id, unnest(hs) AS tok FROM sized),
+         |mins AS (SELECT i.id, pr.p,
+         |    min((pr.pa * (i.tok % $P) + pr.pb) % $P) AS mn
+         |  FROM inv i CROSS JOIN perms pr GROUP BY 1, 2),
+         |bsig AS (SELECT e.id, e.p // 2 AS band_idx,
+         |    e.mn * $P + o.mn AS band_sig
+         |  FROM mins e JOIN mins o ON o.id = e.id AND o.p = e.p + 1
+         |  WHERE e.p % 2 = 0 AND e.p < 32),
+         |ext AS (SELECT id, p - 32 AS band_idx, mn AS sub FROM mins
+         |  WHERE p >= 32),
+         |sc AS (SELECT band_idx, band_sig FROM (
+         |    SELECT band_idx, band_sig, count(*) AS bn FROM bsig
+         |    WHERE id % 5 <> 0 GROUP BY 1, 2) c WHERE c.bn > $so),
+         |keyed AS (
+         |  SELECT s.id, s.band_idx, s.band_sig, CAST(0 AS BIGINT) AS sub
+         |  FROM bsig s LEFT JOIN sc ON sc.band_idx = s.band_idx
+         |    AND sc.band_sig = s.band_sig
+         |  WHERE sc.band_idx IS NULL
+         |  UNION ALL
+         |  SELECT s.id, s.band_idx, s.band_sig, x.sub
+         |  FROM bsig s JOIN sc ON sc.band_idx = s.band_idx
+         |    AND sc.band_sig = s.band_sig
+         |  JOIN ext x ON x.id = s.id AND x.band_idx = s.band_idx),
+         |bc AS (SELECT band_idx, band_sig, sub,
+         |    CAST(count(*) AS BIGINT) AS bn2
+         |  FROM keyed WHERE id % 5 <> 0 GROUP BY 1, 2, 3),
+         |base AS (SELECT y.* FROM keyed y JOIN bc
+         |    ON bc.band_idx = y.band_idx AND bc.band_sig = y.band_sig
+         |    AND bc.sub = y.sub
+         |  WHERE y.id % 5 <> 0 AND bc.bn2 <= $mb),
+         |bt AS (SELECT * FROM keyed WHERE id % 5 = 0),
+         |cand AS (SELECT DISTINCT bt.id AS a, base.id AS b
+         |  FROM bt JOIN base ON base.band_idx = bt.band_idx
+         |    AND base.band_sig = bt.band_sig AND base.sub = bt.sub),
+         |pr AS (SELECT c.a, c.b
+         |  FROM cand c JOIN sized sa ON sa.id = c.a
+         |    JOIN sized sb ON sb.id = c.b
+         |  WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+         |    / (sa.sz + sb.sz - len(list_intersect(sa.hs, sb.hs))) >= 0.8),
+         |m AS (SELECT a, count(*) AS n_matches FROM pr GROUP BY a)
+         |SELECT d.doc_id, CAST(COALESCE(m.n_matches, 0) AS BIGINT) AS n_matches,
+         |  COALESCE(m.n_matches, 0) = 0 AS novel
+         |FROM documents d LEFT JOIN m ON m.a = d.doc_id
+         |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin
+    },
 
     // identical brute-force oracle as q65: the persisted-index probe must
     // report exactly what the recompute-from-text path reports

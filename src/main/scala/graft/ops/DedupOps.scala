@@ -426,6 +426,260 @@ object DedupOps {
         col("jaccard"))
   }
 
+  /** Band a shingle-set frame at a FROZEN hot-cell split layout: members
+    * of cells named by `splitCells` ((band_idx, band_sig) rows — the
+    * skew-tail-sized frozen layout, broadcast) re-key by their own band's
+    * extension minhash (permutation k + band_idx — see
+    * [[minHashVerifiedPairsSplit]] for the family/recall statements);
+    * everyone else keeps sub = 0. Build, append, and probe all band
+    * through THIS function, so a batch member landing in a frozen hot
+    * cell probes at exactly the sub key the corpus rows were written
+    * under at any later epoch.
+    */
+  private[graft] def bandSplitFrozenMinhash(sets: DataFrame,
+                                            splitCells: DataFrame,
+                                            k: Int, bands: Int): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    val banded = bandedSigsNative(sets, k, bands)
+    val cold = banded
+      .join(broadcast(splitCells), Seq("band_idx", "band_sig"), "left_anti")
+      .select(col("band_idx"), col("band_sig"), lit(0L).as("sub"), col("id"))
+    val extArr = bridge.column(graft.functions.MinHashBands(
+      bridge.expression(col("hs")), k + bands, k + bands))
+    val hotRows = banded
+      .join(broadcast(splitCells), Seq("band_idx", "band_sig"))
+    val hotDocs = hotRows.select(col("id")).distinct()
+      .join(sets.select(col("id"), col("hs")), Seq("id"))
+      .select(col("id"), extArr.as("exts"))
+    val hot = hotRows.join(hotDocs, Seq("id"))
+      .select(col("band_idx"), col("band_sig"),
+        element_at(col("exts"), col("band_idx") + lit(k + 1)).as("sub"),
+        col("id"))
+    cold.unionByName(hot)
+  }
+
+  /** The SPLIT-LAYOUT persisted banded index — [[writeBandedIndex]] with
+    * the [[minHashVerifiedPairsSplit]] hot-bucket remediation FROZEN into
+    * the store (format v4, parallel to the v3 layout): a duplicate-heavy
+    * corpus's pathological band buckets are split by per-band extension
+    * minhashes instead of dropped whole, and the split layout is frozen
+    * at build time in a `_split` table so every later append and probe
+    * re-keys identically (the kNN lifecycle's `_cells` convention).
+    * Tables: `_bands` (band_idx, band_sig, sub, id) bucketed by
+    * (band_idx, band_sig) — probes join on all three keys, a superset of
+    * the bucket keys, so the corpus side stays exchange-free; `_split`
+    * the frozen hot cells; `_dropped` now keys (band_idx, band_sig, sub)
+    * — only a sub-cell that is STILL over `maxBucket` after splitting
+    * (an identical-doc cluster past the cap) is dropped and closed;
+    * `_sets`/`_deleted`/`_meta` as v3 with `split_occupancy` stamped.
+    * Cells that BECOME hot only after later appends stay un-split (the
+    * frozen-layout price — the kNN outgrowth story; re-ensure under a
+    * new tag to re-freeze).
+    */
+  def writeBandedIndexSplit(corpus: DataFrame, tablePrefix: String,
+                            textCol: String = "text", idCol: String = "doc_id",
+                            k: Int = 32, bands: Int = 16, shingleK: Int = 3,
+                            maxBucket: Int = 10000, buckets: Int = 8,
+                            corpusTag: String = "",
+                            splitOccupancy: Long = 64L,
+                            scope: CacheScope = CacheScope.default): Unit = {
+    require(splitOccupancy >= 1, "splitOccupancy must be >= 1")
+    import graft.sources.Bucketing
+    val spark = corpus.sparkSession
+    val sets = shingleHashSets(corpus, textCol, idCol, shingleK, scope)
+    val banded = scope.register(bandedSigsNative(sets, k, bands))
+    val splitCells = banded.groupBy(col("band_idx"), col("band_sig"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > splitOccupancy)
+      .select(col("band_idx"), col("band_sig"))
+      .localCheckpoint(true)
+    val keyed = bandSplitFrozenMinhash(sets, splitCells, k, bands)
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_sig"), col("sub"))
+    val counted = keyed.withColumn("bn2", count(lit(1)).over(w2))
+    // sets BEFORE bands (the v3 crash order: orphan sets rows are
+    // harmless, band rows without sets would break the rerank)
+    Bucketing.writeBucketed(sets.select(col("id"), col("hs"), col("sz")),
+      s"${tablePrefix}_sets", Seq("id"), buckets)
+    Bucketing.writeBucketed(
+      counted.filter(col("bn2") <= maxBucket)
+        .select(col("band_idx"), col("band_sig"), col("sub"), col("id")),
+      s"${tablePrefix}_bands", Seq("band_idx", "band_sig"), buckets)
+    Bucketing.saveTable(splitCells, s"${tablePrefix}_split")
+    Bucketing.saveTable(
+      counted.filter(col("bn2") > maxBucket)
+        .select(col("band_idx"), col("band_sig"), col("sub")).distinct(),
+      s"${tablePrefix}_dropped")
+    import spark.implicits._
+    Bucketing.saveTable(Seq.empty[Long].toDF("id"), s"${tablePrefix}_deleted")
+    Bucketing.saveTable(
+      Seq((k, bands, shingleK, maxBucket, buckets, corpusTag,
+          splitOccupancy, bandedSplitIndexFormatVersion))
+        .toDF("k", "bands", "shingle_k", "max_bucket", "buckets",
+          "corpus_tag", "split_occupancy", "fmt"),
+      s"${tablePrefix}_meta")
+  }
+
+  /** The six tables a SPLIT banded index comprises. */
+  val bandedSplitIndexTables: Seq[String] =
+    Seq("bands", "sets", "split", "dropped", "deleted", "meta")
+
+  /** v4 = the split layout ([[writeBandedIndexSplit]]): `sub` key in
+    * `_bands`, frozen `_split` cells, sub-keyed `_dropped`.
+    */
+  val bandedSplitIndexFormatVersion: Int = 4
+
+  /** [[ensureBandedIndex]] for the split layout: rebuild only when the
+    * tables, the meta row (tag + every build parameter incl.
+    * `split_occupancy`), or the bands⊆sets integrity invariant disagree.
+    */
+  def ensureBandedIndexSplit(corpus: DataFrame, tablePrefix: String,
+                             corpusTag: String,
+                             textCol: String = "text",
+                             idCol: String = "doc_id",
+                             k: Int = 32, bands: Int = 16, shingleK: Int = 3,
+                             maxBucket: Int = 10000, buckets: Int = 8,
+                             splitOccupancy: Long = 64L,
+                             scope: CacheScope = CacheScope.default): Unit = {
+    val spark = corpus.sparkSession
+    val upToDate = try {
+      bandedSplitIndexTables
+        .forall(s => spark.catalog.tableExists(s"${tablePrefix}_$s")) && {
+        val m = graft.sources.Bucketing
+          .freshTable(spark, s"${tablePrefix}_meta").head()
+        m.schema.fieldNames.contains("split_occupancy") &&
+          m.getAs[Int]("fmt") == bandedSplitIndexFormatVersion &&
+          m.getAs[String]("corpus_tag") == corpusTag &&
+          m.getAs[Int]("k") == k && m.getAs[Int]("bands") == bands &&
+          m.getAs[Int]("shingle_k") == shingleK &&
+          m.getAs[Int]("max_bucket") == maxBucket &&
+          m.getAs[Int]("buckets") == buckets &&
+          m.getAs[Long]("split_occupancy") == splitOccupancy
+      } && {
+        graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_bands")
+          .select(col("id"))
+          .join(graft.sources.Bucketing
+              .freshTable(spark, s"${tablePrefix}_sets").select(col("id")),
+            Seq("id"), "left_anti")
+          .isEmpty
+      }
+    } catch { case _: Exception => false }
+    if (!upToDate)
+      writeBandedIndexSplit(corpus, tablePrefix, textCol, idCol, k, bands,
+        shingleK, maxBucket, buckets, corpusTag, splitOccupancy, scope)
+  }
+
+  /** [[probeBandedIndex]] against the split layout: the batch bands at
+    * the FROZEN split cells (so a batch member of a hot cell probes the
+    * sub key its corpus counterparts were written under), candidates join
+    * on (band_idx, band_sig, sub) — the corpus side co-located on its
+    * bucketing — then the shared exact-Jaccard rerank and novelty report.
+    */
+  def probeBandedIndexSplit(batch: DataFrame, tablePrefix: String,
+                            textCol: String = "text", idCol: String = "doc_id",
+                            minJaccard: Double = 0.8,
+                            scope: CacheScope = CacheScope.default)
+      : DataFrame = {
+    val spark = batch.sparkSession
+    val meta = graft.sources.Bucketing
+      .freshTable(spark, s"${tablePrefix}_meta").head()
+    val (k, bands, shingleK) =
+      (meta.getAs[Int]("k"), meta.getAs[Int]("bands"),
+        meta.getAs[Int]("shingle_k"))
+    val splitCells = graft.sources.Bucketing
+      .freshTable(spark, s"${tablePrefix}_split")
+    val bandC = graft.sources.Bucketing
+      .freshTable(spark, s"${tablePrefix}_bands")
+    val setsC = graft.sources.Bucketing
+      .freshTable(spark, s"${tablePrefix}_sets")
+    val setsB = shingleHashSets(batch, textCol, idCol, shingleK, scope)
+    val bandB = bandSplitFrozenMinhash(setsB, splitCells, k, bands)
+    val cand = bandB
+      .select(col("band_idx"), col("band_sig"), col("sub"), col("id").as("a"))
+      .join(bandC.select(col("band_idx"), col("band_sig"), col("sub"),
+          col("id").as("b")),
+        Seq("band_idx", "band_sig", "sub"))
+      .select(col("a"), col("b")).distinct()
+      .join(broadcast(graft.sources.Bucketing
+          .freshTable(spark, s"${tablePrefix}_deleted")
+          .select(col("id").as("b"))),
+        Seq("b"), "left_anti")
+    val sa = setsB.select(col("id").as("a"), col("hs").as("hsa"),
+      col("sz").as("sza"))
+    val sb = setsC.select(col("id").as("b"), col("hs").as("hsb"),
+      col("sz").as("szb"))
+    val matches = cand.join(sa, Seq("a")).join(sb, Seq("b"))
+      .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= lit(minJaccard))
+      .groupBy(col("a")).agg(count(lit(1)).as("n_matches"))
+    batch.select(col(idCol))
+      .join(matches.select(col("a").as(idCol), col("n_matches")),
+        Seq(idCol), "left")
+      .na.fill(0L, Seq("n_matches"))
+      .select(col(idCol), col("n_matches"), (col("n_matches") === 0).as("novel"))
+  }
+
+  /** [[appendToBandedIndex]] for the split layout: the batch bands at the
+    * FROZEN split cells, sub-cells the build dropped stay closed (the
+    * `_dropped` tombstones now name (band_idx, band_sig, sub)), and the
+    * remaining-slot cap applies per SUB-cell against a corpus count
+    * semi-join-pruned to the batch's touched keys. Same crash order as
+    * v3: sets insert before bands.
+    */
+  def appendToBandedIndexSplit(batch: DataFrame, tablePrefix: String,
+                               textCol: String = "text",
+                               idCol: String = "doc_id",
+                               newCorpusTag: String = "",
+                               scope: CacheScope = CacheScope.default): Unit = {
+    val spark = batch.sparkSession
+    import graft.sources.Bucketing
+    val meta = Bucketing.freshTable(spark, s"${tablePrefix}_meta").head()
+    val (k, bands, shingleK, maxBucket) =
+      (meta.getAs[Int]("k"), meta.getAs[Int]("bands"),
+        meta.getAs[Int]("shingle_k"), meta.getAs[Int]("max_bucket"))
+    val sets = shingleHashSets(batch, textCol, idCol, shingleK, scope)
+      .join(broadcast(Bucketing.freshTable(spark, s"${tablePrefix}_deleted")),
+        Seq("id"), "left_anti")
+    val splitCells = Bucketing.freshTable(spark, s"${tablePrefix}_split")
+    val keyed = bandSplitFrozenMinhash(sets, splitCells, k, bands)
+      .join(Bucketing.freshTable(spark, s"${tablePrefix}_dropped"),
+        Seq("band_idx", "band_sig", "sub"), "left_anti")
+    val touched = keyed
+      .select(col("band_idx"), col("band_sig"), col("sub")).distinct()
+    val existing = Bucketing.freshTable(spark, s"${tablePrefix}_bands")
+      .join(broadcast(touched), Seq("band_idx", "band_sig", "sub"),
+        "left_semi")
+      .groupBy(col("band_idx"), col("band_sig"), col("sub"))
+      .agg(count(lit(1)).as("bn0"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_sig"), col("sub"))
+      .orderBy(col("id"))
+    val capped = keyed.withColumn("rn", row_number().over(w))
+      .join(existing, Seq("band_idx", "band_sig", "sub"), "left")
+      .na.fill(0L, Seq("bn0"))
+      .filter(col("rn") + col("bn0") <= maxBucket)
+      .select(col("band_idx"), col("band_sig"), col("sub"), col("id"))
+    // materialize before any insert: the plan reads _bands, which the
+    // second insert mutates (localCheckpoint is eager — the returned
+    // frame serves from checkpoint blocks, never the mutated table)
+    val cappedM = capped.localCheckpoint(true)
+    sets.select(col("id"), col("hs"), col("sz"))
+      .write.insertInto(s"${tablePrefix}_sets")
+    cappedM.write.insertInto(s"${tablePrefix}_bands")
+    if (newCorpusTag.nonEmpty) {
+      val buckets = meta.getAs[Int]("buckets")
+      val so = meta.getAs[Long]("split_occupancy")
+      import spark.implicits._
+      Bucketing.saveTable(
+        Seq((k, bands, shingleK, maxBucket, buckets, newCorpusTag, so,
+            bandedSplitIndexFormatVersion))
+          .toDF("k", "bands", "shingle_k", "max_bucket", "buckets",
+            "corpus_tag", "split_occupancy", "fmt"),
+        s"${tablePrefix}_meta")
+    }
+  }
+
   /** Theoretical LSH collision probability 1-(1-J^r)^b at the threshold,
     * micro-quantized — computed ONCE driver-side and embedded as a literal
     * in both the Spark plan and the oracle SQL, so the transcendentals never

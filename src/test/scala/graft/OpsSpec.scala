@@ -483,6 +483,80 @@ class OpsSpec extends SparkTestBase {
     scope.release()
   }
 
+  test("split banded index: huge threshold == v3 probe, aggressive split only removes matches, frozen-layout append, dropped sub-cells stay closed") {
+    val docs = Tables(spark, SparkTestBase.sf001, "documents")
+    val scope = CacheScope()
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // no cell over threshold -> identical layout and identical report to
+    // the v3 index at the same parameters
+    DedupOps.ensureBandedIndex(corpus, "t_split_v3", corpusTag = "a",
+      scope = scope)
+    val v3 = asMap(DedupOps.probeBandedIndex(batch, "t_split_v3",
+      scope = scope))
+    DedupOps.ensureBandedIndexSplit(corpus, "t_split_noop", corpusTag = "a",
+      splitOccupancy = 1000000L, scope = scope)
+    assert(asMap(DedupOps.probeBandedIndexSplit(batch, "t_split_noop",
+      scope = scope)) === v3, "no split cell -> v3-identical report")
+    // aggressive split: candidates only shrink, so per-id matches <= v3
+    DedupOps.ensureBandedIndexSplit(corpus, "t_split_agg", corpusTag = "a",
+      splitOccupancy = 1, scope = scope)
+    val agg = asMap(DedupOps.probeBandedIndexSplit(batch, "t_split_agg",
+      scope = scope))
+    assert(agg.keySet === v3.keySet, "one report row per batch doc")
+    agg.foreach { case (id, n) => assert(n <= v3(id),
+      s"split may only remove matches (doc $id)") }
+    // FROZEN-layout append: fold half the corpus in after the ensure and
+    // the probe must equal the direct computation at the ENSURE-frozen
+    // cells (bandSplitFrozenMinhash over the combined sets)
+    val half1 = corpus.filter(col("doc_id") % 2 === 1)
+    val half2 = corpus.filter(col("doc_id") % 2 === 0)
+    DedupOps.ensureBandedIndexSplit(half1, "t_split_app", corpusTag = "h1",
+      splitOccupancy = 2, scope = scope)
+    DedupOps.appendToBandedIndexSplit(half2, "t_split_app", scope = scope)
+    val got = asMap(DedupOps.probeBandedIndexSplit(batch, "t_split_app",
+      scope = scope))
+    val cells = graft.sources.Bucketing.freshTable(spark, "t_split_app_split")
+      .localCheckpoint(true)
+    val setsAll = DedupOps.shingleHashSets(corpus, scope = scope)
+    val setsB = DedupOps.shingleHashSets(batch, scope = scope)
+    val bandsAll = DedupOps.bandSplitFrozenMinhash(setsAll, cells, 32, 16)
+    val bandsB = DedupOps.bandSplitFrozenMinhash(setsB, cells, 32, 16)
+    val cand = bandsB.select(col("band_idx"), col("band_sig"), col("sub"),
+        col("id").as("a"))
+      .join(bandsAll.select(col("band_idx"), col("band_sig"), col("sub"),
+          col("id").as("b")),
+        Seq("band_idx", "band_sig", "sub"))
+      .select(col("a"), col("b")).distinct()
+    val sa = setsB.select(col("id").as("a"), col("hs").as("hsa"), col("sz").as("sza"))
+    val sb = setsAll.select(col("id").as("b"), col("hs").as("hsb"), col("sz").as("szb"))
+    val expected = batch.select(col("doc_id"))
+      .join(cand.join(sa, Seq("a")).join(sb, Seq("b"))
+        .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))))
+        .filter(col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")) >= 0.8)
+        .groupBy(col("a")).agg(count(lit(1)).as("n_matches"))
+        .withColumnRenamed("a", "doc_id"), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_matches"))
+    assert(got === asMap(expected.select(col("doc_id"), col("n_matches"))),
+      "append == direct recompute at the ensure-frozen layout")
+    // a sub-cell the BUILD dropped stays closed: identical docs past the
+    // cap drop at write (unsplittable) and appended twins must not enter
+    val ident = (1L to 10L).map(i => (i, "omega psi chi phi upsilon tau"))
+      .toDF("doc_id", "text")
+    DedupOps.ensureBandedIndexSplit(ident, "t_split_drop", corpusTag = "i",
+      maxBucket = 2, splitOccupancy = 2, scope = scope)
+    assert(spark.table("t_split_drop_bands").isEmpty,
+      "identical cluster past the cap drops whole (unsplittable)")
+    val more = Seq((100L, "omega psi chi phi upsilon tau")).toDF("doc_id", "text")
+    DedupOps.appendToBandedIndexSplit(more, "t_split_drop", scope = scope)
+    assert(spark.table("t_split_drop_bands").isEmpty,
+      "dropped sub-cells are closed to appends")
+    scope.release()
+  }
+
   test("nearDupClusters: transitive A~B~C chain lands in one cluster without an A~C pair") {
     // 20-token docs differing in 1-2 tokens: J(A,B)=17/19, J(B,C)=16/20,
     // J(A,C)=15/21 < 0.8 — so the PAIR list has no (A,C) edge and only the
