@@ -159,6 +159,11 @@ object Bench {
         .filter(org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0),
       "graft_q208_split", corpusTag = docsTag, splitOccupancy = 2)
     catch { case _: Throwable => () }
+    // q209's appended state (ensure base + append batch happen inside the
+    // query's meta-tag guard): the first call pays the lifecycle, timed
+    // calls then measure the drift AUDIT — the row's claim — not a build
+    try run(graft.SparkEntry.queries("q209_split_layout_drift")(spark, sfDir))
+    catch { case _: Throwable => () }
     try graft.ops.SimilarityOps.ensureIvfIndex(
       graft.sources.Tables(spark, sfDir, "embeddings"),
       "graft_q90_ivf", corpusTag = embTag, nCells = 8)

@@ -840,6 +840,38 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // LAYOUT-DRIFT audit of the split banded index (the frozen-layout
+    // price made observable): ensure freezes the layout on the BASE
+    // corpus, the batch then appends AT that frozen layout, and the audit
+    // reports — per band — the cells the appends pushed over
+    // splitOccupancy that the frozen layout does not split (outgrown),
+    // plus the frozen sub-cells no extension minhash can subdivide
+    // (saturated = identical-doc clusters). The oracle replays the whole
+    // lifecycle: base banding, frozen cells, append at those cells with
+    // the per-sub-cell write cap, then the same per-band rollup. The
+    // meta-tag guard makes the query a pure read on replay (Bench
+    // prebuilds the appended state; a fresh session rebuilds base →
+    // append deterministically)
+    "q209_split_layout_drift" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val fullTag = corpusTagOf(docs, d) + "#q209appended"
+      val appended = try {
+        val m = graft.sources.Bucketing
+          .freshTable(s, "graft_q209_drift_meta").head()
+        m.getAs[Int]("fmt") == DedupOps.bandedSplitIndexFormatVersion &&
+          m.getAs[String]("corpus_tag") == fullTag
+      } catch { case _: Exception => false }
+      if (!appended) {
+        DedupOps.ensureBandedIndexSplit(docs.filter(col("doc_id") % 5 =!= 0),
+          "graft_q209_drift", corpusTag = corpusTagOf(docs, d),
+          splitOccupancy = 2)
+        DedupOps.appendToBandedIndexSplit(docs.filter(col("doc_id") % 5 === 0),
+          "graft_q209_drift", newCorpusTag = fullTag)
+      }
+      DedupOps.bandedSplitLayoutDrift(s, "graft_q209_drift")
+        .orderBy(col("band_idx"))
+    },
+
     // the PERSISTED-index face of q24: queries probe the IVF cells table
     // with zero corpus-side exchange. Probing ALL cells (nProbe = nCells)
     // makes the output the EXACT top-k regardless of what partition the
@@ -3855,6 +3887,94 @@ object SparkEntry {
          |  COALESCE(m.n_matches, 0) = 0 AS novel
          |FROM documents d LEFT JOIN m ON m.a = d.doc_id
          |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin
+    },
+
+    // the layout-drift audit replay: base banding derives the frozen
+    // cells (the ENGINE's ensure corpus, doc_id % 5 <> 0), batch rows
+    // append AT those cells with the per-sub-cell write cap and dropped
+    // closures, and the same per-band rollup runs over the union — every
+    // outgrown/saturated count re-derived from the raw text
+    "q209_split_layout_drift" -> {
+      val perms = ops.DetHash.minHashPerms(48)
+      val permVals = perms.zipWithIndex
+        .map { case ((a, b), p) => s"($p, CAST($a AS BIGINT), CAST($b AS BIGINT))" }
+        .mkString(", ")
+      val P = ops.DetHash.P
+      val (so, mb) = (2L, 10000L)
+      s"""WITH $hashedShinglesCte,
+         |perms AS (SELECT * FROM (VALUES $permVals) t(p, pa, pb)),
+         |inv AS (SELECT id, unnest(hs) AS tok FROM sized),
+         |mins AS (SELECT i.id, pr.p,
+         |    min((pr.pa * (i.tok % $P) + pr.pb) % $P) AS mn
+         |  FROM inv i CROSS JOIN perms pr GROUP BY 1, 2),
+         |bsig AS (SELECT e.id, e.p // 2 AS band_idx,
+         |    e.mn * $P + o.mn AS band_sig
+         |  FROM mins e JOIN mins o ON o.id = e.id AND o.p = e.p + 1
+         |  WHERE e.p % 2 = 0 AND e.p < 32),
+         |ext AS (SELECT id, p - 32 AS band_idx, mn AS sub FROM mins
+         |  WHERE p >= 32),
+         |sc AS (SELECT band_idx, band_sig FROM (
+         |    SELECT band_idx, band_sig, count(*) AS bn FROM bsig
+         |    WHERE id % 5 <> 0 GROUP BY 1, 2) c WHERE c.bn > $so),
+         |keyed AS (
+         |  SELECT s.id, s.band_idx, s.band_sig, CAST(0 AS BIGINT) AS sub
+         |  FROM bsig s LEFT JOIN sc ON sc.band_idx = s.band_idx
+         |    AND sc.band_sig = s.band_sig
+         |  WHERE sc.band_idx IS NULL
+         |  UNION ALL
+         |  SELECT s.id, s.band_idx, s.band_sig, x.sub
+         |  FROM bsig s JOIN sc ON sc.band_idx = s.band_idx
+         |    AND sc.band_sig = s.band_sig
+         |  JOIN ext x ON x.id = s.id AND x.band_idx = s.band_idx),
+         |bc AS (SELECT band_idx, band_sig, sub,
+         |    CAST(count(*) AS BIGINT) AS bn2
+         |  FROM keyed WHERE id % 5 <> 0 GROUP BY 1, 2, 3),
+         |base AS (SELECT y.* FROM keyed y JOIN bc
+         |    ON bc.band_idx = y.band_idx AND bc.band_sig = y.band_sig
+         |    AND bc.sub = y.sub
+         |  WHERE y.id % 5 <> 0 AND bc.bn2 <= $mb),
+         |drp AS (SELECT band_idx, band_sig, sub FROM bc WHERE bn2 > $mb),
+         |bt AS (SELECT y.* FROM keyed y LEFT JOIN drp
+         |    ON drp.band_idx = y.band_idx AND drp.band_sig = y.band_sig
+         |    AND drp.sub = y.sub
+         |  WHERE y.id % 5 = 0 AND drp.band_idx IS NULL),
+         |btr AS (SELECT bt.*, row_number() OVER (
+         |    PARTITION BY band_idx, band_sig, sub ORDER BY id) AS rn
+         |  FROM bt),
+         |bn0 AS (SELECT band_idx, band_sig, sub,
+         |    CAST(count(*) AS BIGINT) AS n0 FROM base GROUP BY 1, 2, 3),
+         |app AS (SELECT b.id, b.band_idx, b.band_sig, b.sub
+         |  FROM btr b LEFT JOIN bn0 ON bn0.band_idx = b.band_idx
+         |    AND bn0.band_sig = b.band_sig AND bn0.sub = b.sub
+         |  WHERE b.rn + COALESCE(bn0.n0, 0) <= $mb),
+         |allrows AS (SELECT id, band_idx, band_sig, sub FROM base
+         |  UNION ALL SELECT id, band_idx, band_sig, sub FROM app),
+         |occ AS (SELECT band_idx, band_sig, sub,
+         |    CAST(count(*) AS BIGINT) AS occ FROM allrows GROUP BY 1, 2, 3),
+         |og AS (SELECT c.band_idx, CAST(count(*) AS BIGINT) AS n_outgrown,
+         |    CAST(max(c.cocc) AS BIGINT) AS max_outgrown
+         |  FROM (SELECT o.band_idx, o.band_sig, sum(o.occ) AS cocc
+         |      FROM occ o LEFT JOIN sc ON sc.band_idx = o.band_idx
+         |        AND sc.band_sig = o.band_sig
+         |      WHERE sc.band_idx IS NULL GROUP BY 1, 2) c
+         |  WHERE c.cocc > $so GROUP BY 1),
+         |pb AS (SELECT o.band_idx, CAST(count(*) AS BIGINT) AS n_cells,
+         |    CAST(sum(o.occ) AS BIGINT) AS n_rows,
+         |    CAST(sum(CASE WHEN sc.band_idx IS NOT NULL AND o.occ > $so
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated
+         |  FROM occ o LEFT JOIN sc ON sc.band_idx = o.band_idx
+         |    AND sc.band_sig = o.band_sig
+         |  GROUP BY 1),
+         |fr AS (SELECT band_idx, CAST(count(*) AS BIGINT) AS n_frozen
+         |  FROM sc GROUP BY 1)
+         |SELECT CAST(p.band_idx AS INTEGER) AS band_idx, p.n_cells,
+         |  p.n_rows, CAST(COALESCE(f.n_frozen, 0) AS BIGINT) AS n_frozen,
+         |  CAST(COALESCE(g.n_outgrown, 0) AS BIGINT) AS n_outgrown,
+         |  CAST(COALESCE(g.max_outgrown, 0) AS BIGINT) AS max_outgrown,
+         |  p.n_saturated
+         |FROM pb p LEFT JOIN fr f ON f.band_idx = p.band_idx
+         |  LEFT JOIN og g ON g.band_idx = p.band_idx
+         |ORDER BY band_idx""".stripMargin
     },
 
     // identical brute-force oracle as q65: the persisted-index probe must

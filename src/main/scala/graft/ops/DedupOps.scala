@@ -680,6 +680,72 @@ object DedupOps {
     }
   }
 
+  /** LAYOUT-DRIFT audit for the SPLIT banded index
+    * ([[writeBandedIndexSplit]]) — the banded tier's analogue of the kNN
+    * lifecycle's occupancy audit + outgrowth guard: the split layout is
+    * FROZEN at build time, so cells that become hot only through later
+    * appends stay un-split and quietly re-accumulate the c·(c−1)/2
+    * candidate blow-up the split exists to remove. This read-only report
+    * makes that drift observable, per band:
+    *
+    *   - `n_cells` / `n_rows` — live (band_sig, sub) sub-cells and band
+    *     rows (the index's current footprint for the band);
+    *   - `n_frozen` — cells the build froze into the split layout;
+    *   - `n_outgrown` — UN-frozen cells whose live occupancy now exceeds
+    *     `split_occupancy` (the drift: these pay the quadratic price
+    *     un-split until a re-ensure re-freezes the layout);
+    *   - `max_outgrown` — the worst such cell's occupancy (how bad the
+    *     hottest un-remediated cell has gotten);
+    *   - `n_saturated` — FROZEN sub-cells over `split_occupancy`: one
+    *     extension minhash cannot subdivide further (identical documents
+    *     agree on every permutation), so these are the un-splittable
+    *     residue, reported honestly rather than hidden.
+    *
+    * Sum(n_outgrown) > 0 is the re-ensure signal (re-freezing at the
+    * current corpus returns it to zero — every over-threshold cell joins
+    * the frozen layout). Scale shape: one aggregation over `_bands` whose
+    * grouping keys are a superset of the table's (band_idx, band_sig)
+    * bucketing (map-side, exchange-free on the corpus side), a broadcast
+    * join against the skew-tail-sized `_split`, and band-count-sized
+    * rollups; no collect, no corpus shuffle.
+    */
+  def bandedSplitLayoutDrift(spark: org.apache.spark.sql.SparkSession,
+                             tablePrefix: String): DataFrame = {
+    import graft.sources.Bucketing
+    val so = Bucketing.freshTable(spark, s"${tablePrefix}_meta").head()
+      .getAs[Long]("split_occupancy")
+    val frozen = Bucketing.freshTable(spark, s"${tablePrefix}_split")
+      .select(col("band_idx"), col("band_sig"), lit(true).as("frozen"))
+    val subOcc = Bucketing.freshTable(spark, s"${tablePrefix}_bands")
+      .groupBy(col("band_idx"), col("band_sig"), col("sub"))
+      .agg(count(lit(1)).as("occ"))
+      .join(broadcast(frozen), Seq("band_idx", "band_sig"), "left")
+      .na.fill(false, Seq("frozen"))
+    // un-frozen cells carry a single sub = 0 row, so the cell-level
+    // occupancy IS the sub row's; summing keeps that true by construction
+    val outgrown = subOcc.filter(!col("frozen"))
+      .groupBy(col("band_idx"), col("band_sig"))
+      .agg(sum(col("occ")).as("cocc"))
+      .filter(col("cocc") > so)
+      .groupBy(col("band_idx"))
+      .agg(count(lit(1)).as("n_outgrown"),
+        max(col("cocc")).as("max_outgrown"))
+    val perBand = subOcc.groupBy(col("band_idx")).agg(
+      count(lit(1)).as("n_cells"),
+      sum(col("occ")).as("n_rows"),
+      sum(when(col("frozen") && col("occ") > so, 1L).otherwise(0L))
+        .as("n_saturated"))
+    val frozenPerBand = frozen.groupBy(col("band_idx"))
+      .agg(count(lit(1)).as("n_frozen"))
+    perBand
+      .join(frozenPerBand, Seq("band_idx"), "left")
+      .join(outgrown, Seq("band_idx"), "left")
+      .na.fill(0L, Seq("n_frozen", "n_outgrown", "max_outgrown"))
+      .select(col("band_idx"), col("n_cells"), col("n_rows"),
+        col("n_frozen"), col("n_outgrown"), col("max_outgrown"),
+        col("n_saturated"))
+  }
+
   /** Theoretical LSH collision probability 1-(1-J^r)^b at the threshold,
     * micro-quantized — computed ONCE driver-side and embedded as a literal
     * in both the Spark plan and the oracle SQL, so the transcendentals never

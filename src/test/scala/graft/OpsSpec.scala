@@ -557,6 +557,57 @@ class OpsSpec extends SparkTestBase {
     scope.release()
   }
 
+  test("bandedSplitLayoutDrift: fresh build has zero outgrown, appends surface as drift, re-ensure closes it") {
+    val scope = CacheScope()
+    // base: a 2-doc duplicate cluster (AT the threshold — not frozen), a
+    // 3-doc identical cluster (over it — frozen AND saturated: no
+    // extension minhash separates identical docs), two distinct docs
+    val textA = "alpha beta gamma delta epsilon"
+    val textB = "omega psi chi phi upsilon"
+    val base = Seq(
+      (1L, textA), (2L, textA),
+      (6L, textB), (7L, textB), (8L, textB),
+      (3L, "one quick brown fox jumps"),
+      (4L, "an entirely different sentence here")).toDF("doc_id", "text")
+    DedupOps.ensureBandedIndexSplit(base, "t_drift", corpusTag = "b",
+      splitOccupancy = 2, scope = scope)
+    // (n_cells, n_rows, n_frozen, n_outgrown, max_outgrown, n_saturated)
+    def audit() = DedupOps.bandedSplitLayoutDrift(spark, "t_drift")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val fresh = audit()
+    assert(fresh.values.map(_._4).sum === 0L,
+      "a fresh build froze every over-threshold cell")
+    assert(fresh.values.map(_._3).sum >= 16L,
+      "the identical 3-doc cluster freezes its cell in every band")
+    assert(fresh.values.map(_._6).sum >= 16L,
+      "identical docs stay together under the extension minhash (saturated)")
+    assert(fresh.values.map(_._2).sum ===
+      spark.table("t_drift_bands").count(), "n_rows == the live band rows")
+    // a batch twin of textA pushes its (so far occupancy-2, un-frozen)
+    // cells over the threshold — the frozen layout cannot split them
+    DedupOps.appendToBandedIndexSplit(
+      Seq((10L, textA)).toDF("doc_id", "text"), "t_drift", scope = scope)
+    val drifted = audit()
+    assert(drifted.values.map(_._4).sum >= 16L,
+      "appends past the threshold must surface as outgrown cells")
+    assert(drifted.values.map(_._5).max >= 3L,
+      "max_outgrown reports the hot cell's live occupancy")
+    assert(fresh.values.map(_._6).sum === drifted.values.map(_._6).sum,
+      "saturation is a frozen-layout fact — this append moves outgrowth only")
+    // the audit's actionable loop: re-ensure at the grown corpus (a new
+    // tag) re-freezes the layout and the drift returns to zero
+    DedupOps.ensureBandedIndexSplit(
+      base.unionByName(Seq((10L, textA)).toDF("doc_id", "text")),
+      "t_drift", corpusTag = "full", splitOccupancy = 2, scope = scope)
+    val refrozen = audit()
+    assert(refrozen.values.map(_._4).sum === 0L,
+      "re-ensure under the grown corpus closes the drift")
+    assert(refrozen.values.map(_._3).sum >= 32L,
+      "both clusters are frozen after the re-freeze")
+    scope.release()
+  }
+
   test("nearDupClusters: transitive A~B~C chain lands in one cluster without an A~C pair") {
     // 20-token docs differing in 1-2 tokens: J(A,B)=17/19, J(B,C)=16/20,
     // J(A,C)=15/21 < 0.8 — so the PAIR list has no (A,C) edge and only the
