@@ -2935,7 +2935,11 @@ object SparkEntry {
        |bounds AS MATERIALIZED (SELECT min(vec_id) AS mn,
        |    max(vec_id) - min(vec_id) + 1 AS span FROM e),
        |sh AS MATERIALIZED (SELECT e.vec_id, e.embedding,
-       |    ((e.vec_id - bo.mn) * $k) // bo.span AS shard
+       |    CASE WHEN bo.span <= ${Long.MaxValue} // $k
+       |      THEN ((e.vec_id - bo.mn) * $k) // bo.span
+       |      ELSE (e.vec_id - bo.mn) // (bo.span // $k +
+       |        CASE WHEN bo.span % $k = 0 THEN 0 ELSE 1 END)
+       |    END AS shard
        |  FROM e CROSS JOIN bounds bo),
        |np AS MATERIALIZED (SELECT shard, least(24, coalesce(
        |    (SELECT min(p) FROM range(4, 25) t(p) WHERE (n >> p) <= 8),

@@ -383,6 +383,16 @@ object DedupOps {
                                 scope: CacheScope = CacheScope.default)
       : DataFrame = {
     require(splitOccupancy >= 1, "splitOccupancy must be >= 1")
+    // PARAMETER-ORDERING contract: the post-split cap semantics (maxBucket
+    // applied to POST-split sub-cell occupancy, with over-cap cells
+    // RESCUED by splitting) hold for splitOccupancy <= maxBucket — the
+    // operating regime. With splitOccupancy > maxBucket the split is
+    // effectively disabled and the cap degrades to the PRE-split (v3)
+    // semantics for cells in (maxBucket, splitOccupancy]: such a cell
+    // drops whole via the cold branch, exactly as the un-split form
+    // would. That regime is deliberate (splitOccupancy >> any occupancy
+    // == "split nothing", asserted equal to minHashVerifiedPairs in
+    // OpsSpec), so it is documented rather than refused.
     val hashed = shingleHashSets(df, textCol, idCol, shingleK, scope)
     val banded = bandedSigsNative(hashed, k, bands)
     val w = org.apache.spark.sql.expressions.Window
@@ -626,6 +636,13 @@ object DedupOps {
     * remaining-slot cap applies per SUB-cell against a corpus count
     * semi-join-pruned to the batch's touched keys. Same crash order as
     * v3: sets insert before bands.
+    *
+    * At-least-once REPLAY is a structural no-op (the kNN-maintain rule):
+    * batch ids already present in `_sets` anti-join away, so a retry of
+    * an append that committed its inserts but crashed before the
+    * `newCorpusTag` meta restamp inserts nothing and just restamps —
+    * without this, the replay would duplicate the batch's `_sets`/`_bands`
+    * rows and inflate every occupancy the drift audit reads.
     */
   def appendToBandedIndexSplit(batch: DataFrame, tablePrefix: String,
                                textCol: String = "text",
@@ -640,6 +657,12 @@ object DedupOps {
         meta.getAs[Int]("shingle_k"), meta.getAs[Int]("max_bucket"))
     val sets = shingleHashSets(batch, textCol, idCol, shingleK, scope)
       .join(broadcast(Bucketing.freshTable(spark, s"${tablePrefix}_deleted")),
+        Seq("id"), "left_anti")
+      // replayed ids drop structurally — the corpus side reads only the
+      // id column of the id-bucketed `_sets` (batch-sized left, pruned
+      // corpus scan right)
+      .join(Bucketing.freshTable(spark, s"${tablePrefix}_sets")
+          .select(col("id")),
         Seq("id"), "left_anti")
     val splitCells = Bucketing.freshTable(spark, s"${tablePrefix}_split")
     val keyed = bandSplitFrozenMinhash(sets, splitCells, k, bands)
@@ -1015,8 +1038,14 @@ object DedupOps {
     // id would vanish with them (and resurface stale ones after a naive
     // un-tombstone). Skip such rows; [[maintainBandedIndexFromDiff]]
     // compacts first so changed docs never hit this filter.
+    // REPLAYED ids drop structurally too (the split-layout append's
+    // rule): a retry of an append that committed its inserts but crashed
+    // before the meta restamp must not duplicate the batch's rows.
     val sets = shingleHashSets(batch, textCol, idCol, shingleK, scope)
       .join(broadcast(graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_deleted")),
+        Seq("id"), "left_anti")
+      .join(graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_sets")
+          .select(col("id")),
         Seq("id"), "left_anti")
     val capped = scope.register(
       plannedBandedAppend(sets, tablePrefix, k, bands, maxBucket))

@@ -1108,7 +1108,10 @@ object SimilarityOps {
     * occupancy (and the per-cell self-join) grows linearly again. This
     * form shards the corpus into `nShards` EQUAL-WIDTH ID RANGES
     * (shard = ((id − min) · nShards) div (max − min + 1) — pure integer
-    * arithmetic, so the SQL oracle re-derives membership exactly), sizes
+    * arithmetic, so the SQL oracle re-derives membership exactly; when
+    * the multiply would overflow a 64-bit span, equal-width division
+    * (id - min) div ceil(span / nShards) takes over, mirrored in the
+    * oracle), sizes
     * each shard at its OWN operating point (autoPlanes of the shard's
     * count), and unions per-shard verified pairs — every shard's banding
     * runs in its flat regime as long as the SHARD stays under the
@@ -1152,7 +1155,21 @@ object SimilarityOps {
         col("id").as("b"), col("id").cast("double").as("cos"))
     val mn = bounds.getLong(0)
     val span = bounds.getLong(1) - mn + 1
-    val shardExpr = expr(s"(id - $mn) * $nShards DIV $span")
+    // (id − mn) · nShards overflows silently for id spans near
+    // 2^63 / nShards (timestamp-like ids) — Spark would wrap into
+    // garbage shards while a BIGINT oracle errors. Past that point the
+    // shard comes from equal-width division instead (identical integer
+    // semantics both engines can replay; same boundaries as the multiply
+    // form whenever nShards divides span). The branch condition is
+    // driver-side (mn/span already collected); the SQL oracle mirrors it
+    // with the same CASE on the same literals.
+    val shardExpr =
+      if (span <= Long.MaxValue / nShards)
+        expr(s"(id - $mn) * $nShards DIV $span")
+      else {
+        val width = span / nShards + (if (span % nShards == 0) 0L else 1L)
+        expr(s"(id - $mn) DIV $width")
+      }
     // nShards rows — the per-shard operating points, driver-sized like
     // srpNearDupPairsAuto's single count()
     val planesOf: Map[Long, Int] = base.select(shardExpr.as("shard"))

@@ -4535,4 +4535,89 @@ class OpsSpec extends SparkTestBase {
     val none = GraphOps.recommendThreshold(pw, Seq(300000L), 100L).collect()
     assert(none.length === 1 && !none.head.getBoolean(5))
   }
+
+  test("banded index appends: at-least-once replay inserts nothing (v3 and v4)") {
+    val docs = Tables(spark, SparkTestBase.sf001, "documents")
+    val scope = CacheScope()
+    val half1 = docs.filter(col("doc_id") % 2 === 1)
+    val half2 = docs.filter(col("doc_id") % 2 === 0)
+    // v4 (split layout): an append whose inserts committed but whose meta
+    // restamp crashed is replayed verbatim — the batch ids anti-join away,
+    // so row counts AND the drift audit stay exactly where the first
+    // append left them (duplicates would inflate every occupancy)
+    DedupOps.ensureBandedIndexSplit(half1, "t_replay4", corpusTag = "h1",
+      splitOccupancy = 2, scope = scope)
+    DedupOps.appendToBandedIndexSplit(half2, "t_replay4",
+      newCorpusTag = "h1h2", scope = scope)
+    val sets4 = spark.table("t_replay4_sets").count()
+    val bands4 = spark.table("t_replay4_bands").count()
+    val audit4 = DedupOps.bandedSplitLayoutDrift(spark, "t_replay4")
+      .orderBy(col("band_idx")).collect().toSeq
+    DedupOps.appendToBandedIndexSplit(half2, "t_replay4",
+      newCorpusTag = "h1h2", scope = scope)
+    assert(spark.table("t_replay4_sets").count() === sets4,
+      "replayed v4 append must not duplicate _sets rows")
+    assert(spark.table("t_replay4_bands").count() === bands4,
+      "replayed v4 append must not duplicate _bands rows")
+    assert(DedupOps.bandedSplitLayoutDrift(spark, "t_replay4")
+        .orderBy(col("band_idx")).collect().toSeq === audit4,
+      "drift audit unchanged by a replay")
+    // a GENUINELY new doc after the replay still folds in (the anti-join
+    // drops replayed ids, not fresh ones)
+    val novel = Seq((1000001L, "a genuinely new document body"))
+      .toDF("doc_id", "text")
+    DedupOps.appendToBandedIndexSplit(novel, "t_replay4", scope = scope)
+    assert(spark.table("t_replay4_sets").count() === sets4 + 1,
+      "fresh ids still append after a replay")
+    // v3: same contract
+    DedupOps.ensureBandedIndex(half1, "t_replay3", corpusTag = "h1",
+      scope = scope)
+    DedupOps.appendToBandedIndex(half2, "t_replay3", scope = scope)
+    val sets3 = spark.table("t_replay3_sets").count()
+    val bands3 = spark.table("t_replay3_bands").count()
+    DedupOps.appendToBandedIndex(half2, "t_replay3", scope = scope)
+    assert(spark.table("t_replay3_sets").count() === sets3 &&
+      spark.table("t_replay3_bands").count() === bands3,
+      "replayed v3 append must not duplicate rows")
+    scope.release()
+  }
+
+  test("srpNearDupPairsSharded: 64-bit id spans shard by overflow-safe width division") {
+    val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val k = 4
+    // remap ids onto a span past Long.MaxValue / nShards: the multiply
+    // rule would wrap silently, so the operator must take the equal-width
+    // division branch (same integer semantics, no 128-bit arithmetic)
+    val mx0 = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val f = Long.MaxValue / (2L * (mx0 + 1L))
+    val wide = emb.select((col("vec_id") * f).as("vec_id"), col("embedding"))
+    val bounds = wide.agg(min(col("vec_id")), max(col("vec_id"))).head()
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    val span = mx - mn + 1
+    assert(span > Long.MaxValue / k, "fixture must force the overflow branch")
+    val got = SimilarityOps.srpNearDupPairsSharded(wide, 0.2, k).collect()
+    got.foreach(r => assert(r.getDouble(2) >= 0.2, "exact verify"))
+    val gotKeys = got.map(key).toSet
+    assert(gotKeys.nonEmpty, "fixture must keep real pairs")
+    // composition law, width-division form: the operator equals the union
+    // of per-shard auto-point runs over the same width-division ranges
+    val width = span / k + (if (span % k == 0) 0L else 1L)
+    assert(width > 0, "width stays positive at any span")
+    def shardOf(id: Long) = (id - mn) / width
+    val perShard = (0 until k).flatMap { s =>
+      val sub = wide.filter(expr(s"(vec_id - $mn) DIV $width") === s)
+      val cnt = sub.count()
+      if (cnt == 0) Seq.empty
+      else {
+        val p = SimilarityOps.autoPlanes(cnt, 8L)
+        SimilarityOps.srpNearDupPairsSized(sub, 0.2, p).collect().map(key)
+      }
+    }.toSet
+    assert(gotKeys === perShard,
+      "overflow branch = union of per-width-range auto-point runs")
+    gotKeys.foreach { case (a, b) =>
+      assert(shardOf(a) === shardOf(b), "pairs never straddle a shard")
+    }
+  }
 }
