@@ -164,6 +164,11 @@ object Bench {
     // calls then measure the drift AUDIT — the row's claim — not a build
     try run(graft.SparkEntry.queries("q209_split_layout_drift")(spark, sfDir))
     catch { case _: Throwable => () }
+    // q210's refrozen state (ensure + append + refreeze happen inside the
+    // query's guard): timed calls then measure the drift audit over the
+    // refrozen index — the row's claim — not the lifecycle build
+    try run(graft.SparkEntry.queries("q210_split_refreeze")(spark, sfDir))
+    catch { case _: Throwable => () }
     try graft.ops.SimilarityOps.ensureIvfIndex(
       graft.sources.Tables(spark, sfDir, "embeddings"),
       "graft_q90_ivf", corpusTag = embTag, nCells = 8)
@@ -253,6 +258,22 @@ object Bench {
     out.foreach { o =>
       try Files.writeString(Paths.get(o), json + "\n")
       catch { case _: Throwable => () }
+    }
+    // ROUND-STAMPED full artifact: the driver's BENCH_r{N}.json keeps only
+    // a 2000-char stdout tail — too short for the full per-query map — so
+    // a full sweep also writes BENCH_full_r{N}.json (N = 1 + the highest
+    // committed round artifact) with the complete line: the round-stamped
+    // record then parses standalone, per-query times and retimed floors
+    // included, without cross-referencing the worktree BENCH_last.json.
+    if (only.isEmpty) {
+      try {
+        val rn = 1 + Files.list(Paths.get(".")).toArray.toSeq
+          .map(_.toString)
+          .flatMap("BENCH_r([0-9]+)\\.json$".r.findFirstMatchIn(_))
+          .map(_.group(1).toInt)
+          .foldLeft(0)(math.max)
+        Files.writeString(Paths.get(f"BENCH_full_r$rn%02d.json"), json + "\n")
+      } catch { case _: Throwable => () }
     }
     spark.stop()
   }

@@ -872,6 +872,45 @@ object SparkEntry {
         .orderBy(col("band_idx"))
     },
 
+    // INCREMENTAL RE-FREEZE of the split banded index (the q209 drift's
+    // remedy as an operator): ensure freezes the layout on the BASE
+    // corpus, the batch appends AT that frozen layout (pushing cells
+    // over splitOccupancy — the q209 drift), and refreeze then splits
+    // EXACTLY the flagged cells in place — their members re-key by the
+    // per-band extension minhash as NEW rows while the stale sub = 0
+    // rows hide under the layout-version rule; cold cells' part-files
+    // are never touched (BucketingSpec asserts it). The audit after the
+    // refreeze must report sum(n_outgrown) = 0 WITHOUT a corpus-sized
+    // rebuild; the oracle replays the whole lifecycle — base banding,
+    // frozen cells, capped append, outgrown detection, the re-key, and
+    // the final per-band rollup — from the raw text
+    "q210_split_refreeze" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val fullTag = corpusTagOf(docs, d) + "#q210refrozen"
+      // the append restamps the tag BEFORE the refreeze runs, so the tag
+      // alone can't witness the refreeze: a crash between the two would
+      // replay as done. The drift audit is the refreeze's own postcondition
+      // — zero outgrown — so the guard checks it directly (audit-sized)
+      val done = try {
+        val m = graft.sources.Bucketing
+          .freshTable(s, "graft_q210_refreeze_meta").head()
+        m.getAs[Int]("fmt") == DedupOps.bandedSplitIndexFormatVersion &&
+          m.getAs[String]("corpus_tag") == fullTag &&
+          DedupOps.bandedSplitLayoutDrift(s, "graft_q210_refreeze")
+            .agg(sum(col("n_outgrown"))).head().getLong(0) == 0L
+      } catch { case _: Exception => false }
+      if (!done) {
+        DedupOps.ensureBandedIndexSplit(docs.filter(col("doc_id") % 5 =!= 0),
+          "graft_q210_refreeze", corpusTag = corpusTagOf(docs, d),
+          splitOccupancy = 2)
+        DedupOps.appendToBandedIndexSplit(docs.filter(col("doc_id") % 5 === 0),
+          "graft_q210_refreeze", newCorpusTag = fullTag)
+        DedupOps.refreezeBandedIndexSplit(s, "graft_q210_refreeze")
+      }
+      DedupOps.bandedSplitLayoutDrift(s, "graft_q210_refreeze")
+        .orderBy(col("band_idx"))
+    },
+
     // the PERSISTED-index face of q24: queries probe the IVF cells table
     // with zero corpus-side exchange. Probing ALL cells (nProbe = nCells)
     // makes the output the EXACT top-k regardless of what partition the
@@ -3971,6 +4010,121 @@ object SparkEntry {
          |  GROUP BY 1),
          |fr AS (SELECT band_idx, CAST(count(*) AS BIGINT) AS n_frozen
          |  FROM sc GROUP BY 1)
+         |SELECT CAST(p.band_idx AS INTEGER) AS band_idx, p.n_cells,
+         |  p.n_rows, CAST(COALESCE(f.n_frozen, 0) AS BIGINT) AS n_frozen,
+         |  CAST(COALESCE(g.n_outgrown, 0) AS BIGINT) AS n_outgrown,
+         |  CAST(COALESCE(g.max_outgrown, 0) AS BIGINT) AS max_outgrown,
+         |  p.n_saturated
+         |FROM pb p LEFT JOIN fr f ON f.band_idx = p.band_idx
+         |  LEFT JOIN og g ON g.band_idx = p.band_idx
+         |ORDER BY band_idx""".stripMargin
+    },
+
+    // the refreeze replay: the q209 lifecycle (base banding -> frozen
+    // cells -> capped append at the frozen layout) extended with the
+    // refreeze itself — outgrown cells (un-frozen, over splitOccupancy
+    // after the append) re-derived from the union view, their members
+    // re-keyed by the same per-band extension minhash, the final live
+    // view = everything else + the re-keyed rows — then the identical
+    // per-band rollup, where n_outgrown is now 0 BY DERIVATION (every
+    // over-threshold un-frozen cell just froze), not by fiat
+    "q210_split_refreeze" -> {
+      val perms = ops.DetHash.minHashPerms(48)
+      val permVals = perms.zipWithIndex
+        .map { case ((a, b), p) => s"($p, CAST($a AS BIGINT), CAST($b AS BIGINT))" }
+        .mkString(", ")
+      val P = ops.DetHash.P
+      val (so, mb) = (2L, 10000L)
+      s"""WITH $hashedShinglesCte,
+         |perms AS (SELECT * FROM (VALUES $permVals) t(p, pa, pb)),
+         |inv AS (SELECT id, unnest(hs) AS tok FROM sized),
+         |mins AS (SELECT i.id, pr.p,
+         |    min((pr.pa * (i.tok % $P) + pr.pb) % $P) AS mn
+         |  FROM inv i CROSS JOIN perms pr GROUP BY 1, 2),
+         |bsig AS (SELECT e.id, e.p // 2 AS band_idx,
+         |    e.mn * $P + o.mn AS band_sig
+         |  FROM mins e JOIN mins o ON o.id = e.id AND o.p = e.p + 1
+         |  WHERE e.p % 2 = 0 AND e.p < 32),
+         |ext AS (SELECT id, p - 32 AS band_idx, mn AS sub FROM mins
+         |  WHERE p >= 32),
+         |sc AS (SELECT band_idx, band_sig FROM (
+         |    SELECT band_idx, band_sig, count(*) AS bn FROM bsig
+         |    WHERE id % 5 <> 0 GROUP BY 1, 2) c WHERE c.bn > $so),
+         |keyed AS (
+         |  SELECT s.id, s.band_idx, s.band_sig, CAST(0 AS BIGINT) AS sub
+         |  FROM bsig s LEFT JOIN sc ON sc.band_idx = s.band_idx
+         |    AND sc.band_sig = s.band_sig
+         |  WHERE sc.band_idx IS NULL
+         |  UNION ALL
+         |  SELECT s.id, s.band_idx, s.band_sig, x.sub
+         |  FROM bsig s JOIN sc ON sc.band_idx = s.band_idx
+         |    AND sc.band_sig = s.band_sig
+         |  JOIN ext x ON x.id = s.id AND x.band_idx = s.band_idx),
+         |bc AS (SELECT band_idx, band_sig, sub,
+         |    CAST(count(*) AS BIGINT) AS bn2
+         |  FROM keyed WHERE id % 5 <> 0 GROUP BY 1, 2, 3),
+         |base AS (SELECT y.* FROM keyed y JOIN bc
+         |    ON bc.band_idx = y.band_idx AND bc.band_sig = y.band_sig
+         |    AND bc.sub = y.sub
+         |  WHERE y.id % 5 <> 0 AND bc.bn2 <= $mb),
+         |drp AS (SELECT band_idx, band_sig, sub FROM bc WHERE bn2 > $mb),
+         |bt AS (SELECT y.* FROM keyed y LEFT JOIN drp
+         |    ON drp.band_idx = y.band_idx AND drp.band_sig = y.band_sig
+         |    AND drp.sub = y.sub
+         |  WHERE y.id % 5 = 0 AND drp.band_idx IS NULL),
+         |btr AS (SELECT bt.*, row_number() OVER (
+         |    PARTITION BY band_idx, band_sig, sub ORDER BY id) AS rn
+         |  FROM bt),
+         |bn0 AS (SELECT band_idx, band_sig, sub,
+         |    CAST(count(*) AS BIGINT) AS n0 FROM base GROUP BY 1, 2, 3),
+         |app AS (SELECT b.id, b.band_idx, b.band_sig, b.sub
+         |  FROM btr b LEFT JOIN bn0 ON bn0.band_idx = b.band_idx
+         |    AND bn0.band_sig = b.band_sig AND bn0.sub = b.sub
+         |  WHERE b.rn + COALESCE(bn0.n0, 0) <= $mb),
+         |allrows AS (SELECT id, band_idx, band_sig, sub FROM base
+         |  UNION ALL SELECT id, band_idx, band_sig, sub FROM app),
+         |ogc AS MATERIALIZED (SELECT o.band_idx, o.band_sig
+         |  FROM (SELECT a.band_idx, a.band_sig, count(*) AS cocc
+         |      FROM allrows a LEFT JOIN sc ON sc.band_idx = a.band_idx
+         |        AND sc.band_sig = a.band_sig
+         |      WHERE sc.band_idx IS NULL GROUP BY 1, 2) o
+         |  WHERE o.cocc > $so),
+         |rk AS (SELECT a.id, a.band_idx, a.band_sig, x.sub
+         |  FROM allrows a JOIN ogc ON ogc.band_idx = a.band_idx
+         |    AND ogc.band_sig = a.band_sig
+         |  JOIN ext x ON x.id = a.id AND x.band_idx = a.band_idx),
+         |rkc AS (SELECT band_idx, band_sig, sub,
+         |    CAST(count(*) AS BIGINT) AS bn3 FROM rk GROUP BY 1, 2, 3),
+         |live2 AS (
+         |  SELECT a.id, a.band_idx, a.band_sig, a.sub FROM allrows a
+         |  LEFT JOIN ogc ON ogc.band_idx = a.band_idx
+         |    AND ogc.band_sig = a.band_sig
+         |  WHERE ogc.band_idx IS NULL
+         |  UNION ALL
+         |  SELECT r.id, r.band_idx, r.band_sig, r.sub FROM rk r
+         |  JOIN rkc ON rkc.band_idx = r.band_idx
+         |    AND rkc.band_sig = r.band_sig AND rkc.sub = r.sub
+         |  WHERE rkc.bn3 <= $mb),
+         |sc2 AS (SELECT band_idx, band_sig FROM sc
+         |  UNION ALL SELECT band_idx, band_sig FROM ogc),
+         |occ AS (SELECT band_idx, band_sig, sub,
+         |    CAST(count(*) AS BIGINT) AS occ FROM live2 GROUP BY 1, 2, 3),
+         |og AS (SELECT c.band_idx, CAST(count(*) AS BIGINT) AS n_outgrown,
+         |    CAST(max(c.cocc) AS BIGINT) AS max_outgrown
+         |  FROM (SELECT o.band_idx, o.band_sig, sum(o.occ) AS cocc
+         |      FROM occ o LEFT JOIN sc2 ON sc2.band_idx = o.band_idx
+         |        AND sc2.band_sig = o.band_sig
+         |      WHERE sc2.band_idx IS NULL GROUP BY 1, 2) c
+         |  WHERE c.cocc > $so GROUP BY 1),
+         |pb AS (SELECT o.band_idx, CAST(count(*) AS BIGINT) AS n_cells,
+         |    CAST(sum(o.occ) AS BIGINT) AS n_rows,
+         |    CAST(sum(CASE WHEN sc2.band_idx IS NOT NULL AND o.occ > $so
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated
+         |  FROM occ o LEFT JOIN sc2 ON sc2.band_idx = o.band_idx
+         |    AND sc2.band_sig = o.band_sig
+         |  GROUP BY 1),
+         |fr AS (SELECT band_idx, CAST(count(*) AS BIGINT) AS n_frozen
+         |  FROM sc2 GROUP BY 1)
          |SELECT CAST(p.band_idx AS INTEGER) AS band_idx, p.n_cells,
          |  p.n_rows, CAST(COALESCE(f.n_frozen, 0) AS BIGINT) AS n_frozen,
          |  CAST(COALESCE(g.n_outgrown, 0) AS BIGINT) AS n_outgrown,

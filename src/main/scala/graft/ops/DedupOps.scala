@@ -482,9 +482,21 @@ object DedupOps {
     * — only a sub-cell that is STILL over `maxBucket` after splitting
     * (an identical-doc cluster past the cap) is dropped and closed;
     * `_sets`/`_deleted`/`_meta` as v3 with `split_occupancy` stamped.
-    * Cells that BECOME hot only after later appends stay un-split (the
-    * frozen-layout price — the kNN outgrowth story; re-ensure under a
-    * new tag to re-freeze).
+    *
+    * LAYOUT VERSIONS (format v5): every `_bands` row carries `lver` (the
+    * layout version it was written under; build rows stamp 1) and every
+    * `_split` cell carries `fver` (the version at which the cell was
+    * frozen; build cells stamp 1). A band row SERVES iff its cell is
+    * un-frozen OR `lver >= fver` — build and append rows always qualify
+    * under the layout they banded at, while a cell frozen LATER by
+    * [[refreezeBandedIndexSplit]] hides its pre-freeze sub = 0 rows the
+    * moment the re-keyed replacements land. That one rule is what lets
+    * the re-freeze rewrite ONLY the outgrown skew tail: cold cells'
+    * part-files are never touched, their rows stay visible as written.
+    * Cells that become hot only after later appends stay un-split until
+    * a [[refreezeBandedIndexSplit]] (incremental, audit-driven) or a
+    * re-ensure under a new tag (full re-freeze) — the drift audit
+    * ([[bandedSplitLayoutDrift]]) is the signal for either.
     */
   def writeBandedIndexSplit(corpus: DataFrame, tablePrefix: String,
                             textCol: String = "text", idCol: String = "doc_id",
@@ -512,9 +524,11 @@ object DedupOps {
       s"${tablePrefix}_sets", Seq("id"), buckets)
     Bucketing.writeBucketed(
       counted.filter(col("bn2") <= maxBucket)
-        .select(col("band_idx"), col("band_sig"), col("sub"), col("id")),
+        .select(col("band_idx"), col("band_sig"), col("sub"), col("id"),
+          lit(1L).as("lver")),
       s"${tablePrefix}_bands", Seq("band_idx", "band_sig"), buckets)
-    Bucketing.saveTable(splitCells, s"${tablePrefix}_split")
+    Bucketing.saveTable(splitCells.withColumn("fver", lit(1L)),
+      s"${tablePrefix}_split")
     Bucketing.saveTable(
       counted.filter(col("bn2") > maxBucket)
         .select(col("band_idx"), col("band_sig"), col("sub")).distinct(),
@@ -523,9 +537,9 @@ object DedupOps {
     Bucketing.saveTable(Seq.empty[Long].toDF("id"), s"${tablePrefix}_deleted")
     Bucketing.saveTable(
       Seq((k, bands, shingleK, maxBucket, buckets, corpusTag,
-          splitOccupancy, bandedSplitIndexFormatVersion))
+          splitOccupancy, 1L, bandedSplitIndexFormatVersion))
         .toDF("k", "bands", "shingle_k", "max_bucket", "buckets",
-          "corpus_tag", "split_occupancy", "fmt"),
+          "corpus_tag", "split_occupancy", "layout_ver", "fmt"),
       s"${tablePrefix}_meta")
   }
 
@@ -533,10 +547,33 @@ object DedupOps {
   val bandedSplitIndexTables: Seq[String] =
     Seq("bands", "sets", "split", "dropped", "deleted", "meta")
 
-  /** v4 = the split layout ([[writeBandedIndexSplit]]): `sub` key in
-    * `_bands`, frozen `_split` cells, sub-keyed `_dropped`.
+  /** v5 = the split layout ([[writeBandedIndexSplit]]) with LAYOUT
+    * VERSIONS: `sub` + `lver` keys in `_bands`, frozen `_split` cells
+    * stamped with their freeze version `fver`, sub-keyed `_dropped`,
+    * `layout_ver` in meta — the machinery that makes
+    * [[refreezeBandedIndexSplit]] an incremental skew-tail rewrite
+    * instead of a corpus-sized re-ensure. (v4 was the same layout
+    * without versions; its only re-freeze remedy was the full rebuild.)
     */
-  val bandedSplitIndexFormatVersion: Int = 4
+  val bandedSplitIndexFormatVersion: Int = 5
+
+  /** The SERVING view of a split index's `_bands`: a row is live iff its
+    * cell is un-frozen or the row was written at (or after) the cell's
+    * freeze version — the one rule that lets [[refreezeBandedIndexSplit]]
+    * hide a newly-frozen cell's stale sub = 0 rows without rewriting any
+    * committed part-file. The `_split` side is skew-tail-sized and
+    * broadcasts; the corpus side keeps its (band_idx, band_sig)
+    * bucketing through the broadcast join.
+    */
+  private[graft] def liveSplitBands(spark: org.apache.spark.sql.SparkSession,
+                                    tablePrefix: String): DataFrame = {
+    val split = graft.sources.Bucketing
+      .freshTable(spark, s"${tablePrefix}_split")
+    graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_bands")
+      .join(broadcast(split), Seq("band_idx", "band_sig"), "left")
+      .filter(col("fver").isNull || col("lver") >= col("fver"))
+      .select(col("band_idx"), col("band_sig"), col("sub"), col("id"))
+  }
 
   /** [[ensureBandedIndex]] for the split layout: rebuild only when the
     * tables, the meta row (tag + every build parameter incl.
@@ -557,6 +594,7 @@ object DedupOps {
         val m = graft.sources.Bucketing
           .freshTable(spark, s"${tablePrefix}_meta").head()
         m.schema.fieldNames.contains("split_occupancy") &&
+          m.schema.fieldNames.contains("layout_ver") &&
           m.getAs[Int]("fmt") == bandedSplitIndexFormatVersion &&
           m.getAs[String]("corpus_tag") == corpusTag &&
           m.getAs[Int]("k") == k && m.getAs[Int]("bands") == bands &&
@@ -597,8 +635,8 @@ object DedupOps {
         meta.getAs[Int]("shingle_k"))
     val splitCells = graft.sources.Bucketing
       .freshTable(spark, s"${tablePrefix}_split")
-    val bandC = graft.sources.Bucketing
-      .freshTable(spark, s"${tablePrefix}_bands")
+      .select(col("band_idx"), col("band_sig"))
+    val bandC = liveSplitBands(spark, tablePrefix)
     val setsC = graft.sources.Bucketing
       .freshTable(spark, s"${tablePrefix}_sets")
     val setsB = shingleHashSets(batch, textCol, idCol, shingleK, scope)
@@ -664,13 +702,20 @@ object DedupOps {
       .join(Bucketing.freshTable(spark, s"${tablePrefix}_sets")
           .select(col("id")),
         Seq("id"), "left_anti")
-    val splitCells = Bucketing.freshTable(spark, s"${tablePrefix}_split")
+    val splitT = Bucketing.freshTable(spark, s"${tablePrefix}_split")
+    val splitCells = splitT.select(col("band_idx"), col("band_sig"))
+    // the layout version the batch bands AT: meta's stamp, or the newest
+    // freeze version if a crashed refreeze restamped `_split` but died
+    // before its meta commit — stamping the max keeps these rows visible
+    // under the heal's completed layout instead of dying with lver < fver
+    val lver = math.max(meta.getAs[Long]("layout_ver"),
+      splitT.agg(coalesce(max(col("fver")), lit(1L))).head().getLong(0))
     val keyed = bandSplitFrozenMinhash(sets, splitCells, k, bands)
       .join(Bucketing.freshTable(spark, s"${tablePrefix}_dropped"),
         Seq("band_idx", "band_sig", "sub"), "left_anti")
     val touched = keyed
       .select(col("band_idx"), col("band_sig"), col("sub")).distinct()
-    val existing = Bucketing.freshTable(spark, s"${tablePrefix}_bands")
+    val existing = liveSplitBands(spark, tablePrefix)
       .join(broadcast(touched), Seq("band_idx", "band_sig", "sub"),
         "left_semi")
       .groupBy(col("band_idx"), col("band_sig"), col("sub"))
@@ -682,7 +727,8 @@ object DedupOps {
       .join(existing, Seq("band_idx", "band_sig", "sub"), "left")
       .na.fill(0L, Seq("bn0"))
       .filter(col("rn") + col("bn0") <= maxBucket)
-      .select(col("band_idx"), col("band_sig"), col("sub"), col("id"))
+      .select(col("band_idx"), col("band_sig"), col("sub"), col("id"),
+        lit(lver).as("lver"))
     // materialize before any insert: the plan reads _bands, which the
     // second insert mutates (localCheckpoint is eager — the returned
     // frame serves from checkpoint blocks, never the mutated table)
@@ -696,9 +742,9 @@ object DedupOps {
       import spark.implicits._
       Bucketing.saveTable(
         Seq((k, bands, shingleK, maxBucket, buckets, newCorpusTag, so,
-            bandedSplitIndexFormatVersion))
+            lver, bandedSplitIndexFormatVersion))
           .toDF("k", "bands", "shingle_k", "max_bucket", "buckets",
-            "corpus_tag", "split_occupancy", "fmt"),
+            "corpus_tag", "split_occupancy", "layout_ver", "fmt"),
         s"${tablePrefix}_meta")
     }
   }
@@ -739,7 +785,7 @@ object DedupOps {
       .getAs[Long]("split_occupancy")
     val frozen = Bucketing.freshTable(spark, s"${tablePrefix}_split")
       .select(col("band_idx"), col("band_sig"), lit(true).as("frozen"))
-    val subOcc = Bucketing.freshTable(spark, s"${tablePrefix}_bands")
+    val subOcc = liveSplitBands(spark, tablePrefix)
       .groupBy(col("band_idx"), col("band_sig"), col("sub"))
       .agg(count(lit(1)).as("occ"))
       .join(broadcast(frozen), Seq("band_idx", "band_sig"), "left")
@@ -767,6 +813,134 @@ object DedupOps {
       .select(col("band_idx"), col("n_cells"), col("n_rows"),
         col("n_frozen"), col("n_outgrown"), col("max_outgrown"),
         col("n_saturated"))
+  }
+
+  /** INCREMENTAL RE-FREEZE of the split banded index — the remedy the
+    * drift audit ([[bandedSplitLayoutDrift]]) was missing: split EXACTLY
+    * the cells the audit flags as outgrown (un-frozen cells whose live
+    * occupancy exceeds `split_occupancy`), rewriting only the skew
+    * tail's rows, where the previous remedy was a corpus-sized re-ensure
+    * — the precise rewrite the append-only lifecycle exists to avoid.
+    *
+    * Mechanics (the layout-version rule of [[liveSplitBands]]): outgrown
+    * cells join `_split` at freeze version `layout_ver + 1`, their
+    * members re-key by the per-band extension minhash (the
+    * [[bandSplitFrozenMinhash]] hot path — identical sub keys to what a
+    * build at this corpus would derive) and INSERT as new rows stamped
+    * `lver = fver`; the cells' stale sub = 0 rows hide under
+    * `lver < fver` without any part-file rewrite, so COLD cells' files
+    * are untouched (BucketingSpec fingerprints them). Re-keyed sub-cells
+    * past `maxBucket` drop whole and close via `_dropped`, the build's
+    * cap rule. After a refreeze the audit's `sum(n_outgrown)` returns to
+    * 0 by construction — every flagged cell is now frozen — while
+    * `n_saturated` keeps reporting the one-extension residue honestly.
+    *
+    * CRASH contract: `_split` restamps first, then `_dropped`, then the
+    * `_bands` insert, then the meta `layout_ver` commit. Between the
+    * `_split` restamp and the insert the refrozen cells serve NO rows
+    * (bounded recall dip on exactly the skew tail; every other cell
+    * serves normally) — a retry heals deterministically: pending cells
+    * (`fver > layout_ver`) re-derive the same re-keyed rows, cells whose
+    * rows already landed are detected by `lver >= fver` and skipped, and
+    * the meta restamp completes the commit. Appends during the window
+    * stamp `lver = max(layout_ver, max fver)` so they serve under the
+    * healed layout.
+    *
+    * Scale shape: one aggregation over the live band view (grouping keys
+    * a superset of the table's bucketing — corpus side exchange-free), a
+    * broadcast join against the skew-tail-sized cell set, extension
+    * minhashes for OUTGROWN-CELL MEMBERS ONLY (id-keyed join against the
+    * id-bucketed `_sets`), and inserts sized by the skew tail. Nothing
+    * corpus-sized is written.
+    */
+  def refreezeBandedIndexSplit(spark: org.apache.spark.sql.SparkSession,
+                               tablePrefix: String): Unit = {
+    import graft.sources.Bucketing
+    val meta = Bucketing.freshTable(spark, s"${tablePrefix}_meta").head()
+    val (k, bands, maxBucket, so, l) =
+      (meta.getAs[Int]("k"), meta.getAs[Int]("bands"),
+        meta.getAs[Int]("max_bucket"), meta.getAs[Long]("split_occupancy"),
+        meta.getAs[Long]("layout_ver"))
+    val splitT = Bucketing.freshTable(spark, s"${tablePrefix}_split")
+      .localCheckpoint(true)
+    // a crashed refreeze's cells: frozen past the committed layout —
+    // their re-key may or may not have landed; this pass completes it
+    val pending = splitT.filter(col("fver") > l)
+      .select(col("band_idx"), col("band_sig"), col("fver"))
+    // the audit's outgrown set: un-frozen cells over the threshold, from
+    // the LIVE view (computed before any write below)
+    val fver = math.max(l + 1L,
+      pending.agg(coalesce(max(col("fver")), lit(0L))).head().getLong(0))
+    val outgrown = liveSplitBands(spark, tablePrefix)
+      .join(broadcast(splitT.select(col("band_idx"), col("band_sig"))),
+        Seq("band_idx", "band_sig"), "left_anti")
+      .groupBy(col("band_idx"), col("band_sig"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > so)
+      .select(col("band_idx"), col("band_sig"), lit(fver).as("fver"))
+      .localCheckpoint(true)
+    val targets = outgrown.unionByName(pending).localCheckpoint(true)
+    if (targets.isEmpty) return
+    // 1. FREEZE: the new cells join the layout (skew-tail-sized rewrite)
+    if (!outgrown.isEmpty)
+      Bucketing.saveTable(splitT.unionByName(outgrown),
+        s"${tablePrefix}_split")
+    // 2. RE-KEY the target cells' pre-freeze rows — minus cells whose
+    // re-keyed rows already landed (a crash between insert and commit):
+    // the re-key is deterministic, so presence at lver >= fver == done
+    val bandsRaw = Bucketing.freshTable(spark, s"${tablePrefix}_bands")
+    val done = bandsRaw
+      .join(broadcast(targets), Seq("band_idx", "band_sig"))
+      .filter(col("lver") >= col("fver"))
+      .select(col("band_idx"), col("band_sig")).distinct()
+    val todo = targets.join(broadcast(done), Seq("band_idx", "band_sig"),
+        "left_anti")
+      .localCheckpoint(true)
+    if (!todo.isEmpty) {
+      val members = bandsRaw
+        .join(broadcast(todo), Seq("band_idx", "band_sig"))
+        .filter(col("lver") < col("fver"))
+        .select(col("band_idx"), col("band_sig"), col("id"), col("fver"))
+      import org.apache.spark.sql.graft.bridge
+      val extArr = bridge.column(graft.functions.MinHashBands(
+        bridge.expression(col("hs")), k + bands, k + bands))
+      val exts = members.select(col("id")).distinct()
+        .join(Bucketing.freshTable(spark, s"${tablePrefix}_sets")
+            .select(col("id"), col("hs")),
+          Seq("id"))
+        .select(col("id"), extArr.as("exts"))
+      val rekeyed = members.join(exts, Seq("id"))
+        .select(col("band_idx"), col("band_sig"),
+          element_at(col("exts"), col("band_idx") + lit(k + 1)).as("sub"),
+          col("id"), col("fver"))
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band_idx"), col("band_sig"), col("sub"))
+      val counted = rekeyed.withColumn("bn2", count(lit(1)).over(w2))
+      val dropNew = counted.filter(col("bn2") > maxBucket)
+        .select(col("band_idx"), col("band_sig"), col("sub")).distinct()
+        .localCheckpoint(true)
+      val keepNew = counted.filter(col("bn2") <= maxBucket)
+        .select(col("band_idx"), col("band_sig"), col("sub"), col("id"),
+          col("fver").as("lver"))
+        .localCheckpoint(true)
+      if (!dropNew.isEmpty)
+        Bucketing.saveTable(
+          Bucketing.freshTable(spark, s"${tablePrefix}_dropped")
+            .unionByName(dropNew).distinct().localCheckpoint(true),
+          s"${tablePrefix}_dropped")
+      keepNew.write.insertInto(s"${tablePrefix}_bands")
+    }
+    // 3. COMMIT: the layout version moves; tag and every build parameter
+    // survive (a refreeze never changes corpus membership, so ensure's
+    // up-to-date check must keep passing)
+    import spark.implicits._
+    Bucketing.saveTable(
+      Seq((k, bands, meta.getAs[Int]("shingle_k"), maxBucket,
+          meta.getAs[Int]("buckets"), meta.getAs[String]("corpus_tag"),
+          so, fver, bandedSplitIndexFormatVersion))
+        .toDF("k", "bands", "shingle_k", "max_bucket", "buckets",
+          "corpus_tag", "split_occupancy", "layout_ver", "fmt"),
+      s"${tablePrefix}_meta")
   }
 
   /** Theoretical LSH collision probability 1-(1-J^r)^b at the threshold,

@@ -282,6 +282,52 @@ class BucketingSpec extends SparkTestBase {
         graft.sources.Bucketing.dropTableAndLocation(spark, t))
   }
 
+  test("refreezeBandedIndexSplit: cold part-files untouched — the skew tail appends, nothing corpus-sized rewrites") {
+    import graft.ops.DedupOps
+    val docs = Tables(spark, SparkTestBase.sf001, "documents")
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val prefix = "t_refreeze_io"
+    // name + size + mtime per part-file: byte-identity for files that
+    // were never rewritten (an in-place rewrite moves size or mtime)
+    def fileStats(table: String): Set[(String, Long, Long)] = {
+      import org.apache.spark.sql.graft.bridge
+      val loc = new org.apache.hadoop.fs.Path(
+        bridge.defaultTablePath(spark, table))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc)
+        .filter(_.getPath.getName.startsWith("part-"))
+        .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+        .toSet
+    }
+    try {
+      DedupOps.ensureBandedIndexSplit(base, prefix, corpusTag = "b",
+        splitOccupancy = 2, buckets = 4)
+      DedupOps.appendToBandedIndexSplit(batch, prefix, newCorpusTag = "bb")
+      assert(DedupOps.bandedSplitLayoutDrift(spark, prefix)
+          .agg(sum(col("n_outgrown"))).head().getLong(0) > 0,
+        "fixture must drift before the refreeze")
+      val b0 = fileStats(s"${prefix}_bands")
+      val s0 = fileStats(s"${prefix}_sets")
+      DedupOps.refreezeBandedIndexSplit(spark, prefix)
+      val b1 = fileStats(s"${prefix}_bands")
+      assert(b0.subsetOf(b1),
+        "refreeze must never rewrite committed band part-files — the " +
+          "re-keyed skew tail lands as NEW files and the stale rows " +
+          "hide under the layout-version rule")
+      assert(b1 !== b0, "the re-keyed rows must land as new part-files")
+      assert(fileStats(s"${prefix}_sets") === s0,
+        "_sets is not the refreeze's business")
+      // a drift-free refreeze writes NOTHING (file-level no-op)
+      val b2 = fileStats(s"${prefix}_bands")
+      DedupOps.refreezeBandedIndexSplit(spark, prefix)
+      assert(fileStats(s"${prefix}_bands") === b2,
+        "an idempotent refreeze re-run must not touch the table")
+    } finally spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(prefix)).foreach(t =>
+        graft.sources.Bucketing.dropTableAndLocation(spark, t))
+  }
+
   test("freshTable: a replace by ANOTHER session is observed; the raw read is the stale-listing class it guards") {
     // the X220 regression locked as a spec: spark.newSession() gives two
     // SessionCatalogs in one JVM — session A resolves (and caches the

@@ -4582,6 +4582,101 @@ class OpsSpec extends SparkTestBase {
     scope.release()
   }
 
+  test("refreezeBandedIndexSplit: audit-flagged cells split in place, probe serves the re-frozen layout, idempotent") {
+    val docs = Tables(spark, SparkTestBase.sf001, "documents")
+    val scope = CacheScope()
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val probeDocs = docs.filter(col("doc_id") % 7 === 0)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def outgrownSum() = DedupOps.bandedSplitLayoutDrift(spark, "t_refreeze")
+      .agg(sum(col("n_outgrown"))).head().getLong(0)
+    DedupOps.ensureBandedIndexSplit(base, "t_refreeze", corpusTag = "b",
+      splitOccupancy = 2, scope = scope)
+    DedupOps.appendToBandedIndexSplit(batch, "t_refreeze",
+      newCorpusTag = "bb", scope = scope)
+    assert(outgrownSum() > 0, "fixture must drift before the refreeze")
+    val before = asMap(DedupOps.probeBandedIndexSplit(probeDocs,
+      "t_refreeze", scope = scope))
+    DedupOps.refreezeBandedIndexSplit(spark, "t_refreeze")
+    // the audit's claim: every flagged cell is now frozen
+    assert(outgrownSum() === 0L, "refreeze must close the drift")
+    // splitting only removes candidates, never invents them
+    val after = asMap(DedupOps.probeBandedIndexSplit(probeDocs,
+      "t_refreeze", scope = scope))
+    assert(after.keySet === before.keySet)
+    after.foreach { case (id, n) => assert(n <= before(id),
+      s"refreeze may only remove matches (doc $id)") }
+    // the served layout IS the `_split` table's: probe == direct
+    // recompute with bandSplitFrozenMinhash at the post-refreeze cells
+    val cells = graft.sources.Bucketing.freshTable(spark, "t_refreeze_split")
+      .select(col("band_idx"), col("band_sig")).localCheckpoint(true)
+    val corpus = base.unionByName(batch)
+    val setsAll = DedupOps.shingleHashSets(corpus, scope = scope)
+    val setsP = DedupOps.shingleHashSets(probeDocs, scope = scope)
+    val bandsAll = DedupOps.bandSplitFrozenMinhash(setsAll, cells, 32, 16)
+    val bandsP = DedupOps.bandSplitFrozenMinhash(setsP, cells, 32, 16)
+    val cand = bandsP.select(col("band_idx"), col("band_sig"), col("sub"),
+        col("id").as("a"))
+      .join(bandsAll.select(col("band_idx"), col("band_sig"), col("sub"),
+          col("id").as("b")),
+        Seq("band_idx", "band_sig", "sub"))
+      .select(col("a"), col("b")).distinct()
+    val sa = setsP.select(col("id").as("a"), col("hs").as("hsa"),
+      col("sz").as("sza"))
+    val sb = setsAll.select(col("id").as("b"), col("hs").as("hsb"),
+      col("sz").as("szb"))
+    val expected = probeDocs.select(col("doc_id"))
+      .join(cand.join(sa, Seq("a")).join(sb, Seq("b"))
+        .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))))
+        .filter(col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")) >= 0.8)
+        .groupBy(col("a")).agg(count(lit(1)).as("n_matches"))
+        .withColumnRenamed("a", "doc_id"), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_matches"))
+    assert(after === asMap(expected.select(col("doc_id"), col("n_matches"))),
+      "probe == direct recompute at the re-frozen layout")
+    // idempotent: nothing left to freeze, nothing written
+    val rows = spark.table("t_refreeze_bands").count()
+    val lv = graft.sources.Bucketing.freshTable(spark, "t_refreeze_meta")
+      .head().getAs[Long]("layout_ver")
+    DedupOps.refreezeBandedIndexSplit(spark, "t_refreeze")
+    assert(spark.table("t_refreeze_bands").count() === rows &&
+      graft.sources.Bucketing.freshTable(spark, "t_refreeze_meta")
+        .head().getAs[Long]("layout_ver") === lv,
+      "a drift-free refreeze is a structural no-op")
+    // a LATER append bands at the healed layout and the equivalence holds
+    val more = Seq((2000001L, "wholly new appended document text"),
+        (2000002L, "wholly new appended document text"))
+      .toDF("doc_id", "text")
+    DedupOps.appendToBandedIndexSplit(more, "t_refreeze", scope = scope)
+    val corpus2 = corpus.select(col("doc_id"), col("text")).unionByName(more)
+    val setsAll2 = DedupOps.shingleHashSets(corpus2, scope = scope)
+    val bandsAll2 = DedupOps.bandSplitFrozenMinhash(setsAll2, cells, 32, 16)
+    val cand2 = bandsP.select(col("band_idx"), col("band_sig"), col("sub"),
+        col("id").as("a"))
+      .join(bandsAll2.select(col("band_idx"), col("band_sig"), col("sub"),
+          col("id").as("b")),
+        Seq("band_idx", "band_sig", "sub"))
+      .select(col("a"), col("b")).distinct()
+    val sb2 = setsAll2.select(col("id").as("b"), col("hs").as("hsb"),
+      col("sz").as("szb"))
+    val expected2 = probeDocs.select(col("doc_id"))
+      .join(cand2.join(sa, Seq("a")).join(sb2, Seq("b"))
+        .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))))
+        .filter(col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")) >= 0.8)
+        .groupBy(col("a")).agg(count(lit(1)).as("n_matches"))
+        .withColumnRenamed("a", "doc_id"), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_matches"))
+    assert(asMap(DedupOps.probeBandedIndexSplit(probeDocs, "t_refreeze",
+        scope = scope)) ===
+      asMap(expected2.select(col("doc_id"), col("n_matches"))),
+      "appends after a refreeze band at the healed layout")
+    scope.release()
+  }
+
   test("srpNearDupPairsSharded: 64-bit id spans shard by overflow-safe width division") {
     val emb = Tables(spark, SparkTestBase.sf001, "embeddings")
     def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
