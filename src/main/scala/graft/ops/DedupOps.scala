@@ -1221,14 +1221,19 @@ object DedupOps {
       .join(graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_sets")
           .select(col("id")),
         Seq("id"), "left_anti")
-    val capped = scope.register(
-      plannedBandedAppend(sets, tablePrefix, k, bands, maxBucket))
-    // materialize the capped rows BEFORE any insert: their plan reads
-    // _bands, which the second insert mutates
-    capped.count()
+    // materialize BEFORE any insert, as an EAGER LOCAL CHECKPOINT (the
+    // split path's rule), never a CacheManager entry: the plan reads
+    // _bands (mutated by the second insert) AND — via the replay guard —
+    // _sets (mutated by the FIRST insert, whose commit re-caches every
+    // CacheManager entry referencing the table; a cache+count here was
+    // recomputed against the post-insert _sets and emptied by its own
+    // anti-join, silently dropping the whole batch's band rows).
+    // Checkpoint blocks are invisible to table re-caching.
+    val cappedM = plannedBandedAppend(sets, tablePrefix, k, bands, maxBucket)
+      .localCheckpoint(true)
     sets.select(col("id"), col("hs"), col("sz"))
       .write.insertInto(s"${tablePrefix}_sets")
-    capped.write.insertInto(s"${tablePrefix}_bands")
+    cappedM.write.insertInto(s"${tablePrefix}_bands")
     if (newCorpusTag.nonEmpty) {
       val buckets = meta.getAs[Int]("buckets")
       import spark.implicits._
