@@ -1602,9 +1602,15 @@ object SparkEntry {
     // exist to fix, and q188 is their sample-sized face at large sf.
     // Every production consumer (q64/q88/q184/q189–q198) rides the
     // auto-sized/bounded tier.
+    // the four fixed-ε consumers (q178/q179/q180/q182) all read the SAME
+    // (corpus, 0.2, 8-plane) verified pair list — register it so one
+    // banding + cosine-verify pass serves the whole block (the
+    // q190/q192/q196 convention; registration keys on the canonicalized
+    // plan, so the four call sites share one cache entry)
     "q178_neardup_triangles" -> ((s, d) =>
       GraphOps.triangleStats(
-        SimilarityOps.srpNearDupPairs(t(s, d, "embeddings"), 0.2)
+        ops.CacheScope.default.register(
+            SimilarityOps.srpNearDupPairs(t(s, d, "embeddings"), 0.2))
           .select(col("a"), col("b")))),
 
     // Per-CLUSTER census of the same graph — the audit table read BEFORE
@@ -1614,7 +1620,8 @@ object SparkEntry {
     // closure glued — split it, don't collapse it
     "q179_cluster_census" -> ((s, d) =>
       GraphOps.clusterCensus(
-        SimilarityOps.srpNearDupPairs(t(s, d, "embeddings"), 0.2)
+        ops.CacheScope.default.register(
+            SimilarityOps.srpNearDupPairs(t(s, d, "embeddings"), 0.2))
           .select(col("a"), col("b")))
         .orderBy(col("n_vertices").desc, col("comp"))),
 
@@ -1634,7 +1641,8 @@ object SparkEntry {
     // a non-truss — the CC maxIter contract)
     "q180_ktruss_edges" -> ((s, d) =>
       GraphOps.trussEdges(
-        SimilarityOps.srpNearDupPairs(t(s, d, "embeddings"), 0.2)
+        ops.CacheScope.default.register(
+            SimilarityOps.srpNearDupPairs(t(s, d, "embeddings"), 0.2))
           .select(col("a"), col("b")), k = 3, rounds = 4)
         .orderBy(col("a"), col("b"))),
 
@@ -1652,7 +1660,8 @@ object SparkEntry {
     // uncorroborated bridge pair
     "q182_truss_dedup_effect" -> ((s, d) =>
       GraphOps.trussDedupEffect(
-        SimilarityOps.srpNearDupPairs(t(s, d, "embeddings"), 0.2)
+        ops.CacheScope.default.register(
+            SimilarityOps.srpNearDupPairs(t(s, d, "embeddings"), 0.2))
           .select(col("a"), col("b")), k = 3, rounds = 4)
         .orderBy(col("scheme"))),
 

@@ -985,14 +985,52 @@ object DedupOps {
     val nExact = jaccardPairsPrefix(df, textCol, idCol, minJaccard, shingleK,
         scope = scope)
       .agg(count(lit(1)).as("n_exact"))
-    val perConfig = configs.map { case (k, bands) =>
-      minHashVerifiedPairs(df, textCol, idCol, minJaccard, k, bands,
-          shingleK, maxBucket, scope)
-        .agg(count(lit(1)).as("n_found"))
-        .select(lit(k).as("k"), lit(bands).as("bands"), col("n_found"),
-          lit(theoRecallMicro(minJaccard, k / bands, bands))
-            .as("theo_recall_micro"))
-    }.reduce(_ unionByName _)
+    // ONE banding + verify pass per distinct r, not one per config:
+    // [[graft.ops.DetHash.minHashPerms]] draws from one seeded stream, so
+    // band j of every same-r config uses the identical permutation chunk
+    // [j·r, (j+1)·r) — candidate buckets (and the maxBucket cap, which
+    // sees the same bucket contents per band) NEST across the sweep.
+    // Banding once at the group's largest band count and tracking each
+    // verified pair's MINIMUM colliding band index makes every config's
+    // count a threshold filter: n_found(k, b) = |{verified pairs with
+    // min_band < b}| — provably equal to that config's own
+    // minHashVerifiedPairs count, and the DuckDB oracle still replays
+    // each config's banding independently as the cross-check.
+    val hashed = shingleHashSets(df, textCol, idCol, shingleK, scope)
+    val perConfig = configs.groupBy { case (k, bands) => k / bands }.toSeq
+      .sortBy(_._1).map { case (r, grp) =>
+        val maxBands = grp.map(_._2).max
+        val banded = bandedSigsNative(hashed, r * maxBands, maxBands)
+        val buckets = banded
+          .groupBy(col("band_idx"), col("band_sig"))
+          .agg(sort_array(collect_list(col("id"))).as("ids"))
+          .filter(size(col("ids")).between(2, maxBucket))
+        val cand = buckets.select(col("band_idx"), explode(flatten(
+            transform(col("ids"), (a, i) =>
+              transform(slice(col("ids"), i + 2, size(col("ids"))),
+                b => struct(a.as("a"), b.as("b")))))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(min(col("band_idx")).as("mb"))
+        val sa = hashed.select(col("id").as("a"), col("hs").as("hsa"),
+          col("sz").as("sza"))
+        val sb = hashed.select(col("id").as("b"), col("hs").as("hsb"),
+          col("sz").as("szb"))
+        // verified once per r-group; registered — each config's count is
+        // a trivial filter over this cached pair list
+        val verified = scope.register(cand
+          .join(sa, Seq("a")).join(sb, Seq("b"))
+          .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))))
+          .filter(col("inter").cast("double") /
+            (col("sza") + col("szb") - col("inter")) >= lit(minJaccard))
+          .select(col("a"), col("b"), col("mb")))
+        grp.map { case (k, bands) =>
+          verified.filter(col("mb") < lit(bands))
+            .agg(count(lit(1)).as("n_found"))
+            .select(lit(k).as("k"), lit(bands).as("bands"), col("n_found"),
+              lit(theoRecallMicro(minJaccard, k / bands, bands))
+                .as("theo_recall_micro"))
+        }.reduce(_ unionByName _)
+      }.reduce(_ unionByName _)
     perConfig.crossJoin(nExact).select(
       col("k"), col("bands"), col("n_exact"), col("n_found"),
       (col("n_exact") - col("n_found")).as("n_missed"),

@@ -101,6 +101,18 @@ object GraphOps {
       val out = df.localCheckpoint()
       (out, sc.getPersistentRDDs.keySet.toSet -- before)
     }
+    // LAZY variant for round intermediates that are immediately consumed by
+    // the round's own convergence action: persist registration is still
+    // eager (the id diff works), but materialization rides the action's
+    // job — one job per round instead of checkpoint-job + action-job. The
+    // caller must run an action on the frame BEFORE freeing its
+    // predecessor (materializing after the predecessor is gone would
+    // recompute through a truncated lineage).
+    def checkpointLazy(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint(eager = false)
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
     def free(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     // normalized undirected edge list: (hi, lo) with hi > lo throughout —
@@ -135,7 +147,10 @@ object GraphOps {
         .join(merged.select(col("x").as("comp"), col("comp").as("comp2")),
           Seq("comp"), "left")
         .select(col("x"), coalesce(col("comp2"), col("comp")).as("comp"))
-      val (next, nextIds) = checkpointTracked(jumped)
+      // lazy checkpoint: the Σcomp action below materializes `next` (one
+      // job per round, not checkpoint + agg); the superseded round is
+      // freed only after that action returns
+      val (next, nextIds) = checkpointLazy(jumped)
       // labels are monotone non-increasing, so Σcomp unchanged ⇔ fixpoint;
       // decimal accumulation — a sum of n ids can overflow a long at scale
       val row = next.agg(sum(col("comp").cast("decimal(38,0)"))).head()
@@ -155,7 +170,8 @@ object GraphOps {
       labels.select(col("x").as(idCol), col("comp"))
     } else {
       // ---- phase 2: star rounds on the label-contracted quotient graph ----
-      var (l, lIds) = checkpointTracked(
+      // lazy: the fingerprint below materializes the quotient in its job
+      var (l, lIds) = checkpointLazy(
         e0.join(labels.select(col("x").as("hi"), col("comp").as("ch")), Seq("hi"))
           .join(labels.select(col("x").as("lo"), col("comp").as("cl")), Seq("lo"))
           .select(greatest(col("ch"), col("cl")).as("hi"),
@@ -194,14 +210,18 @@ object GraphOps {
             col("m").as("lo"))
           .distinct()
       }
-      var (cnt, chk) = fingerprint(l)
+      var (cnt, chk) = fingerprint(l) // materializes the lazy quotient
       var it = 0
       var done = false
       while (!done && it < maxIter && cnt > 0) {
-        val (ls, lsIds) = checkpointTracked(largeStar(l))
-        val (ss, ssIds) = checkpointTracked(smallStar(ls))
-        free(lsIds) // intermediate, superseded by ss (already materialized)
+        // both lazy: the round's fingerprint materializes ls and ss in ONE
+        // job (ls's shuffle output is shared by smallStar's two readers);
+        // ls is freed only after that job, so nothing recomputes through
+        // a truncated lineage
+        val (ls, lsIds) = checkpointLazy(largeStar(l))
+        val (ss, ssIds) = checkpointLazy(smallStar(ls))
         val (c2, k2) = fingerprint(ss)
+        free(lsIds) // intermediate, superseded by ss (now materialized)
         // fingerprint equality gates the exact check; `except` confirms the
         // true fixpoint (runs on two checkpointed frames, and only in the
         // rare rounds the fingerprints collide or the loop is converging)
@@ -478,17 +498,20 @@ object GraphOps {
     val (e, eIds) = checkpointTracked(
       edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst")))
+    // out-degree DENORMALIZED onto the edge list ONCE: each round then
+    // pays a single src-keyed join (ranks) instead of two — the per-round
+    // arithmetic is unchanged, so ranks are bit-identical
     val (deg, degIds) = checkpointTracked(
       e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val (ed, edIds) = checkpointTracked(e.join(deg, Seq("src")))
     val n = v.count()
     val init = scale / math.max(n, 1L)
     val base = 15L * init / 100L
     var (ranks, rankIds) = checkpointTracked(
       v.select(col("x"), lit(init).as("rank")))
     (0 until iterations).foreach { _ =>
-      val contribs = e
+      val contribs = ed
         .join(ranks.select(col("x").as("src"), col("rank")), Seq("src"))
-        .join(deg, Seq("src"))
         .select(col("dst").as("x"),
           expr("(85 * (rank div deg)) div 100").as("c"))
         .groupBy(col("x")).agg(sum(col("c")).as("inflow"))
@@ -502,6 +525,7 @@ object GraphOps {
       ranks = next
       rankIds = nextIds
     }
+    free(edIds)
     free(degIds)
     free(eIds)
     free(vIds)
@@ -631,20 +655,23 @@ object GraphOps {
   def trussEdges(pairs: DataFrame, k: Int = 3, rounds: Int = 4): DataFrame = {
     require(k >= 3, "k-truss needs k >= 3")
     val sc = pairs.sparkSession.sparkContext
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    def checkpointLazy(df: DataFrame): (DataFrame, Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint()
+      val out = df.localCheckpoint(eager = false)
       (out, sc.getPersistentRDDs.keySet.toSet -- before)
     }
     def free(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id)
         .foreach(_.unpersist(blocking = false)))
-    var (cur, curIds) = checkpointTracked(normalized(pairs))
+    // lazy checkpoints throughout: each round's count() materializes its
+    // frame in the same job (one job per round, not checkpoint + count);
+    // the superseded round is freed only after that count returns
+    var (cur, curIds) = checkpointLazy(normalized(pairs))
     var prevCount = cur.count()
     var r = 0
     var converged = false
     while (r < rounds && !converged) {
-      val (next, nextIds) = checkpointTracked(
+      val (next, nextIds) = checkpointLazy(
         edgeSupport(cur).filter(col("support") >= k - 2)
           .select(col("a"), col("b")))
       // edge counts are monotone decreasing under peeling; an UNCHANGED

@@ -640,14 +640,24 @@ object RelationalOps {
     * shuffle); production keeps only the registers.
     */
   def hllCardinalityAudit(df: DataFrame, keyCol: Column, grpCol: Column,
-                          p: Int = 8): DataFrame = {
-    val keyed = df.select(grpCol.cast("string").as("grp"), keyCol.as("key"))
-    val regs = hllRegisters(keyed, col("key"), col("grp"), p)
+                          p: Int = 8,
+                          scope: CacheScope = CacheScope.default): DataFrame = {
+    // ONE corpus pass feeds everything: the DISTINCT (grp, key) pairs are
+    // registered, and the sketch (max-per-register is duplicate-
+    // insensitive), the per-group exact leg (count of pairs = distinct
+    // keys per group) and the global exact leg (distinct keys across
+    // groups) all read that pair-sized cache — the previous form re-ran
+    // the upstream explode once per consumer and paid two full
+    // count_distinct shuffles
+    val pairs = scope.register(
+      df.select(grpCol.cast("string").as("grp"), keyCol.as("key")).distinct())
+    val regs = scope.register(hllRegisters(pairs, col("key"), col("grp"), p))
     val all = regs.unionByName(hllMergeRegisters(regs, "__ALL__"))
     val est = hllEstimate(all, p)
-    val exact = keyed.groupBy(col("grp"))
-      .agg(count_distinct(col("key")).as("exact_distinct"))
-      .unionByName(keyed.agg(count_distinct(col("key")).as("exact_distinct"))
+    val exact = pairs.groupBy(col("grp"))
+      .agg(count(lit(1)).as("exact_distinct"))
+      .unionByName(pairs.select(col("key")).distinct()
+        .agg(count(lit(1)).as("exact_distinct"))
         .select(lit("__ALL__").as("grp"), col("exact_distinct")))
     est.join(exact, est("grp") <=> exact("grp"))
       .select(est("grp"), col("exact_distinct"), col("occupied"),

@@ -65,22 +65,85 @@ object SimilarityOps {
     * scan stays a single narrow pass — at 100 TB this is the exact-rerank
     * baseline you run on a candidate subset, not the full corpus.
     * Deterministic tiebreak on corpus id.
+    *
+    * Kernel shape (the [[ivfTopK]] convention): the queries are collected
+    * and broadcast — the SAME driver-sized build the previous
+    * `crossJoin(broadcast(q))` paid inside its BroadcastExchange — and each
+    * corpus partition scores all queries in one compiled loop with a
+    * k-bounded insertion sort per query, emitting ≤ |queries|·k partial
+    * rows per partition. The expression form materialized all |q|·|c|
+    * scored rows through a per-partition sort (the window's group-limit
+    * needs sorted input), which dominated the self-cross audits (q146/
+    * q160) at sf0.1. Cosines stay bit-identical to [[cosineF]]: floats
+    * widen to double, accumulate left-to-right, one divide by the norm
+    * product; the partial order uses `java.lang.Double.compare` — Spark's
+    * own double total order — so the final rank window sees a true
+    * superset of the global top-k.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int = 64,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import graft.functions.VectorExpressions.dotF
-    // norms once per VECTOR, not per pair — sqrt(dotF(v,v)) here is the
-    // exact expression cosineF would evaluate inline, so values are
-    // bit-identical while the per-pair work drops to one dot + one divide
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      sqrt(dotF(col(vecCol), col(vecCol))).as("qn"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      sqrt(dotF(col(vecCol), col(vecCol))).as("cn"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dotF(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
-    RelationalOps.topKPerGroup(scored, Seq("query_id"),
+    require(k >= 1, "k must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def l2(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    // (cos desc, neighbor id asc) under Spark's double total order
+    def better(c1: Double, id1: Long, c2: Double, id2: Long): Boolean = {
+      val cmp = java.lang.Double.compare(c1, c2)
+      cmp > 0 || (cmp == 0 && id1 < id2)
+    }
+    val qArr = queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect()
+    val qNorm = qArr.map(q => l2(q._2))
+    val bc = spark.sparkContext.broadcast((qArr, qNorm))
+    val partials = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].mapPartitions { rows =>
+        val (qs, qns) = bc.value
+        val nq = qs.length
+        val ids = Array.fill(nq)(new Array[Long](k))
+        val cos = Array.fill(nq)(new Array[Double](k))
+        val szs = new Array[Int](nq)
+        rows.foreach { case (nid, cv) =>
+          val cn = l2(cv)
+          var qi = 0
+          while (qi < nq) {
+            val qv = qs(qi)._2
+            if (qs(qi)._1 != nid) {
+              var dp = 0.0; var j = 0
+              val m = math.min(qv.length, cv.length)
+              while (j < m) { dp += qv(j).toDouble * cv(j).toDouble; j += 1 }
+              val c = dp / (qns(qi) * cn)
+              val idsQ = ids(qi); val cosQ = cos(qi); val sz = szs(qi)
+              if (sz < k) {
+                idsQ(sz) = nid; cosQ(sz) = c
+                var p = sz
+                while (p > 0 && better(cosQ(p), idsQ(p), cosQ(p - 1), idsQ(p - 1))) {
+                  val tc = cosQ(p); cosQ(p) = cosQ(p - 1); cosQ(p - 1) = tc
+                  val ti = idsQ(p); idsQ(p) = idsQ(p - 1); idsQ(p - 1) = ti
+                  p -= 1
+                }
+                szs(qi) = sz + 1
+              } else if (better(c, nid, cosQ(k - 1), idsQ(k - 1))) {
+                idsQ(k - 1) = nid; cosQ(k - 1) = c
+                var p = k - 1
+                while (p > 0 && better(cosQ(p), idsQ(p), cosQ(p - 1), idsQ(p - 1))) {
+                  val tc = cosQ(p); cosQ(p) = cosQ(p - 1); cosQ(p - 1) = tc
+                  val ti = idsQ(p); idsQ(p) = idsQ(p - 1); idsQ(p - 1) = ti
+                  p -= 1
+                }
+              }
+            }
+            qi += 1
+          }
+        }
+        (0 until nq).iterator.flatMap { qi =>
+          (0 until szs(qi)).iterator.map(r => (qs(qi)._1, ids(qi)(r), cos(qi)(r)))
+        }
+      }.toDF("query_id", "neighbor_id", "cos")
+    RelationalOps.topKPerGroup(partials, Seq("query_id"),
         Seq(col("cos").desc, col("neighbor_id").asc), k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn").as("rank"))
   }

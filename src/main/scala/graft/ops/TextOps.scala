@@ -1188,20 +1188,24 @@ object TextOps {
                    k1: Double = 1.2, b: Double = 0.75,
                    textCol: String = "text", idCol: String = "doc_id",
                    queryIdCol: String = "query_id",
-                   queryCol: String = "query_text"): DataFrame = {
+                   queryCol: String = "query_text",
+                   scope: graft.ops.CacheScope = graft.ops.CacheScope.default)
+      : DataFrame = {
     val toks = tokens(col(textCol))
     val stats = documents.agg(count(lit(1)).as("n_docs"),
       sum(size(toks).cast("long")).as("total_toks"))
     val qTerms = queries.select(col(queryIdCol),
         explode(array_distinct(tokens(col(queryCol)))).as("term"))
     val termSet = qTerms.select(col("term")).distinct()
-    // postings pruned to query terms BEFORE any aggregation
-    val postings = documents
+    // postings pruned to query terms BEFORE any aggregation; registered —
+    // the tokenize/explode pipeline feeds both the df count and the
+    // scoring join, and must run once, not per consumer
+    val postings = scope.register(documents
       .select(col(idCol), size(toks).cast("long").as("dl"),
         explode(toks).as("term"))
       .join(broadcast(termSet), Seq("term"))
       .groupBy(col("term"), col(idCol), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val dfs = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df")) // postings are (term, doc)-distinct
     val avgdl = col("total_toks").cast("double") / col("n_docs").cast("double")
@@ -1494,7 +1498,9 @@ object TextOps {
     */
   def pmiCollocations(documents: DataFrame, minCount: Long = 5L,
                       textCol: String = "text",
-                      idCol: String = "doc_id"): DataFrame = {
+                      idCol: String = "doc_id",
+                      scope: graft.ops.CacheScope = graft.ops.CacheScope.default)
+      : DataFrame = {
     val toks = tokens(col(textCol))
     val pairsArr = when(size(toks) >= 2,
       transform(sequence(lit(1), size(toks) - 1),
@@ -1504,8 +1510,10 @@ object TextOps {
     val big = documents.select(explode(pairsArr).as("p"))
       .select(col("p.w1"), col("p.w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val uni = documents.select(explode(toks).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // registered: the unigram table joins on BOTH endpoints — two separate
+    // subtrees that would each re-run the corpus tokenize+explode+count
+    val uni = scope.register(documents.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c")))
     // N = Σ max(n_tokens−1, 0) map-side — same exact integer as
     // sum(c12), without re-running the corpus bigram explode+shuffle
     val tot = documents
@@ -1646,9 +1654,22 @@ object TextOps {
     * merged) — with realistic corpora and bounded `numMerges` this does not
     * trigger, and the oracle replays the fixed unrolled iteration count.
     */
+  /** Corpus word-frequency table (w, freq), REGISTERED: every tokenizer
+    * trainer and the sampling modulus read this ONE tokenize+explode+count
+    * pass (the bake-off previously paid it once per trainer). Per-trainer
+    * word predicates apply AFTER the aggregation — a per-word filter
+    * commutes with the word group-by, so counts are unchanged.
+    */
+  private def wordFreqs(documents: DataFrame, textCol: String,
+                        scope: graft.ops.CacheScope): DataFrame =
+    scope.register(documents.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq")))
+
   def trainBpe(documents: DataFrame, numMerges: Int = 6,
                textCol: String = "text",
-               wordSampleK: Long = 1): DataFrame = {
+               wordSampleK: Long = 1,
+               scope: graft.ops.CacheScope = graft.ops.CacheScope.default)
+      : DataFrame = {
     require(numMerges >= 1 && numMerges <= 64, "numMerges in [1, 64]")
     val spark = documents.sparkSession
     import spark.implicits._
@@ -1661,13 +1682,22 @@ object TextOps {
     def free(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
 
+    def checkpointLazy(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint(eager = false)
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
     var (segs, segIds) = checkpointTracked(
       maybeSampleWords(
-        documents.select(explode(tokens(col(textCol))).as("w"))
-          .filter(length(col("w")) > 0 && !col("w").contains(BpeSep))
-          .groupBy(col("w")).agg(count(lit(1)).as("freq")), "w", wordSampleK)
+        wordFreqs(documents, textCol, scope)
+          .filter(length(col("w")) > 0 && !col("w").contains(BpeSep)),
+        "w", wordSampleK)
         .select(col("freq"), initialSeg(col("w")).as("seg")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    // the round's merged segs checkpoint LAZILY: the NEXT round's argmax
+    // action materializes it (one job per round, not checkpoint + argmax);
+    // the superseded round frees only after that action has run
+    var pendingFree = Set.empty[Int]
     var k = 1
     var exhausted = false
     while (k <= numMerges && !exhausted) {
@@ -1677,18 +1707,21 @@ object TextOps {
         .agg(sum(col("freq")).as("pair_count"))
         .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
         .limit(1).collect() // ONE row: the round's argmax — the model update
+      free(pendingFree) // segs materialized by the argmax — predecessor safe
+      pendingFree = Set.empty
       if (top.isEmpty) exhausted = true
       else {
         val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((k, l, r, l + r, cnt))
-        val (next, nextIds) = checkpointTracked(
+        val (next, nextIds) = checkpointLazy(
           segs.withColumn("seg", applyMergeToSeg(col("seg"), l, r)))
-        free(segIds)
+        pendingFree = segIds
         segs = next
         segIds = nextIds
         k += 1
       }
     }
+    free(pendingFree)
     free(segIds)
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
   }
@@ -1724,7 +1757,9 @@ object TextOps {
     */
   def trainWordPiece(documents: DataFrame, numMerges: Int = 6,
                      textCol: String = "text",
-                     wordSampleK: Long = 1): DataFrame = {
+                     wordSampleK: Long = 1,
+                     scope: graft.ops.CacheScope = graft.ops.CacheScope.default)
+      : DataFrame = {
     require(numMerges >= 1 && numMerges <= 64, "numMerges in [1, 64]")
     val spark = documents.sparkSession
     import spark.implicits._
@@ -1737,14 +1772,21 @@ object TextOps {
     def free(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
 
+    def checkpointLazy(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint(eager = false)
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
     var (segs, segIds) = checkpointTracked(
       maybeSampleWords(
-        documents.select(explode(tokens(col(textCol))).as("w"))
-          .filter(length(col("w")) > 0 && !col("w").contains(BpeSep))
-          .groupBy(col("w")).agg(count(lit(1)).as("freq")), "w", wordSampleK)
+        wordFreqs(documents, textCol, scope)
+          .filter(length(col("w")) > 0 && !col("w").contains(BpeSep)),
+        "w", wordSampleK)
         .select(col("freq"), initialSeg(col("w")).as("seg")))
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long, Long)]
+    // lazy round checkpoints + deferred frees — the trainBpe rule
+    var pendingFree = Set.empty[Int]
     var k = 1
     var exhausted = false
     while (k <= numMerges && !exhausted) {
@@ -1767,19 +1809,22 @@ object TextOps {
           col("lhs").asc, col("rhs").asc)
         .limit(1).select("lhs", "rhs", "pair_count", "score")
         .collect() // ONE row: the round's argmax — the model update
+      free(pendingFree) // segs materialized by the argmax — predecessor safe
+      pendingFree = Set.empty
       if (top.isEmpty) exhausted = true
       else {
         val (l, r, cnt, sc2) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2), top(0).getLong(3))
         merges += ((k, l, r, l + r, cnt, sc2))
-        val (next, nextIds) = checkpointTracked(
+        val (next, nextIds) = checkpointLazy(
           segs.withColumn("seg", applyMergeToSeg(col("seg"), l, r)))
-        free(segIds)
+        pendingFree = segIds
         segs = next
         segIds = nextIds
         k += 1
       }
     }
+    free(pendingFree)
     free(segIds)
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count", "score")
   }
@@ -1793,11 +1838,15 @@ object TextOps {
     * With k = 1 (small corpora) sampling is the identity.
     */
   def wordSampleMod(documents: DataFrame, target: Long,
-                    textCol: String = "text"): Long = {
+                    textCol: String = "text",
+                    scope: graft.ops.CacheScope = graft.ops.CacheScope.default)
+      : Long = {
     require(target >= 1, "target must be >= 1")
-    val n = documents.select(explode(tokens(col(textCol))).as("w"))
+    // distinct-word count straight off the registered word-frequency
+    // table (rows are distinct words), not a second corpus explode
+    val n = wordFreqs(documents, textCol, scope)
       .filter(length(col("w")) > 0 && length(col("w")) <= 16)
-      .agg(count_distinct(col("w"))).head().getLong(0)
+      .count()
     math.max(1L, n / target)
   }
 
@@ -1881,12 +1930,15 @@ object TextOps {
                                    textCol: String,
                                    wordSampleK: Long = 1): DataFrame = {
     // under sampling, fertility restricts to the SAMPLED words too (the
-    // oracle's inner join against the trained segmentations does the same)
-    val wcounts = maybeSampleWords(documents
-      .select(col(groupCol), explode(tokens(col(textCol))).as("w"))
-      .filter(length(col("w")) > 0 && !col("w").contains(BpeSep)),
-      "w", wordSampleK)
-      .groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("n"))
+    // oracle's inner join against the trained segmentations does the same).
+    // Registered: the BPE and WordPiece rollups build the IDENTICAL
+    // (group, word) table — the second caller reads the first's cache
+    val wcounts = graft.ops.CacheScope.default.register(
+      maybeSampleWords(documents
+        .select(col(groupCol), explode(tokens(col(textCol))).as("w"))
+        .filter(length(col("w")) > 0 && !col("w").contains(BpeSep)),
+        "w", wordSampleK)
+        .groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("n")))
     applyBpeMerges(wcounts, merges)
       .groupBy(col(groupCol))
       .agg(sum(col("n")).as("n_words"),
@@ -2005,15 +2057,17 @@ object TextOps {
                      numRounds: Int = 2, maxPieceLen: Int = 4,
                      maxWordLen: Int = 16,
                      textCol: String = "text",
-                     wordSampleK: Long = 1): DataFrame = {
+                     wordSampleK: Long = 1,
+                     scope: graft.ops.CacheScope = graft.ops.CacheScope.default)
+      : DataFrame = {
     require(numRounds >= 1 && numRounds <= 16, "numRounds in [1, 16]")
     require(seedSize >= 1 && maxPieceLen >= 1 && maxWordLen >= 1, "positive knobs")
     val spark = documents.sparkSession
     import spark.implicits._
     val words = maybeSampleWords(
-      documents.select(explode(tokens(col(textCol))).as("w"))
-        .filter(length(col("w")) > 0 && length(col("w")) <= maxWordLen)
-        .groupBy(col("w")).agg(count(lit(1)).as("freq")), "w", wordSampleK)
+      wordFreqs(documents, textCol, scope)
+        .filter(length(col("w")) > 0 && length(col("w")) <= maxWordLen),
+      "w", wordSampleK)
       .localCheckpoint() // consumed once per round — truncate + materialize
     // position-weighted substring counts: one explode per distinct word
     val subs = words.select(col("freq"), explode(flatten(
@@ -2749,6 +2803,11 @@ object TextOps {
     */
   private def postingsOf(corpus: DataFrame, textCol: String,
                          idCol: String, ngram: Int): DataFrame = {
+    // dl rides a sum(tf)-over-id window AFTER the tf aggregation (grouped
+    // rows, not the corpus) rather than a map-side size(): a second
+    // consumer of the term array would re-inline the n-gram build per row
+    // (measured 2x the tokenize cost — the explode must stay the array's
+    // single consumer, the bandedSigsNative rule)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id"))
     corpus.select(col(idCol).as("id"),
@@ -2796,8 +2855,13 @@ object TextOps {
                maxDfPpm: Long = 500000L, ngram: Int = 1,
                textCol: String = "text", idCol: String = "doc_id",
                queryTextCol: String = "text",
-               queryIdCol: String = "doc_id"): DataFrame = {
-    val post = postingsOf(corpus, textCol, idCol, ngram)
+               queryIdCol: String = "doc_id",
+               scope: graft.ops.CacheScope = graft.ops.CacheScope.default)
+      : DataFrame = {
+    // the postings pipeline (tokenize → explode → tf → dl window) feeds
+    // BOTH the df pruning and the candidate join — register it so the
+    // corpus explode runs once, not once per consumer
+    val post = scope.register(postingsOf(corpus, textCol, idCol, ngram))
     val stats = corpus.agg(count(lit(1)).as("n_docs"),
       sum(size(ngramTerms(col(textCol), ngram))).cast("long").as("total_len"))
     val dfT = prunedDf(post, stats, maxDfPpm)

@@ -688,12 +688,16 @@ class PlanSpec extends SparkTestBase {
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q plans a nested-loop join")
     }
-    // q160 is the DELIBERATE brute audit: exactly one broadcast-queries ×
-    // corpus pass (bruteForceTopK's crossJoin(broadcast(q))); a second
-    // nested loop would mean the purity tail degenerated
-    assert(plan("q160_label_purity").linesIterator
-        .count(_.contains("BroadcastNestedLoopJoin")) == 1,
-      "q160 must have exactly the one deliberate brute pass")
+    // q160 is the DELIBERATE brute audit — since r15 the pass is the
+    // broadcast-queries mapPartitions kernel (one compiled loop +
+    // k-bounded partial heaps), so the plan must carry the kernel's
+    // MapPartitions node and ZERO nested-loop joins: a BNLJ appearing
+    // means the |q|·|c| expression cross crept back in
+    val p160 = plan("q160_label_purity")
+    assert(p160.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 0,
+      "q160 must score through the mapPartitions kernel, not a nested loop")
+    assert(p160.contains("MapPartitions"),
+      "q160's brute pass must be the compiled mapPartitions kernel")
     // q158's truth side is brute over the fixed query SAMPLE — the one
     // bounded broadcast pass; the recall join itself is id-equi
     assert(plan("q158_lsh_recall").linesIterator
