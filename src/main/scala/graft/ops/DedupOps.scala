@@ -2480,7 +2480,8 @@ object DedupOps {
     */
   def kmvOverlapMatrix(df: DataFrame, k: Int = 256, shingleK: Int = 3,
                        buckets: Int = 32, textCol: String = "text",
-                       srcCol: String = "source"): DataFrame = {
+                       srcCol: String = "source",
+                       scope: CacheScope = CacheScope.default): DataFrame = {
     require(k >= 2, "KMV needs k >= 2 for the (k-1)/h_(k) estimator")
     require(buckets >= 1, "need at least one prune bucket")
     val toks = TextOps.tokens(col(textCol))
@@ -2497,11 +2498,14 @@ object DedupOps {
       .partitionBy(col("source"), col("bucket")).orderBy(col("h"))
     val wSource = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("h"))
-    val sketch = dist
+    // registered: the sketch feeds the per-source estimates AND both
+    // sides of the pair-merge union — uncached, the shingle explode +
+    // distinct + two rank windows would run once per consumer
+    val sketch = scope.register(dist
       .withColumn("bucket", col("h") % lit(buckets.toLong))
       .withColumn("rb", row_number().over(wBucket)).filter(col("rb") <= k)
       .withColumn("rn", row_number().over(wSource)).filter(col("rn") <= k)
-      .select(col("source"), col("h"))
+      .select(col("source"), col("h")))
     // exact power-of-two-scaled numerator: (k-1) * 2^60
     val numer = (k - 1).toDouble * 1152921504606846976.0
     def estCol(n: Column, kth: Column): Column =

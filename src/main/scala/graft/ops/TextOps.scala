@@ -825,11 +825,15 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val scored = bigramLmScore(documents, textCol, idCol)
     val src = documents.select(col(idCol).as("__sid"), col(srcCol).as("source"))
-    val base = scored.filter(col("n_bigrams") > 0)
-      .withColumn("score_centi",
-        floor(col("lp_micro").cast("double")
-          / (col("n_bigrams").cast("double") * lit(10000.0))).cast("long"))
-      .join(src, col(idCol) === col("__sid")).drop("__sid")
+    // registered: the scored frame feeds the per-source histogram AND the
+    // final bucket assignment — uncached, the whole bigram-LM scoring
+    // pass (train + score) would run once per consumer
+    val base = graft.ops.CacheScope.default.register(
+      scored.filter(col("n_bigrams") > 0)
+        .withColumn("score_centi",
+          floor(col("lp_micro").cast("double")
+            / (col("n_bigrams").cast("double") * lit(10000.0))).cast("long"))
+        .join(src, col(idCol) === col("__sid")).drop("__sid"))
     val hist = base.groupBy(col("source"), col("score_centi"))
       .agg(count(lit(1)).as("c"))
     val wCum = Window.partitionBy(col("source")).orderBy(col("score_centi"))
@@ -2858,10 +2862,15 @@ object TextOps {
                queryIdCol: String = "doc_id",
                scope: graft.ops.CacheScope = graft.ops.CacheScope.default)
       : DataFrame = {
-    // the postings pipeline (tokenize → explode → tf → dl window) feeds
-    // BOTH the df pruning and the candidate join — register it so the
-    // corpus explode runs once, not once per consumer
-    val post = scope.register(postingsOf(corpus, textCol, idCol, ngram))
+    // NOT registered, deliberately: the postings pipeline feeds both the
+    // df pruning and the candidate join, but caching it was MEASURED
+    // SLOWER in the full sweep (6.5 → 8.9 s at sf0.1 — columnar-cache
+    // serialization of corpus-scale posting strings plus storage-memory
+    // pressure outweigh the re-run, whose cost is map-side tokenize; the
+    // df leg also prunes the dl window away, so the second pass is the
+    // cheaper aggregate). The persisted-index form (bm25TopKFromIndex)
+    // remains the real many-probe path.
+    val post = postingsOf(corpus, textCol, idCol, ngram)
     val stats = corpus.agg(count(lit(1)).as("n_docs"),
       sum(size(ngramTerms(col(textCol), ngram))).cast("long").as("total_len"))
     val dfT = prunedDf(post, stats, maxDfPpm)
