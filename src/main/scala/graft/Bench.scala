@@ -48,6 +48,29 @@ object Bench {
       s"""previous artifact","sf":"$sfDir"}"""
   }
 
+  /** COMPACT final line for the driver's stdout-tail capture: the full
+    * per-query line grew past the driver's ~2000-char tail window at 210
+    * queries, truncating mid-line — `parsed` came back null for BOTH r14
+    * and r15 artifacts and the whole PERF comparison was lost (VERDICT
+    * r15 item 1). This line carries the totals, the error map (errors
+    * must stay loud), and the PATH of the full artifact holding the
+    * complete per-query map; it stays well under the tail window at any
+    * query count.
+    */
+  private[graft] def renderCompactJson(
+      merged: Map[String, Either[String, Double]], sfDir: String,
+      retimed: Map[String, Double], fullPath: String): String = {
+    val ok = merged.collect { case (k, Right(v)) => k -> v }
+    val errs = merged.collect { case (k, Left(e)) => k -> e }
+    val es = errs.map { case (k, e) =>
+      s"\"" + k + "\":\"" + e.replaceAll("[\\p{Cntrl}\"\\\\]", " ") + "\""
+    }.mkString("{", ",", "}")
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":${ok.size},"errors":$es,"retimed":${retimed.size},""" +
+      s""""queries_file":"$fullPath","sf":"$sfDir"}"""
+  }
+
   /** Previous artifact's per-query seconds, parsed leniently (query keys
     * are `q<digits>_<snake>`; error values are quoted strings so the
     * numeric match skips them). A `retimed` floor in the artifact
@@ -247,9 +270,8 @@ object Bench {
     }.toMap
     graft.ops.CacheScope.default.release()
     val json = renderJson(merged, sfDir, retimed)
-    println(json)
-    // also persist to a file so the driver's parse never depends on
-    // scraping the sbt log tail. A SUBSET run (SPARK_GRAFT_ONLY) never
+    // persist the FULL line to files so the driver's parse never depends
+    // on scraping the sbt log tail. A SUBSET run (SPARK_GRAFT_ONLY) never
     // defaults onto BENCH_last.json — that file is the full-suite record
     // the driver reads, and a 2-query total silently replacing it would
     // misreport the engine; subset runs must name their output explicitly.
@@ -265,16 +287,25 @@ object Bench {
     // committed round artifact) with the complete line: the round-stamped
     // record then parses standalone, per-query times and retimed floors
     // included, without cross-referencing the worktree BENCH_last.json.
-    if (only.isEmpty) {
+    val fullPath = if (only.isEmpty) {
       try {
         val rn = 1 + Files.list(Paths.get(".")).toArray.toSeq
           .map(_.toString)
           .flatMap("BENCH_r([0-9]+)\\.json$".r.findFirstMatchIn(_))
           .map(_.group(1).toInt)
           .foldLeft(0)(math.max)
-        Files.writeString(Paths.get(f"BENCH_full_r$rn%02d.json"), json + "\n")
-      } catch { case _: Throwable => () }
-    }
+        val p = f"BENCH_full_r$rn%02d.json"
+        Files.writeString(Paths.get(p), json + "\n")
+        p
+      } catch { case _: Throwable => "BENCH_last.json" }
+    } else out.getOrElse("")
+    // print the full line FIRST (complete record in the log for a human),
+    // then the COMPACT line LAST so the driver's ~2000-char stdout tail
+    // always contains one complete parseable JSON line (the full line
+    // alone exceeded the tail window at 210 queries and truncated
+    // mid-line — the r14/r15 lost-PERF root cause)
+    println(json)
+    println(renderCompactJson(merged, sfDir, retimed, fullPath))
     spark.stop()
   }
 }

@@ -968,12 +968,17 @@ object DedupOps {
     * Found pairs are always a subset of the exact set (banding only
     * generates candidates; verification is exact), so `n_missed >= 0`.
     *
-    * Scale shape: every config shares ONE cached shingle-set table (the
-    * CacheManager keys by canonicalized plan); per config the banding is
-    * the map-only native expression + one bucket shuffle, and the result is
-    * a single count row — the sweep costs `configs.size` bounded passes,
-    * never a cross join. Counts compare via integer division (`div` /
-    * DuckDB `//`) under the hash gate.
+    * Scale shape: ONE banding+verify pass PER r-GROUP (configs sharing
+    * r = k/bands), run at the group's largest band count and tracking
+    * each verified pair's MINIMUM colliding band index — every config's
+    * `n_found` is then the threshold filter `min_band < bands` over that
+    * one registered verified-pair list (band j of every same-r config
+    * uses the identical permutation chunk, so candidate buckets NEST
+    * across the sweep and the maxBucket cap commutes; see the inline
+    * equivalence note). All groups share ONE cached shingle-set table
+    * (the CacheManager keys by canonicalized plan); each result is a
+    * single count row — never a cross join. Counts compare via integer
+    * division (`div` / DuckDB `//`) under the hash gate.
     */
   def lshTuningSweep(df: DataFrame,
                      configs: Seq[(Int, Int)] =
@@ -2484,15 +2489,16 @@ object DedupOps {
                        scope: CacheScope = CacheScope.default): DataFrame = {
     require(k >= 2, "KMV needs k >= 2 for the (k-1)/h_(k) estimator")
     require(buckets >= 1, "need at least one prune bucket")
-    val toks = TextOps.tokens(col(textCol))
-    val windows = when(size(col("ts")) >= shingleK,
-      sequence(lit(1), size(col("ts")) - (shingleK - 1))).otherwise(array())
+    // native fused tokenize→window→join→md5 expression: the exploded
+    // slice/array_join form carried the full token array into every
+    // window row and hashed interpreted; values are bit-identical
+    // ([[graft.functions.ShingleMd5Hashes]] — same joined bytes, same md5)
     val hashes = df
-      .select(col(srcCol).as("source"), toks.as("ts"))
-      .select(col("source"), explode(windows).as("i"), col("ts"))
-      .select(col("source"),
-        DetHash.md5Hash60(array_join(slice(col("ts"), col("i"), lit(shingleK)), " "))
-          .as("h"))
+      .select(col(srcCol).as("source"),
+        explode(org.apache.spark.sql.graft.bridge.column(
+          graft.functions.ShingleMd5Hashes(
+            org.apache.spark.sql.graft.bridge.expression(col(textCol)),
+            shingleK))).as("h"))
     val dist = hashes.distinct()
     val wBucket = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"), col("bucket")).orderBy(col("h"))

@@ -118,17 +118,23 @@ object GraphOps {
     // normalized undirected edge list: (hi, lo) with hi > lo throughout —
     // both star steps emit (bigger, smaller) by construction, so the
     // invariant is free after the initial normalization
-    val (e0, e0Ids) = checkpointTracked(
+    // all three setup checkpoints are LAZY: round 1's Σcomp action (or,
+    // when propRounds = 0, the quotient fingerprint) materializes them in
+    // ONE job instead of three eager checkpoint jobs — the setup cost that
+    // dominated the tiny sampled-graph queries. Safe by the checkpointLazy
+    // rule: every one of them is materialized by an action before any
+    // frame reading it is freed
+    val (e0, e0Ids) = checkpointLazy(
       edges.select(
           greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("hi"),
           least(col(aCol).cast("long"), col(bCol).cast("long")).as("lo"))
         .filter(col("hi") =!= col("lo")).distinct())
 
     // ---- phase 1: bounded min-label propagation with pointer jumping ----
-    val (sym, symIds) = checkpointTracked(
+    val (sym, symIds) = checkpointLazy(
       e0.select(col("hi").as("x"), col("lo").as("nb"))
         .union(e0.select(col("lo").as("x"), col("hi").as("nb"))))
-    var (labels, labelIds) = checkpointTracked(
+    var (labels, labelIds) = checkpointLazy(
       vertices.select(col(idCol).cast("long").as("x"),
         col(idCol).cast("long").as("comp")))
     var prevSum: java.math.BigDecimal = null
@@ -177,7 +183,6 @@ object GraphOps {
           .select(greatest(col("ch"), col("cl")).as("hi"),
             least(col("ch"), col("cl")).as("lo"))
           .filter(col("hi") =!= col("lo")).distinct())
-      free(e0Ids)
       // cheap edge-set fingerprint; decimal accumulation — a sum of n 64-bit
       // hashes overflows a long at scale
       def fingerprint(df: DataFrame): (Long, java.math.BigDecimal) = {
@@ -211,6 +216,11 @@ object GraphOps {
           .distinct()
       }
       var (cnt, chk) = fingerprint(l) // materializes the lazy quotient
+      // e0 may be freed only AFTER the quotient is materialized: l's lazy
+      // checkpoint reads e0's blocks, and an eager localCheckpoint has
+      // truncated lineage — freeing first would make the star phase
+      // recompute through missing blocks (checkpointLazy's own rule)
+      free(e0Ids)
       var it = 0
       var done = false
       while (!done && it < maxIter && cnt > 0) {
@@ -282,8 +292,12 @@ object GraphOps {
                             newVertices: DataFrame,
                             idCol: String = "id",
                             aCol: String = "a", bCol: String = "b"): DataFrame = {
+    // LAZY checkpoints (multi-consumer frames, materialized by the CC
+    // run's first action before anything that reads them could recompute
+    // — the checkpointLazy rule; nothing here is ever explicitly freed):
+    // two eager checkpoint jobs per maintain epoch fold into the CC run
     val asg = assignments.select(col(idCol).cast("long").as("x"),
-      col("comp").cast("long").as("comp")).localCheckpoint()
+      col("comp").cast("long").as("comp")).localCheckpoint(eager = false)
     val e = newEdges.select(col(aCol).cast("long").as("a"),
       col(bCol).cast("long").as("b"))
     // ids the batch introduces: declared new vertices plus any edge
@@ -294,7 +308,7 @@ object GraphOps {
       .unionByName(e.select(col("b").as("x")))
       .distinct()
       .join(asg, Seq("x"), "left_anti")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // batch endpoints mapped through the old labeling; genuinely-new ids
     // contract to themselves; intra-component edges become self-loops and
     // drop
@@ -308,7 +322,9 @@ object GraphOps {
       .unionByName(newIds.select(col("x").as("id")))
       .distinct()
     // CC on the quotient only — batch-sized regardless of corpus size
-    val sub = connectedComponents(qe, qv).localCheckpoint()
+    // (lazy: the caller's one consuming action materializes it for both
+    // the relabel and the fresh-id join)
+    val sub = connectedComponents(qe, qv).localCheckpoint(eager = false)
     val relabel = sub.select(col("id").as("comp"), col("comp").as("__new"))
     val keptOld = asg.join(relabel, Seq("comp"), "left")
       .select(col("x").as(idCol),
@@ -489,25 +505,36 @@ object GraphOps {
       val out = df.localCheckpoint()
       (out, sc.getPersistentRDDs.keySet.toSet -- before)
     }
+    def checkpointLazy(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint(eager = false)
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
     def free(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     // vertices AND edges may be expensive subtrees (joins/distincts) that
-    // would otherwise re-execute once per round — materialize both up front
-    val (v, vIds) = checkpointTracked(
+    // would otherwise re-execute once per round — checkpointed up front.
+    // All setup checkpoints are LAZY: v materializes in the n = count()
+    // job, the degree-denormalized edge list (and e under it) in round
+    // 1's eager round checkpoint — two setup jobs instead of five. Safe
+    // by the checkpointLazy rule: every frame is materialized by an
+    // action (count / round 1) before anything reading it is freed, and
+    // the frees all sit after the round loop
+    val (v, vIds) = checkpointLazy(
       vertices.select(col(idCol).cast("long").as("x")))
-    val (e, eIds) = checkpointTracked(
+    val (e, eIds) = checkpointLazy(
       edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst")))
     // out-degree DENORMALIZED onto the edge list ONCE: each round then
     // pays a single src-keyed join (ranks) instead of two — the per-round
     // arithmetic is unchanged, so ranks are bit-identical
-    val (deg, degIds) = checkpointTracked(
+    val (deg, degIds) = checkpointLazy(
       e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
-    val (ed, edIds) = checkpointTracked(e.join(deg, Seq("src")))
+    val (ed, edIds) = checkpointLazy(e.join(deg, Seq("src")))
     val n = v.count()
     val init = scale / math.max(n, 1L)
     val base = 15L * init / 100L
-    var (ranks, rankIds) = checkpointTracked(
+    var (ranks, rankIds) = checkpointLazy(
       v.select(col("x"), lit(init).as("rank")))
     (0 until iterations).foreach { _ =>
       val contribs = ed
@@ -630,6 +657,38 @@ object GraphOps {
         coalesce(col("support"), lit(0L)).as("support"))
   }
 
+  /** Triangle support over a FIXED-orientation edge list (src, dst, dd):
+    * one wedge self-join + one closing join, each triangle crediting its
+    * three ORIENTED edges directly — (src, dst, dd, support) for every
+    * edge in ≥ 1 triangle (zero-support edges are absent; the peel drops
+    * them anyway since k−2 ≥ 1, and the final reporting pass left-joins
+    * them back). Keeping the orientation fixed across peel rounds is
+    * exact: for ANY total vertex order, every triangle {x ≺ y ≺ z} is
+    * enumerated exactly once (the wedge (y, z) out of x, closed by the
+    * oriented edge y→z), so per-edge triangle counts are independent of
+    * which order oriented the edges — the round-0 (degree, id) order is
+    * as valid on every peeled subgraph as that subgraph's own order, and
+    * reusing it removes the per-round degree aggregation + two degree
+    * joins that dominated the peel's job count.
+    */
+  private def orientedSupport(o: DataFrame): DataFrame = {
+    val x = o.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
+    val y = o.select(col("src"), col("dst").as("w"), col("dd").as("dw"))
+    x.join(y, Seq("src"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .select(explode(array(
+          struct(col("src"), col("v").as("dst"), col("dv").as("dd")),
+          struct(col("src"), col("w").as("dst"), col("dw").as("dd")),
+          struct(col("v").as("src"), col("w").as("dst"), col("dw").as("dd"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.dd").as("dd"))
+      .groupBy(col("src"), col("dst"), col("dd"))
+      .agg(count(lit(1)).as("support"))
+  }
+
   /** K-TRUSS of the pair graph (Cohen 2008): the maximal subgraph in which
     * every edge sits in ≥ k−2 triangles WITHIN the subgraph, computed by
     * iterated support peeling — drop under-supported edges, recount, repeat.
@@ -652,9 +711,20 @@ object GraphOps {
     * bounded [[edgeSupport]] wedge pass (O(m^1.5)) + one filter, each
     * intermediate localCheckpoint-ed so lineage stays flat.
     */
-  def trussEdges(pairs: DataFrame, k: Int = 3, rounds: Int = 4): DataFrame = {
+  def trussEdges(pairs: DataFrame, k: Int = 3, rounds: Int = 4): DataFrame =
+    trussPeel(normalized(pairs), k, rounds)
+
+  /** The peel loop over an already-NORMALIZED edge set (private fast path:
+    * [[trussDedupEffect]] passes its checkpointed edge list straight in,
+    * skipping the re-distinct the public entry pays). Orients ONCE under
+    * the input graph's (degree, id) order and peels the ORIENTED list —
+    * per round one wedge pass over the fixed orientation
+    * ([[orientedSupport]]'s exactness argument) instead of a full
+    * degrees + orientation + support + join-back rebuild.
+    */
+  private def trussPeel(und0: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 3, "k-truss needs k >= 3")
-    val sc = pairs.sparkSession.sparkContext
+    val sc = und0.sparkSession.sparkContext
     def checkpointLazy(df: DataFrame): (DataFrame, Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet.toSet
       val out = df.localCheckpoint(eager = false)
@@ -666,30 +736,46 @@ object GraphOps {
     // lazy checkpoints throughout: each round's count() materializes its
     // frame in the same job (one job per round, not checkpoint + count);
     // the superseded round is freed only after that count returns
-    var (cur, curIds) = checkpointLazy(normalized(pairs))
-    var prevCount = cur.count()
+    val (undC, undIds) = checkpointLazy(und0)
+    var (o, oIds) = checkpointLazy(oriented(undC, degrees(undC)))
+    var prevCount = o.count() // materializes undC and o in one job
+    free(undIds) // the oriented list is a bijection of the edge set
     var r = 0
     var converged = false
     while (r < rounds && !converged) {
+      // support >= k-2 >= 1 drops zero-support edges by construction
+      // (they never earn a credit row), so the filtered support table IS
+      // the next oriented edge list — no join back per round
       val (next, nextIds) = checkpointLazy(
-        edgeSupport(cur).filter(col("support") >= k - 2)
-          .select(col("a"), col("b")))
+        orientedSupport(o).filter(col("support") >= k - 2)
+          .select(col("src"), col("dst"), col("dd")))
       // edge counts are monotone decreasing under peeling; an UNCHANGED
       // count means no edge was dropped, i.e. every edge already had
       // support >= k-2 within the current subgraph — the fixpoint, proven
       // without the extra verification pass (counts on checkpointed
       // frames are cheap)
       val n = next.count()
-      free(curIds); cur = next; curIds = nextIds
+      free(oIds); o = next; oIds = nextIds
       converged = n == prevCount
       prevCount = n
       r += 1
     }
-    val fin = edgeSupport(cur)
+    // final support values on the converged edge set, mapped back to the
+    // normalized (a, b) form with zero-support edges kept (the ≥ operator
+    // of the orientation: a = min endpoint, b = max endpoint)
+    val supF = orientedSupport(o)
+    val fin = o
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .join(supF.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"), col("support")),
+        Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
     if (!converged) {
       val bad = fin.filter(col("support") < k - 2).limit(1).count()
       if (bad > 0) {
-        free(curIds)
+        free(oIds)
         throw new IllegalStateException(
           s"trussEdges did not converge in $rounds rounds (k=$k) — raise " +
             "`rounds`; refusing to return a non-truss silently")
@@ -727,7 +813,7 @@ object GraphOps {
     val und = normalized(pairs).localCheckpoint()
     summarize(und, "closure")
       .unionByName(summarize(
-        trussEdges(und, k, rounds).select(col("a"), col("b")),
+        trussPeel(und, k, rounds).select(col("a"), col("b")),
         s"truss$k"))
   }
 

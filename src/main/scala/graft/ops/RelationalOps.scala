@@ -579,7 +579,16 @@ object RelationalOps {
     * rho 0 (the estimator counts them as zeros).
     */
   def hllRegisters(df: DataFrame, keyCol: Column, grpCol: Column,
-                   p: Int = 8): DataFrame = {
+                   p: Int = 8): DataFrame =
+    hllRegRho(df, keyCol, grpCol, p)
+      .groupBy(col("grp"), col("reg")).agg(max(col("rho")).as("r"))
+
+  /** Pre-aggregation rows of [[hllRegisters]]: one (grp, reg, rho) row per
+    * input row. Split out so [[hllCardinalityAudit]] can aggregate rho and
+    * the per-register pair count in ONE pass.
+    */
+  private def hllRegRho(df: DataFrame, keyCol: Column, grpCol: Column,
+                        p: Int): DataFrame = {
     require(p >= 4 && p <= 16, "p must be in 4..16")
     val remBits = 60 - p
     val h = DetHash.md5Hash60(concat(lit("hll|"), keyCol.cast("string")))
@@ -588,7 +597,6 @@ object RelationalOps {
       .select(col("grp"), col("reg"),
         when(col("rem") === 0, lit(remBits + 1))
           .otherwise(lit(remBits + 1) - length(bin(col("rem")))).as("rho"))
-      .groupBy(col("grp"), col("reg")).agg(max(col("rho")).as("r"))
   }
 
   /** Merge sketches across groups into ONE sketch (the union-of-sets
@@ -642,20 +650,30 @@ object RelationalOps {
   def hllCardinalityAudit(df: DataFrame, keyCol: Column, grpCol: Column,
                           p: Int = 8,
                           scope: CacheScope = CacheScope.default): DataFrame = {
-    // ONE corpus pass feeds everything: the DISTINCT (grp, key) pairs are
-    // registered, and the sketch (max-per-register is duplicate-
-    // insensitive), the per-group exact leg (count of pairs = distinct
-    // keys per group) and the global exact leg (distinct keys across
-    // groups) all read that pair-sized cache — the previous form re-ran
-    // the upstream explode once per consumer and paid two full
-    // count_distinct shuffles
-    val pairs = scope.register(
-      df.select(grpCol.cast("string").as("grp"), keyCol.as("key")).distinct())
-    val regs = scope.register(hllRegisters(pairs, col("key"), col("grp"), p))
+    // NULL keys are invisible to count_distinct (and the oracle's
+    // count(distinct)), so they must feed neither the sketch nor the
+    // exact legs
+    val pairs = df
+      .select(grpCol.cast("string").as("grp"), keyCol.as("key"))
+      .filter(col("key").isNotNull).distinct()
+    // SIZE-AWARE registration: the sweep-shared cache is the (grp, reg)
+    // aggregation — ≤ 2^p rows per group — NOT the corpus-key-scale pair
+    // list (whose cache competed with execution memory across the whole
+    // bench sweep: the measured 4.96 → 5.73 s q174 regression). max(rho)
+    // per register is duplicate-insensitive, so registers over distinct
+    // pairs equal the r14 per-consumer form; the per-register pair COUNT
+    // sums to the group's exact distinct-key count, so the per-group
+    // exact leg rides the same tiny cache. Only the global exact leg
+    // (distinct keys ACROSS groups — underivable from per-group state)
+    // pays a second corpus pass, over the narrower key-only projection.
+    val byReg = scope.register(hllRegRho(pairs, col("key"), col("grp"), p)
+      .groupBy(col("grp"), col("reg"))
+      .agg(max(col("rho")).as("r"), count(lit(1)).as("cnt")))
+    val regs = byReg.select(col("grp"), col("reg"), col("r"))
     val all = regs.unionByName(hllMergeRegisters(regs, "__ALL__"))
     val est = hllEstimate(all, p)
-    val exact = pairs.groupBy(col("grp"))
-      .agg(count(lit(1)).as("exact_distinct"))
+    val exact = byReg.groupBy(col("grp"))
+      .agg(sum(col("cnt")).as("exact_distinct"))
       .unionByName(pairs.select(col("key")).distinct()
         .agg(count(lit(1)).as("exact_distinct"))
         .select(lit("__ALL__").as("grp"), col("exact_distinct")))

@@ -79,6 +79,15 @@ object SimilarityOps {
     * product; the partial order uses `java.lang.Double.compare` — Spark's
     * own double total order — so the final rank window sees a true
     * superset of the global top-k.
+    *
+    * Contract notes: `idCol` must be LONG-CASTABLE — ids are returned as
+    * BIGINT `query_id`/`neighbor_id` (the engine's vec ids are longs
+    * end-to-end; a non-castable id would decode as null). `dim` is kept
+    * for signature parity with the banded tier and is not enforced here:
+    * mismatched-length vectors dot-product over the shorter length, like
+    * the zip_with form they replaced. The query-side broadcast lives as
+    * long as the returned frame (the plan references it lazily) and is
+    * released by the ContextCleaner with it.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int = 64,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -1908,6 +1917,10 @@ object SimilarityOps {
     // X85 rule: the tombstone suppresses its stale committed rows, so a
     // re-insert under the same id would vanish with them on read and
     // resurface BOTH after a naive un-tombstone)
+    // LAZY: the count() right below materializes it — one job, not
+    // checkpoint-job + count-job (the epoch's job-count diet: every
+    // intermediate here is materialized by a later action BEFORE the
+    // inserts mutate the tables it reads, per the checkpointLazy rule)
     val fresh = batch
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .dropDuplicates("id")
@@ -1915,7 +1928,7 @@ object SimilarityOps {
       .join(broadcast(graft.sources.Bucketing.freshTable(spark, s"${tablePrefix}_deleted")),
         Seq("id"), "left_anti")
       .withColumn("nrm", sqrt(dotF(col("vec"), col("vec"))))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val nFresh = fresh.count()
     if (nFresh == 0) return
     val nNext = m.getAs[Long]("n_vecs") + nFresh
@@ -1934,7 +1947,7 @@ object SimilarityOps {
     val bandsNew = bandSplitFrozen(fresh.select(col("id"), col("vec")),
       bandStrided(fresh.select(col("id"), col("vec")), planes, nTables,
         dim),
-      planes, nTables, dim, cells).localCheckpoint()
+      planes, nTables, dim, cells).localCheckpoint(eager = false)
     // candidates: batch bands probe (stored ∪ batch) bands — never
     // corpus × corpus; orientation dedupes the (new, new) double hit
     val cand = bandsNew
@@ -1957,12 +1970,17 @@ object SimilarityOps {
       .select(col("a"), col("b"),
         (dotF(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= lit(minCos))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val dirsNew = newPairs
       .select(col("a").as("v"), col("b").as("nb"), col("cos"))
       .unionByName(newPairs
         .select(col("b").as("v"), col("a").as("nb"), col("cos")))
-    val touched = dirsNew.select(col("v")).distinct().localCheckpoint()
+    // bandsNew / newPairs / touched are all LAZY: keptAppend's eager
+    // checkpoint below is the epoch's ONE materialization job for the
+    // whole chain (it reads kept→touched→dirsNew→newPairs→cand→bandsNew),
+    // and it runs before the first insertInto mutates any table they read
+    val touched = dirsNew.select(col("v")).distinct()
+      .localCheckpoint(eager = false)
     // re-rank touched vertices over (old kept ∪ new candidates); a kept
     // (v, nb) row can never duplicate a new candidate — nb is new to
     // this epoch in every new pair. Touched vertices always re-rank
@@ -3140,15 +3158,19 @@ object SimilarityOps {
       diff * diff
     }.reduce(_ + _)
 
-  /** 0-based nearest-centroid code for subspace `m` — distances bound ONCE
-    * through a single-element-array lambda (HOFs don't CSE), first-minimum
-    * tiebreak via array_position(min).
+  /** 0-based nearest-centroid code for subspace `m` (the native
+    * [[graft.functions.PqCodes]] loop — the composed
+    * transform/array_position form ran numCentroids·subDim interpreted
+    * boxed ops per row per subspace; values are bit-identical, and the
+    * per-subspace element_at reads share ONE codes evaluation through
+    * physical subexpression elimination, which the HOF lambdas defeated).
     */
   private def pqCode(qv: Column, cb: Array[Array[Array[Int]]], m: Int,
-                     subDim: Int): Column =
-    element_at(transform(array(array(cb(m).indices.map(c =>
-      pqDist(qv, cb(m)(c), m * subDim)): _*)),
-      ds => array_position(ds, array_min(ds)).cast("int")), 1) - 1
+                     subDim: Int): Column = {
+    import org.apache.spark.sql.graft.bridge
+    element_at(bridge.column(
+      graft.functions.PqCodes(bridge.expression(qv), cb)), m + 1)
+  }
 
   /** Encode vectors under a FROZEN PQ model — the pure-expression stage of
     * the lifecycle: quantize with the trained scale, assign each subspace
@@ -3163,9 +3185,11 @@ object SimilarityOps {
     val subDim = cb(0)(0).length
     val qv = transform(col(vecCol),
       x => floor(x.cast("double") * lit(scale)).cast("int"))
+    // the native pq_codes call binds the quantized array itself, so the
+    // old single-element-array HOF guard is gone: all numSub code columns
+    // share ONE PqCodes(transform(...)) subtree via physical CSE
     df.select(col(idCol) +: (0 until numSub).map(m =>
-      element_at(transform(array(qv), v => pqCode(v, cb, m, subDim)), 1)
-        .as(s"c$m")): _*)
+      pqCode(qv, cb, m, subDim).as(s"c$m")): _*)
   }
 
   /** PQ-compressed approximate nearest-neighbour search (ADC — asymmetric
@@ -3248,10 +3272,14 @@ object SimilarityOps {
                         scope: CacheScope = CacheScope.default): DataFrame = {
     val (_, qv, subDim) = pqPrepare(df, numSub, idCol, vecCol, scope)
     val cb = pqLloyd(qv, numSub, numCentroids, iters, subDim, idCol)
+    // native per-subspace minima: one tight loop per row instead of
+    // numSub·numCentroids·subDim interpreted distance terms; values are
+    // the same exact integers ([[graft.functions.PqMinDists]])
+    val minD = org.apache.spark.sql.graft.bridge.column(
+      graft.functions.PqMinDists(
+        org.apache.spark.sql.graft.bridge.expression(col("qv")), cb))
     val perSub = qv.select(explode(array((0 until numSub).map { m =>
-      struct(lit(m).as("m"),
-        array_min(array(cb(m).indices.map(c =>
-          pqDist(col("qv"), cb(m)(c), m * subDim).cast("long")): _*)).as("d"))
+      struct(lit(m).as("m"), element_at(minD, m + 1).as("d"))
     }: _*)).as("s")).select(col("s.m"), col("s.d"))
     perSub.groupBy(col("m"))
       .agg(count(lit(1)).as("n_vectors"), sum(col("d")).as("sum_dist"))
@@ -3272,12 +3300,17 @@ object SimilarityOps {
     val (_, qv, _) = pqPrepare(df, numSub, idCol, vecCol, scope)
     val queries = qv.filter(queryPred)
       .select(col(idCol).as("query_id"), col("qv").as("qq"))
+    // native exact integer L2 (bit-identical fold, see
+    // [[graft.functions.SqDistL2]]): the zip_with/aggregate HOF pair ran
+    // interpreted over |corpus|·|queries| rows × dim elements — the
+    // measured bulk of the recall audit. Deliberately NOT the ADC code
+    // path: the truth leg stays an independent computation
     val l2 = qv.select(col(idCol).as("vec_id"), col("qv"))
       .crossJoin(broadcast(queries))
       .select(col("query_id"), col("vec_id"),
-        aggregate(zip_with(col("qv"), col("qq"),
-            (a, b) => ((a - b) * (a - b)).cast("long")),
-          lit(0L), (acc, x) => acc + x).as("l2"))
+        org.apache.spark.sql.graft.bridge.column(graft.functions.SqDistL2(
+          org.apache.spark.sql.graft.bridge.expression(col("qv")),
+          org.apache.spark.sql.graft.bridge.expression(col("qq")))).as("l2"))
     val exact = RelationalOps.topKPerGroup(l2, Seq("query_id"),
       Seq(col("l2").asc, col("vec_id").asc), k)
     val hits = pq
@@ -3599,8 +3632,7 @@ object SimilarityOps {
         .join(broadcast(ivfPqCentsQ(spark, tablePrefix)), Seq("cell"))
         .select(col("cell") +: col("id").as("vec_id") +:
           (0 until cb.length).map(m =>
-            element_at(transform(array(rqv),
-              v => pqCode(v, cb, m, subDim)), 1).as(s"c$m")): _*)
+            pqCode(rqv, cb, m, subDim).as(s"c$m")): _*)
     } else {
       val codes = pqEncode(batch, scale, cb, idCol, vecCol)
         .select(col(idCol).cast("long").as("nid") +:

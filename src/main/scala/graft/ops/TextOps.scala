@@ -1506,11 +1506,15 @@ object TextOps {
                       scope: graft.ops.CacheScope = graft.ops.CacheScope.default)
       : DataFrame = {
     val toks = tokens(col(textCol))
-    val pairsArr = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => struct(element_at(toks, i).as("w1"),
-          element_at(toks, i + 1).as("w2"))))
-      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    // native fused tokenize→adjacent-pair expression (the q147 root map
+    // cost): same (w1, w2) structs as the interpreted transform/element_at
+    // chain, one codegen'd call per document; coalesce keeps the
+    // empty-array-on-NULL-text contract
+    val pairsArr = coalesce(
+      org.apache.spark.sql.graft.bridge.column(
+        graft.functions.WordBigramPairs(
+          org.apache.spark.sql.graft.bridge.expression(col(textCol)))),
+      array().cast("array<struct<w1:string,w2:string>>"))
     val big = documents.select(explode(pairsArr).as("p"))
       .select(col("p.w1"), col("p.w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
@@ -2792,11 +2796,16 @@ object TextOps {
     require(n >= 1, "ngram must be >= 1")
     if (n == 1) tokens(textCol)
     else {
-      val tk = tokens(textCol)
-      when(size(tk) >= lit(n),
-          transform(sequence(lit(1), size(tk) - lit(n - 1)),
-            i => array_join(slice(tk, i, lit(n)), "_")))
-        .otherwise(array().cast("array<string>"))
+      // native fused tokenize→window→join expression: the declarative
+      // transform/slice/array_join chain ran its lambda interpreted per
+      // element and was the measured dominant map cost of the BM25/HLL
+      // tier; values are bit-identical ([[graft.functions.WordNgrams]]).
+      // coalesce keeps the old form's empty-array-on-NULL-text contract
+      import org.apache.spark.sql.graft.bridge
+      coalesce(
+        bridge.column(graft.functions.WordNgrams(
+          bridge.expression(textCol), n)),
+        array().cast("array<string>"))
     }
   }
 
