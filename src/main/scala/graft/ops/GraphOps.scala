@@ -792,29 +792,59 @@ object GraphOps {
     * point: documents the raw closure would strike that the truss keeps,
     * i.e. deletions that rested on a single uncorroborated bridge pair.
     *
-    * Scale shape: [[trussEdges]] + two [[connectedComponents]] runs, then
-    * one (comp) count and a one-row rollup per scheme; nothing beyond the
-    * underlying operators' bounded shapes.
+    * Scale shape: [[trussEdges]] + ONE [[connectedComponents]] run shared
+    * by both schemes (the parity-tagged disjoint union — see the inline
+    * exactness note), then one (comp) count and a one-row rollup per
+    * scheme; nothing beyond the underlying operators' bounded shapes.
     */
   def trussDedupEffect(pairs: DataFrame, k: Int = 3,
                        rounds: Int = 4): DataFrame = {
-    def summarize(und: DataFrame, scheme: String): DataFrame = {
-      val comp = connectedComponents(und,
-        degrees(und).select(col("v").as("id")))
-      comp.groupBy(col("comp")).agg(count(lit(1)).as("sz"))
-        .agg(count(lit(1)).as("n_clusters"),
-          coalesce(sum(col("sz")), lit(0L)).as("n_members"),
-          coalesce(max(col("sz")), lit(0L)).as("largest_cluster"))
-        .crossJoin(und.agg(count(lit(1)).as("n_edges")))
-        .select(lit(scheme).as("scheme"), col("n_edges"),
-          col("n_clusters"), col("n_members"), col("largest_cluster"),
-          (col("n_members") - col("n_clusters")).as("docs_struck"))
-    }
     val und = normalized(pairs).localCheckpoint()
-    summarize(und, "closure")
-      .unionByName(summarize(
-        trussPeel(und, k, rounds).select(col("a"), col("b")),
-        s"truss$k"))
+    // lazy: materialized inside the union CC's own first job; consumed
+    // again (blocks only) by the per-scheme edge count
+    val trussE = trussPeel(und, k, rounds).select(col("a"), col("b"))
+      .localCheckpoint(eager = false)
+    // ONE connectedComponents run for BOTH schemes, on the PARITY-TAGGED
+    // disjoint union: closure edges at id·2, truss edges at id·2+1.
+    // Exact because components never cross parities (no edge joins an
+    // even and an odd id) and x → 2x+tag is strictly monotone per tag,
+    // so each union component is one original component and its min
+    // label keeps the tag's parity — pmod(comp, 2) recovers the scheme
+    // without decoding. Per-round data doubles (two tiny graphs instead
+    // of one) but the round/job COUNT halves — the sampled-graph tier's
+    // measured cost is per-round constants, not rows. Id contract:
+    // |id| < 2^62 (the engine's ids are row ids or 60-bit md5 hashes).
+    val truss = s"truss$k"
+    val ue = und
+      .select((col("a") * 2).as("a"), (col("b") * 2).as("b"))
+      .unionByName(trussE
+        .select((col("a") * 2 + 1).as("a"), (col("b") * 2 + 1).as("b")))
+    val uv = ue.select(col("a").as("id"))
+      .unionByName(ue.select(col("b").as("id"))).distinct()
+    val comp = connectedComponents(ue, uv)
+    val byScheme = comp.groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+      .withColumn("scheme",
+        when(pmod(col("comp"), lit(2)) === 0, lit("closure"))
+          .otherwise(lit(truss)))
+      .groupBy(col("scheme"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_members"),
+        max(col("sz")).as("largest_cluster"))
+    val edges = und.select(lit("closure").as("scheme"))
+      .unionByName(trussE.select(lit(truss).as("scheme")))
+      .groupBy(col("scheme")).agg(count(lit(1)).as("n_edges"))
+    // both scheme rows must exist even when a graph is empty (the old
+    // per-scheme global aggregate always returned its zero row)
+    val schemes = pairs.sparkSession.range(1)
+      .select(explode(array(lit("closure"), lit(truss))).as("scheme"))
+    schemes.join(edges, Seq("scheme"), "left")
+      .join(byScheme, Seq("scheme"), "left")
+      .select(col("scheme"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("n_clusters"), lit(0L)).as("n_clusters"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        coalesce(col("largest_cluster"), lit(0L)).as("largest_cluster"),
+        (coalesce(col("n_members"), lit(0L)) -
+          coalesce(col("n_clusters"), lit(0L))).as("docs_struck"))
   }
 
   /** Per-CLUSTER census — the table a dedup operator reads BEFORE
